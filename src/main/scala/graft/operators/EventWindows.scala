@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing operators — batch analogs of the reference's
+  * DataStream window assigners and joins:
+  *  - flink-streaming-java/src/main/java/org/apache/flink/streaming/api/
+  *    windowing/assigners/{TumblingEventTimeWindows,SlidingEventTimeWindows,
+  *    EventTimeSessionWindows}.java
+  *  - KeyedStream#intervalJoin (flink-streaming-java/.../datastream/KeyedStream.java)
+  *  - flink-libraries/flink-cep (followed-by patterns)
+  *
+  * The same window functions work unchanged under Structured Streaming with
+  * `withWatermark` — see graft.streaming.StreamOps. At scale, every operator
+  * here shuffles once on its grouping keys; the hop window's row
+  * amplification is bounded by size/slide.
+  */
+object EventWindows {
+
+  /** TUMBLE: fixed, non-overlapping event-time windows. */
+  def tumbleAgg(df: DataFrame, tsCol: Column, size: String, keys: Seq[Column],
+                aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(tsCol, size).as("w") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start")).drop("w")
+
+  /** HOP: overlapping windows; each row lands in size/slide windows. */
+  def hopAgg(df: DataFrame, tsCol: Column, size: String, slide: String,
+             keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(tsCol, size, slide).as("w") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start")).drop("w")
+
+  /** SESSION: gap-based windows; end = last event + gap. */
+  def sessionAgg(df: DataFrame, tsCol: Column, gap: String, keys: Seq[Column],
+                 aggs: Seq[Column]): DataFrame =
+    df.groupBy((session_window(tsCol, gap).as("w") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("w.start"))
+      .withColumn("session_end", col("w.end")).drop("w")
+
+  /** Flink intervalJoin: left row joins right rows of the same key whose time
+    * is in (left.ts + lowerExclusive, left.ts + upper]. Planned as an
+    * equi-join on the key with a range residual — at scale the shuffle is on
+    * the key only, and AQE handles skewed keys. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyEq: Column,
+                   leftTs: Column, rightTs: Column,
+                   lower: String, upper: String): DataFrame =
+    left.join(right, keyEq &&
+      rightTs > leftTs + expr(s"INTERVAL $lower") &&
+      rightTs <= leftTs + expr(s"INTERVAL $upper"))
+
+  /** Per-row trailing time-range aggregate (OVER RANGE ... PRECEDING).
+    * Ordered on integer epoch-micros so the frame boundary is exact. */
+  def trailingRangeAgg(df: DataFrame, keys: Seq[Column], tsCol: Column,
+                       trailingMicros: Long, aggs: Map[String, Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(unix_micros(tsCol))
+      .rangeBetween(-trailingMicros, 0)
+    aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.EventWindows
+import graft.sources.Tables
+
+/** §2.2 Event-time windows & temporal ops over the `events` table.
+  *
+  * DuckDB oracles: `time_bucket` (epoch-aligned, so identical to Spark's
+  * `window()` for sizes that divide an hour), gaps-and-islands for session
+  * windows, range self-joins for interval join / CEP.
+  */
+object WindowQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  // --- w01: tumbling window aggregate ---
+  private val w01: Q = (s, dir) =>
+    EventWindows.tumbleAgg(ev(s, dir), col("ts"), "1 hour", Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+      .select("window_start", "event_type", "n", "sum_value")
+  private val w01Sql =
+    """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+      | event_type, count(*) AS n, round(sum(value),4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // --- w02: hopping window aggregate (1h size, 30m slide → 2 windows/row) ---
+  private val w02: Q = (s, dir) =>
+    EventWindows.hopAgg(ev(s, dir), col("ts"), "1 hour", "30 minutes", Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+      .select("window_start", "event_type", "n", "sum_value")
+  private val w02Sql =
+    """SELECT CAST(time_bucket(INTERVAL 30 MINUTES, ts) - k.k * INTERVAL 30 MINUTES AS TIMESTAMP) AS window_start,
+      | event_type, count(*) AS n, round(sum(value),4) AS sum_value
+      |FROM events CROSS JOIN (VALUES (0),(1)) k(k)
+      |GROUP BY 1, 2""".stripMargin
+
+  // --- w03: session windows, 30-minute gap, per user ---
+  private val w03: Q = (s, dir) =>
+    EventWindows.sessionAgg(ev(s, dir), col("ts"), "30 minutes", Seq(col("user_id")),
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+      .select("user_id", "session_start", "session_end", "n", "sum_value")
+  private val w03Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |   CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+      |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+      | CAST(max(ts) + INTERVAL 30 MINUTES AS TIMESTAMP) AS session_end,
+      | count(*) AS n, round(sum(value),4) AS sum_value
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
+  // --- w04: interval join — purchases within (0, +1h] after each click ---
+  private val w04: Q = (s, dir) => {
+    val e = ev(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    EventWindows.intervalJoin(clicks, purchases,
+      col("user_id") === col("p_user"), col("c_ts"), col("p_ts"), "0 SECONDS", "1 HOUR")
+      .groupBy("click_id").agg(count(lit(1)).as("n_purchases"))
+  }
+  private val w04Sql =
+    """SELECT a.event_id AS click_id, count(*) AS n_purchases
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      |WHERE a.event_type='click' AND b.event_type='purchase'
+      |GROUP BY 1""".stripMargin
+
+  // --- w05: CEP followed-by — signup then purchase within 24h ---
+  private val w05: Q = (s, dir) => {
+    val e = ev(s, dir)
+    val signup = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"))
+    val purchase = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    EventWindows.intervalJoin(signup, purchase,
+      col("user_id") === col("p_user"), col("s_ts"), col("p_ts"), "0 SECONDS", "24 HOURS")
+      .groupBy("user_id")
+      .agg(min(col("s_ts")).as("first_signup"), min(col("p_ts")).as("first_conversion"))
+  }
+  private val w05Sql =
+    """SELECT s.user_id, CAST(min(s.ts) AS TIMESTAMP) AS first_signup,
+      | CAST(min(p.ts) AS TIMESTAMP) AS first_conversion
+      |FROM events s JOIN events p
+      |  ON s.user_id = p.user_id AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
+      |WHERE s.event_type='signup' AND p.event_type='purchase'
+      |GROUP BY s.user_id""".stripMargin
+
+  // --- w06: trailing 1h per-key OVER RANGE aggregate ---
+  private val w06: Q = (s, dir) =>
+    EventWindows.trailingRangeAgg(ev(s, dir), Seq(col("user_id")), col("ts"),
+      3600000000L,
+      Map("n_1h" -> count(lit(1)), "sum_1h_raw" -> sum(col("value"))))
+      .select(col("event_id"), col("n_1h"), round(col("sum_1h_raw"), 4).as("sum_1h"))
+  private val w06Sql =
+    """SELECT event_id, count(*) OVER w AS n_1h, round(sum(value) OVER w, 4) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
+    "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06)
+
+  val oracles: Map[String, String] = Map(
+    "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
+    "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql)
+}
