@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, Similarity, TextDedup, TextOps}
+import graft.sources.Tables
+
+/** §2.3–§2.5 LLM-data-pipeline operators over `documents` / `embeddings`.
+  *
+  * Oracle strategy: hash logic is built on md5-hex-string comparisons and the
+  * SQL is generated from the same Scala constants (band layout, bit tables,
+  * projection planes), so Spark and DuckDB stay in lockstep by construction.
+  * Single divisions / products of identical inputs are left unrounded
+  * (bitwise identical); only multi-term float sums (cosines) are rounded.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  // ---------- shared SQL fragments (DuckDB) ----------
+  private def shingleSql(col: String, k: Int): String =
+    s"[substr($col, CAST(i AS INT), $k) for i in generate_series(1, greatest(length($col)-${k - 1}, 1))]"
+  private def minhashSql(seed: Int): String =
+    s"list_min([md5(s || ':$seed') for s in shingles])"
+  private val Bands = 2
+  private val RowsPerBand = 4
+  private val bandsCte: String = {
+    val sigCols = (0 until Bands * RowsPerBand).map(i => s"${minhashSql(i)} AS h$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(j => s"h${b * RowsPerBand + j}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sh AS (SELECT doc_id, ${shingleSql("text", 5)} AS shingles FROM documents),
+       |sig AS (SELECT doc_id, $sigCols FROM sh),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+  private val embCte =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |      sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+      |      FROM embeddings)""".stripMargin
+  private def cosSql(a: String, b: String, an: String, bn: String): String =
+    s"round(list_sum([$a[j]*$b[j] for j in generate_series(1, len($a))])/($an*$bn), 6)"
+
+  // ---------- d01: exact dedup via content hash ----------
+  private val d01: Q = (s, dir) =>
+    docs(s, dir).groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  private val d01Sql =
+    """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+      | count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------- d02: MinHash-LSH candidate pairs ----------
+  private val d02: Q = (s, dir) =>
+    TextDedup.minhashCandidates(docs(s, dir), "doc_id", "text", 5, Bands, RowsPerBand)
+  private val d02Sql = s"WITH $bandsCte SELECT doc_a, doc_b FROM cand"
+
+  // ---------- d03: 16-bit SimHash fingerprint ----------
+  private val d03: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"), TextDedup.simhash16(col("text")).as("simhash"))
+  private val d03Sql = {
+    val votes = (0 until 16).map { j =>
+      val cpos = 1 + j / 4
+      val chars = TextDedup.hexCharsWithBit(j % 4).map(c => s"'$c'").mkString(", ")
+      s"list_sum([CASE WHEN substr(h, $cpos, 1) IN ($chars) THEN 1 ELSE -1 END for h in md5s]) AS v$j"
+    }.mkString(", ")
+    val bits = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
+    s"""WITH m AS (SELECT doc_id, [md5(t) for t in string_split(text, ' ')] AS md5s FROM documents),
+       |v AS (SELECT doc_id, $votes FROM m)
+       |SELECT doc_id, CAST($bits AS INT) AS simhash FROM v""".stripMargin
+  }
+
+  // ---------- d04: exact 3-gram Jaccard on LSH candidates ----------
+  private val d04: Q = (s, dir) => {
+    val cand = TextDedup.minhashCandidates(docs(s, dir), "doc_id", "text", 5, Bands, RowsPerBand)
+    val da = docs(s, dir).select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val db = docs(s, dir).select(col("doc_id").as("doc_b"), col("text").as("tb"))
+    cand.join(da, "doc_a").join(db, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        TextDedup.ngramJaccard(col("ta"), col("tb"), 3).as("jaccard"))
+  }
+  private val d04Sql =
+    s"""WITH $bandsCte,
+       |g AS (SELECT c.doc_a, c.doc_b,
+       |       list_distinct(${shingleSql("da.text", 3)}) AS ga,
+       |       list_distinct(${shingleSql("db.text", 3)}) AS gb
+       |      FROM cand c JOIN documents da ON da.doc_id = c.doc_a
+       |                  JOIN documents db ON db.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       | len(list_intersect(ga, gb)) * 1.0 / len(list_distinct(ga || gb)) AS jaccard
+       |FROM g""".stripMargin
+
+  // ---------- d05: embedding near-dup pairs (cosine >= 0.4) ----------
+  private val d05: Q = (s, dir) => {
+    val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
+    val a = e.select(col("id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+  private val d05Sql =
+    s"""WITH $embCte,
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cosine
+       |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin
+
+  // ---------- s01: brute-force cosine top-k (k=5, queries vec_id<10) ----------
+  private val s01: Q = (s, dir) =>
+    Similarity.annTopK(emb(s, dir), "vec_id", "embedding", col("id") < 10, 5)
+  private val s01Sql =
+    s"""WITH $embCte,
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |       ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cosine
+       |      FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 10)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       | FROM p) WHERE rn <= 5""".stripMargin
+
+  // ---------- s02: LSH-bucketed ANN (sign random projections) ----------
+  private val srpPlanes = Similarity.planes(4, 64)
+  private val s02: Q = (s, dir) => {
+    val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
+      .withColumn("bucket", Similarity.srpBucket(col("v"), srpPlanes))
+    val q = e.select(col("id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("bucket").as("qb")).filter(col("query_id") < 10)
+    val pairs = q.join(e, col("bucket") === col("qb") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("bucket"),
+        round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+    Relational.topNPerGroup(pairs, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id")), 5)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cosine"), col("rn"))
+  }
+  private val s02Sql = {
+    val buckets = Similarity.planeLiterals(srpPlanes).zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_sum([v[j]*($p)[j] for j in generate_series(1, len(v))]) >= 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH $embCte,
+       |eb AS (SELECT vec_id, v, nrm, CAST($buckets AS INT) AS bucket FROM e),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
+       |       ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cosine
+       |      FROM eb q JOIN eb c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+       |      WHERE q.vec_id < 10)
+       |SELECT query_id, neighbor_id, bucket, cosine, CAST(rn AS INT) AS rn FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       | FROM p) WHERE rn <= 5""".stripMargin
+  }
+
+  // ---------- s03: IVF-style ANN (8 cells, probe 2) ----------
+  private val s03: Q = (s, dir) => {
+    val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
+    val cent = e.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("id"), col("v"), col("nrm"), col("cid"),
+        round(Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("ccos"))
+    val cells = Relational.topNPerGroup(scored, Seq(col("id")),
+      Seq(col("ccos").desc, col("cid")), 1).select(col("id").as("nid"), col("cid").as("cell"))
+    val probes = Relational.topNPerGroup(scored.filter(col("id") < 10), Seq(col("id")),
+      Seq(col("ccos").desc, col("cid")), 2)
+      .select(col("id").as("query_id"), col("cid").as("pcell"))
+    val cand = probes.join(cells, col("cell") === col("pcell") && col("nid") =!= col("query_id"))
+      .select("query_id", "nid")
+    val eq = e.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val en = e.select(col("id").as("cid2"), col("v").as("nv"), col("nrm").as("nn"))
+    val pairs = cand.join(eq, col("qid") === col("query_id"))
+      .join(en, col("cid2") === col("nid"))
+      .select(col("query_id"), col("nid").as("neighbor_id"),
+        round(Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+    Relational.topNPerGroup(pairs, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id")), 5)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+  private val s03Sql =
+    s"""WITH $embCte,
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+       |scored AS (SELECT e.vec_id AS id, cid,
+       |            ${cosSql("e.v", "cv", "e.nrm", "cn")} AS ccos
+       |           FROM e, cent),
+       |cells AS (SELECT id AS nid, cid AS cell FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+       |           FROM scored) WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, cid AS pcell FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+       |            FROM scored WHERE id < 10) WHERE rn <= 2),
+       |cand AS (SELECT p.query_id, c.nid FROM probes p JOIN cells c
+       |          ON c.cell = p.pcell AND c.nid != p.query_id),
+       |p2 AS (SELECT query_id, nid AS neighbor_id,
+       |        ${cosSql("q.v", "n.v", "q.nrm", "n.nrm")} AS cosine
+       |       FROM cand JOIN e q ON q.vec_id = query_id JOIN e n ON n.vec_id = nid)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       | FROM p2) WHERE rn <= 5""".stripMargin
+
+  // ---------- t01: heuristic language ID ----------
+  private val t01: Q = (s, dir) => {
+    val toks = TextOps.tokens(col("text"))
+    val scoreCols = TextOps.langProfiles.map { case (l, ws) =>
+      TextOps.profileScore(toks, ws).as(s"s_$l")
+    }
+    docs(s, dir).select(col("doc_id") +: scoreCols :+ TextOps.langGuess(toks).as("guess"): _*)
+  }
+  private val t01Sql = {
+    val scores = TextOps.langProfiles.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS INT) AS s_$l"
+    }.mkString(", ")
+    s"""WITH s AS (SELECT doc_id, $scores FROM documents)
+       |SELECT doc_id, s_en, s_fr, s_de,
+       | CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |      WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS guess
+       |FROM s""".stripMargin
+  }
+
+  // ---------- t02: quality scoring ----------
+  private val t02: Q = (s, dir) => {
+    val toks = TextOps.tokens(col("text"))
+    val stop = TextOps.profileScore(toks, TextOps.langProfiles.head._2)
+    docs(s, dir).select(col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      (length(regexp_replace(col("text"), " ", "")) * lit(1.0) / size(toks)).as("avg_token_len"),
+      (stop * lit(1.0) / size(toks)).as("stop_ratio"),
+      (least(size(toks) / lit(50.0), lit(1.0)) * 0.5 + (stop * lit(1.0) / size(toks)) * 0.5).as("quality"))
+  }
+  private val t02Sql = {
+    val set = TextOps.langProfiles.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH s AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |  CAST(length(replace(text, ' ', '')) AS INT) AS n_nospace,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS INT) AS stop FROM documents)
+       |SELECT doc_id, n_chars, n_tokens,
+       | n_nospace * 1.0 / n_tokens AS avg_token_len,
+       | stop * 1.0 / n_tokens AS stop_ratio,
+       | least(n_tokens / 50.0, 1.0) * 0.5 + (stop * 1.0 / n_tokens) * 0.5 AS quality
+       |FROM s""".stripMargin
+  }
+
+  // ---------- t03: token statistics ----------
+  private val t03: Q = (s, dir) => {
+    val toks = TextOps.tokens(col("text"))
+    docs(s, dir).select(col("doc_id"),
+      size(toks).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("re_tokens"),
+      size(array_distinct(toks)).as("distinct_tokens"))
+  }
+  private val t03Sql =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      | CAST(length(regexp_extract_all(text, '[a-z]+')) AS INT) AS re_tokens,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS distinct_tokens
+      |FROM documents""".stripMargin
+
+  // ---------- t04: winnowing-style fingerprint ----------
+  private val t04: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      array_min(transform(TextDedup.shingles(col("text"), 8), g => md5(g))).as("fp"),
+      size(array_distinct(TextDedup.shingles(col("text"), 8))).as("n_grams"))
+  private val t04Sql =
+    s"""SELECT doc_id,
+       | list_min([md5(g) for g in ${shingleSql("text", 8)}]) AS fp,
+       | CAST(len(list_distinct(${shingleSql("text", 8)})) AS INT) AS n_grams
+       |FROM documents""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "d01_dedup_exact" -> d01, "d02_minhash_pairs" -> d02, "d03_simhash" -> d03,
+    "d04_jaccard_pairs" -> d04, "d05_cosine_pairs" -> d05,
+    "s01_ann_topk" -> s01, "s02_ann_lsh" -> s02, "s03_ivf_ann" -> s03,
+    "t01_lang_id" -> t01, "t02_quality_score" -> t02,
+    "t03_token_stats" -> t03, "t04_fingerprint" -> t04)
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> d01Sql, "d02_minhash_pairs" -> d02Sql, "d03_simhash" -> d03Sql,
+    "d04_jaccard_pairs" -> d04Sql, "d05_cosine_pairs" -> d05Sql,
+    "s01_ann_topk" -> s01Sql, "s02_ann_lsh" -> s02Sql, "s03_ivf_ann" -> s03Sql,
+    "t01_lang_id" -> t01Sql, "t02_quality_score" -> t02Sql,
+    "t03_token_stats" -> t03Sql, "t04_fingerprint" -> t04Sql)
+}
