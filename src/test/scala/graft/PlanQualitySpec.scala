@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+
+/** §4 — scale guardrails: the plans must keep the properties that matter at
+  * 100 TB (scan pruning, pushdown, broadcast dims, partial aggregation,
+  * whole-stage codegen). These assert on the optimized/executed plan text.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkTest {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan (isFinalPlan=true)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
+      s"expected quantity filter pushed to scan:\n$p")
+    assert(!p.contains("l_partkey"), s"unused columns must not be read:\n$p")
+  }
+
+  test("q05 star join broadcasts every dimension") {
+    val p = planOf("q05_multi_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins (region/nation/supplier):\n$p")
+  }
+
+  test("q01 aggregates partially before the shuffle (map-side combine)") {
+    val p = planOf("q01_pricing_summary")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final plan string
+    assert(p.contains("*("), s"agg pipeline must be codegen'd:\n$p")
+  }
+
+  test("d02 minhash candidate join is an equi-join on band keys, not a cross product") {
+    val p = planOf("d02_minhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH join must stay an equi-join on (band,bkey):\n$p")
+  }
+
+  test("entry smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** §2.6 — Structured Streaming analogs of the DataStream API, driven through
+  * MemoryStream with real watermarks (late "flush" rows advance event time).
+  */
+class StreamingSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  private implicit def sqlCtx = spark.sqlContext
+
+  private val T0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private def at(sec: Long) = new Timestamp(T0.getTime + sec * 1000)
+  private val FLUSH = Event(999L, at(36000), "noise", 0.0) // pushes watermark far ahead
+
+  private def run[A](name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val q: StreamingQuery = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("tumblingAgg finalizes a window once the watermark passes") {
+    val in = MemoryStream[Event]
+    in.addData(Event(1, at(10), "click", 1.0), Event(1, at(20), "click", 2.0), FLUSH)
+    val out = run("s_tumble", StreamOps.tumblingAgg(in.toDF(), "10 seconds", "1 minute"))
+    val r = out.filter($"event_type" === "click").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n") == 2L && r(0).getAs[Double]("sum_value") == 3.0)
+    assert(r(0).getAs[Timestamp]("window_start") == at(0))
+  }
+
+  test("slidingAgg lands one event in size/slide overlapping windows") {
+    val in = MemoryStream[Event]
+    in.addData(Event(1, at(70), "view", 1.0), FLUSH)
+    val out = run("s_slide", StreamOps.slidingAgg(in.toDF(), "10 seconds", "1 minute", "30 seconds"))
+    val starts = out.filter($"event_type" === "view")
+      .select("window_start").as[Timestamp].collect().toSet
+    assert(starts == Set(at(30), at(60))) // windows [0:30,1:30) and [1:00,2:00)
+  }
+
+  test("sessionAgg merges events within gap; end = last + gap") {
+    val in = MemoryStream[Event]
+    in.addData(Event(1, at(0), "click", 1.0), Event(1, at(10), "click", 2.0), FLUSH)
+    val out = run("s_sess", StreamOps.sessionAgg(in.toDF(), "10 seconds", "30 seconds"))
+    val r = out.filter($"user_id" === 1).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Timestamp]("session_start") == at(0))
+    assert(r(0).getAs[Timestamp]("session_end") == at(40)) // 10s last event + 30s gap
+    assert(r(0).getAs[Long]("n") == 2L)
+  }
+
+  test("dedupWithinWatermark keeps first row per key") {
+    val in = MemoryStream[Event]
+    in.addData(Event(1, at(0), "click", 1.0), Event(1, at(1), "click", 1.0), FLUSH)
+    val out = run("s_dedup",
+      StreamOps.dedupWithinWatermark(in.toDF(), "1 minute", Seq("user_id", "event_type")))
+    assert(out.filter($"user_id" === 1).count() == 1)
+  }
+
+  test("sessionize (ProcessFunction analog) emits on event-time timeout") {
+    val in = MemoryStream[Event]
+    in.addData(Event(1, at(0), "click", 1.0), Event(1, at(10), "click", 2.5))
+    val df = StreamOps.sessionize(in.toDS(), "5 seconds", 30000L).toDF()
+    val q = df.writeStream.format("memory").queryName("s_fmgws").outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(FLUSH) // watermark jumps past session end ⇒ timer fires
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("s_fmgws").filter($"user_id" === 1).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Timestamp]("session_start") == at(0))
+    assert(r(0).getAs[Timestamp]("session_end") == at(40))
+    assert(r(0).getAs[Long]("n") == 2L && r(0).getAs[Double]("sum_value") == 3.5)
+  }
+
+  test("cepFollowedBy matches first→second within window, keyed state") {
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, at(0), "signup", 0.0), Event(1, at(30), "purchase", 9.0),
+      Event(2, at(0), "signup", 0.0), Event(2, at(7200), "purchase", 9.0)) // outside 1h
+    val out = run("s_cep",
+      StreamOps.cepFollowedBy(in.toDS(), "10 seconds", "signup", "purchase", 3600000L).toDF())
+    val r = out.collect()
+    assert(r.map(_.getAs[Long]("user_id")).toSet == Set(1L))
+    assert(r(0).getAs[Timestamp]("second_ts") == at(30))
+  }
+
+  test("streamStreamIntervalJoin joins within (0, +1h] on the same key") {
+    val l = MemoryStream[Event]; val r = MemoryStream[Event]
+    l.addData(Event(1, at(0), "click", 1.0), FLUSH)
+    r.addData(Event(1, at(600), "purchase", 5.0), Event(1, at(7200), "purchase", 7.0), FLUSH)
+    val joined = StreamOps.streamStreamIntervalJoin(
+      l.toDF().select($"user_id", $"ts", $"event_type"),
+      r.toDF().select($"user_id".as("user_id"), $"ts", $"value"), "10 seconds", "10 seconds", "1 HOUR")
+    val out = run("s_ssj", joined.select($"value"))
+    assert(out.as[Double].collect().toSet == Set(5.0))
+  }
+
+  test("streamStaticEnrich broadcast-joins a dimension") {
+    val in = MemoryStream[Event]
+    in.addData(Event(1, at(0), "click", 1.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = run("s_enrich", StreamOps.streamStaticEnrich(in.toDF(), dim, "user_id"))
+    assert(out.select("tier").as[String].collect().toSeq == Seq("gold"))
+  }
+}
