@@ -16,11 +16,12 @@ object Similarity {
 
   def asDouble(embedding: Column): Column = embedding.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd primitive-loop dot product (graft.functions.ArrayDotProduct);
+    * left-to-right sum, bit-identical to `aggregate(zip_with(...))` and to a
+    * sequential SQL `list_sum`. */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDotProduct(a, b)
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, v2) => acc + v2))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Deterministic ±1 random-projection planes (LCG bit 16), shared with the
     * SQL oracle via [[planeLiterals]]. */

@@ -41,10 +41,17 @@ object TextDedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
-  /** MinHash-LSH candidate pairs (doc_a < doc_b), deduplicated across bands. */
+  /** MinHash-LSH candidate pairs (doc_a < doc_b), deduplicated across bands.
+    *
+    * The band projection is persisted before the self-join: without it Spark
+    * re-executes the full shingle+hash lineage for BOTH join sides, doubling
+    * the dominant cost. The persisted projection is tiny relative to the
+    * corpus (id + 2 hex keys per doc); at cluster scale the same role is
+    * played by a checkpoint/staging table. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
     val bk = lshBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
     val b = bk.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("bkey").as("bkey_b"))
     a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
@@ -59,9 +66,9 @@ object TextDedup {
     "0123456789abcdef".filter(ch => ((Character.digit(ch, 16) >> bitInNibble) & 1) == 1)
       .map(_.toString)
 
-  /** 16-bit SimHash over whitespace tokens (bit j from md5 hex nibble j/4). */
-  def simhash16(textCol: Column): Column = {
-    val md5s = transform(split(textCol, " "), t => md5(t))
+  /** 16-bit SimHash over a precomputed array of token md5 hex digests
+    * (hash once, vote 16 times — see [[simhash16]]). */
+  def simhash16FromMd5s(md5s: Column): Column = {
     val bits = (0 until 16).map { j =>
       val cpos = 1 + j / 4
       val chars = hexCharsWithBit(j % 4)
@@ -71,6 +78,10 @@ object TextDedup {
     }
     bits.reduce(_ + _)
   }
+
+  /** 16-bit SimHash over whitespace tokens (bit j from md5 hex nibble j/4). */
+  def simhash16(textCol: Column): Column =
+    simhash16FromMd5s(transform(split(textCol, " "), t => md5(t)))
 
   /** Exact n-gram Jaccard between two text columns (distinct char n-grams). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

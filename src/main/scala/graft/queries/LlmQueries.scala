@@ -61,7 +61,10 @@ object LlmQueries {
 
   // ---------- d03: 16-bit SimHash fingerprint ----------
   private val d03: Q = (s, dir) =>
-    docs(s, dir).select(col("doc_id"), TextDedup.simhash16(col("text")).as("simhash"))
+    docs(s, dir)
+      .select(col("doc_id"), // hash tokens once, then 16 bit-votes over the array
+        transform(split(col("text"), " "), t => md5(t)).as("md5s"))
+      .select(col("doc_id"), TextDedup.simhash16FromMd5s(col("md5s")).as("simhash"))
   private val d03Sql = {
     val votes = (0 until 16).map { j =>
       val cpos = 1 + j / 4
@@ -77,11 +80,17 @@ object LlmQueries {
   // ---------- d04: exact 3-gram Jaccard on LSH candidates ----------
   private val d04: Q = (s, dir) => {
     val cand = TextDedup.minhashCandidates(docs(s, dir), "doc_id", "text", 5, Bands, RowsPerBand)
-    val da = docs(s, dir).select(col("doc_id").as("doc_a"), col("text").as("ta"))
-    val db = docs(s, dir).select(col("doc_id").as("doc_b"), col("text").as("tb"))
-    cand.join(da, "doc_a").join(db, "doc_b")
+    // distinct 3-gram sets are computed ONCE PER DOC and persisted; computing
+    // them after the pair join would redo the work once per candidate pair
+    val grams = docs(s, dir)
+      .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 3)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ga = grams.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        TextDedup.ngramJaccard(col("ta"), col("tb"), 3).as("jaccard"))
+        (size(array_intersect(col("ga"), col("gb"))) * lit(1.0) /
+          size(array_union(col("ga"), col("gb")))).as("jaccard"))
   }
   private val d04Sql =
     s"""WITH $bandsCte,
@@ -259,9 +268,11 @@ object LlmQueries {
 
   // ---------- t04: winnowing-style fingerprint ----------
   private val t04: Q = (s, dir) =>
-    docs(s, dir).select(col("doc_id"),
-      array_min(transform(TextDedup.shingles(col("text"), 8), g => md5(g))).as("fp"),
-      size(array_distinct(TextDedup.shingles(col("text"), 8))).as("n_grams"))
+    docs(s, dir)
+      .select(col("doc_id"), TextDedup.shingles(col("text"), 8).as("g8")) // one shingle pass
+      .select(col("doc_id"),
+        array_min(transform(col("g8"), g => md5(g))).as("fp"),
+        size(array_distinct(col("g8"))).as("n_grams"))
   private val t04Sql =
     s"""SELECT doc_id,
        | list_min([md5(g) for g in ${shingleSql("text", 8)}]) AS fp,
