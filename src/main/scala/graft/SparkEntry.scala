@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmQueries, RelationalQueries, WindowQueries}
+import graft.queries.{LlmQueries, RelationalQueries, RelationalQueries2, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,10 +11,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ WindowQueries.queries ++ LlmQueries.queries
+    RelationalQueries.queries ++ RelationalQueries2.queries ++
+      WindowQueries.queries ++ LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ WindowQueries.oracles ++ LlmQueries.oracles
+    RelationalQueries.oracles ++ RelationalQueries2.oracles ++
+      WindowQueries.oracles ++ LlmQueries.oracles
 }
