@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.functions.ArrayDotProduct
+
+/** SparkSessionExtensions integration — the library's native pieces become
+  * first-class SQL citizens:
+  *
+  *  - `array_dot(a, b)` SQL function backed by the codegen'd
+  *    [[graft.functions.ArrayDotProduct]]
+  *  - [[DotProductFusion]]: an optimizer rule that rewrites the composable
+  *    `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)` pattern
+  *    into the native expression, so code written against plain builtins gets
+  *    the fast path automatically
+  *
+  * Enable with:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(GraftExtensions.install)   // programmatic
+  *   // or spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * Mirrors the reference's module/function-catalog registration surface
+  * (flink-table/flink-table-common/src/main/java/org/apache/flink/table/
+  * functions/FunctionDefinition.java and the Blink planner's
+  * FlinkSqlOperatorTable).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.install(ext)
+}
+
+object GraftExtensions {
+  val install: SparkSessionExtensions => Unit = { ext =>
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+    ext.injectOptimizerRule(_ => DotProductFusion)
+  }
+
+  /** Install onto an already-running session (extensions normally bind at
+    * construction): function via the registry, rule via the public
+    * `experimental.extraOptimizations` hook. */
+  def installInto(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(spark, "array_dot",
+      children => ArrayDotProduct(children(0), children(1)))
+    if (!spark.experimental.extraOptimizations.contains(DotProductFusion))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotProductFusion
+  }
+}
+
+/** Rewrites aggregate(zip_with(a, b, _*_), 0.0, _+_) → ArrayDotProduct(a, b).
+  * Same left-to-right float semantics, minus the intermediate array. */
+object DotProductFusion extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  private def isMultiplyLambda(f: Expression): Boolean = f match {
+    case LambdaFunction(Multiply(x: NamedExpression, y: NamedExpression, _), Seq(a, b), _) =>
+      (x.exprId == a.exprId && y.exprId == b.exprId) ||
+        (x.exprId == b.exprId && y.exprId == a.exprId)
+    case _ => false
+  }
+  private def isSumLambda(f: Expression): Boolean = f match {
+    case LambdaFunction(Add(x: NamedExpression, y: NamedExpression, _), Seq(acc, v), _) =>
+      (x.exprId == acc.exprId && y.exprId == v.exprId) ||
+        (x.exprId == v.exprId && y.exprId == acc.exprId)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(ZipWith(a, b, mul), Literal(0.0, _), sum, finish)
+        if isMultiplyLambda(mul) && isSumLambda(sum) && isIdentityFinish(finish) =>
+      ArrayDotProduct(a, b)
+  }
+
+  private def isIdentityFinish(f: Expression): Boolean = f match {
+    case LambdaFunction(x: NamedExpression, Seq(acc), _) => x.exprId == acc.exprId
+    case _ => false
+  }
+}
