@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational.topNPerGroup
+
+/** Bulk-iteration analog of the reference's DataSet iterations
+  * (flink-java/src/main/java/org/apache/flink/api/java/operators/
+  * IterativeDataSet.java): a driver-side fixpoint loop over DataFrames,
+  * with each step a declarative plan.
+  *
+  * Scale notes: per-step results that feed the next step are persisted (and
+  * the previous step unpersisted) so lineage stays O(1) deep — the Spark
+  * equivalent of Flink's iteration feedback edge. Centroid sets are tiny and
+  * broadcast; only the point set shuffles, once per step, on the cell id.
+  */
+object Iterate {
+
+  /** Lloyd's k-means over an (id, array<double> v) DataFrame.
+    * Deterministic: centroids initialize from the K lowest ids; a fixed
+    * iteration count (bulk iteration with a for-loop "superstep"). Returns
+    * (id, cluster) assignments. */
+  def kmeans(points: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    val pts = points.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sqDist(a: Column, b: Column): Column =
+      Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) + Similarity.dot(b, b)
+
+    var centroids = pts.orderBy("id").limit(k)
+      .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
+        .cast("int").as("cid"), col("v").as("cv"))
+    var prevAssign: DataFrame = null
+    var assign: DataFrame = null
+    (0 until iters).foreach { _ =>
+      assign = pts.crossJoin(broadcast(centroids))
+        .select(col("id"), col("v"), col("cid"), sqDist(col("v"), col("cv")).as("d2"))
+      val best = topNPerGroup(assign, Seq(col("id")), Seq(col("d2"), col("cid")), 1)
+        .select(col("id"), col("v"), col("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      best.count() // materialize before unpersisting the feedback edge
+      if (prevAssign != null) prevAssign.unpersist()
+      prevAssign = best
+      // new centroid = element-wise mean of members (posexplode + re-collect)
+      centroids = best
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg("x").as("mx"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("dim"), col("mx")))).as("pairs"))
+        .select(col("cid"), expr("transform(pairs, p -> p.mx)").as("cv"))
+    }
+    val out = prevAssign.select(col("id"), col("cid").as("cluster"))
+    pts.unpersist()
+    out
+  }
+}
