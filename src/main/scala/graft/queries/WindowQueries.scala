@@ -104,11 +104,48 @@ object WindowQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // --- w07: CEP not-followed-by — signups with NO purchase within 24h ---
+  private val w07: Q = (s, dir) => {
+    val e = ev(s, dir)
+    val signup = e.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchase = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    signup.join(purchase,
+        col("user_id") === col("p_user") && col("p_ts") > col("ts") &&
+          col("p_ts") <= col("ts") + expr("INTERVAL 24 HOURS"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("ts"))
+  }
+  private val w07Sql =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |FROM events s WHERE event_type='signup' AND NOT EXISTS (
+      |  SELECT 1 FROM events p WHERE p.event_type='purchase' AND p.user_id = s.user_id
+      |   AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS)""".stripMargin
+
+  // --- w08: count windows (Flink countWindow): stats per N events per key ---
+  private val w08: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("win_no", ((row_number().over(w) - 1) / 10).cast("int"))
+      .groupBy("user_id", "win_no")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+  }
+  private val w08Sql =
+    """SELECT user_id, CAST((rn - 1) // 10 AS INT) AS win_no, count(*) AS n,
+      | round(sum(value),4) AS sum_value
+      |FROM (SELECT user_id, value,
+      |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |      FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
-    "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06)
+    "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06,
+    "w07_not_followed_by" -> w07, "w08_count_window" -> w08)
 
   val oracles: Map[String, String] = Map(
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
-    "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql)
+    "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql,
+    "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql)
 }
