@@ -139,4 +139,17 @@ object StreamOps {
   /** Stream-static enrichment (broadcast dimension join). */
   def streamStaticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** Broadcast state analog (Flink BroadcastConnectedStream /
+    * BroadcastProcessFunction, flink-streaming-java/.../datastream/
+    * BroadcastConnectedStream.java): a small, slowly-changing rule set
+    * visible to every task. In Structured Streaming the idiomatic mechanism
+    * is foreachBatch — each micro-batch re-loads the current rules snapshot
+    * and broadcast-joins it, so rule updates take effect at the next trigger
+    * (same refresh granularity as Flink's broadcast-side elements). */
+  def broadcastRulesEnrich(stream: DataFrame, loadRules: () => DataFrame,
+                           key: String)(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      sink(batch.join(broadcast(loadRules()), Seq(key), "left_outer"))
+    }.start()
 }

@@ -101,6 +101,23 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out.as[Double].collect().toSet == Set(5.0))
   }
 
+  test("broadcastRulesEnrich picks up rule changes at the next micro-batch") {
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[Event]
+    @volatile var rules = Seq((1L, "allow")).toDF("user_id", "action")
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = StreamOps.broadcastRulesEnrich(in.toDF(), () => rules, "user_id") { b =>
+      out ++= b.select(col("user_id"), col("action"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      ()
+    }
+    in.addData(Event(1, at(0), "click", 1.0)); q.processAllAvailable()
+    rules = Seq((1L, "block")).toDF("user_id", "action") // broadcast-side update
+    in.addData(Event(1, at(10), "click", 1.0)); q.processAllAvailable()
+    q.stop()
+    assert(out.toSeq == Seq((1L, "allow"), (1L, "block")))
+  }
+
   test("streamStaticEnrich broadcast-joins a dimension") {
     val in = MemoryStream[Event]
     in.addData(Event(1, at(0), "click", 1.0))
