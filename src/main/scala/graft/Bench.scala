@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup (codegen, file index, shuffle machinery) so the first
+    // measured query is not charged one-time JVM costs
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let

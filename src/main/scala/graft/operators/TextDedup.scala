@@ -30,7 +30,9 @@ object TextDedup {
   /** (doc_id, band, bkey) rows: `bands` bands of `rowsPerBand` minhashes. */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
+    // min over the distinct shingle SET == min over the multiset, and the
+    // small-vocab corpus repeats shingles heavily — hash each one once
+    val sh = docs.select(col(idCol), array_distinct(shingles(col(textCol), shingleK)).as("sh"))
     val sig = sh.select(col(idCol) +:
       (0 until bands * rowsPerBand).map(i => minhash(col("sh"), i).as(s"h$i")): _*)
     val bandStructs = (0 until bands).map { b =>
