@@ -21,11 +21,15 @@ object TextDedup {
     transform(sequence(lit(1), greatest(length(c) - lit(k - 1), lit(1))),
       i => c.substr(i, lit(k)))
 
-  /** One MinHash value: lexicographic min of seeded md5 over the shingles.
-    * Using the hex string as the hash value keeps Spark and any ANSI-SQL
-    * oracle bit-identical (no integer conversion). */
-  def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(s, lit(":" + seed)))))
+  /** One MinHash value: lexicographic min of a seeded 32-bit hash over the
+    * shingles. Hash function i is the i%4-th 8-hex-char chunk of
+    * md5(shingle || ":" || i/4) — one md5 digest yields FOUR independent
+    * hash functions, quartering digest cost. Hex strings compare
+    * lexicographically, so Spark and any ANSI-SQL oracle stay bit-identical
+    * with no integer conversion. */
+  def minhash(shingleArr: Column, i: Int): Column =
+    array_min(transform(shingleArr,
+      s => substring(md5(concat(s, lit(":" + (i / 4)))), 1 + 8 * (i % 4), 8)))
 
   /** (doc_id, band, bkey) rows: `bands` bands of `rowsPerBand` minhashes. */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,

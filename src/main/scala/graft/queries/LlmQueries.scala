@@ -21,8 +21,8 @@ object LlmQueries {
   // ---------- shared SQL fragments (DuckDB) ----------
   private def shingleSql(col: String, k: Int): String =
     s"[substr($col, CAST(i AS INT), $k) for i in generate_series(1, greatest(length($col)-${k - 1}, 1))]"
-  private def minhashSql(seed: Int): String =
-    s"list_min([md5(s || ':$seed') for s in shingles])"
+  private def minhashSql(i: Int): String =
+    s"list_min([substr(md5(s || ':${i / 4}'), ${1 + 8 * (i % 4)}, 8) for s in shingles])"
   private val Bands = 2
   private val RowsPerBand = 4
   private val bandsCte: String = {

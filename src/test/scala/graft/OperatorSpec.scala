@@ -23,13 +23,19 @@ class OperatorSpec extends AnyFunSuite with SparkTest {
     assert(short == Seq("ab"))
   }
 
-  test("minhash equals the lexicographic min of seeded md5 over shingles") {
+  test("minhash equals the lexicographic min of seeded md5 chunks over shingles") {
     val text = "abcdef"
-    val expected = Seq("abcde", "bcdef").map(s => md5hex(s + ":3")).min
+    // hash fn 3 = chunk 3 of md5(s + ":0") (4 hash fns per digest)
+    val expected = Seq("abcde", "bcdef").map(s => md5hex(s + ":0").substring(24, 32)).min
     val r = Seq(text).toDF("t")
       .select(TextDedup.minhash(TextDedup.shingles(col("t"), 5), 3).as("h"))
       .as[String].head()
     assert(r == expected)
+    // different hash functions disagree (independent chunks)
+    val r0 = Seq(text).toDF("t")
+      .select(TextDedup.minhash(TextDedup.shingles(col("t"), 5), 0).as("h"))
+      .as[String].head()
+    assert(r0 != r)
   }
 
   test("ngramJaccard: identical texts → 1.0, disjoint → 0.0") {
