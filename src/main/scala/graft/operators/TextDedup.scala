@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.MinhashChunks
 
 /** Text deduplication: exact hash, MinHash+LSH, SimHash, n-gram Jaccard.
   *
@@ -34,11 +35,18 @@ object TextDedup {
   /** (doc_id, band, bkey) rows: `bands` bands of `rowsPerBand` minhashes. */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val numDigests = (numHashes + 3) / 4
     // min over the distinct shingle SET == min over the multiset, and the
     // small-vocab corpus repeats shingles heavily — hash each one once
     val sh = docs.select(col(idCol), array_distinct(shingles(col(textCol), shingleK)).as("sh"))
-    val sig = sh.select(col(idCol) +:
-      (0 until bands * rowsPerBand).map(i => minhash(col("sh"), i).as(s"h$i")): _*)
+    // native one-pass signature (graft.functions.MinhashChunks): hash each
+    // shingle once per seed, track chunk minima byte-wise — semantically the
+    // composable minhash() below, minus the per-(shingle,hash) allocation
+    val sig = sh
+      .select(col(idCol), MinhashChunks(col("sh"), numDigests).as("mh"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => element_at(col("mh"), i + 1).as(s"h$i")): _*)
     val bandStructs = (0 until bands).map { b =>
       val key = concat_ws("|", (0 until rowsPerBand).map(j => col(s"h${b * rowsPerBand + j}")): _*)
       struct(lit(b).as("band"), key.as("bkey"))
