@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmQueries, RelationalQueries, RelationalQueries2, RelationalQueries3, WindowQueries}
+import graft.queries.{FunctionQueries, LlmQueries, RelationalQueries, RelationalQueries2, RelationalQueries3, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RelationalQueries2.queries ++
-      RelationalQueries3.queries ++ WindowQueries.queries ++ LlmQueries.queries
+      RelationalQueries3.queries ++ FunctionQueries.queries ++
+      WindowQueries.queries ++ LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++
-      RelationalQueries3.oracles ++ WindowQueries.oracles ++ LlmQueries.oracles
+      RelationalQueries3.oracles ++ FunctionQueries.oracles ++
+      WindowQueries.oracles ++ LlmQueries.oracles
 }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.1 continued — scalar-function surface parity with the reference's
+  * FlinkSqlOperatorTable (flink-table/flink-table-planner-blink/.../functions/
+  * sql/FlinkSqlOperatorTable.java): math, extended string ops, JSON access.
+  * Transcendentals are rounded at 6 dp (libm vs JVM may differ in the last
+  * ulp); pure integer/decimal functions are exact.
+  */
+object FunctionQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  // --- f01: math functions ---
+  private val f01: Q = (s, dir) =>
+    t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        ceil(col("l_quantity") / 7).cast("long").as("ceil_q"),
+        floor(col("l_quantity") / 7).cast("long").as("floor_q"),
+        signum(col("l_discount") - 0.05).as("sign_d"),
+        (col("l_quantity") % 5).as("mod_q"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+        round(exp(col("l_discount")), 6).as("exp_d"),
+        round(log(lit(1.0) + col("l_tax")), 6).as("ln_tax"),
+        round(pow(col("l_quantity"), 0.5), 6).as("pow_q"))
+  private val f01Sql =
+    """SELECT l_orderkey,
+      | abs(l_discount - 0.05) AS abs_d,
+      | CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q,
+      | CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q,
+      | CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d,
+      | l_quantity % 5 AS mod_q,
+      | round(sqrt(l_quantity), 6) AS sqrt_q,
+      | round(exp(l_discount), 6) AS exp_d,
+      | round(ln(1.0 + l_tax), 6) AS ln_tax,
+      | round(power(l_quantity, 0.5), 6) AS pow_q
+      |FROM lineitem WHERE l_linenumber = 1""".stripMargin
+
+  // --- f02: extended string functions ---
+  private val f02: Q = (s, dir) =>
+    t(s, dir, "part").select(col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("brand_pad"),
+      rpad(col("p_brand"), 12, "-").as("brand_rpad"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trim"),
+      reverse(col("p_brand")).as("brand_rev"),
+      substring_index(col("p_type"), " ", 1).as("type_first"),
+      instr(col("p_name"), "a").cast("long").as("pos_a"),
+      translate(col("p_brand"), "Br", "bR").as("brand_tr"),
+      repeat(col("p_brand"), 2).as("brand_x2"))
+  private val f02Sql =
+    """SELECT p_partkey,
+      | lpad(p_brand, 12, '*') AS brand_pad,
+      | rpad(p_brand, 12, '-') AS brand_rpad,
+      | trim('  ' || p_name || '  ') AS name_trim,
+      | reverse(p_brand) AS brand_rev,
+      | split_part(p_type, ' ', 1) AS type_first,
+      | CAST(position('a' in p_name) AS BIGINT) AS pos_a,
+      | translate(p_brand, 'Br', 'bR') AS brand_tr,
+      | repeat(p_brand, 2) AS brand_x2
+      |FROM part""".stripMargin
+
+  // --- f03: JSON access over the events.props column ---
+  private val f03: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_str"))
+      .withColumn("k", col("k_str").cast("int"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+  private val f03Sql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+      | count(*) AS n,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03)
+  val oracles: Map[String, String] = Map(
+    "f01_math_funcs" -> f01Sql, "f02_string_funcs2" -> f02Sql, "f03_json_extract" -> f03Sql)
+}
