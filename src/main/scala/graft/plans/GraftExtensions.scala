@@ -41,6 +41,7 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
     ext.injectOptimizerRule(_ => DotProductFusion)
+    ext.injectPlannerStrategy(_ => TopNPerKeyStrategy)
   }
 
   /** Install onto an already-running session (extensions normally bind at
@@ -52,6 +53,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(DotProductFusion))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DotProductFusion
+    if (!spark.experimental.extraStrategies.contains(TopNPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopNPerKeyStrategy
   }
 }
 

@@ -9,7 +9,24 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * it to graft's native expressions. No other internals are touched. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → catalyst conversion. ExpressionUtils.expression
+    * returns a lazy ColumnNodeExpression wrapper whose internal node graph
+    * (sql.internal.SortOrder etc.) is NOT serializable and must never reach a
+    * physical plan. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Build a DataFrame from a custom LogicalPlan (Dataset.ofRows is
+    * private[sql]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
 
   /** Register a native expression as a SQL function on a LIVE session (the
     * extensions path only applies at session construction). */
