@@ -48,6 +48,19 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming parquet sink recovers exactly-once from its checkpoint") {
+    val d = tmp()
+    val in = MemoryStream[Long]
+    def start() = in.toDS().toDF("v").writeStream.format("parquet")
+      .option("path", s"$d/out").option("checkpointLocation", s"$d/ck").start()
+    val q1 = start()
+    in.addData(1L, 2L, 3L); q1.processAllAvailable(); q1.stop()
+    val q2 = start() // restart against the same checkpoint
+    in.addData(4L, 5L); q2.processAllAvailable(); q2.stop()
+    val vals = spark.read.parquet(s"$d/out").selectExpr("v").as[Long].collect().sorted.toSeq
+    assert(vals == Seq(1L, 2L, 3L, 4L, 5L), "committed batches must not re-emit on restart")
+  }
+
   test("foreachBatch idempotent sink (exactly-once pattern)") {
     val in = MemoryStream[Long]
     val seen = scala.collection.concurrent.TrieMap[Long, Long]()
