@@ -52,4 +52,38 @@ object Iterate {
     pts.unpersist()
     out
   }
+
+  /** Connected components over an undirected edge list (src, dst) — the
+    * Gelly/delta-iteration analog (reference flink-libraries/flink-gelly,
+    * flink-java DeltaIteration): min-label propagation to a fixpoint, with
+    * the per-step convergence check playing the role of the delta set going
+    * empty. Returns (id, component) where component = min vertex id reachable. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // candidate label per vertex = min over self and neighbors' labels
+      val next = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("comp")).as("nbr_min"))
+        .join(labels, col("id2") === col("id"))
+        .select(col("id"), least(col("comp"), col("nbr_min")).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("comp").as("component"))
+  }
 }

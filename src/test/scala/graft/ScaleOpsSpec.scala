@@ -20,6 +20,24 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     assert(a1.map(_._2).distinct.length > 1, "should use more than one cluster")
   }
 
+  test("connectedComponents reaches the fixpoint labeling") {
+    // two components: {1,2,3,4} chained, {10,11}; isolated edges included
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val comps = Iterate.connectedComponents(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents on the minhash similarity graph groups dup candidates") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = graft.operators.TextDedup.minhashCandidates(docs, "doc_id", "text")
+    val comps = Iterate.connectedComponents(pairs, "doc_a", "doc_b")
+    // every component label must be a member of the component (min id)
+    val bad = comps.filter($"component" > $"id").count()
+    assert(bad == 0)
+    assert(comps.count() > 0)
+  }
+
   test("saltedEquiJoin returns exactly the plain equi-join result") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val o = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority")
