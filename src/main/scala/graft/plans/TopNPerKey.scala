@@ -1,7 +1,6 @@
 package graft.plans
 
 import scala.collection.mutable
-import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
@@ -35,26 +34,40 @@ case class TopNPerKeyNode(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
 object TopNPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopNPerKeyNode(n, keys, order, child) =>
-      TopNPerKeyExec(n, keys, order, planLater(child)) :: Nil
+      // two-phase, like partial/final aggregation: the Final node declares a
+      // ClusteredDistribution requirement, so EnsureRequirements plans a real
+      // Exchange (visible to AQE and metrics) over the ALREADY-PRUNED rows
+      FinalTopNPerKeyExec(n, keys, order,
+        PartialTopNPerKeyExec(n, keys, order, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
-case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
-                          child: SparkPlan) extends UnaryExecNode {
+/** Map-side phase: at most N rows per key per input partition, no exchange. */
+case class PartialTopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
+                                 child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
-
   override protected def doExecute(): RDD[InternalRow] = {
-    // locals only — capturing `this` (a SparkPlan) is not serializable
     val (nL, keysL, orderL, outL) = (n, keys, order, child.output)
-    val partial = child.execute()
-      .mapPartitions(TopNPerKeyExec.prune(nL, keysL, orderL, outL))
-    val parts = math.max(1, conf.numShufflePartitions)
-    new org.apache.spark.rdd.PairRDDFunctions(partial)
-      .partitionBy(new HashPartitioner(parts)) // shuffle ≤ N·keys·partitions rows
-      .mapPartitions(kv => TopNPerKeyExec.prune(nL, keysL, orderL, outL)(kv.map(_._2)).map(_._2))
+    child.execute()
+      .mapPartitions(it => TopNPerKeyExec.prune(nL, keysL, orderL, outL)(it).map(_._2))
+  }
+}
+
+/** Reduce-side phase: rows arrive clustered by key; final bounded top-N. */
+case class FinalTopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
+                               child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(keys) :: Nil
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (nL, keysL, orderL, outL) = (n, keys, order, child.output)
+    child.execute()
+      .mapPartitions(it => TopNPerKeyExec.prune(nL, keysL, orderL, outL)(it).map(_._2))
   }
 }
 

@@ -139,13 +139,33 @@ object WindowQueries {
       |      FROM events)
       |GROUP BY 1, 2""".stripMargin
 
+  // --- w09: quantified CEP — purchases preceded by clicks within 1h ---
+  private val w09: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, -1) // strictly-before trailing hour
+    ev(s, dir)
+      .withColumn("clicks_1h",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase" && col("clicks_1h") >= 1)
+      .select(col("event_id"), col("user_id"), col("clicks_1h"))
+  }
+  private val w09Sql =
+    """SELECT event_id, user_id, clicks_1h FROM (
+      | SELECT event_id, user_id, event_type,
+      |  sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) OVER w AS clicks_1h
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+      |) WHERE event_type='purchase' AND clicks_1h >= 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
     "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06,
-    "w07_not_followed_by" -> w07, "w08_count_window" -> w08)
+    "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09)
 
   val oracles: Map[String, String] = Map(
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
     "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql,
-    "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql)
+    "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql,
+    "w09_cep_quantified" -> w09Sql)
 }

@@ -24,11 +24,15 @@ class TopNPerKeySpec extends AnyFunSuite with SparkTest {
     assert(native.nonEmpty)
   }
 
-  test("the physical plan is the custom exec, not a window") {
+  test("the physical plan is partial → exchange → final, not a window") {
     val orders = Tables.load(s, sfDir, "orders")
     val df = TopNPerKey(orders, 2, Seq(col("o_custkey")), Seq(col("o_totalprice").desc))
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("TopNPerKey"), s"expected custom exec:\n$plan")
+    assert(plan.contains("PartialTopNPerKey"), s"expected map-side prune:\n$plan")
+    assert(plan.contains("FinalTopNPerKey"), s"expected reduce-side phase:\n$plan")
+    assert(plan.contains("hashpartitioning(o_custkey"),
+      s"Exchange must cluster the PRUNED rows by key:\n$plan")
     assert(!plan.contains("Window"), s"must not fall back to window exec:\n$plan")
   }
 
