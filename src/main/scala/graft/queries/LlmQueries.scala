@@ -269,10 +269,12 @@ object LlmQueries {
   // ---------- t04: winnowing-style fingerprint ----------
   private val t04: Q = (s, dir) =>
     docs(s, dir)
-      .select(col("doc_id"), TextDedup.shingles(col("text"), 8).as("g8")) // one shingle pass
+      // min-md5 over distinct grams == over all grams; distinct first ⇒ one
+      // pass and md5 only once per distinct gram
+      .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 8)).as("g8"))
       .select(col("doc_id"),
         array_min(transform(col("g8"), g => md5(g))).as("fp"),
-        size(array_distinct(col("g8"))).as("n_grams"))
+        size(col("g8")).as("n_grams"))
   private val t04Sql =
     s"""SELECT doc_id,
        | list_min([md5(g) for g in ${shingleSql("text", 8)}]) AS fp,

@@ -101,6 +101,33 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out.as[Double].collect().toSet == Set(5.0))
   }
 
+  test("update output mode emits revised aggregates (Flink retract-stream analog)") {
+    val in = MemoryStream[Event]
+    val agg = in.toDF().groupBy($"event_type").count()
+    val q = agg.writeStream.format("memory").queryName("s_update")
+      .outputMode("update").start()
+    in.addData(Event(1, at(0), "click", 1.0)); q.processAllAvailable()
+    in.addData(Event(2, at(1), "click", 1.0)); q.processAllAvailable()
+    q.stop()
+    // update mode appends one REVISION row per changed group per batch:
+    // count=1 then count=2 — the upsert/retract stream a downstream sink folds
+    val revisions = spark.table("s_update").filter($"event_type" === "click")
+      .select("count").as[Long].collect().sorted.toSeq
+    assert(revisions == Seq(1L, 2L))
+  }
+
+  test("complete output mode re-emits the full result table (Flink dynamic table)") {
+    val in = MemoryStream[Event]
+    val agg = in.toDF().groupBy($"event_type").count()
+    val q = agg.writeStream.format("memory").queryName("s_complete")
+      .outputMode("complete").start()
+    in.addData(Event(1, at(0), "click", 1.0), Event(1, at(1), "view", 2.0))
+    q.processAllAvailable()
+    val snapshot = spark.table("s_complete").as[(String, Long)].collect().toMap
+    q.stop()
+    assert(snapshot == Map("click" -> 1L, "view" -> 1L))
+  }
+
   test("broadcastRulesEnrich picks up rule changes at the next micro-batch") {
     import org.apache.spark.sql.functions.col
     val in = MemoryStream[Event]
