@@ -103,6 +103,36 @@ object LlmQueries {
        | len(list_intersect(ga, gb)) * 1.0 / len(list_distinct(ga || gb)) AS jaccard
        |FROM g""".stripMargin
 
+  // ---------- d06: SimHash near-dup pairs (banded nibbles + Hamming <= 3) ----------
+  private val d06: Q = (s, dir) => {
+    val sim = d03(s, dir) // (doc_id, simhash)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), shiftright(col("simhash"), 4 * j).bitwiseAND(15).as("nib"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.j").as("j"), col("b.nib").as("nib"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("j"), col("nib"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("j").as("j2"), col("nib").as("nib2"))
+    a.join(b, col("j") === col("j2") && col("nib") === col("nib2") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+  private val d06Sql = {
+    val inner = d03Sql.replace("\n", "\n ")
+    s"""WITH sim AS ($inner),
+       |bands AS (SELECT doc_id, simhash, j, (simhash // power(16, j)::INT) % 16 AS nib
+       |          FROM sim CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
+       |          FROM bands a JOIN bands b
+       |            ON a.j = b.j AND a.nib = b.nib AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
+
   // ---------- d05: embedding near-dup pairs (cosine >= 0.4) ----------
   private val d05: Q = (s, dir) => {
     val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
@@ -283,7 +313,7 @@ object LlmQueries {
 
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01, "d02_minhash_pairs" -> d02, "d03_simhash" -> d03,
-    "d04_jaccard_pairs" -> d04, "d05_cosine_pairs" -> d05,
+    "d04_jaccard_pairs" -> d04, "d05_cosine_pairs" -> d05, "d06_simhash_pairs" -> d06,
     "s01_ann_topk" -> s01, "s02_ann_lsh" -> s02, "s03_ivf_ann" -> s03,
     "t01_lang_id" -> t01, "t02_quality_score" -> t02,
     "t03_token_stats" -> t03, "t04_fingerprint" -> t04)
@@ -291,6 +321,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" -> d01Sql, "d02_minhash_pairs" -> d02Sql, "d03_simhash" -> d03Sql,
     "d04_jaccard_pairs" -> d04Sql, "d05_cosine_pairs" -> d05Sql,
+    "d06_simhash_pairs" -> d06Sql,
     "s01_ann_topk" -> s01Sql, "s02_ann_lsh" -> s02Sql, "s03_ivf_ann" -> s03Sql,
     "t01_lang_id" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_stats" -> t03Sql, "t04_fingerprint" -> t04Sql)
