@@ -101,6 +101,22 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out.as[Double].collect().toSet == Set(5.0))
   }
 
+  test("RocksDB state store backs a windowed aggregate (Flink RocksDB state backend analog)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = MemoryStream[Event]
+      in.addData(Event(1, at(10), "click", 1.0), Event(1, at(20), "click", 2.0), FLUSH)
+      val out = run("s_rocksdb", StreamOps.tumblingAgg(in.toDF(), "10 seconds", "1 minute"))
+      val r = out.filter($"event_type" === "click").collect()
+      assert(r.length == 1 && r(0).getAs[Long]("n") == 2L)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("update output mode emits revised aggregates (Flink retract-stream analog)") {
     val in = MemoryStream[Event]
     val agg = in.toDF().groupBy($"event_type").count()
