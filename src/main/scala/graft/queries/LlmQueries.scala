@@ -303,7 +303,7 @@ object LlmQueries {
       // pass and md5 only once per distinct gram
       .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 8)).as("g8"))
       .select(col("doc_id"),
-        array_min(transform(col("g8"), g => md5(g))).as("fp"),
+        graft.functions.MinMd5Hex(col("g8")).as("fp"),
         size(col("g8")).as("n_grams"))
   private val t04Sql =
     s"""SELECT doc_id,
