@@ -162,14 +162,19 @@ object LlmQueries {
        | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
        | FROM p) WHERE rn <= 5""".stripMargin
 
-  // ---------- s02: LSH-bucketed ANN (sign random projections) ----------
+  // ---------- s02: LSH-bucketed ANN (sign random projections, multi-probe) ----------
   private val srpPlanes = Similarity.planes(4, 64)
   private val s02: Q = (s, dir) => {
     val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
       .withColumn("bucket", Similarity.srpBucket(col("v"), srpPlanes))
+    // multi-probe: search the query's own bucket plus the 4 buckets one
+    // plane-flip away (5/16 of the space) — the standard recall lever for
+    // sign-random-projection LSH without extra tables
     val q = e.select(col("id").as("query_id"), col("v").as("qv"),
-      col("nrm").as("qn"), col("bucket").as("qb")).filter(col("query_id") < 10)
-    val pairs = q.join(e, col("bucket") === col("qb") && col("id") =!= col("query_id"))
+        col("nrm").as("qn"), col("bucket").as("qb")).filter(col("query_id") < 10)
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(array(Seq(0, 1, 2, 4, 8).map(m => col("qb").bitwiseXOR(lit(m))): _*)).as("pb"))
+    val pairs = q.join(e, col("bucket") === col("pb") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"), col("bucket"),
         round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
     Relational.topNPerGroup(pairs, Seq(col("query_id")),
@@ -182,10 +187,12 @@ object LlmQueries {
     }.mkString(" + ")
     s"""WITH $embCte,
        |eb AS (SELECT vec_id, v, nrm, CAST($buckets AS INT) AS bucket FROM e),
+       |probes AS (SELECT vec_id, v, nrm, CAST(xor(bucket, m.m) AS INT) AS pb
+       |           FROM eb CROSS JOIN (VALUES (0),(1),(2),(4),(8)) m(m)
+       |           WHERE vec_id < 10),
        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
        |       ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cosine
-       |      FROM eb q JOIN eb c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
-       |      WHERE q.vec_id < 10)
+       |      FROM probes q JOIN eb c ON c.bucket = q.pb AND c.vec_id != q.vec_id)
        |SELECT query_id, neighbor_id, bucket, cosine, CAST(rn AS INT) AS rn FROM (
        | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
        | FROM p) WHERE rn <= 5""".stripMargin
