@@ -36,4 +36,14 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(asCol, agg.over(w))
   }
+
+  /** DataSet coGroup (reference flink-java/src/main/java/org/apache/flink/
+    * api/java/operators/CoGroupOperator.java): both sides grouped on a key,
+    * the user function sees the two full groups. One shuffle per side on the
+    * key, state bounded by the two groups. */
+  def coGroup[K: org.apache.spark.sql.Encoder, L, R, O: org.apache.spark.sql.Encoder](
+      left: org.apache.spark.sql.Dataset[L], right: org.apache.spark.sql.Dataset[R])(
+      leftKey: L => K, rightKey: R => K)(
+      f: (K, Iterator[L], Iterator[R]) => IterableOnce[O]): org.apache.spark.sql.Dataset[O] =
+    left.groupByKey(leftKey).cogroup(right.groupByKey(rightKey))(f)
 }

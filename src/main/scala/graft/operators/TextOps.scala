@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID, quality scoring,
   * token statistics, document fingerprinting. All codegen'd builtins.
+  *
+  * The reference exposes the equivalent string/tokenization surface through
+  * its scalar function table (flink-table/flink-table-planner-blink/src/main/
+  * java/org/apache/flink/table/planner/functions/sql/FlinkSqlOperatorTable
+  * .java) and user-defined ScalarFunction
+  * (flink-table/flink-table-common/src/main/java/org/apache/flink/table/
+  * functions/ScalarFunction.java); here they compose from Spark builtins so
+  * whole-stage codegen applies.
   */
 object TextOps {
 

@@ -38,6 +38,15 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     assert(comps.count() > 0)
   }
 
+  test("coGroup sees both full groups per key (DataSet coGroup analog)") {
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDS()
+    val r = Seq((1L, 10), (3L, 30)).toDS()
+    val out = graft.operators.Relational.coGroup(l, r)(_._1, _._1) { (k, ls, rs) =>
+      Iterator.single((k, ls.size, rs.size))
+    }.collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2, 1), (2L, 1, 0), (3L, 0, 1)))
+  }
+
   test("saltedEquiJoin returns exactly the plain equi-join result") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val o = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority")
