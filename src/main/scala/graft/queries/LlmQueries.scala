@@ -114,22 +114,33 @@ object LlmQueries {
       col("j"), col("nib"))
     val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
       col("j").as("j2"), col("nib").as("nib2"))
+    // distinct-free emission: a pair leaves the join only from its FIRST
+    // matching band (no earlier band j' also matches), replacing a
+    // multi-million-row distinct shuffle with a cheap row-local predicate
+    val firstMatch = (0 until 4).map { jp =>
+      val na = shiftright(col("sim_a"), 4 * jp).bitwiseAND(15)
+      val nb = shiftright(col("sim_b"), 4 * jp).bitwiseAND(15)
+      when(col("j") > jp, na =!= nb).otherwise(lit(true))
+    }.reduce(_ && _)
     a.join(b, col("j") === col("j2") && col("nib") === col("nib2") &&
         col("doc_a") < col("doc_b"))
+      .filter(firstMatch)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= 3)
-      .distinct()
   }
   private val d06Sql = {
     val inner = d03Sql.replace("\n", "\n ")
     s"""WITH sim AS ($inner),
        |bands AS (SELECT doc_id, simhash, j, (simhash // power(16, j)::INT) % 16 AS nib
        |          FROM sim CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)),
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |           CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
        |          FROM bands a JOIN bands b
-       |            ON a.j = b.j AND a.nib = b.nib AND a.doc_id < b.doc_id)
+       |            ON a.j = b.j AND a.nib = b.nib AND a.doc_id < b.doc_id
+       |          WHERE ${(0 until 4).map(jp =>
+                    s"(a.j <= $jp OR (a.simhash // power(16, $jp)::INT) % 16 != (b.simhash // power(16, $jp)::INT) % 16)")
+                    .mkString(" AND ")})
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
 
