@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{FunctionQueries, LlmQueries, RelationalQueries, RelationalQueries2, RelationalQueries3, WindowQueries}
+import graft.queries.{AnalyticsQueries, FunctionQueries, LlmQueries, RelationalQueries, RelationalQueries2, RelationalQueries3, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,12 +13,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RelationalQueries2.queries ++
       RelationalQueries3.queries ++ FunctionQueries.queries ++
-      WindowQueries.queries ++ LlmQueries.queries
+      AnalyticsQueries.queries ++ WindowQueries.queries ++ LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++
       RelationalQueries3.oracles ++ FunctionQueries.oracles ++
-      WindowQueries.oracles ++ LlmQueries.oracles
+      AnalyticsQueries.oracles ++ WindowQueries.oracles ++ LlmQueries.oracles
 }
