@@ -10,10 +10,10 @@ import graft.sources.Tables
 class AsyncBucketSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
-  test("AsyncLookup.unorderedWait enriches with bounded concurrency") {
+  test("AsyncLookup.orderedWait enriches with bounded concurrency") {
     import scala.concurrent.ExecutionContext.Implicits.global
     val ds = (1L to 100L).toDS()
-    val out = AsyncLookup.unorderedWait(ds, capacity = 8, timeout = 30.seconds) { id =>
+    val out = AsyncLookup.orderedWait(ds, capacity = 8, timeout = 30.seconds) { id =>
       Future { (id, s"svc-$id") } // stands in for an external RPC
     }
     val rows = out.collect().sortBy(_._1)
