@@ -30,8 +30,26 @@ object AsyncLookup {
     }
   }
 
-  @deprecated("emission is input-ordered; use orderedWait", "0.1.0")
+  /** Completion-order emission (Flink unorderedWait): a rolling window of
+    * `capacity` in-flight requests; whichever finishes first is emitted and
+    * its slot refilled, so one slow call never blocks the pipeline. */
   def unorderedWait[I, O: Encoder](ds: Dataset[I], capacity: Int,
-                                   timeout: Duration)(asyncFn: I => Future[O]): Dataset[O] =
-    orderedWait(ds, capacity, timeout)(asyncFn)
+                                   timeout: Duration)(asyncFn: I => Future[O]): Dataset[O] = {
+    ds.mapPartitions { iter =>
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      new Iterator[O] {
+        private val inFlight = scala.collection.mutable.ArrayBuffer.empty[Future[O]]
+        private def fill(): Unit =
+          while (inFlight.size < capacity && iter.hasNext) inFlight += asyncFn(iter.next())
+        override def hasNext: Boolean = { fill(); inFlight.nonEmpty }
+        override def next(): O = {
+          fill()
+          Await.ready(Future.firstCompletedOf(inFlight.toSeq), timeout)
+          val idx = inFlight.indexWhere(_.isCompleted)
+          val done = inFlight.remove(idx)
+          Await.result(done, Duration.Zero)
+        }
+      }
+    }
+  }
 }

@@ -20,6 +20,16 @@ class AsyncBucketSpec extends AnyFunSuite with SparkTest {
     assert(rows.length == 100 && rows.head == ((1L, "svc-1")))
   }
 
+  test("AsyncLookup.unorderedWait emits in completion order, not input order") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ds = (1L to 8L).toDS().repartition(1)
+    val out = AsyncLookup.unorderedWait(ds, capacity = 8, timeout = 30.seconds) { id =>
+      Future { Thread.sleep((9 - id) * 100); id } // later ids finish first
+    }.collect().toSeq
+    assert(out.toSet == (1L to 8L).toSet)
+    assert(out != (1L to 8L).toSeq, s"expected completion order, got input order: $out")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // default warehouse dir (./spark-warehouse, gitignored) — the conf is static;
     // clear leftovers from prior JVMs (catalog forgets, the directory doesn't)
