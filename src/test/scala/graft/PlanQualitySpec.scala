@@ -42,6 +42,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"LSH join must stay an equi-join on (band,bkey):\n$p")
   }
 
+  test("interval join (w04) is an equi-join on the key with a range residual") {
+    val p = planOf("w04_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must shuffle on user_id only:\n$p")
+  }
+
+  test("retention self-join (a02) stays an equi-join") {
+    val p = planOf("a02_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"self-join must be keyed:\n$p")
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
