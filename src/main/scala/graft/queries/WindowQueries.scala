@@ -153,7 +153,7 @@ object WindowQueries {
   private val w09Sql =
     """SELECT event_id, user_id, clicks_1h FROM (
       | SELECT event_id, user_id, event_type,
-      |  sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) OVER w AS clicks_1h
+      |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS clicks_1h
       | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
       |   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
       |) WHERE event_type='purchase' AND clicks_1h >= 1""".stripMargin
