@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, FunctionQueries, LlmQueries, RelationalQueries, RelationalQueries2, RelationalQueries3, WindowQueries}
+import graft.queries.{AnalyticsQueries, FunctionQueries, LlmQueries, LlmQueries2, RelationalQueries, RelationalQueries2, RelationalQueries3, RelationalQueries4, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,13 +12,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RelationalQueries2.queries ++
-      RelationalQueries3.queries ++ FunctionQueries.queries ++
-      AnalyticsQueries.queries ++ WindowQueries.queries ++ LlmQueries.queries
+      RelationalQueries3.queries ++ RelationalQueries4.queries ++
+      FunctionQueries.queries ++ AnalyticsQueries.queries ++
+      WindowQueries.queries ++ LlmQueries.queries ++ LlmQueries2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++
-      RelationalQueries3.oracles ++ FunctionQueries.oracles ++
-      AnalyticsQueries.oracles ++ WindowQueries.oracles ++ LlmQueries.oracles
+      RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
+      FunctionQueries.oracles ++ AnalyticsQueries.oracles ++
+      WindowQueries.oracles ++ LlmQueries.oracles ++ LlmQueries2.oracles
 }

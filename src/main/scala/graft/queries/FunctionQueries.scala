@@ -76,8 +76,40 @@ object FunctionQueries {
       | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1""".stripMargin
 
+  // --- f04: conditional functions — NULLIF/COALESCE/GREATEST/LEAST/IF ---
+  private val f04: Q = (s, dir) =>
+    t(s, dir, "orders").select(col("o_orderkey"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_c"),
+      greatest(col("o_totalprice"), lit(100000.0)).as("hi"),
+      least(col("o_totalprice"), lit(100000.0)).as("lo"),
+      when(col("o_orderpriority") === "1-URGENT", lit("rush")).otherwise(lit("std")).as("ship_if"),
+      nvl2(nullif(col("o_orderstatus"), lit("F")), lit(1), lit(0)).as("not_finished"))
+  private val f04Sql =
+    """SELECT o_orderkey,
+      | coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_c,
+      | greatest(o_totalprice, 100000.0) AS hi,
+      | least(o_totalprice, 100000.0) AS lo,
+      | CASE WHEN o_orderpriority = '1-URGENT' THEN 'rush' ELSE 'std' END AS ship_if,
+      | CASE WHEN nullif(o_orderstatus, 'F') IS NOT NULL THEN 1 ELSE 0 END AS not_finished
+      |FROM orders""".stripMargin
+
+  // --- f05: hash functions — MD5 / SHA-256 (FlinkSqlOperatorTable MD5, SHA256) ---
+  private val f05: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_custkey"),
+      md5(col("c_name")).as("md5_name"),
+      sha2(col("c_name"), 256).as("sha256_name"),
+      substring(md5(concat_ws("|", col("c_name"), col("c_mktsegment"))), 1, 8).as("row_sig"))
+  private val f05Sql =
+    """SELECT c_custkey,
+      | md5(c_name) AS md5_name,
+      | sha256(c_name) AS sha256_name,
+      | substr(md5(c_name || '|' || c_mktsegment), 1, 8) AS row_sig
+      |FROM customer""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03)
+    "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03,
+    "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05)
   val oracles: Map[String, String] = Map(
-    "f01_math_funcs" -> f01Sql, "f02_string_funcs2" -> f02Sql, "f03_json_extract" -> f03Sql)
+    "f01_math_funcs" -> f01Sql, "f02_string_funcs2" -> f02Sql, "f03_json_extract" -> f03Sql,
+    "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql)
 }

@@ -19,13 +19,13 @@ object LlmQueries {
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
   // ---------- shared SQL fragments (DuckDB) ----------
-  private def shingleSql(col: String, k: Int): String =
+  private[queries] def shingleSql(col: String, k: Int): String =
     s"[substr($col, CAST(i AS INT), $k) for i in generate_series(1, greatest(length($col)-${k - 1}, 1))]"
   private def minhashSql(i: Int): String =
     s"list_min([substr(md5(s || ':${i / 4}'), ${1 + 8 * (i % 4)}, 8) for s in shingles])"
-  private val Bands = 2
-  private val RowsPerBand = 4
-  private val bandsCte: String = {
+  private[queries] val Bands = 2
+  private[queries] val RowsPerBand = 4
+  private[queries] val bandsCte: String = {
     val sigCols = (0 until Bands * RowsPerBand).map(i => s"${minhashSql(i)} AS h$i").mkString(", ")
     val bandSelects = (0 until Bands).map { b =>
       val key = (0 until RowsPerBand).map(j => s"h${b * RowsPerBand + j}").mkString(" || '|' || ")

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Iterate, TextDedup}
+import graft.sources.Tables
+
+/** §2.3/§2.5 continued — duplicate-cluster extraction and text cleaning.
+  *
+  * d07 closes the dedup loop: candidate pairs (d02) → verified near-dup edges
+  * (d04's Jaccard) → connected components (the reference's Gelly/delta-
+  * iteration analog, flink-libraries/flink-gelly ConnectedComponents) → one
+  * canonical doc per cluster. The DuckDB oracle replays the component step
+  * with a recursive transitive-closure CTE — exact cross-engine agreement.
+  */
+object LlmQueries2 {
+  type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private val JaccardMin = 0.5
+
+  // ---------- d07: near-dup clusters via connected components ----------
+  private val d07: Q = (s, dir) => {
+    val cand = TextDedup.minhashCandidates(docs(s, dir), "doc_id", "text",
+      5, LlmQueries.Bands, LlmQueries.RowsPerBand)
+    val grams = docs(s, dir)
+      .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 3)).as("g"))
+    val ga = grams.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    val edges = cand.join(ga, "doc_a").join(gb, "doc_b")
+      .filter(size(array_intersect(col("ga"), col("gb"))) * lit(1.0) /
+        size(array_union(col("ga"), col("gb"))) >= JaccardMin)
+      .select(col("doc_a"), col("doc_b"))
+    Iterate.connectedComponents(edges, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+  }
+  private val d07Sql =
+    s"""WITH RECURSIVE ${LlmQueries.bandsCte},
+       |g AS (SELECT c.doc_a, c.doc_b,
+       |       list_distinct(${LlmQueries.shingleSql("da.text", 3)}) AS ga,
+       |       list_distinct(${LlmQueries.shingleSql("db.text", 3)}) AS gb
+       |      FROM cand c JOIN documents da ON da.doc_id = c.doc_a
+       |                  JOIN documents db ON db.doc_id = c.doc_b),
+       |e AS (SELECT doc_a, doc_b FROM g
+       |      WHERE len(list_intersect(ga, gb)) * 1.0 / len(list_distinct(ga || gb)) >= $JaccardMin),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
+       |        UNION SELECT doc_b, doc_a FROM e),
+       |reach(a, b) AS (SELECT src, dst FROM sym
+       |        UNION SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+       |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+       |FROM reach GROUP BY a""".stripMargin
+
+  // ---------- t05: stopword scrub (training-data text cleaning) ----------
+  private val t05: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("kept", expr("filter(toks, t -> t NOT IN ('a', 'the'))"))
+      .select(col("doc_id"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        length(array_join(col("kept"), " ")).as("clean_len"),
+        md5(array_join(col("kept"), " ")).as("clean_hash"))
+  private val t05Sql =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' '))
+      |   - len(list_filter(string_split(text, ' '), t -> t NOT IN ('a', 'the'))) AS INT) AS n_removed,
+      | CAST(length(array_to_string(list_filter(string_split(text, ' '),
+      |   t -> t NOT IN ('a', 'the')), ' ')) AS INT) AS clean_len,
+      | md5(array_to_string(list_filter(string_split(text, ' '),
+      |   t -> t NOT IN ('a', 'the')), ' ')) AS clean_hash
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "d07_dup_clusters" -> d07, "t05_stopword_scrub" -> t05)
+  val oracles: Map[String, String] = Map(
+    "d07_dup_clusters" -> d07Sql, "t05_stopword_scrub" -> t05Sql)
+}

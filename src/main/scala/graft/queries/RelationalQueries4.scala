@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.1 continued — grouping sets, rank-function suite, UNNEST, set ops with
+  * ALL semantics, LISTAGG. Each maps a Blink-planner feature of the reference
+  * (flink-table/flink-table-planner-blink): GROUPING SETS + GROUPING_ID
+  * (`FlinkLogicalExpand`), RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST
+  * (`FlinkSqlOperatorTable`), CROSS JOIN UNNEST (`LogicalUnnestRule`),
+  * INTERSECT ALL / MINUS ALL (`Table.intersectAll/minusAll`), LISTAGG.
+  */
+object RelationalQueries4 {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  // --- q30: GROUPING SETS + grouping() markers over a 2-table join ---
+  // Spark's DataFrame API exposes only rollup/cube; arbitrary grouping sets
+  // go through the SQL front door (same physical Expand operator either way).
+  private val q30: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("g30_orders")
+    t(s, dir, "customer").createOrReplaceTempView("g30_customer")
+    t(s, dir, "nation").createOrReplaceTempView("g30_nation")
+    s.sql(
+      """SELECT n_name, o_orderpriority,
+        | CAST(grouping(n_name) AS INT) AS g_nation,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM g30_orders JOIN g30_customer ON o_custkey = c_custkey
+        |                JOIN g30_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())
+        |""".stripMargin)
+  }
+  private val q30Sql =
+    """SELECT n_name, o_orderpriority,
+      | CAST(grouping(n_name) AS INT) AS g_nation,
+      | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      | count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |            JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())""".stripMargin
+
+  // --- q31: rank-function suite with real peer groups ---
+  // Bucketing the order value gives genuine ties, so DENSE_RANK differs from
+  // ROW_NUMBER and PERCENT_RANK/CUME_DIST see peer groups. Rank values depend
+  // only on the ORDER BY values, so ties are deterministic.
+  private val q31: Q = (s, dir) => {
+    val bucket = floor(col("o_totalprice") / 50000).cast("int")
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(bucket)
+    t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"),
+      bucket.as("bucket"),
+      dense_rank().over(w).cast("long").as("drk"),
+      round(percent_rank().over(w), 6).as("prk"),
+      round(cume_dist().over(w), 6).as("cd"))
+  }
+  private val q31Sql =
+    """SELECT o_orderpriority, o_orderkey,
+      | CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+      | CAST(dense_rank() OVER w AS BIGINT) AS drk,
+      | round(percent_rank() OVER w, 6) AS prk,
+      | round(cume_dist() OVER w, 6) AS cd
+      |FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY CAST(floor(o_totalprice / 50000) AS INT))""".stripMargin
+
+  // --- q32: UNNEST / explode — token frequency top-50 ---
+  private val q32: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  private val q32Sql =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+
+  // --- q33: INTERSECT ALL / EXCEPT ALL (multiset semantics) ---
+  // Customers by order-priority class; duplicates preserved, so the result
+  // is a true multiset difference/intersection (Flink minusAll/intersectAll).
+  private val q33: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val high = o.filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+    urgent.intersectAll(high).withColumn("tag", lit("both"))
+      .unionAll(urgent.exceptAll(high).withColumn("tag", lit("urgent_only")))
+  }
+  private val q33Sql =
+    """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority='1-URGENT'),
+      |     h AS (SELECT o_custkey FROM orders WHERE o_orderpriority='2-HIGH')
+      |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM u INTERSECT ALL SELECT * FROM h)
+      |UNION ALL
+      |SELECT o_custkey, 'urgent_only' AS tag FROM (SELECT * FROM u EXCEPT ALL SELECT * FROM h)""".stripMargin
+
+  // --- q34: LISTAGG — ordered string aggregation per group ---
+  private val q34: Q = (s, dir) =>
+    t(s, dir, "nation").join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+  private val q34Sql =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      | count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q30_grouping_sets" -> q30, "q31_rank_funcs" -> q31, "q32_unnest" -> q32,
+    "q33_set_ops_all" -> q33, "q34_listagg" -> q34)
+  val oracles: Map[String, String] = Map(
+    "q30_grouping_sets" -> q30Sql, "q31_rank_funcs" -> q31Sql, "q32_unnest" -> q32Sql,
+    "q33_set_ops_all" -> q33Sql, "q34_listagg" -> q34Sql)
+}

@@ -158,14 +158,45 @@ object WindowQueries {
       |   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
       |) WHERE event_type='purchase' AND clicks_1h >= 1""".stripMargin
 
+  // --- w10: CEP measures — MATCH_RECOGNIZE-style aggregates over the match ---
+  // Pattern click{1,} -> purchase within 1h (strict precedence), with measures
+  // computed over the matched click set: count, summed value, first click time
+  // (reference flink-table-planner-blink MATCH_RECOGNIZE MEASURES clause).
+  private val w10: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, -1)
+    ev(s, dir)
+      .withColumn("n_clicks",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .withColumn("click_value",
+        sum(when(col("event_type") === "click", col("value"))).over(w))
+      .withColumn("first_click_ts",
+        min(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase" && col("n_clicks") >= 1)
+      .select(col("event_id"), col("user_id"), col("n_clicks"),
+        round(col("click_value"), 4).as("click_value"), col("first_click_ts"))
+  }
+  private val w10Sql =
+    """SELECT event_id, user_id, n_clicks, round(click_value, 4) AS click_value,
+      | first_click_ts FROM (
+      | SELECT event_id, user_id, event_type,
+      |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS n_clicks,
+      |  sum(CASE WHEN event_type='click' THEN value END) OVER w AS click_value,
+      |  min(CASE WHEN event_type='click' THEN CAST(ts AS TIMESTAMP) END) OVER w AS first_click_ts
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+      |) WHERE event_type='purchase' AND n_clicks >= 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
     "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06,
-    "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09)
+    "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
+    "w10_cep_measures" -> w10)
 
   val oracles: Map[String, String] = Map(
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
     "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql,
     "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql,
-    "w09_cep_quantified" -> w09Sql)
+    "w09_cep_quantified" -> w09Sql, "w10_cep_measures" -> w10Sql)
 }
