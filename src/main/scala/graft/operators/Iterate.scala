@@ -57,28 +57,47 @@ object Iterate {
     * Gelly/delta-iteration analog (reference flink-libraries/flink-gelly,
     * flink-java DeltaIteration): min-label propagation to a fixpoint, with
     * the per-step convergence check playing the role of the delta set going
-    * empty. Returns (id, component) where component = min vertex id reachable. */
+    * empty. Returns (id, component) where component = min vertex id reachable.
+    *
+    * Two things make the loop scale:
+    *  - every iteration ends in an EAGER `localCheckpoint`, which truncates
+    *    the logical plan. `persist` alone caches data but Catalyst still
+    *    re-analyzes the whole accumulated tree, and `labels` is referenced
+    *    twice per step, so the un-truncated plan doubles each iteration
+    *    (driver OOM by ~iteration 20 regardless of data size). On a real
+    *    cluster swap `localCheckpoint` for `checkpoint` with an HDFS dir if
+    *    executor loss must be survivable mid-loop.
+    *  - a path-halving hop (label := label of my label) after each
+    *    propagation step gives pointer-jumping convergence in O(log diameter)
+    *    rounds instead of O(diameter) — chains collapse exponentially fast. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+                          maxIters: Int = 25): DataFrame = {
+    // materialize the caller's edge pipeline ONCE — it appears in both union
+    // branches, and an un-materialized (possibly expensive) plan would be
+    // evaluated twice when sym is first computed
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       // candidate label per vertex = min over self and neighbors' labels
-      val next = sym.join(labels, col("dst") === col("id"))
-        .groupBy(col("src").as("id2")).agg(min(col("comp")).as("nbr_min"))
-        .join(labels, col("id2") === col("id"))
-        .select(col("id"), least(col("comp"), col("nbr_min")).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prop = sym.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+      // path halving: follow the label pointer one hop (comp := comp's comp)
+      val next = prop.join(
+          prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") < col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
