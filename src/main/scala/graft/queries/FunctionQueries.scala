@@ -106,10 +106,29 @@ object FunctionQueries {
       | substr(md5(c_name || '|' || c_mktsegment), 1, 8) AS row_sig
       |FROM customer""".stripMargin
 
+  // --- f06: temporal functions — quarter/dow/last_day/trunc/diff/add_months ---
+  private val f06: Q = (s, dir) =>
+    t(s, dir, "orders").select(col("o_orderkey"),
+      quarter(col("o_orderdate")).as("qtr"),
+      dayofweek(col("o_orderdate")).as("dow"), // 1=Sunday..7
+      last_day(col("o_orderdate")).as("eom"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+      add_months(col("o_orderdate"), 3).as("plus3m"))
+  private val f06Sql =
+    """SELECT o_orderkey,
+      | CAST(quarter(o_orderdate) AS INT) AS qtr,
+      | CAST(date_part('dow', o_orderdate) AS INT) + 1 AS dow,
+      | last_day(CAST(o_orderdate AS DATE)) AS eom,
+      | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+      | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+      |FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03,
-    "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05)
+    "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05, "f06_temporal_funcs" -> f06)
   val oracles: Map[String, String] = Map(
     "f01_math_funcs" -> f01Sql, "f02_string_funcs2" -> f02Sql, "f03_json_extract" -> f03Sql,
-    "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql)
+    "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql, "f06_temporal_funcs" -> f06Sql)
 }

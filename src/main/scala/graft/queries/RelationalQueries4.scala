@@ -105,9 +105,18 @@ object RelationalQueries4 {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
 
+  // --- q35: approximate count-distinct (HLL++) ---
+  // No DuckDB oracle: the sketch is engine-specific, so cross-engine values
+  // differ by construction. `ApproxSpec` bounds the relative error against
+  // the exact count instead; the driver records a rows-only check.
+  private val q35: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+
   val queries: Map[String, Q] = Map(
     "q30_grouping_sets" -> q30, "q31_rank_funcs" -> q31, "q32_unnest" -> q32,
-    "q33_set_ops_all" -> q33, "q34_listagg" -> q34)
+    "q33_set_ops_all" -> q33, "q34_listagg" -> q34, "q35_approx_distinct" -> q35)
   val oracles: Map[String, String] = Map(
     "q30_grouping_sets" -> q30Sql, "q31_rank_funcs" -> q31Sql, "q32_unnest" -> q32Sql,
     "q33_set_ops_all" -> q33Sql, "q34_listagg" -> q34Sql)

@@ -27,6 +27,9 @@ case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Time
 case class PairOut(user_id: Long, first_ts: Timestamp, second_ts: Timestamp)
 case class SessionAcc(startMs: Long, lastMs: Long, n: Long, sum: Double)
 case class CepAcc(pendingFirstMs: List[Long])
+case class Scored(tsMs: Long, value: Double)
+case class TopNAcc(top: List[Scored])
+case class TopNOut(user_id: Long, rank: Int, value: Double, ts: Timestamp)
 
 object StreamOps {
   type Event = graft.streaming.Event
@@ -134,6 +137,37 @@ object StreamOps {
     val r = right.withWatermark("ts", rightWm).as("r")
     l.join(r, expr(
       s"l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $upper"))
+  }
+
+  /** Streaming Top-N per key — the Blink streaming Rank operator
+    * (reference flink-table-planner-blink/.../physical/stream/
+    * StreamExecRank.scala, UpdatableTopNFunction): keyed state holds only the
+    * current top `n` rows; whenever an arriving event changes the top set, the
+    * refreshed ranking for that key is re-emitted (update semantics, so the
+    * sink sees upsert-style rows exactly like Flink's retract stream).
+    * State is O(n) per key regardless of stream length. */
+  def streamingTopN(events: Dataset[Event], watermark: String, n: Int): Dataset[TopNOut] = {
+    implicit val outEnc = Encoders.product[TopNOut]
+    implicit val accEnc = Encoders.product[TopNAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TopNAcc, TopNOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TopNAcc]) =>
+          val prev = state.getOption.map(_.top).getOrElse(Nil)
+          // deterministic order: value desc, then event time asc as tie-break
+          val ord = Ordering.by((s: Scored) => (-s.value, s.tsMs))
+          val top = (prev ++ rows.map(e => Scored(e.ts.getTime, e.value)))
+            .sorted(ord).take(n)
+          if (top == prev) Iterator.empty
+          else {
+            state.update(TopNAcc(top))
+            top.iterator.zipWithIndex.map { case (s, i) =>
+              TopNOut(userId, i + 1, s.value, new Timestamp(s.tsMs))
+            }
+          }
+      }
   }
 
   /** Stream-static enrichment (broadcast dimension join). */

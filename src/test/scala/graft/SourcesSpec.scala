@@ -28,6 +28,17 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     assert(spark.read.text(s"$d/text").count() == 2)
   }
 
+  test("orc round-trip with predicate pushdown") {
+    val d = tmp()
+    Tables.load(spark, sfDir, "orders").write.orc(s"$d/orders_orc")
+    val back = spark.read.orc(s"$d/orders_orc").filter($"o_orderkey" === 1L)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"),
+      s"expected ORC filter pushdown:\n$plan")
+    assert(spark.read.orc(s"$d/orders_orc").count() ==
+      Tables.load(spark, sfDir, "orders").count())
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val d = tmp()
     Tables.load(spark, sfDir, "orders")

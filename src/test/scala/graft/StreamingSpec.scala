@@ -168,4 +168,20 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val out = run("s_enrich", StreamOps.streamStaticEnrich(in.toDF(), dim, "user_id"))
     assert(out.select("tier").as[String].collect().toSeq == Seq("gold"))
   }
+
+  test("streamingTopN re-emits the refreshed per-key ranking on change") {
+    val in = MemoryStream[Event]
+    val q = StreamOps.streamingTopN(in.toDS(), "10 seconds", 2).toDF()
+      .writeStream.format("memory").queryName("s_topn").outputMode("update").start()
+    in.addData(Event(1, at(10), "click", 5.0), Event(1, at(20), "click", 9.0),
+      Event(1, at(30), "click", 7.0))
+    q.processAllAvailable()
+    in.addData(Event(1, at(40), "click", 8.0)) // displaces 7.0 from the top-2
+    in.addData(Event(1, at(50), "click", 1.0)) // below top-2: must NOT re-emit
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s_topn")
+      .select("rank", "value").as[(Int, Double)].collect().toSeq
+    // batch 1 emits (1,9.0),(2,7.0); batch 2 emits (1,9.0),(2,8.0); batch 3 nothing
+    assert(rows.sorted == Seq((1, 9.0), (1, 9.0), (2, 7.0), (2, 8.0)))
+  }
 }
