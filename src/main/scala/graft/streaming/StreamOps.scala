@@ -30,6 +30,9 @@ case class CepAcc(pendingFirstMs: List[Long])
 case class Scored(tsMs: Long, value: Double)
 case class TopNAcc(top: List[Scored])
 case class TopNOut(user_id: Long, rank: Int, value: Double, ts: Timestamp)
+case class Tagged(user_id: Long, tsMs: Long, side: String)
+case class CoAcc(leftMs: List[Long], rightMs: List[Long])
+case class MatchOut(user_id: Long, left_ts: Timestamp, right_ts: Timestamp)
 
 object StreamOps {
   type Event = graft.streaming.Event
@@ -167,6 +170,56 @@ object StreamOps {
               TopNOut(userId, i + 1, s.value, new Timestamp(s.tsMs))
             }
           }
+      }
+  }
+
+  /** Side outputs (reference flink-streaming-java/.../functions/
+    * ProcessFunction.java OutputTag): one pass over each micro-batch, routed
+    * to per-predicate sinks inside foreachBatch. The batch is persisted so
+    * the source is read ONCE regardless of how many outputs exist — the same
+    * single-pass guarantee as Flink's side-output collector. */
+  def sideOutputs(stream: DataFrame,
+                  routes: Seq[(org.apache.spark.sql.Column, DataFrame => Unit)]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.persist()
+      try routes.foreach { case (pred, sink) => sink(batch.filter(pred)) }
+      finally batch.unpersist()
+    }
+
+  /** Connected streams + CoProcessFunction (reference
+    * flink-streaming-java/.../datastream/ConnectedStreams.java,
+    * CoProcessFunction): two streams keyed the same share one keyed state.
+    * Earliest-pending matching: a left event pairs with the earliest
+    * unmatched right event for the key (and vice versa), emitted on arrival
+    * of the second side. State holds only unmatched timestamps. */
+  def coProcessMatch(left: Dataset[Event], right: Dataset[Event],
+                     watermark: String): Dataset[MatchOut] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    implicit val accEnc = Encoders.product[CoAcc]
+    val tagged = left.withWatermark("ts", watermark)
+      .map(e => Tagged(e.user_id, e.ts.getTime, "L"))
+      .unionByName(right.withWatermark("ts", watermark)
+        .map(e => Tagged(e.user_id, e.ts.getTime, "R")))
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CoAcc, MatchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Tagged], state: GroupState[CoAcc]) =>
+          var acc = state.getOption.getOrElse(CoAcc(Nil, Nil))
+          val out = Seq.newBuilder[MatchOut]
+          rows.toSeq.sortBy(t => (t.tsMs, t.side)).foreach { t =>
+            if (t.side == "L") acc.rightMs.sorted.headOption match {
+              case Some(r) => out += MatchOut(userId, new Timestamp(t.tsMs), new Timestamp(r))
+                acc = CoAcc(acc.leftMs, acc.rightMs.diff(List(r)))
+              case None => acc = CoAcc((t.tsMs :: acc.leftMs).take(1024), acc.rightMs)
+            } else acc.leftMs.sorted.headOption match {
+              case Some(l) => out += MatchOut(userId, new Timestamp(l), new Timestamp(t.tsMs))
+                acc = CoAcc(acc.leftMs.diff(List(l)), acc.rightMs)
+              case None => acc = CoAcc(acc.leftMs, (t.tsMs :: acc.rightMs).take(1024))
+            }
+          }
+          state.update(acc)
+          out.result().iterator
       }
   }
 

@@ -54,6 +54,34 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"self-join must be keyed:\n$p")
   }
 
+  test("q30 grouping sets plan uses a single Expand, no extra shuffles") {
+    val p = planOf("q30_grouping_sets")
+    // AQE plan toString prints final + initial plan, so one Expand ⇒ ≤2 hits
+    assert("Expand".r.findAllIn(p).length <= 2,
+      s"grouping sets must expand once, not once per set:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2, s"expanded agg must still combine map-side:\n$p")
+  }
+
+  test("q32 unnest scan reads only the text column") {
+    val p = planOf("q32_unnest")
+    assert(p.contains("ReadSchema") && p.contains("text"),
+      s"expected text in read schema:\n$p")
+    assert(!p.contains("doc_id"), s"explode must not widen the scan:\n$p")
+  }
+
+  test("d07 dup-cluster edge generation stays equi-join (no cross product)") {
+    val p = planOf("d07_dup_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"CC edge build must stay keyed:\n$p")
+  }
+
+  test("q31 rank suite computes all three window functions in ONE Window node") {
+    val p = planOf("q31_rank_funcs")
+    assert("Window".r.findAllIn(p).length <= 2, // Window + WindowGroupLimit-free plan
+      s"same-frame rank functions must share a single Window operator:\n$p")
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

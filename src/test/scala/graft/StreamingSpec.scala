@@ -184,4 +184,36 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     // batch 1 emits (1,9.0),(2,7.0); batch 2 emits (1,9.0),(2,8.0); batch 3 nothing
     assert(rows.sorted == Seq((1, 9.0), (1, 9.0), (2, 7.0), (2, 8.0)))
   }
+
+  test("sideOutputs routes a single batch pass to every matching sink") {
+    val in = MemoryStream[Event]
+    in.addData(Event(1, at(0), "click", 1.0), Event(2, at(1), "view", 2.0),
+      Event(3, at(2), "click", 3.0))
+    val clicks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val others = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.sideOutputs(in.toDF(), Seq(
+      ($"event_type" === "click",
+        (df: org.apache.spark.sql.DataFrame) => clicks ++= df.select("user_id").as[Long].collect()),
+      ($"event_type" =!= "click",
+        (df: org.apache.spark.sql.DataFrame) => others ++= df.select("user_id").as[Long].collect())
+    )).start()
+    q.processAllAvailable(); q.stop()
+    assert(clicks.sorted.toSeq == Seq(1L, 3L) && others.toSeq == Seq(2L))
+  }
+
+  test("coProcessMatch shares keyed state across two connected streams") {
+    val l = MemoryStream[Event]
+    val r = MemoryStream[Event]
+    val q = StreamOps.coProcessMatch(l.toDS(), r.toDS(), "10 seconds").toDF()
+      .writeStream.format("memory").queryName("s_coproc").outputMode("append").start()
+    l.addData(Event(1, at(10), "order", 1.0)) // no right side yet: stays in state
+    q.processAllAvailable()
+    r.addData(Event(1, at(30), "pay", 0.0),   // matches the pending left
+      Event(2, at(5), "pay", 0.0))            // no left for user 2: stays pending
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s_coproc")
+      .select("user_id", "left_ts", "right_ts").as[(Long, Timestamp, Timestamp)]
+      .collect().toSeq
+    assert(rows == Seq((1L, at(10), at(30))))
+  }
 }
