@@ -188,15 +188,40 @@ object WindowQueries {
       |   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
       |) WHERE event_type='purchase' AND n_clicks >= 1""".stripMargin
 
+  // --- w11: 3-step CEP through the graft.cep.Pattern combinator API ---
+  // signup -> click -> purchase within 24h of the signup; every signup event
+  // starts a candidate match, each step binds the earliest following event
+  // (flink-cep Pattern.begin/followedBy/within, relaxed contiguity).
+  private val w11: Q = (s, dir) =>
+    graft.cep.Pattern.begin("signup", col("event_type") === "signup")
+      .followedBy("click", col("event_type") === "click")
+      .followedBy("purchase", col("event_type") === "purchase")
+      .within(24L * 3600 * 1000)
+      .detect(ev(s, dir), col("user_id"), col("ts"))
+  private val w11Sql =
+    """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS signup_ts, min(c.ts) AS click_ts
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, signup_ts, click_ts, min(p.ts) AS purchase_ts
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > click_ts
+      |                     AND p.ts <= signup_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3)
+      |SELECT user_id AS key, signup_ts, click_ts, purchase_ts FROM m2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
     "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06,
     "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
-    "w10_cep_measures" -> w10)
+    "w10_cep_measures" -> w10, "w11_cep_pattern_api" -> w11)
 
   val oracles: Map[String, String] = Map(
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
     "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql,
     "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql,
-    "w09_cep_quantified" -> w09Sql, "w10_cep_measures" -> w10Sql)
+    "w09_cep_quantified" -> w09Sql, "w10_cep_measures" -> w10Sql,
+    "w11_cep_pattern_api" -> w11Sql)
 }

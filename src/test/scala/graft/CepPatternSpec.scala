@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cep.Pattern
+
+/** graft.cep.Pattern — flink-cep combinator surface (begin/followedBy/
+  * notFollowedBy/times/within) compiled to keyed joins. Hand-built event logs
+  * with known matches.
+  */
+class CepPatternSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private val T0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private def at(min: Long) = new Timestamp(T0.getTime + min * 60000)
+  private val HOUR = 3600L * 1000
+
+  // user 1: full signup->click->purchase chain
+  // user 2: signup + click but no purchase
+  // user 3: purchase arrives outside the window
+  private lazy val events = Seq(
+    (1L, at(0), "signup"), (1L, at(10), "click"), (1L, at(20), "click"), (1L, at(30), "purchase"),
+    (2L, at(0), "signup"), (2L, at(5), "click"),
+    (3L, at(0), "signup"), (3L, at(10), "click"), (3L, at(90), "purchase")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("begin->followedBy->followedBy binds earliest events within the window") {
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click")
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(events, $"user_id", $"ts")
+      .collect()
+    assert(m.length == 1)
+    val r = m.head
+    assert(r.getAs[Long]("key") == 1L && r.getAs[Timestamp]("click_ts") == at(10) &&
+      r.getAs[Timestamp]("purchase_ts") == at(30))
+  }
+
+  test("times(n) binds n successive occurrences") {
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").times(2)
+      .within(HOUR)
+      .detect(events, $"user_id", $"ts")
+      .collect()
+    assert(m.map(_.getAs[Long]("key")).toSet == Set(1L)) // only user 1 has 2 clicks
+    assert(m.head.getAs[Timestamp]("click_1_ts") == at(10) &&
+      m.head.getAs[Timestamp]("click_2_ts") == at(20))
+  }
+
+  test("terminal notFollowedBy excludes matched continuations") {
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click")
+      .notFollowedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(events, $"user_id", $"ts")
+      .collect()
+    // user 1 purchased in-window (excluded); user 2 never did; user 3's
+    // purchase is outside the 1h window so the negative pattern matches
+    assert(m.map(_.getAs[Long]("key")).toSet == Set(2L, 3L))
+  }
+
+  test("pattern joins stay keyed equi-joins (no cross product)") {
+    val df = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(events, $"user_id", $"ts")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
