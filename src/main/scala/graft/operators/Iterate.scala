@@ -42,9 +42,11 @@ object Iterate {
       if (prevAssign != null) prevAssign.unpersist()
       prevAssign = best
       // new centroid = element-wise mean of members (posexplode + re-collect)
+      // centroid means rounded at 6 dp: distributed partial-sum order varies
+      // run-to-run (and engine-to-engine), rounding pins the fixpoint
       centroids = best
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim").agg(avg("x").as("mx"))
+        .groupBy("cid", "dim").agg(round(avg("x"), 6).as("mx"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("dim"), col("mx")))).as("pairs"))
         .select(col("cid"), expr("transform(pairs, p -> p.mx)").as("cv"))
     }

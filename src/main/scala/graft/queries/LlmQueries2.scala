@@ -69,8 +69,39 @@ object LlmQueries2 {
       |   t -> t NOT IN ('a', 'the')), ' ')) AS clean_hash
       |FROM documents""".stripMargin
 
+  // ---------- i01: k-means bulk iteration, oracle-verified ----------
+  // Iterate.kmeans (the reference's IterativeDataSet analog) with k=4 and 2
+  // Lloyd steps; the oracle unrolls both supersteps in SQL. Determinism:
+  // centroids init from the 4 lowest vec_ids, assignment ties break on cid,
+  // centroid means rounded at 6 dp on both engines.
+  private val i01: Q = (s, dir) =>
+    Iterate.kmeans(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+      .select(col("id").as("vec_id"), col("cluster"))
+  private val i01Sql = {
+    val d2 = // same association order as Iterate.kmeans sqDist: (aa - 2ab) + bb
+      "list_sum([x*x for x in e.v]) - 2.0*list_sum([e.v[j]*c.cv[j] " +
+        "for j in generate_series(1, len(e.v))]) + list_sum([x*x for x in c.cv])"
+    def assign(cTbl: String, name: String): String =
+      s"""$name AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY $d2, c.cid) AS rn
+         |  FROM e CROSS JOIN $cTbl c) WHERE rn = 1)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+       |       FROM e ORDER BY vec_id LIMIT 4),
+       |${assign("c0", "a1")},
+       |c1 AS (SELECT cid, list(mx ORDER BY j) AS cv FROM (
+       |        SELECT a.cid, j, round(avg(e.v[j]), 6) AS mx
+       |        FROM a1 a JOIN e USING (vec_id)
+       |        CROSS JOIN (SELECT unnest(generate_series(1,
+       |          (SELECT len(v) FROM e LIMIT 1))) AS j) js
+       |        GROUP BY a.cid, j) GROUP BY cid),
+       |${assign("c1", "a2")}
+       |SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "d07_dup_clusters" -> d07, "t05_stopword_scrub" -> t05)
+    "d07_dup_clusters" -> d07, "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01)
   val oracles: Map[String, String] = Map(
-    "d07_dup_clusters" -> d07Sql, "t05_stopword_scrub" -> t05Sql)
+    "d07_dup_clusters" -> d07Sql, "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql)
 }

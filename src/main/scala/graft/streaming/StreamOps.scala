@@ -33,6 +33,9 @@ case class TopNOut(user_id: Long, rank: Int, value: Double, ts: Timestamp)
 case class Tagged(user_id: Long, tsMs: Long, side: String)
 case class CoAcc(leftMs: List[Long], rightMs: List[Long])
 case class MatchOut(user_id: Long, left_ts: Timestamp, right_ts: Timestamp)
+case class Partial(boundMs: List[Long]) // bound step times, newest first
+case class CepPatternAcc(partials: List[Partial])
+case class PatternMatch(user_id: Long, step_ts: Seq[Timestamp])
 
 object StreamOps {
   type Event = graft.streaming.Event
@@ -219,6 +222,52 @@ object StreamOps {
             }
           }
           state.update(acc)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming linear CEP — the unbounded counterpart of
+    * `graft.cep.Pattern.detect` (reference flink-libraries/flink-cep NFA on
+    * DataStream): every event matching step 0 opens a partial match; each
+    * later step binds the first following event matching its predicate
+    * within `withinMs` of the start. Completed matches emit immediately.
+    * Negative (notFollowedBy) endings need window-expiry emission and are
+    * batch-only. State per key is bounded: at most `maxPartials` open
+    * partial matches survive a micro-batch. */
+  def cepPattern(events: Dataset[Event], watermark: String,
+                 steps: Seq[Event => Boolean], withinMs: Long,
+                 maxPartials: Int = 256): Dataset[PatternMatch] = {
+    require(steps.size >= 2, "a pattern needs at least two steps")
+    implicit val outEnc = Encoders.product[PatternMatch]
+    implicit val accEnc = Encoders.product[CepPatternAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepPatternAcc, PatternMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[CepPatternAcc]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = Seq.newBuilder[PatternMatch]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            // advance every open partial expecting its next step (earliest binds:
+            // events arrive time-sorted, so the first candidate wins)
+            partials = partials.flatMap { p =>
+              val i = p.boundMs.length
+              val start = p.boundMs.last
+              if (t <= start + withinMs && t > p.boundMs.head && steps(i)(e)) {
+                val bound = t :: p.boundMs
+                if (bound.length == steps.size) {
+                  out += PatternMatch(userId,
+                    bound.reverse.map(new Timestamp(_)))
+                  None // completed
+                } else Some(Partial(bound))
+              } else if (start + withinMs < t) None // expired
+              else Some(p)
+            }
+            if (steps.head(e)) partials = (Partial(List(t)) :: partials).take(maxPartials)
+          }
+          state.update(CepPatternAcc(partials))
           out.result().iterator
       }
   }

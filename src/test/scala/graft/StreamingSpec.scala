@@ -216,4 +216,20 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .collect().toSeq
     assert(rows == Seq((1L, at(10), at(30))))
   }
+
+  test("cepPattern matches a 3-step linear pattern across micro-batches") {
+    val in = MemoryStream[Event]
+    val steps: Seq[Event => Boolean] = Seq(
+      _.event_type == "signup", _.event_type == "click", _.event_type == "purchase")
+    val q = StreamOps.cepPattern(in.toDS(), "10 seconds", steps, 3600 * 1000L).toDF()
+      .writeStream.format("memory").queryName("s_ceppat").outputMode("append").start()
+    in.addData(Event(1, at(10), "signup", 0.0), Event(2, at(10), "signup", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(1, at(20), "click", 0.0), Event(1, at(30), "purchase", 0.0),
+      Event(2, at(20), "click", 0.0)) // user 2 never purchases
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s_ceppat")
+      .select("user_id", "step_ts").as[(Long, Seq[Timestamp])].collect().toSeq
+    assert(rows == Seq((1L, Seq(at(10), at(20), at(30)))))
+  }
 }
