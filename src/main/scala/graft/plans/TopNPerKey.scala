@@ -43,16 +43,28 @@ object TopNPerKeyStrategy extends SparkStrategy {
   }
 }
 
-/** Map-side phase: at most N rows per key per input partition, no exchange. */
+/** Map-side phase: at most N rows per key per input partition, no exchange.
+  * SQLMetrics (the Flink operator-metrics analog) expose how much the
+  * map-side prune saves: shuffled rows = keptRows, not inputRows. */
 case class PartialTopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
                                  child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+  override lazy val metrics = Map(
+    "inputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "input rows"),
+    "keptRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows kept after map-side top-N prune"))
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
   override protected def doExecute(): RDD[InternalRow] = {
     val (nL, keysL, orderL, outL) = (n, keys, order, child.output)
+    val (inM, keptM) = (longMetric("inputRows"), longMetric("keptRows"))
     child.execute()
-      .mapPartitions(it => TopNPerKeyExec.prune(nL, keysL, orderL, outL)(it).map(_._2))
+      .mapPartitions { it =>
+        val counted = it.map { r => inM += 1; r }
+        TopNPerKeyExec.prune(nL, keysL, orderL, outL)(counted)
+          .map { kv => keptM += 1; kv._2 }
+      }
   }
 }
 

@@ -232,4 +232,23 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .select("user_id", "step_ts").as[(Long, Seq[Timestamp])].collect().toSeq
     assert(rows == Seq((1L, Seq(at(10), at(20), at(30)))))
   }
+
+  test("late data beyond the watermark is dropped and observable in metrics") {
+    // Flink's allowed-lateness/late-side-output story maps to Spark as:
+    // rows older than the watermark are dropped, and the drop count is
+    // exposed per-batch via StreamingQueryProgress (numRowsDroppedByWatermark)
+    val in = MemoryStream[Event]
+    val agg = StreamOps.tumblingAgg(in.toDF(), "10 seconds", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("s_late")
+      .outputMode("append").start()
+    in.addData(Event(1, at(10), "click", 1.0), FLUSH) // watermark -> far future
+    q.processAllAvailable()
+    in.addData(Event(1, at(20), "click", 2.0)) // hours behind the watermark
+    q.processAllAvailable()
+    val dropped = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      .recentProgress.map(p => Option(p.stateOperators).toSeq.flatten
+        .map(_.numRowsDroppedByWatermark).sum).sum
+    q.stop()
+    assert(dropped >= 1, "late row must be counted as dropped by the watermark")
+  }
 }

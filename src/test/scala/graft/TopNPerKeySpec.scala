@@ -46,4 +46,23 @@ class TopNPerKeySpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(native == expected)
   }
+
+  test("SQLMetrics report the map-side prune ratio") {
+    // AQE wraps finished stages in QueryStageExec leaves that tree-collect
+    // cannot descend into; disable it here so the raw plan is inspectable
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val orders = Tables.load(s, sfDir, "orders")
+      val df = TopNPerKey(orders, 2, Seq(col("o_custkey")), Seq(col("o_totalprice").desc))
+      df.collect()
+      val partial = df.queryExecution.executedPlan.collectFirst {
+        case p: graft.plans.PartialTopNPerKeyExec => p
+      }
+      assert(partial.nonEmpty, "PartialTopNPerKeyExec not found in executed plan")
+      val in = partial.get.metrics("inputRows").value
+      val kept = partial.get.metrics("keptRows").value
+      assert(in > 0 && kept > 0 && kept < in,
+        s"metrics must show pruning: input=$in kept=$kept")
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
