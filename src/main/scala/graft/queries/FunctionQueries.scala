@@ -125,10 +125,27 @@ object FunctionQueries {
       | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
       |FROM orders""".stripMargin
 
+  // --- f07: bitwise functions — AND/OR/XOR/shift (FlinkSqlOperatorTable BITAND/BITOR/BITXOR) ---
+  private val f07: Q = (s, dir) =>
+    t(s, dir, "part").select(col("p_partkey"),
+      (col("p_size").bitwiseAND(lit(12))).as("b_and"),
+      (col("p_size").bitwiseOR(lit(5))).as("b_or"),
+      (col("p_size").bitwiseXOR(col("p_partkey") % 32)).as("b_xor"),
+      shiftleft(col("p_size"), 2).as("b_shl"))
+  private val f07Sql =
+    """SELECT p_partkey,
+      | p_size & 12 AS b_and,
+      | p_size | 5 AS b_or,
+      | xor(p_size, p_partkey % 32) AS b_xor,
+      | CAST(p_size << 2 AS INT) AS b_shl
+      |FROM part""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03,
-    "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05, "f06_temporal_funcs" -> f06)
+    "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05, "f06_temporal_funcs" -> f06,
+    "f07_bitwise_funcs" -> f07)
   val oracles: Map[String, String] = Map(
     "f01_math_funcs" -> f01Sql, "f02_string_funcs2" -> f02Sql, "f03_json_extract" -> f03Sql,
-    "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql, "f06_temporal_funcs" -> f06Sql)
+    "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql, "f06_temporal_funcs" -> f06Sql,
+    "f07_bitwise_funcs" -> f07Sql)
 }

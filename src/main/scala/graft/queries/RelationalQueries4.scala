@@ -114,10 +114,39 @@ object RelationalQueries4 {
       .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
         countDistinct(col("l_partkey")).as("n_parts"))
 
+  // --- q36: DISTINCT aggregate over a running window (Blink distinct OVER) ---
+  // Neither engine supports count(DISTINCT) OVER directly; both express it as
+  // distinct-of-collected-list, which is exactly how Blink's distinct OVER
+  // aggregate buffers per-key distinct maps.
+  private val q36: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events").select(col("event_id"), col("user_id"),
+      size(array_distinct(collect_list(col("event_type")).over(w))).as("n_types_seen"))
+  }
+  private val q36Sql =
+    """SELECT event_id, user_id,
+      | CAST(len(list_distinct(list(event_type) OVER w)) AS INT) AS n_types_seen
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // --- g01: generated-sequence source (ExecutionEnvironment.generateSequence) ---
+  private val g01: Q = (s, _) =>
+    s.range(0, 1000000)
+      .select((col("id") % 97).as("bucket"), col("id"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("id").as("sum_id"), max("id").as("max_id"))
+  private val g01Sql =
+    """SELECT range % 97 AS bucket, count(*) AS n,
+      | CAST(sum(range) AS BIGINT) AS sum_id, max(range) AS max_id
+      |FROM range(1000000) GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_grouping_sets" -> q30, "q31_rank_funcs" -> q31, "q32_unnest" -> q32,
-    "q33_set_ops_all" -> q33, "q34_listagg" -> q34, "q35_approx_distinct" -> q35)
+    "q33_set_ops_all" -> q33, "q34_listagg" -> q34, "q35_approx_distinct" -> q35,
+    "q36_windowed_distinct" -> q36, "g01_generate_sequence" -> g01)
   val oracles: Map[String, String] = Map(
     "q30_grouping_sets" -> q30Sql, "q31_rank_funcs" -> q31Sql, "q32_unnest" -> q32Sql,
-    "q33_set_ops_all" -> q33Sql, "q34_listagg" -> q34Sql)
+    "q33_set_ops_all" -> q33Sql, "q34_listagg" -> q34Sql,
+    "q36_windowed_distinct" -> q36Sql, "g01_generate_sequence" -> g01Sql)
 }
