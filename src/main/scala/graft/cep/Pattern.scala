@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * (broadcast small sides, skew-split hot keys). An NFA translation would
   * serialize per key; this stays embarrassingly parallel in the key space.
   */
-final case class Step(name: String, pred: Column, reps: Int = 1)
+final case class Step(name: String, pred: Column, reps: Int = 1, opt: Boolean = false)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long]) {
@@ -40,6 +40,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     new Pattern(steps.init :+ steps.last.copy(reps = n), notStep, windowMs)
   }
 
+  /** Make the LAST added step optional (flink-cep `optional()`): a match may
+    * skip it; its `<name>_ts` column is null when skipped. Not valid on the
+    * first step. */
+  def optional(): Pattern = {
+    require(steps.size >= 2, "optional() applies to a followedBy step")
+    require(steps.last.reps == 1, "optional() and times(n) are exclusive")
+    new Pattern(steps.init :+ steps.last.copy(opt = true), notStep, windowMs)
+  }
+
   def notFollowedBy(name: String, pred: Column): Pattern =
     new Pattern(steps, Some(Step(name, pred)), windowMs)
 
@@ -51,29 +60,32 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def detect(events: DataFrame, key: Column, ts: Column): DataFrame = {
     require(windowMs.nonEmpty, "call within(...) before detect")
     val win = expr(s"INTERVAL ${windowMs.get / 1000} SECONDS")
-    val expanded: Vector[(String, Column)] = steps.flatMap { s =>
-      if (s.reps == 1) Vector(s.name -> s.pred)
-      else (1 to s.reps).map(i => s"${s.name}_$i" -> s.pred).toVector
+    val expanded: Vector[(String, Column, Boolean)] = steps.flatMap { s =>
+      if (s.reps == 1) Vector((s.name, s.pred, s.opt))
+      else (1 to s.reps).map(i => (s"${s.name}_$i", s.pred, false)).toVector
     }
     val first = expanded.head
     var out = events.filter(first._2)
       .select(key.as("__k"), ts.as(s"${first._1}_ts"))
-    var prevTsCol = s"${first._1}_ts"
-    val startTs = prevTsCol
-    expanded.tail.foreach { case (name, pred) =>
+    val startTs = s"${first._1}_ts"
+    // the "time of the previous binding": for optional steps this falls back
+    // to the binding before them when the step was skipped
+    var prevTs: Column = col(startTs)
+    expanded.tail.foreach { case (name, pred, opt) =>
       val cand = events.filter(pred).select(key.as("__k2"), ts.as("__cts"))
       val kept = out.columns.map(col)
       out = out.join(cand,
-          col("__k") === col("__k2") && col("__cts") > col(prevTsCol) &&
-            col("__cts") <= col(startTs) + win)
+          col("__k") === col("__k2") && col("__cts") > prevTs &&
+            col("__cts") <= col(startTs) + win,
+          if (opt) "left_outer" else "inner")
         .groupBy(kept.toIndexedSeq: _*)
         .agg(min(col("__cts")).as(s"${name}_ts"))
-      prevTsCol = s"${name}_ts"
+      prevTs = if (opt) coalesce(col(s"${name}_ts"), prevTs) else col(s"${name}_ts")
     }
     notStep.foreach { s =>
       val cand = events.filter(s.pred).select(key.as("__k2"), ts.as("__cts"))
       out = out.join(cand,
-        col("__k") === col("__k2") && col("__cts") > col(prevTsCol) &&
+        col("__k") === col("__k2") && col("__cts") > prevTs &&
           col("__cts") <= col(startTs) + win, "left_anti")
     }
     out.withColumnRenamed("__k", "key")

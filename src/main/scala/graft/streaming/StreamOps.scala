@@ -136,13 +136,18 @@ object StreamOps {
       }
   }
 
-  /** Flink intervalJoin on streams: right rows within (left.ts, left.ts+upper]. */
+  /** Flink intervalJoin on streams: right rows within (left.ts, left.ts+upper].
+    * joinType "left_outer"/"full_outer" gives Flink's outer interval-join
+    * semantics: the unmatched side is emitted null-extended once the
+    * watermark proves no in-window partner can still arrive. */
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
-                               leftWm: String, rightWm: String, upper: String): DataFrame = {
+                               leftWm: String, rightWm: String, upper: String,
+                               joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", leftWm).as("l")
     val r = right.withWatermark("ts", rightWm).as("r")
     l.join(r, expr(
-      s"l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $upper"))
+      s"l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL $upper"),
+      joinType)
   }
 
   /** Streaming Top-N per key — the Blink streaming Rank operator

@@ -61,6 +61,21 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(m.map(_.getAs[Long]("key")).toSet == Set(2L, 3L))
   }
 
+  test("optional() binds when present and null-skips when absent") {
+    // user 4: signup then purchase with NO click in between
+    val ev4 = events.union(Seq((4L, at(0), "signup"), (4L, at(15), "purchase"))
+      .toDF("user_id", "ts", "event_type"))
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").optional()
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(ev4, $"user_id", $"ts")
+      .collect().map(r => (r.getAs[Long]("key"),
+        Option(r.getAs[Timestamp]("click_ts")), r.getAs[Timestamp]("purchase_ts"))).toSet
+    // user 1 matches with the click bound; user 4 matches with click skipped
+    assert(m == Set((1L, Some(at(10)), at(30)), (4L, None, at(15))))
+  }
+
   test("pattern joins stay keyed equi-joins (no cross product)") {
     val df = Pattern.begin("signup", $"event_type" === "signup")
       .followedBy("purchase", $"event_type" === "purchase")

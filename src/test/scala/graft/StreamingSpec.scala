@@ -101,6 +101,33 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out.as[Double].collect().toSet == Set(5.0))
   }
 
+  test("left-outer stream-stream interval join null-extends once the watermark closes the window") {
+    val l = MemoryStream[Event]; val r = MemoryStream[Event]
+    l.addData(Event(1, at(0), "click", 1.0), Event(2, at(0), "click", 2.0), FLUSH)
+    r.addData(Event(1, at(600), "purchase", 5.0), FLUSH) // user 2 never purchases
+    val joined = StreamOps.streamStreamIntervalJoin(
+      l.toDF().select($"user_id", $"ts", $"event_type"),
+      r.toDF().select($"user_id".as("user_id"), $"ts", $"value"),
+      "10 seconds", "10 seconds", "1 HOUR", "left_outer")
+    val out = run("s_ssj_outer",
+      joined.select(org.apache.spark.sql.functions.col("l.user_id").as("uid"), $"value"))
+      .filter($"uid" =!= 999L) // drop the FLUSH row's own null-extension
+    val rows = out.as[(Long, Option[Double])].collect().toSet
+    assert(rows == Set((1L, Some(5.0)), (2L, None)))
+  }
+
+  test("Trigger.AvailableNow drains the backlog then stops (Flink bounded-stream execution)") {
+    val in = MemoryStream[Event]
+    in.addData(Event(1, at(10), "click", 1.0), Event(1, at(20), "click", 2.0))
+    val q = in.toDF().groupBy("user_id").count()
+      .writeStream.format("memory").queryName("s_avnow").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "query must self-terminate after draining")
+    val rows = spark.table("s_avnow").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 2L)))
+  }
+
   test("RocksDB state store backs a windowed aggregate (Flink RocksDB state backend analog)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
