@@ -17,14 +17,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** `documents`/`embeddings` carry the compute-heavy columns (text to
+    * shingle/md5, vectors to dot): per-row expression cost dwarfs the scan,
+    * so they must be spread across every core. The driver's testdata writes
+    * each table as ONE parquet row group, which Spark cannot split — without
+    * correction all of that hashing runs on a single core. The relational
+    * fact tables are left alone: their per-row work is cheap, shuffles
+    * redistribute them anyway, and the extra exchange measurably hurts. On a
+    * real many-file deployment the scan is already wide and this repartition
+    * is skipped (guard below). */
+  private val computeHeavy = Set("documents", "embeddings")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
     // Spark 4 cannot read parquet TIMESTAMP(NANOS) natively; sessions set
     // spark.sql.legacy.parquet.nanosAsLong=true, which surfaces `ts` as long
     // nanos. Convert back to a microsecond timestamp (`div` keeps 64-bit
     // integer precision; a double division would lose sub-ms accuracy).
-    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df =
+      if (raw.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val p = spark.sparkContext.defaultParallelism
+    if (computeHeavy(name) && new java.io.File(s"$dir/$name.parquet").isFile)
+      df.repartition(p) // single-file scan: spread expression work
     else df
   }
 
