@@ -111,18 +111,18 @@ object FunctionQueries {
     t(s, dir, "orders").select(col("o_orderkey"),
       quarter(col("o_orderdate")).as("qtr"),
       dayofweek(col("o_orderdate")).as("dow"), // 1=Sunday..7
-      last_day(col("o_orderdate")).as("eom"),
+      last_day(col("o_orderdate")).cast("timestamp").as("eom"),
       date_trunc("month", col("o_orderdate")).as("month_start"),
       datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
-      add_months(col("o_orderdate"), 3).as("plus3m"))
+      add_months(col("o_orderdate"), 3).cast("timestamp").as("plus3m"))
   private val f06Sql =
     """SELECT o_orderkey,
       | CAST(quarter(o_orderdate) AS INT) AS qtr,
       | CAST(date_part('dow', o_orderdate) AS INT) + 1 AS dow,
-      | last_day(CAST(o_orderdate AS DATE)) AS eom,
+      | CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
       | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
       | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
-      | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+      | CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m
       |FROM orders""".stripMargin
 
   // --- f07: bitwise functions — AND/OR/XOR/shift (FlinkSqlOperatorTable BITAND/BITOR/BITXOR) ---
