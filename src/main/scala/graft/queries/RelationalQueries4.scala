@@ -141,12 +141,26 @@ object RelationalQueries4 {
       | CAST(sum(range) AS BIGINT) AS sum_id, max(range) AS max_id
       |FROM range(1000000) GROUP BY 1""".stripMargin
 
+  // --- q37: DataSet.cross — explicit cartesian of two small sets ---
+  // (flink-java DataSet#cross; only sane when at least one side is tiny,
+  // which is exactly when Spark broadcasts the nested-loop join)
+  private val q37: Q = (s, dir) => {
+    val prio = t(s, dir, "orders").select(col("o_orderpriority")).distinct()
+    t(s, dir, "region").select(col("r_name")).crossJoin(prio)
+      .select(col("r_name"), col("o_orderpriority"),
+        concat_ws("/", col("r_name"), col("o_orderpriority")).as("cell"))
+  }
+  private val q37Sql =
+    """SELECT r_name, o_orderpriority, r_name || '/' || o_orderpriority AS cell
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_grouping_sets" -> q30, "q31_rank_funcs" -> q31, "q32_unnest" -> q32,
     "q33_set_ops_all" -> q33, "q34_listagg" -> q34, "q35_approx_distinct" -> q35,
-    "q36_windowed_distinct" -> q36, "g01_generate_sequence" -> g01)
+    "q36_windowed_distinct" -> q36, "q37_cross" -> q37, "g01_generate_sequence" -> g01)
   val oracles: Map[String, String] = Map(
     "q30_grouping_sets" -> q30Sql, "q31_rank_funcs" -> q31Sql, "q32_unnest" -> q32Sql,
     "q33_set_ops_all" -> q33Sql, "q34_listagg" -> q34Sql,
-    "q36_windowed_distinct" -> q36Sql, "g01_generate_sequence" -> g01Sql)
+    "q36_windowed_distinct" -> q36Sql, "q37_cross" -> q37Sql,
+    "g01_generate_sequence" -> g01Sql)
 }
