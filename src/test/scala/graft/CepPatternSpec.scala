@@ -76,6 +76,32 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(m == Set((1L, Some(at(10)), at(30)), (4L, None, at(15))))
   }
 
+  test("batch Pattern.detect and streaming cepPattern agree on the same input") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val asEvents = events.collect().map(r =>
+      StreamOps.Event(r.getLong(0), r.getTimestamp(1), r.getString(2), 0.0))
+    val in = MemoryStream[graft.streaming.Event]
+    in.addData(asEvents.toIndexedSeq)
+    val q = StreamOps.cepPattern(in.toDS(), "10 seconds",
+        Seq(_.event_type == "signup", _.event_type == "click", _.event_type == "purchase"),
+        HOUR).toDF()
+      .writeStream.format("memory").queryName("s_parity").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_parity")
+      .select($"user_id", $"step_ts"(0), $"step_ts"(1), $"step_ts"(2))
+      .as[(Long, Timestamp, Timestamp, Timestamp)].collect().toSet
+    val batch = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click")
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(events, $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"click_ts", $"purchase_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp)].collect().toSet
+    assert(streaming == batch && batch.nonEmpty)
+  }
+
   test("pattern joins stay keyed equi-joins (no cross product)") {
     val df = Pattern.begin("signup", $"event_type" === "signup")
       .followedBy("purchase", $"event_type" === "purchase")
