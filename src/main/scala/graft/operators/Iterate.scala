@@ -73,11 +73,19 @@ object Iterate {
     *    propagation step gives pointer-jumping convergence in O(log diameter)
     *    rounds instead of O(diameter) — chains collapse exponentially fast. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          localThreshold: Long = 4000000L): DataFrame = {
     // materialize the caller's edge pipeline ONCE — it appears in both union
     // branches, and an un-materialized (possibly expensive) plan would be
     // evaluated twice when sym is first computed
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    // Small-graph fast path, same contract as autoBroadcastJoinThreshold:
+    // below the threshold the edge list fits comfortably on the driver, and
+    // one union-find pass beats 2·log(diameter) shuffle rounds of the
+    // distributed loop. Above it, the distributed fixpoint below runs —
+    // that is the 100 TB path. (Flink's Gelly makes the same small-input
+    // shortcut through its local executor.)
+    if (e0.count() <= localThreshold) return localUnionFind(e0)
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -106,5 +114,29 @@ object Iterate {
     }
     sym.unpersist()
     labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Driver-side union-find for sub-threshold edge lists: union by min root
+    * (the smaller root absorbs the larger, preserving the min-label
+    * contract) with path compression. */
+  private def localUnionFind(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val pairs = e0.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      .toDF("id", "component")
   }
 }

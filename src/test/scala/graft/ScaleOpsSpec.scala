@@ -38,6 +38,18 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     assert(comps.count() > 0)
   }
 
+  test("distributed CC loop and local union-find fast path agree") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = graft.operators.TextDedup.minhashCandidates(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val local = Iterate.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = Iterate.connectedComponents(pairs, "doc_a", "doc_b",
+        localThreshold = 0L) // force the distributed fixpoint
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == dist && local.nonEmpty)
+  }
+
   test("coGroup sees both full groups per key (DataSet coGroup analog)") {
     val l = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDS()
     val r = Seq((1L, 10), (3L, 30)).toDS()
