@@ -69,6 +69,27 @@ object LlmQueries2 {
       |   t -> t NOT IN ('a', 'the')), ' ')) AS clean_hash
       |FROM documents""".stripMargin
 
+  // ---------- d08: end-to-end dedup verdict ----------
+  // The decision table a training-data pipeline actually filters by: every
+  // document, its canonical representative (min doc_id of its near-dup
+  // cluster, itself when unique), and the keep/drop verdict.
+  private val d08: Q = (s, dir) => {
+    val cc = d07(s, dir) // (doc_id, component)
+    docs(s, dir).select(col("doc_id"))
+      .join(cc.withColumnRenamed("doc_id", "cc_id"), col("doc_id") === col("cc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
+  private val d08Sql = {
+    // d07Sql already carries the full WITH RECURSIVE chain; wrap it as a
+    // subquery and left-join every document against it
+    s"""SELECT d.doc_id,
+       | coalesce(r.component, d.doc_id) AS canonical,
+       | coalesce(r.component, d.doc_id) = d.doc_id AS keep
+       |FROM documents d LEFT JOIN ($d07Sql) r ON r.doc_id = d.doc_id""".stripMargin
+  }
+
   // ---------- i01: k-means bulk iteration, oracle-verified ----------
   // Iterate.kmeans (the reference's IterativeDataSet analog) with k=4 and 2
   // Lloyd steps; the oracle unrolls both supersteps in SQL. Determinism:
@@ -101,7 +122,9 @@ object LlmQueries2 {
   }
 
   val queries: Map[String, Q] = Map(
-    "d07_dup_clusters" -> d07, "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01)
+    "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08,
+    "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01)
   val oracles: Map[String, String] = Map(
-    "d07_dup_clusters" -> d07Sql, "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql)
+    "d07_dup_clusters" -> d07Sql, "d08_dedup_verdict" -> d08Sql,
+    "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql)
 }
