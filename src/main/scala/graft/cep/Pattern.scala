@@ -59,7 +59,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * column per binding (suffixed `_1.._n` for quantified steps). */
   def detect(events: DataFrame, key: Column, ts: Column): DataFrame = {
     require(windowMs.nonEmpty, "call within(...) before detect")
-    val win = expr(s"INTERVAL ${windowMs.get / 1000} SECONDS")
+    // exact millisecond interval: integer-dividing into whole seconds would
+    // silently shrink windows like within(1500) and break parity with the
+    // streaming cepPattern, which honors withinMs exactly
+    val win = expr(s"INTERVAL ${windowMs.get} MILLISECONDS")
     val expanded: Vector[(String, Column, Boolean)] = steps.flatMap { s =>
       if (s.reps == 1) Vector((s.name, s.pred, s.opt))
       else (1 to s.reps).map(i => (s"${s.name}_$i", s.pred, false)).toVector

@@ -61,11 +61,26 @@ object TextDedup {
     * re-executes the full shingle+hash lineage for BOTH join sides, doubling
     * the dominant cost. The persisted projection is tiny relative to the
     * corpus (id + 2 hex keys per doc); at cluster scale the same role is
-    * played by a checkpoint/staging table. */
+    * played by a checkpoint/staging table.
+    *
+    * Hot-bucket cap: buckets holding more than `maxBucketSize` docs are
+    * DROPPED before the self-join. A degenerate bucket (empty docs, site
+    * boilerplate, exact spam copies) would otherwise make the band join
+    * quadratic in that bucket — 1M identical docs is 5·10^11 pairs from one
+    * key. Dropping is the standard policy: members of a hot bucket are
+    * near-identical, so the exact-hash dedup pass (d01) already collapses
+    * them, and genuinely-distinct pairs still meet in their other bands.
+    * The size count is an aggregation on the SAME (band,bkey) key as the
+    * join, so the filter reuses the join's shuffle partitioning. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 5, bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
-    val bk = lshBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+                        shingleK: Int = 5, bands: Int = 2, rowsPerBand: Int = 4,
+                        maxBucketSize: Int = 100): DataFrame = {
+    val bk0 = lshBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = bk0.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") <= maxBucketSize)
+      .select("band", "bkey")
+    val bk = bk0.join(small, Seq("band", "bkey"))
     val a = bk.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
     val b = bk.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("bkey").as("bkey_b"))
     a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
@@ -96,6 +111,65 @@ object TextDedup {
   /** 16-bit SimHash over whitespace tokens (bit j from md5 hex nibble j/4). */
   def simhash16(textCol: Column): Column =
     simhash16FromMd5s(transform(split(textCol, " "), t => md5(t)))
+
+  // ---- 64-bit SimHash (production width; the Google near-dup paper size) ----
+  // Bit j (0..63) votes on bit j%4 of hex nibble j/4 of each token's md5.
+  // Instead of 64 array passes, ONE pass per nibble position packs the four
+  // bit-counters of that nibble into a single long: multiplying the nibble
+  // value by 0x0001000100010001 replicates it at bit offsets 0/16/32/48, and
+  // masking bit 17b of the replica isolates bit b, so the running sum keeps
+  // four independent 17-bit counters (documents up to 2^17-1 = 131071
+  // whitespace tokens; chunk longer documents upstream).
+  private val Replicate = 0x0001000100010001L
+  private val BitMask = 1L | (1L << 17) | (1L << 34) | (1L << 51)
+
+  /** Packed set-bit counters for hex-nibble position `c` (0..15) over an
+    * array of md5 hex digests: counter for bit b at bit offset 17*b. */
+  def simhash64PackedVotes(md5s: Column, c: Int): Column =
+    aggregate(md5s, lit(0L), (acc, h) =>
+      acc + (conv(h.substr(lit(c + 1), lit(1)), 16, 10).cast("long") * Replicate)
+        .bitwiseAND(BitMask))
+
+  /** Assemble the 64-bit fingerprint from the 16 packed vote columns
+    * ([[simhash64PackedVotes]] for c = 0..15) and the token count `n`.
+    * Bit 4c+b is set iff strictly more than half the tokens set it. */
+  def simhash64FromVotes(votes: Seq[Column], n: Column): Column = {
+    require(votes.size == 16)
+    val bits = for { c <- 0 until 16; b <- 0 until 4 } yield {
+      val k = shiftright(votes(c), 17 * b).bitwiseAND(0x1ffffL)
+      when(k * 2 > n, lit(1L << (4 * c + b))).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _) // OR, not +: bit 63 is Long.MinValue
+  }
+
+  /** Banded-fingerprint candidate pairs (doc_a < doc_b) for any integral
+    * signature column, with distinct-free emission: a pair leaves the join
+    * only from its FIRST matching band (no earlier band also matches), so no
+    * multi-million-row distinct shuffle is needed. The join is an equi-join
+    * on (band, band-value) — shuffle is O(candidates), never all-pairs.
+    * Returns (doc_a, doc_b, sig_a, sig_b). */
+  def bandedFingerprintPairs(df: DataFrame, idCol: String, sigCol: String,
+                             nBands: Int, bitsPerBand: Int): DataFrame = {
+    val mask = (1L << bitsPerBand) - 1
+    val bands = df.select(col(idCol), col(sigCol),
+        explode(array((0 until nBands).map(j =>
+          struct(lit(j).as("j"),
+            shiftright(col(sigCol), bitsPerBand * j).bitwiseAND(mask).as("nib"))): _*)).as("b"))
+      .select(col(idCol), col(sigCol), col("b.j").as("j"), col("b.nib").as("nib"))
+    val a = bands.select(col(idCol).as("doc_a"), col(sigCol).as("sig_a"),
+      col("j"), col("nib"))
+    val b = bands.select(col(idCol).as("doc_b"), col(sigCol).as("sig_b"),
+      col("j").as("j2"), col("nib").as("nib2"))
+    val firstMatch = (0 until nBands).map { jp =>
+      val na = shiftright(col("sig_a"), bitsPerBand * jp).bitwiseAND(mask)
+      val nb = shiftright(col("sig_b"), bitsPerBand * jp).bitwiseAND(mask)
+      when(col("j") > jp, na =!= nb).otherwise(lit(true))
+    }.reduce(_ && _)
+    a.join(b, col("j") === col("j2") && col("nib") === col("nib2") &&
+        col("doc_a") < col("doc_b"))
+      .filter(firstMatch)
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+  }
 
   /** Exact n-gram Jaccard between two text columns (distinct char n-grams). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {

@@ -25,6 +25,12 @@ object LlmQueries {
     s"list_min([substr(md5(s || ':${i / 4}'), ${1 + 8 * (i % 4)}, 8) for s in shingles])"
   private[queries] val Bands = 2
   private[queries] val RowsPerBand = 4
+  /** Hot-bucket drop threshold — MUST stay equal to
+    * [[TextDedup.minhashCandidates]]'s `maxBucketSize` default so the oracle
+    * and the operator cap identically (at sf0.01 the largest bucket is 5, so
+    * the cap provably changes nothing on the test corpus; the degenerate-
+    * corpus spec exercises the capping path). */
+  private[queries] val MaxBucket = 100
   private[queries] val bandsCte: String = {
     val sigCols = (0 until Bands * RowsPerBand).map(i => s"${minhashSql(i)} AS h$i").mkString(", ")
     val bandSelects = (0 until Bands).map { b =>
@@ -33,7 +39,9 @@ object LlmQueries {
     }.mkString(" UNION ALL ")
     s"""sh AS (SELECT doc_id, ${shingleSql("text", 5)} AS shingles FROM documents),
        |sig AS (SELECT doc_id, $sigCols FROM sh),
-       |bands AS ($bandSelects),
+       |bands0 AS ($bandSelects),
+       |bands AS (SELECT b.* FROM bands0 b JOIN (SELECT band, bkey FROM bands0
+       |          GROUP BY band, bkey HAVING count(*) <= $MaxBucket) s USING (band, bkey)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
        |           ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id < b.doc_id)""".stripMargin
@@ -59,22 +67,37 @@ object LlmQueries {
     TextDedup.minhashCandidates(docs(s, dir), "doc_id", "text", 5, Bands, RowsPerBand)
   private val d02Sql = s"WITH $bandsCte SELECT doc_a, doc_b FROM cand"
 
-  // ---------- d03: 16-bit SimHash fingerprint ----------
+  // ---------- d03: 64-bit SimHash fingerprint ----------
+  // Production width (the Google near-dup paper size): 64 bits ⇒ 2^64
+  // fingerprint space, and the d06 band join gets 65,536 buckets per band
+  // instead of 16 — at corpus scale a 16-bit fingerprint collides massively
+  // and its 4-bit bands degenerate to an all-pairs join. Spark side hashes
+  // each token ONCE, then runs 16 packed-counter passes (4 bit-votes per
+  // pass — see TextDedup.simhash64PackedVotes); bit set iff a strict
+  // majority of tokens sets it.
   private val d03: Q = (s, dir) =>
     docs(s, dir)
-      .select(col("doc_id"), // hash tokens once, then 16 bit-votes over the array
-        transform(split(col("text"), " "), t => md5(t)).as("md5s"))
-      .select(col("doc_id"), TextDedup.simhash16FromMd5s(col("md5s")).as("simhash"))
+      .select(col("doc_id"), transform(split(col("text"), " "), t => md5(t)).as("md5s"))
+      .select(col("doc_id") +: size(col("md5s")).as("n") +:
+        (0 until 16).map(c => TextDedup.simhash64PackedVotes(col("md5s"), c).as(s"vc$c")): _*)
+      .select(col("doc_id"),
+        TextDedup.simhash64FromVotes((0 until 16).map(c => col(s"vc$c")), col("n"))
+          .as("simhash"))
   private val d03Sql = {
-    val votes = (0 until 16).map { j =>
+    val ks = (0 until 64).map { j =>
       val cpos = 1 + j / 4
       val chars = TextDedup.hexCharsWithBit(j % 4).map(c => s"'$c'").mkString(", ")
-      s"list_sum([CASE WHEN substr(h, $cpos, 1) IN ($chars) THEN 1 ELSE -1 END for h in md5s]) AS v$j"
+      s"len(list_filter(md5s, h -> substr(h, $cpos, 1) IN ($chars))) AS k$j"
     }.mkString(", ")
-    val bits = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
-    s"""WITH m AS (SELECT doc_id, [md5(t) for t in string_split(text, ' ')] AS md5s FROM documents),
-       |v AS (SELECT doc_id, $votes FROM m)
-       |SELECT doc_id, CAST($bits AS INT) AS simhash FROM v""".stripMargin
+    // bit 63 is Long.MinValue — emit it as (-MAX-1), and OR (not +) the bits
+    def bitLit(j: Int) = if (j == 63) "(-9223372036854775807 - 1)" else s"${1L << j}"
+    val bits = (0 until 64)
+      .map(j => s"CASE WHEN 2*k$j > n THEN ${bitLit(j)}::BIGINT ELSE 0::BIGINT END")
+      .mkString(" | ")
+    s"""WITH m AS (SELECT doc_id, [md5(t) for t in string_split(text, ' ')] AS md5s,
+       |  len(string_split(text, ' ')) AS n FROM documents),
+       |v AS (SELECT doc_id, n, $ks FROM m)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v""".stripMargin
   }
 
   // ---------- d04: exact 3-gram Jaccard on LSH candidates ----------
@@ -103,63 +126,107 @@ object LlmQueries {
        | len(list_intersect(ga, gb)) * 1.0 / len(list_distinct(ga || gb)) AS jaccard
        |FROM g""".stripMargin
 
-  // ---------- d06: SimHash near-dup pairs (banded nibbles + Hamming <= 3) ----------
-  private val d06: Q = (s, dir) => {
-    val sim = d03(s, dir) // (doc_id, simhash)
-    val bands = sim.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(j =>
-          struct(lit(j).as("j"), shiftright(col("simhash"), 4 * j).bitwiseAND(15).as("nib"))): _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.j").as("j"), col("b.nib").as("nib"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-      col("j"), col("nib"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-      col("j").as("j2"), col("nib").as("nib2"))
-    // distinct-free emission: a pair leaves the join only from its FIRST
-    // matching band (no earlier band j' also matches), replacing a
-    // multi-million-row distinct shuffle with a cheap row-local predicate
-    val firstMatch = (0 until 4).map { jp =>
-      val na = shiftright(col("sim_a"), 4 * jp).bitwiseAND(15)
-      val nb = shiftright(col("sim_b"), 4 * jp).bitwiseAND(15)
-      when(col("j") > jp, na =!= nb).otherwise(lit(true))
-    }.reduce(_ && _)
-    a.join(b, col("j") === col("j2") && col("nib") === col("nib2") &&
-        col("doc_a") < col("doc_b"))
-      .filter(firstMatch)
+  // ---------- d06: SimHash near-dup pairs (4×16-bit bands + Hamming <= 3) ----------
+  // Pigeonhole: any pair within Hamming 3 of a 64-bit fingerprint agrees
+  // exactly on at least one of the 4 16-bit bands, so the equi-join on
+  // (band, 16-bit value) finds every such pair with 65,536 buckets per band —
+  // O(candidates) shuffle. Emission is distinct-free: a pair leaves the join
+  // only from its FIRST matching band (see TextDedup.bandedFingerprintPairs).
+  private val d06: Q = (s, dir) =>
+    TextDedup.bandedFingerprintPairs(d03(s, dir), "doc_id", "simhash",
+        nBands = 4, bitsPerBand = 16)
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= 3)
-  }
   private val d06Sql = {
     val inner = d03Sql.replace("\n", "\n ")
+    def nib(t: String, jp: Int) = s"(($t.simhash >> ${16 * jp}) & 65535)"
+    val firstMatch = (0 until 4)
+      .map(jp => s"(a.j <= $jp OR ${nib("a", jp)} != ${nib("b", jp)})").mkString(" AND ")
     s"""WITH sim AS ($inner),
-       |bands AS (SELECT doc_id, simhash, j, (simhash // power(16, j)::INT) % 16 AS nib
+       |bands AS (SELECT doc_id, simhash, j, ((simhash >> (16*j)) & 65535) AS nib
        |          FROM sim CROSS JOIN (VALUES (0),(1),(2),(3)) t(j)),
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |           CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
+       |           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |          FROM bands a JOIN bands b
        |            ON a.j = b.j AND a.nib = b.nib AND a.doc_id < b.doc_id
-       |          WHERE ${(0 until 4).map(jp =>
-                    s"(a.j <= $jp OR (a.simhash // power(16, $jp)::INT) % 16 != (b.simhash // power(16, $jp)::INT) % 16)")
-                    .mkString(" AND ")})
+       |          WHERE $firstMatch)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
 
-  // ---------- d05: embedding near-dup pairs (cosine >= 0.4) ----------
+  // ---------- d05: embedding near-dup pairs (banded SRP LSH + cosine >= 0.4) ----------
+  // Scale design (mirrors the d02→d04 MinHash→Jaccard staging): candidate
+  // pairs come from 4 bands of 4 sign-random-projection planes — two vectors
+  // are candidates iff some band's 4 plane signs all agree — an EQUI-join on
+  // (band, bucket) whose shuffle is O(candidates); the exact cosine is then
+  // scored on candidates only. Never an all-pairs nested loop: at 1 B
+  // embeddings the previous inequality-only self-join is 10^18 dot products,
+  // this is (corpus/16-bucket) band joins. For near-dups (cosine ≥ 0.95 ⇒
+  // per-plane agreement ≈ 0.9) a band matches with p ≈ 0.66 and 4 bands give
+  // ≈ 99% recall; distant pairs mostly never collide. The bucketed candidate
+  // set IS the operator contract — the oracle replays identical banding.
+  private val D05Bands = 4
+  private val D05PlanesPerBand = 4
+  private val d05Planes = Similarity.planes(D05Bands * D05PlanesPerBand, 64)
   private val d05: Q = (s, dir) => {
     val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
-    val a = e.select(col("id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    // tiny bucket projection (id + 4 ints) persisted — the join re-reads it
+    // for both sides instead of re-running 16 dot products per row per side
+    val bucketed = e.select(col("id") +: (0 until D05Bands).map { j =>
+        Similarity.srpBucket(col("v"),
+          d05Planes.slice(j * D05PlanesPerBand, (j + 1) * D05PlanesPerBand)).as(s"bb$j")
+      }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bucketed.select(col("id") +:
+      (0 until D05Bands).map(j => col(s"bb$j")) :+
+      explode(array((0 until D05Bands).map(j =>
+        struct(lit(j).as("j"), col(s"bb$j").as("nib"))): _*)).as("bk"): _*)
+      .select(col("id") +: (0 until D05Bands).map(j => col(s"bb$j")) :+
+        col("bk.j").as("j") :+ col("bk.nib").as("nib"): _*)
+    val a = bands.select(col("id").as("vec_a") +:
+      (0 until D05Bands).map(j => col(s"bb$j").as(s"ab$j")) :+ col("j") :+ col("nib"): _*)
+    val b = bands.select(col("id").as("vec_b") +:
+      (0 until D05Bands).map(j => col(s"bb$j").as(s"xb$j")) :+
+      col("j").as("j2") :+ col("nib").as("nib2"): _*)
+    // distinct-free emission: only the FIRST matching band emits the pair
+    val firstMatch = (0 until D05Bands).map { jp =>
+      when(col("j") > jp, col(s"ab$jp") =!= col(s"xb$jp")).otherwise(lit(true))
+    }.reduce(_ && _)
+    val cand = a.join(b, col("j") === col("j2") && col("nib") === col("nib2") &&
+        col("vec_a") < col("vec_b"))
+      .filter(firstMatch).select("vec_a", "vec_b")
+    val ea = e.select(col("id").as("qa"), col("v").as("va"), col("nrm").as("na"))
+    val eb = e.select(col("id").as("qb"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(ea, col("qa") === col("vec_a")).join(eb, col("qb") === col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= 0.4)
   }
-  private val d05Sql =
+  private val d05Sql = {
+    val bbs = (0 until D05Bands).map { j =>
+      val planes = Similarity.planeLiterals(
+        d05Planes.slice(j * D05PlanesPerBand, (j + 1) * D05PlanesPerBand))
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_sum([v[k]*($p)[k] for k in generate_series(1, len(v))]) >= 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"CAST($bucket AS INT) AS bb$j"
+    }.mkString(", ")
+    val bandSel = (0 until D05Bands)
+      .map(j => s"SELECT vec_id, bb0, bb1, bb2, bb3, $j AS j, bb$j AS nib FROM eb")
+      .mkString(" UNION ALL ")
+    val firstMatch = (0 until D05Bands)
+      .map(jp => s"(a.j <= $jp OR a.bb$jp != b.bb$jp)").mkString(" AND ")
     s"""WITH $embCte,
-       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cosine
-       |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |eb AS (SELECT vec_id, v, nrm, $bbs FROM e),
+       |bands AS ($bandSel),
+       |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bands a JOIN bands b
+       |           ON a.j = b.j AND a.nib = b.nib AND a.vec_id < b.vec_id
+       |         WHERE $firstMatch),
+       |p AS (SELECT vec_a, vec_b, ${cosSql("qa.v", "qb.v", "qa.nrm", "qb.nrm")} AS cosine
+       |      FROM cand JOIN e qa ON qa.vec_id = vec_a JOIN e qb ON qb.vec_id = vec_b)
        |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin
+  }
 
   // ---------- s01: brute-force cosine top-k (k=5, queries vec_id<10) ----------
   private val s01: Q = (s, dir) =>

@@ -70,6 +70,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("doc_id"), s"explode must not widen the scan:\n$p")
   }
 
+  test("d05 cosine near-dup join is bucketed (no nested-loop / cartesian)") {
+    val p = planOf("d05_cosine_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an equi-join on (band,bucket):\n$p")
+  }
+
+  test("d06 simhash band join is an equi-join (no nested-loop / cartesian)") {
+    val p = planOf("d06_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded fingerprint join must stay keyed:\n$p")
+  }
+
   test("d07 dup-cluster edge generation stays equi-join (no cross product)") {
     val p = planOf("d07_dup_clusters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
