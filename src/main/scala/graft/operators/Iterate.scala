@@ -116,6 +116,48 @@ object Iterate {
     labels.select(col("id"), col("comp").as("component"))
   }
 
+  /** Fixed-iteration PageRank over a directed edge list — the Gelly analog
+    * (reference flink-libraries/flink-gelly/src/main/java/org/apache/flink/
+    * graph/library/linkanalysis/PageRank.java) on the same bulk-iteration
+    * substrate as [[kmeans]]/[[connectedComponents]].
+    *
+    * Semantics: vertices = distinct(src ∪ dst); rank₀ = 1/N; rankₜ₊₁(v) =
+    * (1-d)/N + d·Σ_{(u,v)∈E} rankₜ(u)/outdeg(u). Dangling mass is not
+    * redistributed (matches Gelly's basic PageRank). Determinism: every
+    * iteration's rank is rounded at `interRoundDp` so distributed partial-sum
+    * order (and a SQL oracle's sum order) cannot drift the fixpoint; callers
+    * round the final output coarser (e.g. 6 dp).
+    *
+    * Scale: edges/outdeg persist once and every step is one keyed equi-join
+    * + keyed agg (shuffle on vertex id only); the per-step eager
+    * `localCheckpoint` truncates lineage exactly as in
+    * [[connectedComponents]], so plan depth is O(1) in the iteration count. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85,
+               interRoundDp: Int = 9): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val outd = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = verts.select(col("id"),
+      round(lit(1.0) / lit(n), interRoundDp).as("rank")).localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      val contrib = e.join(ranks.withColumnRenamed("id", "rid"), col("src") === col("rid"))
+        .join(outd, "src")
+        .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
+      ranks = verts.join(contrib.groupBy("id").agg(sum(col("c")).as("s")), Seq("id"), "left")
+        .select(col("id"),
+          round(lit(1.0 - damping) / lit(n) + lit(damping) * coalesce(col("s"), lit(0.0)),
+            interRoundDp).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(); verts.unpersist(); outd.unpersist()
+    ranks
+  }
+
   /** Driver-side union-find for sub-threshold edge lists: union by min root
     * (the smaller root absorbs the larger, preserving the min-label
     * contract) with path compression. */

@@ -121,10 +121,54 @@ object LlmQueries2 {
        |SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2""".stripMargin
   }
 
+  // ---------- i02: PageRank bulk iteration, oracle-verified ----------
+  // Proves the Iterate substrate generalizes past CC (the reference ships
+  // Gelly PageRank, flink-libraries/flink-gelly/.../linkanalysis/PageRank
+  // .java). Graph: supplier ↔ customer edges through shared orders (customer
+  // keys offset by 100000 to disjoint the id spaces), 3 fixed iterations.
+  // Determinism: per-iteration ranks rounded at 9 dp on both engines so
+  // partial-sum order cannot drift the fixpoint; final output at 6 dp.
+  private val PrIters = 3
+  private val PrDamping = 0.85
+  private val i02: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
+    val edges = base.select(col("s").as("src"), col("c").as("dst"))
+      .union(base.select(col("c").as("src"), col("s").as("dst")))
+    Iterate.pageRank(edges, "src", "dst", iters = PrIters, damping = PrDamping)
+      .select(col("id"), round(col("rank"), 6).as("pagerank"))
+  }
+  private val i02Sql = {
+    // emit the exact IEEE constants the Spark plan uses (Java double toString
+    // round-trips, so "0.15000000000000002" parses back bit-identical)
+    val tele = (1.0 - PrDamping).toString
+    val damp = PrDamping.toString
+    def iter(prev: String, name: String): String =
+      s"""$name AS (SELECT v.id,
+         |  round($tele::DOUBLE / nn.n + $damp::DOUBLE * coalesce(sum(p.rank / o.odeg), 0.0), 9) AS rank
+         |  FROM v CROSS JOIN nn
+         |  LEFT JOIN e ON e.dst = v.id
+         |  LEFT JOIN $prev p ON p.id = e.src
+         |  LEFT JOIN outd o ON o.src = e.src
+         |  GROUP BY v.id, nn.n)""".stripMargin
+    val iters = (1 to PrIters).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_suppkey AS s, 100000 + o_custkey AS c
+       |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT s AS src, c AS dst FROM b UNION SELECT c, s FROM b),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+       |outd AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       |r0 AS (SELECT id, round(1.0::DOUBLE / nn.n, 9) AS rank FROM v CROSS JOIN nn),
+       |$iters
+       |SELECT id, round(rank, 6) AS pagerank FROM r$PrIters""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08,
-    "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01)
+    "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02)
   val oracles: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql, "d08_dedup_verdict" -> d08Sql,
-    "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql)
+    "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql)
 }
