@@ -16,43 +16,56 @@ import graft.operators.Relational.topNPerGroup
   */
 object Iterate {
 
-  /** Lloyd's k-means over an (id, array<double> v) DataFrame.
-    * Deterministic: centroids initialize from the K lowest ids; a fixed
-    * iteration count (bulk iteration with a for-loop "superstep"). Returns
-    * (id, cluster) assignments. */
-  def kmeans(points: DataFrame, idCol: String, vecCol: String,
-             k: Int, iters: Int): DataFrame = {
+  private def sqDist(a: Column, b: Column): Column =
+    Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) + Similarity.dot(b, b)
+
+  /** Centroids after `iters` Lloyd mean-updates over an (id, vec) DataFrame:
+    * (cid, cv) with cid 0..k-1. Deterministic: centroids initialize from the
+    * K lowest ids; assignment ties break on cid; centroid means rounded at
+    * 6 dp — distributed partial-sum order varies run-to-run (and
+    * engine-to-engine), rounding pins the fixpoint. */
+  def kmeansCentroids(points: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
     val pts = points.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def sqDist(a: Column, b: Column): Column =
-      Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) + Similarity.dot(b, b)
-
     var centroids = pts.orderBy("id").limit(k)
       .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
         .cast("int").as("cid"), col("v").as("cv"))
-    var prevAssign: DataFrame = null
-    var assign: DataFrame = null
+    var prevBest: DataFrame = null
     (0 until iters).foreach { _ =>
-      assign = pts.crossJoin(broadcast(centroids))
+      val assign = pts.crossJoin(broadcast(centroids))
         .select(col("id"), col("v"), col("cid"), sqDist(col("v"), col("cv")).as("d2"))
       val best = topNPerGroup(assign, Seq(col("id")), Seq(col("d2"), col("cid")), 1)
         .select(col("id"), col("v"), col("cid"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       best.count() // materialize before unpersisting the feedback edge
-      if (prevAssign != null) prevAssign.unpersist()
-      prevAssign = best
+      if (prevBest != null) prevBest.unpersist()
+      prevBest = best
       // new centroid = element-wise mean of members (posexplode + re-collect)
-      // centroid means rounded at 6 dp: distributed partial-sum order varies
-      // run-to-run (and engine-to-engine), rounding pins the fixpoint
       centroids = best
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim").agg(round(avg("x"), 6).as("mx"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("dim"), col("mx")))).as("pairs"))
         .select(col("cid"), expr("transform(pairs, p -> p.mx)").as("cv"))
     }
-    val out = prevAssign.select(col("id"), col("cid").as("cluster"))
+    if (prevBest != null) { centroids = centroids.localCheckpoint(true); prevBest.unpersist() }
     pts.unpersist()
-    out
+    centroids
+  }
+
+  /** Lloyd's k-means over an (id, array<double> v) DataFrame.
+    * Deterministic (see [[kmeansCentroids]]); a fixed iteration count (bulk
+    * iteration with a for-loop "superstep"). Returns (id, cluster)
+    * assignments: the nearest centroid after iters-1 mean-updates — i.e.
+    * the final assignment round of an iters-round Lloyd loop. */
+  def kmeans(points: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    val pts = points.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val centroids = kmeansCentroids(points, idCol, vecCol, k, iters - 1)
+    val assign = pts.crossJoin(broadcast(centroids))
+      .select(col("id"), col("cid"), sqDist(col("v"), col("cv")).as("d2"))
+    topNPerGroup(assign, Seq(col("id")), Seq(col("d2"), col("cid")), 1)
+      .select(col("id"), col("cid").as("cluster"))
   }
 
   /** Connected components over an undirected edge list (src, dst) — the

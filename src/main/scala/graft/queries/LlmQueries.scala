@@ -240,54 +240,89 @@ object LlmQueries {
        | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
        | FROM p) WHERE rn <= 5""".stripMargin
 
-  // ---------- s02: LSH-bucketed ANN (sign random projections, multi-probe) ----------
-  private val srpPlanes = Similarity.planes(4, 64)
+  // ---------- s02: LSH-bucketed ANN (multi-table sign random projections) ----------
+  // L independent 4-plane tables (signature concatenation): a neighbor is a
+  // candidate if it shares a bucket — or a Hamming-1 probe bucket — with the
+  // query in ANY table. Per-table recall r compounds to 1-(1-r)^L, the
+  // standard LSH recall lever that keeps the per-table join an equi-join on
+  // (table, bucket) with O(candidates) shuffle. Candidates are deduplicated
+  // across tables before scoring, so each cosine is computed once.
+  private val SrpTables = 3
+  private val srpPlanes = Similarity.planes(SrpTables * 4, 64)
+  private def srpTablePlanes(t: Int) = srpPlanes.slice(t * 4, (t + 1) * 4)
+  private val SrpProbes = Seq(0, 1, 2, 4, 8) // own bucket + 4 Hamming-1 flips
   private val s02: Q = (s, dir) => {
     val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
-      .withColumn("bucket", Similarity.srpBucket(col("v"), srpPlanes))
-    // multi-probe: search the query's own bucket plus the 4 buckets one
-    // plane-flip away (5/16 of the space) — the standard recall lever for
-    // sign-random-projection LSH without extra tables
-    val q = e.select(col("id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("qb")).filter(col("query_id") < 10)
-      .select(col("query_id"), col("qv"), col("qn"),
-        explode(array(Seq(0, 1, 2, 4, 8).map(m => col("qb").bitwiseXOR(lit(m))): _*)).as("pb"))
-    val pairs = q.join(e, col("bucket") === col("pb") && col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"), col("bucket"),
-        round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+    val eb = e.select(col("id") +: (0 until SrpTables).map(t =>
+        Similarity.srpBucket(col("v"), srpTablePlanes(t)).as(s"bkt$t")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = eb.select(col("id"),
+      explode(array((0 until SrpTables).map(t =>
+        struct(lit(t).as("t"), col(s"bkt$t").as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val probes = eb.filter(col("id") < 10).select(col("id").as("query_id"),
+        explode(array((for { t <- 0 until SrpTables; m <- SrpProbes } yield
+          struct(lit(t).as("t"), col(s"bkt$t").bitwiseXOR(lit(m)).as("pb"))): _*)).as("tp"))
+      .select(col("query_id"), col("tp.t").as("t2"), col("tp.pb").as("pb"))
+    val cand = probes.join(cands,
+        col("t") === col("t2") && col("bucket") === col("pb") &&
+          col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id")).distinct()
+    val eq = e.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val en = e.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+    val pairs = cand.join(eq, col("qid") === col("query_id"))
+      .join(en, col("nid") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
     Relational.topNPerGroup(pairs, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id")), 5)
-      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cosine"), col("rn"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
   }
   private val s02Sql = {
-    val buckets = Similarity.planeLiterals(srpPlanes).zipWithIndex.map { case (p, i) =>
-      s"CASE WHEN list_sum([v[j]*($p)[j] for j in generate_series(1, len(v))]) >= 0 THEN ${1 << i} ELSE 0 END"
-    }.mkString(" + ")
+    val bkts = (0 until SrpTables).map { t =>
+      val bucket = Similarity.planeLiterals(srpTablePlanes(t)).zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_sum([v[j]*($p)[j] for j in generate_series(1, len(v))]) >= 0 THEN ${1 << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"CAST($bucket AS INT) AS bkt$t"
+    }.mkString(", ")
+    val candSel = (0 until SrpTables)
+      .map(t => s"SELECT vec_id, $t AS t, bkt$t AS bucket FROM eb").mkString(" UNION ALL ")
+    val probeSel = (for { t <- 0 until SrpTables; m <- SrpProbes } yield
+      s"SELECT vec_id, $t AS t, CAST(xor(bkt$t, $m) AS INT) AS pb FROM eb WHERE vec_id < 10")
+      .mkString(" UNION ALL ")
     s"""WITH $embCte,
-       |eb AS (SELECT vec_id, v, nrm, CAST($buckets AS INT) AS bucket FROM e),
-       |probes AS (SELECT vec_id, v, nrm, CAST(xor(bucket, m.m) AS INT) AS pb
-       |           FROM eb CROSS JOIN (VALUES (0),(1),(2),(4),(8)) m(m)
-       |           WHERE vec_id < 10),
-       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
-       |       ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cosine
-       |      FROM probes q JOIN eb c ON c.bucket = q.pb AND c.vec_id != q.vec_id)
-       |SELECT query_id, neighbor_id, bucket, cosine, CAST(rn AS INT) AS rn FROM (
+       |eb AS (SELECT vec_id, v, nrm, $bkts FROM e),
+       |cands AS ($candSel),
+       |probes AS ($probeSel),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM probes q JOIN cands c ON c.t = q.t AND c.bucket = q.pb
+       |           AND c.vec_id != q.vec_id),
+       |p AS (SELECT query_id, neighbor_id,
+       |       ${cosSql("qe.v", "ne.v", "qe.nrm", "ne.nrm")} AS cosine
+       |      FROM cand JOIN e qe ON qe.vec_id = query_id
+       |                JOIN e ne ON ne.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn FROM (
        | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
        | FROM p) WHERE rn <= 5""".stripMargin
   }
 
-  // ---------- s03: IVF-style ANN (8 cells, probe 2) ----------
+  // ---------- s03: IVF-style ANN (8 k-means cells, probe 3) ----------
+  // Cell centroids come from Iterate.kmeans (one Lloyd mean-update over the
+  // full corpus) instead of "first 8 vectors": balanced cells are what makes
+  // probe-3-of-8 hold its recall at scale. The oracle replays the Lloyd step
+  // in SQL exactly as i01 does.
   private val s03: Q = (s, dir) => {
     val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
-    val cent = e.filter(col("id") < 8)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cent = graft.operators.Iterate
+      .kmeansCentroids(emb(s, dir), "vec_id", "embedding", k = 8, iters = 1)
+      .select(col("cid"), col("cv"), Similarity.norm(col("cv")).as("cn"))
     val scored = e.crossJoin(broadcast(cent))
       .select(col("id"), col("v"), col("nrm"), col("cid"),
         round(Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("ccos"))
     val cells = Relational.topNPerGroup(scored, Seq(col("id")),
       Seq(col("ccos").desc, col("cid")), 1).select(col("id").as("nid"), col("cid").as("cell"))
     val probes = Relational.topNPerGroup(scored.filter(col("id") < 10), Seq(col("id")),
-      Seq(col("ccos").desc, col("cid")), 2)
+      Seq(col("ccos").desc, col("cid")), 3)
       .select(col("id").as("query_id"), col("cid").as("pcell"))
     val cand = probes.join(cells, col("cell") === col("pcell") && col("nid") =!= col("query_id"))
       .select("query_id", "nid")
@@ -303,7 +338,20 @@ object LlmQueries {
   }
   private val s03Sql =
     s"""WITH $embCte,
-       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+       |       FROM e ORDER BY vec_id LIMIT 8),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_sum([x*x for x in e.v]) - 2.0*list_sum([e.v[j]*c.cv[j]
+       |      for j in generate_series(1, len(e.v))]) + list_sum([x*x for x in c.cv]), c.cid) AS rn
+       |  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+       |c1 AS (SELECT cid, list(mx ORDER BY j) AS cv FROM (
+       |        SELECT a.cid, j, round(avg(e.v[j]), 6) AS mx
+       |        FROM a1 a JOIN e USING (vec_id)
+       |        CROSS JOIN (SELECT unnest(generate_series(1,
+       |          (SELECT len(v) FROM e LIMIT 1))) AS j) js
+       |        GROUP BY a.cid, j) GROUP BY cid),
+       |cent AS (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn FROM c1),
        |scored AS (SELECT e.vec_id AS id, cid,
        |            ${cosSql("e.v", "cv", "e.nrm", "cn")} AS ccos
        |           FROM e, cent),
@@ -312,7 +360,7 @@ object LlmQueries {
        |           FROM scored) WHERE rn = 1),
        |probes AS (SELECT id AS query_id, cid AS pcell FROM (
        |            SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
-       |            FROM scored WHERE id < 10) WHERE rn <= 2),
+       |            FROM scored WHERE id < 10) WHERE rn <= 3),
        |cand AS (SELECT p.query_id, c.nid FROM probes p JOIN cells c
        |          ON c.cell = p.pcell AND c.nid != p.query_id),
        |p2 AS (SELECT query_id, nid AS neighbor_id,

@@ -25,7 +25,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkTest {
     }
     val (rLsh, rIvf) = (recall(lsh), recall(ivf))
     info(f"recall@5: lsh=$rLsh%.3f ivf=$rIvf%.3f")
-    assert(rLsh > 0.2, s"multi-probe LSH (5/16 of space) recall collapsed: $rLsh")
-    assert(rIvf > 0.3, s"IVF(probe 2/8) recall collapsed: $rIvf")
+    assert(rLsh > 0.6, s"3-table multi-probe LSH recall collapsed: $rLsh")
+    assert(rIvf > 0.89, s"IVF(kmeans cells, probe 3/8) recall collapsed: $rIvf")
   }
 }
