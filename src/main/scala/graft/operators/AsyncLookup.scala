@@ -12,20 +12,44 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * This is deliberately the brief's (d) tier — `mapPartitions` as a last
   * resort — because an external RPC cannot be expressed as a Catalyst plan.
   * The capacity bound is per PARTITION (so cluster-wide in-flight requests =
-  * capacity × partitions, same as Flink's per-subtask capacity). Requests
-  * within a capacity-sized batch run concurrently; emission preserves input
-  * order — i.e. Flink's orderedWait semantics with batch-granular
-  * concurrency.
+  * capacity × partitions, same as Flink's per-subtask capacity).
+  *
+  * Execution context: futures run on `ExecutionContext.global`, constructed
+  * INSIDE `mapPartitions` because an EC is not serializable and must not be
+  * captured in the closure. On an executor this is one shared ForkJoinPool
+  * per JVM — the analog of Flink's per-TaskManager async pool; requests are
+  * expected to be I/O-bound (the pool is not a CPU budget).
   */
 object AsyncLookup {
 
+  /** Input-order emission (Flink orderedWait) WITHOUT head-of-line blocking
+    * of the request window: a reorder buffer holds up to `capacity`
+    * INCOMPLETE requests; while the oldest (the only emittable one) is
+    * still running, every slot freed by a completing successor is refilled
+    * immediately, so one slow call delays only emission, never the launch
+    * of later requests. */
   def orderedWait[I, O: Encoder](ds: Dataset[I], capacity: Int,
                                  timeout: Duration)(asyncFn: I => Future[O]): Dataset[O] = {
     ds.mapPartitions { iter =>
       implicit val ec: ExecutionContext = ExecutionContext.global
-      iter.grouped(capacity).flatMap { batch =>
-        val inFlight = batch.map(asyncFn) // `capacity` requests in flight
-        Await.result(Future.sequence(inFlight), timeout)
+      new Iterator[O] {
+        // FIFO reorder buffer: emission order == launch order == input order
+        private val buffer = scala.collection.mutable.Queue.empty[Future[O]]
+        private def fill(): Unit =
+          while (buffer.count(!_.isCompleted) < capacity && iter.hasNext)
+            buffer += asyncFn(iter.next())
+        override def hasNext: Boolean = { fill(); buffer.nonEmpty }
+        override def next(): O = {
+          fill()
+          val head = buffer.head
+          while (!head.isCompleted) {
+            // wake on ANY completion so freed slots refill while the head runs
+            Await.ready(Future.firstCompletedOf(buffer.filter(!_.isCompleted).toSeq), timeout)
+            fill()
+          }
+          buffer.dequeue()
+          Await.result(head, Duration.Zero)
+        }
       }
     }
   }

@@ -87,7 +87,7 @@ object Iterate {
     *    rounds instead of O(diameter) — chains collapse exponentially fast. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25,
-                          localThreshold: Long = 4000000L): DataFrame = {
+                          localThreshold: Long = 500000L): DataFrame = {
     // materialize the caller's edge pipeline ONCE — it appears in both union
     // branches, and an un-materialized (possibly expensive) plan would be
     // evaluated twice when sym is first computed
@@ -97,7 +97,10 @@ object Iterate {
     // one union-find pass beats 2·log(diameter) shuffle rounds of the
     // distributed loop. Above it, the distributed fixpoint below runs —
     // that is the 100 TB path. (Flink's Gelly makes the same small-input
-    // shortcut through its local executor.)
+    // shortcut through its local executor.) The 500k default is sized for
+    // the boxed HashMap the union-find keeps (~100 B per edge incl. Tuple2
+    // boxing ⇒ ~50 MB, safe in a default 1 GB driver); raise it only with
+    // driver memory to match.
     if (e0.count() <= localThreshold) return localUnionFind(e0)
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))

@@ -30,7 +30,7 @@ case class CepAcc(pendingFirstMs: List[Long])
 case class Scored(tsMs: Long, value: Double)
 case class TopNAcc(top: List[Scored])
 case class TopNOut(user_id: Long, rank: Int, value: Double, ts: Timestamp)
-case class Tagged(user_id: Long, tsMs: Long, side: String)
+case class Tagged(user_id: Long, ts: Timestamp, side: String)
 case class CoAcc(leftMs: List[Long], rightMs: List[Long])
 case class MatchOut(user_id: Long, left_ts: Timestamp, right_ts: Timestamp)
 case class Partial(boundMs: List[Long]) // bound step times, newest first
@@ -156,25 +156,31 @@ object StreamOps {
     * current top `n` rows; whenever an arriving event changes the top set, the
     * refreshed ranking for that key is re-emitted (update semantics, so the
     * sink sees upsert-style rows exactly like Flink's retract stream).
-    * State is O(n) per key regardless of stream length. */
-  def streamingTopN(events: Dataset[Event], watermark: String, n: Int): Dataset[TopNOut] = {
+    * State is O(n) per key regardless of stream length; keys idle past
+    * `idleTtlMs` (event time) are evicted entirely — the Flink state-TTL
+    * analog, so an unbounded key space (user ids) cannot grow state forever. */
+  def streamingTopN(events: Dataset[Event], watermark: String, n: Int,
+                    idleTtlMs: Long = 86400000L): Dataset[TopNOut] = {
     implicit val outEnc = Encoders.product[TopNOut]
     implicit val accEnc = Encoders.product[TopNAcc]
     implicit val keyEnc = Encoders.scalaLong
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TopNAcc, TopNOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[TopNAcc]) =>
-          val prev = state.getOption.map(_.top).getOrElse(Nil)
-          // deterministic order: value desc, then event time asc as tie-break
-          val ord = Ordering.by((s: Scored) => (-s.value, s.tsMs))
-          val top = (prev ++ rows.map(e => Scored(e.ts.getTime, e.value)))
-            .sorted(ord).take(n)
-          if (top == prev) Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            val prev = state.getOption.map(_.top).getOrElse(Nil)
+            // deterministic order: value desc, then event time asc as tie-break
+            val ord = Ordering.by((s: Scored) => (-s.value, s.tsMs))
+            val arrived = rows.map(e => Scored(e.ts.getTime, e.value)).toList
+            val top = (prev ++ arrived).sorted(ord).take(n)
+            val maxTs = (arrived.map(_.tsMs) :+ state.getCurrentWatermarkMs()).max
             state.update(TopNAcc(top))
-            top.iterator.zipWithIndex.map { case (s, i) =>
+            state.setTimeoutTimestamp(maxTs + idleTtlMs)
+            if (top == prev) Iterator.empty
+            else top.iterator.zipWithIndex.map { case (s, i) =>
               TopNOut(userId, i + 1, s.value, new Timestamp(s.tsMs))
             }
           }
@@ -199,35 +205,54 @@ object StreamOps {
     * CoProcessFunction): two streams keyed the same share one keyed state.
     * Earliest-pending matching: a left event pairs with the earliest
     * unmatched right event for the key (and vice versa), emitted on arrival
-    * of the second side. State holds only unmatched timestamps. */
+    * of the second side. State holds only unmatched timestamps.
+    *
+    * Bounds: at most `maxPending` unmatched timestamps per key AND side are
+    * retained; when the buffer is full the NEWEST arrival is dropped
+    * (documented policy — earliest-pending semantics degrade predictably,
+    * because the retained earliest events are exactly the ones the contract
+    * promises to match first). Keys idle past `idleTtlMs` of event time are
+    * evicted wholesale (Flink state-TTL analog). */
   def coProcessMatch(left: Dataset[Event], right: Dataset[Event],
-                     watermark: String): Dataset[MatchOut] = {
+                     watermark: String, maxPending: Int = 1024,
+                     idleTtlMs: Long = 86400000L): Dataset[MatchOut] = {
     val spark = left.sparkSession
     import spark.implicits._
     implicit val accEnc = Encoders.product[CoAcc]
-    val tagged = left.withWatermark("ts", watermark)
-      .map(e => Tagged(e.user_id, e.ts.getTime, "L"))
-      .unionByName(right.withWatermark("ts", watermark)
-        .map(e => Tagged(e.user_id, e.ts.getTime, "R")))
+    // the event-time column must SURVIVE into the stateful operator for the
+    // event-time timeout, so Tagged keeps ts and the watermark is declared
+    // on the unioned stream
+    val tagged = left.map(e => Tagged(e.user_id, e.ts, "L"))
+      .unionByName(right.map(e => Tagged(e.user_id, e.ts, "R")))
+      .withWatermark("ts", watermark)
     tagged.groupByKey(_.user_id)
       .flatMapGroupsWithState[CoAcc, MatchOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Tagged], state: GroupState[CoAcc]) =>
-          var acc = state.getOption.getOrElse(CoAcc(Nil, Nil))
-          val out = Seq.newBuilder[MatchOut]
-          rows.toSeq.sortBy(t => (t.tsMs, t.side)).foreach { t =>
-            if (t.side == "L") acc.rightMs.sorted.headOption match {
-              case Some(r) => out += MatchOut(userId, new Timestamp(t.tsMs), new Timestamp(r))
-                acc = CoAcc(acc.leftMs, acc.rightMs.diff(List(r)))
-              case None => acc = CoAcc((t.tsMs :: acc.leftMs).take(1024), acc.rightMs)
-            } else acc.leftMs.sorted.headOption match {
-              case Some(l) => out += MatchOut(userId, new Timestamp(l), new Timestamp(t.tsMs))
-                acc = CoAcc(acc.leftMs.diff(List(l)), acc.rightMs)
-              case None => acc = CoAcc(acc.leftMs, (t.tsMs :: acc.rightMs).take(1024))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var acc = state.getOption.getOrElse(CoAcc(Nil, Nil))
+            val out = Seq.newBuilder[MatchOut]
+            def bounded(pending: List[Long], t: Long): List[Long] =
+              if (pending.size < maxPending) t :: pending else pending // drop newest
+            var maxTs = state.getCurrentWatermarkMs()
+            rows.toSeq.sortBy(t => (t.ts.getTime, t.side)).foreach { t =>
+              val tMs = t.ts.getTime
+              maxTs = math.max(maxTs, tMs)
+              if (t.side == "L") acc.rightMs.sorted.headOption match {
+                case Some(r) => out += MatchOut(userId, new Timestamp(tMs), new Timestamp(r))
+                  acc = CoAcc(acc.leftMs, acc.rightMs.diff(List(r)))
+                case None => acc = CoAcc(bounded(acc.leftMs, tMs), acc.rightMs)
+              } else acc.leftMs.sorted.headOption match {
+                case Some(l) => out += MatchOut(userId, new Timestamp(l), new Timestamp(tMs))
+                  acc = CoAcc(acc.leftMs.diff(List(l)), acc.rightMs)
+                case None => acc = CoAcc(acc.leftMs, bounded(acc.rightMs, tMs))
+              }
             }
+            state.update(acc)
+            state.setTimeoutTimestamp(maxTs + idleTtlMs)
+            out.result().iterator
           }
-          state.update(acc)
-          out.result().iterator
       }
   }
 
@@ -237,8 +262,12 @@ object StreamOps {
     * later step binds the first following event matching its predicate
     * within `withinMs` of the start. Completed matches emit immediately.
     * Negative (notFollowedBy) endings need window-expiry emission and are
-    * batch-only. State per key is bounded: at most `maxPartials` open
-    * partial matches survive a micro-batch. */
+    * batch-only. State per key is bounded two ways: at most `maxPartials`
+    * open partial matches survive a micro-batch (newest starts kept — the
+    * oldest are closest to expiry anyway), and expired partials are pruned
+    * against the watermark with an event-time timeout, so a key that stops
+    * sending events still releases its state once its window passes (Flink
+    * NFA pruning + state-TTL analog). */
   def cepPattern(events: Dataset[Event], watermark: String,
                  steps: Seq[Event => Boolean], withinMs: Long,
                  maxPartials: Int = 256): Dataset[PatternMatch] = {
@@ -249,11 +278,14 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[CepPatternAcc, PatternMatch](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[CepPatternAcc]) =>
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           val out = Seq.newBuilder[PatternMatch]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          // deterministic within-batch order on equal timestamps (mirrors
+          // coProcessMatch's tie-break; batch Pattern.detect resolves ties by
+          // min-aggregation, so equal-ts processing order must be stable)
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
             val t = e.ts.getTime
             // advance every open partial expecting its next step (earliest binds:
             // events arrive time-sorted, so the first candidate wins)
@@ -272,10 +304,114 @@ object StreamOps {
             }
             if (steps.head(e)) partials = (Partial(List(t)) :: partials).take(maxPartials)
           }
-          state.update(CepPatternAcc(partials))
+          // watermark pruning: a partial whose window closed at-or-before the
+          // watermark can never complete (no event <= watermark will arrive)
+          val wm = state.getCurrentWatermarkMs()
+          partials = partials.filter(_.boundMs.last + withinMs > wm)
+          if (partials.isEmpty) state.remove()
+          else {
+            state.update(CepPatternAcc(partials))
+            // earliest still-open window end is > wm by the filter above
+            state.setTimeoutTimestamp(partials.map(_.boundMs.last + withinMs).min)
+          }
           out.result().iterator
       }
   }
+
+  /** Late-data side output + allowedLateness analog (reference
+    * flink-streaming-java/.../datastream/WindowedStream.java:158,
+    * `allowedLateness` / `sideOutputLateData`): Structured Streaming DROPS
+    * sub-watermark rows inside stateful aggregations with no routing hook,
+    * so the split happens in `foreachBatch` against a driver-maintained
+    * watermark — max event time seen in PRIOR batches minus `delayMs`, the
+    * same definition Spark itself uses, and the same runtime state a Flink
+    * periodic WatermarkGenerator keeps (reset on restart exactly like the
+    * generator; rows are then simply on-time again, which only widens the
+    * on-time set — safe for the Flink contract).
+    *
+    * Rows with ts < watermark go to `late`, the rest to `onTime`; the first
+    * batch has no watermark yet, so everything is on-time. The batch is
+    * persisted so the source micro-batch is read once for both routes. */
+  def lateDataSplit(stream: DataFrame, tsCol: String, delayMs: Long,
+                    onTime: DataFrame => Unit, late: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val maxSeenMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val prevMax = maxSeenMs.get()
+      batch.persist()
+      try {
+        if (prevMax == Long.MinValue) {
+          late(batch.limit(0)); onTime(batch)
+        } else {
+          val wm = new Timestamp(prevMax - delayMs)
+          late(batch.filter(col(tsCol) < lit(wm)))
+          onTime(batch.filter(col(tsCol) >= lit(wm)))
+        }
+        val m = batch.agg(max(col(tsCol))).head.get(0)
+        if (m != null) maxSeenMs.getAndUpdate(cur => math.max(cur, m.asInstanceOf[Timestamp].getTime))
+        ()
+      } finally batch.unpersist()
+    }
+  }
+
+  // ---------- Kafka source/sink (the reference's most-used connector) ----------
+  // FlinkKafkaConsumer/Producer analog (reference flink-connectors/
+  // flink-connector-kafka/src/main/java/org/apache/flink/streaming/
+  // connectors/kafka/FlinkKafkaConsumer.java, FlinkKafkaProducer.java) over
+  // Spark's built-in `kafka` format. Semantics mapping:
+  //  - setStartFromEarliest/Latest/GroupOffsets  → startingOffsets =
+  //    "earliest"/"latest" (group offsets have no SS equivalent: Structured
+  //    Streaming owns offsets in the query CHECKPOINT, not in Kafka's
+  //    consumer-group store — pass a checkpointLocation to the writer).
+  //  - Flink exactly-once (offsets in checkpoint + transactional producer) →
+  //    SS offsets in checkpoint + idempotent/transactional sink; the kafka
+  //    writer is at-least-once, end-to-end exactly-once needs downstream
+  //    dedup exactly as with FlinkKafkaProducer.Semantic.AT_LEAST_ONCE.
+  // The wire schema Spark's kafka source emits (and [[decodeKafka]] parses)
+  // is fixed: key/value BINARY, topic STRING, partition INT, offset LONG,
+  // timestamp TIMESTAMP, timestampType INT.
+
+  /** Raw kafka source stream (wire schema, see above). Requires the
+    * spark-sql-kafka connector on the classpath at `load()` time. */
+  def kafkaRaw(spark: org.apache.spark.sql.SparkSession, bootstrap: String,
+               topics: String, startingOffsets: String = "earliest",
+               options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .option("startingOffsets", startingOffsets)
+      .options(options)
+      .load()
+
+  /** Decode the kafka wire schema into typed columns — the
+    * SimpleStringSchema / KafkaDeserializationSchema analog. Kept separate
+    * from [[kafkaRaw]] so the transform is testable against any source with
+    * the same schema (MemoryStream substitution in specs). */
+  def decodeKafka(raw: DataFrame): DataFrame =
+    raw.select(col("key").cast("string").as("key"),
+      col("value").cast("string").as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** FlinkKafkaConsumer analog: subscribe + decode. */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession, bootstrap: String,
+                  topics: String, startingOffsets: String = "earliest"): DataFrame =
+    decodeKafka(kafkaRaw(spark, bootstrap, topics, startingOffsets))
+
+  /** Encode arbitrary columns into the kafka producer record shape:
+    * key = `keyCol` as string, value = JSON of `valueCols`. */
+  def encodeKafka(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+                  valueCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(keyCol.cast("string").as("key"),
+      to_json(struct(valueCols: _*)).as("value"))
+
+  /** FlinkKafkaProducer analog: writer configured for the `kafka` format.
+    * `checkpointDir` carries the source offsets that make the pipeline
+    * restart-consistent (the Flink checkpoint analog). */
+  def kafkaSink(encoded: DataFrame, bootstrap: String, topic: String,
+                checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    encoded.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
 
   /** Stream-static enrichment (broadcast dimension join). */
   def streamStaticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =

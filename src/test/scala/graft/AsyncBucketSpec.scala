@@ -20,6 +20,28 @@ class AsyncBucketSpec extends AnyFunSuite with SparkTest {
     assert(rows.length == 100 && rows.head == ((1L, "svc-1")))
   }
 
+  test("orderedWait: slow head blocks emission only, not later launches") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    AsyncProbe.launches.clear()
+    val t0 = System.nanoTime()
+    val ds = (1L to 12L).toDS().repartition(1)
+    val out = AsyncLookup.orderedWait(ds, capacity = 4, timeout = 30.seconds) { id =>
+      AsyncProbe.launches.put(id, (System.nanoTime() - t0) / 1000000L)
+      Future { Thread.sleep(if (id == 1) 600 else 20); (id, s"svc-$id") }
+    }.collect().toSeq
+    assert(out == (1L to 12L).map(id => (id, s"svc-$id")),
+      s"emission must preserve input order: $out")
+    // items 5..12 fit only in slots freed by completing successors of the
+    // slow head — with batch-granular concurrency they would launch after
+    // the 600 ms head finishes; the rolling window launches them well
+    // before (relative to item 1's launch, excluding task-start overhead)
+    val start = AsyncProbe.launches.get(1L)
+    (5L to 12L).foreach { id =>
+      val at = AsyncProbe.launches.get(id) - start
+      assert(at < 500, s"item $id launched at +${at}ms — window stalled behind slow head")
+    }
+  }
+
   test("AsyncLookup.unorderedWait emits in completion order, not input order") {
     import scala.concurrent.ExecutionContext.Implicits.global
     val ds = (1L to 8L).toDS().repartition(1)
@@ -58,4 +80,10 @@ class AsyncBucketSpec extends AnyFunSuite with SparkTest {
       assert(joined.count() == Tables.load(spark, sfDir, "lineitem").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+}
+
+/** Launch-time probe for the rolling-window test (local mode ⇒ one JVM, so
+  * a static map is visible across the task/driver boundary). */
+object AsyncProbe {
+  val launches = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
 }

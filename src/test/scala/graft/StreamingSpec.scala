@@ -260,6 +260,23 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(rows == Seq((1L, Seq(at(10), at(20), at(30)))))
   }
 
+  test("lateDataSplit routes sub-watermark rows to the late sink; on-time aggregates unchanged") {
+    val in = MemoryStream[Event]
+    val lateTs = scala.collection.mutable.ArrayBuffer.empty[Timestamp]
+    val onTimeTs = scala.collection.mutable.ArrayBuffer.empty[Timestamp]
+    val q = StreamOps.lateDataSplit(in.toDF(), "ts", 60000L,
+      onTime = b => onTimeTs ++= b.select("ts").as[Timestamp].collect(),
+      late = b => lateTs ++= b.select("ts").as[Timestamp].collect()).start()
+    in.addData(Event(1, at(1000), "click", 1.0)) // batch 1: no watermark yet
+    q.processAllAvailable()
+    // batch 2: watermark = 1000s - 60s = 940s; 100s is late, 1010s on-time
+    in.addData(Event(1, at(100), "stale", 1.0), Event(1, at(1010), "click", 2.0))
+    q.processAllAvailable(); q.stop()
+    assert(lateTs.toSeq == Seq(at(100)), s"late sink got $lateTs")
+    assert(onTimeTs.sorted.toSeq == Seq(at(1000), at(1010)),
+      s"on-time rows must be exactly the non-late ones: $onTimeTs")
+  }
+
   test("late data beyond the watermark is dropped and observable in metrics") {
     // Flink's allowed-lateness/late-side-output story maps to Spark as:
     // rows older than the watermark are dropped, and the drop count is
