@@ -212,16 +212,53 @@ object WindowQueries {
       |       GROUP BY 1, 2, 3)
       |SELECT user_id AS key, signup_ts, click_ts, purchase_ts FROM m2""".stripMargin
 
+  // --- m01: MATCH_RECOGNIZE SQL front door (graft.cep.MatchRecognize) ---
+  // The SQL text plans through the subset parser onto the same Pattern
+  // combinators as w11 (reference StreamExecMatch.scala / flink-cep): view,
+  // then TWO successive clicks, then a purchase, all within 24h of the view.
+  // FIRST/LAST index into the quantified click bindings.
+  private val m01: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES A.ts AS view_ts, FIRST(B.ts) AS first_click_ts,
+        |           LAST(B.ts) AS last_click_ts, C.ts AS purchase_ts
+        |  PATTERN (A B{2} C)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m01Sql =
+    """WITH a AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT a.user_id, a.ts AS t0, min(b.ts) AS t1
+      |       FROM a JOIN b ON b.user_id = a.user_id AND b.ts > a.ts
+      |                    AND b.ts <= a.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, t0, t1, min(b.ts) AS t2
+      |       FROM m1 JOIN b ON b.user_id = m1.user_id AND b.ts > t1
+      |                     AND b.ts <= t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3),
+      |m3 AS (SELECT m2.user_id, t0, t1, t2, min(c.ts) AS t3
+      |       FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts > t2
+      |                     AND c.ts <= t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT user_id, t0 AS view_ts, t1 AS first_click_ts, t2 AS last_click_ts,
+      | t3 AS purchase_ts FROM m3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
     "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06,
     "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
-    "w10_cep_measures" -> w10, "w11_cep_pattern_api" -> w11)
+    "w10_cep_measures" -> w10, "w11_cep_pattern_api" -> w11,
+    "m01_match_recognize" -> m01)
 
   val oracles: Map[String, String] = Map(
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
     "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql,
     "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql,
     "w09_cep_quantified" -> w09Sql, "w10_cep_measures" -> w10Sql,
-    "w11_cep_pattern_api" -> w11Sql)
+    "w11_cep_pattern_api" -> w11Sql, "m01_match_recognize" -> m01Sql)
 }
