@@ -24,20 +24,21 @@ import org.apache.spark.sql.functions._
   * (broadcast small sides, skew-split hot keys). An NFA translation would
   * serialize per key; this stays embarrassingly parallel in the key space.
   */
-final case class Step(name: String, pred: Column, reps: Int = 1, opt: Boolean = false)
+final case class Step(name: String, pred: Column, reps: Int = 1,
+                      opt: Boolean = false, oneOrMore: Boolean = false)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
-                             windowMs: Option[Long]) {
+                             windowMs: Option[Long], skipPastLast: Boolean = false) {
 
   def followedBy(name: String, pred: Column): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
-    new Pattern(steps :+ Step(name, pred), notStep, windowMs)
+    new Pattern(steps :+ Step(name, pred), notStep, windowMs, skipPastLast)
   }
 
   /** Quantifier on the LAST added step: bind n successive occurrences. */
   def times(n: Int): Pattern = {
     require(n >= 1 && steps.nonEmpty)
-    new Pattern(steps.init :+ steps.last.copy(reps = n), notStep, windowMs)
+    new Pattern(steps.init :+ steps.last.copy(reps = n), notStep, windowMs, skipPastLast)
   }
 
   /** Make the LAST added step optional (flink-cep `optional()`): a match may
@@ -46,26 +47,51 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def optional(): Pattern = {
     require(steps.size >= 2, "optional() applies to a followedBy step")
     require(steps.last.reps == 1, "optional() and times(n) are exclusive")
-    new Pattern(steps.init :+ steps.last.copy(opt = true), notStep, windowMs)
+    new Pattern(steps.init :+ steps.last.copy(opt = true), notStep, windowMs, skipPastLast)
   }
 
+  /** flink-cep `oneOrMore()` (default/reluctant contiguity): the LAST added
+    * step binds its first occurrence as usual, the NEXT step binds at the
+    * earliest opportunity after it, and the emitted match reports the whole
+    * run of occurrences strictly before that next binding (or to the window
+    * end when this is the final step): columns `<name>_first_ts`,
+    * `<name>_last_ts`, `<name>_n` replace `<name>_ts`. */
+  def oneOrMore(): Pattern = {
+    require(steps.size >= 2, "oneOrMore() applies to a followedBy step")
+    require(steps.last.reps == 1 && !steps.last.opt,
+      "oneOrMore() excludes times(n)/optional()")
+    new Pattern(steps.init :+ steps.last.copy(oneOrMore = true), notStep, windowMs, skipPastLast)
+  }
+
+  /** flink-cep AfterMatchSkipStrategy.skipPastLastEvent() (reference
+    * flink-libraries/flink-cep/.../nfa/aftermatch/AfterMatchSkipStrategy
+    * .java): once a match is emitted, candidate matches starting at or
+    * before its last bound event are discarded — per key, matches are kept
+    * greedily in start-time order. Default (without this) is NO_SKIP: every
+    * first-step event may start its own match. */
+  def afterMatchSkipPastLastEvent(): Pattern =
+    new Pattern(steps, notStep, windowMs, skipPastLast = true)
+
   def notFollowedBy(name: String, pred: Column): Pattern =
-    new Pattern(steps, Some(Step(name, pred)), windowMs)
+    new Pattern(steps, Some(Step(name, pred)), windowMs, skipPastLast)
 
   /** Match window measured from the first step's event time. */
-  def within(ms: Long): Pattern = new Pattern(steps, notStep, Some(ms))
+  def within(ms: Long): Pattern = new Pattern(steps, notStep, Some(ms), skipPastLast)
 
   /** Compile to a DataFrame of matches: one row per match, one `<name>_ts`
-    * column per binding (suffixed `_1.._n` for quantified steps). */
+    * column per binding (suffixed `_1.._n` for quantified steps;
+    * `_first_ts`/`_last_ts`/`_n` for oneOrMore runs). */
   def detect(events: DataFrame, key: Column, ts: Column): DataFrame = {
     require(windowMs.nonEmpty, "call within(...) before detect")
+    require(notStep.isEmpty || !steps.exists(_.oneOrMore),
+      "oneOrMore() with a terminal notFollowedBy is not supported")
     // exact millisecond interval: integer-dividing into whole seconds would
     // silently shrink windows like within(1500) and break parity with the
     // streaming cepPattern, which honors withinMs exactly
     val win = expr(s"INTERVAL ${windowMs.get} MILLISECONDS")
-    val expanded: Vector[(String, Column, Boolean)] = steps.flatMap { s =>
-      if (s.reps == 1) Vector((s.name, s.pred, s.opt))
-      else (1 to s.reps).map(i => (s"${s.name}_$i", s.pred, false)).toVector
+    val expanded: Vector[(String, Column, Boolean, Boolean)] = steps.flatMap { s =>
+      if (s.reps == 1) Vector((s.name, s.pred, s.opt, s.oneOrMore))
+      else (1 to s.reps).map(i => (s"${s.name}_$i", s.pred, false, false)).toVector
     }
     val first = expanded.head
     var out = events.filter(first._2)
@@ -74,7 +100,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // the "time of the previous binding": for optional steps this falls back
     // to the binding before them when the step was skipped
     var prevTs: Column = col(startTs)
-    expanded.tail.foreach { case (name, pred, opt) =>
+    expanded.tail.foreach { case (name, pred, opt, _) =>
       val cand = events.filter(pred).select(key.as("__k2"), ts.as("__cts"))
       val kept = out.columns.map(col)
       out = out.join(cand,
@@ -91,7 +117,50 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         col("__k") === col("__k2") && col("__cts") > prevTs &&
           col("__cts") <= col(startTs) + win, "left_anti")
     }
-    out.withColumnRenamed("__k", "key")
+    // oneOrMore run aggregation: the chain above bound the FIRST occurrence;
+    // one more keyed equi-join collects the run up to the next binding (or
+    // the window end when the run ends the pattern)
+    expanded.zipWithIndex.filter(_._1._4).foreach { case ((name, pred, _, _), i) =>
+      val nextName = expanded.lift(i + 1).map(_._1)
+      val cand = events.filter(pred).select(key.as("__k3"), ts.as("__rts"))
+      val upperCond = nextName match {
+        case Some(nx) => col("__rts") < col(s"${nx}_ts")
+        case None => col("__rts") <= col(startTs) + win
+      }
+      val kept = out.columns.map(col)
+      out = out.join(cand,
+          col("__k") === col("__k3") && col("__rts") >= col(s"${name}_ts") && upperCond)
+        .groupBy(kept.toIndexedSeq: _*)
+        .agg(max(col("__rts")).as(s"${name}_last_ts"), count(lit(1)).as(s"${name}_n"))
+        .withColumnRenamed(s"${name}_ts", s"${name}_first_ts")
+    }
+    val matches = out.withColumnRenamed("__k", "key")
+    if (!skipPastLast) matches else applySkipPastLast(matches, startName = startTs)
+  }
+
+  /** SKIP_PAST_LAST_EVENT: greedy per-key selection in start order — kept
+    * matches must start strictly after the last bound event of the previous
+    * kept match. Runs as one flatMapGroups per key (parallel in the key
+    * space; per-key match lists are window-bounded). */
+  private def applySkipPastLast(matches: DataFrame, startName: String): DataFrame = {
+    val schema = matches.schema
+    val keyIdx = schema.fieldIndex("key")
+    val startIdx = schema.fieldIndex(startName)
+    val tsIdx = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == org.apache.spark.sql.types.TimestampType => i
+    }
+    implicit val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+    matches.groupByKey(r => String.valueOf(r.get(keyIdx)))(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        def endOf(r: org.apache.spark.sql.Row): Long =
+          tsIdx.flatMap(i => Option(r.getTimestamp(i)).map(_.getTime)).max
+        val rows = it.toSeq.sortBy(r => (r.getTimestamp(startIdx).getTime, endOf(r)))
+        var lastEnd = Long.MinValue
+        rows.iterator.filter { r =>
+          if (r.getTimestamp(startIdx).getTime > lastEnd) { lastEnd = endOf(r); true }
+          else false
+        }
+      }
   }
 }
 

@@ -43,6 +43,56 @@ object StubDecoder extends BinaryDecoder {
     (12L until bytes.length.toLong by everyN.toLong).toSeq
 }
 
+/** REAL pure-JVM header parser for the three ubiquitous image containers —
+  * no native libs needed, so `imageMeta` is not a stub for actual JPEG/PNG/
+  * GIF bytes:
+  *  - JPEG: walk the marker segments from SOI to the first SOFn
+  *    (baseline/progressive frame header) and read height/width from it.
+  *  - PNG: IHDR is mandated to be the first chunk; width/height are the
+  *    8 bytes after the chunk type.
+  *  - GIF: logical screen descriptor, little-endian dims at offset 6.
+  * `features`/`frameOffsets` still require a codec (pixel decode) and keep
+  * deterministic byte-statistics placeholders — clearly marked, as real
+  * deployments plug a codec-backed [[BinaryDecoder]]. */
+object ImageHeaderDecoder extends BinaryDecoder {
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  def imageMeta(bytes: Array[Byte]): (Int, Int, String) = {
+    require(bytes.length >= 10, "not an image header")
+    if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) { // JPEG SOI
+      var off = 2
+      while (off + 9 < bytes.length) {
+        if ((bytes(off) & 0xff) != 0xff) sys.error("bad JPEG marker stream")
+        val marker = bytes(off + 1) & 0xff
+        val len = u16(bytes, off + 2)
+        // SOFn frame headers (C0-CF except DHT C4, JPG C8, DAC CC):
+        // [len][precision][height:2][width:2]...
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return (u16(bytes, off + 7), u16(bytes, off + 5), "jpeg")
+        off += 2 + len
+      }
+      sys.error("JPEG without SOF frame header")
+    } else if (bytes.length >= 24 && i32(bytes, 0) == 0x89504e47) { // PNG
+      (i32(bytes, 16), i32(bytes, 20), "png")
+    } else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
+      (u16le(bytes, 6), u16le(bytes, 8), "gif")
+    } else sys.error("unknown image container")
+  }
+
+  // codec-requiring paths: deterministic placeholders (see scaladoc)
+  def features(bytes: Array[Byte], dim: Int): Array[Float] =
+    StubDecoder.features(bytes, dim)
+  def frameOffsets(bytes: Array[Byte], everyN: Int): Seq[Long] =
+    StubDecoder.frameOffsets(bytes, everyN)
+}
+
 object MultimodalOps {
   case class MediaRow(media_id: Long, media: Array[Byte])
   case class ImageMeta(media_id: Long, width: Int, height: Int, format: String)

@@ -151,11 +151,17 @@ object Iterate {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
                interRoundDp: Int = 9): DataFrame = {
+    // edges are pre-partitioned on src ONCE: every iteration's contribution
+    // join shuffles only the (small) rank table, the edge side reads the
+    // cached partitioning — without this, the dominant edge shuffle repeats
+    // per superstep
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct().repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
+    // reuses e's src partitioning: no extra exchange
     val outd = e.groupBy("src").agg(count(lit(1)).as("odeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = verts.select(col("id"),

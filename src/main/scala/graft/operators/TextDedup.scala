@@ -75,12 +75,14 @@ object TextDedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, bands: Int = 2, rowsPerBand: Int = 4,
                         maxBucketSize: Int = 100): DataFrame = {
-    val bk0 = lshBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+    // the cap is a windowed count over EXACTLY the join key, so the one
+    // shuffle that sizes the buckets also co-partitions both join sides —
+    // cheaper than a count-aggregate + semi-join back
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    val bk = lshBands(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val small = bk0.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") <= maxBucketSize)
-      .select("band", "bkey")
-    val bk = bk0.join(small, Seq("band", "bkey"))
     val a = bk.select(col(idCol).as("doc_a"), col("band"), col("bkey"))
     val b = bk.select(col(idCol).as("doc_b"), col("band").as("band_b"), col("bkey").as("bkey_b"))
     a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&

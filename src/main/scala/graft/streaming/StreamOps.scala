@@ -63,6 +63,53 @@ object StreamOps {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Processing-time tumbling window (reference flink-streaming-java/.../
+    * windowing/assigners/TumblingProcessingTimeWindows.java): rows are
+    * bucketed by WALL-clock arrival, the ops-dashboard semantics Flink users
+    * reach for when event time doesn't matter. In a micro-batch engine the
+    * arrival time is the batch timestamp (`current_timestamp()` is constant
+    * per micro-batch), and a zero-delay watermark on it closes windows as
+    * the wall clock passes them. */
+  def processingTimeTumbleAgg(events: DataFrame, size: String): DataFrame =
+    events.withColumn("proc_ts", current_timestamp())
+      .withWatermark("proc_ts", "0 seconds")
+      .groupBy(window(col("proc_ts"), size).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Processing-time session timer (reference KeyedProcessFunction +
+    * `registerProcessingTimeTimer`, TumblingProcessingTimeWindows' timer
+    * service): the session closes `gapMs` of WALL time after the key's last
+    * arrival, regardless of event-time watermarks — no watermark required.
+    * Session bounds in the output are still the observed event times. */
+  def sessionizeProcessingTime(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val accEnc = Encoders.product[SessionAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(acc.startMs),
+              new Timestamp(acc.lastMs + gapMs), acc.n, acc.sum))
+          } else {
+            var acc = state.getOption.orNull
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              acc = if (acc == null) SessionAcc(t, t, 1L, e.value)
+              else SessionAcc(math.min(acc.startMs, t), math.max(acc.lastMs, t),
+                acc.n + 1, acc.sum + e.value)
+            }
+            state.update(acc)
+            state.setTimeoutDuration(gapMs) // wall-clock timer, reset on arrival
+            Iterator.empty
+          }
+      }
+  }
+
   /** Keyed dedup under a watermark (Blink deduplicate-keep-first). */
   def dedupWithinWatermark(events: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

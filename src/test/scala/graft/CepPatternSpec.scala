@@ -76,6 +76,49 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(m == Set((1L, Some(at(10)), at(30)), (4L, None, at(15))))
   }
 
+  test("oneOrMore() binds the whole run before the next step's binding") {
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").oneOrMore()
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(events, $"user_id", $"ts")
+      .collect()
+    // user 1: clicks at 10 and 20 both precede the purchase at 30
+    assert(m.length == 1 && m.head.getAs[Long]("key") == 1L)
+    assert(m.head.getAs[Timestamp]("click_first_ts") == at(10))
+    assert(m.head.getAs[Timestamp]("click_last_ts") == at(20))
+    assert(m.head.getAs[Long]("click_n") == 2L)
+  }
+
+  test("oneOrMore() as the final step runs to the window end") {
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").oneOrMore()
+      .within(HOUR)
+      .detect(events, $"user_id", $"ts")
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("click_n"))).toMap
+    assert(m == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("afterMatchSkipPastLastEvent keeps only non-overlapping matches") {
+    // user 5: s@0 c@10, s@20 c@30, s@25 c@40 — NO_SKIP yields 3 matches;
+    // skip-past-last keeps (0,10) and (20,30), discarding the start at 25
+    // which lies inside the second kept match
+    val ev5 = Seq(
+      (5L, at(0), "signup"), (5L, at(10), "click"),
+      (5L, at(20), "signup"), (5L, at(25), "signup"), (5L, at(30), "click"),
+      (5L, at(40), "click")
+    ).toDF("user_id", "ts", "event_type")
+    def pat = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click")
+      .within(HOUR)
+    val all = pat.detect(ev5, $"user_id", $"ts").collect()
+    assert(all.length == 3, "NO_SKIP emits one match per start event")
+    val kept = pat.afterMatchSkipPastLastEvent()
+      .detect(ev5, $"user_id", $"ts")
+      .collect().map(r => (r.getAs[Timestamp]("signup_ts"), r.getAs[Timestamp]("click_ts"))).toSet
+    assert(kept == Set((at(0), at(10)), (at(20), at(30))))
+  }
+
   test("batch Pattern.detect and streaming cepPattern agree on the same input") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

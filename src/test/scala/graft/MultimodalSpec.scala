@@ -2,7 +2,7 @@ package graft
 
 import java.nio.ByteBuffer
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.{MultimodalOps, StubDecoder}
+import graft.multimodal.{ImageHeaderDecoder, MultimodalOps, StubDecoder}
 import graft.multimodal.MultimodalOps.MediaRow
 
 /** §2.7 — binary-column plumbing with the stub decoder (no native codecs in
@@ -39,6 +39,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     val again = MultimodalOps.featureExtract(ds, StubDecoder, dim = 8).collect()
     assert(feats.sortBy(_.media_id).map(_.features.toSeq).toSeq ==
       again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
+  }
+
+  test("ImageHeaderDecoder parses real JPEG/PNG/GIF headers (no stub)") {
+    // JPEG: SOI, APP0 (len 16), SOF0 (len 17): precision 8, height 480, width 640
+    val jpeg = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01
+    ).map(_.toByte)
+    assert(ImageHeaderDecoder.imageMeta(jpeg) == ((640, 480, "jpeg")))
+    // PNG: signature + IHDR chunk (width 320, height 200)
+    val png = (Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x01, 0x40, 0x00, 0x00, 0x00, 0xc8,
+      0x08, 0x06, 0x00, 0x00, 0x00)).map(_.toByte)
+    assert(ImageHeaderDecoder.imageMeta(png) == ((320, 200, "png")))
+    // GIF89a: little-endian logical screen 1024 x 768
+    val gif = (Array[Int]('G', 'I', 'F', '8', '9', 'a',
+      0x00, 0x04, 0x00, 0x03, 0xf7, 0x00, 0x00)).map(_.toByte)
+    assert(ImageHeaderDecoder.imageMeta(gif) == ((1024, 768, "gif")))
+    // and it drives the same partition-wise pipeline as the stub
+    val ds = Seq(MediaRow(1L, jpeg), MediaRow(2L, png), MediaRow(3L, gif)).toDS()
+    val metas = MultimodalOps.decodeImageMeta(ds, ImageHeaderDecoder)
+      .collect().sortBy(_.media_id).map(m => (m.width, m.height, m.format)).toSeq
+    assert(metas == Seq((640, 480, "jpeg"), (320, 200, "png"), (1024, 768, "gif")))
   }
 
   test("mediaStats: builtin-only size + magic sniffing") {

@@ -260,6 +260,39 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(rows == Seq((1L, Seq(at(10), at(20), at(30)))))
   }
 
+  test("processing-time tumbling window closes as the wall clock advances") {
+    val in = MemoryStream[Event]
+    val q = StreamOps.processingTimeTumbleAgg(in.toDF(), "1 second")
+      .writeStream.format("memory").queryName("s_proctime").outputMode("append").start()
+    in.addData(Event(1, at(10), "click", 1.0), Event(1, at(99999), "click", 2.0))
+    q.processAllAvailable()   // both rows share the batch timestamp bucket
+    Thread.sleep(1200)        // wall clock passes the 1s window
+    in.addData(Event(9, at(0), "noise", 0.0)) // next batch advances the proc watermark
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("s_proctime").filter($"event_type" === "click").collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n") == 2L,
+      s"event times far apart, same processing-time window: ${r.toSeq}")
+  }
+
+  test("sessionizeProcessingTime fires on a wall-clock gap, no watermark involved") {
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionizeProcessingTime(in.toDS(), gapMs = 500L).toDF()
+      .writeStream.format("memory").queryName("s_procsess").outputMode("append").start()
+    in.addData(Event(1, at(0), "click", 1.0), Event(1, at(10), "click", 2.5))
+    // do NOT processAllAvailable here: a ProcessingTimeTimeout operator keeps
+    // scheduling wall-clock timer batches, so the "all available" condition
+    // never settles — poll the sink for the timer-emitted session instead
+    // (the timer fires ~500ms after the arrival batch with no further input)
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    def emitted() = spark.table("s_procsess").filter($"user_id" === 1).collect()
+    var r = emitted()
+    while (r.isEmpty && System.nanoTime() < deadline) { Thread.sleep(100); r = emitted() }
+    q.stop()
+    assert(r.length == 1, "wall-clock timer must close the session unaided")
+    assert(r(0).getAs[Timestamp]("session_start") == at(0) &&
+      r(0).getAs[Long]("n") == 2L && r(0).getAs[Double]("sum_value") == 3.5)
+  }
+
   test("lateDataSplit routes sub-watermark rows to the late sink; on-time aggregates unchanged") {
     val in = MemoryStream[Event]
     val lateTs = scala.collection.mutable.ArrayBuffer.empty[Timestamp]
