@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * serialize per key; this stays embarrassingly parallel in the key space.
   */
 final case class Step(name: String, pred: Column, reps: Int = 1,
-                      opt: Boolean = false, oneOrMore: Boolean = false)
+                      opt: Boolean = false, oneOrMore: Boolean = false,
+                      until: Option[Column] = None)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false) {
@@ -61,6 +62,16 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.last.reps == 1 && !steps.last.opt,
       "oneOrMore() excludes times(n)/optional()")
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true), notStep, windowMs, skipPastLast)
+  }
+
+  /** flink-cep `until(cond)` on a preceding `oneOrMore()` step: the run
+    * stops accepting occurrences once a `cond` event (strictly after the
+    * run's first occurrence, same key, in-window) appears — run members are
+    * those before the EARLIEST such stop event. The first occurrence and the
+    * following steps are unaffected. */
+  def until(cond: Column): Pattern = {
+    require(steps.nonEmpty && steps.last.oneOrMore, "until() requires oneOrMore() on the step")
+    new Pattern(steps.init :+ steps.last.copy(until = Some(cond)), notStep, windowMs, skipPastLast)
   }
 
   /** flink-cep AfterMatchSkipStrategy.skipPastLastEvent() (reference
@@ -122,17 +133,31 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // the window end when the run ends the pattern)
     expanded.zipWithIndex.filter(_._1._4).foreach { case ((name, pred, _, _), i) =>
       val nextName = expanded.lift(i + 1).map(_._1)
+      // until(cond): bind the earliest stop event after the run's first
+      // occurrence; run members must precede it
+      steps.find(_.name == name).flatMap(_.until).foreach { uPred =>
+        val ucand = events.filter(uPred).select(key.as("__k5"), ts.as("__uts"))
+        val kept0 = out.columns.map(col)
+        out = out.join(ucand,
+            col("__k") === col("__k5") && col("__uts") > col(s"${name}_ts") &&
+              col("__uts") <= col(startTs) + win, "left_outer")
+          .groupBy(kept0.toIndexedSeq: _*)
+          .agg(min(col("__uts")).as("__until_ts"))
+      }
+      val hasUntil = steps.find(_.name == name).exists(_.until.nonEmpty)
       val cand = events.filter(pred).select(key.as("__k3"), ts.as("__rts"))
-      val upperCond = nextName match {
+      val upperCond = (nextName match {
         case Some(nx) => col("__rts") < col(s"${nx}_ts")
         case None => col("__rts") <= col(startTs) + win
-      }
+      }) && (if (hasUntil) col("__until_ts").isNull || col("__rts") < col("__until_ts")
+             else lit(true))
       val kept = out.columns.map(col)
       out = out.join(cand,
           col("__k") === col("__k3") && col("__rts") >= col(s"${name}_ts") && upperCond)
         .groupBy(kept.toIndexedSeq: _*)
         .agg(max(col("__rts")).as(s"${name}_last_ts"), count(lit(1)).as(s"${name}_n"))
         .withColumnRenamed(s"${name}_ts", s"${name}_first_ts")
+        .drop("__until_ts")
     }
     val matches = out.withColumnRenamed("__k", "key")
     if (!skipPastLast) matches else applySkipPastLast(matches, startName = startTs)

@@ -29,6 +29,36 @@ object Relational {
   def dedupFirstRow(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame =
     topNPerGroup(df, keys, orderBy, 1).drop("rn")
 
+  /** Two-pass histogram ranking — the 100 TB path for rank functions whose
+    * PARTITION BY has low cardinality: a plain window (q31's 5 order
+    * priorities) serializes each partition through one task at ANY cluster
+    * size. Pass 1 aggregates a (partition, value) histogram — a keyed
+    * map-side-combining shuffle, embarrassingly parallel, output rows =
+    * distinct values. Pass 2 runs the window over the TINY histogram (the
+    * per-partition sort now touches distinct values, not rows) and
+    * broadcast-joins the rank columns back to the fact rows. Emits exactly
+    * dense_rank / percent_rank / cume_dist of `ORDER BY valueCol` within
+    * `partCol` (6-dp rounding like the window variant): percent_rank =
+    * (#smaller)/(total-1), cume_dist = (#<=)/total — integer ratios, so the
+    * IEEE division matches any engine's native window functions bit-for-bit. */
+  def histogramRank(df: DataFrame, partCol: Column, valueCol: Column): DataFrame = {
+    val hist = df.groupBy(partCol.as("__p"), valueCol.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(col("__p")).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col("__p"))
+    val ranks = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__total", sum(col("__c")).over(wAll))
+      .select(col("__p"), col("__v"),
+        row_number().over(wOrd).cast("long").as("drk"),
+        when(col("__total") === 1, lit(0.0))
+          .otherwise(round((col("__cum") - col("__c")) / (col("__total") - 1), 6)).as("prk"),
+        round(col("__cum") / col("__total"), 6).as("cd"))
+    df.join(broadcast(ranks), partCol === col("__p") && valueCol === col("__v"))
+      .drop("__p", "__v")
+  }
+
   /** Flink OVER-window running aggregate (ROWS UNBOUNDED PRECEDING). */
   def runningAgg(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
                  agg: Column, asCol: String): DataFrame = {

@@ -154,13 +154,29 @@ object RelationalQueries4 {
     """SELECT r_name, o_orderpriority, r_name || '/' || o_orderpriority AS cell
       |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)""".stripMargin
 
+  // --- q38: two-pass histogram ranking — the 100 TB alternative to q31 ---
+  // Identical semantics and ORACLE as q31 (same window SQL), but the plan
+  // never sorts the fact table: the rank columns come from a histogram
+  // aggregate + a broadcast join back (Relational.histogramRank). The
+  // low-cardinality PARTITION BY that serializes q31's window touches only
+  // distinct bucket values here.
+  private val q38: Q = (s, dir) => {
+    val bucket = floor(col("o_totalprice") / 50000).cast("int")
+    val base = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), bucket.as("bucket"))
+    graft.operators.Relational.histogramRank(base, col("o_orderpriority"), col("bucket"))
+      .select("o_orderpriority", "o_orderkey", "bucket", "drk", "prk", "cd")
+  }
+  private val q38Sql = q31Sql
+
   val queries: Map[String, Q] = Map(
     "q30_grouping_sets" -> q30, "q31_rank_funcs" -> q31, "q32_unnest" -> q32,
     "q33_set_ops_all" -> q33, "q34_listagg" -> q34, "q35_approx_distinct" -> q35,
-    "q36_windowed_distinct" -> q36, "q37_cross" -> q37, "g01_generate_sequence" -> g01)
+    "q36_windowed_distinct" -> q36, "q37_cross" -> q37, "g01_generate_sequence" -> g01,
+    "q38_histogram_rank" -> q38)
   val oracles: Map[String, String] = Map(
     "q30_grouping_sets" -> q30Sql, "q31_rank_funcs" -> q31Sql, "q32_unnest" -> q32Sql,
     "q33_set_ops_all" -> q33Sql, "q34_listagg" -> q34Sql,
     "q36_windowed_distinct" -> q36Sql, "q37_cross" -> q37Sql,
-    "g01_generate_sequence" -> g01Sql)
+    "g01_generate_sequence" -> g01Sql, "q38_histogram_rank" -> q38Sql)
 }

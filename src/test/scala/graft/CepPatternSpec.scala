@@ -99,6 +99,28 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(m == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("until() stops the oneOrMore run at the first stop event") {
+    // user 6: signup@0, click@10, error@15, click@20, purchase@30 —
+    // until(error) bounds the click run to {10}; purchase still binds
+    val ev6 = Seq(
+      (6L, at(0), "signup"), (6L, at(10), "click"), (6L, at(15), "error"),
+      (6L, at(20), "click"), (6L, at(30), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    def base = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").oneOrMore()
+    val bounded = base.until($"event_type" === "error")
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR).detect(ev6, $"user_id", $"ts").collect()
+    assert(bounded.length == 1)
+    assert(bounded.head.getAs[Long]("click_n") == 1L &&
+      bounded.head.getAs[Timestamp]("click_last_ts") == at(10))
+    val unbounded = base
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR).detect(ev6, $"user_id", $"ts").collect()
+    assert(unbounded.head.getAs[Long]("click_n") == 2L,
+      "without until() the run extends to the next binding")
+  }
+
   test("afterMatchSkipPastLastEvent keeps only non-overlapping matches") {
     // user 5: s@0 c@10, s@20 c@30, s@25 c@40 — NO_SKIP yields 3 matches;
     // skip-past-last keeps (0,10) and (20,30), discarding the start at 25

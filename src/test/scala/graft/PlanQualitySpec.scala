@@ -88,6 +88,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"CC edge build must stay keyed:\n$p")
   }
 
+  test("q38 histogram rank never sorts the fact table (broadcast ranks back)") {
+    val p = planOf("q38_histogram_rank")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank columns must broadcast-join back to fact rows:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"histogram must partial-aggregate map-side:\n$p")
+  }
+
   test("q31 rank suite computes all three window functions in ONE Window node") {
     val p = planOf("q31_rank_funcs")
     assert("Window".r.findAllIn(p).length <= 2, // Window + WindowGroupLimit-free plan
