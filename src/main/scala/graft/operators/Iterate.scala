@@ -180,6 +180,40 @@ object Iterate {
     ranks
   }
 
+  /** Single-source shortest paths on the bulk-iteration substrate — the
+    * Gelly SingleSourceShortestPaths analog (reference flink-libraries/
+    * flink-gelly/src/main/java/org/apache/flink/graph/library/
+    * SingleSourceShortestPaths.java): `iters` rounds of Bellman-Ford
+    * relaxation (min-plus). Unreached vertices keep a NULL distance.
+    * Determinism: each round is
+    * dist_k(v) = min(dist_{k-1}(v), min_{(u,v,w)} dist_{k-1}(u) + w) — the
+    * same expression tree any SQL engine evaluates, so path sums are
+    * bit-identical by induction (no rounding needed when weights are exact
+    * binary fractions). Same scale shape as [[pageRank]]: edges
+    * pre-partitioned on src once, each round one keyed join + keyed min,
+    * eager lineage truncation per round. */
+  def sssp(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+           sourceId: Long, iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("double").as("w"))
+      .distinct().repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+    var dist = verts.select(col("id"),
+      when(col("id") === sourceId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"))
+      .localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      val relaxed = e.join(dist.filter(col("dist").isNotNull)
+          .select(col("id").as("rid"), col("dist").as("d0")), col("src") === col("rid"))
+        .select(col("dst").as("id"), (col("d0") + col("w")).as("dist"))
+      dist = dist.union(relaxed).groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Driver-side union-find for sub-threshold edge lists: union by min root
     * (the smaller root absorbs the larger, preserving the min-label
     * contract) with path compression. */

@@ -165,10 +165,46 @@ object LlmQueries2 {
        |SELECT id, round(rank, 6) AS pagerank FROM r$PrIters""".stripMargin
   }
 
+  // ---------- i03: single-source shortest paths (Bellman-Ford rounds) ----------
+  // Gelly SingleSourceShortestPaths analog on the same substrate as i01/i02.
+  // Edge weights are exact binary fractions (1 + (dst%8)/8), so min-plus path
+  // sums are bit-identical across engines with NO rounding; unreachable
+  // vertices stay NULL. Oracle unrolls all 4 relaxation rounds.
+  private val SsspIters = 4
+  private val i03: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
+    val edges = base.select(col("s").as("src"), col("c").as("dst"))
+      .union(base.select(col("c").as("src"), col("s").as("dst")))
+      .withColumn("w", lit(1.0) + (col("dst") % 8).cast("double") * lit(0.125))
+    Iterate.sssp(edges, "src", "dst", "w", sourceId = 1L, iters = SsspIters)
+  }
+  private val i03Sql = {
+    def round(prev: String, name: String): String =
+      s"""$name AS (SELECT id, min(dist) AS dist FROM (
+         |  SELECT id, dist FROM $prev
+         |  UNION ALL
+         |  SELECT e.dst AS id, r.dist + e.w AS dist
+         |  FROM $prev r JOIN e ON e.src = r.id WHERE r.dist IS NOT NULL) GROUP BY id)""".stripMargin
+    val rounds = (1 to SsspIters).map(i => round(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_suppkey AS s, 100000 + o_custkey AS c
+       |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e0 AS (SELECT s AS src, c AS dst FROM b UNION SELECT c, s FROM b),
+       |e AS (SELECT src, dst, 1.0::DOUBLE + (dst % 8)::DOUBLE * 0.125 AS w FROM e0),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT id, CASE WHEN id = 1 THEN 0.0::DOUBLE END AS dist FROM v),
+       |$rounds
+       |SELECT id, dist FROM r$SsspIters""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08,
-    "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02)
+    "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
+    "i03_sssp" -> i03)
   val oracles: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql, "d08_dedup_verdict" -> d08Sql,
-    "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql)
+    "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql,
+    "i03_sssp" -> i03Sql)
 }
