@@ -248,7 +248,21 @@ object WindowQueries {
       |SELECT user_id, t0 AS view_ts, t1 AS first_click_ts, t2 AS last_click_ts,
       | t3 AS purchase_ts FROM m3""".stripMargin
 
+  // --- w12: SQL-text windowed aggregate — the Flink SQL TUMBLE mapping ---
+  // Flink 1.10 SQL writes GROUP BY TUMBLE(ts, INTERVAL '1' HOUR); the Spark
+  // SQL spelling of the same thing is GROUP BY window(ts, '1 hour') — this
+  // query goes through the SQL front door end-to-end (text in, no DataFrame
+  // combinators) to pin that mapping at the correctness gate.
+  private val w12: Q = (s, dir) => {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql("""SELECT window(ts, '1 hour').start AS window_start, event_type,
+            |       count(*) AS n, round(sum(value), 4) AS sum_value
+            |FROM events GROUP BY window(ts, '1 hour'), event_type""".stripMargin)
+  }
+  private val w12Sql = w01Sql // identical semantics to the DataFrame tumble
+
   val queries: Map[String, Q] = Map(
+    "w12_sql_tumble" -> w12,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
     "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06,
     "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
@@ -256,6 +270,7 @@ object WindowQueries {
     "m01_match_recognize" -> m01)
 
   val oracles: Map[String, String] = Map(
+    "w12_sql_tumble" -> w12Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
     "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql,
     "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql,
