@@ -36,6 +36,11 @@ case class MatchOut(user_id: Long, left_ts: Timestamp, right_ts: Timestamp)
 case class Partial(boundMs: List[Long]) // bound step times, newest first
 case class CepPatternAcc(partials: List[Partial])
 case class PatternMatch(user_id: Long, step_ts: Seq[Timestamp])
+// oneOrMore runs carry only first/last/count — O(1) state per partial
+case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long, runN: Long)
+case class RunAcc(partials: List[RunPartial])
+case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
+                    run_last_ts: Timestamp, run_n: Long, last_ts: Timestamp)
 
 object StreamOps {
   type Event = graft.streaming.Event
@@ -459,6 +464,57 @@ object StreamOps {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
+
+  /** Streaming counterpart of `Pattern.oneOrMore()`: A B+ C — a first
+    * event opens a partial, B-run occurrences accumulate as O(1) stats
+    * (first/last/count, no member list), and the earliest C strictly after
+    * the run's first B completes the match. Same semantics as the batch
+    * compile (run = B events before the C binding, window from the first
+    * event); equal-timestamp run/close events follow the deterministic
+    * (ts, type, value) processing order, so keep step predicates disjoint
+    * for exact batch parity. Watermark pruning + event-time state eviction
+    * as in [[cepPattern]]. */
+  def cepPatternOneOrMore(events: Dataset[Event], watermark: String,
+                          firstPred: Event => Boolean, runPred: Event => Boolean,
+                          lastPred: Event => Boolean, withinMs: Long,
+                          maxPartials: Int = 256): Dataset[RunMatch] = {
+    implicit val outEnc = Encoders.product[RunMatch]
+    implicit val accEnc = Encoders.product[RunAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunAcc, RunMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[RunAcc]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = Seq.newBuilder[RunMatch]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+            val t = e.ts.getTime
+            partials = partials.flatMap { p =>
+              if (t > p.firstMs + withinMs) None // window expired
+              else if (lastPred(e) && p.runFirstMs >= 0 && t > p.runFirstMs) {
+                out += RunMatch(userId, new Timestamp(p.firstMs),
+                  new Timestamp(p.runFirstMs), new Timestamp(p.runLastMs),
+                  p.runN, new Timestamp(t))
+                None // completed
+              } else if (runPred(e) && t > p.firstMs) {
+                if (p.runFirstMs < 0) Some(p.copy(runFirstMs = t, runLastMs = t, runN = 1))
+                else Some(p.copy(runLastMs = math.max(p.runLastMs, t), runN = p.runN + 1))
+              } else Some(p)
+            }
+            if (firstPred(e))
+              partials = (RunPartial(t, -1L, -1L, 0L) :: partials).take(maxPartials)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          partials = partials.filter(_.firstMs + withinMs > wm)
+          if (partials.isEmpty) state.remove()
+          else {
+            state.update(RunAcc(partials))
+            state.setTimeoutTimestamp(partials.map(_.firstMs + withinMs).min)
+          }
+          out.result().iterator
+      }
+  }
 
   /** Stream-static enrichment (broadcast dimension join). */
   def streamStaticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =

@@ -19,4 +19,22 @@ class ApproxSpec extends AnyFunSuite with SparkTest {
         s"approx=$apx exact=$exact for ${r.get(0)}")
     }
   }
+
+  test("approx_percentile honors its accuracy contract vs the exact percentile") {
+    import org.apache.spark.sql.functions._
+    // percentile_approx(col, p, accuracy) guarantees a rank error within
+    // n/accuracy of the true percentile rank (Flink exposes the same sketch
+    // family through its percentile UDAFs)
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val n = li.count().toDouble
+    val accuracy = 1000
+    for (p <- Seq(0.5, 0.95)) {
+      val apx = li.agg(percentile_approx(col("l_extendedprice"), lit(p), lit(accuracy)))
+        .head.getDouble(0)
+      // rank of the approx answer must be within n/accuracy of p*n
+      val rank = li.filter(col("l_extendedprice") <= apx).count().toDouble
+      assert(math.abs(rank - p * n) <= n / accuracy + 1,
+        s"p=$p approx=$apx rank=$rank expected ~${p * n} ± ${n / accuracy}")
+    }
+  }
 }

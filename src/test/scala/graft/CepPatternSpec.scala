@@ -167,6 +167,38 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(streaming == batch && batch.nonEmpty)
   }
 
+  test("batch oneOrMore and streaming cepPatternOneOrMore agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // distinct timestamps; user 1 matches with a 2-click run split across
+    // batches; user 2 never purchases; user 3's purchase is out of window
+    val all = Seq(
+      (1L, at(0), "signup"), (1L, at(10), "click"), (1L, at(20), "click"), (1L, at(30), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "click"),
+      (3L, at(0), "signup"), (3L, at(10), "click"), (3L, at(90), "purchase")
+    )
+    val batch = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").oneOrMore()
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"click_first_ts", $"click_last_ts", $"click_n", $"purchase_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternOneOrMore(in.toDS(), "10 seconds",
+        _.event_type == "signup", _.event_type == "click", _.event_type == "purchase",
+        HOUR).toDF()
+      .writeStream.format("memory").queryName("s_run_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(4)); q.processAllAvailable() // split across micro-batches
+    in.addData(evs.drop(4)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_run_parity")
+      .select("user_id", "first_ts", "run_first_ts", "run_last_ts", "run_n", "last_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    assert(streaming == batch && batch.nonEmpty, s"streaming=$streaming batch=$batch")
+  }
+
   test("pattern joins stay keyed equi-joins (no cross product)") {
     val df = Pattern.begin("signup", $"event_type" === "signup")
       .followedBy("purchase", $"event_type" === "purchase")
