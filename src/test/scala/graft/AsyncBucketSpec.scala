@@ -27,18 +27,19 @@ class AsyncBucketSpec extends AnyFunSuite with SparkTest {
     val ds = (1L to 12L).toDS().repartition(1)
     val out = AsyncLookup.orderedWait(ds, capacity = 4, timeout = 30.seconds) { id =>
       AsyncProbe.launches.put(id, (System.nanoTime() - t0) / 1000000L)
-      Future { Thread.sleep(if (id == 1) 600 else 20); (id, s"svc-$id") }
+      Future { Thread.sleep(if (id == 1) 2000 else 20); (id, s"svc-$id") }
     }.collect().toSeq
     assert(out == (1L to 12L).map(id => (id, s"svc-$id")),
       s"emission must preserve input order: $out")
     // items 5..12 fit only in slots freed by completing successors of the
     // slow head — with batch-granular concurrency they would launch after
-    // the 600 ms head finishes; the rolling window launches them well
-    // before (relative to item 1's launch, excluding task-start overhead)
+    // the 2000 ms head finishes; the rolling window launches them well
+    // before (relative to item 1's launch, excluding task-start overhead;
+    // margin sized to survive a saturated machine during the full suite)
     val start = AsyncProbe.launches.get(1L)
     (5L to 12L).foreach { id =>
       val at = AsyncProbe.launches.get(id) - start
-      assert(at < 500, s"item $id launched at +${at}ms — window stalled behind slow head")
+      assert(at < 1600, s"item $id launched at +${at}ms — window stalled behind slow head")
     }
   }
 

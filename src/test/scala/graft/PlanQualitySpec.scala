@@ -102,6 +102,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"same-frame rank functions must share a single Window operator:\n$p")
   }
 
+  test("s02 multi-table LSH joins stay keyed equi-joins") {
+    val p = planOf("s02_ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe/candidate joins must be equi-joins on (table,bucket):\n$p")
+  }
+
+  test("m01 MATCH_RECOGNIZE plan stays keyed (no cross product)") {
+    val p = planOf("m01_match_recognize")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pattern steps must compile to keyed joins:\n$p")
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
