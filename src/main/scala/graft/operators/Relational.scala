@@ -59,6 +59,38 @@ object Relational {
       .drop("__p", "__v")
   }
 
+  /** Temporal (versioned) table join — the Table API's
+    * `FOR SYSTEM_TIME AS OF` / TemporalTableFunction join (reference
+    * flink-table/flink-table-api-java/src/main/java/org/apache/flink/table/
+    * functions/TemporalTableFunction.java, planner TemporalJoin rules): each
+    * fact row is enriched with the dim version whose `validFrom` is the
+    * latest at-or-before the fact's timestamp.
+    *
+    * Scale design: NOT a range join (key equality + ts inequality explodes
+    * on hot keys and defeats hash partitioning). Versions and facts are
+    * union-tagged and flow through ONE keyed window sorted by (ts, tag) —
+    * dim-before-fact on equal ts — carrying the payload with
+    * `last(ignoreNulls)`: a single shuffle on the key, linear state.
+    * Caller must make versions unique per (key, validFrom). Output: all
+    * fact columns + `valCols` (null when no version is valid yet). */
+  def temporalJoin(fact: DataFrame, dim: DataFrame, key: String, factTs: String,
+                   validFrom: String, valCols: Seq[String]): DataFrame = {
+    val factStruct = struct(fact.columns.map(col): _*)
+    val f2 = fact.select(col(key).as("__k") +: col(factTs).as("__vts") +:
+      lit(1).as("__tag") +: factStruct.as("__f") +:
+      valCols.map(c => lit(null).cast(dim.schema(c).dataType).as(c)): _*)
+    val d2 = dim.select(col(key).as("__k") +: col(validFrom).as("__vts") +:
+      lit(0).as("__tag") +: lit(null).cast(f2.schema("__f").dataType).as("__f") +:
+      valCols.map(col): _*)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__vts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f2.unionByName(d2)
+      .select(col("__tag") +: col("__f") +:
+        valCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__tag") === 1)
+      .select(col("__f.*") +: valCols.map(col): _*)
+  }
+
   /** Flink OVER-window running aggregate (ROWS UNBOUNDED PRECEDING). */
   def runningAgg(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
                  agg: Column, asCol: String): DataFrame = {

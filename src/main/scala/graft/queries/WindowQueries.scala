@@ -261,8 +261,42 @@ object WindowQueries {
   }
   private val w12Sql = w01Sql // identical semantics to the DataFrame tumble
 
+  // --- w13: temporal (versioned) table join — FOR SYSTEM_TIME AS OF ---
+  // Dim = each customer's order history as priority "versions" (one per
+  // (customer, date), ties broken by max orderkey); fact = shipped line
+  // items stamped with their customer. Each fact row picks the priority
+  // version in effect at its ship date. Union-tag + keyed window — one
+  // shuffle, no range join (see Relational.temporalJoin). The oracle takes
+  // a DIFFERENT evaluation strategy (correlated latest-version subquery),
+  // so agreement is meaningful.
+  private val w13: Q = (s, dir) => {
+    val o = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    val fact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"))
+    val dim = o.groupBy(col("o_custkey").as("cust"), col("o_orderdate").as("valid_from"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("prio"))
+    graft.operators.Relational.temporalJoin(fact, dim, "cust", "l_shipdate",
+        "valid_from", Seq("prio"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("cust"),
+        col("l_shipdate"), col("prio").as("prio_asof"))
+  }
+  private val w13Sql =
+    """WITH f AS (SELECT o_custkey AS cust, l_orderkey, l_linenumber,
+      |            CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |dimv AS (SELECT o_custkey AS cust, o_orderdate AS valid_from,
+      |          arg_max(o_orderpriority, o_orderkey) AS prio
+      |         FROM orders GROUP BY 1, 2)
+      |SELECT f.l_orderkey, f.l_linenumber, f.cust, f.l_shipdate,
+      | (SELECT v.prio FROM dimv v WHERE v.cust = f.cust
+      |   AND v.valid_from <= f.l_shipdate
+      |  ORDER BY v.valid_from DESC LIMIT 1) AS prio_asof
+      |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "w12_sql_tumble" -> w12,
+    "w12_sql_tumble" -> w12, "w13_temporal_join" -> w13,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
     "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06,
     "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
@@ -270,7 +304,7 @@ object WindowQueries {
     "m01_match_recognize" -> m01)
 
   val oracles: Map[String, String] = Map(
-    "w12_sql_tumble" -> w12Sql,
+    "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
     "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql,
     "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql,
