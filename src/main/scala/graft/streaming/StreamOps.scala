@@ -41,6 +41,14 @@ case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long, runN: Lo
 case class RunAcc(partials: List[RunPartial])
 case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                     run_last_ts: Timestamp, run_n: Long, last_ts: Timestamp)
+case class TjTagged(user_id: Long, ts: Timestamp, side: String,
+                    event_type: String, value: Double)
+case class TjFact(tsMs: Long, event_type: String, value: Double)
+case class TjVersion(tsMs: Long, value: Double)
+case class TemporalAcc(facts: List[TjFact], versions: List[TjVersion])
+case class TemporalOut(user_id: Long, fact_ts: Timestamp, fact_type: String,
+                       fact_value: Double, version_ts: Option[Timestamp],
+                       version_value: Option[Double])
 
 object StreamOps {
   type Event = graft.streaming.Event
@@ -464,6 +472,67 @@ object StreamOps {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
+
+  /** Event-time temporal join on streams — the reference's
+    * TemporalRowtimeJoin (flink-table-planner-blink/.../runtime/operators/
+    * join/temporal/TemporalRowTimeJoinOperator.java, planned from
+    * `FOR SYSTEM_TIME AS OF fact.rowtime`): each fact row is enriched with
+    * the version row whose event time is the latest at-or-before the
+    * fact's. Facts BUFFER until the watermark passes their timestamp, so a
+    * version that arrives late (but with an earlier event time) is still
+    * honored — the semantics batch `Relational.temporalJoin` gives
+    * retrospectively. Left-join: facts with no valid version emit None.
+    *
+    * State per key: pending facts (watermark-bounded) + versions pruned to
+    * the latest at-or-below the watermark and everything newer (older
+    * versions are dominated for every future fact). Event-time timeout
+    * fires emission when the watermark passes a pending fact. */
+  def temporalJoinStream(facts: Dataset[Event], versions: Dataset[Event],
+                         watermark: String): Dataset[TemporalOut] = {
+    val spark = facts.sparkSession
+    import spark.implicits._
+    implicit val accEnc = Encoders.product[TemporalAcc]
+    val tagged = facts.map(e => TjTagged(e.user_id, e.ts, "F", e.event_type, e.value))
+      .unionByName(versions.map(e => TjTagged(e.user_id, e.ts, "V", e.event_type, e.value)))
+      .withWatermark("ts", watermark)
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TemporalAcc, TemporalOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[TjTagged], state: GroupState[TemporalAcc]) =>
+          var acc = state.getOption.getOrElse(TemporalAcc(Nil, Nil))
+          rows.toSeq.sortBy(t => (t.ts.getTime, t.side)).foreach { t =>
+            if (t.side == "V")
+              acc = acc.copy(versions = TjVersion(t.ts.getTime, t.value) :: acc.versions)
+            else
+              acc = acc.copy(facts = TjFact(t.ts.getTime, t.event_type, t.value) :: acc.facts)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = acc.facts.partition(_.tsMs <= wm)
+          val out = ready.sortBy(_.tsMs).map { f =>
+            val v = acc.versions.filter(_.tsMs <= f.tsMs)
+              .sortBy(-_.tsMs).headOption
+            TemporalOut(userId, new Timestamp(f.tsMs), f.event_type, f.value,
+              v.map(x => new Timestamp(x.tsMs)), v.map(_.value))
+          }
+          // prune versions dominated for every future fact (ts > wm)
+          val latestBelow = acc.versions.filter(_.tsMs <= wm)
+            .sortBy(-_.tsMs).headOption
+          val keptVersions = latestBelow match {
+            case Some(lb) => acc.versions.filter(_.tsMs >= lb.tsMs)
+            case None => acc.versions
+          }
+          if (pending.isEmpty && keptVersions.isEmpty) state.remove()
+          else {
+            state.update(TemporalAcc(pending, keptVersions))
+            // wake when the watermark passes the oldest pending fact; with
+            // only versions left, an idle horizon bounds dim-state lifetime
+            val next = if (pending.nonEmpty) pending.map(_.tsMs).min
+                       else wm + 86400000L
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          out.iterator
+      }
+  }
 
   /** Streaming counterpart of `Pattern.oneOrMore()`: A B+ C — a first
     * event opens a partial, B-run occurrences accumulate as O(1) stats

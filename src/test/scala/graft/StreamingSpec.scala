@@ -244,6 +244,31 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(rows == Seq((1L, at(10), at(30))))
   }
 
+  test("temporalJoinStream: facts wait for the watermark so late versions are honored") {
+    val f = MemoryStream[Event]; val v = MemoryStream[Event]
+    val q = StreamOps.temporalJoinStream(f.toDS(), v.toDS(), "10 seconds").toDF()
+      .writeStream.format("memory").queryName("s_tjoin").outputMode("append").start()
+    v.addData(Event(1, at(10), "tier", 1.0))
+    f.addData(Event(1, at(20), "order", 5.0), Event(1, at(30), "order", 7.0),
+      Event(2, at(15), "order", 9.0)) // user 2 never gets a version
+    q.processAllAvailable()
+    // this version arrives AFTER the fact at 30s but carries an earlier
+    // event time (25s) — the buffered fact must pick it up
+    v.addData(Event(1, at(25), "tier", 2.0))
+    q.processAllAvailable()
+    f.addData(FLUSH); v.addData(FLUSH) // advance the watermark past 30s
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s_tjoin").filter($"user_id" < 999)
+      .select("user_id", "fact_ts", "version_ts", "version_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(rows == Set(
+      (1L, at(20), Some(at(10)), Some(1.0)),  // version in effect at 20s is v@10
+      (1L, at(30), Some(at(25)), Some(2.0)),  // late-arriving v@25 honored
+      (2L, at(15), None, None)),              // left-join: no version yet
+      s"got $rows")
+  }
+
   test("cepPattern matches a 3-step linear pattern across micro-batches") {
     val in = MemoryStream[Event]
     val steps: Seq[Event => Boolean] = Seq(
