@@ -127,6 +127,57 @@ object StreamOps {
   def dedupWithinWatermark(events: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
+  /** Blink deduplicate-keep-LAST (reference StreamExecDeduplicate with
+    * keepLastRow=true): update-mode stream where each key re-emits its
+    * latest row by event time (ties broken by larger value for
+    * determinism). The retract/upsert counterpart of
+    * [[dedupWithinWatermark]]'s append-mode keep-first. */
+  def dedupKeepLast(events: Dataset[Event], watermark: String): Dataset[Event] = {
+    implicit val evEnc = Encoders.product[Event]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Event, Event](GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Event]) =>
+          val latest = (state.getOption.iterator ++ rows)
+            .maxBy(e => (e.ts.getTime, e.value))
+          state.update(latest)
+          latest
+      }
+  }
+
+  /** Streaming count window (reference DataStream#countWindow,
+    * flink-streaming-java/.../datastream/KeyedStream.java): every `size`
+    * events per key emit one aggregate row (count/sum/min/max event time);
+    * the partial tail stays in O(1) state awaiting its window's fill. */
+  def countWindowAgg(events: Dataset[Event], watermark: String,
+                     size: Int): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val accEnc = Encoders.product[SessionAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
+          var acc = state.getOption.getOrElse(SessionAcc(Long.MaxValue, Long.MinValue, 0L, 0.0))
+          val out = Seq.newBuilder[SessionOut]
+          // deterministic within-batch order (countWindow is order-sensitive)
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+            val t = e.ts.getTime
+            acc = SessionAcc(math.min(acc.startMs, t), math.max(acc.lastMs, t),
+              acc.n + 1, acc.sum + e.value)
+            if (acc.n == size) {
+              out += SessionOut(userId, new Timestamp(acc.startMs),
+                new Timestamp(acc.lastMs), acc.n, acc.sum)
+              acc = SessionAcc(Long.MaxValue, Long.MinValue, 0L, 0.0)
+            }
+          }
+          if (acc.n == 0) state.remove() else state.update(acc)
+          out.result().iterator
+      }
+  }
+
   /** ProcessFunction analog: explicit sessionization with keyed state and an
     * event-time timer. Emits a session when the watermark passes
     * last-event + gap. */

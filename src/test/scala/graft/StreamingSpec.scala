@@ -63,6 +63,38 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out.filter($"user_id" === 1).count() == 1)
   }
 
+  test("dedupKeepLast re-emits each key's latest row (update mode)") {
+    val in = MemoryStream[Event]
+    val q = StreamOps.dedupKeepLast(in.toDS(), "10 seconds").toDF()
+      .writeStream.format("memory").queryName("s_keeplast").outputMode("update").start()
+    in.addData(Event(1, at(0), "v1", 1.0), Event(1, at(10), "v2", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(1, at(5), "stale", 9.0)) // older event time: must NOT displace
+    q.processAllAvailable()
+    in.addData(Event(1, at(20), "v3", 3.0))
+    q.processAllAvailable(); q.stop()
+    val revisions = spark.table("s_keeplast").filter($"user_id" === 1)
+      .select("event_type").as[String].collect().toSeq
+    // one revision per batch: latest-by-event-time each time
+    assert(revisions == Seq("v2", "v2", "v3"), s"got $revisions")
+  }
+
+  test("countWindowAgg emits one row per N events per key, keeps the tail") {
+    val in = MemoryStream[Event]
+    val q = StreamOps.countWindowAgg(in.toDS(), "10 seconds", size = 2).toDF()
+      .writeStream.format("memory").queryName("s_cntwin").outputMode("append").start()
+    in.addData(Event(1, at(0), "a", 1.0), Event(1, at(10), "a", 2.0),
+      Event(1, at(20), "a", 4.0))
+    q.processAllAvailable()
+    in.addData(Event(1, at(30), "a", 8.0)) // completes the second window
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s_cntwin").filter($"user_id" === 1)
+      .select("session_start", "session_end", "n", "sum_value")
+      .as[(Timestamp, Timestamp, Long, Double)].collect().toSeq.sortBy(_._1.getTime)
+    assert(rows == Seq((at(0), at(10), 2L, 3.0), (at(20), at(30), 2L, 12.0)),
+      s"got $rows")
+  }
+
   test("sessionize (ProcessFunction analog) emits on event-time timeout") {
     val in = MemoryStream[Event]
     in.addData(Event(1, at(0), "click", 1.0), Event(1, at(10), "click", 2.5))
