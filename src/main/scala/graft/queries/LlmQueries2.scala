@@ -23,8 +23,11 @@ object LlmQueries2 {
   private val d07: Q = (s, dir) => {
     val cand = TextDedup.minhashCandidates(docs(s, dir), "doc_id", "text",
       5, LlmQueries.Bands, LlmQueries.RowsPerBand)
+    // persisted: joined as BOTH sides (ga/gb) below, so without it the
+    // shingle+distinct lineage would run once per side (same pattern as d04)
     val grams = docs(s, dir)
       .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 3)).as("g"))
+      .persist()
     val ga = grams.select(col("doc_id").as("doc_a"), col("g").as("ga"))
     val gb = grams.select(col("doc_id").as("doc_b"), col("g").as("gb"))
     val edges = cand.join(ga, "doc_a").join(gb, "doc_b")

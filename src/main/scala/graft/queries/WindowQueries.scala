@@ -261,6 +261,36 @@ object WindowQueries {
   }
   private val w12Sql = w01Sql // identical semantics to the DataFrame tumble
 
+  // --- w15: SQL-text hopping window — the Flink SQL HOP mapping ---
+  // Flink 1.10 SQL: GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)
+  // (slide before size); Spark SQL spells it window(ts, size, slide). Like
+  // w12, the text goes through the SQL front door end-to-end to pin the
+  // mapping at the correctness gate (reference Blink
+  // WindowAggregateITCase.scala HOP cases).
+  private val w15: Q = (s, dir) => {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql("""SELECT window(ts, '1 hour', '30 minutes').start AS window_start,
+            |       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            |FROM events
+            |GROUP BY window(ts, '1 hour', '30 minutes'), event_type""".stripMargin)
+  }
+  private val w15Sql = w02Sql // identical semantics to the DataFrame hop
+
+  // --- w16: SQL-text session window — the Flink SQL SESSION mapping ---
+  // Flink 1.10 SQL: GROUP BY SESSION(ts, INTERVAL '30' MINUTE); Spark SQL
+  // spells it session_window(ts, gap) (reference Blink
+  // WindowAggregateITCase.scala SESSION cases).
+  private val w16: Q = (s, dir) => {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql("""SELECT user_id,
+            |       session_window(ts, '30 minutes').start AS session_start,
+            |       session_window(ts, '30 minutes').end AS session_end,
+            |       count(*) AS n, round(sum(value), 4) AS sum_value
+            |FROM events
+            |GROUP BY session_window(ts, '30 minutes'), user_id""".stripMargin)
+  }
+  private val w16Sql = w03Sql // identical semantics to the DataFrame session
+
   // --- w13: temporal (versioned) table join — FOR SYSTEM_TIME AS OF ---
   // Dim = each customer's order history as priority "versions" (one per
   // (customer, date), ties broken by max orderkey); fact = shipped line
@@ -297,6 +327,7 @@ object WindowQueries {
 
   val queries: Map[String, Q] = Map(
     "w12_sql_tumble" -> w12, "w13_temporal_join" -> w13,
+    "w15_sql_hop" -> w15, "w16_sql_session" -> w16,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
     "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06,
     "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
@@ -305,6 +336,7 @@ object WindowQueries {
 
   val oracles: Map[String, String] = Map(
     "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
+    "w15_sql_hop" -> w15Sql, "w16_sql_session" -> w16Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
     "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql,
     "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql,

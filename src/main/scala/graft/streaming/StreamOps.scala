@@ -131,50 +131,77 @@ object StreamOps {
     * keepLastRow=true): update-mode stream where each key re-emits its
     * latest row by event time (ties broken by larger value for
     * determinism). The retract/upsert counterpart of
-    * [[dedupWithinWatermark]]'s append-mode keep-first. */
-  def dedupKeepLast(events: Dataset[Event], watermark: String): Dataset[Event] = {
+    * [[dedupWithinWatermark]]'s append-mode keep-first.
+    *
+    * Keep-last semantically wants long-lived state, but Flink pairs
+    * StreamExecDeduplicate with state TTL — mirrored here: a key idle past
+    * `idleTtlMs` of event time is evicted wholesale (its next event simply
+    * re-opens it as if first-seen). */
+  def dedupKeepLast(events: Dataset[Event], watermark: String,
+                    idleTtlMs: Long = 86400000L): Dataset[Event] = {
     implicit val evEnc = Encoders.product[Event]
     implicit val keyEnc = Encoders.scalaLong
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[Event, Event](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Event, Event](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, rows: Iterator[Event], state: GroupState[Event]) =>
-          val latest = (state.getOption.iterator ++ rows)
-            .maxBy(e => (e.ts.getTime, e.value))
-          state.update(latest)
-          latest
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val latest = (state.getOption.iterator ++ rows)
+              .maxBy(e => (e.ts.getTime, e.value))
+            state.update(latest)
+            state.setTimeoutTimestamp(
+              math.max(latest.ts.getTime, state.getCurrentWatermarkMs()) + idleTtlMs)
+            Iterator.single(latest)
+          }
       }
   }
 
   /** Streaming count window (reference DataStream#countWindow,
     * flink-streaming-java/.../datastream/KeyedStream.java): every `size`
     * events per key emit one aggregate row (count/sum/min/max event time);
-    * the partial tail stays in O(1) state awaiting its window's fill. */
+    * the partial tail stays in O(1) state awaiting its window's fill.
+    *
+    * A count window never fires on time alone (exactly Flink's semantics),
+    * so without a bound a dormant key's partial tail would live forever —
+    * Flink users pair countWindow with state TTL, mirrored here: a key idle
+    * past `idleTtlMs` of event time has its partial tail DISCARDED (never
+    * emitted), the same data loss Flink's state TTL implies. */
   def countWindowAgg(events: Dataset[Event], watermark: String,
-                     size: Int): Dataset[SessionOut] = {
+                     size: Int, idleTtlMs: Long = 86400000L): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val accEnc = Encoders.product[SessionAcc]
     implicit val keyEnc = Encoders.scalaLong
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
-          var acc = state.getOption.getOrElse(SessionAcc(Long.MaxValue, Long.MinValue, 0L, 0.0))
-          val out = Seq.newBuilder[SessionOut]
-          // deterministic within-batch order (countWindow is order-sensitive)
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
-            val t = e.ts.getTime
-            acc = SessionAcc(math.min(acc.startMs, t), math.max(acc.lastMs, t),
-              acc.n + 1, acc.sum + e.value)
-            if (acc.n == size) {
-              out += SessionOut(userId, new Timestamp(acc.startMs),
-                new Timestamp(acc.lastMs), acc.n, acc.sum)
-              acc = SessionAcc(Long.MaxValue, Long.MinValue, 0L, 0.0)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var acc = state.getOption.getOrElse(SessionAcc(Long.MaxValue, Long.MinValue, 0L, 0.0))
+            val out = Seq.newBuilder[SessionOut]
+            var maxTs = state.getCurrentWatermarkMs()
+            // deterministic within-batch order (countWindow is order-sensitive)
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+              val t = e.ts.getTime
+              maxTs = math.max(maxTs, t)
+              acc = SessionAcc(math.min(acc.startMs, t), math.max(acc.lastMs, t),
+                acc.n + 1, acc.sum + e.value)
+              if (acc.n == size) {
+                out += SessionOut(userId, new Timestamp(acc.startMs),
+                  new Timestamp(acc.lastMs), acc.n, acc.sum)
+                acc = SessionAcc(Long.MaxValue, Long.MinValue, 0L, 0.0)
+              }
             }
+            if (acc.n == 0) state.remove()
+            else {
+              state.update(acc)
+              state.setTimeoutTimestamp(maxTs + idleTtlMs)
+            }
+            out.result().iterator
           }
-          if (acc.n == 0) state.remove() else state.update(acc)
-          out.result().iterator
       }
   }
 
@@ -218,32 +245,56 @@ object StreamOps {
   }
 
   /** CEP followed-by: emit (first, second) when `secondType` arrives within
-    * `windowMs` of a pending `firstType` for the same key. */
+    * `windowMs` of a pending `firstType` for the same key.
+    *
+    * Bounds (mirroring [[coProcessMatch]]): at most `maxPending` unmatched
+    * first-events per key are retained; when the buffer is full the NEWEST
+    * arrival is dropped (documented policy — the retained earliest events
+    * are exactly the ones a future second-event matches first, so
+    * earliest-match semantics degrade predictably). Pending firsts whose
+    * window closed at-or-before the watermark are pruned each batch, and an
+    * event-time timeout releases a dormant key's state entirely once every
+    * pending window has passed (Flink NFA pruning + state-TTL analog). */
   def cepFollowedBy(events: Dataset[Event], watermark: String,
-                    firstType: String, secondType: String, windowMs: Long): Dataset[PairOut] = {
+                    firstType: String, secondType: String, windowMs: Long,
+                    maxPending: Int = 1024): Dataset[PairOut] = {
     implicit val outEnc = Encoders.product[PairOut]
     implicit val accEnc = Encoders.product[CepAcc]
     implicit val keyEnc = Encoders.scalaLong
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[CepAcc, PairOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[CepAcc]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var pending = state.getOption.map(_.pendingFirstMs).getOrElse(Nil)
-          val out = Seq.newBuilder[PairOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (e.event_type == firstType) pending = (t :: pending).take(64)
-            else if (e.event_type == secondType) {
-              pending.filter(f => t > f && t - f <= windowMs).sorted.headOption.foreach { f =>
-                out += PairOut(userId, new Timestamp(f), new Timestamp(t))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic within-batch order on equal timestamps (mirrors
+            // cepPattern/coProcessMatch)
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value))
+            var pending = state.getOption.map(_.pendingFirstMs).getOrElse(Nil)
+            val out = Seq.newBuilder[PairOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (e.event_type == firstType) {
+                if (pending.size < maxPending) pending = t :: pending // else drop newest
+              } else if (e.event_type == secondType) {
+                pending.filter(f => t > f && t - f <= windowMs).sorted.headOption.foreach { f =>
+                  out += PairOut(userId, new Timestamp(f), new Timestamp(t))
+                }
+                pending = pending.filterNot(f => t > f && t - f <= windowMs)
               }
-              pending = pending.filterNot(f => t > f && t - f <= windowMs)
             }
+            // watermark pruning: a pending first whose window closed at-or-
+            // before the watermark can never match (every future second > wm)
+            val wm = state.getCurrentWatermarkMs()
+            pending = pending.filter(f => f + windowMs > wm)
+            if (pending.isEmpty) state.remove()
+            else {
+              state.update(CepAcc(pending))
+              state.setTimeoutTimestamp(pending.map(_ + windowMs).min)
+            }
+            out.result().iterator
           }
-          state.update(CepAcc(pending))
-          out.result().iterator
       }
   }
 

@@ -385,4 +385,64 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     q.stop()
     assert(dropped >= 1, "late row must be counted as dropped by the watermark")
   }
+
+  /** State rows in the most recent progress entry that reports any — the
+    * state-store row count backing the TTL-eviction assertions below. */
+  private def lastStateRows(q: StreamingQuery): Long =
+    q.recentProgress.reverse.iterator
+      .map(p => Option(p.stateOperators).toSeq.flatten)
+      .find(_.nonEmpty).map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
+
+  test("dedupKeepLast evicts a dormant key's state after the idle TTL, output unchanged") {
+    val in = MemoryStream[Event]
+    val q = StreamOps.dedupKeepLast(in.toDS(), "10 seconds", idleTtlMs = 60000L).toDF()
+      .writeStream.format("memory").queryName("s_keeplast_ttl").outputMode("update").start()
+    in.addData(Event(1, at(0), "v1", 1.0))
+    q.processAllAvailable()
+    in.addData(FLUSH) // watermark jumps hours past user 1's 60s idle horizon
+    q.processAllAvailable()
+    in.addData(Event(999L, at(36010), "noise2", 0.0)) // next batch: timeout fires
+    q.processAllAvailable()
+    val rows = lastStateRows(q)
+    q.stop()
+    // user 1 evicted; only the active key 999 retains state
+    assert(rows == 1L, s"expected 1 state row after eviction, got $rows")
+    // eviction emitted nothing: user 1's output is exactly its one revision
+    val u1 = spark.table("s_keeplast_ttl").filter($"user_id" === 1)
+      .select("event_type").as[String].collect().toSeq
+    assert(u1 == Seq("v1"), s"got $u1")
+  }
+
+  test("countWindowAgg discards a dormant key's partial tail after the idle TTL") {
+    val in = MemoryStream[Event]
+    val q = StreamOps.countWindowAgg(in.toDS(), "10 seconds", size = 2, idleTtlMs = 60000L).toDF()
+      .writeStream.format("memory").queryName("s_cntwin_ttl").outputMode("append").start()
+    in.addData(Event(1, at(0), "a", 1.0)) // partial window (1 of 2)
+    q.processAllAvailable()
+    in.addData(FLUSH) // FLUSH key 999 opens its own partial; watermark jumps
+    q.processAllAvailable()
+    in.addData(Event(999L, at(36010), "noise2", 0.0)) // 999 completes; 1 times out
+    q.processAllAvailable()
+    val rows = lastStateRows(q)
+    q.stop()
+    assert(rows == 0L, s"expected 0 state rows (1 evicted, 999 completed), got $rows")
+    // the discarded partial never emits
+    assert(spark.table("s_cntwin_ttl").filter($"user_id" === 1).count() == 0)
+  }
+
+  test("cepFollowedBy prunes expired pending firsts and evicts dormant keys") {
+    val in = MemoryStream[Event]
+    val q = StreamOps.cepFollowedBy(in.toDS(), "10 seconds", "signup", "purchase", 3600000L).toDF()
+      .writeStream.format("memory").queryName("s_cep_ttl").outputMode("append").start()
+    in.addData(Event(1, at(0), "signup", 0.0)) // pending first, window 1h
+    q.processAllAvailable()
+    in.addData(FLUSH) // watermark -> ~10h: user 1's window long closed
+    q.processAllAvailable()
+    in.addData(Event(999L, at(36010), "noise2", 0.0)) // next batch: timeout fires
+    q.processAllAvailable()
+    val rows = lastStateRows(q)
+    q.stop()
+    assert(rows == 0L, s"expected all pending state evicted, got $rows")
+    assert(spark.table("s_cep_ttl").count() == 0) // no match ever emitted
+  }
 }
