@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   */
 final case class Step(name: String, pred: Column, reps: Int = 1,
                       opt: Boolean = false, oneOrMore: Boolean = false,
-                      until: Option[Column] = None)
+                      until: Option[Column] = None, keep: Seq[String] = Nil,
+                      iter: Option[Column] = None)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false) {
@@ -34,6 +35,35 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def followedBy(name: String, pred: Column): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
     new Pattern(steps :+ Step(name, pred), notStep, windowMs, skipPastLast)
+  }
+
+  /** flink-cep iterative condition (reference flink-libraries/flink-cep/src/
+    * main/java/org/apache/flink/cep/pattern/conditions/IterativeCondition
+    * .java:65, `ctx.getEventsForPattern`): the step's predicate may reference
+    * PRIOR bindings — e.g. "purchase.value > 2 × signup.value". `pred` is the
+    * plain per-event pre-filter (pushed into the candidate scan); `iterPred`
+    * is the relative residual, built from [[Pattern.ev]] (the current
+    * candidate's columns) and [[Pattern.bound]]/[[Pattern.boundTs]] (prior
+    * bindings — the referenced step must [[bind]] the column). The residual
+    * evaluates inside the step's keyed equi-join, so the plan stays an
+    * equi-join with a filter, never a cross product. */
+  def followedByIterative(name: String, pred: Column, iterPred: Column): Pattern = {
+    require(notStep.isEmpty, "notFollowedBy must be the terminal step")
+    new Pattern(steps :+ Step(name, pred, iter = Some(iterPred)), notStep, windowMs, skipPastLast)
+  }
+
+  /** Bind event columns alongside the LAST added step's timestamp: each named
+    * column is carried into the match output as `<step>_<col>` and becomes
+    * referenceable from later iterative predicates via [[Pattern.bound]].
+    * When several candidates share the earliest timestamp, the binding is the
+    * lexicographic minimum over (ts, bound columns in declared order) —
+    * deterministic on both engines. Valid on plain and times(n) steps
+    * (quantified expansions bind as `<step>_<i>_<col>`); exclusive with
+    * optional()/oneOrMore(). */
+  def bind(cols: String*): Pattern = {
+    require(steps.nonEmpty && !steps.last.opt && !steps.last.oneOrMore,
+      "bind() applies to plain or times(n) steps")
+    new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast)
   }
 
   /** Quantifier on the LAST added step: bind n successive occurrences. */
@@ -48,6 +78,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def optional(): Pattern = {
     require(steps.size >= 2, "optional() applies to a followedBy step")
     require(steps.last.reps == 1, "optional() and times(n) are exclusive")
+    require(steps.last.keep.isEmpty, "optional() and bind() are exclusive")
     new Pattern(steps.init :+ steps.last.copy(opt = true), notStep, windowMs, skipPastLast)
   }
 
@@ -59,8 +90,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * `<name>_last_ts`, `<name>_n` replace `<name>_ts`. */
   def oneOrMore(): Pattern = {
     require(steps.size >= 2, "oneOrMore() applies to a followedBy step")
-    require(steps.last.reps == 1 && !steps.last.opt,
-      "oneOrMore() excludes times(n)/optional()")
+    require(steps.last.reps == 1 && !steps.last.opt && steps.last.keep.isEmpty,
+      "oneOrMore() excludes times(n)/optional()/bind()")
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true), notStep, windowMs, skipPastLast)
   }
 
@@ -86,6 +117,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def notFollowedBy(name: String, pred: Column): Pattern =
     new Pattern(steps, Some(Step(name, pred)), windowMs, skipPastLast)
 
+  /** [[notFollowedBy]] with an iterative condition (see
+    * [[followedByIterative]]): the negative match may be relative to prior
+    * bindings — "no purchase LARGER than the signup value". */
+  def notFollowedByIterative(name: String, pred: Column, iterPred: Column): Pattern =
+    new Pattern(steps, Some(Step(name, pred, iter = Some(iterPred))), windowMs, skipPastLast)
+
   /** Match window measured from the first step's event time. */
   def within(ms: Long): Pattern = new Pattern(steps, notStep, Some(ms), skipPastLast)
 
@@ -99,40 +136,59 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // exact millisecond interval: integer-dividing into whole seconds would
     // silently shrink windows like within(1500) and break parity with the
     // streaming cepPattern, which honors withinMs exactly
+    require(steps.head.iter.isEmpty, "the first step has no prior bindings")
     val win = expr(s"INTERVAL ${windowMs.get} MILLISECONDS")
-    val expanded: Vector[(String, Column, Boolean, Boolean)] = steps.flatMap { s =>
-      if (s.reps == 1) Vector((s.name, s.pred, s.opt, s.oneOrMore))
-      else (1 to s.reps).map(i => (s"${s.name}_$i", s.pred, false, false)).toVector
+    val expanded: Vector[Step] = steps.flatMap { s =>
+      if (s.reps == 1) Vector(s)
+      else (1 to s.reps).map(i => s.copy(name = s"${s.name}_$i", reps = 1)).toVector
     }
+    // every event column, re-projected under the __c_ prefix iterative
+    // predicates address via Pattern.ev (Catalyst prunes the unused ones)
+    val evCols = events.columns.toSeq
+    def candidate(s: Step): DataFrame =
+      events.filter(s.pred).select(
+        (key.as("__k2") +: ts.as("__cts") +: evCols.map(c => col(c).as(s"__c_$c"))): _*)
     val first = expanded.head
-    var out = events.filter(first._2)
-      .select(key.as("__k"), ts.as(s"${first._1}_ts"))
-    val startTs = s"${first._1}_ts"
+    var out = events.filter(first.pred)
+      .select((key.as("__k") +: ts.as(s"${first.name}_ts") +:
+        first.keep.map(c => col(c).as(s"${first.name}_$c"))): _*)
+    val startTs = s"${first.name}_ts"
     // the "time of the previous binding": for optional steps this falls back
     // to the binding before them when the step was skipped
     var prevTs: Column = col(startTs)
-    expanded.tail.foreach { case (name, pred, opt, _) =>
-      val cand = events.filter(pred).select(key.as("__k2"), ts.as("__cts"))
+    expanded.tail.foreach { s =>
       val kept = out.columns.map(col)
-      out = out.join(cand,
-          col("__k") === col("__k2") && col("__cts") > prevTs &&
-            col("__cts") <= col(startTs) + win,
-          if (opt) "left_outer" else "inner")
-        .groupBy(kept.toIndexedSeq: _*)
-        .agg(min(col("__cts")).as(s"${name}_ts"))
-      prevTs = if (opt) coalesce(col(s"${name}_ts"), prevTs) else col(s"${name}_ts")
+      val joined = out.join(candidate(s),
+        col("__k") === col("__k2") && col("__cts") > prevTs &&
+          col("__cts") <= col(startTs) + win && s.iter.getOrElse(lit(true)),
+        if (s.opt) "left_outer" else "inner")
+      out =
+        if (s.keep.isEmpty)
+          joined.groupBy(kept.toIndexedSeq: _*).agg(min(col("__cts")).as(s"${s.name}_ts"))
+        else {
+          // earliest binding with kept values: lexicographic struct-min over
+          // (ts, kept columns) — deterministic on equal-timestamp candidates
+          val b = struct((col("__cts").as("ts") +:
+            s.keep.map(c => col(s"__c_$c").as(c))): _*)
+          val g = joined.groupBy(kept.toIndexedSeq: _*).agg(min(b).as("__b"))
+          s.keep.foldLeft(g.withColumn(s"${s.name}_ts", col("__b.ts"))) {
+            (d, c) => d.withColumn(s"${s.name}_$c", col(s"__b.$c"))
+          }.drop("__b")
+        }
+      prevTs = if (s.opt) coalesce(col(s"${s.name}_ts"), prevTs) else col(s"${s.name}_ts")
     }
     notStep.foreach { s =>
-      val cand = events.filter(s.pred).select(key.as("__k2"), ts.as("__cts"))
-      out = out.join(cand,
+      out = out.join(candidate(s),
         col("__k") === col("__k2") && col("__cts") > prevTs &&
-          col("__cts") <= col(startTs) + win, "left_anti")
+          col("__cts") <= col(startTs) + win && s.iter.getOrElse(lit(true)), "left_anti")
     }
     // oneOrMore run aggregation: the chain above bound the FIRST occurrence;
     // one more keyed equi-join collects the run up to the next binding (or
     // the window end when the run ends the pattern)
-    expanded.zipWithIndex.filter(_._1._4).foreach { case ((name, pred, _, _), i) =>
-      val nextName = expanded.lift(i + 1).map(_._1)
+    expanded.zipWithIndex.filter(_._1.oneOrMore).foreach { case (st, i) =>
+      val name = st.name
+      val pred = st.pred
+      val nextName = expanded.lift(i + 1).map(_.name)
       // until(cond): bind the earliest stop event after the run's first
       // occurrence; run members must precede it
       steps.find(_.name == name).flatMap(_.until).foreach { uPred =>
@@ -192,4 +248,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
 object Pattern {
   def begin(name: String, pred: Column): Pattern =
     new Pattern(Vector(Step(name, pred)), None, None)
+
+  /** The current candidate event's column, inside an iterative predicate
+    * (flink-cep's `event` argument to IterativeCondition.filter). */
+  def ev(colName: String): Column = col(s"__c_$colName")
+
+  /** A prior binding's kept column, inside an iterative predicate (flink-cep
+    * `ctx.getEventsForPattern(step)`); the referenced step must
+    * [[Pattern.bind]] the column. Quantified steps expose expansions as
+    * `bound("<step>_<i>", col)`. */
+  def bound(step: String, colName: String): Column = col(s"${step}_$colName")
+
+  /** A prior binding's timestamp, inside an iterative predicate. */
+  def boundTs(step: String): Column = col(s"${step}_ts")
 }

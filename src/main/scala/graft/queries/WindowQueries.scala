@@ -261,6 +261,38 @@ object WindowQueries {
   }
   private val w12Sql = w01Sql // identical semantics to the DataFrame tumble
 
+  // --- w14: CEP with an ITERATIVE condition — relative value predicate ---
+  // Flink's IterativeCondition (flink-libraries/flink-cep/.../pattern/
+  // conditions/IterativeCondition.java): the purchase step binds only when
+  // its value exceeds 2× the value bound at the signup step. The signup's
+  // value is carried via bind(); the residual evaluates inside the step's
+  // keyed equi-join. Earliest qualifying purchase binds; equal-ts ties break
+  // on the lexicographic (ts, value) struct-min, replayed by the oracle's
+  // row_number ordering.
+  private val w14: Q = (s, dir) =>
+    graft.cep.Pattern.begin("signup", col("event_type") === "signup").bind("value")
+      .followedByIterative("purchase", col("event_type") === "purchase",
+        graft.cep.Pattern.ev("value") > graft.cep.Pattern.bound("signup", "value") * 2)
+      .bind("value")
+      .within(24L * 3600 * 1000)
+      .detect(ev(s, dir), col("user_id"), col("ts"))
+      .select(col("key").as("user_id"), col("signup_ts"), col("signup_value"),
+        col("purchase_ts"), col("purchase_value"))
+  private val w14Sql =
+    """WITH s AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS signup_ts,
+      |            value AS signup_value FROM events WHERE event_type='signup'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events
+      |      WHERE event_type='purchase')
+      |SELECT user_id, signup_ts, signup_value, purchase_ts, purchase_value FROM (
+      |  SELECT s.user_id, s.signup_ts, s.signup_value,
+      |         p.ts AS purchase_ts, p.value AS purchase_value,
+      |         row_number() OVER (PARTITION BY s.user_id, s.signup_ts, s.signup_value
+      |                            ORDER BY p.ts, p.value) AS rn
+      |  FROM s JOIN p ON p.user_id = s.user_id AND p.ts > s.signup_ts
+      |              AND p.ts <= s.signup_ts + INTERVAL 24 HOURS
+      |              AND p.value > 2 * s.signup_value
+      |) WHERE rn = 1""".stripMargin
+
   // --- w15: SQL-text hopping window — the Flink SQL HOP mapping ---
   // Flink 1.10 SQL: GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)
   // (slide before size); Spark SQL spells it window(ts, size, slide). Like
@@ -327,7 +359,7 @@ object WindowQueries {
 
   val queries: Map[String, Q] = Map(
     "w12_sql_tumble" -> w12, "w13_temporal_join" -> w13,
-    "w15_sql_hop" -> w15, "w16_sql_session" -> w16,
+    "w14_cep_relative" -> w14, "w15_sql_hop" -> w15, "w16_sql_session" -> w16,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
     "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06,
     "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
@@ -336,7 +368,7 @@ object WindowQueries {
 
   val oracles: Map[String, String] = Map(
     "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
-    "w15_sql_hop" -> w15Sql, "w16_sql_session" -> w16Sql,
+    "w14_cep_relative" -> w14Sql, "w15_sql_hop" -> w15Sql, "w16_sql_session" -> w16Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
     "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql,
     "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql,

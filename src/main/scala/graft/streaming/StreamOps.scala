@@ -36,6 +36,11 @@ case class MatchOut(user_id: Long, left_ts: Timestamp, right_ts: Timestamp)
 case class Partial(boundMs: List[Long]) // bound step times, newest first
 case class CepPatternAcc(partials: List[Partial])
 case class PatternMatch(user_id: Long, step_ts: Seq[Timestamp])
+// iterative-condition partials carry the full bound events (newest first) so
+// later step predicates can reference them — O(steps) state per partial
+case class IterPartial(bound: List[Event])
+case class CepIterAcc(partials: List[IterPartial])
+case class IterMatch(user_id: Long, step_ts: Seq[Timestamp], step_value: Seq[Double])
 // oneOrMore runs carry only first/last/count — O(1) state per partial
 case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long, runN: Long)
 case class RunAcc(partials: List[RunPartial])
@@ -475,6 +480,61 @@ object StreamOps {
             state.update(CepPatternAcc(partials))
             // earliest still-open window end is > wm by the filter above
             state.setTimeoutTimestamp(partials.map(_.boundMs.last + withinMs).min)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming linear CEP with ITERATIVE conditions — the unbounded
+    * counterpart of `graft.cep.Pattern.followedByIterative` (reference
+    * flink-libraries/flink-cep/.../pattern/conditions/IterativeCondition
+    * .java:65, `ctx.getEventsForPattern`): each step predicate sees the
+    * candidate event AND the prior bound events (oldest first), so relative
+    * conditions like "purchase.value > 2 × signup.value" work on streams.
+    * Partials carry the bound events themselves (O(steps) state per partial,
+    * still bounded by `maxPartials` + watermark pruning + event-time state
+    * eviction exactly as [[cepPattern]]). Emits both timestamps and values
+    * of the bound events. `steps.head` is called with an empty prior list. */
+  def cepPatternIter(events: Dataset[Event], watermark: String,
+                     steps: Seq[(Event, List[Event]) => Boolean], withinMs: Long,
+                     maxPartials: Int = 256): Dataset[IterMatch] = {
+    require(steps.size >= 2, "a pattern needs at least two steps")
+    implicit val outEnc = Encoders.product[IterMatch]
+    implicit val accEnc = Encoders.product[CepIterAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepIterAcc, IterMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[CepIterAcc]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = Seq.newBuilder[IterMatch]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+            val t = e.ts.getTime
+            partials = partials.flatMap { p =>
+              val i = p.bound.length
+              val start = p.bound.last.ts.getTime
+              if (t <= start + withinMs && t > p.bound.head.ts.getTime &&
+                  steps(i)(e, p.bound.reverse)) {
+                val bound = e :: p.bound
+                if (bound.length == steps.size) {
+                  val inOrder = bound.reverse
+                  out += IterMatch(userId, inOrder.map(_.ts), inOrder.map(_.value))
+                  None // completed
+                } else Some(IterPartial(bound))
+              } else if (start + withinMs < t) None // expired
+              else Some(p)
+            }
+            if (steps.head(e, Nil))
+              partials = (IterPartial(List(e)) :: partials).take(maxPartials)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          partials = partials.filter(_.bound.last.ts.getTime + withinMs > wm)
+          if (partials.isEmpty) state.remove()
+          else {
+            state.update(CepIterAcc(partials))
+            state.setTimeoutTimestamp(
+              partials.map(_.bound.last.ts.getTime + withinMs).min)
           }
           out.result().iterator
       }

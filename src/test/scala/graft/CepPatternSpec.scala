@@ -199,6 +199,68 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(streaming == batch && batch.nonEmpty, s"streaming=$streaming batch=$batch")
   }
 
+  // user 1: signup(10)@0; purchase(15)@10 fails >2×, purchase(25)@20 binds
+  // user 2: signup(5)@0; purchase(8)@10 never qualifies
+  private lazy val valued = Seq(
+    (1L, at(0), "signup", 10.0), (1L, at(10), "purchase", 15.0), (1L, at(20), "purchase", 25.0),
+    (2L, at(0), "signup", 5.0), (2L, at(10), "purchase", 8.0)
+  ).toDF("user_id", "ts", "event_type", "value")
+
+  test("iterative condition binds the earliest event satisfying a relative predicate") {
+    val m = Pattern.begin("signup", $"event_type" === "signup").bind("value")
+      .followedByIterative("purchase", $"event_type" === "purchase",
+        Pattern.ev("value") > Pattern.bound("signup", "value") * 2)
+      .bind("value")
+      .within(HOUR)
+      .detect(valued, $"user_id", $"ts")
+      .collect()
+    assert(m.length == 1 && m.head.getAs[Long]("key") == 1L)
+    assert(m.head.getAs[Timestamp]("purchase_ts") == at(20) &&
+      m.head.getAs[Double]("purchase_value") == 25.0 &&
+      m.head.getAs[Double]("signup_value") == 10.0,
+      "the 15.0 purchase fails 2×10.0; the 25.0 one binds")
+  }
+
+  test("iterative notFollowedBy excludes relative continuations") {
+    // match signups with NO purchase above 2× their value in-window:
+    // user 1 has one (excluded), user 2 does not (kept)
+    val m = Pattern.begin("signup", $"event_type" === "signup").bind("value")
+      .notFollowedByIterative("purchase", $"event_type" === "purchase",
+        Pattern.ev("value") > Pattern.bound("signup", "value") * 2)
+      .within(HOUR)
+      .detect(valued, $"user_id", $"ts")
+      .collect()
+    assert(m.map(_.getAs[Long]("key")).toSet == Set(2L))
+  }
+
+  test("batch iterative detect and streaming cepPatternIter agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Pattern.begin("signup", $"event_type" === "signup").bind("value")
+      .followedByIterative("purchase", $"event_type" === "purchase",
+        Pattern.ev("value") > Pattern.bound("signup", "value") * 2)
+      .bind("value")
+      .within(HOUR)
+      .detect(valued, $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"signup_value", $"purchase_ts", $"purchase_value")
+      .as[(Long, Timestamp, Double, Timestamp, Double)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternIter(in.toDS(), "10 seconds",
+        Seq((e, _) => e.event_type == "signup",
+          (e, prior) => e.event_type == "purchase" && e.value > 2 * prior.head.value),
+        HOUR).toDF()
+      .writeStream.format("memory").queryName("s_iter_parity").outputMode("append").start()
+    val evs = valued.collect().map(r =>
+      StreamOps.Event(r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    in.addData(evs.take(2).toIndexedSeq); q.processAllAvailable() // split across batches
+    in.addData(evs.drop(2).toIndexedSeq); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_iter_parity")
+      .select($"user_id", $"step_ts"(0), $"step_value"(0), $"step_ts"(1), $"step_value"(1))
+      .as[(Long, Timestamp, Double, Timestamp, Double)].collect().toSet
+    assert(streaming == batch && batch.nonEmpty, s"streaming=$streaming batch=$batch")
+  }
+
   test("pattern joins stay keyed equi-joins (no cross product)") {
     val df = Pattern.begin("signup", $"event_type" === "signup")
       .followedBy("purchase", $"event_type" === "purchase")
