@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * MATCH_RECOGNIZE (
   *   PARTITION BY <col>
   *   ORDER BY <col>
-  *   MEASURES <item>, ...        -- <item> ::= V.ts AS alias
-  *                               --          | FIRST(V.ts) AS alias
-  *                               --          | LAST(V.ts)  AS alias
+  *   MEASURES <item>, ...        -- <item> ::= V.<col> AS alias
+  *                               --          | FIRST(V.<col>) AS alias
+  *                               --          | LAST(V.<col>)  AS alias
+  *                               --          | SUM(V.<col>)   AS alias
+  *                               --          | COUNT(V.<col>) AS alias
+  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *   PATTERN (V1 V2[?|{n}] ...)  -- linear; '?' = optional, '{n}' = times(n)
   *   WITHIN INTERVAL '<n>' <SECOND|MINUTE|HOUR|DAY>
   *   DEFINE V1 AS <predicate>, ...  -- Spark SQL boolean exprs over the event
@@ -24,9 +27,14 @@ import org.apache.spark.sql.functions._
   * )
   * }}}
   * Semantics are [[Pattern]]'s (flink-cep relaxed contiguity,
-  * skip-till-next, earliest binding); measures are restricted to binding
-  * timestamps because that is what the batch NFA-free compilation retains.
-  * FIRST/LAST index into a quantified variable's bindings (`V_1`/`V_n`).
+  * skip-till-next, earliest binding). Measures over non-timestamp columns
+  * bind the column at the step via [[Pattern.bind]] (earliest-(ts, value)
+  * struct-min binding); FIRST/LAST/SUM/COUNT index or fold over a quantified
+  * variable's `{n}` expansions (reference MatchRecognizeITCase.scala's
+  * `SUM(A.price)`-style aggregate measures). AFTER MATCH SKIP PAST LAST ROW
+  * lowers to [[Pattern.afterMatchSkipPastLastEvent]]; SKIP TO NEXT ROW is
+  * this compilation's default (each start row opens at most one match), so
+  * the clause parses as an explicit no-op.
   */
 object MatchRecognize {
 
@@ -34,10 +42,12 @@ object MatchRecognize {
     "HOUR" -> 3600000L, "DAY" -> 86400000L)
 
   private case class PatternVar(name: String, quant: Option[String])
-  private case class Measure(fn: Option[String], varName: String, alias: String)
+  private case class Measure(fn: Option[String], varName: String,
+                             field: String, alias: String)
   private case class Spec(partitionBy: String, orderBy: String,
                           measures: Seq[Measure], vars: Seq[PatternVar],
-                          withinMs: Long, defines: Map[String, String])
+                          withinMs: Long, defines: Map[String, String],
+                          skipPastLast: Boolean)
 
   private def sectionRx(name: String, stopAt: String) =
     (s"(?is)\\b$name\\b\\s+(.*?)\\s*(?=\\b(?:$stopAt)\\b)").r
@@ -50,13 +60,17 @@ object MatchRecognize {
     def section(name: String, stopAt: String): Option[String] =
       sectionRx(name, stopAt).findFirstMatchIn(body).map(_.group(1).trim)
     val partitionBy = section("PARTITION\\s+BY", "ORDER").getOrElse(sys.error("PARTITION BY required"))
-    val orderBy = section("ORDER\\s+BY", "MEASURES|PATTERN").getOrElse(sys.error("ORDER BY required"))
-    val measures = section("MEASURES", "PATTERN").toSeq.flatMap(_.split(",").toSeq).map { m =>
-      "(?is)\\s*(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.ts\\s*\\)?\\s+AS\\s+(\\w+)\\s*".r
+    val orderBy = section("ORDER\\s+BY", "MEASURES|AFTER|PATTERN").getOrElse(sys.error("ORDER BY required"))
+    val measures = section("MEASURES", "AFTER|PATTERN").toSeq.flatMap(_.split(",").toSeq).map { m =>
+      "(?is)\\s*(?:(FIRST|LAST|SUM|COUNT)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*".r
         .findFirstMatchIn(m)
-        .map(g => Measure(Option(g.group(1)).map(_.toUpperCase), g.group(2), g.group(3)))
-        .getOrElse(sys.error(s"unsupported MEASURES item: $m (only [FIRST|LAST](V.ts) AS alias)"))
+        .map(g => Measure(Option(g.group(1)).map(_.toUpperCase), g.group(2),
+          g.group(3), g.group(4)))
+        .getOrElse(sys.error(s"unsupported MEASURES item: $m " +
+          "(only [FIRST|LAST|SUM|COUNT](V.col) AS alias)"))
     }
+    val skipPastLast =
+      "(?is)\\bAFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\b".r.findFirstIn(body).nonEmpty
     val patternBody = "(?is)\\bPATTERN\\s*\\(([^)]*)\\)".r.findFirstMatchIn(body)
       .getOrElse(sys.error("PATTERN (...) required")).group(1).trim
     val vars = "(\\w+)(\\?|\\{(\\d+)\\})?".r.findAllMatchIn(patternBody).map { g =>
@@ -78,7 +92,7 @@ object MatchRecognize {
         m.group(1) -> m.group(2).trim
       }.toMap
     }.getOrElse(Map.empty)
-    Spec(partitionBy, orderBy, measures, vars, withinMs, defines)
+    Spec(partitionBy, orderBy, measures, vars, withinMs, defines, skipPastLast)
   }
 
   private def predOf(spec: Spec, v: String): Column =
@@ -89,15 +103,22 @@ object MatchRecognize {
     * with no MEASURES clause, the raw [[Pattern.detect]] binding columns. */
   def detect(events: DataFrame, sql: String): DataFrame = {
     val spec = parse(sql)
+    // non-timestamp columns referenced by measures must be bound at the step
+    val keepByVar: Map[String, Seq[String]] = spec.measures
+      .filter(_.field != "ts").groupBy(_.varName)
+      .map { case (v, ms) => v -> ms.map(_.field).distinct }
     var pat = Pattern.begin(spec.vars.head.name, predOf(spec, spec.vars.head.name))
     require(spec.vars.head.quant.isEmpty, "first pattern variable cannot be quantified")
+    keepByVar.get(spec.vars.head.name).foreach(ks => pat = pat.bind(ks: _*))
     spec.vars.tail.foreach { v =>
       pat = pat.followedBy(v.name, predOf(spec, v.name))
       v.quant.foreach {
         case "?" => pat = pat.optional()
         case q => pat = pat.times(q.stripPrefix("{").stripSuffix("}").toInt)
       }
+      keepByVar.get(v.name).foreach(ks => pat = pat.bind(ks: _*))
     }
+    if (spec.skipPastLast) pat = pat.afterMatchSkipPastLastEvent()
     val matches = pat.within(spec.withinMs)
       .detect(events, col(spec.partitionBy), col(spec.orderBy))
     if (spec.measures.isEmpty) matches
@@ -107,12 +128,21 @@ object MatchRecognize {
           .getOrElse(1)).toMap
       val cols = spec.measures.map { m =>
         val n = reps.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
-        val src = m.fn match {
-          case None => require(n == 1, s"${m.varName} is quantified — use FIRST/LAST"); s"${m.varName}_ts"
-          case Some("FIRST") => if (n == 1) s"${m.varName}_ts" else s"${m.varName}_1_ts"
-          case Some(_) => if (n == 1) s"${m.varName}_ts" else s"${m.varName}_${n}_ts"
+        // one source column per {n} expansion: V_field or V_i_field
+        val srcs = if (n == 1) Seq(s"${m.varName}_${m.field}")
+                   else (1 to n).map(i => s"${m.varName}_${i}_${m.field}")
+        val c = m.fn match {
+          case None =>
+            require(n == 1, s"${m.varName} is quantified — use FIRST/LAST/SUM/COUNT")
+            col(srcs.head)
+          case Some("FIRST") => col(srcs.head)
+          case Some("LAST") => col(srcs.last)
+          case Some("SUM") => srcs.map(col).reduce(_ + _)
+          case Some("COUNT") =>
+            srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+          case Some(f) => sys.error(s"unsupported measure function $f")
         }
-        col(src).as(m.alias)
+        c.as(m.alias)
       }
       matches.select(col("key").as(spec.partitionBy) +: cols: _*)
     }

@@ -248,6 +248,69 @@ object WindowQueries {
       |SELECT user_id, t0 AS view_ts, t1 AS first_click_ts, t2 AS last_click_ts,
       | t3 AS purchase_ts FROM m3""".stripMargin
 
+  // --- m02: MATCH_RECOGNIZE value measures — SUM/COUNT/LAST over bindings ---
+  // The reference's MatchRecognizeITCase exercises SUM(A.price)-style
+  // aggregate measures; here the SQL text binds click values at the step
+  // (Pattern.bind under the hood) and folds them in the MEASURES clause.
+  // Equal-timestamp candidates bind by (ts, value) struct-min, replayed by
+  // the oracle's row_number ordering.
+  private val m02: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES A.ts AS view_ts, SUM(B.value) AS click_spend,
+        |           COUNT(B.ts) AS n_clicks, LAST(B.value) AS last_click_value,
+        |           C.value AS purchase_value
+        |  PATTERN (A B{2} C)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m02Sql =
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) t0 FROM events
+      |           WHERE event_type='view'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT user_id, t0, t1, v1 FROM (
+      |   SELECT a.user_id, a.t0, b.ts AS t1, b.value AS v1,
+      |          row_number() OVER (PARTITION BY a.user_id, a.t0 ORDER BY b.ts, b.value) rn
+      |   FROM a JOIN b ON b.user_id = a.user_id AND b.ts > a.t0
+      |                AND b.ts <= a.t0 + INTERVAL 24 HOURS) WHERE rn = 1),
+      |m2 AS (SELECT user_id, t0, t1, v1, t2, v2 FROM (
+      |   SELECT m1.user_id, m1.t0, m1.t1, m1.v1, b.ts AS t2, b.value AS v2,
+      |          row_number() OVER (PARTITION BY m1.user_id, m1.t0, m1.t1, m1.v1
+      |                             ORDER BY b.ts, b.value) rn
+      |   FROM m1 JOIN b ON b.user_id = m1.user_id AND b.ts > m1.t1
+      |                 AND b.ts <= m1.t0 + INTERVAL 24 HOURS) WHERE rn = 1),
+      |m3 AS (SELECT user_id, t0, t1, v1, t2, v2, t3, v3 FROM (
+      |   SELECT m2.user_id, m2.t0, m2.t1, m2.v1, m2.t2, m2.v2,
+      |          c.ts AS t3, c.value AS v3,
+      |          row_number() OVER (PARTITION BY m2.user_id, m2.t0, m2.t1, m2.v1,
+      |                             m2.t2, m2.v2 ORDER BY c.ts, c.value) rn
+      |   FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts > m2.t2
+      |                 AND c.ts <= m2.t0 + INTERVAL 24 HOURS) WHERE rn = 1)
+      |SELECT user_id, t0 AS view_ts, v1 + v2 AS click_spend,
+      | CAST(2 AS BIGINT) AS n_clicks, v2 AS last_click_value,
+      | v3 AS purchase_value FROM m3""".stripMargin
+
+  // --- m03: AFTER MATCH SKIP PAST LAST ROW through the SQL front door ---
+  // Greedy per-key non-overlap selection is inherently sequential, so no
+  // cross-engine SQL oracle exists (rows-only check); the lowering onto
+  // afterMatchSkipPastLastEvent and its semantics are pinned by
+  // MatchRecognizeSpec + CepPatternSpec.
+  private val m03: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS view_ts, P.ts AS purchase_ts
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+
   // --- w12: SQL-text windowed aggregate — the Flink SQL TUMBLE mapping ---
   // Flink 1.10 SQL writes GROUP BY TUMBLE(ts, INTERVAL '1' HOUR); the Spark
   // SQL spelling of the same thing is GROUP BY window(ts, '1 hour') — this
@@ -364,7 +427,8 @@ object WindowQueries {
     "w04_interval_join" -> w04, "w05_cep_seq" -> w05, "w06_time_range_over" -> w06,
     "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
     "w10_cep_measures" -> w10, "w11_cep_pattern_api" -> w11,
-    "m01_match_recognize" -> m01)
+    "m01_match_recognize" -> m01, "m02_match_measures" -> m02,
+    "m03_match_skip" -> m03)
 
   val oracles: Map[String, String] = Map(
     "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
@@ -373,5 +437,6 @@ object WindowQueries {
     "w04_interval_join" -> w04Sql, "w05_cep_seq" -> w05Sql, "w06_time_range_over" -> w06Sql,
     "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql,
     "w09_cep_quantified" -> w09Sql, "w10_cep_measures" -> w10Sql,
-    "w11_cep_pattern_api" -> w11Sql, "m01_match_recognize" -> m01Sql)
+    "w11_cep_pattern_api" -> w11Sql, "m01_match_recognize" -> m01Sql,
+    "m02_match_measures" -> m02Sql) // m03 has no SQL oracle (greedy skip is sequential)
 }

@@ -73,6 +73,53 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(any == Set((1L, at(10)), (2L, at(5)), (4L, at(15))))
   }
 
+  private lazy val valued = Seq(
+    (1L, at(0), "signup", 0.0), (1L, at(10), "click", 2.5), (1L, at(20), "click", 4.0),
+    (1L, at(30), "purchase", 9.0),
+    (2L, at(0), "signup", 0.0), (2L, at(5), "click", 1.0)
+  ).toDF("user_id", "ts", "event_type", "value")
+
+  test("value measures: SUM/COUNT/FIRST/LAST over bound columns") {
+    val m = MatchRecognize.detect(valued,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, SUM(C.value) AS spend, COUNT(C.ts) AS n_c,
+        |           FIRST(C.value) AS first_v, LAST(C.value) AS last_v,
+        |           P.value AS p_value
+        |  PATTERN (S C{2} P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Double, Long, Double, Double, Double)].collect().toSet
+    assert(m == Set((1L, at(0), 6.5, 2L, 2.5, 4.0, 9.0)))
+  }
+
+  test("AFTER MATCH SKIP PAST LAST ROW lowers to the greedy non-overlap selection") {
+    // s@0 c@10, s@20 s@25 c@30, c@40: NO_SKIP emits 3 matches; skip keeps
+    // (0,10) and (20,30) — the start at 25 lies inside the second kept match
+    val ev5 = Seq(
+      (5L, at(0), "signup"), (5L, at(10), "click"),
+      (5L, at(20), "signup"), (5L, at(25), "signup"), (5L, at(30), "click"),
+      (5L, at(40), "click")
+    ).toDF("user_id", "ts", "event_type")
+    def sql(skip: String) =
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES S.ts AS s_ts, C.ts AS c_ts
+         |  $skip
+         |  PATTERN (S C)
+         |  WITHIN INTERVAL '1' HOUR
+         |  DEFINE S AS event_type = 'signup', C AS event_type = 'click'
+         |)""".stripMargin
+    val all = MatchRecognize.detect(ev5, sql("AFTER MATCH SKIP TO NEXT ROW"))
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    assert(all.size == 3, "SKIP TO NEXT ROW = this compilation's default NO_SKIP")
+    val kept = MatchRecognize.detect(ev5, sql("AFTER MATCH SKIP PAST LAST ROW"))
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    assert(kept == Set((5L, at(0), at(10)), (5L, at(20), at(30))))
+  }
+
   test("within() honors sub-second windows exactly (millisecond intervals)") {
     val evMs = Seq(
       (1L, new Timestamp(T0.getTime), "a"), (1L, new Timestamp(T0.getTime + 1400), "b"),
