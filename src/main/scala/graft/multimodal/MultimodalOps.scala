@@ -93,8 +93,50 @@ object ImageHeaderDecoder extends BinaryDecoder {
     StubDecoder.frameOffsets(bytes, everyN)
 }
 
+/** REAL pure-JVM RIFF/WAVE header parser — the audio analog of
+  * [[ImageHeaderDecoder]] (and like it, not a stub: these are the container
+  * bytes themselves). Walks the RIFF chunk list ([id:4][size:4 LE][payload]),
+  * reads PCM format fields from the mandatory `fmt ` chunk and the payload
+  * size from the `data` chunk; duration follows from byte rate. Sample
+  * DECODING would need a codec for non-PCM encodings and stays out of scope
+  * exactly as pixel decode does for images. */
+object AudioHeaderDecoder {
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def i32le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** (channels, sampleRateHz, bitsPerSample, durationMs) of a WAV blob. */
+  def audioMeta(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+      "not a RIFF/WAVE container")
+    var off = 12
+    var channels = -1; var rate = -1; var bits = -1; var byteRate = -1
+    var dataBytes = -1L
+    while (off + 8 <= bytes.length && (channels < 0 || dataBytes < 0)) {
+      val id = tag(bytes, off)
+      val size = i32le(bytes, off + 4)
+      if (id == "fmt " && size >= 16) {
+        channels = u16le(bytes, off + 10)
+        rate = i32le(bytes, off + 12)
+        byteRate = i32le(bytes, off + 16)
+        bits = u16le(bytes, off + 22)
+      } else if (id == "data") dataBytes = size.toLong & 0xffffffffL
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(channels > 0 && byteRate > 0, "WAV without fmt chunk")
+    require(dataBytes >= 0, "WAV without data chunk")
+    (channels, rate, bits, dataBytes * 1000L / byteRate)
+  }
+}
+
 object MultimodalOps {
   case class MediaRow(media_id: Long, media: Array[Byte])
+  case class AudioMeta(media_id: Long, channels: Int, sample_rate: Int,
+                       bits: Int, duration_ms: Long)
   case class ImageMeta(media_id: Long, width: Int, height: Int, format: String)
   case class Frame(media_id: Long, frame_no: Int, byte_offset: Long)
   case class Features(media_id: Long, features: Array[Float])
@@ -108,6 +150,18 @@ object MultimodalOps {
       iter.map { r =>
         val (w, h, f) = decoder.imageMeta(r.media)
         ImageMeta(r.media_id, w, h, f)
+      }
+    }
+  }
+
+  /** audio-as-binary → (channels, sample rate, bit depth, duration) via the
+    * pure-JVM [[AudioHeaderDecoder]]; partition-wise like [[decodeImageMeta]]. */
+  def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    media.mapPartitions { iter =>
+      iter.map { r =>
+        val (ch, rate, bits, durMs) = AudioHeaderDecoder.audioMeta(r.media)
+        AudioMeta(r.media_id, ch, rate, bits, durMs)
       }
     }
   }

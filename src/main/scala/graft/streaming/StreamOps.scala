@@ -95,6 +95,21 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Early-firing tumbling aggregate — the reference's
+    * ContinuousEventTimeTrigger (flink-streaming-java/.../windowing/triggers/
+    * ContinuousEventTimeTrigger.java, also CountTrigger+non-purging
+    * composition): the window fires repeatedly BEFORE it closes, emitting
+    * partial aggregates that later fires revise. In a micro-batch engine the
+    * natural fire cadence is the trigger interval itself: the SAME windowed
+    * aggregate in UPDATE output mode re-emits each key's revised partial
+    * every micro-batch it changes in, and the last revision (once the
+    * watermark closes the window) equals the append-mode result. Returns the
+    * writer pre-configured for update mode; pair with
+    * `.trigger(ProcessingTime("..."))` to set the fire interval. */
+  def earlyFireTumbleAgg(events: DataFrame, watermark: String,
+                         size: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    tumblingAgg(events, watermark, size).writeStream.outputMode("update")
+
   /** Processing-time session timer (reference KeyedProcessFunction +
     * `registerProcessingTimeTimer`, TumblingProcessingTimeWindows' timer
     * service): the session closes `gapMs` of WALL time after the key's last

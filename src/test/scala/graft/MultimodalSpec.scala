@@ -67,6 +67,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(metas == Seq((640, 480, "jpeg"), (320, 200, "png"), (1024, 768, "gif")))
   }
 
+  test("AudioHeaderDecoder parses a real RIFF/WAVE fmt chunk (no stub)") {
+    import graft.multimodal.AudioHeaderDecoder
+    // 44.1 kHz stereo 16-bit PCM, 2 s of audio: data = 176400 B/s × 2
+    def le16(v: Int) = Array[Int](v & 0xff, (v >> 8) & 0xff)
+    def le32(v: Int) = Array[Int](v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    val header: Array[Int] =
+      Array[Int]('R', 'I', 'F', 'F') ++ le32(36 + 8) ++ Array[Int]('W', 'A', 'V', 'E') ++
+        // an extra LIST chunk first: the walk must skip unknown chunks
+        Array[Int]('L', 'I', 'S', 'T') ++ le32(4) ++ Array[Int]('I', 'N', 'F', 'O') ++
+        Array[Int]('f', 'm', 't', ' ') ++ le32(16) ++
+        le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
+        Array[Int]('d', 'a', 't', 'a') ++ le32(352800)
+    val wav = header.map(_.toByte) ++ Array.fill[Byte](8)(0) // truncated payload is fine
+    assert(AudioHeaderDecoder.audioMeta(wav) == ((2, 44100, 16, 2000L)))
+    // partition-wise pipeline
+    val ds = Seq(MediaRow(7L, wav)).toDS()
+    val m = MultimodalOps.decodeAudioMeta(ds).collect().head
+    assert(m.media_id == 7L && m.channels == 2 && m.sample_rate == 44100 &&
+      m.bits == 16 && m.duration_ms == 2000L)
+  }
+
   test("mediaStats: builtin-only size + magic sniffing") {
     val df = Seq(fakeMedia(1, 640, 480, 0, 100)).toDS().toDF()
     val r = MultimodalOps.mediaStats(df, "media").select("n_bytes", "header_hex").head()

@@ -393,6 +393,29 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .map(p => Option(p.stateOperators).toSeq.flatten)
       .find(_.nonEmpty).map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
 
+  test("earlyFireTumbleAgg (ContinuousEventTimeTrigger analog) emits revisable partials") {
+    val in = MemoryStream[Event]
+    val q = StreamOps.earlyFireTumbleAgg(in.toDF(), "10 seconds", "1 minute")
+      .format("memory").queryName("s_earlyfire").start()
+    in.addData(Event(1, at(10), "click", 1.0))
+    q.processAllAvailable() // first fire: partial (1, 1.0), window still open
+    in.addData(Event(1, at(20), "click", 2.0))
+    q.processAllAvailable() // second fire revises the SAME window
+    in.addData(FLUSH)
+    q.processAllAvailable(); q.stop()
+    val fires = spark.table("s_earlyfire").filter($"event_type" === "click")
+      .select("n", "sum_value").as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(fires == Seq((1L, 1.0), (2L, 3.0)),
+      s"expected an early partial then a revision, got $fires")
+    // the final revision equals the append-mode (on-window-close) result
+    val in2 = MemoryStream[Event]
+    in2.addData(Event(1, at(10), "click", 1.0), Event(1, at(20), "click", 2.0), FLUSH)
+    val append = run("s_earlyfire_append", StreamOps.tumblingAgg(in2.toDF(), "10 seconds", "1 minute"))
+      .filter($"event_type" === "click")
+      .select("n", "sum_value").as[(Long, Double)].collect().toSeq
+    assert(append == Seq(fires.last))
+  }
+
   test("dedupKeepLast evicts a dormant key's state after the idle TTL, output unchanged") {
     val in = MemoryStream[Event]
     val q = StreamOps.dedupKeepLast(in.toDS(), "10 seconds", idleTtlMs = 60000L).toDF()
