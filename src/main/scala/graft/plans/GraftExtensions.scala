@@ -40,8 +40,34 @@ object GraftExtensions {
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graph_pagerank"),
+      new ExpressionInfo("graft", "graph_pagerank"),
+      pageRankPlan _))
     ext.injectOptimizerRule(_ => DotProductFusion)
     ext.injectPlannerStrategy(_ => TopNPerKeyStrategy)
+  }
+
+  /** `graph_pagerank('<table>', '<src_col>', '<dst_col>', <iters>)` — a
+    * TABLE-valued SQL front door onto [[graft.operators.Iterate.pageRank]]
+    * (the reference exposes Gelly PageRank only through the DataSet API,
+    * flink-libraries/flink-gelly/.../linkanalysis/PageRank.java; here it is
+    * a first-class FROM-clause citizen). Returns (id, rank). The iterative
+    * fixpoint materializes when the enclosing query is analyzed — the
+    * supersteps run as Spark jobs exactly as the combinator path, since an
+    * iteration cannot be expressed as a single lazy plan. */
+  private def pageRankPlan(args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 4,
+      "graph_pagerank('<table>', '<src_col>', '<dst_col>', <iters>)")
+    def str(e: Expression): String = e.eval() match {
+      case null => sys.error("graph_pagerank arguments must be literals")
+      case v => v.toString
+    }
+    val iters = args(3).eval().asInstanceOf[Number].intValue()
+    val spark = org.apache.spark.sql.SparkSession.active
+    val ranked = graft.operators.Iterate.pageRank(
+      spark.table(str(args(0))), str(args(1)), str(args(2)), iters)
+    org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(ranked)
   }
 
   /** Install onto an already-running session (extensions normally bind at
@@ -50,6 +76,8 @@ object GraftExtensions {
   def installInto(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(spark, "array_dot",
       children => ArrayDotProduct(children(0), children(1)))
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerTableFunction(
+      spark, "graph_pagerank", pageRankPlan _)
     if (!spark.experimental.extraOptimizations.contains(DotProductFusion))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ DotProductFusion

@@ -38,4 +38,15 @@ object ColumnBridge {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
       builder)
   }
+
+  /** Register a TABLE-valued function on a LIVE session (same reason: the
+    * injectTableFunction extensions path binds at session construction). */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                            builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+      builder)
+  }
 }

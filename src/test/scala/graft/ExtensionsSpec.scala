@@ -18,6 +18,18 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
     assert(r.getDouble(0) == 32.0)
   }
 
+  test("graph_pagerank is a FROM-clause table function (extensions beyond scalars)") {
+    import s.implicits._
+    // a 3-cycle: symmetric ranks summing to ~1
+    Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .createOrReplaceTempView("g_edges")
+    val r = s.sql("SELECT * FROM graph_pagerank('g_edges', 'src', 'dst', 2)")
+      .collect()
+    assert(r.length == 3 && r.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val total = r.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-6, s"ranks must sum to 1, got $total")
+  }
+
   test("DotProductFusion rewrites the composable aggregate(zip_with) pattern") {
     // parquet-backed input — a local relation would be constant-folded whole
     val v = Similarity.asDouble(col("embedding"))
