@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *                               --          | SUM(V.<col>)   AS alias
   *                               --          | COUNT(V.<col>) AS alias
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-  *   PATTERN (V1 V2[?|{n}] ...)  -- linear; '?' = optional, '{n}' = times(n)
+  *   PATTERN (V1 V2[?|{n}|{n,m}] ...) -- linear; '?' = optional,
+  *                               -- '{n}' = times(n), '{n,m}' = greedy range
+  *                               -- (timesRange: n mandatory + up to m-n more)
   *   WITHIN INTERVAL '<n>' <SECOND|MINUTE|HOUR|DAY>
   *   DEFINE V1 AS <predicate>, ...  -- Spark SQL boolean exprs over the event
   *                                  -- row; vars left undefined match TRUE
@@ -73,7 +75,7 @@ object MatchRecognize {
       "(?is)\\bAFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\b".r.findFirstIn(body).nonEmpty
     val patternBody = "(?is)\\bPATTERN\\s*\\(([^)]*)\\)".r.findFirstMatchIn(body)
       .getOrElse(sys.error("PATTERN (...) required")).group(1).trim
-    val vars = "(\\w+)(\\?|\\{(\\d+)\\})?".r.findAllMatchIn(patternBody).map { g =>
+    val vars = "(\\w+)(\\?|\\{(\\d+)(?:,(\\d+))?\\})?".r.findAllMatchIn(patternBody).map { g =>
       PatternVar(g.group(1), Option(g.group(2)))
     }.toSeq
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
@@ -114,7 +116,10 @@ object MatchRecognize {
       pat = pat.followedBy(v.name, predOf(spec, v.name))
       v.quant.foreach {
         case "?" => pat = pat.optional()
-        case q => pat = pat.times(q.stripPrefix("{").stripSuffix("}").toInt)
+        case q =>
+          val bounds = q.stripPrefix("{").stripSuffix("}").split(",")
+          if (bounds.length == 2) pat = pat.timesRange(bounds(0).toInt, bounds(1).toInt)
+          else pat = pat.times(bounds(0).toInt)
       }
       keepByVar.get(v.name).foreach(ks => pat = pat.bind(ks: _*))
     }
@@ -123,21 +128,33 @@ object MatchRecognize {
       .detect(events, col(spec.partitionBy), col(spec.orderBy))
     if (spec.measures.isEmpty) matches
     else {
-      val reps = spec.vars.map(v => v.name ->
-        v.quant.collect { case q if q.startsWith("{") => q.stripPrefix("{").stripSuffix("}").toInt }
-          .getOrElse(1)).toMap
+      // (min, max) occurrences per variable: '?' = (0,1), '{n}' = (n,n),
+      // '{n,m}' = (n,m), unquantified = (1,1)
+      val bounds: Map[String, (Int, Int)] = spec.vars.map { v =>
+        v.name -> (v.quant match {
+          case Some("?") => (0, 1)
+          case Some(q) if q.startsWith("{") =>
+            val b = q.stripPrefix("{").stripSuffix("}").split(",")
+            if (b.length == 2) (b(0).toInt, b(1).toInt) else (b(0).toInt, b(0).toInt)
+          case _ => (1, 1)
+        })
+      }.toMap
       val cols = spec.measures.map { m =>
-        val n = reps.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
-        // one source column per {n} expansion: V_field or V_i_field
-        val srcs = if (n == 1) Seq(s"${m.varName}_${m.field}")
-                   else (1 to n).map(i => s"${m.varName}_${i}_${m.field}")
+        val (mn, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
+        // one source column per expansion: V_field or V_i_field; with a
+        // range quantifier the tail expansions are nullable
+        val srcs = if (mx == 1) Seq(s"${m.varName}_${m.field}")
+                   else (1 to mx).map(i => s"${m.varName}_${i}_${m.field}")
         val c = m.fn match {
           case None =>
-            require(n == 1, s"${m.varName} is quantified — use FIRST/LAST/SUM/COUNT")
+            require(mx == 1, s"${m.varName} is quantified — use FIRST/LAST/SUM/COUNT")
             col(srcs.head)
           case Some("FIRST") => col(srcs.head)
-          case Some("LAST") => col(srcs.last)
-          case Some("SUM") => srcs.map(col).reduce(_ + _)
+          case Some("LAST") =>
+            if (mn == mx) col(srcs.last) else coalesce(srcs.reverse.map(col): _*)
+          case Some("SUM") =>
+            require(mn == mx, s"SUM(${m.varName}.${m.field}) needs an exact {n} quantifier")
+            srcs.map(col).reduce(_ + _)
           case Some("COUNT") =>
             srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
           case Some(f) => sys.error(s"unsupported measure function $f")

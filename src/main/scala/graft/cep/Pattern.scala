@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 final case class Step(name: String, pred: Column, reps: Int = 1,
                       opt: Boolean = false, oneOrMore: Boolean = false,
                       until: Option[Column] = None, keep: Seq[String] = Nil,
-                      iter: Option[Column] = None)
+                      iter: Option[Column] = None, optTail: Int = 0)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false) {
@@ -61,7 +61,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * (quantified expansions bind as `<step>_<i>_<col>`); exclusive with
     * optional()/oneOrMore(). */
   def bind(cols: String*): Pattern = {
-    require(steps.nonEmpty && !steps.last.opt && !steps.last.oneOrMore,
+    require(steps.nonEmpty && !steps.last.opt && !steps.last.oneOrMore &&
+      steps.last.optTail == 0,
       "bind() applies to plain or times(n) steps")
     new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast)
   }
@@ -70,6 +71,23 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def times(n: Int): Pattern = {
     require(n >= 1 && steps.nonEmpty)
     new Pattern(steps.init :+ steps.last.copy(reps = n), notStep, windowMs, skipPastLast)
+  }
+
+  /** Range quantifier on the LAST added step — flink-cep `times(from, to)`
+    * with GREEDY consumption (reference flink-libraries/flink-cep/.../
+    * pattern/Quantifier.java, `Pattern.times(from,to).greedy()`): binds
+    * `from` mandatory occurrences then up to `to - from` more whenever they
+    * exist, each the earliest candidate after the previous binding; the next
+    * step binds after the LAST bound occurrence. One deterministic maximal
+    * match per start (no per-count branch emission, which is the reluctant
+    * variant's behavior). Unbound tail expansions emit null `_i_ts` columns.
+    * Exclusive with bind()/optional()/oneOrMore(). */
+  def timesRange(from: Int, to: Int): Pattern = {
+    require(from >= 1 && to > from && steps.nonEmpty)
+    require(!steps.last.opt && !steps.last.oneOrMore && steps.last.keep.isEmpty,
+      "timesRange() excludes optional()/oneOrMore()/bind()")
+    new Pattern(steps.init :+ steps.last.copy(reps = from, optTail = to - from),
+      notStep, windowMs, skipPastLast)
   }
 
   /** Make the LAST added step optional (flink-cep `optional()`): a match may
@@ -139,8 +157,14 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.head.iter.isEmpty, "the first step has no prior bindings")
     val win = expr(s"INTERVAL ${windowMs.get} MILLISECONDS")
     val expanded: Vector[Step] = steps.flatMap { s =>
-      if (s.reps == 1) Vector(s)
-      else (1 to s.reps).map(i => s.copy(name = s"${s.name}_$i", reps = 1)).toVector
+      if (s.reps == 1 && s.optTail == 0) Vector(s)
+      else {
+        val mandatory = (1 to s.reps).map(i =>
+          s.copy(name = s"${s.name}_$i", reps = 1, optTail = 0))
+        val optionalTail = (s.reps + 1 to s.reps + s.optTail).map(i =>
+          s.copy(name = s"${s.name}_$i", reps = 1, optTail = 0, opt = true))
+        (mandatory ++ optionalTail).toVector
+      }
     }
     // every event column, re-projected under the __c_ prefix iterative
     // predicates address via Pattern.ev (Catalyst prunes the unused ones)

@@ -41,6 +41,42 @@ object EventWindows {
       .withColumn("session_start", col("w.start"))
       .withColumn("session_end", col("w.end")).drop("w")
 
+  /** TimeEvictor analog (reference flink-streaming-java/.../windowing/
+    * evictors/TimeEvictor.java): before the window function runs, elements
+    * older than `keep` relative to the window's max element timestamp are
+    * evicted — only the trailing `keep` span of each window contributes to
+    * the aggregate. One extra keyed window-max, no second shuffle (the max
+    * and the aggregate share the (window, keys) partitioning). */
+  def timeEvictedTumbleAgg(df: DataFrame, tsCol: Column, size: String,
+                           keep: String, keys: Seq[Column],
+                           aggs: Seq[Column]): DataFrame = {
+    val bucketed = df.withColumn("__w", window(tsCol, size))
+    val keyCols = col("__w") +: keys
+    val mx = max(tsCol).over(Window.partitionBy(keyCols: _*))
+    bucketed.withColumn("__mx", mx)
+      .filter(tsCol > col("__mx") - expr(s"INTERVAL $keep"))
+      .groupBy(keyCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("__w.start")).drop("__w")
+  }
+
+  /** CountEvictor analog (reference .../windowing/evictors/CountEvictor
+    * .java): only the LAST `keep` elements of each window (by event time,
+    * tie-broken on `tieCol`) reach the window function. */
+  def countEvictedTumbleAgg(df: DataFrame, tsCol: Column, size: String,
+                            keep: Int, tieCol: Column, keys: Seq[Column],
+                            aggs: Seq[Column]): DataFrame = {
+    val bucketed = df.withColumn("__w", window(tsCol, size))
+    val keyCols = col("__w") +: keys
+    val rn = row_number().over(
+      Window.partitionBy(keyCols: _*).orderBy(tsCol.desc, tieCol.desc))
+    bucketed.withColumn("__rn", rn)
+      .filter(col("__rn") <= keep)
+      .groupBy(keyCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("__w.start")).drop("__w")
+  }
+
   /** Flink intervalJoin: left row joins right rows of the same key whose time
     * is in (left.ts + lowerExclusive, left.ts + upper]. Planned as an
     * equi-join on the key with a range residual — at scale the shuffle is on

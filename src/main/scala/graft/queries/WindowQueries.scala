@@ -311,6 +311,48 @@ object WindowQueries {
         |  DEFINE S AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin)
 
+  // --- m04: MATCH_RECOGNIZE range quantifier {n,m} (greedy) ---
+  // flink-cep times(from,to).greedy(): one mandatory click then up to one
+  // more whenever present; the purchase binds after the LAST bound click.
+  // LAST over the range coalesces backwards across the nullable tail;
+  // COUNT counts bound expansions. Oracle replays the greedy chain with a
+  // LEFT JOIN for the optional occurrence.
+  private val m04: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES A.ts AS view_ts, FIRST(B.ts) AS first_click_ts,
+        |           LAST(B.ts) AS last_click_ts, COUNT(B.ts) AS n_clicks,
+        |           C.ts AS purchase_ts
+        |  PATTERN (A B{1,2} C)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m04Sql =
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) t0 FROM events
+      |           WHERE event_type='view'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT a.user_id, a.t0, min(b.ts) AS t1
+      |       FROM a JOIN b ON b.user_id = a.user_id AND b.ts > a.t0
+      |                    AND b.ts <= a.t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, t0, t1, min(b.ts) AS t2
+      |       FROM m1 LEFT JOIN b ON b.user_id = m1.user_id AND b.ts > t1
+      |                          AND b.ts <= t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3),
+      |m3 AS (SELECT m2.user_id, t0, t1, t2, min(c.ts) AS t3
+      |       FROM m2 JOIN c ON c.user_id = m2.user_id
+      |                     AND c.ts > coalesce(t2, t1)
+      |                     AND c.ts <= t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT user_id, t0 AS view_ts, t1 AS first_click_ts,
+      | coalesce(t2, t1) AS last_click_ts,
+      | CAST(CASE WHEN t2 IS NULL THEN 1 ELSE 2 END AS BIGINT) AS n_clicks,
+      | t3 AS purchase_ts FROM m3""".stripMargin
+
   // --- w12: SQL-text windowed aggregate — the Flink SQL TUMBLE mapping ---
   // Flink 1.10 SQL writes GROUP BY TUMBLE(ts, INTERVAL '1' HOUR); the Spark
   // SQL spelling of the same thing is GROUP BY window(ts, '1 hour') — this
@@ -420,7 +462,40 @@ object WindowQueries {
       |  ORDER BY v.valid_from DESC LIMIT 1) AS prio_asof
       |FROM f""".stripMargin
 
+  // --- w17: TimeEvictor — only the trailing 15 min of each 1h window ---
+  // (reference flink-streaming-java/.../windowing/evictors/TimeEvictor.java:
+  // evicts elements with ts <= window-max - keep before the function runs)
+  private val w17: Q = (s, dir) =>
+    graft.operators.EventWindows.timeEvictedTumbleAgg(ev(s, dir), col("ts"),
+      "1 hour", "15 minutes", Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+      .select("window_start", "event_type", "n", "sum_value")
+  private val w17Sql =
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+      |            CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS ws FROM events),
+      |m AS (SELECT *, max(ts) OVER (PARTITION BY ws, event_type) AS mx FROM e)
+      |SELECT ws AS window_start, event_type, count(*) AS n,
+      | round(sum(value), 4) AS sum_value
+      |FROM m WHERE ts > mx - INTERVAL 15 MINUTES GROUP BY 1, 2""".stripMargin
+
+  // --- w18: CountEvictor — only the last 5 events of each 1h window ---
+  // (reference .../windowing/evictors/CountEvictor.java)
+  private val w18: Q = (s, dir) =>
+    graft.operators.EventWindows.countEvictedTumbleAgg(ev(s, dir), col("ts"),
+      "1 hour", 5, col("event_id"), Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+      .select("window_start", "event_type", "n", "sum_value")
+  private val w18Sql =
+    """WITH e AS (SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |            CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS ws FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY ws, event_type
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+      |SELECT ws AS window_start, event_type, count(*) AS n,
+      | round(sum(value), 4) AS sum_value
+      |FROM r WHERE rn <= 5 GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "w17_time_evictor" -> w17, "w18_count_evictor" -> w18,
     "w12_sql_tumble" -> w12, "w13_temporal_join" -> w13,
     "w14_cep_relative" -> w14, "w15_sql_hop" -> w15, "w16_sql_session" -> w16,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
@@ -428,9 +503,10 @@ object WindowQueries {
     "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
     "w10_cep_measures" -> w10, "w11_cep_pattern_api" -> w11,
     "m01_match_recognize" -> m01, "m02_match_measures" -> m02,
-    "m03_match_skip" -> m03)
+    "m03_match_skip" -> m03, "m04_match_range" -> m04)
 
   val oracles: Map[String, String] = Map(
+    "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
     "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
     "w14_cep_relative" -> w14Sql, "w15_sql_hop" -> w15Sql, "w16_sql_session" -> w16Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
@@ -438,5 +514,6 @@ object WindowQueries {
     "w07_not_followed_by" -> w07Sql, "w08_count_window" -> w08Sql,
     "w09_cep_quantified" -> w09Sql, "w10_cep_measures" -> w10Sql,
     "w11_cep_pattern_api" -> w11Sql, "m01_match_recognize" -> m01Sql,
-    "m02_match_measures" -> m02Sql) // m03 has no SQL oracle (greedy skip is sequential)
+    "m02_match_measures" -> m02Sql, // m03 has no SQL oracle (greedy skip is sequential)
+    "m04_match_range" -> m04Sql)
 }

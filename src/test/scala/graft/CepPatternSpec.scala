@@ -261,6 +261,24 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(streaming == batch && batch.nonEmpty, s"streaming=$streaming batch=$batch")
   }
 
+  test("timesRange(n,m) binds greedily up to m occurrences, null tail when fewer") {
+    // user 1 has 2 clicks before the purchase (both bind); user 7 has 1
+    // (tail expansion stays null, purchase binds after the single click)
+    val ev7 = events.union(Seq(
+      (7L, at(0), "signup"), (7L, at(10), "click"), (7L, at(30), "purchase")
+    ).toDF("user_id", "ts", "event_type"))
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").timesRange(1, 2)
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(ev7, $"user_id", $"ts")
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Timestamp]("click_1_ts"),
+        Option(r.getAs[Timestamp]("click_2_ts")), r.getAs[Timestamp]("purchase_ts"))).toSet
+    assert(m == Set(
+      (1L, at(10), Some(at(20)), at(30)), // greedy: both clicks consumed
+      (7L, at(10), None, at(30))))
+  }
+
   test("pattern joins stay keyed equi-joins (no cross product)") {
     val df = Pattern.begin("signup", $"event_type" === "signup")
       .followedBy("purchase", $"event_type" === "purchase")

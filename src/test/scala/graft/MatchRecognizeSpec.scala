@@ -120,6 +120,22 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(kept == Set((5L, at(0), at(10)), (5L, at(20), at(30))))
   }
 
+  test("{n,m} range quantifier: greedy consumption, LAST/COUNT over the nullable tail") {
+    // user 1: two clicks bind; user 4: zero clicks — no match for B{1,2}
+    val m = MatchRecognize.detect(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(C.ts) AS first_c, LAST(C.ts) AS last_c,
+        |           COUNT(C.ts) AS n_c
+        |  PATTERN (S C{1,2})
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long)].collect().toSet
+    // user 1 consumes both clicks greedily; user 2 has exactly one
+    assert(m == Set((1L, at(0), at(10), at(20), 2L), (2L, at(0), at(5), at(5), 1L)))
+  }
+
   test("within() honors sub-second windows exactly (millisecond intervals)") {
     val evMs = Seq(
       (1L, new Timestamp(T0.getTime), "a"), (1L, new Timestamp(T0.getTime + 1400), "b"),

@@ -386,6 +386,24 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(dropped >= 1, "late row must be counted as dropped by the watermark")
   }
 
+  test("SQL text runs against a STREAMING temp view (Flink streaming SQL analog)") {
+    // Flink 1.10 users write TUMBLE SQL against unbounded tables; the Spark
+    // mapping is spark.sql over a streaming temp view — the same text as the
+    // batch front door (w12), executing incrementally with watermark state
+    val in = MemoryStream[Event]
+    in.toDF().withWatermark("ts", "10 seconds").createOrReplaceTempView("s_events")
+    val agg = spark.sql(
+      """SELECT window(ts, '1 minute').start AS window_start, event_type,
+        |       count(*) AS n, sum(value) AS sum_value
+        |FROM s_events GROUP BY window(ts, '1 minute'), event_type""".stripMargin)
+    assert(agg.isStreaming, "the SQL plan must stay a streaming plan")
+    in.addData(Event(1, at(10), "click", 1.0), Event(1, at(20), "click", 2.0), FLUSH)
+    val out = run("s_sql_stream", agg)
+    val r = out.filter($"event_type" === "click").collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n") == 2L &&
+      r(0).getAs[Double]("sum_value") == 3.0)
+  }
+
   /** State rows in the most recent progress entry that reports any — the
     * state-store row count backing the TTL-eviction assertions below. */
   private def lastStateRows(q: StreamingQuery): Long =
