@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
 final case class Step(name: String, pred: Column, reps: Int = 1,
                       opt: Boolean = false, oneOrMore: Boolean = false,
                       until: Option[Column] = None, keep: Seq[String] = Nil,
-                      iter: Option[Column] = None, optTail: Int = 0)
+                      iter: Option[Column] = None, optTail: Int = 0,
+                      alts: Seq[(String, Column)] = Nil)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false) {
@@ -50,6 +51,22 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def followedByIterative(name: String, pred: Column, iterPred: Column): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
     new Pattern(steps :+ Step(name, pred, iter = Some(iterPred)), notStep, windowMs, skipPastLast)
+  }
+
+  /** Alternation — flink-cep's grouped pattern with alternative conditions
+    * (reference flink-libraries/flink-cep/.../pattern/GroupPattern.java and
+    * the SQL CLASSIFIER() function in MatchRecognizeITCase): the step binds
+    * the earliest event matching ANY branch, and the match records WHICH
+    * branch matched in an extra `<name>_cls` column (first matching branch
+    * in declaration order for an event satisfying several). Equal-timestamp
+    * candidates tie-break on (ts, branch name) lexicographically — the
+    * classifier participates in the struct-min binding. Composable with
+    * [[bind]] and [[times]]; exclusive with optional()/oneOrMore(). */
+  def followedByOneOf(name: String, branches: (String, Column)*): Pattern = {
+    require(notStep.isEmpty, "notFollowedBy must be the terminal step")
+    require(branches.size >= 2, "alternation needs at least two branches")
+    new Pattern(steps :+ Step(name, branches.map(_._2).reduce(_ || _),
+      alts = branches.toVector), notStep, windowMs, skipPastLast)
   }
 
   /** Bind event columns alongside the LAST added step's timestamp: each named
@@ -96,7 +113,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def optional(): Pattern = {
     require(steps.size >= 2, "optional() applies to a followedBy step")
     require(steps.last.reps == 1, "optional() and times(n) are exclusive")
-    require(steps.last.keep.isEmpty, "optional() and bind() are exclusive")
+    require(steps.last.keep.isEmpty && steps.last.alts.isEmpty,
+      "optional() excludes bind()/followedByOneOf()")
     new Pattern(steps.init :+ steps.last.copy(opt = true), notStep, windowMs, skipPastLast)
   }
 
@@ -108,8 +126,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * `<name>_last_ts`, `<name>_n` replace `<name>_ts`. */
   def oneOrMore(): Pattern = {
     require(steps.size >= 2, "oneOrMore() applies to a followedBy step")
-    require(steps.last.reps == 1 && !steps.last.opt && steps.last.keep.isEmpty,
-      "oneOrMore() excludes times(n)/optional()/bind()")
+    require(steps.last.reps == 1 && !steps.last.opt && steps.last.keep.isEmpty &&
+      steps.last.alts.isEmpty,
+      "oneOrMore() excludes times(n)/optional()/bind()/followedByOneOf()")
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true), notStep, windowMs, skipPastLast)
   }
 
@@ -169,9 +188,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // every event column, re-projected under the __c_ prefix iterative
     // predicates address via Pattern.ev (Catalyst prunes the unused ones)
     val evCols = events.columns.toSeq
-    def candidate(s: Step): DataFrame =
-      events.filter(s.pred).select(
-        (key.as("__k2") +: ts.as("__cts") +: evCols.map(c => col(c).as(s"__c_$c"))): _*)
+    def candidate(s: Step): DataFrame = {
+      val base = events.filter(s.pred)
+      // classifier: first matching branch in declaration order
+      val withCls = if (s.alts.isEmpty) base else base.withColumn("__cls",
+        s.alts.tail.foldLeft(when(s.alts.head._2, lit(s.alts.head._1))) {
+          case (acc, (n, p)) => acc.when(p, lit(n))
+        })
+      val clsCol = if (s.alts.isEmpty) Nil else Seq(col("__cls").as("__c___cls"))
+      withCls.select(
+        (key.as("__k2") +: ts.as("__cts") +:
+          (evCols.map(c => col(c).as(s"__c_$c")) ++ clsCol)): _*)
+    }
     val first = expanded.head
     var out = events.filter(first.pred)
       .select((key.as("__k") +: ts.as(s"${first.name}_ts") +:
@@ -186,17 +214,22 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         col("__k") === col("__k2") && col("__cts") > prevTs &&
           col("__cts") <= col(startTs) + win && s.iter.getOrElse(lit(true)),
         if (s.opt) "left_outer" else "inner")
+      // binding payload beyond the timestamp: the alternation classifier
+      // (if any) then bound columns — also the equal-ts tie-break order
+      val payload: Seq[(String, String)] = // (struct field/out suffix, source)
+        (if (s.alts.isEmpty) Nil else Seq("cls" -> "__c___cls")) ++
+          s.keep.map(c => c -> s"__c_$c")
       out =
-        if (s.keep.isEmpty)
+        if (payload.isEmpty)
           joined.groupBy(kept.toIndexedSeq: _*).agg(min(col("__cts")).as(s"${s.name}_ts"))
         else {
-          // earliest binding with kept values: lexicographic struct-min over
-          // (ts, kept columns) — deterministic on equal-timestamp candidates
+          // earliest binding with payload: lexicographic struct-min over
+          // (ts, payload columns) — deterministic on equal-ts candidates
           val b = struct((col("__cts").as("ts") +:
-            s.keep.map(c => col(s"__c_$c").as(c))): _*)
+            payload.map { case (n, src) => col(src).as(n) }): _*)
           val g = joined.groupBy(kept.toIndexedSeq: _*).agg(min(b).as("__b"))
-          s.keep.foldLeft(g.withColumn(s"${s.name}_ts", col("__b.ts"))) {
-            (d, c) => d.withColumn(s"${s.name}_$c", col(s"__b.$c"))
+          payload.foldLeft(g.withColumn(s"${s.name}_ts", col("__b.ts"))) {
+            case (d, (n, _)) => d.withColumn(s"${s.name}_$n", col(s"__b.$n"))
           }.drop("__b")
         }
       prevTs = if (s.opt) coalesce(col(s"${s.name}_ts"), prevTs) else col(s"${s.name}_ts")

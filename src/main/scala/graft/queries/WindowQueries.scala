@@ -311,6 +311,39 @@ object WindowQueries {
         |  DEFINE S AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin)
 
+  // --- w19: CEP alternation — (click|view) with CLASSIFIER output ---
+  // flink-cep GroupPattern / SQL CLASSIFIER(): the middle step binds the
+  // earliest click-OR-view and the match records which branch matched;
+  // equal-ts ties break on (ts, branch name), replayed by the oracle's
+  // row_number ordering.
+  private val w19: Q = (s, dir) =>
+    graft.cep.Pattern.begin("signup", col("event_type") === "signup")
+      .followedByOneOf("x",
+        "click" -> (col("event_type") === "click"),
+        "view" -> (col("event_type") === "view"))
+      .followedBy("purchase", col("event_type") === "purchase")
+      .within(24L * 3600 * 1000)
+      .detect(ev(s, dir), col("user_id"), col("ts"))
+      .select(col("key").as("user_id"), col("signup_ts"), col("x_ts"),
+        col("x_cls"), col("purchase_ts"))
+  private val w19Sql =
+    """WITH s AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) t0 FROM events
+      |           WHERE event_type='signup'),
+      |x AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type AS cls FROM events
+      |      WHERE event_type IN ('click','view')),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT user_id, t0, t1, cls FROM (
+      |   SELECT s.user_id, s.t0, x.ts AS t1, x.cls,
+      |          row_number() OVER (PARTITION BY s.user_id, s.t0 ORDER BY x.ts, x.cls) rn
+      |   FROM s JOIN x ON x.user_id = s.user_id AND x.ts > s.t0
+      |                AND x.ts <= s.t0 + INTERVAL 24 HOURS) WHERE rn = 1),
+      |m2 AS (SELECT m1.user_id, t0, t1, cls, min(p.ts) AS t2
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > t1
+      |                     AND p.ts <= t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT user_id, t0 AS signup_ts, t1 AS x_ts, cls AS x_cls,
+      | t2 AS purchase_ts FROM m2""".stripMargin
+
   // --- m04: MATCH_RECOGNIZE range quantifier {n,m} (greedy) ---
   // flink-cep times(from,to).greedy(): one mandatory click then up to one
   // more whenever present; the purchase binds after the LAST bound click.
@@ -495,7 +528,7 @@ object WindowQueries {
       |FROM r WHERE rn <= 5 GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "w17_time_evictor" -> w17, "w18_count_evictor" -> w18,
+    "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w12_sql_tumble" -> w12, "w13_temporal_join" -> w13,
     "w14_cep_relative" -> w14, "w15_sql_hop" -> w15, "w16_sql_session" -> w16,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
@@ -507,6 +540,7 @@ object WindowQueries {
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
+    "w19_cep_alternation" -> w19Sql,
     "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
     "w14_cep_relative" -> w14Sql, "w15_sql_hop" -> w15Sql, "w16_sql_session" -> w16Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,

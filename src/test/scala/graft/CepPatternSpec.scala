@@ -279,6 +279,23 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (7L, at(10), None, at(30))))
   }
 
+  test("followedByOneOf binds the earliest of either branch and records the classifier") {
+    val ev8 = Seq(
+      (8L, at(0), "signup"), (8L, at(5), "view"), (8L, at(10), "click"), (8L, at(20), "purchase"),
+      (9L, at(0), "signup"), (9L, at(7), "click"), (9L, at(15), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedByOneOf("x",
+        "click" -> ($"event_type" === "click"),
+        "view" -> ($"event_type" === "view"))
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(ev8, $"user_id", $"ts")
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Timestamp]("x_ts"),
+        r.getAs[String]("x_cls"), r.getAs[Timestamp]("purchase_ts"))).toSet
+    assert(m == Set((8L, at(5), "view", at(20)), (9L, at(7), "click", at(15))))
+  }
+
   test("pattern joins stay keyed equi-joins (no cross product)") {
     val df = Pattern.begin("signup", $"event_type" === "signup")
       .followedBy("purchase", $"event_type" === "purchase")
