@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *   PATTERN (V1 V2[?|{n}|{n,m}] ...) -- linear; '?' = optional,
   *                               -- '{n}' = times(n), '{n,m}' = greedy range
-  *                               -- (timesRange: n mandatory + up to m-n more)
+  *                               -- (timesRange: n mandatory + up to m-n more);
+  *                               -- (B|C) = alternation (followedByOneOf):
+  *                               -- the group binds as variable "B_C" and
+  *                               -- `B_C.cls AS alias` measures the matched
+  *                               -- branch (the SQL CLASSIFIER() analog)
   *   WITHIN INTERVAL '<n>' <SECOND|MINUTE|HOUR|DAY>
   *   DEFINE V1 AS <predicate>, ...  -- Spark SQL boolean exprs over the event
   *                                  -- row; vars left undefined match TRUE
@@ -43,7 +47,8 @@ object MatchRecognize {
   private val UnitMs = Map("SECOND" -> 1000L, "MINUTE" -> 60000L,
     "HOUR" -> 3600000L, "DAY" -> 86400000L)
 
-  private case class PatternVar(name: String, quant: Option[String])
+  private case class PatternVar(name: String, quant: Option[String],
+                                alts: Seq[String] = Nil)
   private case class Measure(fn: Option[String], varName: String,
                              field: String, alias: String)
   private case class Spec(partitionBy: String, orderBy: String,
@@ -73,11 +78,22 @@ object MatchRecognize {
     }
     val skipPastLast =
       "(?is)\\bAFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\b".r.findFirstIn(body).nonEmpty
-    val patternBody = "(?is)\\bPATTERN\\s*\\(([^)]*)\\)".r.findFirstMatchIn(body)
+    // one level of nesting for alternation groups: (A (B|C) D)
+    val patternBody = "(?is)\\bPATTERN\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)".r
+      .findFirstMatchIn(body)
       .getOrElse(sys.error("PATTERN (...) required")).group(1).trim
-    val vars = "(\\w+)(\\?|\\{(\\d+)(?:,(\\d+))?\\})?".r.findAllMatchIn(patternBody).map { g =>
-      PatternVar(g.group(1), Option(g.group(2)))
-    }.toSeq
+    // elements: a bare variable with an optional quantifier, or an
+    // alternation group (B|C) — named by joining its branches
+    val vars = "(?:\\((\\w+(?:\\|\\w+)+)\\)|(\\w+))(\\?|\\{(\\d+)(?:,(\\d+))?\\})?".r
+      .findAllMatchIn(patternBody).map { g =>
+        Option(g.group(1)) match {
+          case Some(alt) =>
+            val branches = alt.split("\\|").toSeq
+            require(g.group(3) == null, "alternation groups cannot be quantified")
+            PatternVar(branches.mkString("_"), None, branches)
+          case None => PatternVar(g.group(2), Option(g.group(3)))
+        }
+      }.toSeq
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
     val within = "(?is)\\bWITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+?)S?\\b".r
       .findFirstMatchIn(body).getOrElse(sys.error("WITHIN INTERVAL '<n>' <unit> required"))
@@ -105,21 +121,30 @@ object MatchRecognize {
     * with no MEASURES clause, the raw [[Pattern.detect]] binding columns. */
   def detect(events: DataFrame, sql: String): DataFrame = {
     val spec = parse(sql)
-    // non-timestamp columns referenced by measures must be bound at the step
+    // non-timestamp columns referenced by measures must be bound at the
+    // step — except `cls` on an alternation group, which the compile emits
+    // automatically (the CLASSIFIER analog, not an event column)
+    val altVars = spec.vars.filter(_.alts.nonEmpty).map(_.name).toSet
     val keepByVar: Map[String, Seq[String]] = spec.measures
-      .filter(_.field != "ts").groupBy(_.varName)
+      .filter(m => m.field != "ts" && !(altVars(m.varName) && m.field == "cls"))
+      .groupBy(_.varName)
       .map { case (v, ms) => v -> ms.map(_.field).distinct }
+    require(spec.vars.head.alts.isEmpty, "first pattern variable cannot be an alternation")
     var pat = Pattern.begin(spec.vars.head.name, predOf(spec, spec.vars.head.name))
     require(spec.vars.head.quant.isEmpty, "first pattern variable cannot be quantified")
     keepByVar.get(spec.vars.head.name).foreach(ks => pat = pat.bind(ks: _*))
     spec.vars.tail.foreach { v =>
-      pat = pat.followedBy(v.name, predOf(spec, v.name))
-      v.quant.foreach {
-        case "?" => pat = pat.optional()
-        case q =>
-          val bounds = q.stripPrefix("{").stripSuffix("}").split(",")
-          if (bounds.length == 2) pat = pat.timesRange(bounds(0).toInt, bounds(1).toInt)
-          else pat = pat.times(bounds(0).toInt)
+      if (v.alts.nonEmpty)
+        pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> predOf(spec, b)): _*)
+      else {
+        pat = pat.followedBy(v.name, predOf(spec, v.name))
+        v.quant.foreach {
+          case "?" => pat = pat.optional()
+          case q =>
+            val bounds = q.stripPrefix("{").stripSuffix("}").split(",")
+            if (bounds.length == 2) pat = pat.timesRange(bounds(0).toInt, bounds(1).toInt)
+            else pat = pat.times(bounds(0).toInt)
+        }
       }
       keepByVar.get(v.name).foreach(ks => pat = pat.bind(ks: _*))
     }

@@ -386,6 +386,40 @@ object WindowQueries {
       | CAST(CASE WHEN t2 IS NULL THEN 1 ELSE 2 END AS BIGINT) AS n_clicks,
       | t3 AS purchase_ts FROM m3""".stripMargin
 
+  // --- m05: MATCH_RECOGNIZE alternation (B|C) with a classifier measure ---
+  // SQL-text twin of w19: the group binds as variable "C_V" and the
+  // `C_V.cls` measure reports which branch matched (CLASSIFIER analog).
+  private val m05: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, C_V.ts AS x_ts, C_V.cls AS x_cls,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S (C|V) P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m05Sql =
+    """WITH s AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) t0 FROM events
+      |           WHERE event_type='signup'),
+      |x AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts,
+      |       CASE WHEN event_type='click' THEN 'C' ELSE 'V' END AS cls FROM events
+      |      WHERE event_type IN ('click','view')),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT user_id, t0, t1, cls FROM (
+      |   SELECT s.user_id, s.t0, x.ts AS t1, x.cls,
+      |          row_number() OVER (PARTITION BY s.user_id, s.t0 ORDER BY x.ts, x.cls) rn
+      |   FROM s JOIN x ON x.user_id = s.user_id AND x.ts > s.t0
+      |                AND x.ts <= s.t0 + INTERVAL 24 HOURS) WHERE rn = 1),
+      |m2 AS (SELECT m1.user_id, t0, t1, cls, min(p.ts) AS t2
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > t1
+      |                     AND p.ts <= t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT user_id, t0 AS signup_ts, t1 AS x_ts, cls AS x_cls,
+      | t2 AS purchase_ts FROM m2""".stripMargin
+
   // --- w12: SQL-text windowed aggregate — the Flink SQL TUMBLE mapping ---
   // Flink 1.10 SQL writes GROUP BY TUMBLE(ts, INTERVAL '1' HOUR); the Spark
   // SQL spelling of the same thing is GROUP BY window(ts, '1 hour') — this
@@ -536,7 +570,7 @@ object WindowQueries {
     "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
     "w10_cep_measures" -> w10, "w11_cep_pattern_api" -> w11,
     "m01_match_recognize" -> m01, "m02_match_measures" -> m02,
-    "m03_match_skip" -> m03, "m04_match_range" -> m04)
+    "m03_match_skip" -> m03, "m04_match_range" -> m04, "m05_match_alternation" -> m05)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -549,5 +583,5 @@ object WindowQueries {
     "w09_cep_quantified" -> w09Sql, "w10_cep_measures" -> w10Sql,
     "w11_cep_pattern_api" -> w11Sql, "m01_match_recognize" -> m01Sql,
     "m02_match_measures" -> m02Sql, // m03 has no SQL oracle (greedy skip is sequential)
-    "m04_match_range" -> m04Sql)
+    "m04_match_range" -> m04Sql, "m05_match_alternation" -> m05Sql)
 }

@@ -304,5 +304,23 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // iterative residuals and alternation classifiers must not change that:
+    // the relative predicate rides the keyed equi-join as a filter
+    val df2 = Pattern.begin("signup", $"event_type" === "signup").bind("value")
+      .followedByIterative("purchase", $"event_type" === "purchase",
+        Pattern.ev("value") > Pattern.bound("signup", "value") * 2)
+      .within(HOUR)
+      .detect(valued, $"user_id", $"ts")
+    df2.collect()
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+    val df3 = Pattern.begin("signup", $"event_type" === "signup")
+      .followedByOneOf("x",
+        "click" -> ($"event_type" === "click"), "view" -> ($"event_type" === "view"))
+      .within(HOUR)
+      .detect(events, $"user_id", $"ts")
+    df3.collect()
+    val p3 = df3.queryExecution.executedPlan.toString
+    assert(!p3.contains("CartesianProduct") && !p3.contains("BroadcastNestedLoopJoin"), p3)
   }
 }

@@ -136,6 +136,24 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m == Set((1L, at(0), at(10), at(20), 2L), (2L, at(0), at(5), at(5), 1L)))
   }
 
+  test("(B|C) alternation group binds either branch and measures the classifier") {
+    val ev = Seq(
+      (8L, at(0), "signup"), (8L, at(5), "view"), (8L, at(10), "click"), (8L, at(20), "purchase"),
+      (9L, at(0), "signup"), (9L, at(7), "click"), (9L, at(15), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = MatchRecognize.detect(ev,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, C_V.ts AS x_ts, C_V.cls AS x_cls, P.ts AS p_ts
+        |  PATTERN (S (C|V) P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, String, Timestamp)].collect().toSet
+    assert(m == Set((8L, at(0), at(5), "V", at(20)), (9L, at(0), at(7), "C", at(15))))
+  }
+
   test("within() honors sub-second windows exactly (millisecond intervals)") {
     val evMs = Seq(
       (1L, new Timestamp(T0.getTime), "a"), (1L, new Timestamp(T0.getTime + 1400), "b"),
