@@ -114,6 +114,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"pattern steps must compile to keyed joins:\n$p")
   }
 
+  test("evictor windows reuse ONE shuffle (window max/rank + aggregate co-partitioned)") {
+    // the evictor's per-window max (w17) / row_number (w18) partitions by the
+    // same (window, keys) the aggregate groups on — the exchange must be
+    // shared, not repeated
+    for (q <- Seq("w17_time_evictor", "w18_count_evictor")) {
+      // AQE's toString appends the pre-optimization "Initial Plan" — count
+      // shuffles in the final plan section only
+      val p = planOf(q).split("== Initial Plan ==").head
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$q: evictor + aggregate must share one shuffle:\n$p")
+    }
+  }
+
+  test("w14/m05 iterative and alternation CEP stay keyed (no cross product)") {
+    for (q <- Seq("w14_cep_relative", "m05_match_alternation")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: relative residuals/classifiers must ride the keyed join:\n$p")
+    }
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
