@@ -140,12 +140,31 @@ object FunctionQueries {
       | CAST(p_size << 2 AS INT) AS b_shl
       |FROM part""".stripMargin
 
+  // --- f08: user-defined AGGREGATE function (Flink AggregateFunction/UDAGG) ---
+  // graft.functions.WeightedAvgAgg registered via functions.udaf and invoked
+  // from SQL TEXT — the tableEnv.registerFunction("wavg", ...) analog.
+  // Quantity-weighted average price per return flag; oracle replays the
+  // Σ(x·w)/Σ(w) contract with builtins.
+  private val f08: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.udf.register("wavg", udaf(graft.functions.WeightedAvgAgg))
+    s.sql("""SELECT l_returnflag,
+            |       round(wavg(l_extendedprice, l_quantity), 4) AS w_avg_price,
+            |       round(avg(l_extendedprice), 4) AS plain_avg_price
+            |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+  }
+  private val f08Sql =
+    """SELECT l_returnflag,
+      | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_avg_price,
+      | round(avg(l_extendedprice), 4) AS plain_avg_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03,
     "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05, "f06_temporal_funcs" -> f06,
-    "f07_bitwise_funcs" -> f07)
+    "f07_bitwise_funcs" -> f07, "f08_udagg_weighted_avg" -> f08)
   val oracles: Map[String, String] = Map(
     "f01_math_funcs" -> f01Sql, "f02_string_funcs2" -> f02Sql, "f03_json_extract" -> f03Sql,
     "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql, "f06_temporal_funcs" -> f06Sql,
-    "f07_bitwise_funcs" -> f07Sql)
+    "f07_bitwise_funcs" -> f07Sql, "f08_udagg_weighted_avg" -> f08Sql)
 }
