@@ -311,6 +311,33 @@ object WindowQueries {
         |  DEFINE S AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin)
 
+  // --- w20: SLIDING count window — countWindow(size, slide) ---
+  // (reference flink-streaming-java/.../datastream/KeyedStream.java
+  // countWindow(long size, long slide): every `slide` events per key emit
+  // the aggregate of the last `size` events.) Batch shape: a ROWS frame of
+  // size-1 preceding rows, emitted only at every slide-th event.
+  private val w20: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_last", count(lit(1)).over(w.rowsBetween(-9, 0)))
+      .withColumn("sum_last", sum(col("value")).over(w.rowsBetween(-9, 0)))
+      .filter(col("rn") % 5 === 0)
+      .select(col("user_id"), col("rn").as("fire_at"), col("n_last"),
+        round(col("sum_last"), 4).as("sum_last"))
+  }
+  private val w20Sql =
+    """SELECT user_id, fire_at, n_last, round(sum_raw, 4) AS sum_last FROM (
+      | SELECT user_id,
+      |  row_number() OVER w AS fire_at,
+      |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last,
+      |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sum_raw
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |) WHERE fire_at % 5 = 0""".stripMargin
+
   // --- w19: CEP alternation — (click|view) with CLASSIFIER output ---
   // flink-cep GroupPattern / SQL CLASSIFIER(): the middle step binds the
   // earliest click-OR-view and the match records which branch matched;
@@ -563,6 +590,7 @@ object WindowQueries {
 
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
+    "w20_sliding_count_window" -> w20,
     "w12_sql_tumble" -> w12, "w13_temporal_join" -> w13,
     "w14_cep_relative" -> w14, "w15_sql_hop" -> w15, "w16_sql_session" -> w16,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
@@ -574,7 +602,7 @@ object WindowQueries {
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
-    "w19_cep_alternation" -> w19Sql,
+    "w19_cep_alternation" -> w19Sql, "w20_sliding_count_window" -> w20Sql,
     "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
     "w14_cep_relative" -> w14Sql, "w15_sql_hop" -> w15Sql, "w16_sql_session" -> w16Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,

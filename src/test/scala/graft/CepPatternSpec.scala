@@ -296,6 +296,20 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(m == Set((8L, at(5), "view", at(20)), (9L, at(7), "click", at(15))))
   }
 
+  test("alternation classifier reports the FIRST declared branch on overlap") {
+    val ev = Seq(
+      (10L, at(0), "signup", 0.0), (10L, at(5), "click", 9.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedByOneOf("x",
+        "highvalue" -> ($"value" > 5), // the click matches BOTH branches
+        "click" -> ($"event_type" === "click"))
+      .within(HOUR)
+      .detect(ev, $"user_id", $"ts")
+      .collect()
+    assert(m.length == 1 && m.head.getAs[String]("x_cls") == "highvalue")
+  }
+
   test("pattern joins stay keyed equi-joins (no cross product)") {
     val df = Pattern.begin("signup", $"event_type" === "signup")
       .followedBy("purchase", $"event_type" === "purchase")
