@@ -43,8 +43,13 @@ object AsyncLookup {
           fill()
           val head = buffer.head
           while (!head.isCompleted) {
-            // wake on ANY completion so freed slots refill while the head runs
-            Await.ready(Future.firstCompletedOf(buffer.filter(!_.isCompleted).toSeq), timeout)
+            // wake on ANY completion so freed slots refill while the head
+            // runs. The pending snapshot can be EMPTY if every future
+            // (including head) completed between the loop check and the
+            // filter — firstCompletedOf(Nil) never completes, so awaiting it
+            // would burn the whole timeout; re-check the head instead.
+            val pending = buffer.filter(!_.isCompleted).toSeq
+            if (pending.nonEmpty) Await.ready(Future.firstCompletedOf(pending), timeout)
             fill()
           }
           buffer.dequeue()
