@@ -72,6 +72,26 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     assert(vals == Seq(1L, 2L, 3L, 4L, 5L), "committed batches must not re-emit on restart")
   }
 
+  test("file-monitoring source picks up files as they land (PROCESS_CONTINUOUSLY analog)") {
+    // reference StreamExecutionEnvironment#readFile(FileProcessingMode
+    // .PROCESS_CONTINUOUSLY): a directory is a stream; new files become new
+    // micro-batches. Spark: readStream over the directory.
+    val d = tmp()
+    spark.range(3).toDF("v").write.parquet(s"$d/in") // initial backlog
+    val stream = spark.readStream.schema("v LONG").parquet(s"$d/in")
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("file_stream_t").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_stream_t").count() == 3, "backlog files read first")
+      // a NEW file landing after the query started becomes a later batch
+      spark.range(10, 12).toDF("v").write.mode("append").parquet(s"$d/in")
+      q.processAllAvailable()
+      val vals = spark.table("file_stream_t").as[Long].collect().sorted.toSeq
+      assert(vals == Seq(0L, 1L, 2L, 10L, 11L), s"got $vals")
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink (exactly-once pattern)") {
     val in = MemoryStream[Long]
     val seen = scala.collection.concurrent.TrieMap[Long, Long]()
