@@ -80,4 +80,66 @@ class PropertySpec extends AnyFunSuite with SparkTest {
       dupPairs.toSet.subsetOf(pairs) :| s"missing exact-dup pairs: ${dupPairs.toSet -- pairs}"
     })
   }
+
+  test("CEP A B{1,2} C == reference greedy interpreter on random event logs") {
+    import graft.cep.Pattern
+    val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(T0.getTime + min * 60000)
+    val WindowMs = 30L * 60000
+    // distinct per-row minutes (the row index) keep timestamps unique per
+    // key, so greedy binding is unambiguous in the reference interpreter
+    val gen = Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf("a", "b", "c")))
+    assertHolds(Prop.forAll(gen) { rows =>
+      val evs = rows.zipWithIndex.map { case ((u, t), i) => (u, at(i.toLong), t) }
+      val df = evs.toDF("user_id", "ts", "event_type")
+      val got = Pattern.begin("a", col("event_type") === "a")
+        .followedBy("b", col("event_type") === "b").timesRange(1, 2)
+        .followedBy("c", col("event_type") === "c")
+        .within(WindowMs)
+        .detect(df, col("user_id"), col("ts"))
+        .collect().map(r => (r.getAs[Long]("key"), r.getAs[java.sql.Timestamp]("a_ts").getTime,
+          r.getAs[java.sql.Timestamp]("b_1_ts").getTime,
+          Option(r.getAs[java.sql.Timestamp]("b_2_ts")).map(_.getTime),
+          r.getAs[java.sql.Timestamp]("c_ts").getTime)).toSet
+      // reference: per key, for every 'a' bind greedily (earliest b, then
+      // optionally the next b, then earliest c after the last bound b)
+      val want = (for {
+        u <- evs.map(_._1).distinct
+        sorted = evs.filter(_._1 == u).map(e => (e._2.getTime, e._3)).sortBy(_._1)
+        (t0, "a") <- sorted
+        end = t0 + WindowMs
+        b1 <- sorted.collectFirst { case (t, "b") if t > t0 && t <= end => t }.toSeq
+        b2 = sorted.collectFirst { case (t, "b") if t > b1 && t <= end => t }
+        next = b2.getOrElse(b1)
+        c <- sorted.collectFirst { case (t, "c") if t > next && t <= end => t }.toSeq
+      } yield (u, t0, b1, b2, c)).toSet
+      (got == want) :| s"got=$got want=$want"
+    })
+  }
+
+  test("evictor invariants: time-evicted <= full window; count-evicted == min(n, keep)") {
+    import graft.operators.EventWindows
+    val gen = Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0, 110)))
+    assertHolds(Prop.forAll(gen) { rows =>
+      rows.nonEmpty ==> {
+        val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        val df = rows.zipWithIndex.map { case ((t, m), i) =>
+          (new java.sql.Timestamp(T0.getTime + m * 60000L), t, i.toLong, 1.0)
+        }.toDF("ts", "event_type", "event_id", "value")
+        def counts(d: org.apache.spark.sql.DataFrame): Map[(Long, String), Long] =
+          d.collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+            r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+        val full = counts(EventWindows.tumbleAgg(df, col("ts"), "1 hour",
+          Seq(col("event_type")), Seq(count(lit(1)).as("n"))))
+        val timeEv = counts(EventWindows.timeEvictedTumbleAgg(df, col("ts"), "1 hour",
+          "15 minutes", Seq(col("event_type")), Seq(count(lit(1)).as("n"))))
+        val cntEv = counts(EventWindows.countEvictedTumbleAgg(df, col("ts"), "1 hour",
+          3, col("event_id"), Seq(col("event_type")), Seq(count(lit(1)).as("n"))))
+        val timeOk = timeEv.forall { case (k, n) => n >= 1 && n <= full(k) }
+        val cntOk = full.forall { case (k, n) => cntEv(k) == math.min(n, 3L) }
+        timeOk :| s"time evictor exceeded window: $timeEv vs $full" &&
+          cntOk :| s"count evictor != min(n, keep): $cntEv vs $full"
+      }
+    })
+  }
 }
