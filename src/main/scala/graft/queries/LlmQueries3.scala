@@ -81,8 +81,59 @@ object LlmQueries3 {
        | FROM documents
        |) WHERE cum_tokens - tokens < $TokenBudget""".stripMargin
 
+  // ---------- d11: token budget, the 100 TB path ----------
+  // d10's per-language running sum serializes each language into one task
+  // (low-cardinality PARTITION BY — the q31 problem). Histogram cutoff
+  // (the q38 pattern): (1) aggregate token sums per (lang, ordering level
+  // = n_chars) — a tiny histogram; (2) running-sum the HISTOGRAM to split
+  // levels into fully-kept / dropped / ONE boundary level per language;
+  // (3) per-doc ordering only inside the boundary levels. Same kept set as
+  // d10 (oracle replays the d10 semantics), but the expensive ordered scan
+  // touches one level per language instead of every document. If the
+  // boundary level itself were huge, the same histogram recursion applies
+  // on doc_id ranges (documented, not needed at these scales).
+  private val d11: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir)
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .select("doc_id", "lang", "n_chars", "tokens")
+    val hist = toks.groupBy("lang", "n_chars").agg(sum("tokens").as("lvl_tokens"))
+    val hw = Window.partitionBy("lang").orderBy(col("n_chars").desc)
+    val lv = hist.withColumn("cum_before",
+      coalesce(sum(col("lvl_tokens")).over(
+        hw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // a level is fully kept when its whole token mass fits the remaining
+    // budget (every doc's intra-level prefix is then < the remainder)
+    val keepAll = lv.filter(col("cum_before") + col("lvl_tokens") <= TokenBudget)
+      .select(col("lang").as("kl"), col("n_chars").as("kc"))
+    val boundary = lv.filter(col("cum_before") < TokenBudget &&
+        col("cum_before") + col("lvl_tokens") > TokenBudget)
+      .select(col("lang").as("bl"), col("n_chars").as("bc"), col("cum_before"))
+    val keptFull = toks.join(broadcast(keepAll),
+        col("lang") === col("kl") && col("n_chars") === col("kc"))
+      .select("doc_id", "lang", "tokens")
+    val bw = Window.partitionBy("lang", "n_chars").orderBy("doc_id")
+    val keptBoundary = toks.join(broadcast(boundary),
+        col("lang") === col("bl") && col("n_chars") === col("bc"))
+      .withColumn("prefix_before", coalesce(sum(col("tokens")).over(
+        bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") + col("prefix_before") < TokenBudget)
+      .select("doc_id", "lang", "tokens")
+    keptFull.unionByName(keptBoundary)
+  }
+  private val d11Sql = // same kept set as d10, without the per-doc cum column
+    s"""SELECT doc_id, lang, tokens FROM (
+       | SELECT doc_id, lang,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+       |  CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY lang
+       |    ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       | FROM documents
+       |) WHERE cum_tokens - tokens < $TokenBudget""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "t06_regex_scan" -> t06, "d09_stratified_sample" -> d09, "d10_token_budget" -> d10)
+    "t06_regex_scan" -> t06, "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
+    "d11_token_budget_scalable" -> d11)
   val oracles: Map[String, String] = Map(
-    "t06_regex_scan" -> t06Sql, "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql)
+    "t06_regex_scan" -> t06Sql, "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
+    "d11_token_budget_scalable" -> d11Sql)
 }
