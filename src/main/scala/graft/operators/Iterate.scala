@@ -214,6 +214,51 @@ object Iterate {
     dist
   }
 
+  /** DELTA-iteration SSSP — the workset optimization of [[sssp]] (reference
+    * flink-java/.../operators/DeltaIteration.java and Gelly's
+    * scatter-gather SingleSourceShortestPaths): each round relaxes ONLY
+    * from the frontier — vertices whose distance IMPROVED in the previous
+    * round — instead of every reached vertex. Identical result per round
+    * (dist_k(v) = shortest path using ≤ k edges, by induction: any path
+    * improved at round k extends one improved at k-1), but the per-round
+    * join input shrinks with the frontier, which is the property that makes
+    * delta iterations converge cheaply on large, mostly-settled graphs.
+    * Same substrate: edges pre-partitioned once, eager lineage truncation;
+    * early-exit when the frontier empties. */
+  def ssspWorkset(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+                  sourceId: Long, iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("double").as("w"))
+      .distinct().repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+    var dist = verts.select(col("id"),
+      when(col("id") === sourceId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"))
+      .localCheckpoint(true)
+    // workset: (id, dist) rows improved last round — initially the source
+    var frontier = dist.filter(col("dist").isNotNull).localCheckpoint(true)
+    var i = 0
+    while (i < iters && !frontier.isEmpty) {
+      val relaxed = e.join(frontier.select(col("id").as("rid"), col("dist").as("d0")),
+          col("src") === col("rid"))
+        .select(col("dst").as("id"), (col("d0") + col("w")).as("nd"))
+        .groupBy("id").agg(min(col("nd")).as("nd"))
+      val joined = dist.join(relaxed, Seq("id"), "left")
+      val next = joined.select(col("id"),
+          least(col("dist"), col("nd")).as("dist")) // least() ignores nulls
+        .localCheckpoint(true)
+      frontier = joined.filter(col("nd").isNotNull &&
+          (col("dist").isNull || col("nd") < col("dist")))
+        .select(col("id"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      dist = next
+      i += 1
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Driver-side union-find for sub-threshold edge lists: union by min root
     * (the smaller root absorbs the larger, preserving the min-label
     * contract) with path compression. Vertex ids are compressed to dense

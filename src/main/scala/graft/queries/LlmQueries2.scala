@@ -202,12 +202,27 @@ object LlmQueries2 {
        |SELECT id, dist FROM r$SsspIters""".stripMargin
   }
 
+  // ---------- i04: delta-iteration (workset) SSSP ----------
+  // Same graph, rounds, and result as i03, but each round relaxes only the
+  // FRONTIER (Gelly delta-iteration semantics) — the oracle is i03's,
+  // which is the point: workset and bulk rounds agree exactly.
+  private val i04: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
+    val edges = base.select(col("s").as("src"), col("c").as("dst"))
+      .union(base.select(col("c").as("src"), col("s").as("dst")))
+      .withColumn("w", lit(1.0) + (col("dst") % 8).cast("double") * lit(0.125))
+    Iterate.ssspWorkset(edges, "src", "dst", "w", sourceId = 1L, iters = SsspIters)
+  }
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
-    "i03_sssp" -> i03)
+    "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql, "d08_dedup_verdict" -> d08Sql,
     "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql,
-    "i03_sssp" -> i03Sql)
+    "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }
