@@ -173,10 +173,21 @@ object TextDedup {
       .select("doc_a", "doc_b", "sig_a", "sig_b")
   }
 
-  /** Exact n-gram Jaccard between two text columns (distinct char n-grams). */
+  /** Exact n-gram Jaccard between two text columns (distinct char n-grams).
+    * Inclusion–exclusion denominator: for distinct arrays |A∪B| =
+    * |A|+|B|−|A∩B| exactly (integers), so the union array is never built —
+    * one hash-set pass per pair instead of two, bit-identical value. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
     val ga = array_distinct(shingles(a, n))
     val gb = array_distinct(shingles(b, n))
-    size(array_intersect(ga, gb)) * lit(1.0) / size(array_union(ga, gb))
+    jaccardOfDistinct(ga, gb)
+  }
+
+  /** Jaccard of two ALREADY-DISTINCT arrays via inclusion–exclusion (see
+    * [[ngramJaccard]]); the shared array_intersect is eliminated by codegen
+    * common-subexpression elimination. */
+  def jaccardOfDistinct(ga: Column, gb: Column): Column = {
+    val i = size(array_intersect(ga, gb))
+    i * lit(1.0) / (size(ga) + size(gb) - i)
   }
 }

@@ -112,8 +112,7 @@ object LlmQueries {
     val gb = grams.select(col("doc_id").as("doc_b"), col("g").as("gb"))
     cand.join(ga, "doc_a").join(gb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("ga"), col("gb"))) * lit(1.0) /
-          size(array_union(col("ga"), col("gb")))).as("jaccard"))
+        TextDedup.jaccardOfDistinct(col("ga"), col("gb")).as("jaccard"))
   }
   private val d04Sql =
     s"""WITH $bandsCte,

@@ -31,8 +31,7 @@ object LlmQueries2 {
     val ga = grams.select(col("doc_id").as("doc_a"), col("g").as("ga"))
     val gb = grams.select(col("doc_id").as("doc_b"), col("g").as("gb"))
     val edges = cand.join(ga, "doc_a").join(gb, "doc_b")
-      .filter(size(array_intersect(col("ga"), col("gb"))) * lit(1.0) /
-        size(array_union(col("ga"), col("gb"))) >= JaccardMin)
+      .filter(TextDedup.jaccardOfDistinct(col("ga"), col("gb")) >= JaccardMin)
       .select(col("doc_a"), col("doc_b"))
     Iterate.connectedComponents(edges, "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("component"))
