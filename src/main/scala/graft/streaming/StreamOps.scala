@@ -332,6 +332,23 @@ object StreamOps {
       joinType)
   }
 
+  /** WINDOW-aligned stream-stream join (reference flink-streaming-java/.../
+    * datastream/JoinedStreams.java: `left.join(right).where(key).equalTo(key)
+    * .window(TumblingEventTimeWindows.of(size))`): rows of the two streams
+    * pair only when they share BOTH the key and the same tumbling window —
+    * the window-cohort semantics, distinct from [[streamStreamIntervalJoin]]'s
+    * per-row relative range. Spark plans the window equality as a
+    * state-cleanup condition, so each side's state holds only the open
+    * window's rows per key (exactly Flink's window buffer). */
+  def streamWindowJoin(left: DataFrame, right: DataFrame,
+                       leftWm: String, rightWm: String, size: String): DataFrame = {
+    val l = left.withWatermark("ts", leftWm)
+      .withColumn("w", window(col("ts"), size)).as("l")
+    val r = right.withWatermark("ts", rightWm)
+      .withColumn("w", window(col("ts"), size)).as("r")
+    l.join(r, expr("l.user_id = r.user_id AND l.w = r.w"))
+  }
+
   /** Streaming Top-N per key — the Blink streaming Rank operator
     * (reference flink-table-planner-blink/.../physical/stream/
     * StreamExecRank.scala, UpdatableTopNFunction): keyed state holds only the

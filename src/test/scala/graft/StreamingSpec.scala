@@ -133,6 +133,23 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out.as[Double].collect().toSet == Set(5.0))
   }
 
+  test("streamWindowJoin pairs rows sharing key AND tumbling window (JoinedStreams analog)") {
+    val l = MemoryStream[Event]; val r = MemoryStream[Event]
+    // clicks at 0:10 and 1:10 — different 1-minute windows; purchase at 0:30
+    l.addData(Event(1, at(10), "click", 1.0), Event(1, at(70), "click", 2.0), FLUSH)
+    r.addData(Event(1, at(30), "purchase", 5.0), FLUSH)
+    val joined = StreamOps.streamWindowJoin(
+      l.toDF().select($"user_id", $"ts", $"value".as("l_value")),
+      r.toDF().select($"user_id".as("user_id"), $"ts".as("r_ts"), $"value".as("r_value"))
+        .withColumnRenamed("r_ts", "ts"),
+      "10 seconds", "10 seconds", "1 minute")
+    val out = run("s_winjoin", joined.select($"l.user_id".as("uid"), $"l_value", $"r_value"))
+    // only the 0:10 click shares the [0:00,1:00) window with the purchase
+    // (the FLUSH rows pair with each other under key 999 — ignore them)
+    assert(out.filter($"uid" === 1).select("l_value", "r_value")
+      .as[(Double, Double)].collect().toSet == Set((1.0, 5.0)))
+  }
+
   test("left-outer stream-stream interval join null-extends once the watermark closes the window") {
     val l = MemoryStream[Event]; val r = MemoryStream[Event]
     l.addData(Event(1, at(0), "click", 1.0), Event(2, at(0), "click", 2.0), FLUSH)
