@@ -169,14 +169,46 @@ object RelationalQueries4 {
   }
   private val q38Sql = q31Sql
 
+  // --- q39: FULL and RIGHT outer joins (DataSet fullOuterJoin/rightOuterJoin) ---
+  // High-balance customers per nation FULL OUTER low-cost suppliers per
+  // nation: either side can be absent; a RIGHT outer against the nation dim
+  // restores every nation row. Null-extended sides surface as zero counts.
+  private val q39: Q = (s, dir) => {
+    val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val su = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_supp"))
+    val fo = c.join(su, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    fo.join(n, col("nationkey") === col("n_nationkey"), "right_outer")
+      .select(col("n_name"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+  private val q39Sql =
+    """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+      |           WHERE c_acctbal > 9000 GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nk2, count(*) AS n_supp FROM supplier
+      |      WHERE s_acctbal < 0 GROUP BY 1),
+      |fo AS (SELECT coalesce(nk, nk2) AS nationkey,
+      |        coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |       FROM c FULL OUTER JOIN s ON nk = nk2)
+      |SELECT n_name, CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+      | CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+      |FROM fo RIGHT JOIN nation ON nationkey = n_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_grouping_sets" -> q30, "q31_rank_funcs" -> q31, "q32_unnest" -> q32,
     "q33_set_ops_all" -> q33, "q34_listagg" -> q34, "q35_approx_distinct" -> q35,
     "q36_windowed_distinct" -> q36, "q37_cross" -> q37, "g01_generate_sequence" -> g01,
-    "q38_histogram_rank" -> q38)
+    "q38_histogram_rank" -> q38, "q39_full_right_outer" -> q39)
   val oracles: Map[String, String] = Map(
     "q30_grouping_sets" -> q30Sql, "q31_rank_funcs" -> q31Sql, "q32_unnest" -> q32Sql,
     "q33_set_ops_all" -> q33Sql, "q34_listagg" -> q34Sql,
     "q36_windowed_distinct" -> q36Sql, "q37_cross" -> q37Sql,
-    "g01_generate_sequence" -> g01Sql, "q38_histogram_rank" -> q38Sql)
+    "g01_generate_sequence" -> g01Sql, "q38_histogram_rank" -> q38Sql,
+    "q39_full_right_outer" -> q39Sql)
 }

@@ -117,6 +117,39 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     })
   }
 
+  test("MatchRecognize SQL text == hand-built combinator chain for random patterns") {
+    import graft.cep.{MatchRecognize, Pattern}
+    val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val quant = Gen.oneOf("", "?", "{2}", "{1,2}")
+    val log = Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 2L), Gen.oneOf("a", "b", "c")))
+    assertHolds(Prop.forAll(Gen.zip(quant, quant, log)) { case (q1, q2, rows) =>
+      val df = rows.zipWithIndex.map { case ((u, t), i) =>
+        (u, new java.sql.Timestamp(T0.getTime + i * 60000L), t)
+      }.toDF("user_id", "ts", "event_type")
+      val viaSql = MatchRecognize.detect(df,
+        s"""MATCH_RECOGNIZE (
+           |  PARTITION BY user_id ORDER BY ts
+           |  PATTERN (S X$q1 Y$q2)
+           |  WITHIN INTERVAL '30' MINUTE
+           |  DEFINE S AS event_type = 'a', X AS event_type = 'b',
+           |         Y AS event_type = 'c'
+           |)""".stripMargin)
+      var pat = Pattern.begin("S", col("event_type") === "a")
+      def addQ(q: String): Unit = q match {
+        case "" =>
+        case "?" => pat = pat.optional()
+        case "{2}" => pat = pat.times(2)
+        case "{1,2}" => pat = pat.timesRange(1, 2)
+      }
+      pat = pat.followedBy("X", col("event_type") === "b"); addQ(q1)
+      pat = pat.followedBy("Y", col("event_type") === "c"); addQ(q2)
+      val viaApi = pat.within(30L * 60000).detect(df, col("user_id"), col("ts"))
+      val a = viaSql.collect().map(_.toString).sorted.toSeq
+      val b = viaApi.collect().map(_.toString).sorted.toSeq
+      (a == b) :| s"pattern (S X$q1 Y$q2): sql=$a api=$b"
+    })
+  }
+
   test("evictor invariants: time-evicted <= full window; count-evicted == min(n, keep)") {
     import graft.operators.EventWindows
     val gen = Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0, 110)))
