@@ -28,7 +28,7 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       opt: Boolean = false, oneOrMore: Boolean = false,
                       until: Option[Column] = None, keep: Seq[String] = Nil,
                       iter: Option[Column] = None, optTail: Int = 0,
-                      alts: Seq[(String, Column)] = Nil)
+                      alts: Seq[(String, Column)] = Nil, strict: Boolean = false)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false) {
@@ -51,6 +51,20 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def followedByIterative(name: String, pred: Column, iterPred: Column): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
     new Pattern(steps :+ Step(name, pred, iter = Some(iterPred)), notStep, windowMs, skipPastLast)
+  }
+
+  /** STRICT contiguity — flink-cep `next()` (reference flink-libraries/
+    * flink-cep/.../pattern/Pattern.java#next: the step must match the
+    * IMMEDIATELY following event, no gaps allowed). Adjacency is defined on
+    * event TIME: the step binds only at the earliest event time strictly
+    * after the previous binding (within the window), and matches iff an
+    * event AT that time satisfies the predicate — on equal-timestamp ties
+    * any satisfying event counts, which keeps the semantics deterministic
+    * without an arbitrary intra-timestamp order. Compiles to one extra
+    * keyed min-aggregation (the successor time) per strict step. */
+  def next(name: String, pred: Column): Pattern = {
+    require(notStep.isEmpty, "notFollowedBy must be the terminal step")
+    new Pattern(steps :+ Step(name, pred, strict = true), notStep, windowMs, skipPastLast)
   }
 
   /** Alternation — flink-cep's grouped pattern with alternative conditions
@@ -113,8 +127,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def optional(): Pattern = {
     require(steps.size >= 2, "optional() applies to a followedBy step")
     require(steps.last.reps == 1, "optional() and times(n) are exclusive")
-    require(steps.last.keep.isEmpty && steps.last.alts.isEmpty,
-      "optional() excludes bind()/followedByOneOf()")
+    require(steps.last.keep.isEmpty && steps.last.alts.isEmpty && !steps.last.strict,
+      "optional() excludes bind()/followedByOneOf()/next()")
     new Pattern(steps.init :+ steps.last.copy(opt = true), notStep, windowMs, skipPastLast)
   }
 
@@ -127,8 +141,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def oneOrMore(): Pattern = {
     require(steps.size >= 2, "oneOrMore() applies to a followedBy step")
     require(steps.last.reps == 1 && !steps.last.opt && steps.last.keep.isEmpty &&
-      steps.last.alts.isEmpty,
-      "oneOrMore() excludes times(n)/optional()/bind()/followedByOneOf()")
+      steps.last.alts.isEmpty && !steps.last.strict,
+      "oneOrMore() excludes times(n)/optional()/bind()/followedByOneOf()/next()")
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true), notStep, windowMs, skipPastLast)
   }
 
@@ -209,10 +223,23 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // to the binding before them when the step was skipped
     var prevTs: Column = col(startTs)
     expanded.tail.foreach { s =>
+      if (s.strict) {
+        // strict contiguity: the successor TIME (earliest event of any type
+        // strictly after the previous binding, in-window); the predicate
+        // join below may only bind at exactly this time
+        val anyCand = events.select(key.as("__k4"), ts.as("__ats"))
+        val kept0 = out.columns.map(col)
+        out = out.join(anyCand,
+            col("__k") === col("__k4") && col("__ats") > prevTs &&
+              col("__ats") <= col(startTs) + win)
+          .groupBy(kept0.toIndexedSeq: _*)
+          .agg(min(col("__ats")).as("__succ_ts"))
+      }
       val kept = out.columns.map(col)
       val joined = out.join(candidate(s),
         col("__k") === col("__k2") && col("__cts") > prevTs &&
-          col("__cts") <= col(startTs) + win && s.iter.getOrElse(lit(true)),
+          col("__cts") <= col(startTs) + win && s.iter.getOrElse(lit(true)) &&
+          (if (s.strict) col("__cts") === col("__succ_ts") else lit(true)),
         if (s.opt) "left_outer" else "inner")
       // binding payload beyond the timestamp: the alternation classifier
       // (if any) then bound columns — also the equal-ts tie-break order
@@ -232,6 +259,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             case (d, (n, _)) => d.withColumn(s"${s.name}_$n", col(s"__b.$n"))
           }.drop("__b")
         }
+      if (s.strict) out = out.drop("__succ_ts")
       prevTs = if (s.opt) coalesce(col(s"${s.name}_ts"), prevTs) else col(s"${s.name}_ts")
     }
     notStep.foreach { s =>

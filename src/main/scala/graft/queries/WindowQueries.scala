@@ -338,6 +338,29 @@ object WindowQueries {
       | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |) WHERE fire_at % 5 = 0""".stripMargin
 
+  // --- w21: CEP strict contiguity — flink-cep next() ---
+  // Purchase IMMEDIATELY after signup (no intervening event of any type):
+  // the step binds only at the key's earliest event time after the signup,
+  // and only when an event at that time is a purchase. The oracle computes
+  // the successor time then tests it — identical ts-level adjacency.
+  private val w21: Q = (s, dir) =>
+    graft.cep.Pattern.begin("signup", col("event_type") === "signup")
+      .next("purchase", col("event_type") === "purchase")
+      .within(24L * 3600 * 1000)
+      .detect(ev(s, dir), col("user_id"), col("ts"))
+      .select(col("key").as("user_id"), col("signup_ts"), col("purchase_ts"))
+  private val w21Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type FROM events),
+      |s AS (SELECT DISTINCT user_id, ts FROM e WHERE event_type='signup'),
+      |succ AS (SELECT s.user_id, s.ts AS s_ts, min(e.ts) AS nxt
+      |         FROM s JOIN e ON e.user_id = s.user_id AND e.ts > s.ts
+      |                      AND e.ts <= s.ts + INTERVAL 24 HOURS
+      |         GROUP BY 1, 2)
+      |SELECT su.user_id, su.s_ts AS signup_ts, su.nxt AS purchase_ts
+      |FROM succ su
+      |WHERE EXISTS (SELECT 1 FROM e WHERE e.user_id = su.user_id
+      |              AND e.ts = su.nxt AND e.event_type = 'purchase')""".stripMargin
+
   // --- w19: CEP alternation — (click|view) with CLASSIFIER output ---
   // flink-cep GroupPattern / SQL CLASSIFIER(): the middle step binds the
   // earliest click-OR-view and the match records which branch matched;
@@ -590,7 +613,7 @@ object WindowQueries {
 
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
-    "w20_sliding_count_window" -> w20,
+    "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
     "w12_sql_tumble" -> w12, "w13_temporal_join" -> w13,
     "w14_cep_relative" -> w14, "w15_sql_hop" -> w15, "w16_sql_session" -> w16,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
@@ -603,6 +626,7 @@ object WindowQueries {
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
     "w19_cep_alternation" -> w19Sql, "w20_sliding_count_window" -> w20Sql,
+    "w21_cep_strict" -> w21Sql,
     "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
     "w14_cep_relative" -> w14Sql, "w15_sql_hop" -> w15Sql, "w16_sql_session" -> w16Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,

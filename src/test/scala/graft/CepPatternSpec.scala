@@ -296,6 +296,25 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(m == Set((8L, at(5), "view", at(20)), (9L, at(7), "click", at(15))))
   }
 
+  test("next() enforces strict contiguity: an intervening event breaks the match") {
+    val ev = Seq(
+      (11L, at(0), "signup"), (11L, at(5), "click"), (11L, at(10), "purchase"),
+      (12L, at(0), "signup"), (12L, at(5), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val strict = Pattern.begin("signup", $"event_type" === "signup")
+      .next("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(ev, $"user_id", $"ts")
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Timestamp]("purchase_ts"))).toSet
+    assert(strict == Set((12L, at(5))), "user 11's click intervenes")
+    val relaxed = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(ev, $"user_id", $"ts")
+      .collect().map(_.getAs[Long]("key")).toSet
+    assert(relaxed == Set(11L, 12L), "followedBy tolerates the gap")
+  }
+
   test("alternation classifier reports the FIRST declared branch on overlap") {
     val ev = Seq(
       (10L, at(0), "signup", 0.0), (10L, at(5), "click", 9.0)
