@@ -174,6 +174,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def notFollowedByIterative(name: String, pred: Column, iterPred: Column): Pattern =
     new Pattern(steps, Some(Step(name, pred, iter = Some(iterPred))), windowMs, skipPastLast)
 
+  /** STRICT negative — flink-cep `notNext()` (reference Pattern.java#notNext):
+    * the IMMEDIATELY following event must NOT match `pred`; a key with no
+    * further in-window event passes vacuously. Adjacency is time-level as in
+    * [[next]]. Terminal, like [[notFollowedBy]]. */
+  def notNext(name: String, pred: Column): Pattern =
+    new Pattern(steps, Some(Step(name, pred, strict = true)), windowMs, skipPastLast)
+
   /** Match window measured from the first step's event time. */
   def within(ms: Long): Pattern = new Pattern(steps, notStep, Some(ms), skipPastLast)
 
@@ -263,9 +270,25 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       prevTs = if (s.opt) coalesce(col(s"${s.name}_ts"), prevTs) else col(s"${s.name}_ts")
     }
     notStep.foreach { s =>
-      out = out.join(candidate(s),
-        col("__k") === col("__k2") && col("__cts") > prevTs &&
-          col("__cts") <= col(startTs) + win && s.iter.getOrElse(lit(true)), "left_anti")
+      if (s.strict) {
+        // notNext: the successor time is computed with a LEFT OUTER join —
+        // a match with no further in-window event passes vacuously
+        val anyCand = events.select(key.as("__k4"), ts.as("__ats"))
+        val kept0 = out.columns.map(col)
+        out = out.join(anyCand,
+            col("__k") === col("__k4") && col("__ats") > prevTs &&
+              col("__ats") <= col(startTs) + win, "left_outer")
+          .groupBy(kept0.toIndexedSeq: _*)
+          .agg(min(col("__ats")).as("__succ_ts"))
+        out = out.join(candidate(s),
+            col("__k") === col("__k2") && col("__cts") === col("__succ_ts") &&
+              s.iter.getOrElse(lit(true)), "left_anti")
+          .drop("__succ_ts")
+      } else {
+        out = out.join(candidate(s),
+          col("__k") === col("__k2") && col("__cts") > prevTs &&
+            col("__cts") <= col(startTs) + win && s.iter.getOrElse(lit(true)), "left_anti")
+      }
     }
     // oneOrMore run aggregation: the chain above bound the FIRST occurrence;
     // one more keyed equi-join collects the run up to the next binding (or

@@ -315,6 +315,20 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(relaxed == Set(11L, 12L), "followedBy tolerates the gap")
   }
 
+  test("notNext() rejects only when the IMMEDIATE successor matches; vacuous pass on none") {
+    val ev = Seq(
+      (13L, at(0), "signup"), (13L, at(5), "purchase"),              // immediate purchase: rejected
+      (14L, at(0), "signup"), (14L, at(5), "click"), (14L, at(10), "purchase"), // click intervenes: kept
+      (15L, at(0), "signup")                                          // nothing follows: kept
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .notNext("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(ev, $"user_id", $"ts")
+      .collect().map(_.getAs[Long]("key")).toSet
+    assert(m == Set(14L, 15L))
+  }
+
   test("alternation classifier reports the FIRST declared branch on overlap") {
     val ev = Seq(
       (10L, at(0), "signup", 0.0), (10L, at(5), "click", 9.0)
