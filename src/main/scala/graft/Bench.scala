@@ -29,6 +29,10 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
         (System.nanoTime() - t0) / 1e9
       }
+      // release any persist() the query builder issued (d02/d04/s02 cache
+      // intermediate projections): without this the entries accumulate in
+      // executor memory across the 150+ query × reps suite
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

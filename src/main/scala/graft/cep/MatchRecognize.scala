@@ -141,12 +141,35 @@ object MatchRecognize {
         v.quant.foreach {
           case "?" => pat = pat.optional()
           case q =>
-            val bounds = q.stripPrefix("{").stripSuffix("}").split(",")
-            if (bounds.length == 2) pat = pat.timesRange(bounds(0).toInt, bounds(1).toInt)
-            else pat = pat.times(bounds(0).toInt)
+            val b = q.stripPrefix("{").stripSuffix("}").split(",")
+            val (from, to) = if (b.length == 2) (b(0).toInt, b(1).toInt)
+                             else (b(0).toInt, b(0).toInt)
+            // {n,n} is valid MATCH_RECOGNIZE syntax and means exactly-n:
+            // lower to times(n), not timesRange (which requires to > from)
+            if (from == to) {
+              require(from >= 1, s"quantifier {$from} on ${v.name} must be >= 1")
+              pat = pat.times(from)
+            } else {
+              require(from >= 1, s"quantifier {$from,$to} on ${v.name}: a zero " +
+                "lower bound is not supported — use '?' for an optional step")
+              pat = pat.timesRange(from, to)
+            }
         }
       }
-      keepByVar.get(v.name).foreach(ks => pat = pat.bind(ks: _*))
+      keepByVar.get(v.name).foreach { ks =>
+        // bind() (value measures) needs a fixed occurrence count; catch the
+        // documented-syntax-but-unbindable combinations here with a named
+        // error instead of Pattern.bind's opaque require
+        val inexact = v.quant.exists {
+          case "?" => true
+          case q =>
+            val b = q.stripPrefix("{").stripSuffix("}").split(",")
+            b.length == 2 && b(0) != b(1)
+        }
+        require(!inexact, s"value measures over ${v.name} (${ks.mkString(", ")}) " +
+          s"need an exact {n} quantifier, not ${v.quant.get}")
+        pat = pat.bind(ks: _*)
+      }
     }
     if (spec.skipPastLast) pat = pat.afterMatchSkipPastLastEvent()
     val matches = pat.within(spec.withinMs)

@@ -118,14 +118,24 @@ object AudioHeaderDecoder {
     var dataBytes = -1L
     while (off + 8 <= bytes.length && (channels < 0 || dataBytes < 0)) {
       val id = tag(bytes, off)
-      val size = i32le(bytes, off + 4)
+      // chunk size is UNSIGNED in RIFF: a hostile blob with 0xFFFFFFF8 would
+      // read as -8 signed and leave `off` unchanged (infinite loop); and any
+      // size must keep the chunk inside the buffer or the fmt field reads
+      // below would overrun
+      val size = i32le(bytes, off + 4).toLong & 0xffffffffL
       if (id == "fmt " && size >= 16) {
+        // the fmt fields are actually READ — bound them (reads up to off+23)
+        require(off + 24 <= bytes.length, "corrupt WAV: truncated fmt chunk")
         channels = u16le(bytes, off + 10)
         rate = i32le(bytes, off + 12)
         byteRate = i32le(bytes, off + 16)
         bits = u16le(bytes, off + 22)
-      } else if (id == "data") dataBytes = size.toLong & 0xffffffffL
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      } else if (id == "data") dataBytes = size
+      // payloads are never read (a headers-only blob with the full declared
+      // data size is fine); Long arithmetic so a hostile size can only end
+      // the walk, never wrap negative or stall
+      val next = off.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      off = if (next > bytes.length) bytes.length else next.toInt
     }
     require(channels > 0 && byteRate > 0, "WAV without fmt chunk")
     require(dataBytes >= 0, "WAV without data chunk")

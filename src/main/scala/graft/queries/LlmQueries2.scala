@@ -33,8 +33,12 @@ object LlmQueries2 {
     val edges = cand.join(ga, "doc_a").join(gb, "doc_b")
       .filter(TextDedup.jaccardOfDistinct(col("ga"), col("gb")) >= JaccardMin)
       .select(col("doc_a"), col("doc_b"))
-    Iterate.connectedComponents(edges, "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("component"))
+    val cc = Iterate.connectedComponents(edges, "doc_a", "doc_b")
+    // connectedComponents localCheckpoints the edge pipeline eagerly, so the
+    // gram cache is consumed by the time it returns — release it here rather
+    // than letting caches accumulate across a 150-query bench run
+    grams.unpersist()
+    cc.select(col("id").as("doc_id"), col("component"))
   }
   private val d07Sql =
     s"""WITH RECURSIVE ${LlmQueries.bandsCte},

@@ -285,36 +285,40 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[CepAcc, PairOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[CepAcc]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // deterministic within-batch order on equal timestamps (mirrors
-            // cepPattern/coProcessMatch)
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value))
-            var pending = state.getOption.map(_.pendingFirstMs).getOrElse(Nil)
-            val out = Seq.newBuilder[PairOut]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (e.event_type == firstType) {
-                if (pending.size < maxPending) pending = t :: pending // else drop newest
-              } else if (e.event_type == secondType) {
-                pending.filter(f => t > f && t - f <= windowMs).sorted.headOption.foreach { f =>
-                  out += PairOut(userId, new Timestamp(f), new Timestamp(t))
-                }
-                pending = pending.filterNot(f => t > f && t - f <= windowMs)
+        (userId: Long, rows: Iterator[Event], state: GroupState[CepAcc]) => {
+          // NO hasTimedOut short-circuit: the timer is armed at the EARLIEST
+          // pending window close, so when it fires other pendings may still
+          // have open windows — fall through to the watermark pruning below,
+          // which removes exactly the closed ones and re-arms the timer
+          // (the cepPattern/cepPatternIter discipline; rows is empty on a
+          // pure timeout fire).
+          // deterministic within-batch order on equal timestamps (mirrors
+          // cepPattern/coProcessMatch)
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value))
+          var pending = state.getOption.map(_.pendingFirstMs).getOrElse(Nil)
+          val out = Seq.newBuilder[PairOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (e.event_type == firstType) {
+              if (pending.size < maxPending) pending = t :: pending // else drop newest
+            } else if (e.event_type == secondType) {
+              pending.filter(f => t > f && t - f <= windowMs).sorted.headOption.foreach { f =>
+                out += PairOut(userId, new Timestamp(f), new Timestamp(t))
               }
+              pending = pending.filterNot(f => t > f && t - f <= windowMs)
             }
-            // watermark pruning: a pending first whose window closed at-or-
-            // before the watermark can never match (every future second > wm)
-            val wm = state.getCurrentWatermarkMs()
-            pending = pending.filter(f => f + windowMs > wm)
-            if (pending.isEmpty) state.remove()
-            else {
-              state.update(CepAcc(pending))
-              state.setTimeoutTimestamp(pending.map(_ + windowMs).min)
-            }
-            out.result().iterator
           }
+          // watermark pruning: a pending first whose window closed at-or-
+          // before the watermark can never match (every future second > wm)
+          val wm = state.getCurrentWatermarkMs()
+          pending = pending.filter(f => f + windowMs > wm)
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(CepAcc(pending))
+            state.setTimeoutTimestamp(pending.map(_ + windowMs).min)
+          }
+          out.result().iterator
+        }
       }
   }
 

@@ -88,6 +88,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       m.bits == 16 && m.duration_ms == 2000L)
   }
 
+  test("AudioHeaderDecoder rejects hostile chunk sizes instead of looping") {
+    import graft.multimodal.AudioHeaderDecoder
+    def le32(v: Int) = Array[Int](v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    // a chunk declaring size = -8 (0xFFFFFFF8): signed arithmetic would leave
+    // the walk offset unchanged forever (executor-task hang); unsigned reads
+    // make it a fast failed parse ("WAV without fmt chunk")
+    val evil = (Array[Int]('R', 'I', 'F', 'F') ++ le32(36) ++
+      Array[Int]('W', 'A', 'V', 'E') ++
+      Array[Int]('J', 'U', 'N', 'K') ++ le32(-8) ++ Array.fill(24)(0)).map(_.toByte)
+    val ex = intercept[IllegalArgumentException](AudioHeaderDecoder.audioMeta(evil))
+    assert(ex.getMessage.contains("fmt"))
+    // a truncated fmt chunk must fail with a named error, not read past the
+    // end: JUNK padding pushes fmt to offset 40, its 16 declared bytes end
+    // at 64 but the blob stops at 48
+    val cut = (Array[Int]('R', 'I', 'F', 'F') ++ le32(40) ++
+      Array[Int]('W', 'A', 'V', 'E') ++
+      Array[Int]('J', 'U', 'N', 'K') ++ le32(20) ++ Array.fill(20)(0) ++
+      Array[Int]('f', 'm', 't', ' ') ++ le32(16)).map(_.toByte)
+    val ex2 = intercept[IllegalArgumentException](AudioHeaderDecoder.audioMeta(cut))
+    assert(ex2.getMessage.contains("truncated fmt"))
+  }
+
   test("mediaStats: builtin-only size + magic sniffing") {
     val df = Seq(fakeMedia(1, 640, 480, 0, 100)).toDS().toDF()
     val r = MultimodalOps.mediaStats(df, "media").select("n_bytes", "header_hex").head()

@@ -503,4 +503,28 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(rows == 0L, s"expected all pending state evicted, got $rows")
     assert(spark.table("s_cep_ttl").count() == 0) // no match ever emitted
   }
+
+  test("cepFollowedBy timeout at the earliest window close keeps later-window pendings") {
+    // two pending firsts with staggered windows (closes at t=60s and t=3000s):
+    // the event-time timer arms at the EARLIEST close, so when the watermark
+    // passes t=60s the timer fires with no input rows for the key — the first
+    // pending must be pruned but the second must SURVIVE the fire and still
+    // match a purchase arriving inside its window
+    val in = MemoryStream[Event]
+    val q = StreamOps.cepFollowedBy(in.toDS(), "0 seconds", "signup", "purchase", 60000L).toDF()
+      .writeStream.format("memory").queryName("s_cep_timeout").outputMode("append").start()
+    in.addData(Event(1, at(0), "signup", 0.0),    // window closes at 60s
+               Event(1, at(2950), "signup", 0.0)) // window closes at 3010s
+    q.processAllAvailable()
+    in.addData(Event(999L, at(2000), "noise", 0.0)) // wm -> 2000s: fires key 1's timer
+    q.processAllAvailable()
+    in.addData(Event(999L, at(2001), "noise", 0.0)) // drain the timer fire batch
+    q.processAllAvailable()
+    in.addData(Event(1, at(2990), "purchase", 1.0)) // inside the surviving window
+    q.processAllAvailable()
+    val out = spark.table("s_cep_timeout").as[graft.streaming.PairOut].collect().toSeq
+    assert(out == Seq(graft.streaming.PairOut(1, at(2950), at(2990))),
+      s"the still-open pending must survive the timeout fire: $out")
+    q.stop()
+  }
 }
