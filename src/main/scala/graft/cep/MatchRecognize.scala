@@ -29,7 +29,13 @@ import org.apache.spark.sql.functions._
   *                               -- branch (the SQL CLASSIFIER() analog)
   *   WITHIN INTERVAL '<n>' <SECOND|MINUTE|HOUR|DAY>
   *   DEFINE V1 AS <predicate>, ...  -- Spark SQL boolean exprs over the event
-  *                                  -- row; vars left undefined match TRUE
+  *                                  -- row; vars left undefined match TRUE.
+  *                                  -- `V.col` addresses: the current event
+  *                                  -- when V is the variable being defined,
+  *                                  -- or an EARLIER variable's binding — a
+  *                                  -- RELATIVE condition (e.g.
+  *                                  -- `DEFINE P AS P.value > 2 * S.value`),
+  *                                  -- lowered onto followedByIterative+bind
   * )
   * }}}
   * Semantics are [[Pattern]]'s (flink-cep relaxed contiguity,
@@ -113,8 +119,80 @@ object MatchRecognize {
     Spec(partitionBy, orderBy, measures, vars, withinMs, defines, skipPastLast)
   }
 
-  private def predOf(spec: Spec, v: String): Column =
-    spec.defines.get(v).map(expr).getOrElse(lit(true))
+  private val RefRx = "(\\w+)\\.(\\w+)".r
+
+  /** Split a predicate on top-level ANDs (paren-depth 0), so the self-only
+    * conjuncts of a relative DEFINE stay a plain pre-filter pushed into the
+    * candidate scan, and only the truly relative conjuncts ride the
+    * iterative residual. */
+  private def splitTopAnd(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var depth = 0; var i = 0
+    while (i < body.length) {
+      val ch = body(i)
+      if (ch == '(') { depth += 1; cur += ch; i += 1 }
+      else if (ch == ')') { depth -= 1; cur += ch; i += 1 }
+      else if (depth == 0 && i + 3 <= body.length &&
+               body.substring(i, i + 3).equalsIgnoreCase("AND") &&
+               (i == 0 || !body(i - 1).isLetterOrDigit) &&
+               (i + 3 == body.length || !body(i + 3).isLetterOrDigit)) {
+        out += cur.toString; cur.clear(); i += 3
+      } else { cur += ch; i += 1 }
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Compile one variable's DEFINE body. `v` is the variable (or alternation
+    * branch) being defined; `groupPos` its position in the PATTERN.
+    *
+    * Relative (iterative) conditions — the reference's most-used
+    * MATCH_RECOGNIZE shape (flink-table-planner-blink MatchRecognizeITCase
+    * `DEFINE B AS B.price > LAST(A.price, 1)`-style clauses, planned through
+    * IterativeCondition): a `<Var>.<col>` token referencing the variable
+    * ITSELF addresses the current candidate event; one referencing an
+    * EARLIER plain, unquantified variable reads that step's binding and
+    * makes the condition iterative (lowered onto
+    * [[Pattern.followedByIterative]] + [[Pattern.bind]]).
+    *
+    * Returns (pre-filter, iterative residual, prior (var, col) references
+    * that the earlier step must bind). */
+  private def compiledPred(spec: Spec, v: String,
+                           groupPos: Int): (Column, Option[Column], Seq[(String, String)]) = {
+    import scala.util.matching.Regex.quoteReplacement
+    val body = spec.defines.getOrElse(v, return (lit(true), None, Nil))
+    val pos = spec.vars.map(_.name).zipWithIndex.toMap
+    def priorRefs(s: String): Seq[(String, String)] =
+      RefRx.findAllMatchIn(s).map(m => (m.group(1), m.group(2))).toSeq
+        .filter { case (a, _) => a != v && pos.contains(a) }
+    val prior = priorRefs(body)
+    prior.foreach { case (a, _) =>
+      require(pos(a) < groupPos,
+        s"DEFINE $v references $a, which is not bound earlier in the PATTERN")
+      val pv = spec.vars(pos(a))
+      require(pv.alts.isEmpty && pv.quant.isEmpty,
+        s"DEFINE $v references $a: relative references need a plain, unquantified variable")
+    }
+    def rewritePlain(s: String): String = RefRx.replaceAllIn(s, m =>
+      quoteReplacement(if (m.group(1) == v) m.group(2) else m.matched))
+    if (prior.isEmpty) (expr(rewritePlain(body)), None, Nil)
+    else {
+      val (relative, plain) = splitTopAnd(body).partition(c => priorRefs(c).nonEmpty)
+      val pre = if (plain.isEmpty) lit(true)
+                else plain.map(c => expr(rewritePlain(c))).reduce(_ && _)
+      val residual = relative.map { c =>
+        expr(RefRx.replaceAllIn(c, m => {
+          val (a, cn) = (m.group(1), m.group(2))
+          quoteReplacement(
+            if (a == v) s"__c_$cn"
+            else if (pos.contains(a) && pos(a) < groupPos)
+              (if (cn == spec.orderBy) s"${a}_ts" else s"${a}_$cn")
+            else m.matched)
+        }))
+      }.reduce(_ && _)
+      (pre, Some(residual), prior.filter(_._2 != spec.orderBy).distinct)
+    }
+  }
 
   /** Parse `sql` and run the compiled pattern over `events`. Output: the
     * partition column (under its own name) + one column per MEASURES item;
@@ -129,15 +207,38 @@ object MatchRecognize {
       .filter(m => m.field != "ts" && !(altVars(m.varName) && m.field == "cls"))
       .groupBy(_.varName)
       .map { case (v, ms) => v -> ms.map(_.field).distinct }
+    // compile every DEFINE up front: relative references discovered here add
+    // bind() requirements on the REFERENCED (earlier) step, merged with the
+    // measure-driven binds before the lowering walk
+    val compiled: Map[String, (Column, Option[Column], Seq[(String, String)])] =
+      spec.vars.zipWithIndex.flatMap { case (v, i) =>
+        val own = if (v.alts.nonEmpty) Nil else Seq(v.name -> compiledPred(spec, v.name, i))
+        val branches = v.alts.map { b =>
+          val c = compiledPred(spec, b, i)
+          require(c._2.isEmpty,
+            s"alternation branch $b cannot use relative references")
+          b -> c
+        }
+        own ++ branches
+      }.toMap
+    val neededBinds: Map[String, Seq[String]] = compiled.values.flatMap(_._3).toSeq
+      .distinct.groupBy(_._1).map { case (v, refs) => v -> refs.map(_._2) }
+    val bindByVar: Map[String, Seq[String]] = (keepByVar.keySet ++ neededBinds.keySet)
+      .map(v => v -> (keepByVar.getOrElse(v, Nil) ++ neededBinds.getOrElse(v, Nil)).distinct)
+      .toMap
     require(spec.vars.head.alts.isEmpty, "first pattern variable cannot be an alternation")
-    var pat = Pattern.begin(spec.vars.head.name, predOf(spec, spec.vars.head.name))
+    var pat = Pattern.begin(spec.vars.head.name, compiled(spec.vars.head.name)._1)
     require(spec.vars.head.quant.isEmpty, "first pattern variable cannot be quantified")
-    keepByVar.get(spec.vars.head.name).foreach(ks => pat = pat.bind(ks: _*))
+    bindByVar.get(spec.vars.head.name).foreach(ks => pat = pat.bind(ks: _*))
     spec.vars.tail.foreach { v =>
       if (v.alts.nonEmpty)
-        pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> predOf(spec, b)): _*)
+        pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> compiled(b)._1): _*)
       else {
-        pat = pat.followedBy(v.name, predOf(spec, v.name))
+        val (pre, iterPred, _) = compiled(v.name)
+        pat = iterPred match {
+          case Some(res) => pat.followedByIterative(v.name, pre, res)
+          case None => pat.followedBy(v.name, pre)
+        }
         v.quant.foreach {
           case "?" => pat = pat.optional()
           case q =>
@@ -156,10 +257,11 @@ object MatchRecognize {
             }
         }
       }
-      keepByVar.get(v.name).foreach { ks =>
-        // bind() (value measures) needs a fixed occurrence count; catch the
-        // documented-syntax-but-unbindable combinations here with a named
-        // error instead of Pattern.bind's opaque require
+      bindByVar.get(v.name).foreach { ks =>
+        // bind() (value measures / relative references) needs a fixed
+        // occurrence count; catch the documented-syntax-but-unbindable
+        // combinations here with a named error instead of Pattern.bind's
+        // opaque require
         val inexact = v.quant.exists {
           case "?" => true
           case q =>

@@ -311,6 +311,28 @@ object WindowQueries {
         |  DEFINE S AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin)
 
+  // --- m06: relative DEFINE through the SQL front door ---
+  // The reference's most-used real-world MATCH_RECOGNIZE shape
+  // (MatchRecognizeITCase's `DEFINE B AS B.price > LAST(A.price, 1)`-style
+  // clauses): P's predicate references the value bound at S. The parser
+  // lowers the relative conjunct onto followedByIterative + bind — the same
+  // compile w14 reaches through the combinator API, so w14's oracle replays
+  // it exactly. The self-only conjunct (P.event_type = 'purchase') stays a
+  // plain pre-filter pushed into the candidate scan.
+  private val m06: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, S.value AS signup_value,
+        |           P.ts AS purchase_ts, P.value AS purchase_value
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS S.event_type = 'signup',
+        |         P AS P.event_type = 'purchase' AND P.value > 2 * S.value
+        |)""".stripMargin)
+  private def m06Sql = w14Sql // identical semantics to the combinator w14
+
   // --- w20: SLIDING count window — countWindow(size, slide) ---
   // (reference flink-streaming-java/.../datastream/KeyedStream.java
   // countWindow(long size, long slide): every `slide` events per key emit
@@ -621,7 +643,8 @@ object WindowQueries {
     "w07_not_followed_by" -> w07, "w08_count_window" -> w08, "w09_cep_quantified" -> w09,
     "w10_cep_measures" -> w10, "w11_cep_pattern_api" -> w11,
     "m01_match_recognize" -> m01, "m02_match_measures" -> m02,
-    "m03_match_skip" -> m03, "m04_match_range" -> m04, "m05_match_alternation" -> m05)
+    "m03_match_skip" -> m03, "m04_match_range" -> m04, "m05_match_alternation" -> m05,
+    "m06_match_relative" -> m06)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -635,5 +658,6 @@ object WindowQueries {
     "w09_cep_quantified" -> w09Sql, "w10_cep_measures" -> w10Sql,
     "w11_cep_pattern_api" -> w11Sql, "m01_match_recognize" -> m01Sql,
     "m02_match_measures" -> m02Sql, // m03 has no SQL oracle (greedy skip is sequential)
-    "m04_match_range" -> m04Sql, "m05_match_alternation" -> m05Sql)
+    "m04_match_range" -> m04Sql, "m05_match_alternation" -> m05Sql,
+    "m06_match_relative" -> m06Sql)
 }

@@ -166,4 +166,98 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       .collect().map(_.getAs[Long]("key")).toSet
     assert(m == Set(1L), "1400ms gap is inside a 1500ms window; 1600ms is not")
   }
+
+  private lazy val relEvents = Seq(
+    (1L, at(0), "signup", 10.0), (1L, at(5), "purchase", 15.0), // 15 < 2*10: no
+    (1L, at(9), "purchase", 25.0),                              // 25 > 20: binds
+    (2L, at(0), "signup", 50.0), (2L, at(3), "purchase", 60.0)  // 60 < 100: no
+  ).toDF("user_id", "ts", "event_type", "value")
+
+  test("relative DEFINE (P.value > 2 * S.value) lowers to followedByIterative") {
+    val viaSql = MatchRecognize.detect(relEvents,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, S.value AS s_value, P.ts AS p_ts, P.value AS p_value
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS S.event_type = 'signup',
+        |         P AS P.event_type = 'purchase' AND P.value > 2 * S.value
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Double, Timestamp, Double)].collect().toSet
+    val viaApi = Pattern.begin("S", $"event_type" === "signup").bind("value")
+      .followedByIterative("P", $"event_type" === "purchase",
+        Pattern.ev("value") > Pattern.bound("S", "value") * 2)
+      .bind("value")
+      .within(3600000L)
+      .detect(relEvents, $"user_id", $"ts")
+      .select($"key", $"S_ts", $"S_value", $"P_ts", $"P_value")
+      .as[(Long, Timestamp, Double, Timestamp, Double)].collect().toSet
+    assert(viaSql == viaApi && viaSql == Set((1L, at(0), 10.0, at(9), 25.0)))
+  }
+
+  test("relative DEFINE referencing the ORDER BY column maps to the binding timestamp") {
+    // "a purchase more than 6 minutes after the signup": ts is the order
+    // column, so S.ts rewrites to the S binding's timestamp, not a bind()
+    val m = MatchRecognize.detect(relEvents,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, P.ts AS p_ts
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS S.event_type = 'signup',
+        |         P AS P.event_type = 'purchase' AND P.ts > S.ts + INTERVAL 6 MINUTES
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    assert(m == Set((1L, at(0), at(9))))
+  }
+
+  test("named errors: later-var reference, quantified-var reference, zero bounds") {
+    def detect(define: String, pattern: String = "(S P)") =
+      MatchRecognize.detect(relEvents,
+        s"""MATCH_RECOGNIZE (
+           |  PARTITION BY user_id ORDER BY ts
+           |  MEASURES S.ts AS s_ts
+           |  PATTERN $pattern
+           |  WITHIN INTERVAL '1' HOUR
+           |  DEFINE $define
+           |)""".stripMargin)
+    val fwd = intercept[IllegalArgumentException](
+      detect("S AS S.value > P.value, P AS event_type = 'purchase'"))
+    assert(fwd.getMessage.contains("not bound earlier"))
+    val quant = intercept[IllegalArgumentException](
+      detect("P AS P.value > S.value", "(S{2} P)"))
+    assert(quant.getMessage.contains("plain, unquantified"))
+    val zero = intercept[IllegalArgumentException](
+      detect("S AS event_type = 'signup'", "(S P{0,2})"))
+    assert(zero.getMessage.contains("zero"))
+  }
+
+  test("{n,n} degenerate range lowers to times(n), not a timesRange crash") {
+    val ev2 = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "click"), (1L, at(8), "click"), (1L, at(12), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = MatchRecognize.detect(ev2,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, LAST(C.ts) AS last_c, P.ts AS p_ts
+        |  PATTERN (S C{2,2} P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp)].collect().toSet
+    assert(m == Set((1L, at(0), at(8), at(12))))
+  }
+
+  test("value measures over an inexact quantifier raise a named error") {
+    val ex = intercept[IllegalArgumentException](MatchRecognize.detect(relEvents,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES LAST(P.value) AS pv
+        |  PATTERN (S P{1,2})
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(ex.getMessage.contains("exact {n} quantifier"))
+  }
 }
