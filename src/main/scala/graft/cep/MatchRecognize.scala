@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *                               --          | SUM(V.<col>)   AS alias
   *                               --          | COUNT(V.<col>) AS alias
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-  *   PATTERN (V1 V2[?|{n}|{n,m}] ...) -- linear; '?' = optional,
+  *   PATTERN (V1 V2[?|+|*|{n}|{n,m}] ...) -- linear; '?' = optional,
   *                               -- '{n}' = times(n), '{n,m}' = greedy range
-  *                               -- (timesRange: n mandatory + up to m-n more);
+  *                               -- (timesRange: n mandatory + up to m-n more),
+  *                               -- '+' = oneOrMore (greedy run; measures via
+  *                               -- FIRST/LAST/COUNT of the run timestamps),
+  *                               -- '*' = zeroOrMore (run may be empty);
   *                               -- (B|C) = alternation (followedByOneOf):
   *                               -- the group binds as variable "B_C" and
   *                               -- `B_C.cls AS alias` measures the matched
@@ -90,7 +93,7 @@ object MatchRecognize {
       .getOrElse(sys.error("PATTERN (...) required")).group(1).trim
     // elements: a bare variable with an optional quantifier, or an
     // alternation group (B|C) — named by joining its branches
-    val vars = "(?:\\((\\w+(?:\\|\\w+)+)\\)|(\\w+))(\\?|\\{(\\d+)(?:,(\\d+))?\\})?".r
+    val vars = "(?:\\((\\w+(?:\\|\\w+)+)\\)|(\\w+))(\\?|\\+|\\*|\\{(\\d+)(?:,(\\d+))?\\})?".r
       .findAllMatchIn(patternBody).map { g =>
         Option(g.group(1)) match {
           case Some(alt) =>
@@ -241,6 +244,8 @@ object MatchRecognize {
         }
         v.quant.foreach {
           case "?" => pat = pat.optional()
+          case "+" => pat = pat.oneOrMore()
+          case "*" => pat = pat.zeroOrMore()
           case q =>
             val b = q.stripPrefix("{").stripSuffix("}").split(",")
             val (from, to) = if (b.length == 2) (b(0).toInt, b(1).toInt)
@@ -263,7 +268,7 @@ object MatchRecognize {
         // combinations here with a named error instead of Pattern.bind's
         // opaque require
         val inexact = v.quant.exists {
-          case "?" => true
+          case "?" | "+" | "*" => true
           case q =>
             val b = q.stripPrefix("{").stripSuffix("}").split(",")
             b.length == 2 && b(0) != b(1)
@@ -289,25 +294,40 @@ object MatchRecognize {
           case _ => (1, 1)
         })
       }.toMap
+      val quantOf: Map[String, Option[String]] = spec.vars.map(v => v.name -> v.quant).toMap
       val cols = spec.measures.map { m =>
-        val (mn, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
-        // one source column per expansion: V_field or V_i_field; with a
-        // range quantifier the tail expansions are nullable
-        val srcs = if (mx == 1) Seq(s"${m.varName}_${m.field}")
-                   else (1 to mx).map(i => s"${m.varName}_${i}_${m.field}")
-        val c = m.fn match {
-          case None =>
-            require(mx == 1, s"${m.varName} is quantified — use FIRST/LAST/SUM/COUNT")
-            col(srcs.head)
-          case Some("FIRST") => col(srcs.head)
-          case Some("LAST") =>
-            if (mn == mx) col(srcs.last) else coalesce(srcs.reverse.map(col): _*)
-          case Some("SUM") =>
-            require(mn == mx, s"SUM(${m.varName}.${m.field}) needs an exact {n} quantifier")
-            srcs.map(col).reduce(_ + _)
-          case Some("COUNT") =>
-            srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
-          case Some(f) => sys.error(s"unsupported measure function $f")
+        val c = if (quantOf.get(m.varName).flatten.exists(q => q == "+" || q == "*")) {
+          // a '+'/'*' run binds only its boundary timestamps + count
+          // (<var>_first_ts / _last_ts / _n — flink-cep's greedy-run shape)
+          require(m.field == "ts", s"measures over the run variable ${m.varName} " +
+            "address its timestamps (FIRST/LAST) or COUNT, not event columns")
+          m.fn match {
+            case Some("FIRST") => col(s"${m.varName}_first_ts")
+            case Some("LAST") => col(s"${m.varName}_last_ts")
+            case Some("COUNT") => col(s"${m.varName}_n")
+            case other => sys.error(s"only FIRST/LAST/COUNT over a '+'/'*' " +
+              s"variable (got ${other.getOrElse("a bare reference")} on ${m.varName})")
+          }
+        } else {
+          val (mn, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
+          // one source column per expansion: V_field or V_i_field; with a
+          // range quantifier the tail expansions are nullable
+          val srcs = if (mx == 1) Seq(s"${m.varName}_${m.field}")
+                     else (1 to mx).map(i => s"${m.varName}_${i}_${m.field}")
+          m.fn match {
+            case None =>
+              require(mx == 1, s"${m.varName} is quantified — use FIRST/LAST/SUM/COUNT")
+              col(srcs.head)
+            case Some("FIRST") => col(srcs.head)
+            case Some("LAST") =>
+              if (mn == mx) col(srcs.last) else coalesce(srcs.reverse.map(col): _*)
+            case Some("SUM") =>
+              require(mn == mx, s"SUM(${m.varName}.${m.field}) needs an exact {n} quantifier")
+              srcs.map(col).reduce(_ + _)
+            case Some("COUNT") =>
+              srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+            case Some(f) => sys.error(s"unsupported measure function $f")
+          }
         }
         c.as(m.alias)
       }

@@ -146,6 +146,24 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true), notStep, windowMs, skipPastLast)
   }
 
+  /** Zero-or-more — the `B*` quantifier (reference flink-cep
+    * Pattern.java#oneOrMore composed with #optional, i.e.
+    * `oneOrMore().optional()`, and every MatchRecognizeITCase `(A B* C)`
+    * pattern): like [[oneOrMore]], but the run may be EMPTY — the match then
+    * carries null `<name>_first_ts`/`<name>_last_ts` and `<name>_n` = 0, and
+    * the next step binds after the previous step's binding. Like the greedy
+    * flink-cep default, when any occurrence exists in-window the run binds
+    * (the next step then binds after the run's first occurrence), even if
+    * skipping it would let the next step bind earlier. */
+  def zeroOrMore(): Pattern = {
+    require(steps.size >= 2, "zeroOrMore() applies to a followedBy step")
+    require(steps.last.reps == 1 && !steps.last.opt && steps.last.keep.isEmpty &&
+      steps.last.alts.isEmpty && !steps.last.strict,
+      "zeroOrMore() excludes times(n)/optional()/bind()/followedByOneOf()/next()")
+    new Pattern(steps.init :+ steps.last.copy(oneOrMore = true, opt = true),
+      notStep, windowMs, skipPastLast)
+  }
+
   /** flink-cep `until(cond)` on a preceding `oneOrMore()` step: the run
     * stops accepting occurrences once a `cond` event (strictly after the
     * run's first occurrence, same key, in-window) appears — run members are
@@ -316,10 +334,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       }) && (if (hasUntil) col("__until_ts").isNull || col("__rts") < col("__until_ts")
              else lit(true))
       val kept = out.columns.map(col)
+      // zeroOrMore (opt=true): an empty run keeps the match row through a
+      // left-outer join with null run columns and count 0
       out = out.join(cand,
-          col("__k") === col("__k3") && col("__rts") >= col(s"${name}_ts") && upperCond)
+          col("__k") === col("__k3") && col("__rts") >= col(s"${name}_ts") && upperCond,
+          if (st.opt) "left_outer" else "inner")
         .groupBy(kept.toIndexedSeq: _*)
-        .agg(max(col("__rts")).as(s"${name}_last_ts"), count(lit(1)).as(s"${name}_n"))
+        .agg(max(col("__rts")).as(s"${name}_last_ts"), count(col("__rts")).as(s"${name}_n"))
         .withColumnRenamed(s"${name}_ts", s"${name}_first_ts")
         .drop("__until_ts")
     }

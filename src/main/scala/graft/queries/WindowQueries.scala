@@ -333,6 +333,44 @@ object WindowQueries {
         |)""".stripMargin)
   private def m06Sql = w14Sql // identical semantics to the combinator w14
 
+  // --- m07: B+ quantifier through the SQL front door ---
+  // (A B+ C) is the canonical MatchRecognizeITCase pattern shape (reference
+  // flink-cep Pattern.java#oneOrMore). The '+' lowers onto
+  // Pattern.oneOrMore(): first C = earliest click after the signup, the
+  // purchase binds after it, and the emitted run is every click before the
+  // purchase binding — FIRST/LAST/COUNT measure the run's boundary
+  // timestamps and size. The oracle replays the greedy-run shape with a
+  // min-bind chain plus one run-membership join.
+  private val m07: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.ts) AS first_click_ts,
+        |           LAST(C.ts) AS last_click_ts, COUNT(C.ts) AS n_clicks,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S C+ P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m07Sql =
+    """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS first_c
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, s_ts, first_c, min(p.ts) AS p_ts
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > first_c
+      |                     AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3)
+      |SELECT m2.user_id, s_ts AS signup_ts, first_c AS first_click_ts,
+      |       max(c.ts) AS last_click_ts, count(*) AS n_clicks, p_ts AS purchase_ts
+      |FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts >= first_c AND c.ts < p_ts
+      |GROUP BY 1, 2, 3, 6""".stripMargin
+
   // --- w20: SLIDING count window — countWindow(size, slide) ---
   // (reference flink-streaming-java/.../datastream/KeyedStream.java
   // countWindow(long size, long slide): every `slide` events per key emit
@@ -644,7 +682,7 @@ object WindowQueries {
     "w10_cep_measures" -> w10, "w11_cep_pattern_api" -> w11,
     "m01_match_recognize" -> m01, "m02_match_measures" -> m02,
     "m03_match_skip" -> m03, "m04_match_range" -> m04, "m05_match_alternation" -> m05,
-    "m06_match_relative" -> m06)
+    "m06_match_relative" -> m06, "m07_match_plus" -> m07)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -659,5 +697,5 @@ object WindowQueries {
     "w11_cep_pattern_api" -> w11Sql, "m01_match_recognize" -> m01Sql,
     "m02_match_measures" -> m02Sql, // m03 has no SQL oracle (greedy skip is sequential)
     "m04_match_range" -> m04Sql, "m05_match_alternation" -> m05Sql,
-    "m06_match_relative" -> m06Sql)
+    "m06_match_relative" -> m06Sql, "m07_match_plus" -> m07Sql)
 }

@@ -99,6 +99,32 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(m == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  private lazy val withUser4 = events.union(Seq(
+    (4L, at(0), "signup"), (4L, at(15), "purchase")).toDF("user_id", "ts", "event_type"))
+
+  test("zeroOrMore() matches with an EMPTY run (null bounds, n=0) and with a run") {
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").zeroOrMore()
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(withUser4, $"user_id", $"ts")
+      .collect().map(r => (r.getAs[Long]("key"),
+        Option(r.getAs[Timestamp]("click_first_ts")), r.getAs[Long]("click_n"),
+        r.getAs[Timestamp]("purchase_ts"))).toSet
+    // user 1's clicks at 10 and 20 both precede the purchase; user 4 has NO
+    // clicks — oneOrMore would drop it, zeroOrMore emits the empty run
+    assert(m == Set((1L, Some(at(10)), 2L, at(30)), (4L, None, 0L, at(15))))
+  }
+
+  test("zeroOrMore() as the final step emits even with no occurrences") {
+    val m = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").zeroOrMore()
+      .within(HOUR)
+      .detect(withUser4, $"user_id", $"ts")
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("click_n"))).toMap
+    assert(m == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("until() stops the oneOrMore run at the first stop event") {
     // user 6: signup@0, click@10, error@15, click@20, purchase@30 —
     // until(error) bounds the click run to {10}; purchase still binds

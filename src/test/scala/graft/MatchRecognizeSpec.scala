@@ -249,6 +249,37 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m == Set((1L, at(0), at(8), at(12))))
   }
 
+  test("'+' quantifier: greedy run with FIRST/LAST/COUNT measures") {
+    val m = MatchRecognize.detect(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(C.ts) AS first_c, LAST(C.ts) AS last_c,
+        |           COUNT(C.ts) AS n_c, P.ts AS p_ts
+        |  PATTERN (S C+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    // user 1: both clicks precede the purchase; users 2/4 lack click or purchase
+    assert(m == Set((1L, at(0), at(10), at(20), 2L, at(30))))
+  }
+
+  test("'*' quantifier: the run may be empty (user with no clicks still matches)") {
+    val m = MatchRecognize.detect(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(C.ts) AS n_c, P.ts AS p_ts
+        |  PATTERN (S C* P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Long, Timestamp)].collect().toSet
+    // user 4 (signup then purchase, no clicks) matches with an empty run
+    assert(m == Set((1L, at(0), 2L, at(30)), (4L, at(0), 0L, at(15))))
+  }
+
   test("value measures over an inexact quantifier raise a named error") {
     val ex = intercept[IllegalArgumentException](MatchRecognize.detect(relEvents,
       """MATCH_RECOGNIZE (

@@ -120,7 +120,7 @@ class PropertySpec extends AnyFunSuite with SparkTest {
   test("MatchRecognize SQL text == hand-built combinator chain for random patterns") {
     import graft.cep.{MatchRecognize, Pattern}
     val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val quant = Gen.oneOf("", "?", "{2}", "{1,2}")
+    val quant = Gen.oneOf("", "?", "{2}", "{1,2}", "+", "*")
     val log = Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 2L), Gen.oneOf("a", "b", "c")))
     assertHolds(Prop.forAll(Gen.zip(quant, quant, log)) { case (q1, q2, rows) =>
       val df = rows.zipWithIndex.map { case ((u, t), i) =>
@@ -140,6 +140,8 @@ class PropertySpec extends AnyFunSuite with SparkTest {
         case "?" => pat = pat.optional()
         case "{2}" => pat = pat.times(2)
         case "{1,2}" => pat = pat.timesRange(1, 2)
+        case "+" => pat = pat.oneOrMore()
+        case "*" => pat = pat.zeroOrMore()
       }
       pat = pat.followedBy("X", col("event_type") === "b"); addQ(q1)
       pat = pat.followedBy("Y", col("event_type") === "c"); addQ(q2)
