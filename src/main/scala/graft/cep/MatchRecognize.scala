@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *                               --          | LAST(V.<col>)  AS alias
   *                               --          | SUM(V.<col>)   AS alias
   *                               --          | COUNT(V.<col>) AS alias
+  *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+  *                               -- ALL ROWS explodes each match: one row per
+  *                               -- bound event with CLASSIFIER-style `cls`,
+  *                               -- the event `ts`, and RUNNING measures
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *   PATTERN (V1 V2[?|+|*|{n}|{n,m}] ...) -- linear; '?' = optional,
   *                               -- '{n}' = times(n), '{n,m}' = greedy range
@@ -63,7 +67,7 @@ object MatchRecognize {
   private case class Spec(partitionBy: String, orderBy: String,
                           measures: Seq[Measure], vars: Seq[PatternVar],
                           withinMs: Long, defines: Map[String, String],
-                          skipPastLast: Boolean)
+                          skipPastLast: Boolean, allRows: Boolean)
 
   private def sectionRx(name: String, stopAt: String) =
     (s"(?is)\\b$name\\b\\s+(.*?)\\s*(?=\\b(?:$stopAt)\\b)").r
@@ -77,7 +81,7 @@ object MatchRecognize {
       sectionRx(name, stopAt).findFirstMatchIn(body).map(_.group(1).trim)
     val partitionBy = section("PARTITION\\s+BY", "ORDER").getOrElse(sys.error("PARTITION BY required"))
     val orderBy = section("ORDER\\s+BY", "MEASURES|AFTER|PATTERN").getOrElse(sys.error("ORDER BY required"))
-    val measures = section("MEASURES", "AFTER|PATTERN").toSeq.flatMap(_.split(",").toSeq).map { m =>
+    val measures = section("MEASURES", "ONE|ALL|AFTER|PATTERN").toSeq.flatMap(_.split(",").toSeq).map { m =>
       "(?is)\\s*(?:(FIRST|LAST|SUM|COUNT)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*".r
         .findFirstMatchIn(m)
         .map(g => Measure(Option(g.group(1)).map(_.toUpperCase), g.group(2),
@@ -87,6 +91,10 @@ object MatchRecognize {
     }
     val skipPastLast =
       "(?is)\\bAFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\b".r.findFirstIn(body).nonEmpty
+    // ONE ROW PER MATCH is the default; ALL ROWS explodes each match into
+    // one row per bound event (see allRowsOutput)
+    val allRows =
+      "(?is)\\bALL\\s+ROWS\\s+PER\\s+MATCH\\b".r.findFirstIn(body).nonEmpty
     // one level of nesting for alternation groups: (A (B|C) D)
     val patternBody = "(?is)\\bPATTERN\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)".r
       .findFirstMatchIn(body)
@@ -119,7 +127,8 @@ object MatchRecognize {
         m.group(1) -> m.group(2).trim
       }.toMap
     }.getOrElse(Map.empty)
-    Spec(partitionBy, orderBy, measures, vars, withinMs, defines, skipPastLast)
+    Spec(partitionBy, orderBy, measures, vars, withinMs, defines, skipPastLast,
+      allRows)
   }
 
   private val RefRx = "(\\w+)\\.(\\w+)".r
@@ -281,19 +290,21 @@ object MatchRecognize {
     if (spec.skipPastLast) pat = pat.afterMatchSkipPastLastEvent()
     val matches = pat.within(spec.withinMs)
       .detect(events, col(spec.partitionBy), col(spec.orderBy))
-    if (spec.measures.isEmpty) matches
+    // (min, max) occurrences per variable: '?' = (0,1), '{n}' = (n,n),
+    // '{n,m}' = (n,m), unquantified (and '+'/'*', which never read these
+    // bounds — their measures route to the run columns) = (1,1)
+    val bounds: Map[String, (Int, Int)] = spec.vars.map { v =>
+      v.name -> (v.quant match {
+        case Some("?") => (0, 1)
+        case Some(q) if q.startsWith("{") =>
+          val b = q.stripPrefix("{").stripSuffix("}").split(",")
+          if (b.length == 2) (b(0).toInt, b(1).toInt) else (b(0).toInt, b(0).toInt)
+        case _ => (1, 1)
+      })
+    }.toMap
+    if (spec.allRows) allRowsOutput(spec, matches, bounds)
+    else if (spec.measures.isEmpty) matches
     else {
-      // (min, max) occurrences per variable: '?' = (0,1), '{n}' = (n,n),
-      // '{n,m}' = (n,m), unquantified = (1,1)
-      val bounds: Map[String, (Int, Int)] = spec.vars.map { v =>
-        v.name -> (v.quant match {
-          case Some("?") => (0, 1)
-          case Some(q) if q.startsWith("{") =>
-            val b = q.stripPrefix("{").stripSuffix("}").split(",")
-            if (b.length == 2) (b(0).toInt, b(1).toInt) else (b(0).toInt, b(0).toInt)
-          case _ => (1, 1)
-        })
-      }.toMap
       val quantOf: Map[String, Option[String]] = spec.vars.map(v => v.name -> v.quant).toMap
       val cols = spec.measures.map { m =>
         val c = if (quantOf.get(m.varName).flatten.exists(q => q == "+" || q == "*")) {
@@ -333,5 +344,67 @@ object MatchRecognize {
       }
       matches.select(col("key").as(spec.partitionBy) +: cols: _*)
     }
+  }
+
+  /** ALL ROWS PER MATCH (reference StreamExecMatch.scala and
+    * MatchRecognizeITCase's per-row emission): one output row per matched
+    * EVENT — the partition column, a `cls` classifier naming the variable
+    * the row bound to (the CLASSIFIER() analog), the event's `ts`, and each
+    * measure with RUNNING semantics: its value as of this row — null before
+    * the referenced variable binds, the running fold over the occurrences
+    * bound so far for FIRST/LAST/SUM (COUNT runs from 0). The expansion is
+    * static (positions are known at compile time), so the explode is one
+    * narrow generator over the ONE-ROW match output — no extra join or
+    * shuffle. '+'/'*' runs aggregate their members rather than materialize
+    * them, so they cannot be exploded — named error. */
+  private def allRowsOutput(spec: Spec, matches: DataFrame,
+                            bounds: Map[String, (Int, Int)]): DataFrame = {
+    spec.vars.foreach(v => require(!v.quant.exists(q => q == "+" || q == "*"),
+      s"ALL ROWS PER MATCH cannot expand the '+'/'*' run variable ${v.name}"))
+    // global position of each variable's first expansion, in pattern order
+    val offsets: Map[String, Int] = {
+      var p = 0
+      spec.vars.map { v => val o = v.name -> p; p += bounds(v.name)._2; o }.toMap
+    }
+    val positions: Seq[(String, String)] = spec.vars.flatMap { v =>
+      val mx = bounds(v.name)._2
+      if (mx == 1) Seq(v.name -> s"${v.name}_ts")
+      else (1 to mx).map(i => v.name -> s"${v.name}_${i}_ts")
+    }
+    def srcCol(v: String, i: Int, field: String): String =
+      if (bounds(v)._2 == 1) s"${v}_$field" else s"${v}_${i}_$field"
+    // a typed NULL of the source column's type (array(struct) needs every
+    // position's measure struct-field to agree on type)
+    def nullOf(src: String): Column = when(lit(false), col(src))
+    def runningAt(m: Measure, p: Int): Column = {
+      val (mn, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
+      val visible = (1 to mx).filter(i => offsets(m.varName) + i - 1 <= p)
+      val srcs = visible.map(i => srcCol(m.varName, i, m.field))
+      val first = srcCol(m.varName, 1, m.field)
+      m.fn match {
+        case None =>
+          require(mx == 1, s"${m.varName} is quantified — use FIRST/LAST/SUM/COUNT")
+          if (visible.nonEmpty) col(srcs.head) else nullOf(first)
+        case Some("FIRST") => if (visible.nonEmpty) col(srcs.head) else nullOf(first)
+        case Some("LAST") =>
+          if (visible.isEmpty) nullOf(first) else coalesce(srcs.reverse.map(col): _*)
+        case Some("SUM") =>
+          require(mn == mx, s"SUM(${m.varName}.${m.field}) needs an exact {n} quantifier")
+          if (visible.isEmpty) nullOf(first) else srcs.map(col).reduce(_ + _)
+        case Some("COUNT") =>
+          if (visible.isEmpty) lit(0L)
+          else srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        case Some(f) => sys.error(s"unsupported measure function $f")
+      }
+    }
+    val structs = positions.zipWithIndex.map { case ((vn, tsCol), p) =>
+      struct((lit(vn).as("cls") +: col(tsCol).as("ts") +:
+        spec.measures.map(m => runningAt(m, p).as(m.alias))): _*)
+    }
+    val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
+    matches.select(col("key").as(spec.partitionBy),
+        explode(array(structs: _*)).as("__r"))
+      .filter(col("__r.ts").isNotNull) // skipped optional expansions emit no row
+      .select(col(spec.partitionBy) +: rowCols.map(n => col(s"__r.$n").as(n)): _*)
   }
 }

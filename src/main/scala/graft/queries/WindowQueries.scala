@@ -371,6 +371,44 @@ object WindowQueries {
       |FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts >= first_c AND c.ts < p_ts
       |GROUP BY 1, 2, 3, 6""".stripMargin
 
+  // --- m08: ALL ROWS PER MATCH — per-event emission with running measures ---
+  // (reference StreamExecMatch.scala per-row mode / MatchRecognizeITCase):
+  // each (S C{2} P) match emits 4 rows — classifier, the bound event's ts,
+  // and COUNT(C.ts) running 0,1,2,2. The oracle computes the one-row match
+  // (m01's min-bind chain) and replays the row expansion as a UNION ALL.
+  private val m08: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(C.ts) AS n_c
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S C{2} P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'view', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m08Sql =
+    """WITH a AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT a.user_id, a.ts AS t0, min(b.ts) AS t1
+      |       FROM a JOIN b ON b.user_id = a.user_id AND b.ts > a.ts
+      |                    AND b.ts <= a.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, t0, t1, min(b.ts) AS t2
+      |       FROM m1 JOIN b ON b.user_id = m1.user_id AND b.ts > t1
+      |                     AND b.ts <= t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3),
+      |m3 AS (SELECT m2.user_id, t0, t1, t2, min(c.ts) AS t3
+      |       FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts > t2
+      |                     AND c.ts <= t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT user_id, 'S' AS cls, t0 AS ts, t0 AS s_ts, CAST(0 AS BIGINT) AS n_c FROM m3
+      |UNION ALL SELECT user_id, 'C', t1, t0, 1 FROM m3
+      |UNION ALL SELECT user_id, 'C', t2, t0, 2 FROM m3
+      |UNION ALL SELECT user_id, 'P', t3, t0, 2 FROM m3""".stripMargin
+
   // --- w20: SLIDING count window — countWindow(size, slide) ---
   // (reference flink-streaming-java/.../datastream/KeyedStream.java
   // countWindow(long size, long slide): every `slide` events per key emit
@@ -682,7 +720,7 @@ object WindowQueries {
     "w10_cep_measures" -> w10, "w11_cep_pattern_api" -> w11,
     "m01_match_recognize" -> m01, "m02_match_measures" -> m02,
     "m03_match_skip" -> m03, "m04_match_range" -> m04, "m05_match_alternation" -> m05,
-    "m06_match_relative" -> m06, "m07_match_plus" -> m07)
+    "m06_match_relative" -> m06, "m07_match_plus" -> m07, "m08_match_all_rows" -> m08)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -697,5 +735,6 @@ object WindowQueries {
     "w11_cep_pattern_api" -> w11Sql, "m01_match_recognize" -> m01Sql,
     "m02_match_measures" -> m02Sql, // m03 has no SQL oracle (greedy skip is sequential)
     "m04_match_range" -> m04Sql, "m05_match_alternation" -> m05Sql,
-    "m06_match_relative" -> m06Sql, "m07_match_plus" -> m07Sql)
+    "m06_match_relative" -> m06Sql, "m07_match_plus" -> m07Sql,
+    "m08_match_all_rows" -> m08Sql)
 }

@@ -280,6 +280,52 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m == Set((1L, at(0), 2L, at(30)), (4L, at(0), 0L, at(15))))
   }
 
+  test("ALL ROWS PER MATCH explodes per bound event with running measures") {
+    val m = MatchRecognize.detect(valued,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, SUM(C.value) AS spend, COUNT(C.ts) AS n_c
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S C{2} P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, String, Timestamp, Timestamp, Option[Double], Long)].collect().toSet
+    // one row per event; spend runs null -> 2.5 -> 6.5 -> 6.5, n_c 0,1,2,2
+    assert(m == Set(
+      (1L, "S", at(0), at(0), None, 0L),
+      (1L, "C", at(10), at(0), Some(2.5), 1L),
+      (1L, "C", at(20), at(0), Some(6.5), 2L),
+      (1L, "P", at(30), at(0), Some(6.5), 2L)))
+    // skipped optional steps emit no row
+    val opt = MatchRecognize.detect(valued,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S P? C)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase',
+        |         C AS event_type = 'click'
+        |)""".stripMargin)
+      .as[(Long, String, Timestamp, Timestamp)].collect().toSet
+    // user 1's P binds (purchase@30) and no click follows it -> no match;
+    // user 2 has no purchase, P is skipped and emits NO row
+    assert(opt == Set((2L, "S", at(0), at(0)), (2L, "C", at(5), at(0))))
+    // runs cannot be exploded: named error
+    val ex = intercept[IllegalArgumentException](MatchRecognize.detect(valued,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S C+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click'
+        |)""".stripMargin))
+    assert(ex.getMessage.contains("cannot expand"))
+  }
+
   test("value measures over an inexact quantifier raise a named error") {
     val ex = intercept[IllegalArgumentException](MatchRecognize.detect(relEvents,
       """MATCH_RECOGNIZE (
