@@ -45,17 +45,29 @@ object EventWindows {
     * evictors/TimeEvictor.java): before the window function runs, elements
     * older than `keep` relative to the window's max element timestamp are
     * evicted — only the trailing `keep` span of each window contributes to
-    * the aggregate. One extra keyed window-max, no second shuffle (the max
-    * and the aggregate share the (window, keys) partitioning). */
+    * the aggregate.
+    *
+    * Plan shape (the q38 pattern): the per-(window, key) max is ONE scalar
+    * per group, so it's computed with a map-side-partial groupBy (tiny
+    * shuffle) and broadcast-joined back to the facts — the fact rows are
+    * never sorted. The alternative (`max over (partition by w, keys)`)
+    * forces WindowExec to sort every fact row within partitions just to
+    * attach that one scalar; at 100 TB the per-partition sort dominates. */
   def timeEvictedTumbleAgg(df: DataFrame, tsCol: Column, size: String,
                            keep: String, keys: Seq[Column],
                            aggs: Seq[Column]): DataFrame = {
-    val bucketed = df.withColumn("__w", window(tsCol, size))
-    val keyCols = col("__w") +: keys
-    val mx = max(tsCol).over(Window.partitionBy(keyCols: _*))
-    bucketed.withColumn("__mx", mx)
+    // keys may be arbitrary expressions: materialize them once under stable
+    // names so the equi-join back is on plain columns
+    val keyNames = keys.indices.map(i => s"__gk$i")
+    val bucketed = keys.zip(keyNames)
+      .foldLeft(df.withColumn("__w", window(tsCol, size))) {
+        case (d, (k, n)) => d.withColumn(n, k)
+      }
+    val groupCols = (col("__w") +: keyNames.map(col)).toIndexedSeq
+    val mx = bucketed.groupBy(groupCols: _*).agg(max(tsCol).as("__mx"))
+    bucketed.join(broadcast(mx), "__w" +: keyNames)
       .filter(tsCol > col("__mx") - expr(s"INTERVAL $keep"))
-      .groupBy(keyCols: _*)
+      .groupBy((col("__w") +: keys): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("__w.start")).drop("__w")
   }

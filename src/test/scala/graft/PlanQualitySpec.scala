@@ -114,17 +114,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"pattern steps must compile to keyed joins:\n$p")
   }
 
-  test("evictor windows reuse ONE shuffle (window max/rank + aggregate co-partitioned)") {
-    // the evictor's per-window max (w17) / row_number (w18) partitions by the
-    // same (window, keys) the aggregate groups on — the exchange must be
-    // shared, not repeated
-    for (q <- Seq("w17_time_evictor", "w18_count_evictor")) {
-      // AQE's toString appends the pre-optimization "Initial Plan" — count
-      // shuffles in the final plan section only
-      val p = planOf(q).split("== Initial Plan ==").head
-      val exchanges = "Exchange".r.findAllIn(p).length
-      assert(exchanges <= 1, s"$q: evictor + aggregate must share one shuffle:\n$p")
-    }
+  test("w17 time evictor never sorts fact rows (tiny max-agg broadcast back)") {
+    // the per-(window, key) max is one scalar per group: it must come from a
+    // map-side-partial aggregate broadcast-joined back, NOT from a WindowExec
+    // that sorts every fact row (the q38 pattern)
+    val p = planOf("w17_time_evictor").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"window max must broadcast-join back to fact rows:\n$p")
+    assert(!p.contains("Sort "), s"fact rows must never be sorted:\n$p")
+  }
+
+  test("w18 count evictor reuses ONE shuffle (row_number + aggregate co-partitioned)") {
+    // w18's row_number sort is semantically required (last-k by time); the
+    // rank and the aggregate partition by the same (window, keys), so the
+    // exchange must be shared, not repeated
+    val p = planOf("w18_count_evictor").split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"w18: evictor + aggregate must share one shuffle:\n$p")
   }
 
   test("w14/m05 iterative and alternation CEP stay keyed (no cross product)") {
