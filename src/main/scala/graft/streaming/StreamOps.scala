@@ -36,6 +36,12 @@ case class MatchOut(user_id: Long, left_ts: Timestamp, right_ts: Timestamp)
 case class Partial(boundMs: List[Long]) // bound step times, newest first
 case class CepPatternAcc(partials: List[Partial])
 case class PatternMatch(user_id: Long, step_ts: Seq[Timestamp])
+// general-step partials: bound times + branch classifiers (newest first) and,
+// for a pending STRICT step, the successor event time observed so far
+// (-1 = none yet)
+case class ExPartial(boundMs: List[Long], cls: List[String], succMs: Long)
+case class CepExAcc(partials: List[ExPartial])
+case class ExMatch(user_id: Long, step_ts: Seq[Timestamp], step_cls: Seq[String])
 // iterative-condition partials carry the full bound events (newest first) so
 // later step predicates can reference them — O(steps) state per partial
 case class IterPartial(bound: List[Event])
@@ -515,6 +521,86 @@ object StreamOps {
           else {
             state.update(CepPatternAcc(partials))
             // earliest still-open window end is > wm by the filter above
+            state.setTimeoutTimestamp(partials.map(_.boundMs.last + withinMs).min)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Step descriptor for [[cepPatternSteps]] — the streaming twins of the
+    * batch Pattern step kinds: relaxed followedBy (default), STRICT
+    * contiguity (`strict = true`, flink-cep `next()`: the step binds only at
+    * the key's first event time strictly after the previous binding, and ANY
+    * event counts as intervening — so feed the op the key's full event
+    * stream, not a pre-filtered one), and alternation (`branches` non-empty,
+    * flink-cep GroupPattern / followedByOneOf: the first matching branch in
+    * declaration order classifies the binding). */
+  case class CepStep(pred: Event => Boolean, strict: Boolean = false,
+                     branches: Seq[(String, Event => Boolean)] = Nil)
+
+  /** Streaming CEP with per-step contiguity modes and branch classifiers —
+    * the unbounded counterpart of `graft.cep.Pattern.next/followedByOneOf`
+    * (reference flink-cep Pattern.java#next and GroupPattern.java; the NFA
+    * does all contiguity modes on streams). Semantics match the batch
+    * compile: a strict step must bind at the earliest event time strictly
+    * after the previous binding (equal-timestamp events each get a chance;
+    * a strictly later time kills the partial), an alternation step binds the
+    * first event satisfying any branch and records WHICH in `step_cls`
+    * (empty string for plain steps). Within-batch processing order is
+    * deterministic on (ts, type, value); state is bounded by `maxPartials` +
+    * watermark pruning + event-time eviction exactly as [[cepPattern]]. */
+  def cepPatternSteps(events: Dataset[Event], watermark: String,
+                      steps: Seq[CepStep], withinMs: Long,
+                      maxPartials: Int = 256): Dataset[ExMatch] = {
+    require(steps.size >= 2, "a pattern needs at least two steps")
+    require(!steps.head.strict, "the first step has no predecessor to be strict after")
+    def predOf(s: CepStep): Event => Boolean =
+      if (s.branches.nonEmpty) e => s.branches.exists(_._2(e)) else s.pred
+    def clsOf(s: CepStep, e: Event): String =
+      s.branches.find(_._2(e)).map(_._1).getOrElse("")
+    implicit val outEnc = Encoders.product[ExMatch]
+    implicit val accEnc = Encoders.product[CepExAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepExAcc, ExMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[CepExAcc]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = Seq.newBuilder[ExMatch]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+            val t = e.ts.getTime
+            partials = partials.flatMap { p =>
+              val i = p.boundMs.length
+              val start = p.boundMs.last
+              val step = steps(i)
+              if (start + withinMs < t) None // window expired
+              else if (t <= p.boundMs.head) Some(p) // not after the previous binding
+              else {
+                val succKnown = p.succMs >= 0
+                val succ = if (succKnown) p.succMs else t
+                if (step.strict && t > succ) None // successor time passed unbound
+                else if ((!step.strict || t == succ) && predOf(step)(e)) {
+                  val bound = t :: p.boundMs
+                  val cls = clsOf(step, e) :: p.cls
+                  if (bound.length == steps.size) {
+                    out += ExMatch(userId, bound.reverse.map(new Timestamp(_)),
+                      cls.reverse)
+                    None // completed
+                  } else Some(ExPartial(bound, cls, -1L))
+                } else if (step.strict && !succKnown) Some(p.copy(succMs = t))
+                else Some(p)
+              }
+            }
+            if (predOf(steps.head)(e))
+              partials = (ExPartial(List(t), List(clsOf(steps.head, e)), -1L)
+                :: partials).take(maxPartials)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          partials = partials.filter(_.boundMs.last + withinMs > wm)
+          if (partials.isEmpty) state.remove()
+          else {
+            state.update(CepExAcc(partials))
             state.setTimeoutTimestamp(partials.map(_.boundMs.last + withinMs).min)
           }
           out.result().iterator

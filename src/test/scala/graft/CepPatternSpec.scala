@@ -225,6 +225,78 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(streaming == batch && batch.nonEmpty, s"streaming=$streaming batch=$batch")
   }
 
+  test("batch next() and streaming cepPatternSteps strict agree across micro-batches") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: click IS the next event after signup -> match
+    // user 2: a view intervenes before the click -> strict kills it
+    // user 3: the next event is outside the window -> no match
+    // user 4: two clicks, the immediate one binds
+    val all = Seq(
+      (1L, at(0), "signup"), (1L, at(10), "click"),
+      (2L, at(0), "signup"), (2L, at(5), "view"), (2L, at(10), "click"),
+      (3L, at(0), "signup"), (3L, at(70), "click"),
+      (4L, at(0), "signup"), (4L, at(5), "click"), (4L, at(10), "click")
+    )
+    val batch = Pattern.begin("signup", $"event_type" === "signup")
+      .next("click", $"event_type" === "click")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"click_ts")
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternSteps(in.toDS(), "2 hours", Seq(
+        StreamOps.CepStep(_.event_type == "signup"),
+        StreamOps.CepStep(_.event_type == "click", strict = true)), HOUR).toDF()
+      .writeStream.format("memory").queryName("s_strict_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(5)); q.processAllAvailable() // split across micro-batches
+    in.addData(evs.drop(5)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_strict_parity")
+      .as[graft.streaming.ExMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0), m.step_ts(1))).toSet
+    assert(streaming == batch && batch == Set((1L, at(0), at(10)), (4L, at(0), at(5))),
+      s"streaming=$streaming batch=$batch")
+  }
+
+  test("batch followedByOneOf and streaming cepPatternSteps branches agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 8 goes through a view, user 9 through a click; both then purchase
+    val all = Seq(
+      (8L, at(0), "signup"), (8L, at(5), "view"), (8L, at(20), "purchase"),
+      (9L, at(0), "signup"), (9L, at(7), "click"), (9L, at(15), "purchase"),
+      (10L, at(0), "signup"), (10L, at(9), "other")
+    )
+    val batch = Pattern.begin("signup", $"event_type" === "signup")
+      .followedByOneOf("x", "C" -> ($"event_type" === "click"),
+        "V" -> ($"event_type" === "view"))
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"x_ts", $"x_cls", $"purchase_ts")
+      .as[(Long, Timestamp, Timestamp, String, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternSteps(in.toDS(), "2 hours", Seq(
+        StreamOps.CepStep(_.event_type == "signup"),
+        StreamOps.CepStep(_ => false, branches = Seq(
+          "C" -> ((e: graft.streaming.Event) => e.event_type == "click"),
+          "V" -> ((e: graft.streaming.Event) => e.event_type == "view"))),
+        StreamOps.CepStep(_.event_type == "purchase")), HOUR).toDF()
+      .writeStream.format("memory").queryName("s_alt_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(4)); q.processAllAvailable()
+    in.addData(evs.drop(4)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_alt_parity")
+      .as[graft.streaming.ExMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0), m.step_ts(1), m.step_cls(1), m.step_ts(2))).toSet
+    assert(streaming == batch &&
+      batch == Set((8L, at(0), at(5), "V", at(20)), (9L, at(0), at(7), "C", at(15))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   // user 1: signup(10)@0; purchase(15)@10 fails >2×, purchase(25)@20 binds
   // user 2: signup(5)@0; purchase(8)@10 never qualifies
   private lazy val valued = Seq(
