@@ -46,6 +46,9 @@ object GraftExtensions {
       pageRankPlan _))
     ext.injectOptimizerRule(_ => DotProductFusion)
     ext.injectPlannerStrategy(_ => TopNPerKeyStrategy)
+    // FROM <table> MATCH_RECOGNIZE (...) in spark.sql text — see
+    // MatchRecognizeSqlParser
+    ext.injectParser((session, parser) => new MatchRecognizeSqlParser(session, parser))
   }
 
   /** `graph_pagerank('<table>', '<src_col>', '<dst_col>', <iters>)` — a

@@ -30,6 +30,46 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(total - 1.0) < 1e-6, s"ranks must sum to 1, got $total")
   }
 
+  test("MATCH_RECOGNIZE runs as pure spark.sql text through the parser extension") {
+    import org.apache.spark.sql.SparkSession
+    // extensions bind at session construction: build a SECOND session on the
+    // shared SparkContext (clearing the default so getOrCreate constructs
+    // rather than returns), restore the shared session afterwards
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().withExtensions(GraftExtensions.install).getOrCreate()
+    try {
+      import s2.implicits._
+      val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(min: Long) = new java.sql.Timestamp(T0.getTime + min * 60000)
+      Seq(
+        (1L, at(0), "view"), (1L, at(10), "click"), (1L, at(20), "click"),
+        (1L, at(30), "purchase"), (2L, at(0), "view"), (2L, at(5), "click")
+      ).toDF("user_id", "ts", "event_type").createOrReplaceTempView("mr_events")
+      // m01's clause shape, with an enclosing SELECT + WHERE to prove the
+      // segment composes with ordinary SQL around it
+      val rows = s2.sql(
+        """SELECT user_id, purchase_ts FROM mr_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts
+          |  MEASURES A.ts AS view_ts, FIRST(B.ts) AS first_click_ts,
+          |           LAST(B.ts) AS last_click_ts, C.ts AS purchase_ts
+          |  PATTERN (A B{2} C)
+          |  WITHIN INTERVAL '24' HOUR
+          |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+          |         C AS event_type = 'purchase'
+          |) WHERE user_id = 1""".stripMargin)
+        .as[(Long, java.sql.Timestamp)].collect().toSeq
+      assert(rows == Seq((1L, at(30))))
+      // a statement without the clause passes through untouched
+      assert(s2.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("DotProductFusion rewrites the composable aggregate(zip_with) pattern") {
     // parquet-backed input — a local relation would be constant-folded whole
     val v = Similarity.asDouble(col("embedding"))
