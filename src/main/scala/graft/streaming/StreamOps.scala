@@ -273,6 +273,14 @@ object StreamOps {
   /** CEP followed-by: emit (first, second) when `secondType` arrives within
     * `windowMs` of a pending `firstType` for the same key.
     *
+    * MATCH POLICY — deliberately DIFFERENT from batch w05 / `Pattern`'s
+    * NO_SKIP default: one second-event emits only the pair with the EARLIEST
+    * in-window pending first, and consumes ALL in-window pending firsts
+    * (skip-past-last-like dedup, the shape alerting pipelines want — one
+    * alert per trigger, not one per dangling first). For exact batch-parity
+    * semantics (every first gets its own match) use [[cepPattern]], the
+    * documented parity op.
+    *
     * Bounds (mirroring [[coProcessMatch]]): at most `maxPending` unmatched
     * first-events per key are retained; when the buffer is full the NEWEST
     * arrival is dropped (documented policy — the retained earliest events

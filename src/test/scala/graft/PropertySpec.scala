@@ -152,6 +152,43 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     })
   }
 
+  test("afterMatchSkipPastLastEvent == brute-force greedy reference on random logs") {
+    import graft.cep.Pattern
+    // m03's lowering has no cross-engine SQL oracle (greedy per-key selection
+    // is sequential), so pin it against an INDEPENDENT JVM reference: take
+    // the NO_SKIP match set, sort per key by (start, end), keep a match iff
+    // it starts strictly after the last kept match's last bound event —
+    // the documented SKIP PAST LAST ROW rule, applied brute-force
+    val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val WindowMs = 30L * 60000
+    val gen = Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf("s", "c")))
+    assertHolds(Prop.forAll(gen) { rows =>
+      rows.nonEmpty ==> {
+        // index-based minutes keep timestamps distinct per user
+        val df = rows.zipWithIndex.map { case ((u, t), i) =>
+          (u, new java.sql.Timestamp(T0.getTime + i * 60000L), t)
+        }.toDF("user_id", "ts", "event_type")
+        def pat = Pattern.begin("s", col("event_type") === "s")
+          .followedBy("c", col("event_type") === "c")
+          .within(WindowMs)
+        def rowsOf(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+          d.collect().map(r => (r.getAs[Long]("key"),
+            r.getAs[java.sql.Timestamp]("s_ts").getTime,
+            r.getAs[java.sql.Timestamp]("c_ts").getTime)).toSeq
+        val all = rowsOf(pat.detect(df, col("user_id"), col("ts")))
+        val kept = rowsOf(pat.afterMatchSkipPastLastEvent()
+          .detect(df, col("user_id"), col("ts"))).toSet
+        val want = all.groupBy(_._1).flatMap { case (_, ms) =>
+          var lastEnd = Long.MinValue
+          ms.sortBy(m => (m._2, m._3)).filter { m =>
+            if (m._2 > lastEnd) { lastEnd = m._3; true } else false
+          }
+        }.toSet
+        (kept == want) :| s"kept=$kept want=$want all=$all"
+      }
+    })
+  }
+
   test("evictor invariants: time-evicted <= full window; count-evicted == min(n, keep)") {
     import graft.operators.EventWindows
     val gen = Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0, 110)))

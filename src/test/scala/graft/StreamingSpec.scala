@@ -504,6 +504,22 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(spark.table("s_cep_ttl").count() == 0) // no match ever emitted
   }
 
+  test("cepFollowedBy consume-all policy: one pair per second-event, all pendings consumed") {
+    // two in-window pending firsts + one second: the documented policy emits
+    // ONE pair (the earliest first) and consumes BOTH pendings — a later
+    // second finds nothing. Batch w05/Pattern NO_SKIP would emit two matches;
+    // cepPattern is the parity op for that.
+    val in = MemoryStream[Event]
+    val q = StreamOps.cepFollowedBy(in.toDS(), "10 seconds", "signup", "purchase", 3600000L).toDF()
+      .writeStream.format("memory").queryName("s_cep_policy").outputMode("append").start()
+    in.addData(Event(1, at(0), "signup", 0.0), Event(1, at(5), "signup", 0.0),
+               Event(1, at(10), "purchase", 1.0), Event(1, at(20), "purchase", 2.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("s_cep_policy").as[graft.streaming.PairOut].collect().toSeq
+    assert(out == Seq(graft.streaming.PairOut(1, at(0), at(10))),
+      s"one pair for the earliest pending, both pendings consumed: $out")
+  }
+
   test("cepFollowedBy timeout at the earliest window close keeps later-window pendings") {
     // two pending firsts with staggered windows (closes at t=60s and t=3000s):
     // the event-time timer arms at the EARLIEST close, so when the watermark
