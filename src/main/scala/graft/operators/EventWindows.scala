@@ -49,10 +49,16 @@ object EventWindows {
     *
     * Plan shape (the q38 pattern): the per-(window, key) max is ONE scalar
     * per group, so it's computed with a map-side-partial groupBy (tiny
-    * shuffle) and broadcast-joined back to the facts — the fact rows are
-    * never sorted. The alternative (`max over (partition by w, keys)`)
-    * forces WindowExec to sort every fact row within partitions just to
-    * attach that one scalar; at 100 TB the per-partition sort dominates. */
+    * shuffle) and joined back to the facts — the fact rows are never
+    * sorted. The alternative (`max over (partition by w, keys)`) forces
+    * WindowExec to sort every fact row within partitions just to attach
+    * that one scalar; at 100 TB the per-partition sort dominates.
+    *
+    * The join back carries NO broadcast hint: with low-cardinality
+    * (window, key) groups AQE broadcasts it anyway, and with billions of
+    * distinct groups at 100 TB a forced broadcast would OOM the driver —
+    * AQE's size-based choice (broadcast vs shuffled hash) is correct in
+    * both regimes, and the sort-free property holds under either. */
   def timeEvictedTumbleAgg(df: DataFrame, tsCol: Column, size: String,
                            keep: String, keys: Seq[Column],
                            aggs: Seq[Column]): DataFrame = {
@@ -65,7 +71,7 @@ object EventWindows {
       }
     val groupCols = (col("__w") +: keyNames.map(col)).toIndexedSeq
     val mx = bucketed.groupBy(groupCols: _*).agg(max(tsCol).as("__mx"))
-    bucketed.join(broadcast(mx), "__w" +: keyNames)
+    bucketed.join(mx, "__w" +: keyNames)
       .filter(tsCol > col("__mx") - expr(s"INTERVAL $keep"))
       .groupBy((col("__w") +: keys): _*)
       .agg(aggs.head, aggs.tail: _*)

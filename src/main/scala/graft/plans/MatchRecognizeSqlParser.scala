@@ -20,8 +20,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * grammar), registered as a temp view, and the segment is replaced by the
   * view name — so any enclosing SELECT / WHERE / GROUP BY / JOIN / alias
   * parses unchanged through Spark's own parser. Multiple MATCH_RECOGNIZE
-  * segments rewrite recursively. The pattern compile is eager (at parse
-  * time), exactly like the `graph_pagerank` TVF's iterative fixpoint. */
+  * segments rewrite recursively.
+  *
+  * Contract (the price of the textual strategy — a full LogicalPlan lowering
+  * like the `graph_pagerank` TVF bridge would lift all three):
+  *  - The FROM source MUST be a resolvable catalog table or temp view.
+  *    Subqueries and CTE aliases are rejected with a named error — register
+  *    a temp view instead.
+  *  - The pattern compiles EAGERLY at parse time: `EXPLAIN` (and any
+  *    plan-only path) runs the pattern compilation, though match rows are
+  *    only computed when the plan executes.
+  *  - Each distinct (table, clause) pair registers one `__graft_mr_*` temp
+  *    view in the session catalog; re-parsing the same text reuses it
+  *    (createOrReplace), so views do not grow with repetition, only with
+  *    distinct patterns. */
 class MatchRecognizeSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -63,7 +75,17 @@ object MatchRecognizeSqlParser {
         }) i += 1
         require(i < sqlText.length, "unbalanced MATCH_RECOGNIZE parentheses")
         val clause = "MATCH_RECOGNIZE " + sqlText.substring(open, i + 1)
-        val matches = graft.cep.MatchRecognize.detect(session.table(table), clause)
+        val source =
+          try session.table(table)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"MATCH_RECOGNIZE front door: FROM source '$table' is not a " +
+                  "resolvable table or temp view (subqueries and CTE aliases " +
+                  "are not supported — createOrReplaceTempView the input first)",
+                e)
+          }
+        val matches = graft.cep.MatchRecognize.detect(source, clause)
         // deterministic per (table, clause): re-parsing the same text reuses
         // the same view name (createOrReplace makes that idempotent)
         val view = s"__graft_mr_${Integer.toHexString(table.hashCode * 31 + clause.hashCode)}"

@@ -70,6 +70,43 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("MATCH_RECOGNIZE front door: EXPLAIN works (eager compile) and a " +
+       "non-table FROM source raises the named contract error") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().withExtensions(GraftExtensions.install).getOrCreate()
+    try {
+      import s2.implicits._
+      val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      Seq((1L, T0, "view")).toDF("user_id", "ts", "event_type")
+        .createOrReplaceTempView("mr_events2")
+      val clause =
+        """ MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES A.ts AS view_ts
+          |  PATTERN (A) WITHIN INTERVAL '24' HOUR
+          |  DEFINE A AS event_type = 'view')""".stripMargin
+      // EXPLAIN is plan-only but still compiles the pattern (documented
+      // eager-compile contract) — it must succeed and show a real plan
+      val planText = s2.sql("EXPLAIN SELECT * FROM mr_events2" + clause)
+        .head().getString(0)
+      assert(planText.contains("Physical Plan"), planText)
+      // a CTE alias is NOT a catalog table: named contract error, not an
+      // opaque resolution failure
+      val e = intercept[IllegalArgumentException] {
+        s2.sql("WITH cte_src AS (SELECT * FROM mr_events2) " +
+          "SELECT * FROM cte_src" + clause)
+      }
+      assert(e.getMessage.contains("not a resolvable table"), e.getMessage)
+      assert(e.getMessage.contains("cte_src"), e.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("DotProductFusion rewrites the composable aggregate(zip_with) pattern") {
     // parquet-backed input — a local relation would be constant-folded whole
     val v = Similarity.asDouble(col("embedding"))

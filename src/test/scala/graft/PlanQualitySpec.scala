@@ -114,13 +114,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"pattern steps must compile to keyed joins:\n$p")
   }
 
-  test("w17 time evictor never sorts fact rows (tiny max-agg broadcast back)") {
+  test("w17 time evictor never sorts fact rows (tiny max-agg joined back)") {
     // the per-(window, key) max is one scalar per group: it must come from a
-    // map-side-partial aggregate broadcast-joined back, NOT from a WindowExec
-    // that sorts every fact row (the q38 pattern)
+    // map-side-partial aggregate joined back as a hash join (AQE picks
+    // broadcast vs shuffled by size), NOT from a WindowExec that sorts every
+    // fact row (the q38 pattern). No broadcast hint — at 100 TB the group
+    // table can exceed broadcast limits, so the assert is "no Sort on facts",
+    // a property both join strategies preserve.
     val p = planOf("w17_time_evictor").split("== Initial Plan ==").head
-    assert(p.contains("BroadcastHashJoin"),
-      s"window max must broadcast-join back to fact rows:\n$p")
+    assert(p.contains("HashJoin"),
+      s"window max must hash-join back to fact rows:\n$p")
     assert(!p.contains("Sort "), s"fact rows must never be sorted:\n$p")
   }
 
