@@ -21,7 +21,7 @@ object LlmQueries {
   // ---------- shared SQL fragments (DuckDB) ----------
   private[queries] def shingleSql(col: String, k: Int): String =
     s"[substr($col, CAST(i AS INT), $k) for i in generate_series(1, greatest(length($col)-${k - 1}, 1))]"
-  private def minhashSql(i: Int): String =
+  private[queries] def minhashSql(i: Int): String =
     s"list_min([substr(md5(s || ':${i / 4}'), ${1 + 8 * (i % 4)}, 8) for s in shingles])"
   private[queries] val Bands = 2
   private[queries] val RowsPerBand = 4

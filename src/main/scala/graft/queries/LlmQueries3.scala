@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.TextDedup
 import graft.sources.Tables
 
 /** §2.5b — training-data CURATION ops: the selection/mixing layer that sits
@@ -130,10 +131,111 @@ object LlmQueries3 {
        | FROM documents
        |) WHERE cum_tokens - tokens < $TokenBudget""".stripMargin
 
+  // ---------- d12: incremental corpus dedup (the steady-state ingest shape) ----------
+  // A real pretraining pipeline dedups a NEW document batch against an
+  // EXISTING corpus every ingest; re-deriving signatures corpus-wide per
+  // batch (the d02..d08 shape) re-pays the full shingle+hash cost daily.
+  // Steady state instead maintains a SIGNATURE STORE, built once at ingest
+  // and only appended to afterwards:
+  //   bands — (doc_id, band, bkey) MinHash-LSH band keys, hot buckets
+  //           dropped at build time (the d02 cap policy, same constant);
+  //   grams — (doc_id, distinct 3-gram set) for Jaccard verification.
+  // Storing the gram sets trades store space (≈ corpus text size; a longer-
+  // shingle deployment would store 8-byte gram hashes instead — Jaccard over
+  // distinct md5(gram) sets equals Jaccard over the gram sets) for an
+  // incremental path that NEVER rescans the corpus text column: at 100 TB
+  // the alternative — fetching bucket-mate texts by key — re-reads the full
+  // text column of the corpus every batch just to shingle 0.01% of it.
+  // The incremental path (the returned plan) shingles ONLY the new batch
+  // (pushed doc_id filter on every documents scan), equi-joins its bands
+  // against the store (shuffle is O(new-batch bands): AQE broadcasts the
+  // small new side), Jaccard-verifies against bucket-mates only, and emits
+  // one verdict row per new document. Asserted in PlanQualitySpec.
+  // The batch split is deterministic: docs above 9/10 of max(doc_id) are
+  // "new". d07's JaccardMin and d02's band layout are reused so the verdict
+  // agrees with the batch pipeline's.
+  private val d12: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val cutoff = 9L * d.agg(max(col("doc_id"))).head().getLong(0) / 10
+    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_d12_store_${Integer.toHexString(dir.hashCode)}_$cutoff").toString
+    // ---- ingest-time store build (once per corpus version) ----
+    val existing = d.filter(col("doc_id") <= cutoff)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    TextDedup.lshBands(existing, "doc_id", "text", 5,
+        LlmQueries.Bands, LlmQueries.RowsPerBand)
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= LlmQueries.MaxBucket).drop("__bsz")
+      .write.mode("overwrite").parquet(s"$store/bands")
+    existing
+      .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 3)).as("g"))
+      .write.mode("overwrite").parquet(s"$store/grams")
+    // ---- incremental path: new batch vs the store ----
+    val newBatch = d.filter(col("doc_id") > cutoff)
+    val bandsNew = TextDedup.lshBands(newBatch, "doc_id", "text", 5,
+      LlmQueries.Bands, LlmQueries.RowsPerBand)
+    val bandsOld = s.read.parquet(s"$store/bands")
+    val cand = bandsNew.select(col("doc_id").as("new_id"), col("band"), col("bkey"))
+      .join(bandsOld.select(col("doc_id").as("old_id"),
+        col("band").as("b2"), col("bkey").as("k2")),
+        col("band") === col("b2") && col("bkey") === col("k2"))
+      .select("new_id", "old_id").distinct()
+    val gramsNew = newBatch.select(col("doc_id").as("gn_id"),
+      array_distinct(TextDedup.shingles(col("text"), 3)).as("gn"))
+    val gramsOld = s.read.parquet(s"$store/grams")
+      .select(col("doc_id").as("go_id"), col("g").as("go"))
+    val hits = cand.join(gramsNew, col("gn_id") === col("new_id"))
+      .join(gramsOld, col("go_id") === col("old_id"))
+      .filter(TextDedup.jaccardOfDistinct(col("gn"), col("go")) >= D12JaccardMin)
+      .groupBy("new_id")
+      .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+    newBatch.select(col("doc_id"))
+      .join(hits, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+  }
+  /** Same near-dup bar as d07's cluster edges — the incremental verdict must
+    * agree with what the batch pipeline would have decided. */
+  private val D12JaccardMin = 0.5
+  private val d12Sql = {
+    import LlmQueries.{Bands, RowsPerBand, MaxBucket, shingleSql, minhashSql}
+    val sigCols = (0 until Bands * RowsPerBand)
+      .map(i => s"${minhashSql(i)} AS h$i").mkString(", ")
+    def bandSel(tbl: String) = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(j => s"h${b * RowsPerBand + j}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM $tbl"
+    }.mkString(" UNION ALL ")
+    s"""WITH mx AS (SELECT 9*max(doc_id)//10 AS cutoff FROM documents),
+       |sho AS (SELECT doc_id, ${shingleSql("text", 5)} AS shingles
+       |        FROM documents, mx WHERE doc_id <= cutoff),
+       |sigo AS (SELECT doc_id, $sigCols FROM sho),
+       |bo0 AS (${bandSel("sigo")}),
+       |bands_old AS (SELECT b.* FROM bo0 b JOIN (SELECT band, bkey FROM bo0
+       |              GROUP BY band, bkey HAVING count(*) <= $MaxBucket) s USING (band, bkey)),
+       |shn AS (SELECT doc_id, ${shingleSql("text", 5)} AS shingles
+       |        FROM documents, mx WHERE doc_id > cutoff),
+       |sign AS (SELECT doc_id, $sigCols FROM shn),
+       |bands_new AS (${bandSel("sign")}),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |         FROM bands_new n JOIN bands_old o ON n.band = o.band AND n.bkey = o.bkey),
+       |j AS (SELECT new_id, old_id FROM cand c
+       |      JOIN documents dn ON dn.doc_id = c.new_id
+       |      JOIN documents do_ ON do_.doc_id = c.old_id
+       |      WHERE len(list_intersect(list_distinct(${shingleSql("dn.text", 3)}),
+       |                               list_distinct(${shingleSql("do_.text", 3)}))) * 1.0
+       |            / len(list_distinct(list_distinct(${shingleSql("dn.text", 3)})
+       |                                || list_distinct(${shingleSql("do_.text", 3)}))) >= $D12JaccardMin),
+       |hit AS (SELECT new_id, CAST(min(old_id) AS BIGINT) AS dup_of,
+       |        count(*) AS n_dups FROM j GROUP BY 1)
+       |SELECT d.doc_id, h.dup_of, CAST(coalesce(h.n_dups, 0) AS BIGINT) AS n_dups
+       |FROM (SELECT doc_id FROM documents, mx WHERE doc_id > cutoff) d
+       |LEFT JOIN hit h ON h.new_id = d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "t06_regex_scan" -> t06, "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
-    "d11_token_budget_scalable" -> d11)
+    "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12)
   val oracles: Map[String, String] = Map(
     "t06_regex_scan" -> t06Sql, "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
-    "d11_token_budget_scalable" -> d11Sql)
+    "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql)
 }
