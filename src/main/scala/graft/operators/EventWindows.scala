@@ -54,11 +54,15 @@ object EventWindows {
     * WindowExec to sort every fact row within partitions just to attach
     * that one scalar; at 100 TB the per-partition sort dominates.
     *
-    * The join back carries NO broadcast hint: with low-cardinality
-    * (window, key) groups AQE broadcasts it anyway, and with billions of
-    * distinct groups at 100 TB a forced broadcast would OOM the driver —
-    * AQE's size-based choice (broadcast vs shuffled hash) is correct in
-    * both regimes, and the sort-free property holds under either. */
+    * The join back carries a SHUFFLE_HASH hint (not broadcast): with
+    * low-cardinality (window, key) groups AQE still upgrades it to
+    * broadcast, and with billions of distinct groups at 100 TB a forced
+    * broadcast would OOM the driver. The hint matters because under
+    * default configs (spark.sql.join.preferSortMergeJoin=true) a group
+    * table above the broadcast threshold would otherwise plan as
+    * SortMergeJoin — which sorts the fact rows, the exact regression this
+    * helper exists to avoid. shuffle_hash keeps the no-Sort property in
+    * both regimes. */
   def timeEvictedTumbleAgg(df: DataFrame, tsCol: Column, size: String,
                            keep: String, keys: Seq[Column],
                            aggs: Seq[Column]): DataFrame = {
@@ -71,7 +75,7 @@ object EventWindows {
       }
     val groupCols = (col("__w") +: keyNames.map(col)).toIndexedSeq
     val mx = bucketed.groupBy(groupCols: _*).agg(max(tsCol).as("__mx"))
-    bucketed.join(mx, "__w" +: keyNames)
+    bucketed.join(mx.hint("shuffle_hash"), "__w" +: keyNames)
       .filter(tsCol > col("__mx") - expr(s"INTERVAL $keep"))
       .groupBy((col("__w") +: keys): _*)
       .agg(aggs.head, aggs.tail: _*)

@@ -26,7 +26,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * like the `graph_pagerank` TVF bridge would lift all three):
   *  - The FROM source MUST be a resolvable catalog table or temp view.
   *    Subqueries and CTE aliases are rejected with a named error — register
-  *    a temp view instead.
+  *    a temp view instead. This includes a CTE alias that SHADOWS an
+  *    existing table name: the statement text is scanned for `WITH/,"name"
+  *    AS (` and rejected, because the textual rewrite would otherwise bind
+  *    the pattern to the catalog object, not the CTE.
   *  - The pattern compiles EAGERLY at parse time: `EXPLAIN` (and any
   *    plan-only path) runs the pattern compilation, though match rows are
   *    only computed when the plan executes.
@@ -75,6 +78,15 @@ object MatchRecognizeSqlParser {
         }) i += 1
         require(i < sqlText.length, "unbalanced MATCH_RECOGNIZE parentheses")
         val clause = "MATCH_RECOGNIZE " + sqlText.substring(open, i + 1)
+        // a CTE alias shadowing a real table would silently bind the pattern
+        // to the catalog object — reject it instead of returning wrong rows
+        val cteRx = s"(?is)(?:\\bWITH|,)\\s+${java.util.regex.Pattern.quote(table)}\\s+AS\\s*\\(".r
+        if (cteRx.findFirstIn(sqlText).isDefined)
+          throw new IllegalArgumentException(
+            s"MATCH_RECOGNIZE front door: FROM source '$table' is defined as " +
+              "a CTE in this statement; the textual rewrite binds sources to " +
+              "catalog tables/views only — createOrReplaceTempView the input " +
+              "instead of a WITH clause")
         val source =
           try session.table(table)
           catch {

@@ -156,9 +156,17 @@ object LlmQueries3 {
   // agrees with the batch pipeline's.
   private val d12: Q = (s, dir) => {
     val d = docs(s, dir)
-    val cutoff = 9L * d.agg(max(col("doc_id"))).head().getLong(0) / 10
+    val maxRow = d.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0)) { // empty corpus: no batch, no verdicts
+      d.select(col("doc_id"), col("doc_id").as("dup_of"),
+        lit(0L).as("n_dups")).limit(0)
+    } else {
+    val cutoff = 9L * maxRow.getLong(0) / 10
+    // the store path carries the Spark application id so two concurrent
+    // runs over the same corpus never race on overwrite-mode writes
     val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_d12_store_${Integer.toHexString(dir.hashCode)}_$cutoff").toString
+      s"graft_d12_store_${s.sparkContext.applicationId}_" +
+        s"${Integer.toHexString(dir.hashCode)}_$cutoff").toString
     // ---- ingest-time store build (once per corpus version) ----
     val existing = d.filter(col("doc_id") <= cutoff)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
@@ -193,6 +201,7 @@ object LlmQueries3 {
       .join(hits, col("doc_id") === col("new_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+    }
   }
   /** Same near-dup bar as d07's cluster edges — the incremental verdict must
     * agree with what the batch pipeline would have decided. */

@@ -99,8 +99,20 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
         s2.sql("WITH cte_src AS (SELECT * FROM mr_events2) " +
           "SELECT * FROM cte_src" + clause)
       }
-      assert(e.getMessage.contains("not a resolvable table"), e.getMessage)
+      assert(e.getMessage.contains("defined as a CTE"), e.getMessage)
       assert(e.getMessage.contains("cte_src"), e.getMessage)
+      // a CTE alias SHADOWING a real temp view must also be rejected — the
+      // textual rewrite would otherwise silently bind the catalog object
+      val e2 = intercept[IllegalArgumentException] {
+        s2.sql("WITH mr_events2 AS (SELECT * FROM mr_events2 WHERE user_id < 0) " +
+          "SELECT * FROM mr_events2" + clause)
+      }
+      assert(e2.getMessage.contains("defined as a CTE"), e2.getMessage)
+      // a non-CTE unresolvable name still gets the resolution error
+      val e3 = intercept[IllegalArgumentException] {
+        s2.sql("SELECT * FROM no_such_table_xyz" + clause)
+      }
+      assert(e3.getMessage.contains("not a resolvable table"), e3.getMessage)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

@@ -116,11 +116,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
 
   test("w17 time evictor never sorts fact rows (tiny max-agg joined back)") {
     // the per-(window, key) max is one scalar per group: it must come from a
-    // map-side-partial aggregate joined back as a hash join (AQE picks
-    // broadcast vs shuffled by size), NOT from a WindowExec that sorts every
-    // fact row (the q38 pattern). No broadcast hint — at 100 TB the group
-    // table can exceed broadcast limits, so the assert is "no Sort on facts",
-    // a property both join strategies preserve.
+    // map-side-partial aggregate joined back as a hash join, NOT from a
+    // WindowExec that sorts every fact row (the q38 pattern). The join
+    // carries a shuffle_hash hint (AQE upgrades to broadcast when small)
+    // because default configs would otherwise pick SortMergeJoin above the
+    // broadcast threshold — the assert is "no Sort on facts", which the
+    // hint guarantees in both regimes.
     val p = planOf("w17_time_evictor").split("== Initial Plan ==").head
     assert(p.contains("HashJoin"),
       s"window max must hash-join back to fact rows:\n$p")
@@ -142,6 +143,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: relative residuals/classifiers must ride the keyed join:\n$p")
     }
+  }
+
+  test("d12 incremental path never rescans the corpus text (pushed doc_id filter)") {
+    // the RETURNED plan is the incremental path: every scan of the documents
+    // table must carry the new-batch doc_id > cutoff pushed filter (the
+    // existing corpus is read only via the signature store's parquet)
+    val p = planOf("d12_incremental_dedup")
+    assert(p.contains("GreaterThan(doc_id"),
+      s"new-batch documents scans must push doc_id > cutoff:\n$p")
+    val docScans = p.linesIterator.filter(_.contains("documents.parquet")).toSeq
+    assert(docScans.nonEmpty && docScans.forall(_.contains("GreaterThan(doc_id")),
+      s"no documents scan may read the full corpus:\n${docScans.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band candidate join must stay an equi-join:\n$p")
   }
 
   test("entry smoke: flagship query returns rows on sf0.001") {
