@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   *                               --          | FIRST(V.<col>) AS alias
   *                               --          | LAST(V.<col>)  AS alias
   *                               --          | SUM(V.<col>)   AS alias
+  *                               --          | MIN(V.<col>)   AS alias
+  *                               --          | MAX(V.<col>)   AS alias
   *                               --          | COUNT(V.<col>) AS alias
+  *                               -- over a '+'/'*' run variable, value
+  *                               -- measures (SUM/MIN/MAX/FIRST/LAST of a
+  *                               -- bound column) aggregate the whole run
+  *                               -- (Pattern.bindRun: O(1) state per column)
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *                               -- ALL ROWS explodes each match: one row per
   *                               -- bound event with CLASSIFIER-style `cls`,
@@ -42,7 +48,16 @@ import org.apache.spark.sql.functions._
   *                                  -- or an EARLIER variable's binding — a
   *                                  -- RELATIVE condition (e.g.
   *                                  -- `DEFINE P AS P.value > 2 * S.value`),
-  *                                  -- lowered onto followedByIterative+bind
+  *                                  -- lowered onto followedByIterative+bind.
+  *                                  -- A '+' variable may be SELF-REFERENTIAL
+  *                                  -- (the V-shape): `DEFINE D AS
+  *                                  -- D.col < LAST(D.col, 1) [AND <plain>]`
+  *                                  -- accepts each occurrence relative to
+  *                                  -- the run's own previous member (first
+  *                                  -- occurrence on <plain> alone; the next
+  *                                  -- step binds after the run's LAST
+  *                                  -- member). Lowered onto
+  *                                  -- Pattern.followedByRun — batch only.
   * )
   * }}}
   * Semantics are [[Pattern]]'s (flink-cep relaxed contiguity,
@@ -82,12 +97,12 @@ object MatchRecognize {
     val partitionBy = section("PARTITION\\s+BY", "ORDER").getOrElse(sys.error("PARTITION BY required"))
     val orderBy = section("ORDER\\s+BY", "MEASURES|AFTER|PATTERN").getOrElse(sys.error("ORDER BY required"))
     val measures = section("MEASURES", "ONE|ALL|AFTER|PATTERN").toSeq.flatMap(_.split(",").toSeq).map { m =>
-      "(?is)\\s*(?:(FIRST|LAST|SUM|COUNT)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*".r
+      "(?is)\\s*(?:(FIRST|LAST|SUM|COUNT|MIN|MAX)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*".r
         .findFirstMatchIn(m)
         .map(g => Measure(Option(g.group(1)).map(_.toUpperCase), g.group(2),
           g.group(3), g.group(4)))
         .getOrElse(sys.error(s"unsupported MEASURES item: $m " +
-          "(only [FIRST|LAST|SUM|COUNT](V.col) AS alias)"))
+          "(only [FIRST|LAST|SUM|COUNT|MIN|MAX](V.col) AS alias)"))
     }
     val skipPastLast =
       "(?is)\\bAFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\b".r.findFirstIn(body).nonEmpty
@@ -132,6 +147,54 @@ object MatchRecognize {
   }
 
   private val RefRx = "(\\w+)\\.(\\w+)".r
+
+  /** `V.col <op> LAST(V.col, 1)` — the self-referential run condition (the
+    * backreferences force the SAME variable and column inside LAST). */
+  private val SelfLastRx =
+    "(?is)(\\w+)\\.(\\w+)\\s*(<=|>=|<|>)\\s*LAST\\s*\\(\\s*\\1\\.\\2\\s*,\\s*1\\s*\\)".r
+
+  private case class RunDef(colName: String, op: String, pre: Column) {
+    def accept: (Column, Column) => Column = op match {
+      case "<" => _ < _
+      case ">" => _ > _
+      case "<=" => _ <= _
+      case ">=" => _ >= _
+    }
+  }
+
+  /** Detect and compile self-referential DEFINEs (the reference's V-shape,
+    * MatchRecognizeITCase.scala:405,554 `DOWN AS price < LAST(DOWN.price,1)`):
+    * one `V.c <op> LAST(V.c, 1)` conjunct (the run-acceptance condition —
+    * the first occurrence is accepted on the remaining conjuncts alone, the
+    * SQL idiom's `LAST(...) IS NULL OR` branch); every other top-AND conjunct
+    * must be self-only and becomes the pushed pre-filter. */
+  private def selfRunDefs(spec: Spec): Map[String, RunDef] =
+    spec.vars.flatMap { v =>
+      spec.defines.get(v.name).flatMap { body =>
+        SelfLastRx.findFirstMatchIn(body).map { m =>
+          require(m.group(1) == v.name,
+            s"DEFINE ${v.name}: LAST(${m.group(1)}.${m.group(2)}, 1) must reference " +
+              "the variable being defined")
+          require(v.quant.contains("+"),
+            s"self-referential LAST(${v.name}.${m.group(2)}, 1) requires the '+' " +
+              s"quantifier on ${v.name} (a run), got ${v.quant.getOrElse("none")}")
+          val (rel, plain) = splitTopAnd(body).partition(c => SelfLastRx.findFirstIn(c).isDefined)
+          require(rel.size == 1,
+            s"DEFINE ${v.name}: exactly one LAST(..., 1) conjunct is supported")
+          val pos = spec.vars.map(_.name).toSet
+          plain.foreach { c =>
+            val foreign = RefRx.findAllMatchIn(c).map(_.group(1)).exists(a => a != v.name && pos(a))
+            require(!foreign, s"DEFINE ${v.name}: self-referential runs cannot also " +
+              s"reference other pattern variables (conjunct: $c)")
+          }
+          import scala.util.matching.Regex.quoteReplacement
+          val pre = if (plain.isEmpty) lit(true)
+            else plain.map(c => expr(RefRx.replaceAllIn(c, mm =>
+              quoteReplacement(if (mm.group(1) == v.name) mm.group(2) else mm.matched)))).reduce(_ && _)
+          v.name -> RunDef(m.group(2), m.group(3), pre)
+        }
+      }
+    }.toMap
 
   /** Split a predicate on top-level ANDs (paren-depth 0), so the self-only
     * conjuncts of a relative DEFINE stay a plain pre-filter pushed into the
@@ -222,9 +285,11 @@ object MatchRecognize {
     // compile every DEFINE up front: relative references discovered here add
     // bind() requirements on the REFERENCED (earlier) step, merged with the
     // measure-driven binds before the lowering walk
+    val selfRuns = selfRunDefs(spec)
     val compiled: Map[String, (Column, Option[Column], Seq[(String, String)])] =
       spec.vars.zipWithIndex.flatMap { case (v, i) =>
-        val own = if (v.alts.nonEmpty) Nil else Seq(v.name -> compiledPred(spec, v.name, i))
+        val own = if (v.alts.nonEmpty || selfRuns.contains(v.name)) Nil
+                  else Seq(v.name -> compiledPred(spec, v.name, i))
         val branches = v.alts.map { b =>
           val c = compiledPred(spec, b, i)
           require(c._2.isEmpty,
@@ -239,11 +304,15 @@ object MatchRecognize {
       .map(v => v -> (keepByVar.getOrElse(v, Nil) ++ neededBinds.getOrElse(v, Nil)).distinct)
       .toMap
     require(spec.vars.head.alts.isEmpty, "first pattern variable cannot be an alternation")
-    var pat = Pattern.begin(spec.vars.head.name, compiled(spec.vars.head.name)._1)
     require(spec.vars.head.quant.isEmpty, "first pattern variable cannot be quantified")
+    var pat = Pattern.begin(spec.vars.head.name, compiled(spec.vars.head.name)._1)
     bindByVar.get(spec.vars.head.name).foreach(ks => pat = pat.bind(ks: _*))
     spec.vars.tail.foreach { v =>
-      if (v.alts.nonEmpty)
+      if (selfRuns.contains(v.name)) {
+        // the '+' quantifier is consumed by the run lowering itself
+        val rd = selfRuns(v.name)
+        pat = pat.followedByRun(v.name, rd.pre, rd.colName, rd.accept)
+      } else if (v.alts.nonEmpty)
         pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> compiled(b)._1): _*)
       else {
         val (pre, iterPred, _) = compiled(v.name)
@@ -272,19 +341,24 @@ object MatchRecognize {
         }
       }
       bindByVar.get(v.name).foreach { ks =>
-        // bind() (value measures / relative references) needs a fixed
-        // occurrence count; catch the documented-syntax-but-unbindable
-        // combinations here with a named error instead of Pattern.bind's
-        // opaque require
-        val inexact = v.quant.exists {
-          case "?" | "+" | "*" => true
-          case q =>
-            val b = q.stripPrefix("{").stripSuffix("}").split(",")
-            b.length == 2 && b(0) != b(1)
+        val isRun = selfRuns.contains(v.name) ||
+          v.quant.exists(q => q == "+" || q == "*")
+        if (isRun) pat = pat.bindRun(ks: _*) // run-aggregated value measures
+        else {
+          // bind() (value measures / relative references) needs a fixed
+          // occurrence count; catch the documented-syntax-but-unbindable
+          // combinations here with a named error instead of Pattern.bind's
+          // opaque require
+          val inexact = v.quant.exists {
+            case "?" => true
+            case q =>
+              val b = q.stripPrefix("{").stripSuffix("}").split(",")
+              b.length == 2 && b(0) != b(1)
+          }
+          require(!inexact, s"value measures over ${v.name} (${ks.mkString(", ")}) " +
+            s"need an exact {n} quantifier, not ${v.quant.get}")
+          pat = pat.bind(ks: _*)
         }
-        require(!inexact, s"value measures over ${v.name} (${ks.mkString(", ")}) " +
-          s"need an exact {n} quantifier, not ${v.quant.get}")
-        pat = pat.bind(ks: _*)
       }
     }
     if (spec.skipPastLast) pat = pat.afterMatchSkipPastLastEvent()
@@ -307,17 +381,28 @@ object MatchRecognize {
     else {
       val quantOf: Map[String, Option[String]] = spec.vars.map(v => v.name -> v.quant).toMap
       val cols = spec.measures.map { m =>
-        val c = if (quantOf.get(m.varName).flatten.exists(q => q == "+" || q == "*")) {
-          // a '+'/'*' run binds only its boundary timestamps + count
-          // (<var>_first_ts / _last_ts / _n — flink-cep's greedy-run shape)
-          require(m.field == "ts", s"measures over the run variable ${m.varName} " +
-            "address its timestamps (FIRST/LAST) or COUNT, not event columns")
-          m.fn match {
+        val isRunVar = selfRuns.contains(m.varName) ||
+          quantOf.get(m.varName).flatten.exists(q => q == "+" || q == "*")
+        val c = if (isRunVar) {
+          // a run binds its boundary timestamps + count, and (via bindRun)
+          // per-column running SUM/MIN/MAX and first/last member values
+          if (m.field == "ts") m.fn match {
             case Some("FIRST") => col(s"${m.varName}_first_ts")
             case Some("LAST") => col(s"${m.varName}_last_ts")
             case Some("COUNT") => col(s"${m.varName}_n")
-            case other => sys.error(s"only FIRST/LAST/COUNT over a '+'/'*' " +
-              s"variable (got ${other.getOrElse("a bare reference")} on ${m.varName})")
+            case other => sys.error(s"only FIRST/LAST/COUNT over a run " +
+              s"variable's timestamps (got ${other.getOrElse("a bare reference")} on ${m.varName})")
+          } else m.fn match {
+            case Some("SUM") => col(s"${m.varName}_sum_${m.field}")
+            case Some("MIN") => col(s"${m.varName}_min_${m.field}")
+            case Some("MAX") => col(s"${m.varName}_max_${m.field}")
+            case Some("FIRST") => col(s"${m.varName}_first_${m.field}")
+            case Some("LAST") => col(s"${m.varName}_last_${m.field}")
+            // COUNT over a run counts occurrences (the column is bound by
+            // the run's own predicate, so members are never null)
+            case Some("COUNT") => col(s"${m.varName}_n")
+            case None => sys.error(s"${m.varName} is a run variable — " +
+              "use FIRST/LAST/SUM/COUNT/MIN/MAX")
           }
         } else {
           val (mn, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
@@ -335,6 +420,10 @@ object MatchRecognize {
             case Some("SUM") =>
               require(mn == mx, s"SUM(${m.varName}.${m.field}) needs an exact {n} quantifier")
               srcs.map(col).reduce(_ + _)
+            case Some("MIN") =>
+              if (srcs.size == 1) col(srcs.head) else least(srcs.map(col): _*)
+            case Some("MAX") =>
+              if (srcs.size == 1) col(srcs.head) else greatest(srcs.map(col): _*)
             case Some("COUNT") =>
               srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
             case Some(f) => sys.error(s"unsupported measure function $f")
@@ -391,6 +480,12 @@ object MatchRecognize {
         case Some("SUM") =>
           require(mn == mx, s"SUM(${m.varName}.${m.field}) needs an exact {n} quantifier")
           if (visible.isEmpty) nullOf(first) else srcs.map(col).reduce(_ + _)
+        case Some("MIN") =>
+          if (visible.isEmpty) nullOf(first)
+          else if (srcs.size == 1) col(srcs.head) else least(srcs.map(col): _*)
+        case Some("MAX") =>
+          if (visible.isEmpty) nullOf(first)
+          else if (srcs.size == 1) col(srcs.head) else greatest(srcs.map(col): _*)
         case Some("COUNT") =>
           if (visible.isEmpty) lit(0L)
           else srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)

@@ -28,7 +28,9 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       opt: Boolean = false, oneOrMore: Boolean = false,
                       until: Option[Column] = None, keep: Seq[String] = Nil,
                       iter: Option[Column] = None, optTail: Int = 0,
-                      alts: Seq[(String, Column)] = Nil, strict: Boolean = false)
+                      alts: Seq[(String, Column)] = Nil, strict: Boolean = false,
+                      runOn: Option[String] = None,
+                      runAccept: Option[(Column, Column) => Column] = None)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false) {
@@ -164,6 +166,47 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       notStep, windowMs, skipPastLast)
   }
 
+  /** Bind value columns over a [[oneOrMore]]/[[zeroOrMore]]/[[followedByRun]]
+    * RUN (reference MatchRecognizeITCase's `SUM(A.price)` aggregate measures
+    * over `A+` patterns): the run aggregate additionally carries, per named
+    * column `c`, `<step>_sum_<c>` / `<step>_min_<c>` / `<step>_max_<c>` and
+    * the first/last member's value `<step>_first_<c>` / `<step>_last_<c>`
+    * (by run timestamp; equal-timestamp ties resolve to the lexicographic
+    * (ts, value) min/max — deterministic on both engines). O(1) aggregation
+    * state per column, same single keyed equi-join + agg lowering; an empty
+    * zeroOrMore run yields nulls (count stays 0). */
+  def bindRun(cols: String*): Pattern = {
+    require(steps.nonEmpty && (steps.last.oneOrMore || steps.last.runOn.nonEmpty),
+      "bindRun() requires oneOrMore()/zeroOrMore()/followedByRun() on the step")
+    new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast)
+  }
+
+  /** Self-referential run — the reference's V-shape iterative condition
+    * (flink-table MatchRecognizeITCase.scala:405,554 `DOWN AS price <
+    * LAST(DOWN.price, 1)`, planned through flink-cep's IterativeCondition
+    * over the run's own previous binding): a `+` run where each occurrence
+    * after the first must satisfy `accept(current, previous)` over the
+    * `runOn` column, relative to the run's OWN previous member. The first
+    * occurrence is accepted on `pred` alone (the SQL idiom's
+    * `LAST(V.col, 1) IS NULL OR ...` branch). The next pattern step binds
+    * strictly after the run's LAST member (the run ends organically at the
+    * first violation, not at the next step's binding).
+    *
+    * Lowering: candidates are segmented per key into maximal accept-chains
+    * with one lag + one running-sum window (ordered by (ts, runOn) — ties
+    * beyond that make segmentation order-dependent, as in the reference),
+    * then the run is one keyed equi-join on the segment id: shuffles stay
+    * on the key, no cross product, no per-NFA state. BATCH ONLY: the
+    * streaming cepPattern* family does not support self-referential runs
+    * (the segmentation window has no incremental analog there yet). */
+  def followedByRun(name: String, pred: Column, runOn: String,
+                    accept: (Column, Column) => Column): Pattern = {
+    require(notStep.isEmpty, "notFollowedBy must be the terminal step")
+    require(steps.nonEmpty, "followedByRun() follows a begin step")
+    new Pattern(steps :+ Step(name, pred, runOn = Some(runOn),
+      runAccept = Some(accept)), notStep, windowMs, skipPastLast)
+  }
+
   /** flink-cep `until(cond)` on a preceding `oneOrMore()` step: the run
     * stops accepting occurrences once a `cond` event (strictly after the
     * run's first occurrence, same key, in-window) appears — run members are
@@ -201,6 +244,25 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
 
   /** Match window measured from the first step's event time. */
   def within(ms: Long): Pattern = new Pattern(steps, notStep, Some(ms), skipPastLast)
+
+  /** Per-column run aggregates for [[bindRun]] columns: sum/min/max plus the
+    * first/last member's value via lexicographic (ts, value) struct-min/max
+    * (deterministic on equal-timestamp members). */
+  private def runValAggs(name: String, keep: Seq[String], tsA: Column,
+                         src: String => Column): Seq[Column] =
+    keep.flatMap { c => Seq(
+      sum(src(c)).as(s"${name}_sum_$c"),
+      min(src(c)).as(s"${name}_min_$c"),
+      max(src(c)).as(s"${name}_max_$c"),
+      min(struct(tsA.as("t"), src(c).as("v"))).as(s"__fb_$c"),
+      max(struct(tsA.as("t"), src(c).as("v"))).as(s"__lb_$c")) }
+
+  private def extractRunVals(df: DataFrame, name: String, keep: Seq[String]): DataFrame =
+    keep.foldLeft(df) { (d, c) =>
+      d.withColumn(s"${name}_first_$c", col(s"__fb_$c.v"))
+        .withColumn(s"${name}_last_$c", col(s"__lb_$c.v"))
+        .drop(s"__fb_$c", s"__lb_$c")
+    }
 
   /** Compile to a DataFrame of matches: one row per match, one `<name>_ts`
     * column per binding (suffixed `_1.._n` for quantified steps;
@@ -248,6 +310,49 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // to the binding before them when the step was skipped
     var prevTs: Column = col(startTs)
     expanded.tail.foreach { s =>
+      if (s.runOn.isDefined) {
+        // --- self-referential run (followedByRun): segment candidates into
+        // maximal accept-chains per key, bind the earliest in-window segment
+        // member, then collect the run by segment id — the next step binds
+        // after the run's LAST member
+        require(s.reps == 1 && !s.opt && !s.oneOrMore && s.alts.isEmpty && !s.strict,
+          "followedByRun() composes with bindRun() only")
+        val vcol = s.runOn.get
+        val acc = s.runAccept.get
+        val ww = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__rk")).orderBy(col("__rts"), col("__rv"))
+        val candSeg = events.filter(s.pred)
+          .select((key.as("__rk") +: ts.as("__rts") +: col(vcol).as("__rv") +:
+            s.keep.map(c => col(c).as(s"__rm_$c"))): _*)
+          .withColumn("__pv", lag(col("__rv"), 1).over(ww))
+          .withColumn("__viol",
+            when(col("__pv").isNull || !acc(col("__rv"), col("__pv")), 1L).otherwise(0L))
+          .withColumn("__seg", sum(col("__viol"))
+            .over(ww.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .drop("__pv", "__viol")
+        val kept0 = out.columns.map(col)
+        val fb = struct(col("__rts").as("ts"), col("__rv").as("v"), col("__seg").as("seg"))
+        out = out.join(candSeg.select(col("__rk"), col("__rts"), col("__rv"), col("__seg")),
+            col("__k") === col("__rk") && col("__rts") > prevTs &&
+              col("__rts") <= col(startTs) + win)
+          .groupBy(kept0.toIndexedSeq: _*).agg(min(fb).as("__rb"))
+          .withColumn(s"${s.name}_first_ts", col("__rb.ts"))
+          .withColumn("__rseg", col("__rb.seg")).drop("__rb")
+        val mem = candSeg.select((col("__rk").as("__k3") +: col("__rts").as("__mts") +:
+          col("__seg").as("__mseg") +: s.keep.map(c => col(s"__rm_$c").as(s"__mm_$c"))): _*)
+        val kept1 = out.columns.map(col)
+        val memAggs = count(lit(1)).as(s"${s.name}_n") +:
+          runValAggs(s.name, s.keep, col("__mts"), c => col(s"__mm_$c"))
+        out = extractRunVals(
+          out.join(mem, col("__k") === col("__k3") &&
+              col("__mseg") === col("__rseg") &&
+              col("__mts") >= col(s"${s.name}_first_ts") &&
+              col("__mts") <= col(startTs) + win)
+            .groupBy(kept1.toIndexedSeq: _*)
+            .agg(max(col("__mts")).as(s"${s.name}_last_ts"), memAggs: _*),
+          s.name, s.keep).drop("__rseg")
+        prevTs = col(s"${s.name}_last_ts")
+      } else {
       if (s.strict) {
         // strict contiguity: the successor TIME (earliest event of any type
         // strictly after the previous binding, in-window); the predicate
@@ -270,7 +375,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       // (if any) then bound columns — also the equal-ts tie-break order
       val payload: Seq[(String, String)] = // (struct field/out suffix, source)
         (if (s.alts.isEmpty) Nil else Seq("cls" -> "__c___cls")) ++
-          s.keep.map(c => c -> s"__c_$c")
+          // bindRun columns on a oneOrMore step route to the run aggregate,
+          // not the first-occurrence binding
+          (if (s.oneOrMore) Nil else s.keep.map(c => c -> s"__c_$c"))
       out =
         if (payload.isEmpty)
           joined.groupBy(kept.toIndexedSeq: _*).agg(min(col("__cts")).as(s"${s.name}_ts"))
@@ -286,6 +393,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         }
       if (s.strict) out = out.drop("__succ_ts")
       prevTs = if (s.opt) coalesce(col(s"${s.name}_ts"), prevTs) else col(s"${s.name}_ts")
+      }
     }
     notStep.foreach { s =>
       if (s.strict) {
@@ -327,7 +435,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           .agg(min(col("__uts")).as("__until_ts"))
       }
       val hasUntil = steps.find(_.name == name).exists(_.until.nonEmpty)
-      val cand = events.filter(pred).select(key.as("__k3"), ts.as("__rts"))
+      val cand = events.filter(pred).select((key.as("__k3") +: ts.as("__rts") +:
+        st.keep.map(c => col(c).as(s"__rm_$c"))): _*)
       val upperCond = (nextName match {
         case Some(nx) => col("__rts") < col(s"${nx}_ts")
         case None => col("__rts") <= col(startTs) + win
@@ -336,11 +445,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       val kept = out.columns.map(col)
       // zeroOrMore (opt=true): an empty run keeps the match row through a
       // left-outer join with null run columns and count 0
-      out = out.join(cand,
-          col("__k") === col("__k3") && col("__rts") >= col(s"${name}_ts") && upperCond,
-          if (st.opt) "left_outer" else "inner")
-        .groupBy(kept.toIndexedSeq: _*)
-        .agg(max(col("__rts")).as(s"${name}_last_ts"), count(col("__rts")).as(s"${name}_n"))
+      out = extractRunVals(
+        out.join(cand,
+            col("__k") === col("__k3") && col("__rts") >= col(s"${name}_ts") && upperCond,
+            if (st.opt) "left_outer" else "inner")
+          .groupBy(kept.toIndexedSeq: _*)
+          .agg(max(col("__rts")).as(s"${name}_last_ts"),
+            (count(col("__rts")).as(s"${name}_n") +:
+              runValAggs(name, st.keep, col("__rts"), c => col(s"__rm_$c"))): _*),
+        name, st.keep)
         .withColumnRenamed(s"${name}_ts", s"${name}_first_ts")
         .drop("__until_ts")
     }

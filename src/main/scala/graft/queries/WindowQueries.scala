@@ -371,6 +371,102 @@ object WindowQueries {
       |FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts >= first_c AND c.ts < p_ts
       |GROUP BY 1, 2, 3, 6""".stripMargin
 
+  // --- m09: value measures over a '+' run ---
+  // (reference MatchRecognizeITCase's `SUM(A.price)` over run patterns): the
+  // run aggregate carries running SUM/MIN/MAX and the first/last member's
+  // value of a bound column — O(1) state per column, same single keyed
+  // equi-join + agg lowering (Pattern.bindRun). The oracle replays m07's
+  // greedy-run shape and aggregates the same run members; first/last values
+  // use the engine's (ts, value) struct-min/max tie-break on both sides.
+  private val m09: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.ts) AS first_click_ts,
+        |           COUNT(C.ts) AS n_clicks, SUM(C.value) AS sum_click_value,
+        |           MIN(C.value) AS min_click_value, MAX(C.value) AS max_click_value,
+        |           FIRST(C.value) AS first_click_value, LAST(C.value) AS last_click_value,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S C+ P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .withColumn("sum_click_value", round(col("sum_click_value"), 4))
+  private val m09Sql =
+    """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS first_c
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, s_ts, first_c, min(p.ts) AS p_ts
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > first_c
+      |                     AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3)
+      |SELECT m2.user_id, s_ts AS signup_ts, first_c AS first_click_ts,
+      |       count(*) AS n_clicks, round(sum(c.value), 4) AS sum_click_value,
+      |       min(c.value) AS min_click_value, max(c.value) AS max_click_value,
+      |       struct_extract(min({'t': c.ts, 'v': c.value}), 'v') AS first_click_value,
+      |       struct_extract(max({'t': c.ts, 'v': c.value}), 'v') AS last_click_value,
+      |       p_ts AS purchase_ts
+      |FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts >= first_c AND c.ts < p_ts
+      |GROUP BY 1, 2, 3, 10""".stripMargin
+
+  // --- m10: the V-shape — self-referential run conditions ---
+  // (reference MatchRecognizeITCase.scala:405,554 `DOWN AS price <
+  // LAST(DOWN.price, 1)`, the canonical MATCH_RECOGNIZE query): each D
+  // occurrence after the first must have a LOWER value than the run's own
+  // previous member; the purchase binds after the run's LAST member. Lowered
+  // onto Pattern.followedByRun: candidates segment into maximal descending
+  // chains per key (one lag + one running-sum window ordered (ts, value)),
+  // then the run is a keyed equi-join on the segment id. The oracle replays
+  // the identical lag-based segmentation in SQL.
+  private val m10: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(D.ts) AS first_down_ts,
+        |           LAST(D.ts) AS last_down_ts, COUNT(D.ts) AS n_down,
+        |           FIRST(D.value) AS first_down_value,
+        |           LAST(D.value) AS last_down_value, U.ts AS purchase_ts
+        |  PATTERN (S D+ U)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         D AS D.value < LAST(D.value, 1) AND D.event_type = 'click',
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m10Sql =
+    """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='click'),
+      |seg AS (SELECT user_id, ts, value,
+      |        sum(CASE WHEN pv IS NULL OR NOT (value < pv) THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS seg
+      |        FROM (SELECT *, lag(value) OVER (PARTITION BY user_id ORDER BY ts, value) AS pv FROM c)),
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts,
+      |         struct_extract(min({'t': g.ts, 'v': g.value, 'g': g.seg}), 't') AS d1_ts,
+      |         struct_extract(min({'t': g.ts, 'v': g.value, 'g': g.seg}), 'g') AS d_seg
+      |       FROM s JOIN seg g ON g.user_id = s.user_id AND g.ts > s.ts
+      |                        AND g.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, s_ts, d1_ts,
+      |         max(g.ts) AS dlast_ts, count(*) AS n_down,
+      |         struct_extract(min({'t': g.ts, 'v': g.value}), 'v') AS first_v,
+      |         struct_extract(max({'t': g.ts, 'v': g.value}), 'v') AS last_v
+      |       FROM m1 JOIN seg g ON g.user_id = m1.user_id AND g.seg = m1.d_seg
+      |                         AND g.ts >= d1_ts AND g.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3)
+      |SELECT m2.user_id, s_ts AS signup_ts, d1_ts AS first_down_ts,
+      |       dlast_ts AS last_down_ts, n_down, first_v AS first_down_value,
+      |       last_v AS last_down_value, min(p.ts) AS purchase_ts
+      |FROM m2 JOIN p ON p.user_id = m2.user_id AND p.ts > dlast_ts
+      |               AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+
   // --- m08: ALL ROWS PER MATCH — per-event emission with running measures ---
   // (reference StreamExecMatch.scala per-row mode / MatchRecognizeITCase):
   // each (S C{2} P) match emits 4 rows — classifier, the bound event's ts,
@@ -720,7 +816,8 @@ object WindowQueries {
     "w10_cep_measures" -> w10, "w11_cep_pattern_api" -> w11,
     "m01_match_recognize" -> m01, "m02_match_measures" -> m02,
     "m03_match_skip" -> m03, "m04_match_range" -> m04, "m05_match_alternation" -> m05,
-    "m06_match_relative" -> m06, "m07_match_plus" -> m07, "m08_match_all_rows" -> m08)
+    "m06_match_relative" -> m06, "m07_match_plus" -> m07, "m08_match_all_rows" -> m08,
+    "m09_match_run_sum" -> m09, "m10_match_vshape" -> m10)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -736,5 +833,6 @@ object WindowQueries {
     "m02_match_measures" -> m02Sql, // m03 has no SQL oracle (greedy skip is sequential)
     "m04_match_range" -> m04Sql, "m05_match_alternation" -> m05Sql,
     "m06_match_relative" -> m06Sql, "m07_match_plus" -> m07Sql,
-    "m08_match_all_rows" -> m08Sql)
+    "m08_match_all_rows" -> m08Sql, "m09_match_run_sum" -> m09Sql,
+    "m10_match_vshape" -> m10Sql)
 }

@@ -326,6 +326,79 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(ex.getMessage.contains("cannot expand"))
   }
 
+  test("run value measures: SUM/MIN/MAX/FIRST/LAST of a bound column over '+'") {
+    val m = MatchRecognize.detect(valued,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, SUM(C.value) AS spend, MIN(C.value) AS lo,
+        |           MAX(C.value) AS hi, FIRST(C.value) AS first_v,
+        |           LAST(C.value) AS last_v, COUNT(C.value) AS n_c, P.ts AS p_ts
+        |  PATTERN (S C+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Double, Double, Double, Double, Double, Long, Timestamp)]
+      .collect().toSet
+    // user 1's run = clicks at 10 (2.5) and 20 (4.0)
+    assert(m == Set((1L, at(0), 6.5, 2.5, 4.0, 2.5, 4.0, 2L, at(30))))
+    // a '*' with no members yields nulls / count 0 for the value measures
+    val empty = MatchRecognize.detect(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(C.ts) AS n_c, LAST(C.ts) AS last_c,
+        |           P.ts AS p_ts
+        |  PATTERN (S C* P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Long, Option[Timestamp], Timestamp)].collect().toSet
+    assert(empty == Set((1L, at(0), 2L, Some(at(20)), at(30)),
+      (4L, at(0), 0L, None, at(15))))
+  }
+
+  test("self-referential run (V-shape): D.value < LAST(D.value, 1)") {
+    // descending click run 9 > 7 > 4, then 8 breaks the chain; the purchase
+    // binds after the run's LAST member
+    val vshape = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 9.0), (1L, at(10), "click", 7.0),
+      (1L, at(15), "click", 4.0), (1L, at(20), "click", 8.0), (1L, at(25), "purchase", 1.0),
+      (2L, at(0), "signup", 0.0), (2L, at(5), "click", 3.0), (2L, at(10), "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(vshape,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(D.ts) AS d1, LAST(D.ts) AS dn,
+        |           COUNT(D.ts) AS n_d, FIRST(D.value) AS v1,
+        |           LAST(D.value) AS vn, U.ts AS u_ts
+        |  PATTERN (S D+ U)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         D AS D.value < LAST(D.value, 1) AND D.event_type = 'click',
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Double, Double, Timestamp)]
+      .collect().toSet
+    // user 1: run = 9,7,4 (the 8 at :20 starts a NEW segment — excluded),
+    // purchase at :25 binds after the run end at :15;
+    // user 2: single-member run (first occurrence needs no predecessor)
+    assert(m == Set(
+      (1L, at(0), at(5), at(15), 3L, 9.0, 4.0, at(25)),
+      (2L, at(0), at(5), at(5), 1L, 3.0, 3.0, at(10))))
+    // self-reference without '+' is a named error
+    val ex = intercept[IllegalArgumentException](MatchRecognize.detect(vshape,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S D)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         D AS D.value < LAST(D.value, 1)
+        |)""".stripMargin))
+    assert(ex.getMessage.contains("requires the '+' quantifier"))
+  }
+
   test("value measures over an inexact quantifier raise a named error") {
     val ex = intercept[IllegalArgumentException](MatchRecognize.detect(relEvents,
       """MATCH_RECOGNIZE (

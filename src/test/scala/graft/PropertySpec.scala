@@ -152,6 +152,100 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     })
   }
 
+  test("bindRun value aggregates == brute-force greedy-run reference on random logs") {
+    import graft.cep.Pattern
+    val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val WindowMs = 30L * 60000
+    // values are multiples of 0.5: double sums are exact, so the reference
+    // compares without rounding slack
+    val gen = Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf("a", "b", "c")))
+    assertHolds(Prop.forAll(gen) { rows =>
+      val evs = rows.zipWithIndex.map { case ((u, t), i) =>
+        (u, T0.getTime + i * 60000L, t, (i % 7) * 1.5 - 3.0)
+      }
+      val df = evs.map { case (u, tm, t, v) =>
+        (u, new java.sql.Timestamp(tm), t, v)
+      }.toDF("user_id", "ts", "event_type", "value")
+      val got = Pattern.begin("a", col("event_type") === "a")
+        .followedBy("b", col("event_type") === "b").oneOrMore().bindRun("value")
+        .followedBy("c", col("event_type") === "c")
+        .within(WindowMs).detect(df, col("user_id"), col("ts"))
+        .collect().map(r => (r.getAs[Long]("key"),
+          r.getAs[java.sql.Timestamp]("a_ts").getTime,
+          r.getAs[java.sql.Timestamp]("b_first_ts").getTime,
+          r.getAs[java.sql.Timestamp]("b_last_ts").getTime,
+          r.getAs[Long]("b_n"),
+          r.getAs[Double]("b_sum_value"), r.getAs[Double]("b_min_value"),
+          r.getAs[Double]("b_max_value"), r.getAs[Double]("b_first_value"),
+          r.getAs[Double]("b_last_value"),
+          r.getAs[java.sql.Timestamp]("c_ts").getTime)).toSet
+      // reference: earliest b after a, earliest c after that b; the run is
+      // every b in [first_b, c), aggregated directly
+      val want = (for {
+        u <- evs.map(_._1).distinct
+        sorted = evs.filter(_._1 == u).map(e => (e._2, e._3, e._4)).sortBy(_._1)
+        (t0, "a", _) <- sorted
+        end = t0 + WindowMs
+        b1 <- sorted.collectFirst { case (t, "b", _) if t > t0 && t <= end => t }.toSeq
+        c <- sorted.collectFirst { case (t, "c", _) if t > b1 && t <= end => t }.toSeq
+        members = sorted.filter { case (t, ty, _) => ty == "b" && t >= b1 && t < c }
+        vals = members.map(_._3)
+      } yield (u, t0, b1, members.last._1, members.size.toLong,
+        vals.sum, vals.min, vals.max, vals.head, vals.last, c)).toSet
+      (got == want) :| s"got=$got want=$want"
+    })
+  }
+
+  test("followedByRun (V-shape) == brute-force descending-chain reference") {
+    import graft.cep.Pattern
+    val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val WindowMs = 30L * 60000
+    // duplicate values across events force segment breaks (strict <)
+    val gen = Gen.listOfN(16, Gen.zip(Gen.chooseNum(1L, 2L),
+      Gen.oneOf("s", "d", "u"), Gen.chooseNum(0, 9)))
+    assertHolds(Prop.forAll(gen) { rows =>
+      val evs = rows.zipWithIndex.map { case ((u, ty, v), i) =>
+        (u, T0.getTime + i * 60000L, ty, v.toDouble)
+      }
+      val df = evs.map { case (u, tm, ty, v) =>
+        (u, new java.sql.Timestamp(tm), ty, v)
+      }.toDF("user_id", "ts", "event_type", "value")
+      val got = Pattern.begin("s", col("event_type") === "s")
+        .followedByRun("d", col("event_type") === "d", "value", _ < _)
+        .bindRun("value")
+        .followedBy("u", col("event_type") === "u")
+        .within(WindowMs).detect(df, col("user_id"), col("ts"))
+        .collect().map(r => (r.getAs[Long]("key"),
+          r.getAs[java.sql.Timestamp]("s_ts").getTime,
+          r.getAs[java.sql.Timestamp]("d_first_ts").getTime,
+          r.getAs[java.sql.Timestamp]("d_last_ts").getTime,
+          r.getAs[Long]("d_n"),
+          r.getAs[Double]("d_first_value"), r.getAs[Double]("d_last_value"),
+          r.getAs[java.sql.Timestamp]("u_ts").getTime)).toSet
+      // reference: segment ALL d-candidates of the key into maximal strict-
+      // descending chains (ts order; ts are unique by construction), bind the
+      // earliest in-window candidate, collect its chain from there, then the
+      // earliest u after the chain's last member
+      val want = (for {
+        u <- evs.map(_._1).distinct
+        sorted = evs.filter(_._1 == u).map(e => (e._2, e._3, e._4)).sortBy(_._1)
+        cands = sorted.collect { case (t, "d", v) => (t, v) }
+        segs = cands.zipWithIndex.map { case ((_, v), i) =>
+          // segment id = number of chain breaks up to and including i
+          (0 to i).count(j => j == 0 || !(cands(j)._2 < cands(j - 1)._2))
+        }
+        (t0, "s", _) <- sorted
+        end = t0 + WindowMs
+        firstIdx <- cands.indices.find(i => cands(i)._1 > t0 && cands(i)._1 <= end).toSeq
+        members = cands.indices.filter(i => segs(i) == segs(firstIdx) &&
+          cands(i)._1 >= cands(firstIdx)._1 && cands(i)._1 <= end).map(cands)
+        uts <- sorted.collectFirst { case (t, "u", _) if t > members.last._1 && t <= end => t }.toSeq
+      } yield (u, t0, members.head._1, members.last._1, members.size.toLong,
+        members.head._2, members.last._2, uts)).toSet
+      (got == want) :| s"got=$got want=$want"
+    })
+  }
+
   test("afterMatchSkipPastLastEvent == brute-force greedy reference on random logs") {
     import graft.cep.Pattern
     // m03's lowering has no cross-engine SQL oracle (greedy per-key selection
