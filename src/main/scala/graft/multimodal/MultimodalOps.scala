@@ -143,6 +143,90 @@ object AudioHeaderDecoder {
   }
 }
 
+/** REAL pure-JVM ISO-BMFF (MP4/MOV) box walker — the video analog of
+  * [[AudioHeaderDecoder]] (reference flink-core DeserializationSchema
+  * surface: bytes in, typed rows out; the container walk itself needs no
+  * codec). Reads `moov/mvhd` timescale + duration and the first video
+  * track's `tkhd` pixel dimensions (16.16 fixed point; audio tracks carry
+  * 0×0 and are skipped). Frame/sample DECODE stays behind [[BinaryDecoder]]
+  * exactly as pixel decode does for images.
+  *
+  * Hostile-input discipline (the WAV parser's rules): box sizes are
+  * UNSIGNED 32-bit; `size == 1` reads a 64-bit largesize (rejected if it
+  * wraps negative), `size == 0` means to-end-of-container; every declared
+  * size is bounds-checked against the enclosing box before any field read,
+  * so a corrupt blob raises a named error and can never overrun or stall. */
+object VideoHeaderDecoder {
+  private def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def u64(b: Array[Byte], off: Int): Long =
+    (u32(b, off) << 32) | u32(b, off + 4)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private val TopLevel = Set("ftyp", "moov", "mdat", "free", "skip", "wide", "pdin", "moof")
+
+  /** Walk the boxes in [start, end): f(type, payloadStart, payloadEnd). */
+  private def walk(b: Array[Byte], start: Int, end: Int)
+                  (f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off + 8 <= end) {
+      val size32 = u32(b, off)
+      val typ = tag(b, off + 4)
+      var header = 8
+      val size: Long =
+        if (size32 == 1L) {
+          require(off + 16 <= end, s"corrupt MP4: truncated largesize box '$typ'")
+          header = 16
+          val s = u64(b, off + 8)
+          require(s >= 0, s"corrupt MP4: largesize wraps negative in '$typ'")
+          s
+        } else if (size32 == 0L) (end - off).toLong // to end of container
+        else size32
+      require(size >= header, s"corrupt MP4: box '$typ' smaller than its header")
+      require(off + size <= end, s"corrupt MP4: box '$typ' overruns its container")
+      f(typ, off + header, (off + size).toInt)
+      off = (off + size).toInt
+    }
+  }
+
+  /** (widthPx, heightPx, timescale, durationMs) of an MP4/MOV blob. */
+  def videoMeta(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    require(bytes.length >= 8 && TopLevel(tag(bytes, 4)),
+      "not an ISO-BMFF container")
+    var timescale = -1L; var duration = -1L; var w = -1; var h = -1
+    walk(bytes, 0, bytes.length) { (typ, ps, pe) =>
+      if (typ == "moov") walk(bytes, ps, pe) { (t2, ps2, pe2) =>
+        if (t2 == "mvhd") {
+          require(pe2 - ps2 >= 4, "corrupt MP4: truncated mvhd")
+          if ((bytes(ps2) & 0xff) == 1) { // v1: 64-bit times
+            require(pe2 - ps2 >= 32, "corrupt MP4: truncated mvhd v1")
+            timescale = u32(bytes, ps2 + 20)
+            duration = u64(bytes, ps2 + 24)
+          } else {
+            require(pe2 - ps2 >= 20, "corrupt MP4: truncated mvhd v0")
+            timescale = u32(bytes, ps2 + 12)
+            duration = u32(bytes, ps2 + 16)
+          }
+        } else if (t2 == "trak") walk(bytes, ps2, pe2) { (t3, ps3, pe3) =>
+          if (t3 == "tkhd" && w < 0) {
+            require(pe3 - ps3 >= 4, "corrupt MP4: truncated tkhd")
+            val (wOff, need) = if ((bytes(ps3) & 0xff) == 1) (88, 96) else (76, 84)
+            require(pe3 - ps3 >= need, "corrupt MP4: truncated tkhd")
+            val tw = (u32(bytes, ps3 + wOff) >> 16).toInt  // 16.16 fixed
+            val th = (u32(bytes, ps3 + wOff + 4) >> 16).toInt
+            if (tw > 0 && th > 0) { w = tw; h = th }
+          }
+        }
+      }
+    }
+    require(timescale > 0, "MP4 without moov/mvhd")
+    require(duration >= 0, "corrupt MP4: negative duration")
+    (w, h, timescale, duration * 1000L / timescale)
+  }
+}
+
 object MultimodalOps {
   case class MediaRow(media_id: Long, media: Array[Byte])
   case class AudioMeta(media_id: Long, channels: Int, sample_rate: Int,
@@ -150,6 +234,8 @@ object MultimodalOps {
   case class ImageMeta(media_id: Long, width: Int, height: Int, format: String)
   case class Frame(media_id: Long, frame_no: Int, byte_offset: Long)
   case class Features(media_id: Long, features: Array[Float])
+  case class VideoMeta(media_id: Long, width: Int, height: Int,
+                       timescale: Long, duration_ms: Long)
 
   /** binary → (width, height, format). Partition-wise batch decode — the
     * Scala analog of a `mapInPandas` batch UDF: one decoder instance per
@@ -172,6 +258,20 @@ object MultimodalOps {
       iter.map { r =>
         val (ch, rate, bits, durMs) = AudioHeaderDecoder.audioMeta(r.media)
         AudioMeta(r.media_id, ch, rate, bits, durMs)
+      }
+    }
+  }
+
+  /** video-as-binary → (dimensions, timescale, duration) via the pure-JVM
+    * [[VideoHeaderDecoder]] ISO-BMFF walk; partition-wise like
+    * [[decodeImageMeta]]. Width/height are -1 when the file has no video
+    * track (audio-only MP4). */
+  def decodeVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    media.mapPartitions { iter =>
+      iter.map { r =>
+        val (w, h, ts, durMs) = VideoHeaderDecoder.videoMeta(r.media)
+        VideoMeta(r.media_id, w, h, ts, durMs)
       }
     }
   }

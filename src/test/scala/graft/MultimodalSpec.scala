@@ -110,6 +110,59 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(ex2.getMessage.contains("truncated fmt"))
   }
 
+  test("VideoHeaderDecoder parses a real ISO-BMFF moov/mvhd + tkhd (no stub)") {
+    import graft.multimodal.VideoHeaderDecoder
+    def be32(v: Long) = Array[Int](((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+      ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
+    def box(typ: String, payload: Array[Int]): Array[Int] =
+      be32(payload.length + 8L) ++ typ.map(_.toInt).toArray ++ payload
+    // mvhd v0: timescale 600, duration 3000 ticks -> 5000 ms
+    val mvhd = box("mvhd", Array.fill(4)(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(3000))
+    // tkhd v0 is 84 bytes; width/height are 16.16 fixed at offsets 76/80
+    def tkhd(w: Int, h: Int) = box("tkhd",
+      Array.fill(76)(0) ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    // an AUDIO track (0x0) precedes the video track: the walk must skip it
+    val moov = box("moov", mvhd ++ box("trak", tkhd(0, 0)) ++ box("trak", tkhd(640, 480)))
+    val ftyp = box("ftyp", "isomiso2".map(_.toInt).toArray)
+    val mp4 = (ftyp ++ moov).map(_.toByte)
+    assert(VideoHeaderDecoder.videoMeta(mp4) == ((640, 480, 600L, 5000L)))
+    // size==1 largesize boxes and size==0 (to-end) boxes parse too
+    val bigFree = be32(1) ++ "free".map(_.toInt).toArray ++
+      Array[Int](0, 0, 0, 0) ++ be32(20) ++ Array.fill(4)(0)
+    val tailMdat = be32(0) ++ "mdat".map(_.toInt).toArray ++ Array.fill(6)(0)
+    val mp4b = (ftyp ++ bigFree ++ moov ++ tailMdat).map(_.toByte)
+    assert(VideoHeaderDecoder.videoMeta(mp4b) == ((640, 480, 600L, 5000L)))
+    // partition-wise pipeline
+    val ds = Seq(MediaRow(9L, mp4)).toDS()
+    val m = MultimodalOps.decodeVideoMeta(ds).collect().head
+    assert(m.media_id == 9L && m.width == 640 && m.height == 480 &&
+      m.timescale == 600L && m.duration_ms == 5000L)
+  }
+
+  test("VideoHeaderDecoder rejects hostile box sizes with named errors") {
+    import graft.multimodal.VideoHeaderDecoder
+    def be32(v: Long) = Array[Int](((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+      ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
+    // a box declaring a size past the end of the buffer must not read past it
+    val overrun = (be32(4096) ++ "moov".map(_.toInt).toArray ++ Array.fill(8)(0)).map(_.toByte)
+    val e1 = intercept[IllegalArgumentException](VideoHeaderDecoder.videoMeta(overrun))
+    assert(e1.getMessage.contains("overruns"))
+    // size==1 promises a 64-bit largesize that isn't there
+    val cutLarge = (be32(1) ++ "mdat".map(_.toInt).toArray ++ Array[Int](0, 0)).map(_.toByte)
+    val e2 = intercept[IllegalArgumentException](VideoHeaderDecoder.videoMeta(cutLarge))
+    assert(e2.getMessage.contains("truncated largesize"))
+    // a truncated mvhd must fail by name, not read out of bounds
+    def box(typ: String, payload: Array[Int]): Array[Int] =
+      be32(payload.length + 8L) ++ typ.map(_.toInt).toArray ++ payload
+    val cutMvhd = box("moov", box("mvhd", Array.fill(8)(0))).map(_.toByte)
+    val e3 = intercept[IllegalArgumentException](VideoHeaderDecoder.videoMeta(cutMvhd))
+    assert(e3.getMessage.contains("truncated mvhd"))
+    // garbage is named as not-a-container
+    val junk = Array.fill[Byte](32)(0x41)
+    val e4 = intercept[IllegalArgumentException](VideoHeaderDecoder.videoMeta(junk))
+    assert(e4.getMessage.contains("ISO-BMFF"))
+  }
+
   test("mediaStats: builtin-only size + magic sniffing") {
     val df = Seq(fakeMedia(1, 640, 480, 0, 100)).toDS().toDF()
     val r = MultimodalOps.mediaStats(df, "media").select("n_bytes", "header_hex").head()
