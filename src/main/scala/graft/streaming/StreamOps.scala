@@ -36,11 +36,18 @@ case class MatchOut(user_id: Long, left_ts: Timestamp, right_ts: Timestamp)
 case class Partial(boundMs: List[Long]) // bound step times, newest first
 case class CepPatternAcc(partials: List[Partial])
 case class PatternMatch(user_id: Long, step_ts: Seq[Timestamp])
-// general-step partials: bound times + branch classifiers (newest first) and,
-// for a pending STRICT step, the successor event time observed so far
-// (-1 = none yet)
-case class ExPartial(boundMs: List[Long], cls: List[String], succMs: Long)
-case class CepExAcc(partials: List[ExPartial])
+// general-step partials: bound times + branch classifiers (newest first;
+// Long.MinValue marks a SKIPPED optional step) and, for a pending STRICT
+// step, the successor event time observed so far (-1 = none yet). `guards`
+// record each skipped step: the skip branch is killed if any event matching
+// that step arrives in (fromMs, start + within] — the batch lowering binds
+// an optional whenever a candidate exists anywhere in the window
+case class Guard(step: Int, fromMs: Long)
+case class ExPartial(boundMs: List[Long], cls: List[String], succMs: Long,
+                     guards: List[Guard] = Nil)
+// pending = completed matches containing a skipped optional: they emit only
+// once the watermark passes the window end (no guard event can then arrive)
+case class CepExAcc(partials: List[ExPartial], pending: List[ExPartial] = Nil)
 case class ExMatch(user_id: Long, step_ts: Seq[Timestamp], step_cls: Seq[String])
 // iterative-condition partials carry the full bound events (newest first) so
 // later step predicates can reference them — O(steps) state per partial
@@ -285,7 +292,9 @@ object StreamOps {
     * first-events per key are retained; when the buffer is full the NEWEST
     * arrival is dropped (documented policy — the retained earliest events
     * are exactly the ones a future second-event matches first, so
-    * earliest-match semantics degrade predictably). Pending firsts whose
+    * earliest-match semantics degrade predictably; note the
+    * cepPattern/cepPatternSteps/cepPatternIter family makes the OPPOSITE
+    * choice, keeping the newest starts). Pending firsts whose
     * window closed at-or-before the watermark are pruned each batch, and an
     * event-time timeout releases a dormant key's state entirely once every
     * pending window has passed (Flink NFA pruning + state-TTL analog). */
@@ -540,11 +549,19 @@ object StreamOps {
     * contiguity (`strict = true`, flink-cep `next()`: the step binds only at
     * the key's first event time strictly after the previous binding, and ANY
     * event counts as intervening — so feed the op the key's full event
-    * stream, not a pre-filtered one), and alternation (`branches` non-empty,
+    * stream, not a pre-filtered one), alternation (`branches` non-empty,
     * flink-cep GroupPattern / followedByOneOf: the first matching branch in
-    * declaration order classifies the binding). */
+    * declaration order classifies the binding), `optional` (flink-cep
+    * `optional()` with the batch compile's greedy semantics: the step binds
+    * whenever a candidate exists anywhere in the window, and is skipped —
+    * null `step_ts` entry — only when none ever arrives, so skip-matches
+    * emit when the watermark passes the window end), and `times` (flink-cep
+    * `times(n)`: n successive occurrences, one `step_ts` entry each).
+    * `optional` is exclusive with strict/branches/times and cannot be the
+    * first step — mirroring the batch combinator's requires. */
   case class CepStep(pred: Event => Boolean, strict: Boolean = false,
-                     branches: Seq[(String, Event => Boolean)] = Nil)
+                     branches: Seq[(String, Event => Boolean)] = Nil,
+                     optional: Boolean = false, times: Int = 1)
 
   /** Streaming CEP with per-step contiguity modes and branch classifiers —
     * the unbounded counterpart of `graft.cep.Pattern.next/followedByOneOf`
@@ -554,18 +571,56 @@ object StreamOps {
     * after the previous binding (equal-timestamp events each get a chance;
     * a strictly later time kills the partial), an alternation step binds the
     * first event satisfying any branch and records WHICH in `step_cls`
-    * (empty string for plain steps). Within-batch processing order is
-    * deterministic on (ts, type, value); state is bounded by `maxPartials` +
-    * watermark pruning + event-time eviction exactly as [[cepPattern]]. */
+    * (empty string for plain steps), an optional step skips only when no
+    * candidate ever arrives in the window (skip-matches hold in state and
+    * emit once the watermark passes the window end), and times(n) binds n
+    * successive occurrences. Within-batch processing order is deterministic
+    * on (ts, type, value); state is bounded by `maxPartials` + watermark
+    * pruning + event-time eviction exactly as [[cepPattern]]. Partial-cap
+    * policy (shared by the cepPattern/cepPatternSteps/cepPatternIter
+    * family): when a key exceeds `maxPartials`, the NEWEST starts are kept —
+    * the opposite of [[cepFollowedBy]], which keeps its oldest pending
+    * starts; both are documented choices, pick the op accordingly. */
   def cepPatternSteps(events: Dataset[Event], watermark: String,
                       steps: Seq[CepStep], withinMs: Long,
                       maxPartials: Int = 256): Dataset[ExMatch] = {
-    require(steps.size >= 2, "a pattern needs at least two steps")
-    require(!steps.head.strict, "the first step has no predecessor to be strict after")
+    val expanded: IndexedSeq[CepStep] = steps.flatMap { s =>
+      require(s.times >= 1, "times must be >= 1")
+      require(!(s.optional && s.times > 1), "optional and times(n) are exclusive")
+      require(!(s.optional && s.strict), "optional and strict are exclusive")
+      require(!(s.optional && s.branches.nonEmpty), "optional and branches are exclusive")
+      Seq.fill(s.times)(s.copy(times = 1))
+    }.toIndexedSeq
+    require(expanded.size >= 2, "a pattern needs at least two steps")
+    require(!expanded.head.strict, "the first step has no predecessor to be strict after")
+    require(!expanded.head.optional, "the first step cannot be optional")
+    val Skip = Long.MinValue
     def predOf(s: CepStep): Event => Boolean =
       if (s.branches.nonEmpty) e => s.branches.exists(_._2(e)) else s.pred
     def clsOf(s: CepStep, e: Event): String =
       s.branches.find(_._2(e)).map(_._1).getOrElse("")
+    // skip-fork: while the next unbound step is optional, branch off a
+    // partial that marks it skipped and guards against any candidate
+    // arriving later in the window
+    def forkFrom(p0: ExPartial): (List[ExPartial], List[ExPartial]) = {
+      val open = List.newBuilder[ExPartial]; val pend = List.newBuilder[ExPartial]
+      open += p0
+      var cur = p0
+      var more = true
+      while (more && cur.boundMs.length < expanded.size &&
+             expanded(cur.boundMs.length).optional) {
+        val i = cur.boundMs.length
+        val from = cur.boundMs.find(_ != Skip).get
+        cur = ExPartial(Skip :: cur.boundMs, "" :: cur.cls, -1L,
+          Guard(i, from) :: cur.guards)
+        if (cur.boundMs.length == expanded.size) { pend += cur; more = false }
+        else open += cur
+      }
+      (open.result(), pend.result())
+    }
+    def toMatch(userId: Long, p: ExPartial): ExMatch =
+      ExMatch(userId, p.boundMs.reverse.map(ms =>
+        if (ms == Skip) null else new Timestamp(ms)), p.cls.reverse)
     implicit val outEnc = Encoders.product[ExMatch]
     implicit val accEnc = Encoders.product[CepExAcc]
     implicit val keyEnc = Encoders.scalaLong
@@ -575,41 +630,65 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[CepExAcc]) =>
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          var pending = state.getOption.map(_.pending).getOrElse(Nil)
           val out = Seq.newBuilder[ExMatch]
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
             val t = e.ts.getTime
+            // guard pass FIRST: an in-window candidate for a skipped optional
+            // invalidates the skip branch (the main branch binds it instead)
+            def guardHit(p: ExPartial): Boolean =
+              p.guards.exists(g => t > g.fromMs &&
+                t <= p.boundMs.last + withinMs && predOf(expanded(g.step))(e))
+            partials = partials.filterNot(guardHit)
+            pending = pending.filterNot(guardHit)
             partials = partials.flatMap { p =>
               val i = p.boundMs.length
               val start = p.boundMs.last
-              val step = steps(i)
-              if (start + withinMs < t) None // window expired
-              else if (t <= p.boundMs.head) Some(p) // not after the previous binding
+              val step = expanded(i)
+              val prevReal = p.boundMs.find(_ != Skip).get
+              if (start + withinMs < t) Nil // window expired
+              else if (t <= prevReal) List(p) // not after the previous binding
               else {
                 val succKnown = p.succMs >= 0
                 val succ = if (succKnown) p.succMs else t
-                if (step.strict && t > succ) None // successor time passed unbound
+                if (step.strict && t > succ) Nil // successor time passed unbound
                 else if ((!step.strict || t == succ) && predOf(step)(e)) {
                   val bound = t :: p.boundMs
                   val cls = clsOf(step, e) :: p.cls
-                  if (bound.length == steps.size) {
-                    out += ExMatch(userId, bound.reverse.map(new Timestamp(_)),
-                      cls.reverse)
-                    None // completed
-                  } else Some(ExPartial(bound, cls, -1L))
-                } else if (step.strict && !succKnown) Some(p.copy(succMs = t))
-                else Some(p)
+                  if (bound.length == expanded.size) {
+                    val done = ExPartial(bound, cls, -1L, p.guards)
+                    // a match with skipped steps emits only at window expiry
+                    if (p.guards.isEmpty) out += toMatch(userId, done)
+                    else pending = done :: pending
+                    Nil
+                  } else {
+                    val (open, pend) = forkFrom(ExPartial(bound, cls, -1L, p.guards))
+                    pending = pend ++ pending
+                    open
+                  }
+                } else if (step.strict && !succKnown) List(p.copy(succMs = t))
+                else List(p)
               }
             }
-            if (predOf(steps.head)(e))
-              partials = (ExPartial(List(t), List(clsOf(steps.head, e)), -1L)
-                :: partials).take(maxPartials)
+            if (predOf(expanded.head)(e)) {
+              val (open, pend) = forkFrom(
+                ExPartial(List(t), List(clsOf(expanded.head, e)), -1L, Nil))
+              pending = pend ++ pending
+              partials = (open ++ partials).take(maxPartials)
+            }
           }
           val wm = state.getCurrentWatermarkMs()
           partials = partials.filter(_.boundMs.last + withinMs > wm)
-          if (partials.isEmpty) state.remove()
+          // skip-matches whose window closed can no longer be invalidated
+          val (ripe, wait) = pending.partition(_.boundMs.last + withinMs <= wm)
+          ripe.foreach(p => out += toMatch(userId, p))
+          pending = wait
+          if (partials.isEmpty && pending.isEmpty) state.remove()
           else {
-            state.update(CepExAcc(partials))
-            state.setTimeoutTimestamp(partials.map(_.boundMs.last + withinMs).min)
+            state.update(CepExAcc(partials, pending))
+            state.setTimeoutTimestamp(
+              (partials.map(_.boundMs.last + withinMs) ++
+                pending.map(_.boundMs.last + withinMs)).min)
           }
           out.result().iterator
       }

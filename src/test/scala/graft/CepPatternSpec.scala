@@ -297,6 +297,77 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("optional step: batch/streaming parity incl. skip-at-expiry and guard kill") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: click binds; user 2: no click ever -> skip-match (null click_ts)
+    // emitted only at window expiry; user 3: a click EXISTS in-window but
+    // after the purchase -> batch binds it and finds no later purchase (no
+    // match), streaming's guard must kill the pending skip-match
+    val all = Seq(
+      (1L, at(0), "signup"), (1L, at(10), "click"), (1L, at(20), "purchase"),
+      (2L, at(0), "signup"), (2L, at(15), "purchase"),
+      (3L, at(0), "signup"), (3L, at(5), "purchase"), (3L, at(10), "click"))
+    val batch = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").optional()
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"click_ts", $"purchase_ts")
+      .as[(Long, Timestamp, Option[Timestamp], Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    // 2h watermark delay so cross-batch events are never late-dropped (the
+    // other parity tests' convention)
+    val q = StreamOps.cepPatternSteps(in.toDS(), "2 hours", Seq(
+        StreamOps.CepStep(_.event_type == "signup"),
+        StreamOps.CepStep(_.event_type == "click", optional = true),
+        StreamOps.CepStep(_.event_type == "purchase")), HOUR).toDF()
+      .writeStream.format("memory").queryName("s_opt_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(4)); q.processAllAvailable() // split across micro-batches
+    in.addData(evs.drop(4)); q.processAllAvailable()
+    // push the watermark (flush_ts - 2h) past every window end, then one more
+    // batch so the event-time timeouts fire and release pending skip-matches
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_opt_parity").as[graft.streaming.ExMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0), Option(m.step_ts(1)), m.step_ts(2))).toSet
+    assert(streaming == batch &&
+      batch == Set((1L, at(0), Some(at(10)), at(20)), (2L, at(0), None, at(15))),
+      s"streaming=$streaming batch=$batch")
+  }
+
+  test("times(n) step: batch/streaming parity across micro-batch splits") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      (1L, at(0), "signup"), (1L, at(10), "click"), (1L, at(20), "click"), (1L, at(30), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "click"), (2L, at(15), "purchase"))
+    val batch = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").times(2)
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"click_1_ts", $"click_2_ts", $"purchase_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternSteps(in.toDS(), "2 hours", Seq(
+        StreamOps.CepStep(_.event_type == "signup"),
+        StreamOps.CepStep(_.event_type == "click", times = 2),
+        StreamOps.CepStep(_.event_type == "purchase")), HOUR).toDF()
+      .writeStream.format("memory").queryName("s_times_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(3)); q.processAllAvailable() // split mid-run
+    in.addData(evs.drop(3)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_times_parity").as[graft.streaming.ExMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0), m.step_ts(1), m.step_ts(2), m.step_ts(3))).toSet
+    assert(streaming == batch &&
+      batch == Set((1L, at(0), at(10), at(20), at(30))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   // user 1: signup(10)@0; purchase(15)@10 fails >2×, purchase(25)@20 binds
   // user 2: signup(5)@0; purchase(8)@10 never qualifies
   private lazy val valued = Seq(
