@@ -172,9 +172,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * column `c`, `<step>_sum_<c>` / `<step>_min_<c>` / `<step>_max_<c>` and
     * the first/last member's value `<step>_first_<c>` / `<step>_last_<c>`
     * (by run timestamp; equal-timestamp ties resolve to the lexicographic
-    * (ts, value) min/max — deterministic on both engines). O(1) aggregation
-    * state per column, same single keyed equi-join + agg lowering; an empty
-    * zeroOrMore run yields nulls (count stays 0). */
+    * (ts, value) min/max — deterministic on both engines). sum/min/max ride
+    * the run's single HASH aggregate (O(1) state per column); first/last
+    * values come from a per-(key, ts) extremes table equi-joined back on the
+    * boundary timestamps (the q38 pattern — no struct aggregate, so nothing
+    * falls back to SortAggregate and the member rows are never sorted). An
+    * empty zeroOrMore run yields nulls (count stays 0). */
   def bindRun(cols: String*): Pattern = {
     require(steps.nonEmpty && (steps.last.oneOrMore || steps.last.runOn.nonEmpty),
       "bindRun() requires oneOrMore()/zeroOrMore()/followedByRun() on the step")
@@ -245,24 +248,55 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   /** Match window measured from the first step's event time. */
   def within(ms: Long): Pattern = new Pattern(steps, notStep, Some(ms), skipPastLast)
 
-  /** Per-column run aggregates for [[bindRun]] columns: sum/min/max plus the
-    * first/last member's value via lexicographic (ts, value) struct-min/max
-    * (deterministic on equal-timestamp members). */
-  private def runValAggs(name: String, keep: Seq[String], tsA: Column,
+  /** Per-column run aggregates for [[bindRun]] columns — sum/min/max only:
+    * all primitive, so the run aggregate stays a HASH aggregate (a
+    * min/max-over-struct agg would fall back to SortAggregate and sort the
+    * whole member join output — the exact cost the q38/w17 guardrails ban). */
+  private def runValAggs(name: String, keep: Seq[String],
                          src: String => Column): Seq[Column] =
     keep.flatMap { c => Seq(
       sum(src(c)).as(s"${name}_sum_$c"),
       min(src(c)).as(s"${name}_min_$c"),
-      max(src(c)).as(s"${name}_max_$c"),
-      min(struct(tsA.as("t"), src(c).as("v"))).as(s"__fb_$c"),
-      max(struct(tsA.as("t"), src(c).as("v"))).as(s"__lb_$c")) }
+      max(src(c)).as(s"${name}_max_$c")) }
 
-  private def extractRunVals(df: DataFrame, name: String, keep: Seq[String]): DataFrame =
-    keep.foldLeft(df) { (d, c) =>
-      d.withColumn(s"${name}_first_$c", col(s"__fb_$c.v"))
-        .withColumn(s"${name}_last_$c", col(s"__lb_$c.v"))
-        .drop(s"__fb_$c", s"__lb_$c")
+  /** First/last member VALUES via the q38 pattern: pre-aggregate the
+    * candidates' per-(key, ts[, seg]) value extremes once (hash aggregate),
+    * then equi-join that tiny table back on the run's boundary timestamps.
+    * first = min value at the first member's ts, last = max value at the
+    * last member's ts — the same deterministic (ts, value) tie-break the
+    * struct-min/max formulation had, with no Sort anywhere. `candVals` has
+    * columns (__vk, __vts[, __vseg], __mn_<c>, __mx_<c>); `seg` adds the
+    * segment-id equi-key for self-referential runs (candidates at one
+    * (key, ts) can belong to different segments). Left joins: a zeroOrMore
+    * empty run has null boundary ts and keeps null values. */
+  private def joinBoundaryVals(out0: DataFrame, name: String, keep: Seq[String],
+                               candVals: => DataFrame, seg: Boolean): DataFrame = {
+    if (keep.isEmpty) return out0
+    val valCols = Seq("__vk", "__vts") ++ (if (seg) Seq("__vseg") else Nil) ++
+      keep.flatMap(c => Seq(s"__mn_$c", s"__mx_$c"))
+    def joined(d: DataFrame, tsCol: String,
+               outOf: String => (String, String)): DataFrame = {
+      val cond = col("__k") === col("__vk") && col(tsCol) === col("__vts") &&
+        (if (seg) col("__rseg") === col("__vseg") else lit(true))
+      keep.foldLeft(d.join(candVals, cond, "left")) { (dd, c) =>
+        val (alias, src) = outOf(c)
+        dd.withColumn(alias, col(src))
+      }.drop(valCols: _*)
     }
+    val withFirst = joined(out0, s"${name}_first_ts",
+      c => (s"${name}_first_$c", s"__mn_$c"))
+    joined(withFirst, s"${name}_last_ts", c => (s"${name}_last_$c", s"__mx_$c"))
+  }
+
+  /** The per-(key, ts[, seg]) value-extremes table for [[joinBoundaryVals]]. */
+  private def boundaryValTable(cand: DataFrame, keep: Seq[String],
+                               segCol: Option[Column]): DataFrame = {
+    val aggs = keep.flatMap(c => Seq(min(col(s"__rm_$c")).as(s"__mn_$c"),
+      max(col(s"__rm_$c")).as(s"__mx_$c")))
+    cand.groupBy((col("__k3").as("__vk") +: col("__rts").as("__vts") +:
+        segCol.map(_.as("__vseg")).toSeq): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Compile to a DataFrame of matches: one row per match, one `<name>_ts`
     * column per binding (suffixed `_1.._n` for quantified steps;
@@ -330,27 +364,40 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           .withColumn("__seg", sum(col("__viol"))
             .over(ww.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
           .drop("__pv", "__viol")
+        // binding = min candidate ts (HASH agg — a struct-min would fall to
+        // SortAggregate and sort the whole in-window join output), then the
+        // segment id from a tiny per-(key, ts) min-seg table. Equal-ts
+        // candidates: with a '<'-type accept the later-ordered tie always
+        // breaks the chain, so min seg IS the (ts, value)-min candidate's
+        // segment; with a '>'-type accept ties share one segment — either
+        // way the binding is deterministic and matches the (ts, value, seg)
+        // lexicographic-min the oracle replays.
         val kept0 = out.columns.map(col)
-        val fb = struct(col("__rts").as("ts"), col("__rv").as("v"), col("__seg").as("seg"))
-        out = out.join(candSeg.select(col("__rk"), col("__rts"), col("__rv"), col("__seg")),
+        out = out.join(candSeg.select(col("__rk"), col("__rts")),
             col("__k") === col("__rk") && col("__rts") > prevTs &&
               col("__rts") <= col(startTs) + win)
-          .groupBy(kept0.toIndexedSeq: _*).agg(min(fb).as("__rb"))
-          .withColumn(s"${s.name}_first_ts", col("__rb.ts"))
-          .withColumn("__rseg", col("__rb.seg")).drop("__rb")
+          .groupBy(kept0.toIndexedSeq: _*)
+          .agg(min(col("__rts")).as(s"${s.name}_first_ts"))
+        val segAt = candSeg.groupBy(col("__rk").as("__sk"), col("__rts").as("__sts"))
+          .agg(min(col("__seg")).as("__rseg"))
+        out = out.join(segAt, col("__k") === col("__sk") &&
+            col(s"${s.name}_first_ts") === col("__sts"))
+          .drop("__sk", "__sts")
         val mem = candSeg.select((col("__rk").as("__k3") +: col("__rts").as("__mts") +:
           col("__seg").as("__mseg") +: s.keep.map(c => col(s"__rm_$c").as(s"__mm_$c"))): _*)
         val kept1 = out.columns.map(col)
         val memAggs = count(lit(1)).as(s"${s.name}_n") +:
-          runValAggs(s.name, s.keep, col("__mts"), c => col(s"__mm_$c"))
-        out = extractRunVals(
-          out.join(mem, col("__k") === col("__k3") &&
-              col("__mseg") === col("__rseg") &&
-              col("__mts") >= col(s"${s.name}_first_ts") &&
-              col("__mts") <= col(startTs) + win)
-            .groupBy(kept1.toIndexedSeq: _*)
-            .agg(max(col("__mts")).as(s"${s.name}_last_ts"), memAggs: _*),
-          s.name, s.keep).drop("__rseg")
+          runValAggs(s.name, s.keep, c => col(s"__mm_$c"))
+        out = out.join(mem, col("__k") === col("__k3") &&
+            col("__mseg") === col("__rseg") &&
+            col("__mts") >= col(s"${s.name}_first_ts") &&
+            col("__mts") <= col(startTs) + win)
+          .groupBy(kept1.toIndexedSeq: _*)
+          .agg(max(col("__mts")).as(s"${s.name}_last_ts"), memAggs: _*)
+        out = joinBoundaryVals(out, s.name, s.keep,
+          boundaryValTable(candSeg.withColumnRenamed("__rk", "__k3"),
+            s.keep, Some(col("__seg"))), seg = true)
+          .drop("__rseg")
         prevTs = col(s"${s.name}_last_ts")
       } else {
       if (s.strict) {
@@ -445,17 +492,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       val kept = out.columns.map(col)
       // zeroOrMore (opt=true): an empty run keeps the match row through a
       // left-outer join with null run columns and count 0
-      out = extractRunVals(
-        out.join(cand,
-            col("__k") === col("__k3") && col("__rts") >= col(s"${name}_ts") && upperCond,
-            if (st.opt) "left_outer" else "inner")
-          .groupBy(kept.toIndexedSeq: _*)
-          .agg(max(col("__rts")).as(s"${name}_last_ts"),
-            (count(col("__rts")).as(s"${name}_n") +:
-              runValAggs(name, st.keep, col("__rts"), c => col(s"__rm_$c"))): _*),
-        name, st.keep)
+      out = out.join(cand,
+          col("__k") === col("__k3") && col("__rts") >= col(s"${name}_ts") && upperCond,
+          if (st.opt) "left_outer" else "inner")
+        .groupBy(kept.toIndexedSeq: _*)
+        .agg(max(col("__rts")).as(s"${name}_last_ts"),
+          (count(col("__rts")).as(s"${name}_n") +:
+            runValAggs(name, st.keep, c => col(s"__rm_$c"))): _*)
         .withColumnRenamed(s"${name}_ts", s"${name}_first_ts")
         .drop("__until_ts")
+      out = joinBoundaryVals(out, name, st.keep,
+        boundaryValTable(cand, st.keep, None), seg = false)
     }
     val matches = out.withColumnRenamed("__k", "key")
     if (!skipPastLast) matches else applySkipPastLast(matches, startName = startTs)

@@ -145,6 +145,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("m09/m10 run lowerings stay keyed; m10 sorts only the candidate window") {
+    for (q <- Seq("m09_match_run_sum", "m10_match_vshape")) {
+      val p = planOf(q).split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: run aggregation must ride keyed equi-joins:\n$p")
+      // m09's run aggregate is hash-only (sum/min/max + boundary-value
+      // joins) and must not sort at all. m10's only sorts are the per-key
+      // candidate segmentation WINDOW (lag + running sum), re-computed once
+      // per candSeg reference (binding, seg table, members, boundary vals —
+      // <= 4); it sorts only the pattern-filtered candidates, never fact or
+      // match rows
+      val sorts = "Sort ".r.findAllIn(p).length
+      val cap = if (q.startsWith("m10")) 4 else 0
+      assert(sorts <= cap, s"$q: expected <= $cap Sort, got $sorts:\n$p")
+    }
+  }
+
   test("d12 incremental path never rescans the corpus text (pushed doc_id filter)") {
     // the RETURNED plan is the incremental path: every scan of the documents
     // table must carry the new-batch doc_id > cutoff pushed filter (the
