@@ -428,9 +428,40 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       out =
         if (payload.isEmpty)
           joined.groupBy(kept.toIndexedSeq: _*).agg(min(col("__cts")).as(s"${s.name}_ts"))
-        else {
-          // earliest binding with payload: lexicographic struct-min over
-          // (ts, payload columns) — deterministic on equal-ts candidates
+        else if (s.iter.isEmpty) {
+          // earliest binding with payload, HASH-only (the q38 pattern): bind
+          // the min ts with a hash aggregate, then resolve the lexicographic
+          // (ts, payload...) tie-break by successive refinement — one tiny
+          // per-(key, ts, bound-prefix) min table over the CANDIDATES per
+          // payload column, equi-joined back. The struct-min alternative
+          // falls back to SortAggregate and sorts the whole binding-join
+          // output (matches × in-window candidates) — the cost the q38/w17
+          // guardrails ban. Window/strict conditions are uniform across
+          // candidates at one (key, ts), so the per-(key, ts) argmin equals
+          // the per-match argmin.
+          var g = joined.groupBy(kept.toIndexedSeq: _*)
+            .agg(min(col("__cts")).as(s"${s.name}_ts"))
+          var fixed: Seq[(String, String)] = Nil // (suffix, src) already refined
+          payload.foreach { case (n, src) =>
+            val grp = col("__k2").as("__pk") +: col("__cts").as("__pts") +:
+              fixed.map { case (fn, fsrc) => col(fsrc).as(s"__pf_$fn") }
+            val tbl = candidate(s).groupBy(grp: _*)
+              .agg(min(col(src)).as(s"${s.name}_$n"))
+            val cond = col("__k") === col("__pk") &&
+              col(s"${s.name}_ts") === col("__pts") &&
+              fixed.map { case (fn, _) => col(s"${s.name}_$fn") === col(s"__pf_$fn") }
+                .foldLeft(lit(true))(_ && _)
+            // left join: an optional-tail expansion's null binding keeps its
+            // row with null payload
+            g = g.join(tbl, cond, "left")
+              .drop(("__pk" +: "__pts" +: fixed.map(f => s"__pf_${f._1}")): _*)
+            fixed = fixed :+ (n -> src)
+          }
+          g
+        } else {
+          // ITERATIVE steps keep the struct-min: the relative residual
+          // admits candidates per match, so a global per-(key, ts) argmin
+          // would see candidates this match's residual rejected
           val b = struct((col("__cts").as("ts") +:
             payload.map { case (n, src) => col(src).as(n) }): _*)
           val g = joined.groupBy(kept.toIndexedSeq: _*).agg(min(b).as("__b"))

@@ -145,19 +145,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
-  test("m09/m10 run lowerings stay keyed; m10 sorts only the candidate window") {
-    for (q <- Seq("m09_match_run_sum", "m10_match_vshape")) {
+  test("CEP value bindings and run lowerings never sort match or fact rows") {
+    // m02 (bind payload) and m05 (alternation classifier) bind via the
+    // hash min-ts + per-(key, ts) refinement tables — zero Sorts, like
+    // m09's hash-only run aggregate. (Iterative steps — w14/m06 — keep the
+    // struct-min because their residual admits candidates per match.)
+    for (q <- Seq("m02_match_measures", "m05_match_alternation",
+        "m09_match_run_sum", "m10_match_vshape")) {
       val p = planOf(q).split("== Initial Plan ==").head
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: run aggregation must ride keyed equi-joins:\n$p")
-      // m09's run aggregate is hash-only (sum/min/max + boundary-value
-      // joins) and must not sort at all. m10's only sorts are the per-key
-      // candidate segmentation WINDOW (lag + running sum), re-computed once
-      // per candSeg reference (binding, seg table, members, boundary vals —
-      // <= 4); it sorts only the pattern-filtered candidates, never fact or
-      // match rows
+      // m02/m09: fully hash-aggregated — zero Sorts. Remaining sorts are
+      // candidate-level only: m05's string classifier min isn't
+      // hash-aggregable (var-length buffer), so its per-(key, ts)
+      // refinement table SortAggregates — over candidates, not the binding
+      // join (<= 2: partial+final pair); m10's are the per-key candidate
+      // segmentation WINDOW, re-computed once per candSeg reference
+      // (binding, seg table, members, boundary vals — <= 4). Neither ever
+      // sorts fact or match rows.
       val sorts = "Sort ".r.findAllIn(p).length
-      val cap = if (q.startsWith("m10")) 4 else 0
+      val cap = if (q.startsWith("m10")) 4 else if (q.startsWith("m05")) 2 else 0
       assert(sorts <= cap, s"$q: expected <= $cap Sort, got $sorts:\n$p")
     }
   }
