@@ -459,15 +459,31 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           }
           g
         } else {
-          // ITERATIVE steps keep the struct-min: the relative residual
-          // admits candidates per match, so a global per-(key, ts) argmin
-          // would see candidates this match's residual rejected
-          val b = struct((col("__cts").as("ts") +:
-            payload.map { case (n, src) => col(src).as(n) }): _*)
-          val g = joined.groupBy(kept.toIndexedSeq: _*).agg(min(b).as("__b"))
-          payload.foldLeft(g.withColumn(s"${s.name}_ts", col("__b.ts"))) {
-            case (d, (n, _)) => d.withColumn(s"${s.name}_$n", col(s"__b.$n"))
-          }.drop("__b")
+          // ITERATIVE steps: the residual admits candidates per match, so a
+          // global per-(key, ts) argmin would see candidates this match's
+          // residual rejected. Bind the min ts (hash), then refine each
+          // payload column by re-joining the candidates PER MATCH at the
+          // bound timestamp with the residual re-applied — the join output
+          // is matches × candidates-at-one-ts (tiny), and the aggregate
+          // stays hash for primitive payloads. No struct-min, no sort of
+          // the full binding-join output.
+          var g = joined.groupBy(kept.toIndexedSeq: _*)
+            .agg(min(col("__cts")).as(s"${s.name}_ts"))
+          var fixed: Seq[String] = Nil // payload suffixes already refined
+          payload.foreach { case (n, src) =>
+            val keptG = g.columns.map(col)
+            val refCond = col("__k") === col("__k2") &&
+              col("__cts") === col(s"${s.name}_ts") && s.iter.get &&
+              fixed.map(fn => {
+                val fsrc = payload.collectFirst { case (`fn`, fs) => fs }.get
+                col(s"${s.name}_$fn") === col(fsrc)
+              }).foldLeft(lit(true))(_ && _)
+            g = g.join(candidate(s), refCond, "left")
+              .groupBy(keptG.toIndexedSeq: _*)
+              .agg(min(col(src)).as(s"${s.name}_$n"))
+            fixed = fixed :+ n
+          }
+          g
         }
       if (s.strict) out = out.drop("__succ_ts")
       prevTs = if (s.opt) coalesce(col(s"${s.name}_ts"), prevTs) else col(s"${s.name}_ts")

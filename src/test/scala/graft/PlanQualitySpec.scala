@@ -147,11 +147,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
 
   test("CEP value bindings and run lowerings never sort match or fact rows") {
     // m02 (bind payload) and m05 (alternation classifier) bind via the
-    // hash min-ts + per-(key, ts) refinement tables — zero Sorts, like
-    // m09's hash-only run aggregate. (Iterative steps — w14/m06 — keep the
-    // struct-min because their residual admits candidates per match.)
+    // hash min-ts + per-(key, ts) refinement tables; w14 (iterative bind)
+    // refines per match with the residual re-applied — zero Sorts, like
+    // m09's hash-only run aggregate.
     for (q <- Seq("m02_match_measures", "m05_match_alternation",
-        "m09_match_run_sum", "m10_match_vshape")) {
+        "w14_cep_relative", "m09_match_run_sum", "m10_match_vshape")) {
       val p = planOf(q).split("== Initial Plan ==").head
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: run aggregation must ride keyed equi-joins:\n$p")
