@@ -199,9 +199,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * with one lag + one running-sum window (ordered by (ts, runOn) — ties
     * beyond that make segmentation order-dependent, as in the reference),
     * then the run is one keyed equi-join on the segment id: shuffles stay
-    * on the key, no cross product, no per-NFA state. BATCH ONLY: the
-    * streaming cepPattern* family does not support self-referential runs
-    * (the segmentation window has no incremental analog there yet). */
+    * on the key, no cross product, no per-NFA state. The streaming twin is
+    * `graft.streaming.StreamOps.cepPatternRun` (the condition is causal on
+    * streams — O(1) run state), with a batch/streaming parity spec. */
   def followedByRun(name: String, pred: Column, runOn: String,
                     accept: (Column, Column) => Column): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")

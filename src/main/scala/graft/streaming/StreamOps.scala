@@ -57,6 +57,17 @@ case class IterMatch(user_id: Long, step_ts: Seq[Timestamp], step_value: Seq[Dou
 // oneOrMore runs carry only first/last/count — O(1) state per partial
 case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long, runN: Long)
 case class RunAcc(partials: List[RunPartial])
+// self-referential runs additionally carry the run's last accepted value
+// (the LAST(D.value, 1) the accept condition compares against), the run's
+// first value, a done flag (first violation closes the run), and the
+// earliest pending close-event ts (-1 = none) held while the run is open
+case class VRunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
+                       runN: Long, firstVal: Double, lastVal: Double,
+                       done: Boolean, pendingUMs: Long)
+case class VRunAcc(partials: List[VRunPartial])
+case class VRunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
+                     run_last_ts: Timestamp, run_n: Long, run_first_value: Double,
+                     run_last_value: Double, last_ts: Timestamp)
 case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                     run_last_ts: Timestamp, run_n: Long, last_ts: Timestamp)
 case class TjTagged(user_id: Long, ts: Timestamp, side: String,
@@ -950,6 +961,85 @@ object StreamOps {
           if (partials.isEmpty) state.remove()
           else {
             state.update(RunAcc(partials))
+            state.setTimeoutTimestamp(partials.map(_.firstMs + withinMs).min)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming counterpart of `Pattern.followedByRun` — the V-shape
+    * (S D+ U with `DEFINE D AS D.value < LAST(D.value, 1)`): the run
+    * extends while each D candidate satisfies `accept(current, previous)`
+    * against the run's OWN previous member's value, closes at the first
+    * violation, and U binds strictly after the run's LAST member. The
+    * self-referential condition is CAUSAL on streams — the run state is
+    * just the last accepted value — which is exactly why the batch
+    * segmentation window has this O(1)-state streaming twin. The one
+    * non-causal corner: a U arriving while the run is still open (a later
+    * D could extend the run past it and invalidate it) is HELD as a
+    * pending close and emitted when the run closes — at the first
+    * violation, or at window expiry via the event-time timeout. O(1) state
+    * per partial; `maxPartials` cap (newest starts kept, the cepPattern
+    * family policy), watermark pruning and event-time eviction as in
+    * [[cepPattern]]. Equal-timestamp events follow the deterministic
+    * (ts, type, value) processing order — keep step predicates disjoint
+    * for exact batch parity. */
+  def cepPatternRun(events: Dataset[Event], watermark: String,
+                    firstPred: Event => Boolean, runPred: Event => Boolean,
+                    accept: (Double, Double) => Boolean,
+                    lastPred: Event => Boolean, withinMs: Long,
+                    maxPartials: Int = 256): Dataset[VRunMatch] = {
+    implicit val outEnc = Encoders.product[VRunMatch]
+    implicit val accEnc = Encoders.product[VRunAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[VRunAcc, VRunMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[VRunAcc]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = Seq.newBuilder[VRunMatch]
+          def emit(p: VRunPartial, uMs: Long): Unit =
+            out += VRunMatch(userId, new Timestamp(p.firstMs),
+              new Timestamp(p.runFirstMs), new Timestamp(p.runLastMs),
+              p.runN, p.firstVal, p.lastVal, new Timestamp(uMs))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+            val t = e.ts.getTime
+            partials = partials.flatMap { p =>
+              if (t > p.firstMs + withinMs) {
+                // window expired: an open run with a held close completes
+                // at the boundary (no further in-window event can extend it)
+                if (p.runFirstMs >= 0 && p.pendingUMs >= 0) emit(p, p.pendingUMs)
+                None
+              } else if (runPred(e) && t > p.firstMs && !p.done) {
+                if (p.runFirstMs < 0)
+                  Some(p.copy(runFirstMs = t, runLastMs = t, runN = 1,
+                    firstVal = e.value, lastVal = e.value))
+                else if (accept(e.value, p.lastVal)) {
+                  // extension past a held close invalidates it (U must be
+                  // strictly after the run's final member)
+                  Some(p.copy(runLastMs = t, runN = p.runN + 1,
+                    lastVal = e.value, pendingUMs = -1L))
+                } else if (p.pendingUMs >= 0) { emit(p, p.pendingUMs); None }
+                else Some(p.copy(done = true))
+              } else if (lastPred(e) && p.runFirstMs >= 0 && t > p.runLastMs) {
+                if (p.done) { emit(p, t); None }
+                else if (p.pendingUMs < 0) Some(p.copy(pendingUMs = t))
+                else Some(p)
+              } else Some(p)
+            }
+            if (firstPred(e))
+              partials = (VRunPartial(t, -1L, -1L, 0L, 0.0, 0.0, false, -1L)
+                :: partials).take(maxPartials)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (expired, alive) = partials.partition(_.firstMs + withinMs <= wm)
+          expired.foreach(p =>
+            if (p.runFirstMs >= 0 && p.pendingUMs >= 0) emit(p, p.pendingUMs))
+          partials = alive
+          if (partials.isEmpty) state.remove()
+          else {
+            state.update(VRunAcc(partials))
             state.setTimeoutTimestamp(partials.map(_.firstMs + withinMs).min)
           }
           out.result().iterator

@@ -297,6 +297,52 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch followedByRun and streaming cepPatternRun agree (V-shape parity)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: run 9>7>4, the 8 breaks it, purchase after the break;
+    // user 2: single-member run, U arrives while the run is OPEN (held as
+    // pending, emitted at window expiry); user 3: U@8 held, then a D
+    // extends the run past it (invalidated), violation at 7, U@22 binds
+    val all = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 9.0), (1L, at(10), "click", 7.0),
+      (1L, at(15), "click", 4.0), (1L, at(20), "click", 8.0), (1L, at(25), "purchase", 1.0),
+      (2L, at(0), "signup", 0.0), (2L, at(5), "click", 3.0), (2L, at(10), "purchase", 1.0),
+      (3L, at(0), "signup", 0.0), (3L, at(5), "click", 6.0), (3L, at(8), "purchase", 0.0),
+      (3L, at(12), "click", 5.0), (3L, at(16), "click", 7.0), (3L, at(22), "purchase", 0.0))
+    val batch = Pattern.begin("s", $"event_type" === "signup")
+      .followedByRun("d", $"event_type" === "click", "value", _ < _)
+      .bindRun("value")
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type", "value"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"d_first_ts", $"d_last_ts", $"d_n",
+        $"d_first_value", $"d_last_value", $"u_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Double, Double, Timestamp)]
+      .collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternRun(in.toDS(), "2 hours",
+        _.event_type == "signup", _.event_type == "click", _ < _,
+        _.event_type == "purchase", HOUR).toDF()
+      .writeStream.format("memory").queryName("s_vrun_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    in.addData(evs.take(7)); q.processAllAvailable() // split mid-run
+    in.addData(evs.drop(7)); q.processAllAvailable()
+    // user 2's held close needs the window to expire: push the watermark
+    // past every window end, then one more batch for the timeouts
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_vrun_parity").as[graft.streaming.VRunMatch].collect()
+      .map(m => (m.user_id, m.first_ts, m.run_first_ts, m.run_last_ts, m.run_n,
+        m.run_first_value, m.run_last_value, m.last_ts)).toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), at(5), at(15), 3L, 9.0, 4.0, at(25)),
+      (2L, at(0), at(5), at(5), 1L, 3.0, 3.0, at(10)),
+      (3L, at(0), at(5), at(12), 2L, 6.0, 5.0, at(22))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("optional step: batch/streaming parity incl. skip-at-expiry and guard kill") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
