@@ -343,22 +343,11 @@ object MatchRecognize {
       bindByVar.get(v.name).foreach { ks =>
         val isRun = selfRuns.contains(v.name) ||
           v.quant.exists(q => q == "+" || q == "*")
-        if (isRun) pat = pat.bindRun(ks: _*) // run-aggregated value measures
-        else {
-          // bind() (value measures / relative references) needs a fixed
-          // occurrence count; catch the documented-syntax-but-unbindable
-          // combinations here with a named error instead of Pattern.bind's
-          // opaque require
-          val inexact = v.quant.exists {
-            case "?" => true
-            case q =>
-              val b = q.stripPrefix("{").stripSuffix("}").split(",")
-              b.length == 2 && b(0) != b(1)
-          }
-          require(!inexact, s"value measures over ${v.name} (${ks.mkString(", ")}) " +
-            s"need an exact {n} quantifier, not ${v.quant.get}")
-          pat = pat.bind(ks: _*)
-        }
+        // runs aggregate their value measures; every other quantifier binds
+        // per expansion ('?' and the '{n,m}' optional tail bind null when
+        // skipped — SUM/LAST/COUNT measures coalesce over them)
+        if (isRun) pat = pat.bindRun(ks: _*)
+        else pat = pat.bind(ks: _*)
       }
     }
     if (spec.skipPastLast) pat = pat.afterMatchSkipPastLastEvent()
@@ -418,8 +407,10 @@ object MatchRecognize {
             case Some("LAST") =>
               if (mn == mx) col(srcs.last) else coalesce(srcs.reverse.map(col): _*)
             case Some("SUM") =>
-              require(mn == mx, s"SUM(${m.varName}.${m.field}) needs an exact {n} quantifier")
-              srcs.map(col).reduce(_ + _)
+              // the tail expansions of '{n,m}' are nullable — sum the bound
+              // ones (the first expansion is mandatory, so the seed is
+              // non-null and an all-bound sum is unchanged)
+              srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0)))
             case Some("MIN") =>
               if (srcs.size == 1) col(srcs.head) else least(srcs.map(col): _*)
             case Some("MAX") =>
@@ -478,8 +469,8 @@ object MatchRecognize {
         case Some("LAST") =>
           if (visible.isEmpty) nullOf(first) else coalesce(srcs.reverse.map(col): _*)
         case Some("SUM") =>
-          require(mn == mx, s"SUM(${m.varName}.${m.field}) needs an exact {n} quantifier")
-          if (visible.isEmpty) nullOf(first) else srcs.map(col).reduce(_ + _)
+          if (visible.isEmpty) nullOf(first)
+          else srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0)))
         case Some("MIN") =>
           if (visible.isEmpty) nullOf(first)
           else if (srcs.size == 1) col(srcs.head) else least(srcs.map(col): _*)

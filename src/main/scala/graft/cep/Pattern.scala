@@ -90,13 +90,16 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * referenceable from later iterative predicates via [[Pattern.bound]].
     * When several candidates share the earliest timestamp, the binding is the
     * lexicographic minimum over (ts, bound columns in declared order) —
-    * deterministic on both engines. Valid on plain and times(n) steps
-    * (quantified expansions bind as `<step>_<i>_<col>`); exclusive with
-    * optional()/oneOrMore(). */
+    * deterministic on both engines. Valid on plain, optional and
+    * times(n)/timesRange steps (quantified expansions bind as
+    * `<step>_<i>_<col>`; skipped expansions bind null); runs use [[bindRun]]
+    * instead. */
   def bind(cols: String*): Pattern = {
-    require(steps.nonEmpty && !steps.last.opt && !steps.last.oneOrMore &&
-      steps.last.optTail == 0,
-      "bind() applies to plain or times(n) steps")
+    // optional and ranged steps may bind too: a skipped expansion's payload
+    // is null (the refinement tables join left) — only runs aggregate
+    // instead of binding, via bindRun()
+    require(steps.nonEmpty && !steps.last.oneOrMore,
+      "bind() applies to plain/optional/times(n)/timesRange steps — use bindRun() for runs")
     new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast)
   }
 
@@ -117,8 +120,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * Exclusive with bind()/optional()/oneOrMore(). */
   def timesRange(from: Int, to: Int): Pattern = {
     require(from >= 1 && to > from && steps.nonEmpty)
-    require(!steps.last.opt && !steps.last.oneOrMore && steps.last.keep.isEmpty,
-      "timesRange() excludes optional()/oneOrMore()/bind()")
+    require(!steps.last.opt && !steps.last.oneOrMore,
+      "timesRange() excludes optional()/oneOrMore()")
     new Pattern(steps.init :+ steps.last.copy(reps = from, optTail = to - from),
       notStep, windowMs, skipPastLast)
   }

@@ -54,8 +54,13 @@ case class ExMatch(user_id: Long, step_ts: Seq[Timestamp], step_cls: Seq[String]
 case class IterPartial(bound: List[Event])
 case class CepIterAcc(partials: List[IterPartial])
 case class IterMatch(user_id: Long, step_ts: Seq[Timestamp], step_value: Seq[Double])
-// oneOrMore runs carry only first/last/count — O(1) state per partial
-case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long, runN: Long)
+// oneOrMore runs carry only first/last/count plus running value aggregates
+// (sum/min/max and the first/last member's value — the batch bindRun
+// columns) — O(1) state per partial
+case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
+                      runN: Long, sumVal: Double = 0.0, minVal: Double = 0.0,
+                      maxVal: Double = 0.0, firstVal: Double = 0.0,
+                      lastVal: Double = 0.0)
 case class RunAcc(partials: List[RunPartial])
 // self-referential runs additionally carry the run's last accepted value
 // (the LAST(D.value, 1) the accept condition compares against), the run's
@@ -69,7 +74,10 @@ case class VRunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp
                      run_last_ts: Timestamp, run_n: Long, run_first_value: Double,
                      run_last_value: Double, last_ts: Timestamp)
 case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
-                    run_last_ts: Timestamp, run_n: Long, last_ts: Timestamp)
+                    run_last_ts: Timestamp, run_n: Long, last_ts: Timestamp,
+                    run_sum_value: Double = 0.0, run_min_value: Double = 0.0,
+                    run_max_value: Double = 0.0, run_first_value: Double = 0.0,
+                    run_last_value: Double = 0.0)
 case class TjTagged(user_id: Long, ts: Timestamp, side: String,
                     event_type: String, value: Double)
 case class TjFact(tsMs: Long, event_type: String, value: Double)
@@ -918,13 +926,14 @@ object StreamOps {
 
   /** Streaming counterpart of `Pattern.oneOrMore()`: A B+ C — a first
     * event opens a partial, B-run occurrences accumulate as O(1) stats
-    * (first/last/count, no member list), and the earliest C strictly after
-    * the run's first B completes the match. Same semantics as the batch
-    * compile (run = B events before the C binding, window from the first
-    * event); equal-timestamp run/close events follow the deterministic
-    * (ts, type, value) processing order, so keep step predicates disjoint
-    * for exact batch parity. Watermark pruning + event-time state eviction
-    * as in [[cepPattern]]. */
+    * (first/last/count plus the `bindRun` value aggregates: running
+    * sum/min/max and the first/last member's value, no member list), and
+    * the earliest C strictly after the run's first B completes the match.
+    * Same semantics as the batch compile (run = B events before the C
+    * binding, window from the first event); equal-timestamp run/close
+    * events follow the deterministic (ts, type, value) processing order, so
+    * keep step predicates disjoint for exact batch parity. Watermark
+    * pruning + event-time state eviction as in [[cepPattern]]. */
   def cepPatternOneOrMore(events: Dataset[Event], watermark: String,
                           firstPred: Event => Boolean, runPred: Event => Boolean,
                           lastPred: Event => Boolean, withinMs: Long,
@@ -946,11 +955,24 @@ object StreamOps {
               else if (lastPred(e) && p.runFirstMs >= 0 && t > p.runFirstMs) {
                 out += RunMatch(userId, new Timestamp(p.firstMs),
                   new Timestamp(p.runFirstMs), new Timestamp(p.runLastMs),
-                  p.runN, new Timestamp(t))
+                  p.runN, new Timestamp(t), p.sumVal, p.minVal, p.maxVal,
+                  p.firstVal, p.lastVal)
                 None // completed
               } else if (runPred(e) && t > p.firstMs) {
-                if (p.runFirstMs < 0) Some(p.copy(runFirstMs = t, runLastMs = t, runN = 1))
-                else Some(p.copy(runLastMs = math.max(p.runLastMs, t), runN = p.runN + 1))
+                if (p.runFirstMs < 0)
+                  Some(p.copy(runFirstMs = t, runLastMs = t, runN = 1,
+                    sumVal = e.value, minVal = e.value, maxVal = e.value,
+                    firstVal = e.value, lastVal = e.value))
+                else
+                  // equal-ts members arrive value-ascending (the sort order),
+                  // so overwriting lastVal on t >= runLast reproduces the
+                  // batch (ts, value) max tie-break; firstVal set once is
+                  // the (ts, value) min
+                  Some(p.copy(runLastMs = math.max(p.runLastMs, t), runN = p.runN + 1,
+                    sumVal = p.sumVal + e.value,
+                    minVal = math.min(p.minVal, e.value),
+                    maxVal = math.max(p.maxVal, e.value),
+                    lastVal = if (t >= p.runLastMs) e.value else p.lastVal))
               } else Some(p)
             }
             if (firstPred(e))

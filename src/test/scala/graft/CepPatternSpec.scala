@@ -198,31 +198,41 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     // distinct timestamps; user 1 matches with a 2-click run split across
-    // batches; user 2 never purchases; user 3's purchase is out of window
+    // batches; user 2 never purchases; user 3's purchase is out of window.
+    // Values exercise the bindRun aggregates (sum/min/max/first/last).
     val all = Seq(
-      (1L, at(0), "signup"), (1L, at(10), "click"), (1L, at(20), "click"), (1L, at(30), "purchase"),
-      (2L, at(0), "signup"), (2L, at(5), "click"),
-      (3L, at(0), "signup"), (3L, at(10), "click"), (3L, at(90), "purchase")
+      (1L, at(0), "signup", 0.0), (1L, at(10), "click", 4.5), (1L, at(20), "click", 2.0),
+      (1L, at(30), "purchase", 9.0),
+      (2L, at(0), "signup", 0.0), (2L, at(5), "click", 1.0),
+      (3L, at(0), "signup", 0.0), (3L, at(10), "click", 3.0), (3L, at(90), "purchase", 1.0)
     )
     val batch = Pattern.begin("signup", $"event_type" === "signup")
-      .followedBy("click", $"event_type" === "click").oneOrMore()
+      .followedBy("click", $"event_type" === "click").oneOrMore().bindRun("value")
       .followedBy("purchase", $"event_type" === "purchase")
       .within(HOUR)
-      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
-      .select($"key", $"signup_ts", $"click_first_ts", $"click_last_ts", $"click_n", $"purchase_ts")
-      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+      .detect(all.toDF("user_id", "ts", "event_type", "value"), $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"click_first_ts", $"click_last_ts", $"click_n",
+        $"purchase_ts", $"click_sum_value", $"click_min_value", $"click_max_value",
+        $"click_first_value", $"click_last_value")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp,
+        Double, Double, Double, Double, Double)].collect().toSet
     val in = MemoryStream[graft.streaming.Event]
     val q = StreamOps.cepPatternOneOrMore(in.toDS(), "10 seconds",
         _.event_type == "signup", _.event_type == "click", _.event_type == "purchase",
         HOUR).toDF()
       .writeStream.format("memory").queryName("s_run_parity").outputMode("append").start()
-    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
     in.addData(evs.take(4)); q.processAllAvailable() // split across micro-batches
     in.addData(evs.drop(4)); q.processAllAvailable(); q.stop()
     val streaming = spark.table("s_run_parity")
-      .select("user_id", "first_ts", "run_first_ts", "run_last_ts", "run_n", "last_ts")
-      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+      .select("user_id", "first_ts", "run_first_ts", "run_last_ts", "run_n", "last_ts",
+        "run_sum_value", "run_min_value", "run_max_value", "run_first_value", "run_last_value")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp,
+        Double, Double, Double, Double, Double)].collect().toSet
     assert(streaming == batch && batch.nonEmpty, s"streaming=$streaming batch=$batch")
+    // user 1's run: clicks 4.5 then 2.0 -> sum 6.5, min 2.0, max 4.5
+    assert(batch.exists(r => r._1 == 1L && r._7 == 6.5 && r._8 == 2.0 &&
+      r._9 == 4.5 && r._10 == 4.5 && r._11 == 2.0), s"batch=$batch")
   }
 
   test("batch next() and streaming cepPatternSteps strict agree across micro-batches") {

@@ -399,15 +399,19 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(ex.getMessage.contains("requires the '+' quantifier"))
   }
 
-  test("value measures over an inexact quantifier raise a named error") {
-    val ex = intercept[IllegalArgumentException](MatchRecognize.detect(relEvents,
+  test("value measures over a '{n,m}' range: SUM/LAST coalesce the nullable tail") {
+    val m = MatchRecognize.detect(relEvents,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
-        |  MEASURES LAST(P.value) AS pv
+        |  MEASURES S.ts AS s_ts, LAST(P.value) AS last_v, SUM(P.value) AS sum_v,
+        |           COUNT(P.value) AS n_p
         |  PATTERN (S P{1,2})
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
-        |)""".stripMargin))
-    assert(ex.getMessage.contains("exact {n} quantifier"))
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Double, Double, Long)].collect().toSet
+    // user 1 binds both purchases (15, 25); user 2 only one (60) — the
+    // unbound tail expansion contributes null, coalesced away
+    assert(m == Set((1L, at(0), 25.0, 40.0, 2L), (2L, at(0), 60.0, 60.0, 1L)))
   }
 }
