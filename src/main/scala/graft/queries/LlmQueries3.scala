@@ -241,10 +241,49 @@ object LlmQueries3 {
        |LEFT JOIN hit h ON h.new_id = d.doc_id""".stripMargin
   }
 
+  // ---------- d13: benchmark decontamination (n-gram overlap scan) ----------
+  // The canonical pretraining hygiene step (the GPT-3/C4 13-gram scan shape):
+  // flag training documents sharing any long n-gram with the EVAL set, so
+  // benchmark answers don't leak into the training mix. Eval set here = the
+  // deterministic 2% doc_id sample; grams are char-12 shingles (the word
+  // 13-gram variant swaps the shingle source, same plan). Scale shape: the
+  // eval gram table collapses to one row per distinct gram (min eval doc)
+  // and is ~2% of the corpus — AQE broadcasts it; the training side is one
+  // explode + equi-join + hash re-aggregate per doc, O(corpus grams), no
+  // cross product, nothing sorted.
+  private val d13: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val evalGrams = d.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"),
+        explode(array_distinct(TextDedup.shingles(col("text"), 12))).as("gram"))
+      .groupBy("gram").agg(min(col("eval_id")).as("eval_id"))
+    d.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(TextDedup.shingles(col("text"), 12))).as("gram"))
+      .join(evalGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"),
+        min(col("eval_id")).as("first_eval_id"))
+  }
+  private val d13Sql = {
+    import LlmQueries.shingleSql
+    s"""WITH eg0 AS (SELECT doc_id, unnest(list_distinct(${shingleSql("text", 12)})) AS gram
+       |             FROM documents WHERE doc_id % 50 = 0),
+       |eg AS (SELECT gram, min(doc_id) AS eval_id FROM eg0 GROUP BY 1),
+       |tg AS (SELECT doc_id, unnest(list_distinct(${shingleSql("text", 12)})) AS gram
+       |       FROM documents WHERE doc_id % 50 <> 0)
+       |SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams,
+       |       min(eg.eval_id) AS first_eval_id
+       |FROM tg JOIN eg USING (gram)
+       |GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "t06_regex_scan" -> t06, "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
-    "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12)
+    "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12,
+    "d13_decontaminate" -> d13)
   val oracles: Map[String, String] = Map(
     "t06_regex_scan" -> t06Sql, "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
-    "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql)
+    "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql,
+    "d13_decontaminate" -> d13Sql)
 }

@@ -467,6 +467,53 @@ object WindowQueries {
       |               AND p.ts <= s_ts + INTERVAL 24 HOURS
       |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
 
+  // --- m11: value measures over a '{n,m}' range quantifier ---
+  // (the m04 greedy-range shape + the m09 value measures): SUM coalesces
+  // the nullable optional-tail expansion, LAST coalesces backwards,
+  // MIN/MAX skip nulls (least/greatest on both engines), COUNT counts
+  // bound expansions. Each expansion's value binds at that expansion's
+  // timestamp via the per-(key, ts) refinement table (min value on ties).
+  private val m11: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, SUM(C.value) AS sum_click_value,
+        |           LAST(C.value) AS last_click_value, MIN(C.value) AS min_click_value,
+        |           MAX(C.value) AS max_click_value, COUNT(C.value) AS n_clicks,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S C{1,2} P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m11Sql =
+    """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS c1
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, s_ts, c1, min(c.ts) AS c2
+      |       FROM m1 LEFT JOIN c ON c.user_id = m1.user_id AND c.ts > c1
+      |                          AND c.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3),
+      |v AS (SELECT user_id, ts, min(value) AS v FROM c GROUP BY 1, 2),
+      |m3 AS (SELECT m2.user_id, s_ts, c1, c2, v1.v AS v1, v2.v AS v2
+      |       FROM m2 JOIN v v1 ON v1.user_id = m2.user_id AND v1.ts = c1
+      |              LEFT JOIN v v2 ON v2.user_id = m2.user_id AND v2.ts = c2),
+      |m4 AS (SELECT m3.user_id, s_ts, c1, c2, v1, v2, min(p.ts) AS p_ts
+      |       FROM m3 JOIN p ON p.user_id = m3.user_id AND p.ts > coalesce(c2, c1)
+      |                     AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY ALL)
+      |SELECT user_id, s_ts AS signup_ts, v1 + coalesce(v2, 0) AS sum_click_value,
+      |       coalesce(v2, v1) AS last_click_value, least(v1, v2) AS min_click_value,
+      |       greatest(v1, v2) AS max_click_value,
+      |       CAST(CASE WHEN c2 IS NULL THEN 1 ELSE 2 END AS BIGINT) AS n_clicks,
+      |       p_ts AS purchase_ts
+      |FROM m4""".stripMargin
+
   // --- m08: ALL ROWS PER MATCH — per-event emission with running measures ---
   // (reference StreamExecMatch.scala per-row mode / MatchRecognizeITCase):
   // each (S C{2} P) match emits 4 rows — classifier, the bound event's ts,
@@ -817,7 +864,8 @@ object WindowQueries {
     "m01_match_recognize" -> m01, "m02_match_measures" -> m02,
     "m03_match_skip" -> m03, "m04_match_range" -> m04, "m05_match_alternation" -> m05,
     "m06_match_relative" -> m06, "m07_match_plus" -> m07, "m08_match_all_rows" -> m08,
-    "m09_match_run_sum" -> m09, "m10_match_vshape" -> m10)
+    "m09_match_run_sum" -> m09, "m10_match_vshape" -> m10,
+    "m11_match_range_sum" -> m11)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -834,5 +882,5 @@ object WindowQueries {
     "m04_match_range" -> m04Sql, "m05_match_alternation" -> m05Sql,
     "m06_match_relative" -> m06Sql, "m07_match_plus" -> m07Sql,
     "m08_match_all_rows" -> m08Sql, "m09_match_run_sum" -> m09Sql,
-    "m10_match_vshape" -> m10Sql)
+    "m10_match_vshape" -> m10Sql, "m11_match_range_sum" -> m11Sql)
 }
