@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   *                               -- over a '+'/'*' run variable, value
   *                               -- measures (SUM/MIN/MAX/FIRST/LAST of a
   *                               -- bound column) aggregate the whole run
-  *                               -- (Pattern.bindRun: O(1) state per column)
+  *                               -- (Pattern.bindRun: O(1) state per column);
+  *                               -- MATCH_NUMBER() AS alias = the partition's
+  *                               -- match ordinal by binding timestamps
+  *                               -- (ONE ROW PER MATCH only)
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *                               -- ALL ROWS explodes each match: one row per
   *                               -- bound event with CLASSIFIER-style `cls`,
@@ -97,12 +100,16 @@ object MatchRecognize {
     val partitionBy = section("PARTITION\\s+BY", "ORDER").getOrElse(sys.error("PARTITION BY required"))
     val orderBy = section("ORDER\\s+BY", "MEASURES|AFTER|PATTERN").getOrElse(sys.error("ORDER BY required"))
     val measures = section("MEASURES", "ONE|ALL|AFTER|PATTERN").toSeq.flatMap(_.split(",").toSeq).map { m =>
-      "(?is)\\s*(?:(FIRST|LAST|SUM|COUNT|MIN|MAX)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*".r
-        .findFirstMatchIn(m)
-        .map(g => Measure(Option(g.group(1)).map(_.toUpperCase), g.group(2),
-          g.group(3), g.group(4)))
+      // MATCH_NUMBER(): the per-partition match ordinal (no variable ref)
+      "(?is)\\s*MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*".r.findFirstMatchIn(m)
+        .map(g => Measure(Some("MATCH_NUMBER"), "", "", g.group(1)))
+        .orElse(
+          "(?is)\\s*(?:(FIRST|LAST|SUM|COUNT|MIN|MAX)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*".r
+            .findFirstMatchIn(m)
+            .map(g => Measure(Option(g.group(1)).map(_.toUpperCase), g.group(2),
+              g.group(3), g.group(4))))
         .getOrElse(sys.error(s"unsupported MEASURES item: $m " +
-          "(only [FIRST|LAST|SUM|COUNT|MIN|MAX](V.col) AS alias)"))
+          "(only [FIRST|LAST|SUM|COUNT|MIN|MAX](V.col) AS alias or MATCH_NUMBER() AS alias)"))
     }
     val skipPastLast =
       "(?is)\\bAFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\b".r.findFirstIn(body).nonEmpty
@@ -279,7 +286,8 @@ object MatchRecognize {
     // automatically (the CLASSIFIER analog, not an event column)
     val altVars = spec.vars.filter(_.alts.nonEmpty).map(_.name).toSet
     val keepByVar: Map[String, Seq[String]] = spec.measures
-      .filter(m => m.field != "ts" && !(altVars(m.varName) && m.field == "cls"))
+      .filter(m => !m.fn.contains("MATCH_NUMBER") && m.field != "ts" &&
+        !(altVars(m.varName) && m.field == "cls"))
       .groupBy(_.varName)
       .map { case (v, ms) => v -> ms.map(_.field).distinct }
     // compile every DEFINE up front: relative references discovered here add
@@ -369,10 +377,19 @@ object MatchRecognize {
     else if (spec.measures.isEmpty) matches
     else {
       val quantOf: Map[String, Option[String]] = spec.vars.map(v => v.name -> v.quant).toMap
+      // MATCH_NUMBER(): ordinal over the MATCHES of a partition, ordered by
+      // the binding timestamps in pattern order (the match table is tiny
+      // relative to facts, so this window is cheap; identical-binding ties
+      // get arbitrary ordinals — the rows are indistinguishable anyway)
+      lazy val mnWindow = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(matches.columns.filter(_.endsWith("_ts")).map(col).toIndexedSeq: _*)
       val cols = spec.measures.map { m =>
         val isRunVar = selfRuns.contains(m.varName) ||
           quantOf.get(m.varName).flatten.exists(q => q == "+" || q == "*")
-        val c = if (isRunVar) {
+        val c = if (m.fn.contains("MATCH_NUMBER")) {
+          row_number().over(mnWindow).cast("long")
+        } else if (isRunVar) {
           // a run binds its boundary timestamps + count, and (via bindRun)
           // per-column running SUM/MIN/MAX and first/last member values
           if (m.field == "ts") m.fn match {
@@ -441,6 +458,8 @@ object MatchRecognize {
                             bounds: Map[String, (Int, Int)]): DataFrame = {
     spec.vars.foreach(v => require(!v.quant.exists(q => q == "+" || q == "*"),
       s"ALL ROWS PER MATCH cannot expand the '+'/'*' run variable ${v.name}"))
+    require(!spec.measures.exists(_.fn.contains("MATCH_NUMBER")),
+      "MATCH_NUMBER() is supported with ONE ROW PER MATCH only")
     // global position of each variable's first expansion, in pattern order
     val offsets: Map[String, Int] = {
       var p = 0

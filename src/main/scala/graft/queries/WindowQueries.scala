@@ -248,6 +248,44 @@ object WindowQueries {
       |SELECT user_id, t0 AS view_ts, t1 AS first_click_ts, t2 AS last_click_ts,
       | t3 AS purchase_ts FROM m3""".stripMargin
 
+  // --- m12: MATCH_NUMBER() — the per-partition match ordinal ---
+  // (reference StreamExecMatch MATCH_NUMBER support / SQL standard): ordinal
+  // over a partition's matches ordered by the binding timestamps in pattern
+  // order. The window runs over the MATCH table (tiny vs facts); the oracle
+  // replays the same row_number over the min-bind chain.
+  private val m12: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES MATCH_NUMBER() AS match_no, A.ts AS view_ts,
+        |           C.ts AS purchase_ts
+        |  PATTERN (A B{2} C)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m12Sql =
+    """WITH a AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT a.user_id, a.ts AS t0, min(b.ts) AS t1
+      |       FROM a JOIN b ON b.user_id = a.user_id AND b.ts > a.ts
+      |                    AND b.ts <= a.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, t0, t1, min(b.ts) AS t2
+      |       FROM m1 JOIN b ON b.user_id = m1.user_id AND b.ts > t1
+      |                     AND b.ts <= t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3),
+      |m3 AS (SELECT m2.user_id, t0, t1, t2, min(c.ts) AS t3
+      |       FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts > t2
+      |                     AND c.ts <= t0 + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT user_id,
+      |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY t0, t1, t2, t3) AS BIGINT)
+      |         AS match_no,
+      |       t0 AS view_ts, t3 AS purchase_ts FROM m3""".stripMargin
+
   // --- m02: MATCH_RECOGNIZE value measures — SUM/COUNT/LAST over bindings ---
   // The reference's MatchRecognizeITCase exercises SUM(A.price)-style
   // aggregate measures; here the SQL text binds click values at the step
@@ -865,7 +903,7 @@ object WindowQueries {
     "m03_match_skip" -> m03, "m04_match_range" -> m04, "m05_match_alternation" -> m05,
     "m06_match_relative" -> m06, "m07_match_plus" -> m07, "m08_match_all_rows" -> m08,
     "m09_match_run_sum" -> m09, "m10_match_vshape" -> m10,
-    "m11_match_range_sum" -> m11)
+    "m11_match_range_sum" -> m11, "m12_match_number" -> m12)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -882,5 +920,6 @@ object WindowQueries {
     "m04_match_range" -> m04Sql, "m05_match_alternation" -> m05Sql,
     "m06_match_relative" -> m06Sql, "m07_match_plus" -> m07Sql,
     "m08_match_all_rows" -> m08Sql, "m09_match_run_sum" -> m09Sql,
-    "m10_match_vshape" -> m10Sql, "m11_match_range_sum" -> m11Sql)
+    "m10_match_vshape" -> m10Sql, "m11_match_range_sum" -> m11Sql,
+    "m12_match_number" -> m12Sql)
 }

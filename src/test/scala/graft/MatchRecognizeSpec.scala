@@ -399,6 +399,36 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(ex.getMessage.contains("requires the '+' quantifier"))
   }
 
+  test("MATCH_NUMBER() numbers a partition's matches; ALL ROWS rejects it by name") {
+    // two matches for user 1 (both signups chain to the purchase), ordered
+    // by binding timestamps
+    val multi = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "signup"), (1L, at(10), "purchase"),
+      (2L, at(0), "signup"), (2L, at(7), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = MatchRecognize.detect(multi,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES MATCH_NUMBER() AS mn, S.ts AS s_ts, P.ts AS p_ts
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+    assert(m == Set((1L, 1L, at(0), at(10)), (1L, 2L, at(5), at(10)),
+      (2L, 1L, at(0), at(7))))
+    val ex = intercept[IllegalArgumentException](MatchRecognize.detect(multi,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES MATCH_NUMBER() AS mn
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(ex.getMessage.contains("ONE ROW PER MATCH only"))
+  }
+
   test("value measures over a '{n,m}' range: SUM/LAST coalesce the nullable tail") {
     val m = MatchRecognize.detect(relEvents,
       """MATCH_RECOGNIZE (
