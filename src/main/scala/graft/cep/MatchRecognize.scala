@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * Supported subset (one clause each, in this order):
   * {{{
   * MATCH_RECOGNIZE (
-  *   PARTITION BY <col>
+  *   PARTITION BY <col>[, <col>...]   -- composite keys partition on all
   *   ORDER BY <col>
   *   MEASURES <item>, ...        -- <item> ::= V.<col> AS alias
   *                               --          | FIRST(V.<col>) AS alias
@@ -82,7 +82,7 @@ object MatchRecognize {
                                 alts: Seq[String] = Nil)
   private case class Measure(fn: Option[String], varName: String,
                              field: String, alias: String)
-  private case class Spec(partitionBy: String, orderBy: String,
+  private case class Spec(partitionBy: Seq[String], orderBy: String,
                           measures: Seq[Measure], vars: Seq[PatternVar],
                           withinMs: Long, defines: Map[String, String],
                           skipPastLast: Boolean, allRows: Boolean)
@@ -97,7 +97,11 @@ object MatchRecognize {
       .group(1)
     def section(name: String, stopAt: String): Option[String] =
       sectionRx(name, stopAt).findFirstMatchIn(body).map(_.group(1).trim)
-    val partitionBy = section("PARTITION\\s+BY", "ORDER").getOrElse(sys.error("PARTITION BY required"))
+    // one or more comma-separated partition columns (Flink supports
+    // composite partition keys; StreamExecMatch partitions on all of them)
+    val partitionBy = section("PARTITION\\s+BY", "ORDER")
+      .getOrElse(sys.error("PARTITION BY required"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val orderBy = section("ORDER\\s+BY", "MEASURES|AFTER|PATTERN").getOrElse(sys.error("ORDER BY required"))
     val measures = section("MEASURES", "ONE|ALL|AFTER|PATTERN").toSeq.flatMap(_.split(",").toSeq).map { m =>
       // MATCH_NUMBER(): the per-partition match ordinal (no variable ref)
@@ -359,8 +363,12 @@ object MatchRecognize {
       }
     }
     if (spec.skipPastLast) pat = pat.afterMatchSkipPastLastEvent()
+    // composite partition keys ride detect's single key column as a struct;
+    // the output selects re-expand them under their own names
+    val keyCol = if (spec.partitionBy.size == 1) col(spec.partitionBy.head)
+                 else struct(spec.partitionBy.map(col): _*)
     val matches = pat.within(spec.withinMs)
-      .detect(events, col(spec.partitionBy), col(spec.orderBy))
+      .detect(events, keyCol, col(spec.orderBy))
     // (min, max) occurrences per variable: '?' = (0,1), '{n}' = (n,n),
     // '{n,m}' = (n,m), unquantified (and '+'/'*', which never read these
     // bounds — their measures route to the run columns) = (1,1)
@@ -439,7 +447,7 @@ object MatchRecognize {
         }
         c.as(m.alias)
       }
-      matches.select(col("key").as(spec.partitionBy) +: cols: _*)
+      matches.select(keyOut(spec) ++ cols: _*)
     }
   }
 
@@ -507,9 +515,14 @@ object MatchRecognize {
         spec.measures.map(m => runningAt(m, p).as(m.alias))): _*)
     }
     val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
-    matches.select(col("key").as(spec.partitionBy),
-        explode(array(structs: _*)).as("__r"))
+    matches.select(keyOut(spec) :+ explode(array(structs: _*)).as("__r"): _*)
       .filter(col("__r.ts").isNotNull) // skipped optional expansions emit no row
-      .select(col(spec.partitionBy) +: rowCols.map(n => col(s"__r.$n").as(n)): _*)
+      .select(spec.partitionBy.map(col) ++ rowCols.map(n => col(s"__r.$n").as(n)): _*)
   }
+
+  /** The partition columns of the output: detect's single `key` column,
+    * re-expanded under the user's names for composite partition keys. */
+  private def keyOut(spec: Spec): Seq[Column] =
+    if (spec.partitionBy.size == 1) Seq(col("key").as(spec.partitionBy.head))
+    else spec.partitionBy.map(c => col(s"key.$c").as(c))
 }

@@ -399,6 +399,27 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(ex.getMessage.contains("requires the '+' quantifier"))
   }
 
+  test("composite PARTITION BY keys: matches stay within (region, user_id)") {
+    // same user_id in two regions: a cross-region signup->purchase pair must
+    // NOT match; each (region, user) partition matches independently
+    val multi = Seq(
+      ("eu", 1L, at(0), "signup"), ("eu", 1L, at(10), "purchase"),
+      ("us", 1L, at(5), "signup"), // us/1 has no purchase: no match
+      ("us", 2L, at(0), "signup"), ("us", 2L, at(8), "purchase")
+    ).toDF("region", "user_id", "ts", "event_type")
+    val m = MatchRecognize.detect(multi,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY region, user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, P.ts AS p_ts
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(String, Long, Timestamp, Timestamp)].collect().toSet
+    assert(m == Set(("eu", 1L, at(0), at(10)), ("us", 2L, at(0), at(8))))
+  }
+
   test("MATCH_NUMBER() numbers a partition's matches; ALL ROWS rejects it by name") {
     // two matches for user 1 (both signups chain to the purchase), ordered
     // by binding timestamps
