@@ -506,8 +506,9 @@ object StreamOps {
     * DataStream): every event matching step 0 opens a partial match; each
     * later step binds the first following event matching its predicate
     * within `withinMs` of the start. Completed matches emit immediately.
-    * Negative (notFollowedBy) endings need window-expiry emission and are
-    * batch-only. State per key is bounded two ways: at most `maxPartials`
+    * Negative (notFollowedBy) endings need window-expiry emission — use
+    * [[cepPatternSteps]] with a terminal `negative` step for those. State
+    * per key is bounded two ways: at most `maxPartials`
     * open partial matches survive a micro-batch (newest starts kept — the
     * oldest are closest to expiry anyway), and expired partials are pruned
     * against the watermark with an event-time timeout, so a key that stops
@@ -577,10 +578,16 @@ object StreamOps {
     * emit when the watermark passes the window end), and `times` (flink-cep
     * `times(n)`: n successive occurrences, one `step_ts` entry each).
     * `optional` is exclusive with strict/branches/times and cannot be the
-    * first step — mirroring the batch combinator's requires. */
+    * first step — mirroring the batch combinator's requires. A terminal
+    * `negative` step (flink-cep `notFollowedBy`, `Pattern.notFollowedBy`'s
+    * twin) must see NO matching event between the last positive binding and
+    * the window end: the completed positive prefix holds in state and emits
+    * once the watermark passes the window end — the same held-match
+    * machinery optional skips use. */
   case class CepStep(pred: Event => Boolean, strict: Boolean = false,
                      branches: Seq[(String, Event => Boolean)] = Nil,
-                     optional: Boolean = false, times: Int = 1)
+                     optional: Boolean = false, times: Int = 1,
+                     negative: Boolean = false)
 
   /** Streaming CEP with per-step contiguity modes and branch classifiers —
     * the unbounded counterpart of `graft.cep.Pattern.next/followedByOneOf`
@@ -592,8 +599,11 @@ object StreamOps {
     * first event satisfying any branch and records WHICH in `step_cls`
     * (empty string for plain steps), an optional step skips only when no
     * candidate ever arrives in the window (skip-matches hold in state and
-    * emit once the watermark passes the window end), and times(n) binds n
-    * successive occurrences. Within-batch processing order is deterministic
+    * emit once the watermark passes the window end), times(n) binds n
+    * successive occurrences, and a terminal `negative` step
+    * (notFollowedBy) holds the completed positive prefix the same way —
+    * killed by any matching event before the window closes, emitted via
+    * the event-time timeout otherwise. Within-batch processing order is deterministic
     * on (ts, type, value); state is bounded by `maxPartials` + watermark
     * pruning + event-time eviction exactly as [[cepPattern]]. Partial-cap
     * policy (shared by the cepPattern/cepPatternSteps/cepPatternIter
@@ -603,14 +613,23 @@ object StreamOps {
   def cepPatternSteps(events: Dataset[Event], watermark: String,
                       steps: Seq[CepStep], withinMs: Long,
                       maxPartials: Int = 256): Dataset[ExMatch] = {
-    val expanded: IndexedSeq[CepStep] = steps.flatMap { s =>
+    require(steps.count(_.negative) <= 1 && !steps.dropRight(1).exists(_.negative),
+      "a negative step must be the single terminal step")
+    val negStep: Option[CepStep] = steps.lastOption.filter(_.negative)
+    negStep.foreach(s => require(!s.strict && s.branches.isEmpty &&
+      !s.optional && s.times == 1,
+      "a negative step is relaxed, unquantified and branch-free"))
+    val positives: Seq[CepStep] = steps.filterNot(_.negative).flatMap { s =>
       require(s.times >= 1, "times must be >= 1")
       require(!(s.optional && s.times > 1), "optional and times(n) are exclusive")
       require(!(s.optional && s.strict), "optional and strict are exclusive")
       require(!(s.optional && s.branches.nonEmpty), "optional and branches are exclusive")
       Seq.fill(s.times)(s.copy(times = 1))
-    }.toIndexedSeq
-    require(expanded.size >= 2, "a pattern needs at least two steps")
+    }
+    // the negative step (if any) sits at index nPos so guards address it
+    val expanded: IndexedSeq[CepStep] = (positives ++ negStep).toIndexedSeq
+    val nPos = positives.size
+    require(nPos >= 1 && expanded.size >= 2, "a pattern needs at least two steps")
     require(!expanded.head.strict, "the first step has no predecessor to be strict after")
     require(!expanded.head.optional, "the first step cannot be optional")
     val Skip = Long.MinValue
@@ -626,14 +645,19 @@ object StreamOps {
       open += p0
       var cur = p0
       var more = true
-      while (more && cur.boundMs.length < expanded.size &&
+      while (more && cur.boundMs.length < nPos &&
              expanded(cur.boundMs.length).optional) {
         val i = cur.boundMs.length
         val from = cur.boundMs.find(_ != Skip).get
         cur = ExPartial(Skip :: cur.boundMs, "" :: cur.cls, -1L,
           Guard(i, from) :: cur.guards)
-        if (cur.boundMs.length == expanded.size) { pend += cur; more = false }
-        else open += cur
+        if (cur.boundMs.length == nPos) {
+          // completed through skips: a negative terminal adds its own guard
+          // (no matching event from the last REAL binding to window end)
+          pend += cur.copy(guards =
+            negStep.map(_ => Guard(nPos, from)).toList ++ cur.guards)
+          more = false
+        } else open += cur
       }
       (open.result(), pend.result())
     }
@@ -674,10 +698,13 @@ object StreamOps {
                 else if ((!step.strict || t == succ) && predOf(step)(e)) {
                   val bound = t :: p.boundMs
                   val cls = clsOf(step, e) :: p.cls
-                  if (bound.length == expanded.size) {
-                    val done = ExPartial(bound, cls, -1L, p.guards)
-                    // a match with skipped steps emits only at window expiry
-                    if (p.guards.isEmpty) out += toMatch(userId, done)
+                  if (bound.length == nPos) {
+                    // a negative terminal guards (lastBinding, window end]
+                    val guards = negStep.map(_ => Guard(nPos, t)).toList ++ p.guards
+                    val done = ExPartial(bound, cls, -1L, guards)
+                    // a match with skips or a negative terminal emits only
+                    // at window expiry
+                    if (guards.isEmpty) out += toMatch(userId, done)
                     else pending = done :: pending
                     Nil
                   } else {

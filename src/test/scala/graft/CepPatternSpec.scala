@@ -307,6 +307,42 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch notFollowedBy and streaming negative step agree (expiry emission)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // signup -> click NOT followed by purchase within the window:
+    // user 4 purchases (killed); user 5 doesn't (emitted at expiry);
+    // user 6's purchase is OUTSIDE the window (still a match)
+    val all = Seq(
+      (4L, at(0), "signup"), (4L, at(5), "click"), (4L, at(10), "purchase"),
+      (5L, at(0), "signup"), (5L, at(5), "click"),
+      (6L, at(0), "signup"), (6L, at(5), "click"), (6L, at(90), "purchase"))
+    val batch = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click")
+      .notFollowedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"click_ts")
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternSteps(in.toDS(), "2 hours", Seq(
+        StreamOps.CepStep(_.event_type == "signup"),
+        StreamOps.CepStep(_.event_type == "click"),
+        StreamOps.CepStep(_.event_type == "purchase", negative = true)), HOUR).toDF()
+      .writeStream.format("memory").queryName("s_neg_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(4)); q.processAllAvailable() // split across micro-batches
+    in.addData(evs.drop(4)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_neg_parity").as[graft.streaming.ExMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0), m.step_ts(1))).toSet
+    assert(streaming == batch &&
+      batch == Set((5L, at(0), at(5)), (6L, at(0), at(5))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("batch followedByRun and streaming cepPatternRun agree (V-shape parity)") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
