@@ -60,7 +60,7 @@ case class IterMatch(user_id: Long, step_ts: Seq[Timestamp], step_value: Seq[Dou
 case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
                       runN: Long, sumVal: Double = 0.0, minVal: Double = 0.0,
                       maxVal: Double = 0.0, firstVal: Double = 0.0,
-                      lastVal: Double = 0.0)
+                      lastVal: Double = 0.0, stopped: Boolean = false)
 case class RunAcc(partials: List[RunPartial])
 // self-referential runs additionally carry the run's last accepted value
 // (the LAST(D.value, 1) the accept condition compares against), the run's
@@ -960,11 +960,16 @@ object StreamOps {
     * binding, window from the first event); equal-timestamp run/close
     * events follow the deterministic (ts, type, value) processing order, so
     * keep step predicates disjoint for exact batch parity. Watermark
-    * pruning + event-time state eviction as in [[cepPattern]]. */
+    * pruning + event-time state eviction as in [[cepPattern]].
+    * `untilPred` is `Pattern.until`'s twin: once a matching event arrives
+    * strictly after the run's first occurrence, the run stops accepting
+    * members (the first occurrence and the closing step are unaffected) —
+    * causal, one boolean of extra state. */
   def cepPatternOneOrMore(events: Dataset[Event], watermark: String,
                           firstPred: Event => Boolean, runPred: Event => Boolean,
                           lastPred: Event => Boolean, withinMs: Long,
-                          maxPartials: Int = 256): Dataset[RunMatch] = {
+                          maxPartials: Int = 256,
+                          untilPred: Option[Event => Boolean] = None): Dataset[RunMatch] = {
     implicit val outEnc = Encoders.product[RunMatch]
     implicit val accEnc = Encoders.product[RunAcc]
     implicit val keyEnc = Encoders.scalaLong
@@ -985,7 +990,9 @@ object StreamOps {
                   p.runN, new Timestamp(t), p.sumVal, p.minVal, p.maxVal,
                   p.firstVal, p.lastVal)
                 None // completed
-              } else if (runPred(e) && t > p.firstMs) {
+              } else if (untilPred.exists(_(e)) && p.runFirstMs >= 0 && t > p.runFirstMs) {
+                Some(p.copy(stopped = true)) // run stops accepting members
+              } else if (runPred(e) && t > p.firstMs && !p.stopped) {
                 if (p.runFirstMs < 0)
                   Some(p.copy(runFirstMs = t, runLastMs = t, runN = 1,
                     sumVal = e.value, minVal = e.value, maxVal = e.value,

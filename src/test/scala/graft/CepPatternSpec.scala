@@ -307,6 +307,38 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch until() and streaming untilPred agree (run stops at the stop event)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 7: clicks at 5,10 then an error at 15 stops the run; the click
+    // at 20 is NOT a member; purchase at 25 closes the match
+    val all = Seq(
+      (7L, at(0), "signup"), (7L, at(5), "click"), (7L, at(10), "click"),
+      (7L, at(15), "error"), (7L, at(20), "click"), (7L, at(25), "purchase"))
+    val batch = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").oneOrMore()
+      .until($"event_type" === "error")
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"click_first_ts", $"click_last_ts", $"click_n", $"purchase_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternOneOrMore(in.toDS(), "2 hours",
+        _.event_type == "signup", _.event_type == "click", _.event_type == "purchase",
+        HOUR, untilPred = Some(_.event_type == "error")).toDF()
+      .writeStream.format("memory").queryName("s_until_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(3)); q.processAllAvailable() // split mid-run
+    in.addData(evs.drop(3)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_until_parity")
+      .select("user_id", "first_ts", "run_first_ts", "run_last_ts", "run_n", "last_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    assert(streaming == batch && batch == Set((7L, at(0), at(5), at(10), 2L, at(25))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("batch notFollowedBy and streaming negative step agree (expiry emission)") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
