@@ -61,7 +61,11 @@ case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
                       runN: Long, sumVal: Double = 0.0, minVal: Double = 0.0,
                       maxVal: Double = 0.0, firstVal: Double = 0.0,
                       lastVal: Double = 0.0, stopped: Boolean = false)
-case class RunAcc(partials: List[RunPartial])
+// a held EMPTY-run candidate (zeroOrMore): the earliest close-event seen
+// while no run member existed — valid only if no member EVER arrives in the
+// window, so it emits at window expiry and is invalidated by a run start
+case class EmptyRun(firstMs: Long, lastMs: Long)
+case class RunAcc(partials: List[RunPartial], emptyPending: List[EmptyRun] = Nil)
 // self-referential runs additionally carry the run's last accepted value
 // (the LAST(D.value, 1) the accept condition compares against), the run's
 // first value, a done flag (first violation closes the run), and the
@@ -964,12 +968,19 @@ object StreamOps {
     * `untilPred` is `Pattern.until`'s twin: once a matching event arrives
     * strictly after the run's first occurrence, the run stops accepting
     * members (the first occurrence and the closing step are unaffected) —
-    * causal, one boolean of extra state. */
+    * causal, one boolean of extra state.
+    * `allowEmpty` is `Pattern.zeroOrMore`'s twin (A B* C): a close event
+    * seen while no run member exists is HELD as an empty-run candidate —
+    * the batch compile binds a run whenever any member exists anywhere in
+    * the window, so the empty match is valid only if none ever arrives: a
+    * run start invalidates it, window expiry emits it (null run
+    * timestamps, count 0, value aggregates 0.0). */
   def cepPatternOneOrMore(events: Dataset[Event], watermark: String,
                           firstPred: Event => Boolean, runPred: Event => Boolean,
                           lastPred: Event => Boolean, withinMs: Long,
                           maxPartials: Int = 256,
-                          untilPred: Option[Event => Boolean] = None): Dataset[RunMatch] = {
+                          untilPred: Option[Event => Boolean] = None,
+                          allowEmpty: Boolean = false): Dataset[RunMatch] = {
     implicit val outEnc = Encoders.product[RunMatch]
     implicit val accEnc = Encoders.product[RunAcc]
     implicit val keyEnc = Encoders.scalaLong
@@ -979,6 +990,7 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[RunAcc]) =>
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          var emptyPending = state.getOption.map(_.emptyPending).getOrElse(Nil)
           val out = Seq.newBuilder[RunMatch]
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
             val t = e.ts.getTime
@@ -990,14 +1002,23 @@ object StreamOps {
                   p.runN, new Timestamp(t), p.sumVal, p.minVal, p.maxVal,
                   p.firstVal, p.lastVal)
                 None // completed
+              } else if (lastPred(e) && p.runFirstMs < 0 && allowEmpty && t > p.firstMs) {
+                // hold the EARLIEST empty-run close; a run start invalidates
+                // it, window expiry emits it
+                if (!emptyPending.exists(_.firstMs == p.firstMs))
+                  emptyPending = EmptyRun(p.firstMs, t) :: emptyPending
+                Some(p) // the run may still start
               } else if (untilPred.exists(_(e)) && p.runFirstMs >= 0 && t > p.runFirstMs) {
                 Some(p.copy(stopped = true)) // run stops accepting members
               } else if (runPred(e) && t > p.firstMs && !p.stopped) {
-                if (p.runFirstMs < 0)
+                if (p.runFirstMs < 0) {
+                  // a member exists: the batch compile binds the run, so the
+                  // empty-run candidate for this start is invalid
+                  emptyPending = emptyPending.filterNot(_.firstMs == p.firstMs)
                   Some(p.copy(runFirstMs = t, runLastMs = t, runN = 1,
                     sumVal = e.value, minVal = e.value, maxVal = e.value,
                     firstVal = e.value, lastVal = e.value))
-                else
+                } else
                   // equal-ts members arrive value-ascending (the sort order),
                   // so overwriting lastVal on t >= runLast reproduces the
                   // batch (ts, value) max tie-break; firstVal set once is
@@ -1014,10 +1035,18 @@ object StreamOps {
           }
           val wm = state.getCurrentWatermarkMs()
           partials = partials.filter(_.firstMs + withinMs > wm)
-          if (partials.isEmpty) state.remove()
+          // held empty-run candidates whose window closed can no longer be
+          // invalidated: emit with null run columns and count 0
+          val (ripe, waiting) = emptyPending.partition(_.firstMs + withinMs <= wm)
+          ripe.foreach(er => out += RunMatch(userId, new Timestamp(er.firstMs),
+            null, null, 0L, new Timestamp(er.lastMs)))
+          emptyPending = waiting
+          if (partials.isEmpty && emptyPending.isEmpty) state.remove()
           else {
-            state.update(RunAcc(partials))
-            state.setTimeoutTimestamp(partials.map(_.firstMs + withinMs).min)
+            state.update(RunAcc(partials, emptyPending))
+            state.setTimeoutTimestamp(
+              (partials.map(_.firstMs + withinMs) ++
+                emptyPending.map(_.firstMs + withinMs)).min)
           }
           out.result().iterator
       }

@@ -307,6 +307,47 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch zeroOrMore and streaming allowEmpty agree (empty runs at expiry)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: 2-click run; user 4: no clicks -> empty-run match at expiry;
+    // user 5: a click EXISTS but only after the purchase -> batch binds the
+    // run and finds no later purchase (no match), streaming's run start
+    // must invalidate the held empty candidate
+    val all = Seq(
+      (1L, at(0), "signup"), (1L, at(10), "click"), (1L, at(20), "click"), (1L, at(30), "purchase"),
+      (4L, at(0), "signup"), (4L, at(15), "purchase"),
+      (5L, at(0), "signup"), (5L, at(5), "purchase"), (5L, at(10), "click"))
+    val batch = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").zeroOrMore()
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"signup_ts", $"click_first_ts", $"click_last_ts", $"click_n", $"purchase_ts")
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long, Timestamp)]
+      .collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternOneOrMore(in.toDS(), "2 hours",
+        _.event_type == "signup", _.event_type == "click", _.event_type == "purchase",
+        HOUR, allowEmpty = true).toDF()
+      .writeStream.format("memory").queryName("s_zero_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(5)); q.processAllAvailable() // split across micro-batches
+    in.addData(evs.drop(5)); q.processAllAvailable()
+    // empty-run candidates emit once the watermark passes the window end
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_zero_parity")
+      .select("user_id", "first_ts", "run_first_ts", "run_last_ts", "run_n", "last_ts")
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long, Timestamp)]
+      .collect().toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), Some(at(10)), Some(at(20)), 2L, at(30)),
+      (4L, at(0), None, None, 0L, at(15))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("batch until() and streaming untilPred agree (run stops at the stop event)") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
