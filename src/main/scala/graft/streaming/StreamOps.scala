@@ -34,7 +34,11 @@ case class Tagged(user_id: Long, ts: Timestamp, side: String)
 case class CoAcc(leftMs: List[Long], rightMs: List[Long])
 case class MatchOut(user_id: Long, left_ts: Timestamp, right_ts: Timestamp)
 case class Partial(boundMs: List[Long]) // bound step times, newest first
-case class CepPatternAcc(partials: List[Partial])
+// pending = completed matches held for SKIP_PAST_LAST finalization (newest-
+// first bound times); lastEndMs = the last emitted match's final bound time
+case class CepPatternAcc(partials: List[Partial],
+                         pending: List[Partial] = Nil,
+                         lastEndMs: Long = Long.MinValue)
 case class PatternMatch(user_id: Long, step_ts: Seq[Timestamp])
 // general-step partials: bound times + branch classifiers (newest first;
 // Long.MinValue marks a SKIPPED optional step) and, for a pending STRICT
@@ -517,10 +521,20 @@ object StreamOps {
     * oldest are closest to expiry anyway), and expired partials are pruned
     * against the watermark with an event-time timeout, so a key that stops
     * sending events still releases its state once its window passes (Flink
-    * NFA pruning + state-TTL analog). */
+    * NFA pruning + state-TTL analog).
+    *
+    * `skipPastLast` is `Pattern.afterMatchSkipPastLastEvent`'s twin
+    * (AfterMatchSkipStrategy.skipPastLastEvent): kept matches must start
+    * strictly after the previous kept match's last bound event, greedily in
+    * start order. Greedy selection needs start-order finality, so completed
+    * matches are HELD until the watermark passes their window end (no
+    * earlier-starting match can then still complete) and finalized in
+    * (start, end) order against the per-key last-end — emission latency is
+    * one window, inherent to the semantics. */
   def cepPattern(events: Dataset[Event], watermark: String,
                  steps: Seq[Event => Boolean], withinMs: Long,
-                 maxPartials: Int = 256): Dataset[PatternMatch] = {
+                 maxPartials: Int = 256,
+                 skipPastLast: Boolean = false): Dataset[PatternMatch] = {
     require(steps.size >= 2, "a pattern needs at least two steps")
     implicit val outEnc = Encoders.product[PatternMatch]
     implicit val accEnc = Encoders.product[CepPatternAcc]
@@ -531,6 +545,8 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[CepPatternAcc]) =>
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          var pending = state.getOption.map(_.pending).getOrElse(Nil)
+          var lastEnd = state.getOption.map(_.lastEndMs).getOrElse(Long.MinValue)
           val out = Seq.newBuilder[PatternMatch]
           // deterministic within-batch order on equal timestamps (mirrors
           // coProcessMatch's tie-break; batch Pattern.detect resolves ties by
@@ -545,7 +561,8 @@ object StreamOps {
               if (t <= start + withinMs && t > p.boundMs.head && steps(i)(e)) {
                 val bound = t :: p.boundMs
                 if (bound.length == steps.size) {
-                  out += PatternMatch(userId,
+                  if (skipPastLast) pending = Partial(bound) :: pending
+                  else out += PatternMatch(userId,
                     bound.reverse.map(new Timestamp(_)))
                   None // completed
                 } else Some(Partial(bound))
@@ -558,11 +575,33 @@ object StreamOps {
           // watermark can never complete (no event <= watermark will arrive)
           val wm = state.getCurrentWatermarkMs()
           partials = partials.filter(_.boundMs.last + withinMs > wm)
-          if (partials.isEmpty) state.remove()
-          else {
-            state.update(CepPatternAcc(partials))
-            // earliest still-open window end is > wm by the filter above
-            state.setTimeoutTimestamp(partials.map(_.boundMs.last + withinMs).min)
+          // SKIP_PAST_LAST finalization: matches whose window closed are
+          // final in start order (no earlier-starting match can appear);
+          // keep those starting strictly after the previous kept match's end
+          if (skipPastLast) {
+            val (ripe, held) = pending.partition(_.boundMs.last + withinMs <= wm)
+            ripe.map(p => (p.boundMs.last, p.boundMs.max, p))
+              .sortBy { case (s, en, _) => (s, en) }
+              .foreach { case (s, en, p) =>
+                if (s > lastEnd) {
+                  lastEnd = en
+                  out += PatternMatch(userId, p.boundMs.reverse.map(new Timestamp(_)))
+                }
+              }
+            pending = held
+          }
+          // the greedy frontier only constrains starts <= lastEnd; once the
+          // watermark passes it no admissible start can violate it, so the
+          // state fully releases
+          if (partials.isEmpty && pending.isEmpty && lastEnd <= wm) state.remove()
+          else if (partials.isEmpty && pending.isEmpty) {
+            state.update(CepPatternAcc(Nil, Nil, lastEnd))
+            state.setTimeoutTimestamp(lastEnd + 1) // > wm by the branch guard
+          } else {
+            state.update(CepPatternAcc(partials, pending, lastEnd))
+            state.setTimeoutTimestamp(
+              (partials.map(_.boundMs.last + withinMs) ++
+                pending.map(_.boundMs.last + withinMs)).min)
           }
           out.result().iterator
       }

@@ -307,6 +307,40 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch afterMatchSkipPastLastEvent and streaming skipPastLast agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: signups at 0,5,20 with purchases at 10,25 — NO_SKIP yields
+    // (0,10),(5,10),(20,25); greedy keeps (0,10) then (20,25): the (5,10)
+    // overlap is discarded
+    val all = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "signup"), (1L, at(10), "purchase"),
+      (1L, at(20), "signup"), (1L, at(25), "purchase"))
+    val batch = Pattern.begin("s", $"event_type" === "signup")
+      .followedBy("p", $"event_type" === "purchase")
+      .within(HOUR).afterMatchSkipPastLastEvent()
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"p_ts")
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPattern(in.toDS(), "2 hours", Seq(
+        (e: graft.streaming.Event) => e.event_type == "signup",
+        (e: graft.streaming.Event) => e.event_type == "purchase"),
+        HOUR, skipPastLast = true).toDF()
+      .writeStream.format("memory").queryName("s_skip_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(3)); q.processAllAvailable() // split across micro-batches
+    in.addData(evs.drop(3)); q.processAllAvailable()
+    // greedy selection finalizes once the watermark passes each window end
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_skip_parity").as[graft.streaming.PatternMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0), m.step_ts(1))).toSet
+    assert(streaming == batch && batch == Set((1L, at(0), at(10)), (1L, at(20), at(25))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("batch zeroOrMore and streaming allowEmpty agree (empty runs at expiry)") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
