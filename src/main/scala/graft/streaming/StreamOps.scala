@@ -626,7 +626,10 @@ object StreamOps {
     * twin) must see NO matching event between the last positive binding and
     * the window end: the completed positive prefix holds in state and emits
     * once the watermark passes the window end — the same held-match
-    * machinery optional skips use. */
+    * machinery optional skips use. `negative` + `strict` is `notNext`'s
+    * twin: only the key's FIRST event time after the last binding decides
+    * (kill if any satisfying event at it, emit as soon as it passes;
+    * vacuous pass at window expiry). */
   case class CepStep(pred: Event => Boolean, strict: Boolean = false,
                      branches: Seq[(String, Event => Boolean)] = Nil,
                      optional: Boolean = false, times: Int = 1,
@@ -659,9 +662,13 @@ object StreamOps {
     require(steps.count(_.negative) <= 1 && !steps.dropRight(1).exists(_.negative),
       "a negative step must be the single terminal step")
     val negStep: Option[CepStep] = steps.lastOption.filter(_.negative)
-    negStep.foreach(s => require(!s.strict && s.branches.isEmpty &&
-      !s.optional && s.times == 1,
-      "a negative step is relaxed, unquantified and branch-free"))
+    negStep.foreach(s => require(s.branches.isEmpty && !s.optional && s.times == 1,
+      "a negative step is unquantified and branch-free"))
+    // strict negative (notNext twin): only the key's FIRST event time after
+    // the last binding decides — any satisfying event at that time kills,
+    // otherwise the match emits as soon as that time passes (vacuous pass
+    // at window expiry when no successor arrives)
+    val negStrict = negStep.exists(_.strict)
     val positives: Seq[CepStep] = steps.filterNot(_.negative).flatMap { s =>
       require(s.times >= 1, "times must be >= 1")
       require(!(s.optional && s.times > 1), "optional and times(n) are exclusive")
@@ -721,12 +728,33 @@ object StreamOps {
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
             val t = e.ts.getTime
             // guard pass FIRST: an in-window candidate for a skipped optional
-            // invalidates the skip branch (the main branch binds it instead)
+            // invalidates the skip branch (the main branch binds it instead);
+            // a STRICT negative guard is excluded here — only the first
+            // successor time decides it (handled below)
             def guardHit(p: ExPartial): Boolean =
-              p.guards.exists(g => t > g.fromMs &&
+              p.guards.exists(g => !(negStrict && g.step == nPos) &&
+                t > g.fromMs &&
                 t <= p.boundMs.last + withinMs && predOf(expanded(g.step))(e))
             partials = partials.filterNot(guardHit)
             pending = pending.filterNot(guardHit)
+            if (negStrict) {
+              val negPred = predOf(expanded(nPos))
+              pending = pending.flatMap { p =>
+                val start = p.boundMs.last
+                val from = p.guards.find(_.step == nPos).get.fromMs
+                if (t > from && t <= start + withinMs) {
+                  if (p.succMs < 0 || t == p.succMs) {
+                    // the successor time (first observed, or more events at
+                    // it): any satisfying event kills the match
+                    if (negPred(e)) Nil
+                    else if (p.succMs < 0) List(p.copy(succMs = t))
+                    else List(p)
+                  } else { // past the successor time unbound: emit now
+                    out += toMatch(userId, p); Nil
+                  }
+                } else List(p)
+              }
+            }
             partials = partials.flatMap { p =>
               val i = p.boundMs.length
               val start = p.boundMs.last
@@ -760,10 +788,17 @@ object StreamOps {
               }
             }
             if (predOf(expanded.head)(e)) {
-              val (open, pend) = forkFrom(
-                ExPartial(List(t), List(clsOf(expanded.head, e)), -1L, Nil))
-              pending = pend ++ pending
-              partials = (open ++ partials).take(maxPartials)
+              val sp = ExPartial(List(t), List(clsOf(expanded.head, e)), -1L, Nil)
+              if (nPos == 1) {
+                // single positive step + negative terminal: the start IS the
+                // completed prefix — straight to pending with its guard
+                pending = sp.copy(guards = negStep.map(_ => Guard(nPos, t)).toList) ::
+                  pending
+              } else {
+                val (open, pend) = forkFrom(sp)
+                pending = pend ++ pending
+                partials = (open ++ partials).take(maxPartials)
+              }
             }
           }
           val wm = state.getCurrentWatermarkMs()

@@ -307,6 +307,40 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch notNext and streaming strict negative agree (successor decides)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: purchase IS the next event -> killed; user 2: a view
+    // intervenes -> passes (emits as soon as the successor time passes);
+    // user 3: no successor at all -> vacuous pass at window expiry
+    val all = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "view"), (2L, at(10), "purchase"),
+      (3L, at(0), "signup"))
+    val batch = Pattern.begin("s", $"event_type" === "signup")
+      .notNext("p", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts")
+      .as[(Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternSteps(in.toDS(), "2 hours", Seq(
+        StreamOps.CepStep(_.event_type == "signup"),
+        StreamOps.CepStep(_.event_type == "purchase", negative = true, strict = true)),
+        HOUR).toDF()
+      .writeStream.format("memory").queryName("s_notnext_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(3)); q.processAllAvailable() // split across micro-batches
+    in.addData(evs.drop(3)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_notnext_parity").as[graft.streaming.ExMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0))).toSet
+    assert(streaming == batch && batch == Set((2L, at(0)), (3L, at(0))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("batch afterMatchSkipPastLastEvent and streaming skipPastLast agree") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
