@@ -18,8 +18,9 @@ object Bench {
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     // per-query MIN of `reps` runs: scheduling noise and JVM codegen/GC
     // accumulation inflate single-shot times non-uniformly (observed across
-    // rounds), and the minimum is the comparable per-query number
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // rounds), and the minimum is the comparable per-query number; 3 reps
+    // (up from 2) so one noisy rep cannot mint a fake regression
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -35,10 +36,20 @@ object Bench {
       spark.catalog.clearCache()
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-dp per-query times keep the JSON line compact enough to survive
+    // tail-truncated captures; the full line is also written to a file so
+    // every query's number stays readable even if stdout is clipped
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
+    println(line)
     spark.stop()
   }
 }

@@ -182,16 +182,24 @@ object MatchRecognize {
   private def selfRunDefs(spec: Spec): Map[String, RunDef] =
     spec.vars.flatMap { v =>
       spec.defines.get(v.name).flatMap { body =>
-        SelfLastRx.findFirstMatchIn(body).map { m =>
-          require(m.group(1) == v.name,
-            s"DEFINE ${v.name}: LAST(${m.group(1)}.${m.group(2)}, 1) must reference " +
+        SelfLastRx.findFirstMatchIn(body).map { m0 =>
+          require(m0.group(1) == v.name,
+            s"DEFINE ${v.name}: LAST(${m0.group(1)}.${m0.group(2)}, 1) must reference " +
               "the variable being defined")
           require(v.quant.contains("+"),
-            s"self-referential LAST(${v.name}.${m.group(2)}, 1) requires the '+' " +
+            s"self-referential LAST(${v.name}.${m0.group(2)}, 1) requires the '+' " +
               s"quantifier on ${v.name} (a run), got ${v.quant.getOrElse("none")}")
           val (rel, plain) = splitTopAnd(body).partition(c => SelfLastRx.findFirstIn(c).isDefined)
           require(rel.size == 1,
             s"DEFINE ${v.name}: exactly one LAST(..., 1) conjunct is supported")
+          // the conjunct must BE the comparison — `... OR <cond>` tails or
+          // arithmetic around LAST(...,1) would otherwise be silently dropped
+          val m = SelfLastRx.findFirstMatchIn(rel.head.trim).get
+          require(m.matched.trim == rel.head.trim,
+            s"DEFINE ${v.name}: the LAST(${v.name}.<col>, 1) conjunct must consist " +
+              s"solely of `${v.name}.<col> <op> LAST(${v.name}.<col>, 1)` — cannot " +
+              s"compile '${rel.head.trim}' (OR branches or arithmetic around " +
+              "LAST(..., 1) are not supported)")
           val pos = spec.vars.map(_.name).toSet
           plain.foreach { c =>
             val foreign = RefRx.findAllMatchIn(c).map(_.group(1)).exists(a => a != v.name && pos(a))

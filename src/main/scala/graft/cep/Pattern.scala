@@ -570,7 +570,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       case (f, i) if f.dataType == org.apache.spark.sql.types.TimestampType => i
     }
     implicit val rowEnc = org.apache.spark.sql.Encoders.row(schema)
-    matches.groupByKey(r => String.valueOf(r.get(keyIdx)))(org.apache.spark.sql.Encoders.STRING)
+    // collision-free key rendering: composite PARTITION BY keys are struct
+    // Rows whose toString ("[a,b]") can collide across distinct keys when
+    // field strings contain delimiters — length-prefix every field instead
+    def encodeKey(v: Any): String = v match {
+      case null => "N"
+      case r: org.apache.spark.sql.Row =>
+        (0 until r.length).map(i => encodeKey(r.get(i)))
+          .map(s => s"${s.length}:$s").mkString("R(", ",", ")")
+      case o => val s = String.valueOf(o); s"V${s.length}:$s"
+    }
+    matches.groupByKey(r => encodeKey(r.get(keyIdx)))(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         def endOf(r: org.apache.spark.sql.Row): Long =
           tsIdx.flatMap(i => Option(r.getTimestamp(i)).map(_.getTime)).max

@@ -80,7 +80,10 @@ object MatchRecognizeSqlParser {
         val clause = "MATCH_RECOGNIZE " + sqlText.substring(open, i + 1)
         // a CTE alias shadowing a real table would silently bind the pattern
         // to the catalog object — reject it instead of returning wrong rows
-        val cteRx = s"(?is)(?:\\bWITH|,)\\s+${java.util.regex.Pattern.quote(table)}\\s+AS\\s*\\(".r
+        // \s* (not \s+) after the comma/WITH: `WITH a AS (...),events AS (`
+        // has no space after the comma; RECURSIVE is an optional prefix
+        val cteRx = (s"(?is)(?:\\bWITH\\b(?:\\s+RECURSIVE\\b)?|,)\\s*" +
+          s"${java.util.regex.Pattern.quote(table)}\\s+AS\\s*\\(").r
         if (cteRx.findFirstIn(sqlText).isDefined)
           throw new IllegalArgumentException(
             s"MATCH_RECOGNIZE front door: FROM source '$table' is defined as " +

@@ -47,8 +47,12 @@ case class PatternMatch(user_id: Long, step_ts: Seq[Timestamp])
 // that step arrives in (fromMs, start + within] — the batch lowering binds
 // an optional whenever a candidate exists anywhere in the window
 case class Guard(step: Int, fromMs: Long)
+// succKilled: for a STRICT-negative pending, whether an event AT the
+// currently-known first successor time satisfied the negative predicate —
+// the decision is only FINAL once the watermark passes succMs (an
+// out-of-order event at or before it can still arrive and change both)
 case class ExPartial(boundMs: List[Long], cls: List[String], succMs: Long,
-                     guards: List[Guard] = Nil)
+                     guards: List[Guard] = Nil, succKilled: Boolean = false)
 // pending = completed matches containing a skipped optional: they emit only
 // once the watermark passes the window end (no guard event can then arrive)
 case class CepExAcc(partials: List[ExPartial], pending: List[ExPartial] = Nil)
@@ -81,11 +85,15 @@ case class VRunAcc(partials: List[VRunPartial])
 case class VRunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                      run_last_ts: Timestamp, run_n: Long, run_first_value: Double,
                      run_last_value: Double, last_ts: Timestamp)
+// value aggregates are Option so an EMPTY run (zeroOrMore) emits nulls —
+// matching the batch compile's left-join nulls, not a fake 0.0
 case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                     run_last_ts: Timestamp, run_n: Long, last_ts: Timestamp,
-                    run_sum_value: Double = 0.0, run_min_value: Double = 0.0,
-                    run_max_value: Double = 0.0, run_first_value: Double = 0.0,
-                    run_last_value: Double = 0.0)
+                    run_sum_value: Option[Double] = None,
+                    run_min_value: Option[Double] = None,
+                    run_max_value: Option[Double] = None,
+                    run_first_value: Option[Double] = None,
+                    run_last_value: Option[Double] = None)
 case class TjTagged(user_id: Long, ts: Timestamp, side: String,
                     event_type: String, value: Double)
 case class TjFact(tsMs: Long, event_type: String, value: Double)
@@ -739,20 +747,21 @@ object StreamOps {
             pending = pending.filterNot(guardHit)
             if (negStrict) {
               val negPred = predOf(expanded(nPos))
-              pending = pending.flatMap { p =>
+              pending = pending.map { p =>
                 val start = p.boundMs.last
                 val from = p.guards.find(_.step == nPos).get.fromMs
                 if (t > from && t <= start + withinMs) {
-                  if (p.succMs < 0 || t == p.succMs) {
-                    // the successor time (first observed, or more events at
-                    // it): any satisfying event kills the match
-                    if (negPred(e)) Nil
-                    else if (p.succMs < 0) List(p.copy(succMs = t))
-                    else List(p)
-                  } else { // past the successor time unbound: emit now
-                    out += toMatch(userId, p); Nil
-                  }
-                } else List(p)
+                  // track the EARLIEST successor time seen and whether any
+                  // event AT it satisfies the negative predicate; nothing is
+                  // emitted or killed here — an out-of-order event at or
+                  // before succMs can arrive in a later micro-batch (still
+                  // ahead of the watermark) and change the decision, so it
+                  // finalizes only once the watermark passes succMs
+                  if (p.succMs < 0 || t < p.succMs)
+                    p.copy(succMs = t, succKilled = negPred(e))
+                  else if (t == p.succMs && negPred(e)) p.copy(succKilled = true)
+                  else p
+                } else p
               }
             }
             partials = partials.flatMap { p =>
@@ -803,16 +812,33 @@ object StreamOps {
           }
           val wm = state.getCurrentWatermarkMs()
           partials = partials.filter(_.boundMs.last + withinMs > wm)
+          // a strict-negative pending whose successor time the watermark has
+          // passed is DECIDED early (no sub-watermark event can change it) —
+          // but only when no skip guard could still fire against it
+          def negDecided(p: ExPartial): Boolean =
+            negStrict && p.succMs >= 0 && p.succMs <= wm &&
+              p.guards.forall(_.step == nPos)
           // skip-matches whose window closed can no longer be invalidated
-          val (ripe, wait) = pending.partition(_.boundMs.last + withinMs <= wm)
-          ripe.foreach(p => out += toMatch(userId, p))
+          val (ripe, wait) = pending.partition(p =>
+            p.boundMs.last + withinMs <= wm || negDecided(p))
+          // succKilled: an event AT the final successor time satisfied the
+          // negative predicate — the match is dead, drop it silently
+          ripe.foreach(p => if (!p.succKilled) out += toMatch(userId, p))
           pending = wait
           if (partials.isEmpty && pending.isEmpty) state.remove()
           else {
             state.update(CepExAcc(partials, pending))
             state.setTimeoutTimestamp(
               (partials.map(_.boundMs.last + withinMs) ++
-                pending.map(_.boundMs.last + withinMs)).min)
+                pending.map { p =>
+                  val end = p.boundMs.last + withinMs
+                  // wake early when a strict-negative decision will be final
+                  // at succMs (which is > wm here, else it was ripe above)
+                  if (negStrict && p.succMs >= 0 &&
+                      p.guards.forall(_.step == nPos) && p.succMs < end)
+                    p.succMs
+                  else end
+                }).min)
           }
           out.result().iterator
       }
@@ -1048,7 +1074,7 @@ object StreamOps {
     * the batch compile binds a run whenever any member exists anywhere in
     * the window, so the empty match is valid only if none ever arrives: a
     * run start invalidates it, window expiry emits it (null run
-    * timestamps, count 0, value aggregates 0.0). */
+    * timestamps, count 0, null value aggregates — batch left-join parity). */
   def cepPatternOneOrMore(events: Dataset[Event], watermark: String,
                           firstPred: Event => Boolean, runPred: Event => Boolean,
                           lastPred: Event => Boolean, withinMs: Long,
@@ -1073,8 +1099,8 @@ object StreamOps {
               else if (lastPred(e) && p.runFirstMs >= 0 && t > p.runFirstMs) {
                 out += RunMatch(userId, new Timestamp(p.firstMs),
                   new Timestamp(p.runFirstMs), new Timestamp(p.runLastMs),
-                  p.runN, new Timestamp(t), p.sumVal, p.minVal, p.maxVal,
-                  p.firstVal, p.lastVal)
+                  p.runN, new Timestamp(t), Some(p.sumVal), Some(p.minVal),
+                  Some(p.maxVal), Some(p.firstVal), Some(p.lastVal))
                 None // completed
               } else if (lastPred(e) && p.runFirstMs < 0 && allowEmpty && t > p.firstMs) {
                 // hold the EARLIEST empty-run close; a run start invalidates

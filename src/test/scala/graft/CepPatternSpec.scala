@@ -341,6 +341,42 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("strict negative: an out-of-order event AT the successor time still kills") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1 delivers user 1's signup@0, view@5 (the successor time) and
+    // view@10 (past it); the killer purchase@5 arrives only in batch 2 —
+    // out of order but ahead of the watermark, so an eager emission at the
+    // view@10 event would be unretractable and WRONG. user 2 is the
+    // control: same shape, no purchase ever -> emits
+    val base = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "view"), (1L, at(10), "view"),
+      (2L, at(0), "signup"), (2L, at(5), "view"), (2L, at(10), "view"))
+    val withKiller = base ++ Seq((1L, at(5), "purchase"))
+    val batch = Pattern.begin("s", $"event_type" === "signup")
+      .notNext("p", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(withKiller.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts")
+      .as[(Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternSteps(in.toDS(), "2 hours", Seq(
+        StreamOps.CepStep(_.event_type == "signup"),
+        StreamOps.CepStep(_.event_type == "purchase", negative = true, strict = true)),
+        HOUR).toDF()
+      .writeStream.format("memory").queryName("s_notnext_ooo").outputMode("append").start()
+    in.addData(base.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) })
+    q.processAllAvailable()
+    in.addData(StreamOps.Event(1L, at(5), "purchase", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_notnext_ooo").as[graft.streaming.ExMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0))).toSet
+    assert(streaming == batch && batch == Set((2L, at(0))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("batch afterMatchSkipPastLastEvent and streaming skipPastLast agree") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -414,6 +450,14 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (1L, at(0), Some(at(10)), Some(at(20)), 2L, at(30)),
       (4L, at(0), None, None, 0L, at(15))),
       s"streaming=$streaming batch=$batch")
+    // an EMPTY run's value aggregates are NULL (the batch compile's
+    // left-join nulls), never a fake 0.0 a consumer could mistake for data
+    val emptyAggs = spark.table("s_zero_parity").where("run_n = 0")
+      .select("run_sum_value", "run_min_value", "run_max_value",
+        "run_first_value", "run_last_value").collect()
+    assert(emptyAggs.nonEmpty &&
+      emptyAggs.forall(r => (0 until 5).forall(r.isNullAt)),
+      emptyAggs.mkString(";"))
   }
 
   test("batch until() and streaming untilPred agree (run stops at the stop event)") {

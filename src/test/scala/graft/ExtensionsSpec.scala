@@ -108,6 +108,14 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
           "SELECT * FROM mr_events2" + clause)
       }
       assert(e2.getMessage.contains("defined as a CTE"), e2.getMessage)
+      // no whitespace after the comma (`,mr_events2 AS (`) must also be
+      // caught — the guard regex accepts \s* after the WITH/comma
+      val e2b = intercept[IllegalArgumentException] {
+        s2.sql("WITH other_cte AS (SELECT 1 AS one)," +
+          "mr_events2 AS (SELECT * FROM mr_events2 WHERE user_id < 0) " +
+          "SELECT * FROM mr_events2" + clause)
+      }
+      assert(e2b.getMessage.contains("defined as a CTE"), e2b.getMessage)
       // a non-CTE unresolvable name still gets the resolution error
       val e3 = intercept[IllegalArgumentException] {
         s2.sql("SELECT * FROM no_such_table_xyz" + clause)

@@ -420,6 +420,59 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m == Set(("eu", 1L, at(0), at(10)), ("us", 2L, at(0), at(8))))
   }
 
+  test("LAST(...,1) inside a larger conjunct is a named error, not a miscompile") {
+    val vshape = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 9.0), (1L, at(10), "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    // an OR tail shares the comparison's top-AND conjunct: compiling only the
+    // extracted comparison would silently drop the `OR ...` branch
+    val exOr = intercept[IllegalArgumentException](MatchRecognize.detect(vshape,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S D+ U)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         D AS D.value < LAST(D.value, 1) OR D.value > 100,
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(exOr.getMessage.contains("consist solely"), exOr.getMessage)
+    // trailing arithmetic around LAST(...,1) would likewise be dropped
+    val exArith = intercept[IllegalArgumentException](MatchRecognize.detect(vshape,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S D+ U)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         D AS D.value < LAST(D.value, 1) + 5 AND D.event_type = 'click',
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(exArith.getMessage.contains("consist solely"), exArith.getMessage)
+  }
+
+  test("SKIP PAST LAST ROW: colliding composite-key renderings stay distinct partitions") {
+    // ("a,b","c") and ("a","b,c") both render "[a,b,c]" via Row.toString — a
+    // collision-prone per-key grouping would merge them and the greedy
+    // selection would suppress the second partition's time-overlapping match
+    val multi = Seq(
+      ("a,b", "c", at(0), "signup"), ("a,b", "c", at(10), "purchase"),
+      ("a", "b,c", at(5), "signup"), ("a", "b,c", at(8), "purchase")
+    ).toDF("g1", "g2", "ts", "event_type")
+    val m = MatchRecognize.detect(multi,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY g1, g2
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, P.ts AS p_ts
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(String, String, Timestamp, Timestamp)].collect().toSet
+    assert(m == Set(("a,b", "c", at(0), at(10)), ("a", "b,c", at(5), at(8))), m.toString)
+  }
+
   test("MATCH_NUMBER() numbers a partition's matches; ALL ROWS rejects it by name") {
     // two matches for user 1 (both signups chain to the purchase), ordered
     // by binding timestamps
