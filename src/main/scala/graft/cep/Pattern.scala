@@ -30,7 +30,8 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       iter: Option[Column] = None, optTail: Int = 0,
                       alts: Seq[(String, Column)] = Nil, strict: Boolean = false,
                       runOn: Option[String] = None,
-                      runAccept: Option[(Column, Column) => Column] = None)
+                      runAccept: Option[(Column, Column) => Column] = None,
+                      group: Seq[(String, Column)] = Nil)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false) {
@@ -98,7 +99,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // optional and ranged steps may bind too: a skipped expansion's payload
     // is null (the refinement tables join left) — only runs aggregate
     // instead of binding, via bindRun()
-    require(steps.nonEmpty && !steps.last.oneOrMore,
+    require(steps.nonEmpty && !steps.last.oneOrMore && steps.last.group.isEmpty,
       "bind() applies to plain/optional/times(n)/timesRange steps — use bindRun() for runs")
     new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast)
   }
@@ -163,8 +164,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def zeroOrMore(): Pattern = {
     require(steps.size >= 2, "zeroOrMore() applies to a followedBy step")
     require(steps.last.reps == 1 && !steps.last.opt && steps.last.keep.isEmpty &&
-      steps.last.alts.isEmpty && !steps.last.strict,
-      "zeroOrMore() excludes times(n)/optional()/bind()/followedByOneOf()/next()")
+      steps.last.alts.isEmpty && !steps.last.strict && steps.last.group.isEmpty,
+      "zeroOrMore() excludes times(n)/optional()/bind()/followedByOneOf()/next()/groups")
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true, opt = true),
       notStep, windowMs, skipPastLast)
   }
@@ -182,8 +183,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * falls back to SortAggregate and the member rows are never sorted). An
     * empty zeroOrMore run yields nulls (count stays 0). */
   def bindRun(cols: String*): Pattern = {
-    require(steps.nonEmpty && (steps.last.oneOrMore || steps.last.runOn.nonEmpty),
-      "bindRun() requires oneOrMore()/zeroOrMore()/followedByRun() on the step")
+    require(steps.nonEmpty && (steps.last.oneOrMore || steps.last.runOn.nonEmpty) &&
+      steps.last.group.isEmpty,
+      "bindRun() requires oneOrMore()/zeroOrMore()/followedByRun() on a non-group step")
     new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast)
   }
 
@@ -213,13 +215,48 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       runAccept = Some(accept)), notStep, windowMs, skipPastLast)
   }
 
+  /** GROUP pattern — a quantifiable SUB-PATTERN (reference flink-libraries/
+    * flink-cep/.../pattern/GroupPattern.java:30, `Pattern.begin(Pattern)`,
+    * exercised throughout flink-cep NFAITCase): the step matches one
+    * complete sub-sequence `sub(0) sub(1) ... sub(k)` (relaxed contiguity,
+    * each sub-step the earliest in-key candidate strictly after the
+    * previous sub-binding), and composes with [[times]]/[[timesRange]]/
+    * [[optional]]/[[oneOrMore]] — `(A B)+` repeats the whole sub-sequence,
+    * each repetition starting strictly after the previous one's END, greedy
+    * (as many complete repetitions as fit the window; the next pattern step
+    * binds after the LAST repetition's end). Emits `<name>_first_ts` (the
+    * first repetition's first sub-binding), `<name>_last_ts` (the last
+    * repetition's final sub-binding) and, under oneOrMore, `<name>_n`
+    * (repetition count).
+    *
+    * Lowering: the sub-pattern compiles ONCE to a per-key sub-match table
+    * (one row per first-sub-step event: its earliest completion, via the
+    * same keyed min-binding joins as top-level steps). A sub-match's end is
+    * MONOTONE in its start (each stage is a min over a shrinking candidate
+    * set), so "earliest start after τ" is completable iff ANY repetition is
+    * — single-repetition binding stays one declarative join + min-agg. The
+    * `(sub)+` repetition chain is greedy-sequential per key (each
+    * repetition anchors on the previous one's end), the same inherently
+    * sequential shape as AFTER MATCH SKIP: it runs as one cogroup over
+    * (prefix matches × sub-matches) per key — parallel in the key space,
+    * per-key lists bounded by the key's sub-match count, with the
+    * pre-reduced sub-match table (never raw events) in state. */
+  def followedByGroup(name: String, sub: (String, Column)*): Pattern = {
+    require(notStep.isEmpty, "notFollowedBy must be the terminal step")
+    require(steps.nonEmpty, "followedByGroup() follows a begin step")
+    require(sub.size >= 2, "a group sub-pattern needs at least two steps")
+    new Pattern(steps :+ Step(name, sub.map(_._2).reduce(_ || _),
+      group = sub.toVector), notStep, windowMs, skipPastLast)
+  }
+
   /** flink-cep `until(cond)` on a preceding `oneOrMore()` step: the run
     * stops accepting occurrences once a `cond` event (strictly after the
     * run's first occurrence, same key, in-window) appears — run members are
     * those before the EARLIEST such stop event. The first occurrence and the
     * following steps are unaffected. */
   def until(cond: Column): Pattern = {
-    require(steps.nonEmpty && steps.last.oneOrMore, "until() requires oneOrMore() on the step")
+    require(steps.nonEmpty && steps.last.oneOrMore && steps.last.group.isEmpty,
+      "until() requires oneOrMore() on a non-group step")
     new Pattern(steps.init :+ steps.last.copy(until = Some(cond)), notStep, windowMs, skipPastLast)
   }
 
@@ -402,6 +439,96 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             s.keep, Some(col("__seg"))), seg = true)
           .drop("__rseg")
         prevTs = col(s"${s.name}_last_ts")
+      } else if (s.group.nonEmpty) {
+        // --- group sub-pattern (followedByGroup): compile the sub-match
+        // table ONCE (one row per first-sub-step event, its earliest
+        // completion via the same keyed min-binding joins), then bind one
+        // repetition declaratively or chain `(sub)+` repetitions per key
+        var subs = events.filter(s.group.head._2)
+          .select(key.as("__gk"), ts.as("__gb"))
+        var prevSub: Column = col("__gb")
+        s.group.tail.zipWithIndex.foreach { case ((_, p), j) =>
+          val cand = events.filter(p).select(key.as("__gk2"), ts.as(s"__gc$j"))
+          val kept0 = subs.columns.map(col)
+          // span-bounded by win: any repetition usable from any anchor has
+          // end - start < win (start > match start, end <= match start + win)
+          subs = subs.join(cand, col("__gk") === col("__gk2") &&
+              col(s"__gc$j") > prevSub && col(s"__gc$j") <= col("__gb") + win)
+            .groupBy(kept0.toIndexedSeq: _*)
+            .agg(min(col(s"__gc$j")).as(s"__ge$j"))
+          prevSub = col(s"__ge$j")
+        }
+        val subPairs = subs.select(col("__gk"), col("__gb"), prevSub.as("__gc"))
+        if (!s.oneOrMore) {
+          // single repetition: the earliest sub-match strictly after the
+          // previous binding. Completion time is MONOTONE in start time
+          // (each sub-stage is a min over a shrinking candidate set), so
+          // the earliest start is completable iff any is — one declarative
+          // join + min-agg, no chain needed
+          val kept0 = out.columns.map(col)
+          out = out.join(subPairs,
+              col("__k") === col("__gk") && col("__gb") > prevTs &&
+                col("__gc") <= col(startTs) + win,
+              if (s.opt) "left_outer" else "inner")
+            .groupBy(kept0.toIndexedSeq: _*)
+            .agg(min(col("__gb")).as(s"${s.name}_first_ts"))
+          // one sub-match per (key, start): join back for the end timestamp
+          out = out.join(subPairs.select(col("__gk").as("__gk3"),
+              col("__gb").as("__gb3"), col("__gc").as(s"${s.name}_last_ts")),
+              col("__k") === col("__gk3") &&
+                col(s"${s.name}_first_ts") === col("__gb3"),
+              if (s.opt) "left_outer" else "inner")
+            .drop("__gk3", "__gb3")
+          prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
+                   else col(s"${s.name}_last_ts")
+        } else {
+          // (sub)+: GREEDY repetition chain — each repetition anchors on
+          // the previous one's end, inherently sequential per key (the
+          // AFTER MATCH SKIP precedent): one cogroup over prefix matches ×
+          // the pre-reduced sub-match table, parallel in the key space,
+          // per-key state bounded by the key's sub-match count
+          val anch = out.withColumn("__gprev", prevTs)
+            .withColumn("__gwend", col(startTs) + win)
+          val aSchema = anch.schema
+          val keyIdx = aSchema.fieldIndex("__k")
+          val prevIdx = aSchema.fieldIndex("__gprev")
+          val wendIdx = aSchema.fieldIndex("__gwend")
+          val outSchema = org.apache.spark.sql.types.StructType(
+            aSchema.fields ++ Seq(
+              org.apache.spark.sql.types.StructField(s"${s.name}_first_ts",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField(s"${s.name}_last_ts",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField(s"${s.name}_n",
+                org.apache.spark.sql.types.LongType)))
+          val strEnc = org.apache.spark.sql.Encoders.STRING
+          val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
+          val subKV = subPairs.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
+          val chained = anchKV.cogroup(subKV) { (_, as, ss) =>
+            // full-precision Timestamp comparisons (compareTo includes
+            // nanos) — the declarative joins compare at full precision too
+            val pairs = ss.map(r => (r.getTimestamp(1), r.getTimestamp(2)))
+              .toArray.sortWith((p, q) => p._1.before(q._1))
+            as.flatMap { a =>
+              val tau = a.getTimestamp(prevIdx)
+              val wEnd = a.getTimestamp(wendIdx)
+              var lastEnd = tau
+              var first: java.sql.Timestamp = null
+              var n = 0L; var i = 0; var stop = false
+              while (!stop && i < pairs.length) {
+                val (b, c) = pairs(i)
+                if (!b.after(lastEnd)) i += 1 // not strictly after: advance
+                else if (c.after(wEnd)) stop = true // monotone: none later completes
+                else { if (first == null) first = b; lastEnd = c; n += 1 }
+              }
+              if (n == 0) Iterator.empty
+              else Iterator.single(org.apache.spark.sql.Row.fromSeq(
+                a.toSeq ++ Seq(first, lastEnd, n)))
+            }
+          }(org.apache.spark.sql.Encoders.row(outSchema))
+          out = chained.toDF().drop("__gprev", "__gwend")
+          prevTs = col(s"${s.name}_last_ts")
+        }
       } else {
       if (s.strict) {
         // strict contiguity: the successor TIME (earliest event of any type
@@ -516,7 +643,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // oneOrMore run aggregation: the chain above bound the FIRST occurrence;
     // one more keyed equi-join collects the run up to the next binding (or
     // the window end when the run ends the pattern)
-    expanded.zipWithIndex.filter(_._1.oneOrMore).foreach { case (st, i) =>
+    expanded.zipWithIndex.filter(p => p._1.oneOrMore && p._1.group.isEmpty)
+      .foreach { case (st, i) =>
       val name = st.name
       val pred = st.pred
       val nextName = expanded.lift(i + 1).map(_.name)
@@ -570,17 +698,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       case (f, i) if f.dataType == org.apache.spark.sql.types.TimestampType => i
     }
     implicit val rowEnc = org.apache.spark.sql.Encoders.row(schema)
-    // collision-free key rendering: composite PARTITION BY keys are struct
-    // Rows whose toString ("[a,b]") can collide across distinct keys when
-    // field strings contain delimiters — length-prefix every field instead
-    def encodeKey(v: Any): String = v match {
-      case null => "N"
-      case r: org.apache.spark.sql.Row =>
-        (0 until r.length).map(i => encodeKey(r.get(i)))
-          .map(s => s"${s.length}:$s").mkString("R(", ",", ")")
-      case o => val s = String.valueOf(o); s"V${s.length}:$s"
-    }
-    matches.groupByKey(r => encodeKey(r.get(keyIdx)))(org.apache.spark.sql.Encoders.STRING)
+    matches.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         def endOf(r: org.apache.spark.sql.Row): Long =
           tsIdx.flatMap(i => Option(r.getTimestamp(i)).map(_.getTime)).max
@@ -594,9 +712,22 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   }
 }
 
-object Pattern {
+object Pattern extends Serializable {
   def begin(name: String, pred: Column): Pattern =
     new Pattern(Vector(Step(name, pred)), None, None)
+
+  /** Collision-free key rendering for per-key JVM grouping: composite
+    * PARTITION BY keys are struct Rows whose toString ("[a,b]") can collide
+    * across distinct keys when field strings contain delimiters —
+    * length-prefix every field instead. Lives on the (serializable)
+    * companion so groupByKey closures never capture a Pattern instance. */
+  private[cep] def keyString(v: Any): String = v match {
+    case null => "N"
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => keyString(r.get(i)))
+        .map(s => s"${s.length}:$s").mkString("R(", ",", ")")
+    case o => val s = String.valueOf(o); s"V${s.length}:$s"
+  }
 
   /** The current candidate event's column, inside an iterative predicate
     * (flink-cep's `event` argument to IterativeCondition.filter). */

@@ -890,6 +890,67 @@ object WindowQueries {
       | round(sum(value), 4) AS sum_value
       |FROM r WHERE rn <= 5 GROUP BY 1, 2""".stripMargin
 
+  // --- m13: GROUP pattern `S (C V)+ P` (reference flink-cep GroupPattern
+  // .java:30, `Pattern.begin(Pattern...)`, exercised throughout NFAITCase):
+  // a quantified SUB-PATTERN — each repetition is a complete click→view
+  // sub-sequence, repetitions chain greedily (each starting strictly after
+  // the previous one's end), and the purchase binds after the LAST
+  // repetition's end. The oracle replays the chain with a recursive CTE
+  // over the same pre-reduced sub-match table (one row per click: its
+  // earliest view completion), walking next-links to the maximal chain.
+  private val m13: Q = (s, dir) =>
+    graft.cep.Pattern.begin("s", col("event_type") === "signup")
+      .followedByGroup("g",
+        "c" -> (col("event_type") === "click"),
+        "v" -> (col("event_type") === "view"))
+      .oneOrMore()
+      .followedBy("p", col("event_type") === "purchase")
+      .within(96L * 3600 * 1000)
+      .detect(ev(s, dir), col("user_id"), col("ts"))
+      .select(col("key").as("user_id"), col("s_ts").as("signup_ts"),
+        col("g_first_ts"), col("g_last_ts"), col("g_n").as("n_reps"),
+        col("p_ts").as("purchase_ts"))
+  private val m13Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |subs AS (
+      |  SELECT c.user_id, c.ts AS b_ts, min(v.ts) AS e_ts
+      |  FROM c JOIN v ON v.user_id = c.user_id AND v.ts > c.ts
+      |              AND v.ts <= c.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, s1.e_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2, 3),
+      |entry AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 96 HOURS AS w_end,
+      |         min(sub.b_ts) AS b1
+      |  FROM s JOIN subs sub ON sub.user_id = s.user_id AND sub.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |chain AS (
+      |  SELECT e.user_id, e.s_ts, e.w_end, e.b1 AS b_first, sub.b_ts AS b_cur,
+      |         sub.e_ts AS e_cur, CAST(1 AS BIGINT) AS n
+      |  FROM entry e JOIN subs sub ON sub.user_id = e.user_id AND sub.b_ts = e.b1
+      |  WHERE sub.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT ch.user_id, ch.s_ts, ch.w_end, ch.b_first, nx.b_ts, nx.e_ts, ch.n + 1
+      |  FROM chain ch
+      |  JOIN link l ON l.user_id = ch.user_id AND l.b_ts = ch.b_cur
+      |  JOIN subs nx ON nx.user_id = ch.user_id AND nx.b_ts = l.nb
+      |  WHERE nx.e_ts <= ch.w_end),
+      |best AS (
+      |  SELECT user_id, s_ts, w_end, b_first, e_cur, n,
+      |         row_number() OVER (PARTITION BY user_id, s_ts ORDER BY n DESC) rn
+      |  FROM chain)
+      |SELECT b.user_id, b.s_ts AS signup_ts, b.b_first AS g_first_ts,
+      |       b.e_cur AS g_last_ts, b.n AS n_reps, min(p.ts) AS purchase_ts
+      |FROM best b JOIN p ON p.user_id = b.user_id AND p.ts > b.e_cur AND p.ts <= b.w_end
+      |WHERE b.rn = 1
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -903,7 +964,8 @@ object WindowQueries {
     "m03_match_skip" -> m03, "m04_match_range" -> m04, "m05_match_alternation" -> m05,
     "m06_match_relative" -> m06, "m07_match_plus" -> m07, "m08_match_all_rows" -> m08,
     "m09_match_run_sum" -> m09, "m10_match_vshape" -> m10,
-    "m11_match_range_sum" -> m11, "m12_match_number" -> m12)
+    "m11_match_range_sum" -> m11, "m12_match_number" -> m12,
+    "m13_group_pattern" -> m13)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -921,5 +983,5 @@ object WindowQueries {
     "m06_match_relative" -> m06Sql, "m07_match_plus" -> m07Sql,
     "m08_match_all_rows" -> m08Sql, "m09_match_run_sum" -> m09Sql,
     "m10_match_vshape" -> m10Sql, "m11_match_range_sum" -> m11Sql,
-    "m12_match_number" -> m12Sql)
+    "m12_match_number" -> m12Sql, "m13_group_pattern" -> m13Sql)
 }

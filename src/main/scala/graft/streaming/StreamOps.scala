@@ -94,6 +94,17 @@ case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                     run_max_value: Option[Double] = None,
                     run_first_value: Option[Double] = None,
                     run_last_value: Option[Double] = None)
+// group-pattern (sub)+ partials: the greedy repetition chain is CAUSAL on
+// streams, so state is O(1) per partial — current sub-step index + the
+// in-progress repetition's bounds + chain stats; a close event arriving
+// while the chain could still extend is HELD (pendingUMs) and emitted at
+// window expiry, invalidated by any later repetition completion
+case class GrpPartial(firstMs: Long, gFirstMs: Long, lastRepEndMs: Long,
+                      reps: Long, subIdx: Int, curRepStartMs: Long,
+                      curRepLastMs: Long, pendingUMs: Long)
+case class GrpAcc(partials: List[GrpPartial])
+case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
+                    rep_last_ts: Timestamp, rep_n: Long, last_ts: Timestamp)
 case class TjTagged(user_id: Long, ts: Timestamp, side: String,
                     event_type: String, value: Double)
 case class TjFact(tsMs: Long, event_type: String, value: Double)
@@ -1225,6 +1236,87 @@ object StreamOps {
           if (partials.isEmpty) state.remove()
           else {
             state.update(VRunAcc(partials))
+            state.setTimeoutTimestamp(partials.map(_.firstMs + withinMs).min)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming counterpart of `Pattern.followedByGroup(...).oneOrMore()` —
+    * the GROUP pattern `S (sub0 sub1 ...)+ U` (reference flink-cep
+    * GroupPattern.java:30): repetitions of the whole sub-sequence chain
+    * greedily, each sub-step binding the earliest in-key event strictly
+    * after the previous binding, each repetition starting strictly after
+    * the previous repetition's END; U binds after the LAST repetition's
+    * end. The chain is CAUSAL on streams, so partial state is O(1): the
+    * current sub-step index, the in-progress repetition's bounds, and the
+    * chain stats (first start / last end / count). The one non-causal
+    * corner mirrors [[cepPatternRun]]: a U arriving while the window could
+    * still admit another repetition is HELD and emitted at window expiry —
+    * any later repetition completion invalidates it (the batch chain is
+    * greedy-maximal, so the U must follow the FINAL repetition). Watermark
+    * pruning, event-time eviction, `maxPartials` (newest kept) and the
+    * deterministic (ts, type, value) in-batch order follow the cepPattern
+    * family; keep step predicates disjoint for exact batch parity. */
+  def cepPatternGroup(events: Dataset[Event], watermark: String,
+                      firstPred: Event => Boolean,
+                      subPreds: Seq[Event => Boolean],
+                      lastPred: Event => Boolean, withinMs: Long,
+                      maxPartials: Int = 256): Dataset[GrpMatch] = {
+    require(subPreds.size >= 2, "a group sub-pattern needs at least two steps")
+    implicit val outEnc = Encoders.product[GrpMatch]
+    implicit val accEnc = Encoders.product[GrpAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GrpAcc, GrpMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[GrpAcc]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = Seq.newBuilder[GrpMatch]
+          def emit(p: GrpPartial): Unit =
+            out += GrpMatch(userId, new Timestamp(p.firstMs),
+              new Timestamp(p.gFirstMs), new Timestamp(p.lastRepEndMs),
+              p.reps, new Timestamp(p.pendingUMs))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+            val t = e.ts.getTime
+            partials = partials.flatMap { p =>
+              if (t > p.firstMs + withinMs) {
+                // window expired: a held close completes the chain (no
+                // further in-window repetition can extend past it)
+                if (p.reps >= 1 && p.pendingUMs >= 0) emit(p)
+                None
+              } else {
+                val anchor = if (p.subIdx == 0) p.lastRepEndMs else p.curRepLastMs
+                if (p.subIdx < subPreds.size && subPreds(p.subIdx)(e) && t > anchor) {
+                  if (p.subIdx == subPreds.size - 1) {
+                    // repetition completes: extend the chain; a held close
+                    // at or before this completion is no longer the final
+                    // repetition's successor — invalidate it
+                    val gFirst = if (p.reps == 0) p.curRepStartMs else p.gFirstMs
+                    Some(p.copy(gFirstMs = gFirst, lastRepEndMs = t,
+                      reps = p.reps + 1, subIdx = 0, curRepStartMs = -1L,
+                      curRepLastMs = -1L, pendingUMs = -1L))
+                  } else if (p.subIdx == 0)
+                    Some(p.copy(subIdx = 1, curRepStartMs = t, curRepLastMs = t))
+                  else Some(p.copy(subIdx = p.subIdx + 1, curRepLastMs = t))
+                } else if (lastPred(e) && p.reps >= 1 && t > p.lastRepEndMs &&
+                           p.pendingUMs < 0) {
+                  Some(p.copy(pendingUMs = t)) // held: emitted at expiry
+                } else Some(p)
+              }
+            }
+            if (firstPred(e))
+              partials = (GrpPartial(t, -1L, t, 0L, 0, -1L, -1L, -1L)
+                :: partials).take(maxPartials)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (expired, alive) = partials.partition(_.firstMs + withinMs <= wm)
+          expired.foreach(p => if (p.reps >= 1 && p.pendingUMs >= 0) emit(p))
+          partials = alive
+          if (partials.isEmpty) state.remove()
+          else {
+            state.update(GrpAcc(partials))
             state.setTimeoutTimestamp(partials.map(_.firstMs + withinMs).min)
           }
           out.result().iterator

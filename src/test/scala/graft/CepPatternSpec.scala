@@ -49,6 +49,74 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       m.head.getAs[Timestamp]("click_2_ts") == at(20))
   }
 
+  test("followedByGroup + oneOrMore: greedy (B C)+ repetition chain") {
+    // user 1: two clean repetitions (5,10) (15,20), purchase after;
+    // user 2: incomplete repetition (B without C) -> no match;
+    // user 3: extra B inside rep 1 is absorbed (skip-till-next), chain is
+    //   (5,10) (12,14), purchase at 20;
+    // user 4: purchase outside the window -> no match;
+    // user 5: GREEDY — the chain consumes the second repetition even though
+    //   stopping earlier would let the u@12 bind: no match
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),
+      (1L, at(15), "b"), (1L, at(20), "c"), (1L, at(25), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "b"), (2L, at(10), "purchase"),
+      (3L, at(0), "signup"), (3L, at(5), "b"), (3L, at(7), "b"), (3L, at(10), "c"),
+      (3L, at(12), "b"), (3L, at(14), "c"), (3L, at(20), "purchase"),
+      (4L, at(0), "signup"), (4L, at(5), "b"), (4L, at(10), "c"), (4L, at(90), "purchase"),
+      (5L, at(0), "signup"), (5L, at(5), "b"), (5L, at(10), "c"), (5L, at(12), "purchase"),
+      (5L, at(15), "b"), (5L, at(20), "c")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByGroup("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .oneOrMore()
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n", $"u_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    assert(m == Set(
+      (1L, at(0), at(5), at(20), 2L, at(25)),
+      (3L, at(0), at(5), at(14), 2L, at(20))), m.toString)
+  }
+
+  test("followedByGroup + times(2): exactly two repetitions, each separately bound") {
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),
+      (1L, at(15), "b"), (1L, at(20), "c"), (1L, at(25), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "b"), (2L, at(10), "c"), (2L, at(15), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByGroup("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .times(2)
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_1_first_ts", $"g_1_last_ts", $"g_2_first_ts", $"g_2_last_ts", $"u_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Timestamp, Timestamp)].collect().toSet
+    // user 2 has only one repetition: no match
+    assert(m == Set((1L, at(5), at(10), at(15), at(20), at(25))), m.toString)
+  }
+
+  test("optional group '(B C)?': skipped when no complete sub-match exists") {
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"), (1L, at(15), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "b"), (2L, at(15), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByGroup("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .optional()
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"u_ts")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Timestamp)].collect().toSet
+    // user 2's lone b never completes: the group is skipped, u binds after s
+    assert(m == Set(
+      (1L, Some(at(5)), Some(at(10)), at(15)),
+      (2L, None, None, at(15))), m.toString)
+  }
+
   test("terminal notFollowedBy excludes matched continuations") {
     val m = Pattern.begin("signup", $"event_type" === "signup")
       .followedBy("click", $"event_type" === "click")
@@ -571,6 +639,52 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (1L, at(0), at(5), at(15), 3L, 9.0, 4.0, at(25)),
       (2L, at(0), at(5), at(5), 1L, 3.0, 3.0, at(10)),
       (3L, at(0), at(5), at(12), 2L, 6.0, 5.0, at(22))),
+      s"streaming=$streaming batch=$batch")
+  }
+
+  test("batch followedByGroup and streaming cepPatternGroup agree ((B C)+ parity)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: two clean repetitions; user 2: incomplete repetition (no c)
+    // -> no match; user 3: a u arrives BETWEEN repetitions (held, then
+    // invalidated by the second repetition; the u@25 binds); user 4:
+    // skip-till-next absorbs the extra b inside repetition 1
+    val all = Seq(
+      (1L, at(0), "s"), (1L, at(5), "b"), (1L, at(10), "c"),
+      (1L, at(15), "b"), (1L, at(20), "c"), (1L, at(25), "u"),
+      (2L, at(0), "s"), (2L, at(5), "b"), (2L, at(10), "u"),
+      (3L, at(0), "s"), (3L, at(5), "b"), (3L, at(10), "c"), (3L, at(12), "u"),
+      (3L, at(15), "b"), (3L, at(20), "c"), (3L, at(25), "u"),
+      (4L, at(0), "s"), (4L, at(5), "b"), (4L, at(7), "b"), (4L, at(10), "c"),
+      (4L, at(20), "u"))
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .followedByGroup("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .oneOrMore()
+      .followedBy("u", $"event_type" === "u")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n", $"u_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternGroup(in.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        _.event_type == "u", HOUR).toDF()
+      .writeStream.format("memory").queryName("s_grp_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(8)); q.processAllAvailable() // split mid-chain
+    in.addData(evs.drop(8)); q.processAllAvailable()
+    // held closes emit at window expiry: push the watermark past every
+    // window end, then one more batch for the event-time timeouts
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_grp_parity").as[graft.streaming.GrpMatch].collect()
+      .map(m => (m.user_id, m.first_ts, m.rep_first_ts, m.rep_last_ts, m.rep_n, m.last_ts))
+      .toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), at(5), at(20), 2L, at(25)),
+      (3L, at(0), at(5), at(20), 2L, at(25)),
+      (4L, at(0), at(5), at(10), 1L, at(20))),
       s"streaming=$streaming batch=$batch")
   }
 

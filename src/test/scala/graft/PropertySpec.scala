@@ -246,6 +246,59 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     })
   }
 
+  test("followedByGroup (B C)+ == brute-force greedy-chain reference on random logs") {
+    import graft.cep.Pattern
+    val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val WindowMs = 30L * 60000
+    val gen = Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 2L), Gen.oneOf("s", "b", "c", "u")))
+    assertHolds(Prop.forAll(gen) { rows =>
+      val evs = rows.zipWithIndex.map { case ((u, t), i) => (u, T0.getTime + i * 60000L, t) }
+      val df = evs.map { case (u, tm, t) => (u, new java.sql.Timestamp(tm), t) }
+        .toDF("user_id", "ts", "event_type")
+      val got = Pattern.begin("s", col("event_type") === "s")
+        .followedByGroup("g",
+          "b" -> (col("event_type") === "b"), "c" -> (col("event_type") === "c"))
+        .oneOrMore()
+        .followedBy("u", col("event_type") === "u")
+        .within(WindowMs).detect(df, col("user_id"), col("ts"))
+        .collect().map(r => (r.getAs[Long]("key"),
+          r.getAs[java.sql.Timestamp]("s_ts").getTime,
+          r.getAs[java.sql.Timestamp]("g_first_ts").getTime,
+          r.getAs[java.sql.Timestamp]("g_last_ts").getTime,
+          r.getAs[Long]("g_n"),
+          r.getAs[java.sql.Timestamp]("u_ts").getTime)).toSet
+      // reference: greedy no-backtracking NFA walk per anchor — each
+      // repetition binds the earliest b after the previous repetition's end,
+      // then the earliest c after that b, both within the window; u binds
+      // after the last repetition's end
+      val want = (for {
+        u <- evs.map(_._1).distinct
+        sorted = evs.filter(_._1 == u).map(e => (e._2, e._3)).sortBy(_._1)
+        (t0, "s") <- sorted
+        end = t0 + WindowMs
+        chain = {
+          val reps = scala.collection.mutable.ListBuffer[(Long, Long)]()
+          var anchor = t0
+          var go = true
+          while (go) {
+            val rep = for {
+              b <- sorted.collectFirst { case (t, "b") if t > anchor && t <= end => t }
+              c <- sorted.collectFirst { case (t, "c") if t > b && t <= end => t }
+            } yield (b, c)
+            rep match {
+              case Some((b, c)) => reps += ((b, c)); anchor = c
+              case None => go = false
+            }
+          }
+          reps.toList
+        }
+        if chain.nonEmpty
+        uts <- sorted.collectFirst { case (t, "u") if t > chain.last._2 && t <= end => t }.toSeq
+      } yield (u, t0, chain.head._1, chain.last._2, chain.size.toLong, uts)).toSet
+      (got == want) :| s"got=$got want=$want"
+    })
+  }
+
   test("afterMatchSkipPastLastEvent == brute-force greedy reference on random logs") {
     import graft.cep.Pattern
     // m03's lowering has no cross-engine SQL oracle (greedy per-key selection
