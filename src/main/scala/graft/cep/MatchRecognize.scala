@@ -61,6 +61,11 @@ import org.apache.spark.sql.functions._
   *                                  -- step binds after the run's LAST
   *                                  -- member). Lowered onto
   *                                  -- Pattern.followedByRun — batch only.
+  *                                  -- `PREV(V.col)` / `PREV(col)` is the
+  *                                  -- SQL-standard alias of LAST(V.col, 1)
+  *                                  -- (`price < PREV(price)` works as-is;
+  *                                  -- offsets other than 1 are named
+  *                                  -- errors).
   * )
   * }}}
   * Semantics are [[Pattern]]'s (flink-cep relaxed contiguity,
@@ -150,11 +155,45 @@ object MatchRecognize {
       d.split(",(?=\\s*\\w+\\s+(?i:AS)\\s)").toSeq.map { item =>
         val m = "(?is)\\s*(\\w+)\\s+AS\\s+(.*)".r.findFirstMatchIn(item)
           .getOrElse(sys.error(s"bad DEFINE item: $item"))
-        m.group(1) -> m.group(2).trim
+        m.group(1) -> rewritePrev(m.group(1), m.group(2).trim)
       }.toMap
     }.getOrElse(Map.empty)
     Spec(partitionBy, orderBy, measures, vars, withinMs, defines, skipPastLast,
       allRows)
+  }
+
+  /** `PREV(V.col)` / `PREV(col)` (offset 1) — the SQL-standard spelling of
+    * the one-row-back self-reference, the most-copied MATCH_RECOGNIZE shape
+    * (MatchRecognizeITCase's `price < PREV(price)`): a textual alias of
+    * `LAST(V.col, 1)`, rewritten per DEFINE item before compilation. A bare
+    * `PREV(col)` qualifies with the variable being defined, and a bare LHS
+    * in the canonical `col < PREV(col)` comparison is qualified alongside so
+    * the self-reference detector sees `V.col < LAST(V.col, 1)`. Offsets
+    * other than 1 are rejected by name (a run carries ONE previous member). */
+  private def rewritePrev(v: String, body0: String): String = {
+    import scala.util.matching.Regex.quoteReplacement
+    val PrevQual = "(?is)\\bPREV\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
+    val PrevBare = "(?is)\\bPREV\\s*\\(\\s*(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
+    def checkN(n: Option[String], what: String): Unit =
+      require(n.forall(_ == "1"),
+        s"DEFINE $v: $what — only PREV offset 1 is supported")
+    var out = PrevQual.replaceAllIn(body0, m => {
+      checkN(Option(m.group(3)), m.matched)
+      quoteReplacement(s"LAST(${m.group(1)}.${m.group(2)}, 1)")
+    })
+    val bareCols = scala.collection.mutable.LinkedHashSet[String]()
+    out = PrevBare.replaceAllIn(out, m => {
+      checkN(Option(m.group(2)), m.matched)
+      bareCols += m.group(1)
+      quoteReplacement(s"LAST($v.${m.group(1)}, 1)")
+    })
+    bareCols.foreach { c =>
+      val lhs = (s"(?is)(^|[^\\w.])($c\\s*(?:<=|>=|<|>)\\s*LAST\\s*\\(\\s*" +
+        s"${java.util.regex.Pattern.quote(v)}\\.$c\\s*,)").r
+      out = lhs.replaceAllIn(out,
+        m => quoteReplacement(s"${m.group(1)}$v.${m.group(2)}"))
+    }
+    out
   }
 
   private val RefRx = "(\\w+)\\.(\\w+)".r

@@ -31,7 +31,8 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       alts: Seq[(String, Column)] = Nil, strict: Boolean = false,
                       runOn: Option[String] = None,
                       runAccept: Option[(Column, Column) => Column] = None,
-                      group: Seq[(String, Column)] = Nil)
+                      group: Seq[(String, Column)] = Nil,
+                      consec: Boolean = false)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false) {
@@ -213,6 +214,33 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.nonEmpty, "followedByRun() follows a begin step")
     new Pattern(steps :+ Step(name, pred, runOn = Some(runOn),
       runAccept = Some(accept)), notStep, windowMs, skipPastLast)
+  }
+
+  /** CONSECUTIVE run contiguity — flink-cep `oneOrMore().consecutive()`
+    * (reference flink-libraries/flink-cep/.../pattern/Pattern.java:463, the
+    * documented strict-contiguity toggle on looping states): run members
+    * must occupy ADJACENT distinct event times of the key — any intervening
+    * event time with no matching event CLOSES the run (organically, like
+    * [[followedByRun]]), and the next pattern step binds strictly after the
+    * run's LAST member. Adjacency is time-level, the [[next]] convention:
+    * on equal-timestamp ties any satisfying event counts.
+    *
+    * (The reference's other toggle, `allowCombinations()`, emits every
+    * subset-combination of run members — a non-deterministic all-branches
+    * expansion that contradicts this compiler's one-deterministic-match-
+    * per-start convention and explodes combinatorially; relaxed contiguity,
+    * the flink-cep default, is this engine's default and is NOT changed by
+    * this method.)
+    *
+    * Lowering: gaps-and-islands over the key's distinct event times (one
+    * lag + one running sum — the same segmentation shape as the V-shape),
+    * then the run is one keyed equi-join on the segment id. */
+  def consecutive(): Pattern = {
+    require(steps.nonEmpty && steps.last.oneOrMore && steps.last.group.isEmpty &&
+      !steps.last.opt && steps.last.keep.isEmpty && steps.last.until.isEmpty,
+      "consecutive() requires a plain oneOrMore() step " +
+        "(excludes zeroOrMore/bindRun/until/groups)")
+    new Pattern(steps.init :+ steps.last.copy(consec = true), notStep, windowMs, skipPastLast)
   }
 
   /** GROUP pattern — a quantifiable SUB-PATTERN (reference flink-libraries/
@@ -439,6 +467,51 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             s.keep, Some(col("__seg"))), seg = true)
           .drop("__rseg")
         prevTs = col(s"${s.name}_last_ts")
+      } else if (s.consec) {
+        // --- CONSECUTIVE run (oneOrMore().consecutive()): members occupy
+        // adjacent distinct event times; a time with no matching event
+        // closes the run. Gaps-and-islands over the key's distinct event
+        // times, then one keyed equi-join on the segment id (the
+        // followedByRun shape; the window over distinct times per key is
+        // inherent — the reference NFA also inspects every event per key)
+        val ww = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__rk")).orderBy(col("__rts"))
+        val candSeg = events
+          .select(key.as("__rk"), ts.as("__rts"),
+            when(s.pred, 1L).otherwise(0L).as("__isc0"))
+          .groupBy(col("__rk"), col("__rts"))
+          .agg(max(col("__isc0")).as("__isc"))
+          .withColumn("__pisc", lag(col("__isc"), 1).over(ww))
+          .withColumn("__viol", when(col("__isc") === 1L &&
+            (col("__pisc").isNull || col("__pisc") === 0L), 1L).otherwise(0L))
+          .withColumn("__seg", sum(col("__viol")).over(
+            ww.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .filter(col("__isc") === 1L)
+          .select(col("__rk"), col("__rts"), col("__seg"))
+        val kept0 = out.columns.map(col)
+        out = out.join(candSeg.select(col("__rk"), col("__rts")),
+            col("__k") === col("__rk") && col("__rts") > prevTs &&
+              col("__rts") <= col(startTs) + win)
+          .groupBy(kept0.toIndexedSeq: _*)
+          .agg(min(col("__rts")).as(s"${s.name}_first_ts"))
+        // distinct times per key: the segment id at the bound time is unique
+        val segAt = candSeg.select(col("__rk").as("__sk"),
+          col("__rts").as("__sts"), col("__seg").as("__rseg"))
+        out = out.join(segAt, col("__k") === col("__sk") &&
+            col(s"${s.name}_first_ts") === col("__sts"))
+          .drop("__sk", "__sts")
+        val mem = candSeg.select(col("__rk").as("__k3"),
+          col("__rts").as("__mts"), col("__seg").as("__mseg"))
+        val kept1 = out.columns.map(col)
+        out = out.join(mem, col("__k") === col("__k3") &&
+            col("__mseg") === col("__rseg") &&
+            col("__mts") >= col(s"${s.name}_first_ts") &&
+            col("__mts") <= col(startTs) + win)
+          .groupBy(kept1.toIndexedSeq: _*)
+          .agg(max(col("__mts")).as(s"${s.name}_last_ts"),
+            count(lit(1)).as(s"${s.name}_n"))
+          .drop("__rseg")
+        prevTs = col(s"${s.name}_last_ts")
       } else if (s.group.nonEmpty) {
         // --- group sub-pattern (followedByGroup): compile the sub-match
         // table ONCE (one row per first-sub-step event, its earliest
@@ -643,7 +716,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // oneOrMore run aggregation: the chain above bound the FIRST occurrence;
     // one more keyed equi-join collects the run up to the next binding (or
     // the window end when the run ends the pattern)
-    expanded.zipWithIndex.filter(p => p._1.oneOrMore && p._1.group.isEmpty)
+    expanded.zipWithIndex.filter(p => p._1.oneOrMore && p._1.group.isEmpty && !p._1.consec)
       .foreach { case (st, i) =>
       val name = st.name
       val pred = st.pred

@@ -505,6 +505,28 @@ object WindowQueries {
       |               AND p.ts <= s_ts + INTERVAL 24 HOURS
       |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
 
+  // --- m14: the PREV() spelling of the V-shape (the SQL-standard syntax
+  // every published MATCH_RECOGNIZE example uses — MatchRecognizeITCase's
+  // `price < PREV(price)`): `value < PREV(value)` is rewritten to the
+  // LAST(D.value, 1) self-reference before compilation, so this lowers to
+  // the same followedByRun plan as m10 and shares its oracle shape.
+  private val m14: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(D.ts) AS first_down_ts,
+        |           LAST(D.ts) AS last_down_ts, COUNT(D.ts) AS n_down,
+        |           FIRST(D.value) AS first_down_value,
+        |           LAST(D.value) AS last_down_value, U.ts AS purchase_ts
+        |  PATTERN (S D+ U)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         D AS value < PREV(value) AND D.event_type = 'click',
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m14Sql = m10Sql
+
   // --- m11: value measures over a '{n,m}' range quantifier ---
   // (the m04 greedy-range shape + the m09 value measures): SUM coalesces
   // the nullable optional-tail expansion, LAST coalesces backwards,
@@ -890,6 +912,48 @@ object WindowQueries {
       | round(sum(value), 4) AS sum_value
       |FROM r WHERE rn <= 5 GROUP BY 1, 2""".stripMargin
 
+  // --- w22: CONSECUTIVE run contiguity (flink-cep `oneOrMore()
+  // .consecutive()`, Pattern.java:463): run members must occupy ADJACENT
+  // distinct event times — any intervening time with no click closes the
+  // run, and the purchase binds after the run's LAST member. The oracle
+  // replays the same time-level gaps-and-islands segmentation.
+  private val w22: Q = (s, dir) =>
+    graft.cep.Pattern.begin("s", col("event_type") === "signup")
+      .followedBy("c", col("event_type") === "click").oneOrMore().consecutive()
+      .followedBy("p", col("event_type") === "purchase")
+      .within(24L * 3600 * 1000)
+      .detect(ev(s, dir), col("user_id"), col("ts"))
+      .select(col("key").as("user_id"), col("s_ts").as("signup_ts"),
+        col("c_first_ts").as("first_click_ts"), col("c_last_ts").as("last_click_ts"),
+        col("c_n").as("n_clicks"), col("p_ts").as("purchase_ts"))
+  private val w22Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts,
+      |             max(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS isc
+      |           FROM events GROUP BY 1, 2),
+      |seg0 AS (SELECT *, lag(isc) OVER (PARTITION BY user_id ORDER BY ts) AS pisc FROM e),
+      |seg AS (SELECT user_id, ts, isc,
+      |        sum(CASE WHEN isc=1 AND (pisc IS NULL OR pisc=0) THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seg
+      |        FROM seg0),
+      |c AS (SELECT user_id, ts, seg FROM seg WHERE isc=1),
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS c1
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m1s AS (SELECT m1.user_id, m1.s_ts, m1.c1, c.seg
+      |        FROM m1 JOIN c ON c.user_id = m1.user_id AND c.ts = m1.c1),
+      |m2 AS (SELECT m1s.user_id, s_ts, c1, max(c.ts) AS clast, count(*) AS n_c
+      |       FROM m1s JOIN c ON c.user_id = m1s.user_id AND c.seg = m1s.seg
+      |                      AND c.ts >= c1 AND c.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3)
+      |SELECT m2.user_id, s_ts AS signup_ts, c1 AS first_click_ts, clast AS last_click_ts,
+      |       n_c AS n_clicks, min(p.ts) AS purchase_ts
+      |FROM m2 JOIN p ON p.user_id = m2.user_id AND p.ts > clast
+      |              AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   // --- m13: GROUP pattern `S (C V)+ P` (reference flink-cep GroupPattern
   // .java:30, `Pattern.begin(Pattern...)`, exercised throughout NFAITCase):
   // a quantified SUB-PATTERN — each repetition is a complete click→view
@@ -954,6 +1018,7 @@ object WindowQueries {
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
+    "w22_cep_consecutive" -> w22,
     "w12_sql_tumble" -> w12, "w13_temporal_join" -> w13,
     "w14_cep_relative" -> w14, "w15_sql_hop" -> w15, "w16_sql_session" -> w16,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
@@ -965,12 +1030,12 @@ object WindowQueries {
     "m06_match_relative" -> m06, "m07_match_plus" -> m07, "m08_match_all_rows" -> m08,
     "m09_match_run_sum" -> m09, "m10_match_vshape" -> m10,
     "m11_match_range_sum" -> m11, "m12_match_number" -> m12,
-    "m13_group_pattern" -> m13)
+    "m13_group_pattern" -> m13, "m14_match_prev" -> m14)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
     "w19_cep_alternation" -> w19Sql, "w20_sliding_count_window" -> w20Sql,
-    "w21_cep_strict" -> w21Sql,
+    "w21_cep_strict" -> w21Sql, "w22_cep_consecutive" -> w22Sql,
     "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
     "w14_cep_relative" -> w14Sql, "w15_sql_hop" -> w15Sql, "w16_sql_session" -> w16Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,
@@ -983,5 +1048,6 @@ object WindowQueries {
     "m06_match_relative" -> m06Sql, "m07_match_plus" -> m07Sql,
     "m08_match_all_rows" -> m08Sql, "m09_match_run_sum" -> m09Sql,
     "m10_match_vshape" -> m10Sql, "m11_match_range_sum" -> m11Sql,
-    "m12_match_number" -> m12Sql, "m13_group_pattern" -> m13Sql)
+    "m12_match_number" -> m12Sql, "m13_group_pattern" -> m13Sql,
+    "m14_match_prev" -> m14Sql)
 }

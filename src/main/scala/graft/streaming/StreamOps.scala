@@ -1085,13 +1085,24 @@ object StreamOps {
     * the batch compile binds a run whenever any member exists anywhere in
     * the window, so the empty match is valid only if none ever arrives: a
     * run start invalidates it, window expiry emits it (null run
-    * timestamps, count 0, null value aggregates — batch left-join parity). */
+    * timestamps, count 0, null value aggregates — batch left-join parity).
+    * `consecutive` is `Pattern.consecutive()`'s twin (flink-cep
+    * `oneOrMore().consecutive()`): run members must occupy ADJACENT
+    * distinct event times — a time with no matching event closes the run
+    * organically (causal; the close step then binds at the first close
+    * event after the run's last member, no held state needed). Processed
+    * per distinct TIME (any satisfying event at a time counts — the
+    * time-level adjacency convention); excludes untilPred/allowEmpty and
+    * emits null value aggregates, matching the batch consecutive() surface. */
   def cepPatternOneOrMore(events: Dataset[Event], watermark: String,
                           firstPred: Event => Boolean, runPred: Event => Boolean,
                           lastPred: Event => Boolean, withinMs: Long,
                           maxPartials: Int = 256,
                           untilPred: Option[Event => Boolean] = None,
-                          allowEmpty: Boolean = false): Dataset[RunMatch] = {
+                          allowEmpty: Boolean = false,
+                          consecutive: Boolean = false): Dataset[RunMatch] = {
+    require(!(consecutive && (untilPred.nonEmpty || allowEmpty)),
+      "consecutive excludes until/allowEmpty (the batch consecutive() surface)")
     implicit val outEnc = Encoders.product[RunMatch]
     implicit val accEnc = Encoders.product[RunAcc]
     implicit val keyEnc = Encoders.scalaLong
@@ -1103,7 +1114,36 @@ object StreamOps {
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           var emptyPending = state.getOption.map(_.emptyPending).getOrElse(Nil)
           val out = Seq.newBuilder[RunMatch]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value))
+          if (consecutive) sorted.groupBy(_.ts.getTime).toSeq.sortBy(_._1)
+            .foreach { case (t, evs) =>
+              val anyMember = evs.exists(runPred)
+              partials = partials.flatMap { p =>
+                if (t > p.firstMs + withinMs) None // window expired
+                else {
+                  var q = p
+                  if (!q.stopped && t > q.firstMs) {
+                    if (q.runFirstMs < 0) {
+                      // a gap before the first member does not stop the run
+                      if (anyMember) q = q.copy(runFirstMs = t, runLastMs = t, runN = 1)
+                    } else if (t > q.runLastMs) {
+                      if (anyMember) q = q.copy(runLastMs = t, runN = q.runN + 1)
+                      else q = q.copy(stopped = true) // non-member time: closed
+                    }
+                  }
+                  if (evs.exists(lastPred) && q.runFirstMs >= 0 && t > q.runLastMs) {
+                    out += RunMatch(userId, new Timestamp(q.firstMs),
+                      new Timestamp(q.runFirstMs), new Timestamp(q.runLastMs),
+                      q.runN, new Timestamp(t))
+                    None // completed
+                  } else Some(q)
+                }
+              }
+              evs.filter(firstPred).foreach { _ =>
+                partials = (RunPartial(t, -1L, -1L, 0L) :: partials).take(maxPartials)
+              }
+            }
+          else sorted.foreach { e =>
             val t = e.ts.getTime
             partials = partials.flatMap { p =>
               if (t > p.firstMs + withinMs) None // window expired

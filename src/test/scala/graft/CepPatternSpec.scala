@@ -49,6 +49,35 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       m.head.getAs[Timestamp]("click_2_ts") == at(20))
   }
 
+  test("oneOrMore().consecutive(): a gap time closes the run organically") {
+    // user 1: clicks at 5,6,7 then a view at 8 breaks the chain — the click
+    // at 9 is NOT a member; purchase binds after the run's LAST member (7);
+    // user 2: a view at the SAME time as a click does not break (time-level
+    // adjacency, any satisfying event counts); user 3: single-member run;
+    // user 4: no members -> no match
+    val minute = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "click"), (1L, at(6), "click"),
+      (1L, at(7), "click"), (1L, at(8), "view"), (1L, at(9), "click"),
+      (1L, at(12), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "click"), (2L, at(5), "view"),
+      (2L, at(6), "click"), (2L, at(10), "purchase"),
+      (3L, at(0), "signup"), (3L, at(5), "view"), (3L, at(10), "click"),
+      (3L, at(11), "purchase"),
+      (4L, at(0), "signup"), (4L, at(5), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedBy("c", $"event_type" === "click").oneOrMore().consecutive()
+      .followedBy("p", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(minute, $"user_id", $"ts")
+      .select($"key", $"s_ts", $"c_first_ts", $"c_last_ts", $"c_n", $"p_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    assert(m == Set(
+      (1L, at(0), at(5), at(7), 3L, at(12)),
+      (2L, at(0), at(5), at(6), 2L, at(10)),
+      (3L, at(0), at(10), at(10), 1L, at(11))), m.toString)
+  }
+
   test("followedByGroup + oneOrMore: greedy (B C)+ repetition chain") {
     // user 1: two clean repetitions (5,10) (15,20), purchase after;
     // user 2: incomplete repetition (B without C) -> no match;
@@ -639,6 +668,45 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (1L, at(0), at(5), at(15), 3L, 9.0, 4.0, at(25)),
       (2L, at(0), at(5), at(5), 1L, 3.0, 3.0, at(10)),
       (3L, at(0), at(5), at(12), 2L, 6.0, 5.0, at(22))),
+      s"streaming=$streaming batch=$batch")
+  }
+
+  test("batch consecutive() and streaming cepPatternOneOrMore(consecutive) agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: clicks 5,6,7 then a view at 8 closes the run (the click at 9
+    // is NOT a member — and the run SPLITS across micro-batches); user 2:
+    // single-member run; user 3: gap before the first member is fine
+    val all = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "click"), (1L, at(6), "click"),
+      (1L, at(7), "click"), (1L, at(8), "view"), (1L, at(9), "click"),
+      (1L, at(12), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "click"), (2L, at(10), "purchase"),
+      (3L, at(0), "signup"), (3L, at(4), "view"), (3L, at(8), "click"),
+      (3L, at(11), "purchase"))
+    val batch = Pattern.begin("s", $"event_type" === "signup")
+      .followedBy("c", $"event_type" === "click").oneOrMore().consecutive()
+      .followedBy("p", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"c_first_ts", $"c_last_ts", $"c_n", $"p_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternOneOrMore(in.toDS(), "2 hours",
+        _.event_type == "signup", _.event_type == "click", _.event_type == "purchase",
+        HOUR, consecutive = true).toDF()
+      .writeStream.format("memory").queryName("s_consec_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(3)); q.processAllAvailable() // split MID-RUN (after click@6)
+    in.addData(evs.drop(3)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_consec_parity")
+      .select("user_id", "first_ts", "run_first_ts", "run_last_ts", "run_n", "last_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), at(5), at(7), 3L, at(12)),
+      (2L, at(0), at(5), at(5), 1L, at(10)),
+      (3L, at(0), at(8), at(8), 1L, at(11))),
       s"streaming=$streaming batch=$batch")
   }
 

@@ -420,6 +420,38 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m == Set(("eu", 1L, at(0), at(10)), ("us", 2L, at(0), at(8))))
   }
 
+  test("PREV() is the SQL-standard alias of LAST(..., 1): all spellings agree") {
+    val vshape = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 9.0), (1L, at(10), "click", 7.0),
+      (1L, at(15), "click", 4.0), (1L, at(20), "click", 8.0), (1L, at(25), "purchase", 1.0),
+      (2L, at(0), "signup", 0.0), (2L, at(5), "click", 3.0), (2L, at(10), "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    def query(define: String) = MatchRecognize.detect(vshape,
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES S.ts AS s_ts, FIRST(D.ts) AS d1, LAST(D.ts) AS dn,
+         |           COUNT(D.ts) AS n_d, U.ts AS u_ts
+         |  PATTERN (S D+ U)
+         |  WITHIN INTERVAL '1' HOUR
+         |  DEFINE S AS event_type = 'signup',
+         |         D AS $define,
+         |         U AS event_type = 'purchase'
+         |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    val viaLast = query("D.value < LAST(D.value, 1) AND D.event_type = 'click'")
+    // qualified PREV, and the canonical fully-bare ITCase spelling
+    val viaPrevQual = query("D.value < PREV(D.value) AND D.event_type = 'click'")
+    val viaPrevBare = query("value < PREV(value) AND D.event_type = 'click'")
+    assert(viaLast == viaPrevQual && viaLast == viaPrevBare && viaLast == Set(
+      (1L, at(0), at(5), at(15), 3L, at(25)),
+      (2L, at(0), at(5), at(5), 1L, at(10))),
+      s"last=$viaLast qual=$viaPrevQual bare=$viaPrevBare")
+    // offsets other than 1 are a named error, not a silent miscompile
+    val ex = intercept[IllegalArgumentException](
+      query("D.value < PREV(D.value, 2) AND D.event_type = 'click'"))
+    assert(ex.getMessage.contains("only PREV offset 1"), ex.getMessage)
+  }
+
   test("LAST(...,1) inside a larger conjunct is a named error, not a miscompile") {
     val vshape = Seq(
       (1L, at(0), "signup", 0.0), (1L, at(5), "click", 9.0), (1L, at(10), "purchase", 1.0)
