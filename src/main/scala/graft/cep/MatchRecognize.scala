@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   *                               -- ALL ROWS explodes each match: one row per
   *                               -- bound event with CLASSIFIER-style `cls`,
   *                               -- the event `ts`, and RUNNING measures
-  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW
+  *    | AFTER MATCH SKIP TO FIRST var | AFTER MATCH SKIP TO LAST var]
   *   PATTERN (V1 V2[?|+|*|{n}|{n,m}] ...) -- linear; '?' = optional,
   *                               -- '{n}' = times(n), '{n,m}' = greedy range
   *                               -- (timesRange: n mandatory + up to m-n more),
@@ -90,7 +91,8 @@ object MatchRecognize {
   private case class Spec(partitionBy: Seq[String], orderBy: String,
                           measures: Seq[Measure], vars: Seq[PatternVar],
                           withinMs: Long, defines: Map[String, String],
-                          skipPastLast: Boolean, allRows: Boolean)
+                          skipPastLast: Boolean, allRows: Boolean,
+                          skipTo: Option[(String, Boolean)] = None)
 
   private def sectionRx(name: String, stopAt: String) =
     (s"(?is)\\b$name\\b\\s+(.*?)\\s*(?=\\b(?:$stopAt)\\b)").r
@@ -122,6 +124,11 @@ object MatchRecognize {
     }
     val skipPastLast =
       "(?is)\\bAFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\b".r.findFirstIn(body).nonEmpty
+    // AFTER MATCH SKIP TO FIRST|LAST <var> (SkipToFirst/LastStrategy)
+    val skipTo = "(?is)\\bAFTER\\s+MATCH\\s+SKIP\\s+TO\\s+(FIRST|LAST)\\s+(\\w+)\\b".r
+      .findFirstMatchIn(body)
+      .map(m => (m.group(2), m.group(1).equalsIgnoreCase("LAST")))
+    require(!(skipPastLast && skipTo.nonEmpty), "one AFTER MATCH strategy only")
     // ONE ROW PER MATCH is the default; ALL ROWS explodes each match into
     // one row per bound event (see allRowsOutput)
     val allRows =
@@ -159,7 +166,7 @@ object MatchRecognize {
       }.toMap
     }.getOrElse(Map.empty)
     Spec(partitionBy, orderBy, measures, vars, withinMs, defines, skipPastLast,
-      allRows)
+      allRows, skipTo)
   }
 
   /** `PREV(V.col)` / `PREV(col)` (offset 1) — the SQL-standard spelling of
@@ -410,6 +417,12 @@ object MatchRecognize {
       }
     }
     if (spec.skipPastLast) pat = pat.afterMatchSkipPastLastEvent()
+    spec.skipTo.foreach { case (v, isLast) =>
+      require(spec.vars.exists(_.name == v),
+        s"AFTER MATCH SKIP TO ${if (isLast) "LAST" else "FIRST"} $v: " +
+          s"'$v' is not a PATTERN variable")
+      pat = if (isLast) pat.afterMatchSkipToLast(v) else pat.afterMatchSkipToFirst(v)
+    }
     // composite partition keys ride detect's single key column as a struct;
     // the output selects re-expand them under their own names
     val keyCol = if (spec.partitionBy.size == 1) col(spec.partitionBy.head)

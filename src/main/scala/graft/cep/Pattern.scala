@@ -35,11 +35,12 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       consec: Boolean = false)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
-                             windowMs: Option[Long], skipPastLast: Boolean = false) {
+                             windowMs: Option[Long], skipPastLast: Boolean = false,
+                             skipTo: Option[(String, Boolean)] = None) {
 
   def followedBy(name: String, pred: Column): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
-    new Pattern(steps :+ Step(name, pred), notStep, windowMs, skipPastLast)
+    new Pattern(steps :+ Step(name, pred), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** flink-cep iterative condition (reference flink-libraries/flink-cep/src/
@@ -54,7 +55,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * equi-join with a filter, never a cross product. */
   def followedByIterative(name: String, pred: Column, iterPred: Column): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
-    new Pattern(steps :+ Step(name, pred, iter = Some(iterPred)), notStep, windowMs, skipPastLast)
+    new Pattern(steps :+ Step(name, pred, iter = Some(iterPred)), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** STRICT contiguity — flink-cep `next()` (reference flink-libraries/
@@ -68,7 +69,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * keyed min-aggregation (the successor time) per strict step. */
   def next(name: String, pred: Column): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
-    new Pattern(steps :+ Step(name, pred, strict = true), notStep, windowMs, skipPastLast)
+    new Pattern(steps :+ Step(name, pred, strict = true), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** Alternation — flink-cep's grouped pattern with alternative conditions
@@ -84,7 +85,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
     require(branches.size >= 2, "alternation needs at least two branches")
     new Pattern(steps :+ Step(name, branches.map(_._2).reduce(_ || _),
-      alts = branches.toVector), notStep, windowMs, skipPastLast)
+      alts = branches.toVector), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** Bind event columns alongside the LAST added step's timestamp: each named
@@ -102,13 +103,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // instead of binding, via bindRun()
     require(steps.nonEmpty && !steps.last.oneOrMore && steps.last.group.isEmpty,
       "bind() applies to plain/optional/times(n)/timesRange steps — use bindRun() for runs")
-    new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast)
+    new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** Quantifier on the LAST added step: bind n successive occurrences. */
   def times(n: Int): Pattern = {
     require(n >= 1 && steps.nonEmpty)
-    new Pattern(steps.init :+ steps.last.copy(reps = n), notStep, windowMs, skipPastLast)
+    new Pattern(steps.init :+ steps.last.copy(reps = n), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** Range quantifier on the LAST added step — flink-cep `times(from, to)`
@@ -125,7 +126,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(!steps.last.opt && !steps.last.oneOrMore,
       "timesRange() excludes optional()/oneOrMore()")
     new Pattern(steps.init :+ steps.last.copy(reps = from, optTail = to - from),
-      notStep, windowMs, skipPastLast)
+      notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** Make the LAST added step optional (flink-cep `optional()`): a match may
@@ -136,7 +137,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.last.reps == 1, "optional() and times(n) are exclusive")
     require(steps.last.keep.isEmpty && steps.last.alts.isEmpty && !steps.last.strict,
       "optional() excludes bind()/followedByOneOf()/next()")
-    new Pattern(steps.init :+ steps.last.copy(opt = true), notStep, windowMs, skipPastLast)
+    new Pattern(steps.init :+ steps.last.copy(opt = true), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** flink-cep `oneOrMore()` (default/reluctant contiguity): the LAST added
@@ -150,7 +151,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.last.reps == 1 && !steps.last.opt && steps.last.keep.isEmpty &&
       steps.last.alts.isEmpty && !steps.last.strict,
       "oneOrMore() excludes times(n)/optional()/bind()/followedByOneOf()/next()")
-    new Pattern(steps.init :+ steps.last.copy(oneOrMore = true), notStep, windowMs, skipPastLast)
+    new Pattern(steps.init :+ steps.last.copy(oneOrMore = true), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** Zero-or-more — the `B*` quantifier (reference flink-cep
@@ -168,7 +169,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       steps.last.alts.isEmpty && !steps.last.strict && steps.last.group.isEmpty,
       "zeroOrMore() excludes times(n)/optional()/bind()/followedByOneOf()/next()/groups")
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true, opt = true),
-      notStep, windowMs, skipPastLast)
+      notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** Bind value columns over a [[oneOrMore]]/[[zeroOrMore]]/[[followedByRun]]
@@ -187,7 +188,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.nonEmpty && (steps.last.oneOrMore || steps.last.runOn.nonEmpty) &&
       steps.last.group.isEmpty,
       "bindRun() requires oneOrMore()/zeroOrMore()/followedByRun() on a non-group step")
-    new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast)
+    new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** Self-referential run — the reference's V-shape iterative condition
@@ -213,7 +214,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
     require(steps.nonEmpty, "followedByRun() follows a begin step")
     new Pattern(steps :+ Step(name, pred, runOn = Some(runOn),
-      runAccept = Some(accept)), notStep, windowMs, skipPastLast)
+      runAccept = Some(accept)), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** CONSECUTIVE run contiguity — flink-cep `oneOrMore().consecutive()`
@@ -240,7 +241,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       !steps.last.opt && steps.last.keep.isEmpty && steps.last.until.isEmpty,
       "consecutive() requires a plain oneOrMore() step " +
         "(excludes zeroOrMore/bindRun/until/groups)")
-    new Pattern(steps.init :+ steps.last.copy(consec = true), notStep, windowMs, skipPastLast)
+    new Pattern(steps.init :+ steps.last.copy(consec = true), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** GROUP pattern — a quantifiable SUB-PATTERN (reference flink-libraries/
@@ -274,7 +275,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.nonEmpty, "followedByGroup() follows a begin step")
     require(sub.size >= 2, "a group sub-pattern needs at least two steps")
     new Pattern(steps :+ Step(name, sub.map(_._2).reduce(_ || _),
-      group = sub.toVector), notStep, windowMs, skipPastLast)
+      group = sub.toVector), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** flink-cep `until(cond)` on a preceding `oneOrMore()` step: the run
@@ -285,7 +286,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def until(cond: Column): Pattern = {
     require(steps.nonEmpty && steps.last.oneOrMore && steps.last.group.isEmpty,
       "until() requires oneOrMore() on a non-group step")
-    new Pattern(steps.init :+ steps.last.copy(until = Some(cond)), notStep, windowMs, skipPastLast)
+    new Pattern(steps.init :+ steps.last.copy(until = Some(cond)), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** flink-cep AfterMatchSkipStrategy.skipPastLastEvent() (reference
@@ -295,26 +296,53 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * greedily in start-time order. Default (without this) is NO_SKIP: every
     * first-step event may start its own match. */
   def afterMatchSkipPastLastEvent(): Pattern =
-    new Pattern(steps, notStep, windowMs, skipPastLast = true)
+    new Pattern(steps, notStep, windowMs, skipPastLast = true, skipTo = None)
+
+  /** flink-cep AfterMatchSkipStrategy.skipToFirst(v) (reference
+    * flink-libraries/flink-cep/.../nfa/aftermatch/AfterMatchSkipStrategy
+    * .java, SkipToFirstStrategy): once a match is emitted, candidate
+    * matches starting BEFORE the emitted match's FIRST event bound to
+    * variable `v` are discarded — matches starting at or after it survive
+    * (overlap at the restart point is allowed, unlike SKIP PAST LAST). Per
+    * key, matches are kept greedily in start order with the restart
+    * threshold advancing to each kept match's `v` binding. A `v` that is
+    * unbound in a kept match (skipped optional / empty run) restarts at the
+    * match's own start — no pruning from that match. When `v` is the
+    * pattern's first variable this degenerates to NO_SKIP (this compile
+    * emits one deterministic match per start, so the reference's
+    * infinite-loop guard is unnecessary). */
+  def afterMatchSkipToFirst(v: String): Pattern = {
+    require(!skipPastLast, "one AFTER MATCH strategy only")
+    new Pattern(steps, notStep, windowMs, skipPastLast, Some((v, false)))
+  }
+
+  /** flink-cep AfterMatchSkipStrategy.skipToLast(v) — as
+    * [[afterMatchSkipToFirst]] with the restart point at the emitted
+    * match's LAST event bound to `v` (the last bound expansion of a
+    * quantified variable; a run's last member). */
+  def afterMatchSkipToLast(v: String): Pattern = {
+    require(!skipPastLast, "one AFTER MATCH strategy only")
+    new Pattern(steps, notStep, windowMs, skipPastLast, Some((v, true)))
+  }
 
   def notFollowedBy(name: String, pred: Column): Pattern =
-    new Pattern(steps, Some(Step(name, pred)), windowMs, skipPastLast)
+    new Pattern(steps, Some(Step(name, pred)), windowMs, skipPastLast, skipTo)
 
   /** [[notFollowedBy]] with an iterative condition (see
     * [[followedByIterative]]): the negative match may be relative to prior
     * bindings — "no purchase LARGER than the signup value". */
   def notFollowedByIterative(name: String, pred: Column, iterPred: Column): Pattern =
-    new Pattern(steps, Some(Step(name, pred, iter = Some(iterPred))), windowMs, skipPastLast)
+    new Pattern(steps, Some(Step(name, pred, iter = Some(iterPred))), windowMs, skipPastLast, skipTo)
 
   /** STRICT negative — flink-cep `notNext()` (reference Pattern.java#notNext):
     * the IMMEDIATELY following event must NOT match `pred`; a key with no
     * further in-window event passes vacuously. Adjacency is time-level as in
     * [[next]]. Terminal, like [[notFollowedBy]]. */
   def notNext(name: String, pred: Column): Pattern =
-    new Pattern(steps, Some(Step(name, pred, strict = true)), windowMs, skipPastLast)
+    new Pattern(steps, Some(Step(name, pred, strict = true)), windowMs, skipPastLast, skipTo)
 
   /** Match window measured from the first step's event time. */
-  def within(ms: Long): Pattern = new Pattern(steps, notStep, Some(ms), skipPastLast)
+  def within(ms: Long): Pattern = new Pattern(steps, notStep, Some(ms), skipPastLast, skipTo)
 
   /** Per-column run aggregates for [[bindRun]] columns — sum/min/max only:
     * all primitive, so the run aggregate stays a HASH aggregate (a
@@ -756,7 +784,60 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         boundaryValTable(cand, st.keep, None), seg = false)
     }
     val matches = out.withColumnRenamed("__k", "key")
-    if (!skipPastLast) matches else applySkipPastLast(matches, startName = startTs)
+    if (skipPastLast) applySkipPastLast(matches, startName = startTs)
+    else skipTo match {
+      case None => matches
+      case Some((v, isLast)) =>
+        val cols = matches.columns.toSet
+        val restart: Column =
+          if (cols(s"${v}_ts")) col(s"${v}_ts")
+          else if (cols(s"${v}_first_ts") && cols(s"${v}_last_ts"))
+            col(if (isLast) s"${v}_last_ts" else s"${v}_first_ts")
+          else {
+            // quantified expansions v_1_ts..v_k_ts; LAST coalesces backwards
+            // over the nullable optional tail
+            val exp = Iterator.from(1).map(i => s"${v}_${i}_ts")
+              .takeWhile(cols).toList
+            require(exp.nonEmpty,
+              s"AFTER MATCH SKIP TO: '$v' is not a bound pattern variable")
+            if (isLast) coalesce(exp.reverse.map(col): _*) else col(exp.head)
+          }
+        applySkipTo(matches, startName = startTs, restart)
+    }
+  }
+
+  /** SKIP_TO_FIRST/LAST(v): greedy per-key selection in start order — a
+    * match is kept iff it starts AT or AFTER the previous kept match's `v`
+    * binding (inclusive, unlike SKIP_PAST_LAST's strict rule); the
+    * threshold advances to each kept match's restart timestamp (null
+    * restart — unbound optional/empty run — restarts at the match's own
+    * start). Same per-key flatMapGroups shape as [[applySkipPastLast]]:
+    * greedy selection is inherently sequential, parallel in the key space. */
+  private def applySkipTo(matches0: DataFrame, startName: String,
+                          restart: Column): DataFrame = {
+    val matches = matches0.withColumn("__restart_ts",
+      coalesce(restart, col(startName)))
+    val schema = matches.schema
+    val keyIdx = schema.fieldIndex("key")
+    val startIdx = schema.fieldIndex(startName)
+    val rIdx = schema.fieldIndex("__restart_ts")
+    val tsIdx = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == org.apache.spark.sql.types.TimestampType => i
+    }
+    implicit val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+    matches.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        def endOf(r: org.apache.spark.sql.Row): Long =
+          tsIdx.flatMap(i => Option(r.getTimestamp(i)).map(_.getTime)).max
+        val rows = it.toSeq.sortBy(r => (r.getTimestamp(startIdx).getTime, endOf(r)))
+        var threshold = Long.MinValue
+        rows.iterator.filter { r =>
+          if (r.getTimestamp(startIdx).getTime >= threshold) {
+            threshold = math.max(threshold, r.getTimestamp(rIdx).getTime); true
+          } else false
+        }
+      }.toDF().drop("__restart_ts")
   }
 
   /** SKIP_PAST_LAST_EVENT: greedy per-key selection in start order — kept

@@ -527,6 +527,26 @@ object WindowQueries {
         |)""".stripMargin)
   private val m14Sql = m10Sql
 
+  // --- m15: AFTER MATCH SKIP TO LAST variable (flink-cep
+  // AfterMatchSkipStrategy.skipToLast, the 4th and final skip strategy):
+  // greedy per-key selection restarting AT the kept match's last C binding
+  // (inclusive — overlap at the restart point is allowed, unlike SKIP PAST
+  // LAST). Greedy selection is inherently sequential, so like m03 there is
+  // no cross-engine SQL oracle: rows-only check here + the brute-force
+  // threshold property reference in PropertySpec.
+  private val m15: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, C.ts AS click_ts, P.ts AS purchase_ts
+        |  PATTERN (S C P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  AFTER MATCH SKIP TO LAST C
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+
   // --- m11: value measures over a '{n,m}' range quantifier ---
   // (the m04 greedy-range shape + the m09 value measures): SUM coalesces
   // the nullable optional-tail expansion, LAST coalesces backwards,
@@ -1030,7 +1050,8 @@ object WindowQueries {
     "m06_match_relative" -> m06, "m07_match_plus" -> m07, "m08_match_all_rows" -> m08,
     "m09_match_run_sum" -> m09, "m10_match_vshape" -> m10,
     "m11_match_range_sum" -> m11, "m12_match_number" -> m12,
-    "m13_group_pattern" -> m13, "m14_match_prev" -> m14)
+    "m13_group_pattern" -> m13, "m14_match_prev" -> m14,
+    "m15_match_skip_to" -> m15)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,

@@ -49,6 +49,31 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       m.head.getAs[Timestamp]("click_2_ts") == at(20))
   }
 
+  test("afterMatchSkipToFirst/Last: restart at the variable's binding, overlap allowed") {
+    // NO_SKIP matches with b{2}: A = (s@0, b@2, b@4, c@6), B = (s@3, b@4,
+    // b@5, c@6). SKIP TO FIRST b: threshold after A = 2, B starts at 3 >= 2
+    // -> BOTH kept (overlap at the restart point is allowed). SKIP TO LAST
+    // b: threshold after A = 4, B starts at 3 < 4 -> dropped.
+    val evs = Seq(
+      (1L, at(0), "s"), (1L, at(2), "b"), (1L, at(4), "b"),
+      (1L, at(3), "s"), (1L, at(5), "b"), (1L, at(6), "c")
+    ).toDF("user_id", "ts", "event_type")
+    def pat = Pattern.begin("s", $"event_type" === "s")
+      .followedBy("b", $"event_type" === "b").times(2)
+      .followedBy("c", $"event_type" === "c")
+    def run(p: Pattern) = p.within(HOUR).detect(evs, $"user_id", $"ts")
+      .select($"key", $"s_ts").as[(Long, Timestamp)].collect().toSet
+    val noSkip = run(pat)
+    val toFirst = run(pat.afterMatchSkipToFirst("b"))
+    val toLast = run(pat.afterMatchSkipToLast("b"))
+    assert(noSkip == Set((1L, at(0)), (1L, at(3))), noSkip.toString)
+    assert(toFirst == Set((1L, at(0)), (1L, at(3))), toFirst.toString)
+    assert(toLast == Set((1L, at(0))), toLast.toString)
+    // unknown variable is a named error
+    val ex = intercept[IllegalArgumentException](run(pat.afterMatchSkipToLast("zz")))
+    assert(ex.getMessage.contains("not a bound pattern variable"), ex.getMessage)
+  }
+
   test("oneOrMore().consecutive(): a gap time closes the run organically") {
     // user 1: clicks at 5,6,7 then a view at 8 breaks the chain — the click
     // at 9 is NOT a member; purchase binds after the run's LAST member (7);

@@ -336,6 +336,51 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     })
   }
 
+  test("afterMatchSkipToFirst/Last == brute-force threshold reference on random logs") {
+    import graft.cep.Pattern
+    // same insurance as SKIP PAST LAST: no cross-engine SQL oracle (greedy
+    // selection is sequential), pin against an independent JVM reference —
+    // sort the NO_SKIP matches per key by (start, end), keep a match iff it
+    // starts AT or AFTER the threshold, advance the threshold to the kept
+    // match's skip-variable binding
+    val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val WindowMs = 30L * 60000
+    val gen = Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf("s", "b", "c")))
+    assertHolds(Prop.forAll(gen) { rows =>
+      rows.nonEmpty ==> {
+        val df = rows.zipWithIndex.map { case ((u, t), i) =>
+          (u, new java.sql.Timestamp(T0.getTime + i * 60000L), t)
+        }.toDF("user_id", "ts", "event_type")
+        def pat = Pattern.begin("s", col("event_type") === "s")
+          .followedBy("b", col("event_type") === "b")
+          .followedBy("c", col("event_type") === "c")
+          .within(WindowMs)
+        def rowsOf(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+          d.collect().map(r => (r.getAs[Long]("key"),
+            r.getAs[java.sql.Timestamp]("s_ts").getTime,
+            r.getAs[java.sql.Timestamp]("b_ts").getTime,
+            r.getAs[java.sql.Timestamp]("c_ts").getTime)).toSeq
+        val all = rowsOf(pat.detect(df, col("user_id"), col("ts")))
+        def want(restartOf: ((Long, Long, Long, Long)) => Long) =
+          all.groupBy(_._1).flatMap { case (_, ms) =>
+            var threshold = Long.MinValue
+            ms.sortBy(m => (m._2, m._4)).filter { m =>
+              if (m._2 >= threshold) {
+                threshold = math.max(threshold, restartOf(m)); true
+              } else false
+            }
+          }.toSet
+        val gotF = rowsOf(pat.afterMatchSkipToFirst("b")
+          .detect(df, col("user_id"), col("ts"))).toSet
+        val gotL = rowsOf(pat.afterMatchSkipToLast("b")
+          .detect(df, col("user_id"), col("ts"))).toSet
+        // plain step: FIRST and LAST both restart at the b binding
+        (gotF == want(_._3)) :| s"toFirst: got=$gotF want=${want(_._3)}" &&
+          (gotL == want(_._3)) :| s"toLast: got=$gotL want=${want(_._3)}"
+      }
+    })
+  }
+
   test("evictor invariants: time-evicted <= full window; count-evicted == min(n, keep)") {
     import graft.operators.EventWindows
     val gen = Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0, 110)))
