@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus dedup against a PERSISTED signature store — the
+  * steady-state daily-ingest shape (the d12 query's engine; reference: the
+  * batch dedup surface of flink-libraries plus every production pretraining
+  * pipeline's ingest loop). A real deployment builds the store ONCE per
+  * corpus version at a durable table path (DBFS/S3/HDFS), then every ingest
+  * batch runs only the incremental path: shingle the NEW batch, equi-join
+  * its band keys against the store, Jaccard-verify against bucket-mates
+  * only — the corpus text column is never rescanned.
+  *
+  * The store path is the caller's contract: embed the corpus version in it
+  * (e.g. `s3://corpus-meta/dedup-store/v2024-07-01`) and the "built once
+  * per corpus version" invariant holds across applications and sessions —
+  * [[buildStore]] writes are idempotent (overwrite mode), and
+  * [[dedupAgainstStore]] only reads. Tests default to a tmpdir path keyed
+  * by applicationId (two concurrent test runs never race), which is
+  * explicitly NOT durable — the d12 query documents that choice.
+  *
+  * Store layout (parquet):
+  *   `<store>/bands` — (doc_id, band, bkey) MinHash-LSH band keys, hot
+  *                     buckets above `maxBucket` dropped at build time;
+  *   `<store>/grams` — (doc_id, g: array<string>) distinct gram sets for
+  *                     Jaccard verification.
+  */
+object IncrementalDedup {
+
+  /** Build (or rebuild) the signature store for `corpus` at `storePath`.
+    * Run once per corpus version; append-only maintenance between versions
+    * is `buildStore` over the appended slice with SaveMode.Append (the
+    * bands/grams schemas are stable). */
+  def buildStore(corpus: DataFrame, storePath: String,
+                 shingleN: Int, bands: Int, rowsPerBand: Int,
+                 maxBucket: Int, gramN: Int): Unit = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    TextDedup.lshBands(corpus, "doc_id", "text", shingleN, bands, rowsPerBand)
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+      .write.mode("overwrite").parquet(s"$storePath/bands")
+    corpus
+      .select(col("doc_id"),
+        array_distinct(TextDedup.shingles(col("text"), gramN)).as("g"))
+      .write.mode("overwrite").parquet(s"$storePath/grams")
+  }
+
+  /** Dedup `newBatch` (doc_id, text) against a store built by
+    * [[buildStore]] with the SAME shingle/band/gram parameters: one verdict
+    * row per new document — (doc_id, dup_of, n_dups), dup_of null when no
+    * store document clears `jaccardMin`. Shuffle is O(new-batch bands); the
+    * new side is small, so AQE broadcasts it against the store scan. */
+  def dedupAgainstStore(spark: SparkSession, newBatch: DataFrame,
+                        storePath: String, shingleN: Int, bands: Int,
+                        rowsPerBand: Int, gramN: Int,
+                        jaccardMin: Double): DataFrame = {
+    val bandsNew = TextDedup.lshBands(newBatch, "doc_id", "text",
+      shingleN, bands, rowsPerBand)
+    val bandsOld = spark.read.parquet(s"$storePath/bands")
+    val cand = bandsNew.select(col("doc_id").as("new_id"), col("band"), col("bkey"))
+      .join(bandsOld.select(col("doc_id").as("old_id"),
+        col("band").as("b2"), col("bkey").as("k2")),
+        col("band") === col("b2") && col("bkey") === col("k2"))
+      .select("new_id", "old_id").distinct()
+    val gramsNew = newBatch.select(col("doc_id").as("gn_id"),
+      array_distinct(TextDedup.shingles(col("text"), gramN)).as("gn"))
+    val gramsOld = spark.read.parquet(s"$storePath/grams")
+      .select(col("doc_id").as("go_id"), col("g").as("go"))
+    val hits = cand.join(gramsNew, col("gn_id") === col("new_id"))
+      .join(gramsOld, col("go_id") === col("old_id"))
+      .filter(TextDedup.jaccardOfDistinct(col("gn"), col("go")) >= jaccardMin)
+      .groupBy("new_id")
+      .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+    newBatch.select(col("doc_id"))
+      .join(hits, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+  }
+}

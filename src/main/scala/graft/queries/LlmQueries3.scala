@@ -162,45 +162,26 @@ object LlmQueries3 {
         lit(0L).as("n_dups")).limit(0)
     } else {
     val cutoff = 9L * maxRow.getLong(0) / 10
-    // the store path carries the Spark application id so two concurrent
-    // runs over the same corpus never race on overwrite-mode writes
-    val store = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_d12_store_${s.sparkContext.applicationId}_" +
-        s"${Integer.toHexString(dir.hashCode)}_$cutoff").toString
+    // store path = the caller's corpus-version contract (operators/
+    // IncrementalDedup): a cluster deployment passes a durable table path
+    // embedding the corpus version. The HARNESS default below is tmpdir
+    // keyed by applicationId + corpus version (dir hash + cutoff) — two
+    // concurrent runs never race on overwrite-mode writes, at the
+    // documented cost that "built once per corpus version" only holds
+    // within one application. Cross-session durability is spec-verified
+    // with an explicit path in IncrementalDedupSpec.
+    val store = sys.env.getOrElse("GRAFT_D12_STORE",
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_d12_store_${s.sparkContext.applicationId}_" +
+          s"${Integer.toHexString(dir.hashCode)}_$cutoff").toString)
     // ---- ingest-time store build (once per corpus version) ----
-    val existing = d.filter(col("doc_id") <= cutoff)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
-    TextDedup.lshBands(existing, "doc_id", "text", 5,
-        LlmQueries.Bands, LlmQueries.RowsPerBand)
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= LlmQueries.MaxBucket).drop("__bsz")
-      .write.mode("overwrite").parquet(s"$store/bands")
-    existing
-      .select(col("doc_id"), array_distinct(TextDedup.shingles(col("text"), 3)).as("g"))
-      .write.mode("overwrite").parquet(s"$store/grams")
+    graft.operators.IncrementalDedup.buildStore(
+      d.filter(col("doc_id") <= cutoff), store, 5,
+      LlmQueries.Bands, LlmQueries.RowsPerBand, LlmQueries.MaxBucket, 3)
     // ---- incremental path: new batch vs the store ----
-    val newBatch = d.filter(col("doc_id") > cutoff)
-    val bandsNew = TextDedup.lshBands(newBatch, "doc_id", "text", 5,
-      LlmQueries.Bands, LlmQueries.RowsPerBand)
-    val bandsOld = s.read.parquet(s"$store/bands")
-    val cand = bandsNew.select(col("doc_id").as("new_id"), col("band"), col("bkey"))
-      .join(bandsOld.select(col("doc_id").as("old_id"),
-        col("band").as("b2"), col("bkey").as("k2")),
-        col("band") === col("b2") && col("bkey") === col("k2"))
-      .select("new_id", "old_id").distinct()
-    val gramsNew = newBatch.select(col("doc_id").as("gn_id"),
-      array_distinct(TextDedup.shingles(col("text"), 3)).as("gn"))
-    val gramsOld = s.read.parquet(s"$store/grams")
-      .select(col("doc_id").as("go_id"), col("g").as("go"))
-    val hits = cand.join(gramsNew, col("gn_id") === col("new_id"))
-      .join(gramsOld, col("go_id") === col("old_id"))
-      .filter(TextDedup.jaccardOfDistinct(col("gn"), col("go")) >= D12JaccardMin)
-      .groupBy("new_id")
-      .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_dups"))
-    newBatch.select(col("doc_id"))
-      .join(hits, col("doc_id") === col("new_id"), "left")
-      .select(col("doc_id"), col("dup_of"),
-        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+    graft.operators.IncrementalDedup.dedupAgainstStore(
+      s, d.filter(col("doc_id") > cutoff), store, 5,
+      LlmQueries.Bands, LlmQueries.RowsPerBand, 3, D12JaccardMin)
     }
   }
   /** Same near-dup bar as d07's cluster edges — the incremental verdict must
