@@ -99,6 +99,43 @@ object EventWindows {
       .withColumn("window_start", col("__w.start")).drop("__w")
   }
 
+  /** DeltaEvictor analog (reference flink-streaming-java/.../windowing/
+    * evictors/DeltaEvictor.java): elements whose delta from the window's
+    * LAST element reaches `threshold` are evicted before the window
+    * function runs — only elements close to the final element contribute.
+    * `delta` is the DeltaFunction analog (default |a - b|); the last
+    * element is the (ts, value)-lexicographic max, deterministic on ties.
+    *
+    * Plan shape (w17's discipline): the last element's value comes from
+    * TWO hash aggregates — max ts per (window, key), then max value AT
+    * that ts (the q38 refinement shape; a struct-max would plan as
+    * SortAggregate over every fact row) — joined back with shuffle_hash
+    * (AQE upgrades to broadcast when small; above the threshold default
+    * configs would pick SortMergeJoin and re-sort the facts). No Sort on
+    * facts in either regime, plan-asserted. */
+  def deltaEvictedTumbleAgg(df: DataFrame, tsCol: Column, size: String,
+                            valueCol: Column, threshold: Double,
+                            keys: Seq[Column], aggs: Seq[Column],
+                            delta: (Column, Column) => Column =
+                              (a, b) => abs(a - b)): DataFrame = {
+    val keyNames = keys.indices.map(i => s"__gk$i")
+    val bucketed = keys.zip(keyNames)
+      .foldLeft(df.withColumn("__w", window(tsCol, size))
+        .withColumn("__v", valueCol)) {
+        case (d, (k, n)) => d.withColumn(n, k)
+      }
+    val groupCols = (col("__w") +: keyNames.map(col)).toIndexedSeq
+    val mxTs = bucketed.groupBy(groupCols: _*).agg(max(tsCol).as("__mxts"))
+    val lastVal = bucketed.join(mxTs.hint("shuffle_hash"), "__w" +: keyNames)
+      .filter(tsCol === col("__mxts"))
+      .groupBy(groupCols: _*).agg(max(col("__v")).as("__lastv"))
+    bucketed.join(lastVal.hint("shuffle_hash"), "__w" +: keyNames)
+      .filter(delta(col("__v"), col("__lastv")) < threshold)
+      .groupBy((col("__w") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("__w.start")).drop("__w")
+  }
+
   /** Flink intervalJoin: left row joins right rows of the same key whose time
     * is in (left.ts + lowerExclusive, left.ts + upper]. Planned as an
     * equi-join on the key with a range residual — at scale the shuffle is on

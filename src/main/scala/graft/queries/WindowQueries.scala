@@ -1035,10 +1035,32 @@ object WindowQueries {
       |WHERE b.rn = 1
       |GROUP BY 1, 2, 3, 4, 5""".stripMargin
 
+  // --- w23: DeltaEvictor analog (flink-streaming-java/.../evictors/
+  // DeltaEvictor.java): only elements within `threshold` of the window's
+  // LAST element's value reach the aggregate. Last element = (ts, value)
+  // lexicographic max; two hash aggregates joined back shuffle_hash — the
+  // w17 no-Sort-on-facts discipline, plan-asserted.
+  private val w23: Q = (s, dir) =>
+    graft.operators.EventWindows.deltaEvictedTumbleAgg(ev(s, dir), col("ts"),
+      "1 hour", col("value"), 50.0, Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+      .select("window_start", "event_type", "n", "sum_value")
+  private val w23Sql =
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+      |            CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS ws FROM events),
+      |lastv AS (SELECT ws, event_type,
+      |           struct_extract(max({'t': ts, 'v': value}), 'v') AS lv
+      |          FROM e GROUP BY 1, 2)
+      |SELECT e.ws AS window_start, e.event_type, count(*) AS n,
+      | round(sum(e.value), 4) AS sum_value
+      |FROM e JOIN lastv l ON l.ws = e.ws AND l.event_type = e.event_type
+      |WHERE abs(e.value - l.lv) < 50
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
-    "w22_cep_consecutive" -> w22,
+    "w22_cep_consecutive" -> w22, "w23_delta_evictor" -> w23,
     "w12_sql_tumble" -> w12, "w13_temporal_join" -> w13,
     "w14_cep_relative" -> w14, "w15_sql_hop" -> w15, "w16_sql_session" -> w16,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
@@ -1057,6 +1079,7 @@ object WindowQueries {
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
     "w19_cep_alternation" -> w19Sql, "w20_sliding_count_window" -> w20Sql,
     "w21_cep_strict" -> w21Sql, "w22_cep_consecutive" -> w22Sql,
+    "w23_delta_evictor" -> w23Sql,
     "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
     "w14_cep_relative" -> w14Sql, "w15_sql_hop" -> w15Sql, "w16_sql_session" -> w16Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,

@@ -128,6 +128,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Sort "), s"fact rows must never be sorted:\n$p")
   }
 
+  test("w23 delta evictor never sorts fact rows (two hash aggs joined back)") {
+    // the last element's value is resolved by two HASH aggregates (max ts,
+    // then max value at that ts — the q38 refinement shape; a struct-max
+    // would plan as SortAggregate over every fact row) joined back with
+    // shuffle_hash: same no-Sort-on-facts contract as w17
+    val p = planOf("w23_delta_evictor").split("== Initial Plan ==").head
+    assert(p.contains("HashJoin"),
+      s"last-element value must hash-join back to fact rows:\n$p")
+    assert(!p.contains("Sort "), s"fact rows must never be sorted:\n$p")
+  }
+
   test("w18 count evictor reuses ONE shuffle (row_number + aggregate co-partitioned)") {
     // w18's row_number sort is semantically required (last-k by time); the
     // rank and the aggregate partition by the same (window, keys), so the
