@@ -649,10 +649,20 @@ object StreamOps {
     * twin: only the key's FIRST event time after the last binding decides
     * (kill if any satisfying event at it, emit as soon as it passes;
     * vacuous pass at window expiry). */
+  /** `timesTo > 0` makes the step a GREEDY `{times, timesTo}` range
+    * quantifier (batch `Pattern.timesRange(from, to)`'s twin): `times`
+    * mandatory occurrences plus up to `timesTo - times` more whenever they
+    * exist. Lowered by expansion into mandatory + OPTIONAL step copies —
+    * the optional-skip guard machinery already enforces the greedy batch
+    * semantics (a skipped expansion survives only if NO candidate ever
+    * arrives in the window; because the expansions share one predicate,
+    * any later candidate kills the skip branch before it could bind a
+    * later expansion, so a null expansion is always a SUFFIX — exactly the
+    * batch compile's nullable tail). */
   case class CepStep(pred: Event => Boolean, strict: Boolean = false,
                      branches: Seq[(String, Event => Boolean)] = Nil,
                      optional: Boolean = false, times: Int = 1,
-                     negative: Boolean = false)
+                     negative: Boolean = false, timesTo: Int = 0)
 
   /** Streaming CEP with per-step contiguity modes and branch classifiers —
     * the unbounded counterpart of `graft.cep.Pattern.next/followedByOneOf`
@@ -693,7 +703,15 @@ object StreamOps {
       require(!(s.optional && s.times > 1), "optional and times(n) are exclusive")
       require(!(s.optional && s.strict), "optional and strict are exclusive")
       require(!(s.optional && s.branches.nonEmpty), "optional and branches are exclusive")
-      Seq.fill(s.times)(s.copy(times = 1))
+      if (s.timesTo > 0) {
+        // {from, to} range: from mandatory + (to - from) optional copies —
+        // the skip-guard machinery supplies the greedy semantics
+        require(s.timesTo > s.times, "timesTo must exceed times")
+        require(!s.optional && !s.strict && s.branches.isEmpty,
+          "a range step is plain (no optional/strict/branches)")
+        Seq.fill(s.times)(s.copy(times = 1, timesTo = 0)) ++
+          Seq.fill(s.timesTo - s.times)(s.copy(times = 1, timesTo = 0, optional = true))
+      } else Seq.fill(s.times)(s.copy(times = 1))
     }
     // the negative step (if any) sits at index nPos so guards address it
     val expanded: IndexedSeq[CepStep] = (positives ++ negStep).toIndexedSeq

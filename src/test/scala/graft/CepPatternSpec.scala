@@ -781,6 +781,51 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch timesRange and streaming cepPatternSteps range agree ({1,3} greedy)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // u1: full greedy consumption (3 of 3); u2: only the mandatory
+    // expansion binds (null tail emitted at expiry); u3: mandatory missing
+    // -> no match; u4: greedy — the b@10 kills the early c@8 skip-match
+    // and binds expansion 2, c then binds at 30
+    val all = Seq(
+      (1L, at(0), "s"), (1L, at(5), "b"), (1L, at(10), "b"),
+      (1L, at(15), "b"), (1L, at(20), "b"), (1L, at(25), "c"),
+      (2L, at(0), "s"), (2L, at(5), "b"), (2L, at(10), "c"),
+      (3L, at(0), "s"), (3L, at(5), "c"),
+      (4L, at(0), "s"), (4L, at(5), "b"), (4L, at(8), "c"),
+      (4L, at(10), "b"), (4L, at(30), "c"))
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .followedBy("b", $"event_type" === "b").timesRange(1, 3)
+      .followedBy("c", $"event_type" === "c")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"b_1_ts", $"b_2_ts", $"b_3_ts", $"c_ts")
+      .as[(Long, Timestamp, Timestamp, Option[Timestamp], Option[Timestamp], Timestamp)]
+      .collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternSteps(in.toDS(), "2 hours", Seq(
+        StreamOps.CepStep(_.event_type == "s"),
+        StreamOps.CepStep(_.event_type == "b", times = 1, timesTo = 3),
+        StreamOps.CepStep(_.event_type == "c")), HOUR).toDF()
+      .writeStream.format("memory").queryName("s_range_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(7)); q.processAllAvailable() // split mid-expansion
+    in.addData(evs.drop(7)); q.processAllAvailable()
+    // null-tail matches hold until the window closes
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_range_parity").as[graft.streaming.ExMatch].collect()
+      .map(m => (m.user_id, m.step_ts(0), m.step_ts(1), Option(m.step_ts(2)),
+        Option(m.step_ts(3)), m.step_ts(4))).toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), at(5), Some(at(10)), Some(at(15)), at(25)),
+      (2L, at(0), at(5), None, None, at(10)),
+      (4L, at(0), at(5), Some(at(10)), None, at(30))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("optional step: batch/streaming parity incl. skip-at-expiry and guard kill") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
