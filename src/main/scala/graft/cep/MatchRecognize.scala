@@ -43,7 +43,14 @@ import org.apache.spark.sql.functions._
   *                               -- (B|C) = alternation (followedByOneOf):
   *                               -- the group binds as variable "B_C" and
   *                               -- `B_C.cls AS alias` measures the matched
-  *                               -- branch (the SQL CLASSIFIER() analog)
+  *                               -- branch (the SQL CLASSIFIER() analog);
+  *                               -- (B C)+ = SEQUENCE group (followedByGroup
+  *                               -- + oneOrMore, flink-cep GroupPattern):
+  *                               -- greedy repetition chain — measures are
+  *                               -- FIRST(B.ts) (first repetition's first
+  *                               -- sub-binding), LAST(C.ts) (last
+  *                               -- repetition's final sub-binding), and
+  *                               -- COUNT over any member (repetitions)
   *   WITHIN INTERVAL '<n>' <SECOND|MINUTE|HOUR|DAY>
   *   DEFINE V1 AS <predicate>, ...  -- Spark SQL boolean exprs over the event
   *                                  -- row; vars left undefined match TRUE.
@@ -85,7 +92,7 @@ object MatchRecognize {
     "HOUR" -> 3600000L, "DAY" -> 86400000L)
 
   private case class PatternVar(name: String, quant: Option[String],
-                                alts: Seq[String] = Nil)
+                                alts: Seq[String] = Nil, seq: Seq[String] = Nil)
   private case class Measure(fn: Option[String], varName: String,
                              field: String, alias: String)
   private case class Spec(partitionBy: Seq[String], orderBy: String,
@@ -137,16 +144,24 @@ object MatchRecognize {
     val patternBody = "(?is)\\bPATTERN\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)".r
       .findFirstMatchIn(body)
       .getOrElse(sys.error("PATTERN (...) required")).group(1).trim
-    // elements: a bare variable with an optional quantifier, or an
-    // alternation group (B|C) — named by joining its branches
-    val vars = "(?:\\((\\w+(?:\\|\\w+)+)\\)|(\\w+))(\\?|\\+|\\*|\\{(\\d+)(?:,(\\d+))?\\})?".r
+    // elements: a bare variable with an optional quantifier, an alternation
+    // group (B|C), or a quantified SEQUENCE group (B C)+ (flink-cep
+    // GroupPattern) — both groups named by joining their members
+    val vars = ("(?:\\((\\w+(?:\\|\\w+)+)\\)|\\((\\w+(?:\\s+\\w+)+)\\)|(\\w+))" +
+      "(\\?|\\+|\\*|\\{(\\d+)(?:,(\\d+))?\\})?").r
       .findAllMatchIn(patternBody).map { g =>
-        Option(g.group(1)) match {
-          case Some(alt) =>
+        (Option(g.group(1)), Option(g.group(2))) match {
+          case (Some(alt), _) =>
             val branches = alt.split("\\|").toSeq
-            require(g.group(3) == null, "alternation groups cannot be quantified")
+            require(g.group(4) == null, "alternation groups cannot be quantified")
             PatternVar(branches.mkString("_"), None, branches)
-          case None => PatternVar(g.group(2), Option(g.group(3)))
+          case (None, Some(seq)) =>
+            val subs = seq.trim.split("\\s+").toSeq
+            require(g.group(4) == "+",
+              s"sequence group (${subs.mkString(" ")}) requires the '+' " +
+                "quantifier (the GroupPattern oneOrMore surface)")
+            PatternVar(subs.mkString("_"), Some("+"), Nil, subs)
+          case (None, None) => PatternVar(g.group(3), Option(g.group(4)))
         }
       }.toSeq
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
@@ -354,7 +369,7 @@ object MatchRecognize {
     val selfRuns = selfRunDefs(spec)
     val compiled: Map[String, (Column, Option[Column], Seq[(String, String)])] =
       spec.vars.zipWithIndex.flatMap { case (v, i) =>
-        val own = if (v.alts.nonEmpty || selfRuns.contains(v.name)) Nil
+        val own = if (v.alts.nonEmpty || v.seq.nonEmpty || selfRuns.contains(v.name)) Nil
                   else Seq(v.name -> compiledPred(spec, v.name, i))
         val branches = v.alts.map { b =>
           val c = compiledPred(spec, b, i)
@@ -362,7 +377,13 @@ object MatchRecognize {
             s"alternation branch $b cannot use relative references")
           b -> c
         }
-        own ++ branches
+        val seqSubs = v.seq.map { sv =>
+          val c = compiledPred(spec, sv, i)
+          require(c._2.isEmpty,
+            s"group sub-variable $sv cannot use relative references")
+          sv -> c
+        }
+        own ++ branches ++ seqSubs
       }.toMap
     val neededBinds: Map[String, Seq[String]] = compiled.values.flatMap(_._3).toSeq
       .distinct.groupBy(_._1).map { case (v, refs) => v -> refs.map(_._2) }
@@ -370,7 +391,19 @@ object MatchRecognize {
       .map(v => v -> (keepByVar.getOrElse(v, Nil) ++ neededBinds.getOrElse(v, Nil)).distinct)
       .toMap
     require(spec.vars.head.alts.isEmpty, "first pattern variable cannot be an alternation")
+    require(spec.vars.head.seq.isEmpty, "first pattern variable cannot be a sequence group")
     require(spec.vars.head.quant.isEmpty, "first pattern variable cannot be quantified")
+    // group sub-vars bind nothing beyond the chain boundary timestamps
+    val groupOf: Map[String, PatternVar] = spec.vars.filter(_.seq.nonEmpty)
+      .flatMap(g => (g.name +: g.seq).map(_ -> g)).toMap
+    spec.measures.filter(m => groupOf.contains(m.varName)).foreach { m =>
+      require(m.field == "ts", s"group measures are over timestamps only " +
+        s"(got ${m.varName}.${m.field}; per-repetition value bindings are " +
+        "not materialized by the chain lowering)")
+    }
+    require(!(spec.allRows && groupOf.nonEmpty),
+      "ALL ROWS PER MATCH does not support sequence groups (per-repetition " +
+        "rows are not materialized by the chain lowering)")
     var pat = Pattern.begin(spec.vars.head.name, compiled(spec.vars.head.name)._1)
     bindByVar.get(spec.vars.head.name).foreach(ks => pat = pat.bind(ks: _*))
     spec.vars.tail.foreach { v =>
@@ -378,6 +411,11 @@ object MatchRecognize {
         // the '+' quantifier is consumed by the run lowering itself
         val rd = selfRuns(v.name)
         pat = pat.followedByRun(v.name, rd.pre, rd.colName, rd.accept)
+      } else if (v.seq.nonEmpty) {
+        // sequence group (B C)+ — flink-cep GroupPattern under oneOrMore
+        // (the '+' is validated at parse time)
+        pat = pat.followedByGroup(v.name, v.seq.map(sv => sv -> compiled(sv)._1): _*)
+        pat = pat.oneOrMore()
       } else if (v.alts.nonEmpty)
         pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> compiled(b)._1): _*)
       else {
@@ -457,6 +495,27 @@ object MatchRecognize {
           quantOf.get(m.varName).flatten.exists(q => q == "+" || q == "*")
         val c = if (m.fn.contains("MATCH_NUMBER")) {
           row_number().over(mnWindow).cast("long")
+        } else if (groupOf.contains(m.varName)) {
+          // a sequence group binds (first repetition's first sub-binding,
+          // last repetition's final sub-binding, repetition count):
+          // FIRST addresses the group's first sub-variable (or the group
+          // itself), LAST its last, COUNT any member
+          val g = groupOf(m.varName)
+          m.fn match {
+            case Some("COUNT") => col(s"${g.name}_n")
+            case Some("FIRST") =>
+              require(m.varName == g.name || m.varName == g.seq.head,
+                s"FIRST(${m.varName}.ts): the chain materializes the first " +
+                  s"repetition's FIRST sub-step only (${g.seq.head})")
+              col(s"${g.name}_first_ts")
+            case Some("LAST") =>
+              require(m.varName == g.name || m.varName == g.seq.last,
+                s"LAST(${m.varName}.ts): the chain materializes the last " +
+                  s"repetition's FINAL sub-step only (${g.seq.last})")
+              col(s"${g.name}_last_ts")
+            case other => sys.error(s"group variable ${g.name}: " +
+              s"FIRST/LAST/COUNT only (got ${other.getOrElse("a bare reference")})")
+          }
         } else if (isRunVar) {
           // a run binds its boundary timestamps + count, and (via bindRun)
           // per-column running SUM/MIN/MAX and first/last member values

@@ -33,6 +33,55 @@ object LlmQueries3 {
       | len(regexp_extract_all(text, '[a-z]{7,}')) > 10 AS flagged
       |FROM documents""".stripMargin
 
+  // ---------- t07: intra-document repetition filter (Gopher-style) ----------
+  // The Rae et al. (Gopher) / MassiveText repetition quality signals: a
+  // document dominated by one repeated n-gram (or by duplicated n-grams
+  // generally) is boilerplate/spam and is dropped before training.
+  //   top2_frac — fraction of word-2-gram positions taken by the MOST
+  //               FREQUENT 2-gram (the "fraction of characters in the most
+  //               common n-gram" signal, position-normalized so tie-broken
+  //               gram identity never matters);
+  //   dup3_frac — fraction of word-3-gram positions whose gram occurs more
+  //               than once (the "duplicate n-gram fraction" signal).
+  // Scale shape: explode → per-(doc, gram) hash count → per-doc hash
+  // re-aggregate — two keyed shuffles of gram tokens, no windows, no sort,
+  // O(corpus tokens). (A row-local array_distinct/filter variant is
+  // shuffle-free but O(words²) per document — wrong trade past ~1k-word
+  // docs, so the exploded path is the default.)
+  private val t07: Q = (s, dir) => {
+    val d = docs(s, dir)
+    def gramFreqs(n: Int) = {
+      val toks = split(col("text"), " ")
+      val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+      d.select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    }
+    val a2 = gramFreqs(2).groupBy("doc_id")
+      .agg((max(col("c")) / sum(col("c"))).as("top2"))
+    val a3 = gramFreqs(3).groupBy("doc_id")
+      .agg((sum(when(col("c") >= 2, col("c")).otherwise(lit(0))) / sum(col("c")))
+        .as("dup3"))
+    a2.join(a3, "doc_id")
+      .select(col("doc_id"), round(col("top2"), 6).as("top2_frac"),
+        round(col("dup3"), 6).as("dup3_frac"),
+        (round(col("top2"), 6) < 0.1 && round(col("dup3"), 6) < 0.05).as("keep"))
+  }
+  private val t07Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+      |         i -> w[i] || ' ' || w[i+1])) AS g FROM t),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |a2 AS (SELECT doc_id, max(c)*1.0/sum(c) AS top2 FROM c2 GROUP BY 1),
+      |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM t),
+      |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+      |a3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)*1.0/sum(c) AS dup3
+      |       FROM c3 GROUP BY 1)
+      |SELECT a2.doc_id, round(top2, 6) AS top2_frac, round(dup3, 6) AS dup3_frac,
+      |       (round(top2, 6) < 0.1 AND round(dup3, 6) < 0.05) AS keep
+      |FROM a2 JOIN a3 USING (doc_id)""".stripMargin
+
   // ---------- d09: deterministic stratified sampling (mixing weights) ----------
   // Training mixes downsample strata at different rates (e.g. common-crawl
   // vs curated). Deterministic content-hash bucketing (last md5 hex char =
@@ -260,11 +309,13 @@ object LlmQueries3 {
   }
 
   val queries: Map[String, Q] = Map(
-    "t06_regex_scan" -> t06, "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
+    "t06_regex_scan" -> t06, "t07_repetition_filter" -> t07,
+    "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
     "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12,
     "d13_decontaminate" -> d13)
   val oracles: Map[String, String] = Map(
-    "t06_regex_scan" -> t06Sql, "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
+    "t06_regex_scan" -> t06Sql, "t07_repetition_filter" -> t07Sql,
+    "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
     "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql,
     "d13_decontaminate" -> d13Sql)
 }

@@ -1057,6 +1057,25 @@ object WindowQueries {
       |WHERE abs(e.value - l.lv) < 50
       |GROUP BY 1, 2""".stripMargin
 
+  // --- m16: the m13 GROUP pattern through PURE SQL text — `PATTERN
+  // (S (C V)+ P)` parses to followedByGroup + oneOrMore; FIRST(C.ts) /
+  // LAST(V.ts) / COUNT(C.ts) address the chain's materialized boundaries.
+  // Shares m13's recursive-CTE oracle (same semantics, same window).
+  private val m16: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.ts) AS g_first_ts,
+        |           LAST(V.ts) AS g_last_ts, COUNT(C.ts) AS n_reps,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S (C V)+ P)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m16Sql = m13Sql
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -1073,7 +1092,7 @@ object WindowQueries {
     "m09_match_run_sum" -> m09, "m10_match_vshape" -> m10,
     "m11_match_range_sum" -> m11, "m12_match_number" -> m12,
     "m13_group_pattern" -> m13, "m14_match_prev" -> m14,
-    "m15_match_skip_to" -> m15)
+    "m15_match_skip_to" -> m15, "m16_group_sql" -> m16)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1093,5 +1112,5 @@ object WindowQueries {
     "m08_match_all_rows" -> m08Sql, "m09_match_run_sum" -> m09Sql,
     "m10_match_vshape" -> m10Sql, "m11_match_range_sum" -> m11Sql,
     "m12_match_number" -> m12Sql, "m13_group_pattern" -> m13Sql,
-    "m14_match_prev" -> m14Sql)
+    "m14_match_prev" -> m14Sql, "m16_group_sql" -> m16Sql)
 }

@@ -420,6 +420,49 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m == Set(("eu", 1L, at(0), at(10)), ("us", 2L, at(0), at(8))))
   }
 
+  test("sequence group (B C)+ in PATTERN text lowers onto followedByGroup") {
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),
+      (1L, at(15), "b"), (1L, at(20), "c"), (1L, at(25), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "b"), (2L, at(10), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(B.ts) AS g1, LAST(C.ts) AS gn,
+        |           COUNT(B.ts) AS n_reps, U.ts AS u_ts
+        |  PATTERN (S (B C)+ U)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'b',
+        |         C AS event_type = 'c', U AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    // user 2's repetition never completes: no match
+    assert(m == Set((1L, at(0), at(5), at(20), 2L, at(25))), m.toString)
+    // measures that the chain does not materialize are named errors
+    val ex = intercept[IllegalArgumentException](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES FIRST(C.ts) AS bad
+        |  PATTERN (S (B C)+ U)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'b',
+        |         C AS event_type = 'c', U AS event_type = 'purchase'
+        |)""".stripMargin).collect())
+    assert(ex.getMessage.contains("FIRST sub-step only"), ex.getMessage)
+    // a sequence group without '+' is a named error
+    val ex2 = intercept[IllegalArgumentException](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S (B C) U)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'b',
+        |         C AS event_type = 'c', U AS event_type = 'purchase'
+        |)""".stripMargin).collect())
+    assert(ex2.getMessage.contains("requires the '+'"), ex2.getMessage)
+  }
+
   test("PREV() is the SQL-standard alias of LAST(..., 1): all spellings agree") {
     val vshape = Seq(
       (1L, at(0), "signup", 0.0), (1L, at(5), "click", 9.0), (1L, at(10), "click", 7.0),
