@@ -157,10 +157,10 @@ object MatchRecognize {
             PatternVar(branches.mkString("_"), None, branches)
           case (None, Some(seq)) =>
             val subs = seq.trim.split("\\s+").toSeq
-            require(g.group(4) == "+",
-              s"sequence group (${subs.mkString(" ")}) requires the '+' " +
-                "quantifier (the GroupPattern oneOrMore surface)")
-            PatternVar(subs.mkString("_"), Some("+"), Nil, subs)
+            require(g.group(4) == "+" || g.group(4) == "*",
+              s"sequence group (${subs.mkString(" ")}) requires the '+' or " +
+                "'*' quantifier (the GroupPattern oneOrMore[.optional] surface)")
+            PatternVar(subs.mkString("_"), Some(g.group(4)), Nil, subs)
           case (None, None) => PatternVar(g.group(3), Option(g.group(4)))
         }
       }.toSeq
@@ -412,10 +412,10 @@ object MatchRecognize {
         val rd = selfRuns(v.name)
         pat = pat.followedByRun(v.name, rd.pre, rd.colName, rd.accept)
       } else if (v.seq.nonEmpty) {
-        // sequence group (B C)+ — flink-cep GroupPattern under oneOrMore
-        // (the '+' is validated at parse time)
+        // sequence group (B C)+ / (B C)* — flink-cep GroupPattern under
+        // oneOrMore[/optional] (the quantifier is validated at parse time)
         pat = pat.followedByGroup(v.name, v.seq.map(sv => sv -> compiled(sv)._1): _*)
-        pat = pat.oneOrMore()
+        pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
       } else if (v.alts.nonEmpty)
         pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> compiled(b)._1): _*)
       else {

@@ -166,8 +166,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def zeroOrMore(): Pattern = {
     require(steps.size >= 2, "zeroOrMore() applies to a followedBy step")
     require(steps.last.reps == 1 && !steps.last.opt && steps.last.keep.isEmpty &&
-      steps.last.alts.isEmpty && !steps.last.strict && steps.last.group.isEmpty,
-      "zeroOrMore() excludes times(n)/optional()/bind()/followedByOneOf()/next()/groups")
+      steps.last.alts.isEmpty && !steps.last.strict,
+      "zeroOrMore() excludes times(n)/optional()/bind()/followedByOneOf()/next()")
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true, opt = true),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -605,6 +605,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           val strEnc = org.apache.spark.sql.Encoders.STRING
           val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
           val subKV = subPairs.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
+          // primitive copy: the cogroup closure must not capture the Step
+          // (whose Columns drag in non-serializable plan state)
+          val optGroup = s.opt
           val chained = anchKV.cogroup(subKV) { (_, as, ss) =>
             // full-precision Timestamp comparisons (compareTo includes
             // nanos) — the declarative joins compare at full precision too
@@ -622,13 +625,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 else if (c.after(wEnd)) stop = true // monotone: none later completes
                 else { if (first == null) first = b; lastEnd = c; n += 1 }
               }
-              if (n == 0) Iterator.empty
+              // (sub)* (opt): an empty chain keeps the match row with null
+              // boundaries and count 0 — the zeroOrMore convention
+              if (n == 0 && !optGroup) Iterator.empty
+              else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
+                a.toSeq ++ Seq(null, null, 0L)))
               else Iterator.single(org.apache.spark.sql.Row.fromSeq(
                 a.toSeq ++ Seq(first, lastEnd, n)))
             }
           }(org.apache.spark.sql.Encoders.row(outSchema))
           out = chained.toDF().drop("__gprev", "__gwend")
-          prevTs = col(s"${s.name}_last_ts")
+          prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
+                   else col(s"${s.name}_last_ts")
         }
       } else {
       if (s.strict) {

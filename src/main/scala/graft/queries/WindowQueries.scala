@@ -1076,6 +1076,70 @@ object WindowQueries {
         |)""".stripMargin)
   private val m16Sql = m13Sql
 
+  // --- m17: ZERO-or-more sequence group `(C V)*` (GroupPattern oneOrMore
+  // .optional): an empty chain keeps the match with null boundaries and
+  // count 0, the purchase then binding after the signup itself. Oracle =
+  // m13's recursive chain LEFT-JOINED onto all anchors.
+  private val m17: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.ts) AS g_first_ts,
+        |           LAST(V.ts) AS g_last_ts, COUNT(C.ts) AS n_reps,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S (C V)* P)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m17Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |subs AS (
+      |  SELECT c.user_id, c.ts AS b_ts, min(v.ts) AS e_ts
+      |  FROM c JOIN v ON v.user_id = c.user_id AND v.ts > c.ts
+      |              AND v.ts <= c.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, s1.e_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2, 3),
+      |entry AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 96 HOURS AS w_end,
+      |         min(sub.b_ts) AS b1
+      |  FROM s JOIN subs sub ON sub.user_id = s.user_id AND sub.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |chain AS (
+      |  SELECT e.user_id, e.s_ts, e.w_end, e.b1 AS b_first, sub.b_ts AS b_cur,
+      |         sub.e_ts AS e_cur, CAST(1 AS BIGINT) AS n
+      |  FROM entry e JOIN subs sub ON sub.user_id = e.user_id AND sub.b_ts = e.b1
+      |  WHERE sub.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT ch.user_id, ch.s_ts, ch.w_end, ch.b_first, nx.b_ts, nx.e_ts, ch.n + 1
+      |  FROM chain ch
+      |  JOIN link l ON l.user_id = ch.user_id AND l.b_ts = ch.b_cur
+      |  JOIN subs nx ON nx.user_id = ch.user_id AND nx.b_ts = l.nb
+      |  WHERE nx.e_ts <= ch.w_end),
+      |best AS (
+      |  SELECT user_id, s_ts, b_first, e_cur, n,
+      |         row_number() OVER (PARTITION BY user_id, s_ts ORDER BY n DESC) rn
+      |  FROM chain),
+      |aug AS (
+      |  SELECT a.user_id, a.s_ts, a.w_end, b.b_first, b.e_cur,
+      |         CAST(coalesce(b.n, 0) AS BIGINT) AS n
+      |  FROM (SELECT user_id, ts AS s_ts, ts + INTERVAL 96 HOURS AS w_end FROM s) a
+      |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      |    ON b.user_id = a.user_id AND b.s_ts = a.s_ts)
+      |SELECT aug.user_id, aug.s_ts AS signup_ts, aug.b_first AS g_first_ts,
+      |       aug.e_cur AS g_last_ts, aug.n AS n_reps, min(p.ts) AS purchase_ts
+      |FROM aug JOIN p ON p.user_id = aug.user_id
+      |              AND p.ts > coalesce(aug.e_cur, aug.s_ts) AND p.ts <= aug.w_end
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -1092,7 +1156,8 @@ object WindowQueries {
     "m09_match_run_sum" -> m09, "m10_match_vshape" -> m10,
     "m11_match_range_sum" -> m11, "m12_match_number" -> m12,
     "m13_group_pattern" -> m13, "m14_match_prev" -> m14,
-    "m15_match_skip_to" -> m15, "m16_group_sql" -> m16)
+    "m15_match_skip_to" -> m15, "m16_group_sql" -> m16,
+    "m17_group_star" -> m17)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1112,5 +1177,6 @@ object WindowQueries {
     "m08_match_all_rows" -> m08Sql, "m09_match_run_sum" -> m09Sql,
     "m10_match_vshape" -> m10Sql, "m11_match_range_sum" -> m11Sql,
     "m12_match_number" -> m12Sql, "m13_group_pattern" -> m13Sql,
-    "m14_match_prev" -> m14Sql, "m16_group_sql" -> m16Sql)
+    "m14_match_prev" -> m14Sql, "m16_group_sql" -> m16Sql,
+    "m17_group_star" -> m17Sql)
 }

@@ -134,6 +134,28 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (3L, at(0), at(5), at(14), 2L, at(20))), m.toString)
   }
 
+  test("followedByGroup + zeroOrMore: '(B C)*' keeps matches with an empty chain") {
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"), (1L, at(15), "purchase"),
+      (2L, at(0), "signup"), (2L, at(15), "purchase"),          // empty chain
+      (3L, at(0), "signup"), (3L, at(5), "b"), (3L, at(15), "purchase") // incomplete rep
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByGroup("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .zeroOrMore()
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"u_ts")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Long, Timestamp)].collect().toSet
+    // user 3's lone b never completes a repetition: the chain is EMPTY (the
+    // incomplete sub-match does not bind), u binds after the signup
+    assert(m == Set(
+      (1L, Some(at(5)), Some(at(10)), 1L, at(15)),
+      (2L, None, None, 0L, at(15)),
+      (3L, None, None, 0L, at(15))), m.toString)
+  }
+
   test("followedByGroup + times(2): exactly two repetitions, each separately bound") {
     val evs = Seq(
       (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),

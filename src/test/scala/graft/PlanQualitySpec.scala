@@ -148,6 +148,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(exchanges <= 1, s"w18: evictor + aggregate must share one shuffle:\n$p")
   }
 
+  test("m13/m16/w22 group and consecutive CEP stay keyed (no cross product)") {
+    // the group sub-match table and the consecutive-run segmentation must
+    // compile to keyed equi-joins + keyed windows/cogroups — never a
+    // cartesian or nested-loop expansion
+    for (q <- Seq("m13_group_pattern", "m16_group_sql", "w22_cep_consecutive")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: group/consecutive lowerings must stay keyed:\n$p")
+    }
+  }
+
   test("w14/m05 iterative and alternation CEP stay keyed (no cross product)") {
     for (q <- Seq("w14_cep_relative", "m05_match_alternation")) {
       val p = planOf(q)
