@@ -22,10 +22,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class ArrayDotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // callers guarantee array<double> inputs (Similarity.asDouble casts);
-  // AbstractDataType/ExpectsInputTypes are private[sql] so no declared check
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_dot"
+
+  // getDouble over a non-double ArrayData reinterprets raw bytes — reject
+  // anything but array<double> at analysis time instead of returning
+  // garbage (the companion apply also casts, so the Column API can't
+  // construct a mistyped call; this guards the SQL-registered form)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"array_dot requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -58,5 +72,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
 object ArrayDotProduct {
   def apply(a: Column, b: Column): Column =
-    ColumnBridge.column(ArrayDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    ColumnBridge.column(ArrayDotProduct(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
 }

@@ -61,4 +61,40 @@ object Similarity {
     topNPerGroup(pairs, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id")), k)
   }
+
+  /** INT8 scalar quantization of an embedding column: symmetric per-vector
+    * scale (max |component|), `q_i = floor(v_i * 127 / scale + 0.5)` —
+    * floor(x + 0.5) instead of round() because HALF_UP tie handling differs
+    * across engines while floor does not. The quantized components are
+    * integer-valued and every quantized dot product / norm stays exactly
+    * representable in doubles, so quantized scores are bit-identical
+    * cross-engine (the property the s04 oracle relies on). */
+  def quantize(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("v"))
+      .withColumn("scale", greatest(aggregate(
+        transform(col("v"), x => abs(x)), lit(0.0),
+        (a, b) => greatest(a, b)), lit(1e-12)))
+      // floor() returns BIGINT: cast each component back to double so the
+      // codegen'd ArrayDotProduct reads real doubles (integer-valued, exact)
+      .withColumn("q", transform(col("v"),
+        x => floor(x * lit(127.0) / col("scale") + lit(0.5)).cast("double")))
+      .withColumn("qn", norm(col("q")))
+      .select(col("id"), col("q"), col("qn"))
+
+  /** Quantized brute-force top-k — the memory-bandwidth path of a 100 TB
+    * vector scan (int8 storage is 4× smaller than float32; the ranking
+    * metric is the quantized cosine). Same candidate discipline as
+    * [[annTopK]]; compose with the LSH/IVF candidate generators for the
+    * full ANN stack. */
+  def annTopKQuantized(emb: DataFrame, idCol: String, embCol: String,
+                       queryPred: Column, k: Int): DataFrame = {
+    val e = quantize(emb, idCol, embCol)
+    val q = e.filter(queryPred).select(col("id").as("query_id"),
+      col("q").as("qq"), col("qn").as("qqn"))
+    val pairs = q.join(e, col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(dot(col("qq"), col("q")) / (col("qqn") * col("qn")), 6).as("qcos"))
+    topNPerGroup(pairs, Seq(col("query_id")),
+      Seq(col("qcos").desc, col("neighbor_id")), k)
+  }
 }

@@ -443,10 +443,35 @@ object LlmQueries {
        | CAST(len(list_distinct(${shingleSql("text", 8)})) AS INT) AS n_grams
        |FROM documents""".stripMargin
 
+  // ---------- s04: INT8-quantized brute-force top-k ----------
+  // The memory-bandwidth path of a 100 TB vector scan: int8 storage reads
+  // 4× fewer bytes than float32 and the ranking metric is the quantized
+  // cosine. Quantization is floor(x*127/scale + 0.5) on per-vector max-abs
+  // scales — integer-valued components keep every quantized dot product
+  // and norm exactly representable in doubles, so the oracle hash-matches
+  // (no float-noise slack needed). Recall vs the exact ranking is pinned
+  // in AnnRecallSpec.
+  private val s04: Q = (s, dir) =>
+    Similarity.annTopKQuantized(emb(s, dir), "vec_id", "embedding",
+      col("id") < 10, 5)
+  private val s04Sql =
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |es AS (SELECT vec_id, v,
+       |        greatest(list_max([abs(x) for x in v]), 1e-12) AS scale FROM e0),
+       |eq AS (SELECT vec_id, [floor(x * 127.0 / scale + 0.5) for x in v] AS q FROM es),
+       |en AS (SELECT vec_id, q, sqrt(list_sum([x*x for x in q])) AS qn FROM eq),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |       ${cosSql("a.q", "b.q", "a.qn", "b.qn")} AS qcos
+       |      FROM en a JOIN en b ON b.vec_id != a.vec_id WHERE a.vec_id < 10)
+       |SELECT query_id, neighbor_id, qcos, CAST(rn AS INT) AS rn FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rn
+       | FROM p) WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01, "d02_minhash_pairs" -> d02, "d03_simhash" -> d03,
     "d04_jaccard_pairs" -> d04, "d05_cosine_pairs" -> d05, "d06_simhash_pairs" -> d06,
     "s01_ann_topk" -> s01, "s02_ann_lsh" -> s02, "s03_ivf_ann" -> s03,
+    "s04_ann_quantized" -> s04,
     "t01_lang_id" -> t01, "t02_quality_score" -> t02,
     "t03_token_stats" -> t03, "t04_fingerprint" -> t04)
 
@@ -455,6 +480,7 @@ object LlmQueries {
     "d04_jaccard_pairs" -> d04Sql, "d05_cosine_pairs" -> d05Sql,
     "d06_simhash_pairs" -> d06Sql,
     "s01_ann_topk" -> s01Sql, "s02_ann_lsh" -> s02Sql, "s03_ivf_ann" -> s03Sql,
+    "s04_ann_quantized" -> s04Sql,
     "t01_lang_id" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_stats" -> t03Sql, "t04_fingerprint" -> t04Sql)
 }

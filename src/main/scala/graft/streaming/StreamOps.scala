@@ -99,9 +99,13 @@ case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
 // in-progress repetition's bounds + chain stats; a close event arriving
 // while the chain could still extend is HELD (pendingUMs) and emitted at
 // window expiry, invalidated by any later repetition completion
+// emptyUMs: under allowEmpty ((sub)*), the earliest close event seen while
+// NO repetition has completed — valid only if none EVER completes in the
+// window (any completion kills it), emitted at window expiry
 case class GrpPartial(firstMs: Long, gFirstMs: Long, lastRepEndMs: Long,
                       reps: Long, subIdx: Int, curRepStartMs: Long,
-                      curRepLastMs: Long, pendingUMs: Long)
+                      curRepLastMs: Long, pendingUMs: Long,
+                      emptyUMs: Long = -1L)
 case class GrpAcc(partials: List[GrpPartial])
 case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
                     rep_last_ts: Timestamp, rep_n: Long, last_ts: Timestamp)
@@ -1315,12 +1319,17 @@ object StreamOps {
     * greedy-maximal, so the U must follow the FINAL repetition). Watermark
     * pruning, event-time eviction, `maxPartials` (newest kept) and the
     * deterministic (ts, type, value) in-batch order follow the cepPattern
-    * family; keep step predicates disjoint for exact batch parity. */
+    * family; keep step predicates disjoint for exact batch parity.
+    * `allowEmpty` is the `(sub)*` twin (`followedByGroup(...).zeroOrMore()`):
+    * a close seen while NO repetition has completed is held as an
+    * empty-chain candidate — any completion kills it (the chain then
+    * exists), window expiry emits it (null boundaries, count 0). */
   def cepPatternGroup(events: Dataset[Event], watermark: String,
                       firstPred: Event => Boolean,
                       subPreds: Seq[Event => Boolean],
                       lastPred: Event => Boolean, withinMs: Long,
-                      maxPartials: Int = 256): Dataset[GrpMatch] = {
+                      maxPartials: Int = 256,
+                      allowEmpty: Boolean = false): Dataset[GrpMatch] = {
     require(subPreds.size >= 2, "a group sub-pattern needs at least two steps")
     implicit val outEnc = Encoders.product[GrpMatch]
     implicit val accEnc = Encoders.product[GrpAcc]
@@ -1336,13 +1345,21 @@ object StreamOps {
             out += GrpMatch(userId, new Timestamp(p.firstMs),
               new Timestamp(p.gFirstMs), new Timestamp(p.lastRepEndMs),
               p.reps, new Timestamp(p.pendingUMs))
+          // (sub)*: an empty-chain match — null boundaries, count 0, the
+          // close that was held while no repetition had completed
+          def emitEmpty(p: GrpPartial): Unit =
+            out += GrpMatch(userId, new Timestamp(p.firstMs),
+              null, null, 0L, new Timestamp(p.emptyUMs))
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
             val t = e.ts.getTime
             partials = partials.flatMap { p =>
               if (t > p.firstMs + withinMs) {
                 // window expired: a held close completes the chain (no
-                // further in-window repetition can extend past it)
+                // further in-window repetition can extend past it); under
+                // allowEmpty a chain-less partial emits its held close with
+                // null boundaries
                 if (p.reps >= 1 && p.pendingUMs >= 0) emit(p)
+                else if (allowEmpty && p.reps == 0 && p.emptyUMs >= 0) emitEmpty(p)
                 None
               } else {
                 val anchor = if (p.subIdx == 0) p.lastRepEndMs else p.curRepLastMs
@@ -1350,17 +1367,21 @@ object StreamOps {
                   if (p.subIdx == subPreds.size - 1) {
                     // repetition completes: extend the chain; a held close
                     // at or before this completion is no longer the final
-                    // repetition's successor — invalidate it
+                    // repetition's successor — invalidate it, along with
+                    // any held EMPTY-chain close (the chain now exists)
                     val gFirst = if (p.reps == 0) p.curRepStartMs else p.gFirstMs
                     Some(p.copy(gFirstMs = gFirst, lastRepEndMs = t,
                       reps = p.reps + 1, subIdx = 0, curRepStartMs = -1L,
-                      curRepLastMs = -1L, pendingUMs = -1L))
+                      curRepLastMs = -1L, pendingUMs = -1L, emptyUMs = -1L))
                   } else if (p.subIdx == 0)
                     Some(p.copy(subIdx = 1, curRepStartMs = t, curRepLastMs = t))
                   else Some(p.copy(subIdx = p.subIdx + 1, curRepLastMs = t))
                 } else if (lastPred(e) && p.reps >= 1 && t > p.lastRepEndMs &&
                            p.pendingUMs < 0) {
                   Some(p.copy(pendingUMs = t)) // held: emitted at expiry
+                } else if (allowEmpty && lastPred(e) && p.reps == 0 &&
+                           t > p.firstMs && p.emptyUMs < 0) {
+                  Some(p.copy(emptyUMs = t)) // held empty-chain close
                 } else Some(p)
               }
             }
@@ -1370,7 +1391,10 @@ object StreamOps {
           }
           val wm = state.getCurrentWatermarkMs()
           val (expired, alive) = partials.partition(_.firstMs + withinMs <= wm)
-          expired.foreach(p => if (p.reps >= 1 && p.pendingUMs >= 0) emit(p))
+          expired.foreach { p =>
+            if (p.reps >= 1 && p.pendingUMs >= 0) emit(p)
+            else if (allowEmpty && p.reps == 0 && p.emptyUMs >= 0) emitEmpty(p)
+          }
           partials = alive
           if (partials.isEmpty) state.remove()
           else {

@@ -27,5 +27,11 @@ class AnnRecallSpec extends AnyFunSuite with SparkTest {
     info(f"recall@5: lsh=$rLsh%.3f ivf=$rIvf%.3f")
     assert(rLsh > 0.6, s"3-table multi-probe LSH recall collapsed: $rLsh")
     assert(rIvf > 0.89, s"IVF(kmeans cells, probe 3/8) recall collapsed: $rIvf")
+    // int8 scalar quantization ranks by the quantized cosine — recall
+    // against the exact float ranking should be near-perfect (the floor
+    // documents the quantization error budget)
+    val rQ = recall(topk("s04_ann_quantized"))
+    info(f"recall@5: int8=$rQ%.3f")
+    assert(rQ > 0.85, s"int8 quantized recall collapsed: $rQ")
   }
 }

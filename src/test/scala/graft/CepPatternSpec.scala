@@ -848,6 +848,50 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch group zeroOrMore and streaming cepPatternGroup allowEmpty agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: one repetition; user 2: empty chain (no b/c at all); user 3:
+    // incomplete repetition (lone b) binds nothing -> empty chain; user 4:
+    // the early u@5 empty-candidate is INVALIDATED by the repetition
+    // completing at 15, the u@20 then closes the chain
+    val all = Seq(
+      (1L, at(0), "s"), (1L, at(5), "b"), (1L, at(10), "c"), (1L, at(15), "u"),
+      (2L, at(0), "s"), (2L, at(15), "u"),
+      (3L, at(0), "s"), (3L, at(5), "b"), (3L, at(15), "u"),
+      (4L, at(0), "s"), (4L, at(5), "u"), (4L, at(10), "b"), (4L, at(15), "c"),
+      (4L, at(20), "u"))
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .followedByGroup("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .zeroOrMore()
+      .followedBy("u", $"event_type" === "u")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n", $"u_ts")
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long, Timestamp)]
+      .collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternGroup(in.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        _.event_type == "u", HOUR, allowEmpty = true).toDF()
+      .writeStream.format("memory").queryName("s_grpstar_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(6)); q.processAllAvailable()
+    in.addData(evs.drop(6)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_grpstar_parity").as[graft.streaming.GrpMatch].collect()
+      .map(m => (m.user_id, m.first_ts, Option(m.rep_first_ts), Option(m.rep_last_ts),
+        m.rep_n, m.last_ts)).toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), Some(at(5)), Some(at(10)), 1L, at(15)),
+      (2L, at(0), None, None, 0L, at(15)),
+      (3L, at(0), None, None, 0L, at(15)),
+      (4L, at(0), Some(at(10)), Some(at(15)), 1L, at(20))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("optional step: batch/streaming parity incl. skip-at-expiry and guard kill") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -16,6 +16,11 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
     val r = s.sql(
       "SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d").head()
     assert(r.getDouble(0) == 32.0)
+    // non-double arrays would be read as raw bytes by the primitive loop:
+    // the analysis-time type check rejects them by name instead
+    val ex = intercept[org.apache.spark.sql.AnalysisException](
+      s.sql("SELECT array_dot(array(1, 2), array(3, 4))").head())
+    assert(ex.getMessage.contains("array<double>"), ex.getMessage)
   }
 
   test("graph_pagerank is a FROM-clause table function (extensions beyond scalars)") {
