@@ -308,14 +308,80 @@ object LlmQueries3 {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------- d14: FUZZY decontamination (near-dup eval ↔ train) ----------
+  // d13 flags EXACT long-n-gram overlap; paraphrased or lightly-edited
+  // benchmark leaks need the near-dup machinery instead: MinHash-LSH
+  // candidates between the eval set (the d13 2% sample — the "index" side,
+  // hot buckets capped like d12's store) and the training side, then exact
+  // 3-gram Jaccard at the d12 bar. Shuffle is O(band keys) — the eval side
+  // collapses to its bands (~2% of corpus) and AQE broadcasts it; no cross
+  // product, plan-asserted discipline shared with d02/d05.
+  private val d14: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val evalSide = d.filter(col("doc_id") % 50 === 0)
+    val trainSide = d.filter(col("doc_id") % 50 =!= 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    val bandsEval = TextDedup.lshBands(evalSide, "doc_id", "text", 5,
+        LlmQueries.Bands, LlmQueries.RowsPerBand)
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= LlmQueries.MaxBucket).drop("__bsz")
+      .select(col("doc_id").as("eval_id"), col("band").as("b2"), col("bkey").as("k2"))
+    val cand = TextDedup.lshBands(trainSide, "doc_id", "text", 5,
+        LlmQueries.Bands, LlmQueries.RowsPerBand)
+      .join(bandsEval, col("band") === col("b2") && col("bkey") === col("k2"))
+      .select(col("doc_id").as("train_id"), col("eval_id")).distinct()
+    val gramsTrain = trainSide.select(col("doc_id").as("gt_id"),
+      array_distinct(TextDedup.shingles(col("text"), 3)).as("gt"))
+    val gramsEval = evalSide.select(col("doc_id").as("ge_id"),
+      array_distinct(TextDedup.shingles(col("text"), 3)).as("ge"))
+    cand.join(gramsTrain, col("gt_id") === col("train_id"))
+      .join(gramsEval, col("ge_id") === col("eval_id"))
+      .filter(TextDedup.jaccardOfDistinct(col("gt"), col("ge")) >= D12JaccardMin)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(min(col("eval_id")).as("eval_dup_of"),
+        count(lit(1)).as("n_eval_dups"))
+      .select(col("doc_id"), col("eval_dup_of"), col("n_eval_dups"))
+  }
+  private val d14Sql = {
+    import LlmQueries.{Bands, RowsPerBand, MaxBucket, shingleSql, minhashSql}
+    val sigCols = (0 until Bands * RowsPerBand)
+      .map(i => s"${minhashSql(i)} AS h$i").mkString(", ")
+    def bandSel(tbl: String) = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(j => s"h${b * RowsPerBand + j}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM $tbl"
+    }.mkString(" UNION ALL ")
+    s"""WITH she AS (SELECT doc_id, ${shingleSql("text", 5)} AS shingles
+       |             FROM documents WHERE doc_id % 50 = 0),
+       |sige AS (SELECT doc_id, $sigCols FROM she),
+       |be0 AS (${bandSel("sige")}),
+       |bands_eval AS (SELECT b.* FROM be0 b JOIN (SELECT band, bkey FROM be0
+       |               GROUP BY band, bkey HAVING count(*) <= $MaxBucket) s USING (band, bkey)),
+       |sht AS (SELECT doc_id, ${shingleSql("text", 5)} AS shingles
+       |        FROM documents WHERE doc_id % 50 <> 0),
+       |sigt AS (SELECT doc_id, $sigCols FROM sht),
+       |bands_train AS (${bandSel("sigt")}),
+       |cand AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+       |         FROM bands_train t JOIN bands_eval e ON t.band = e.band AND t.bkey = e.bkey),
+       |j AS (SELECT train_id, eval_id FROM cand c
+       |      JOIN documents dt ON dt.doc_id = c.train_id
+       |      JOIN documents de ON de.doc_id = c.eval_id
+       |      WHERE len(list_intersect(list_distinct(${shingleSql("dt.text", 3)}),
+       |                               list_distinct(${shingleSql("de.text", 3)}))) * 1.0
+       |            / len(list_distinct(list_distinct(${shingleSql("dt.text", 3)})
+       |                                || list_distinct(${shingleSql("de.text", 3)}))) >= $D12JaccardMin)
+       |SELECT train_id AS doc_id, CAST(min(eval_id) AS BIGINT) AS eval_dup_of,
+       |       count(*) AS n_eval_dups
+       |FROM j GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "t06_regex_scan" -> t06, "t07_repetition_filter" -> t07,
     "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
     "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12,
-    "d13_decontaminate" -> d13)
+    "d13_decontaminate" -> d13, "d14_fuzzy_decontaminate" -> d14)
   val oracles: Map[String, String] = Map(
     "t06_regex_scan" -> t06Sql, "t07_repetition_filter" -> t07Sql,
     "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
     "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql,
-    "d13_decontaminate" -> d13Sql)
+    "d13_decontaminate" -> d13Sql, "d14_fuzzy_decontaminate" -> d14Sql)
 }

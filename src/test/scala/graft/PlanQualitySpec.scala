@@ -88,6 +88,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"CC edge build must stay keyed:\n$p")
   }
 
+  test("d14 fuzzy decontamination stays a banded equi-join (no cross product)") {
+    val p = planOf("d14_fuzzy_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"eval x train candidates must come from the (band, bkey) equi-join:\n$p")
+  }
+
   test("q38 histogram rank never sorts the fact table (broadcast ranks back)") {
     val p = planOf("q38_histogram_rank")
     assert(p.contains("BroadcastHashJoin"),
