@@ -147,12 +147,28 @@ object MatchRecognize {
     // elements: a bare variable with an optional quantifier, an alternation
     // group (B|C), or a quantified SEQUENCE group (B C)+ (flink-cep
     // GroupPattern) — both groups named by joining their members
-    val vars = ("(?:\\((\\w+(?:\\|\\w+)+)\\)|\\((\\w+(?:\\s+\\w+)+)\\)|(\\w+))" +
+    val varRx = ("(?:\\(\\s*(\\w+(?:\\s*\\|\\s*\\w+)+)\\s*\\)" +
+      "|\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)|(\\w+))" +
       "(\\?|\\+|\\*|\\{(\\d+)(?:,(\\d+))?\\})?").r
-      .findAllMatchIn(patternBody).map { g =>
+    val varMatches = varRx.findAllMatchIn(patternBody).toSeq
+    // every character of the PATTERN body must belong to a parsed element:
+    // findAllMatchIn skips what it can't parse, and a silently-dropped
+    // group/quantifier would compile a DIFFERENT pattern (e.g. `( B C )+`
+    // degrading to `B C`). Reject residue by name instead.
+    locally {
+      var pos = 0
+      for (m <- varMatches :+ null) {
+        val end = if (m == null) patternBody.length else m.start
+        val gap = patternBody.substring(pos, end).trim
+        require(gap.isEmpty,
+          s"unsupported PATTERN syntax near '$gap' in PATTERN ($patternBody)")
+        if (m != null) pos = m.end
+      }
+    }
+    val vars = varMatches.map { g =>
         (Option(g.group(1)), Option(g.group(2))) match {
           case (Some(alt), _) =>
-            val branches = alt.split("\\|").toSeq
+            val branches = alt.split("\\|").map(_.trim).toSeq
             require(g.group(4) == null, "alternation groups cannot be quantified")
             PatternVar(branches.mkString("_"), None, branches)
           case (None, Some(seq)) =>
@@ -163,7 +179,7 @@ object MatchRecognize {
             PatternVar(subs.mkString("_"), Some(g.group(4)), Nil, subs)
           case (None, None) => PatternVar(g.group(3), Option(g.group(4)))
         }
-      }.toSeq
+      }
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
     val within = "(?is)\\bWITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+?)S?\\b".r
       .findFirstMatchIn(body).getOrElse(sys.error("WITHIN INTERVAL '<n>' <unit> required"))
@@ -194,26 +210,49 @@ object MatchRecognize {
     * other than 1 are rejected by name (a run carries ONE previous member). */
   private def rewritePrev(v: String, body0: String): String = {
     import scala.util.matching.Regex.quoteReplacement
+    val vq = java.util.regex.Pattern.quote(v)
     val PrevQual = "(?is)\\bPREV\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
     val PrevBare = "(?is)\\bPREV\\s*\\(\\s*(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
     def checkN(n: Option[String], what: String): Unit =
       require(n.forall(_ == "1"),
         s"DEFINE $v: $what — only PREV offset 1 is supported")
+    val selfCols = scala.collection.mutable.LinkedHashSet[String]()
     var out = PrevQual.replaceAllIn(body0, m => {
       checkN(Option(m.group(3)), m.matched)
+      if (m.group(1) == v) selfCols += m.group(2)
       quoteReplacement(s"LAST(${m.group(1)}.${m.group(2)}, 1)")
     })
-    val bareCols = scala.collection.mutable.LinkedHashSet[String]()
     out = PrevBare.replaceAllIn(out, m => {
       checkN(Option(m.group(2)), m.matched)
-      bareCols += m.group(1)
+      selfCols += m.group(1)
       quoteReplacement(s"LAST($v.${m.group(1)}, 1)")
     })
-    bareCols.foreach { c =>
+    selfCols.foreach { c =>
+      // reversed operands — `PREV(c) > c` — normalized into the canonical
+      // `V.c < LAST(V.c, 1)` shape the self-run detector recognizes
+      val rev = (s"(?is)LAST\\s*\\(\\s*$vq\\.$c\\s*,\\s*1\\s*\\)\\s*" +
+        s"(<=|>=|<|>)\\s*(?:$vq\\.)?$c\\b").r
+      val flip = Map("<" -> ">", ">" -> "<", "<=" -> ">=", ">=" -> "<=")
+      out = rev.replaceAllIn(out,
+        m => quoteReplacement(s"$v.$c ${flip(m.group(1))} LAST($v.$c, 1)"))
+      // canonical order with a bare LHS — qualify it for the detector
       val lhs = (s"(?is)(^|[^\\w.])($c\\s*(?:<=|>=|<|>)\\s*LAST\\s*\\(\\s*" +
-        s"${java.util.regex.Pattern.quote(v)}\\.$c\\s*,)").r
+        s"$vq\\.$c\\s*,)").r
       out = lhs.replaceAllIn(out,
         m => quoteReplacement(s"${m.group(1)}$v.${m.group(2)}"))
+    }
+    // Any PREV-derived self-reference the detector will NOT recognize (e.g.
+    // `c = PREV(c)`, arithmetic around PREV) dies here by name — without
+    // this, compiledPred would hand Spark an aggregate-in-filter and fail
+    // with an unrelated AnalysisException.
+    selfCols.foreach { c =>
+      val nSelf = (s"(?is)\\bLAST\\s*\\(\\s*$vq\\.$c\\s*,\\s*1\\s*\\)").r
+        .findAllIn(out).size
+      val nCanon = SelfLastRx.findAllMatchIn(out)
+        .count(m => m.group(1) == v && m.group(2) == c)
+      require(nSelf == nCanon,
+        s"DEFINE $v: PREV($c) must appear as `$c <,<=,>,>= PREV($c)` (either " +
+          s"operand order; or the LAST($v.$c, 1) spelling) — cannot compile '$body0'")
     }
     out
   }

@@ -41,13 +41,28 @@ case class ArrayDotProduct(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // element-level nulls null the whole product (NULL * x = NULL propagated
+  // through the sum — exactly what aggregate(zip_with(a, b, _*_), 0d, _+_)
+  // returns), so the result is nullable whenever elements can be null
+  private def elemNullable(dt: DataType) = dt match {
+    case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean = super.nullable ||
+    elemNullable(left.dataType) || elemNullable(right.dataType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      // primitive getDouble on a null slot reads 0.0 silently — null the
+      // result instead, matching the composable form's semantics
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
     s
   }
 
@@ -56,13 +71,23 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // when nullable is false, ev.isNull is the literal "false" and must
+      // not be assigned; element nulls are impossible then (containsNull
+      // false on both sides), so the check is only emitted when needed
+      val nullCheck =
+        if (nullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $s;
+         |}
        """.stripMargin
     })
 

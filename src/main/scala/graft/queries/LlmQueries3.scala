@@ -52,7 +52,14 @@ object LlmQueries3 {
     val d = docs(s, dir)
     def gramFreqs(n: Int) = {
       val toks = split(col("text"), " ")
-      val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      // Guard: Spark's sequence(1, stop) with stop < 1 yields a DESCENDING
+      // [1, 0] (step defaults to -1), not an empty array — a doc with fewer
+      // than n words would then evaluate element_at(toks, 0) and throw.
+      // DuckDB's generate_series(1, 0) is empty; match that.
+      val nPos = size(toks) - (n - 1)
+      val positions = when(nPos >= 1, sequence(lit(1), nPos))
+        .otherwise(array().cast("array<int>"))
+      val grams = transform(positions,
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
       d.select(col("doc_id"), explode(grams).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))

@@ -23,6 +23,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
     assert(ex.getMessage.contains("array<double>"), ex.getMessage)
   }
 
+  test("array_dot nulls the result on null elements, matching the composable form") {
+    // primitive getDouble would silently read a null slot as 0.0; the
+    // composable aggregate(zip_with(...)) form returns NULL — so must we
+    val q = "array_dot(array(1.0d, cast(null as double)), array(2.0d, 3.0d))"
+    val composable = "aggregate(zip_with(array(1.0d, cast(null as double)), " +
+      "array(2.0d, 3.0d), (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
+    val r = s.sql(s"SELECT $q AS a, $composable AS b").head()
+    assert(r.isNullAt(0) && r.isNullAt(1), r.toString)
+    // null-free inputs are unaffected
+    assert(s.sql("SELECT array_dot(array(1.0d, 2.0d), array(2.0d, 3.0d)) AS d")
+      .head().getDouble(0) == 8.0)
+  }
+
   test("graph_pagerank is a FROM-clause table function (extensions beyond scalars)") {
     import s.implicits._
     // a 3-cycle: symmetric ranks summing to ~1

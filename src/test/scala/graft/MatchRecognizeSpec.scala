@@ -461,6 +461,37 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         C AS event_type = 'c', U AS event_type = 'purchase'
         |)""".stripMargin).collect())
     assert(ex2.getMessage.contains("requires the '+'"), ex2.getMessage)
+    // interior whitespace in the group is cosmetic: ( B C )+ == (B C)+
+    val spaced = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(B.ts) AS g1, LAST(C.ts) AS gn,
+        |           COUNT(B.ts) AS n_reps, U.ts AS u_ts
+        |  PATTERN (S ( B C )+ U)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'b',
+        |         C AS event_type = 'c', U AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    assert(spaced == m, spaced.toString)
+  }
+
+  test("PATTERN residue the parser cannot bind is a named error, never dropped") {
+    val evs = Seq((1L, at(0), "signup")).toDF("user_id", "ts", "event_type")
+    def err(pattern: String): String =
+      intercept[IllegalArgumentException](MatchRecognize.detect(evs,
+        s"""MATCH_RECOGNIZE (
+           |  PARTITION BY user_id ORDER BY ts
+           |  MEASURES S.ts AS s_ts
+           |  PATTERN ($pattern)
+           |  WITHIN INTERVAL '1' HOUR
+           |  DEFINE S AS event_type = 'signup'
+           |)""".stripMargin).collect()).getMessage
+    // a mixed alternation/sequence group matches neither group shape: the
+    // old parser silently degraded it to bare variables
+    assert(err("S (B|C D) U").contains("unsupported PATTERN syntax"))
+    // stray punctuation between elements
+    assert(err("S , U").contains("unsupported PATTERN syntax"))
   }
 
   test("PREV() is the SQL-standard alias of LAST(..., 1): all spellings agree") {
@@ -493,6 +524,16 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     val ex = intercept[IllegalArgumentException](
       query("D.value < PREV(D.value, 2) AND D.event_type = 'click'"))
     assert(ex.getMessage.contains("only PREV offset 1"), ex.getMessage)
+    // reversed operands are the same condition and must agree
+    val viaRevBare = query("PREV(value) > value AND D.event_type = 'click'")
+    val viaRevQual = query("PREV(D.value) > D.value AND D.event_type = 'click'")
+    assert(viaRevBare == viaLast && viaRevQual == viaLast,
+      s"revBare=$viaRevBare revQual=$viaRevQual")
+    // self-comparisons outside <,<=,>,>= cannot become a run condition:
+    // named error, not an aggregate-in-filter AnalysisException
+    val exEq = intercept[IllegalArgumentException](
+      query("value = PREV(value) AND D.event_type = 'click'"))
+    assert(exEq.getMessage.contains("PREV(value)"), exEq.getMessage)
   }
 
   test("LAST(...,1) inside a larger conjunct is a named error, not a miscompile") {
