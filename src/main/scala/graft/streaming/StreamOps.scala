@@ -73,7 +73,16 @@ case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
 // while no run member existed — valid only if no member EVER arrives in the
 // window, so it emits at window expiry and is invalidated by a run start
 case class EmptyRun(firstMs: Long, lastMs: Long)
-case class RunAcc(partials: List[RunPartial], emptyPending: List[EmptyRun] = Nil)
+// a buffered not-yet-finalized event (ts ahead of the watermark): the run /
+// group operators process events ONLY once the watermark passes their time,
+// in global event-time order, so a late event still ahead of the watermark
+// can never be ordered after a decision it should have preceded — the
+// cross-micro-batch stream replays exactly the batch compile's sorted scan.
+// State cost: the watermark-delay window of events per key (what any
+// order-correct CEP engine holds).
+case class BufEv(ms: Long, tpe: String, value: Double)
+case class RunAcc(partials: List[RunPartial], emptyPending: List[EmptyRun] = Nil,
+                  buf: List[BufEv] = Nil)
 // self-referential runs additionally carry the run's last accepted value
 // (the LAST(D.value, 1) the accept condition compares against), the run's
 // first value, a done flag (first violation closes the run), and the
@@ -81,7 +90,7 @@ case class RunAcc(partials: List[RunPartial], emptyPending: List[EmptyRun] = Nil
 case class VRunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
                        runN: Long, firstVal: Double, lastVal: Double,
                        done: Boolean, pendingUMs: Long)
-case class VRunAcc(partials: List[VRunPartial])
+case class VRunAcc(partials: List[VRunPartial], buf: List[BufEv] = Nil)
 case class VRunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                      run_last_ts: Timestamp, run_n: Long, run_first_value: Double,
                      run_last_value: Double, last_ts: Timestamp)
@@ -94,8 +103,9 @@ case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                     run_max_value: Option[Double] = None,
                     run_first_value: Option[Double] = None,
                     run_last_value: Option[Double] = None)
-// group-pattern (sub)+ partials: the greedy repetition chain is CAUSAL on
-// streams, so state is O(1) per partial — current sub-step index + the
+// group-pattern (sub)+ partials: the greedy repetition chain is causal in
+// event-time order (events are watermark-finalized before processing, see
+// BufEv), so state is O(1) per partial — current sub-step index + the
 // in-progress repetition's bounds + chain stats; a close event arriving
 // while the chain could still extend is HELD (pendingUMs) and emitted at
 // window expiry, invalidated by any later repetition completion
@@ -106,7 +116,7 @@ case class GrpPartial(firstMs: Long, gFirstMs: Long, lastRepEndMs: Long,
                       reps: Long, subIdx: Int, curRepStartMs: Long,
                       curRepLastMs: Long, pendingUMs: Long,
                       emptyUMs: Long = -1L)
-case class GrpAcc(partials: List[GrpPartial])
+case class GrpAcc(partials: List[GrpPartial], buf: List[BufEv] = Nil)
 case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
                     rep_last_ts: Timestamp, rep_n: Long, last_ts: Timestamp)
 case class TjTagged(user_id: Long, ts: Timestamp, side: String,
@@ -1111,11 +1121,17 @@ object StreamOps {
     * `consecutive` is `Pattern.consecutive()`'s twin (flink-cep
     * `oneOrMore().consecutive()`): run members must occupy ADJACENT
     * distinct event times — a time with no matching event closes the run
-    * organically (causal; the close step then binds at the first close
-    * event after the run's last member, no held state needed). Processed
-    * per distinct TIME (any satisfying event at a time counts — the
-    * time-level adjacency convention); excludes untilPred/allowEmpty and
-    * emits null value aggregates, matching the batch consecutive() surface. */
+    * organically. Processed per distinct TIME (any satisfying event at a
+    * time counts — the time-level adjacency convention); excludes
+    * untilPred/allowEmpty and emits null value aggregates, matching the
+    * batch consecutive() surface.
+    *
+    * Out-of-order correctness: every decision (membership, gap-stops-run,
+    * close binding, empty-run invalidation) is made on the
+    * watermark-FINALIZED event prefix in global event-time order (see
+    * [[BufEv]]) — matches therefore emit when the watermark passes the
+    * deciding event, never on arrival, and a late event within the
+    * watermark delay can never produce a wrong already-emitted row. */
   def cepPatternOneOrMore(events: Dataset[Event], watermark: String,
                           firstPred: Event => Boolean, runPred: Event => Boolean,
                           lastPred: Event => Boolean, withinMs: Long,
@@ -1136,7 +1152,17 @@ object StreamOps {
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           var emptyPending = state.getOption.map(_.emptyPending).getOrElse(Nil)
           val out = Seq.newBuilder[RunMatch]
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value))
+          val wm = state.getCurrentWatermarkMs()
+          // finalized-prefix processing (see BufEv): events are buffered
+          // until the watermark passes their time, then processed in global
+          // event-time order — a late member/close event still ahead of the
+          // watermark can therefore never arrive after a decision it should
+          // have preceded (run membership, gap-stops-run, close binding)
+          val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
+            rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
+          val (readyB, held) = buf0.partition(_.ms < wm)
+          val sorted = readyB.sortBy(b => (b.ms, b.tpe, b.value))
+            .map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value))
           if (consecutive) sorted.groupBy(_.ts.getTime).toSeq.sortBy(_._1)
             .foreach { case (t, evs) =>
               val anyMember = evs.exists(runPred)
@@ -1206,20 +1232,23 @@ object StreamOps {
             if (firstPred(e))
               partials = (RunPartial(t, -1L, -1L, 0L) :: partials).take(maxPartials)
           }
-          val wm = state.getCurrentWatermarkMs()
-          partials = partials.filter(_.firstMs + withinMs > wm)
+          // STRICT comparisons: an event AT the window-end time may still be
+          // buffered (finalization is ms < wm), and it could start/extend a
+          // run — window ends are final only once the watermark strictly passes
+          partials = partials.filter(_.firstMs + withinMs >= wm)
           // held empty-run candidates whose window closed can no longer be
           // invalidated: emit with null run columns and count 0
-          val (ripe, waiting) = emptyPending.partition(_.firstMs + withinMs <= wm)
+          val (ripe, waiting) = emptyPending.partition(_.firstMs + withinMs < wm)
           ripe.foreach(er => out += RunMatch(userId, new Timestamp(er.firstMs),
             null, null, 0L, new Timestamp(er.lastMs)))
           emptyPending = waiting
-          if (partials.isEmpty && emptyPending.isEmpty) state.remove()
+          if (partials.isEmpty && emptyPending.isEmpty && held.isEmpty) state.remove()
           else {
-            state.update(RunAcc(partials, emptyPending))
-            state.setTimeoutTimestamp(
+            state.update(RunAcc(partials, emptyPending, held))
+            state.setTimeoutTimestamp(math.max(wm + 1,
               (partials.map(_.firstMs + withinMs) ++
-                emptyPending.map(_.firstMs + withinMs)).min)
+                emptyPending.map(_.firstMs + withinMs) ++
+                held.map(_.ms)).min))
           }
           out.result().iterator
       }
@@ -1230,9 +1259,11 @@ object StreamOps {
     * extends while each D candidate satisfies `accept(current, previous)`
     * against the run's OWN previous member's value, closes at the first
     * violation, and U binds strictly after the run's LAST member. The
-    * self-referential condition is CAUSAL on streams — the run state is
-    * just the last accepted value — which is exactly why the batch
-    * segmentation window has this O(1)-state streaming twin. The one
+    * self-referential condition is causal IN EVENT-TIME ORDER — the run
+    * state is just the last accepted value — so events are buffered until
+    * the watermark passes them and processed as a globally ordered prefix
+    * (see [[BufEv]]), which is exactly why the batch segmentation window
+    * has this O(1)-state-per-partial streaming twin. The one
     * non-causal corner: a U arriving while the run is still open (a later
     * D could extend the run past it and invalidate it) is HELD as a
     * pending close and emitted when the run closes — at the first
@@ -1261,7 +1292,16 @@ object StreamOps {
             out += VRunMatch(userId, new Timestamp(p.firstMs),
               new Timestamp(p.runFirstMs), new Timestamp(p.runLastMs),
               p.runN, p.firstVal, p.lastVal, new Timestamp(uMs))
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+          val wm = state.getCurrentWatermarkMs()
+          // finalized-prefix processing (see BufEv): the accept-chain is
+          // causal only in event-time order — a late D still ahead of the
+          // watermark must extend the run before any later violation/close
+          // is decided, so events are buffered until the watermark passes
+          val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
+            rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
+          val (readyB, held) = buf0.partition(_.ms < wm)
+          readyB.sortBy(b => (b.ms, b.tpe, b.value))
+            .map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value)).foreach { e =>
             val t = e.ts.getTime
             partials = partials.flatMap { p =>
               if (t > p.firstMs + withinMs) {
@@ -1290,15 +1330,18 @@ object StreamOps {
               partials = (VRunPartial(t, -1L, -1L, 0L, 0.0, 0.0, false, -1L)
                 :: partials).take(maxPartials)
           }
-          val wm = state.getCurrentWatermarkMs()
-          val (expired, alive) = partials.partition(_.firstMs + withinMs <= wm)
+          // strict: an event AT the window end may still be buffered and
+          // could extend the run past the held close — expiry is final only
+          // once the watermark strictly passes the window end
+          val (expired, alive) = partials.partition(_.firstMs + withinMs < wm)
           expired.foreach(p =>
             if (p.runFirstMs >= 0 && p.pendingUMs >= 0) emit(p, p.pendingUMs))
           partials = alive
-          if (partials.isEmpty) state.remove()
+          if (partials.isEmpty && held.isEmpty) state.remove()
           else {
-            state.update(VRunAcc(partials))
-            state.setTimeoutTimestamp(partials.map(_.firstMs + withinMs).min)
+            state.update(VRunAcc(partials, held))
+            state.setTimeoutTimestamp(math.max(wm + 1,
+              (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }
           out.result().iterator
       }
@@ -1310,7 +1353,9 @@ object StreamOps {
     * greedily, each sub-step binding the earliest in-key event strictly
     * after the previous binding, each repetition starting strictly after
     * the previous repetition's END; U binds after the LAST repetition's
-    * end. The chain is CAUSAL on streams, so partial state is O(1): the
+    * end. The chain is causal in EVENT-TIME order, so events are buffered
+    * until the watermark passes them and processed as a globally ordered
+    * prefix (see [[BufEv]]); partial state beyond the buffer is O(1): the
     * current sub-step index, the in-progress repetition's bounds, and the
     * chain stats (first start / last end / count). The one non-causal
     * corner mirrors [[cepPatternRun]]: a U arriving while the window could
@@ -1318,7 +1363,7 @@ object StreamOps {
     * any later repetition completion invalidates it (the batch chain is
     * greedy-maximal, so the U must follow the FINAL repetition). Watermark
     * pruning, event-time eviction, `maxPartials` (newest kept) and the
-    * deterministic (ts, type, value) in-batch order follow the cepPattern
+    * deterministic (ts, type, value) processing order follow the cepPattern
     * family; keep step predicates disjoint for exact batch parity.
     * `allowEmpty` is the `(sub)*` twin (`followedByGroup(...).zeroOrMore()`):
     * a close seen while NO repetition has completed is held as an
@@ -1350,7 +1395,17 @@ object StreamOps {
           def emitEmpty(p: GrpPartial): Unit =
             out += GrpMatch(userId, new Timestamp(p.firstMs),
               null, null, 0L, new Timestamp(p.emptyUMs))
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+          val wm = state.getCurrentWatermarkMs()
+          // finalized-prefix processing (see BufEv): the greedy sub-step
+          // chain is causal only in event-time order — a late sub-step event
+          // still ahead of the watermark must advance the chain before any
+          // later completion/close is decided, so events are buffered until
+          // the watermark passes
+          val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
+            rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
+          val (readyB, held) = buf0.partition(_.ms < wm)
+          readyB.sortBy(b => (b.ms, b.tpe, b.value))
+            .map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value)).foreach { e =>
             val t = e.ts.getTime
             partials = partials.flatMap { p =>
               if (t > p.firstMs + withinMs) {
@@ -1389,17 +1444,20 @@ object StreamOps {
               partials = (GrpPartial(t, -1L, t, 0L, 0, -1L, -1L, -1L)
                 :: partials).take(maxPartials)
           }
-          val wm = state.getCurrentWatermarkMs()
-          val (expired, alive) = partials.partition(_.firstMs + withinMs <= wm)
+          // strict: an event AT the window end may still be buffered and
+          // could complete another repetition past the held close — expiry
+          // is final only once the watermark strictly passes the window end
+          val (expired, alive) = partials.partition(_.firstMs + withinMs < wm)
           expired.foreach { p =>
             if (p.reps >= 1 && p.pendingUMs >= 0) emit(p)
             else if (allowEmpty && p.reps == 0 && p.emptyUMs >= 0) emitEmpty(p)
           }
           partials = alive
-          if (partials.isEmpty) state.remove()
+          if (partials.isEmpty && held.isEmpty) state.remove()
           else {
-            state.update(GrpAcc(partials))
-            state.setTimeoutTimestamp(partials.map(_.firstMs + withinMs).min)
+            state.update(GrpAcc(partials, held))
+            state.setTimeoutTimestamp(math.max(wm + 1,
+              (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }
           out.result().iterator
       }

@@ -628,7 +628,10 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       .writeStream.format("memory").queryName("s_until_parity").outputMode("append").start()
     val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
     in.addData(evs.take(3)); q.processAllAvailable() // split mid-run
-    in.addData(evs.drop(3)); q.processAllAvailable(); q.stop()
+    in.addData(evs.drop(3)); q.processAllAvailable()
+    // decisions finalize once the watermark passes the deciding events
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
     val streaming = spark.table("s_until_parity")
       .select("user_id", "first_ts", "run_first_ts", "run_last_ts", "run_n", "last_ts")
       .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
@@ -724,14 +727,19 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     implicit val sqlCtx = spark.sqlContext
     // user 1: clicks 5,6,7 then a view at 8 closes the run (the click at 9
     // is NOT a member — and the run SPLITS across micro-batches); user 2:
-    // single-member run; user 3: gap before the first member is fine
+    // single-member run; user 3: gap before the first member is fine;
+    // user 4: the click at 6 arrives OUT OF ORDER in a later micro-batch
+    // (after the view/purchase, still ahead of the watermark) — the batch
+    // run is 5,6,7 and an eager streaming emission would have frozen 5,7
     val all = Seq(
       (1L, at(0), "signup"), (1L, at(5), "click"), (1L, at(6), "click"),
       (1L, at(7), "click"), (1L, at(8), "view"), (1L, at(9), "click"),
       (1L, at(12), "purchase"),
       (2L, at(0), "signup"), (2L, at(5), "click"), (2L, at(10), "purchase"),
       (3L, at(0), "signup"), (3L, at(4), "view"), (3L, at(8), "click"),
-      (3L, at(11), "purchase"))
+      (3L, at(11), "purchase"),
+      (4L, at(0), "signup"), (4L, at(5), "click"), (4L, at(6), "click"),
+      (4L, at(7), "click"), (4L, at(8), "view"), (4L, at(9), "purchase"))
     val batch = Pattern.begin("s", $"event_type" === "signup")
       .followedBy("c", $"event_type" === "click").oneOrMore().consecutive()
       .followedBy("p", $"event_type" === "purchase")
@@ -745,15 +753,25 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
         HOUR, consecutive = true).toDF()
       .writeStream.format("memory").queryName("s_consec_parity").outputMode("append").start()
     val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
-    in.addData(evs.take(3)); q.processAllAvailable() // split MID-RUN (after click@6)
-    in.addData(evs.drop(3)); q.processAllAvailable(); q.stop()
+    // user 4's click@6 is withheld from the first two batches and delivered
+    // LATE — after its view@8 and purchase@9, still ahead of the watermark
+    val late = StreamOps.Event(4L, at(6), "click", 0.0)
+    val onTime = evs.filterNot(e => e.user_id == 4L && e.ts == at(6))
+    in.addData(onTime.take(3)); q.processAllAvailable() // split MID-RUN (after click@6)
+    in.addData(onTime.drop(3)); q.processAllAvailable()
+    in.addData(late); q.processAllAvailable()
+    // decisions finalize once the watermark passes: push it beyond every
+    // window end, then one more batch for the event-time timeouts
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
     val streaming = spark.table("s_consec_parity")
       .select("user_id", "first_ts", "run_first_ts", "run_last_ts", "run_n", "last_ts")
       .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
     assert(streaming == batch && batch == Set(
       (1L, at(0), at(5), at(7), 3L, at(12)),
       (2L, at(0), at(5), at(5), 1L, at(10)),
-      (3L, at(0), at(8), at(8), 1L, at(11))),
+      (3L, at(0), at(8), at(8), 1L, at(11)),
+      (4L, at(0), at(5), at(7), 3L, at(9))),
       s"streaming=$streaming batch=$batch")
   }
 
@@ -801,6 +819,74 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (3L, at(0), at(5), at(20), 2L, at(25)),
       (4L, at(0), at(5), at(10), 1L, at(20))),
       s"streaming=$streaming batch=$batch")
+  }
+
+  test("late events ahead of the watermark: run/group streaming twins match batch") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // V-shape: D@10 (7.0) arrives AFTER D@15 (4.0) and the U — processed in
+    // arrival order the 7.0 would be a violation against 4.0 and the held
+    // close would emit a 2-member run; batch (and event-time order) sees
+    // 9 > 7 > 4: a 3-member run
+    val vAll = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 9.0),
+      (1L, at(10), "click", 7.0), (1L, at(15), "click", 4.0),
+      (1L, at(20), "purchase", 0.0))
+    val vBatch = Pattern.begin("s", $"event_type" === "signup")
+      .followedByRun("d", $"event_type" === "click", "value", _ < _)
+      .bindRun("value")
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(vAll.toDF("user_id", "ts", "event_type", "value"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"d_first_ts", $"d_last_ts", $"d_n", $"u_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    val vin = MemoryStream[graft.streaming.Event]
+    val vq = StreamOps.cepPatternRun(vin.toDS(), "2 hours",
+        _.event_type == "signup", _.event_type == "click", _ < _,
+        _.event_type == "purchase", HOUR).toDF()
+      .writeStream.format("memory").queryName("s_vrun_late").outputMode("append").start()
+    val vevs = vAll.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    vin.addData(vevs.filterNot(_.ts == at(10))); vq.processAllAvailable()
+    vin.addData(vevs.filter(_.ts == at(10))); vq.processAllAvailable() // the late D
+    vin.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); vq.processAllAvailable()
+    vin.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); vq.processAllAvailable(); vq.stop()
+    val vStreaming = spark.table("s_vrun_late").as[graft.streaming.VRunMatch].collect()
+      .map(m => (m.user_id, m.first_ts, m.run_first_ts, m.run_last_ts, m.run_n, m.last_ts))
+      .toSet
+    assert(vStreaming == vBatch &&
+      vBatch == Set((1L, at(0), at(5), at(15), 3L, at(20))),
+      s"streaming=$vStreaming batch=$vBatch")
+    // group chain: the c@15 completing repetition 2 arrives after the u@20 —
+    // processed in arrival order the completion would invalidate the held
+    // close and the match would vanish; batch binds u@20 after repetition 2
+    val gAll = Seq(
+      (2L, at(0), "s"), (2L, at(5), "b"), (2L, at(10), "c"),
+      (2L, at(11), "b"), (2L, at(15), "c"), (2L, at(20), "u"))
+    val gBatch = Pattern.begin("s", $"event_type" === "s")
+      .followedByGroup("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .oneOrMore()
+      .followedBy("u", $"event_type" === "u")
+      .within(HOUR)
+      .detect(gAll.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n", $"u_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    val gin = MemoryStream[graft.streaming.Event]
+    val gq = StreamOps.cepPatternGroup(gin.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        _.event_type == "u", HOUR).toDF()
+      .writeStream.format("memory").queryName("s_grp_late").outputMode("append").start()
+    val gevs = gAll.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    gin.addData(gevs.filterNot(_.ts == at(15))); gq.processAllAvailable()
+    gin.addData(gevs.filter(_.ts == at(15))); gq.processAllAvailable() // the late c
+    gin.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); gq.processAllAvailable()
+    gin.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); gq.processAllAvailable(); gq.stop()
+    val gStreaming = spark.table("s_grp_late").as[graft.streaming.GrpMatch].collect()
+      .map(m => (m.user_id, m.first_ts, m.rep_first_ts, m.rep_last_ts, m.rep_n, m.last_ts))
+      .toSet
+    assert(gStreaming == gBatch &&
+      gBatch == Set((2L, at(0), at(5), at(15), 2L, at(20))),
+      s"streaming=$gStreaming batch=$gBatch")
   }
 
   test("batch timesRange and streaming cepPatternSteps range agree ({1,3} greedy)") {
