@@ -792,7 +792,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         boundaryValTable(cand, st.keep, None), seg = false)
     }
     val matches = out.withColumnRenamed("__k", "key")
-    if (skipPastLast) applySkipPastLast(matches, startName = startTs)
+    if (skipPastLast) greedyAfterMatch(matches, startName = startTs, None)
     else skipTo match {
       case None => matches
       case Some((v, isLast)) =>
@@ -810,30 +810,36 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               s"AFTER MATCH SKIP TO: '$v' is not a bound pattern variable")
             if (isLast) coalesce(exp.reverse.map(col): _*) else col(exp.head)
           }
-        applySkipTo(matches, startName = startTs, restart)
+        greedyAfterMatch(matches, startName = startTs, Some(restart))
     }
   }
 
-  /** SKIP_TO_FIRST/LAST(v): greedy per-key selection in start order — a
-    * match is kept iff it starts AT or AFTER the previous kept match's `v`
-    * binding (inclusive, unlike SKIP_PAST_LAST's strict rule); the
-    * threshold advances to each kept match's restart timestamp (null
-    * restart — unbound optional/empty run — restarts at the match's own
-    * start). Same per-key flatMapGroups shape as [[applySkipPastLast]]:
-    * greedy selection is inherently sequential, parallel in the key space. */
-  private def applySkipTo(matches0: DataFrame, startName: String,
-                          restart: Column): DataFrame = {
-    val matches = matches0.withColumn("__restart_ts",
-      coalesce(restart, col(startName)))
+  /** The AFTER MATCH greedy chain shared by both skip strategies: per-key
+    * selection in (start, end) order, keeping a match when its start clears
+    * the running threshold, then advancing the threshold. The two
+    * strategies differ only in the comparison and the threshold source —
+    *   SKIP_PAST_LAST_EVENT (`restart` = None): strict (`start > t`),
+    *     threshold = the kept match's last bound event time;
+    *   SKIP_TO_FIRST/LAST(v) (`restart` = Some(col)): inclusive
+    *     (`start >= t`), threshold advances monotonically to the kept
+    *     match's restart binding (null restart — unbound optional/empty
+    *     run — restarts at the match's own start).
+    * Greedy selection is inherently sequential per key, parallel in the key
+    * space; per-key match lists are window-bounded. */
+  private def greedyAfterMatch(matches0: DataFrame, startName: String,
+                               restart: Option[Column]): DataFrame = {
+    val matches = restart.fold(matches0)(rc =>
+      matches0.withColumn("__restart_ts", coalesce(rc, col(startName))))
     val schema = matches.schema
     val keyIdx = schema.fieldIndex("key")
     val startIdx = schema.fieldIndex(startName)
-    val rIdx = schema.fieldIndex("__restart_ts")
+    val rIdx = restart.map(_ => schema.fieldIndex("__restart_ts"))
+    val inclusive = restart.isDefined
     val tsIdx = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == org.apache.spark.sql.types.TimestampType => i
     }
     implicit val rowEnc = org.apache.spark.sql.Encoders.row(schema)
-    matches.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(
+    val kept = matches.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         def endOf(r: org.apache.spark.sql.Row): Long =
@@ -841,36 +847,16 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val rows = it.toSeq.sortBy(r => (r.getTimestamp(startIdx).getTime, endOf(r)))
         var threshold = Long.MinValue
         rows.iterator.filter { r =>
-          if (r.getTimestamp(startIdx).getTime >= threshold) {
-            threshold = math.max(threshold, r.getTimestamp(rIdx).getTime); true
-          } else false
+          val start = r.getTimestamp(startIdx).getTime
+          val keep = if (inclusive) start >= threshold else start > threshold
+          if (keep) threshold = rIdx match {
+            case Some(i) => math.max(threshold, r.getTimestamp(i).getTime)
+            case None => endOf(r)
+          }
+          keep
         }
-      }.toDF().drop("__restart_ts")
-  }
-
-  /** SKIP_PAST_LAST_EVENT: greedy per-key selection in start order — kept
-    * matches must start strictly after the last bound event of the previous
-    * kept match. Runs as one flatMapGroups per key (parallel in the key
-    * space; per-key match lists are window-bounded). */
-  private def applySkipPastLast(matches: DataFrame, startName: String): DataFrame = {
-    val schema = matches.schema
-    val keyIdx = schema.fieldIndex("key")
-    val startIdx = schema.fieldIndex(startName)
-    val tsIdx = schema.fields.zipWithIndex.collect {
-      case (f, i) if f.dataType == org.apache.spark.sql.types.TimestampType => i
-    }
-    implicit val rowEnc = org.apache.spark.sql.Encoders.row(schema)
-    matches.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(org.apache.spark.sql.Encoders.STRING)
-      .flatMapGroups { (_, it) =>
-        def endOf(r: org.apache.spark.sql.Row): Long =
-          tsIdx.flatMap(i => Option(r.getTimestamp(i)).map(_.getTime)).max
-        val rows = it.toSeq.sortBy(r => (r.getTimestamp(startIdx).getTime, endOf(r)))
-        var lastEnd = Long.MinValue
-        rows.iterator.filter { r =>
-          if (r.getTimestamp(startIdx).getTime > lastEnd) { lastEnd = endOf(r); true }
-          else false
-        }
-      }
+      }.toDF()
+    restart.fold(kept)(_ => kept.drop("__restart_ts"))
   }
 }
 

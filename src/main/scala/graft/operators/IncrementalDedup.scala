@@ -25,8 +25,56 @@ import org.apache.spark.sql.functions._
   *                     buckets above `maxBucket` dropped at build time;
   *   `<store>/grams` — (doc_id, g: array<string>) distinct gram sets for
   *                     Jaccard verification.
+  *
+  * The same candidate-join + verify core also serves in-memory index sides
+  * (the d14 fuzzy-decontamination query probes the training corpus against
+  * the EVAL set) via [[probeAgainstIndex]] — one copy of the bucket-cap and
+  * Jaccard-bar semantics for every "probe N docs against an index" shape.
   */
 object IncrementalDedup {
+
+  /** (doc_id, band, bkey) MinHash-LSH band keys with hot buckets above
+    * `maxBucket` dropped — the d02 cap policy: a bucket that large is a
+    * boilerplate cluster whose quadratic candidate fan-out would dominate
+    * the join, and its members are caught by other bands. */
+  def cappedBands(df: DataFrame, shingleN: Int, bands: Int,
+                  rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    TextDedup.lshBands(df, "doc_id", "text", shingleN, bands, rowsPerBand)
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+  }
+
+  /** (doc_id, g) distinct gram sets for exact Jaccard verification. */
+  def distinctGrams(df: DataFrame, gramN: Int): DataFrame =
+    df.select(col("doc_id"),
+      array_distinct(TextDedup.shingles(col("text"), gramN)).as("g"))
+
+  /** The shared core: equi-join probe band keys against index band keys on
+    * (band, bkey), de-duplicate candidate pairs, Jaccard-verify on the
+    * distinct gram sets, and aggregate to one row per verified probe doc —
+    * (doc_id, dup_of = min index doc, n_dups). Inner semantics: probe docs
+    * with no verified index mate are absent (callers needing a full verdict
+    * left-join back, see [[dedupAgainstStore]]). Shuffle is O(probe bands);
+    * a small probe/index side broadcasts under AQE. All inputs use the
+    * (doc_id, band, bkey) / (doc_id, g) layouts of [[cappedBands]] /
+    * [[distinctGrams]]. */
+  def probeAgainstIndex(probeBands: DataFrame, indexBands: DataFrame,
+                        probeGrams: DataFrame, indexGrams: DataFrame,
+                        jaccardMin: Double): DataFrame = {
+    val cand = probeBands.select(col("doc_id").as("new_id"), col("band"), col("bkey"))
+      .join(indexBands.select(col("doc_id").as("old_id"),
+        col("band").as("b2"), col("bkey").as("k2")),
+        col("band") === col("b2") && col("bkey") === col("k2"))
+      .select("new_id", "old_id").distinct()
+    cand.join(probeGrams.select(col("doc_id").as("gn_id"), col("g").as("gn")),
+        col("gn_id") === col("new_id"))
+      .join(indexGrams.select(col("doc_id").as("go_id"), col("g").as("go")),
+        col("go_id") === col("old_id"))
+      .filter(TextDedup.jaccardOfDistinct(col("gn"), col("go")) >= jaccardMin)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+  }
 
   /** Build (or rebuild) the signature store for `corpus` at `storePath`.
     * Run once per corpus version; append-only maintenance between versions
@@ -35,14 +83,9 @@ object IncrementalDedup {
   def buildStore(corpus: DataFrame, storePath: String,
                  shingleN: Int, bands: Int, rowsPerBand: Int,
                  maxBucket: Int, gramN: Int): Unit = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
-    TextDedup.lshBands(corpus, "doc_id", "text", shingleN, bands, rowsPerBand)
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    cappedBands(corpus, shingleN, bands, rowsPerBand, maxBucket)
       .write.mode("overwrite").parquet(s"$storePath/bands")
-    corpus
-      .select(col("doc_id"),
-        array_distinct(TextDedup.shingles(col("text"), gramN)).as("g"))
+    distinctGrams(corpus, gramN)
       .write.mode("overwrite").parquet(s"$storePath/grams")
   }
 
@@ -55,23 +98,13 @@ object IncrementalDedup {
                         storePath: String, shingleN: Int, bands: Int,
                         rowsPerBand: Int, gramN: Int,
                         jaccardMin: Double): DataFrame = {
-    val bandsNew = TextDedup.lshBands(newBatch, "doc_id", "text",
-      shingleN, bands, rowsPerBand)
-    val bandsOld = spark.read.parquet(s"$storePath/bands")
-    val cand = bandsNew.select(col("doc_id").as("new_id"), col("band"), col("bkey"))
-      .join(bandsOld.select(col("doc_id").as("old_id"),
-        col("band").as("b2"), col("bkey").as("k2")),
-        col("band") === col("b2") && col("bkey") === col("k2"))
-      .select("new_id", "old_id").distinct()
-    val gramsNew = newBatch.select(col("doc_id").as("gn_id"),
-      array_distinct(TextDedup.shingles(col("text"), gramN)).as("gn"))
-    val gramsOld = spark.read.parquet(s"$storePath/grams")
-      .select(col("doc_id").as("go_id"), col("g").as("go"))
-    val hits = cand.join(gramsNew, col("gn_id") === col("new_id"))
-      .join(gramsOld, col("go_id") === col("old_id"))
-      .filter(TextDedup.jaccardOfDistinct(col("gn"), col("go")) >= jaccardMin)
-      .groupBy("new_id")
-      .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+    val hits = probeAgainstIndex(
+      TextDedup.lshBands(newBatch, "doc_id", "text", shingleN, bands, rowsPerBand),
+      spark.read.parquet(s"$storePath/bands"),
+      distinctGrams(newBatch, gramN),
+      spark.read.parquet(s"$storePath/grams"),
+      jaccardMin)
+      .withColumnRenamed("doc_id", "new_id")
     newBatch.select(col("doc_id"))
       .join(hits, col("doc_id") === col("new_id"), "left")
       .select(col("doc_id"), col("dup_of"),

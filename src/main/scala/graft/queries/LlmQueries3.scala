@@ -324,30 +324,23 @@ object LlmQueries3 {
   // collapses to its bands (~2% of corpus) and AQE broadcasts it; no cross
   // product, plan-asserted discipline shared with d02/d05.
   private val d14: Q = (s, dir) => {
+    import graft.operators.IncrementalDedup
     val d = docs(s, dir)
     val evalSide = d.filter(col("doc_id") % 50 === 0)
     val trainSide = d.filter(col("doc_id") % 50 =!= 0)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
-    val bandsEval = TextDedup.lshBands(evalSide, "doc_id", "text", 5,
-        LlmQueries.Bands, LlmQueries.RowsPerBand)
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= LlmQueries.MaxBucket).drop("__bsz")
-      .select(col("doc_id").as("eval_id"), col("band").as("b2"), col("bkey").as("k2"))
-    val cand = TextDedup.lshBands(trainSide, "doc_id", "text", 5,
-        LlmQueries.Bands, LlmQueries.RowsPerBand)
-      .join(bandsEval, col("band") === col("b2") && col("bkey") === col("k2"))
-      .select(col("doc_id").as("train_id"), col("eval_id")).distinct()
-    val gramsTrain = trainSide.select(col("doc_id").as("gt_id"),
-      array_distinct(TextDedup.shingles(col("text"), 3)).as("gt"))
-    val gramsEval = evalSide.select(col("doc_id").as("ge_id"),
-      array_distinct(TextDedup.shingles(col("text"), 3)).as("ge"))
-    cand.join(gramsTrain, col("gt_id") === col("train_id"))
-      .join(gramsEval, col("ge_id") === col("eval_id"))
-      .filter(TextDedup.jaccardOfDistinct(col("gt"), col("ge")) >= D12JaccardMin)
-      .groupBy(col("train_id").as("doc_id"))
-      .agg(min(col("eval_id")).as("eval_dup_of"),
-        count(lit(1)).as("n_eval_dups"))
-      .select(col("doc_id"), col("eval_dup_of"), col("n_eval_dups"))
+    // one copy of the bucket-cap + candidate-join + Jaccard-bar semantics:
+    // the training corpus PROBES the eval-set INDEX through the same core
+    // the d12 signature store uses (operators/IncrementalDedup)
+    IncrementalDedup.probeAgainstIndex(
+      TextDedup.lshBands(trainSide, "doc_id", "text", 5,
+        LlmQueries.Bands, LlmQueries.RowsPerBand),
+      IncrementalDedup.cappedBands(evalSide, 5,
+        LlmQueries.Bands, LlmQueries.RowsPerBand, LlmQueries.MaxBucket),
+      IncrementalDedup.distinctGrams(trainSide, 3),
+      IncrementalDedup.distinctGrams(evalSide, 3),
+      D12JaccardMin)
+      .select(col("doc_id"), col("dup_of").as("eval_dup_of"),
+        col("n_dups").as("n_eval_dups"))
   }
   private val d14Sql = {
     import LlmQueries.{Bands, RowsPerBand, MaxBucket, shingleSql, minhashSql}
