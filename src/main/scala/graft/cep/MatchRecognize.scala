@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   *                               -- (Pattern.bindRun: O(1) state per column);
   *                               -- MATCH_NUMBER() AS alias = the partition's
   *                               -- match ordinal by binding timestamps
-  *                               -- (ONE ROW PER MATCH only)
+  *                               -- (constant per match under ALL ROWS)
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *                               -- ALL ROWS explodes each match: one row per
   *                               -- bound event with CLASSIFIER-style `cls`,
@@ -620,12 +620,21 @@ object MatchRecognize {
     * narrow generator over the ONE-ROW match output — no extra join or
     * shuffle. '+'/'*' runs aggregate their members rather than materialize
     * them, so they cannot be exploded — named error. */
-  private def allRowsOutput(spec: Spec, matches: DataFrame,
+  private def allRowsOutput(spec: Spec, matches0: DataFrame,
                             bounds: Map[String, (Int, Int)]): DataFrame = {
     spec.vars.foreach(v => require(!v.quant.exists(q => q == "+" || q == "*"),
       s"ALL ROWS PER MATCH cannot expand the '+'/'*' run variable ${v.name}"))
-    require(!spec.measures.exists(_.fn.contains("MATCH_NUMBER")),
-      "MATCH_NUMBER() is supported with ONE ROW PER MATCH only")
+    // MATCH_NUMBER() is constant across a match's rows (SQL 2016: the
+    // ordinal of the match within its partition): computed on the ONE-ROW
+    // match table before the explode, so every exploded row inherits it
+    val mnAliases = spec.measures.filter(_.fn.contains("MATCH_NUMBER")).map(_.alias)
+    val matches = if (mnAliases.isEmpty) matches0 else {
+      val mnWindow = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(matches0.columns.filter(_.endsWith("_ts")).map(col).toIndexedSeq: _*)
+      mnAliases.foldLeft(matches0)((df, a) =>
+        df.withColumn(s"__mn_$a", row_number().over(mnWindow).cast("long")))
+    }
     // global position of each variable's first expansion, in pattern order
     val offsets: Map[String, Int] = {
       var p = 0
@@ -642,6 +651,7 @@ object MatchRecognize {
     // position's measure struct-field to agree on type)
     def nullOf(src: String): Column = when(lit(false), col(src))
     def runningAt(m: Measure, p: Int): Column = {
+      if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
       val (mn, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
       val visible = (1 to mx).filter(i => offsets(m.varName) + i - 1 <= p)
       val srcs = visible.map(i => srcCol(m.varName, i, m.field))

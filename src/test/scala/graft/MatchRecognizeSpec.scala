@@ -589,7 +589,7 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m == Set(("a,b", "c", at(0), at(10)), ("a", "b,c", at(5), at(8))), m.toString)
   }
 
-  test("MATCH_NUMBER() numbers a partition's matches; ALL ROWS rejects it by name") {
+  test("MATCH_NUMBER() numbers a partition's matches; constant per match under ALL ROWS") {
     // two matches for user 1 (both signups chain to the purchase), ordered
     // by binding timestamps
     val multi = Seq(
@@ -607,16 +607,23 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
     assert(m == Set((1L, 1L, at(0), at(10)), (1L, 2L, at(5), at(10)),
       (2L, 1L, at(0), at(7))))
-    val ex = intercept[IllegalArgumentException](MatchRecognize.detect(multi,
+    // ALL ROWS: every exploded row of a match carries the match's ordinal
+    // (SQL 2016 — MATCH_NUMBER() is constant within a match)
+    val ar = MatchRecognize.detect(multi,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
-        |  MEASURES MATCH_NUMBER() AS mn
+        |  MEASURES MATCH_NUMBER() AS mn, S.ts AS s_ts
         |  ALL ROWS PER MATCH
         |  PATTERN (S P)
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
-        |)""".stripMargin))
-    assert(ex.getMessage.contains("ONE ROW PER MATCH only"))
+        |)""".stripMargin)
+      .select("user_id", "mn", "cls", "ts")
+      .as[(Long, Long, String, Timestamp)].collect().toSet
+    assert(ar == Set(
+      (1L, 1L, "S", at(0)), (1L, 1L, "P", at(10)),
+      (1L, 2L, "S", at(5)), (1L, 2L, "P", at(10)),
+      (2L, 1L, "S", at(0)), (2L, 1L, "P", at(7))), ar.toString)
   }
 
   test("value measures over a '{n,m}' range: SUM/LAST coalesce the nullable tail") {
