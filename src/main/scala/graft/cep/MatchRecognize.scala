@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   *                               -- MATCH_NUMBER() AS alias = the partition's
   *                               -- match ordinal by binding timestamps
   *                               -- (constant per match under ALL ROWS)
+  *                               -- CLASSIFIER() AS alias = the bound
+  *                               -- variable's name: per row under ALL ROWS,
+  *                               -- the final element's under ONE ROW
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *                               -- ALL ROWS explodes each match: one row per
   *                               -- bound event with CLASSIFIER-style `cls`,
@@ -121,13 +124,19 @@ object MatchRecognize {
       // MATCH_NUMBER(): the per-partition match ordinal (no variable ref)
       "(?is)\\s*MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*".r.findFirstMatchIn(m)
         .map(g => Measure(Some("MATCH_NUMBER"), "", "", g.group(1)))
+        // CLASSIFIER(): the bound variable's name — per row under ALL ROWS,
+        // the FINAL element's under ONE ROW (the SQL last-row semantics)
+        .orElse(
+          "(?is)\\s*CLASSIFIER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*".r.findFirstMatchIn(m)
+            .map(g => Measure(Some("CLASSIFIER"), "", "", g.group(1))))
         .orElse(
           "(?is)\\s*(?:(FIRST|LAST|SUM|COUNT|MIN|MAX)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*".r
             .findFirstMatchIn(m)
             .map(g => Measure(Option(g.group(1)).map(_.toUpperCase), g.group(2),
               g.group(3), g.group(4))))
         .getOrElse(sys.error(s"unsupported MEASURES item: $m " +
-          "(only [FIRST|LAST|SUM|COUNT|MIN|MAX](V.col) AS alias or MATCH_NUMBER() AS alias)"))
+          "(only [FIRST|LAST|SUM|COUNT|MIN|MAX](V.col) AS alias, " +
+          "MATCH_NUMBER() AS alias, or CLASSIFIER() AS alias)"))
     }
     val skipPastLast =
       "(?is)\\bAFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW\\b".r.findFirstIn(body).nonEmpty
@@ -398,8 +407,8 @@ object MatchRecognize {
     // automatically (the CLASSIFIER analog, not an event column)
     val altVars = spec.vars.filter(_.alts.nonEmpty).map(_.name).toSet
     val keepByVar: Map[String, Seq[String]] = spec.measures
-      .filter(m => !m.fn.contains("MATCH_NUMBER") && m.field != "ts" &&
-        !(altVars(m.varName) && m.field == "cls"))
+      .filter(m => !m.fn.contains("MATCH_NUMBER") && !m.fn.contains("CLASSIFIER") &&
+        m.field != "ts" && !(altVars(m.varName) && m.field == "cls"))
       .groupBy(_.varName)
       .map { case (v, ms) => v -> ms.map(_.field).distinct }
     // compile every DEFINE up front: relative references discovered here add
@@ -534,6 +543,21 @@ object MatchRecognize {
           quantOf.get(m.varName).flatten.exists(q => q == "+" || q == "*")
         val c = if (m.fn.contains("MATCH_NUMBER")) {
           row_number().over(mnWindow).cast("long")
+        } else if (m.fn.contains("CLASSIFIER")) {
+          // ONE ROW: the classifier of the match's LAST row = the final
+          // PATTERN element's variable (its final sub-step for a sequence
+          // group; the matched branch for an alternation group). A final
+          // element that can bind NOTHING ('?'/'*') would make the last row
+          // a different variable — named error, not a wrong constant.
+          val last = spec.vars.last
+          require(!last.quant.exists(q => q == "?" || q == "*") &&
+              bounds(last.name)._1 >= 1,
+            s"CLASSIFIER(): the final PATTERN element ${last.name} is " +
+              "optional — the last row's variable is data-dependent and " +
+              "not supported under ONE ROW PER MATCH (use ALL ROWS)")
+          if (last.alts.nonEmpty) col(s"${last.name}_cls")
+          else if (last.seq.nonEmpty) lit(last.seq.last)
+          else lit(last.name)
         } else if (groupOf.contains(m.varName)) {
           // a sequence group binds (first repetition's first sub-binding,
           // last repetition's final sub-binding, repetition count):
@@ -652,6 +676,8 @@ object MatchRecognize {
     def nullOf(src: String): Column = when(lit(false), col(src))
     def runningAt(m: Measure, p: Int): Column = {
       if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
+      // CLASSIFIER(): this row's own variable (same value as the `cls` column)
+      if (m.fn.contains("CLASSIFIER")) return lit(positions(p)._1)
       val (mn, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
       val visible = (1 to mx).filter(i => offsets(m.varName) + i - 1 <= p)
       val srcs = visible.map(i => srcCol(m.varName, i, m.field))

@@ -626,6 +626,57 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       (2L, 1L, "S", at(0)), (2L, 1L, "P", at(7))), ar.toString)
   }
 
+  test("CLASSIFIER(): per-row variable under ALL ROWS, final element under ONE ROW") {
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "view"), (1L, at(10), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "refund"), (2L, at(10), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    // ONE ROW: the final element is P for every match -> constant "P"
+    val one = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, CLASSIFIER() AS who
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, String)].collect().toSet
+    assert(one == Set((1L, at(0), "P"), (2L, at(0), "P")), one.toString)
+    // ONE ROW with an alternation-final pattern: the matched BRANCH
+    val alt = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, CLASSIFIER() AS who
+        |  PATTERN (S (V|R))
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', V AS event_type = 'view',
+        |         R AS event_type = 'refund'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, String)].collect().toSet
+    assert(alt == Set((1L, at(0), "V"), (2L, at(0), "R")), alt.toString)
+    // ALL ROWS: CLASSIFIER() is this row's own variable (== cls)
+    val all = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES CLASSIFIER() AS who
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin)
+    assert(all.where("who <> cls").count() == 0 && all.count() == 4)
+    // an optional final element makes the last row data-dependent: named error
+    val ex = intercept[IllegalArgumentException](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES CLASSIFIER() AS who
+        |  PATTERN (S P?)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin).collect())
+    assert(ex.getMessage.contains("CLASSIFIER"), ex.getMessage)
+  }
+
   test("value measures over a '{n,m}' range: SUM/LAST coalesce the nullable tail") {
     val m = MatchRecognize.detect(relEvents,
       """MATCH_RECOGNIZE (
