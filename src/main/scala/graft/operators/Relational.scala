@@ -59,6 +59,56 @@ object Relational {
       .drop("__p", "__v")
   }
 
+  /** Exact global NTILE(n) ordered by (`value` [DESC], `tie`) WITHOUT the
+    * `Window.orderBy`-no-partition trap (WindowExec otherwise moves the
+    * whole relation to a single partition — the one thing that cannot
+    * survive a 100 TB scale-up). Three phases, all distributed:
+    *   1. approx-percentile range BUCKETING: `buckets-1` boundary values
+    *      become an array literal; a row's bucket = #boundaries strictly
+    *      below its (sign-adjusted) value — strict comparison keeps equal
+    *      values in one bucket, so bucketing is order-consistent and the
+    *      approximation only affects balance, never correctness;
+    *   2. per-bucket counts → prefix OFFSETS (≤ `buckets` rows of metadata,
+    *      collected driver-side like the percentile itself — bounded by the
+    *      parameter, not the data) carried back as a map literal;
+    *   3. per-bucket `row_number` (a PARTITIONED window) + offset = the
+    *      exact global row number, mapped to the bucket via the SQL NTILE
+    *      remainder rule (first `total % n` buckets get the extra row).
+    * `tie` must make the order unique (the NTILE caller's tiebreak column);
+    * `value`/`tie` must be non-null. Two driver actions per call (quantile
+    * + counts), both over aggregates — persist `df` when stacking calls. */
+  def globalNtile(df: DataFrame, n: Int, value: Column, valueDesc: Boolean,
+                  tie: Column, asCol: String, buckets: Int = 512): DataFrame = {
+    val keyD = if (valueDesc) lit(0.0) - value.cast("double") else value.cast("double")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bndRow = df.agg(
+      percentile_approx(keyD, typedLit(probs), lit(10000)).as("b")).head()
+    val bnds: Seq[Double] =
+      if (bndRow.isNullAt(0)) Nil else bndRow.getSeq[Double](0)
+    val bkt = size(filter(typedLit(bnds), b => b < keyD))
+    val df2 = df.withColumn("__bkt", bkt)
+    val counts = df2.groupBy("__bkt").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val offMap = map_from_arrays(
+      typedLit(counts.map(_._1).toSeq), typedLit(offsets.toSeq))
+    val ord = (if (valueDesc) value.desc else value.asc) +: Seq(tie)
+    val rn = element_at(offMap, col("__bkt")) +
+      row_number().over(Window.partitionBy(col("__bkt")).orderBy(ord: _*))
+    val base = total / n
+    val rem = total % n
+    // NTILE remainder rule; counts are < 2^53 so the double floors are exact
+    val score =
+      if (total == 0L) lit(null).cast("int")
+      else when(lit(rem) > 0 && rn <= lit(rem * (base + 1)),
+          (floor((rn - 1).cast("double") / lit((base + 1).toDouble)) + 1).cast("int"))
+        .otherwise(
+          (lit(rem) + floor((rn - 1 - rem * (base + 1)).cast("double") /
+            lit(math.max(base, 1L).toDouble)) + 1).cast("int"))
+    df2.withColumn(asCol, score).drop("__bkt")
+  }
+
   /** Temporal (versioned) table join — the Table API's
     * `FOR SYSTEM_TIME AS OF` / TemporalTableFunction join (reference
     * flink-table/flink-table-api-java/src/main/java/org/apache/flink/table/

@@ -63,20 +63,47 @@ object AnalyticsQueries {
       |GROUP BY 1""".stripMargin
 
   // --- a03: RFM segmentation with NTILE quintiles ---
-  private val a03: Q = (s, dir) => {
+  // The global-ORDER-BY NTILE windows move the whole customer aggregate to
+  // ONE partition (WindowExec's no-partition behavior) — fine at dimension
+  // scale on one node, the documented ceiling of this variant. a04 is the
+  // scale path: identical output, no single-partition window.
+  private def rfmBase(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val mx = o.agg(max("o_orderdate").as("mx"))
-    val rfm = o.groupBy("o_custkey")
+    o.groupBy("o_custkey")
       .agg(max("o_orderdate").as("last_order"), count(lit(1)).as("frequency"),
         round(sum("o_totalprice"), 2).as("monetary"))
       .crossJoin(broadcast(mx))
       .select(col("o_custkey"),
         datediff(col("mx"), col("last_order")).as("recency_days"),
         col("frequency"), col("monetary"))
-    rfm.select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+  }
+  private val a03: Q = (s, dir) =>
+    rfmBase(s, dir).select(
+      col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
       ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey"))).as("r_score"),
       ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey"))).as("f_score"),
       ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey"))).as("m_score"))
+
+  // --- a04: RFM quintiles, the 100 TB path ---
+  // Same rows as a03 (the oracle is literally a03's SQL — the hash match
+  // proves exactness), but each NTILE runs through
+  // Relational.globalNtile: approx-percentile range bucketing + per-bucket
+  // offsets + a PARTITIONED per-bucket row_number. No relation-sized data
+  // ever sits in one partition; the only driver-side state is the bucket
+  // boundary/offset metadata (bounded by the bucket parameter).
+  private val a04: Q = (s, dir) => {
+    import graft.operators.Relational.globalNtile
+    val rfm = rfmBase(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = globalNtile(
+      globalNtile(
+        globalNtile(rfm, 5, col("recency_days"), valueDesc = false,
+          col("o_custkey"), "r_score"),
+        5, col("frequency"), valueDesc = true, col("o_custkey"), "f_score"),
+      5, col("monetary"), valueDesc = true, col("o_custkey"), "m_score")
+    scored.select("o_custkey", "recency_days", "frequency", "monetary",
+      "r_score", "f_score", "m_score")
   }
   private val a03Sql =
     """WITH rfm AS (
@@ -91,7 +118,9 @@ object AnalyticsQueries {
       |FROM rfm""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "a01_funnel" -> a01, "a02_retention" -> a02, "a03_rfm_ntile" -> a03)
+    "a01_funnel" -> a01, "a02_retention" -> a02, "a03_rfm_ntile" -> a03,
+    "a04_rfm_scalable" -> a04)
   val oracles: Map[String, String] = Map(
-    "a01_funnel" -> a01Sql, "a02_retention" -> a02Sql, "a03_rfm_ntile" -> a03Sql)
+    "a01_funnel" -> a01Sql, "a02_retention" -> a02Sql, "a03_rfm_ntile" -> a03Sql,
+    "a04_rfm_scalable" -> a03Sql)
 }

@@ -20,6 +20,36 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     assert(a1.map(_._2).distinct.length > 1, "should use more than one cluster")
   }
 
+  test("globalNtile == the native NTILE window, without the global sort") {
+    import graft.operators.Relational.globalNtile
+    val rnd = new scala.util.Random(42)
+    // duplicates + a skewed hot value exercise equal-value bucket sharing
+    val df = (1 to 997).map(i =>
+      (i.toLong, if (i % 7 == 0) 5.0 else rnd.nextInt(40) / 2.0))
+      .toDF("id", "v")
+    for (n <- Seq(3, 5, 10); desc <- Seq(false, true)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(if (desc) $"v".desc else $"v".asc, $"id")
+      val expected = df.select($"id", ntile(n).over(w).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // small bucket count so buckets hold many rows AND some are empty
+      val got = globalNtile(df, n, $"v", desc, $"id", "s", buckets = 8)
+        .select("id", "s").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"n=$n desc=$desc")
+    }
+    // fewer rows than buckets: ntile degenerates to the row number
+    val tiny = Seq((1L, 9.0), (2L, 3.0), (3L, 7.0)).toDF("id", "v")
+    val g = globalNtile(tiny, 5, $"v", valueDesc = false, $"id", "s")
+      .select("id", "s").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g == Map(2L -> 1, 3L -> 2, 1L -> 3))
+    // a04 (bucketed path) must agree with a03 (native windows) row-for-row
+    val a03 = graft.SparkEntry.queries("a03_rfm_ntile")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val a04 = graft.SparkEntry.queries("a04_rfm_scalable")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(a04 == a03 && a03.nonEmpty)
+  }
+
   test("connectedComponents reaches the fixpoint labeling") {
     // two components: {1,2,3,4} chained, {10,11}; isolated edges included
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
