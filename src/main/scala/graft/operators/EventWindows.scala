@@ -41,6 +41,22 @@ object EventWindows {
       .withColumn("session_start", col("w.start"))
       .withColumn("session_end", col("w.end")).drop("w")
 
+  /** Dynamic-gap session windows (reference flink-streaming-java/.../
+    * windowing/assigners/DynamicEventTimeSessionWindows.java with
+    * SessionWindowTimeGapExtractor): each element carries its OWN gap — its
+    * range is [ts, ts + gap) and overlapping ranges merge, so the session
+    * end is the max merged range end. Spark's `session_window` accepts a
+    * per-row gap expression natively; this stays ONE keyed aggregation with
+    * the same shuffle/state shape as the static-gap [[sessionAgg]]. Keep
+    * `gap` strictly positive — Spark drops rows whose gap evaluates
+    * non-positive. */
+  def dynamicSessionAgg(df: DataFrame, tsCol: Column, gap: Column,
+                        keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy((session_window(tsCol, gap).as("w") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("w.start"))
+      .withColumn("session_end", col("w.end")).drop("w")
+
   /** TimeEvictor analog (reference flink-streaming-java/.../windowing/
     * evictors/TimeEvictor.java): before the window function runs, elements
     * older than `keep` relative to the window's max element timestamp are

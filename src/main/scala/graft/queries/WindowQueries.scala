@@ -1057,6 +1057,41 @@ object WindowQueries {
       |WHERE abs(e.value - l.lv) < 50
       |GROUP BY 1, 2""".stripMargin
 
+  // --- w24: DYNAMIC-gap session windows (flink-streaming-java/.../
+  // assigners/DynamicEventTimeSessionWindows.java): each element carries its
+  // own gap (purchases hold the session open 30 min, everything else 10),
+  // overlapping [ts, ts+gap) ranges merge. Spark's session_window takes the
+  // gap as a per-row expression, so the plan is the same single keyed
+  // aggregation as w03. Oracle: gaps-and-islands with a RUNNING MAX of the
+  // range end (new session iff ts >= max end so far — interval merging over
+  // start-sorted rows), (ts, event_id) ordering pins ties on both engines.
+  private val w24: Q = (s, dir) => {
+    // the dynamic gap must be a CalendarInterval/STRING expression (ANSI
+    // day-time intervals are rejected by session_window's gap resolver)
+    val gap = when(col("event_type") === "purchase", lit("30 minutes"))
+      .otherwise(lit("10 minutes"))
+    graft.operators.EventWindows.dynamicSessionAgg(ev(s, dir), col("ts"), gap,
+      Seq(col("user_id")),
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+      .select("user_id", "session_start", "session_end", "n", "sum_value")
+  }
+  private val w24Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |   ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTES
+      |             ELSE INTERVAL 10 MINUTES END AS endt
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN max(endt) OVER w IS NULL
+      |                      OR ts >= max(endt) OVER w THEN 1 ELSE 0 END AS ns
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+      | CAST(max(endt) AS TIMESTAMP) AS session_end,
+      | count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
   // --- m16: the m13 GROUP pattern through PURE SQL text — `PATTERN
   // (S (C V)+ P)` parses to followedByGroup + oneOrMore; FIRST(C.ts) /
   // LAST(V.ts) / COUNT(C.ts) address the chain's materialized boundaries.
@@ -1144,6 +1179,7 @@ object WindowQueries {
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
     "w22_cep_consecutive" -> w22, "w23_delta_evictor" -> w23,
+    "w24_dynamic_session" -> w24,
     "w12_sql_tumble" -> w12, "w13_temporal_join" -> w13,
     "w14_cep_relative" -> w14, "w15_sql_hop" -> w15, "w16_sql_session" -> w16,
     "w01_tumble_agg" -> w01, "w02_hop_agg" -> w02, "w03_session_agg" -> w03,
@@ -1164,6 +1200,7 @@ object WindowQueries {
     "w19_cep_alternation" -> w19Sql, "w20_sliding_count_window" -> w20Sql,
     "w21_cep_strict" -> w21Sql, "w22_cep_consecutive" -> w22Sql,
     "w23_delta_evictor" -> w23Sql,
+    "w24_dynamic_session" -> w24Sql,
     "w12_sql_tumble" -> w12Sql, "w13_temporal_join" -> w13Sql,
     "w14_cep_relative" -> w14Sql, "w15_sql_hop" -> w15Sql, "w16_sql_session" -> w16Sql,
     "w01_tumble_agg" -> w01Sql, "w02_hop_agg" -> w02Sql, "w03_session_agg" -> w03Sql,

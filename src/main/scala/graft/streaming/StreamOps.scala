@@ -154,6 +154,19 @@ object StreamOps {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** DYNAMIC-gap session windows (reference flink-streaming-java/.../
+    * assigners/DynamicEventTimeSessionWindows.java): each element's gap is
+    * the per-row `gap` expression; overlapping [ts, ts+gap) ranges merge.
+    * Structured Streaming's session_window supports expression gaps under
+    * the same watermark state eviction as the static [[sessionAgg]]. */
+  def sessionAggDynamic(events: DataFrame, watermark: String,
+                        gap: org.apache.spark.sql.Column): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** Processing-time tumbling window (reference flink-streaming-java/.../
     * windowing/assigners/TumblingProcessingTimeWindows.java): rows are
     * bucketed by WALL-clock arrival, the ops-dashboard semantics Flink users

@@ -55,6 +55,25 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(r(0).getAs[Long]("n") == 2L)
   }
 
+  test("sessionAggDynamic: a purchase's longer gap holds the session open") {
+    import org.apache.spark.sql.functions.{when, lit}
+    val in = MemoryStream[Event]
+    // click gap 30s: click@0 + click@50 would be separate sessions — but the
+    // purchase@10 carries a 60s gap, bridging them into one merged range
+    in.addData(Event(1, at(0), "click", 1.0), Event(1, at(10), "purchase", 5.0),
+      Event(1, at(50), "click", 2.0), FLUSH)
+    // session_window's dynamic gap must be a CalendarInterval (or interval
+    // STRING) expression — ANSI day-time intervals are rejected by name
+    val gap = when($"event_type" === "purchase", lit("60 seconds"))
+      .otherwise(lit("30 seconds"))
+    val out = run("s_dynsess", StreamOps.sessionAggDynamic(in.toDF(), "10 seconds", gap))
+    val r = out.filter($"user_id" === 1).collect()
+    assert(r.length == 1, r.mkString(","))
+    assert(r(0).getAs[Timestamp]("session_start") == at(0))
+    assert(r(0).getAs[Timestamp]("session_end") == at(80)) // click@50 + 30s
+    assert(r(0).getAs[Long]("n") == 3L)
+  }
+
   test("dedupWithinWatermark keeps first row per key") {
     val in = MemoryStream[Event]
     in.addData(Event(1, at(0), "click", 1.0), Event(1, at(1), "click", 1.0), FLUSH)
