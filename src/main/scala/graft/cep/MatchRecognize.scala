@@ -120,6 +120,10 @@ object MatchRecognize {
       .getOrElse(sys.error("PARTITION BY required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val orderBy = section("ORDER\\s+BY", "MEASURES|AFTER|PATTERN").getOrElse(sys.error("ORDER BY required"))
+    // the compile sorts on ONE event-time column; a silent col("a, b") would
+    // die later as an unresolved column — reject the composite form by name
+    require("^\\w+$".r.matches(orderBy),
+      s"ORDER BY: a single event-time column is supported (got '$orderBy')")
     val measures = section("MEASURES", "ONE|ALL|AFTER|PATTERN").toSeq.flatMap(_.split(",").toSeq).map { m =>
       // MATCH_NUMBER(): the per-partition match ordinal (no variable ref)
       "(?is)\\s*MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*".r.findFirstMatchIn(m)

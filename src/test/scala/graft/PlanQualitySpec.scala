@@ -173,6 +173,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("a04 scalable NTILE: every window is partitioned (no single-partition sort)") {
+    // the whole point of a04 over a03: no WindowExec may receive the global
+    // relation in one partition. Every Window node in the final plan must
+    // carry the __bkt partition spec (per-bucket row_number), and the native
+    // global ntile must be absent.
+    val p = planOf("a04_rfm_scalable")
+    assert(!p.contains("ntile("), s"native global NTILE must not appear:\n$p")
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("__bkt")),
+      s"every Window must partition by __bkt:\n${windowLines.mkString("\n")}")
+  }
+
+  test("w24 dynamic session stays one keyed aggregation (no extra shuffle)") {
+    val p = planOf("w24_dynamic_session")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // one exchange for the keyed session aggregation (plus nothing else):
+    // the per-row gap must not introduce a second shuffle. AQE's toString
+    // repeats the pre-adaptive plan after "== Initial Plan ==" — count only
+    // the final section.
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(p.split("== Initial Plan ==").head).length
+    assert(exchanges <= 1, s"expected at most one shuffle:\n$p")
+  }
+
   test("CEP value bindings and run lowerings never sort match or fact rows") {
     // m02 (bind payload) and m05 (alternation classifier) bind via the
     // hash min-ts + per-(key, ts) refinement tables; w14 (iterative bind)
