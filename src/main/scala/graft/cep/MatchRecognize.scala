@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   *                               --          | MIN(V.<col>)   AS alias
   *                               --          | MAX(V.<col>)   AS alias
   *                               --          | COUNT(V.<col>) AS alias
+  *                               --          | AVG(V.<col>)   AS alias
   *                               -- over a '+'/'*' run variable, value
-  *                               -- measures (SUM/MIN/MAX/FIRST/LAST of a
+  *                               -- measures (SUM/MIN/MAX/AVG/FIRST/LAST of a
   *                               -- bound column) aggregate the whole run
   *                               -- (Pattern.bindRun: O(1) state per column);
   *                               -- MATCH_NUMBER() AS alias = the partition's
@@ -134,12 +135,12 @@ object MatchRecognize {
           "(?is)\\s*CLASSIFIER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*".r.findFirstMatchIn(m)
             .map(g => Measure(Some("CLASSIFIER"), "", "", g.group(1))))
         .orElse(
-          "(?is)\\s*(?:(FIRST|LAST|SUM|COUNT|MIN|MAX)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*".r
+          "(?is)\\s*(?:(FIRST|LAST|SUM|COUNT|MIN|MAX|AVG)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*".r
             .findFirstMatchIn(m)
             .map(g => Measure(Option(g.group(1)).map(_.toUpperCase), g.group(2),
               g.group(3), g.group(4))))
         .getOrElse(sys.error(s"unsupported MEASURES item: $m " +
-          "(only [FIRST|LAST|SUM|COUNT|MIN|MAX](V.col) AS alias, " +
+          "(only [FIRST|LAST|SUM|COUNT|MIN|MAX|AVG](V.col) AS alias, " +
           "MATCH_NUMBER() AS alias, or CLASSIFIER() AS alias)"))
     }
     val skipPastLast =
@@ -594,6 +595,10 @@ object MatchRecognize {
               s"variable's timestamps (got ${other.getOrElse("a bare reference")} on ${m.varName})")
           } else m.fn match {
             case Some("SUM") => col(s"${m.varName}_sum_${m.field}")
+            // AVG divides the run's bound SUM by its member count — both
+            // already materialized, so the measure is a pure projection
+            case Some("AVG") =>
+              col(s"${m.varName}_sum_${m.field}") / col(s"${m.varName}_n")
             case Some("MIN") => col(s"${m.varName}_min_${m.field}")
             case Some("MAX") => col(s"${m.varName}_max_${m.field}")
             case Some("FIRST") => col(s"${m.varName}_first_${m.field}")
@@ -602,7 +607,7 @@ object MatchRecognize {
             // the run's own predicate, so members are never null)
             case Some("COUNT") => col(s"${m.varName}_n")
             case None => sys.error(s"${m.varName} is a run variable — " +
-              "use FIRST/LAST/SUM/COUNT/MIN/MAX")
+              "use FIRST/LAST/SUM/COUNT/MIN/MAX/AVG")
           }
         } else {
           val (mn, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
@@ -622,6 +627,9 @@ object MatchRecognize {
               // ones (the first expansion is mandatory, so the seed is
               // non-null and an all-bound sum is unchanged)
               srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0)))
+            case Some("AVG") =>
+              srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0))) /
+                srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
             case Some("MIN") =>
               if (srcs.size == 1) col(srcs.head) else least(srcs.map(col): _*)
             case Some("MAX") =>
@@ -696,6 +704,12 @@ object MatchRecognize {
         case Some("SUM") =>
           if (visible.isEmpty) nullOf(first)
           else srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0)))
+        case Some("AVG") =>
+          // running AVG = running SUM / running COUNT; the first visible
+          // expansion is mandatory and bound, so the divisor is >= 1
+          if (visible.isEmpty) nullOf(first)
+          else srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0))) /
+            srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
         case Some("MIN") =>
           if (visible.isEmpty) nullOf(first)
           else if (srcs.size == 1) col(srcs.head) else least(srcs.map(col): _*)

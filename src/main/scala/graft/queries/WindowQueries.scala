@@ -453,6 +453,43 @@ object WindowQueries {
       |FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts >= first_c AND c.ts < p_ts
       |GROUP BY 1, 2, 3, 10""".stripMargin
 
+  // --- m18: AVG value measures (Calcite/Flink MATCH_RECOGNIZE aggregate
+  // measures — MatchRecognizeITCase's SUM/AVG shapes): over a '+' run the
+  // measure is the already-bound running SUM divided by the member count —
+  // a pure projection on the match table, no extra aggregation or join.
+  // The oracle recomputes avg(value) over the run's members.
+  private val m18: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.ts) AS first_click_ts,
+        |           COUNT(C.ts) AS n_clicks, AVG(C.value) AS avg_click_value,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S C+ P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .withColumn("avg_click_value", round(col("avg_click_value"), 4))
+  private val m18Sql =
+    """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS first_c
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, s_ts, first_c, min(p.ts) AS p_ts
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > first_c
+      |                     AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3)
+      |SELECT m2.user_id, s_ts AS signup_ts, first_c AS first_click_ts,
+      |       count(*) AS n_clicks, round(avg(c.value), 4) AS avg_click_value,
+      |       p_ts AS purchase_ts
+      |FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts >= first_c AND c.ts < p_ts
+      |GROUP BY 1, 2, 3, 6""".stripMargin
+
   // --- m10: the V-shape — self-referential run conditions ---
   // (reference MatchRecognizeITCase.scala:405,554 `DOWN AS price <
   // LAST(DOWN.price, 1)`, the canonical MATCH_RECOGNIZE query): each D
@@ -1193,7 +1230,7 @@ object WindowQueries {
     "m11_match_range_sum" -> m11, "m12_match_number" -> m12,
     "m13_group_pattern" -> m13, "m14_match_prev" -> m14,
     "m15_match_skip_to" -> m15, "m16_group_sql" -> m16,
-    "m17_group_star" -> m17)
+    "m17_group_star" -> m17, "m18_match_avg" -> m18)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1215,5 +1252,5 @@ object WindowQueries {
     "m10_match_vshape" -> m10Sql, "m11_match_range_sum" -> m11Sql,
     "m12_match_number" -> m12Sql, "m13_group_pattern" -> m13Sql,
     "m14_match_prev" -> m14Sql, "m16_group_sql" -> m16Sql,
-    "m17_group_star" -> m17Sql)
+    "m17_group_star" -> m17Sql, "m18_match_avg" -> m18Sql)
 }
