@@ -34,20 +34,28 @@ object Bench {
       // intermediate projections): without this the entries accumulate in
       // executor memory across the 150+ query × reps suite
       spark.catalog.clearCache()
-      name -> times.min
+      name -> times
     }
     // 3-dp per-query times keep the JSON line compact enough to survive
     // tail-truncated captures; the full line is also written to a file so
     // every query's number stays readable even if stdout is clipped
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+      // the file artifact carries EVERY rep's time (the stdout contract line
+      // stays min-only for compactness): when one rep is inflated by
+      // environment contention, the per-rep array shows it as noise instead
+      // of letting a single bad rep masquerade as a regression
+      val repsDetail = results.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val fileLine = line.dropRight(1) + s""","rep_times":$repsDetail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        fileLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file write: $e") }
     println(line)
     spark.stop()

@@ -295,8 +295,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * before its last bound event are discarded — per key, matches are kept
     * greedily in start-time order. Default (without this) is NO_SKIP: every
     * first-step event may start its own match. */
-  def afterMatchSkipPastLastEvent(): Pattern =
+  def afterMatchSkipPastLastEvent(): Pattern = {
+    require(skipTo.isEmpty, "one AFTER MATCH strategy only")
     new Pattern(steps, notStep, windowMs, skipPastLast = true, skipTo = None)
+  }
 
   /** flink-cep AfterMatchSkipStrategy.skipToFirst(v) (reference
     * flink-libraries/flink-cep/.../nfa/aftermatch/AfterMatchSkipStrategy

@@ -77,16 +77,19 @@ object IncrementalDedup {
   }
 
   /** Build (or rebuild) the signature store for `corpus` at `storePath`.
-    * Run once per corpus version; append-only maintenance between versions
-    * is `buildStore` over the appended slice with SaveMode.Append (the
-    * bands/grams schemas are stable). */
+    * Run once per corpus version with the default `mode = "overwrite"`;
+    * append-only maintenance between versions is `buildStore` over the
+    * appended slice with `mode = "append"` (the bands/grams schemas are
+    * stable, and the band-bucket cap then applies per slice — rebuild from
+    * scratch when a cross-slice hot bucket matters). */
   def buildStore(corpus: DataFrame, storePath: String,
                  shingleN: Int, bands: Int, rowsPerBand: Int,
-                 maxBucket: Int, gramN: Int): Unit = {
+                 maxBucket: Int, gramN: Int,
+                 mode: String = "overwrite"): Unit = {
     cappedBands(corpus, shingleN, bands, rowsPerBand, maxBucket)
-      .write.mode("overwrite").parquet(s"$storePath/bands")
+      .write.mode(mode).parquet(s"$storePath/bands")
     distinctGrams(corpus, gramN)
-      .write.mode("overwrite").parquet(s"$storePath/grams")
+      .write.mode(mode).parquet(s"$storePath/grams")
   }
 
   /** Dedup `newBatch` (doc_id, text) against a store built by

@@ -19,6 +19,19 @@ object Iterate {
   private def sqDist(a: Column, b: Column): Column =
     Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) + Similarity.dot(b, b)
 
+  /** Free the block-store footprint of a SUPERSEDED eager-localCheckpoint
+    * frame. `Dataset.unpersist` goes through the cache manager, which never
+    * saw a checkpoint, so a replaced frame's blocks are otherwise freed only
+    * by GC/ContextCleaner — slow enough under memory pressure that stale
+    * frames from one query inflate the next query's spill behavior. The
+    * frame must never be read again after this call: a local-checkpointed
+    * RDD's persisted blocks are its only materialization. */
+  private def freeFrame(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Centroids after `iters` Lloyd mean-updates over an (id, vec) DataFrame:
     * (cid, cv) with cid 0..k-1. Deterministic: centroids initialize from the
     * K lowest ids; assignment ties break on cid; centroid means rounded at
@@ -124,6 +137,7 @@ object Iterate {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") < col("old")).count()
+      freeFrame(labels) // superseded frame: next is materialized, count done
       labels = next
       converged = changed == 0
       iter += 1
@@ -167,6 +181,7 @@ object Iterate {
     var ranks = verts.select(col("id"),
       round(lit(1.0) / lit(n), interRoundDp).as("rank")).localCheckpoint(true)
     (0 until iters).foreach { _ =>
+      val prev = ranks
       val contrib = e.join(ranks.withColumnRenamed("id", "rid"), col("src") === col("rid"))
         .join(outd, "src")
         .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
@@ -175,6 +190,7 @@ object Iterate {
           round(lit(1.0 - damping) / lit(n) + lit(damping) * coalesce(col("s"), lit(0.0)),
             interRoundDp).as("rank"))
         .localCheckpoint(true)
+      freeFrame(prev) // superseded frame: the new ranks are materialized
     }
     e.unpersist(); verts.unpersist(); outd.unpersist()
     ranks
@@ -204,11 +220,13 @@ object Iterate {
       when(col("id") === sourceId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"))
       .localCheckpoint(true)
     (0 until iters).foreach { _ =>
+      val prev = dist
       val relaxed = e.join(dist.filter(col("dist").isNotNull)
           .select(col("id").as("rid"), col("dist").as("d0")), col("src") === col("rid"))
         .select(col("dst").as("id"), (col("d0") + col("w")).as("dist"))
       dist = dist.union(relaxed).groupBy("id").agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
+      freeFrame(prev)
     }
     e.unpersist()
     dist
@@ -240,6 +258,8 @@ object Iterate {
     var frontier = dist.filter(col("dist").isNotNull).localCheckpoint(true)
     var i = 0
     while (i < iters && !frontier.isEmpty) {
+      val prevDist = dist
+      val prevFrontier = frontier
       val relaxed = e.join(frontier.select(col("id").as("rid"), col("dist").as("d0")),
           col("src") === col("rid"))
         .select(col("dst").as("id"), (col("d0") + col("w")).as("nd"))
@@ -253,6 +273,8 @@ object Iterate {
         .select(col("id"), col("nd").as("dist"))
         .localCheckpoint(true)
       dist = next
+      // both new frames are materialized; the old dist/frontier are dead
+      freeFrame(prevDist); freeFrame(prevFrontier)
       i += 1
     }
     e.unpersist()

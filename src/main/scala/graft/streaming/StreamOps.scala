@@ -869,10 +869,12 @@ object StreamOps {
           val wm = state.getCurrentWatermarkMs()
           partials = partials.filter(_.boundMs.last + withinMs > wm)
           // a strict-negative pending whose successor time the watermark has
-          // passed is DECIDED early (no sub-watermark event can change it) —
-          // but only when no skip guard could still fire against it
+          // STRICTLY passed is DECIDED early (flatMapGroupsWithState still
+          // delivers events at ts == wm, so `<= wm` could finalize before a
+          // same-timestamp out-of-order killer arrives) — and only when no
+          // skip guard could still fire against it
           def negDecided(p: ExPartial): Boolean =
-            negStrict && p.succMs >= 0 && p.succMs <= wm &&
+            negStrict && p.succMs >= 0 && p.succMs < wm &&
               p.guards.forall(_.step == nPos)
           // skip-matches whose window closed can no longer be invalidated
           val (ripe, wait) = pending.partition(p =>
