@@ -446,13 +446,16 @@ object MatchRecognize {
     require(spec.vars.head.alts.isEmpty, "first pattern variable cannot be an alternation")
     require(spec.vars.head.seq.isEmpty, "first pattern variable cannot be a sequence group")
     require(spec.vars.head.quant.isEmpty, "first pattern variable cannot be quantified")
-    // group sub-vars bind nothing beyond the chain boundary timestamps
+    // group sub-vars bind the chain boundary timestamps plus (via
+    // bindGroup) per-member running value aggregates; a value measure must
+    // address a specific MEMBER (the group's own name spans several
+    // variables and would be ambiguous)
     val groupOf: Map[String, PatternVar] = spec.vars.filter(_.seq.nonEmpty)
       .flatMap(g => (g.name +: g.seq).map(_ -> g)).toMap
     spec.measures.filter(m => groupOf.contains(m.varName)).foreach { m =>
-      require(m.field == "ts", s"group measures are over timestamps only " +
-        s"(got ${m.varName}.${m.field}; per-repetition value bindings are " +
-        "not materialized by the chain lowering)")
+      require(m.field == "ts" || m.varName != groupOf(m.varName).name,
+        s"value measures over a sequence group must address a member " +
+          s"variable (got ${m.varName}.${m.field} on the group itself)")
     }
     require(!(spec.allRows && groupOf.nonEmpty),
       "ALL ROWS PER MATCH does not support sequence groups (per-repetition " +
@@ -466,8 +469,12 @@ object MatchRecognize {
         pat = pat.followedByRun(v.name, rd.pre, rd.colName, rd.accept)
       } else if (v.seq.nonEmpty) {
         // sequence group (B C)+ / (B C)* — flink-cep GroupPattern under
-        // oneOrMore[/optional] (the quantifier is validated at parse time)
+        // oneOrMore[/optional] (the quantifier is validated at parse time);
+        // member value measures ride the chain as running aggregates
         pat = pat.followedByGroup(v.name, v.seq.map(sv => sv -> compiled(sv)._1): _*)
+        v.seq.foreach { sv =>
+          bindByVar.get(sv).foreach(ks => pat = pat.bindGroup(sv, ks: _*))
+        }
         pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
       } else if (v.alts.nonEmpty)
         pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> compiled(b)._1): _*)
@@ -564,12 +571,12 @@ object MatchRecognize {
           else if (last.seq.nonEmpty) lit(last.seq.last)
           else lit(last.name)
         } else if (groupOf.contains(m.varName)) {
-          // a sequence group binds (first repetition's first sub-binding,
-          // last repetition's final sub-binding, repetition count):
-          // FIRST addresses the group's first sub-variable (or the group
-          // itself), LAST its last, COUNT any member
           val g = groupOf(m.varName)
-          m.fn match {
+          if (m.field == "ts") m.fn match {
+            // the chain binds (first repetition's first sub-binding, last
+            // repetition's final sub-binding, repetition count): FIRST
+            // addresses the group's first sub-variable (or the group
+            // itself), LAST its last, COUNT any member
             case Some("COUNT") => col(s"${g.name}_n")
             case Some("FIRST") =>
               require(m.varName == g.name || m.varName == g.seq.head,
@@ -582,7 +589,26 @@ object MatchRecognize {
                   s"repetition's FINAL sub-step only (${g.seq.last})")
               col(s"${g.name}_last_ts")
             case other => sys.error(s"group variable ${g.name}: " +
-              s"FIRST/LAST/COUNT only (got ${other.getOrElse("a bare reference")})")
+              s"FIRST/LAST/COUNT only over timestamps (got " +
+              s"${other.getOrElse("a bare reference")})")
+          } else {
+            // member value measures — bindGroup's running chain aggregates
+            // (MatchRecognizeITCase aggregate-measure shapes over
+            // quantified patterns); one occurrence per repetition, so
+            // COUNT is the non-null count and AVG its matching divisor
+            val sfx = s"${m.varName}_${m.field}"
+            m.fn match {
+              case Some("SUM") => col(s"${g.name}_sum_$sfx")
+              case Some("AVG") => col(s"${g.name}_sum_$sfx") / col(s"${g.name}_cnt_$sfx")
+              case Some("MIN") => col(s"${g.name}_min_$sfx")
+              case Some("MAX") => col(s"${g.name}_max_$sfx")
+              case Some("FIRST") => col(s"${g.name}_first_$sfx")
+              case Some("LAST") => col(s"${g.name}_last_$sfx")
+              case Some("COUNT") => col(s"${g.name}_cnt_$sfx")
+              case other => sys.error(s"group member ${m.varName}: use " +
+                s"SUM/AVG/MIN/MAX/FIRST/LAST/COUNT (got " +
+                s"${other.getOrElse("a bare reference")})")
+            }
           }
         } else if (isRunVar) {
           // a run binds its boundary timestamps + count, and (via bindRun)
@@ -606,8 +632,9 @@ object MatchRecognize {
             // COUNT over a run counts occurrences (the column is bound by
             // the run's own predicate, so members are never null)
             case Some("COUNT") => col(s"${m.varName}_n")
-            case None => sys.error(s"${m.varName} is a run variable — " +
-              "use FIRST/LAST/SUM/COUNT/MIN/MAX/AVG")
+            case other => sys.error(s"${m.varName} is a run variable — " +
+              s"use FIRST/LAST/SUM/COUNT/MIN/MAX/AVG (got " +
+              s"${other.getOrElse("a bare reference")})")
           }
         } else {
           val (mn, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))

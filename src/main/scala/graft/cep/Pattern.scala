@@ -32,7 +32,8 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       runOn: Option[String] = None,
                       runAccept: Option[(Column, Column) => Column] = None,
                       group: Seq[(String, Column)] = Nil,
-                      consec: Boolean = false)
+                      consec: Boolean = false,
+                      groupKeep: Seq[(String, String)] = Nil)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,
@@ -276,6 +277,30 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(sub.size >= 2, "a group sub-pattern needs at least two steps")
     new Pattern(steps :+ Step(name, sub.map(_._2).reduce(_ || _),
       group = sub.toVector), notStep, windowMs, skipPastLast, skipTo)
+  }
+
+  /** Bind a value column of a GROUP MEMBER across the group's repetitions —
+    * the aggregate-measure surface of [[followedByGroup]] (reference
+    * flink-table MatchRecognizeITCase aggregate measures, `SUM(C.price)`
+    * over a quantified pattern): per bound column `c` of member `m`, the
+    * match carries `<group>_sum_<m>_<c>` / `<group>_min_<m>_<c>` /
+    * `<group>_max_<m>_<c>` (SQL null-ignoring aggregates over the chosen
+    * repetitions), `<group>_first_<m>_<c>` / `<group>_last_<m>_<c>` (the
+    * first/last repetition's value, positional) and `<group>_cnt_<m>_<c>`
+    * (non-null count — the AVG divisor). Values are read at the member's
+    * bound timestamp (equal-timestamp ties resolve to the minimum value,
+    * the engine's lexicographic (ts, value) convention) and cast to double
+    * so the repetition chain carries O(1) running state per column — the
+    * same shape as [[bindRun]]'s run aggregates. An empty `(sub)*` chain
+    * yields nulls with count 0. */
+  def bindGroup(member: String, cols: String*): Pattern = {
+    require(steps.nonEmpty && steps.last.group.nonEmpty,
+      "bindGroup() requires followedByGroup() as the last step")
+    require(steps.last.group.exists(_._1 == member),
+      s"bindGroup($member): not a member of group ${steps.last.name}")
+    new Pattern(steps.init :+ steps.last.copy(
+      groupKeep = steps.last.groupKeep ++ cols.map(member -> _)),
+      notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** flink-cep `until(cond)` on a preceding `oneOrMore()` step: the run
@@ -561,7 +586,23 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             .agg(min(col(s"__gc$j")).as(s"__ge$j"))
           prevSub = col(s"__ge$j")
         }
-        val subPairs = subs.select(col("__gk"), col("__gb"), prevSub.as("__gc"))
+        // bindGroup value columns: a per-(key, ts) min-value table of the
+        // member's candidates, equi-joined on the member's bound timestamp
+        // (the engine's lexicographic (ts, value) equal-ts tie-break), cast
+        // to double so the chain carries O(1) running state per column
+        s.groupKeep.zipWithIndex.foreach { case ((m, c), i) =>
+          val im = s.group.indexWhere(_._1 == m)
+          val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
+          val vt = events.filter(s.group(im)._2)
+            .groupBy(key.as("__vk"), ts.as("__vts"))
+            .agg(min(col(c).cast("double")).as(s"__gv$i"))
+          subs = subs.join(vt, col("__gk") === col("__vk") &&
+              boundTs === col("__vts"))
+            .drop("__vk", "__vts")
+        }
+        val gvCols = s.groupKeep.indices.map(i => col(s"__gv$i"))
+        val subPairs = subs.select(
+          (col("__gk") +: col("__gb") +: prevSub.as("__gc") +: gvCols): _*)
         if (!s.oneOrMore) {
           // single repetition: the earliest sub-match strictly after the
           // previous binding. Completion time is MONOTONE in start time
@@ -576,8 +617,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             .groupBy(kept0.toIndexedSeq: _*)
             .agg(min(col("__gb")).as(s"${s.name}_first_ts"))
           // one sub-match per (key, start): join back for the end timestamp
-          out = out.join(subPairs.select(col("__gk").as("__gk3"),
-              col("__gb").as("__gb3"), col("__gc").as(s"${s.name}_last_ts")),
+          // (and, for a single repetition, the bindGroup value columns —
+          // sum = min = max = first = last = the one repetition's value)
+          val backCols = Seq(col("__gk").as("__gk3"), col("__gb").as("__gb3"),
+            col("__gc").as(s"${s.name}_last_ts")) ++
+            s.groupKeep.zipWithIndex.flatMap { case ((m, c), i) =>
+              val v = col(s"__gv$i")
+              Seq(v.as(s"${s.name}_sum_${m}_$c"), v.as(s"${s.name}_min_${m}_$c"),
+                v.as(s"${s.name}_max_${m}_$c"), v.as(s"${s.name}_first_${m}_$c"),
+                v.as(s"${s.name}_last_${m}_$c"),
+                when(v.isNotNull, 1L).otherwise(0L).as(s"${s.name}_cnt_${m}_$c"))
+            }
+          out = out.join(subPairs.select(backCols: _*),
               col("__k") === col("__gk3") &&
                 col(s"${s.name}_first_ts") === col("__gb3"),
               if (s.opt) "left_outer" else "inner")
@@ -596,6 +647,14 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           val keyIdx = aSchema.fieldIndex("__k")
           val prevIdx = aSchema.fieldIndex("__gprev")
           val wendIdx = aSchema.fieldIndex("__gwend")
+          // per bound (member, col): sum/min/max/first/last (double) + cnt
+          val valFields = s.groupKeep.flatMap { case (m, c) =>
+            Seq("sum", "min", "max", "first", "last").map(a =>
+              org.apache.spark.sql.types.StructField(s"${s.name}_${a}_${m}_$c",
+                org.apache.spark.sql.types.DoubleType)) :+
+              org.apache.spark.sql.types.StructField(s"${s.name}_cnt_${m}_$c",
+                org.apache.spark.sql.types.LongType)
+          }
           val outSchema = org.apache.spark.sql.types.StructType(
             aSchema.fields ++ Seq(
               org.apache.spark.sql.types.StructField(s"${s.name}_first_ts",
@@ -603,17 +662,20 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               org.apache.spark.sql.types.StructField(s"${s.name}_last_ts",
                 org.apache.spark.sql.types.TimestampType),
               org.apache.spark.sql.types.StructField(s"${s.name}_n",
-                org.apache.spark.sql.types.LongType)))
+                org.apache.spark.sql.types.LongType)) ++ valFields)
           val strEnc = org.apache.spark.sql.Encoders.STRING
           val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
           val subKV = subPairs.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
           // primitive copy: the cogroup closure must not capture the Step
           // (whose Columns drag in non-serializable plan state)
           val optGroup = s.opt
+          val gkN = s.groupKeep.size
           val chained = anchKV.cogroup(subKV) { (_, as, ss) =>
             // full-precision Timestamp comparisons (compareTo includes
             // nanos) — the declarative joins compare at full precision too
-            val pairs = ss.map(r => (r.getTimestamp(1), r.getTimestamp(2)))
+            val pairs = ss.map(r => (r.getTimestamp(1), r.getTimestamp(2),
+                Array.tabulate[java.lang.Double](gkN)(j =>
+                  if (r.isNullAt(3 + j)) null else r.getDouble(3 + j))))
               .toArray.sortWith((p, q) => p._1.before(q._1))
             as.flatMap { a =>
               val tau = a.getTimestamp(prevIdx)
@@ -621,19 +683,49 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               var lastEnd = tau
               var first: java.sql.Timestamp = null
               var n = 0L; var i = 0; var stop = false
+              // O(1) running state per bound column, the bindRun shape:
+              // sum/min/max ignore nulls, first/last are positional, cnt
+              // counts non-null values (the AVG divisor)
+              val vSum = new Array[java.lang.Double](gkN)
+              val vMin = new Array[java.lang.Double](gkN)
+              val vMax = new Array[java.lang.Double](gkN)
+              val vFirst = new Array[java.lang.Double](gkN)
+              val vLast = new Array[java.lang.Double](gkN)
+              val vCnt = new Array[Long](gkN)
               while (!stop && i < pairs.length) {
-                val (b, c) = pairs(i)
+                val (b, c, vs) = pairs(i)
                 if (!b.after(lastEnd)) i += 1 // not strictly after: advance
                 else if (c.after(wEnd)) stop = true // monotone: none later completes
-                else { if (first == null) first = b; lastEnd = c; n += 1 }
+                else {
+                  if (first == null) {
+                    first = b
+                    var j = 0; while (j < gkN) { vFirst(j) = vs(j); j += 1 }
+                  }
+                  var j = 0
+                  while (j < gkN) {
+                    vLast(j) = vs(j)
+                    if (vs(j) != null) {
+                      vCnt(j) += 1
+                      vSum(j) = if (vSum(j) == null) vs(j)
+                                else java.lang.Double.valueOf(vSum(j) + vs(j))
+                      if (vMin(j) == null || vs(j) < vMin(j)) vMin(j) = vs(j)
+                      if (vMax(j) == null || vs(j) > vMax(j)) vMax(j) = vs(j)
+                    }
+                    j += 1
+                  }
+                  lastEnd = c; n += 1
+                }
               }
+              val vals = (0 until gkN).flatMap(j =>
+                Seq(vSum(j), vMin(j), vMax(j), vFirst(j), vLast(j), vCnt(j)))
               // (sub)* (opt): an empty chain keeps the match row with null
               // boundaries and count 0 — the zeroOrMore convention
               if (n == 0 && !optGroup) Iterator.empty
               else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
-                a.toSeq ++ Seq(null, null, 0L)))
+                a.toSeq ++ Seq(null, null, 0L) ++
+                  (0 until gkN).flatMap(_ => Seq(null, null, null, null, null, 0L))))
               else Iterator.single(org.apache.spark.sql.Row.fromSeq(
-                a.toSeq ++ Seq(first, lastEnd, n)))
+                a.toSeq ++ Seq(first, lastEnd, n) ++ vals))
             }
           }(org.apache.spark.sql.Encoders.row(outSchema))
           out = chained.toDF().drop("__gprev", "__gwend")

@@ -1212,6 +1212,91 @@ object WindowQueries {
       |              AND p.ts > coalesce(aug.e_cur, aug.s_ts) AND p.ts <= aug.w_end
       |GROUP BY 1, 2, 3, 4, 5""".stripMargin
 
+  // --- m19: VALUE measures over sequence-group MEMBERS (Calcite/Flink
+  // MATCH_RECOGNIZE aggregate measures over quantified patterns —
+  // MatchRecognizeITCase aggregate-measure shapes): SUM/AVG/MIN/MAX(V.value)
+  // and FIRST/LAST(C.value) where C, V are inside the `(C V)+` chain. The
+  // chain cogroup carries O(1) running state per bound column (the bindRun
+  // shape); values read at the member's bound timestamp, equal-ts ties to
+  // the min value, cast to double. Oracle = m13's recursive chain with the
+  // same running accumulations threaded through the CTE.
+  private val m19: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.ts) AS g_first_ts,
+        |           LAST(V.ts) AS g_last_ts, COUNT(C.ts) AS n_reps,
+        |           SUM(V.value) AS sum_view_value, AVG(V.value) AS avg_view_value,
+        |           MIN(V.value) AS min_view_value, MAX(V.value) AS max_view_value,
+        |           FIRST(C.value) AS first_click_value,
+        |           LAST(C.value) AS last_click_value,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S (C V)+ P)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .withColumn("sum_view_value", round(col("sum_view_value"), 4))
+      .withColumn("avg_view_value", round(col("avg_view_value"), 4))
+  private val m19Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='click'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='view'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |cv AS (SELECT user_id, ts, min(value) AS cval FROM c GROUP BY 1, 2),
+      |vv AS (SELECT user_id, ts, min(value) AS vval FROM v GROUP BY 1, 2),
+      |subs AS (
+      |  SELECT c.user_id, c.ts AS b_ts, min(v.ts) AS e_ts
+      |  FROM c JOIN v ON v.user_id = c.user_id AND v.ts > c.ts
+      |              AND v.ts <= c.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |subv AS (
+      |  SELECT sb.user_id, sb.b_ts, sb.e_ts, cv.cval, vv.vval
+      |  FROM subs sb
+      |  JOIN cv ON cv.user_id = sb.user_id AND cv.ts = sb.b_ts
+      |  JOIN vv ON vv.user_id = sb.user_id AND vv.ts = sb.e_ts),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, s1.e_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2, 3),
+      |entry AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 96 HOURS AS w_end,
+      |         min(sub.b_ts) AS b1
+      |  FROM s JOIN subs sub ON sub.user_id = s.user_id AND sub.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |chain AS (
+      |  SELECT e.user_id, e.s_ts, e.w_end, e.b1 AS b_first, sub.b_ts AS b_cur,
+      |         sub.e_ts AS e_cur, CAST(1 AS BIGINT) AS n,
+      |         sub.vval AS sum_vv, sub.vval AS min_vv, sub.vval AS max_vv,
+      |         sub.cval AS first_cv, sub.cval AS last_cv
+      |  FROM entry e JOIN subv sub ON sub.user_id = e.user_id AND sub.b_ts = e.b1
+      |  WHERE sub.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT ch.user_id, ch.s_ts, ch.w_end, ch.b_first, nx.b_ts, nx.e_ts, ch.n + 1,
+      |         ch.sum_vv + nx.vval, least(ch.min_vv, nx.vval),
+      |         greatest(ch.max_vv, nx.vval), ch.first_cv, nx.cval
+      |  FROM chain ch
+      |  JOIN link l ON l.user_id = ch.user_id AND l.b_ts = ch.b_cur
+      |  JOIN subv nx ON nx.user_id = ch.user_id AND nx.b_ts = l.nb
+      |  WHERE nx.e_ts <= ch.w_end),
+      |best AS (
+      |  SELECT user_id, s_ts, w_end, b_first, e_cur, n, sum_vv, min_vv, max_vv,
+      |         first_cv, last_cv,
+      |         row_number() OVER (PARTITION BY user_id, s_ts ORDER BY n DESC) rn
+      |  FROM chain)
+      |SELECT b.user_id, b.s_ts AS signup_ts, b.b_first AS g_first_ts,
+      |       b.e_cur AS g_last_ts, b.n AS n_reps,
+      |       round(b.sum_vv, 4) AS sum_view_value,
+      |       round(b.sum_vv / b.n, 4) AS avg_view_value,
+      |       b.min_vv AS min_view_value, b.max_vv AS max_view_value,
+      |       b.first_cv AS first_click_value, b.last_cv AS last_click_value,
+      |       min(p.ts) AS purchase_ts
+      |FROM best b JOIN p ON p.user_id = b.user_id AND p.ts > b.e_cur AND p.ts <= b.w_end
+      |WHERE b.rn = 1
+      |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -1230,7 +1315,8 @@ object WindowQueries {
     "m11_match_range_sum" -> m11, "m12_match_number" -> m12,
     "m13_group_pattern" -> m13, "m14_match_prev" -> m14,
     "m15_match_skip_to" -> m15, "m16_group_sql" -> m16,
-    "m17_group_star" -> m17, "m18_match_avg" -> m18)
+    "m17_group_star" -> m17, "m18_match_avg" -> m18,
+    "m19_group_values" -> m19)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1252,5 +1338,6 @@ object WindowQueries {
     "m10_match_vshape" -> m10Sql, "m11_match_range_sum" -> m11Sql,
     "m12_match_number" -> m12Sql, "m13_group_pattern" -> m13Sql,
     "m14_match_prev" -> m14Sql, "m16_group_sql" -> m16Sql,
-    "m17_group_star" -> m17Sql, "m18_match_avg" -> m18Sql)
+    "m17_group_star" -> m17Sql, "m18_match_avg" -> m18Sql,
+    "m19_group_values" -> m19Sql)
 }

@@ -156,6 +156,49 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (3L, None, None, 0L, at(15))), m.toString)
   }
 
+  test("bindGroup: running value aggregates over (B C)+ repetitions") {
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "b", 10.0), (1L, at(10), "c", 1.0),
+      (1L, at(15), "b", 30.0), (1L, at(20), "c", 5.0), (1L, at(25), "purchase", 0.0),
+      // user 2: equal-ts tie on c@10 — the minimum value binds (2.0)
+      (2L, at(0), "signup", 0.0), (2L, at(5), "b", 7.0), (2L, at(10), "c", 9.0),
+      (2L, at(10), "c", 2.0), (2L, at(12), "purchase", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByGroup("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .bindGroup("b", "value").bindGroup("c", "value")
+      .oneOrMore()
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_n", $"g_sum_b_value", $"g_min_c_value", $"g_max_b_value",
+        $"g_first_b_value", $"g_last_c_value", $"g_cnt_c_value")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Long)].collect().toSet
+    assert(m == Set(
+      (1L, 2L, 40.0, 1.0, 30.0, 10.0, 5.0, 2L),
+      (2L, 1L, 7.0, 2.0, 7.0, 7.0, 2.0, 1L)), m.toString)
+  }
+
+  test("bindGroup: empty (B C)* chain yields null aggregates with count 0") {
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(15), "purchase", 0.0),
+      (2L, at(0), "signup", 0.0), (2L, at(5), "b", 3.0), (2L, at(10), "c", 4.0),
+      (2L, at(15), "purchase", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByGroup("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .bindGroup("c", "value")
+      .zeroOrMore()
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_n", $"g_sum_c_value", $"g_cnt_c_value")
+      .as[(Long, Long, Option[Double], Long)].collect().toSet
+    assert(m == Set(
+      (1L, 0L, None, 0L),
+      (2L, 1L, Some(4.0), 1L)), m.toString)
+  }
+
   test("followedByGroup + times(2): exactly two repetitions, each separately bound") {
     val evs = Seq(
       (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),

@@ -299,6 +299,68 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     })
   }
 
+  test("bindGroup value aggregates == brute-force greedy-chain reference on random logs") {
+    import graft.cep.Pattern
+    val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val WindowMs = 30L * 60000
+    val gen = Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 2L), Gen.oneOf("s", "b", "c", "u")))
+    assertHolds(Prop.forAll(gen) { rows =>
+      // value = index-derived, distinct per event (timestamps are distinct
+      // by construction, so no equal-ts tie-break enters this reference)
+      val evs = rows.zipWithIndex.map { case ((u, t), i) =>
+        (u, T0.getTime + i * 60000L, t, i * 3.0 + u) }
+      val df = evs.map { case (u, tm, t, v) => (u, new java.sql.Timestamp(tm), t, v) }
+        .toDF("user_id", "ts", "event_type", "value")
+      val got = Pattern.begin("s", col("event_type") === "s")
+        .followedByGroup("g",
+          "b" -> (col("event_type") === "b"), "c" -> (col("event_type") === "c"))
+        .bindGroup("c", "value")
+        .oneOrMore()
+        .followedBy("u", col("event_type") === "u")
+        .within(WindowMs).detect(df, col("user_id"), col("ts"))
+        .collect().map(r => (r.getAs[Long]("key"),
+          r.getAs[java.sql.Timestamp]("s_ts").getTime,
+          r.getAs[Long]("g_n"),
+          r.getAs[Double]("g_sum_c_value"),
+          r.getAs[Double]("g_min_c_value"),
+          r.getAs[Double]("g_max_c_value"),
+          r.getAs[Double]("g_first_c_value"),
+          r.getAs[Double]("g_last_c_value"),
+          r.getAs[Long]("g_cnt_c_value"))).toSet
+      // reference: the same greedy no-backtracking chain walk, aggregating
+      // the chosen c members' values
+      val want = (for {
+        u <- evs.map(_._1).distinct
+        sorted = evs.filter(_._1 == u).map(e => (e._2, e._3, e._4)).sortBy(_._1)
+        (t0, "s", _) <- sorted
+        end = t0 + WindowMs
+        chain = {
+          val reps = scala.collection.mutable.ListBuffer[(Long, Long, Double)]()
+          var anchor = t0
+          var go = true
+          while (go) {
+            val rep = for {
+              b <- sorted.collectFirst { case (t, "b", _) if t > anchor && t <= end => t }
+              cv <- sorted.collectFirst { case (t, "c", v) if t > b && t <= end => (t, v) }
+            } yield (b, cv._1, cv._2)
+            rep match {
+              case Some((b, c, v)) => reps += ((b, c, v)); anchor = c
+              case None => go = false
+            }
+          }
+          reps.toList
+        }
+        if chain.nonEmpty
+        uts <- sorted.collectFirst { case (t, "u", _) if t > chain.last._2 && t <= end => t }.toSeq
+      } yield {
+        val vs = chain.map(_._3)
+        (u, t0, chain.size.toLong, vs.sum, vs.min, vs.max, vs.head, vs.last,
+          vs.size.toLong)
+      }).toSet
+      (got == want) :| s"got=$got want=$want"
+    })
+  }
+
   test("afterMatchSkipPastLastEvent == brute-force greedy reference on random logs") {
     import graft.cep.Pattern
     // m03's lowering has no cross-engine SQL oracle (greedy per-key selection
