@@ -103,7 +103,8 @@ object MatchRecognize {
                           measures: Seq[Measure], vars: Seq[PatternVar],
                           withinMs: Long, defines: Map[String, String],
                           skipPastLast: Boolean, allRows: Boolean,
-                          skipTo: Option[(String, Boolean)] = None)
+                          skipTo: Option[(String, Boolean)] = None,
+                          orderTie: Option[String] = None)
 
   private def sectionRx(name: String, stopAt: String) =
     (s"(?is)\\b$name\\b\\s+(.*?)\\s*(?=\\b(?:$stopAt)\\b)").r
@@ -120,11 +121,22 @@ object MatchRecognize {
     val partitionBy = section("PARTITION\\s+BY", "ORDER")
       .getOrElse(sys.error("PARTITION BY required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val orderBy = section("ORDER\\s+BY", "MEASURES|AFTER|PATTERN").getOrElse(sys.error("ORDER BY required"))
-    // the compile sorts on ONE event-time column; a silent col("a, b") would
-    // die later as an unresolved column — reject the composite form by name
-    require("^\\w+$".r.matches(orderBy),
-      s"ORDER BY: a single event-time column is supported (got '$orderBy')")
+    val orderByRaw = section("ORDER\\s+BY", "MEASURES|AFTER|PATTERN").getOrElse(sys.error("ORDER BY required"))
+    // composite ORDER BY `(ts, tiebreak)` (reference StreamExecMatch.scala
+    // sorts by time attribute + secondary keys via ComparatorCodeGenerator):
+    // ONE secondary column is supported — it deterministically resolves
+    // which equal-timestamp candidate BINDS at each step (threaded as the
+    // first payload of the lexicographic (ts, payload) binding refinement).
+    // Succession stays time-level: equal-timestamp events are concurrent
+    // (the engine's documented strictly-after convention). Deeper composites
+    // are rejected by name, never silently dropped.
+    val obCols = orderByRaw.split(",").map(_.trim).toSeq
+    require(obCols.nonEmpty && obCols.size <= 2 &&
+      obCols.forall(c => "^\\w+$".r.matches(c)),
+      s"ORDER BY: one event-time column plus at most one tiebreak column " +
+        s"is supported (got '$orderByRaw')")
+    val orderBy = obCols.head
+    val orderTie = obCols.lift(1)
     val measures = section("MEASURES", "ONE|ALL|AFTER|PATTERN").toSeq.flatMap(_.split(",").toSeq).map { m =>
       // MATCH_NUMBER(): the per-partition match ordinal (no variable ref)
       "(?is)\\s*MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*".r.findFirstMatchIn(m)
@@ -211,7 +223,7 @@ object MatchRecognize {
       }.toMap
     }.getOrElse(Map.empty)
     Spec(partitionBy, orderBy, measures, vars, withinMs, defines, skipPastLast,
-      allRows, skipTo)
+      allRows, skipTo, orderTie)
   }
 
   /** `PREV(V.col)` / `PREV(col)` (offset 1) — the SQL-standard spelling of
@@ -440,9 +452,28 @@ object MatchRecognize {
       }.toMap
     val neededBinds: Map[String, Seq[String]] = compiled.values.flatMap(_._3).toSeq
       .distinct.groupBy(_._1).map { case (v, refs) => v -> refs.map(_._2) }
-    val bindByVar: Map[String, Seq[String]] = (keepByVar.keySet ++ neededBinds.keySet)
+    val bindByVar0: Map[String, Seq[String]] = (keepByVar.keySet ++ neededBinds.keySet)
       .map(v => v -> (keepByVar.getOrElse(v, Nil) ++ neededBinds.getOrElse(v, Nil)).distinct)
       .toMap
+    // ORDER BY tiebreak: bound FIRST on every variable, so each step's
+    // lexicographic (ts, payload) binding refinement resolves equal-ts
+    // candidates by the tiebreak before any measure payload. Runs, groups,
+    // alternations and self-runs aggregate or classify their members rather
+    // than argmin-bind one event — the tiebreak cannot steer them: named
+    // error, never a silently different match.
+    val bindByVar: Map[String, Seq[String]] = spec.orderTie match {
+      case None => bindByVar0
+      case Some(tie) =>
+        spec.vars.foreach { v =>
+          require(v.seq.isEmpty && v.alts.isEmpty && !selfRuns.contains(v.name) &&
+            !v.quant.exists(q => q == "+" || q == "*"),
+            s"ORDER BY ${spec.orderBy}, $tie: the tiebreak composes with " +
+              s"plain/optional/times variables only (${v.name} is a " +
+              "run/group/alternation)")
+        }
+        spec.vars.map(v => v.name ->
+          (tie +: bindByVar0.getOrElse(v.name, Nil).filterNot(_ == tie))).toMap
+    }
     require(spec.vars.head.alts.isEmpty, "first pattern variable cannot be an alternation")
     require(spec.vars.head.seq.isEmpty, "first pattern variable cannot be a sequence group")
     require(spec.vars.head.quant.isEmpty, "first pattern variable cannot be quantified")

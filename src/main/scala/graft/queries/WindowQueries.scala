@@ -1297,6 +1297,56 @@ object WindowQueries {
       |WHERE b.rn = 1
       |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11""".stripMargin
 
+  // --- m20: composite ORDER BY `(ts, tiebreak)` (reference
+  // StreamExecMatch.scala sorts by time attribute + secondary keys via
+  // ComparatorCodeGenerator): the secondary column deterministically picks
+  // WHICH equal-timestamp candidate binds. Timestamps are coarsened to the
+  // hour so equal-ts candidate sets are real: among a signup-hour's later
+  // click events, the one with the LEAST event_id binds — its value (not
+  // the hour's min value) is the measure, which is exactly what the
+  // tiebreak changes. Oracle: argmin by (ts, event_id) replayed in SQL.
+  private val m20: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(
+      ev(s, dir).withColumn("ts", date_trunc("hour", col("ts"))),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES S.ts AS signup_ts, C.ts AS click_ts,
+        |           C.event_id AS click_id, C.value AS click_value,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S C P)
+        |  WITHIN INTERVAL '72' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m20Sql =
+    """WITH e AS (SELECT user_id, event_id,
+      |            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+      |            event_type, value FROM events),
+      |s AS (SELECT user_id, event_id, ts FROM e WHERE event_type='signup'),
+      |c AS (SELECT user_id, event_id, ts, value FROM e WHERE event_type='click'),
+      |p AS (SELECT user_id, ts FROM e WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.event_id AS sid, s.ts AS s_ts, min(c.ts) AS c_ts
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 72 HOURS
+      |       GROUP BY 1, 2, 3),
+      |m1c AS (SELECT m1.user_id, m1.sid, m1.s_ts, m1.c_ts,
+      |               min(c.event_id) AS click_id
+      |        FROM m1 JOIN c ON c.user_id = m1.user_id AND c.ts = m1.c_ts
+      |        GROUP BY 1, 2, 3, 4),
+      |m1v AS (SELECT m1c.user_id, m1c.sid, m1c.s_ts, m1c.c_ts, m1c.click_id,
+      |               c.value AS click_value
+      |        FROM m1c JOIN c ON c.user_id = m1c.user_id
+      |                       AND c.event_id = m1c.click_id),
+      |agg AS (SELECT v.user_id, v.sid, v.s_ts, v.c_ts, v.click_id,
+      |               v.click_value, min(p.ts) AS purchase_ts
+      |        FROM m1v v JOIN p ON p.user_id = v.user_id AND p.ts > v.c_ts
+      |                         AND p.ts <= v.s_ts + INTERVAL 72 HOURS
+      |        GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT user_id, s_ts AS signup_ts, c_ts AS click_ts, click_id,
+      |       click_value, purchase_ts
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -1316,7 +1366,7 @@ object WindowQueries {
     "m13_group_pattern" -> m13, "m14_match_prev" -> m14,
     "m15_match_skip_to" -> m15, "m16_group_sql" -> m16,
     "m17_group_star" -> m17, "m18_match_avg" -> m18,
-    "m19_group_values" -> m19)
+    "m19_group_values" -> m19, "m20_order_tiebreak" -> m20)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1339,5 +1389,5 @@ object WindowQueries {
     "m12_match_number" -> m12Sql, "m13_group_pattern" -> m13Sql,
     "m14_match_prev" -> m14Sql, "m16_group_sql" -> m16Sql,
     "m17_group_star" -> m17Sql, "m18_match_avg" -> m18Sql,
-    "m19_group_values" -> m19Sql)
+    "m19_group_values" -> m19Sql, "m20_order_tiebreak" -> m20Sql)
 }

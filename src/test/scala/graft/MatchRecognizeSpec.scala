@@ -692,4 +692,27 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     // unbound tail expansion contributes null, coalesced away
     assert(m == Set((1L, at(0), 25.0, 40.0, 2L), (2L, at(0), 60.0, 60.0, 1L)))
   }
+
+  test("ORDER BY tiebreak: equal-ts candidates bind by the secondary column") {
+    // three clicks at the SAME timestamp: without the tiebreak the binding
+    // refinement would argmin by (ts, value) and pick value 1.0 (seq 30);
+    // ORDER BY ts, seq must pick seq 10 (value 5.0)
+    val evs = Seq(
+      (1L, at(0), 1L, "signup", 0.0),
+      (1L, at(10), 10L, "click", 5.0), (1L, at(10), 20L, "click", 9.0),
+      (1L, at(10), 30L, "click", 1.0),
+      (1L, at(20), 40L, "purchase", 0.0)
+    ).toDF("user_id", "ts", "seq", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, seq
+        |  MEASURES C.seq AS c_seq, C.value AS c_value, P.ts AS p_ts
+        |  PATTERN (S C P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Long, Double, Timestamp)].collect().toSet
+    assert(m == Set((1L, 10L, 5.0, at(20))), m.toString)
+  }
 }
