@@ -195,8 +195,13 @@ object MatchRecognize {
         (Option(g.group(1)), Option(g.group(2))) match {
           case (Some(alt), _) =>
             val branches = alt.split("\\|").map(_.trim).toSeq
-            require(g.group(4) == null, "alternation groups cannot be quantified")
-            PatternVar(branches.mkString("_"), None, branches)
+            // (B|C)+ / (B|C)* — flink-cep GroupPattern over oneOf: a run
+            // whose members match any branch, with per-branch counts.
+            // '?'/'{n,m}' on an alternation stay named rejections.
+            require(g.group(4) == null || g.group(4) == "+" || g.group(4) == "*",
+              s"alternation group ($alt): only the '+' or '*' quantifier " +
+                s"is supported (got '${g.group(4)}')")
+            PatternVar(branches.mkString("_"), Option(g.group(4)), branches)
           case (None, Some(seq)) =>
             val subs = seq.trim.split("\\s+").toSeq
             require(g.group(4) == "+" || g.group(4) == "*",
@@ -507,9 +512,16 @@ object MatchRecognize {
           bindByVar.get(sv).foreach(ks => pat = pat.bindGroup(sv, ks: _*))
         }
         pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
-      } else if (v.alts.nonEmpty)
+      } else if (v.alts.nonEmpty) {
         pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> compiled(b)._1): _*)
-      else {
+        // quantified alternation group: the '+'/'*' run over the union of
+        // branches, per-branch counts emitted by the run aggregate
+        v.quant.foreach {
+          case "+" => pat = pat.oneOrMore()
+          case "*" => pat = pat.zeroOrMore()
+          case q => sys.error(s"alternation group ${v.name}: quantifier $q unsupported")
+        }
+      } else {
         val (pre, iterPred, _) = compiled(v.name)
         pat = iterPred match {
           case Some(res) => pat.followedByIterative(v.name, pre, res)
@@ -574,6 +586,11 @@ object MatchRecognize {
     else if (spec.measures.isEmpty) matches
     else {
       val quantOf: Map[String, Option[String]] = spec.vars.map(v => v.name -> v.quant).toMap
+      // branches of a QUANTIFIED alternation (B|C)+: per-branch member
+      // counts are materialized by the run aggregate as <group>_n_<branch>
+      val altRunOf: Map[String, PatternVar] = spec.vars
+        .filter(v => v.alts.nonEmpty && v.quant.nonEmpty)
+        .flatMap(v => v.alts.map(_ -> v)).toMap
       // MATCH_NUMBER(): ordinal over the MATCHES of a partition, ordered by
       // the binding timestamps in pattern order (the match table is tiny
       // relative to facts, so this window is cheap; identical-binding ties
@@ -598,9 +615,26 @@ object MatchRecognize {
             s"CLASSIFIER(): the final PATTERN element ${last.name} is " +
               "optional — the last row's variable is data-dependent and " +
               "not supported under ONE ROW PER MATCH (use ALL ROWS)")
+          // a quantified alternation's last MEMBER's branch is not
+          // materialized (the run aggregates members) — named error, not
+          // the first member's classifier
+          require(!(last.alts.nonEmpty && last.quant.nonEmpty),
+            "CLASSIFIER(): the final element is a quantified alternation " +
+              "run — the last member's branch is not materialized (use the " +
+              "per-branch COUNT measures instead)")
           if (last.alts.nonEmpty) col(s"${last.name}_cls")
           else if (last.seq.nonEmpty) lit(last.seq.last)
           else lit(last.name)
+        } else if (altRunOf.contains(m.varName)) {
+          // branch of a quantified alternation: COUNT only (the run's
+          // per-branch member count); branch value aggregates are not
+          // materialized — named error
+          val g = altRunOf(m.varName)
+          require(m.field == "ts" && m.fn.contains("COUNT"),
+            s"branch ${m.varName} of quantified alternation ${g.name}: " +
+              s"COUNT(${m.varName}.ts) is the only branch measure (value " +
+              "aggregates are per-run: use the group variable)")
+          col(s"${g.name}_n_${m.varName}")
         } else if (groupOf.contains(m.varName)) {
           val g = groupOf(m.varName)
           if (m.field == "ts") m.fn match {

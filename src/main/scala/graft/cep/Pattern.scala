@@ -81,7 +81,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * in declaration order for an event satisfying several). Equal-timestamp
     * candidates tie-break on (ts, branch name) lexicographically — the
     * classifier participates in the struct-min binding. Composable with
-    * [[bind]] and [[times]]; exclusive with optional()/oneOrMore(). */
+    * [[bind]], [[times]], and [[oneOrMore]]/[[zeroOrMore]] (the quantified
+    * alternation group `(B|C)+`/`(B|C)*` — see [[oneOrMore]] for the
+    * per-branch member counts); exclusive with optional(). */
   def followedByOneOf(name: String, branches: (String, Column)*): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
     require(branches.size >= 2, "alternation needs at least two branches")
@@ -147,11 +149,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * run of occurrences strictly before that next binding (or to the window
     * end when this is the final step): columns `<name>_first_ts`,
     * `<name>_last_ts`, `<name>_n` replace `<name>_ts`. */
+  /** On an alternation step ([[followedByOneOf]]), `oneOrMore()` makes the
+    * QUANTIFIED ALTERNATION GROUP `(B|C)+` (reference flink-cep
+    * GroupPattern over `oneOf` branches, NFAITCase): the run's members are
+    * events matching ANY branch, and the match additionally carries one
+    * member count per branch — `<name>_n_<branch>` (each member counted
+    * under its classifier: the first matching branch in declaration order),
+    * summing to `<name>_n`. */
   def oneOrMore(): Pattern = {
     require(steps.size >= 2, "oneOrMore() applies to a followedBy step")
     require(steps.last.reps == 1 && !steps.last.opt && steps.last.keep.isEmpty &&
-      steps.last.alts.isEmpty && !steps.last.strict,
-      "oneOrMore() excludes times(n)/optional()/bind()/followedByOneOf()/next()")
+      !steps.last.strict,
+      "oneOrMore() excludes times(n)/optional()/bind()/next()")
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true), notStep, windowMs, skipPastLast, skipTo)
   }
 
@@ -167,8 +176,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def zeroOrMore(): Pattern = {
     require(steps.size >= 2, "zeroOrMore() applies to a followedBy step")
     require(steps.last.reps == 1 && !steps.last.opt && steps.last.keep.isEmpty &&
-      steps.last.alts.isEmpty && !steps.last.strict,
-      "zeroOrMore() excludes times(n)/optional()/bind()/followedByOneOf()/next()")
+      !steps.last.strict,
+      "zeroOrMore() excludes times(n)/optional()/bind()/next()")
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true, opt = true),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -863,8 +872,20 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           .agg(min(col("__uts")).as("__until_ts"))
       }
       val hasUntil = steps.find(_.name == name).exists(_.until.nonEmpty)
+      // quantified alternation (B|C)+: each member carries a one-hot branch
+      // indicator under its CLASSIFIER (first matching branch in declaration
+      // order — an event satisfying several branches counts once), so the
+      // run aggregate emits per-branch member counts summing to <name>_n
+      val branchInd: Seq[Column] = if (st.alts.isEmpty) Nil else {
+        val clsExpr = st.alts.tail.foldLeft(
+          when(st.alts.head._2, lit(st.alts.head._1))) {
+          case (acc, (n2, p2)) => acc.when(p2, lit(n2))
+        }
+        st.alts.map { case (bn, _) =>
+          when(clsExpr === bn, 1L).otherwise(0L).as(s"__rb_$bn") }
+      }
       val cand = events.filter(pred).select((key.as("__k3") +: ts.as("__rts") +:
-        st.keep.map(c => col(c).as(s"__rm_$c"))): _*)
+        (st.keep.map(c => col(c).as(s"__rm_$c")) ++ branchInd)): _*)
       val upperCond = (nextName match {
         case Some(nx) => col("__rts") < col(s"${nx}_ts")
         case None => col("__rts") <= col(startTs) + win
@@ -873,13 +894,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       val kept = out.columns.map(col)
       // zeroOrMore (opt=true): an empty run keeps the match row through a
       // left-outer join with null run columns and count 0
+      val branchAggs = st.alts.map { case (bn, _) =>
+        // empty zeroOrMore runs: sum over the null left-outer row is null,
+        // coalesced to 0 to match count() = 0
+        coalesce(sum(col(s"__rb_$bn")), lit(0L)).as(s"${name}_n_$bn") }
       out = out.join(cand,
           col("__k") === col("__k3") && col("__rts") >= col(s"${name}_ts") && upperCond,
           if (st.opt) "left_outer" else "inner")
         .groupBy(kept.toIndexedSeq: _*)
         .agg(max(col("__rts")).as(s"${name}_last_ts"),
           (count(col("__rts")).as(s"${name}_n") +:
-            runValAggs(name, st.keep, c => col(s"__rm_$c"))): _*)
+            (runValAggs(name, st.keep, c => col(s"__rm_$c")) ++ branchAggs)): _*)
         .withColumnRenamed(s"${name}_ts", s"${name}_first_ts")
         .drop("__until_ts")
       out = joinBoundaryVals(out, name, st.keep,

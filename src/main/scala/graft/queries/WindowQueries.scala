@@ -1347,6 +1347,48 @@ object WindowQueries {
       |       click_value, purchase_ts
       |FROM agg""".stripMargin
 
+  // --- m21: QUANTIFIED alternation groups `(C|V)+` (flink-cep GroupPattern
+  // over oneOf branches, NFAITCase): a '+' run whose members match ANY
+  // branch, with per-branch member counts (each member counted under its
+  // classifier). Engine: the run aggregate adds one conditional hash-agg
+  // count per branch — no extra join or shuffle over the plain C+ run.
+  // Oracle: the m07-style run replay with per-type counts.
+  private val m21: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C_V.ts) AS first_ts,
+        |           LAST(C_V.ts) AS last_ts, COUNT(C_V.ts) AS n_members,
+        |           COUNT(C.ts) AS n_clicks, COUNT(V.ts) AS n_views,
+        |           SUM(C_V.value) AS sum_value, P.ts AS purchase_ts
+        |  PATTERN (S (C|V)+ P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .withColumn("sum_value", round(col("sum_value"), 4))
+  private val m21Sql =
+    """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |cv AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type, value
+      |       FROM events WHERE event_type IN ('click', 'view')),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(cv.ts) AS first_ts
+      |       FROM s JOIN cv ON cv.user_id = s.user_id AND cv.ts > s.ts
+      |                     AND cv.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, s_ts, first_ts, min(p.ts) AS p_ts
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > first_ts
+      |                     AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3)
+      |SELECT m2.user_id, s_ts AS signup_ts, first_ts,
+      |       max(cv.ts) AS last_ts, count(*) AS n_members,
+      |       sum(CASE WHEN cv.event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+      |       sum(CASE WHEN cv.event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+      |       round(sum(cv.value), 4) AS sum_value, p_ts AS purchase_ts
+      |FROM m2 JOIN cv ON cv.user_id = m2.user_id AND cv.ts >= first_ts AND cv.ts < p_ts
+      |GROUP BY 1, 2, 3, 9""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -1366,7 +1408,8 @@ object WindowQueries {
     "m13_group_pattern" -> m13, "m14_match_prev" -> m14,
     "m15_match_skip_to" -> m15, "m16_group_sql" -> m16,
     "m17_group_star" -> m17, "m18_match_avg" -> m18,
-    "m19_group_values" -> m19, "m20_order_tiebreak" -> m20)
+    "m19_group_values" -> m19, "m20_order_tiebreak" -> m20,
+    "m21_alt_group" -> m21)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1389,5 +1432,6 @@ object WindowQueries {
     "m12_match_number" -> m12Sql, "m13_group_pattern" -> m13Sql,
     "m14_match_prev" -> m14Sql, "m16_group_sql" -> m16Sql,
     "m17_group_star" -> m17Sql, "m18_match_avg" -> m18Sql,
-    "m19_group_values" -> m19Sql, "m20_order_tiebreak" -> m20Sql)
+    "m19_group_values" -> m19Sql, "m20_order_tiebreak" -> m20Sql,
+    "m21_alt_group" -> m21Sql)
 }

@@ -156,6 +156,45 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (3L, None, None, 0L, at(15))), m.toString)
   }
 
+  test("quantified alternation (B|C)+: run over the union with per-branch counts") {
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),
+      (1L, at(12), "x"), (1L, at(15), "b"), (1L, at(20), "purchase"),
+      (2L, at(0), "signup"), (2L, at(10), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByOneOf("g",
+        "b" -> $"event_type".isin("b", "x"), "c" -> $"event_type".isin("c", "x"))
+      .oneOrMore()
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"g_n_b", $"g_n_c", $"u_ts")
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long, Timestamp)].collect().toSet
+    // the 'x' event matches BOTH branches and counts once, under b
+    // (classifier = first matching branch); user 2 has no member: no match
+    assert(m == Set((1L, at(5), at(15), 4L, 3L, 1L, at(20))), m.toString)
+  }
+
+  test("quantified alternation (B|C)*: empty run keeps the match, branch counts 0") {
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(20), "purchase"),
+      (2L, at(0), "signup"), (2L, at(10), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByOneOf("g",
+        "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .zeroOrMore()
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_n", $"g_n_b", $"g_n_c", $"u_ts")
+      .as[(Long, Long, Long, Long, Timestamp)].collect().toSet
+    assert(m == Set(
+      (1L, 1L, 1L, 0L, at(20)),
+      (2L, 0L, 0L, 0L, at(10))), m.toString)
+  }
+
   test("bindGroup: running value aggregates over (B C)+ repetitions") {
     val evs = Seq(
       (1L, at(0), "signup", 0.0), (1L, at(5), "b", 10.0), (1L, at(10), "c", 1.0),
