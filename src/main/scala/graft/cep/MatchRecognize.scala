@@ -234,38 +234,48 @@ object MatchRecognize {
   /** `PREV(V.col)` / `PREV(col)` (offset 1) — the SQL-standard spelling of
     * the one-row-back self-reference, the most-copied MATCH_RECOGNIZE shape
     * (MatchRecognizeITCase's `price < PREV(price)`): a textual alias of
-    * `LAST(V.col, 1)`, rewritten per DEFINE item before compilation. A bare
+    * `LAST(V.col, n)`, rewritten per DEFINE item before compilation. A bare
     * `PREV(col)` qualifies with the variable being defined, and a bare LHS
     * in the canonical `col < PREV(col)` comparison is qualified alongside so
-    * the self-reference detector sees `V.col < LAST(V.col, 1)`. Offsets
-    * other than 1 are rejected by name (a run carries ONE previous member). */
+    * the self-reference detector sees `V.col < LAST(V.col, n)`. Self
+    * offsets n >= 1 are supported (the run segmentation walks an n-back
+    * window — [[graft.cep.Pattern.followedByRun]]'s offset); a foreign
+    * variable has a single binding, so only offset 1 names it. */
   private def rewritePrev(v: String, body0: String): String = {
     import scala.util.matching.Regex.quoteReplacement
     val vq = java.util.regex.Pattern.quote(v)
     val PrevQual = "(?is)\\bPREV\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
     val PrevBare = "(?is)\\bPREV\\s*\\(\\s*(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
-    def checkN(n: Option[String], what: String): Unit =
+    // self-references support any offset n >= 1 (the run carries the whole
+    // n-back window through the segmentation scan); a foreign-variable PREV
+    // has a single binding and only offset 1 names it
+    def checkForeign(n: Option[String], what: String): Unit =
       require(n.forall(_ == "1"),
-        s"DEFINE $v: $what — only PREV offset 1 is supported")
+        s"DEFINE $v: $what — only PREV offset 1 is supported on a " +
+          "foreign variable")
     val selfCols = scala.collection.mutable.LinkedHashSet[String]()
     var out = PrevQual.replaceAllIn(body0, m => {
-      checkN(Option(m.group(3)), m.matched)
+      val n = Option(m.group(3)).getOrElse("1")
       if (m.group(1) == v) selfCols += m.group(2)
-      quoteReplacement(s"LAST(${m.group(1)}.${m.group(2)}, 1)")
+      else checkForeign(Option(m.group(3)), m.matched)
+      require(n.toInt >= 1, s"DEFINE $v: PREV offset must be >= 1 (got $n)")
+      quoteReplacement(s"LAST(${m.group(1)}.${m.group(2)}, $n)")
     })
     out = PrevBare.replaceAllIn(out, m => {
-      checkN(Option(m.group(2)), m.matched)
+      val n = Option(m.group(2)).getOrElse("1")
+      require(n.toInt >= 1, s"DEFINE $v: PREV offset must be >= 1 (got $n)")
       selfCols += m.group(1)
-      quoteReplacement(s"LAST($v.${m.group(1)}, 1)")
+      quoteReplacement(s"LAST($v.${m.group(1)}, $n)")
     })
     selfCols.foreach { c =>
-      // reversed operands — `PREV(c) > c` — normalized into the canonical
-      // `V.c < LAST(V.c, 1)` shape the self-run detector recognizes
-      val rev = (s"(?is)LAST\\s*\\(\\s*$vq\\.$c\\s*,\\s*1\\s*\\)\\s*" +
+      // reversed operands — `PREV(c, n) > c` — normalized into the
+      // canonical `V.c < LAST(V.c, n)` shape the self-run detector
+      // recognizes
+      val rev = (s"(?is)LAST\\s*\\(\\s*$vq\\.$c\\s*,\\s*(\\d+)\\s*\\)\\s*" +
         s"(<=|>=|<|>)\\s*(?:$vq\\.)?$c\\b").r
       val flip = Map("<" -> ">", ">" -> "<", "<=" -> ">=", ">=" -> "<=")
       out = rev.replaceAllIn(out,
-        m => quoteReplacement(s"$v.$c ${flip(m.group(1))} LAST($v.$c, 1)"))
+        m => quoteReplacement(s"$v.$c ${flip(m.group(2))} LAST($v.$c, ${m.group(1)})"))
       // canonical order with a bare LHS — qualify it for the detector
       val lhs = (s"(?is)(^|[^\\w.])($c\\s*(?:<=|>=|<|>)\\s*LAST\\s*\\(\\s*" +
         s"$vq\\.$c\\s*,)").r
@@ -277,25 +287,28 @@ object MatchRecognize {
     // this, compiledPred would hand Spark an aggregate-in-filter and fail
     // with an unrelated AnalysisException.
     selfCols.foreach { c =>
-      val nSelf = (s"(?is)\\bLAST\\s*\\(\\s*$vq\\.$c\\s*,\\s*1\\s*\\)").r
+      val nSelf = (s"(?is)\\bLAST\\s*\\(\\s*$vq\\.$c\\s*,\\s*\\d+\\s*\\)").r
         .findAllIn(out).size
       val nCanon = SelfLastRx.findAllMatchIn(out)
         .count(m => m.group(1) == v && m.group(2) == c)
       require(nSelf == nCanon,
-        s"DEFINE $v: PREV($c) must appear as `$c <,<=,>,>= PREV($c)` (either " +
-          s"operand order; or the LAST($v.$c, 1) spelling) — cannot compile '$body0'")
+        s"DEFINE $v: PREV($c[, n]) must appear as `$c <,<=,>,>= PREV($c[, n])` " +
+          s"(either operand order; or the LAST($v.$c, n) spelling) — cannot " +
+          s"compile '$body0'")
     }
     out
   }
 
   private val RefRx = "(\\w+)\\.(\\w+)".r
 
-  /** `V.col <op> LAST(V.col, 1)` — the self-referential run condition (the
-    * backreferences force the SAME variable and column inside LAST). */
+  /** `V.col <op> LAST(V.col, n)` — the self-referential run condition (the
+    * backreferences force the SAME variable and column inside LAST; group 4
+    * is the offset, the PREV(col, n) generalization). */
   private val SelfLastRx =
-    "(?is)(\\w+)\\.(\\w+)\\s*(<=|>=|<|>)\\s*LAST\\s*\\(\\s*\\1\\.\\2\\s*,\\s*1\\s*\\)".r
+    "(?is)(\\w+)\\.(\\w+)\\s*(<=|>=|<|>)\\s*LAST\\s*\\(\\s*\\1\\.\\2\\s*,\\s*(\\d+)\\s*\\)".r
 
-  private case class RunDef(colName: String, op: String, pre: Column) {
+  private case class RunDef(colName: String, op: String, pre: Column,
+                            offset: Int = 1) {
     def accept: (Column, Column) => Column = op match {
       case "<" => _ < _
       case ">" => _ > _
@@ -341,7 +354,7 @@ object MatchRecognize {
           val pre = if (plain.isEmpty) lit(true)
             else plain.map(c => expr(RefRx.replaceAllIn(c, mm =>
               quoteReplacement(if (mm.group(1) == v.name) mm.group(2) else mm.matched)))).reduce(_ && _)
-          v.name -> RunDef(m.group(2), m.group(3), pre)
+          v.name -> RunDef(m.group(2), m.group(3), pre, m.group(4).toInt)
         }
       }
     }.toMap
@@ -502,7 +515,7 @@ object MatchRecognize {
       if (selfRuns.contains(v.name)) {
         // the '+' quantifier is consumed by the run lowering itself
         val rd = selfRuns(v.name)
-        pat = pat.followedByRun(v.name, rd.pre, rd.colName, rd.accept)
+        pat = pat.followedByRun(v.name, rd.pre, rd.colName, rd.accept, rd.offset)
       } else if (v.seq.nonEmpty) {
         // sequence group (B C)+ / (B C)* — flink-cep GroupPattern under
         // oneOrMore[/optional] (the quantifier is validated at parse time);

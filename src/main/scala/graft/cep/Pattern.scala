@@ -33,7 +33,8 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       runAccept: Option[(Column, Column) => Column] = None,
                       group: Seq[(String, Column)] = Nil,
                       consec: Boolean = false,
-                      groupKeep: Seq[(String, String)] = Nil)
+                      groupKeep: Seq[(String, String)] = Nil,
+                      runOffset: Int = 1)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,
@@ -219,12 +220,24 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * on the key, no cross product, no per-NFA state. The streaming twin is
     * `graft.streaming.StreamOps.cepPatternRun` (the condition is causal on
     * streams — O(1) run state), with a batch/streaming parity spec. */
+  /** `offset` > 1 is the `PREV(col, n)` generalization (reference
+    * flink-cep IterativeCondition over `ctx.getEventsForPattern` at
+    * arbitrary depth, Calcite MATCH_RECOGNIZE `PREV(V.col, n)`): each run
+    * member after the first `offset` must satisfy `accept(current, member
+    * n back in the run)`; the first `offset` members are accepted on
+    * `pred` alone. Offset 1 keeps the pure window-lag segmentation; n > 1
+    * precomputes the lag-n accept declaratively and assigns run segments
+    * with a per-key linear scan (run restarts are a recursion no window
+    * expresses — the scan is the reference NFA's per-key order, parallel
+    * in the key space, O(members) per key). */
   def followedByRun(name: String, pred: Column, runOn: String,
-                    accept: (Column, Column) => Column): Pattern = {
+                    accept: (Column, Column) => Column,
+                    offset: Int = 1): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
     require(steps.nonEmpty, "followedByRun() follows a begin step")
+    require(offset >= 1, s"followedByRun offset must be >= 1 (got $offset)")
     new Pattern(steps :+ Step(name, pred, runOn = Some(runOn),
-      runAccept = Some(accept)), notStep, windowMs, skipPastLast, skipTo)
+      runAccept = Some(accept), runOffset = offset), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** CONSECUTIVE run contiguity — flink-cep `oneOrMore().consecutive()`
@@ -487,15 +500,65 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val acc = s.runAccept.get
         val ww = org.apache.spark.sql.expressions.Window
           .partitionBy(col("__rk")).orderBy(col("__rts"), col("__rv"))
-        val candSeg = events.filter(s.pred)
+        val base = events.filter(s.pred)
           .select((key.as("__rk") +: ts.as("__rts") +: col(vcol).as("__rv") +:
             s.keep.map(c => col(c).as(s"__rm_$c"))): _*)
-          .withColumn("__pv", lag(col("__rv"), 1).over(ww))
-          .withColumn("__viol",
-            when(col("__pv").isNull || !acc(col("__rv"), col("__pv")), 1L).otherwise(0L))
-          .withColumn("__seg", sum(col("__viol"))
-            .over(ww.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-          .drop("__pv", "__viol")
+        val candSeg = if (s.runOffset == 1) {
+          base
+            .withColumn("__pv", lag(col("__rv"), 1).over(ww))
+            .withColumn("__viol",
+              when(col("__pv").isNull || !acc(col("__rv"), col("__pv")), 1L).otherwise(0L))
+            .withColumn("__seg", sum(col("__viol"))
+              .over(ww.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+            .drop("__pv", "__viol")
+        } else {
+          // PREV(col, n), n > 1: the accept-vs-n-back comparison is still
+          // declarative (one lag(n) window — runs are contiguous candidate
+          // segments, so the run-relative n-back IS the global n-back
+          // whenever the run already holds >= n members), but run RESTARTS
+          // are a recursion no window expresses: a per-key linear scan
+          // assigns segment ids — the reference NFA's per-key sequential
+          // order, parallel in the key space, O(members) per key, with
+          // only the pre-reduced candidate rows in memory
+          val n = s.runOffset
+          val okd = base
+            .withColumn("__pvN", lag(col("__rv"), n).over(ww))
+            .withColumn("__okN",
+              when(col("__pvN").isNotNull && acc(col("__rv"), col("__pvN")), true)
+                .otherwise(false))
+            .drop("__pvN")
+          val bSchema = okd.schema
+          val outSchema = org.apache.spark.sql.types.StructType(
+            bSchema.fields.filterNot(_.name == "__okN") :+
+              org.apache.spark.sql.types.StructField("__seg",
+                org.apache.spark.sql.types.LongType))
+          val tsIdx = bSchema.fieldIndex("__rts")
+          val rvIdx = bSchema.fieldIndex("__rv")
+          val okIdx = bSchema.fieldIndex("__okN")
+          val strEnc = org.apache.spark.sql.Encoders.STRING
+          okd.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
+            .flatMapGroups { (_, it) =>
+              val rows = it.toArray
+              // (ts, value) order — the same ordering as the lag window
+              java.util.Arrays.sort(rows, new java.util.Comparator[org.apache.spark.sql.Row] {
+                def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+                  val c1 = a.getTimestamp(tsIdx).compareTo(b.getTimestamp(tsIdx))
+                  if (c1 != 0) c1
+                  else (a.get(rvIdx), b.get(rvIdx)) match {
+                    case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
+                    case _ => 0
+                  }
+                }
+              })
+              var start = 0
+              rows.iterator.zipWithIndex.map { case (r, i) =>
+                if (i > 0 && i - start >= n && !r.getBoolean(okIdx)) start = i
+                org.apache.spark.sql.Row.fromSeq(
+                  r.toSeq.patch(okIdx, Nil, 1) :+ start.toLong)
+              }
+            }(org.apache.spark.sql.Encoders.row(outSchema))
+            .toDF()
+        }
         // binding = min candidate ts (HASH agg — a struct-min would fall to
         // SortAggregate and sort the whole in-window join output), then the
         // segment id from a tiny per-(key, ts) min-seg table. Equal-ts

@@ -1389,6 +1389,68 @@ object WindowQueries {
       |FROM m2 JOIN cv ON cv.user_id = m2.user_id AND cv.ts >= first_ts AND cv.ts < p_ts
       |GROUP BY 1, 2, 3, 9""".stripMargin
 
+  // --- m22: `PREV(col, n)` with n > 1 (Calcite MATCH_RECOGNIZE arbitrary
+  // PREV offsets; flink-cep IterativeCondition at depth): each D member
+  // after the first TWO must be below the member two back in the run; the
+  // first two members are accepted on the pre-filter alone. Engine: the
+  // accept-vs-2-back comparison stays a declarative lag(2) window; run
+  // RESTARTS are assigned by a per-key linear scan (a recursion no window
+  // expresses). Oracle: the identical walk as a recursive CTE over
+  // row-numbered candidates.
+  private val m22: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(D.ts) AS first_down_ts,
+        |           LAST(D.ts) AS last_down_ts, COUNT(D.ts) AS n_down,
+        |           FIRST(D.value) AS first_down_value,
+        |           LAST(D.value) AS last_down_value, U.ts AS purchase_ts
+        |  PATTERN (S D+ U)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         D AS value < PREV(value, 2) AND D.event_type = 'click',
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m22Sql =
+    """WITH RECURSIVE
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value,
+      |       row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn,
+      |       lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, value) AS pv2
+      |      FROM events WHERE event_type='click'),
+      |ok AS (SELECT user_id, ts, value, rn,
+      |        (pv2 IS NOT NULL AND value < pv2) AS okn FROM c),
+      |walk AS (
+      |  SELECT user_id, rn, ts, value, CAST(1 AS BIGINT) AS seg
+      |  FROM ok WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.rn, o.ts, o.value,
+      |         CASE WHEN o.rn - w.seg < 2 THEN w.seg
+      |              WHEN o.okn THEN w.seg ELSE CAST(o.rn AS BIGINT) END
+      |  FROM walk w JOIN ok o ON o.user_id = w.user_id AND o.rn = w.rn + 1),
+      |seg AS (SELECT user_id, ts, value, seg FROM walk),
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts,
+      |         struct_extract(min({'t': g.ts, 'v': g.value, 'g': g.seg}), 't') AS d1_ts,
+      |         struct_extract(min({'t': g.ts, 'v': g.value, 'g': g.seg}), 'g') AS d_seg
+      |       FROM s JOIN seg g ON g.user_id = s.user_id AND g.ts > s.ts
+      |                        AND g.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, s_ts, d1_ts,
+      |         max(g.ts) AS dlast_ts, count(*) AS n_down,
+      |         struct_extract(min({'t': g.ts, 'v': g.value}), 'v') AS first_v,
+      |         struct_extract(max({'t': g.ts, 'v': g.value}), 'v') AS last_v
+      |       FROM m1 JOIN seg g ON g.user_id = m1.user_id AND g.seg = m1.d_seg
+      |                         AND g.ts >= d1_ts AND g.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3)
+      |SELECT m2.user_id, s_ts AS signup_ts, d1_ts AS first_down_ts,
+      |       dlast_ts AS last_down_ts, n_down, first_v AS first_down_value,
+      |       last_v AS last_down_value, min(p.ts) AS purchase_ts
+      |FROM m2 JOIN p ON p.user_id = m2.user_id AND p.ts > dlast_ts
+      |               AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -1409,7 +1471,7 @@ object WindowQueries {
     "m15_match_skip_to" -> m15, "m16_group_sql" -> m16,
     "m17_group_star" -> m17, "m18_match_avg" -> m18,
     "m19_group_values" -> m19, "m20_order_tiebreak" -> m20,
-    "m21_alt_group" -> m21)
+    "m21_alt_group" -> m21, "m22_prev_offset" -> m22)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1433,5 +1495,5 @@ object WindowQueries {
     "m14_match_prev" -> m14Sql, "m16_group_sql" -> m16Sql,
     "m17_group_star" -> m17Sql, "m18_match_avg" -> m18Sql,
     "m19_group_values" -> m19Sql, "m20_order_tiebreak" -> m20Sql,
-    "m21_alt_group" -> m21Sql)
+    "m21_alt_group" -> m21Sql, "m22_prev_offset" -> m22Sql)
 }

@@ -520,10 +520,11 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       (1L, at(0), at(5), at(15), 3L, at(25)),
       (2L, at(0), at(5), at(5), 1L, at(10))),
       s"last=$viaLast qual=$viaPrevQual bare=$viaPrevBare")
-    // offsets other than 1 are a named error, not a silent miscompile
+    // self offsets n > 1 are supported (see the PREV(col, 2) spec); a
+    // FOREIGN variable has one binding, so offsets > 1 on it stay named
     val ex = intercept[IllegalArgumentException](
-      query("D.value < PREV(D.value, 2) AND D.event_type = 'click'"))
-    assert(ex.getMessage.contains("only PREV offset 1"), ex.getMessage)
+      query("D.value < PREV(S.value, 2) AND D.event_type = 'click'"))
+    assert(ex.getMessage.contains("foreign variable"), ex.getMessage)
     // reversed operands are the same condition and must agree
     val viaRevBare = query("PREV(value) > value AND D.event_type = 'click'")
     val viaRevQual = query("PREV(D.value) > D.value AND D.event_type = 'click'")
@@ -691,6 +692,37 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     // user 1 binds both purchases (15, 25); user 2 only one (60) — the
     // unbound tail expansion contributes null, coalesced away
     assert(m == Set((1L, at(0), 25.0, 40.0, 2L), (2L, at(0), 60.0, 60.0, 1L)))
+  }
+
+  test("PREV(col, 2): run members compare against the member two back") {
+    // values 10, 9, 12, 11, 8 — first two free, 12 !< 10 restarts the run,
+    // giving segments [10, 9] and [12, 11, 8]; the anchor binds the first
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 10.0),
+      (1L, at(10), "click", 9.0), (1L, at(15), "click", 12.0),
+      (1L, at(20), "click", 11.0), (1L, at(25), "click", 8.0),
+      (1L, at(30), "purchase", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    def run(define: String) = MatchRecognize.detect(evs,
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES FIRST(D.ts) AS d1, LAST(D.ts) AS dl, COUNT(D.ts) AS n,
+         |           FIRST(D.value) AS v1, LAST(D.value) AS vl, U.ts AS u_ts
+         |  PATTERN (S D+ U)
+         |  WITHIN INTERVAL '1' HOUR
+         |  DEFINE S AS event_type = 'signup',
+         |         D AS $define,
+         |         U AS event_type = 'purchase'
+         |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Long, Double, Double, Timestamp)]
+      .collect().toSet
+    val want = Set((1L, at(5), at(10), 2L, 10.0, 9.0, at(30)))
+    // all spellings: PREV with offset, reversed operands, explicit LAST
+    val a = run("value < PREV(value, 2) AND D.event_type = 'click'")
+    val b = run("PREV(value, 2) > value AND D.event_type = 'click'")
+    val c = run("D.value < LAST(D.value, 2) AND D.event_type = 'click'")
+    assert(a == want, a.toString)
+    assert(b == a && c == a, s"b=$b c=$c")
   }
 
   test("ORDER BY tiebreak: equal-ts candidates bind by the secondary column") {
