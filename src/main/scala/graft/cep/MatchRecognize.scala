@@ -595,7 +595,7 @@ object MatchRecognize {
         case _ => (1, 1)
       })
     }.toMap
-    if (spec.allRows) allRowsOutput(spec, matches, bounds)
+    if (spec.allRows) allRowsOutput(spec, matches, bounds, events, keyCol, selfRuns, compiled)
     else if (spec.measures.isEmpty) matches
     else {
       val quantOf: Map[String, Option[String]] = spec.vars.map(v => v.name -> v.quant).toMap
@@ -756,15 +756,30 @@ object MatchRecognize {
     * the row bound to (the CLASSIFIER() analog), the event's `ts`, and each
     * measure with RUNNING semantics: its value as of this row — null before
     * the referenced variable binds, the running fold over the occurrences
-    * bound so far for FIRST/LAST/SUM (COUNT runs from 0). The expansion is
-    * static (positions are known at compile time), so the explode is one
-    * narrow generator over the ONE-ROW match output — no extra join or
-    * shuffle. '+'/'*' runs aggregate their members rather than materialize
-    * them, so they cannot be exploded — named error. */
+    * bound so far for FIRST/LAST/SUM (COUNT runs from 0). The static
+    * expansions (positions known at compile time) explode as one narrow
+    * generator over the ONE-ROW match output — no extra join or shuffle.
+    *
+    * ONE '+'/'*' run variable is expandable ([[allRowsRun]]): its member
+    * rows come from one keyed equi-join of the match table back onto the
+    * run's candidates over [first_ts, last_ts] (members ARE the pred
+    * candidates in that span — runs are contiguous candidate segments),
+    * with running measures as one window over each match's members.
+    * Alternation/sequence-group runs and multiple runs stay named errors. */
   private def allRowsOutput(spec: Spec, matches0: DataFrame,
-                            bounds: Map[String, (Int, Int)]): DataFrame = {
-    spec.vars.foreach(v => require(!v.quant.exists(q => q == "+" || q == "*"),
-      s"ALL ROWS PER MATCH cannot expand the '+'/'*' run variable ${v.name}"))
+                            bounds: Map[String, (Int, Int)],
+                            events: DataFrame, keyCol: Column,
+                            selfRuns: Map[String, RunDef],
+                            compiled: Map[String, (Column, Option[Column], Seq[(String, String)])]): DataFrame = {
+    val runVs = spec.vars.filter(v => v.quant.exists(q => q == "+" || q == "*"))
+    runVs.foreach(v => require(v.alts.isEmpty && v.seq.isEmpty,
+      s"ALL ROWS PER MATCH cannot expand the alternation/sequence-group " +
+        s"run ${v.name} (members are aggregated, not materialized)"))
+    require(runVs.size <= 1,
+      "ALL ROWS PER MATCH supports at most one '+'/'*' run variable")
+    if (runVs.nonEmpty)
+      return allRowsRun(spec, matches0, bounds, events, keyCol, selfRuns,
+        compiled, runVs.head)
     // MATCH_NUMBER() is constant across a match's rows (SQL 2016: the
     // ordinal of the match within its partition): computed on the ONE-ROW
     // match table before the explode, so every exploded row inherits it
@@ -835,6 +850,148 @@ object MatchRecognize {
     matches.select(keyOut(spec) :+ explode(array(structs: _*)).as("__r"): _*)
       .filter(col("__r.ts").isNotNull) // skipped optional expansions emit no row
       .select(spec.partitionBy.map(col) ++ rowCols.map(n => col(s"__r.$n").as(n)): _*)
+  }
+
+  /** [[allRowsOutput]]'s run expansion — ALL ROWS with one '+'/'*' run
+    * variable: static rows explode as usual; the run's MEMBER rows come
+    * from one keyed equi-join of the match table back onto the run's
+    * candidates over [first_ts, last_ts] (runs are contiguous candidate
+    * segments, so the span's pred-candidates ARE the members — the same
+    * argument that makes the lag segmentation correct), and running
+    * measures are one window over each match's members, partitioned on a
+    * per-match id (the id orders nothing in the output and never leaves
+    * the plan). Shuffles: the member join is keyed on the partition key;
+    * the running window partitions on the match id — no global sort. */
+  private def allRowsRun(spec: Spec, matches0: DataFrame,
+                         bounds: Map[String, (Int, Int)],
+                         events: DataFrame, keyCol: Column,
+                         selfRuns: Map[String, RunDef],
+                         compiled: Map[String, (Column, Option[Column], Seq[(String, String)])],
+                         r: PatternVar): DataFrame = {
+    val rn = r.name
+    val rIdx = spec.vars.indexWhere(_.name == rn)
+    val mnAliases = spec.measures.filter(_.fn.contains("MATCH_NUMBER")).map(_.alias)
+    val withMn = if (mnAliases.isEmpty) matches0 else {
+      val mnWindow = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(matches0.columns.filter(_.endsWith("_ts")).map(col).toIndexedSeq: _*)
+      mnAliases.foldLeft(matches0)((df, a) =>
+        df.withColumn(s"__mn_$a", row_number().over(mnWindow).cast("long")))
+    }
+    val matches = withMn.withColumn("__mid", monotonically_increasing_id())
+    def srcCol(v: String, i: Int, field: String): String =
+      if (bounds(v)._2 == 1) s"${v}_$field" else s"${v}_${i}_$field"
+    def nullOf(src: String): Column = when(lit(false), col(src))
+    // linear unit list: one unit per static expansion, the run as one block
+    val units: Seq[(String, Int)] = spec.vars.flatMap { v =>
+      if (v.name == rn) Seq((rn, 0))
+      else (1 to bounds(v.name)._2).map(i => (v.name, i))
+    }
+    val runU = units.indexWhere(_._1 == rn)
+    def runAggCol(m: Measure, visible: Boolean): Column =
+      if (m.field == "ts") m.fn match {
+        case Some("FIRST") => if (visible) col(s"${rn}_first_ts") else nullOf(s"${rn}_first_ts")
+        case Some("LAST") => if (visible) col(s"${rn}_last_ts") else nullOf(s"${rn}_last_ts")
+        case Some("COUNT") => if (visible) col(s"${rn}_n") else lit(0L)
+        case other => sys.error(s"only FIRST/LAST/COUNT over run variable " +
+          s"$rn's timestamps (got ${other.getOrElse("a bare reference")})")
+      } else m.fn match {
+        case Some("SUM") => if (visible) col(s"${rn}_sum_${m.field}") else nullOf(s"${rn}_sum_${m.field}")
+        case Some("AVG") =>
+          if (visible) col(s"${rn}_sum_${m.field}") / col(s"${rn}_n")
+          else nullOf(s"${rn}_sum_${m.field}")
+        case Some("MIN") => if (visible) col(s"${rn}_min_${m.field}") else nullOf(s"${rn}_min_${m.field}")
+        case Some("MAX") => if (visible) col(s"${rn}_max_${m.field}") else nullOf(s"${rn}_max_${m.field}")
+        case Some("FIRST") => if (visible) col(s"${rn}_first_${m.field}") else nullOf(s"${rn}_first_${m.field}")
+        case Some("LAST") => if (visible) col(s"${rn}_last_${m.field}") else nullOf(s"${rn}_last_${m.field}")
+        case Some("COUNT") => if (visible) col(s"${rn}_n") else lit(0L)
+        case other => sys.error(s"$rn is a run variable — use " +
+          s"FIRST/LAST/SUM/COUNT/MIN/MAX/AVG (got ${other.getOrElse("a bare reference")})")
+      }
+    // measure value at static unit u (RUNNING: includes the unit itself)
+    def measureAt(m: Measure, u: Int): Column = {
+      if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
+      if (m.fn.contains("CLASSIFIER")) return lit(units(u)._1)
+      if (m.varName == rn) return runAggCol(m, visible = runU < u)
+      val (_, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
+      val visible = (1 to mx).filter(i => units.indexOf((m.varName, i)) <= u)
+      val srcs = visible.map(i => srcCol(m.varName, i, m.field))
+      val first = srcCol(m.varName, 1, m.field)
+      m.fn match {
+        case None =>
+          require(mx == 1, s"${m.varName} is quantified — use FIRST/LAST/SUM/COUNT")
+          if (visible.nonEmpty) col(srcs.head) else nullOf(first)
+        case Some("FIRST") => if (visible.nonEmpty) col(srcs.head) else nullOf(first)
+        case Some("LAST") =>
+          if (visible.isEmpty) nullOf(first) else coalesce(srcs.reverse.map(col): _*)
+        case Some("SUM") =>
+          if (visible.isEmpty) nullOf(first)
+          else srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0)))
+        case Some("AVG") =>
+          if (visible.isEmpty) nullOf(first)
+          else srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0))) /
+            srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        case Some("MIN") =>
+          if (visible.isEmpty) nullOf(first)
+          else if (srcs.size == 1) col(srcs.head) else least(srcs.map(col): _*)
+        case Some("MAX") =>
+          if (visible.isEmpty) nullOf(first)
+          else if (srcs.size == 1) col(srcs.head) else greatest(srcs.map(col): _*)
+        case Some("COUNT") =>
+          if (visible.isEmpty) lit(0L)
+          else srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        case Some(f) => sys.error(s"unsupported measure function $f")
+      }
+    }
+    val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
+    val structs = units.zipWithIndex.filter(_._1._1 != rn).map { case ((vn, i), u) =>
+      struct((lit(vn).as("cls") +: col(srcCol(vn, i, "ts")).as("ts") +:
+        spec.measures.map(m => measureAt(m, u).as(m.alias))): _*)
+    }
+    val staticDf = matches
+      .select(keyOut(spec) :+ explode(array(structs: _*)).as("__r"): _*)
+      .filter(col("__r.ts").isNotNull)
+      .select(spec.partitionBy.map(col) ++ rowCols.map(n => col(s"__r.$n").as(n)): _*)
+    // member rows: candidates of the run's pre-filter over the bound span
+    val runPre: Column =
+      if (selfRuns.contains(rn)) selfRuns(rn).pre else compiled(rn)._1
+    val valFields = spec.measures
+      .filter(m => m.varName == rn && m.field != "ts").map(_.field).distinct
+    val memEv = events.filter(runPre).select(
+      (keyCol.as("__mk") +: col(spec.orderBy).as("__mts") +:
+        valFields.map(f => col(f).as(s"__mf_$f"))): _*)
+    val mjoin = matches.join(memEv, col("key") === col("__mk") &&
+      col("__mts") >= col(s"${rn}_first_ts") &&
+      col("__mts") <= col(s"${rn}_last_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__mid")).orderBy(col("__mts"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def memberMeasure(m: Measure): Column = {
+      if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
+      if (m.fn.contains("CLASSIFIER")) return lit(rn)
+      if (m.varName != rn) return measureAt(m, runU)
+      if (m.field == "ts") m.fn match {
+        case Some("FIRST") => col(s"${rn}_first_ts")
+        case Some("LAST") => col("__mts") // running last = this member
+        case Some("COUNT") => count(lit(1)).over(w)
+        case other => sys.error(s"only FIRST/LAST/COUNT over run variable " +
+          s"$rn's timestamps (got ${other.getOrElse("a bare reference")})")
+      } else m.fn match {
+        case Some("SUM") => sum(col(s"__mf_${m.field}")).over(w)
+        case Some("AVG") => sum(col(s"__mf_${m.field}")).over(w) / count(lit(1)).over(w)
+        case Some("MIN") => min(col(s"__mf_${m.field}")).over(w)
+        case Some("MAX") => max(col(s"__mf_${m.field}")).over(w)
+        case Some("FIRST") => first(col(s"__mf_${m.field}")).over(w)
+        case Some("LAST") => col(s"__mf_${m.field}")
+        case Some("COUNT") => count(lit(1)).over(w)
+        case other => sys.error(s"$rn is a run variable — use " +
+          s"FIRST/LAST/SUM/COUNT/MIN/MAX/AVG (got ${other.getOrElse("a bare reference")})")
+      }
+    }
+    val memberDf = mjoin.select(keyOut(spec) ++
+      (lit(rn).as("cls") +: col("__mts").as("ts") +:
+        spec.measures.map(m => memberMeasure(m).as(m.alias))): _*)
+    staticDf.unionByName(memberDf)
   }
 
   /** The partition columns of the output: detect's single `key` column,

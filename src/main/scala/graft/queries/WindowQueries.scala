@@ -1451,6 +1451,59 @@ object WindowQueries {
       |               AND p.ts <= s_ts + INTERVAL 24 HOURS
       |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
 
+  // --- m23: ALL ROWS PER MATCH over a '+' RUN (reference StreamExecMatch
+  // per-row emission over looping states): one row per matched event
+  // including every run MEMBER, measures RUNNING as of each row. Engine:
+  // member rows are one keyed join of the match table back onto the run's
+  // candidates over [first_ts, last_ts]; running sums are one window per
+  // match. Oracle: the m18-style run replay exploded to rows with window
+  // running aggregates.
+  private val m23: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(D.ts) AS n_so_far,
+        |           SUM(D.value) AS sum_so_far, LAST(D.value) AS last_value
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S D+ U)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', D AS event_type = 'click',
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin)
+      .withColumn("sum_so_far", round(col("sum_so_far"), 4))
+  private val m23Sql =
+    """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS first_c
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, s_ts, first_c, min(p.ts) AS p_ts
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > first_c
+      |                     AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3),
+      |mem AS (SELECT m2.user_id, m2.s_ts, m2.p_ts, c.ts AS d_ts, c.value AS d_v,
+      |         count(*) OVER w AS n_run, sum(c.value) OVER w AS sum_run
+      |        FROM m2 JOIN c ON c.user_id = m2.user_id
+      |                      AND c.ts >= m2.first_c AND c.ts < m2.p_ts
+      |        WINDOW w AS (PARTITION BY m2.user_id, m2.s_ts ORDER BY c.ts
+      |                     ROWS UNBOUNDED PRECEDING)),
+      |tot AS (SELECT user_id, s_ts, p_ts, max(n_run) AS n_all,
+      |         struct_extract(max({'t': d_ts, 's': sum_run}), 's') AS sum_all,
+      |         struct_extract(max({'t': d_ts, 'v': d_v}), 'v') AS last_all
+      |        FROM mem GROUP BY 1, 2, 3)
+      |SELECT user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
+      |       CAST(0 AS BIGINT) AS n_so_far, CAST(NULL AS DOUBLE) AS sum_so_far,
+      |       CAST(NULL AS DOUBLE) AS last_value
+      |FROM m2
+      |UNION ALL
+      |SELECT user_id, 'D', d_ts, s_ts, n_run, round(sum_run, 4), d_v FROM mem
+      |UNION ALL
+      |SELECT user_id, 'U', p_ts, s_ts, n_all, round(sum_all, 4), last_all
+      |FROM tot""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -1471,7 +1524,8 @@ object WindowQueries {
     "m15_match_skip_to" -> m15, "m16_group_sql" -> m16,
     "m17_group_star" -> m17, "m18_match_avg" -> m18,
     "m19_group_values" -> m19, "m20_order_tiebreak" -> m20,
-    "m21_alt_group" -> m21, "m22_prev_offset" -> m22)
+    "m21_alt_group" -> m21, "m22_prev_offset" -> m22,
+    "m23_all_rows_run" -> m23)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1495,5 +1549,6 @@ object WindowQueries {
     "m14_match_prev" -> m14Sql, "m16_group_sql" -> m16Sql,
     "m17_group_star" -> m17Sql, "m18_match_avg" -> m18Sql,
     "m19_group_values" -> m19Sql, "m20_order_tiebreak" -> m20Sql,
-    "m21_alt_group" -> m21Sql, "m22_prev_offset" -> m22Sql)
+    "m21_alt_group" -> m21Sql, "m22_prev_offset" -> m22Sql,
+    "m23_all_rows_run" -> m23Sql)
 }

@@ -313,17 +313,19 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     // user 1's P binds (purchase@30) and no click follows it -> no match;
     // user 2 has no purchase, P is skipped and emits NO row
     assert(opt == Set((2L, "S", at(0), at(0)), (2L, "C", at(5), at(0))))
-    // runs cannot be exploded: named error
+    // ONE '+'/'*' run is expandable (see the dedicated '+'-run ALL ROWS
+    // spec); a second run stays a named error
     val ex = intercept[IllegalArgumentException](MatchRecognize.detect(valued,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES S.ts AS s_ts
         |  ALL ROWS PER MATCH
-        |  PATTERN (S C+)
+        |  PATTERN (S C+ P+)
         |  WITHIN INTERVAL '1' HOUR
-        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click'
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
         |)""".stripMargin))
-    assert(ex.getMessage.contains("cannot expand"))
+    assert(ex.getMessage.contains("at most one"))
   }
 
   test("run value measures: SUM/MIN/MAX/FIRST/LAST of a bound column over '+'") {
@@ -723,6 +725,33 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     val c = run("D.value < LAST(D.value, 2) AND D.event_type = 'click'")
     assert(a == want, a.toString)
     assert(b == a && c == a, s"b=$b c=$c")
+  }
+
+  test("ALL ROWS PER MATCH expands a '+' run's members with running measures") {
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 10.0),
+      (1L, at(10), "click", 20.0), (1L, at(15), "purchase", 0.0),
+      // user 2: no click — no match, no rows
+      (2L, at(0), "signup", 0.0), (2L, at(15), "purchase", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(D.ts) AS n_d, SUM(D.value) AS sum_d,
+        |           LAST(D.value) AS last_d
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S D+ U)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', D AS event_type = 'click',
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, String, Timestamp, Timestamp, Long, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(m == Set(
+      (1L, "S", at(0), at(0), 0L, None, None),
+      (1L, "D", at(5), at(0), 1L, Some(10.0), Some(10.0)),
+      (1L, "D", at(10), at(0), 2L, Some(30.0), Some(20.0)),
+      (1L, "U", at(15), at(0), 2L, Some(30.0), Some(20.0))), m.toString)
   }
 
   test("ORDER BY tiebreak: equal-ts candidates bind by the secondary column") {
