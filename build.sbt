@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// ScaleSmokeSpec (tagged graft.SlowTest) builds a ~10x corpus and times the
+// heavy queries — minutes, not seconds. Excluded from the default `sbt test`;
+// run it explicitly with the exclusion cleared:
+//   sbt 'set Test/testOptions := Seq()' 'testOnly graft.ScaleSmokeSpec'
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")
 run / fork := true
 // Forked run output passes through raw (no "[info] " logger prefix) so the
 // driver can parse Bench's single JSON result line from stdout.
