@@ -65,10 +65,13 @@ case class IterMatch(user_id: Long, step_ts: Seq[Timestamp], step_value: Seq[Dou
 // oneOrMore runs carry only first/last/count plus running value aggregates
 // (sum/min/max and the first/last member's value — the batch bindRun
 // columns) — O(1) state per partial
+// bCounts: per-branch member counts for a quantified ALTERNATION run
+// ((B|C)+ — each member counted under its first matching branch)
 case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
                       runN: Long, sumVal: Double = 0.0, minVal: Double = 0.0,
                       maxVal: Double = 0.0, firstVal: Double = 0.0,
-                      lastVal: Double = 0.0, stopped: Boolean = false)
+                      lastVal: Double = 0.0, stopped: Boolean = false,
+                      bCounts: List[Long] = Nil)
 // a held EMPTY-run candidate (zeroOrMore): the earliest close-event seen
 // while no run member existed — valid only if no member EVER arrives in the
 // window, so it emits at window expiry and is invalidated by a run start
@@ -86,11 +89,19 @@ case class RunAcc(partials: List[RunPartial], emptyPending: List[EmptyRun] = Nil
 // self-referential runs additionally carry the run's last accepted value
 // (the LAST(D.value, 1) the accept condition compares against), the run's
 // first value, a done flag (first violation closes the run), and the
-// earliest pending close-event ts (-1 = none) held while the run is open
+// earliest pending close-event ts (-1 = none) held while the run is open.
+// segId: for PREV(col, n>1) runs, the key-global segment the run bound —
+// the n-back window spans the whole SEGMENT (which can start before the
+// run's first member), so segmentation state lives on the key (VRunAcc),
+// not the partial
 case class VRunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
                        runN: Long, firstVal: Double, lastVal: Double,
-                       done: Boolean, pendingUMs: Long)
-case class VRunAcc(partials: List[VRunPartial], buf: List[BufEv] = Nil)
+                       done: Boolean, pendingUMs: Long, segId: Long = -1L)
+// segLen/recent: the key-global candidate segmentation for offset-n runs
+// (current segment id, its length, the last n candidate values newest-first)
+case class VRunAcc(partials: List[VRunPartial], buf: List[BufEv] = Nil,
+                   segId: Long = 0L, segLen: Long = 0L,
+                   recent: List[Double] = Nil)
 case class VRunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                      run_last_ts: Timestamp, run_n: Long, run_first_value: Double,
                      run_last_value: Double, last_ts: Timestamp)
@@ -102,7 +113,8 @@ case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                     run_min_value: Option[Double] = None,
                     run_max_value: Option[Double] = None,
                     run_first_value: Option[Double] = None,
-                    run_last_value: Option[Double] = None)
+                    run_last_value: Option[Double] = None,
+                    branch_counts: Seq[Long] = Nil)
 // group-pattern (sub)+ partials: the greedy repetition chain is causal in
 // event-time order (events are watermark-finalized before processing, see
 // BufEv), so state is O(1) per partial — current sub-step index + the
@@ -112,13 +124,25 @@ case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
 // emptyUMs: under allowEmpty ((sub)*), the earliest close event seen while
 // NO repetition has completed — valid only if none EVER completes in the
 // window (any completion kills it), emitted at window expiry
+// curRepVal / sum..lastVal: running value aggregates of ONE designated
+// sub-step's bound value across COMPLETED repetitions (the batch
+// bindGroup twin) — the in-progress repetition's value folds in only when
+// the repetition completes
 case class GrpPartial(firstMs: Long, gFirstMs: Long, lastRepEndMs: Long,
                       reps: Long, subIdx: Int, curRepStartMs: Long,
                       curRepLastMs: Long, pendingUMs: Long,
-                      emptyUMs: Long = -1L)
+                      emptyUMs: Long = -1L, curRepVal: Double = 0.0,
+                      sumVal: Double = 0.0, minVal: Double = 0.0,
+                      maxVal: Double = 0.0, firstVal: Double = 0.0,
+                      lastVal: Double = 0.0)
 case class GrpAcc(partials: List[GrpPartial], buf: List[BufEv] = Nil)
 case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
-                    rep_last_ts: Timestamp, rep_n: Long, last_ts: Timestamp)
+                    rep_last_ts: Timestamp, rep_n: Long, last_ts: Timestamp,
+                    rep_sum_value: Option[Double] = None,
+                    rep_min_value: Option[Double] = None,
+                    rep_max_value: Option[Double] = None,
+                    rep_first_value: Option[Double] = None,
+                    rep_last_value: Option[Double] = None)
 case class TjTagged(user_id: Long, ts: Timestamp, side: String,
                     event_type: String, value: Double)
 case class TjFact(tsMs: Long, event_type: String, value: Double)
@@ -1153,9 +1177,15 @@ object StreamOps {
                           maxPartials: Int = 256,
                           untilPred: Option[Event => Boolean] = None,
                           allowEmpty: Boolean = false,
-                          consecutive: Boolean = false): Dataset[RunMatch] = {
+                          consecutive: Boolean = false,
+                          branchPreds: Seq[Event => Boolean] = Nil): Dataset[RunMatch] = {
     require(!(consecutive && (untilPred.nonEmpty || allowEmpty)),
       "consecutive excludes until/allowEmpty (the batch consecutive() surface)")
+    // branchPreds: the quantified-alternation twin ((B|C)+ — batch
+    // followedByOneOf().oneOrMore()): each member counts once, under its
+    // first matching branch, emitted as branch_counts in pattern order
+    require(branchPreds.isEmpty || !consecutive,
+      "branch counts compose with the plain run path only")
     implicit val outEnc = Encoders.product[RunMatch]
     implicit val accEnc = Encoders.product[RunAcc]
     implicit val keyEnc = Encoders.scalaLong
@@ -1208,13 +1238,20 @@ object StreamOps {
             }
           else sorted.foreach { e =>
             val t = e.ts.getTime
+            // one-hot branch increment: first matching branch in order
+            def bInc(cur: List[Long]): List[Long] = {
+              val base = if (cur.isEmpty) List.fill(branchPreds.size)(0L) else cur
+              val hit = branchPreds.indexWhere(_(e))
+              if (hit < 0) base else base.updated(hit, base(hit) + 1L)
+            }
             partials = partials.flatMap { p =>
               if (t > p.firstMs + withinMs) None // window expired
               else if (lastPred(e) && p.runFirstMs >= 0 && t > p.runFirstMs) {
                 out += RunMatch(userId, new Timestamp(p.firstMs),
                   new Timestamp(p.runFirstMs), new Timestamp(p.runLastMs),
                   p.runN, new Timestamp(t), Some(p.sumVal), Some(p.minVal),
-                  Some(p.maxVal), Some(p.firstVal), Some(p.lastVal))
+                  Some(p.maxVal), Some(p.firstVal), Some(p.lastVal),
+                  if (branchPreds.isEmpty) Nil else p.bCounts)
                 None // completed
               } else if (lastPred(e) && p.runFirstMs < 0 && allowEmpty && t > p.firstMs) {
                 // hold the EARLIEST empty-run close; a run start invalidates
@@ -1231,7 +1268,8 @@ object StreamOps {
                   emptyPending = emptyPending.filterNot(_.firstMs == p.firstMs)
                   Some(p.copy(runFirstMs = t, runLastMs = t, runN = 1,
                     sumVal = e.value, minVal = e.value, maxVal = e.value,
-                    firstVal = e.value, lastVal = e.value))
+                    firstVal = e.value, lastVal = e.value,
+                    bCounts = bInc(Nil)))
                 } else
                   // equal-ts members arrive value-ascending (the sort order),
                   // so overwriting lastVal on t >= runLast reproduces the
@@ -1241,7 +1279,8 @@ object StreamOps {
                     sumVal = p.sumVal + e.value,
                     minVal = math.min(p.minVal, e.value),
                     maxVal = math.max(p.maxVal, e.value),
-                    lastVal = if (t >= p.runLastMs) e.value else p.lastVal))
+                    lastVal = if (t >= p.runLastMs) e.value else p.lastVal,
+                    bCounts = bInc(p.bCounts)))
               } else Some(p)
             }
             if (firstPred(e))
@@ -1255,7 +1294,9 @@ object StreamOps {
           // invalidated: emit with null run columns and count 0
           val (ripe, waiting) = emptyPending.partition(_.firstMs + withinMs < wm)
           ripe.foreach(er => out += RunMatch(userId, new Timestamp(er.firstMs),
-            null, null, 0L, new Timestamp(er.lastMs)))
+            null, null, 0L, new Timestamp(er.lastMs),
+            branch_counts =
+              if (branchPreds.isEmpty) Nil else List.fill(branchPreds.size)(0L)))
           emptyPending = waiting
           if (partials.isEmpty && emptyPending.isEmpty && held.isEmpty) state.remove()
           else {
@@ -1292,7 +1333,9 @@ object StreamOps {
                     firstPred: Event => Boolean, runPred: Event => Boolean,
                     accept: (Double, Double) => Boolean,
                     lastPred: Event => Boolean, withinMs: Long,
-                    maxPartials: Int = 256): Dataset[VRunMatch] = {
+                    maxPartials: Int = 256,
+                    offset: Int = 1): Dataset[VRunMatch] = {
+    require(offset >= 1, s"offset must be >= 1 (got $offset)")
     implicit val outEnc = Encoders.product[VRunMatch]
     implicit val accEnc = Encoders.product[VRunAcc]
     implicit val keyEnc = Encoders.scalaLong
@@ -1302,6 +1345,13 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[VRunAcc]) =>
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          // offset > 1 (PREV(col, n)): the n-back window spans the whole
+          // key-global SEGMENT (batch parity — the segment can begin before
+          // a run's first bound member), so segmentation state lives on the
+          // key: current segment id, its length, the last n values
+          var segId = state.getOption.map(_.segId).getOrElse(0L)
+          var segLen = state.getOption.map(_.segLen).getOrElse(0L)
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
           val out = Seq.newBuilder[VRunMatch]
           def emit(p: VRunPartial, uMs: Long): Unit =
             out += VRunMatch(userId, new Timestamp(p.firstMs),
@@ -1318,6 +1368,20 @@ object StreamOps {
           readyB.sortBy(b => (b.ms, b.tpe, b.value))
             .map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value)).foreach { e =>
             val t = e.ts.getTime
+            // key-global segmentation update for offset-n runs: the walk's
+            // restart rule (first n members of a segment unchecked, then
+            // accept vs the value n back)
+            val isCand = offset > 1 && runPred(e)
+            val restarted = if (!isCand) false else {
+              val viol = segLen >= offset && !accept(e.value, recent(offset - 1))
+              if (viol || segLen == 0L) {
+                if (viol) segId += 1
+                segLen = 1L; recent = List(e.value)
+              } else {
+                segLen += 1L; recent = (e.value :: recent).take(offset)
+              }
+              viol
+            }
             partials = partials.flatMap { p =>
               if (t > p.firstMs + withinMs) {
                 // window expired: an open run with a held close completes
@@ -1327,8 +1391,9 @@ object StreamOps {
               } else if (runPred(e) && t > p.firstMs && !p.done) {
                 if (p.runFirstMs < 0)
                   Some(p.copy(runFirstMs = t, runLastMs = t, runN = 1,
-                    firstVal = e.value, lastVal = e.value))
-                else if (accept(e.value, p.lastVal)) {
+                    firstVal = e.value, lastVal = e.value, segId = segId))
+                else if (if (offset == 1) accept(e.value, p.lastVal)
+                         else !restarted && p.segId == segId) {
                   // extension past a held close invalidates it (U must be
                   // strictly after the run's final member)
                   Some(p.copy(runLastMs = t, runN = p.runN + 1,
@@ -1354,7 +1419,7 @@ object StreamOps {
           partials = alive
           if (partials.isEmpty && held.isEmpty) state.remove()
           else {
-            state.update(VRunAcc(partials, held))
+            state.update(VRunAcc(partials, held, segId, segLen, recent))
             state.setTimeoutTimestamp(math.max(wm + 1,
               (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }
@@ -1389,8 +1454,15 @@ object StreamOps {
                       subPreds: Seq[Event => Boolean],
                       lastPred: Event => Boolean, withinMs: Long,
                       maxPartials: Int = 256,
-                      allowEmpty: Boolean = false): Dataset[GrpMatch] = {
+                      allowEmpty: Boolean = false,
+                      valueSubIdx: Int = -1): Dataset[GrpMatch] = {
     require(subPreds.size >= 2, "a group sub-pattern needs at least two steps")
+    // valueSubIdx >= 0: the batch bindGroup twin — running value aggregates
+    // (sum/min/max/first/last) of THAT sub-step's bound value across
+    // COMPLETED repetitions; the in-progress repetition's value folds in
+    // only when the repetition completes (an incomplete sub-match binds
+    // nothing, the batch convention)
+    require(valueSubIdx < subPreds.size, s"valueSubIdx $valueSubIdx out of range")
     implicit val outEnc = Encoders.product[GrpMatch]
     implicit val accEnc = Encoders.product[GrpAcc]
     implicit val keyEnc = Encoders.scalaLong
@@ -1404,7 +1476,12 @@ object StreamOps {
           def emit(p: GrpPartial): Unit =
             out += GrpMatch(userId, new Timestamp(p.firstMs),
               new Timestamp(p.gFirstMs), new Timestamp(p.lastRepEndMs),
-              p.reps, new Timestamp(p.pendingUMs))
+              p.reps, new Timestamp(p.pendingUMs),
+              if (valueSubIdx < 0) None else Some(p.sumVal),
+              if (valueSubIdx < 0) None else Some(p.minVal),
+              if (valueSubIdx < 0) None else Some(p.maxVal),
+              if (valueSubIdx < 0) None else Some(p.firstVal),
+              if (valueSubIdx < 0) None else Some(p.lastVal))
           // (sub)*: an empty-chain match — null boundaries, count 0, the
           // close that was held while no repetition had completed
           def emitEmpty(p: GrpPartial): Unit =
@@ -1438,14 +1515,27 @@ object StreamOps {
                     // repetition completes: extend the chain; a held close
                     // at or before this completion is no longer the final
                     // repetition's successor — invalidate it, along with
-                    // any held EMPTY-chain close (the chain now exists)
+                    // any held EMPTY-chain close (the chain now exists).
+                    // The designated sub-step's value folds into the chain
+                    // aggregates now (and only now)
                     val gFirst = if (p.reps == 0) p.curRepStartMs else p.gFirstMs
+                    val cur = if (valueSubIdx == subPreds.size - 1) e.value
+                              else p.curRepVal
+                    val firstRep = p.reps == 0
                     Some(p.copy(gFirstMs = gFirst, lastRepEndMs = t,
                       reps = p.reps + 1, subIdx = 0, curRepStartMs = -1L,
-                      curRepLastMs = -1L, pendingUMs = -1L, emptyUMs = -1L))
+                      curRepLastMs = -1L, pendingUMs = -1L, emptyUMs = -1L,
+                      curRepVal = 0.0,
+                      sumVal = if (firstRep) cur else p.sumVal + cur,
+                      minVal = if (firstRep) cur else math.min(p.minVal, cur),
+                      maxVal = if (firstRep) cur else math.max(p.maxVal, cur),
+                      firstVal = if (firstRep) cur else p.firstVal,
+                      lastVal = cur))
                   } else if (p.subIdx == 0)
-                    Some(p.copy(subIdx = 1, curRepStartMs = t, curRepLastMs = t))
-                  else Some(p.copy(subIdx = p.subIdx + 1, curRepLastMs = t))
+                    Some(p.copy(subIdx = 1, curRepStartMs = t, curRepLastMs = t,
+                      curRepVal = if (valueSubIdx == 0) e.value else p.curRepVal))
+                  else Some(p.copy(subIdx = p.subIdx + 1, curRepLastMs = t,
+                    curRepVal = if (valueSubIdx == p.subIdx) e.value else p.curRepVal))
                 } else if (lastPred(e) && p.reps >= 1 && t > p.lastRepEndMs &&
                            p.pendingUMs < 0) {
                   Some(p.copy(pendingUMs = t)) // held: emitted at expiry

@@ -903,6 +903,126 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch bindGroup values and streaming cepPatternGroup(valueSubIdx) agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      (1L, at(0), "s", 0.0), (1L, at(5), "b", 1.0), (1L, at(10), "c", 4.0),
+      (1L, at(15), "b", 2.0), (1L, at(20), "c", 6.0), (1L, at(25), "u", 0.0),
+      (2L, at(0), "s", 0.0), (2L, at(5), "b", 9.0), (2L, at(10), "c", 3.0),
+      (2L, at(12), "u", 0.0))
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .followedByGroup("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .bindGroup("c", "value")
+      .oneOrMore()
+      .followedBy("u", $"event_type" === "u")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type", "value"), $"user_id", $"ts")
+      .select($"key", $"g_n", $"g_sum_c_value", $"g_min_c_value",
+        $"g_max_c_value", $"g_first_c_value", $"g_last_c_value", $"u_ts")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Timestamp)]
+      .collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternGroup(in.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        _.event_type == "u", HOUR, valueSubIdx = 1).toDF()
+      .writeStream.format("memory").queryName("s_grpval_parity")
+      .outputMode("append").start()
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    in.addData(evs.take(6)); q.processAllAvailable() // split mid-chain
+    in.addData(evs.drop(6)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_grpval_parity").as[graft.streaming.GrpMatch]
+      .collect().map(m => (m.user_id, m.rep_n, m.rep_sum_value.get,
+        m.rep_min_value.get, m.rep_max_value.get, m.rep_first_value.get,
+        m.rep_last_value.get, m.last_ts)).toSet
+    assert(streaming == batch && batch == Set(
+      (1L, 2L, 10.0, 4.0, 6.0, 4.0, 6.0, at(25)),
+      (2L, 1L, 3.0, 3.0, 3.0, 3.0, 3.0, at(12))),
+      s"streaming=$streaming batch=$batch")
+  }
+
+  test("batch (B|C)+ branch counts and streaming cepPatternOneOrMore agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      (1L, at(0), "s", 0.0), (1L, at(5), "b", 0.0), (1L, at(10), "c", 0.0),
+      (1L, at(15), "b", 0.0), (1L, at(20), "u", 0.0),
+      (2L, at(0), "s", 0.0), (2L, at(5), "c", 0.0), (2L, at(10), "u", 0.0))
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .followedByOneOf("g", "b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c"))
+      .oneOrMore()
+      .followedBy("u", $"event_type" === "u")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type", "value"), $"user_id", $"ts")
+      .select($"key", $"g_n", $"g_n_b", $"g_n_c", $"u_ts")
+      .as[(Long, Long, Long, Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternOneOrMore(in.toDS(), "2 hours",
+        _.event_type == "s", e => e.event_type == "b" || e.event_type == "c",
+        _.event_type == "u", HOUR,
+        branchPreds = Seq(_.event_type == "b", _.event_type == "c")).toDF()
+      .writeStream.format("memory").queryName("s_altrun_parity")
+      .outputMode("append").start()
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    in.addData(evs.take(4)); q.processAllAvailable()
+    in.addData(evs.drop(4)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_altrun_parity").as[graft.streaming.RunMatch]
+      .collect().map(m => (m.user_id, m.run_n, m.branch_counts(0),
+        m.branch_counts(1), m.last_ts)).toSet
+    assert(streaming == batch && batch == Set(
+      (1L, 3L, 2L, 1L, at(20)),
+      (2L, 1L, 0L, 1L, at(10))),
+      s"streaming=$streaming batch=$batch")
+  }
+
+  test("batch followedByRun(offset=2) and streaming cepPatternRun(offset=2) agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: one long segment then a violation closes the run;
+    // user 2: the anchor lands MID-SEGMENT — the member after the binding
+    // is checked against a PRE-binding segment value (8 < 9 would pass a
+    // naive run-local walk as an unchecked second member, but 12 !< 9
+    // restarts the key-global segment, so batch keeps n = 1)
+    val all = Seq(
+      (1L, at(0), "s", 0.0), (1L, at(5), "d", 10.0), (1L, at(10), "d", 9.0),
+      (1L, at(15), "d", 8.0), (1L, at(20), "d", 7.0), (1L, at(25), "d", 12.0),
+      (1L, at(30), "u", 0.0),
+      (2L, at(5), "d", 10.0), (2L, at(10), "d", 9.0), (2L, at(12), "s", 0.0),
+      (2L, at(15), "d", 8.0), (2L, at(20), "d", 12.0), (2L, at(25), "u", 0.0))
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .followedByRun("d", $"event_type" === "d", "value", _ < _, offset = 2)
+      .followedBy("u", $"event_type" === "u")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type", "value"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"d_first_ts", $"d_last_ts", $"d_n", $"u_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternRun(in.toDS(), "2 hours",
+        _.event_type == "s", _.event_type == "d", _ < _,
+        _.event_type == "u", HOUR, offset = 2).toDF()
+      .writeStream.format("memory").queryName("s_vrun2_parity")
+      .outputMode("append").start()
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    in.addData(evs.take(7)); q.processAllAvailable()
+    in.addData(evs.drop(7)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_vrun2_parity").as[graft.streaming.VRunMatch]
+      .collect().map(m => (m.user_id, m.first_ts, m.run_first_ts,
+        m.run_last_ts, m.run_n, m.last_ts)).toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), at(5), at(20), 4L, at(30)),
+      (2L, at(12), at(15), at(15), 1L, at(25))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("late events ahead of the watermark: run/group streaming twins match batch") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
