@@ -42,6 +42,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"LSH join must stay an equi-join on (band,bkey):\n$p")
   }
 
+  test("r9 CEP additions stay cartesian-free (m19-m23)") {
+    // m19 group-value chain, m20 tiebreak refinement, m21 alternation-run
+    // aggregate, m22 offset-run scan+segments, m23 ALL-ROWS member
+    // join-back — every join must remain keyed; a regression to a cross
+    // product here would explode at corpus scale
+    Seq("m19_group_values", "m20_order_tiebreak", "m21_alt_group",
+        "m22_prev_offset", "m23_all_rows_run").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: unkeyed join appeared:\n${p.take(4000)}")
+    }
+  }
+
+  test("m21 alternation-run branch counts ride the run's single aggregate") {
+    // the per-branch counts must be conditional aggs on the EXISTING run
+    // aggregation — adding a join or shuffle per branch would scale with
+    // branch count
+    val p = planOf("m21_alt_group")
+    val m7 = planOf("m07_match_plus")
+    val joins = "HashJoin".r.findAllIn(p).length
+    val joins7 = "HashJoin".r.findAllIn(m7).length
+    assert(joins <= joins7 + 2,
+      s"m21 joins ($joins) should track the plain-run m07 shape ($joins7):\n${p.take(3000)}")
+  }
+
   test("interval join (w04) is an equi-join on the key with a range residual") {
     val p = planOf("w04_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
