@@ -374,14 +374,155 @@ object LlmQueries3 {
        |FROM j GROUP BY 1""".stripMargin
   }
 
+  // ---------- d15: sub-document exact-substring dedup (chunked) ----------
+  // Whole-document dedup (d01..d08) misses boilerplate REPEATED INSIDE
+  // otherwise-distinct documents — the signal Lee et al. ("Deduplicating
+  // Training Data Makes Language Models Better") remove with exact 50-token
+  // substring dedup via suffix arrays. The distributed approximation:
+  // non-overlapping k-word chunks (k scaled to this corpus' ~30-word
+  // vocabulary), global FIRST OCCURRENCE of each chunk (min doc_id, then
+  // min position) survives, every later occurrence counts as duplicated
+  // text; per-doc duplicated-chunk fraction drives the keep verdict.
+  // Scale shape: chunks travel as md5 keys (fixed 32 bytes, never the
+  // chunk text), first-occurrence is TWO HASH aggregations on the same key
+  // (min doc per chunk, then min pos within that doc — no min-of-struct,
+  // which Spark plans as SortAggregate) + equi-joins; O(corpus tokens),
+  // no windows, no sorts, no cross products. Suffix-array exactness
+  // (arbitrary-offset 50-grams) would explode k overlapping grams per
+  // position — same plan, k× the exploded rows; chunked is the
+  // bandwidth-proportionate default.
+  private val ChunkK = 3
+  private val D15DupMax = 0.2
+  private val d15: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    // sequence(1, n) with n < 1 yields DESCENDING [1, 0] (t07's guard)
+    val nch = floor(size(toks) / ChunkK).cast("int")
+    val ch = docs(s, dir)
+      .select(col("doc_id"), toks.as("w"),
+        explode(when(nch >= 1, sequence(lit(1), nch))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(array_join(slice(col("w"), (col("p") - 1) * ChunkK + 1, lit(ChunkK)), " ")).as("ck"))
+    val w1 = ch.groupBy("ck").agg(min("doc_id").as("wdoc"))
+    val w2 = ch.join(w1, "ck").filter(col("doc_id") === col("wdoc"))
+      .groupBy("ck", "wdoc").agg(min("p").as("wpos"))
+    ch.join(w2, "ck")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("doc_id") === col("wdoc") && col("p") === col("wpos"), 0L)
+          .otherwise(1L)).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        round(col("n_dup") / col("n_chunks"), 6).as("dup_frac"),
+        (round(col("n_dup") / col("n_chunks"), 6) <= D15DupMax).as("keep"))
+  }
+  private val d15Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |chp AS (SELECT doc_id, unnest(generate_series(1, len(w)//$ChunkK)) AS p, w FROM t),
+       |ckt AS (SELECT doc_id, p,
+       |        md5(array_to_string(w[(p-1)*$ChunkK+1:p*$ChunkK], ' ')) AS ck FROM chp),
+       |w1 AS (SELECT ck, min(doc_id) AS wdoc FROM ckt GROUP BY 1),
+       |w2 AS (SELECT c.ck, w1.wdoc, min(c.p) AS wpos FROM ckt c
+       |       JOIN w1 ON c.ck = w1.ck AND c.doc_id = w1.wdoc GROUP BY 1, 2)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN c.doc_id = w2.wdoc AND c.p = w2.wpos THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+       |  round(sum(CASE WHEN c.doc_id = w2.wdoc AND c.p = w2.wpos THEN 0 ELSE 1 END) * 1.0
+       |        / count(*), 6) AS dup_frac,
+       |  round(sum(CASE WHEN c.doc_id = w2.wdoc AND c.p = w2.wpos THEN 0 ELSE 1 END) * 1.0
+       |        / count(*), 6) <= $D15DupMax AS keep
+       |FROM ckt c JOIN w2 ON c.ck = w2.ck
+       |GROUP BY 1""".stripMargin
+
+  // ---------- p01: training-sequence packing (bucketed greedy cumsum) ----------
+  // Pretraining consumes FIXED-LENGTH token sequences, not documents; the
+  // packing step assigns each doc to a sequence so sequences fill a token
+  // budget. A global greedy pack (running cumsum over ALL docs) is a
+  // single-partition window — the a03 anti-pattern. The scale shape packs
+  // WITHIN deterministic content-hash buckets (the d09 bucketing): each
+  // bucket runs its own greedy cumsum (a PARTITIONED window), and
+  // seq_id = bucket * 2^20 + floor(tokens-before-this-doc / budget) — a
+  // doc belongs to the sequence its first token lands in (sequences may
+  // overflow the budget by one doc tail; the trainer truncates, nothing
+  // is dropped silently). 16 buckets here ≡ thousands on a cluster: the
+  // window never sees more than one bucket's rows in one task.
+  private val PackBudget = 512L
+  private val p01: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bkt", conv(substring(md5(col("text")), 32, 1), 16, 10).cast("int"))
+      .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("tokens"), col("bkt"),
+        (col("bkt").cast("long") * (1L << 20) +
+          floor(col("cum_before") / PackBudget).cast("long")).as("seq_id"),
+        (col("cum_before") % PackBudget).as("seq_off"))
+  }
+  private val p01Sql =
+    s"""SELECT doc_id, tokens, bkt,
+       |  CAST(bkt AS BIGINT) * ${1L << 20} + cum_before // $PackBudget AS seq_id,
+       |  cum_before % $PackBudget AS seq_off
+       |FROM (
+       | SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+       |  CAST(strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 AS INT) AS bkt,
+       |  CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+       |    PARTITION BY strpos('0123456789abcdef', substr(md5(text), 32, 1))
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_before
+       | FROM documents)""".stripMargin
+
+  // ---------- p02: target-share domain mixing (computed resample rates) ----------
+  // d09 applies GIVEN per-stratum keep rates; the mixing step one level up
+  // COMPUTES the rates from a target distribution (the DoReMi/Pile
+  // reweighting shape with fixed targets): rate(g) = min(1,
+  // (total/n_groups)/cnt(g)) — over-represented groups are downsampled to
+  // the uniform target share, under-represented ones kept whole. The mix
+  // stratum here is `lang` (the skewed one in this corpus — en is ~50%;
+  // `source` is synthesized exactly balanced, which would make every rate
+  // 1); a deployment swaps in source/url-host. The keep decision is
+  // integer-exact (no float boundary): u256(doc) — two md5 hex chars, a
+  // deterministic uniform in [0,256) — keeps doc iff
+  // n_groups * u256 * cnt < 256 * total, which is u256/256 < rate with
+  // min(1,·) implied. Scale shape: the per-group count table is
+  // metadata-sized (broadcast), the decision is row-local; one scan, one
+  // broadcast join, no shuffle of facts.
+  private val p02: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val cnts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_groups"))
+    d.select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("text")), 31, 2), 16, 10).cast("int").as("u256"))
+      .join(broadcast(cnts), "lang")
+      .crossJoin(broadcast(tot))
+      .filter(col("n_groups") * col("u256") * col("cnt") <
+        lit(256L) * col("total"))
+      .select(col("doc_id"), col("lang"), col("u256"))
+  }
+  private val p02Sql =
+    """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+      |t AS (SELECT sum(cnt) AS total, count(*) AS n_groups FROM c),
+      |u AS (SELECT doc_id, lang,
+      |      CAST((strpos('0123456789abcdef', substr(md5(text), 31, 1)) - 1) * 16
+      |         + (strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1) AS INT) AS u256
+      |      FROM documents)
+      |SELECT u.doc_id, u.lang, u.u256
+      |FROM u JOIN c USING (lang), t
+      |WHERE t.n_groups * u.u256 * c.cnt < 256 * t.total""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t06_regex_scan" -> t06, "t07_repetition_filter" -> t07,
     "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
     "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12,
-    "d13_decontaminate" -> d13, "d14_fuzzy_decontaminate" -> d14)
+    "d13_decontaminate" -> d13, "d14_fuzzy_decontaminate" -> d14,
+    "d15_chunk_dedup" -> d15, "p01_seq_packing" -> p01,
+    "p02_domain_mix" -> p02)
   val oracles: Map[String, String] = Map(
     "t06_regex_scan" -> t06Sql, "t07_repetition_filter" -> t07Sql,
     "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
     "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql,
-    "d13_decontaminate" -> d13Sql, "d14_fuzzy_decontaminate" -> d14Sql)
+    "d13_decontaminate" -> d13Sql, "d14_fuzzy_decontaminate" -> d14Sql,
+    "d15_chunk_dedup" -> d15Sql, "p01_seq_packing" -> p01Sql,
+    "p02_domain_mix" -> p02Sql)
 }

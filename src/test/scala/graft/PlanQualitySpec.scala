@@ -260,6 +260,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"band candidate join must stay an equi-join:\n$p")
   }
 
+  test("d15 chunk dedup: hash-only aggregation on md5 keys, no cross product") {
+    // first-occurrence = two HASH aggs on ck (min doc, then min pos) — a
+    // min-of-struct would plan as SortAggregate; the joins ride the ck key
+    val p = planOf("d15_chunk_dedup").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk joins must stay keyed on ck:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"first-occurrence must be hash-aggregated (no min-of-struct):\n$p")
+    assert(!p.contains("Sort "), s"nothing in d15 needs a sort:\n$p")
+  }
+
+  test("p01 packing: every window is partitioned by the pack bucket") {
+    // a global greedy pack would be a single-partition running sum (the a03
+    // anti-pattern); p01's cumsum must partition by bkt in every Window
+    val p = planOf("p01_seq_packing")
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("bkt")),
+      s"every Window must partition by bkt:\n${windowLines.mkString("\n")}")
+  }
+
+  test("p02 mixing: the fact side joins by broadcast, never a shuffle join") {
+    // the count tables are metadata-sized; the documents scan must meet
+    // them via BroadcastHashJoin (the 1-row totals ride a broadcast nested
+    // loop by design) — a SortMergeJoin would shuffle the corpus
+    val p = planOf("p02_domain_mix").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"facts must not shuffle for metadata joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group counts must broadcast:\n$p")
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
