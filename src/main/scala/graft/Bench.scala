@@ -21,29 +21,43 @@ object Bench {
     // rounds), and the minimum is the comparable per-query number; 3 reps
     // (up from 2) so one noisy rep cannot mint a fake regression
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional substring filter for local single-query iteration (the
+    // driver never sets it — full suite by default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+      .map { case (name, fn) =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes every output column (count() would let
         // Catalyst prune the computed expressions and undercount the work)
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        catch { case e: Throwable =>
+          failed = true; System.err.println(s"[bench] $name: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
+      // a crashed query must never publish a time: time-to-exception reads
+      // as a speedup in round-over-round comparisons (r9 post-mortem)
+      val cleanTimes = if (failed) Seq.empty[Double] else times
       // release any persist() the query builder issued (d02/d04/s02 cache
       // intermediate projections): without this the entries accumulate in
       // executor memory across the 150+ query × reps suite
       spark.catalog.clearCache()
-      name -> times
+      name -> cleanTimes
     }
     // 3-dp per-query times keep the JSON line compact enough to survive
     // tail-truncated captures; the full line is also written to a file so
     // every query's number stays readable even if stdout is clipped
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.isEmpty) "\"err\"" else r3(ts.min))
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    val nErr = results.count(_._2.isEmpty)
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$nErr}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
       // the file artifact carries EVERY rep's time (the stdout contract line

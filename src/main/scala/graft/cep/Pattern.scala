@@ -542,7 +542,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               // (ts, value) order — the same ordering as the lag window
               java.util.Arrays.sort(rows, new java.util.Comparator[org.apache.spark.sql.Row] {
                 def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
-                  val c1 = a.getTimestamp(tsIdx).compareTo(b.getTimestamp(tsIdx))
+                  val c1 = Pattern.tsOf(a, tsIdx).compareTo(Pattern.tsOf(b, tsIdx))
                   if (c1 != 0) c1
                   else (a.get(rvIdx), b.get(rvIdx)) match {
                     case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
@@ -745,13 +745,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           val chained = anchKV.cogroup(subKV) { (_, as, ss) =>
             // full-precision Timestamp comparisons (compareTo includes
             // nanos) — the declarative joins compare at full precision too
-            val pairs = ss.map(r => (r.getTimestamp(1), r.getTimestamp(2),
+            val pairs = ss.map(r => (Pattern.tsOf(r, 1), Pattern.tsOf(r, 2),
                 Array.tabulate[java.lang.Double](gkN)(j =>
                   if (r.isNullAt(3 + j)) null else r.getDouble(3 + j))))
               .toArray.sortWith((p, q) => p._1.before(q._1))
             as.flatMap { a =>
-              val tau = a.getTimestamp(prevIdx)
-              val wEnd = a.getTimestamp(wendIdx)
+              val tau = Pattern.tsOf(a, prevIdx)
+              val wEnd = Pattern.tsOf(a, wendIdx)
               var lastEnd = tau
               var first: java.sql.Timestamp = null
               var n = 0L; var i = 0; var stop = false
@@ -1018,21 +1018,22 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     val rIdx = restart.map(_ => schema.fieldIndex("__restart_ts"))
     val inclusive = restart.isDefined
     val tsIdx = schema.fields.zipWithIndex.collect {
-      case (f, i) if f.dataType == org.apache.spark.sql.types.TimestampType => i
+      case (f, i) if f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType => i
     }
     implicit val rowEnc = org.apache.spark.sql.Encoders.row(schema)
     val kept = matches.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         def endOf(r: org.apache.spark.sql.Row): Long =
-          tsIdx.flatMap(i => Option(r.getTimestamp(i)).map(_.getTime)).max
-        val rows = it.toSeq.sortBy(r => (r.getTimestamp(startIdx).getTime, endOf(r)))
+          tsIdx.flatMap(i => Option(Pattern.tsOf(r, i)).map(_.getTime)).max
+        val rows = it.toSeq.sortBy(r => (Pattern.tsOf(r, startIdx).getTime, endOf(r)))
         var threshold = Long.MinValue
         rows.iterator.filter { r =>
-          val start = r.getTimestamp(startIdx).getTime
+          val start = Pattern.tsOf(r, startIdx).getTime
           val keep = if (inclusive) start >= threshold else start > threshold
           if (keep) threshold = rIdx match {
-            case Some(i) => math.max(threshold, r.getTimestamp(i).getTime)
+            case Some(i) => math.max(threshold, Pattern.tsOf(r, i).getTime)
             case None => endOf(r)
           }
           keep
@@ -1051,6 +1052,23 @@ object Pattern extends Serializable {
     * across distinct keys when field strings contain delimiters —
     * length-prefix every field instead. Lives on the (serializable)
     * companion so groupByKey closures never capture a Pattern instance. */
+  /** NTZ-tolerant timestamp read: sources normally normalize TIMESTAMP_NTZ
+    * to TIMESTAMP (sources/Tables.scala), but if an un-normalized frame
+    * reaches the per-key scans, read the value as whatever JVM object Spark
+    * handed us rather than ClassCastException-ing. NTZ values are interpreted
+    * at UTC — the same convention the TimestampType cast uses under the
+    * engine's UTC session zone, so both paths agree on the instant. */
+  private[cep] def tsOf(r: org.apache.spark.sql.Row, i: Int): java.sql.Timestamp =
+    r.get(i) match {
+      case null => null
+      case t: java.sql.Timestamp => t
+      case ldt: java.time.LocalDateTime =>
+        java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+      case inst: java.time.Instant => java.sql.Timestamp.from(inst)
+      case o => throw new IllegalStateException(
+        s"timestamp column holds ${o.getClass.getName}")
+    }
+
   private[cep] def keyString(v: Any): String = v match {
     case null => "N"
     case r: org.apache.spark.sql.Row =>

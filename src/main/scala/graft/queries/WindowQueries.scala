@@ -1367,7 +1367,12 @@ object WindowQueries {
         |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
         |         V AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin)
-      .withColumn("sum_value", round(col("sum_value"), 4))
+      // decimal, not double: a rounded double can still differ in the last
+      // ULP between engines when the pre-round sum is accumulated in a
+      // different order; DECIMAL(18,4) makes the 4-digit value exact on both
+      // sides (r9 driver hash flake on this query, judge-irreproducible).
+      .withColumn("sum_value",
+        round(col("sum_value"), 4).cast("decimal(18,4)"))
   private val m21Sql =
     """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
       |cv AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type, value
@@ -1385,7 +1390,7 @@ object WindowQueries {
       |       max(cv.ts) AS last_ts, count(*) AS n_members,
       |       sum(CASE WHEN cv.event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
       |       sum(CASE WHEN cv.event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
-      |       round(sum(cv.value), 4) AS sum_value, p_ts AS purchase_ts
+      |       CAST(round(sum(cv.value), 4) AS DECIMAL(18,4)) AS sum_value, p_ts AS purchase_ts
       |FROM m2 JOIN cv ON cv.user_id = m2.user_id AND cv.ts >= first_ts AND cv.ts < p_ts
       |GROUP BY 1, 2, 3, 9""".stripMargin
 

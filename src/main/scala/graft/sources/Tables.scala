@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Star-schema loaders.
   *
@@ -34,10 +34,20 @@ object Tables {
     // spark.sql.legacy.parquet.nanosAsLong=true, which surfaces `ts` as long
     // nanos. Convert back to a microsecond timestamp (`div` keeps 64-bit
     // integer precision; a double division would lose sub-ms accuracy).
-    val df =
+    val legacyNanos =
       if (raw.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
+    // Parquet `timestamp[us]` without the UTC-adjusted flag surfaces as
+    // TIMESTAMP_NTZ in Spark 4. The engine (and the DuckDB oracle) run with
+    // session TZ = UTC, so casting NTZ -> TIMESTAMP is a pure type
+    // normalization with identical instants; without it, every operator that
+    // touches the timestamp as a JVM object (CEP scans, unix_micros windows)
+    // sees java.time.LocalDateTime instead of java.sql.Timestamp and fails.
+    val ntzFields = legacyNanos.schema.fields.filter(_.dataType == TimestampNTZType)
+    val df = ntzFields.foldLeft(legacyNanos) { (acc, f) =>
+      acc.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
     val p = spark.sparkContext.defaultParallelism
     if (computeHeavy(name) && new java.io.File(s"$dir/$name.parquet").isFile)
       df.repartition(p) // single-file scan: spread expression work

@@ -17,6 +17,24 @@ class SourcesSpec extends AnyFunSuite with SparkTest {
     Tables.all.foreach { n => assert(Tables.load(spark, sfDir, n).count() > 0, n) }
   }
 
+  test("data contract: timestamp columns surface as TIMESTAMP, never NTZ or long") {
+    // The r9 testdata regeneration flipped events.ts to parquet timestamp[us]
+    // without the UTC flag (Spark: TIMESTAMP_NTZ) and silently crashed 10 CEP
+    // queries. Pin the loader's normalization so any future physical-type
+    // drift fails here in one second instead of at the driver's gate.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType, LongType}
+    Tables.all.foreach { n =>
+      val schema = Tables.load(spark, sfDir, n).schema
+      schema.fields.filter(f =>
+          f.name == "ts" || f.dataType == TimestampNTZType).foreach { f =>
+        assert(f.dataType == TimestampType,
+          s"$n.${f.name}: expected TIMESTAMP, got ${f.dataType} — Tables.load " +
+            "must normalize (nanos-as-long and TIMESTAMP_NTZ both break CEP row access)")
+        assert(f.dataType != LongType && f.dataType != TimestampNTZType)
+      }
+    }
+  }
+
   test("csv/json/text round-trip") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     val d = tmp()
