@@ -224,7 +224,12 @@ object MatchRecognize {
       d.split(",(?=\\s*\\w+\\s+(?i:AS)\\s)").toSeq.map { item =>
         val m = "(?is)\\s*(\\w+)\\s+AS\\s+(.*)".r.findFirstMatchIn(item)
           .getOrElse(sys.error(s"bad DEFINE item: $item"))
-        m.group(1) -> rewritePrev(m.group(1), m.group(2).trim)
+        val dv = m.group(1)
+        // self PREV on a '+'/'*' run keeps the run-member semantics; all
+        // other PREVs lower to physical-lag columns (rewritePrev)
+        val runQuant = vars.exists(v0 => v0.name == dv && v0.alts.isEmpty &&
+          v0.seq.isEmpty && v0.quant.exists(q => q == "+" || q == "*"))
+        dv -> rewritePrev(dv, m.group(2).trim, runQuant)
       }.toMap
     }.getOrElse(Map.empty)
     Spec(partitionBy, orderBy, measures, vars, withinMs, defines, skipPastLast,
@@ -237,35 +242,43 @@ object MatchRecognize {
     * `LAST(V.col, n)`, rewritten per DEFINE item before compilation. A bare
     * `PREV(col)` qualifies with the variable being defined, and a bare LHS
     * in the canonical `col < PREV(col)` comparison is qualified alongside so
-    * the self-reference detector sees `V.col < LAST(V.col, n)`. Self
-    * offsets n >= 1 are supported (the run segmentation walks an n-back
-    * window — [[graft.cep.Pattern.followedByRun]]'s offset); a foreign
-    * variable has a single binding, so only offset 1 names it. */
-  private def rewritePrev(v: String, body0: String): String = {
+    * the self-reference detector sees `V.col < LAST(V.col, n)`. Run-self
+    * offsets n >= 1 ride the run segmentation's n-back window
+    * ([[graft.cep.Pattern.followedByRun]]'s offset); every other PREV —
+    * foreign variables and non-run self references, any offset — lowers to
+    * a precomputed physical-lag column (see the scaladoc inside). */
+  private def rewritePrev(v: String, body0: String, runQuant: Boolean): String = {
     import scala.util.matching.Regex.quoteReplacement
     val vq = java.util.regex.Pattern.quote(v)
     val PrevQual = "(?is)\\bPREV\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
     val PrevBare = "(?is)\\bPREV\\s*\\(\\s*(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
-    // self-references support any offset n >= 1 (the run carries the whole
-    // n-back window through the segmentation scan); a foreign-variable PREV
-    // has a single binding and only offset 1 names it
-    def checkForeign(n: Option[String], what: String): Unit =
-      require(n.forall(_ == "1"),
-        s"DEFINE $v: $what — only PREV offset 1 is supported on a " +
-          "foreign variable")
+    // Two lowerings, by navigation context (Calcite accepts both):
+    //  * self-reference on a '+'/'*' RUN variable — the run semantics
+    //    (previous MEMBER): the LAST(V.c, n) spelling, consumed by the run
+    //    segmentation ([[selfRunDefs]]);
+    //  * anything else (foreign variable, any offset; plain self, any
+    //    offset) — the SQL-standard PHYSICAL navigation (the row n
+    //    positions back in the partition order): rewritten to a
+    //    `<var>.__plag<n>_<col>` reference against a lag column that
+    //    [[detect]] precomputes once over (PARTITION BY key ORDER BY ts[,
+    //    tie]) — one keyed window, no sequential state, and the reference
+    //    then rides the ordinary prior-binding machinery.
     val selfCols = scala.collection.mutable.LinkedHashSet[String]()
     var out = PrevQual.replaceAllIn(body0, m => {
       val n = Option(m.group(3)).getOrElse("1")
-      if (m.group(1) == v) selfCols += m.group(2)
-      else checkForeign(Option(m.group(3)), m.matched)
       require(n.toInt >= 1, s"DEFINE $v: PREV offset must be >= 1 (got $n)")
-      quoteReplacement(s"LAST(${m.group(1)}.${m.group(2)}, $n)")
+      if (m.group(1) == v && runQuant) {
+        selfCols += m.group(2)
+        quoteReplacement(s"LAST(${m.group(1)}.${m.group(2)}, $n)")
+      } else quoteReplacement(s"${m.group(1)}.__plag${n}_${m.group(2)}")
     })
     out = PrevBare.replaceAllIn(out, m => {
       val n = Option(m.group(2)).getOrElse("1")
       require(n.toInt >= 1, s"DEFINE $v: PREV offset must be >= 1 (got $n)")
-      selfCols += m.group(1)
-      quoteReplacement(s"LAST($v.${m.group(1)}, $n)")
+      if (runQuant) {
+        selfCols += m.group(1)
+        quoteReplacement(s"LAST($v.${m.group(1)}, $n)")
+      } else quoteReplacement(s"$v.__plag${n}_${m.group(1)}")
     })
     selfCols.foreach { c =>
       // reversed operands — `PREV(c, n) > c` — normalized into the
@@ -435,8 +448,40 @@ object MatchRecognize {
   /** Parse `sql` and run the compiled pattern over `events`. Output: the
     * partition column (under its own name) + one column per MEASURES item;
     * with no MEASURES clause, the raw [[Pattern.detect]] binding columns. */
-  def detect(events: DataFrame, sql: String): DataFrame = {
+  def detect(events0: DataFrame, sql: String): DataFrame = {
     val spec = parse(sql)
+    // PREV physical navigation (rewritePrev's `__plag<n>_<col>` tokens):
+    // precompute each needed lag ONCE over (PARTITION BY key ORDER BY
+    // ts[, tie]) — one keyed window on the event stream, the same
+    // partitioning every downstream step shuffles on, so no extra exchange
+    // pattern at scale; the lag columns then bind like any event column.
+    val PlagRx = "__plag(\\d+)_(\\w+)".r
+    val lagPairs = spec.defines.values.flatMap(b => PlagRx.findAllMatchIn(b)
+      .map(m => (m.group(1).toInt, m.group(2)))).toSeq.distinct
+    val events = if (lagPairs.isEmpty) events0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(spec.partitionBy.map(col): _*)
+        .orderBy((spec.orderBy +: spec.orderTie.toSeq).map(col): _*)
+      lagPairs.foldLeft(events0) { case (df, (n, c)) =>
+        df.withColumn(s"__plag${n}_$c", lag(col(c), n).over(w)) }
+    }
+    // FOREIGN physical PREV inside a '+'/'*' run's DEFINE would only be
+    // checked at the run's FIRST binding (members re-check the pre-filter
+    // alone) — named error, never silently-wrong members. Self physical
+    // PREV on a run routes to the run-member LAST spelling instead
+    // (rewritePrev), and plain/group-member self PREV is a pre-filter.
+    spec.vars.filter(v => v.quant.exists(q => q == "+" || q == "*"))
+      .foreach { v =>
+        (v.name +: (v.alts ++ v.seq)).flatMap(spec.defines.get).foreach { b =>
+          val foreignPlag = RefRx.findAllMatchIn(b).exists(m =>
+            m.group(2).startsWith("__plag") && m.group(1) != v.name &&
+              !v.seq.contains(m.group(1)) && !v.alts.contains(m.group(1)))
+          require(!foreignPlag,
+            s"DEFINE under the quantified ${v.name}: PREV over another " +
+              "variable's binding cannot be re-checked per run member — " +
+              "not supported on '+'/'*' runs")
+        }
+      }
     // non-timestamp columns referenced by measures must be bound at the
     // step — except `cls` on an alternation group, which the compile emits
     // automatically (the CLASSIFIER analog, not an event column)
@@ -473,24 +518,30 @@ object MatchRecognize {
     val bindByVar0: Map[String, Seq[String]] = (keepByVar.keySet ++ neededBinds.keySet)
       .map(v => v -> (keepByVar.getOrElse(v, Nil) ++ neededBinds.getOrElse(v, Nil)).distinct)
       .toMap
-    // ORDER BY tiebreak: bound FIRST on every variable, so each step's
+    // ORDER BY tiebreak: plain steps bind it FIRST, so each step's
     // lexicographic (ts, payload) binding refinement resolves equal-ts
-    // candidates by the tiebreak before any measure payload. Runs, groups,
-    // alternations and self-runs aggregate or classify their members rather
-    // than argmin-bind one event — the tiebreak cannot steer them: named
-    // error, never a silently different match.
+    // candidates by the tiebreak before any measure payload. Runs and
+    // sequence groups aggregate their members instead — there the tiebreak
+    // steers which equal-ts candidate's VALUES are read (first/last member
+    // values, member value bindings) via Pattern.tieBreak, wired in the
+    // lowering walk below. Alternations (the classifier is part of the
+    // binding refinement) and self-referential runs (segmentation orders by
+    // (ts, run value)) stay named errors, never a silently different match.
     val bindByVar: Map[String, Seq[String]] = spec.orderTie match {
       case None => bindByVar0
       case Some(tie) =>
         spec.vars.foreach { v =>
-          require(v.seq.isEmpty && v.alts.isEmpty && !selfRuns.contains(v.name) &&
-            !v.quant.exists(q => q == "+" || q == "*"),
+          require(v.alts.isEmpty && !selfRuns.contains(v.name),
             s"ORDER BY ${spec.orderBy}, $tie: the tiebreak composes with " +
-              s"plain/optional/times variables only (${v.name} is a " +
-              "run/group/alternation)")
+              s"plain/optional/times variables, '+'/'*' runs and sequence " +
+              s"groups (${v.name} is an alternation/self-referential run)")
         }
-        spec.vars.map(v => v.name ->
-          (tie +: bindByVar0.getOrElse(v.name, Nil).filterNot(_ == tie))).toMap
+        // runs and groups keep their aggregate bind columns untouched —
+        // prepending the tie would add it to the run aggregates instead
+        bindByVar0 ++ spec.vars.filter(v => v.seq.isEmpty &&
+            !v.quant.exists(q => q == "+" || q == "*"))
+          .map(v => v.name ->
+            (tie +: bindByVar0.getOrElse(v.name, Nil).filterNot(_ == tie)))
     }
     require(spec.vars.head.alts.isEmpty, "first pattern variable cannot be an alternation")
     require(spec.vars.head.seq.isEmpty, "first pattern variable cannot be a sequence group")
@@ -506,9 +557,9 @@ object MatchRecognize {
         s"value measures over a sequence group must address a member " +
           s"variable (got ${m.varName}.${m.field} on the group itself)")
     }
-    require(!(spec.allRows && groupOf.nonEmpty),
-      "ALL ROWS PER MATCH does not support sequence groups (per-repetition " +
-        "rows are not materialized by the chain lowering)")
+    // ALL ROWS over a sequence group: the chain additionally materializes
+    // per-repetition member bindings (see materializeGroupRows below);
+    // unsupported combinations are rejected by name in allRowsOutput
     var pat = Pattern.begin(spec.vars.head.name, compiled(spec.vars.head.name)._1)
     bindByVar.get(spec.vars.head.name).foreach(ks => pat = pat.bind(ks: _*))
     spec.vars.tail.foreach { v =>
@@ -524,6 +575,10 @@ object MatchRecognize {
         v.seq.foreach { sv =>
           bindByVar.get(sv).foreach(ks => pat = pat.bindGroup(sv, ks: _*))
         }
+        // ALL ROWS needs each repetition's member bindings on the match row
+        if (spec.allRows) pat = pat.materializeGroupRows()
+        // composite ORDER BY: member value bindings argmin by (tie, value)
+        spec.orderTie.foreach(t => pat = pat.tieBreak(t))
         pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
       } else if (v.alts.nonEmpty) {
         pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> compiled(b)._1): _*)
@@ -569,6 +624,11 @@ object MatchRecognize {
         if (isRun) pat = pat.bindRun(ks: _*)
         else pat = pat.bind(ks: _*)
       }
+      // composite ORDER BY on a plain '+'/'*' run: first/last member VALUES
+      // argmin/argmax by (tie, value) — membership stays time-level
+      if (v.seq.isEmpty && v.alts.isEmpty && !selfRuns.contains(v.name) &&
+          v.quant.exists(q => q == "+" || q == "*"))
+        spec.orderTie.foreach(t => pat = pat.tieBreak(t))
     }
     if (spec.skipPastLast) pat = pat.afterMatchSkipPastLastEvent()
     spec.skipTo.foreach { case (v, isLast) =>
@@ -595,7 +655,7 @@ object MatchRecognize {
         case _ => (1, 1)
       })
     }.toMap
-    if (spec.allRows) allRowsOutput(spec, matches, bounds, events, keyCol, selfRuns, compiled)
+    if (spec.allRows) allRowsOutput(spec, matches, bounds, events, keyCol, selfRuns, compiled, bindByVar)
     else if (spec.measures.isEmpty) matches
     else {
       val quantOf: Map[String, Option[String]] = spec.vars.map(v => v.name -> v.quant).toMap
@@ -770,8 +830,18 @@ object MatchRecognize {
                             bounds: Map[String, (Int, Int)],
                             events: DataFrame, keyCol: Column,
                             selfRuns: Map[String, RunDef],
-                            compiled: Map[String, (Column, Option[Column], Seq[(String, String)])]): DataFrame = {
+                            compiled: Map[String, (Column, Option[Column], Seq[(String, String)])],
+                            bindByVar: Map[String, Seq[String]]): DataFrame = {
     val runVs = spec.vars.filter(v => v.quant.exists(q => q == "+" || q == "*"))
+    val groupVs = spec.vars.filter(_.seq.nonEmpty)
+    if (groupVs.nonEmpty) {
+      require(groupVs.size == 1,
+        "ALL ROWS PER MATCH supports one sequence group")
+      require(runVs.forall(_.seq.nonEmpty),
+        "ALL ROWS PER MATCH cannot combine a sequence group with other " +
+          "'+'/'*' runs (their members are aggregated, not materialized)")
+      return allRowsGroup(spec, matches0, bounds, groupVs.head, bindByVar)
+    }
     runVs.foreach(v => require(v.alts.isEmpty && v.seq.isEmpty,
       s"ALL ROWS PER MATCH cannot expand the alternation/sequence-group " +
         s"run ${v.name} (members are aggregated, not materialized)"))
@@ -850,6 +920,207 @@ object MatchRecognize {
     matches.select(keyOut(spec) :+ explode(array(structs: _*)).as("__r"): _*)
       .filter(col("__r.ts").isNotNull) // skipped optional expansions emit no row
       .select(spec.partitionBy.map(col) ++ rowCols.map(n => col(s"__r.$n").as(n)): _*)
+  }
+
+  /** [[allRowsOutput]]'s SEQUENCE-GROUP expansion — ALL ROWS over `(B C)+`
+    * (reference flink-table StreamExecMatch row-per-event emission across
+    * GroupPattern repetitions, MatchRecognizeITCase ALL-ROWS shapes): static
+    * rows explode as usual; the group's member rows expand from the
+    * `<g>_reps`/`<g>_repvals` arrays the chain materialized
+    * ([[graft.cep.Pattern.materializeGroupRows]]). Because every repetition
+    * binds each member exactly ONCE, running measures are CLOSED-FORM in
+    * (repetition k, member j) — COUNT(B.ts) as of member j of repetition k
+    * is `k + [j >= pos(B)]`, running value aggregates fold a `slice` of the
+    * per-repetition value array — so the whole expansion is one projection
+    * + explode over the match table: no join, no window, no shuffle. */
+  private def allRowsGroup(spec: Spec, matches0: DataFrame,
+                           bounds: Map[String, (Int, Int)],
+                           g: PatternVar,
+                           bindByVar: Map[String, Seq[String]]): DataFrame = {
+    val gname = g.name
+    val members = g.seq
+    val mCount = members.size
+    val svIdx: Map[String, Int] = members.zipWithIndex.toMap
+    // repvals column order = the bindGroup wiring order of the lowering
+    // walk: members in declaration order, each member's bound columns in
+    // bindByVar order (Step.groupKeep accumulates exactly this way)
+    val gvOrder: Seq[(String, String)] =
+      members.flatMap(sv => bindByVar.getOrElse(sv, Nil).map(c => (sv, c)))
+    val gvIdx: Map[(String, String), Int] = gvOrder.zipWithIndex.toMap
+    val mnAliases = spec.measures.filter(_.fn.contains("MATCH_NUMBER")).map(_.alias)
+    val matches = if (mnAliases.isEmpty) matches0 else {
+      val mnWindow = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(matches0.columns.filter(_.endsWith("_ts")).map(col).toIndexedSeq: _*)
+      mnAliases.foldLeft(matches0)((df, a) =>
+        df.withColumn(s"__mn_$a", row_number().over(mnWindow).cast("long")))
+    }
+    val units: Seq[(String, Int)] = spec.vars.flatMap { v =>
+      if (v.name == gname) Seq((gname, 0))
+      else (1 to bounds(v.name)._2).map(i => (v.name, i))
+    }
+    val groupU = units.indexWhere(_._1 == gname)
+    def srcCol(v: String, i: Int, field: String): String =
+      if (bounds(v)._2 == 1) s"${v}_$field" else s"${v}_${i}_$field"
+    def nullOf(src: String): Column = when(lit(false), col(src))
+    val repsC = col(s"${gname}_reps")
+    def valsOf(sv: String, c: String): Column =
+      transform(col(s"${gname}_repvals"), r => get(r, lit(gvIdx((sv, c)))))
+    def isGroupRef(v: String): Boolean = v == gname || svIdx.contains(v)
+    val memberNames = array(members.map(lit(_)): _*)
+
+    // final (fully-bound) value of a group-addressed measure — read off the
+    // chain columns with the same conventions as the ONE ROW path; member
+    // FIRST/LAST timestamps additionally resolve per member via the reps
+    // array (the ONE ROW path restricts them to the first/last sub-step)
+    def groupFinal(m: Measure, visible: Boolean): Column =
+      if (m.field == "ts") {
+        val j = svIdx.get(m.varName) // None = the group's own name
+        m.fn match {
+          case Some("COUNT") =>
+            if (!visible) lit(0L)
+            else if (j.isEmpty) col(s"${gname}_n")
+            else size(repsC).cast("long")
+          case Some("FIRST") =>
+            if (!visible) lit(null).cast("timestamp")
+            else j.fold(col(s"${gname}_first_ts"))(ji =>
+              get(get(repsC, lit(0)), lit(ji)))
+          case Some("LAST") =>
+            if (!visible) lit(null).cast("timestamp")
+            else j.fold(col(s"${gname}_last_ts"))(ji =>
+              get(get(repsC, size(repsC) - 1), lit(ji)))
+          case other => sys.error(s"group $gname: FIRST/LAST/COUNT only " +
+            s"over timestamps (got ${other.getOrElse("a bare reference")} " +
+            s"on ${m.varName})")
+        }
+      } else {
+        val sfx = s"${m.varName}_${m.field}"
+        def c(a: String) = col(s"${gname}_${a}_$sfx")
+        m.fn match {
+          case Some("SUM") => if (visible) c("sum") else lit(null).cast("double")
+          case Some("AVG") => if (visible) c("sum") / c("cnt") else lit(null).cast("double")
+          case Some("MIN") => if (visible) c("min") else lit(null).cast("double")
+          case Some("MAX") => if (visible) c("max") else lit(null).cast("double")
+          case Some("FIRST") => if (visible) c("first") else lit(null).cast("double")
+          case Some("LAST") => if (visible) c("last") else lit(null).cast("double")
+          case Some("COUNT") => if (visible) c("cnt") else lit(0L)
+          case other => sys.error(s"group member ${m.varName}: use " +
+            s"SUM/AVG/MIN/MAX/FIRST/LAST/COUNT (got " +
+            s"${other.getOrElse("a bare reference")})")
+        }
+      }
+
+    // running value of a STATIC variable's measure with units <= u visible
+    // (the allRowsOutput runningAt logic, parameterized by the unit limit)
+    def staticMeasure(m: Measure, u: Int): Column = {
+      val (_, mx) = bounds.getOrElse(m.varName,
+        sys.error(s"unknown variable ${m.varName}"))
+      val visible = (1 to mx).filter(i => units.indexOf((m.varName, i)) <= u)
+      val srcs = visible.map(i => srcCol(m.varName, i, m.field))
+      val first = srcCol(m.varName, 1, m.field)
+      m.fn match {
+        case None =>
+          require(mx == 1, s"${m.varName} is quantified — use FIRST/LAST/SUM/COUNT")
+          if (visible.nonEmpty) col(srcs.head) else nullOf(first)
+        case Some("FIRST") => if (visible.nonEmpty) col(srcs.head) else nullOf(first)
+        case Some("LAST") =>
+          if (visible.isEmpty) nullOf(first) else coalesce(srcs.reverse.map(col): _*)
+        case Some("SUM") =>
+          if (visible.isEmpty) nullOf(first)
+          else srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0)))
+        case Some("AVG") =>
+          if (visible.isEmpty) nullOf(first)
+          else srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0))) /
+            srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        case Some("MIN") =>
+          if (visible.isEmpty) nullOf(first)
+          else if (srcs.size == 1) col(srcs.head) else least(srcs.map(col): _*)
+        case Some("MAX") =>
+          if (visible.isEmpty) nullOf(first)
+          else if (srcs.size == 1) col(srcs.head) else greatest(srcs.map(col): _*)
+        case Some("COUNT") =>
+          if (visible.isEmpty) lit(0L)
+          else srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        case Some(f) => sys.error(s"unsupported measure function $f")
+      }
+    }
+
+    def staticRowMeasure(m: Measure, vn: String, u: Int): Column =
+      if (m.fn.contains("MATCH_NUMBER")) col(s"__mn_${m.alias}")
+      else if (m.fn.contains("CLASSIFIER")) lit(vn)
+      else if (isGroupRef(m.varName)) groupFinal(m, visible = u > groupU)
+      else staticMeasure(m, u)
+
+    // running measure on MEMBER row (repetition k, member j, its own rep
+    // array and bound timestamp t) — RUNNING semantics as of this row
+    def memberMeasure(m: Measure, k: Column, j: Column,
+                      rep: Column, t: Column): Column = {
+      if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
+      if (m.fn.contains("CLASSIFIER")) return get(memberNames, j)
+      if (!isGroupRef(m.varName)) return staticMeasure(m, groupU)
+      if (m.field == "ts") {
+        svIdx.get(m.varName) match {
+          case None => m.fn match { // the group's own timestamps
+            case Some("FIRST") => col(s"${gname}_first_ts")
+            case Some("LAST") => t // this row IS the group's latest binding
+            case Some("COUNT") => // completed repetitions as of this row
+              (k + when(j === lit(mCount - 1), 1).otherwise(0)).cast("long")
+            case other => sys.error(s"group $gname: FIRST/LAST/COUNT only " +
+              s"over timestamps (got ${other.getOrElse("a bare reference")})")
+          }
+          case Some(ji) =>
+            // occurrences of this member bound so far: one per completed
+            // repetition, plus this repetition's iff already reached
+            val c = k + when(j >= lit(ji), 1).otherwise(0)
+            m.fn match {
+              case Some("COUNT") => c.cast("long")
+              case Some("FIRST") =>
+                when(c > 0, get(get(repsC, lit(0)), lit(ji)))
+              case Some("LAST") =>
+                when(j >= lit(ji), get(rep, lit(ji)))
+                  .otherwise(when(k > 0, get(get(repsC, k - 1), lit(ji))))
+              case other => sys.error(s"member ${m.varName}: FIRST/LAST/" +
+                s"COUNT only over timestamps (got " +
+                s"${other.getOrElse("a bare reference")})")
+            }
+        }
+      } else {
+        val ji = svIdx(m.varName)
+        val vals = valsOf(m.varName, m.field)
+        val c = k + when(j >= lit(ji), 1).otherwise(0)
+        val nn = filter(slice(vals, lit(1), c), x => x.isNotNull)
+        def total = aggregate(nn, lit(0.0), (a, x) => a + x)
+        m.fn match {
+          case Some("SUM") => when(size(nn) > 0, total)
+          case Some("AVG") => when(size(nn) > 0, total / size(nn))
+          case Some("MIN") => array_min(nn)
+          case Some("MAX") => array_max(nn)
+          case Some("FIRST") => when(c > 0, get(vals, lit(0)))
+          case Some("LAST") => when(c > 0, get(vals, c - 1))
+          case Some("COUNT") => size(nn).cast("long")
+          case other => sys.error(s"group member ${m.varName}: use " +
+            s"SUM/AVG/MIN/MAX/FIRST/LAST/COUNT (got " +
+            s"${other.getOrElse("a bare reference")})")
+        }
+      }
+    }
+
+    val memberRows: Column = flatten(transform(repsC, (rep, k) =>
+      transform(rep, (t, j) =>
+        struct((get(memberNames, j).as("cls") +: t.as("ts") +:
+          spec.measures.map(m => memberMeasure(m, k, j, rep, t).as(m.alias))): _*))))
+    val staticStructs = units.zipWithIndex.filter(_._1._1 != gname).map {
+      case ((vn, i), u) =>
+        struct((lit(vn).as("cls") +: col(srcCol(vn, i, "ts")).as("ts") +:
+          spec.measures.map(m => staticRowMeasure(m, vn, u).as(m.alias))): _*)
+    }
+    val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
+    matches
+      .select(keyOut(spec) :+
+        explode(concat(array(staticStructs: _*), memberRows)).as("__r"): _*)
+      .filter(col("__r.ts").isNotNull) // skipped optional expansions
+      .select(spec.partitionBy.map(col) ++
+        rowCols.map(n => col(s"__r.$n").as(n)): _*)
   }
 
   /** [[allRowsOutput]]'s run expansion — ALL ROWS with one '+'/'*' run

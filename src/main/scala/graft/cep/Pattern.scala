@@ -34,7 +34,9 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       group: Seq[(String, Column)] = Nil,
                       consec: Boolean = false,
                       groupKeep: Seq[(String, String)] = Nil,
-                      runOffset: Int = 1)
+                      runOffset: Int = 1,
+                      groupRows: Boolean = false,
+                      tieCol: Option[String] = None)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,
@@ -325,6 +327,41 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       notStep, windowMs, skipPastLast, skipTo)
   }
 
+  /** Materialize each repetition's member BINDINGS on the match row — the
+    * per-event surface that ALL ROWS PER MATCH over a sequence group needs
+    * (reference flink-table StreamExecMatch row-per-event emission over
+    * GroupPattern repetitions, MatchRecognizeITCase ALL-ROWS shapes): the
+    * match additionally carries `<group>_reps` (array per repetition of the
+    * member timestamps, in member order) and `<group>_repvals` (array per
+    * repetition of the [[bindGroup]] column values, in groupKeep order).
+    * Per-match state is bounded by the repetition count (window-bounded),
+    * and downstream consumers expand rows with generator expressions — no
+    * extra join or shuffle. Requires the quantified (`+`/`*`) chain path. */
+  def materializeGroupRows(): Pattern = {
+    require(steps.nonEmpty && steps.last.group.nonEmpty,
+      "materializeGroupRows() requires followedByGroup() as the last step")
+    new Pattern(steps.init :+ steps.last.copy(groupRows = true),
+      notStep, windowMs, skipPastLast, skipTo)
+  }
+
+  /** Secondary intra-timestamp order for the LAST added step — the
+    * run/group analog of the composite ORDER BY `(ts, tie)` plain-step
+    * refinement (reference StreamExecMatch.scala ComparatorCodeGenerator
+    * secondary sort keys): equal-timestamp candidates order by `(tie,
+    * value)` instead of `(value)`, which steers WHICH candidate's payload
+    * counts as the run's first/last member value ([[bindRun]]) or binds a
+    * group member's value ([[bindGroup]]). Membership and succession stay
+    * time-level — the tiebreak never changes WHICH timestamps match, only
+    * which same-timestamp event's values are read. Lowered as min_by/max_by
+    * hash aggregates — no sort, no extra shuffle. */
+  def tieBreak(c: String): Pattern = {
+    require(steps.nonEmpty &&
+      (steps.last.oneOrMore || steps.last.group.nonEmpty),
+      "tieBreak() applies to a oneOrMore()/zeroOrMore() run or a group step")
+    new Pattern(steps.init :+ steps.last.copy(tieCol = Some(c)),
+      notStep, windowMs, skipPastLast, skipTo)
+  }
+
   /** flink-cep `until(cond)` on a preceding `oneOrMore()` step: the run
     * stops accepting occurrences once a `cond` event (strictly after the
     * run's first occurrence, same key, in-window) appears — run members are
@@ -433,11 +470,23 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     joined(withFirst, s"${name}_last_ts", c => (s"${name}_last_$c", s"__mx_$c"))
   }
 
-  /** The per-(key, ts[, seg]) value-extremes table for [[joinBoundaryVals]]. */
+  /** The per-(key, ts[, seg]) value-extremes table for [[joinBoundaryVals]].
+    * With a [[tieBreak]] column (`tie`), the extremes are argmin/argmax by
+    * `(tie, value)` — the composite ORDER BY's intra-timestamp order —
+    * instead of plain value extremes; min_by/max_by are declarative
+    * aggregates, so the table stays a HASH aggregate either way. */
   private def boundaryValTable(cand: DataFrame, keep: Seq[String],
-                               segCol: Option[Column]): DataFrame = {
-    val aggs = keep.flatMap(c => Seq(min(col(s"__rm_$c")).as(s"__mn_$c"),
-      max(col(s"__rm_$c")).as(s"__mx_$c")))
+                               segCol: Option[Column],
+                               tie: Option[Column] = None): DataFrame = {
+    val aggs = keep.flatMap { c =>
+      val v = col(s"__rm_$c")
+      tie match {
+        case None => Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"))
+        case Some(t) => Seq(
+          min_by(v, struct(t, v)).as(s"__mn_$c"),
+          max_by(v, struct(t, v)).as(s"__mx_$c"))
+      }
+    }
     cand.groupBy((col("__k3").as("__vk") +: col("__rts").as("__vts") +:
         segCol.map(_.as("__vseg")).toSeq): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -665,17 +714,34 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         s.groupKeep.zipWithIndex.foreach { case ((m, c), i) =>
           val im = s.group.indexWhere(_._1 == m)
           val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
+          // equal-ts candidates: (value) min by default, (tie, value) argmin
+          // under a composite ORDER BY tiebreak — both hash aggregates
+          val vAgg = s.tieCol match {
+            case None => min(col(c).cast("double"))
+            case Some(t) =>
+              min_by(col(c).cast("double"), struct(col(t), col(c).cast("double")))
+          }
           val vt = events.filter(s.group(im)._2)
             .groupBy(key.as("__vk"), ts.as("__vts"))
-            .agg(min(col(c).cast("double")).as(s"__gv$i"))
+            .agg(vAgg.as(s"__gv$i"))
           subs = subs.join(vt, col("__gk") === col("__vk") &&
               boundTs === col("__vts"))
             .drop("__vk", "__vts")
         }
         val gvCols = s.groupKeep.indices.map(i => col(s"__gv$i"))
+        // materializeGroupRows: every member's bound timestamp per
+        // repetition, in member order (member 0 = the sub-match start, the
+        // rest the chained completion times) — the raw material for ALL ROWS
+        // PER MATCH expansion downstream
+        val memTsCols: Seq[Column] = col("__gb") +:
+          (0 until s.group.size - 1).map(j => col(s"__ge$j"))
         val subPairs = subs.select(
-          (col("__gk") +: col("__gb") +: prevSub.as("__gc") +: gvCols): _*)
+          ((col("__gk") +: col("__gb") +: prevSub.as("__gc") +: gvCols) ++
+            (if (s.groupRows) Seq(array(memTsCols: _*).as("__gmem")) else Nil)): _*)
         if (!s.oneOrMore) {
+          require(!s.groupRows,
+            s"materializeGroupRows on ${s.name}: only quantified ('+'/'*') " +
+              "group chains materialize repetition rows")
           // single repetition: the earliest sub-match strictly after the
           // previous binding. Completion time is MONOTONE in start time
           // (each sub-stage is a min over a shrinking candidate set), so
@@ -727,6 +793,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               org.apache.spark.sql.types.StructField(s"${s.name}_cnt_${m}_$c",
                 org.apache.spark.sql.types.LongType)
           }
+          val repFields = if (!s.groupRows) Nil else Seq(
+            org.apache.spark.sql.types.StructField(s"${s.name}_reps",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.TimestampType, true), false)),
+            org.apache.spark.sql.types.StructField(s"${s.name}_repvals",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.DoubleType, true), false)))
           val outSchema = org.apache.spark.sql.types.StructType(
             aSchema.fields ++ Seq(
               org.apache.spark.sql.types.StructField(s"${s.name}_first_ts",
@@ -734,7 +809,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               org.apache.spark.sql.types.StructField(s"${s.name}_last_ts",
                 org.apache.spark.sql.types.TimestampType),
               org.apache.spark.sql.types.StructField(s"${s.name}_n",
-                org.apache.spark.sql.types.LongType)) ++ valFields)
+                org.apache.spark.sql.types.LongType)) ++ valFields ++ repFields)
           val strEnc = org.apache.spark.sql.Encoders.STRING
           val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
           val subKV = subPairs.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
@@ -742,12 +817,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           // (whose Columns drag in non-serializable plan state)
           val optGroup = s.opt
           val gkN = s.groupKeep.size
+          val matRows = s.groupRows
           val chained = anchKV.cogroup(subKV) { (_, as, ss) =>
             // full-precision Timestamp comparisons (compareTo includes
             // nanos) — the declarative joins compare at full precision too
             val pairs = ss.map(r => (Pattern.tsOf(r, 1), Pattern.tsOf(r, 2),
                 Array.tabulate[java.lang.Double](gkN)(j =>
-                  if (r.isNullAt(3 + j)) null else r.getDouble(3 + j))))
+                  if (r.isNullAt(3 + j)) null else r.getDouble(3 + j)),
+                if (matRows) r.getSeq[Any](3 + gkN).map(Pattern.anyToTs)
+                else null))
               .toArray.sortWith((p, q) => p._1.before(q._1))
             as.flatMap { a =>
               val tau = Pattern.tsOf(a, prevIdx)
@@ -764,8 +842,16 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               val vFirst = new Array[java.lang.Double](gkN)
               val vLast = new Array[java.lang.Double](gkN)
               val vCnt = new Array[Long](gkN)
+              // per-repetition member bindings (materializeGroupRows only):
+              // bounded by the window's repetition count
+              val repTs = if (matRows)
+                scala.collection.mutable.ArrayBuffer.empty[Seq[java.sql.Timestamp]]
+              else null
+              val repVs = if (matRows)
+                scala.collection.mutable.ArrayBuffer.empty[Seq[java.lang.Double]]
+              else null
               while (!stop && i < pairs.length) {
-                val (b, c, vs) = pairs(i)
+                val (b, c, vs, mem) = pairs(i)
                 if (!b.after(lastEnd)) i += 1 // not strictly after: advance
                 else if (c.after(wEnd)) stop = true // monotone: none later completes
                 else {
@@ -785,19 +871,23 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                     }
                     j += 1
                   }
+                  if (matRows) { repTs += mem; repVs += vs.toSeq }
                   lastEnd = c; n += 1
                 }
               }
               val vals = (0 until gkN).flatMap(j =>
                 Seq(vSum(j), vMin(j), vMax(j), vFirst(j), vLast(j), vCnt(j)))
+              val repCols: Seq[Any] =
+                if (!matRows) Nil else Seq(repTs.toSeq, repVs.toSeq)
               // (sub)* (opt): an empty chain keeps the match row with null
               // boundaries and count 0 — the zeroOrMore convention
               if (n == 0 && !optGroup) Iterator.empty
               else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
                 a.toSeq ++ Seq(null, null, 0L) ++
-                  (0 until gkN).flatMap(_ => Seq(null, null, null, null, null, 0L))))
+                  (0 until gkN).flatMap(_ => Seq(null, null, null, null, null, 0L)) ++
+                  (if (matRows) Seq(Seq.empty, Seq.empty) else Nil)))
               else Iterator.single(org.apache.spark.sql.Row.fromSeq(
-                a.toSeq ++ Seq(first, lastEnd, n) ++ vals))
+                a.toSeq ++ Seq(first, lastEnd, n) ++ vals ++ repCols))
             }
           }(org.apache.spark.sql.Encoders.row(outSchema))
           out = chained.toDF().drop("__gprev", "__gwend")
@@ -948,7 +1038,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           when(clsExpr === bn, 1L).otherwise(0L).as(s"__rb_$bn") }
       }
       val cand = events.filter(pred).select((key.as("__k3") +: ts.as("__rts") +:
-        (st.keep.map(c => col(c).as(s"__rm_$c")) ++ branchInd)): _*)
+        (st.keep.map(c => col(c).as(s"__rm_$c")) ++ branchInd ++
+          st.tieCol.map(t => col(t).as("__rtie")).toSeq)): _*)
       val upperCond = (nextName match {
         case Some(nx) => col("__rts") < col(s"${nx}_ts")
         case None => col("__rts") <= col(startTs) + win
@@ -971,7 +1062,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         .withColumnRenamed(s"${name}_ts", s"${name}_first_ts")
         .drop("__until_ts")
       out = joinBoundaryVals(out, name, st.keep,
-        boundaryValTable(cand, st.keep, None), seg = false)
+        boundaryValTable(cand, st.keep, None,
+          st.tieCol.map(_ => col("__rtie"))), seg = false)
     }
     val matches = out.withColumnRenamed("__k", "key")
     if (skipPastLast) greedyAfterMatch(matches, startName = startTs, None)
@@ -1058,16 +1150,18 @@ object Pattern extends Serializable {
     * handed us rather than ClassCastException-ing. NTZ values are interpreted
     * at UTC — the same convention the TimestampType cast uses under the
     * engine's UTC session zone, so both paths agree on the instant. */
+  private[cep] def anyToTs(v: Any): java.sql.Timestamp = v match {
+    case null => null
+    case t: java.sql.Timestamp => t
+    case ldt: java.time.LocalDateTime =>
+      java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+    case inst: java.time.Instant => java.sql.Timestamp.from(inst)
+    case o => throw new IllegalStateException(
+      s"timestamp column holds ${o.getClass.getName}")
+  }
+
   private[cep] def tsOf(r: org.apache.spark.sql.Row, i: Int): java.sql.Timestamp =
-    r.get(i) match {
-      case null => null
-      case t: java.sql.Timestamp => t
-      case ldt: java.time.LocalDateTime =>
-        java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
-      case inst: java.time.Instant => java.sql.Timestamp.from(inst)
-      case o => throw new IllegalStateException(
-        s"timestamp column holds ${o.getClass.getName}")
-    }
+    anyToTs(r.get(i))
 
   private[cep] def keyString(v: Any): String = v match {
     case null => "N"

@@ -1509,6 +1509,325 @@ object WindowQueries {
       |SELECT user_id, 'U', p_ts, s_ts, n_all, round(sum_all, 4), last_all
       |FROM tot""".stripMargin
 
+  // --- m24: ALL ROWS PER MATCH over a SEQUENCE GROUP `(C V)+` (reference
+  // flink-table StreamExecMatch row-per-event emission across GroupPattern
+  // repetitions; MatchRecognizeITCase ALL-ROWS shapes): one row per bound
+  // event — S, every repetition's C and V members, P — with measures
+  // RUNNING as of each row. Engine: the repetition chain materializes each
+  // repetition's member bindings as arrays (Pattern.materializeGroupRows)
+  // and the expansion is closed-form generator expressions over the match
+  // table (COUNT at member j of repetition k is k + [j >= pos], running
+  // sums fold a slice of the per-repetition value array) — no join, no
+  // window, no shuffle beyond the match itself. Oracle: the m13 recursive
+  // chain exploded per repetition with window running aggregates.
+  private val m24: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(C.ts) AS n_c, COUNT(V.ts) AS n_v,
+        |           FIRST(C.ts) AS first_c_ts, LAST(V.ts) AS last_v_ts,
+        |           SUM(C.value) AS sum_c_value
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (C V)+ P)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .withColumn("sum_c_value",
+        round(col("sum_c_value"), 4).cast("decimal(18,4)"))
+  private val m24Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |cval AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, min(value) AS val
+      |         FROM events WHERE event_type='click' GROUP BY 1, 2),
+      |subs AS (
+      |  SELECT c.user_id, c.ts AS b_ts, min(v.ts) AS e_ts
+      |  FROM c JOIN v ON v.user_id = c.user_id AND v.ts > c.ts
+      |              AND v.ts <= c.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, s1.e_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2, 3),
+      |entry AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 96 HOURS AS w_end,
+      |         min(sub.b_ts) AS b1
+      |  FROM s JOIN subs sub ON sub.user_id = s.user_id AND sub.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |chain AS (
+      |  SELECT e.user_id, e.s_ts, e.w_end, sub.b_ts AS b_cur, sub.e_ts AS e_cur,
+      |         CAST(1 AS BIGINT) AS k
+      |  FROM entry e JOIN subs sub ON sub.user_id = e.user_id AND sub.b_ts = e.b1
+      |  WHERE sub.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT ch.user_id, ch.s_ts, ch.w_end, nx.b_ts, nx.e_ts, ch.k + 1
+      |  FROM chain ch
+      |  JOIN link l ON l.user_id = ch.user_id AND l.b_ts = ch.b_cur
+      |  JOIN subs nx ON nx.user_id = ch.user_id AND nx.b_ts = l.nb
+      |  WHERE nx.e_ts <= ch.w_end),
+      |best AS (
+      |  SELECT user_id, s_ts, w_end, e_cur, k,
+      |         row_number() OVER (PARTITION BY user_id, s_ts ORDER BY k DESC) rn
+      |  FROM chain),
+      |mt AS (
+      |  SELECT b.user_id, b.s_ts, b.k AS nreps, min(p.ts) AS p_ts
+      |  FROM best b JOIN p ON p.user_id = b.user_id AND p.ts > b.e_cur
+      |                    AND p.ts <= b.w_end
+      |  WHERE b.rn = 1
+      |  GROUP BY 1, 2, 3),
+      |rr AS (
+      |  SELECT m.user_id, m.s_ts, m.p_ts, m.nreps, ch.k, ch.b_cur, ch.e_cur,
+      |         sum(cv.val) OVER w AS rsum,
+      |         lag(ch.e_cur) OVER w AS prev_e,
+      |         min(ch.b_cur) OVER (PARTITION BY m.user_id, m.s_ts) AS b_first
+      |  FROM mt m
+      |  JOIN chain ch ON ch.user_id = m.user_id AND ch.s_ts = m.s_ts
+      |               AND ch.k <= m.nreps
+      |  JOIN cval cv ON cv.user_id = m.user_id AND cv.ts = ch.b_cur
+      |  WINDOW w AS (PARTITION BY m.user_id, m.s_ts ORDER BY ch.k
+      |               ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
+      |       CAST(0 AS BIGINT) AS n_c, CAST(0 AS BIGINT) AS n_v,
+      |       CAST(NULL AS TIMESTAMP) AS first_c_ts,
+      |       CAST(NULL AS TIMESTAMP) AS last_v_ts,
+      |       CAST(NULL AS DECIMAL(18,4)) AS sum_c_value
+      |FROM mt
+      |UNION ALL
+      |SELECT user_id, 'C', b_cur, s_ts, k, k - 1, b_first, prev_e,
+      |       CAST(round(rsum, 4) AS DECIMAL(18,4)) FROM rr
+      |UNION ALL
+      |SELECT user_id, 'V', e_cur, s_ts, k, k, b_first, e_cur,
+      |       CAST(round(rsum, 4) AS DECIMAL(18,4)) FROM rr
+      |UNION ALL
+      |SELECT user_id, 'P', p_ts, s_ts, nreps, nreps, b_first, e_cur,
+      |       CAST(round(rsum, 4) AS DECIMAL(18,4)) FROM rr WHERE k = nreps""".stripMargin
+
+  // --- m25: composite ORDER BY `(ts, tiebreak)` over a '+' RUN (reference
+  // StreamExecMatch ComparatorCodeGenerator secondary sort keys applied to
+  // looping states): timestamps coarsen to the hour so equal-ts member sets
+  // are real; FIRST/LAST member VALUES then read the candidate with the
+  // least/greatest (event_id, value) at the boundary hour — exactly what
+  // the tiebreak steers (membership and counts are unchanged). Engine:
+  // min_by/max_by hash aggregates in the boundary-value table
+  // (Pattern.tieBreak) — no sort, no new shuffle. Oracle: m09's run replay
+  // with the argmin struct keyed (ts, event_id, value).
+  private val m25: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(
+      ev(s, dir).withColumn("ts", date_trunc("hour", col("ts"))),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES S.ts AS signup_ts, FIRST(C.ts) AS first_click_ts,
+        |           COUNT(C.ts) AS n_clicks,
+        |           FIRST(C.value) AS first_click_value,
+        |           LAST(C.value) AS last_click_value,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S C+ P)
+        |  WITHIN INTERVAL '72' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m25Sql =
+    """WITH e AS (SELECT user_id, event_id,
+      |            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+      |            event_type, value FROM events),
+      |s AS (SELECT user_id, event_id, ts FROM e WHERE event_type='signup'),
+      |c AS (SELECT user_id, event_id, ts, value FROM e WHERE event_type='click'),
+      |p AS (SELECT user_id, ts FROM e WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.event_id AS sid, s.ts AS s_ts, min(c.ts) AS first_c
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 72 HOURS
+      |       GROUP BY 1, 2, 3),
+      |m2 AS (SELECT m1.user_id, sid, s_ts, first_c, min(p.ts) AS p_ts
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > first_c
+      |                     AND p.ts <= s_ts + INTERVAL 72 HOURS
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT m2.user_id, s_ts AS signup_ts, first_c AS first_click_ts,
+      |       count(*) AS n_clicks,
+      |       struct_extract(min({'t': c.ts, 'e': c.event_id, 'v': c.value}), 'v') AS first_click_value,
+      |       struct_extract(max({'t': c.ts, 'e': c.event_id, 'v': c.value}), 'v') AS last_click_value,
+      |       p_ts AS purchase_ts
+      |FROM m2 JOIN c ON c.user_id = m2.user_id AND c.ts >= first_c AND c.ts < p_ts
+      |GROUP BY 1, m2.sid, 2, 3, 7""".stripMargin
+
+  // --- m26: composite ORDER BY `(ts, tiebreak)` over a SEQUENCE GROUP's
+  // member value bindings (StreamExecMatch secondary sort keys under a
+  // GroupPattern): hour-coarsened timestamps make equal-ts member candidate
+  // sets real; each repetition's bound C/V VALUE is then the (event_id,
+  // value)-argmin among that hour's candidates — the per-(key, ts) binding
+  // table becomes a min_by hash aggregate (Pattern.tieBreak on the group
+  // step). Oracle: m19's recursive chain with argmin-struct value tables.
+  private val m26: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(
+      ev(s, dir).withColumn("ts", date_trunc("hour", col("ts"))),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES S.ts AS signup_ts, FIRST(C.ts) AS g_first_ts,
+        |           LAST(V.ts) AS g_last_ts, COUNT(C.ts) AS n_reps,
+        |           SUM(V.value) AS sum_view_value,
+        |           FIRST(C.value) AS first_click_value,
+        |           LAST(C.value) AS last_click_value,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S (C V)+ P)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .withColumn("sum_view_value",
+        round(col("sum_view_value"), 4).cast("decimal(18,4)"))
+  private val m26Sql =
+    """WITH RECURSIVE
+      |e AS (SELECT user_id, event_id,
+      |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+      |       event_type, value FROM events),
+      |s AS (SELECT user_id, event_id, ts FROM e WHERE event_type='signup'),
+      |c AS (SELECT user_id, event_id, ts, value FROM e WHERE event_type='click'),
+      |v AS (SELECT user_id, event_id, ts, value FROM e WHERE event_type='view'),
+      |p AS (SELECT user_id, ts FROM e WHERE event_type='purchase'),
+      |cv AS (SELECT user_id, ts,
+      |        struct_extract(min({'e': event_id, 'v': value}), 'v') AS cval
+      |       FROM c GROUP BY 1, 2),
+      |vv AS (SELECT user_id, ts,
+      |        struct_extract(min({'e': event_id, 'v': value}), 'v') AS vval
+      |       FROM v GROUP BY 1, 2),
+      |subs AS (
+      |  SELECT c.user_id, c.ts AS b_ts, min(v.ts) AS e_ts
+      |  FROM c JOIN v ON v.user_id = c.user_id AND v.ts > c.ts
+      |              AND v.ts <= c.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |subv AS (
+      |  SELECT sb.user_id, sb.b_ts, sb.e_ts, cv.cval, vv.vval
+      |  FROM subs sb
+      |  JOIN cv ON cv.user_id = sb.user_id AND cv.ts = sb.b_ts
+      |  JOIN vv ON vv.user_id = sb.user_id AND vv.ts = sb.e_ts),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, s1.e_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2, 3),
+      |entry AS (
+      |  SELECT s.user_id, s.event_id AS sid, s.ts AS s_ts,
+      |         s.ts + INTERVAL 96 HOURS AS w_end, min(sub.b_ts) AS b1
+      |  FROM s JOIN subs sub ON sub.user_id = s.user_id AND sub.b_ts > s.ts
+      |  GROUP BY 1, 2, 3, 4),
+      |chain AS (
+      |  SELECT e.user_id, e.sid, e.s_ts, e.w_end, e.b1 AS b_first,
+      |         sub.b_ts AS b_cur, sub.e_ts AS e_cur, CAST(1 AS BIGINT) AS n,
+      |         sub.vval AS sum_vv, sub.cval AS first_cv, sub.cval AS last_cv
+      |  FROM entry e JOIN subv sub ON sub.user_id = e.user_id AND sub.b_ts = e.b1
+      |  WHERE sub.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT ch.user_id, ch.sid, ch.s_ts, ch.w_end, ch.b_first, nx.b_ts,
+      |         nx.e_ts, ch.n + 1, ch.sum_vv + nx.vval, ch.first_cv, nx.cval
+      |  FROM chain ch
+      |  JOIN link l ON l.user_id = ch.user_id AND l.b_ts = ch.b_cur
+      |  JOIN subv nx ON nx.user_id = ch.user_id AND nx.b_ts = l.nb
+      |  WHERE nx.e_ts <= ch.w_end),
+      |best AS (
+      |  SELECT user_id, sid, s_ts, w_end, b_first, e_cur, n, sum_vv, first_cv, last_cv,
+      |         row_number() OVER (PARTITION BY user_id, sid, s_ts ORDER BY n DESC) rn
+      |  FROM chain)
+      |SELECT b.user_id, b.s_ts AS signup_ts, b.b_first AS g_first_ts,
+      |       b.e_cur AS g_last_ts, b.n AS n_reps,
+      |       CAST(round(b.sum_vv, 4) AS DECIMAL(18,4)) AS sum_view_value,
+      |       b.first_cv AS first_click_value, b.last_cv AS last_click_value,
+      |       min(p.ts) AS purchase_ts
+      |FROM best b JOIN p ON p.user_id = b.user_id AND p.ts > b.e_cur AND p.ts <= b.w_end
+      |WHERE b.rn = 1
+      |GROUP BY 1, b.sid, 2, 3, 4, 5, 6, 7, 8""".stripMargin
+
+  // --- m27: FOREIGN-variable PREV with offset — `PREV(C.value, 2)` inside
+  // P's DEFINE (Calcite accepts arbitrary PREV targets; SQL-standard
+  // physical navigation: the value 2 rows before C's bound row in the
+  // partition order). Engine: the lag is precomputed once as a keyed window
+  // column and bound at C like any payload, so P's condition stays an
+  // equi-join residual (rewritePrev's __plag lowering) — no sequential
+  // state, no new shuffle pattern. Oracle: the same lag + argmin binding
+  // replay.
+  private val m27: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES S.ts AS signup_ts, C.ts AS click_ts, C.value AS click_value,
+        |           P.ts AS purchase_ts, P.value AS purchase_value
+        |  PATTERN (S C P)
+        |  WITHIN INTERVAL '72' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase' AND P.value > PREV(C.value, 2)
+        |)""".stripMargin)
+  private val m27Sql =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, event_type, value,
+      |            lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pl2
+      |           FROM events),
+      |s AS (SELECT user_id, ts FROM e WHERE event_type='signup'),
+      |c AS (SELECT user_id, event_id, ts, value, pl2 FROM e WHERE event_type='click'),
+      |p AS (SELECT user_id, event_id, ts, value FROM e WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS c_ts
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 72 HOURS
+      |       GROUP BY 1, 2),
+      |m1b AS (SELECT m1.user_id, s_ts, c_ts,
+      |         struct_extract(min({'e': c.event_id, 'v': c.value, 'p': c.pl2}), 'v') AS click_value,
+      |         struct_extract(min({'e': c.event_id, 'v': c.value, 'p': c.pl2}), 'p') AS prev2
+      |        FROM m1 JOIN c ON c.user_id = m1.user_id AND c.ts = m1.c_ts
+      |        GROUP BY 1, 2, 3),
+      |m2 AS (SELECT b.user_id, s_ts, c_ts, click_value, prev2, min(p.ts) AS p_ts
+      |       FROM m1b b JOIN p ON p.user_id = b.user_id AND p.ts > b.c_ts
+      |                        AND p.ts <= b.s_ts + INTERVAL 72 HOURS
+      |                        AND p.value > b.prev2
+      |       GROUP BY 1, 2, 3, 4, 5)
+      |SELECT m2.user_id, s_ts AS signup_ts, c_ts AS click_ts, click_value,
+      |       p_ts AS purchase_ts,
+      |       struct_extract(min({'e': p.event_id, 'v': p.value}), 'v') AS purchase_value
+      |FROM m2 JOIN p ON p.user_id = m2.user_id AND p.ts = m2.p_ts
+      |              AND p.value > m2.prev2
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
+  // --- m28: PLAIN-variable self PREV with offset — `C.value >
+  // PREV(C.value, 3)` on an UNQUANTIFIED C (physical navigation: the row 3
+  // back in the partition, whatever its type — not a run member). Engine:
+  // pure pre-filter against the precomputed lag column, pushed into the
+  // candidate scan. Oracle: identical lag + binding replay.
+  private val m28: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES S.ts AS signup_ts, C.ts AS click_ts, C.value AS click_value,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S C P)
+        |  WITHIN INTERVAL '72' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         C AS event_type = 'click' AND C.value > PREV(C.value, 3),
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m28Sql =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, event_type, value,
+      |            lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pl3
+      |           FROM events),
+      |s AS (SELECT user_id, ts FROM e WHERE event_type='signup'),
+      |c AS (SELECT user_id, event_id, ts, value FROM e
+      |      WHERE event_type='click' AND value > pl3),
+      |p AS (SELECT user_id, ts FROM e WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS c_ts
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 72 HOURS
+      |       GROUP BY 1, 2),
+      |m1b AS (SELECT m1.user_id, s_ts, c_ts,
+      |         struct_extract(min({'e': c.event_id, 'v': c.value}), 'v') AS click_value
+      |        FROM m1 JOIN c ON c.user_id = m1.user_id AND c.ts = m1.c_ts
+      |        GROUP BY 1, 2, 3)
+      |SELECT b.user_id, s_ts AS signup_ts, c_ts AS click_ts, click_value,
+      |       min(p.ts) AS purchase_ts
+      |FROM m1b b JOIN p ON p.user_id = b.user_id AND p.ts > b.c_ts
+      |                 AND p.ts <= b.s_ts + INTERVAL 72 HOURS
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -1530,7 +1849,9 @@ object WindowQueries {
     "m17_group_star" -> m17, "m18_match_avg" -> m18,
     "m19_group_values" -> m19, "m20_order_tiebreak" -> m20,
     "m21_alt_group" -> m21, "m22_prev_offset" -> m22,
-    "m23_all_rows_run" -> m23)
+    "m23_all_rows_run" -> m23, "m24_all_rows_group" -> m24,
+    "m25_run_tiebreak" -> m25, "m26_group_tiebreak" -> m26,
+    "m27_prev_foreign" -> m27, "m28_prev_plain" -> m28)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1555,5 +1876,7 @@ object WindowQueries {
     "m17_group_star" -> m17Sql, "m18_match_avg" -> m18Sql,
     "m19_group_values" -> m19Sql, "m20_order_tiebreak" -> m20Sql,
     "m21_alt_group" -> m21Sql, "m22_prev_offset" -> m22Sql,
-    "m23_all_rows_run" -> m23Sql)
+    "m23_all_rows_run" -> m23Sql, "m24_all_rows_group" -> m24Sql,
+    "m25_run_tiebreak" -> m25Sql, "m26_group_tiebreak" -> m26Sql,
+    "m27_prev_foreign" -> m27Sql, "m28_prev_plain" -> m28Sql)
 }

@@ -523,10 +523,12 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       (2L, at(0), at(5), at(5), 1L, at(10))),
       s"last=$viaLast qual=$viaPrevQual bare=$viaPrevBare")
     // self offsets n > 1 are supported (see the PREV(col, 2) spec); a
-    // FOREIGN variable has one binding, so offsets > 1 on it stay named
+    // FOREIGN physical PREV inside a '+' run's DEFINE cannot be re-checked
+    // per member — named error (plain variables take the __plag lowering,
+    // see the foreign-PREV spec)
     val ex = intercept[IllegalArgumentException](
       query("D.value < PREV(S.value, 2) AND D.event_type = 'click'"))
-    assert(ex.getMessage.contains("foreign variable"), ex.getMessage)
+    assert(ex.getMessage.contains("run member"), ex.getMessage)
     // reversed operands are the same condition and must agree
     val viaRevBare = query("PREV(value) > value AND D.event_type = 'click'")
     val viaRevQual = query("PREV(D.value) > D.value AND D.event_type = 'click'")
@@ -752,6 +754,161 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       (1L, "D", at(5), at(0), 1L, Some(10.0), Some(10.0)),
       (1L, "D", at(10), at(0), 2L, Some(30.0), Some(20.0)),
       (1L, "U", at(15), at(0), 2L, Some(30.0), Some(20.0))), m.toString)
+  }
+
+  test("ALL ROWS PER MATCH expands a sequence group's repetitions per member") {
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 10.0),
+      (1L, at(10), "view", 1.0), (1L, at(15), "click", 20.0),
+      (1L, at(20), "view", 2.0), (1L, at(25), "purchase", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(C.ts) AS n_c, LAST(V.ts) AS last_v,
+        |           SUM(C.value) AS sum_c
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (C V)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, String, Timestamp, Timestamp, Long, Option[Timestamp], Option[Double])]
+      .collect().toSet
+    assert(m == Set(
+      (1L, "S", at(0), at(0), 0L, None, None),
+      (1L, "C", at(5), at(0), 1L, None, Some(10.0)),
+      (1L, "V", at(10), at(0), 1L, Some(at(10)), Some(10.0)),
+      (1L, "C", at(15), at(0), 2L, Some(at(10)), Some(30.0)),
+      (1L, "V", at(20), at(0), 2L, Some(at(20)), Some(30.0)),
+      (1L, "P", at(25), at(0), 2L, Some(at(20)), Some(30.0))), m.toString)
+  }
+
+  test("ORDER BY tiebreak steers a run's FIRST/LAST member values") {
+    // two equal-ts members: without the tiebreak FIRST(D.value) would be
+    // the value-min (1.0); ORDER BY ts, seq reads seq 10's value (5.0)
+    val evs = Seq(
+      (1L, at(0), 1L, "signup", 0.0),
+      (1L, at(10), 10L, "click", 5.0), (1L, at(10), 20L, "click", 1.0),
+      (1L, at(15), 30L, "click", 7.0),
+      (1L, at(20), 40L, "purchase", 0.0)
+    ).toDF("user_id", "ts", "seq", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, seq
+        |  MEASURES FIRST(D.value) AS f, LAST(D.value) AS l, COUNT(D.ts) AS n
+        |  PATTERN (S D+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', D AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Double, Double, Long)].collect().toSet
+    assert(m == Set((1L, 5.0, 7.0, 3L)), m.toString)
+  }
+
+  test("ORDER BY tiebreak steers a group member's bound value") {
+    // two clicks at the bound ts: the (seq, value)-argmin (seq 10 -> 8.0)
+    // must bind, not the plain value-min (2.0)
+    val evs = Seq(
+      (1L, at(0), 1L, "signup", 0.0),
+      (1L, at(5), 10L, "click", 8.0), (1L, at(5), 20L, "click", 2.0),
+      (1L, at(10), 30L, "view", 1.0),
+      (1L, at(15), 40L, "purchase", 0.0)
+    ).toDF("user_id", "ts", "seq", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, seq
+        |  MEASURES FIRST(C.value) AS fc, COUNT(C.ts) AS n_reps
+        |  PATTERN (S (C V)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(m == Set((1L, 8.0, 1L)), m.toString)
+  }
+
+  test("foreign-variable PREV(C.value, 2) navigates the physical partition") {
+    // partition order: view(0) view(2) signup(4) click(6) purchase(8,10);
+    // PREV(C.value, 2) at the bound click = the view at minute 2 (3.0)
+    val evs = Seq(
+      (1L, at(0), 1L, "view", 7.0), (1L, at(2), 2L, "view", 3.0),
+      (1L, at(4), 3L, "signup", 0.0), (1L, at(6), 4L, "click", 10.0),
+      (1L, at(8), 5L, "purchase", 5.0), (1L, at(10), 6L, "purchase", 4.0)
+    ).toDF("user_id", "ts", "seq", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, seq
+        |  MEASURES S.ts AS s_ts, C.ts AS c_ts, P.ts AS p_ts, P.value AS p_value
+        |  PATTERN (S C P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase' AND P.value > PREV(C.value, 2)
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Double)].collect().toSet
+    // purchase@8 (5.0 > 3.0) binds; had PREV resolved to the signup (0.0)
+    // or click itself, the result would be unchanged here — so also check
+    // the negative: against PREV offset 1 (= signup 0.0) both purchases
+    // pass and the binding stays @8; against offset 4 (null) nothing binds
+    assert(m == Set((1L, at(4), at(6), at(8), 5.0)), m.toString)
+    val none = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, seq
+        |  MEASURES S.ts AS s_ts, P.ts AS p_ts
+        |  PATTERN (S C P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase' AND P.value > PREV(C.value, 4)
+        |)""".stripMargin).count()
+    assert(none == 0, "a PREV offset past the partition start is null -> no match")
+  }
+
+  test("plain-variable self PREV(value, 2) is a pushed pre-filter") {
+    // clicks: @5 (2-back null), @10 (2-back signup 0.0 -> 3 > 0 binds)
+    val evs = Seq(
+      (1L, at(0), 1L, "signup", 0.0), (1L, at(5), 2L, "click", 10.0),
+      (1L, at(10), 3L, "click", 3.0), (1L, at(15), 4L, "click", 12.0),
+      (1L, at(20), 5L, "purchase", 0.0)
+    ).toDF("user_id", "ts", "seq", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, seq
+        |  MEASURES C.ts AS c_ts, C.value AS c_value, P.ts AS p_ts
+        |  PATTERN (S C P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         C AS event_type = 'click' AND C.value > PREV(C.value, 2),
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Double, Timestamp)].collect().toSet
+    assert(m == Set((1L, at(10), 3.0, at(20))), m.toString)
+  }
+
+  test("named errors: tiebreak on alternations/self-runs, ALL ROWS group combos") {
+    val evs = Seq((1L, at(0), 1L, "signup", 0.0))
+      .toDF("user_id", "ts", "seq", "event_type", "value")
+    val e1 = intercept[Exception](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, seq
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S (B|C) P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(e1.getMessage.contains("alternation"), e1.getMessage)
+    val e2 = intercept[Exception](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (B C)+ D+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', D AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(e2.getMessage.contains("sequence group"), e2.getMessage)
   }
 
   test("ORDER BY tiebreak: equal-ts candidates bind by the secondary column") {

@@ -55,6 +55,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("r10 CEP additions stay cartesian-free (m24-m28)") {
+    // m24 group ALL-ROWS generator expansion, m25/m26 tiebreak min_by
+    // aggregates, m27/m28 physical-lag PREV — every join must stay keyed
+    Seq("m24_all_rows_group", "m25_run_tiebreak", "m26_group_tiebreak",
+        "m27_prev_foreign", "m28_prev_plain").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: unkeyed join appeared:\n${p.take(4000)}")
+    }
+  }
+
+  test("m24 ALL-ROWS group expansion adds no join over the m13 chain") {
+    // the per-repetition rows must come from generator expressions over the
+    // materialized reps arrays — a join-back implementation would re-shuffle
+    // the event table once per expansion. m19 is the chain WITH value binds
+    // (2 bound columns vs m24's 1), so m24's join count must not exceed it.
+    val p24 = planOf("m24_all_rows_group")
+    val p19 = planOf("m19_group_values")
+    val j24 = "Join".r.findAllIn(p24).length
+    val j19 = "Join".r.findAllIn(p19).length
+    assert(j24 <= j19,
+      s"m24 joins ($j24) must track the m19 chain-with-binds shape ($j19)")
+    assert(p24.contains("Generate"), "expected a generator-based expansion")
+  }
+
   test("m21 alternation-run branch counts ride the run's single aggregate") {
     // the per-branch counts must be conditional aggs on the EXISTING run
     // aggregation — adding a join or shuffle per branch would scale with
