@@ -104,7 +104,7 @@ object MatchRecognize {
                           withinMs: Long, defines: Map[String, String],
                           skipPastLast: Boolean, allRows: Boolean,
                           skipTo: Option[(String, Boolean)] = None,
-                          orderTie: Option[String] = None)
+                          orderTies: Seq[String] = Nil)
 
   private def sectionRx(name: String, stopAt: String) =
     (s"(?is)\\b$name\\b\\s+(.*?)\\s*(?=\\b(?:$stopAt)\\b)").r
@@ -122,21 +122,21 @@ object MatchRecognize {
       .getOrElse(sys.error("PARTITION BY required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val orderByRaw = section("ORDER\\s+BY", "MEASURES|AFTER|PATTERN").getOrElse(sys.error("ORDER BY required"))
-    // composite ORDER BY `(ts, tiebreak)` (reference StreamExecMatch.scala
-    // sorts by time attribute + secondary keys via ComparatorCodeGenerator):
-    // ONE secondary column is supported — it deterministically resolves
-    // which equal-timestamp candidate BINDS at each step (threaded as the
-    // first payload of the lexicographic (ts, payload) binding refinement).
-    // Succession stays time-level: equal-timestamp events are concurrent
-    // (the engine's documented strictly-after convention). Deeper composites
-    // are rejected by name, never silently dropped.
+    // composite ORDER BY `(ts, tie1, tie2, ...)` (reference
+    // StreamExecMatch.scala sorts by time attribute + secondary keys via
+    // ComparatorCodeGenerator): ANY number of secondary columns is
+    // supported — they deterministically resolve which equal-timestamp
+    // candidate BINDS at each step (threaded, in order, as the leading
+    // payloads of the lexicographic (ts, payload...) binding refinement)
+    // and which equal-ts candidate's values a run/group reads (the
+    // min_by/max_by composite key). Succession stays time-level:
+    // equal-timestamp events are concurrent (the engine's documented
+    // strictly-after convention).
     val obCols = orderByRaw.split(",").map(_.trim).toSeq
-    require(obCols.nonEmpty && obCols.size <= 2 &&
-      obCols.forall(c => "^\\w+$".r.matches(c)),
-      s"ORDER BY: one event-time column plus at most one tiebreak column " +
-        s"is supported (got '$orderByRaw')")
+    require(obCols.nonEmpty && obCols.forall(c => "^\\w+$".r.matches(c)),
+      s"ORDER BY: an event-time column plus tiebreak columns (got '$orderByRaw')")
     val orderBy = obCols.head
-    val orderTie = obCols.lift(1)
+    val orderTies = obCols.tail
     val measures = section("MEASURES", "ONE|ALL|AFTER|PATTERN").toSeq.flatMap(_.split(",").toSeq).map { m =>
       // MATCH_NUMBER(): the per-partition match ordinal (no variable ref)
       "(?is)\\s*MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*".r.findFirstMatchIn(m)
@@ -233,7 +233,7 @@ object MatchRecognize {
       }.toMap
     }.getOrElse(Map.empty)
     Spec(partitionBy, orderBy, measures, vars, withinMs, defines, skipPastLast,
-      allRows, skipTo, orderTie)
+      allRows, skipTo, orderTies)
   }
 
   /** `PREV(V.col)` / `PREV(col)` (offset 1) — the SQL-standard spelling of
@@ -461,7 +461,7 @@ object MatchRecognize {
     val events = if (lagPairs.isEmpty) events0 else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(spec.partitionBy.map(col): _*)
-        .orderBy((spec.orderBy +: spec.orderTie.toSeq).map(col): _*)
+        .orderBy((spec.orderBy +: spec.orderTies).map(col): _*)
       lagPairs.foldLeft(events0) { case (df, (n, c)) =>
         df.withColumn(s"__plag${n}_$c", lag(col(c), n).over(w)) }
     }
@@ -527,22 +527,23 @@ object MatchRecognize {
     // lowering walk below. Alternations (the classifier is part of the
     // binding refinement) and self-referential runs (segmentation orders by
     // (ts, run value)) stay named errors, never a silently different match.
-    val bindByVar: Map[String, Seq[String]] = spec.orderTie match {
-      case None => bindByVar0
-      case Some(tie) =>
+    val bindByVar: Map[String, Seq[String]] =
+      if (spec.orderTies.isEmpty) bindByVar0
+      else {
         spec.vars.foreach { v =>
           require(v.alts.isEmpty && !selfRuns.contains(v.name),
-            s"ORDER BY ${spec.orderBy}, $tie: the tiebreak composes with " +
-              s"plain/optional/times variables, '+'/'*' runs and sequence " +
-              s"groups (${v.name} is an alternation/self-referential run)")
+            s"ORDER BY ${spec.orderBy}, ${spec.orderTies.mkString(", ")}: " +
+              "the tiebreak composes with plain/optional/times variables, " +
+              s"'+'/'*' runs and sequence groups (${v.name} is an " +
+              "alternation/self-referential run)")
         }
         // runs and groups keep their aggregate bind columns untouched —
-        // prepending the tie would add it to the run aggregates instead
+        // prepending the ties would add them to the run aggregates instead
         bindByVar0 ++ spec.vars.filter(v => v.seq.isEmpty &&
             !v.quant.exists(q => q == "+" || q == "*"))
-          .map(v => v.name ->
-            (tie +: bindByVar0.getOrElse(v.name, Nil).filterNot(_ == tie)))
-    }
+          .map(v => v.name -> (spec.orderTies ++ bindByVar0
+            .getOrElse(v.name, Nil).filterNot(spec.orderTies.contains)))
+      }
     require(spec.vars.head.alts.isEmpty, "first pattern variable cannot be an alternation")
     require(spec.vars.head.seq.isEmpty, "first pattern variable cannot be a sequence group")
     require(spec.vars.head.quant.isEmpty, "first pattern variable cannot be quantified")
@@ -578,7 +579,7 @@ object MatchRecognize {
         // ALL ROWS needs each repetition's member bindings on the match row
         if (spec.allRows) pat = pat.materializeGroupRows()
         // composite ORDER BY: member value bindings argmin by (tie, value)
-        spec.orderTie.foreach(t => pat = pat.tieBreak(t))
+        if (spec.orderTies.nonEmpty) pat = pat.tieBreak(spec.orderTies: _*)
         pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
       } else if (v.alts.nonEmpty) {
         pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> compiled(b)._1): _*)
@@ -628,7 +629,7 @@ object MatchRecognize {
       // argmin/argmax by (tie, value) — membership stays time-level
       if (v.seq.isEmpty && v.alts.isEmpty && !selfRuns.contains(v.name) &&
           v.quant.exists(q => q == "+" || q == "*"))
-        spec.orderTie.foreach(t => pat = pat.tieBreak(t))
+        if (spec.orderTies.nonEmpty) pat = pat.tieBreak(spec.orderTies: _*)
     }
     if (spec.skipPastLast) pat = pat.afterMatchSkipPastLastEvent()
     spec.skipTo.foreach { case (v, isLast) =>
@@ -825,7 +826,9 @@ object MatchRecognize {
     * run's candidates over [first_ts, last_ts] (members ARE the pred
     * candidates in that span — runs are contiguous candidate segments),
     * with running measures as one window over each match's members.
-    * Alternation/sequence-group runs and multiple runs stay named errors. */
+    * Quantified ALTERNATION runs expand the same way with a per-member
+    * CLASSIFIER and running per-branch counts; sequence groups route to
+    * [[allRowsGroup]]; multiple runs stay named errors. */
   private def allRowsOutput(spec: Spec, matches0: DataFrame,
                             bounds: Map[String, (Int, Int)],
                             events: DataFrame, keyCol: Column,
@@ -842,9 +845,6 @@ object MatchRecognize {
           "'+'/'*' runs (their members are aggregated, not materialized)")
       return allRowsGroup(spec, matches0, bounds, groupVs.head, bindByVar)
     }
-    runVs.foreach(v => require(v.alts.isEmpty && v.seq.isEmpty,
-      s"ALL ROWS PER MATCH cannot expand the alternation/sequence-group " +
-        s"run ${v.name} (members are aggregated, not materialized)"))
     require(runVs.size <= 1,
       "ALL ROWS PER MATCH supports at most one '+'/'*' run variable")
     if (runVs.nonEmpty)
@@ -1179,10 +1179,20 @@ object MatchRecognize {
         case other => sys.error(s"$rn is a run variable — use " +
           s"FIRST/LAST/SUM/COUNT/MIN/MAX/AVG (got ${other.getOrElse("a bare reference")})")
       }
+    // branch of a quantified ALTERNATION run: COUNT over the branch's
+    // members (the ONE-ROW `<run>_n_<branch>` convention) — running on
+    // member rows, final on post-run statics, 0 before the run binds
+    val branchOf: Set[String] = r.alts.map(_.toString).toSet
     // measure value at static unit u (RUNNING: includes the unit itself)
     def measureAt(m: Measure, u: Int): Column = {
       if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
       if (m.fn.contains("CLASSIFIER")) return lit(units(u)._1)
+      if (branchOf(m.varName)) {
+        require(m.field == "ts" && m.fn.contains("COUNT"),
+          s"branch ${m.varName} of quantified alternation $rn: " +
+            s"COUNT(${m.varName}.ts) is the only branch measure")
+        return if (runU < u) col(s"${rn}_n_${m.varName}") else lit(0L)
+      }
       if (m.varName == rn) return runAggCol(m, visible = runU < u)
       val (_, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
       val visible = (1 to mx).filter(i => units.indexOf((m.varName, i)) <= u)
@@ -1223,14 +1233,23 @@ object MatchRecognize {
       .select(keyOut(spec) :+ explode(array(structs: _*)).as("__r"): _*)
       .filter(col("__r.ts").isNotNull)
       .select(spec.partitionBy.map(col) ++ rowCols.map(n => col(s"__r.$n").as(n)): _*)
-    // member rows: candidates of the run's pre-filter over the bound span
+    // member rows: candidates of the run's pre-filter over the bound span;
+    // an alternation run's pre-filter is the union of its branch predicates
+    // and each member carries its CLASSIFIER (first matching branch)
     val runPre: Column =
-      if (selfRuns.contains(rn)) selfRuns(rn).pre else compiled(rn)._1
+      if (r.alts.nonEmpty) r.alts.map(b => compiled(b)._1).reduce(_ || _)
+      else if (selfRuns.contains(rn)) selfRuns(rn).pre else compiled(rn)._1
+    val memClsCols =
+      if (r.alts.isEmpty) Nil
+      else Seq(r.alts.tail.foldLeft(
+          when(compiled(r.alts.head)._1, lit(r.alts.head))) {
+        case (acc, b) => acc.when(compiled(b)._1, lit(b))
+      }.as("__mcls"))
     val valFields = spec.measures
       .filter(m => m.varName == rn && m.field != "ts").map(_.field).distinct
     val memEv = events.filter(runPre).select(
       (keyCol.as("__mk") +: col(spec.orderBy).as("__mts") +:
-        valFields.map(f => col(f).as(s"__mf_$f"))): _*)
+        (valFields.map(f => col(f).as(s"__mf_$f")) ++ memClsCols)): _*)
     val mjoin = matches.join(memEv, col("key") === col("__mk") &&
       col("__mts") >= col(s"${rn}_first_ts") &&
       col("__mts") <= col(s"${rn}_last_ts"))
@@ -1239,7 +1258,14 @@ object MatchRecognize {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     def memberMeasure(m: Measure): Column = {
       if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
-      if (m.fn.contains("CLASSIFIER")) return lit(rn)
+      if (m.fn.contains("CLASSIFIER"))
+        return if (r.alts.isEmpty) lit(rn) else col("__mcls")
+      if (branchOf(m.varName)) {
+        require(m.field == "ts" && m.fn.contains("COUNT"),
+          s"branch ${m.varName} of quantified alternation $rn: " +
+            s"COUNT(${m.varName}.ts) is the only branch measure")
+        return sum(when(col("__mcls") === m.varName, 1L).otherwise(0L)).over(w)
+      }
       if (m.varName != rn) return measureAt(m, runU)
       if (m.field == "ts") m.fn match {
         case Some("FIRST") => col(s"${rn}_first_ts")
@@ -1259,8 +1285,9 @@ object MatchRecognize {
           s"FIRST/LAST/SUM/COUNT/MIN/MAX/AVG (got ${other.getOrElse("a bare reference")})")
       }
     }
+    val clsOut: Column = if (r.alts.isEmpty) lit(rn) else col("__mcls")
     val memberDf = mjoin.select(keyOut(spec) ++
-      (lit(rn).as("cls") +: col("__mts").as("ts") +:
+      (clsOut.as("cls") +: col("__mts").as("ts") +:
         spec.measures.map(m => memberMeasure(m).as(m.alias))): _*)
     staticDf.unionByName(memberDf)
   }

@@ -36,7 +36,7 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       groupKeep: Seq[(String, String)] = Nil,
                       runOffset: Int = 1,
                       groupRows: Boolean = false,
-                      tieCol: Option[String] = None)
+                      tieCols: Seq[String] = Nil)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,
@@ -354,11 +354,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * time-level — the tiebreak never changes WHICH timestamps match, only
     * which same-timestamp event's values are read. Lowered as min_by/max_by
     * hash aggregates — no sort, no extra shuffle. */
-  def tieBreak(c: String): Pattern = {
+  def tieBreak(cs: String*): Pattern = {
+    require(cs.nonEmpty, "tieBreak() needs at least one column")
     require(steps.nonEmpty &&
       (steps.last.oneOrMore || steps.last.group.nonEmpty),
       "tieBreak() applies to a oneOrMore()/zeroOrMore() run or a group step")
-    new Pattern(steps.init :+ steps.last.copy(tieCol = Some(c)),
+    new Pattern(steps.init :+ steps.last.copy(tieCols = cs.toVector),
       notStep, windowMs, skipPastLast, skipTo)
   }
 
@@ -477,15 +478,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * aggregates, so the table stays a HASH aggregate either way. */
   private def boundaryValTable(cand: DataFrame, keep: Seq[String],
                                segCol: Option[Column],
-                               tie: Option[Column] = None): DataFrame = {
+                               ties: Seq[Column] = Nil): DataFrame = {
     val aggs = keep.flatMap { c =>
       val v = col(s"__rm_$c")
-      tie match {
-        case None => Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"))
-        case Some(t) => Seq(
-          min_by(v, struct(t, v)).as(s"__mn_$c"),
-          max_by(v, struct(t, v)).as(s"__mx_$c"))
-      }
+      if (ties.isEmpty) Seq(min(v).as(s"__mn_$c"), max(v).as(s"__mx_$c"))
+      else Seq(
+        min_by(v, struct(ties :+ v: _*)).as(s"__mn_$c"),
+        max_by(v, struct(ties :+ v: _*)).as(s"__mx_$c"))
     }
     cand.groupBy((col("__k3").as("__vk") +: col("__rts").as("__vts") +:
         segCol.map(_.as("__vseg")).toSeq): _*)
@@ -714,13 +713,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         s.groupKeep.zipWithIndex.foreach { case ((m, c), i) =>
           val im = s.group.indexWhere(_._1 == m)
           val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
-          // equal-ts candidates: (value) min by default, (tie, value) argmin
-          // under a composite ORDER BY tiebreak — both hash aggregates
-          val vAgg = s.tieCol match {
-            case None => min(col(c).cast("double"))
-            case Some(t) =>
-              min_by(col(c).cast("double"), struct(col(t), col(c).cast("double")))
-          }
+          // equal-ts candidates: (value) min by default, (ties..., value)
+          // argmin under a composite ORDER BY tiebreak — both hash aggregates
+          val vAgg =
+            if (s.tieCols.isEmpty) min(col(c).cast("double"))
+            else min_by(col(c).cast("double"),
+              struct(s.tieCols.map(col) :+ col(c).cast("double"): _*))
           val vt = events.filter(s.group(im)._2)
             .groupBy(key.as("__vk"), ts.as("__vts"))
             .agg(vAgg.as(s"__gv$i"))
@@ -1039,7 +1037,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       }
       val cand = events.filter(pred).select((key.as("__k3") +: ts.as("__rts") +:
         (st.keep.map(c => col(c).as(s"__rm_$c")) ++ branchInd ++
-          st.tieCol.map(t => col(t).as("__rtie")).toSeq)): _*)
+          st.tieCols.zipWithIndex.map { case (t, i) =>
+            col(t).as(s"__rtie$i") })): _*)
       val upperCond = (nextName match {
         case Some(nx) => col("__rts") < col(s"${nx}_ts")
         case None => col("__rts") <= col(startTs) + win
@@ -1063,7 +1062,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         .drop("__until_ts")
       out = joinBoundaryVals(out, name, st.keep,
         boundaryValTable(cand, st.keep, None,
-          st.tieCol.map(_ => col("__rtie"))), seg = false)
+          st.tieCols.indices.map(i => col(s"__rtie$i"))), seg = false)
     }
     val matches = out.withColumnRenamed("__k", "key")
     if (skipPastLast) greedyAfterMatch(matches, startName = startTs, None)

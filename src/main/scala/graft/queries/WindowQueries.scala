@@ -1828,6 +1828,118 @@ object WindowQueries {
       |                 AND p.ts <= b.s_ts + INTERVAL 72 HOURS
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  // --- m29: ALL ROWS PER MATCH over a quantified ALTERNATION run `(C|V)+`
+  // (StreamExecMatch per-row emission over GroupPattern-of-oneOf looping
+  // states): one row per bound event; member rows carry their CLASSIFIER
+  // (first matching branch) and RUNNING per-branch counts alongside the
+  // run aggregates. Engine: the m23 member join-back with the union
+  // pre-filter + a classifier column — same single keyed join, branch
+  // counts are conditional window sums over it. Oracle: the m21 run replay
+  // exploded with window running aggregates.
+  private val m29: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(C_V.ts) AS n_members,
+        |           COUNT(C.ts) AS n_c, COUNT(V.ts) AS n_v,
+        |           SUM(C_V.value) AS sum_value, P.ts AS purchase_ts
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (C|V)+ P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .withColumn("sum_value",
+        round(col("sum_value"), 4).cast("decimal(18,4)"))
+  private val m29Sql =
+    """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |cv AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type, value
+      |       FROM events WHERE event_type IN ('click', 'view')),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(cv.ts) AS first_ts
+      |       FROM s JOIN cv ON cv.user_id = s.user_id AND cv.ts > s.ts
+      |                     AND cv.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, s_ts, first_ts, min(p.ts) AS p_ts
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > first_ts
+      |                     AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3),
+      |mem AS (SELECT m2.user_id, m2.s_ts, m2.p_ts,
+      |         CASE WHEN cv.event_type = 'click' THEN 'C' ELSE 'V' END AS cls,
+      |         cv.ts AS m_ts, count(*) OVER w AS r_n,
+      |         sum(CASE WHEN cv.event_type = 'click' THEN 1 ELSE 0 END) OVER w AS r_c,
+      |         sum(CASE WHEN cv.event_type = 'view' THEN 1 ELSE 0 END) OVER w AS r_v,
+      |         sum(cv.value) OVER w AS r_sum
+      |        FROM m2 JOIN cv ON cv.user_id = m2.user_id
+      |                       AND cv.ts >= m2.first_ts AND cv.ts < m2.p_ts
+      |        WINDOW w AS (PARTITION BY m2.user_id, m2.s_ts
+      |                     ORDER BY cv.ts, cv.event_type, cv.value
+      |                     ROWS UNBOUNDED PRECEDING)),
+      |tot AS (SELECT user_id, s_ts, p_ts, max(r_n) AS n_all,
+      |         max(r_c) AS c_all, max(r_v) AS v_all,
+      |         struct_extract(max({'n': r_n, 's': r_sum}), 's') AS sum_all
+      |        FROM mem GROUP BY 1, 2, 3)
+      |SELECT user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
+      |       CAST(0 AS BIGINT) AS n_members, CAST(0 AS BIGINT) AS n_c,
+      |       CAST(0 AS BIGINT) AS n_v, CAST(NULL AS DECIMAL(18,4)) AS sum_value,
+      |       CAST(NULL AS TIMESTAMP) AS purchase_ts
+      |FROM m2
+      |UNION ALL
+      |SELECT user_id, cls, m_ts, s_ts, r_n, r_c, r_v,
+      |       CAST(round(r_sum, 4) AS DECIMAL(18,4)), CAST(NULL AS TIMESTAMP)
+      |FROM mem
+      |UNION ALL
+      |SELECT user_id, 'P', p_ts, s_ts, n_all, c_all, v_all,
+      |       CAST(round(sum_all, 4) AS DECIMAL(18,4)), p_ts
+      |FROM tot""".stripMargin
+
+  // --- m30: 3-COLUMN composite ORDER BY `(ts, tie1, tie2)` (StreamExecMatch
+  // ComparatorCodeGenerator sorts ARBITRARY secondary key lists): with
+  // hour-coarsened timestamps and a deliberately coarse first tiebreak
+  // (event_id div 100 — collisions guaranteed within an hour), the second
+  // tiebreak must resolve the remaining ties. Engine: the ties thread, in
+  // order, as the leading payloads of each step's lexicographic binding
+  // refinement — one tiny per-(key, ts, prefix) argmin table per tie, all
+  // hash aggregates. Oracle: argmin by the (ts, tie1, tie2) struct.
+  private val m30: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(
+      ev(s, dir).withColumn("ts", date_trunc("hour", col("ts")))
+        .withColumn("tie1", expr("event_id div 100")),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, tie1, event_id
+        |  MEASURES S.ts AS signup_ts, C.ts AS click_ts,
+        |           C.tie1 AS click_bucket, C.event_id AS click_id,
+        |           C.value AS click_value, P.ts AS purchase_ts
+        |  PATTERN (S C P)
+        |  WITHIN INTERVAL '72' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m30Sql =
+    """WITH e AS (SELECT user_id, event_id, event_id // 100 AS tie1,
+      |            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+      |            event_type, value FROM events),
+      |s AS (SELECT user_id, event_id, ts FROM e WHERE event_type='signup'),
+      |c AS (SELECT user_id, event_id, tie1, ts, value FROM e WHERE event_type='click'),
+      |p AS (SELECT user_id, ts FROM e WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.event_id AS sid, s.ts AS s_ts, min(c.ts) AS c_ts
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 72 HOURS
+      |       GROUP BY 1, 2, 3),
+      |m1b AS (SELECT m1.user_id, sid, s_ts, c_ts,
+      |         struct_extract(min({'b': c.tie1, 'e': c.event_id, 'v': c.value}), 'b') AS click_bucket,
+      |         struct_extract(min({'b': c.tie1, 'e': c.event_id, 'v': c.value}), 'e') AS click_id,
+      |         struct_extract(min({'b': c.tie1, 'e': c.event_id, 'v': c.value}), 'v') AS click_value
+      |        FROM m1 JOIN c ON c.user_id = m1.user_id AND c.ts = m1.c_ts
+      |        GROUP BY 1, 2, 3, 4)
+      |SELECT b.user_id, s_ts AS signup_ts, c_ts AS click_ts, click_bucket,
+      |       click_id, click_value, min(p.ts) AS purchase_ts
+      |FROM m1b b JOIN p ON p.user_id = b.user_id AND p.ts > b.c_ts
+      |                 AND p.ts <= b.s_ts + INTERVAL 72 HOURS
+      |GROUP BY 1, b.sid, 2, 3, 4, 5, 6""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -1851,7 +1963,8 @@ object WindowQueries {
     "m21_alt_group" -> m21, "m22_prev_offset" -> m22,
     "m23_all_rows_run" -> m23, "m24_all_rows_group" -> m24,
     "m25_run_tiebreak" -> m25, "m26_group_tiebreak" -> m26,
-    "m27_prev_foreign" -> m27, "m28_prev_plain" -> m28)
+    "m27_prev_foreign" -> m27, "m28_prev_plain" -> m28,
+    "m29_all_rows_alt" -> m29, "m30_multi_tiebreak" -> m30)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1878,5 +1991,6 @@ object WindowQueries {
     "m21_alt_group" -> m21Sql, "m22_prev_offset" -> m22Sql,
     "m23_all_rows_run" -> m23Sql, "m24_all_rows_group" -> m24Sql,
     "m25_run_tiebreak" -> m25Sql, "m26_group_tiebreak" -> m26Sql,
-    "m27_prev_foreign" -> m27Sql, "m28_prev_plain" -> m28Sql)
+    "m27_prev_foreign" -> m27Sql, "m28_prev_plain" -> m28Sql,
+    "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql)
 }

@@ -128,21 +128,33 @@ case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
 // sub-step's bound value across COMPLETED repetitions (the batch
 // bindGroup twin) — the in-progress repetition's value folds in only when
 // the repetition completes
+// curMems/repMems: under materializeRows (the batch materializeGroupRows
+// twin), the in-progress repetition's member times and the per-repetition
+// member-time matrix — state bounded by the window's repetition count,
+// exactly the batch `<g>_reps` payload
 case class GrpPartial(firstMs: Long, gFirstMs: Long, lastRepEndMs: Long,
                       reps: Long, subIdx: Int, curRepStartMs: Long,
                       curRepLastMs: Long, pendingUMs: Long,
                       emptyUMs: Long = -1L, curRepVal: Double = 0.0,
                       sumVal: Double = 0.0, minVal: Double = 0.0,
                       maxVal: Double = 0.0, firstVal: Double = 0.0,
-                      lastVal: Double = 0.0)
+                      lastVal: Double = 0.0,
+                      curMems: List[Long] = Nil,
+                      repMems: List[List[Long]] = Nil)
 case class GrpAcc(partials: List[GrpPartial], buf: List[BufEv] = Nil)
+// streamingLag: each event enriched with the value n rows back in its
+// key's event-time order (the PREV physical-navigation twin)
+case class LagEv(user_id: Long, ts: Timestamp, event_type: String,
+                 value: Double, lag_value: Option[Double])
+case class LagAcc(buf: List[BufEv] = Nil, recent: List[Double] = Nil)
 case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
                     rep_last_ts: Timestamp, rep_n: Long, last_ts: Timestamp,
                     rep_sum_value: Option[Double] = None,
                     rep_min_value: Option[Double] = None,
                     rep_max_value: Option[Double] = None,
                     rep_first_value: Option[Double] = None,
-                    rep_last_value: Option[Double] = None)
+                    rep_last_value: Option[Double] = None,
+                    rep_members: Seq[Seq[Timestamp]] = Nil)
 case class TjTagged(user_id: Long, ts: Timestamp, side: String,
                     event_type: String, value: Double)
 case class TjFact(tsMs: Long, event_type: String, value: Double)
@@ -1178,7 +1190,8 @@ object StreamOps {
                           untilPred: Option[Event => Boolean] = None,
                           allowEmpty: Boolean = false,
                           consecutive: Boolean = false,
-                          branchPreds: Seq[Event => Boolean] = Nil): Dataset[RunMatch] = {
+                          branchPreds: Seq[Event => Boolean] = Nil,
+                          tieOf: Event => Double = _.value): Dataset[RunMatch] = {
     require(!(consecutive && (untilPred.nonEmpty || allowEmpty)),
       "consecutive excludes until/allowEmpty (the batch consecutive() surface)")
     // branchPreds: the quantified-alternation twin ((B|C)+ — batch
@@ -1206,8 +1219,13 @@ object StreamOps {
           val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
             rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
           val (readyB, held) = buf0.partition(_.ms < wm)
-          val sorted = readyB.sortBy(b => (b.ms, b.tpe, b.value))
+          // equal-ts processing order (ms, type, tie, value): tieOf is the
+          // composite-ORDER-BY tiebreak twin — first/last member VALUES
+          // follow arrival order at the boundary timestamps, reproducing
+          // the batch min_by/max_by((tie, value)) boundary reads
+          val sorted = readyB
             .map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value))
+            .sortBy(e => (e.ts.getTime, e.event_type, tieOf(e), e.value))
           if (consecutive) sorted.groupBy(_.ts.getTime).toSeq.sortBy(_._1)
             .foreach { case (t, evs) =>
               val anyMember = evs.exists(runPred)
@@ -1455,7 +1473,9 @@ object StreamOps {
                       lastPred: Event => Boolean, withinMs: Long,
                       maxPartials: Int = 256,
                       allowEmpty: Boolean = false,
-                      valueSubIdx: Int = -1): Dataset[GrpMatch] = {
+                      valueSubIdx: Int = -1,
+                      materializeRows: Boolean = false,
+                      tieOf: Event => Double = _.value): Dataset[GrpMatch] = {
     require(subPreds.size >= 2, "a group sub-pattern needs at least two steps")
     // valueSubIdx >= 0: the batch bindGroup twin — running value aggregates
     // (sum/min/max/first/last) of THAT sub-step's bound value across
@@ -1481,7 +1501,9 @@ object StreamOps {
               if (valueSubIdx < 0) None else Some(p.minVal),
               if (valueSubIdx < 0) None else Some(p.maxVal),
               if (valueSubIdx < 0) None else Some(p.firstVal),
-              if (valueSubIdx < 0) None else Some(p.lastVal))
+              if (valueSubIdx < 0) None else Some(p.lastVal),
+              if (!materializeRows) Nil
+              else p.repMems.map(_.map(new Timestamp(_))))
           // (sub)*: an empty-chain match — null boundaries, count 0, the
           // close that was held while no repetition had completed
           def emitEmpty(p: GrpPartial): Unit =
@@ -1492,12 +1514,15 @@ object StreamOps {
           // chain is causal only in event-time order — a late sub-step event
           // still ahead of the watermark must advance the chain before any
           // later completion/close is decided, so events are buffered until
-          // the watermark passes
+          // the watermark passes. Equal-ts order (ms, type, tie, value):
+          // tieOf is the composite-ORDER-BY tiebreak twin — the first
+          // in-order event advancing a sub-step is the one whose value
+          // BINDS, matching the batch min_by((tie, value)) member binding
           val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
             rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
           val (readyB, held) = buf0.partition(_.ms < wm)
-          readyB.sortBy(b => (b.ms, b.tpe, b.value))
-            .map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value)).foreach { e =>
+          readyB.map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value))
+            .sortBy(e => (e.ts.getTime, e.event_type, tieOf(e), e.value)).foreach { e =>
             val t = e.ts.getTime
             partials = partials.flatMap { p =>
               if (t > p.firstMs + withinMs) {
@@ -1530,12 +1555,17 @@ object StreamOps {
                       minVal = if (firstRep) cur else math.min(p.minVal, cur),
                       maxVal = if (firstRep) cur else math.max(p.maxVal, cur),
                       firstVal = if (firstRep) cur else p.firstVal,
-                      lastVal = cur))
+                      lastVal = cur,
+                      curMems = Nil,
+                      repMems = if (materializeRows) p.repMems :+ (p.curMems :+ t)
+                                else Nil))
                   } else if (p.subIdx == 0)
                     Some(p.copy(subIdx = 1, curRepStartMs = t, curRepLastMs = t,
-                      curRepVal = if (valueSubIdx == 0) e.value else p.curRepVal))
+                      curRepVal = if (valueSubIdx == 0) e.value else p.curRepVal,
+                      curMems = if (materializeRows) List(t) else Nil))
                   else Some(p.copy(subIdx = p.subIdx + 1, curRepLastMs = t,
-                    curRepVal = if (valueSubIdx == p.subIdx) e.value else p.curRepVal))
+                    curRepVal = if (valueSubIdx == p.subIdx) e.value else p.curRepVal,
+                    curMems = if (materializeRows) p.curMems :+ t else Nil))
                 } else if (lastPred(e) && p.reps >= 1 && t > p.lastRepEndMs &&
                            p.pendingUMs < 0) {
                   Some(p.copy(pendingUMs = t)) // held: emitted at expiry
@@ -1565,6 +1595,56 @@ object StreamOps {
               (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }
           out.result().iterator
+      }
+  }
+
+  /** Streaming physical-lag enrichment — the MATCH_RECOGNIZE `PREV(V.col,
+    * n)` navigation twin (the m27/m28 batch lowering precomputes the same
+    * lag as a keyed window column): each event is emitted exactly once,
+    * watermark-finalized in `(ts, type, tie, value)` order, carrying the
+    * value of the row n positions BACK in its key's event-time order (None
+    * for a key's first n rows). State per key: the held not-yet-final
+    * buffer plus the last n finalized values — O(n), no event retention
+    * after finalization. Compose with the cep ops by filtering on
+    * `lag_value` before pattern detection — the same composition the batch
+    * engine uses (the lag column rides the candidate scan as an ordinary
+    * payload). */
+  def streamingLag(events: Dataset[Event], watermark: String, n: Int,
+                   tieOf: Event => Double = _.value): Dataset[LagEv] = {
+    require(n >= 1, "lag offset must be >= 1")
+    implicit val outEnc = Encoders.product[LagEv]
+    implicit val accEnc = Encoders.product[LagAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LagAcc, LagEv](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LagAcc]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val acc = state.getOption.getOrElse(LagAcc())
+          val buf0 = acc.buf ++
+            rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
+          val (ready, held) = buf0.partition(_.ms < wm)
+          var recent = acc.recent // newest-first, length <= n
+          val out = ready
+            .map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value))
+            .sortBy(e => (e.ts.getTime, e.event_type, tieOf(e), e.value))
+            .map { e =>
+              val lagV = recent.lift(n - 1)
+              recent = (e.value :: recent).take(n)
+              LagEv(userId, e.ts, e.event_type, e.value, lagV)
+            }
+          if (held.isEmpty && recent.isEmpty) state.remove()
+          else {
+            state.update(LagAcc(held, recent))
+            // wake when the earliest held row finalizes; an idle key (no
+            // held rows) keeps its n-value tail for a bounded grace period,
+            // then evicts — the dedupKeepLast idle-TTL convention
+            if (held.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wm + 1, held.map(_.ms).min))
+            else state.setTimeoutTimestamp(wm + 24L * 3600 * 1000)
+          }
+          out.iterator
       }
   }
 

@@ -1395,6 +1395,160 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(m.length == 1 && m.head.getAs[String]("x_cls") == "highvalue")
   }
 
+  test("batch reps-array materialization and streaming rep_members agree (ALL ROWS group twin)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: two (C V) repetitions then a purchase; the flush event (user
+    // 9, far future) pushes the watermark past every window
+    val all = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 10.0),
+      (1L, at(10), "view", 1.0), (1L, at(15), "click", 20.0),
+      (1L, at(20), "view", 2.0), (1L, at(25), "purchase", 0.0),
+      (9L, at(2000), "noop", 0.0))
+    // batch: the m24 ALL ROWS expansion's member rows (cls, ts)
+    val batch = graft.cep.MatchRecognize.detect(
+      all.toDF("user_id", "ts", "event_type", "value"),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (C V)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .filter($"cls".isin("C", "V"))
+      .select($"user_id", $"cls", $"ts")
+      .as[(Long, String, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternGroup(in.toDS(), "10 seconds",
+        _.event_type == "signup",
+        Seq(_.event_type == "click", _.event_type == "view"),
+        _.event_type == "purchase", HOUR, materializeRows = true).toDF()
+      .writeStream.format("memory").queryName("s_grp_rows").outputMode("append").start()
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    in.addData(evs.take(3)); q.processAllAvailable() // mid-chain batch split
+    in.addData(evs.drop(3)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_grp_rows")
+      .select($"user_id", $"rep_members")
+      .as[(Long, Seq[Seq[Timestamp]])].collect()
+      .flatMap { case (u, reps) => reps.flatMap(r =>
+        r.zipWithIndex.map { case (ts, j) => (u, Seq("C", "V")(j), ts) }) }
+      .toSet
+    assert(streaming == batch && batch.size == 4,
+      s"streaming=$streaming batch=$batch")
+  }
+
+  test("batch run tiebreak (min_by/max_by) and streaming tieOf agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // equal-ts members at BOTH run boundaries; tie = -value, so the
+    // tiebreak must pick the LARGEST first value (5.0 at ts10) and the
+    // tie-max last value (7.0 at ts15, not the plain value-max 9.0)
+    val all = Seq(
+      (1L, at(0), "signup", 0.0),
+      (1L, at(10), "click", 5.0), (1L, at(10), "click", 1.0),
+      (1L, at(15), "click", 7.0), (1L, at(15), "click", 9.0),
+      (1L, at(20), "purchase", 0.0),
+      (9L, at(2000), "noop", 0.0))
+    val batch = graft.cep.MatchRecognize.detect(
+      all.toDF("user_id", "ts", "event_type", "value")
+        .withColumn("tie", -$"value"),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, tie
+        |  MEASURES FIRST(D.value) AS f, LAST(D.value) AS l, COUNT(D.ts) AS n
+        |  PATTERN (S D+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', D AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Double, Double, Long)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternOneOrMore(in.toDS(), "10 seconds",
+        _.event_type == "signup", _.event_type == "click",
+        _.event_type == "purchase", HOUR, tieOf = e => -e.value).toDF()
+      .writeStream.format("memory").queryName("s_tie_run").outputMode("append").start()
+    in.addData(all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) })
+    q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_tie_run")
+      .select($"user_id", $"run_first_value", $"run_last_value", $"run_n")
+      .as[(Long, Double, Double, Long)].collect().toSet
+    assert(streaming == batch && batch == Set((1L, 5.0, 7.0, 4L)),
+      s"streaming=$streaming batch=$batch")
+  }
+
+  test("batch group-member tiebreak and streaming cepPatternGroup tieOf agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // two equal-ts C candidates (8.0, 2.0): the (tie=-value) argmin binds
+    // 8.0, where the default (value) argmin would bind 2.0
+    val all = Seq(
+      (1L, at(0), "signup", 0.0),
+      (1L, at(5), "click", 8.0), (1L, at(5), "click", 2.0),
+      (1L, at(10), "view", 1.0), (1L, at(15), "purchase", 0.0),
+      (9L, at(2000), "noop", 0.0))
+    val batch = graft.cep.MatchRecognize.detect(
+      all.toDF("user_id", "ts", "event_type", "value")
+        .withColumn("tie", -$"value"),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, tie
+        |  MEASURES FIRST(C.value) AS fc, COUNT(C.ts) AS n
+        |  PATTERN (S (C V)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Double, Long)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternGroup(in.toDS(), "10 seconds",
+        _.event_type == "signup",
+        Seq(_.event_type == "click", _.event_type == "view"),
+        _.event_type == "purchase", HOUR, valueSubIdx = 0,
+        tieOf = e => -e.value).toDF()
+      .writeStream.format("memory").queryName("s_tie_grp").outputMode("append").start()
+    in.addData(all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) })
+    q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_tie_grp")
+      .select($"user_id", $"rep_first_value", $"rep_n")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(streaming == batch && batch == Set((1L, 8.0, 1L)),
+      s"streaming=$streaming batch=$batch")
+  }
+
+  test("streamingLag matches the batch lag window across micro-batch splits") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      (1L, at(0), "view", 7.0), (1L, at(2), "view", 3.0),
+      (2L, at(1), "view", 4.0), (2L, at(3), "click", 6.0),
+      (1L, at(4), "signup", 0.0), (1L, at(6), "click", 10.0),
+      (1L, at(8), "purchase", 5.0),
+      (9L, at(2000), "noop", 0.0))
+    val batch = all.toDF("user_id", "ts", "event_type", "value")
+      .withColumn("lag_value", lag($"value", 2).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts")))
+      .filter($"user_id" =!= 9L)
+      .select($"user_id", $"ts", $"lag_value")
+      .as[(Long, Timestamp, Option[Double])].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.streamingLag(in.toDS(), "10 seconds", 2).toDF()
+      .writeStream.format("memory").queryName("s_lag").outputMode("append").start()
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    in.addData(evs.take(4)); q.processAllAvailable() // split mid-key
+    in.addData(evs.drop(4)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_lag")
+      .filter($"user_id" =!= 9L)
+      .select($"user_id", $"ts", $"lag_value")
+      .as[(Long, Timestamp, Option[Double])].collect().toSet
+    assert(streaming == batch && batch.size == 7,
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("pattern joins stay keyed equi-joins (no cross product)") {
     val df = Pattern.begin("signup", $"event_type" === "signup")
       .followedBy("purchase", $"event_type" === "purchase")

@@ -59,7 +59,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     // m24 group ALL-ROWS generator expansion, m25/m26 tiebreak min_by
     // aggregates, m27/m28 physical-lag PREV — every join must stay keyed
     Seq("m24_all_rows_group", "m25_run_tiebreak", "m26_group_tiebreak",
-        "m27_prev_foreign", "m28_prev_plain").foreach { q =>
+        "m27_prev_foreign", "m28_prev_plain", "m29_all_rows_alt").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: unkeyed join appeared:\n${p.take(4000)}")
