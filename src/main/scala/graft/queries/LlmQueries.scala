@@ -369,6 +369,73 @@ object LlmQueries {
        | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
        | FROM p2) WHERE rn <= 5""".stripMargin
 
+  // ---------- s05: k-NN GRAPH over the whole corpus (IVF-bucketed) ----------
+  // The semantic-dedup / clustering primitive (SemDeDup-style pipelines
+  // build a k-NN graph, then drop near-duplicate neighbors): EVERY vector
+  // is a query — top-3 cosine neighbors via the s03 IVF cells, each node
+  // probing its 2 nearest cells. Scale shape: candidates are generated by
+  // an equi-join on the cell id, so the pair count is Σ|cell|·|probes into
+  // it| — bucketed all-pairs, never the global N² cross join (plan-asserted
+  // cartesian-free); centroids are metadata-sized and broadcast.
+  private val s05: Q = (s, dir) => {
+    val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
+    val cent = graft.operators.Iterate
+      .kmeansCentroids(emb(s, dir), "vec_id", "embedding", k = 8, iters = 1)
+      .select(col("cid"), col("cv"), Similarity.norm(col("cv")).as("cn"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("id"), col("cid"),
+        round(Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("ccos"))
+    val cells = Relational.topNPerGroup(scored, Seq(col("id")),
+      Seq(col("ccos").desc, col("cid")), 1).select(col("id").as("nid"), col("cid").as("cell"))
+    val probes = Relational.topNPerGroup(scored, Seq(col("id")),
+      Seq(col("ccos").desc, col("cid")), 2)
+      .select(col("id").as("query_id"), col("cid").as("pcell"))
+    val cand = probes.join(cells, col("cell") === col("pcell") && col("nid") =!= col("query_id"))
+      .select("query_id", "nid")
+    val eq = e.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val en = e.select(col("id").as("cid2"), col("v").as("nv"), col("nrm").as("nn"))
+    val pairs = cand.join(eq, col("qid") === col("query_id"))
+      .join(en, col("cid2") === col("nid"))
+      .select(col("query_id"), col("nid").as("neighbor_id"),
+        round(Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+    Relational.topNPerGroup(pairs, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id")), 3)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+  private val s05Sql =
+    s"""WITH $embCte,
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+       |       FROM e ORDER BY vec_id LIMIT 8),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_sum([x*x for x in e.v]) - 2.0*list_sum([e.v[j]*c.cv[j]
+       |      for j in generate_series(1, len(e.v))]) + list_sum([x*x for x in c.cv]), c.cid) AS rn
+       |  FROM e CROSS JOIN c0 c) WHERE rn = 1),
+       |c1 AS (SELECT cid, list(mx ORDER BY j) AS cv FROM (
+       |        SELECT a.cid, j, round(avg(e.v[j]), 6) AS mx
+       |        FROM a1 a JOIN e USING (vec_id)
+       |        CROSS JOIN (SELECT unnest(generate_series(1,
+       |          (SELECT len(v) FROM e LIMIT 1))) AS j) js
+       |        GROUP BY a.cid, j) GROUP BY cid),
+       |cent AS (SELECT cid, cv, sqrt(list_sum([x*x for x in cv])) AS cn FROM c1),
+       |scored AS (SELECT e.vec_id AS id, cid,
+       |            ${cosSql("e.v", "cv", "e.nrm", "cn")} AS ccos
+       |           FROM e, cent),
+       |cells AS (SELECT id AS nid, cid AS cell FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+       |           FROM scored) WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, cid AS pcell FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+       |            FROM scored) WHERE rn <= 2),
+       |cand AS (SELECT p.query_id, c.nid FROM probes p JOIN cells c
+       |          ON c.cell = p.pcell AND c.nid != p.query_id),
+       |p2 AS (SELECT query_id, nid AS neighbor_id,
+       |        ${cosSql("q.v", "n.v", "q.nrm", "n.nrm")} AS cosine
+       |       FROM cand JOIN e q ON q.vec_id = query_id JOIN e n ON n.vec_id = nid)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       | FROM p2) WHERE rn <= 3""".stripMargin
+
   // ---------- t01: heuristic language ID ----------
   private val t01: Q = (s, dir) => {
     val toks = TextOps.tokens(col("text"))
@@ -471,7 +538,7 @@ object LlmQueries {
     "d01_dedup_exact" -> d01, "d02_minhash_pairs" -> d02, "d03_simhash" -> d03,
     "d04_jaccard_pairs" -> d04, "d05_cosine_pairs" -> d05, "d06_simhash_pairs" -> d06,
     "s01_ann_topk" -> s01, "s02_ann_lsh" -> s02, "s03_ivf_ann" -> s03,
-    "s04_ann_quantized" -> s04,
+    "s04_ann_quantized" -> s04, "s05_knn_graph" -> s05,
     "t01_lang_id" -> t01, "t02_quality_score" -> t02,
     "t03_token_stats" -> t03, "t04_fingerprint" -> t04)
 
@@ -480,6 +547,7 @@ object LlmQueries {
     "d04_jaccard_pairs" -> d04Sql, "d05_cosine_pairs" -> d05Sql,
     "d06_simhash_pairs" -> d06Sql,
     "s01_ann_topk" -> s01Sql, "s02_ann_lsh" -> s02Sql, "s03_ivf_ann" -> s03Sql,
+    "s05_knn_graph" -> s05Sql,
     "s04_ann_quantized" -> s04Sql,
     "t01_lang_id" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_stats" -> t03Sql, "t04_fingerprint" -> t04Sql)

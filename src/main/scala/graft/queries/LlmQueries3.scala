@@ -511,7 +511,39 @@ object LlmQueries3 {
       |FROM u JOIN c USING (lang), t
       |WHERE t.n_groups * u.u256 * c.cnt < 256 * t.total""".stripMargin
 
+  // ---------- p03: overlapping token-window chunking ----------
+  // The context-window chunking step of a training pipeline (a long
+  // document becomes overlapping fixed-size token windows — the RAG /
+  // pretraining "sliding window with stride" convention): window W = 32
+  // tokens, stride S = 24 (8-token overlap), last window keeps the
+  // remainder. Scale shape: split + generator expressions per row — NO
+  // shuffle, NO window, embarrassingly parallel over documents; output
+  // volume is tokens × W/S (the overlap factor), the inherent cost of
+  // overlapped chunking. Reference: flink-table UNNEST/generate_series
+  // lateral shapes (flink-table-planner CorrelateITCase).
+  private val p03: Q = (s, dir) => {
+    val W = 32
+    val S = 24
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(S))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        least(lit(W), size(col("toks")) - col("col")).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("col") + 1, lit(W))).as("chunk_text"))
+  }
+  private val p03Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |st AS (SELECT doc_id, toks,
+      |        unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS st0
+      |       FROM t)
+      |SELECT doc_id, CAST(st0 // 24 AS INT) AS chunk_idx,
+      |       CAST(least(32, len(toks) - st0) AS INT) AS n_tokens,
+      |       array_to_string(toks[st0 + 1 : st0 + 32], ' ') AS chunk_text
+      |FROM st""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p03_doc_chunking" -> p03,
     "t06_regex_scan" -> t06, "t07_repetition_filter" -> t07,
     "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
     "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12,
@@ -519,6 +551,7 @@ object LlmQueries3 {
     "d15_chunk_dedup" -> d15, "p01_seq_packing" -> p01,
     "p02_domain_mix" -> p02)
   val oracles: Map[String, String] = Map(
+    "p03_doc_chunking" -> p03Sql,
     "t06_regex_scan" -> t06Sql, "t07_repetition_filter" -> t07Sql,
     "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
     "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql,

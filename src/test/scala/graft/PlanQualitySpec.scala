@@ -66,6 +66,28 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("s05 knn graph stays cell-bucketed; p03 chunking is shuffle-free") {
+    // the 8-centroid scoring is an INTENTIONAL broadcast cross join over
+    // metadata (the s03 shape); the candidate-pair join must stay an
+    // equi-join on the cell id — no true cartesian, and no MORE nested-loop
+    // joins than s03's centroid scoring produces
+    val p5 = planOf("s05_knn_graph")
+    val p3ivf = planOf("s03_ivf_ann")
+    assert(!p5.contains("CartesianProduct"), s"true cartesian appeared:\n${p5.take(4000)}")
+    val bnl5 = "BroadcastNestedLoopJoin".r.findAllIn(p5).length
+    val bnl3 = "BroadcastNestedLoopJoin".r.findAllIn(p3ivf).length
+    assert(bnl5 <= bnl3,
+      s"s05 nested-loop joins ($bnl5) must not exceed s03's centroid scoring ($bnl3)")
+    // chunking adds NO shuffle of its own — only Tables.load's single-file
+    // spread repartition appears, the same as any scan-only documents query
+    val p3 = planOf("p03_doc_chunking")
+    val pt6 = planOf("t06_regex_scan")
+    val ex3 = "Exchange".r.findAllIn(p3).length
+    val ex6 = "Exchange".r.findAllIn(pt6).length
+    assert(ex3 <= ex6,
+      s"chunking exchanges ($ex3) must not exceed the scan-only baseline ($ex6):\n${p3.take(3000)}")
+  }
+
   test("m24 ALL-ROWS group expansion adds no join over the m13 chain") {
     // the per-repetition rows must come from generator expressions over the
     // materialized reps arrays — a join-back implementation would re-shuffle
