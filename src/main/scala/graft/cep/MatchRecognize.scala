@@ -821,14 +821,14 @@ object MatchRecognize {
     * expansions (positions known at compile time) explode as one narrow
     * generator over the ONE-ROW match output — no extra join or shuffle.
     *
-    * ONE '+'/'*' run variable is expandable ([[allRowsRun]]): its member
-    * rows come from one keyed equi-join of the match table back onto the
-    * run's candidates over [first_ts, last_ts] (members ARE the pred
-    * candidates in that span — runs are contiguous candidate segments),
-    * with running measures as one window over each match's members.
-    * Quantified ALTERNATION runs expand the same way with a per-member
-    * CLASSIFIER and running per-branch counts; sequence groups route to
-    * [[allRowsGroup]]; multiple runs stay named errors. */
+    * '+'/'*' run variables (any number) are expandable ([[allRowsRun]]):
+    * each run's member rows come from one keyed equi-join of the match
+    * table back onto that run's candidates over [first_ts, last_ts]
+    * (members ARE the pred candidates in that span — runs are contiguous
+    * candidate segments), with running measures as one window over each
+    * match's members. Quantified ALTERNATION runs expand the same way with
+    * a per-member CLASSIFIER and running per-branch counts; sequence
+    * groups route to [[allRowsGroup]]. */
   private def allRowsOutput(spec: Spec, matches0: DataFrame,
                             bounds: Map[String, (Int, Int)],
                             events: DataFrame, keyCol: Column,
@@ -845,11 +845,9 @@ object MatchRecognize {
           "'+'/'*' runs (their members are aggregated, not materialized)")
       return allRowsGroup(spec, matches0, bounds, groupVs.head, bindByVar)
     }
-    require(runVs.size <= 1,
-      "ALL ROWS PER MATCH supports at most one '+'/'*' run variable")
     if (runVs.nonEmpty)
       return allRowsRun(spec, matches0, bounds, events, keyCol, selfRuns,
-        compiled, runVs.head)
+        compiled, runVs)
     // MATCH_NUMBER() is constant across a match's rows (SQL 2016: the
     // ordinal of the match within its partition): computed on the ONE-ROW
     // match table before the explode, so every exploded row inherits it
@@ -1123,24 +1121,28 @@ object MatchRecognize {
         rowCols.map(n => col(s"__r.$n").as(n)): _*)
   }
 
-  /** [[allRowsOutput]]'s run expansion — ALL ROWS with one '+'/'*' run
-    * variable: static rows explode as usual; the run's MEMBER rows come
-    * from one keyed equi-join of the match table back onto the run's
-    * candidates over [first_ts, last_ts] (runs are contiguous candidate
-    * segments, so the span's pred-candidates ARE the members — the same
-    * argument that makes the lag segmentation correct), and running
-    * measures are one window over each match's members, partitioned on a
-    * per-match id (the id orders nothing in the output and never leaves
-    * the plan). Shuffles: the member join is keyed on the partition key;
-    * the running window partitions on the match id — no global sort. */
+  /** [[allRowsOutput]]'s run expansion — ALL ROWS with one or MORE
+    * '+'/'*' run variables: static rows explode as usual; each run's
+    * MEMBER rows come from one keyed equi-join of the match table back
+    * onto that run's candidates over [first_ts, last_ts] (runs are
+    * contiguous candidate segments, so the span's pred-candidates ARE the
+    * members — the same argument that makes the lag segmentation correct),
+    * with running measures as one window over each match's members.
+    * Because a later run binds strictly after the previous run's last
+    * member, run spans never overlap: on run k's member rows an EARLIER
+    * run's aggregates are final and a LATER run's are empty/null —
+    * closed-form, no cross-run window. Quantified ALTERNATION runs expand
+    * the same way with a per-member CLASSIFIER and running per-branch
+    * counts. Shuffles: one keyed member join per run; the running windows
+    * partition on the match id — no global sort. */
   private def allRowsRun(spec: Spec, matches0: DataFrame,
                          bounds: Map[String, (Int, Int)],
                          events: DataFrame, keyCol: Column,
                          selfRuns: Map[String, RunDef],
                          compiled: Map[String, (Column, Option[Column], Seq[(String, String)])],
-                         r: PatternVar): DataFrame = {
-    val rn = r.name
-    val rIdx = spec.vars.indexWhere(_.name == rn)
+                         runs: Seq[PatternVar]): DataFrame = {
+    val runNames: Set[String] = runs.map(_.name).toSet
+    val runByName: Map[String, PatternVar] = runs.map(v => v.name -> v).toMap
     val mnAliases = spec.measures.filter(_.fn.contains("MATCH_NUMBER")).map(_.alias)
     val withMn = if (mnAliases.isEmpty) matches0 else {
       val mnWindow = org.apache.spark.sql.expressions.Window
@@ -1153,47 +1155,50 @@ object MatchRecognize {
     def srcCol(v: String, i: Int, field: String): String =
       if (bounds(v)._2 == 1) s"${v}_$field" else s"${v}_${i}_$field"
     def nullOf(src: String): Column = when(lit(false), col(src))
-    // linear unit list: one unit per static expansion, the run as one block
+    // linear unit list: one unit per static expansion, each run one block
     val units: Seq[(String, Int)] = spec.vars.flatMap { v =>
-      if (v.name == rn) Seq((rn, 0))
+      if (runNames(v.name)) Seq((v.name, 0))
       else (1 to bounds(v.name)._2).map(i => (v.name, i))
     }
-    val runU = units.indexWhere(_._1 == rn)
-    def runAggCol(m: Measure, visible: Boolean): Column =
+    val runU: Map[String, Int] =
+      runs.map(v => v.name -> units.indexWhere(_._1 == v.name)).toMap
+    def runAggCol(rv: String, m: Measure, visible: Boolean): Column =
       if (m.field == "ts") m.fn match {
-        case Some("FIRST") => if (visible) col(s"${rn}_first_ts") else nullOf(s"${rn}_first_ts")
-        case Some("LAST") => if (visible) col(s"${rn}_last_ts") else nullOf(s"${rn}_last_ts")
-        case Some("COUNT") => if (visible) col(s"${rn}_n") else lit(0L)
+        case Some("FIRST") => if (visible) col(s"${rv}_first_ts") else nullOf(s"${rv}_first_ts")
+        case Some("LAST") => if (visible) col(s"${rv}_last_ts") else nullOf(s"${rv}_last_ts")
+        case Some("COUNT") => if (visible) col(s"${rv}_n") else lit(0L)
         case other => sys.error(s"only FIRST/LAST/COUNT over run variable " +
-          s"$rn's timestamps (got ${other.getOrElse("a bare reference")})")
+          s"$rv's timestamps (got ${other.getOrElse("a bare reference")})")
       } else m.fn match {
-        case Some("SUM") => if (visible) col(s"${rn}_sum_${m.field}") else nullOf(s"${rn}_sum_${m.field}")
+        case Some("SUM") => if (visible) col(s"${rv}_sum_${m.field}") else nullOf(s"${rv}_sum_${m.field}")
         case Some("AVG") =>
-          if (visible) col(s"${rn}_sum_${m.field}") / col(s"${rn}_n")
-          else nullOf(s"${rn}_sum_${m.field}")
-        case Some("MIN") => if (visible) col(s"${rn}_min_${m.field}") else nullOf(s"${rn}_min_${m.field}")
-        case Some("MAX") => if (visible) col(s"${rn}_max_${m.field}") else nullOf(s"${rn}_max_${m.field}")
-        case Some("FIRST") => if (visible) col(s"${rn}_first_${m.field}") else nullOf(s"${rn}_first_${m.field}")
-        case Some("LAST") => if (visible) col(s"${rn}_last_${m.field}") else nullOf(s"${rn}_last_${m.field}")
-        case Some("COUNT") => if (visible) col(s"${rn}_n") else lit(0L)
-        case other => sys.error(s"$rn is a run variable — use " +
+          if (visible) col(s"${rv}_sum_${m.field}") / col(s"${rv}_n")
+          else nullOf(s"${rv}_sum_${m.field}")
+        case Some("MIN") => if (visible) col(s"${rv}_min_${m.field}") else nullOf(s"${rv}_min_${m.field}")
+        case Some("MAX") => if (visible) col(s"${rv}_max_${m.field}") else nullOf(s"${rv}_max_${m.field}")
+        case Some("FIRST") => if (visible) col(s"${rv}_first_${m.field}") else nullOf(s"${rv}_first_${m.field}")
+        case Some("LAST") => if (visible) col(s"${rv}_last_${m.field}") else nullOf(s"${rv}_last_${m.field}")
+        case Some("COUNT") => if (visible) col(s"${rv}_n") else lit(0L)
+        case other => sys.error(s"$rv is a run variable — use " +
           s"FIRST/LAST/SUM/COUNT/MIN/MAX/AVG (got ${other.getOrElse("a bare reference")})")
       }
     // branch of a quantified ALTERNATION run: COUNT over the branch's
-    // members (the ONE-ROW `<run>_n_<branch>` convention) — running on
-    // member rows, final on post-run statics, 0 before the run binds
-    val branchOf: Set[String] = r.alts.map(_.toString).toSet
+    // members (the ONE-ROW `<run>_n_<branch>` convention) — running on its
+    // own run's member rows, final after the run, 0 before it binds
+    val branchRun: Map[String, String] =
+      runs.flatMap(v => v.alts.map(_ -> v.name)).toMap
     // measure value at static unit u (RUNNING: includes the unit itself)
     def measureAt(m: Measure, u: Int): Column = {
       if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
       if (m.fn.contains("CLASSIFIER")) return lit(units(u)._1)
-      if (branchOf(m.varName)) {
+      branchRun.get(m.varName).foreach { rv =>
         require(m.field == "ts" && m.fn.contains("COUNT"),
-          s"branch ${m.varName} of quantified alternation $rn: " +
+          s"branch ${m.varName} of quantified alternation $rv: " +
             s"COUNT(${m.varName}.ts) is the only branch measure")
-        return if (runU < u) col(s"${rn}_n_${m.varName}") else lit(0L)
+        return if (runU(rv) < u) col(s"${rv}_n_${m.varName}") else lit(0L)
       }
-      if (m.varName == rn) return runAggCol(m, visible = runU < u)
+      if (runNames(m.varName))
+        return runAggCol(m.varName, m, visible = runU(m.varName) < u)
       val (_, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
       val visible = (1 to mx).filter(i => units.indexOf((m.varName, i)) <= u)
       val srcs = visible.map(i => srcCol(m.varName, i, m.field))
@@ -1225,71 +1230,81 @@ object MatchRecognize {
       }
     }
     val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
-    val structs = units.zipWithIndex.filter(_._1._1 != rn).map { case ((vn, i), u) =>
-      struct((lit(vn).as("cls") +: col(srcCol(vn, i, "ts")).as("ts") +:
-        spec.measures.map(m => measureAt(m, u).as(m.alias))): _*)
+    val structs = units.zipWithIndex.filterNot(p => runNames(p._1._1)).map {
+      case ((vn, i), u) =>
+        struct((lit(vn).as("cls") +: col(srcCol(vn, i, "ts")).as("ts") +:
+          spec.measures.map(m => measureAt(m, u).as(m.alias))): _*)
     }
     val staticDf = matches
       .select(keyOut(spec) :+ explode(array(structs: _*)).as("__r"): _*)
       .filter(col("__r.ts").isNotNull)
       .select(spec.partitionBy.map(col) ++ rowCols.map(n => col(s"__r.$n").as(n)): _*)
-    // member rows: candidates of the run's pre-filter over the bound span;
-    // an alternation run's pre-filter is the union of its branch predicates
-    // and each member carries its CLASSIFIER (first matching branch)
-    val runPre: Column =
-      if (r.alts.nonEmpty) r.alts.map(b => compiled(b)._1).reduce(_ || _)
-      else if (selfRuns.contains(rn)) selfRuns(rn).pre else compiled(rn)._1
-    val memClsCols =
-      if (r.alts.isEmpty) Nil
-      else Seq(r.alts.tail.foldLeft(
-          when(compiled(r.alts.head)._1, lit(r.alts.head))) {
-        case (acc, b) => acc.when(compiled(b)._1, lit(b))
-      }.as("__mcls"))
-    val valFields = spec.measures
-      .filter(m => m.varName == rn && m.field != "ts").map(_.field).distinct
-    val memEv = events.filter(runPre).select(
-      (keyCol.as("__mk") +: col(spec.orderBy).as("__mts") +:
-        (valFields.map(f => col(f).as(s"__mf_$f")) ++ memClsCols)): _*)
-    val mjoin = matches.join(memEv, col("key") === col("__mk") &&
-      col("__mts") >= col(s"${rn}_first_ts") &&
-      col("__mts") <= col(s"${rn}_last_ts"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__mid")).orderBy(col("__mts"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    def memberMeasure(m: Measure): Column = {
-      if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
-      if (m.fn.contains("CLASSIFIER"))
-        return if (r.alts.isEmpty) lit(rn) else col("__mcls")
-      if (branchOf(m.varName)) {
-        require(m.field == "ts" && m.fn.contains("COUNT"),
-          s"branch ${m.varName} of quantified alternation $rn: " +
-            s"COUNT(${m.varName}.ts) is the only branch measure")
-        return sum(when(col("__mcls") === m.varName, 1L).otherwise(0L)).over(w)
+    // one member frame per run: candidates of that run's pre-filter over
+    // its bound span (spans never overlap — a later run binds strictly
+    // after the previous run's last member)
+    val memberDfs = runs.map { r =>
+      val rn = r.name
+      val runPre: Column =
+        if (r.alts.nonEmpty) r.alts.map(b => compiled(b)._1).reduce(_ || _)
+        else if (selfRuns.contains(rn)) selfRuns(rn).pre else compiled(rn)._1
+      val memClsCols =
+        if (r.alts.isEmpty) Nil
+        else Seq(r.alts.tail.foldLeft(
+            when(compiled(r.alts.head)._1, lit(r.alts.head))) {
+          case (acc, b) => acc.when(compiled(b)._1, lit(b))
+        }.as("__mcls"))
+      val valFields = spec.measures
+        .filter(m => m.varName == rn && m.field != "ts").map(_.field).distinct
+      val memEv = events.filter(runPre).select(
+        (keyCol.as("__mk") +: col(spec.orderBy).as("__mts") +:
+          (valFields.map(f => col(f).as(s"__mf_$f")) ++ memClsCols)): _*)
+      val mjoin = matches.join(memEv, col("key") === col("__mk") &&
+        col("__mts") >= col(s"${rn}_first_ts") &&
+        col("__mts") <= col(s"${rn}_last_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__mid")).orderBy(col("__mts"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      def memberMeasure(m: Measure): Column = {
+        if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
+        if (m.fn.contains("CLASSIFIER"))
+          return if (r.alts.isEmpty) lit(rn) else col("__mcls")
+        branchRun.get(m.varName).foreach { rv =>
+          require(m.field == "ts" && m.fn.contains("COUNT"),
+            s"branch ${m.varName} of quantified alternation $rv: " +
+              s"COUNT(${m.varName}.ts) is the only branch measure")
+          return if (rv == rn)
+            sum(when(col("__mcls") === m.varName, 1L).otherwise(0L)).over(w)
+          else if (runU(rv) < runU(rn)) col(s"${rv}_n_${m.varName}")
+          else lit(0L)
+        }
+        // another run's aggregates: final if it bound earlier, empty after
+        if (runNames(m.varName) && m.varName != rn)
+          return runAggCol(m.varName, m, visible = runU(m.varName) < runU(rn))
+        if (m.varName != rn) return measureAt(m, runU(rn))
+        if (m.field == "ts") m.fn match {
+          case Some("FIRST") => col(s"${rn}_first_ts")
+          case Some("LAST") => col("__mts") // running last = this member
+          case Some("COUNT") => count(lit(1)).over(w)
+          case other => sys.error(s"only FIRST/LAST/COUNT over run variable " +
+            s"$rn's timestamps (got ${other.getOrElse("a bare reference")})")
+        } else m.fn match {
+          case Some("SUM") => sum(col(s"__mf_${m.field}")).over(w)
+          case Some("AVG") => sum(col(s"__mf_${m.field}")).over(w) / count(lit(1)).over(w)
+          case Some("MIN") => min(col(s"__mf_${m.field}")).over(w)
+          case Some("MAX") => max(col(s"__mf_${m.field}")).over(w)
+          case Some("FIRST") => first(col(s"__mf_${m.field}")).over(w)
+          case Some("LAST") => col(s"__mf_${m.field}")
+          case Some("COUNT") => count(lit(1)).over(w)
+          case other => sys.error(s"$rn is a run variable — use " +
+            s"FIRST/LAST/SUM/COUNT/MIN/MAX/AVG (got ${other.getOrElse("a bare reference")})")
+        }
       }
-      if (m.varName != rn) return measureAt(m, runU)
-      if (m.field == "ts") m.fn match {
-        case Some("FIRST") => col(s"${rn}_first_ts")
-        case Some("LAST") => col("__mts") // running last = this member
-        case Some("COUNT") => count(lit(1)).over(w)
-        case other => sys.error(s"only FIRST/LAST/COUNT over run variable " +
-          s"$rn's timestamps (got ${other.getOrElse("a bare reference")})")
-      } else m.fn match {
-        case Some("SUM") => sum(col(s"__mf_${m.field}")).over(w)
-        case Some("AVG") => sum(col(s"__mf_${m.field}")).over(w) / count(lit(1)).over(w)
-        case Some("MIN") => min(col(s"__mf_${m.field}")).over(w)
-        case Some("MAX") => max(col(s"__mf_${m.field}")).over(w)
-        case Some("FIRST") => first(col(s"__mf_${m.field}")).over(w)
-        case Some("LAST") => col(s"__mf_${m.field}")
-        case Some("COUNT") => count(lit(1)).over(w)
-        case other => sys.error(s"$rn is a run variable — use " +
-          s"FIRST/LAST/SUM/COUNT/MIN/MAX/AVG (got ${other.getOrElse("a bare reference")})")
-      }
+      val clsOut: Column = if (r.alts.isEmpty) lit(rn) else col("__mcls")
+      mjoin.select(keyOut(spec) ++
+        (clsOut.as("cls") +: col("__mts").as("ts") +:
+          spec.measures.map(m => memberMeasure(m).as(m.alias))): _*)
     }
-    val clsOut: Column = if (r.alts.isEmpty) lit(rn) else col("__mcls")
-    val memberDf = mjoin.select(keyOut(spec) ++
-      (clsOut.as("cls") +: col("__mts").as("ts") +:
-        spec.measures.map(m => memberMeasure(m).as(m.alias))): _*)
-    staticDf.unionByName(memberDf)
+    memberDfs.foldLeft(staticDf)(_ unionByName _)
   }
 
   /** The partition columns of the output: detect's single `key` column,

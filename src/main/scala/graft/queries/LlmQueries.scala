@@ -373,10 +373,14 @@ object LlmQueries {
   // The semantic-dedup / clustering primitive (SemDeDup-style pipelines
   // build a k-NN graph, then drop near-duplicate neighbors): EVERY vector
   // is a query — top-3 cosine neighbors via the s03 IVF cells, each node
-  // probing its 2 nearest cells. Scale shape: candidates are generated by
+  // probing its 3 nearest cells (the s03 probe depth). Scale shape: candidates are generated by
   // an equi-join on the cell id, so the pair count is Σ|cell|·|probes into
   // it| — bucketed all-pairs, never the global N² cross join (plan-asserted
-  // cartesian-free); centroids are metadata-sized and broadcast.
+  // cartesian-free); centroids are metadata-sized and broadcast. Scale
+  // knob: with FIXED k the per-cell population grows linearly in N and the
+  // bucketed pair count quadratically — production sizing is k ∝ √N
+  // (per-cell candidates then stay ~constant); k is pinned to 8 here only
+  // so the DuckDB oracle replays the identical cells on the test corpus.
   private val s05: Q = (s, dir) => {
     val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
     val cent = graft.operators.Iterate
@@ -388,7 +392,7 @@ object LlmQueries {
     val cells = Relational.topNPerGroup(scored, Seq(col("id")),
       Seq(col("ccos").desc, col("cid")), 1).select(col("id").as("nid"), col("cid").as("cell"))
     val probes = Relational.topNPerGroup(scored, Seq(col("id")),
-      Seq(col("ccos").desc, col("cid")), 2)
+      Seq(col("ccos").desc, col("cid")), 3)
       .select(col("id").as("query_id"), col("cid").as("pcell"))
     val cand = probes.join(cells, col("cell") === col("pcell") && col("nid") =!= col("query_id"))
       .select("query_id", "nid")
@@ -426,7 +430,7 @@ object LlmQueries {
        |           FROM scored) WHERE rn = 1),
        |probes AS (SELECT id AS query_id, cid AS pcell FROM (
        |            SELECT *, row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
-       |            FROM scored) WHERE rn <= 2),
+       |            FROM scored) WHERE rn <= 3),
        |cand AS (SELECT p.query_id, c.nid FROM probes p JOIN cells c
        |          ON c.cell = p.pcell AND c.nid != p.query_id),
        |p2 AS (SELECT query_id, nid AS neighbor_id,

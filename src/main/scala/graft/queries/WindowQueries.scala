@@ -1940,6 +1940,85 @@ object WindowQueries {
       |                 AND p.ts <= b.s_ts + INTERVAL 72 HOURS
       |GROUP BY 1, b.sid, 2, 3, 4, 5, 6""".stripMargin
 
+  // --- m31: ALL ROWS PER MATCH over TWO '+' runs `(S C+ V+ P)` (the last
+  // ALL-ROWS shape the reference emits that we rejected by name): each
+  // run's member rows come from its own keyed join-back; spans never
+  // overlap (a later run binds strictly after the previous run's span
+  // closes), so cross-run measures are closed-form — on V rows the C
+  // aggregates are FINAL, on C rows the V aggregates are empty. Oracle:
+  // two-stage run replay with per-run running windows.
+  private val m31: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(C.ts) AS n_c,
+        |           SUM(C.value) AS sum_c, COUNT(V.ts) AS n_v,
+        |           LAST(V.value) AS last_v, P.ts AS purchase_ts
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S C+ V+ P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .withColumn("sum_c", round(col("sum_c"), 4).cast("decimal(18,4)"))
+  private val m31Sql =
+    """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='click'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='view'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS first_c
+      |       FROM s JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                    AND c.ts <= s.ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT m1.user_id, s_ts, first_c, min(v.ts) AS first_v
+      |       FROM m1 JOIN v ON v.user_id = m1.user_id AND v.ts > first_c
+      |                     AND v.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3),
+      |m3 AS (SELECT m2.user_id, s_ts, first_c, first_v, min(p.ts) AS p_ts
+      |       FROM m2 JOIN p ON p.user_id = m2.user_id AND p.ts > first_v
+      |                     AND p.ts <= s_ts + INTERVAL 24 HOURS
+      |       GROUP BY 1, 2, 3, 4),
+      |cm AS (SELECT m3.user_id, m3.s_ts, c.ts AS m_ts, count(*) OVER w AS r_c,
+      |        sum(c.value) OVER w AS r_sum
+      |       FROM m3 JOIN c ON c.user_id = m3.user_id
+      |                     AND c.ts >= m3.first_c AND c.ts < m3.first_v
+      |       WINDOW w AS (PARTITION BY m3.user_id, m3.s_ts ORDER BY c.ts
+      |                    ROWS UNBOUNDED PRECEDING)),
+      |ctot AS (SELECT user_id, s_ts, max(r_c) AS c_all,
+      |          struct_extract(max({'n': r_c, 's': r_sum}), 's') AS csum_all
+      |         FROM cm GROUP BY 1, 2),
+      |vm AS (SELECT m3.user_id, m3.s_ts, m3.p_ts, v.ts AS m_ts, v.value AS v_val,
+      |        count(*) OVER w AS r_v
+      |       FROM m3 JOIN v ON v.user_id = m3.user_id
+      |                     AND v.ts >= m3.first_v AND v.ts < m3.p_ts
+      |       WINDOW w AS (PARTITION BY m3.user_id, m3.s_ts ORDER BY v.ts
+      |                    ROWS UNBOUNDED PRECEDING)),
+      |vtot AS (SELECT user_id, s_ts, max(r_v) AS v_all,
+      |          struct_extract(max({'t': m_ts, 'v': v_val}), 'v') AS vlast_all
+      |         FROM vm GROUP BY 1, 2)
+      |SELECT m3.user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
+      |       CAST(0 AS BIGINT) AS n_c, CAST(NULL AS DECIMAL(18,4)) AS sum_c,
+      |       CAST(0 AS BIGINT) AS n_v, CAST(NULL AS DOUBLE) AS last_v,
+      |       CAST(NULL AS TIMESTAMP) AS purchase_ts
+      |FROM m3
+      |UNION ALL
+      |SELECT user_id, 'C', m_ts, s_ts, r_c,
+      |       CAST(round(r_sum, 4) AS DECIMAL(18,4)), CAST(0 AS BIGINT),
+      |       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)
+      |FROM cm
+      |UNION ALL
+      |SELECT vm.user_id, 'V', vm.m_ts, vm.s_ts, ct.c_all,
+      |       CAST(round(ct.csum_all, 4) AS DECIMAL(18,4)), vm.r_v, vm.v_val,
+      |       CAST(NULL AS TIMESTAMP)
+      |FROM vm JOIN ctot ct ON ct.user_id = vm.user_id AND ct.s_ts = vm.s_ts
+      |UNION ALL
+      |SELECT m3.user_id, 'P', m3.p_ts, m3.s_ts, ct.c_all,
+      |       CAST(round(ct.csum_all, 4) AS DECIMAL(18,4)), vt.v_all,
+      |       vt.vlast_all, m3.p_ts
+      |FROM m3 JOIN ctot ct ON ct.user_id = m3.user_id AND ct.s_ts = m3.s_ts
+      |        JOIN vtot vt ON vt.user_id = m3.user_id AND vt.s_ts = m3.s_ts""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
@@ -1964,7 +2043,8 @@ object WindowQueries {
     "m23_all_rows_run" -> m23, "m24_all_rows_group" -> m24,
     "m25_run_tiebreak" -> m25, "m26_group_tiebreak" -> m26,
     "m27_prev_foreign" -> m27, "m28_prev_plain" -> m28,
-    "m29_all_rows_alt" -> m29, "m30_multi_tiebreak" -> m30)
+    "m29_all_rows_alt" -> m29, "m30_multi_tiebreak" -> m30,
+    "m31_all_rows_two_runs" -> m31)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -1992,5 +2072,6 @@ object WindowQueries {
     "m23_all_rows_run" -> m23Sql, "m24_all_rows_group" -> m24Sql,
     "m25_run_tiebreak" -> m25Sql, "m26_group_tiebreak" -> m26Sql,
     "m27_prev_foreign" -> m27Sql, "m28_prev_plain" -> m28Sql,
-    "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql)
+    "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql,
+    "m31_all_rows_two_runs" -> m31Sql)
 }

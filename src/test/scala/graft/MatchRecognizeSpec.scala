@@ -313,19 +313,24 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     // user 1's P binds (purchase@30) and no click follows it -> no match;
     // user 2 has no purchase, P is skipped and emits NO row
     assert(opt == Set((2L, "S", at(0), at(0)), (2L, "C", at(5), at(0))))
-    // ONE '+'/'*' run is expandable (see the dedicated '+'-run ALL ROWS
-    // spec); a second run stays a named error
-    val ex = intercept[IllegalArgumentException](MatchRecognize.detect(valued,
+    // TWO runs expand too (r10): each run's members from its own span,
+    // cross-run counts final-after / zero-before
+    val two = MatchRecognize.detect(valued,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
-        |  MEASURES S.ts AS s_ts
+        |  MEASURES S.ts AS s_ts, COUNT(C.ts) AS n_c, COUNT(P.ts) AS n_p
         |  ALL ROWS PER MATCH
         |  PATTERN (S C+ P+)
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
         |         P AS event_type = 'purchase'
-        |)""".stripMargin))
-    assert(ex.getMessage.contains("at most one"))
+        |)""".stripMargin)
+      .as[(Long, String, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(two == Set(
+      (1L, "S", at(0), at(0), 0L, 0L),
+      (1L, "C", at(10), at(0), 1L, 0L),
+      (1L, "C", at(20), at(0), 2L, 0L),
+      (1L, "P", at(30), at(0), 2L, 1L)), two.toString)
   }
 
   test("run value measures: SUM/MIN/MAX/FIRST/LAST of a bound column over '+'") {
