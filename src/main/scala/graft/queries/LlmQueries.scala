@@ -381,10 +381,15 @@ object LlmQueries {
   // bucketed pair count quadratically — production sizing is k ∝ √N
   // (per-cell candidates then stay ~constant); k is pinned to 8 here only
   // so the DuckDB oracle replays the identical cells on the test corpus.
-  private val s05: Q = (s, dir) => {
+  /** The parameterized graph builder behind s05 — `k` is the production
+    * scale knob (k ∝ √N keeps per-cell candidates ~constant; total work
+    * then grows as N^1.5, the standard IVF k-NN-graph trade — exercised
+    * empirically in ScaleSmokeSpec). */
+  private[graft] def knnGraph(s: SparkSession, dir: String, k: Int,
+                              nProbes: Int, topK: Int): DataFrame = {
     val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
     val cent = graft.operators.Iterate
-      .kmeansCentroids(emb(s, dir), "vec_id", "embedding", k = 8, iters = 1)
+      .kmeansCentroids(emb(s, dir), "vec_id", "embedding", k = k, iters = 1)
       .select(col("cid"), col("cv"), Similarity.norm(col("cv")).as("cn"))
     val scored = e.crossJoin(broadcast(cent))
       .select(col("id"), col("cid"),
@@ -392,7 +397,7 @@ object LlmQueries {
     val cells = Relational.topNPerGroup(scored, Seq(col("id")),
       Seq(col("ccos").desc, col("cid")), 1).select(col("id").as("nid"), col("cid").as("cell"))
     val probes = Relational.topNPerGroup(scored, Seq(col("id")),
-      Seq(col("ccos").desc, col("cid")), 3)
+      Seq(col("ccos").desc, col("cid")), nProbes)
       .select(col("id").as("query_id"), col("cid").as("pcell"))
     val cand = probes.join(cells, col("cell") === col("pcell") && col("nid") =!= col("query_id"))
       .select("query_id", "nid")
@@ -403,9 +408,10 @@ object LlmQueries {
       .select(col("query_id"), col("nid").as("neighbor_id"),
         round(Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
     Relational.topNPerGroup(pairs, Seq(col("query_id")),
-      Seq(col("cosine").desc, col("neighbor_id")), 3)
+      Seq(col("cosine").desc, col("neighbor_id")), topK)
       .select("query_id", "neighbor_id", "cosine", "rn")
   }
+  private val s05: Q = (s, dir) => knnGraph(s, dir, k = 8, nProbes = 3, topK = 3)
   private val s05Sql =
     s"""WITH $embCte,
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv

@@ -70,4 +70,36 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
         f"$q: super-linear blowup — base $tb%.2fs, 10x $ts%.2fs")
     }
   }
+
+  test("knn graph at 10x embeddings with k ~ sqrt(N) follows the N^1.5 trade",
+      SlowTest) {
+    // the s05 scale knob, exercised: with k ∝ √N the per-cell population
+    // stays ~constant and total candidate work grows as N^1.5 — 10x data
+    // ⇒ ~31.6x candidates (NOT ~100x, which fixed-k would produce). The
+    // bound separates the two regimes with headroom for fixed overheads.
+    val base = "/root/testdata/sf0.1"
+    val reps = 10
+    val scaled = java.nio.file.Files.createTempDirectory("graft_scale_e").toString
+    val e = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until reps).map(i => e
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
+      .reduce(_ union _)
+      .write.parquet(s"$scaled/embeddings.parquet")
+    val nBase = e.count()
+    def run(dir: String, n: Long): Double = {
+      val k = math.max(8, math.sqrt(n.toDouble).toInt)
+      val t0 = System.nanoTime()
+      graft.queries.LlmQueries.knnGraph(spark, dir, k = k, nProbes = 3, topK = 3)
+        .write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(base, nBase) // warmup
+    val tb = run(base, nBase)
+    val ts = run(scaled, nBase * reps)
+    info(f"knn graph base=$tb%6.2fs 10x=$ts%7.2fs ratio=${ts / tb}%5.1fx")
+    // N^1.5 predicts ~31.6x work; quadratic (fixed k) would be ~100x
+    assert(ts <= tb * 50 + 15.0,
+      f"knn graph super-N^1.5 blowup — base $tb%.2fs, 10x $ts%.2fs")
+  }
 }
