@@ -542,8 +542,58 @@ object LlmQueries3 {
       |       array_to_string(toks[st0 + 1 : st0 + 32], ' ') AS chunk_text
       |FROM st""".stripMargin
 
+  // ---------- p04: chunk-then-pack composition ----------
+  // The two pipeline stages composed the way a real pretraining flow runs
+  // them: p03's overlapping token windows become the PACKING UNITS of a
+  // p01-style greedy bin pack (budget 128 tokens, deterministic chunk-hash
+  // buckets). Proves the operators compose declaratively — the whole
+  // pipeline is still ONE Catalyst plan: generator expressions feed a
+  // partitioned window, one shuffle total (the bucket hash), no collect,
+  // no intermediate materialization.
+  private val p04: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val W = 32; val S = 24; val budget = 128L
+    val chunks = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(S))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        least(lit(W), size(col("toks")) - col("col")).cast("long").as("tokens"))
+    val keyed = chunks.withColumn("bkt",
+      conv(substring(md5(concat_ws(":", col("doc_id"), col("chunk_idx"))), 32, 1),
+        16, 10).cast("int"))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("chunk_idx"), col("tokens"), col("bkt"),
+        (col("bkt").cast("long") * (1L << 20) +
+          floor(col("cum_before") / budget).cast("long")).as("seq_id"),
+        (col("cum_before") % budget).as("seq_off"))
+  }
+  private val p04Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ch AS (SELECT doc_id, CAST(st0 // 24 AS INT) AS chunk_idx,
+      |        CAST(least(32, len(toks) - st0) AS BIGINT) AS tokens
+      |       FROM (SELECT doc_id, toks,
+      |              unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS st0
+      |             FROM t)),
+      |k AS (SELECT doc_id, chunk_idx, tokens,
+      |       CAST(strpos('0123456789abcdef', substr(md5(
+      |         CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)),
+      |         32, 1)) - 1 AS INT) AS bkt
+      |      FROM ch),
+      |c2 AS (SELECT *, CAST(coalesce(sum(tokens) OVER (
+      |         PARTITION BY bkt ORDER BY doc_id, chunk_idx
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |         AS cum_before
+      |       FROM k)
+      |SELECT doc_id, chunk_idx, tokens, bkt,
+      |       CAST(bkt AS BIGINT) * 1048576 + cum_before // 128 AS seq_id,
+      |       cum_before % 128 AS seq_off
+      |FROM c2""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "p03_doc_chunking" -> p03,
+    "p03_doc_chunking" -> p03, "p04_chunk_packing" -> p04,
     "t06_regex_scan" -> t06, "t07_repetition_filter" -> t07,
     "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
     "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12,
@@ -551,7 +601,7 @@ object LlmQueries3 {
     "d15_chunk_dedup" -> d15, "p01_seq_packing" -> p01,
     "p02_domain_mix" -> p02)
   val oracles: Map[String, String] = Map(
-    "p03_doc_chunking" -> p03Sql,
+    "p03_doc_chunking" -> p03Sql, "p04_chunk_packing" -> p04Sql,
     "t06_regex_scan" -> t06Sql, "t07_repetition_filter" -> t07Sql,
     "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
     "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql,

@@ -67,6 +67,22 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("p04: chunk-then-pack composition covers every chunk, one plan") {
+    val out = SparkEntry.queries("p04_chunk_packing")(spark, sfDir)
+    val rows = out.select("doc_id", "chunk_idx", "tokens", "bkt", "seq_id", "seq_off")
+      .as[(Long, Int, Long, Int, Long, Long)].collect()
+    val nChunks = SparkEntry.queries("p03_doc_chunking")(spark, sfDir).count()
+    assert(rows.length == nChunks, "every p03 chunk must be packed")
+    assert(rows.forall { case (_, _, _, _, _, off) => off >= 0 && off < 128 })
+    // the composed pipeline stays ONE plan with ONE shuffle of its own:
+    // generator expressions feed the partitioned packing window directly
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Generate") && p.contains("Window"),
+      s"expected generator + partitioned window in one plan:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), "no cross product")
+  }
+
   test("p02: over-represented groups downsample, under-represented keep whole") {
     // 4 docs of lang a (200% of uniform share), 2 of b, 2 of c... target
     // share = 8/3 ≈ 2.67 docs → b and c keep all, a keeps u256 < 2/3*256
