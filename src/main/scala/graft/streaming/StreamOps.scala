@@ -147,6 +147,17 @@ case class GrpAcc(partials: List[GrpPartial], buf: List[BufEv] = Nil)
 case class LagEv(user_id: Long, ts: Timestamp, event_type: String,
                  value: Double, lag_value: Option[Double])
 case class LagAcc(buf: List[BufEv] = Nil, recent: List[Double] = Nil)
+// two-run pattern (S A+ B+ U) partial: both runs' boundaries + counts —
+// O(1) state per partial (the causal walk needs no member retention)
+case class TwoRunPartial(firstMs: Long, r1FirstMs: Long = -1L,
+                         r1LastMs: Long = -1L, r1N: Long = 0L,
+                         r2FirstMs: Long = -1L, r2LastMs: Long = -1L,
+                         r2N: Long = 0L)
+case class TwoRunAcc(partials: List[TwoRunPartial], buf: List[BufEv] = Nil)
+case class TwoRunMatch(user_id: Long, first_ts: Timestamp,
+                       r1_first_ts: Timestamp, r1_last_ts: Timestamp, r1_n: Long,
+                       r2_first_ts: Timestamp, r2_last_ts: Timestamp, r2_n: Long,
+                       last_ts: Timestamp)
 case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
                     rep_last_ts: Timestamp, rep_n: Long, last_ts: Timestamp,
                     rep_sum_value: Option[Double] = None,
@@ -1645,6 +1656,78 @@ object StreamOps {
             else state.setTimeoutTimestamp(wm + 24L * 3600 * 1000)
           }
           out.iterator
+      }
+  }
+
+  /** Streaming twin of the TWO-RUN pattern `(S A+ B+ U)` (the m31 batch
+    * shape, ONE ROW PER MATCH): run A binds its first occurrence after S
+    * and collects members until run B's first occurrence; B collects until
+    * the close event, which binds the EARLIEST `lastPred` event after B
+    * opens. Every decision is causal in event-time order (each run's upper
+    * bound is the NEXT binding, which arrives later in event time), so the
+    * watermark-finalized prefix walk needs NO held closes and O(1) state
+    * per partial — boundaries and counts only, never members. Window
+    * expiry just drops the partial (emission only ever happens on a close
+    * event). maxPartials cap, watermark pruning and event-time eviction as
+    * in [[cepPattern]]. */
+  def cepPatternTwoRuns(events: Dataset[Event], watermark: String,
+                        firstPred: Event => Boolean,
+                        run1Pred: Event => Boolean,
+                        run2Pred: Event => Boolean,
+                        lastPred: Event => Boolean, withinMs: Long,
+                        maxPartials: Int = 256): Dataset[TwoRunMatch] = {
+    implicit val outEnc = Encoders.product[TwoRunMatch]
+    implicit val accEnc = Encoders.product[TwoRunAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwoRunAcc, TwoRunMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TwoRunAcc]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = Seq.newBuilder[TwoRunMatch]
+          val wm = state.getCurrentWatermarkMs()
+          val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
+            rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
+          val (readyB, held) = buf0.partition(_.ms < wm)
+          readyB.map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value))
+            .sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+            val t = e.ts.getTime
+            partials = partials.flatMap { p =>
+              if (t > p.firstMs + withinMs) None // window expired
+              else if (lastPred(e) && p.r2FirstMs >= 0 && t > p.r2FirstMs) {
+                out += TwoRunMatch(userId, new Timestamp(p.firstMs),
+                  new Timestamp(p.r1FirstMs), new Timestamp(p.r1LastMs), p.r1N,
+                  new Timestamp(p.r2FirstMs), new Timestamp(p.r2LastMs), p.r2N,
+                  new Timestamp(t))
+                None // completed
+              } else if (run2Pred(e) && p.r1FirstMs >= 0 && t > p.r1FirstMs) {
+                // run B: opens at its first occurrence after A's first
+                // binding; A stops collecting the moment B opens
+                if (p.r2FirstMs < 0)
+                  Some(p.copy(r2FirstMs = t, r2LastMs = t, r2N = 1))
+                else Some(p.copy(r2LastMs = math.max(p.r2LastMs, t),
+                  r2N = p.r2N + 1))
+              } else if (run1Pred(e) && t > p.firstMs && p.r2FirstMs < 0) {
+                // run A members: only until B opens (the batch upper bound
+                // is B's first binding)
+                if (p.r1FirstMs < 0)
+                  Some(p.copy(r1FirstMs = t, r1LastMs = t, r1N = 1))
+                else Some(p.copy(r1LastMs = math.max(p.r1LastMs, t),
+                  r1N = p.r1N + 1))
+              } else Some(p)
+            }
+            if (firstPred(e))
+              partials = (TwoRunPartial(t) :: partials).take(maxPartials)
+          }
+          partials = partials.filter(_.firstMs + withinMs >= wm)
+          if (partials.isEmpty && held.isEmpty) state.remove()
+          else {
+            state.update(TwoRunAcc(partials, held))
+            state.setTimeoutTimestamp(math.max(wm + 1,
+              (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
+          }
+          out.result().iterator
       }
   }
 

@@ -1549,6 +1549,49 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch two-run pattern and streaming cepPatternTwoRuns agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: clicks 5,10 then views 15,20 then purchase 25; the click@18
+    // lands AFTER the view run opened and must NOT count as a C member.
+    // user 2 never purchases. Flush event pushes the watermark.
+    val all = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 1.0),
+      (1L, at(10), "click", 2.0), (1L, at(15), "view", 3.0),
+      (1L, at(18), "click", 9.0), (1L, at(20), "view", 4.0),
+      (1L, at(25), "purchase", 0.0),
+      (2L, at(0), "signup", 0.0), (2L, at(5), "click", 1.0),
+      (2L, at(10), "view", 2.0),
+      (9L, at(2000), "noop", 0.0))
+    val batch = Pattern.begin("S", $"event_type" === "signup")
+      .followedBy("C", $"event_type" === "click").oneOrMore()
+      .followedBy("V", $"event_type" === "view").oneOrMore()
+      .followedBy("P", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type", "value"), $"user_id", $"ts")
+      .select($"key", $"S_ts", $"C_first_ts", $"C_last_ts", $"C_n",
+        $"V_first_ts", $"V_last_ts", $"V_n", $"P_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long,
+        Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternTwoRuns(in.toDS(), "10 seconds",
+        _.event_type == "signup", _.event_type == "click",
+        _.event_type == "view", _.event_type == "purchase", HOUR).toDF()
+      .writeStream.format("memory").queryName("s_two_runs").outputMode("append").start()
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    in.addData(evs.take(4)); q.processAllAvailable() // split mid-run
+    in.addData(evs.drop(4)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_two_runs")
+      .select($"user_id", $"first_ts", $"r1_first_ts", $"r1_last_ts", $"r1_n",
+        $"r2_first_ts", $"r2_last_ts", $"r2_n", $"last_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long,
+        Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), at(5), at(10), 2L, at(15), at(20), 2L, at(25))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("pattern joins stay keyed equi-joins (no cross product)") {
     val df = Pattern.begin("signup", $"event_type" === "signup")
       .followedBy("purchase", $"event_type" === "purchase")
