@@ -592,8 +592,38 @@ object LlmQueries3 {
       |       cum_before % 128 AS seq_off
       |FROM c2""".stripMargin
 
+  // ---------- t08: unigram log-probability (novelty) score ----------
+  // The CCNet/Dolma-style LM-score proxy without a model: a document's
+  // mean negative log corpus-unigram probability. Low = boilerplate made
+  // of ubiquitous tokens; high = rare-token text. Scale shape: explode →
+  // per-token hash count (the corpus LM, one shuffle keyed on the token)
+  // → keyed join back → per-doc hash agg — O(corpus tokens), no sorts, no
+  // windows; the scalar token total rides a broadcast.
+  private val t08: Q = (s, dir) => {
+    val tk = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(sum(col("cnt")).as("total"))
+    tk.join(tf, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("cnt") / col("total"))), 4)
+          .cast("decimal(18,4)").as("novelty"))
+  }
+  private val t08Sql =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |tf AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS total FROM tf)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       CAST(round(avg(-ln(cnt / total)), 4) AS DECIMAL(18,4)) AS novelty
+      |FROM tk JOIN tf USING (tok), tot
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p03_doc_chunking" -> p03, "p04_chunk_packing" -> p04,
+    "t08_novelty_score" -> t08,
     "t06_regex_scan" -> t06, "t07_repetition_filter" -> t07,
     "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
     "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12,
@@ -602,6 +632,7 @@ object LlmQueries3 {
     "p02_domain_mix" -> p02)
   val oracles: Map[String, String] = Map(
     "p03_doc_chunking" -> p03Sql, "p04_chunk_packing" -> p04Sql,
+    "t08_novelty_score" -> t08Sql,
     "t06_regex_scan" -> t06Sql, "t07_repetition_filter" -> t07Sql,
     "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
     "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql,
