@@ -159,12 +159,39 @@ object FunctionQueries {
       | round(avg(l_extendedprice), 4) AS plain_avg_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // --- f09: collection functions (Flink CARDINALITY / ELEMENT / array
+  // access — flink-table collection functions over ARRAY columns): per
+  // order, the sorted line-number array and the function family over it.
+  // collect_list order is non-deterministic; sort_array pins it (the
+  // DuckDB twin is list(... ORDER BY ...)). All codegen'd builtins.
+  private val f09: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("items"))
+      .select(col("l_orderkey"),
+        size(col("items")).as("n_items"),
+        element_at(col("items"), 1).as("first_item"),
+        element_at(col("items"), -1).as("last_item"),
+        array_contains(col("items"), 3).as("has_line3"),
+        size(array_distinct(col("items"))).as("n_distinct"))
+  private val f09Sql =
+    """SELECT l_orderkey,
+      | CAST(len(items) AS INT) AS n_items,
+      | items[1] AS first_item,
+      | items[-1] AS last_item,
+      | list_contains(items, 3) AS has_line3,
+      | CAST(len(list_distinct(items)) AS INT) AS n_distinct
+      |FROM (SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS items
+      |      FROM lineitem GROUP BY 1)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03,
     "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05, "f06_temporal_funcs" -> f06,
-    "f07_bitwise_funcs" -> f07, "f08_udagg_weighted_avg" -> f08)
+    "f07_bitwise_funcs" -> f07, "f08_udagg_weighted_avg" -> f08,
+    "f09_collection_funcs" -> f09)
   val oracles: Map[String, String] = Map(
     "f01_math_funcs" -> f01Sql, "f02_string_funcs2" -> f02Sql, "f03_json_extract" -> f03Sql,
     "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql, "f06_temporal_funcs" -> f06Sql,
-    "f07_bitwise_funcs" -> f07Sql, "f08_udagg_weighted_avg" -> f08Sql)
+    "f07_bitwise_funcs" -> f07Sql, "f08_udagg_weighted_avg" -> f08Sql,
+    "f09_collection_funcs" -> f09Sql)
 }

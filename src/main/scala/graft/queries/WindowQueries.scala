@@ -2019,7 +2019,33 @@ object WindowQueries {
       |FROM m3 JOIN ctot ct ON ct.user_id = m3.user_id AND ct.s_ts = m3.s_ts
       |        JOIN vtot vt ON vt.user_id = m3.user_id AND vt.s_ts = m3.s_ts""".stripMargin
 
+  // --- w25: CASCADING window re-aggregation (the Flink "cascading window
+  // aggregation" pattern — flink-docs window-agg section; coarse windows
+  // re-aggregate fine PARTIALS instead of rescanning facts): hourly tumble
+  // partials roll up to daily totals. At 100 TB this is the difference
+  // between re-reading the fact stream per granularity and one extra
+  // metadata-sized aggregation: the daily agg's input is the hourly
+  // RESULT (3-4 orders of magnitude smaller). Hours nest exactly in days
+  // (UTC), so the cascade is lossless; the oracle computes the daily
+  // totals DIRECTLY from facts — equality proves the cascade.
+  private val w25: Q = (s, dir) => {
+    val hourly = graft.operators.EventWindows.tumbleAgg(ev(s, dir), col("ts"),
+      "1 hour", Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), sum(col("value")).as("sv")))
+    hourly
+      .groupBy(date_trunc("day", col("window_start")).as("day_start"),
+        col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("sv")), 4).cast("decimal(18,4)").as("sum_value"))
+  }
+  private val w25Sql =
+    """SELECT CAST(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
+      |       event_type, count(*) AS n,
+      |       CAST(round(sum(value), 4) AS DECIMAL(18,4)) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "w25_cascading_windows" -> w25,
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
     "w22_cep_consecutive" -> w22, "w23_delta_evictor" -> w23,
@@ -2073,5 +2099,5 @@ object WindowQueries {
     "m25_run_tiebreak" -> m25Sql, "m26_group_tiebreak" -> m26Sql,
     "m27_prev_foreign" -> m27Sql, "m28_prev_plain" -> m28Sql,
     "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql,
-    "m31_all_rows_two_runs" -> m31Sql)
+    "m31_all_rows_two_runs" -> m31Sql, "w25_cascading_windows" -> w25Sql)
 }
