@@ -67,11 +67,14 @@ case class IterMatch(user_id: Long, step_ts: Seq[Timestamp], step_value: Seq[Dou
 // columns) — O(1) state per partial
 // bCounts: per-branch member counts for a quantified ALTERNATION run
 // ((B|C)+ — each member counted under its first matching branch)
+// mems: under materializeRows (the ALL-ROWS-over-runs twin), the run's
+// member timestamps — state bounded by the window's member count
 case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
                       runN: Long, sumVal: Double = 0.0, minVal: Double = 0.0,
                       maxVal: Double = 0.0, firstVal: Double = 0.0,
                       lastVal: Double = 0.0, stopped: Boolean = false,
-                      bCounts: List[Long] = Nil)
+                      bCounts: List[Long] = Nil,
+                      mems: List[Long] = Nil)
 // a held EMPTY-run candidate (zeroOrMore): the earliest close-event seen
 // while no run member existed — valid only if no member EVER arrives in the
 // window, so it emits at window expiry and is invalidated by a run start
@@ -114,7 +117,8 @@ case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                     run_max_value: Option[Double] = None,
                     run_first_value: Option[Double] = None,
                     run_last_value: Option[Double] = None,
-                    branch_counts: Seq[Long] = Nil)
+                    branch_counts: Seq[Long] = Nil,
+                    run_members: Seq[Timestamp] = Nil)
 // group-pattern (sub)+ partials: the greedy repetition chain is causal in
 // event-time order (events are watermark-finalized before processing, see
 // BufEv), so state is O(1) per partial — current sub-step index + the
@@ -1202,7 +1206,8 @@ object StreamOps {
                           allowEmpty: Boolean = false,
                           consecutive: Boolean = false,
                           branchPreds: Seq[Event => Boolean] = Nil,
-                          tieOf: Event => Double = _.value): Dataset[RunMatch] = {
+                          tieOf: Event => Double = _.value,
+                          materializeRows: Boolean = false): Dataset[RunMatch] = {
     require(!(consecutive && (untilPred.nonEmpty || allowEmpty)),
       "consecutive excludes until/allowEmpty (the batch consecutive() surface)")
     // branchPreds: the quantified-alternation twin ((B|C)+ — batch
@@ -1280,7 +1285,8 @@ object StreamOps {
                   new Timestamp(p.runFirstMs), new Timestamp(p.runLastMs),
                   p.runN, new Timestamp(t), Some(p.sumVal), Some(p.minVal),
                   Some(p.maxVal), Some(p.firstVal), Some(p.lastVal),
-                  if (branchPreds.isEmpty) Nil else p.bCounts)
+                  if (branchPreds.isEmpty) Nil else p.bCounts,
+                  if (!materializeRows) Nil else p.mems.map(new Timestamp(_)))
                 None // completed
               } else if (lastPred(e) && p.runFirstMs < 0 && allowEmpty && t > p.firstMs) {
                 // hold the EARLIEST empty-run close; a run start invalidates
@@ -1298,7 +1304,8 @@ object StreamOps {
                   Some(p.copy(runFirstMs = t, runLastMs = t, runN = 1,
                     sumVal = e.value, minVal = e.value, maxVal = e.value,
                     firstVal = e.value, lastVal = e.value,
-                    bCounts = bInc(Nil)))
+                    bCounts = bInc(Nil),
+                    mems = if (materializeRows) List(t) else Nil))
                 } else
                   // equal-ts members arrive value-ascending (the sort order),
                   // so overwriting lastVal on t >= runLast reproduces the
@@ -1309,7 +1316,8 @@ object StreamOps {
                     minVal = math.min(p.minVal, e.value),
                     maxVal = math.max(p.maxVal, e.value),
                     lastVal = if (t >= p.runLastMs) e.value else p.lastVal,
-                    bCounts = bInc(p.bCounts)))
+                    bCounts = bInc(p.bCounts),
+                    mems = if (materializeRows) p.mems :+ t else Nil))
               } else Some(p)
             }
             if (firstPred(e))

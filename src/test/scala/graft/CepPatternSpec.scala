@@ -1549,6 +1549,43 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("streaming run_members matches the batch ALL-ROWS run expansion") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 10.0),
+      (1L, at(10), "click", 20.0), (1L, at(15), "purchase", 0.0),
+      (9L, at(2000), "noop", 0.0))
+    // batch: the m23 ALL ROWS member rows (cls = D)
+    val batch = graft.cep.MatchRecognize.detect(
+      all.toDF("user_id", "ts", "event_type", "value"),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S D+ U)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', D AS event_type = 'click',
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin)
+      .filter($"cls" === "D").select($"user_id", $"ts")
+      .as[(Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternOneOrMore(in.toDS(), "10 seconds",
+        _.event_type == "signup", _.event_type == "click",
+        _.event_type == "purchase", HOUR, materializeRows = true).toDF()
+      .writeStream.format("memory").queryName("s_run_rows").outputMode("append").start()
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    in.addData(evs.take(2)); q.processAllAvailable() // split mid-run
+    in.addData(evs.drop(2)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_run_rows")
+      .select($"user_id", explode($"run_members").as("ts"))
+      .as[(Long, Timestamp)].collect().toSet
+    assert(streaming == batch && batch == Set((1L, at(5)), (1L, at(10))),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("batch two-run pattern and streaming cepPatternTwoRuns agree") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
