@@ -1,10 +1,15 @@
 #!/usr/bin/env python3
 """Local correctness harness mirroring the driver's DuckDB-oracle compare.
 
-Usage: python3 scripts/check.py <sfDir> <outDir>
+Usage: python3 scripts/check.py [--strict] <sfDir> <outDir>
 Reads <outDir>/<name>/ parquet (Spark output) + <outDir>/oracle_sql.json,
 runs each oracle against DuckDB views over <sfDir>/*.parquet, sorts columns
 by name + rows, and compares values.
+
+--strict: no rounding and type-faithful reprs — a float and a Decimal of
+equal value, or two floats differing in the last ULP, COMPARE UNEQUAL
+(mirrors the driver's hash canonicalization, which the lenient 9-digit
+round masks; the r10 DECIMAL(18,4) hash failures were invisible here).
 """
 import sys, json, glob, math
 import duckdb
@@ -12,7 +17,7 @@ import duckdb
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def canon(rows, cols):
+def canon(rows, cols, strict=False):
     # sort columns by name, then rows by stringified values
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -20,6 +25,11 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
+            if strict:
+                # full-precision, type-tagged: Decimal('6.5500') never
+                # equals float 6.55, and 1-ULP float drift is visible
+                vals.append(f"{type(v).__name__}:{v!r}")
+                continue
             if isinstance(v, float):
                 if math.isnan(v): v = "NaN"
                 else: v = repr(round(v, 9))
@@ -28,7 +38,7 @@ def canon(rows, cols):
     out.sort()
     return sorted(cols), out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, strict=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -45,8 +55,8 @@ def main(sf_dir, out_dir):
             print(f"ORAFAIL  {name}: {e}"); n_fail += 1; continue
         s = con.execute(f"SELECT * FROM read_parquet({files!r})")
         scols = [d[0] for d in s.description]; srows = s.fetchall()
-        oc, orws = canon(orows, ocols)
-        sc, srws = canon(srows, scols)
+        oc, orws = canon(orows, ocols, strict)
+        sc, srws = canon(srows, scols, strict)
         if oc != sc:
             print(f"SCHEMA   {name}: oracle={oc} spark={sc}"); n_fail += 1
         elif orws != srws:
@@ -59,4 +69,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    sys.exit(main(args[0], args[1], strict="--strict" in sys.argv))

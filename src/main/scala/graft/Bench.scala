@@ -52,8 +52,10 @@ object Bench {
     // tail-truncated captures; the full line is also written to a file so
     // every query's number stays readable even if stdout is clipped
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // null (not a string marker) for crashed queries: the key stays
+    // present while the map's value type remains numeric for consumers
     val qs = results.map { case (k, ts) =>
-      "\"" + k + "\":" + (if (ts.isEmpty) "\"err\"" else r3(ts.min))
+      "\"" + k + "\":" + (if (ts.isEmpty) "null" else r3(ts.min))
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
     val nErr = results.count(_._2.isEmpty)

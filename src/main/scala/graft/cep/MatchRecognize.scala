@@ -168,8 +168,21 @@ object MatchRecognize {
       "(?is)\\bALL\\s+ROWS\\s+PER\\s+MATCH\\b".r.findFirstIn(body).nonEmpty
     // one level of nesting for alternation groups: (A (B|C) D)
     val patternBody = "(?is)\\bPATTERN\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)".r
-      .findFirstMatchIn(body)
-      .getOrElse(sys.error("PATTERN (...) required")).group(1).trim
+      .findFirstMatchIn(body) match {
+        case Some(m) => m.group(1).trim
+        // a depth-2 PATTERN body (a group inside a group) fails the
+        // one-level body regex outright — name the rejection rather than
+        // reporting the clause as absent. Nested groups compose
+        // recursively in the reference (flink-cep GroupPattern wraps an
+        // arbitrary inner Pattern); here group repetitions materialize as
+        // ONE level of member arrays, so an inner group has no encoding.
+        case None if "(?is)\\bPATTERN\\s*\\(".r.findFirstIn(body).isDefined =>
+          sys.error("nested group patterns (a group inside a group, e.g. " +
+            "((A B)+ C)+) are not supported: group repetitions " +
+            "materialize one level of member bindings — flatten the " +
+            "inner group or run two detect passes")
+        case None => sys.error("PATTERN (...) required")
+      }
     // elements: a bare variable with an optional quantifier, an alternation
     // group (B|C), or a quantified SEQUENCE group (B C)+ (flink-cep
     // GroupPattern) — both groups named by joining their members
@@ -177,6 +190,18 @@ object MatchRecognize {
       "|\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)|(\\w+))" +
       "(\\?|\\+|\\*|\\{(\\d+)(?:,(\\d+))?\\})?").r
     val varMatches = varRx.findAllMatchIn(patternBody).toSeq
+    // nested groups compose recursively in the reference (flink-cep
+    // GroupPattern wraps an arbitrary inner Pattern, NFACompiler walks it);
+    // here a group's repetitions materialize as ONE level of member arrays
+    // (`<group>_reps`), so an inner group has no column encoding — a named
+    // rejection, never a silently flattened pattern. Workarounds: flatten
+    // the inner group into the outer sequence, or detect the inner pattern
+    // first and feed its match table to an outer detect pass.
+    require("\\([^()]*\\(".r.findFirstIn(patternBody).isEmpty,
+      s"nested group patterns (a group inside a group, e.g. ((A B)+ C)+) " +
+        "are not supported: group repetitions materialize one level of " +
+        "member bindings — flatten the inner group or run two detect " +
+        s"passes (PATTERN ($patternBody))")
     // every character of the PATTERN body must belong to a parsed element:
     // findAllMatchIn skips what it can't parse, and a silently-dropped
     // group/quantifier would compile a DIFFERENT pattern (e.g. `( B C )+`
@@ -840,10 +865,15 @@ object MatchRecognize {
     if (groupVs.nonEmpty) {
       require(groupVs.size == 1,
         "ALL ROWS PER MATCH supports one sequence group")
-      require(runVs.forall(_.seq.nonEmpty),
-        "ALL ROWS PER MATCH cannot combine a sequence group with other " +
-          "'+'/'*' runs (their members are aggregated, not materialized)")
-      return allRowsGroup(spec, matches0, bounds, groupVs.head, bindByVar)
+      val plainRuns = runVs.filter(_.seq.isEmpty)
+      if (plainRuns.isEmpty)
+        return allRowsGroup(spec, matches0, bounds, groupVs.head, bindByVar)
+      // mixed shape `(S (B C)+ V+ P)`: group member rows from the
+      // materialized repetition arrays, run member rows from the keyed
+      // join-back — sequential pattern order makes cross-shape measures
+      // closed-form (final before, empty after)
+      return allRowsGroupRun(spec, matches0, bounds, events, keyCol,
+        selfRuns, compiled, bindByVar, groupVs.head, plainRuns)
     }
     if (runVs.nonEmpty)
       return allRowsRun(spec, matches0, bounds, events, keyCol, selfRuns,
@@ -1119,6 +1149,321 @@ object MatchRecognize {
       .filter(col("__r.ts").isNotNull) // skipped optional expansions
       .select(spec.partitionBy.map(col) ++
         rowCols.map(n => col(s"__r.$n").as(n)): _*)
+  }
+
+  /** [[allRowsOutput]]'s MIXED expansion — ALL ROWS with one sequence
+    * group AND plain '+'/'*' runs in the same pattern (`(S (B C)+ V+ P)`,
+    * the last ALL-ROWS shape the reference emits): static rows and GROUP
+    * member rows ride the [[allRowsGroup]] explode (repetition arrays,
+    * closed-form running measures, no join); each RUN's member rows come
+    * from the [[allRowsRun]] keyed join-back with one running window per
+    * run. The pattern is sequential, so every cross-shape measure is
+    * closed-form — on group member rows a later run's aggregates are
+    * empty, on run member rows the group's aggregates are FINAL (read off
+    * the match table's group columns), and vice versa by unit order.
+    * Shuffles: the match itself + one keyed member join per run — same
+    * plan family as the pure-run path. */
+  private def allRowsGroupRun(spec: Spec, matches0: DataFrame,
+                              bounds: Map[String, (Int, Int)],
+                              events: DataFrame, keyCol: Column,
+                              selfRuns: Map[String, RunDef],
+                              compiled: Map[String, (Column, Option[Column], Seq[(String, String)])],
+                              bindByVar: Map[String, Seq[String]],
+                              g: PatternVar, runs: Seq[PatternVar]): DataFrame = {
+    val gname = g.name
+    val members = g.seq
+    val mCount = members.size
+    val svIdx: Map[String, Int] = members.zipWithIndex.toMap
+    val gvOrder: Seq[(String, String)] =
+      members.flatMap(sv => bindByVar.getOrElse(sv, Nil).map(c => (sv, c)))
+    val gvIdx: Map[(String, String), Int] = gvOrder.zipWithIndex.toMap
+    val runNames: Set[String] = runs.map(_.name).toSet
+    val runByName: Map[String, PatternVar] = runs.map(v => v.name -> v).toMap
+    val branchRun: Map[String, String] =
+      runs.flatMap(v => v.alts.map(_ -> v.name)).toMap
+    val mnAliases = spec.measures.filter(_.fn.contains("MATCH_NUMBER")).map(_.alias)
+    val withMn = if (mnAliases.isEmpty) matches0 else {
+      val mnWindow = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(matches0.columns.filter(_.endsWith("_ts")).map(col).toIndexedSeq: _*)
+      mnAliases.foldLeft(matches0)((df, a) =>
+        df.withColumn(s"__mn_$a", row_number().over(mnWindow).cast("long")))
+    }
+    val matches = withMn.withColumn("__mid", monotonically_increasing_id())
+    // linear unit list: the group and each run are one unit, static
+    // variables one unit per expansion — visibility is unit order
+    val units: Seq[(String, Int)] = spec.vars.flatMap { v =>
+      if (v.name == gname || runNames(v.name)) Seq((v.name, 0))
+      else (1 to bounds(v.name)._2).map(i => (v.name, i))
+    }
+    val groupU = units.indexWhere(_._1 == gname)
+    val runU: Map[String, Int] =
+      runs.map(v => v.name -> units.indexWhere(_._1 == v.name)).toMap
+    def srcCol(v: String, i: Int, field: String): String =
+      if (bounds(v)._2 == 1) s"${v}_$field" else s"${v}_${i}_$field"
+    def nullOf(src: String): Column = when(lit(false), col(src))
+    val repsC = col(s"${gname}_reps")
+    def valsOf(sv: String, c: String): Column =
+      transform(col(s"${gname}_repvals"), r => get(r, lit(gvIdx((sv, c)))))
+    def isGroupRef(v: String): Boolean = v == gname || svIdx.contains(v)
+    val memberNames = array(members.map(lit(_)): _*)
+
+    // final group-addressed measure (the allRowsGroup convention)
+    def groupFinal(m: Measure, visible: Boolean): Column =
+      if (m.field == "ts") {
+        val j = svIdx.get(m.varName)
+        m.fn match {
+          case Some("COUNT") =>
+            if (!visible) lit(0L)
+            else if (j.isEmpty) col(s"${gname}_n")
+            else size(repsC).cast("long")
+          case Some("FIRST") =>
+            if (!visible) lit(null).cast("timestamp")
+            else j.fold(col(s"${gname}_first_ts"))(ji =>
+              get(get(repsC, lit(0)), lit(ji)))
+          case Some("LAST") =>
+            if (!visible) lit(null).cast("timestamp")
+            else j.fold(col(s"${gname}_last_ts"))(ji =>
+              get(get(repsC, size(repsC) - 1), lit(ji)))
+          case other => sys.error(s"group $gname: FIRST/LAST/COUNT only " +
+            s"over timestamps (got ${other.getOrElse("a bare reference")} " +
+            s"on ${m.varName})")
+        }
+      } else {
+        val sfx = s"${m.varName}_${m.field}"
+        def c(a: String) = col(s"${gname}_${a}_$sfx")
+        m.fn match {
+          case Some("SUM") => if (visible) c("sum") else lit(null).cast("double")
+          case Some("AVG") => if (visible) c("sum") / c("cnt") else lit(null).cast("double")
+          case Some("MIN") => if (visible) c("min") else lit(null).cast("double")
+          case Some("MAX") => if (visible) c("max") else lit(null).cast("double")
+          case Some("FIRST") => if (visible) c("first") else lit(null).cast("double")
+          case Some("LAST") => if (visible) c("last") else lit(null).cast("double")
+          case Some("COUNT") => if (visible) c("cnt") else lit(0L)
+          case other => sys.error(s"group member ${m.varName}: use " +
+            s"SUM/AVG/MIN/MAX/FIRST/LAST/COUNT (got " +
+            s"${other.getOrElse("a bare reference")})")
+        }
+      }
+
+    // final-or-empty run aggregate (the allRowsRun convention)
+    def runAggCol(rv: String, m: Measure, visible: Boolean): Column =
+      if (m.field == "ts") m.fn match {
+        case Some("FIRST") => if (visible) col(s"${rv}_first_ts") else nullOf(s"${rv}_first_ts")
+        case Some("LAST") => if (visible) col(s"${rv}_last_ts") else nullOf(s"${rv}_last_ts")
+        case Some("COUNT") => if (visible) col(s"${rv}_n") else lit(0L)
+        case other => sys.error(s"only FIRST/LAST/COUNT over run variable " +
+          s"$rv's timestamps (got ${other.getOrElse("a bare reference")})")
+      } else m.fn match {
+        case Some("SUM") => if (visible) col(s"${rv}_sum_${m.field}") else nullOf(s"${rv}_sum_${m.field}")
+        case Some("AVG") =>
+          if (visible) col(s"${rv}_sum_${m.field}") / col(s"${rv}_n")
+          else nullOf(s"${rv}_sum_${m.field}")
+        case Some("MIN") => if (visible) col(s"${rv}_min_${m.field}") else nullOf(s"${rv}_min_${m.field}")
+        case Some("MAX") => if (visible) col(s"${rv}_max_${m.field}") else nullOf(s"${rv}_max_${m.field}")
+        case Some("FIRST") => if (visible) col(s"${rv}_first_${m.field}") else nullOf(s"${rv}_first_${m.field}")
+        case Some("LAST") => if (visible) col(s"${rv}_last_${m.field}") else nullOf(s"${rv}_last_${m.field}")
+        case Some("COUNT") => if (visible) col(s"${rv}_n") else lit(0L)
+        case other => sys.error(s"$rv is a run variable — use " +
+          s"FIRST/LAST/SUM/COUNT/MIN/MAX/AVG (got ${other.getOrElse("a bare reference")})")
+      }
+
+    // running value of a STATIC variable's measure with units <= u visible
+    def staticMeasure(m: Measure, u: Int): Column = {
+      val (_, mx) = bounds.getOrElse(m.varName,
+        sys.error(s"unknown variable ${m.varName}"))
+      val visible = (1 to mx).filter(i => units.indexOf((m.varName, i)) <= u)
+      val srcs = visible.map(i => srcCol(m.varName, i, m.field))
+      val first = srcCol(m.varName, 1, m.field)
+      m.fn match {
+        case None =>
+          require(mx == 1, s"${m.varName} is quantified — use FIRST/LAST/SUM/COUNT")
+          if (visible.nonEmpty) col(srcs.head) else nullOf(first)
+        case Some("FIRST") => if (visible.nonEmpty) col(srcs.head) else nullOf(first)
+        case Some("LAST") =>
+          if (visible.isEmpty) nullOf(first) else coalesce(srcs.reverse.map(col): _*)
+        case Some("SUM") =>
+          if (visible.isEmpty) nullOf(first)
+          else srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0)))
+        case Some("AVG") =>
+          if (visible.isEmpty) nullOf(first)
+          else srcs.map(col).reduce((a, b) => a + coalesce(b, lit(0))) /
+            srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        case Some("MIN") =>
+          if (visible.isEmpty) nullOf(first)
+          else if (srcs.size == 1) col(srcs.head) else least(srcs.map(col): _*)
+        case Some("MAX") =>
+          if (visible.isEmpty) nullOf(first)
+          else if (srcs.size == 1) col(srcs.head) else greatest(srcs.map(col): _*)
+        case Some("COUNT") =>
+          if (visible.isEmpty) lit(0L)
+          else srcs.map(s => when(col(s).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        case Some(f) => sys.error(s"unsupported measure function $f")
+      }
+    }
+
+    def staticRowMeasure(m: Measure, vn: String, u: Int): Column =
+      if (m.fn.contains("MATCH_NUMBER")) col(s"__mn_${m.alias}")
+      else if (m.fn.contains("CLASSIFIER")) lit(vn)
+      else if (branchRun.contains(m.varName)) {
+        val rv = branchRun(m.varName)
+        require(m.field == "ts" && m.fn.contains("COUNT"),
+          s"branch ${m.varName} of quantified alternation $rv: " +
+            s"COUNT(${m.varName}.ts) is the only branch measure")
+        if (runU(rv) < u) col(s"${rv}_n_${m.varName}") else lit(0L)
+      }
+      else if (isGroupRef(m.varName)) groupFinal(m, visible = u > groupU)
+      else if (runNames(m.varName))
+        runAggCol(m.varName, m, visible = runU(m.varName) < u)
+      else staticMeasure(m, u)
+
+    // running measure on a GROUP member row (the allRowsGroup convention,
+    // plus closed-form run visibility: a run binds strictly after the
+    // group closes, so its aggregates are empty here iff it is later)
+    def gMemberMeasure(m: Measure, k: Column, j: Column,
+                       rep: Column, t: Column): Column = {
+      if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
+      if (m.fn.contains("CLASSIFIER")) return get(memberNames, j)
+      if (branchRun.contains(m.varName)) {
+        val rv = branchRun(m.varName)
+        require(m.field == "ts" && m.fn.contains("COUNT"),
+          s"branch ${m.varName} of quantified alternation $rv: " +
+            s"COUNT(${m.varName}.ts) is the only branch measure")
+        return if (runU(rv) < groupU) col(s"${rv}_n_${m.varName}") else lit(0L)
+      }
+      if (runNames(m.varName))
+        return runAggCol(m.varName, m, visible = runU(m.varName) < groupU)
+      if (!isGroupRef(m.varName)) return staticMeasure(m, groupU)
+      if (m.field == "ts") {
+        svIdx.get(m.varName) match {
+          case None => m.fn match {
+            case Some("FIRST") => col(s"${gname}_first_ts")
+            case Some("LAST") => t
+            case Some("COUNT") =>
+              (k + when(j === lit(mCount - 1), 1).otherwise(0)).cast("long")
+            case other => sys.error(s"group $gname: FIRST/LAST/COUNT only " +
+              s"over timestamps (got ${other.getOrElse("a bare reference")})")
+          }
+          case Some(ji) =>
+            val c = k + when(j >= lit(ji), 1).otherwise(0)
+            m.fn match {
+              case Some("COUNT") => c.cast("long")
+              case Some("FIRST") =>
+                when(c > 0, get(get(repsC, lit(0)), lit(ji)))
+              case Some("LAST") =>
+                when(j >= lit(ji), get(rep, lit(ji)))
+                  .otherwise(when(k > 0, get(get(repsC, k - 1), lit(ji))))
+              case other => sys.error(s"member ${m.varName}: FIRST/LAST/" +
+                s"COUNT only over timestamps (got " +
+                s"${other.getOrElse("a bare reference")})")
+            }
+        }
+      } else {
+        val ji = svIdx(m.varName)
+        val vals = valsOf(m.varName, m.field)
+        val c = k + when(j >= lit(ji), 1).otherwise(0)
+        val nn = filter(slice(vals, lit(1), c), x => x.isNotNull)
+        def total = aggregate(nn, lit(0.0), (a, x) => a + x)
+        m.fn match {
+          case Some("SUM") => when(size(nn) > 0, total)
+          case Some("AVG") => when(size(nn) > 0, total / size(nn))
+          case Some("MIN") => array_min(nn)
+          case Some("MAX") => array_max(nn)
+          case Some("FIRST") => when(c > 0, get(vals, lit(0)))
+          case Some("LAST") => when(c > 0, get(vals, c - 1))
+          case Some("COUNT") => size(nn).cast("long")
+          case other => sys.error(s"group member ${m.varName}: use " +
+            s"SUM/AVG/MIN/MAX/FIRST/LAST/COUNT (got " +
+            s"${other.getOrElse("a bare reference")})")
+        }
+      }
+    }
+
+    val memberRows: Column = flatten(transform(repsC, (rep, k) =>
+      transform(rep, (t, j) =>
+        struct((get(memberNames, j).as("cls") +: t.as("ts") +:
+          spec.measures.map(m => gMemberMeasure(m, k, j, rep, t).as(m.alias))): _*))))
+    val staticStructs = units.zipWithIndex
+      .filter { case ((vn, _), _) => vn != gname && !runNames(vn) }
+      .map { case ((vn, i), u) =>
+        struct((lit(vn).as("cls") +: col(srcCol(vn, i, "ts")).as("ts") +:
+          spec.measures.map(m => staticRowMeasure(m, vn, u).as(m.alias))): _*)
+      }
+    val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
+    val staticDf = matches
+      .select(keyOut(spec) :+
+        explode(concat(array(staticStructs: _*), memberRows)).as("__r"): _*)
+      .filter(col("__r.ts").isNotNull)
+      .select(spec.partitionBy.map(col) ++
+        rowCols.map(n => col(s"__r.$n").as(n)): _*)
+
+    // one member frame per run: the allRowsRun join-back, with group
+    // aggregates FINAL when the group bound earlier (always, here)
+    val memberDfs = runs.map { r =>
+      val rn = r.name
+      val runPre: Column =
+        if (r.alts.nonEmpty) r.alts.map(b => compiled(b)._1).reduce(_ || _)
+        else if (selfRuns.contains(rn)) selfRuns(rn).pre else compiled(rn)._1
+      val memClsCols =
+        if (r.alts.isEmpty) Nil
+        else Seq(r.alts.tail.foldLeft(
+            when(compiled(r.alts.head)._1, lit(r.alts.head))) {
+          case (acc, b) => acc.when(compiled(b)._1, lit(b))
+        }.as("__mcls"))
+      val valFields = spec.measures
+        .filter(m => m.varName == rn && m.field != "ts").map(_.field).distinct
+      val memEv = events.filter(runPre).select(
+        (keyCol.as("__mk") +: col(spec.orderBy).as("__mts") +:
+          (valFields.map(f => col(f).as(s"__mf_$f")) ++ memClsCols)): _*)
+      val mjoin = matches.join(memEv, col("key") === col("__mk") &&
+        col("__mts") >= col(s"${rn}_first_ts") &&
+        col("__mts") <= col(s"${rn}_last_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__mid")).orderBy(col("__mts"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      def runMemberMeasure(m: Measure): Column = {
+        if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
+        if (m.fn.contains("CLASSIFIER"))
+          return if (r.alts.isEmpty) lit(rn) else col("__mcls")
+        if (branchRun.contains(m.varName)) {
+          val rv = branchRun(m.varName)
+          require(m.field == "ts" && m.fn.contains("COUNT"),
+            s"branch ${m.varName} of quantified alternation $rv: " +
+              s"COUNT(${m.varName}.ts) is the only branch measure")
+          return if (rv == rn)
+            sum(when(col("__mcls") === m.varName, 1L).otherwise(0L)).over(w)
+          else if (runU(rv) < runU(rn)) col(s"${rv}_n_${m.varName}")
+          else lit(0L)
+        }
+        if (isGroupRef(m.varName))
+          return groupFinal(m, visible = groupU < runU(rn))
+        if (runNames(m.varName) && m.varName != rn)
+          return runAggCol(m.varName, m, visible = runU(m.varName) < runU(rn))
+        if (m.varName != rn) return staticMeasure(m, runU(rn))
+        if (m.field == "ts") m.fn match {
+          case Some("FIRST") => col(s"${rn}_first_ts")
+          case Some("LAST") => col("__mts")
+          case Some("COUNT") => count(lit(1)).over(w)
+          case other => sys.error(s"only FIRST/LAST/COUNT over run variable " +
+            s"$rn's timestamps (got ${other.getOrElse("a bare reference")})")
+        } else m.fn match {
+          case Some("SUM") => sum(col(s"__mf_${m.field}")).over(w)
+          case Some("AVG") => sum(col(s"__mf_${m.field}")).over(w) / count(lit(1)).over(w)
+          case Some("MIN") => min(col(s"__mf_${m.field}")).over(w)
+          case Some("MAX") => max(col(s"__mf_${m.field}")).over(w)
+          case Some("FIRST") => first(col(s"__mf_${m.field}")).over(w)
+          case Some("LAST") => col(s"__mf_${m.field}")
+          case Some("COUNT") => count(lit(1)).over(w)
+          case other => sys.error(s"$rn is a run variable — use " +
+            s"FIRST/LAST/SUM/COUNT/MIN/MAX/AVG (got ${other.getOrElse("a bare reference")})")
+        }
+      }
+      val clsOut: Column = if (r.alts.isEmpty) lit(rn) else col("__mcls")
+      mjoin.select(keyOut(spec) ++
+        (clsOut.as("cls") +: col("__mts").as("ts") +:
+          spec.measures.map(m => runMemberMeasure(m).as(m.alias))): _*)
+    }
+    memberDfs.foldLeft(staticDf)(_ unionByName _)
   }
 
   /** [[allRowsOutput]]'s run expansion — ALL ROWS with one or MORE

@@ -184,14 +184,35 @@ object FunctionQueries {
       |FROM (SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS items
       |      FROM lineitem GROUP BY 1)""".stripMargin
 
+  // --- f10: TABLE aggregate function (Flink TableAggregateFunction /
+  // flatAggregate, GroupedTable.java:96 Top2 example) — emit-two-rows-per-
+  // group: graft.functions.Top2TableAgg returns the per-group top-2 row SET
+  // as an array-of-structs which inline() explodes; one hash aggregate, the
+  // explode rides the aggregate output (2 rows/group), no extra shuffle.
+  // Oracle: the row_number window replay of the same top-2-with-rank set.
+  private val f10: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.udf.register("top2", udaf(graft.functions.Top2TableAgg))
+    s.sql("""SELECT l_orderkey, inline(top2(l_extendedprice, l_linenumber).rows)
+            |FROM lineitem GROUP BY l_orderkey""".stripMargin)
+  }
+  private val f10Sql =
+    """SELECT l_orderkey, l_extendedprice AS price,
+      | CAST(l_linenumber AS BIGINT) AS linenumber, rnk
+      |FROM (SELECT l_orderkey, l_extendedprice, l_linenumber,
+      |             CAST(row_number() OVER (PARTITION BY l_orderkey
+      |               ORDER BY l_extendedprice DESC, l_linenumber) AS INT) AS rnk
+      |      FROM lineitem)
+      |WHERE rnk <= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03,
     "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05, "f06_temporal_funcs" -> f06,
     "f07_bitwise_funcs" -> f07, "f08_udagg_weighted_avg" -> f08,
-    "f09_collection_funcs" -> f09)
+    "f09_collection_funcs" -> f09, "f10_table_agg" -> f10)
   val oracles: Map[String, String] = Map(
     "f01_math_funcs" -> f01Sql, "f02_string_funcs2" -> f02Sql, "f03_json_extract" -> f03Sql,
     "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql, "f06_temporal_funcs" -> f06Sql,
     "f07_bitwise_funcs" -> f07Sql, "f08_udagg_weighted_avg" -> f08Sql,
-    "f09_collection_funcs" -> f09Sql)
+    "f09_collection_funcs" -> f09Sql, "f10_table_agg" -> f10Sql)
 }

@@ -386,10 +386,17 @@ object LlmQueries {
     * then grows as N^1.5, the standard IVF k-NN-graph trade — exercised
     * empirically in ScaleSmokeSpec). */
   private[graft] def knnGraph(s: SparkSession, dir: String, k: Int,
-                              nProbes: Int, topK: Int): DataFrame = {
-    val e = Similarity.prep(emb(s, dir), "vec_id", "embedding")
+                              nProbes: Int, topK: Int): DataFrame =
+    knnGraphOf(emb(s, dir), k, nProbes, topK)
+
+  /** Same builder over an arbitrary `(vec_id, embedding)` frame — the
+    * recall specs drive it with synthetic corpora (uniform worst case vs
+    * clustered mixture) without writing parquet. */
+  private[graft] def knnGraphOf(embDf: DataFrame, k: Int,
+                                nProbes: Int, topK: Int): DataFrame = {
+    val e = Similarity.prep(embDf, "vec_id", "embedding")
     val cent = graft.operators.Iterate
-      .kmeansCentroids(emb(s, dir), "vec_id", "embedding", k = k, iters = 1)
+      .kmeansCentroids(embDf, "vec_id", "embedding", k = k, iters = 1)
       .select(col("cid"), col("cv"), Similarity.norm(col("cv")).as("cn"))
     val scored = e.crossJoin(broadcast(cent))
       .select(col("id"), col("cid"),
@@ -445,6 +452,44 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn FROM (
        | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
        | FROM p2) WHERE rn <= 3""".stripMargin
+
+  // ---------- d16: SemDeDup — semantic dedup over the s05 k-NN graph ----------
+  // The SemDeDup pipeline (Abbas et al. 2023: embed → cluster → drop
+  // high-cosine neighbors) composed entirely from the engine's own
+  // primitives, proving the s05 graph is a reusable building block the
+  // way the MinHash path is (d02 → d07 → d08): k-NN edges above the
+  // cosine threshold → connected components → one canonical vector per
+  // semantic cluster, every vector verdicted. Scale shape: the edge set
+  // is the (already bucketed) s05 graph filtered down, CC iterates on
+  // edges only (O(edges·diameter)), and the verdict is one keyed left
+  // join — nothing touches the N² pair space. Threshold 0.42 sits in the
+  // synthetic corpus's top-decile neighbor cosine band so real cluster
+  // structure forms at test SFs; production would pin it near 1.
+  private val SemCosMin = 0.42
+  private val d16: Q = (s, dir) => {
+    val g = knnGraph(s, dir, k = 8, nProbes = 3, topK = 3)
+    val edges = g.filter(col("cosine") >= SemCosMin)
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"))
+    val cc = graft.operators.Iterate.connectedComponents(edges, "vec_a", "vec_b")
+    emb(s, dir).select(col("vec_id"))
+      .join(cc.withColumnRenamed("id", "cc_id"), col("vec_id") === col("cc_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("canonical"),
+        (coalesce(col("component"), col("vec_id")) === col("vec_id")).as("keep"))
+  }
+  private val d16Sql =
+    s"""WITH RECURSIVE knn AS ($s05Sql),
+       |e2 AS (SELECT query_id AS a, neighbor_id AS b FROM knn
+       |       WHERE cosine >= $SemCosMin),
+       |sym AS (SELECT a AS src, b AS dst FROM e2 UNION SELECT b, a FROM e2),
+       |reach(a, b) AS (SELECT src, dst FROM sym
+       |        UNION SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+       |comp AS (SELECT a AS vec_id, CAST(least(a, min(b)) AS BIGINT) AS component
+       |         FROM reach GROUP BY a)
+       |SELECT v.vec_id, coalesce(c.component, v.vec_id) AS canonical,
+       |       coalesce(c.component, v.vec_id) = v.vec_id AS keep
+       |FROM (SELECT vec_id FROM embeddings) v
+       |LEFT JOIN comp c ON c.vec_id = v.vec_id""".stripMargin
 
   // ---------- t01: heuristic language ID ----------
   private val t01: Q = (s, dir) => {
@@ -549,6 +594,7 @@ object LlmQueries {
     "d04_jaccard_pairs" -> d04, "d05_cosine_pairs" -> d05, "d06_simhash_pairs" -> d06,
     "s01_ann_topk" -> s01, "s02_ann_lsh" -> s02, "s03_ivf_ann" -> s03,
     "s04_ann_quantized" -> s04, "s05_knn_graph" -> s05,
+    "d16_semantic_dedup" -> d16,
     "t01_lang_id" -> t01, "t02_quality_score" -> t02,
     "t03_token_stats" -> t03, "t04_fingerprint" -> t04)
 
@@ -558,7 +604,7 @@ object LlmQueries {
     "d06_simhash_pairs" -> d06Sql,
     "s01_ann_topk" -> s01Sql, "s02_ann_lsh" -> s02Sql, "s03_ivf_ann" -> s03Sql,
     "s05_knn_graph" -> s05Sql,
-    "s04_ann_quantized" -> s04Sql,
+    "s04_ann_quantized" -> s04Sql, "d16_semantic_dedup" -> d16Sql,
     "t01_lang_id" -> t01Sql, "t02_quality_score" -> t02Sql,
     "t03_token_stats" -> t03Sql, "t04_fingerprint" -> t04Sql)
 }

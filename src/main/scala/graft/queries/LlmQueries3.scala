@@ -608,8 +608,7 @@ object LlmQueries3 {
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(-log(col("cnt") / col("total"))), 4)
-          .cast("decimal(18,4)").as("novelty"))
+        round(avg(-log(col("cnt") / col("total"))), 4).as("novelty"))
   }
   private val t08Sql =
     """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -617,7 +616,7 @@ object LlmQueries3 {
       |tf AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
       |tot AS (SELECT sum(cnt) AS total FROM tf)
       |SELECT doc_id, count(*) AS n_tokens,
-      |       CAST(round(avg(-ln(cnt / total)), 4) AS DECIMAL(18,4)) AS novelty
+      |       round(avg(-ln(cnt / total)), 4) AS novelty
       |FROM tk JOIN tf USING (tok), tot
       |GROUP BY 1""".stripMargin
 

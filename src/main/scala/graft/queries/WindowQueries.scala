@@ -15,6 +15,19 @@ object WindowQueries {
   type Q = (SparkSession, String) => DataFrame
   private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
+  /** Event values are exact 2-decimal amounts, so ×10⁴ scaling to an
+    * integer makes every SUM / running-sum over them order-free exact
+    * (integers are exact in DOUBLE far past this magnitude even if the
+    * aggregation path widens the column). The final divide by 10⁴ is a
+    * single IEEE op both engines perform identically — the output stays
+    * DOUBLE, which the driver's hash canonicalization expects (a
+    * DECIMAL output column fails the gate on representation alone). */
+  private def scaleValue(df: DataFrame): DataFrame =
+    df.withColumn("value", round(col("value") * 10000).cast("long"))
+  private def unscale(df: DataFrame, names: String*): DataFrame =
+    names.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast("double") / lit(10000.0)))
+
   // --- w01: tumbling window aggregate ---
   private val w01: Q = (s, dir) =>
     EventWindows.tumbleAgg(ev(s, dir), col("ts"), "1 hour", Seq(col("event_type")),
@@ -1354,7 +1367,7 @@ object WindowQueries {
   // count per branch — no extra join or shuffle over the plain C+ run.
   // Oracle: the m07-style run replay with per-type counts.
   private val m21: Q = (s, dir) =>
-    graft.cep.MatchRecognize.detect(ev(s, dir),
+    graft.cep.MatchRecognize.detect(scaleValue(ev(s, dir)),
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id
         |  ORDER BY ts
@@ -1367,15 +1380,11 @@ object WindowQueries {
         |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
         |         V AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin)
-      // decimal, not double: a rounded double can still differ in the last
-      // ULP between engines when the pre-round sum is accumulated in a
-      // different order; DECIMAL(18,4) makes the 4-digit value exact on both
-      // sides (r9 driver hash flake on this query, judge-irreproducible).
-      .withColumn("sum_value",
-        round(col("sum_value"), 4).cast("decimal(18,4)"))
+      .transform(unscale(_, "sum_value"))
   private val m21Sql =
     """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
-      |cv AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type, value
+      |cv AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type,
+      |              CAST(round(value * 10000) AS BIGINT) AS sval
       |       FROM events WHERE event_type IN ('click', 'view')),
       |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
       |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(cv.ts) AS first_ts
@@ -1390,7 +1399,7 @@ object WindowQueries {
       |       max(cv.ts) AS last_ts, count(*) AS n_members,
       |       sum(CASE WHEN cv.event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
       |       sum(CASE WHEN cv.event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
-      |       CAST(round(sum(cv.value), 4) AS DECIMAL(18,4)) AS sum_value, p_ts AS purchase_ts
+      |       CAST(sum(cv.sval) AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_value, p_ts AS purchase_ts
       |FROM m2 JOIN cv ON cv.user_id = m2.user_id AND cv.ts >= first_ts AND cv.ts < p_ts
       |GROUP BY 1, 2, 3, 9""".stripMargin
 
@@ -1521,7 +1530,7 @@ object WindowQueries {
   // window, no shuffle beyond the match itself. Oracle: the m13 recursive
   // chain exploded per repetition with window running aggregates.
   private val m24: Q = (s, dir) =>
-    graft.cep.MatchRecognize.detect(ev(s, dir),
+    graft.cep.MatchRecognize.detect(scaleValue(ev(s, dir)),
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id
         |  ORDER BY ts
@@ -1534,15 +1543,15 @@ object WindowQueries {
         |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
         |         V AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin)
-      .withColumn("sum_c_value",
-        round(col("sum_c_value"), 4).cast("decimal(18,4)"))
+      .transform(unscale(_, "sum_c_value"))
   private val m24Sql =
     """WITH RECURSIVE
       |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
       |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
       |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
       |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
-      |cval AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, min(value) AS val
+      |cval AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts,
+      |                CAST(round(min(value) * 10000) AS BIGINT) AS val
       |         FROM events WHERE event_type='click' GROUP BY 1, 2),
       |subs AS (
       |  SELECT c.user_id, c.ts AS b_ts, min(v.ts) AS e_ts
@@ -1594,17 +1603,18 @@ object WindowQueries {
       |       CAST(0 AS BIGINT) AS n_c, CAST(0 AS BIGINT) AS n_v,
       |       CAST(NULL AS TIMESTAMP) AS first_c_ts,
       |       CAST(NULL AS TIMESTAMP) AS last_v_ts,
-      |       CAST(NULL AS DECIMAL(18,4)) AS sum_c_value
+      |       CAST(NULL AS DOUBLE) AS sum_c_value
       |FROM mt
       |UNION ALL
       |SELECT user_id, 'C', b_cur, s_ts, k, k - 1, b_first, prev_e,
-      |       CAST(round(rsum, 4) AS DECIMAL(18,4)) FROM rr
+      |       CAST(rsum AS DOUBLE) / CAST(10000 AS DOUBLE) FROM rr
       |UNION ALL
       |SELECT user_id, 'V', e_cur, s_ts, k, k, b_first, e_cur,
-      |       CAST(round(rsum, 4) AS DECIMAL(18,4)) FROM rr
+      |       CAST(rsum AS DOUBLE) / CAST(10000 AS DOUBLE) FROM rr
       |UNION ALL
       |SELECT user_id, 'P', p_ts, s_ts, nreps, nreps, b_first, e_cur,
-      |       CAST(round(rsum, 4) AS DECIMAL(18,4)) FROM rr WHERE k = nreps""".stripMargin
+      |       CAST(rsum AS DOUBLE) / CAST(10000 AS DOUBLE)
+      |FROM rr WHERE k = nreps""".stripMargin
 
   // --- m25: composite ORDER BY `(ts, tiebreak)` over a '+' RUN (reference
   // StreamExecMatch ComparatorCodeGenerator secondary sort keys applied to
@@ -1663,7 +1673,7 @@ object WindowQueries {
   // step). Oracle: m19's recursive chain with argmin-struct value tables.
   private val m26: Q = (s, dir) =>
     graft.cep.MatchRecognize.detect(
-      ev(s, dir).withColumn("ts", date_trunc("hour", col("ts"))),
+      scaleValue(ev(s, dir).withColumn("ts", date_trunc("hour", col("ts")))),
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id
         |  ORDER BY ts, event_id
@@ -1678,8 +1688,8 @@ object WindowQueries {
         |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
         |         V AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin)
-      .withColumn("sum_view_value",
-        round(col("sum_view_value"), 4).cast("decimal(18,4)"))
+      .transform(unscale(_, "sum_view_value", "first_click_value",
+        "last_click_value"))
   private val m26Sql =
     """WITH RECURSIVE
       |e AS (SELECT user_id, event_id,
@@ -1717,12 +1727,15 @@ object WindowQueries {
       |chain AS (
       |  SELECT e.user_id, e.sid, e.s_ts, e.w_end, e.b1 AS b_first,
       |         sub.b_ts AS b_cur, sub.e_ts AS e_cur, CAST(1 AS BIGINT) AS n,
-      |         sub.vval AS sum_vv, sub.cval AS first_cv, sub.cval AS last_cv
+      |         CAST(round(sub.vval * 10000) AS BIGINT) AS sum_vv,
+      |         sub.cval AS first_cv, sub.cval AS last_cv
       |  FROM entry e JOIN subv sub ON sub.user_id = e.user_id AND sub.b_ts = e.b1
       |  WHERE sub.e_ts <= e.w_end
       |  UNION ALL
       |  SELECT ch.user_id, ch.sid, ch.s_ts, ch.w_end, ch.b_first, nx.b_ts,
-      |         nx.e_ts, ch.n + 1, ch.sum_vv + nx.vval, ch.first_cv, nx.cval
+      |         nx.e_ts, ch.n + 1,
+      |         ch.sum_vv + CAST(round(nx.vval * 10000) AS BIGINT),
+      |         ch.first_cv, nx.cval
       |  FROM chain ch
       |  JOIN link l ON l.user_id = ch.user_id AND l.b_ts = ch.b_cur
       |  JOIN subv nx ON nx.user_id = ch.user_id AND nx.b_ts = l.nb
@@ -1733,7 +1746,7 @@ object WindowQueries {
       |  FROM chain)
       |SELECT b.user_id, b.s_ts AS signup_ts, b.b_first AS g_first_ts,
       |       b.e_cur AS g_last_ts, b.n AS n_reps,
-      |       CAST(round(b.sum_vv, 4) AS DECIMAL(18,4)) AS sum_view_value,
+      |       CAST(b.sum_vv AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_view_value,
       |       b.first_cv AS first_click_value, b.last_cv AS last_click_value,
       |       min(p.ts) AS purchase_ts
       |FROM best b JOIN p ON p.user_id = b.user_id AND p.ts > b.e_cur AND p.ts <= b.w_end
@@ -1837,7 +1850,7 @@ object WindowQueries {
   // counts are conditional window sums over it. Oracle: the m21 run replay
   // exploded with window running aggregates.
   private val m29: Q = (s, dir) =>
-    graft.cep.MatchRecognize.detect(ev(s, dir),
+    graft.cep.MatchRecognize.detect(scaleValue(ev(s, dir)),
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id
         |  ORDER BY ts
@@ -1850,11 +1863,11 @@ object WindowQueries {
         |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
         |         V AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin)
-      .withColumn("sum_value",
-        round(col("sum_value"), 4).cast("decimal(18,4)"))
+      .transform(unscale(_, "sum_value"))
   private val m29Sql =
     """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
-      |cv AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type, value
+      |cv AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type, value,
+      |              CAST(round(value * 10000) AS BIGINT) AS sval
       |       FROM events WHERE event_type IN ('click', 'view')),
       |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
       |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(cv.ts) AS first_ts
@@ -1870,7 +1883,7 @@ object WindowQueries {
       |         cv.ts AS m_ts, count(*) OVER w AS r_n,
       |         sum(CASE WHEN cv.event_type = 'click' THEN 1 ELSE 0 END) OVER w AS r_c,
       |         sum(CASE WHEN cv.event_type = 'view' THEN 1 ELSE 0 END) OVER w AS r_v,
-      |         sum(cv.value) OVER w AS r_sum
+      |         sum(cv.sval) OVER w AS r_sum
       |        FROM m2 JOIN cv ON cv.user_id = m2.user_id
       |                       AND cv.ts >= m2.first_ts AND cv.ts < m2.p_ts
       |        WINDOW w AS (PARTITION BY m2.user_id, m2.s_ts
@@ -1882,16 +1895,16 @@ object WindowQueries {
       |        FROM mem GROUP BY 1, 2, 3)
       |SELECT user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
       |       CAST(0 AS BIGINT) AS n_members, CAST(0 AS BIGINT) AS n_c,
-      |       CAST(0 AS BIGINT) AS n_v, CAST(NULL AS DECIMAL(18,4)) AS sum_value,
+      |       CAST(0 AS BIGINT) AS n_v, CAST(NULL AS DOUBLE) AS sum_value,
       |       CAST(NULL AS TIMESTAMP) AS purchase_ts
       |FROM m2
       |UNION ALL
       |SELECT user_id, cls, m_ts, s_ts, r_n, r_c, r_v,
-      |       CAST(round(r_sum, 4) AS DECIMAL(18,4)), CAST(NULL AS TIMESTAMP)
+      |       CAST(r_sum AS DOUBLE) / CAST(10000 AS DOUBLE), CAST(NULL AS TIMESTAMP)
       |FROM mem
       |UNION ALL
       |SELECT user_id, 'P', p_ts, s_ts, n_all, c_all, v_all,
-      |       CAST(round(sum_all, 4) AS DECIMAL(18,4)), p_ts
+      |       CAST(sum_all AS DOUBLE) / CAST(10000 AS DOUBLE), p_ts
       |FROM tot""".stripMargin
 
   // --- m30: 3-COLUMN composite ORDER BY `(ts, tie1, tie2)` (StreamExecMatch
@@ -1948,7 +1961,7 @@ object WindowQueries {
   // aggregates are FINAL, on C rows the V aggregates are empty. Oracle:
   // two-stage run replay with per-run running windows.
   private val m31: Q = (s, dir) =>
-    graft.cep.MatchRecognize.detect(ev(s, dir),
+    graft.cep.MatchRecognize.detect(scaleValue(ev(s, dir)),
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id
         |  ORDER BY ts
@@ -1961,10 +1974,12 @@ object WindowQueries {
         |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
         |         V AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin)
-      .withColumn("sum_c", round(col("sum_c"), 4).cast("decimal(18,4)"))
+      .transform(unscale(_, "sum_c", "last_v"))
   private val m31Sql =
     """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
-      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value,
+      |             CAST(round(value * 10000) AS BIGINT) AS sval
+      |      FROM events WHERE event_type='click'),
       |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='view'),
       |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
       |m1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS first_c
@@ -1980,7 +1995,7 @@ object WindowQueries {
       |                     AND p.ts <= s_ts + INTERVAL 24 HOURS
       |       GROUP BY 1, 2, 3, 4),
       |cm AS (SELECT m3.user_id, m3.s_ts, c.ts AS m_ts, count(*) OVER w AS r_c,
-      |        sum(c.value) OVER w AS r_sum
+      |        sum(c.sval) OVER w AS r_sum
       |       FROM m3 JOIN c ON c.user_id = m3.user_id
       |                     AND c.ts >= m3.first_c AND c.ts < m3.first_v
       |       WINDOW w AS (PARTITION BY m3.user_id, m3.s_ts ORDER BY c.ts
@@ -1998,26 +2013,157 @@ object WindowQueries {
       |          struct_extract(max({'t': m_ts, 'v': v_val}), 'v') AS vlast_all
       |         FROM vm GROUP BY 1, 2)
       |SELECT m3.user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
-      |       CAST(0 AS BIGINT) AS n_c, CAST(NULL AS DECIMAL(18,4)) AS sum_c,
+      |       CAST(0 AS BIGINT) AS n_c, CAST(NULL AS DOUBLE) AS sum_c,
       |       CAST(0 AS BIGINT) AS n_v, CAST(NULL AS DOUBLE) AS last_v,
       |       CAST(NULL AS TIMESTAMP) AS purchase_ts
       |FROM m3
       |UNION ALL
       |SELECT user_id, 'C', m_ts, s_ts, r_c,
-      |       CAST(round(r_sum, 4) AS DECIMAL(18,4)), CAST(0 AS BIGINT),
+      |       CAST(r_sum AS DOUBLE) / CAST(10000 AS DOUBLE), CAST(0 AS BIGINT),
       |       CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)
       |FROM cm
       |UNION ALL
       |SELECT vm.user_id, 'V', vm.m_ts, vm.s_ts, ct.c_all,
-      |       CAST(round(ct.csum_all, 4) AS DECIMAL(18,4)), vm.r_v, vm.v_val,
+      |       CAST(ct.csum_all AS DOUBLE) / CAST(10000 AS DOUBLE), vm.r_v, vm.v_val,
       |       CAST(NULL AS TIMESTAMP)
       |FROM vm JOIN ctot ct ON ct.user_id = vm.user_id AND ct.s_ts = vm.s_ts
       |UNION ALL
       |SELECT m3.user_id, 'P', m3.p_ts, m3.s_ts, ct.c_all,
-      |       CAST(round(ct.csum_all, 4) AS DECIMAL(18,4)), vt.v_all,
+      |       CAST(ct.csum_all AS DOUBLE) / CAST(10000 AS DOUBLE), vt.v_all,
       |       vt.vlast_all, m3.p_ts
       |FROM m3 JOIN ctot ct ON ct.user_id = m3.user_id AND ct.s_ts = m3.s_ts
       |        JOIN vtot vt ON vt.user_id = m3.user_id AND vt.s_ts = m3.s_ts""".stripMargin
+
+  // --- m32: ALL ROWS PER MATCH over a MIXED group+run pattern
+  // `(S (B C)+ V+ P)` (StreamExecMatch emits member rows for ANY pattern
+  // shape — flink-table MatchRecognizeITCase; this was the last ALL-ROWS
+  // combination rejected by name): the sequence-group repetitions emit
+  // their B/C member rows from the materialized repetition arrays (no
+  // join) while the V+ run's member rows come from one keyed join-back —
+  // cross-shape measures are closed-form because the pattern is
+  // sequential (group aggregates FINAL on run rows, run aggregates empty
+  // on group rows). Oracle: the m24 recursive chain composed with the
+  // m31 run replay.
+  private val m32: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(scaleValue(ev(s, dir)),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(B.ts) AS n_b,
+        |           SUM(C.value) AS sum_c, COUNT(V.ts) AS n_v,
+        |           SUM(V.value) AS sum_v, P.ts AS purchase_ts
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (B C)+ V+ P)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .transform(unscale(_, "sum_c", "sum_v"))
+  private val m32Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |er AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts,
+      |              CAST(round(value * 10000) AS BIGINT) AS sval
+      |       FROM events WHERE event_type='error'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |cval AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts,
+      |                CAST(round(min(value) * 10000) AS BIGINT) AS val
+      |         FROM events WHERE event_type='view' GROUP BY 1, 2),
+      |subs AS (
+      |  SELECT b.user_id, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM b JOIN c ON c.user_id = b.user_id AND c.ts > b.ts
+      |              AND c.ts <= b.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, s1.e_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2, 3),
+      |entry AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 96 HOURS AS w_end,
+      |         min(sub.b_ts) AS b1
+      |  FROM s JOIN subs sub ON sub.user_id = s.user_id AND sub.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |chain AS (
+      |  SELECT e.user_id, e.s_ts, e.w_end, sub.b_ts AS b_cur, sub.e_ts AS e_cur,
+      |         CAST(1 AS BIGINT) AS k
+      |  FROM entry e JOIN subs sub ON sub.user_id = e.user_id AND sub.b_ts = e.b1
+      |  WHERE sub.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT ch.user_id, ch.s_ts, ch.w_end, nx.b_ts, nx.e_ts, ch.k + 1
+      |  FROM chain ch
+      |  JOIN link l ON l.user_id = ch.user_id AND l.b_ts = ch.b_cur
+      |  JOIN subs nx ON nx.user_id = ch.user_id AND nx.b_ts = l.nb
+      |  WHERE nx.e_ts <= ch.w_end),
+      |best AS (
+      |  SELECT user_id, s_ts, w_end, e_cur, k,
+      |         row_number() OVER (PARTITION BY user_id, s_ts ORDER BY k DESC) rn
+      |  FROM chain),
+      |mt0 AS (
+      |  SELECT bst.user_id, bst.s_ts, bst.w_end, bst.e_cur, bst.k AS nreps,
+      |         min(e.ts) AS fe
+      |  FROM best bst JOIN er e ON e.user_id = bst.user_id AND e.ts > bst.e_cur
+      |                         AND e.ts <= bst.w_end
+      |  WHERE bst.rn = 1
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |mt AS (
+      |  SELECT m0.user_id, m0.s_ts, m0.w_end, m0.nreps, m0.fe, min(p.ts) AS p_ts
+      |  FROM mt0 m0 JOIN p ON p.user_id = m0.user_id AND p.ts > m0.fe
+      |                    AND p.ts <= m0.w_end
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |rr AS (
+      |  SELECT m.user_id, m.s_ts, m.nreps, ch.k, ch.b_cur, ch.e_cur,
+      |         sum(cv.val) OVER w AS rsum,
+      |         CASE WHEN ch.k = 1 THEN NULL
+      |              ELSE sum(cv.val) OVER w - cv.val END AS prev_rsum
+      |  FROM mt m
+      |  JOIN chain ch ON ch.user_id = m.user_id AND ch.s_ts = m.s_ts
+      |               AND ch.k <= m.nreps
+      |  JOIN cval cv ON cv.user_id = m.user_id AND cv.ts = ch.e_cur
+      |  WINDOW w AS (PARTITION BY m.user_id, m.s_ts ORDER BY ch.k
+      |               ROWS UNBOUNDED PRECEDING)),
+      |gtot AS (SELECT user_id, s_ts,
+      |          struct_extract(max({'k': k, 's': rsum}), 's') AS gsum
+      |         FROM rr GROUP BY 1, 2),
+      |em AS (
+      |  SELECT m.user_id, m.s_ts, m.p_ts, m.nreps, e.ts AS m_ts,
+      |         count(*) OVER we AS r_v, sum(e.sval) OVER we AS r_sum
+      |  FROM mt m JOIN er e ON e.user_id = m.user_id AND e.ts >= m.fe
+      |                     AND e.ts < m.p_ts
+      |  WINDOW we AS (PARTITION BY m.user_id, m.s_ts ORDER BY e.ts
+      |               ROWS UNBOUNDED PRECEDING)),
+      |etot AS (SELECT user_id, s_ts, max(r_v) AS v_all,
+      |          struct_extract(max({'n': r_v, 's': r_sum}), 's') AS esum_all
+      |         FROM em GROUP BY 1, 2)
+      |SELECT user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
+      |       CAST(0 AS BIGINT) AS n_b, CAST(NULL AS DOUBLE) AS sum_c,
+      |       CAST(0 AS BIGINT) AS n_v, CAST(NULL AS DOUBLE) AS sum_v,
+      |       CAST(NULL AS TIMESTAMP) AS purchase_ts
+      |FROM mt
+      |UNION ALL
+      |SELECT rr.user_id, 'B', rr.b_cur, rr.s_ts, rr.k,
+      |       CAST(rr.prev_rsum AS DOUBLE) / CAST(10000 AS DOUBLE),
+      |       CAST(0 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)
+      |FROM rr
+      |UNION ALL
+      |SELECT rr.user_id, 'C', rr.e_cur, rr.s_ts, rr.k,
+      |       CAST(rr.rsum AS DOUBLE) / CAST(10000 AS DOUBLE),
+      |       CAST(0 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP)
+      |FROM rr
+      |UNION ALL
+      |SELECT em.user_id, 'V', em.m_ts, em.s_ts, em.nreps,
+      |       CAST(g.gsum AS DOUBLE) / CAST(10000 AS DOUBLE), em.r_v,
+      |       CAST(em.r_sum AS DOUBLE) / CAST(10000 AS DOUBLE),
+      |       CAST(NULL AS TIMESTAMP)
+      |FROM em JOIN gtot g ON g.user_id = em.user_id AND g.s_ts = em.s_ts
+      |UNION ALL
+      |SELECT mt.user_id, 'P', mt.p_ts, mt.s_ts, mt.nreps,
+      |       CAST(g.gsum AS DOUBLE) / CAST(10000 AS DOUBLE), et.v_all,
+      |       CAST(et.esum_all AS DOUBLE) / CAST(10000 AS DOUBLE), mt.p_ts
+      |FROM mt JOIN gtot g ON g.user_id = mt.user_id AND g.s_ts = mt.s_ts
+      |        JOIN etot et ON et.user_id = mt.user_id AND et.s_ts = mt.s_ts""".stripMargin
 
   // --- w25: CASCADING window re-aggregation (the Flink "cascading window
   // aggregation" pattern — flink-docs window-agg section; coarse windows
@@ -2029,19 +2175,23 @@ object WindowQueries {
   // (UTC), so the cascade is lossless; the oracle computes the daily
   // totals DIRECTLY from facts — equality proves the cascade.
   private val w25: Q = (s, dir) => {
+    // accumulate exactly in DECIMAL through both cascade stages (values
+    // are 2dp-exact, so the cast is lossless and the sums order-free),
+    // emit DOUBLE — the driver's hash canonicalization expects floats.
     val hourly = graft.operators.EventWindows.tumbleAgg(ev(s, dir), col("ts"),
       "1 hour", Seq(col("event_type")),
-      Seq(count(lit(1)).as("n"), sum(col("value")).as("sv")))
+      Seq(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sv")))
     hourly
       .groupBy(date_trunc("day", col("window_start")).as("day_start"),
         col("event_type"))
       .agg(sum(col("n")).as("n"),
-        round(sum(col("sv")), 4).cast("decimal(18,4)").as("sum_value"))
+        sum(col("sv")).cast("double").as("sum_value"))
   }
   private val w25Sql =
     """SELECT CAST(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
       |       event_type, count(*) AS n,
-      |       CAST(round(sum(value), 4) AS DECIMAL(18,4)) AS sum_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, Q] = Map(
@@ -2070,7 +2220,7 @@ object WindowQueries {
     "m25_run_tiebreak" -> m25, "m26_group_tiebreak" -> m26,
     "m27_prev_foreign" -> m27, "m28_prev_plain" -> m28,
     "m29_all_rows_alt" -> m29, "m30_multi_tiebreak" -> m30,
-    "m31_all_rows_two_runs" -> m31)
+    "m31_all_rows_two_runs" -> m31, "m32_all_rows_group_run" -> m32)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -2099,5 +2249,6 @@ object WindowQueries {
     "m25_run_tiebreak" -> m25Sql, "m26_group_tiebreak" -> m26Sql,
     "m27_prev_foreign" -> m27Sql, "m28_prev_plain" -> m28Sql,
     "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql,
-    "m31_all_rows_two_runs" -> m31Sql, "w25_cascading_windows" -> w25Sql)
+    "m31_all_rows_two_runs" -> m31Sql, "m32_all_rows_group_run" -> m32Sql,
+    "w25_cascading_windows" -> w25Sql)
 }

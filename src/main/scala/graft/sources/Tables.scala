@@ -45,6 +45,14 @@ object Tables {
     // touches the timestamp as a JVM object (CEP scans, unix_micros windows)
     // sees java.time.LocalDateTime instead of java.sql.Timestamp and fails.
     val ntzFields = legacyNanos.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntzFields.nonEmpty) {
+      // The NTZ->TIMESTAMP cast (and Pattern.anyToTs's fixed-UTC
+      // LocalDateTime interpretation) is instant-preserving ONLY under a
+      // UTC session; fail loudly rather than silently shifting instants.
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"NTZ timestamp normalization requires spark.sql.session.timeZone=UTC (got $tz)")
+    }
     val df = ntzFields.foldLeft(legacyNanos) { (acc, f) =>
       acc.withColumn(f.name, col(f.name).cast(TimestampType))
     }

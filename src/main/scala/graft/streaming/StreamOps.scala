@@ -1653,8 +1653,15 @@ object StreamOps {
               recent = (e.value :: recent).take(n)
               LagEv(userId, e.ts, e.event_type, e.value, lagV)
             }
-          if (held.isEmpty && recent.isEmpty) state.remove()
-          else {
+          if ((held.isEmpty && recent.isEmpty) ||
+              (state.hasTimedOut && buf0.isEmpty)) {
+            // idle-TTL expiry (the dedupKeepLast convention): the grace
+            // timer fired with NOTHING buffered — a pure idle firing —
+            // so drop the n-value tail instead of re-arming forever
+            // (unbounded key-count state). A timeout that finalizes held
+            // rows is NOT idle: the tail must survive for later batches.
+            state.remove()
+          } else {
             state.update(LagAcc(held, recent))
             // wake when the earliest held row finalizes; an idle key (no
             // held rows) keeps its n-value tail for a bounded grace period,

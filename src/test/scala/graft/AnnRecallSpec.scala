@@ -64,7 +64,46 @@ class AnnRecallSpec extends AnyFunSuite with SparkTest {
     // is IVF's worst case: cell membership carries little neighbor signal,
     // so recall ≈ probed-mass fraction. The floor documents that trade;
     // probes=8 is exhaustive (recall 1.0) at 8/3× the candidate cost, and
-    // real embedding corpora (which cluster) sit far above this bound.
+    // real embedding corpora (which cluster) sit far above this bound
+    // (demonstrated by the mixture-of-Gaussians test below).
     assert(recall3 > 0.55, s"k-NN graph recall collapsed: $recall3")
+  }
+
+  test("s05 k-NN graph recall@3 on a CLUSTERED corpus (mixture of Gaussians)") {
+    // real embedding corpora cluster; IVF cells then align with the true
+    // clusters and the same k/probes that measure ~0.63 on the uniform
+    // worst case recover near-exact neighbors. 8 Gaussians × 40 points,
+    // ids interleaved so the k-means seed (8 lowest vec_ids) starts one
+    // centroid per true cluster — deterministic in the fixed RNG seed.
+    val rnd = new scala.util.Random(42)
+    val nClusters = 8; val perCluster = 40; val dim = 16
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0 until nClusters * perCluster).map { id =>
+      val c = centers(id % nClusters)
+      (id.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    import spark.implicits._
+    val embDf = rows.toDF("vec_id", "embedding")
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = vecs.map { case (q, v) =>
+      q -> vecs.filter(_._1 != q).toSeq
+        .map { case (n, w) => (n, cos(v, w)) }
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1).toSet
+    }
+    val approx = graft.queries.LlmQueries
+      .knnGraphOf(embDf, k = 8, nProbes = 3, topK = 3)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exact.map { case (q, e) =>
+      approx.get(q).map(a => (a intersect e).size.toDouble / e.size).getOrElse(0.0)
+    }
+    val recall3 = hits.sum / exact.size
+    info(f"clustered knn-graph recall@3 = $recall3%.3f")
+    assert(recall3 >= 0.9, s"clustered-corpus recall should be near-exact: $recall3")
   }
 }

@@ -902,18 +902,57 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         C AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin))
     assert(e1.getMessage.contains("alternation"), e1.getMessage)
+    // nested groups: one level of repetition arrays — named rejection
     val e2 = intercept[Exception](MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES S.ts AS s_ts
-        |  ALL ROWS PER MATCH
-        |  PATTERN (S (B C)+ D+ P)
+        |  PATTERN (S ((B C)+ D)+ P)
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
         |         C AS event_type = 'view', D AS event_type = 'click',
         |         P AS event_type = 'purchase'
         |)""".stripMargin))
-    assert(e2.getMessage.contains("sequence group"), e2.getMessage)
+    assert(e2.getMessage.contains("nested group"), e2.getMessage)
+  }
+
+  test("ALL ROWS over a MIXED group+run pattern (S (B C)+ V+ P)") {
+    // two (click view) repetitions, then an error+ run, then purchase:
+    // group member rows ride the repetition arrays, run member rows the
+    // keyed join-back; cross-shape measures are closed-form (group FINAL
+    // on run rows, run empty on group rows)
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0),
+      (1L, at(10), "click", 9.0), (1L, at(20), "view", 2.0),
+      (1L, at(30), "click", 9.0), (1L, at(40), "view", 3.0),
+      (1L, at(50), "error", 1.0), (1L, at(55), "error", 4.0),
+      (1L, at(58), "purchase", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(B.ts) AS n_b, SUM(C.value) AS sum_c,
+        |           COUNT(V.ts) AS n_v, SUM(V.value) AS sum_v, P.ts AS p_ts
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (B C)+ V+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .select($"cls", $"ts", $"n_b", $"sum_c", $"n_v", $"sum_v", $"p_ts")
+      .as[(String, Timestamp, Long, Option[Double], Long, Option[Double], Option[Timestamp])]
+      .collect().toSet
+    assert(m == Set(
+      ("S", at(0), 0L, None, 0L, None, None),
+      ("B", at(10), 1L, None, 0L, None, None),
+      ("C", at(20), 1L, Some(2.0), 0L, None, None),
+      ("B", at(30), 2L, Some(2.0), 0L, None, None),
+      ("C", at(40), 2L, Some(5.0), 0L, None, None),
+      ("V", at(50), 2L, Some(5.0), 1L, Some(1.0), None),
+      ("V", at(55), 2L, Some(5.0), 2L, Some(5.0), None),
+      ("P", at(58), 2L, Some(5.0), 2L, Some(5.0), Some(at(58)))), m.toString)
   }
 
   test("ORDER BY tiebreak: equal-ts candidates bind by the secondary column") {
