@@ -96,7 +96,8 @@ object MatchRecognize {
     "HOUR" -> 3600000L, "DAY" -> 86400000L)
 
   private case class PatternVar(name: String, quant: Option[String],
-                                alts: Seq[String] = Nil, seq: Seq[String] = Nil)
+                                alts: Seq[String] = Nil, seq: Seq[String] = Nil,
+                                innerSeq: Seq[String] = Nil)
   private case class Measure(fn: Option[String], varName: String,
                              field: String, alias: String)
   private case class Spec(partitionBy: Seq[String], orderBy: String,
@@ -166,74 +167,84 @@ object MatchRecognize {
     // one row per bound event (see allRowsOutput)
     val allRows =
       "(?is)\\bALL\\s+ROWS\\s+PER\\s+MATCH\\b".r.findFirstIn(body).nonEmpty
-    // one level of nesting for alternation groups: (A (B|C) D)
-    val patternBody = "(?is)\\bPATTERN\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)".r
+    // up to TWO nesting levels inside the PATTERN body: alternation /
+    // sequence groups (A (B|C) D), and ONE nested group ((A B)+ C)+
+    val patternBody =
+      ("(?is)\\bPATTERN\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)").r
       .findFirstMatchIn(body) match {
         case Some(m) => m.group(1).trim
-        // a depth-2 PATTERN body (a group inside a group) fails the
-        // one-level body regex outright — name the rejection rather than
-        // reporting the clause as absent. Nested groups compose
-        // recursively in the reference (flink-cep GroupPattern wraps an
-        // arbitrary inner Pattern); here group repetitions materialize as
-        // ONE level of member arrays, so an inner group has no encoding.
+        // a depth-3 PATTERN body fails the two-level body regex outright —
+        // name the rejection rather than reporting the clause as absent.
+        // The reference composes GroupPattern recursively to any depth
+        // (flink-cep GroupPattern wraps an arbitrary inner Pattern); here
+        // ONE nested level ( ((A B)+ C)+ ) lowers declaratively and deeper
+        // nesting has no encoding.
         case None if "(?is)\\bPATTERN\\s*\\(".r.findFirstIn(body).isDefined =>
-          sys.error("nested group patterns (a group inside a group, e.g. " +
-            "((A B)+ C)+) are not supported: group repetitions " +
-            "materialize one level of member bindings — flatten the " +
-            "inner group or run two detect passes")
+          sys.error("PATTERN bodies nested deeper than one group-in-group " +
+            "level (e.g. (((A B)+ C)+ D)+) are not supported: one nested " +
+            "level ( ((A B)+ C)+ ) is — flatten deeper groups or run " +
+            "multiple detect passes")
         case None => sys.error("PATTERN (...) required")
       }
-    // elements: a bare variable with an optional quantifier, an alternation
-    // group (B|C), or a quantified SEQUENCE group (B C)+ (flink-cep
-    // GroupPattern) — both groups named by joining their members
-    val varRx = ("(?:\\(\\s*(\\w+(?:\\s*\\|\\s*\\w+)+)\\s*\\)" +
+    // elements: a NESTED group ((I...)+ T...)+ (flink-cep GroupPattern in
+    // GroupPattern — one level), a bare variable with an optional
+    // quantifier, an alternation group (B|C), or a quantified SEQUENCE
+    // group (B C)+ (flink-cep GroupPattern) — groups named by joining
+    // their members
+    val varRx = ("(?:\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*\\+\\s*" +
+      "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
+      "|\\(\\s*(\\w+(?:\\s*\\|\\s*\\w+)+)\\s*\\)" +
       "|\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)|(\\w+))" +
       "(\\?|\\+|\\*|\\{(\\d+)(?:,(\\d+))?\\})?").r
     val varMatches = varRx.findAllMatchIn(patternBody).toSeq
-    // nested groups compose recursively in the reference (flink-cep
-    // GroupPattern wraps an arbitrary inner Pattern, NFACompiler walks it);
-    // here a group's repetitions materialize as ONE level of member arrays
-    // (`<group>_reps`), so an inner group has no column encoding — a named
-    // rejection, never a silently flattened pattern. Workarounds: flatten
-    // the inner group into the outer sequence, or detect the inner pattern
-    // first and feed its match table to an outer detect pass.
-    require("\\([^()]*\\(".r.findFirstIn(patternBody).isEmpty,
-      s"nested group patterns (a group inside a group, e.g. ((A B)+ C)+) " +
-        "are not supported: group repetitions materialize one level of " +
-        "member bindings — flatten the inner group or run two detect " +
-        s"passes (PATTERN ($patternBody))")
     // every character of the PATTERN body must belong to a parsed element:
     // findAllMatchIn skips what it can't parse, and a silently-dropped
     // group/quantifier would compile a DIFFERENT pattern (e.g. `( B C )+`
-    // degrading to `B C`). Reject residue by name instead.
+    // degrading to `B C`). Reject residue by name instead — a parenthesized
+    // residue names the one supported nested shape.
     locally {
       var pos = 0
       for (m <- varMatches :+ null) {
         val end = if (m == null) patternBody.length else m.start
         val gap = patternBody.substring(pos, end).trim
         require(gap.isEmpty,
-          s"unsupported PATTERN syntax near '$gap' in PATTERN ($patternBody)")
+          s"unsupported PATTERN syntax near '$gap' in PATTERN ($patternBody)" +
+            (if (gap.contains("(")) " — the one supported nested shape is " +
+              "((I1 I2 ...)+ T1 ...)+ (inner '+', at least one tail step, " +
+              "outer '+'/'*')" else ""))
         if (m != null) pos = m.end
       }
     }
     val vars = varMatches.map { g =>
-        (Option(g.group(1)), Option(g.group(2))) match {
-          case (Some(alt), _) =>
+        (Option(g.group(1)), Option(g.group(3)), Option(g.group(4))) match {
+          case (Some(inner), _, _) =>
+            // nested group ((I...)+ T...)+ — flink-cep GroupPattern
+            // composing recursively (one level): inner sub-sequence under
+            // '+', tail steps, outer '+'/'*'
+            val innerSubs = inner.trim.split("\\s+").toSeq
+            val tails = g.group(2).trim.split("\\s+").toSeq
+            require(g.group(6) == "+" || g.group(6) == "*",
+              s"nested group ((${innerSubs.mkString(" ")})+ " +
+                s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
+                s"quantifier (got '${Option(g.group(6)).getOrElse("")}')")
+            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(6)),
+              Nil, tails, innerSubs)
+          case (None, Some(alt), _) =>
             val branches = alt.split("\\|").map(_.trim).toSeq
             // (B|C)+ / (B|C)* — flink-cep GroupPattern over oneOf: a run
             // whose members match any branch, with per-branch counts.
             // '?'/'{n,m}' on an alternation stay named rejections.
-            require(g.group(4) == null || g.group(4) == "+" || g.group(4) == "*",
+            require(g.group(6) == null || g.group(6) == "+" || g.group(6) == "*",
               s"alternation group ($alt): only the '+' or '*' quantifier " +
-                s"is supported (got '${g.group(4)}')")
-            PatternVar(branches.mkString("_"), Option(g.group(4)), branches)
-          case (None, Some(seq)) =>
+                s"is supported (got '${g.group(6)}')")
+            PatternVar(branches.mkString("_"), Option(g.group(6)), branches)
+          case (None, None, Some(seq)) =>
             val subs = seq.trim.split("\\s+").toSeq
-            require(g.group(4) == "+" || g.group(4) == "*",
+            require(g.group(6) == "+" || g.group(6) == "*",
               s"sequence group (${subs.mkString(" ")}) requires the '+' or " +
                 "'*' quantifier (the GroupPattern oneOrMore[.optional] surface)")
-            PatternVar(subs.mkString("_"), Some(g.group(4)), Nil, subs)
-          case (None, None) => PatternVar(g.group(3), Option(g.group(4)))
+            PatternVar(subs.mkString("_"), Some(g.group(6)), Nil, subs)
+          case (None, None, None) => PatternVar(g.group(5), Option(g.group(6)))
         }
       }
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
@@ -530,7 +541,7 @@ object MatchRecognize {
             s"alternation branch $b cannot use relative references")
           b -> c
         }
-        val seqSubs = v.seq.map { sv =>
+        val seqSubs = (v.innerSeq ++ v.seq).map { sv =>
           val c = compiledPred(spec, sv, i)
           require(c._2.isEmpty,
             s"group sub-variable $sv cannot use relative references")
@@ -577,11 +588,16 @@ object MatchRecognize {
     // address a specific MEMBER (the group's own name spans several
     // variables and would be ambiguous)
     val groupOf: Map[String, PatternVar] = spec.vars.filter(_.seq.nonEmpty)
-      .flatMap(g => (g.name +: g.seq).map(_ -> g)).toMap
+      .flatMap(g => (g.name +: (g.innerSeq ++ g.seq)).map(_ -> g)).toMap
     spec.measures.filter(m => groupOf.contains(m.varName)).foreach { m =>
       require(m.field == "ts" || m.varName != groupOf(m.varName).name,
         s"value measures over a sequence group must address a member " +
           s"variable (got ${m.varName}.${m.field} on the group itself)")
+      // nested chains carry timestamps and counts only (no bindGroup)
+      require(m.field == "ts" || groupOf(m.varName).innerSeq.isEmpty,
+        s"nested group ${groupOf(m.varName).name}: timestamp measures only " +
+          s"(FIRST/LAST/COUNT over member timestamps — got " +
+          s"${m.varName}.${m.field})")
     }
     // ALL ROWS over a sequence group: the chain additionally materializes
     // per-repetition member bindings (see materializeGroupRows below);
@@ -593,6 +609,27 @@ object MatchRecognize {
         // the '+' quantifier is consumed by the run lowering itself
         val rd = selfRuns(v.name)
         pat = pat.followedByRun(v.name, rd.pre, rd.colName, rd.accept, rd.offset)
+      } else if (v.innerSeq.nonEmpty) {
+        // NESTED group ((I...)+ T...)+ — one level of flink-cep
+        // GroupPattern-in-GroupPattern; the chain carries boundary
+        // timestamps and outer/inner repetition counts only
+        (v.innerSeq ++ v.seq).foreach { sv =>
+          require(!bindByVar.contains(sv),
+            s"nested group ${v.name}: value measures over member $sv are " +
+              "not supported (timestamp FIRST/LAST/COUNT only)")
+          compiled(sv)._2.foreach(_ => sys.error(s"nested group ${v.name}: " +
+            s"member $sv may not use an iterative/PREV condition"))
+        }
+        require(!spec.allRows, s"ALL ROWS PER MATCH over a nested group " +
+          s"(${v.name}) is not supported — the chain materializes no " +
+          "per-repetition member bindings (use ONE ROW PER MATCH)")
+        require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
+          s"compose with a nested group (${v.name}): the chain binds no " +
+          "member values for a tiebreak to steer")
+        pat = pat.followedByNestedGroup(v.name,
+          v.innerSeq.map(sv => sv -> compiled(sv)._1),
+          v.seq.map(sv => sv -> compiled(sv)._1))
+        pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
       } else if (v.seq.nonEmpty) {
         // sequence group (B C)+ / (B C)* — flink-cep GroupPattern under
         // oneOrMore[/optional] (the quantifier is validated at parse time);
@@ -736,7 +773,37 @@ object MatchRecognize {
           col(s"${g.name}_n_${m.varName}")
         } else if (groupOf.contains(m.varName)) {
           val g = groupOf(m.varName)
-          if (m.field == "ts") m.fn match {
+          if (g.innerSeq.nonEmpty) {
+            // nested group ((I...)+ T...)+: the chain binds (first
+            // repetition's first inner binding, last repetition's final
+            // tail binding, outer repetition count, total inner
+            // sub-sequence count). Each outer repetition binds every tail
+            // member exactly once (COUNT(T.ts) = outer count) and each
+            // inner sub-sequence binds every inner member exactly once
+            // (COUNT(I.ts) = total inner count).
+            require(m.field == "ts", s"nested group ${g.name}: timestamp " +
+              s"measures only (got ${m.varName}.${m.field})")
+            m.fn match {
+              case Some("COUNT") if g.innerSeq.contains(m.varName) =>
+                col(s"${g.name}_inner_n")
+              case Some("COUNT") => col(s"${g.name}_n")
+              case Some("FIRST") =>
+                require(m.varName == g.name || m.varName == g.innerSeq.head,
+                  s"FIRST(${m.varName}.ts): the nested chain materializes " +
+                    s"the first repetition's FIRST inner binding only " +
+                    s"(${g.innerSeq.head})")
+                col(s"${g.name}_first_ts")
+              case Some("LAST") =>
+                require(m.varName == g.name || m.varName == g.seq.last,
+                  s"LAST(${m.varName}.ts): the nested chain materializes " +
+                    s"the last repetition's FINAL tail binding only " +
+                    s"(${g.seq.last})")
+                col(s"${g.name}_last_ts")
+              case other => sys.error(s"nested group ${g.name}: " +
+                s"FIRST/LAST/COUNT only over timestamps (got " +
+                s"${other.getOrElse("a bare reference")})")
+            }
+          } else if (m.field == "ts") m.fn match {
             // the chain binds (first repetition's first sub-binding, last
             // repetition's final sub-binding, repetition count): FIRST
             // addresses the group's first sub-variable (or the group

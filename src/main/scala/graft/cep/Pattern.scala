@@ -36,7 +36,8 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       groupKeep: Seq[(String, String)] = Nil,
                       runOffset: Int = 1,
                       groupRows: Boolean = false,
-                      tieCols: Seq[String] = Nil)
+                      tieCols: Seq[String] = Nil,
+                      innerGroup: Seq[(String, Column)] = Nil)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,
@@ -303,6 +304,58 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       group = sub.toVector), notStep, windowMs, skipPastLast, skipTo)
   }
 
+  /** NESTED group pattern — one level of group-in-group composition,
+    * `((I1 I2 ...)+ T1 T2 ...)` quantified by [[oneOrMore]]/[[zeroOrMore]]
+    * (reference flink-libraries/flink-cep/.../pattern/GroupPattern.java:30,
+    * which wraps an ARBITRARY inner Pattern — NFACompiler walks the
+    * composition recursively; the `((A B)+ C)+` shape is the canonical
+    * nested case). Each outer repetition matches: one-or-more complete
+    * inner sub-sequences `I1 I2 ...`, then the tail steps `T1 T2 ...`
+    * bound sequentially (earliest in-key candidate strictly after the
+    * previous binding). The TAIL PUNCTUATES repetitions: the inner chain
+    * absorbs the next sub-match only while it completes strictly BEFORE
+    * the earliest first-tail candidate after the current chain end —
+    * reluctant tail close, so a `V` arriving between inner sub-sequences
+    * ends the current repetition and the next `I1` starts a new one (the
+    * deterministic one-match-per-start canonicalization of the reference
+    * NFA's match set; a greedy-maximal inner chain would swallow every
+    * inner sub-match and collapse the outer quantifier to one repetition).
+    * The next outer repetition anchors at the EARLIEST inner-sub start
+    * strictly after the previous repetition's final tail binding; if its
+    * repetition cannot complete in-window the chain ends with the
+    * repetitions already completed (greedy-no-backtracking). Emits
+    * `<name>_first_ts` (first repetition's first inner binding),
+    * `<name>_last_ts` (last repetition's final tail binding), `<name>_n`
+    * (outer repetition count) and `<name>_inner_n` (total inner
+    * sub-sequence count across all outer repetitions).
+    *
+    * Lowering: the inner sub-group compiles ONCE to the per-key sub-match
+    * table of [[followedByGroup]] (one row per first-inner-step event with
+    * its earliest completion via keyed min-binding joins — completion
+    * MONOTONE in start), tail candidates are per-step pre-filtered (key,
+    * ts) tables, and the two-level chain walk is one cogroup over (prefix
+    * matches × pre-reduced candidates) per key — parallel in the key
+    * space, per-key state bounded by the key's sub-match + tail candidate
+    * counts, with binary-searched sorted arrays inside the walk.
+    * [[bindGroup]]/[[materializeGroupRows]]/[[tieBreak]] do not compose
+    * with nested groups (named errors). */
+  def followedByNestedGroup(name: String, inner: Seq[(String, Column)],
+                            tail: Seq[(String, Column)]): Pattern = {
+    require(notStep.isEmpty, "notFollowedBy must be the terminal step")
+    require(steps.nonEmpty, "followedByNestedGroup() follows a begin step")
+    require(inner.size >= 2,
+      "the inner sub-group needs at least two steps (a single-variable " +
+        "inner '+' is a plain run — use followedByGroup with oneOrMore)")
+    require(tail.nonEmpty,
+      "the nested group needs at least one tail step after the inner " +
+        "sub-group (a tail-less ((A B)+)+ collapses to (A B)+ — use " +
+        "followedByGroup)")
+    new Pattern(steps :+ Step(name,
+      (inner.map(_._2) ++ tail.map(_._2)).reduce(_ || _),
+      group = tail.toVector, innerGroup = inner.toVector),
+      notStep, windowMs, skipPastLast, skipTo)
+  }
+
   /** Bind a value column of a GROUP MEMBER across the group's repetitions —
     * the aggregate-measure surface of [[followedByGroup]] (reference
     * flink-table MatchRecognizeITCase aggregate measures, `SUM(C.price)`
@@ -320,6 +373,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def bindGroup(member: String, cols: String*): Pattern = {
     require(steps.nonEmpty && steps.last.group.nonEmpty,
       "bindGroup() requires followedByGroup() as the last step")
+    require(steps.last.innerGroup.isEmpty,
+      "bindGroup() does not compose with followedByNestedGroup() — nested " +
+        "chains carry timestamps and counts only")
     require(steps.last.group.exists(_._1 == member),
       s"bindGroup($member): not a member of group ${steps.last.name}")
     new Pattern(steps.init :+ steps.last.copy(
@@ -340,6 +396,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def materializeGroupRows(): Pattern = {
     require(steps.nonEmpty && steps.last.group.nonEmpty,
       "materializeGroupRows() requires followedByGroup() as the last step")
+    require(steps.last.innerGroup.isEmpty,
+      "materializeGroupRows() does not compose with followedByNestedGroup()" +
+        " — nested chains carry timestamps and counts only")
     new Pattern(steps.init :+ steps.last.copy(groupRows = true),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -359,6 +418,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.nonEmpty &&
       (steps.last.oneOrMore || steps.last.group.nonEmpty),
       "tieBreak() applies to a oneOrMore()/zeroOrMore() run or a group step")
+    require(steps.last.innerGroup.isEmpty,
+      "tieBreak() does not compose with followedByNestedGroup() — nested " +
+        "chains bind no member values for a tiebreak to steer")
     new Pattern(steps.init :+ steps.last.copy(tieCols = cs.toVector),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -687,6 +749,150 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             count(lit(1)).as(s"${s.name}_n"))
           .drop("__rseg")
         prevTs = col(s"${s.name}_last_ts")
+      } else if (s.innerGroup.nonEmpty) {
+        // --- NESTED group ((I...)+ T...)+ (followedByNestedGroup): the
+        // inner sub-group lowers to the followedByGroup sub-match table
+        // (start event + earliest completion via min-join chains —
+        // completion MONOTONE in start), tail candidates are per-step
+        // pre-filtered (key, ts) tables, and the two-level chain walks per
+        // key inside ONE cogroup: each outer repetition anchors at the
+        // earliest inner-sub start strictly after the previous repetition's
+        // end, absorbs the greedy-maximal inner chain that fits the MATCH
+        // window (true window end, not a per-repetition span bound), then
+        // binds the tails sequentially; a tail that cannot bind in-window
+        // ends the chain with the repetitions already completed (the
+        // greedy-no-backtracking group convention).
+        require(s.oneOrMore,
+          s"nested group ${s.name}: quantify with oneOrMore()/zeroOrMore() " +
+            "(an unquantified ((I...)+ T...) is expressible as " +
+            "followedByGroup(I...).oneOrMore() + plain tail steps)")
+        // inner sub-match table: one row per first-inner-step event with
+        // its earliest completion (span-bounded by win: any sub-sequence
+        // usable from any anchor has end - start < win)
+        var isubs = events.filter(s.innerGroup.head._2)
+          .select(key.as("__gk"), ts.as("__gb"))
+        var prevSub: Column = col("__gb")
+        s.innerGroup.tail.zipWithIndex.foreach { case ((_, p), j) =>
+          val cand = events.filter(p).select(key.as("__gk2"), ts.as(s"__gc$j"))
+          val kept0 = isubs.columns.map(col)
+          isubs = isubs.join(cand, col("__gk") === col("__gk2") &&
+              col(s"__gc$j") > prevSub && col(s"__gc$j") <= col("__gb") + win)
+            .groupBy(kept0.toIndexedSeq: _*)
+            .agg(min(col(s"__gc$j")).as(s"__ge$j"))
+          prevSub = col(s"__ge$j")
+        }
+        // tagged candidate union: inner sub-matches (tag 0, start + end)
+        // and each tail step's pre-filtered candidates (tag j+1, ts only)
+        // — pre-reduced per step, never raw unfiltered events
+        val tagged = s.group.zipWithIndex.foldLeft(
+          isubs.select(col("__gk"), lit(0).as("__tag"),
+            col("__gb").as("__t1"), prevSub.as("__t2"))) {
+          case (acc, ((_, p), j)) =>
+            acc.unionByName(events.filter(p).select(key.as("__gk"),
+              lit(j + 1).as("__tag"), ts.as("__t1"),
+              lit(null).cast("timestamp").as("__t2")))
+        }
+        val anch = out.withColumn("__gprev", prevTs)
+          .withColumn("__gwend", col(startTs) + win)
+        val aSchema = anch.schema
+        val keyIdx = aSchema.fieldIndex("__k")
+        val prevIdx = aSchema.fieldIndex("__gprev")
+        val wendIdx = aSchema.fieldIndex("__gwend")
+        val outSchema = org.apache.spark.sql.types.StructType(
+          aSchema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(s"${s.name}_first_ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField(s"${s.name}_last_ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField(s"${s.name}_n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(s"${s.name}_inner_n",
+              org.apache.spark.sql.types.LongType)))
+        val strEnc = org.apache.spark.sql.Encoders.STRING
+        val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
+        val candKV = tagged.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
+        val optGroup = s.opt
+        val nTails = s.group.size
+        val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
+          val all = cs.toArray
+          // inner sub-matches sorted by start; per-tail sorted candidate
+          // times — full-precision Timestamp comparisons throughout
+          val subs = all.filter(_.getInt(1) == 0)
+            .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3)))
+            .sortWith((p, q) => p._1.before(q._1))
+          val tails = Array.tabulate(nTails) { j =>
+            all.filter(_.getInt(1) == j + 1).map(r => Pattern.tsOf(r, 2))
+              .sortWith((p, q) => p.before(q))
+          }
+          // index of the first element strictly after t (binary search)
+          def subAfter(t: java.sql.Timestamp): Int = {
+            var lo = 0; var hi = subs.length
+            while (lo < hi) { val mid = (lo + hi) >>> 1
+              if (subs(mid)._1.after(t)) hi = mid else lo = mid + 1 }
+            lo
+          }
+          def tailAfter(j: Int, t: java.sql.Timestamp): Int = {
+            val arr = tails(j)
+            var lo = 0; var hi = arr.length
+            while (lo < hi) { val mid = (lo + hi) >>> 1
+              if (arr(mid).after(t)) hi = mid else lo = mid + 1 }
+            lo
+          }
+          as.flatMap { a =>
+            val tau = Pattern.tsOf(a, prevIdx)
+            val wEnd = Pattern.tsOf(a, wendIdx)
+            var lastEnd = tau
+            var first: java.sql.Timestamp = null
+            var n = 0L; var innerTot = 0L; var done = false
+            while (!done) {
+              // next outer repetition: the earliest inner-sub start
+              // strictly after the previous repetition's end (inner
+              // completion monotone in start: if it cannot complete
+              // in-window, no later start can either)
+              val i0 = subAfter(lastEnd)
+              if (i0 >= subs.length || subs(i0)._2.after(wEnd)) done = true
+              else {
+                // inner chain bounded by the first tail opportunity: absorb
+                // the next sub-match only if it completes strictly BEFORE
+                // the earliest first-tail candidate after the current chain
+                // end (the tail punctuates repetitions — reluctant close)
+                var e = subs(i0)._2; var k = 1L; var more = true
+                while (more) {
+                  val nx = subAfter(e)
+                  val tx = tailAfter(0, e)
+                  val tCand = if (tx < tails(0).length &&
+                      !tails(0)(tx).after(wEnd)) tails(0)(tx) else null
+                  if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
+                      (tCand != null && !subs(nx)._2.before(tCand))) more = false
+                  else { e = subs(nx)._2; k += 1 }
+                }
+                // tail bindings: earliest candidate strictly after the
+                // previous binding, all within the match window
+                var t = e; var ok = true; var ti = 0
+                while (ok && ti < nTails) {
+                  val x = tailAfter(ti, t)
+                  if (x >= tails(ti).length || tails(ti)(x).after(wEnd)) ok = false
+                  else { t = tails(ti)(x); ti += 1 }
+                }
+                if (!ok) done = true
+                else {
+                  if (n == 0) first = subs(i0)._1
+                  lastEnd = t; n += 1; innerTot += k
+                }
+              }
+            }
+            // ((...)+ ...)* (opt): an empty chain keeps the match row with
+            // null boundaries and count 0 — the zeroOrMore convention
+            if (n == 0 && !optGroup) Iterator.empty
+            else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
+              a.toSeq ++ Seq(null, null, 0L, 0L)))
+            else Iterator.single(org.apache.spark.sql.Row.fromSeq(
+              a.toSeq ++ Seq(first, lastEnd, n, innerTot)))
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+        out = chained.toDF().drop("__gprev", "__gwend")
+        prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
+                 else col(s"${s.name}_last_ts")
       } else if (s.group.nonEmpty) {
         // --- group sub-pattern (followedByGroup): compile the sub-match
         // table ONCE (one row per first-sub-step event, its earliest

@@ -156,6 +156,93 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (3L, None, None, 0L, at(15))), m.toString)
   }
 
+  test("followedByNestedGroup + oneOrMore: ((B C)+ V)+ two-level chain") {
+    // user 1: two outer reps — rep1 = (5,10)(12,14) then v@20, rep2 =
+    //   (25,30) then v@35;
+    // user 2: inner chain completes but no v -> no match;
+    // user 3: one rep (5,10) v@15, then a dangling b@20 without c -> the
+    //   chain ends with the completed rep;
+    // user 4: v outside the window -> no match;
+    // user 5: the tail PUNCTUATES — v@11 closes rep1 after (5,10) (the
+    //   chain may not absorb (12,14) past it), rep2 = (12,14) v@16;
+    // user 6: rep1 (5,10) v@12, then a complete dangling inner chain
+    //   (15,20) with no v after it -> the dangling rep is discarded;
+    // user 7: rep2 anchors at the earliest b after rep1's v.
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),
+      (1L, at(12), "b"), (1L, at(14), "c"), (1L, at(20), "v"),
+      (1L, at(25), "b"), (1L, at(30), "c"), (1L, at(35), "v"),
+      (2L, at(0), "signup"), (2L, at(5), "b"), (2L, at(10), "c"),
+      (3L, at(0), "signup"), (3L, at(5), "b"), (3L, at(10), "c"),
+      (3L, at(15), "v"), (3L, at(20), "b"),
+      (4L, at(0), "signup"), (4L, at(5), "b"), (4L, at(10), "c"), (4L, at(90), "v"),
+      (5L, at(0), "signup"), (5L, at(5), "b"), (5L, at(10), "c"), (5L, at(11), "v"),
+      (5L, at(12), "b"), (5L, at(14), "c"), (5L, at(16), "v"),
+      (6L, at(0), "signup"), (6L, at(5), "b"), (6L, at(10), "c"), (6L, at(12), "v"),
+      (6L, at(15), "b"), (6L, at(20), "c"),
+      (7L, at(0), "signup"), (7L, at(5), "b"), (7L, at(10), "c"), (7L, at(12), "v"),
+      (7L, at(13), "b"), (7L, at(18), "c"), (7L, at(19), "v")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")))
+      .oneOrMore()
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(m == Set(
+      (1L, at(0), at(5), at(35), 2L, 3L),
+      (3L, at(0), at(5), at(15), 1L, 1L),
+      (5L, at(0), at(5), at(16), 2L, 2L),
+      (6L, at(0), at(5), at(12), 1L, 1L),
+      (7L, at(0), at(5), at(19), 2L, 2L)), m.toString)
+  }
+
+  test("followedByNestedGroup + zeroOrMore and a following step") {
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),
+      (1L, at(12), "v"), (1L, at(20), "purchase"),
+      (2L, at(0), "signup"), (2L, at(20), "purchase"), // empty chain
+      (3L, at(0), "signup"), (3L, at(5), "b"), (3L, at(10), "c"),
+      (3L, at(20), "purchase")                          // no v: empty chain
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")))
+      .zeroOrMore()
+      .followedBy("u", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"g_inner_n", $"u_ts")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Long, Long, Timestamp)]
+      .collect().toSet
+    assert(m == Set(
+      (1L, Some(at(5)), Some(at(12)), 1L, 1L, at(20)),
+      (2L, None, None, 0L, 0L, at(20)),
+      (3L, None, None, 0L, 0L, at(20))), m.toString)
+  }
+
+  test("followedByNestedGroup: named rejections") {
+    val p = Pattern.begin("s", $"event_type" === "signup")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")))
+    val e1 = intercept[IllegalArgumentException](p.bindGroup("b", "value"))
+    assert(e1.getMessage.contains("followedByNestedGroup"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](p.materializeGroupRows())
+    assert(e2.getMessage.contains("followedByNestedGroup"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](p.tieBreak("value"))
+    assert(e3.getMessage.contains("followedByNestedGroup"), e3.getMessage)
+    // unquantified nested group: rejected at compile (detect) time
+    val evs = Seq((1L, at(0), "signup")).toDF("user_id", "ts", "event_type")
+    val e4 = intercept[IllegalArgumentException](
+      p.within(HOUR).detect(evs, $"user_id", $"ts"))
+    assert(e4.getMessage.contains("oneOrMore"), e4.getMessage)
+  }
+
   test("quantified alternation (B|C)+: run over the union with per-branch counts") {
     val evs = Seq(
       (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),

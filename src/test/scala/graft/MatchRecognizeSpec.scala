@@ -902,18 +902,90 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         C AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin))
     assert(e1.getMessage.contains("alternation"), e1.getMessage)
-    // nested groups: one level of repetition arrays — named rejection
+    // nested group with an inner '*': only the inner-'+' shape lowers —
+    // named rejection via the residue check
     val e2 = intercept[Exception](MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES S.ts AS s_ts
-        |  PATTERN (S ((B C)+ D)+ P)
+        |  PATTERN (S ((B C)* D)+ P)
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
         |         C AS event_type = 'view', D AS event_type = 'click',
         |         P AS event_type = 'purchase'
         |)""".stripMargin))
-    assert(e2.getMessage.contains("nested group"), e2.getMessage)
+    assert(e2.getMessage.contains("nested"), e2.getMessage)
+    // depth-3 nesting: named rejection
+    val e3 = intercept[Exception](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S (((B C)+ D)+ E)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', D AS event_type = 'click',
+        |         E AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(e3.getMessage.contains("deeper"), e3.getMessage)
+    // ALL ROWS over a nested group: named rejection
+    val e4 = intercept[Exception](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ D)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', D AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(e4.getMessage.contains("ALL ROWS PER MATCH over a nested group"),
+      e4.getMessage)
+    // value measures over a nested group member: named rejection
+    val e5 = intercept[Exception](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, SUM(C.value) AS sum_c
+        |  PATTERN (S ((B C)+ D)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', D AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(e5.getMessage.contains("timestamp measures only"), e5.getMessage)
+  }
+
+  test("nested group pattern S ((B C)+ V)+ from SQL text") {
+    // user 1: rep1 = (10,20)(25,30) then v@40, rep2 = (45,50) then v@55;
+    // user 2: the v@22 punctuates — rep1 = (10,20) v@22, rep2 = (25,30) v@35
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0),
+      (1L, at(10), "click", 0.0), (1L, at(20), "view", 0.0),
+      (1L, at(25), "click", 0.0), (1L, at(30), "view", 0.0),
+      (1L, at(40), "error", 0.0),
+      (1L, at(45), "click", 0.0), (1L, at(50), "view", 0.0),
+      (1L, at(55), "error", 0.0),
+      (2L, at(0), "signup", 0.0),
+      (2L, at(10), "click", 0.0), (2L, at(20), "view", 0.0),
+      (2L, at(22), "error", 0.0),
+      (2L, at(25), "click", 0.0), (2L, at(30), "view", 0.0),
+      (2L, at(35), "error", 0.0),
+      (3L, at(0), "signup", 0.0), (3L, at(10), "click", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(V.ts) AS grp_last_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(m == Set(
+      (1L, at(0), at(10), at(55), 2L, 3L),
+      (2L, at(0), at(10), at(35), 2L, 2L)), m.toString)
   }
 
   test("ALL ROWS over a MIXED group+run pattern (S (B C)+ V+ P)") {
