@@ -205,14 +205,44 @@ object FunctionQueries {
       |      FROM lineitem)
       |WHERE rnk <= 2""".stripMargin
 
+  // --- f11: TABLE function / UDTF (Flink TableFunction + LATERAL TABLE,
+  // flink-table-common/.../functions/TableFunction.java — user code emits
+  // multiple rows per input row via collect(); the last un-mapped
+  // user-defined function KIND after scalar UDF / f08 UDAGG / f10 table
+  // aggregate): registered user code returning an array-of-structs,
+  // invoked from SQL TEXT with `LATERAL VIEW inline(...)` — a row-local
+  // generator projection, no shuffle/join for the expansion itself; the
+  // downstream aggregate is one hash agg on the token key. Integer-only
+  // output columns (counts, position sums) keep the oracle float-free.
+  private val f11: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.udf.register("graft_split",
+      org.apache.spark.sql.functions.udf(graft.functions.SplitTableFunc.eval))
+    s.sql("""SELECT t.word AS word, COUNT(DISTINCT doc_id) AS n_docs,
+            |       COUNT(*) AS n_occ, SUM(CAST(t.pos AS BIGINT)) AS sum_pos,
+            |       CAST(MIN(t.pos) AS BIGINT) AS min_pos
+            |FROM documents LATERAL VIEW inline(graft_split(text)) t AS word, pos, len
+            |GROUP BY t.word
+            |ORDER BY n_occ DESC, word
+            |LIMIT 30""".stripMargin)
+  }
+  private val f11Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+      |tok AS (SELECT doc_id, toks[i] AS word, i - 1 AS pos FROM p)
+      |SELECT word, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+      |       CAST(SUM(pos) AS BIGINT) AS sum_pos, CAST(MIN(pos) AS BIGINT) AS min_pos
+      |FROM tok GROUP BY word ORDER BY n_occ DESC, word LIMIT 30""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03,
     "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05, "f06_temporal_funcs" -> f06,
     "f07_bitwise_funcs" -> f07, "f08_udagg_weighted_avg" -> f08,
-    "f09_collection_funcs" -> f09, "f10_table_agg" -> f10)
+    "f09_collection_funcs" -> f09, "f10_table_agg" -> f10, "f11_udtf" -> f11)
   val oracles: Map[String, String] = Map(
     "f01_math_funcs" -> f01Sql, "f02_string_funcs2" -> f02Sql, "f03_json_extract" -> f03Sql,
     "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql, "f06_temporal_funcs" -> f06Sql,
     "f07_bitwise_funcs" -> f07Sql, "f08_udagg_weighted_avg" -> f08Sql,
-    "f09_collection_funcs" -> f09Sql, "f10_table_agg" -> f10Sql)
+    "f09_collection_funcs" -> f09Sql, "f10_table_agg" -> f10Sql,
+    "f11_udtf" -> f11Sql)
 }
