@@ -33,6 +33,33 @@ object LlmQueries3 {
       | len(regexp_extract_all(text, '[a-z]{7,}')) > 10 AS flagged
       |FROM documents""".stripMargin
 
+  // ---------- t09: PII redaction (the scrub complement of t06's scan) ----------
+  // The redaction half of a PII pipeline (C4/Dolma-style scrubbing):
+  // matched spans are REPLACED with a placeholder token and the document
+  // re-hashed, rather than merely counted (t06). Demonstrated on the
+  // corpus's own token shapes (long lowercase words stand in for
+  // emails/phones — the synthetic text carries no real PII): per document,
+  // the redaction count, the md5 of the redacted text (the downstream
+  // dedup key — redaction must precede hashing or scrubbed near-dups
+  // diverge), and the character delta. Row-local regexp_replace over the
+  // scan — zero shuffles, the same scan-only plan class as t06; Spark
+  // regexp_replace is replace-ALL, matching DuckDB's 'g' flag.
+  private val t09: Q = (s, dir) => {
+    val pat = "[a-z]{9,}"
+    docs(s, dir).select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_redacted"),
+      md5(regexp_replace(col("text"), pat, "<TOK>")).as("redacted_md5"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), pat, "<TOK>"))).as("len_delta"))
+  }
+  private val t09Sql =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '[a-z]{9,}')) AS INT) AS n_redacted,
+      | md5(regexp_replace(text, '[a-z]{9,}', '<TOK>', 'g')) AS redacted_md5,
+      | CAST(len(text) - len(regexp_replace(text, '[a-z]{9,}', '<TOK>', 'g'))
+      |      AS INT) AS len_delta
+      |FROM documents""".stripMargin
+
   // ---------- t07: intra-document repetition filter (Gopher-style) ----------
   // The Rae et al. (Gopher) / MassiveText repetition quality signals: a
   // document dominated by one repeated n-gram (or by duplicated n-grams
@@ -622,7 +649,7 @@ object LlmQueries3 {
 
   val queries: Map[String, Q] = Map(
     "p03_doc_chunking" -> p03, "p04_chunk_packing" -> p04,
-    "t08_novelty_score" -> t08,
+    "t08_novelty_score" -> t08, "t09_pii_redact" -> t09,
     "t06_regex_scan" -> t06, "t07_repetition_filter" -> t07,
     "d09_stratified_sample" -> d09, "d10_token_budget" -> d10,
     "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12,
@@ -631,7 +658,7 @@ object LlmQueries3 {
     "p02_domain_mix" -> p02)
   val oracles: Map[String, String] = Map(
     "p03_doc_chunking" -> p03Sql, "p04_chunk_packing" -> p04Sql,
-    "t08_novelty_score" -> t08Sql,
+    "t08_novelty_score" -> t08Sql, "t09_pii_redact" -> t09Sql,
     "t06_regex_scan" -> t06Sql, "t07_repetition_filter" -> t07Sql,
     "d09_stratified_sample" -> d09Sql, "d10_token_budget" -> d10Sql,
     "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql,

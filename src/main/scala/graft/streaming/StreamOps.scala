@@ -162,6 +162,22 @@ case class TwoRunMatch(user_id: Long, first_ts: Timestamp,
                        r1_first_ts: Timestamp, r1_last_ts: Timestamp, r1_n: Long,
                        r2_first_ts: Timestamp, r2_last_ts: Timestamp, r2_n: Long,
                        last_ts: Timestamp)
+// nested group ((I...)+ T)+ partial (the m33 batch shape): current inner
+// sub-step index + in-progress/completed sub bookkeeping, chain boundaries
+// and outer/inner counts — O(1) state per partial. The tail-punctuated walk
+// needs NO held closes: the close event is INSIDE the repetition, so every
+// absorb-vs-close decision is immediate in event-time order (a sub-match
+// completing before the next tail event was, by arrival order, absorbed
+// first — exactly the batch rule "absorb while completing strictly before
+// the first tail opportunity")
+case class NestPartial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
+                       curStartMs: Long = -1L, inSubLastMs: Long = -1L,
+                       lastCompMs: Long = -1L, curSubs: Long = 0L,
+                       reps: Long = 0L, innerTot: Long = 0L,
+                       lastTailMs: Long = -1L)
+case class NestAcc(partials: List[NestPartial], buf: List[BufEv] = Nil)
+case class NestMatch(user_id: Long, first_ts: Timestamp, grp_first_ts: Timestamp,
+                     grp_last_ts: Timestamp, n_reps: Long, n_inner: Long)
 case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
                     rep_last_ts: Timestamp, rep_n: Long, last_ts: Timestamp,
                     rep_sum_value: Option[Double] = None,
@@ -1610,6 +1626,110 @@ object StreamOps {
           if (partials.isEmpty && held.isEmpty) state.remove()
           else {
             state.update(GrpAcc(partials, held))
+            state.setTimeoutTimestamp(math.max(wm + 1,
+              (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming NESTED group `S ((I...)+ T)+` — the twin of
+    * `Pattern.followedByNestedGroup` (the m33 batch shape; reference
+    * flink-cep GroupPattern composing recursively). The tail PUNCTUATES
+    * repetitions: each outer repetition is one-or-more complete inner
+    * sub-sequences followed by the tail event, and the batch rule — absorb
+    * the next sub-match only while it completes strictly BEFORE the first
+    * tail opportunity — is exactly arrival order over the
+    * watermark-finalized event-time prefix (a sub completing first was
+    * absorbed first; a tail arriving first closes the repetition and
+    * discards any in-progress sub). So the walk needs NO held closes and
+    * O(1) state per partial: sub-step index, current repetition's
+    * completed-sub count, chain boundaries, outer/inner totals. A tail
+    * with no completed sub in the current repetition is skipped
+    * (skip-till-next), matching the batch tail-binds-after-the-chain rule.
+    * The match finalizes at window expiry (a longer chain could form until
+    * then); emission carries first/last boundaries plus outer and
+    * total-inner repetition counts — the batch `<g>_first_ts/_last_ts/_n/
+    * _inner_n` columns. Equal-timestamp completion-vs-close resolves by
+    * the (ms, type, tie, value) processing order (the established twin
+    * convention; batch uses strict time inequalities). maxPartials cap,
+    * watermark pruning and event-time eviction as in [[cepPatternGroup]]. */
+  def cepPatternNestedGroup(events: Dataset[Event], watermark: String,
+                            firstPred: Event => Boolean,
+                            innerPreds: Seq[Event => Boolean],
+                            tailPred: Event => Boolean, withinMs: Long,
+                            maxPartials: Int = 256,
+                            tieOf: Event => Double = _.value): Dataset[NestMatch] = {
+    require(innerPreds.size >= 2, "the inner sub-group needs at least two steps")
+    implicit val outEnc = Encoders.product[NestMatch]
+    implicit val accEnc = Encoders.product[NestAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[NestAcc, NestMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[NestAcc]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = Seq.newBuilder[NestMatch]
+          def emit(p: NestPartial): Unit =
+            out += NestMatch(userId, new Timestamp(p.firstMs),
+              new Timestamp(p.gFirstMs), new Timestamp(p.lastTailMs),
+              p.reps, p.innerTot)
+          val wm = state.getCurrentWatermarkMs()
+          val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
+            rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
+          val (readyB, held) = buf0.partition(_.ms < wm)
+          readyB.map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value))
+            .sortBy(e => (e.ts.getTime, e.event_type, tieOf(e), e.value)).foreach { e =>
+            val t = e.ts.getTime
+            partials = partials.flatMap { p =>
+              if (t > p.firstMs + withinMs) {
+                // window expired: the chain is final — completed
+                // repetitions emit, an in-progress one is discarded
+                if (p.reps >= 1) emit(p)
+                None
+              } else {
+                // the next binding must be strictly after: the previous
+                // tail (repetition anchor), the last completed sub (chain
+                // extension), or the in-progress sub's last bound step
+                val anchor =
+                  if (p.subIdx > 0) p.inSubLastMs
+                  else if (p.curSubs > 0) p.lastCompMs
+                  else math.max(p.lastTailMs, p.firstMs)
+                if (p.subIdx < innerPreds.size && innerPreds(p.subIdx)(e) &&
+                    t > anchor) {
+                  if (p.subIdx == innerPreds.size - 1) {
+                    // inner sub-sequence completes: absorb into the chain
+                    val firstOfMatch = p.reps == 0 && p.curSubs == 0
+                    Some(p.copy(
+                      gFirstMs = if (firstOfMatch) p.curStartMs else p.gFirstMs,
+                      lastCompMs = t, curSubs = p.curSubs + 1,
+                      subIdx = 0, curStartMs = -1L, inSubLastMs = -1L))
+                  } else if (p.subIdx == 0)
+                    Some(p.copy(subIdx = 1, curStartMs = t, inSubLastMs = t))
+                  else Some(p.copy(subIdx = p.subIdx + 1, inSubLastMs = t))
+                } else if (tailPred(e) && p.curSubs >= 1 && t > p.lastCompMs) {
+                  // the tail closes the repetition; an in-progress sub is
+                  // discarded (the batch next-repetition anchor is strictly
+                  // after this tail, so its start can never be reused)
+                  Some(p.copy(reps = p.reps + 1,
+                    innerTot = p.innerTot + p.curSubs, lastTailMs = t,
+                    curSubs = 0L, subIdx = 0, curStartMs = -1L,
+                    inSubLastMs = -1L, lastCompMs = -1L))
+                } else Some(p)
+              }
+            }
+            if (firstPred(e))
+              partials = (NestPartial(t) :: partials).take(maxPartials)
+          }
+          // strict: expiry is final only once the watermark strictly
+          // passes the window end (an event AT the end may be buffered)
+          val (expired, alive) = partials.partition(_.firstMs + withinMs < wm)
+          expired.foreach(p => if (p.reps >= 1) emit(p))
+          partials = alive
+          if (partials.isEmpty && held.isEmpty) state.remove()
+          else {
+            state.update(NestAcc(partials, held))
             state.setTimeoutTimestamp(math.max(wm + 1,
               (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }

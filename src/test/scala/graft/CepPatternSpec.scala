@@ -990,6 +990,59 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streaming=$streaming batch=$batch")
   }
 
+  test("batch followedByNestedGroup and streaming cepPatternNestedGroup agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the m33 unit scenarios: punctuated repetitions, dangling subs,
+    // tail-before-any-sub skipped, in-progress sub discarded at close
+    val all = Seq(
+      (1L, at(0), "s"), (1L, at(5), "b"), (1L, at(10), "c"),
+      (1L, at(12), "b"), (1L, at(14), "c"), (1L, at(20), "v"),
+      (1L, at(25), "b"), (1L, at(30), "c"), (1L, at(35), "v"),
+      (2L, at(0), "s"), (2L, at(5), "b"), (2L, at(10), "c"),
+      (3L, at(0), "s"), (3L, at(5), "b"), (3L, at(10), "c"),
+      (3L, at(15), "v"), (3L, at(20), "b"),
+      (5L, at(0), "s"), (5L, at(5), "b"), (5L, at(10), "c"), (5L, at(11), "v"),
+      (5L, at(12), "b"), (5L, at(14), "c"), (5L, at(16), "v"),
+      (6L, at(0), "s"), (6L, at(5), "b"), (6L, at(10), "c"), (6L, at(12), "v"),
+      (6L, at(15), "b"), (6L, at(20), "c"),
+      (7L, at(0), "s"), (7L, at(2), "v"), (7L, at(5), "b"), (7L, at(7), "v"),
+      (7L, at(10), "c"), (7L, at(12), "v"))
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")))
+      .oneOrMore()
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternNestedGroup(in.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        _.event_type == "v", HOUR).toDF()
+      .writeStream.format("memory").queryName("s_nest_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(11)); q.processAllAvailable() // split mid-chain
+    in.addData(evs.drop(11)); q.processAllAvailable()
+    // matches finalize at window expiry: push the watermark past every
+    // window end, then one more batch for the event-time timeouts
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_nest_parity").as[graft.streaming.NestMatch].collect()
+      .map(m => (m.user_id, m.first_ts, m.grp_first_ts, m.grp_last_ts,
+        m.n_reps, m.n_inner))
+      .toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), at(5), at(35), 2L, 3L),
+      (3L, at(0), at(5), at(15), 1L, 1L),
+      (5L, at(0), at(5), at(16), 2L, 2L),
+      (6L, at(0), at(5), at(12), 1L, 1L),
+      (7L, at(0), at(5), at(12), 1L, 1L)),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("batch bindGroup values and streaming cepPatternGroup(valueSubIdx) agree") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
