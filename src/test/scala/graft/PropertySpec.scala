@@ -299,6 +299,75 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     })
   }
 
+  test("followedByNestedGroup ((B C)+ V)+ == brute-force punctuated-walk reference") {
+    import graft.cep.Pattern
+    val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val WindowMs = 30L * 60000
+    val gen = Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 2L), Gen.oneOf("s", "b", "c", "v")))
+    assertHolds(Prop.forAll(gen) { rows =>
+      val evs = rows.zipWithIndex.map { case ((u, t), i) => (u, T0.getTime + i * 60000L, t) }
+      val df = evs.map { case (u, tm, t) => (u, new java.sql.Timestamp(tm), t) }
+        .toDF("user_id", "ts", "event_type")
+      val got = Pattern.begin("s", col("event_type") === "s")
+        .followedByNestedGroup("g",
+          Seq("b" -> (col("event_type") === "b"), "c" -> (col("event_type") === "c")),
+          Seq("v" -> (col("event_type") === "v")))
+        .oneOrMore()
+        .within(WindowMs).detect(df, col("user_id"), col("ts"))
+        .collect().map(r => (r.getAs[Long]("key"),
+          r.getAs[java.sql.Timestamp]("s_ts").getTime,
+          r.getAs[java.sql.Timestamp]("g_first_ts").getTime,
+          r.getAs[java.sql.Timestamp]("g_last_ts").getTime,
+          r.getAs[Long]("g_n"),
+          r.getAs[Long]("g_inner_n"))).toSet
+      // reference: the tail-punctuated two-level walk per anchor — each
+      // outer repetition starts at the earliest inner-sub start after the
+      // previous tail binding, absorbs further subs only while they
+      // complete strictly before the earliest in-window v after the chain
+      // end, then binds that v; chain ends at the first failing repetition
+      val want = (for {
+        u <- evs.map(_._1).distinct
+        sorted = evs.filter(_._1 == u).map(e => (e._2, e._3)).sortBy(_._1)
+        (t0, "s") <- sorted
+        end = t0 + WindowMs
+        // inner sub-match table: every b with its earliest span-bounded c
+        subs = sorted.collect { case (b, "b") => b }.flatMap(b =>
+          sorted.collectFirst { case (t, "c") if t > b && t <= b + WindowMs => (b, t) })
+        result = {
+          var lastEnd = t0
+          var first = -1L; var n = 0L; var inner = 0L; var done = false
+          while (!done) {
+            subs.find(_._1 > lastEnd) match {
+              case None => done = true
+              case Some((b0, e0)) if e0 > end => done = true
+              case Some((b0, e0)) =>
+                var e = e0; var k = 1L; var more = true
+                while (more) {
+                  val nx = subs.find(_._1 > e)
+                  val tCand = sorted.collectFirst {
+                    case (t, "v") if t > e && t <= end => t }
+                  nx match {
+                    case Some((_, ne)) if ne <= end &&
+                        (tCand.isEmpty || ne < tCand.get) => e = ne; k += 1
+                    case _ => more = false
+                  }
+                }
+                sorted.collectFirst { case (t, "v") if t > e && t <= end => t } match {
+                  case None => done = true
+                  case Some(v) =>
+                    if (n == 0) first = b0
+                    lastEnd = v; n += 1; inner += k
+                }
+            }
+          }
+          (first, lastEnd, n, inner)
+        }
+        if result._3 >= 1
+      } yield (u, t0, result._1, result._2, result._3, result._4)).toSet
+      (got == want) :| s"got=$got want=$want"
+    })
+  }
+
   test("bindGroup value aggregates == brute-force greedy-chain reference on random logs") {
     import graft.cep.Pattern
     val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
