@@ -620,15 +620,14 @@ object MatchRecognize {
           compiled(sv)._2.foreach(_ => sys.error(s"nested group ${v.name}: " +
             s"member $sv may not use an iterative/PREV condition"))
         }
-        require(!spec.allRows, s"ALL ROWS PER MATCH over a nested group " +
-          s"(${v.name}) is not supported — the chain materializes no " +
-          "per-repetition member bindings (use ONE ROW PER MATCH)")
         require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
           s"compose with a nested group (${v.name}): the chain binds no " +
           "member values for a tiebreak to steer")
         pat = pat.followedByNestedGroup(v.name,
           v.innerSeq.map(sv => sv -> compiled(sv)._1),
           v.seq.map(sv => sv -> compiled(sv)._1))
+        // ALL ROWS needs each bound event + running counts on the match row
+        if (spec.allRows) pat = pat.materializeNestedRows()
         pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
       } else if (v.seq.nonEmpty) {
         // sequence group (B C)+ / (B C)* — flink-cep GroupPattern under
@@ -928,6 +927,15 @@ object MatchRecognize {
                             compiled: Map[String, (Column, Option[Column], Seq[(String, String)])],
                             bindByVar: Map[String, Seq[String]]): DataFrame = {
     val runVs = spec.vars.filter(v => v.quant.exists(q => q == "+" || q == "*"))
+    val nestedVs = spec.vars.filter(_.innerSeq.nonEmpty)
+    if (nestedVs.nonEmpty) {
+      require(nestedVs.size == 1 && spec.vars.count(_.seq.nonEmpty) == 1,
+        "ALL ROWS PER MATCH supports one nested group (no other groups)")
+      require(!runVs.exists(v => v.seq.isEmpty),
+        "ALL ROWS PER MATCH: a nested group does not compose with plain " +
+          "'+'/'*' runs in the same pattern")
+      return allRowsNested(spec, matches0, bounds, nestedVs.head)
+    }
     val groupVs = spec.vars.filter(_.seq.nonEmpty)
     if (groupVs.nonEmpty) {
       require(groupVs.size == 1,
@@ -1015,6 +1023,83 @@ object MatchRecognize {
     matches.select(keyOut(spec) :+ explode(array(structs: _*)).as("__r"): _*)
       .filter(col("__r.ts").isNotNull) // skipped optional expansions emit no row
       .select(spec.partitionBy.map(col) ++ rowCols.map(n => col(s"__r.$n").as(n)): _*)
+  }
+
+  /** [[allRowsOutput]]'s NESTED-GROUP expansion — ALL ROWS over
+    * `((B C)+ V)+` (reference StreamExecMatch emits member rows for ANY
+    * pattern shape): the chain walk already materialized every bound event
+    * with its classifier and running repetition counts
+    * (`Pattern.materializeNestedRows`, `<g>_rows` = (ts, cls, reps,
+    * subs)), so the expansion is one generator over the match row — no
+    * join, no window. Supported measures: plain unquantified PREFIX
+    * variables (running-null before their row), CLASSIFIER(),
+    * MATCH_NUMBER(), running COUNT over a tail member or the group (outer
+    * repetitions as of the row) and over the FINAL inner member (inner
+    * sub-sequences as of the row); everything else is a named error. The
+    * nested group must be the final pattern element. */
+  private def allRowsNested(spec: Spec, matches0: DataFrame,
+                            bounds: Map[String, (Int, Int)],
+                            g: PatternVar): DataFrame = {
+    require(spec.vars.last.name == g.name,
+      "ALL ROWS over a nested group: the nested group must be the FINAL " +
+        "pattern element")
+    val pre = spec.vars.init
+    pre.foreach(v => require(v.quant.isEmpty && v.alts.isEmpty && v.seq.isEmpty,
+      "ALL ROWS over a nested group composes with plain unquantified " +
+        s"prefix variables only (got ${v.name})"))
+    val mnAliases = spec.measures.filter(_.fn.contains("MATCH_NUMBER")).map(_.alias)
+    val matches = if (mnAliases.isEmpty) matches0 else {
+      val mnWindow = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(matches0.columns.filter(_.endsWith("_ts")).map(col).toIndexedSeq: _*)
+      mnAliases.foldLeft(matches0)((df, a) =>
+        df.withColumn(s"__mn_$a", row_number().over(mnWindow).cast("long")))
+    }
+    val finalInner = g.innerSeq.last
+    val preIdx: Map[String, Int] = pre.map(_.name).zipWithIndex.toMap
+    def isMember(v: String): Boolean =
+      v == g.name || g.innerSeq.contains(v) || g.seq.contains(v)
+    // running count columns ride each materialized row; u = prefix row
+    // index (pre.size on member rows) gates prefix-variable visibility
+    def measureAt(m: Measure, u: Int, r: Option[Column]): Column =
+      if (m.fn.contains("MATCH_NUMBER")) col(s"__mn_${m.alias}")
+      else if (m.fn.contains("CLASSIFIER"))
+        r.map(_.getField("cls")).getOrElse(lit(pre(u).name))
+      else if (isMember(m.varName)) {
+        require(m.field == "ts" && m.fn.contains("COUNT"),
+          s"ALL ROWS over nested group ${g.name}: running COUNT over " +
+            s"member timestamps is the only member measure (got " +
+            s"${m.fn.getOrElse("a bare reference")}(${m.varName}." +
+            s"${m.field}))")
+        if (m.varName != g.name && g.innerSeq.contains(m.varName)) {
+          require(m.varName == finalInner,
+            s"COUNT(${m.varName}.ts): running inner counts materialize " +
+              s"for the FINAL inner member only ($finalInner)")
+          r.map(_.getField("subs")).getOrElse(lit(0L))
+        } else r.map(_.getField("reps")).getOrElse(lit(0L))
+      } else {
+        val i = preIdx.getOrElse(m.varName,
+          sys.error(s"unknown variable ${m.varName}"))
+        require(m.fn.isEmpty || m.fn.contains("FIRST") || m.fn.contains("LAST"),
+          s"prefix variable ${m.varName}: bare/FIRST/LAST only (got " +
+            s"${m.fn.get})")
+        // running semantics: a later prefix variable is null before its row
+        if (i <= u) col(s"${m.varName}_${m.field}")
+        else when(lit(false), col(s"${m.varName}_${m.field}"))
+      }
+    val prefixStructs = pre.zipWithIndex.map { case (v, u) =>
+      struct((lit(v.name).as("cls") +: col(s"${v.name}_ts").as("ts") +:
+        spec.measures.map(m => measureAt(m, u, None).as(m.alias))): _*)
+    }
+    val memberRows = transform(col(s"${g.name}_rows"), r =>
+      struct((r.getField("cls").as("cls") +: r.getField("ts").as("ts") +:
+        spec.measures.map(m => measureAt(m, pre.size, Some(r)).as(m.alias))): _*))
+    val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
+    matches
+      .select(keyOut(spec) :+
+        explode(concat(array(prefixStructs: _*), memberRows)).as("__r"): _*)
+      .select(spec.partitionBy.map(col) ++
+        rowCols.map(n => col(s"__r.$n").as(n)): _*)
   }
 
   /** [[allRowsOutput]]'s SEQUENCE-GROUP expansion — ALL ROWS over `(B C)+`

@@ -393,12 +393,29 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * Per-match state is bounded by the repetition count (window-bounded),
     * and downstream consumers expand rows with generator expressions — no
     * extra join or shuffle. Requires the quantified (`+`/`*`) chain path. */
+  /** Materialize each bound event of the NESTED chain on the match row —
+    * the ALL ROWS PER MATCH surface of [[followedByNestedGroup]]: the match
+    * additionally carries `<name>_rows`, one struct per bound event in
+    * binding order — (ts, cls = the member variable's name, reps = outer
+    * repetitions completed as of the row, subs = inner sub-sequences
+    * completed as of the row; a row that itself completes a sub/repetition
+    * counts it). Rows of a repetition that never completes (a dangling
+    * inner chain at window end, or a failed tail) are never emitted.
+    * Per-match state is bounded by the window's binding count, and
+    * downstream consumers expand with a generator — no extra join. */
+  def materializeNestedRows(): Pattern = {
+    require(steps.nonEmpty && steps.last.innerGroup.nonEmpty,
+      "materializeNestedRows() requires followedByNestedGroup() as the last step")
+    new Pattern(steps.init :+ steps.last.copy(groupRows = true),
+      notStep, windowMs, skipPastLast, skipTo)
+  }
+
   def materializeGroupRows(): Pattern = {
     require(steps.nonEmpty && steps.last.group.nonEmpty,
       "materializeGroupRows() requires followedByGroup() as the last step")
     require(steps.last.innerGroup.isEmpty,
       "materializeGroupRows() does not compose with followedByNestedGroup()" +
-        " — nested chains carry timestamps and counts only")
+        " — use materializeNestedRows()")
     new Pattern(steps.init :+ steps.last.copy(groupRows = true),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -781,16 +798,21 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             .agg(min(col(s"__gc$j")).as(s"__ge$j"))
           prevSub = col(s"__ge$j")
         }
-        // tagged candidate union: inner sub-matches (tag 0, start + end)
-        // and each tail step's pre-filtered candidates (tag j+1, ts only)
-        // — pre-reduced per step, never raw unfiltered events
+        // tagged candidate union: inner sub-matches (tag 0, start + end +
+        // per-member binding times) and each tail step's pre-filtered
+        // candidates (tag j+1, ts only) — pre-reduced per step, never raw
+        // unfiltered events
+        val memTs: Seq[Column] = col("__gb") +:
+          (0 until s.innerGroup.size - 1).map(j => col(s"__ge$j"))
         val tagged = s.group.zipWithIndex.foldLeft(
           isubs.select(col("__gk"), lit(0).as("__tag"),
-            col("__gb").as("__t1"), prevSub.as("__t2"))) {
+            col("__gb").as("__t1"), prevSub.as("__t2"),
+            array(memTs: _*).as("__mems"))) {
           case (acc, ((_, p), j)) =>
             acc.unionByName(events.filter(p).select(key.as("__gk"),
               lit(j + 1).as("__tag"), ts.as("__t1"),
-              lit(null).cast("timestamp").as("__t2")))
+              lit(null).cast("timestamp").as("__t2"),
+              lit(null).cast("array<timestamp>").as("__mems")))
         }
         val anch = out.withColumn("__gprev", prevTs)
           .withColumn("__gwend", col(startTs) + win)
@@ -798,6 +820,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val keyIdx = aSchema.fieldIndex("__k")
         val prevIdx = aSchema.fieldIndex("__gprev")
         val wendIdx = aSchema.fieldIndex("__gwend")
+        val rowsFields = if (!s.groupRows) Nil else Seq(
+          org.apache.spark.sql.types.StructField(s"${s.name}_rows",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("ts",
+                  org.apache.spark.sql.types.TimestampType),
+                org.apache.spark.sql.types.StructField("cls",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("reps",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("subs",
+                  org.apache.spark.sql.types.LongType))), false)))
         val outSchema = org.apache.spark.sql.types.StructType(
           aSchema.fields ++ Seq(
             org.apache.spark.sql.types.StructField(s"${s.name}_first_ts",
@@ -807,18 +841,23 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             org.apache.spark.sql.types.StructField(s"${s.name}_n",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField(s"${s.name}_inner_n",
-              org.apache.spark.sql.types.LongType)))
+              org.apache.spark.sql.types.LongType)) ++ rowsFields)
         val strEnc = org.apache.spark.sql.Encoders.STRING
         val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
         val candKV = tagged.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
         val optGroup = s.opt
         val nTails = s.group.size
+        val matRows = s.groupRows
+        val innerNames = s.innerGroup.map(_._1)
+        val tailNames = s.group.map(_._1)
         val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
           val all = cs.toArray
-          // inner sub-matches sorted by start; per-tail sorted candidate
-          // times — full-precision Timestamp comparisons throughout
+          // inner sub-matches sorted by start (+ member binding times for
+          // materializeNestedRows); per-tail sorted candidate times —
+          // full-precision Timestamp comparisons throughout
           val subs = all.filter(_.getInt(1) == 0)
-            .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3)))
+            .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3),
+              if (matRows) r.getSeq[Any](4).map(Pattern.anyToTs) else null))
             .sortWith((p, q) => p._1.before(q._1))
           val tails = Array.tabulate(nTails) { j =>
             all.filter(_.getInt(1) == j + 1).map(r => Pattern.tsOf(r, 2))
@@ -844,6 +883,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             var lastEnd = tau
             var first: java.sql.Timestamp = null
             var n = 0L; var innerTot = 0L; var done = false
+            // materializeNestedRows: per bound event (ts, cls, reps, subs)
+            // — flushed per COMPLETED repetition, a failed attempt's rows
+            // are discarded
+            val allRows = if (matRows)
+              scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            else null
             while (!done) {
               // next outer repetition: the earliest inner-sub start
               // strictly after the previous repetition's end (inner
@@ -852,11 +897,26 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               val i0 = subAfter(lastEnd)
               if (i0 >= subs.length || subs(i0)._2.after(wEnd)) done = true
               else {
+                val repRows = if (matRows)
+                  scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+                else null
+                // a sub's member rows: running counts AS OF each row (the
+                // final member completes the sub, so it counts it)
+                def subRows(idx: Int, kAfter: Long): Unit = if (matRows) {
+                  val mems = subs(idx)._3
+                  var j = 0
+                  while (j < mems.length) {
+                    repRows += org.apache.spark.sql.Row(mems(j), innerNames(j),
+                      n, innerTot + kAfter - (if (j == mems.length - 1) 0 else 1))
+                    j += 1
+                  }
+                }
                 // inner chain bounded by the first tail opportunity: absorb
                 // the next sub-match only if it completes strictly BEFORE
                 // the earliest first-tail candidate after the current chain
                 // end (the tail punctuates repetitions — reluctant close)
                 var e = subs(i0)._2; var k = 1L; var more = true
+                subRows(i0, 1L)
                 while (more) {
                   val nx = subAfter(e)
                   val tx = tailAfter(0, e)
@@ -864,7 +924,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                       !tails(0)(tx).after(wEnd)) tails(0)(tx) else null
                   if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
                       (tCand != null && !subs(nx)._2.before(tCand))) more = false
-                  else { e = subs(nx)._2; k += 1 }
+                  else { e = subs(nx)._2; k += 1; subRows(nx, k) }
                 }
                 // tail bindings: earliest candidate strictly after the
                 // previous binding, all within the match window
@@ -872,22 +932,30 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 while (ok && ti < nTails) {
                   val x = tailAfter(ti, t)
                   if (x >= tails(ti).length || tails(ti)(x).after(wEnd)) ok = false
-                  else { t = tails(ti)(x); ti += 1 }
+                  else {
+                    t = tails(ti)(x)
+                    if (matRows) repRows += org.apache.spark.sql.Row(t,
+                      tailNames(ti), n + 1, innerTot + k)
+                    ti += 1
+                  }
                 }
                 if (!ok) done = true
                 else {
                   if (n == 0) first = subs(i0)._1
                   lastEnd = t; n += 1; innerTot += k
+                  if (matRows) allRows ++= repRows
                 }
               }
             }
+            val rowsCols: Seq[Any] = if (matRows) Seq(allRows.toSeq) else Nil
             // ((...)+ ...)* (opt): an empty chain keeps the match row with
             // null boundaries and count 0 — the zeroOrMore convention
             if (n == 0 && !optGroup) Iterator.empty
             else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
-              a.toSeq ++ Seq(null, null, 0L, 0L)))
+              a.toSeq ++ Seq(null, null, 0L, 0L) ++
+                (if (matRows) Seq(Seq.empty) else Nil)))
             else Iterator.single(org.apache.spark.sql.Row.fromSeq(
-              a.toSeq ++ Seq(first, lastEnd, n, innerTot)))
+              a.toSeq ++ Seq(first, lastEnd, n, innerTot) ++ rowsCols))
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
         out = chained.toDF().drop("__gprev", "__gwend")

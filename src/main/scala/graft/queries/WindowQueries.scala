@@ -2266,6 +2266,60 @@ object WindowQueries {
       |       match_end AS grp_last_ts, n_done AS n_reps, inner_done AS n_inner
       |FROM best WHERE rn = 1""".stripMargin
 
+  // --- m34: ALL ROWS PER MATCH over the NESTED group pattern (m33's
+  // per-event twin; StreamExecMatch emits member rows for ANY pattern
+  // shape): the chain walk materializes every bound event with its
+  // classifier and running repetition counts (`materializeNestedRows`),
+  // so the expansion is ONE generator over the match row — no join, no
+  // window. Oracle: the m33 deterministic-successor walk re-read as a row
+  // source — every 'chain' row IS one inner sub-match (B + C rows), every
+  // 'closed' row IS one tail binding (V row), filtered to repetitions
+  // that completed (rep index <= the final repetition count).
+  private val m34: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(C.ts) AS n_inner
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+  private val m34Sql = m33Sql.replace(
+    """best AS (
+      |  SELECT user_id, s_ts, first_b, match_end, n_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, s_ts AS signup_ts, first_b AS grp_first_ts,
+      |       match_end AS grp_last_ts, n_done AS n_reps, inner_done AS n_inner
+      |FROM best WHERE rn = 1""".stripMargin,
+    """best AS (
+      |  SELECT user_id, s_ts, n_done,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT b.user_id, 'S' AS cls, b.s_ts AS ts, b.s_ts AS signup_ts,
+      |       CAST(0 AS BIGINT) AS n_reps, CAST(0 AS BIGINT) AS n_inner
+      |FROM best b WHERE b.rn = 1
+      |UNION ALL
+      |SELECT w.user_id, 'B', w.cur_b, w.s_ts, w.n_done,
+      |       w.inner_done + w.chain_k - 1
+      |FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
+      |WHERE b.rn = 1 AND w.phase = 'chain' AND w.n_done + 1 <= b.n_done
+      |UNION ALL
+      |SELECT w.user_id, 'C', w.cur_e, w.s_ts, w.n_done,
+      |       w.inner_done + w.chain_k
+      |FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
+      |WHERE b.rn = 1 AND w.phase = 'chain' AND w.n_done + 1 <= b.n_done
+      |UNION ALL
+      |SELECT w.user_id, 'V', w.match_end, w.s_ts, w.n_done, w.inner_done
+      |FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
+      |WHERE b.rn = 1 AND w.phase = 'closed'""".stripMargin)
+
   // --- w25: CASCADING window re-aggregation (the Flink "cascading window
   // aggregation" pattern — flink-docs window-agg section; coarse windows
   // re-aggregate fine PARTIALS instead of rescanning facts): hourly tumble
@@ -2322,7 +2376,7 @@ object WindowQueries {
     "m27_prev_foreign" -> m27, "m28_prev_plain" -> m28,
     "m29_all_rows_alt" -> m29, "m30_multi_tiebreak" -> m30,
     "m31_all_rows_two_runs" -> m31, "m32_all_rows_group_run" -> m32,
-    "m33_nested_group" -> m33)
+    "m33_nested_group" -> m33, "m34_all_rows_nested" -> m34)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -2352,5 +2406,6 @@ object WindowQueries {
     "m27_prev_foreign" -> m27Sql, "m28_prev_plain" -> m28Sql,
     "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql,
     "m31_all_rows_two_runs" -> m31Sql, "m32_all_rows_group_run" -> m32Sql,
-    "m33_nested_group" -> m33Sql, "w25_cascading_windows" -> w25Sql)
+    "m33_nested_group" -> m33Sql, "m34_all_rows_nested" -> m34Sql,
+    "w25_cascading_windows" -> w25Sql)
 }

@@ -225,6 +225,34 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (3L, None, None, 0L, 0L, at(20))), m.toString)
   }
 
+  test("followedByNestedGroup + materializeNestedRows: per-event rows with running counts") {
+    // user 1: rep1 = (5,10)(12,14) v@20, rep2 = (25,30) v@35; a dangling
+    // b@40 (no c, no v) contributes NO rows
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),
+      (1L, at(12), "b"), (1L, at(14), "c"), (1L, at(20), "v"),
+      (1L, at(25), "b"), (1L, at(30), "c"), (1L, at(35), "v"),
+      (1L, at(40), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")))
+      .oneOrMore()
+      .materializeNestedRows()
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", explode($"g_rows").as("r"))
+      .select($"key", $"r.ts", $"r.cls", $"r.reps", $"r.subs")
+      .as[(Long, Timestamp, String, Long, Long)].collect().toSet
+    assert(m == Set(
+      (1L, at(5), "b", 0L, 0L), (1L, at(10), "c", 0L, 1L),
+      (1L, at(12), "b", 0L, 1L), (1L, at(14), "c", 0L, 2L),
+      (1L, at(20), "v", 1L, 2L),
+      (1L, at(25), "b", 1L, 2L), (1L, at(30), "c", 1L, 3L),
+      (1L, at(35), "v", 2L, 3L)), m.toString)
+  }
+
   test("followedByNestedGroup: named rejections") {
     val p = Pattern.begin("s", $"event_type" === "signup")
       .followedByNestedGroup("g",

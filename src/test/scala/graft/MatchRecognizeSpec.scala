@@ -927,19 +927,19 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         E AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin))
     assert(e3.getMessage.contains("deeper"), e3.getMessage)
-    // ALL ROWS over a nested group: named rejection
+    // ALL ROWS with the nested group NOT the final element: named rejection
     val e4 = intercept[Exception](MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES S.ts AS s_ts
         |  ALL ROWS PER MATCH
-        |  PATTERN (S ((B C)+ D)+)
+        |  PATTERN (S ((B C)+ D)+ P)
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
-        |         C AS event_type = 'view', D AS event_type = 'purchase'
+        |         C AS event_type = 'view', D AS event_type = 'error',
+        |         P AS event_type = 'purchase'
         |)""".stripMargin))
-    assert(e4.getMessage.contains("ALL ROWS PER MATCH over a nested group"),
-      e4.getMessage)
+    assert(e4.getMessage.contains("FINAL pattern element"), e4.getMessage)
     // value measures over a nested group member: named rejection
     val e5 = intercept[Exception](MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
@@ -951,6 +951,39 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         C AS event_type = 'view', D AS event_type = 'purchase'
         |)""".stripMargin))
     assert(e5.getMessage.contains("timestamp measures only"), e5.getMessage)
+  }
+
+  test("ALL ROWS PER MATCH over a nested group S ((B C)+ V)+") {
+    // user 1: rep1 = (10,20)(25,30) v@40, rep2 = (45,50) v@55; the
+    // dangling click@58 (no view/v) contributes no row
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0),
+      (1L, at(10), "click", 0.0), (1L, at(20), "view", 0.0),
+      (1L, at(25), "click", 0.0), (1L, at(30), "view", 0.0),
+      (1L, at(40), "error", 0.0),
+      (1L, at(45), "click", 0.0), (1L, at(50), "view", 0.0),
+      (1L, at(55), "error", 0.0), (1L, at(58), "click", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(C.ts) AS n_inner
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+      .as[(Long, String, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(m == Set(
+      (1L, "S", at(0), at(0), 0L, 0L),
+      (1L, "B", at(10), at(0), 0L, 0L), (1L, "C", at(20), at(0), 0L, 1L),
+      (1L, "B", at(25), at(0), 0L, 1L), (1L, "C", at(30), at(0), 0L, 2L),
+      (1L, "V", at(40), at(0), 1L, 2L),
+      (1L, "B", at(45), at(0), 1L, 2L), (1L, "C", at(50), at(0), 1L, 3L),
+      (1L, "V", at(55), at(0), 2L, 3L)), m.toString)
   }
 
   test("nested group pattern S ((B C)+ V)+ from SQL text") {
