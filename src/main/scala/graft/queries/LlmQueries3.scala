@@ -619,6 +619,83 @@ object LlmQueries3 {
       |       cum_before % 128 AS seq_off
       |FROM c2""".stripMargin
 
+  // ---------- e01: end-to-end curation pipeline capstone ----------
+  // The production pretraining-data flow composed from the engine's own
+  // verified stages, as ONE Catalyst plan: quality FILTER (t02's signals,
+  // integer-exact cross-multiplied threshold — no float boundary) →
+  // PII REDACTION (t09's regexp_replace) → exact DEDUP on the redacted
+  // hash keeping the min doc_id (d01's shape — redaction BEFORE hashing,
+  // so scrubbed near-dups converge) → overlapping token-window CHUNKING
+  // (p03's generator expressions) → greedy bucket PACKING (p01/p04's
+  // partitioned cumsum). Two shuffles total at any scale: the dedup hash
+  // aggregate and the packing bucket window — filter/redact/chunk are
+  // row-local, nothing is materialized between stages, and the plan is
+  // asserted cartesian-free with the shuffle count pinned (CurationSpec).
+  private val e01: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val W = 32; val S = 24; val budget = 128L
+    val stopWords = graft.operators.TextOps.langProfiles.head._2
+    val toks0 = split(col("text"), " ")
+    val stop = graft.operators.TextOps.profileScore(toks0, stopWords)
+    // keep: >= 30 tokens AND stopword ratio >= 0.1 (stop*10 >= n, exact)
+    val kept = docs(s, dir)
+      .filter(size(toks0) >= 30 && stop * lit(10) >= size(toks0))
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[a-z]{9,}", "<TOK>").as("cleaned"))
+    val ddup = kept.groupBy(md5(col("cleaned")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("cleaned")).as("cleaned"))
+    val chunks = ddup
+      .select(col("doc_id"), split(col("cleaned"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(S))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        least(lit(W), size(col("toks")) - col("col")).cast("long").as("tokens"))
+    val keyed = chunks.withColumn("bkt",
+      conv(substring(md5(concat_ws(":", col("doc_id"), col("chunk_idx"))), 32, 1),
+        16, 10).cast("int"))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("chunk_idx"), col("tokens"), col("bkt"),
+        (col("bkt").cast("long") * (1L << 20) +
+          floor(col("cum_before") / budget).cast("long")).as("seq_id"),
+        (col("cum_before") % budget).as("seq_off"))
+  }
+  private val e01Sql = {
+    val set = graft.operators.TextOps.langProfiles.head._2
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id,
+       |  regexp_replace(text, '[a-z]{9,}', '<TOK>', 'g') AS cleaned,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS stop
+       | FROM documents),
+       |kept AS (SELECT doc_id, cleaned FROM f
+       |         WHERE n_tokens >= 30 AND stop * 10 >= n_tokens),
+       |ddup AS (SELECT md5(cleaned) AS h, min(doc_id) AS doc_id,
+       |                min(cleaned) AS cleaned
+       |         FROM kept GROUP BY 1),
+       |t AS (SELECT doc_id, string_split(cleaned, ' ') AS toks FROM ddup),
+       |ch AS (SELECT doc_id, CAST(st0 // 24 AS INT) AS chunk_idx,
+       |        CAST(least(32, len(toks) - st0) AS BIGINT) AS tokens
+       |       FROM (SELECT doc_id, toks,
+       |              unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS st0
+       |             FROM t)),
+       |k AS (SELECT doc_id, chunk_idx, tokens,
+       |       CAST(strpos('0123456789abcdef', substr(md5(
+       |         CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)),
+       |         32, 1)) - 1 AS INT) AS bkt
+       |      FROM ch),
+       |c2 AS (SELECT *, CAST(coalesce(sum(tokens) OVER (
+       |         PARTITION BY bkt ORDER BY doc_id, chunk_idx
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |         AS cum_before
+       |       FROM k)
+       |SELECT doc_id, chunk_idx, tokens, bkt,
+       |       CAST(bkt AS BIGINT) * 1048576 + cum_before // 128 AS seq_id,
+       |       cum_before % 128 AS seq_off
+       |FROM c2""".stripMargin
+  }
+
   // ---------- t08: unigram log-probability (novelty) score ----------
   // The CCNet/Dolma-style LM-score proxy without a model: a document's
   // mean negative log corpus-unigram probability. Low = boilerplate made
@@ -655,7 +732,7 @@ object LlmQueries3 {
     "d11_token_budget_scalable" -> d11, "d12_incremental_dedup" -> d12,
     "d13_decontaminate" -> d13, "d14_fuzzy_decontaminate" -> d14,
     "d15_chunk_dedup" -> d15, "p01_seq_packing" -> p01,
-    "p02_domain_mix" -> p02)
+    "p02_domain_mix" -> p02, "e01_curation_pipeline" -> e01)
   val oracles: Map[String, String] = Map(
     "p03_doc_chunking" -> p03Sql, "p04_chunk_packing" -> p04Sql,
     "t08_novelty_score" -> t08Sql, "t09_pii_redact" -> t09Sql,
@@ -664,5 +741,5 @@ object LlmQueries3 {
     "d11_token_budget_scalable" -> d11Sql, "d12_incremental_dedup" -> d12Sql,
     "d13_decontaminate" -> d13Sql, "d14_fuzzy_decontaminate" -> d14Sql,
     "d15_chunk_dedup" -> d15Sql, "p01_seq_packing" -> p01Sql,
-    "p02_domain_mix" -> p02Sql)
+    "p02_domain_mix" -> p02Sql, "e01_curation_pipeline" -> e01Sql)
 }

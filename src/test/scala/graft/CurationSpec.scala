@@ -83,6 +83,33 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), "no cross product")
   }
 
+  test("e01: end-to-end pipeline — filter/redact/dedup semantics, two shuffles") {
+    // doc 1+2: exact duplicates AFTER redaction (differ only inside a
+    // 9+-char word) -> one survives (min doc_id); doc 3: too few tokens ->
+    // filtered; doc 4: no stopwords -> filtered; doc 5: distinct keeper
+    val stopy = (1 to 15).map(_ => "the a").mkString(" ")       // 30 toks, all stop
+    val d1 = s"$stopy longwordxxa"
+    val d2 = s"$stopy longwordyyb"                              // same after <TOK>
+    val d5 = s"$stopy extra"
+    val dir = docsDir(Seq(
+      (1L, d1, "en", "s"), (2L, d2, "en", "s"),
+      (3L, "the a", "en", "s"), (4L, (1 to 40).map(_ => "zz").mkString(" "), "en", "s"),
+      (5L, d5, "en", "s")))
+    val out = SparkEntry.queries("e01_curation_pipeline")(spark, dir)
+    val kept = out.select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(1L, 5L), s"kept=$kept")
+    // ONE Catalyst plan, cartesian-free, exactly TWO shuffles of its own
+    // (dedup hash aggregate + packing bucket window)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // AQE's toString prints the initial AND final trees (with distinct
+    // plan ids) — count exchanges in the FINAL tree only
+    val exchanges = p.split("== Initial Plan ==").head
+      .split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <= 2 shuffles, got $exchanges:\n${p.take(3000)}")
+  }
+
   test("p02: over-represented groups downsample, under-represented keep whole") {
     // 4 docs of lang a (200% of uniform share), 2 of b, 2 of c... target
     // share = 8/3 ≈ 2.67 docs → b and c keep all, a keeps u256 < 2/3*256
