@@ -170,14 +170,28 @@ case class TwoRunMatch(user_id: Long, first_ts: Timestamp,
 // completing before the next tail event was, by arrival order, absorbed
 // first — exactly the batch rule "absorb while completing strictly before
 // the first tail opportunity")
+// one materialized bound event of the nested chain (ts in epoch ms inside
+// state, Timestamp on the output row): classifier + running counts as of
+// the row — the batch `<g>_rows` struct
+case class NestRow(ms: Long, cls: String, reps: Long, subs: Long)
 case class NestPartial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
                        curStartMs: Long = -1L, inSubLastMs: Long = -1L,
                        lastCompMs: Long = -1L, curSubs: Long = 0L,
                        reps: Long = 0L, innerTot: Long = 0L,
-                       lastTailMs: Long = -1L)
+                       lastTailMs: Long = -1L,
+                       // materializeRows buffers: the in-progress sub's
+                       // member rows (discarded if the sub never
+                       // completes), the current repetition's completed-sub
+                       // rows (discarded if the repetition never closes),
+                       // and the match's committed rows — window-bounded
+                       curSubRows: List[NestRow] = Nil,
+                       curRepRows: List[NestRow] = Nil,
+                       doneRows: List[NestRow] = Nil)
 case class NestAcc(partials: List[NestPartial], buf: List[BufEv] = Nil)
+case class NestOutRow(ts: Timestamp, cls: String, reps: Long, subs: Long)
 case class NestMatch(user_id: Long, first_ts: Timestamp, grp_first_ts: Timestamp,
-                     grp_last_ts: Timestamp, n_reps: Long, n_inner: Long)
+                     grp_last_ts: Timestamp, n_reps: Long, n_inner: Long,
+                     rows: Seq[NestOutRow] = Nil)
 case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
                     rep_last_ts: Timestamp, rep_n: Long, last_ts: Timestamp,
                     rep_sum_value: Option[Double] = None,
@@ -1650,7 +1664,13 @@ object StreamOps {
     * The match finalizes at window expiry (a longer chain could form until
     * then); emission carries first/last boundaries plus outer and
     * total-inner repetition counts — the batch `<g>_first_ts/_last_ts/_n/
-    * _inner_n` columns. Equal-timestamp completion-vs-close resolves by
+    * _inner_n` columns. Under `materializeRows` (the batch
+    * `materializeNestedRows` twin) the match additionally carries every
+    * bound event as (ts, cls, running reps, running subs): the in-progress
+    * sub's rows are discarded if a tail closes the repetition first, and a
+    * repetition's rows commit only when its tail binds — exactly the batch
+    * never-emit-a-failed-repetition rule; state stays window-bounded.
+    * Equal-timestamp completion-vs-close resolves by
     * the (ms, type, tie, value) processing order (the established twin
     * convention; batch uses strict time inequalities). maxPartials cap,
     * watermark pruning and event-time eviction as in [[cepPatternGroup]]. */
@@ -1659,8 +1679,13 @@ object StreamOps {
                             innerPreds: Seq[Event => Boolean],
                             tailPred: Event => Boolean, withinMs: Long,
                             maxPartials: Int = 256,
+                            materializeRows: Boolean = false,
+                            innerNames: Seq[String] = Nil,
+                            tailName: String = "T",
                             tieOf: Event => Double = _.value): Dataset[NestMatch] = {
     require(innerPreds.size >= 2, "the inner sub-group needs at least two steps")
+    require(!materializeRows || innerNames.size == innerPreds.size,
+      "materializeRows needs one classifier name per inner step")
     implicit val outEnc = Encoders.product[NestMatch]
     implicit val accEnc = Encoders.product[NestAcc]
     implicit val keyEnc = Encoders.scalaLong
@@ -1674,7 +1699,10 @@ object StreamOps {
           def emit(p: NestPartial): Unit =
             out += NestMatch(userId, new Timestamp(p.firstMs),
               new Timestamp(p.gFirstMs), new Timestamp(p.lastTailMs),
-              p.reps, p.innerTot)
+              p.reps, p.innerTot,
+              if (!materializeRows) Nil
+              else p.doneRows.reverse.map(r =>
+                NestOutRow(new Timestamp(r.ms), r.cls, r.reps, r.subs)))
           val wm = state.getCurrentWatermarkMs()
           val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
             rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
@@ -1699,15 +1727,29 @@ object StreamOps {
                 if (p.subIdx < innerPreds.size && innerPreds(p.subIdx)(e) &&
                     t > anchor) {
                   if (p.subIdx == innerPreds.size - 1) {
-                    // inner sub-sequence completes: absorb into the chain
+                    // inner sub-sequence completes: absorb into the chain;
+                    // the final member's row counts the sub it completes
+                    // (row buffers are newest-first; emit reverses)
                     val firstOfMatch = p.reps == 0 && p.curSubs == 0
+                    val repRows =
+                      if (!materializeRows) Nil
+                      else NestRow(t, innerNames.last, p.reps,
+                        p.innerTot + p.curSubs + 1) ::
+                        (p.curSubRows ::: p.curRepRows)
                     Some(p.copy(
                       gFirstMs = if (firstOfMatch) p.curStartMs else p.gFirstMs,
                       lastCompMs = t, curSubs = p.curSubs + 1,
-                      subIdx = 0, curStartMs = -1L, inSubLastMs = -1L))
+                      subIdx = 0, curStartMs = -1L, inSubLastMs = -1L,
+                      curSubRows = Nil, curRepRows = repRows))
                   } else if (p.subIdx == 0)
-                    Some(p.copy(subIdx = 1, curStartMs = t, inSubLastMs = t))
-                  else Some(p.copy(subIdx = p.subIdx + 1, inSubLastMs = t))
+                    Some(p.copy(subIdx = 1, curStartMs = t, inSubLastMs = t,
+                      curSubRows = if (!materializeRows) Nil
+                        else List(NestRow(t, innerNames.head, p.reps,
+                          p.innerTot + p.curSubs))))
+                  else Some(p.copy(subIdx = p.subIdx + 1, inSubLastMs = t,
+                    curSubRows = if (!materializeRows) Nil
+                      else NestRow(t, innerNames(p.subIdx), p.reps,
+                        p.innerTot + p.curSubs) :: p.curSubRows))
                 } else if (tailPred(e) && p.curSubs >= 1 && t > p.lastCompMs) {
                   // the tail closes the repetition; an in-progress sub is
                   // discarded (the batch next-repetition anchor is strictly
@@ -1715,7 +1757,12 @@ object StreamOps {
                   Some(p.copy(reps = p.reps + 1,
                     innerTot = p.innerTot + p.curSubs, lastTailMs = t,
                     curSubs = 0L, subIdx = 0, curStartMs = -1L,
-                    inSubLastMs = -1L, lastCompMs = -1L))
+                    inSubLastMs = -1L, lastCompMs = -1L,
+                    curSubRows = Nil, curRepRows = Nil,
+                    doneRows = if (!materializeRows) Nil
+                      else NestRow(t, tailName, p.reps + 1,
+                        p.innerTot + p.curSubs) ::
+                        (p.curRepRows ::: p.doneRows)))
                 } else Some(p)
               }
             }

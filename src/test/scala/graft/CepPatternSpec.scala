@@ -1046,10 +1046,22 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
       .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n", $"g_inner_n")
       .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)].collect().toSet
+    val batchRows = Pattern.begin("s", $"event_type" === "s")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")))
+      .oneOrMore()
+      .materializeNestedRows()
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", explode($"g_rows").as("r"))
+      .select($"key", $"s_ts", $"r.ts", $"r.cls", $"r.reps", $"r.subs")
+      .as[(Long, Timestamp, Timestamp, String, Long, Long)].collect().toSet
     val in = MemoryStream[graft.streaming.Event]
     val q = StreamOps.cepPatternNestedGroup(in.toDS(), "2 hours",
         _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
-        _.event_type == "v", HOUR).toDF()
+        _.event_type == "v", HOUR,
+        materializeRows = true, innerNames = Seq("b", "c"), tailName = "v").toDF()
       .writeStream.format("memory").queryName("s_nest_parity").outputMode("append").start()
     val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
     in.addData(evs.take(11)); q.processAllAvailable() // split mid-chain
@@ -1058,10 +1070,16 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     // window end, then one more batch for the event-time timeouts
     in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
     in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
-    val streaming = spark.table("s_nest_parity").as[graft.streaming.NestMatch].collect()
+    val matches = spark.table("s_nest_parity").as[graft.streaming.NestMatch].collect()
+    val streaming = matches
       .map(m => (m.user_id, m.first_ts, m.grp_first_ts, m.grp_last_ts,
         m.n_reps, m.n_inner))
       .toSet
+    // per-event materialized rows agree with the batch g_rows explode
+    val streamingRows = matches.flatMap(m => m.rows.map(r =>
+      (m.user_id, m.first_ts, r.ts, r.cls, r.reps, r.subs))).toSet
+    assert(streamingRows == batchRows,
+      s"rows: streaming=$streamingRows batch=$batchRows")
     assert(streaming == batch && batch == Set(
       (1L, at(0), at(5), at(35), 2L, 3L),
       (3L, at(0), at(5), at(15), 1L, 1L),
