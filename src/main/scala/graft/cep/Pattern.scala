@@ -510,6 +510,57 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   /** Match window measured from the first step's event time. */
   def within(ms: Long): Pattern = new Pattern(steps, notStep, Some(ms), skipPastLast, skipTo)
 
+  /** Matches AND timed-out PARTIAL matches — the flink-cep timeout side
+    * output (reference flink-libraries/flink-cep/src/main/java/org/apache/
+    * flink/cep/PatternStream.java `select(OutputTag, PatternTimeoutFunction,
+    * PatternSelectFunction)`: a partial match whose window expires before
+    * completion is emitted to the timeout tag with its bound prefix).
+    * Returns (matches, timeouts): `matches` is exactly [[detect]]'s output;
+    * `timeouts` has the same columns with every step AFTER the first
+    * unbound one nulled (a partial match is stuck at its first unbound
+    * step — the bound prefix is the greedy chain, identical to the full
+    * match's bindings over those steps) plus `timeout_ts` = the window end
+    * (first binding + within). In the bounded/batch view every window has
+    * expired, so each start either completes or times out — the reference's
+    * bounded-stream semantics.
+    *
+    * Lowering: ONE compiled plan — every non-first step relaxed to a
+    * left-outer (optional) binding, then a projection splits full from
+    * partial rows; no second pass over the events. Linear plain
+    * `followedBy`/`followedByIterative` patterns only (quantifiers, groups,
+    * runs, strict steps, negatives and AFTER MATCH SKIP keep [[detect]]'s
+    * match-only contract — named error). */
+  def detectWithTimeouts(events: DataFrame, key: Column,
+                         ts: Column): (DataFrame, DataFrame) = {
+    require(windowMs.nonEmpty, "call within(...) before detectWithTimeouts")
+    require(notStep.isEmpty && !skipPastLast && skipTo.isEmpty &&
+      steps.forall(s => s.reps == 1 && !s.opt && !s.oneOrMore &&
+        s.alts.isEmpty && s.group.isEmpty && s.innerGroup.isEmpty &&
+        s.runOn.isEmpty && !s.strict && s.until.isEmpty),
+      "detectWithTimeouts() supports linear plain followedBy patterns " +
+        "(quantifiers/groups/runs/strict/negative steps and AFTER MATCH " +
+        "SKIP keep detect()'s match-only contract)")
+    val relaxed = new Pattern(steps.head +: steps.tail.map(_.copy(opt = true)),
+      None, windowMs)
+    val all = relaxed.detect(events, key, ts)
+    val tsCols = steps.map(s => col(s"${s.name}_ts"))
+    val full = tsCols.map(_.isNotNull).reduce(_ && _)
+    // prefix-truncate partials: a step's binding (and bound payload
+    // columns) survives only if every EARLIER step bound too — the
+    // relaxed compile lets a later step anchor past an unbound one, which
+    // a stuck NFA partial never does
+    val guarded = steps.zipWithIndex.flatMap { case (s, i) =>
+      val boundPrefix = tsCols.take(i + 1).map(_.isNotNull).reduce(_ && _)
+      (s"${s.name}_ts" +: s.keep.map(c => s"${s.name}_$c")).map(n =>
+        when(boundPrefix, col(n)).as(n))
+    }
+    val keep = col("key") +: guarded
+    val timeouts = all.filter(!full).select(keep :+
+      (col(s"${steps.head.name}_ts") +
+        expr(s"INTERVAL ${windowMs.get} MILLISECONDS")).as("timeout_ts"): _*)
+    (all.filter(full), timeouts)
+  }
+
   /** Per-column run aggregates for [[bindRun]] columns — sum/min/max only:
     * all primitive, so the run aggregate stays a HASH aggregate (a
     * min/max-over-struct agg would fall back to SortAggregate and sort the

@@ -2320,6 +2320,51 @@ object WindowQueries {
       |FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
       |WHERE b.rn = 1 AND w.phase = 'closed'""".stripMargin)
 
+  // --- w26: CEP TIMED-OUT partial matches (flink-cep PatternStream.select
+  // with an OutputTag + PatternTimeoutFunction — the timeout SIDE OUTPUT:
+  // a funnel analysis needs the users who STALLED and where, not just the
+  // completions): signup → click → error → purchase within 96h; output =
+  // the timeout tag — each start that never completed, with its bound
+  // greedy prefix (steps after the first unbound one are null — the stuck
+  // NFA's state) and the window-expiry timestamp. ONE compiled plan
+  // (left-outer relaxed bindings + a split projection), no second event
+  // pass. Oracle: the same left-join min-binding chain — a null anchor
+  // binds nothing downstream, so prefix truncation is the natural SQL
+  // semantics.
+  private val w26: Q = (s, dir) => {
+    import org.apache.spark.sql.functions.col
+    val (_, timeouts) = graft.cep.Pattern
+      .begin("s", col("event_type") === "signup")
+      .followedBy("b", col("event_type") === "click")
+      .followedBy("v", col("event_type") === "error")
+      .followedBy("p", col("event_type") === "purchase")
+      .within(96L * 3600 * 1000)
+      .detectWithTimeouts(ev(s, dir), col("user_id"), col("ts"))
+    timeouts.select(col("key").as("user_id"), col("s_ts").as("signup_ts"),
+      col("b_ts").as("click_ts"), col("v_ts").as("error_ts"),
+      col("timeout_ts"))
+  }
+  private val w26Sql =
+    """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='error'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |b1 AS (SELECT s.user_id, s.ts AS s_ts, min(c.ts) AS c_ts
+      |       FROM s LEFT JOIN c ON c.user_id = s.user_id AND c.ts > s.ts
+      |                  AND c.ts <= s.ts + INTERVAL 96 HOURS
+      |       GROUP BY 1, 2),
+      |b2 AS (SELECT b1.user_id, b1.s_ts, b1.c_ts, min(e.ts) AS e_ts
+      |       FROM b1 LEFT JOIN e ON e.user_id = b1.user_id AND e.ts > b1.c_ts
+      |                  AND e.ts <= b1.s_ts + INTERVAL 96 HOURS
+      |       GROUP BY 1, 2, 3),
+      |b3 AS (SELECT b2.user_id, b2.s_ts, b2.c_ts, b2.e_ts, min(p.ts) AS p_ts
+      |       FROM b2 LEFT JOIN p ON p.user_id = b2.user_id AND p.ts > b2.e_ts
+      |                  AND p.ts <= b2.s_ts + INTERVAL 96 HOURS
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT user_id, s_ts AS signup_ts, c_ts AS click_ts, e_ts AS error_ts,
+      |       s_ts + INTERVAL 96 HOURS AS timeout_ts
+      |FROM b3 WHERE p_ts IS NULL""".stripMargin
+
   // --- w25: CASCADING window re-aggregation (the Flink "cascading window
   // aggregation" pattern — flink-docs window-agg section; coarse windows
   // re-aggregate fine PARTIALS instead of rescanning facts): hourly tumble
@@ -2350,7 +2395,7 @@ object WindowQueries {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "w25_cascading_windows" -> w25,
+    "w25_cascading_windows" -> w25, "w26_cep_timeout" -> w26,
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
     "w22_cep_consecutive" -> w22, "w23_delta_evictor" -> w23,
@@ -2407,5 +2452,5 @@ object WindowQueries {
     "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql,
     "m31_all_rows_two_runs" -> m31Sql, "m32_all_rows_group_run" -> m32Sql,
     "m33_nested_group" -> m33Sql, "m34_all_rows_nested" -> m34Sql,
-    "w25_cascading_windows" -> w25Sql)
+    "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql)
 }

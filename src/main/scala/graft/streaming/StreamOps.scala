@@ -192,6 +192,12 @@ case class NestOutRow(ts: Timestamp, cls: String, reps: Long, subs: Long)
 case class NestMatch(user_id: Long, first_ts: Timestamp, grp_first_ts: Timestamp,
                      grp_last_ts: Timestamp, n_reps: Long, n_inner: Long,
                      rows: Seq[NestOutRow] = Nil)
+// timed-out-partials pattern state: one partial per first-step event, the
+// bound step timestamps newest-first — O(steps) per partial
+case class TimeoutPartial(firstMs: Long, bound: List[Long])
+case class TimeoutAcc(partials: List[TimeoutPartial], buf: List[BufEv] = Nil)
+case class CepTimeoutMatch(user_id: Long, bound_ts: Seq[Timestamp],
+                           timed_out: Boolean, timeout_ts: Option[Timestamp])
 case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
                     rep_last_ts: Timestamp, rep_n: Long, last_ts: Timestamp,
                     rep_sum_value: Option[Double] = None,
@@ -1640,6 +1646,74 @@ object StreamOps {
           if (partials.isEmpty && held.isEmpty) state.remove()
           else {
             state.update(GrpAcc(partials, held))
+            state.setTimeoutTimestamp(math.max(wm + 1,
+              (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming linear CEP with TIMED-OUT partials — the twin of
+    * `Pattern.detectWithTimeouts` (reference flink-cep PatternStream.java
+    * `select(OutputTag, PatternTimeoutFunction, PatternSelectFunction)`):
+    * one unified Append stream where `timed_out=false` rows are full
+    * matches (emitted as soon as the final step binds on the
+    * watermark-finalized prefix — every binding is the earliest candidate
+    * after the previous one, so it is final once processed in event-time
+    * order) and `timed_out=true` rows carry a stuck partial's bound prefix
+    * plus the window-expiry timestamp, emitted when the watermark passes
+    * the window end. One partial per first-step event (the batch
+    * one-match-per-start convention), O(steps) state per partial,
+    * maxPartials cap and BufEv ordering as in the other cep twins. */
+  def cepPatternTimeouts(events: Dataset[Event], watermark: String,
+                         preds: Seq[Event => Boolean], withinMs: Long,
+                         maxPartials: Int = 256,
+                         tieOf: Event => Double = _.value): Dataset[CepTimeoutMatch] = {
+    require(preds.size >= 2, "a pattern needs at least two steps")
+    implicit val outEnc = Encoders.product[CepTimeoutMatch]
+    implicit val accEnc = Encoders.product[TimeoutAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TimeoutAcc, CepTimeoutMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TimeoutAcc]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = Seq.newBuilder[CepTimeoutMatch]
+          def emitTimeout(p: TimeoutPartial): Unit =
+            out += CepTimeoutMatch(userId,
+              p.bound.reverse.map(new Timestamp(_)), timed_out = true,
+              Some(new Timestamp(p.firstMs + withinMs)))
+          val wm = state.getCurrentWatermarkMs()
+          val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
+            rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
+          val (readyB, held) = buf0.partition(_.ms < wm)
+          readyB.map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value))
+            .sortBy(e => (e.ts.getTime, e.event_type, tieOf(e), e.value)).foreach { e =>
+            val t = e.ts.getTime
+            partials = partials.flatMap { p =>
+              if (t > p.firstMs + withinMs) { emitTimeout(p); None }
+              else {
+                val idx = p.bound.size // next step to bind
+                if (idx < preds.size && preds(idx)(e) && t > p.bound.head) {
+                  if (idx == preds.size - 1) {
+                    out += CepTimeoutMatch(userId,
+                      (t :: p.bound).reverse.map(new Timestamp(_)),
+                      timed_out = false, None)
+                    None
+                  } else Some(p.copy(bound = t :: p.bound))
+                } else Some(p)
+              }
+            }
+            if (preds.head(e))
+              partials = (TimeoutPartial(t, List(t)) :: partials).take(maxPartials)
+          }
+          val (expired, alive) = partials.partition(_.firstMs + withinMs < wm)
+          expired.foreach(emitTimeout)
+          partials = alive
+          if (partials.isEmpty && held.isEmpty) state.remove()
+          else {
+            state.update(TimeoutAcc(partials, held))
             state.setTimeoutTimestamp(math.max(wm + 1,
               (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }

@@ -156,6 +156,43 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (3L, None, None, 0L, at(15))), m.toString)
   }
 
+  test("detectWithTimeouts: full matches split from timed-out partials") {
+    // user 1: full match; user 2: stuck after b (no purchase in window);
+    // user 3: stuck at b (none at all); user 4: the purchase exists but a
+    // missing b means it must NOT surface (prefix truncation); user 5:
+    // purchase outside the window -> timeout with b bound
+    val evs = Seq(
+      (1L, at(0), "s", 1.0), (1L, at(5), "b", 2.0), (1L, at(10), "p", 3.0),
+      (2L, at(0), "s", 1.0), (2L, at(5), "b", 2.0),
+      (3L, at(0), "s", 1.0),
+      (4L, at(0), "s", 1.0), (4L, at(10), "p", 3.0),
+      (5L, at(0), "s", 1.0), (5L, at(5), "b", 2.0), (5L, at(90), "p", 3.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val (matches, timeouts) = Pattern.begin("s", $"event_type" === "s")
+      .followedBy("b", $"event_type" === "b").bind("value")
+      .followedBy("p", $"event_type" === "p")
+      .within(HOUR)
+      .detectWithTimeouts(evs, $"user_id", $"ts")
+    val m = matches.select($"key", $"s_ts", $"b_ts", $"p_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp)].collect().toSet
+    assert(m == Set((1L, at(0), at(5), at(10))), m.toString)
+    val t = timeouts
+      .select($"key", $"s_ts", $"b_ts", $"b_value", $"p_ts", $"timeout_ts")
+      .as[(Long, Timestamp, Option[Timestamp], Option[Double],
+        Option[Timestamp], Timestamp)].collect().toSet
+    assert(t == Set(
+      (2L, at(0), Some(at(5)), Some(2.0), None, at(60)),
+      (3L, at(0), None, None, None, at(60)),
+      (4L, at(0), None, None, None, at(60)),
+      (5L, at(0), Some(at(5)), Some(2.0), None, at(60))), t.toString)
+    // quantified patterns keep detect()'s match-only contract
+    val e = intercept[IllegalArgumentException](
+      Pattern.begin("s", $"event_type" === "s")
+        .followedBy("b", $"event_type" === "b").oneOrMore()
+        .within(HOUR).detectWithTimeouts(evs, $"user_id", $"ts"))
+    assert(e.getMessage.contains("detectWithTimeouts"), e.getMessage)
+  }
+
   test("followedByNestedGroup + oneOrMore: ((B C)+ V)+ two-level chain") {
     // user 1: two outer reps — rep1 = (5,10)(12,14) then v@20, rep2 =
     //   (25,30) then v@35;
@@ -1016,6 +1053,48 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (3L, at(0), at(5), at(20), 2L, at(25)),
       (4L, at(0), at(5), at(10), 1L, at(20))),
       s"streaming=$streaming batch=$batch")
+  }
+
+  test("batch detectWithTimeouts and streaming cepPatternTimeouts agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      (1L, at(0), "s"), (1L, at(5), "b"), (1L, at(10), "p"), // full match
+      (2L, at(0), "s"), (2L, at(5), "b"),                    // stuck at p
+      (3L, at(0), "s"),                                      // stuck at b
+      (4L, at(0), "s"), (4L, at(10), "p"),                   // p without b
+      (5L, at(0), "s"), (5L, at(5), "b"), (5L, at(90), "p")) // p outside window
+    val df = all.toDF("user_id", "ts", "event_type")
+    val (bm, bt) = Pattern.begin("s", $"event_type" === "s")
+      .followedBy("b", $"event_type" === "b")
+      .followedBy("p", $"event_type" === "p")
+      .within(HOUR)
+      .detectWithTimeouts(df, $"user_id", $"ts")
+    val batchM = bm.select($"key", $"s_ts", $"b_ts", $"p_ts")
+      .as[(Long, Timestamp, Timestamp, Timestamp)].collect()
+      .map { case (u, a, b2, c) => (u, Seq(a, b2, c), false, None: Option[Timestamp]) }.toSet
+    val batchT = bt.select($"key", $"s_ts", $"b_ts", $"p_ts", $"timeout_ts")
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Timestamp)]
+      .collect()
+      .map { case (u, a, b2, c, to) =>
+        (u, Seq(Some(a), b2, c).flatten, true, Some(to)) }.toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternTimeouts(in.toDS(), "2 hours",
+        Seq(_.event_type == "s", _.event_type == "b", _.event_type == "p"),
+        HOUR).toDF()
+      .writeStream.format("memory").queryName("s_to_parity").outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(6)); q.processAllAvailable()
+    in.addData(evs.drop(6)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_to_parity")
+      .as[graft.streaming.CepTimeoutMatch].collect()
+      .map(m => (m.user_id, m.bound_ts, m.timed_out, m.timeout_ts)).toSet
+    assert(streaming == (batchM ++ batchT),
+      s"streaming=$streaming batch=${batchM ++ batchT}")
+    assert(batchM.size == 1 && batchT.size == 4, s"m=$batchM t=$batchT")
   }
 
   test("batch followedByNestedGroup and streaming cepPatternNestedGroup agree") {
