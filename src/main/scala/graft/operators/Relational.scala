@@ -29,6 +29,40 @@ object Relational {
   def dedupFirstRow(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame =
     topNPerGroup(df, keys, orderBy, 1).drop("rn")
 
+  /** Deterministic GLOBAL row index by a total order WITHOUT a
+    * single-partition window — the reference's DataSetUtils.zipWithIndex
+    * (flink-java/src/main/java/org/apache/flink/api/java/utils/
+    * DataSetUtils.java:89: count elements per partition, broadcast the
+    * per-partition offsets, add the partition-local index), re-expressed
+    * Spark-first: range-repartition on the order columns (partition p
+    * holds a contiguous range, ids ascending with the range), a
+    * PARTITIONED window computes the local index, and the per-partition
+    * offsets come from a partition-count aggregate (#partitions rows —
+    * metadata-sized, its running sum may sit in one partition) broadcast
+    * back. `order` must be a UNIQUE total order (ties straddling a range
+    * boundary would otherwise make the index partitioning-dependent).
+    * The input is persisted so the offset aggregate and the output read
+    * the SAME range partitioning (boundaries come from sampling);
+    * `idx` is 1-based, matching `row_number() OVER (ORDER BY ...)`. */
+  def zipWithIndex(df: DataFrame, order: Seq[Column],
+                   idxCol: String = "idx"): DataFrame = {
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val local = parted.withColumn("__local", row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(order: _*)))
+    // offsets: rows in all EARLIER range partitions — the tiny
+    // partition-count table's running sum (≤ #partitions rows)
+    val offs = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__off"))
+    local.join(broadcast(offs), col("__pid") === col("__opid"))
+      .withColumn(idxCol, col("__off") + col("__local"))
+      .drop("__pid", "__local", "__opid", "__off")
+  }
+
   /** Two-pass histogram ranking — the 100 TB path for rank functions whose
     * PARTITION BY has low cardinality: a plain window (q31's 5 order
     * priorities) serializes each partition through one task at ANY cluster

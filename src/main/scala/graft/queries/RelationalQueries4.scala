@@ -141,6 +141,24 @@ object RelationalQueries4 {
       | CAST(sum(range) AS BIGINT) AS sum_id, max(range) AS max_id
       |FROM range(1000000) GROUP BY 1""".stripMargin
 
+  // --- g02: DataSetUtils.zipWithIndex — deterministic GLOBAL row index
+  // without a single-partition window (reference flink-java/.../utils/
+  // DataSetUtils.java:89: per-partition counts + broadcast offsets +
+  // local index): range-repartition on the unique order, partitioned
+  // window for the local index, metadata-sized offset table broadcast
+  // back — the scalable analog of `row_number() OVER (ORDER BY ...)`,
+  // which the oracle replays directly.
+  private val g02: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"))
+    graft.operators.Relational
+      .zipWithIndex(li, Seq(col("l_orderkey"), col("l_linenumber")))
+      .select(col("idx"), col("l_orderkey"), col("l_linenumber"))
+  }
+  private val g02Sql =
+    """SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+      |            AS BIGINT) AS idx,
+      | l_orderkey, l_linenumber FROM lineitem""".stripMargin
+
   // --- q37: DataSet.cross — explicit cartesian of two small sets ---
   // (flink-java DataSet#cross; only sane when at least one side is tiny,
   // which is exactly when Spark broadcasts the nested-loop join)
@@ -204,11 +222,13 @@ object RelationalQueries4 {
     "q30_grouping_sets" -> q30, "q31_rank_funcs" -> q31, "q32_unnest" -> q32,
     "q33_set_ops_all" -> q33, "q34_listagg" -> q34, "q35_approx_distinct" -> q35,
     "q36_windowed_distinct" -> q36, "q37_cross" -> q37, "g01_generate_sequence" -> g01,
+    "g02_zip_with_index" -> g02,
     "q38_histogram_rank" -> q38, "q39_full_right_outer" -> q39)
   val oracles: Map[String, String] = Map(
     "q30_grouping_sets" -> q30Sql, "q31_rank_funcs" -> q31Sql, "q32_unnest" -> q32Sql,
     "q33_set_ops_all" -> q33Sql, "q34_listagg" -> q34Sql,
     "q36_windowed_distinct" -> q36Sql, "q37_cross" -> q37Sql,
-    "g01_generate_sequence" -> g01Sql, "q38_histogram_rank" -> q38Sql,
+    "g01_generate_sequence" -> g01Sql, "g02_zip_with_index" -> g02Sql,
+    "q38_histogram_rank" -> q38Sql,
     "q39_full_right_outer" -> q39Sql)
 }

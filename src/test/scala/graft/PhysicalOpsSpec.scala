@@ -8,6 +8,7 @@ import graft.sources.Tables
   * rebalance, partitionByHash, partitionByRange, sortPartition, first-n)
   * mapped to Spark's repartition family. */
 class PhysicalOpsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
 
   private lazy val orders = Tables.load(spark, sfDir, "orders")
 
@@ -41,5 +42,31 @@ class PhysicalOpsSpec extends AnyFunSuite with SparkTest {
 
   test("first-n (DataSet.first) via limit") {
     assert(orders.limit(7).count() == 7)
+  }
+
+  test("zipWithIndex: contiguous 1..N ids, range-partitioned fact side") {
+    // DataSetUtils.zipWithIndex analog: no single-partition shuffle of the
+    // FACT rows — the order is established by a range repartition (the
+    // offsets table is metadata-sized)
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("k", col("id") * 7 % 10000) // unique, shuffled order
+    val out = graft.operators.Relational.zipWithIndex(df, Seq(col("k")))
+    out.collect()
+    val idx = out.select("idx").as[Long].collect().sorted
+    assert(idx.head == 1L && idx.last == 10000L && idx.distinct.length == 10000)
+    // index follows the k-order
+    val pairs = out.select("k", "idx").as[(Long, Long)].collect().sortBy(_._1)
+    assert(pairs.map(_._2).toSeq == (1L to 10000L), "idx must follow the order")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p.take(2000))
+  }
+
+  test("zipWithUniqueId → monotonically_increasing_id: unique, count-preserving") {
+    // DataSetUtils.zipWithUniqueId (unique but non-contiguous ids) maps to
+    // the built-in: partition-prefixed counters, no shuffle at all
+    val df = spark.range(0, 10000).repartition(7)
+      .withColumn("uid", monotonically_increasing_id())
+    assert(df.count() == 10000)
+    assert(df.select("uid").distinct().count() == 10000)
   }
 }
