@@ -314,4 +314,73 @@ object Iterate {
     }
     ids.indices.map(i => (ids(i), ids(find(i)))).toDF("id", "component")
   }
+
+  /** Per-vertex TRIANGLE counts + local clustering coefficient — the Gelly
+    * TriangleListing / LocalClusteringCoefficient analogs (reference
+    * flink-libraries/flink-gelly/.../library/clustering/undirected/
+    * TriangleListing.java and LocalClusteringCoefficient.java; Gelly's own
+    * algorithm is the same degree-oriented join). Input: an undirected edge
+    * list (duplicates / both directions / self-loops tolerated). Output:
+    * (id, degree, n_triangles, lcc) per vertex, `lcc` = 2T / (deg·(deg−1))
+    * rounded to 6 dp (0 for degree < 2).
+    *
+    * Fully DECLARATIVE — no iteration: canonicalize + distinct, orient
+    * every edge toward its (degree, id)-larger endpoint (each triangle then
+    * has exactly ONE apex with two out-edges), wedge-join oriented edges on
+    * the apex, and close each wedge against the oriented edge set. The
+    * orientation is THE scalability lever: out-degrees are bounded by
+    * O(√|E|) on any graph, so the wedge join is O(Σ out-deg²) ≲ O(|E|^1.5)
+    * instead of Σ deg² (which a hub vertex makes quadratic). All equi-joins
+    * — shuffles on vertex/edge keys only, no cartesian. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // the canonical edge set feeds the degree count AND the orientation,
+    // and the oriented set feeds both wedge sides AND the closure —
+    // persist both or the upstream dedup/self-join re-runs per consumer
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("id").as("u2"), col("deg").as("du")), col("u") === col("u2"))
+      .join(deg.select(col("id").as("v2"), col("deg").as("dv")), col("v") === col("v2"))
+      .select(col("u"), col("v"), col("du"), col("dv"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = ed.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges at the apex, smaller endpoint first in the SAME total order
+    // the orientation uses — the closing edge, if present, is oriented
+    // exactly (a → b)
+    val o1 = oriented.select(col("src").as("s1"), col("dst").as("a"), col("ddeg").as("da"))
+    val o2 = oriented.select(col("src").as("s2"), col("dst").as("b"), col("ddeg").as("db"))
+    val wedges = o1.join(o2, col("s1") === col("s2") &&
+      (col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))))
+    // close wedges against a BROADCAST of the oriented edge set: the wedge
+    // table is the Σ outdeg² blow-up (tens of millions of rows) while the
+    // edge set is |E| — shuffling the wedges by (a, b) would dominate the
+    // whole job. |E| beyond broadcast reach (≳ such that this stops
+    // fitting) would fall back to the shuffle join by removing the hint —
+    // at that scale the wedge shuffle is unavoidable and partition counts,
+    // not the algorithm, are the knob.
+    val tris = wedges.join(
+        broadcast(oriented.select(col("src").as("cs"), col("dst").as("cd"))),
+        col("a") === col("cs") && col("b") === col("cd"))
+      .select(col("s1").as("x"), col("a").as("y"), col("b").as("z"))
+    val perVertex = tris.select(col("x").as("id"))
+      .union(tris.select(col("y").as("id")))
+      .union(tris.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(perVertex, Seq("id"), "left_outer")
+      .select(col("id"), col("deg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2, round(
+          coalesce(col("tri"), lit(0L)).cast("double") * 2.0 /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

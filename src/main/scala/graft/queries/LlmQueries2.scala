@@ -220,12 +220,58 @@ object LlmQueries2 {
     Iterate.ssspWorkset(edges, "src", "dst", "w", sourceId = 1L, iters = SsspIters)
   }
 
+  // ---------- i05: triangle counts + local clustering coefficient ----------
+  // Gelly TriangleListing / LocalClusteringCoefficient (flink-gelly
+  // clustering/undirected) on the PART co-occurrence graph (parts sharing
+  // an order — parts outnumber suppliers 20:1, so the graph stays SPARSE;
+  // the supplier variant is near-complete and degenerate, and the
+  // bipartite i02/i03 graph has no triangles by construction). Fully
+  // declarative — no iteration: degree-oriented wedge join
+  // (`Iterate.triangleCounts`), O(|E|^1.5) worst case instead of the
+  // hub-quadratic naive join. Oracle: the same orient/wedge/close joins
+  // in SQL.
+  private val i05: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    Iterate.triangleCounts(pairs, "src", "dst")
+  }
+  private val i05Sql =
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |     FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT id, count(*) AS deg FROM
+      |        (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |ed AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+      |       FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+      |o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+      |             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+      |             CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddeg
+      |      FROM ed),
+      |w AS (SELECT o1.src AS apex, o1.dst AS a, o2.dst AS b
+      |      FROM o o1 JOIN o o2 ON o1.src = o2.src
+      |        AND (o1.ddeg < o2.ddeg OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))),
+      |tri AS (SELECT w.apex AS x, w.a AS y, w.b AS z
+      |        FROM w JOIN o ON o.src = w.a AND o.dst = w.b),
+      |pv AS (SELECT id, count(*) AS tri FROM
+      |       (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      |        UNION ALL SELECT z FROM tri) GROUP BY 1)
+      |SELECT d.id, d.deg AS degree,
+      |       CAST(coalesce(pv.tri, 0) AS BIGINT) AS n_triangles,
+      |       CASE WHEN d.deg >= 2 THEN
+      |         round(coalesce(pv.tri, 0) * 2.0 / (d.deg * (d.deg - 1)), 6)
+      |       ELSE 0.0 END AS lcc
+      |FROM deg d LEFT JOIN pv ON pv.id = d.id""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08,
+    "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08, "i05_triangle_count" -> i05,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql, "d08_dedup_verdict" -> d08Sql,
     "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql,
+    "i05_triangle_count" -> i05Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }

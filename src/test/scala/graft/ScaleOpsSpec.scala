@@ -101,4 +101,18 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     val s = salted.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(p.sameElements(s))
   }
+
+  test("triangleCounts: one triangle + a tail, duplicates/reverses tolerated") {
+    import spark.implicits._
+    // triangle 1-2-3, path 3-4-5; a duplicate and a reversed edge and a
+    // self-loop must not change anything
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (1L, 2L), (4L, 4L)).toDF("src", "dst")
+    val out = Iterate.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333),
+      (4L, 2L, 0L, 0.0), (5L, 1L, 0L, 0.0)), out.toString)
+  }
 }
