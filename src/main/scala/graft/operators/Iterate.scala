@@ -196,6 +196,50 @@ object Iterate {
     ranks
   }
 
+  /** Community detection via LABEL PROPAGATION — the Gelly LabelPropagation
+    * analog (reference flink-libraries/flink-gelly/src/main/java/org/
+    * apache/flink/graph/library/LabelPropagation.java): labels start as
+    * vertex ids; each superstep every vertex adopts, among the labels its
+    * in-neighbors sent, the one with the HIGHEST frequency — frequency
+    * ties break to the HIGHEST label, and when the top frequency is 1 the
+    * vertex's own current label competes too (the reference gather
+    * function's `maxFrequency = 1, mostFrequentLabel = own` initial
+    * state); a vertex receiving no messages keeps its label. Supply both
+    * edge directions for the undirected semantics the reference expects.
+    * Deterministic: argmax by (count, label) is order-free, so a SQL
+    * engine reproduces every superstep exactly (the oracle unrolls them).
+    * Scale shape as [[pageRank]]: edges pre-partitioned on src once, each
+    * superstep one keyed join + two hash aggregates (count per (dst,
+    * label) then max_by per dst — no windows, no sorts), eager lineage
+    * truncation per round. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = verts.select(col("id"), col("id").as("lab")).localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      val prev = labels
+      val freq = e.join(labels.select(col("id").as("lid"), col("lab")),
+          col("src") === col("lid"))
+        .groupBy(col("dst").as("id"), col("lab")).agg(count(lit(1)).as("cnt"))
+      val top = freq.groupBy("id").agg(
+        max(col("cnt")).as("fstar"),
+        max_by(col("lab"), struct(col("cnt"), col("lab"))).as("toplab"))
+      labels = labels.join(top, Seq("id"), "left")
+        .select(col("id"),
+          when(col("toplab").isNull, col("lab"))
+            .when(col("fstar") === 1, greatest(col("lab"), col("toplab")))
+            .otherwise(col("toplab")).as("lab"))
+        .localCheckpoint(true)
+      freeFrame(prev)
+    }
+    e.unpersist(); verts.unpersist()
+    labels
+  }
+
   /** Single-source shortest paths on the bulk-iteration substrate — the
     * Gelly SingleSourceShortestPaths analog (reference flink-libraries/
     * flink-gelly/src/main/java/org/apache/flink/graph/library/

@@ -265,13 +265,53 @@ object LlmQueries2 {
       |       ELSE 0.0 END AS lcc
       |FROM deg d LEFT JOIN pv ON pv.id = d.id""".stripMargin
 
+  // ---------- i06: community detection via label propagation ----------
+  // Gelly LabelPropagation (flink-gelly/.../library/LabelPropagation.java)
+  // on the i02/i03 supplier↔customer graph, 3 synchronous supersteps:
+  // adopt the most frequent in-neighbor label, frequency ties to the
+  // HIGHEST label, top-frequency-1 ties include the own label (the
+  // reference gather function's exact semantics — deterministic despite
+  // its HashMap iteration, so the oracle unrolls every superstep).
+  private val LpIters = 3
+  private val i06: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
+    val edges = base.select(col("s").as("src"), col("c").as("dst"))
+      .union(base.select(col("c").as("src"), col("s").as("dst")))
+    Iterate.labelPropagation(edges, "src", "dst", iters = LpIters)
+      .select(col("id"), col("lab").as("community"))
+  }
+  private val i06Sql = {
+    def step(prev: String, k: Int): String =
+      s"""f$k AS (SELECT e.dst AS id, p.lab, count(*) AS cnt
+         |       FROM e JOIN $prev p ON p.id = e.src GROUP BY 1, 2),
+         |t$k AS (SELECT id, max(cnt) AS fstar,
+         |         struct_extract(max({'c': cnt, 'l': lab}), 'l') AS toplab
+         |        FROM f$k GROUP BY 1),
+         |l$k AS (SELECT l.id, CASE WHEN t.toplab IS NULL THEN l.lab
+         |                          WHEN t.fstar = 1 THEN greatest(l.lab, t.toplab)
+         |                          ELSE t.toplab END AS lab
+         |        FROM $prev l LEFT JOIN t$k t ON t.id = l.id)""".stripMargin
+    val steps = (1 to LpIters).map(k => step(s"l${k - 1}", k)).mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_suppkey AS s, 100000 + o_custkey AS c
+       |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT s AS src, c AS dst FROM b UNION SELECT c, s FROM b),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |l0 AS (SELECT id, id AS lab FROM v),
+       |$steps
+       |SELECT id, lab AS community FROM l$LpIters""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08, "i05_triangle_count" -> i05,
+    "i06_label_propagation" -> i06,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql, "d08_dedup_verdict" -> d08Sql,
     "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql,
-    "i05_triangle_count" -> i05Sql,
+    "i05_triangle_count" -> i05Sql, "i06_label_propagation" -> i06Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }
