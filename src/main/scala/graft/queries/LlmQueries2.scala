@@ -304,14 +304,38 @@ object LlmQueries2 {
        |SELECT id, lab AS community FROM l$LpIters""".stripMargin
   }
 
+  // ---------- i07: neighborhood Jaccard similarity ----------
+  // Gelly JaccardIndex (flink-gelly/.../library/similarity/
+  // JaccardIndex.java) over the part → order bipartite INCIDENCE:
+  // part-pair similarity by shared orders (the market-basket shape; the
+  // common-neighbor grouping is Gelly's own generateGroupPairs).
+  // Integer-exact shared/union counts; the score is one IEEE division of
+  // integer operands — bit-identical cross-engine, no rounding.
+  private val i07: Q = (s, dir) => {
+    val inc = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
+    Iterate.jaccardIndex(inc, "p", "o", minShared = 2L)
+  }
+  private val i07Sql =
+    """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_orderkey AS o FROM lineitem),
+      |deg AS (SELECT p, count(*) AS deg FROM inc GROUP BY 1),
+      |sh AS (SELECT a.p AS u, b.p AS v, count(*) AS shared
+      |       FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT sh.u, sh.v, shared,
+      |       CAST(da.deg + db.deg - shared AS BIGINT) AS dist_union,
+      |       CAST(shared AS DOUBLE) / CAST(da.deg + db.deg - shared AS DOUBLE) AS score
+      |FROM sh JOIN deg da ON da.p = sh.u JOIN deg db ON db.p = sh.v""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08, "i05_triangle_count" -> i05,
-    "i06_label_propagation" -> i06,
+    "i06_label_propagation" -> i06, "i07_jaccard_index" -> i07,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql, "d08_dedup_verdict" -> d08Sql,
     "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql,
     "i05_triangle_count" -> i05Sql, "i06_label_propagation" -> i06Sql,
+    "i07_jaccard_index" -> i07Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }
