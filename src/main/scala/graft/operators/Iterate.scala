@@ -281,6 +281,43 @@ object Iterate {
           (col("da") + col("db") - col("shared")).cast("double")).as("score"))
   }
 
+  /** ADAMIC-ADAR neighborhood similarity — the Gelly AdamicAdar analog
+    * (reference flink-libraries/flink-gelly/src/main/java/org/apache/
+    * flink/graph/library/similarity/AdamicAdar.java: per vertex pair,
+    * Σ over common neighbors w of 1/ln(deg(w)) — rare shared neighbors
+    * weigh more). Same neighborhood/incidence contract and
+    * common-neighbor-grouped pair generation as [[jaccardIndex]].
+    *
+    * Cross-engine determinism: a float Σ over a pair's shared neighbors
+    * is order-of-addition dependent. Each term is therefore quantized to
+    * an exact integer count of 10⁻⁶ units BEFORE the sum —
+    * `round(10⁶/ln(deg))` is an integer-valued double (identical IEEE
+    * operands on both engines, exact below 2⁵³), so the aggregation is
+    * associative integer addition (the engine's scaled-integer
+    * convention), divided back to DOUBLE once at the end. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 minShared: Long = 1L): DataFrame = {
+    val n = edges.select(col(srcCol).as("id"), col(dstCol).as("nb")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // common-neighbor degree -> exact scaled per-term weight
+    // a degree-1 neighbor can never be COMMON to a pair — dropping it is
+    // semantically lossless and keeps ln(deg) > 0
+    val nbDeg = n.groupBy("nb").agg(count(lit(1)).as("nbdeg"))
+      .filter(col("nbdeg") >= 2)
+      .withColumn("w6",
+        round(lit(1000000.0) / log(col("nbdeg").cast("double"))).cast("long"))
+    val wn = n.join(broadcast(nbDeg.select(col("nb").as("nb0"), col("w6"))),
+      col("nb") === col("nb0")).select(col("id"), col("nb"), col("w6"))
+    wn.select(col("id").as("a"), col("nb"), col("w6"))
+      .join(n.select(col("id").as("b"), col("nb").as("nb2")),
+        col("nb") === col("nb2") && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("shared"), sum(col("w6")).as("s6"))
+      .filter(col("shared") >= minShared)
+      .select(col("a").as("u"), col("b").as("v"), col("shared"),
+        (col("s6").cast("double") / lit(1000000.0)).as("aa_score"))
+  }
+
   /** Single-source shortest paths on the bulk-iteration substrate — the
     * Gelly SingleSourceShortestPaths analog (reference flink-libraries/
     * flink-gelly/src/main/java/org/apache/flink/graph/library/

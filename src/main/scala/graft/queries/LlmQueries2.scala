@@ -327,15 +327,38 @@ object LlmQueries2 {
       |       CAST(shared AS DOUBLE) / CAST(da.deg + db.deg - shared AS DOUBLE) AS score
       |FROM sh JOIN deg da ON da.p = sh.u JOIN deg db ON db.p = sh.v""".stripMargin
 
+  // ---------- i08: Adamic-Adar similarity ----------
+  // Gelly AdamicAdar (flink-gelly/.../library/similarity/AdamicAdar.java):
+  // Σ 1/ln(deg(shared neighbor)) — rare shared orders weigh more. The
+  // per-term weight is rounded and ×10⁶-scaled to an exact integer BEFORE
+  // the per-pair sum (float Σ order-independence — the engine's
+  // scaled-integer convention), divided back to DOUBLE once.
+  private val i08: Q = (s, dir) => {
+    val inc = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
+    Iterate.adamicAdar(inc, "p", "o", minShared = 2L)
+  }
+  private val i08Sql =
+    """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_orderkey AS o FROM lineitem),
+      |od AS (SELECT o, CAST(round(1000000.0 / ln(CAST(count(*) AS DOUBLE)))
+      |                 AS BIGINT) AS w6
+      |       FROM inc GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT a.p AS u, b.p AS v, count(*) AS shared,
+      |       CAST(sum(od.w6) AS DOUBLE) / 1000000.0 AS aa_score
+      |FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+      |JOIN od ON od.o = a.o
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08, "i05_triangle_count" -> i05,
     "i06_label_propagation" -> i06, "i07_jaccard_index" -> i07,
+    "i08_adamic_adar" -> i08,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql, "d08_dedup_verdict" -> d08Sql,
     "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql,
     "i05_triangle_count" -> i05Sql, "i06_label_propagation" -> i06Sql,
-    "i07_jaccard_index" -> i07Sql,
+    "i07_jaccard_index" -> i07Sql, "i08_adamic_adar" -> i08Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }
