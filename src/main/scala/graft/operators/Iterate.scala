@@ -318,6 +318,59 @@ object Iterate {
         (col("s6").cast("double") / lit(1000000.0)).as("aa_score"))
   }
 
+  /** HITS hubs-and-authorities — the Gelly HITS analog (reference
+    * flink-libraries/flink-gelly/src/main/java/org/apache/flink/graph/
+    * library/linkanalysis/HITS.java: alternating power iteration —
+    * authority(v) = Σ hub over in-edges, hub(u) = Σ authority over
+    * out-edges, each normalized to unit L2 per superstep). Hubs start at
+    * 1.0; every normalized score is rounded to 9 dp per superstep (the
+    * pageRank convention) — the per-vertex float sums and the GLOBAL norm
+    * sum drift by at most ~n·ulp ≈ 1e-13 relative across engines, orders
+    * of magnitude inside the rounding pin, so the oracle unrolls the
+    * supersteps exactly. A vertex with no in-(out-)edges scores 0
+    * authority (hub). Scale shape as [[pageRank]]: edges pre-partitioned
+    * once, per superstep two keyed joins + two hash aggregates + two
+    * scalar norms riding broadcasts, eager lineage truncation. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var scores = verts.select(col("id"), lit(1.0).as("hub"), lit(0.0).as("auth"))
+      .localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      val prev = scores
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val araw = e.join(scores.select(col("id").as("sid"), col("hub")),
+          col("src") === col("sid"))
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("raw"))
+      // raw/normalized frames each feed TWO consumers (the norm scalar and
+      // the next stage) — persist within the superstep or every consumer
+      // re-runs the upstream joins
+      val a1 = verts.join(araw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw")).persist(lvl)
+      val anorm = a1.agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
+      val auth = a1.crossJoin(broadcast(anorm))
+        .select(col("id"), round(col("raw") / col("nrm"), 9).as("auth")).persist(lvl)
+      val hraw = e.join(auth.select(col("id").as("aid"), col("auth").as("av")),
+          col("dst") === col("aid"))
+        .groupBy(col("src").as("id")).agg(sum(col("av")).as("raw"))
+      val h1 = verts.join(hraw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw")).persist(lvl)
+      val hnorm = h1.agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
+      val hub = h1.crossJoin(broadcast(hnorm))
+        .select(col("id"), round(col("raw") / col("nrm"), 9).as("hub"))
+      scores = hub.join(auth, "id").select(col("id"), col("hub"), col("auth"))
+        .localCheckpoint(true)
+      a1.unpersist(); auth.unpersist(); h1.unpersist()
+      freeFrame(prev)
+    }
+    e.unpersist(); verts.unpersist()
+    scores
+  }
+
   /** Single-source shortest paths on the bulk-iteration substrate — the
     * Gelly SingleSourceShortestPaths analog (reference flink-libraries/
     * flink-gelly/src/main/java/org/apache/flink/graph/library/

@@ -349,10 +349,47 @@ object LlmQueries2 {
       |JOIN od ON od.o = a.o
       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  // ---------- i09: HITS hubs and authorities ----------
+  // Gelly HITS (flink-gelly/.../library/linkanalysis/HITS.java) on the
+  // DIRECTED supplier→customer graph (suppliers = hubs, customers =
+  // authorities): alternating L2-normalized power iteration, every score
+  // rounded 9 dp per superstep so the oracle can unroll exactly (the
+  // global norm's cross-engine drift is ~1e-13 relative — far inside the
+  // pin).
+  private val HitsIters = 2
+  private val i09: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"), (col("o_custkey") + 100000L).as("dst"))
+    Iterate.hits(edges, "src", "dst", iters = HitsIters)
+  }
+  private val i09Sql = {
+    def step(prev: String, k: Int): String =
+      s"""ar$k AS (SELECT v.id, coalesce(sum(p.hub), 0.0) AS raw
+         |        FROM v LEFT JOIN e ON e.dst = v.id
+         |        LEFT JOIN $prev p ON p.id = e.src GROUP BY v.id),
+         |an$k AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM ar$k),
+         |a$k AS (SELECT id, round(raw / nrm, 9) AS auth FROM ar$k CROSS JOIN an$k),
+         |hr$k AS (SELECT v.id, coalesce(sum(a.auth), 0.0) AS raw
+         |        FROM v LEFT JOIN e ON e.src = v.id
+         |        LEFT JOIN a$k a ON a.id = e.dst GROUP BY v.id),
+         |hn$k AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM hr$k),
+         |s$k AS (SELECT h.id, round(h.raw / hn.nrm, 9) AS hub, a.auth
+         |        FROM hr$k h CROSS JOIN hn$k hn JOIN a$k a ON a.id = h.id)""".stripMargin
+    val steps = (1 to HitsIters).map(k => step(s"s${k - 1}", k)).mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, 100000 + o_custkey AS dst
+       |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |s0 AS (SELECT id, 1.0::DOUBLE AS hub, 0.0::DOUBLE AS auth FROM v),
+       |$steps
+       |SELECT id, hub, auth FROM s$HitsIters""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08, "i05_triangle_count" -> i05,
     "i06_label_propagation" -> i06, "i07_jaccard_index" -> i07,
-    "i08_adamic_adar" -> i08,
+    "i08_adamic_adar" -> i08, "i09_hits" -> i09,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
@@ -360,5 +397,6 @@ object LlmQueries2 {
     "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql,
     "i05_triangle_count" -> i05Sql, "i06_label_propagation" -> i06Sql,
     "i07_jaccard_index" -> i07Sql, "i08_adamic_adar" -> i08Sql,
+    "i09_hits" -> i09Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }
