@@ -558,4 +558,147 @@ object Iterate {
             (col("deg") * (col("deg") - 1)).cast("double"), 6))
           .otherwise(lit(0.0)).as("lcc"))
   }
+
+  /** Graph SUMMARIZATION — the Gelly Summarization analog (reference
+    * flink-libraries/flink-gelly/src/main/java/org/apache/flink/graph/
+    * library/Summarization.java): condense a vertex-valued graph by
+    * grouping vertices on their value — each output vertex is a group
+    * (represented by one member id) with its member count, and each
+    * output edge (srcGroup, dstGroup, edgeValue) carries the count of
+    * input edges with that value between members of those groups
+    * (self-group edges represent intra-group edges, exactly the
+    * reference's example). The reference picks an arbitrary member as
+    * the representative; we pin MIN(id) — still "one of the represented
+    * vertex identifiers" per its contract, and deterministic.
+    *
+    * Output is the summarized EDGE relation with both endpoint groups
+    * inlined — (src, src_value, src_group_size, dst, dst_value,
+    * dst_group_size, edge_value, edge_count) — one relation that fully
+    * encodes the output graph (the vertex set is the distinct endpoint
+    * projection).
+    *
+    * Scale shape: the group table (one row per distinct vertex value) is
+    * aggregated once and BROADCAST into the id→representative mapping;
+    * edges then take two keyed equi-joins (shuffle on vertex id, the
+    * natural edge partitioning) and one hash aggregate on (srcRep,
+    * dstRep, value). No iteration, no cartesian, no window. */
+  def summarization(vertices: DataFrame, idCol: String, valCol: String,
+                    edges: DataFrame, srcCol: String, dstCol: String,
+                    evCol: String): DataFrame = {
+    val v = vertices.select(col(idCol).cast("long").as("id"), col(valCol).as("vv"))
+      .distinct()
+    // one row per group: representative + size (small: |distinct values|)
+    val groups = v.groupBy("vv").agg(min(col("id")).as("rep"), count(lit(1)).as("gsize"))
+    val mapping = v.join(broadcast(groups), Seq("vv"))
+      .select(col("id"), col("rep"), col("vv"), col("gsize"))
+    val e = edges.select(col(srcCol).cast("long").as("es"),
+      col(dstCol).cast("long").as("ed"), col(evCol).as("ev"))
+    e.join(mapping.select(col("id").as("es"), col("rep").as("src"),
+        col("vv").as("src_value"), col("gsize").as("src_group_size")), Seq("es"))
+      .join(mapping.select(col("id").as("ed"), col("rep").as("dst"),
+        col("vv").as("dst_value"), col("gsize").as("dst_group_size")), Seq("ed"))
+      .groupBy("src", "src_value", "src_group_size",
+        "dst", "dst_value", "dst_group_size", "ev")
+      .agg(count(lit(1)).as("edge_count"))
+      .withColumnRenamed("ev", "edge_value")
+  }
+
+  /** COMMUNITY DETECTION with hop-attenuated label scores — the Gelly
+    * CommunityDetection analog (reference flink-libraries/flink-gelly/
+    * src/main/java/org/apache/flink/graph/library/CommunityDetection.java,
+    * the Leung et al. algorithm): every vertex starts with label = its id
+    * and score 1.0; each superstep every vertex sends (label, score) to
+    * its out-neighbors, adopts the received label with the HIGHEST SUMMED
+    * score (sum ties → LOWEST label, the reference gather function's
+    * ascending-TreeMap + strict-> iteration), takes as its new score the
+    * highest SINGLE received score of that label, and subtracts the hop
+    * attenuation delta/superstep iff the label changed. A vertex with no
+    * in-messages keeps its state. Supply both edge directions for the
+    * undirected semantics the reference's getUndirected() sets up.
+    *
+    * Cross-engine determinism: scores live as ×10⁶-scaled LONGS (initial
+    * 10⁶; the per-superstep attenuation `round(delta·10⁶/k)` is
+    * pre-computed driver-side and inlined as a literal), so every
+    * aggregate is exact integer arithmetic — order-free sums, no float Σ.
+    * The oracle unrolls each superstep with the same literals.
+    *
+    * Scale shape as [[labelPropagation]]: edges pre-partitioned on src
+    * once; each superstep is one keyed join + two hash aggregates
+    * (sum+max per (dst, label), then one max_by per dst), eager lineage
+    * truncation per round. Output: (id, community, score). */
+  def communityDetection(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int, delta: Double = 0.5): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+    var state = verts.select(col("id"), col("id").as("lab"), lit(1000000L).as("sc6"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { k =>
+      val dec = Math.round(delta * 1e6 / k) // driver-side literal, both engines
+      val prev = state
+      val perLabel = e.join(state.select(col("id").as("sid"), col("lab"), col("sc6")),
+          col("src") === col("sid"))
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(sum(col("sc6")).as("tot"), max(col("sc6")).as("best"))
+      // winner: max summed score, ties to the LOWEST label (struct order
+      // (tot, -lab) is unique per group — labels are distinct within it);
+      // carry that label's best single message score for the re-score
+      val win = perLabel.groupBy("id").agg(
+        max(struct(col("tot"), (-col("lab")).as("nl"), col("lab"), col("best"))).as("w"))
+        .select(col("id"), col("w.lab").as("wlab"), col("w.best").as("wbest"))
+      state = state.join(win, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("wlab"), col("lab")).as("lab2"),
+          when(col("wlab").isNull, col("sc6"))
+            .when(col("wlab") === col("lab"), col("wbest"))
+            .otherwise(col("wbest") - lit(dec)).as("sc62"))
+        .select(col("id"), col("lab2").as("lab"), col("sc62").as("sc6"))
+        .localCheckpoint(true)
+      freeFrame(prev)
+    }
+    e.unpersist()
+    state.select(col("id"), col("lab").as("community"),
+      (col("sc6").cast("double") / lit(1000000.0)).as("score"))
+  }
+
+  /** Whole-graph VERTEX METRICS — the Gelly analytic (reference
+    * flink-libraries/flink-gelly/src/main/java/org/apache/flink/graph/
+    * library/metric/undirected/VertexMetrics.java): vertex count, edge
+    * count (each undirected edge counted once), average degree 2E/V,
+    * density E/(V(V−1)/2), triplet count Σ d(d−1)/2, maximum degree,
+    * maximum triplets. Input: an undirected edge list (either or both
+    * directions; canonicalized + distinct'd, self-loops dropped).
+    * Single-row output; the two ratios are one IEEE division each over
+    * integer-exact operands — bit-identical cross-engine, no rounding.
+    *
+    * Scale shape: one distinct (shuffle on the canonical edge), one
+    * degree hash-agg, one global agg — the same two-level tree any
+    * engine bottoms out at; nothing quadratic anywhere. */
+  def vertexMetrics(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val em = e.agg(count(lit(1)).as("n_edges"))
+    val vm = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      sum(col("deg") * (col("deg") - 1) / 2).as("n_triplets"),
+      max(col("deg")).as("max_degree"),
+      max(col("deg") * (col("deg") - 1) / 2).as("max_triplets"))
+    vm.crossJoin(em).select(
+      col("n_vertices"),
+      col("n_edges"),
+      (col("n_edges").cast("double") * 2.0 / col("n_vertices").cast("double"))
+        .as("avg_degree"),
+      (col("n_edges").cast("double") /
+        (col("n_vertices") * (col("n_vertices") - 1) / 2).cast("double"))
+        .as("density"),
+      col("n_triplets").cast("long").as("n_triplets"),
+      col("max_degree"),
+      col("max_triplets").cast("long").as("max_triplets"))
+  }
 }

@@ -386,10 +386,124 @@ object LlmQueries2 {
        |SELECT id, hub, auth FROM s$HitsIters""".stripMargin
   }
 
+  // ---------- i10: graph summarization ----------
+  // Gelly Summarization (flink-gelly/.../library/Summarization.java):
+  // condense the supplier→customer order graph by NATION — each output
+  // vertex is a nation group (min-id representative + member count), each
+  // output edge counts same-priority orders between two nation groups
+  // (self-group edges = intra-nation trade, the reference's example
+  // shape). Fully declarative: one broadcast group map, two keyed joins,
+  // one hash agg.
+  private val i10: Q = (s, dir) => {
+    val sup = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_nationkey").as("vv"))
+    val cust = Tables.load(s, dir, "customer")
+      .select((col("c_custkey") + 100000L).as("id"), col("c_nationkey").as("vv"))
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"), (col("o_custkey") + 100000L).as("dst"),
+        col("o_orderpriority").as("ev"))
+    Iterate.summarization(sup.union(cust), "id", "vv", edges, "src", "dst", "ev")
+  }
+  private val i10Sql =
+    """WITH v AS (SELECT s_suppkey AS id, s_nationkey AS vv FROM supplier
+      |     UNION SELECT c_custkey + 100000, c_nationkey FROM customer),
+      |g AS (SELECT vv, min(id) AS rep, count(*) AS gsize FROM v GROUP BY 1),
+      |m AS (SELECT v.id, g.rep, g.vv, g.gsize FROM v JOIN g USING (vv)),
+      |e AS (SELECT l_suppkey AS es, o_custkey + 100000 AS ed,
+      |             o_orderpriority AS ev
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT ms.rep AS src, ms.vv AS src_value, ms.gsize AS src_group_size,
+      |       md.rep AS dst, md.vv AS dst_value, md.gsize AS dst_group_size,
+      |       e.ev AS edge_value, count(*) AS edge_count
+      |FROM e JOIN m ms ON ms.id = e.es JOIN m md ON md.id = e.ed
+      |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+
+  // ---------- i11: community detection with hop-attenuated scores ----------
+  // Gelly CommunityDetection (flink-gelly/.../library/
+  // CommunityDetection.java, Leung et al.): label-with-score propagation
+  // on the undirected supplier↔customer graph — adopt the max-summed-score
+  // label (ties → lowest), re-score to its best single message minus
+  // delta/superstep iff changed. Scores are ×10⁶ LONGS (exact, order-free
+  // sums); the attenuation literals are computed driver-side and shared
+  // with the unrolled oracle.
+  private val CdIters = 3
+  private val CdDelta = 0.5
+  private val i11: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
+    val edges = base.select(col("s").as("src"), col("c").as("dst"))
+      .union(base.select(col("c").as("src"), col("s").as("dst")))
+    Iterate.communityDetection(edges, "src", "dst", iters = CdIters, delta = CdDelta)
+  }
+  private val i11Sql = {
+    def step(prev: String, k: Int): String = {
+      val dec = Math.round(CdDelta * 1e6 / k)
+      s"""f$k AS (SELECT e.dst AS id, p.lab, sum(p.sc6) AS tot, max(p.sc6) AS best
+         |       FROM e JOIN $prev p ON p.id = e.src GROUP BY 1, 2),
+         |t$k AS (SELECT id, max({'t': tot, 'nl': -lab, 'l': lab, 'b': best}) AS w
+         |        FROM f$k GROUP BY 1),
+         |l$k AS (SELECT s.id,
+         |         CASE WHEN t.id IS NULL THEN s.lab
+         |              ELSE struct_extract(t.w, 'l') END AS lab,
+         |         CASE WHEN t.id IS NULL THEN s.sc6
+         |              WHEN struct_extract(t.w, 'l') = s.lab
+         |                THEN struct_extract(t.w, 'b')
+         |              ELSE struct_extract(t.w, 'b') - $dec END AS sc6
+         |        FROM $prev s LEFT JOIN t$k t ON t.id = s.id)""".stripMargin
+    }
+    val steps = (1 to CdIters).map(k => step(s"l${k - 1}", k)).mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_suppkey AS s, 100000 + o_custkey AS c
+       |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT s AS src, c AS dst FROM b UNION SELECT c, s FROM b),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |l0 AS (SELECT id, id AS lab, CAST(1000000 AS BIGINT) AS sc6 FROM v),
+       |$steps
+       |SELECT id, lab AS community,
+       |       CAST(sc6 AS DOUBLE) / 1000000.0 AS score FROM l$CdIters""".stripMargin
+  }
+
+  // ---------- i12: whole-graph vertex metrics ----------
+  // Gelly VertexMetrics (flink-gelly/.../library/metric/undirected/
+  // VertexMetrics.java) on the i05 part co-occurrence graph: V, E,
+  // 2E/V, density, Σ d(d−1)/2 triplets, max degree, max triplets — all
+  // integer-exact except the two single-division ratios.
+  private val i12: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    Iterate.vertexMetrics(pairs, "src", "dst")
+  }
+  private val i12Sql =
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |     FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT id, count(*) AS deg FROM
+      |        (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |em AS (SELECT count(*) AS n_edges FROM e),
+      |vm AS (SELECT count(*) AS n_vertices,
+      |              CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_triplets,
+      |              max(deg) AS max_degree,
+      |              CAST(max(deg * (deg - 1) / 2) AS BIGINT) AS max_triplets
+      |       FROM deg)
+      |SELECT n_vertices, n_edges,
+      |       CAST(n_edges * 2 AS DOUBLE) / CAST(n_vertices AS DOUBLE) AS avg_degree,
+      |       CAST(n_edges AS DOUBLE) /
+      |         CAST(n_vertices * (n_vertices - 1) / 2 AS DOUBLE) AS density,
+      |       n_triplets, max_degree, max_triplets
+      |FROM vm CROSS JOIN em""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08, "i05_triangle_count" -> i05,
     "i06_label_propagation" -> i06, "i07_jaccard_index" -> i07,
-    "i08_adamic_adar" -> i08, "i09_hits" -> i09,
+    "i08_adamic_adar" -> i08, "i09_hits" -> i09, "i10_summarization" -> i10,
+    "i11_community_detection" -> i11, "i12_vertex_metrics" -> i12,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
@@ -397,6 +511,7 @@ object LlmQueries2 {
     "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql,
     "i05_triangle_count" -> i05Sql, "i06_label_propagation" -> i06Sql,
     "i07_jaccard_index" -> i07Sql, "i08_adamic_adar" -> i08Sql,
-    "i09_hits" -> i09Sql,
+    "i09_hits" -> i09Sql, "i10_summarization" -> i10Sql,
+    "i11_community_detection" -> i11Sql, "i12_vertex_metrics" -> i12Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }

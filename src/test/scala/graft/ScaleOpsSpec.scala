@@ -115,4 +115,51 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
       (3L, 3L, 1L, 0.333333),
       (4L, 2L, 0L, 0.0), (5L, 1L, 0L, 0.0)), out.toString)
   }
+
+  test("summarization reproduces the Gelly javadoc example (min-id reps)") {
+    import spark.implicits._
+    // Summarization.java's own example: vertices 0,1 = "A", 2,3 = "B";
+    // edges (0,1),(1,0),(1,2),(2,1),(2,3),(3,2), all with one value
+    val verts = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B")).toDF("id", "vv")
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst").withColumn("ev", lit("x"))
+    val out = Iterate.summarization(verts, "id", "vv", edges, "src", "dst", "ev")
+      .as[(Long, String, Long, Long, String, Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (0L, "A", 2L, 0L, "A", 2L, "x", 2L), // (0,1) and (1,0)
+      (2L, "B", 2L, 2L, "B", 2L, "x", 2L), // (2,3) and (3,2)
+      (0L, "A", 2L, 2L, "B", 2L, "x", 1L), // (1,2)
+      (2L, "B", 2L, 0L, "A", 2L, "x", 1L)  // (2,1)
+    ), out.toString)
+  }
+
+  test("communityDetection: score sums, lowest-label ties, hop attenuation") {
+    import spark.implicits._
+    // complete triangle, undirected (both directions supplied)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // superstep 1: every vertex adopts its lowest neighbor label, score
+    // 1.0 − 0.5/1 = 0.5 → labels (1→2, 2→1, 3→1)
+    val s1 = Iterate.communityDetection(edges, "src", "dst", iters = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s1 == Set((1L, 2L, 0.5), (2L, 1L, 0.5), (3L, 1L, 0.5)), s1.toString)
+    // superstep 2 (attenuation 0.5/2): vertex 1 switches to label 1
+    // (0.5 − 0.25); vertices 2 and 3 see a SUM TIE between labels 1 and 2
+    // → lowest label 1 = own label → re-score to its best message WITHOUT
+    // decay (the reference's changed-label-only attenuation)
+    val s2 = Iterate.communityDetection(edges, "src", "dst", iters = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s2 == Set((1L, 1L, 0.25), (2L, 1L, 0.5), (3L, 1L, 0.5)), s2.toString)
+  }
+
+  test("vertexMetrics matches hand-computed V/E/degree/triplet stats") {
+    import spark.implicits._
+    // triangle 1-2-3 + path 3-4-5, plus a duplicate / reverse / self-loop
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (1L, 2L), (4L, 4L)).toDF("src", "dst")
+    val r = Iterate.vertexMetrics(edges, "src", "dst")
+      .as[(Long, Long, Double, Double, Long, Long, Long)].collect()
+    // degrees 2,2,3,2,1 → triplets 1+1+3+1+0 = 6; density 5/C(5,2) = 0.5
+    assert(r.toSeq == Seq((5L, 5L, 2.0, 0.5, 6L, 3L, 3L)), r.mkString(","))
+  }
 }
