@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Event, StateInspect, StreamOps}
+
+/** flink-state-processing-api analog (§2.6): a checkpoint's keyed state as
+  * a batch table (statestore / state-metadata readers) and batch-seeded
+  * initial state (the savepoint bootstrap path).
+  */
+class StateProcessingSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  private implicit def sqlCtx = spark.sqlContext
+
+  private val T0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private def at(sec: Long) = new Timestamp(T0.getTime + sec * 1000)
+
+  test("statestore read surfaces each key's live dedup state from a checkpoint") {
+    val ckpt = Files.createTempDirectory("graft_state_ck").toString
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, at(10), "click", 1.0), Event(1, at(20), "click", 2.0),
+      Event(2, at(15), "view", 7.0))
+    val q = StreamOps.dedupKeepLast(in.toDF().as[Event], "10 seconds")
+      .writeStream.format("memory").queryName("sp_dedup")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+
+    // metadata: exactly one stateful operator, with its store listed
+    val meta = StateInspect.stateMetadata(spark, ckpt)
+      .select("operatorId", "operatorName", "stateStoreName").collect()
+    assert(meta.length == 1, meta.mkString(","))
+    assert(meta(0).getAs[String]("operatorName") == "flatMapGroupsWithState")
+    assert(meta(0).getAs[String]("stateStoreName") == "default")
+
+    // state: one live row per key, value = the key's LATEST event —
+    // exactly what readKeyedState would surface from a savepoint
+    val st = StateInspect.operatorState(spark, ckpt)
+      .selectExpr("key.value AS uid", "value.groupState.*")
+    val rows = st.collect().map(r =>
+      (r.getAs[Long]("uid"), r.getAs[Timestamp]("ts"), r.getAs[Double]("value"))).toSet
+    assert(rows == Set((1L, at(20), 2.0), (2L, at(15), 7.0)), rows.toString)
+  }
+
+  test("bootstrapped initial state seeds keys before the first batch") {
+    val seeded = Event(42, at(100), "seed", 5.0)
+    val initial = Seq(seeded).toDS()
+    val in = MemoryStream[Event]
+    // the stream's own user-42 event is OLDER than the seed: with empty
+    // initial state it would be emitted as the latest; with the bootstrap
+    // the seeded row must win every emission
+    in.addData(Event(42, at(50), "late", 1.0), Event(7, at(60), "click", 3.0))
+    val q = StateInspect.dedupKeepLastBootstrapped(in.toDF().as[Event], "10 seconds", initial)
+      .writeStream.format("memory").queryName("sp_boot")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sp_boot").as[Event].collect()
+    val u42 = out.filter(_.user_id == 42L)
+    assert(u42.nonEmpty && u42.forall(e => e.ts == at(100) && e.value == 5.0),
+      out.mkString(","))
+    assert(out.filter(_.user_id == 7L).map(_.value).toSeq == Seq(3.0))
+  }
+}
