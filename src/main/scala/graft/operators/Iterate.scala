@@ -701,4 +701,82 @@ object Iterate {
       col("max_degree"),
       col("max_triplets").cast("long").as("max_triplets"))
   }
+
+  /** Whole-graph EDGE METRICS — the Gelly analytic (reference
+    * flink-libraries/flink-gelly/src/main/java/org/apache/flink/graph/
+    * library/metric/undirected/EdgeMetrics.java): per vertex v, its
+    * LOW-ORDER degree `low` counts incident edges (v, u) with
+    * (deg(v), v) < (deg(u), u) — the same total order triangleCounts
+    * orients by; triangleTriplets(v) = C(low, 2), rectangleTriplets(v) =
+    * C(low, 2) + low·(deg−low). Output (single row): the SUM and MAX of
+    * each over all vertices — (triangle_triplet_count,
+    * rectangle_triplet_count, max_triangle_triplets,
+    * max_rectangle_triplets), all integer-exact.
+    *
+    * Scale shape: canonicalize+distinct, one degree agg, one keyed join
+    * of the both-direction edge view against broadcast degrees, two
+    * hash aggregates. No wedge join — this is the o(triangle-listing)
+    * CHEAP estimator the reference positions it as. */
+  def edgeMetrics(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // every incident edge from each endpoint's perspective
+    val both = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+    val stats = both
+      .join(broadcast(deg.select(col("id").as("a"), col("deg").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("id").as("b"), col("deg").as("db"))), Seq("b"))
+      .groupBy(col("a").as("id"))
+      .agg(max(col("da")).as("d"),
+        sum(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), 1L).otherwise(0L)).as("low"))
+      .select(col("id"),
+        (col("low") * (col("low") - 1) / 2).cast("long").as("tri"),
+        (col("low") * (col("low") - 1) / 2 + col("low") * (col("d") - col("low")))
+          .cast("long").as("rect"))
+    stats.agg(
+      sum(col("tri")).cast("long").as("triangle_triplet_count"),
+      sum(col("rect")).cast("long").as("rectangle_triplet_count"),
+      max(col("tri")).as("max_triangle_triplets"),
+      max(col("rect")).as("max_rectangle_triplets"))
+  }
+
+  /** Graph CHECKSUM — the Gelly ChecksumHashCode analytic (reference
+    * flink-libraries/flink-gelly/.../library/metric/ChecksumHashCode.java
+    * over flink-java Utils.ChecksumHashCode: element count + order-
+    * independent sum of element hashes, vertex and edge checksums merged).
+    * The reference sums Java hashCode() — a JVM-representation artifact —
+    * so the hash is PINNED to an engine-neutral Knuth multiplicative mix
+    * instead: h(x) = (x·2654435761) mod 2³², edge hash
+    * (h(u) + 31·h(v)) mod 2³² (order-sensitive across the pair, as a
+    * tuple hash is). Per-element arithmetic stays below 2⁶³ for any
+    * 32-bit-range id (no wrap — DuckDB errors on BIGINT overflow rather
+    * than wrapping, so wrap-dependent formulas are not cross-engine
+    * expressible), and the Σ accumulates in exact wide decimal (Spark
+    * DECIMAL(38,0) / DuckDB HUGEINT) folded mod 2³² at the end — no
+    * overflow at ANY element count. Output (single row): (n_vertices,
+    * n_edges, vertex_checksum, edge_checksum, checksum). */
+  def checksum(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val K = 2654435761L
+    val M = 4294967296L
+    def h(c: Column): Column = (c * K) % M
+    def fold(c: Column): Column = (c % M).cast("long")
+    val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct()
+    val vc = verts.agg(count(lit(1)).as("n_vertices"),
+      fold(sum(h(col("id")).cast("decimal(38,0)"))).as("vertex_checksum"))
+    val ec = e.agg(count(lit(1)).as("n_edges"),
+      fold(sum(((h(col("u")) + lit(31L) * h(col("v"))) % M).cast("decimal(38,0)")))
+        .as("edge_checksum"))
+    vc.crossJoin(ec).select(
+      col("n_vertices"), col("n_edges"),
+      col("vertex_checksum"), col("edge_checksum"),
+      (col("vertex_checksum") + col("edge_checksum")).as("checksum"))
+  }
 }

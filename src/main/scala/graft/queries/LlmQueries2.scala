@@ -499,11 +499,75 @@ object LlmQueries2 {
       |       n_triplets, max_degree, max_triplets
       |FROM vm CROSS JOIN em""".stripMargin
 
+  // ---------- i13: whole-graph edge metrics ----------
+  // Gelly EdgeMetrics (flink-gelly/.../library/metric/undirected/
+  // EdgeMetrics.java) on the same part co-occurrence graph as i12: per
+  // vertex, low-order degree → triangle/rectangle triplet counts, summed
+  // and maxed — the cheap no-wedge-join estimator the reference pairs
+  // with TriangleListing. Integer-exact throughout.
+  private val i13: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    Iterate.edgeMetrics(pairs, "src", "dst")
+  }
+  private val i13Sql =
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |     FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT id, count(*) AS deg FROM
+      |        (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |bo AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+      |st AS (SELECT bo.a AS id, max(da.deg) AS d,
+      |              sum(CASE WHEN da.deg < db.deg
+      |                        OR (da.deg = db.deg AND bo.a < bo.b)
+      |                       THEN 1 ELSE 0 END) AS low
+      |       FROM bo JOIN deg da ON da.id = bo.a JOIN deg db ON db.id = bo.b
+      |       GROUP BY 1),
+      |pv AS (SELECT id, CAST(low * (low - 1) / 2 AS BIGINT) AS tri,
+      |              CAST(low * (low - 1) / 2 + low * (d - low) AS BIGINT) AS rect
+      |       FROM st)
+      |SELECT CAST(sum(tri) AS BIGINT) AS triangle_triplet_count,
+      |       CAST(sum(rect) AS BIGINT) AS rectangle_triplet_count,
+      |       max(tri) AS max_triangle_triplets,
+      |       max(rect) AS max_rectangle_triplets
+      |FROM pv""".stripMargin
+
+  // ---------- i14: graph checksum ----------
+  // Gelly ChecksumHashCode (flink-gelly/.../library/metric/
+  // ChecksumHashCode.java): element counts + order-independent hash sums
+  // over vertices and edges of the supplier→customer graph, with the
+  // JVM-hashCode replaced by the pinned Knuth mix (see Iterate.checksum).
+  private val i14: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"), (col("o_custkey") + 100000L).as("dst"))
+    Iterate.checksum(edges, "src", "dst")
+  }
+  private val i14Sql =
+    """WITH e AS (SELECT DISTINCT l_suppkey AS u, 100000 + o_custkey AS v
+      |     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |vt AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+      |vc AS (SELECT count(*) AS n_vertices,
+      |              CAST(sum((id * 2654435761) % 4294967296) % 4294967296
+      |                AS BIGINT) AS vertex_checksum FROM vt),
+      |ec AS (SELECT count(*) AS n_edges,
+      |              CAST(sum(((u * 2654435761) % 4294967296
+      |                + 31 * ((v * 2654435761) % 4294967296)) % 4294967296)
+      |                % 4294967296 AS BIGINT) AS edge_checksum FROM e)
+      |SELECT n_vertices, n_edges, vertex_checksum, edge_checksum,
+      |       vertex_checksum + edge_checksum AS checksum
+      |FROM vc CROSS JOIN ec""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08, "i05_triangle_count" -> i05,
     "i06_label_propagation" -> i06, "i07_jaccard_index" -> i07,
     "i08_adamic_adar" -> i08, "i09_hits" -> i09, "i10_summarization" -> i10,
     "i11_community_detection" -> i11, "i12_vertex_metrics" -> i12,
+    "i13_edge_metrics" -> i13, "i14_graph_checksum" -> i14,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
@@ -513,5 +577,6 @@ object LlmQueries2 {
     "i07_jaccard_index" -> i07Sql, "i08_adamic_adar" -> i08Sql,
     "i09_hits" -> i09Sql, "i10_summarization" -> i10Sql,
     "i11_community_detection" -> i11Sql, "i12_vertex_metrics" -> i12Sql,
+    "i13_edge_metrics" -> i13Sql, "i14_graph_checksum" -> i14Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }

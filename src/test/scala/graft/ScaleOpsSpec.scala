@@ -162,4 +162,30 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     // degrees 2,2,3,2,1 → triplets 1+1+3+1+0 = 6; density 5/C(5,2) = 0.5
     assert(r.toSeq == Seq((5L, 5L, 2.0, 0.5, 6L, 3L, 3L)), r.mkString(","))
   }
+
+  test("edgeMetrics matches hand-computed triangle/rectangle triplets") {
+    import spark.implicits._
+    // same graph: low-order degrees per vertex are 2,1,0,1,1 →
+    // triangle triplets (1,0,0,0,0) Σ=1 max=1,
+    // rectangle triplets (1,1,0,1,0) Σ=3 max=1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (1L, 2L), (4L, 4L)).toDF("src", "dst")
+    val r = Iterate.edgeMetrics(edges, "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 3L, 1L, 1L)), r.mkString(","))
+  }
+
+  test("checksum is order-independent and matches the pinned Knuth mix") {
+    import spark.implicits._
+    val e1 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val e2 = Seq((2L, 3L), (1L, 2L), (1L, 2L)).toDF("src", "dst") // reordered + dup
+    val r1 = Iterate.checksum(e1, "src", "dst")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val r2 = Iterate.checksum(e2, "src", "dst")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // independently computed: h(x) = x·2654435761 mod 2³²
+    assert(r1.toSeq == Seq((3L, 2L, 3041712678L, 2789022526L, 5830735204L)),
+      r1.mkString(","))
+    assert(r1.toSeq == r2.toSeq, "checksum must be order/duplicate invariant")
+  }
 }

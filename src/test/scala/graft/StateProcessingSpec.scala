@@ -45,6 +45,34 @@ class StateProcessingSpec extends AnyFunSuite with SparkTest {
     assert(rows == Set((1L, at(20), 2.0), (2L, at(15), 7.0)), rows.toString)
   }
 
+  test("queryable state: a RUNNING query's keyed state is readable batch-side") {
+    // the flink-queryable-state analog (reference flink-queryable-state/
+    // .../QueryableStateClient.java): while the streaming query stays UP,
+    // an out-of-band batch read of its last COMMITTED batch's state store
+    // serves point-in-time lookups — no stop/savepoint needed
+    val ckpt = Files.createTempDirectory("graft_qstate_ck").toString
+    val in = MemoryStream[Event]
+    in.addData(Event(5, at(10), "click", 4.0))
+    val q = StreamOps.dedupKeepLast(in.toDF().as[Event], "10 seconds")
+      .writeStream.format("memory").queryName("sp_qstate")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val live1 = StateInspect.operatorState(spark, ckpt)
+        .selectExpr("key.value AS uid", "value.groupState.value AS v").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(live1 == Set((5L, 4.0)), live1.toString)
+      // state evolves while the query keeps running; a fresh read sees it
+      in.addData(Event(5, at(30), "click", 9.0), Event(6, at(31), "view", 2.0))
+      q.processAllAvailable()
+      val live2 = StateInspect.operatorState(spark, ckpt)
+        .selectExpr("key.value AS uid", "value.groupState.value AS v").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(live2 == Set((5L, 9.0), (6L, 2.0)), live2.toString)
+    } finally q.stop()
+  }
+
   test("bootstrapped initial state seeds keys before the first batch") {
     val seeded = Event(42, at(100), "seed", 5.0)
     val initial = Seq(seeded).toDS()
