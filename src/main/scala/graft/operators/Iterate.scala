@@ -745,6 +745,53 @@ object Iterate {
       max(col("rect")).as("max_rectangle_triplets"))
   }
 
+  /** Whole-graph CLUSTERING STATS — the three remaining Gelly
+    * clustering/undirected analytics in one single-row relation
+    * (reference flink-libraries/flink-gelly/.../library/clustering/
+    * undirected/AverageClusteringCoefficient.java,
+    * GlobalClusteringCoefficient.java, TriadicCensus.java):
+    *  - avg_cc = Σ lcc / V (degree<2 vertices contribute 0, as the
+    *    reference's LCC does). Cross-engine determinism: each 6-dp lcc is
+    *    scaled to an exact ×10⁶ integer BEFORE the Σ (the engine's
+    *    scaled-integer convention — the reference's raw double Σ is
+    *    order-dependent), divided back once.
+    *  - global_cc = 3T / triplets (the reference counts each triangle
+    *    from its three vertices).
+    *  - triadic census (exactly the reference's closed forms over V, E,
+    *    triplets, T): 30 = T; 21 = triplets − 3T; 12 = E(V−2) − 2·c21 −
+    *    3·c30; 03 = C(V,3) − c12 − c21 − c30. Integer-exact; C(V,3)
+    *    overflows 2⁶³ past V ≈ 3·10⁶ — past that, widen to decimal (the
+    *    reference widens to BigInteger for the same reason).
+    *
+    * Builds on [[triangleCounts]] (the per-vertex tri/lcc table) plus one
+    * edge count — two global aggregates over it, nothing new shuffles. */
+  def clusteringStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val em = e.agg(count(lit(1)).as("n_edges"))
+    val agg = triangleCounts(edges, srcCol, dstCol).agg(
+      count(lit(1)).as("nv"),
+      sum(col("n_triangles")).cast("long").as("tri3"), // = 3T
+      sum(col("degree") * (col("degree") - 1) / 2).cast("long").as("triplets"),
+      sum(round(col("lcc") * 1000000).cast("long")).as("lcc6"))
+    agg.crossJoin(em)
+      .withColumn("t30", (col("tri3") / 3).cast("long"))
+      .withColumn("t21", col("triplets") - col("tri3"))
+      .withColumn("t12", col("n_edges") * (col("nv") - 2)
+        - lit(2L) * col("t21") - lit(3L) * col("t30"))
+      .withColumn("t03",
+        (col("nv") * (col("nv") - 1) * (col("nv") - 2) / 6).cast("long")
+          - col("t12") - col("t21") - col("t30"))
+      .select(
+        col("nv").as("n_vertices"), col("n_edges"),
+        col("triplets").as("n_triplets"), col("t30").as("n_triangles"),
+        (col("tri3").cast("double") / col("triplets").cast("double")).as("global_cc"),
+        (col("lcc6").cast("double") / (lit(1000000.0) * col("nv"))).as("avg_cc"),
+        col("t03").as("triads_03"), col("t12").as("triads_12"),
+        col("t21").as("triads_21"), col("t30").as("triads_30"))
+  }
+
   /** Graph CHECKSUM — the Gelly ChecksumHashCode analytic (reference
     * flink-libraries/flink-gelly/.../library/metric/ChecksumHashCode.java
     * over flink-java Utils.ChecksumHashCode: element count + order-

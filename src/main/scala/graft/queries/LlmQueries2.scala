@@ -562,12 +562,71 @@ object LlmQueries2 {
       |       vertex_checksum + edge_checksum AS checksum
       |FROM vc CROSS JOIN ec""".stripMargin
 
+  // ---------- i15: clustering statistics + triadic census ----------
+  // The three remaining Gelly clustering/undirected analytics
+  // (AverageClusteringCoefficient, GlobalClusteringCoefficient,
+  // TriadicCensus — flink-gelly/.../library/clustering/undirected/) on
+  // the same part co-occurrence graph as i05: one single-row relation
+  // with avg/global clustering coefficients and the 4-type triad census
+  // closed forms. Oracle: i05's wedge CTEs + the same closed forms.
+  private val i15: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    Iterate.clusteringStats(pairs, "src", "dst")
+  }
+  private val i15Sql =
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |     FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT id, count(*) AS deg FROM
+      |        (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |ed AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+      |       FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+      |o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+      |             CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+      |             CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddeg
+      |      FROM ed),
+      |w AS (SELECT o1.src AS apex, o1.dst AS a, o2.dst AS b
+      |      FROM o o1 JOIN o o2 ON o1.src = o2.src
+      |        AND (o1.ddeg < o2.ddeg OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))),
+      |tri AS (SELECT w.apex AS x, w.a AS y, w.b AS z
+      |        FROM w JOIN o ON o.src = w.a AND o.dst = w.b),
+      |pv AS (SELECT id, count(*) AS tri FROM
+      |       (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      |        UNION ALL SELECT z FROM tri) GROUP BY 1),
+      |lc AS (SELECT d.id, d.deg, coalesce(pv.tri, 0) AS tri,
+      |        CASE WHEN d.deg >= 2 THEN
+      |          round(coalesce(pv.tri, 0) * 2.0 / (d.deg * (d.deg - 1)), 6)
+      |        ELSE 0.0 END AS lcc
+      |       FROM deg d LEFT JOIN pv ON pv.id = d.id),
+      |ag AS (SELECT count(*) AS nv, CAST(sum(tri) AS BIGINT) AS tri3,
+      |        CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS triplets,
+      |        CAST(sum(round(lcc * 1000000)) AS BIGINT) AS lcc6 FROM lc),
+      |em AS (SELECT count(*) AS n_edges FROM e),
+      |cf AS (SELECT nv, n_edges, triplets, CAST(tri3 / 3 AS BIGINT) AS t30,
+      |        triplets - tri3 AS t21, tri3, lcc6,
+      |        n_edges * (nv - 2) - 2 * (triplets - tri3)
+      |          - 3 * CAST(tri3 / 3 AS BIGINT) AS t12
+      |       FROM ag CROSS JOIN em)
+      |SELECT nv AS n_vertices, n_edges, triplets AS n_triplets,
+      |       t30 AS n_triangles,
+      |       CAST(tri3 AS DOUBLE) / CAST(triplets AS DOUBLE) AS global_cc,
+      |       CAST(lcc6 AS DOUBLE) / (1000000.0 * nv) AS avg_cc,
+      |       CAST(nv * (nv - 1) * (nv - 2) / 6 AS BIGINT)
+      |         - t12 - t21 - t30 AS triads_03,
+      |       t12 AS triads_12, t21 AS triads_21, t30 AS triads_30
+      |FROM cf""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08, "i05_triangle_count" -> i05,
     "i06_label_propagation" -> i06, "i07_jaccard_index" -> i07,
     "i08_adamic_adar" -> i08, "i09_hits" -> i09, "i10_summarization" -> i10,
     "i11_community_detection" -> i11, "i12_vertex_metrics" -> i12,
     "i13_edge_metrics" -> i13, "i14_graph_checksum" -> i14,
+    "i15_clustering_stats" -> i15,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
@@ -578,5 +637,6 @@ object LlmQueries2 {
     "i09_hits" -> i09Sql, "i10_summarization" -> i10Sql,
     "i11_community_detection" -> i11Sql, "i12_vertex_metrics" -> i12Sql,
     "i13_edge_metrics" -> i13Sql, "i14_graph_checksum" -> i14Sql,
+    "i15_clustering_stats" -> i15Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }

@@ -339,6 +339,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"per-group counts must broadcast:\n$p")
   }
 
+  test("r11 graph analytics stay cartesian-free; i10 broadcasts the group map") {
+    // summarization: the id→rep mapping is built from a BROADCAST of the
+    // tiny per-value group table; edges join it by key — no cross product
+    val p10 = planOf("i10_summarization")
+    assert(p10.contains("BroadcastHashJoin"),
+      s"group map must broadcast into the mapping join:\n$p10")
+    assert(!p10.contains("CartesianProduct"), s"no cartesian:\n$p10")
+    // community detection / metrics / checksum / clustering stats: keyed
+    // joins + hash aggregates only (the single-row analytics end in one
+    // legitimate tiny cross of two scalar aggregates)
+    for (n <- Seq("i11_community_detection", "i13_edge_metrics")) {
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n must stay keyed:\n$p")
+    }
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -175,6 +175,19 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     assert(r.toSeq == Seq((1L, 3L, 1L, 1L)), r.mkString(","))
   }
 
+  test("clusteringStats: avg/global CC and triadic census closed forms") {
+    import spark.implicits._
+    // triangle 1-2-3 + path 3-4-5: V=5, E=5, triplets=6, T=1;
+    // lcc = (1, 1, 1/3, 0, 0) → avg = 2333333/5e6; census: 30=1,
+    // 21=6−3=3, 12=5·3−2·3−3·1=6, 03=C(5,3)−6−3−1=0
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (1L, 2L), (4L, 4L)).toDF("src", "dst")
+    val r = Iterate.clusteringStats(edges, "src", "dst")
+      .as[(Long, Long, Long, Long, Double, Double, Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((5L, 5L, 6L, 1L, 0.5, 0.4666666, 0L, 6L, 3L, 1L)),
+      r.mkString(","))
+  }
+
   test("checksum is order-independent and matches the pinned Knuth mix") {
     import spark.implicits._
     val e1 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
