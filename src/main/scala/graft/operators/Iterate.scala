@@ -714,7 +714,9 @@ object Iterate {
     * max_rectangle_triplets), all integer-exact.
     *
     * Scale shape: canonicalize+distinct, one degree agg, one keyed join
-    * of the both-direction edge view against broadcast degrees, two
+    * of the both-direction edge view against the degree table (keyed —
+    * the degree table is one row per VERTEX, so it broadcasts only when
+    * AQE decides it fits; forcing it would break at 10⁹ vertices), two
     * hash aggregates. No wedge join — this is the o(triangle-listing)
     * CHEAP estimator the reference positions it as. */
   def edgeMetrics(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
@@ -728,8 +730,8 @@ object Iterate {
     val both = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
     val stats = both
-      .join(broadcast(deg.select(col("id").as("a"), col("deg").as("da"))), Seq("a"))
-      .join(broadcast(deg.select(col("id").as("b"), col("deg").as("db"))), Seq("b"))
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
       .groupBy(col("a").as("id"))
       .agg(max(col("da")).as("d"),
         sum(when(col("da") < col("db") ||
@@ -763,19 +765,16 @@ object Iterate {
     *    overflows 2⁶³ past V ≈ 3·10⁶ — past that, widen to decimal (the
     *    reference widens to BigInteger for the same reason).
     *
-    * Builds on [[triangleCounts]] (the per-vertex tri/lcc table) plus one
-    * edge count — two global aggregates over it, nothing new shuffles. */
+    * Builds on [[triangleCounts]] (the per-vertex tri/lcc table) — ONE
+    * global aggregate over it; the edge count is Σdeg/2 off the same
+    * table, so the canonical edge set is never re-derived. */
   def clusteringStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    val em = e.agg(count(lit(1)).as("n_edges"))
-    val agg = triangleCounts(edges, srcCol, dstCol).agg(
+    triangleCounts(edges, srcCol, dstCol).agg(
       count(lit(1)).as("nv"),
+      (sum(col("degree")) / 2).cast("long").as("n_edges"),
       sum(col("n_triangles")).cast("long").as("tri3"), // = 3T
       sum(col("degree") * (col("degree") - 1) / 2).cast("long").as("triplets"),
       sum(round(col("lcc") * 1000000).cast("long")).as("lcc6"))
-    agg.crossJoin(em)
       .withColumn("t30", (col("tri3") / 3).cast("long"))
       .withColumn("t21", col("triplets") - col("tri3"))
       .withColumn("t12", col("n_edges") * (col("nv") - 2)

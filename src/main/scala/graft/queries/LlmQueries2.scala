@@ -602,15 +602,15 @@ object LlmQueries2 {
       |          round(coalesce(pv.tri, 0) * 2.0 / (d.deg * (d.deg - 1)), 6)
       |        ELSE 0.0 END AS lcc
       |       FROM deg d LEFT JOIN pv ON pv.id = d.id),
-      |ag AS (SELECT count(*) AS nv, CAST(sum(tri) AS BIGINT) AS tri3,
+      |ag AS (SELECT count(*) AS nv, CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+      |        CAST(sum(tri) AS BIGINT) AS tri3,
       |        CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS triplets,
       |        CAST(sum(round(lcc * 1000000)) AS BIGINT) AS lcc6 FROM lc),
-      |em AS (SELECT count(*) AS n_edges FROM e),
       |cf AS (SELECT nv, n_edges, triplets, CAST(tri3 / 3 AS BIGINT) AS t30,
       |        triplets - tri3 AS t21, tri3, lcc6,
       |        n_edges * (nv - 2) - 2 * (triplets - tri3)
       |          - 3 * CAST(tri3 / 3 AS BIGINT) AS t12
-      |       FROM ag CROSS JOIN em)
+      |       FROM ag)
       |SELECT nv AS n_vertices, n_edges, triplets AS n_triplets,
       |       t30 AS n_triangles,
       |       CAST(tri3 AS DOUBLE) / CAST(triplets AS DOUBLE) AS global_cc,
