@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.{AvroJob, AvroOutputFormat, AvroWrapper}
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapred.JobConf
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro source/sink — the flink-formats/flink-avro analog (reference
+  * flink-formats/flink-avro/src/main/java/org/apache/flink/formats/avro/
+  * AvroInputFormat.java / AvroOutputFormat.java: container-file read/write
+  * with GenericRecord ⇄ row conversion).
+  *
+  * The spark-avro connector module is not on this classpath, but the Avro
+  * CORE and MAPRED jars ship with Spark itself — so the format is built
+  * directly on them, the same layer the reference builds on:
+  *  - READ: `binaryFiles` (one task per container file — Avro files
+  *    deflate-compress per block and the connector also parallelizes
+  *    per-file for unsplittable codecs) → `DataFileStream` →
+  *    GenericRecord → Row, schema taken from the first file's header on
+  *    the driver and each task re-parsing it from JSON (Schema is not
+  *    serialization-stable across avro versions).
+  *  - WRITE: `saveAsHadoopFile` with avro-mapred's `AvroOutputFormat` —
+  *    the Hadoop committer path, so cluster writes get the normal
+  *    task-attempt/commit semantics (no executor-local-file trap).
+  *
+  * Type surface: boolean/int/long/float/double/string/bytes + nullable
+  * unions + timestamp-micros logical (what the star schema needs).
+  * Nested records/arrays/maps are out of scope and rejected loudly. */
+object Avro {
+
+  /** Avro schema → Spark schema. Fields may be primitive or a
+    * `union(null, primitive)` (→ nullable). */
+  def toStructType(s: Schema): StructType = {
+    require(s.getType == Schema.Type.RECORD, s"expected record schema, got ${s.getType}")
+    StructType(s.getFields.asScala.toSeq.map { f =>
+      val (ft, nullable) = unwrap(f.schema())
+      StructField(f.name(), sparkType(ft), nullable)
+    })
+  }
+
+  private def unwrap(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes.asScala.toSeq
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(branches.size <= 2 && nonNull.size == 1,
+        s"only union(null, T) supported, got $s")
+      (nonNull.head, branches.size == 2)
+    } else (s, false)
+
+  private def sparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.LONG =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros]) TimestampType
+      else LongType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.BYTES   => BinaryType
+    case t => sys.error(s"unsupported avro type $t (nested/array/map out of scope)")
+  }
+
+  /** Spark schema → Avro record schema; every field a nullable union
+    * (the write-side convention — nullability is not narrowed). */
+  def toAvroSchema(st: StructType, name: String): Schema = {
+    val fields = SchemaBuilder.record(name).namespace("graft").fields()
+    st.fields.foldLeft(fields) { (fb, f) =>
+      val base = f.dataType match {
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case TimestampType =>
+          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+        case t => sys.error(s"unsupported Spark type $t for avro write")
+      }
+      fb.name(f.name).`type`(Schema.createUnion(
+        Schema.create(Schema.Type.NULL), base)).withDefault(null)
+    }.endRecord()
+  }
+
+  /** Read every `.avro` container file under `dir` as a DataFrame. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val glob = s"$dir/*.avro"
+    // driver: one header read for the schema
+    val first = spark.sparkContext.binaryFiles(glob).first()._2
+    val headStream = new DataFileStream[GenericRecord](
+      first.open(), new GenericDatumReader[GenericRecord]())
+    val schemaJson = try headStream.getSchema.toString finally headStream.close()
+    val st = toStructType(new Schema.Parser().parse(schemaJson))
+    val tz = st.fields.map(_.dataType) // captured cheaply by the closure
+    val rdd = spark.sparkContext.binaryFiles(glob).flatMap { case (_, pds) =>
+      val reader = new DataFileStream[GenericRecord](
+        pds.open(), new GenericDatumReader[GenericRecord]())
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+        def next(): Row = {
+          val rec = reader.next()
+          Row.fromSeq(tz.indices.map(i => fromAvro(rec.get(i), tz(i))))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, st)
+  }
+
+  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (s: CharSequence, StringType) => s.toString
+    case (b: ByteBuffer, BinaryType) =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case (micros: java.lang.Long, TimestampType) =>
+      java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(micros * 1000L))
+    case (x, _) => x
+  }
+
+  /** Write `df` as Avro container files under `dir` through the Hadoop
+    * committer (`AvroOutputFormat`) — correct on a real cluster, not just
+    * local mode. */
+  def write(df: DataFrame, dir: String): Unit = {
+    val st = df.schema
+    val schemaJson = toAvroSchema(st, "graft_record").toString
+    val conf = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputSchema(conf, new Schema.Parser().parse(schemaJson))
+    df.rdd.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      rows.map { r =>
+        val rec = new GenericData.Record(schema)
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          rec.put(f.name, toAvro(if (r.isNullAt(i)) null else r.get(i)))
+        }
+        (new AvroWrapper[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsHadoopFile(dir, classOf[AvroWrapper[GenericRecord]],
+      classOf[NullWritable], classOf[AvroOutputFormat[GenericRecord]], conf)
+  }
+
+  private def toAvro(v: Any): Any = v match {
+    case null => null
+    case b: Array[Byte] => ByteBuffer.wrap(b)
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case x => x
+  }
+}

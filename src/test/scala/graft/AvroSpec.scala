@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Avro, Tables}
+
+/** §2.9 — Avro container-file source/sink (flink-avro analog) built on the
+  * avro core/mapred jars that ship with Spark. */
+class AvroSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("roundtrip preserves every supported type including nulls") {
+    val dir = Files.createTempDirectory("graft_avro").toString + "/t1"
+    val ts = Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val df = Seq(
+      (1L, true, 7, 1.5f, 2.25, "alpha", Array[Byte](1, 2, 3), ts),
+      (2L, false, -1, -0.5f, 1e10, "βeta", Array[Byte](), ts)
+    ).toDF("id", "flag", "n", "f", "d", "s", "b", "ts")
+    Avro.write(df, dir)
+    val back = Avro.read(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getFloat(3), r.getDouble(4),
+        r.getString(5), r.getAs[Array[Byte]](6).toSeq, r.getTimestamp(7))
+    assert(back.collect().map(canon).toSet == df.collect().map(canon).toSet)
+  }
+
+  test("roundtrip null values through the nullable union") {
+    val dir = Files.createTempDirectory("graft_avro").toString + "/t2"
+    val df = Seq[(java.lang.Long, String)]((1L, null), (null, "x"))
+      .toDF("a", "s")
+    Avro.write(df, dir)
+    val got = Avro.read(spark, dir).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(got == Set((1L, null), (null, "x")), got.toString)
+  }
+
+  test("real table roundtrip: nation survives write+read bit-for-bit") {
+    val dir = Files.createTempDirectory("graft_avro").toString + "/t3"
+    val nation = Tables.load(spark, sfDir, "nation")
+    Avro.write(nation, dir)
+    val back = Avro.read(spark, dir)
+    assert(back.count() == nation.count())
+    val a = back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    val b = nation.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
