@@ -152,4 +152,69 @@ object Avro {
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     case x => x
   }
+
+  // ------------------------------------------------------------------
+  // Single-record binary SERDE — the reference's Kafka wire-format half
+  // of flink-avro (AvroRowSerializationSchema.java /
+  // AvroRowDeserializationSchema.java): one schemaless avro-binary blob
+  // per message, schema agreed out of band. Implemented as
+  // mapPartitions (one decoder per partition, reused across rows — the
+  // multimodal-decoder tier; no builtin exists without the connector),
+  // so both work UNCHANGED on streaming DataFrames between
+  // decodeKafka/encodeKafka.
+  // ------------------------------------------------------------------
+
+  /** All columns of `df` → one avro-binary `value` column (plus any
+    * `keep` columns carried through untouched, e.g. a Kafka key/ts). */
+  def encodeRecords(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val payload = StructType(df.schema.filterNot(f => keep.contains(f.name)))
+    val schemaJson = toAvroSchema(payload, "graft_record").toString
+    val idx = payload.fields.map(f => df.schema.fieldIndex(f.name))
+    val keepIdx = keep.map(df.schema.fieldIndex)
+    val outSchema = StructType(keep.map(df.schema(_)) :+
+      StructField("value", BinaryType, nullable = false))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val writer = new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema)
+      val out = new java.io.ByteArrayOutputStream()
+      var encoder: org.apache.avro.io.BinaryEncoder = null
+      rows.map { r =>
+        out.reset()
+        encoder = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, encoder)
+        val rec = new GenericData.Record(schema)
+        payload.fields.zipWithIndex.foreach { case (f, i) =>
+          rec.put(f.name, toAvro(if (r.isNullAt(idx(i))) null else r.get(idx(i))))
+        }
+        writer.write(rec, encoder)
+        encoder.flush()
+        Row.fromSeq(keepIdx.map(r.get) :+ out.toByteArray)
+      }
+    }
+  }
+
+  /** Avro-binary `valueCol` → the record's columns (schema agreed out of
+    * band, exactly the reference's deserialization-schema contract);
+    * `keep` columns carried through. */
+  def decodeRecords(df: DataFrame, schemaJson: String,
+                    valueCol: String = "value", keep: Seq[String] = Nil): DataFrame = {
+    val payload = toStructType(new Schema.Parser().parse(schemaJson))
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val keepIdx = keep.map(df.schema.fieldIndex)
+    val outSchema = StructType(keep.map(df.schema(_)) ++ payload.fields)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      var decoder: org.apache.avro.io.BinaryDecoder = null
+      var rec: GenericRecord = null
+      rows.map { r =>
+        decoder = org.apache.avro.io.DecoderFactory.get()
+          .binaryDecoder(r.getAs[Array[Byte]](vIdx), decoder)
+        rec = reader.read(rec, decoder)
+        Row.fromSeq(keepIdx.map(r.get) ++
+          payload.fields.zipWithIndex.map { case (f, i) => fromAvro(rec.get(i), f.dataType) })
+      }
+    }
+  }
 }

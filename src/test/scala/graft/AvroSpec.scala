@@ -38,6 +38,38 @@ class AvroSpec extends AnyFunSuite with SparkTest {
     assert(got == Set((1L, null), (null, "x")), got.toString)
   }
 
+  test("record serde roundtrips rows through schemaless avro binary") {
+    val ts = Timestamp.valueOf("2024-03-01 00:00:10.5")
+    val df = Seq((1L, "a", 2.5, ts), (2L, null, -1.0, ts)).toDF("id", "s", "v", "ts")
+    val schemaJson = Avro.toAvroSchema(
+      df.schema.asInstanceOf[org.apache.spark.sql.types.StructType], "rec").toString
+    val enc = Avro.encodeRecords(df)
+    assert(enc.schema.map(_.name) == Seq("value"))
+    val back = Avro.decodeRecords(enc, schemaJson)
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getDouble(2), r.getTimestamp(3))
+    assert(back.collect().map(canon).toSet == df.collect().map(canon).toSet)
+  }
+
+  test("record serde works unchanged on a STREAMING frame (Kafka wire path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Seq((7L, "x", 1.0), (8L, "y", 2.0)).toDF("id", "s", "v")
+    val schemaJson = Avro.toAvroSchema(
+      batch.schema.asInstanceOf[org.apache.spark.sql.types.StructType], "rec").toString
+    val in = MemoryStream[(Long, String, Double)]
+    in.addData((7L, "x", 1.0), (8L, "y", 2.0))
+    val stream = in.toDF().toDF("id", "s", "v")
+    val decoded = Avro.decodeRecords(Avro.encodeRecords(stream), schemaJson)
+    val q = decoded.writeStream.format("memory").queryName("avro_serde")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("avro_serde").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((7L, "x", 1.0), (8L, "y", 2.0)), got.toString)
+  }
+
   test("real table roundtrip: nation survives write+read bit-for-bit") {
     val dir = Files.createTempDirectory("graft_avro").toString + "/t3"
     val nation = Tables.load(spark, sfDir, "nation")
