@@ -38,6 +38,29 @@ def canon(rows, cols, strict=False):
     out.sort()
     return sorted(cols), out
 
+def norm_type(t):
+    # Spark parquet timestamps are UTC-adjusted int64; DuckDB reads them as
+    # TIMESTAMP WITH TIME ZONE while the oracle SQL yields plain TIMESTAMP.
+    # The driver's hash canonicalization is tolerant of that one difference
+    # (all 161 green queries have timestamp columns on both sides), so
+    # collapse it — but keep integer width (HUGEINT vs BIGINT) and
+    # DECIMAL-vs-DOUBLE distinctions, which ARE hash-visible (r10, r11).
+    return t.replace("TIMESTAMP WITH TIME ZONE", "TIMESTAMP")
+
+def type_mismatch(con, sql, files):
+    """DESCRIBE-level type compare: oracle SQL vs Spark parquet. Returns a
+    list of (col, oracle_type, spark_type) diffs. The Python client erases
+    integer-width differences (HUGEINT and BIGINT both arrive as int), which
+    is exactly how the m21/m29 class escaped the value compare twice."""
+    od = {r[0]: norm_type(r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    sd = {r[0]: norm_type(r[1])
+          for r in con.execute(f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+    diffs = []
+    for c in sorted(set(od) | set(sd)):
+        if od.get(c) != sd.get(c):
+            diffs.append((c, od.get(c, "<absent>"), sd.get(c, "<absent>")))
+    return diffs
+
 def main(sf_dir, out_dir, strict=False):
     con = duckdb.connect()
     for t in TABLES:
@@ -57,8 +80,11 @@ def main(sf_dir, out_dir, strict=False):
         scols = [d[0] for d in s.description]; srows = s.fetchall()
         oc, orws = canon(orows, ocols, strict)
         sc, srws = canon(srows, scols, strict)
+        tdiffs = type_mismatch(con, sql, files) if strict else []
         if oc != sc:
             print(f"SCHEMA   {name}: oracle={oc} spark={sc}"); n_fail += 1
+        elif tdiffs:
+            print(f"TYPES    {name}: {tdiffs}"); n_fail += 1
         elif orws != srws:
             diff = [(a, b) for a, b in zip(orws, srws) if a != b][:3]
             print(f"ROWS     {name}: oracle={len(orws)} spark={len(srws)} first_diffs={diff}")

@@ -1570,8 +1570,15 @@ object MatchRecognize {
       val mjoin = matches.join(memEv, col("key") === col("__mk") &&
         col("__mts") >= col(s"${rn}_first_ts") &&
         col("__mts") <= col(s"${rn}_last_ts"))
+      // RUNNING measures must be deterministic when two members share one
+      // timestamp: pin the full lexicographic member order (ts, classifier,
+      // value fields) — the m20/m25 tiebreak convention — instead of ts
+      // alone, which would leave equal-ts running counts/sums
+      // partition-order-dependent
+      val memTieCols: Seq[Column] =
+        memClsCols.map(_ => col("__mcls")) ++ valFields.map(f => col(s"__mf_$f"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__mid")).orderBy(col("__mts"))
+        .partitionBy(col("__mid")).orderBy((col("__mts") +: memTieCols): _*)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       def runMemberMeasure(m: Measure): Column = {
         if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
@@ -1758,8 +1765,15 @@ object MatchRecognize {
       val mjoin = matches.join(memEv, col("key") === col("__mk") &&
         col("__mts") >= col(s"${rn}_first_ts") &&
         col("__mts") <= col(s"${rn}_last_ts"))
+      // RUNNING measures must be deterministic when two members share one
+      // timestamp: pin the full lexicographic member order (ts, classifier,
+      // value fields) — the m20/m25 tiebreak convention — instead of ts
+      // alone, which would leave equal-ts running counts/sums
+      // partition-order-dependent
+      val memTieCols: Seq[Column] =
+        memClsCols.map(_ => col("__mcls")) ++ valFields.map(f => col(s"__mf_$f"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__mid")).orderBy(col("__mts"))
+        .partitionBy(col("__mid")).orderBy((col("__mts") +: memTieCols): _*)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       def memberMeasure(m: Measure): Column = {
         if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")

@@ -507,7 +507,8 @@ object Iterate {
     * O(√|E|) on any graph, so the wedge join is O(Σ out-deg²) ≲ O(|E|^1.5)
     * instead of Σ deg² (which a hub vertex makes quadratic). All equi-joins
     * — shuffles on vertex/edge keys only, no cartesian. */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                     broadcastClosureThreshold: Long = 10000000L): DataFrame = {
     // the canonical edge set feeds the degree count AND the orientation,
     // and the oriented set feeds both wedge sides AND the closure —
     // persist both or the upstream dedup/self-join re-runs per consumer
@@ -515,6 +516,9 @@ object Iterate {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the count materializes the persisted canonical set (which every
+    // downstream consumer needs anyway) and gates the closure broadcast
+    val nEdges = e.count()
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val ed = e
@@ -537,13 +541,18 @@ object Iterate {
       (col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))))
     // close wedges against a BROADCAST of the oriented edge set: the wedge
     // table is the Σ outdeg² blow-up (tens of millions of rows) while the
-    // edge set is |E| — shuffling the wedges by (a, b) would dominate the
-    // whole job. |E| beyond broadcast reach (≳ such that this stops
-    // fitting) would fall back to the shuffle join by removing the hint —
-    // at that scale the wedge shuffle is unavoidable and partition counts,
-    // not the algorithm, are the knob.
-    val tris = wedges.join(
-        broadcast(oriented.select(col("src").as("cs"), col("dst").as("cd"))),
+    // edge set is |E| — so BROADCAST the edges while they fit (≤ threshold
+    // edges × 16 B/row ≈ 160 MB raw, a few× that as a HashedRelation) and
+    // the wedges never shuffle. Past the threshold the hint is NOT applied
+    // — Spark would throw past maxBroadcastTableBytes — and the closure
+    // becomes a plain shuffle equi-join on (a, b): at that |E| the wedge
+    // shuffle is unavoidable and partition counts, not the algorithm, are
+    // the knob. Same guarded-hint pattern as connectedComponents'
+    // localThreshold gate above.
+    val closure = oriented.select(col("src").as("cs"), col("dst").as("cd"))
+    val closureSide =
+      if (nEdges <= broadcastClosureThreshold) broadcast(closure) else closure
+    val tris = wedges.join(closureSide,
         col("a") === col("cs") && col("b") === col("cd"))
       .select(col("s1").as("x"), col("a").as("y"), col("b").as("z"))
     val perVertex = tris.select(col("x").as("id"))
@@ -573,9 +582,12 @@ object Iterate {
     *
     * Output is the summarized EDGE relation with both endpoint groups
     * inlined — (src, src_value, src_group_size, dst, dst_value,
-    * dst_group_size, edge_value, edge_count) — one relation that fully
-    * encodes the output graph (the vertex set is the distinct endpoint
-    * projection).
+    * dst_group_size, edge_value, edge_count). The distinct endpoint
+    * projection recovers every group that has at least one incident
+    * edge; a group whose members are ALL isolated (no incident edges)
+    * does not appear here — the reference emits such groups as output
+    * vertices, so use [[summarizationVertices]] for the complete output
+    * vertex set (one row per group, isolated or not).
     *
     * Scale shape: the group table (one row per distinct vertex value) is
     * aggregated once and BROADCAST into the id→representative mapping;
@@ -601,6 +613,20 @@ object Iterate {
         "dst", "dst_value", "dst_group_size", "ev")
       .agg(count(lit(1)).as("edge_count"))
       .withColumnRenamed("ev", "edge_value")
+  }
+
+  /** The COMPLETE output vertex set of [[summarization]] — one row per
+    * group `(id, value, group_size)` with `id` = MIN member id, INCLUDING
+    * groups whose members have no incident edges (which the edge relation
+    * cannot carry; the reference's Summarization emits all groups as
+    * output vertices). One hash aggregate over the vertex table — no
+    * join, no edges read. */
+  def summarizationVertices(vertices: DataFrame, idCol: String,
+                            valCol: String): DataFrame = {
+    vertices.select(col(idCol).cast("long").as("vid"), col(valCol).as("vv"))
+      .distinct()
+      .groupBy("vv").agg(min(col("vid")).as("id"), count(lit(1)).as("group_size"))
+      .select(col("id"), col("vv").as("value"), col("group_size"))
   }
 
   /** COMMUNITY DETECTION with hop-attenuated label scores — the Gelly
@@ -780,8 +806,14 @@ object Iterate {
       .withColumn("t12", col("n_edges") * (col("nv") - 2)
         - lit(2L) * col("t21") - lit(3L) * col("t30"))
       .withColumn("t03",
-        (col("nv") * (col("nv") - 1) * (col("nv") - 2) / 6).cast("long")
-          - col("t12") - col("t21") - col("t30"))
+        // C(V,3) INTEGER-EXACT: nv(nv-1) is even so div 2 is exact, and
+        // the result times (nv-2) is divisible by 3 — no double rounding
+        // (the old /6-then-cast went through a double, whose truncating
+        // cast diverges from DuckDB's rounding CAST past 2^53 ≈ V 2·10⁵).
+        // Exact until the product overflows 2^63 at V ≈ 2.6·10⁶; past
+        // that, widen to decimal (the reference widens to BigInteger).
+        (expr("(nv * (nv - 1)) div 2 * (nv - 2) div 3")
+          - col("t12") - col("t21") - col("t30")))
       .select(
         col("nv").as("n_vertices"), col("n_edges"),
         col("triplets").as("n_triplets"), col("t30").as("n_triangles"),

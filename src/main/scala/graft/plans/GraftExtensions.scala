@@ -49,6 +49,9 @@ object GraftExtensions {
     // FROM <table> MATCH_RECOGNIZE (...) in spark.sql text — see
     // MatchRecognizeSqlParser
     ext.injectParser((session, parser) => new MatchRecognizeSqlParser(session, parser))
+    // Flink-dialect CREATE TABLE … WITH ('connector' = …) + WATERMARK FOR —
+    // the DDL front door; see FlinkDdl
+    ext.injectParser((session, parser) => new FlinkDdlSqlParser(session, parser))
   }
 
   /** `graph_pagerank('<table>', '<src_col>', '<dst_col>', <iters>)` — a

@@ -615,7 +615,7 @@ object LlmQueries2 {
       |       t30 AS n_triangles,
       |       CAST(tri3 AS DOUBLE) / CAST(triplets AS DOUBLE) AS global_cc,
       |       CAST(lcc6 AS DOUBLE) / (1000000.0 * nv) AS avg_cc,
-      |       CAST(nv * (nv - 1) * (nv - 2) / 6 AS BIGINT)
+      |       nv * (nv - 1) // 2 * (nv - 2) // 3
       |         - t12 - t21 - t30 AS triads_03,
       |       t12 AS triads_12, t21 AS triads_21, t30 AS triads_30
       |FROM cf""".stripMargin

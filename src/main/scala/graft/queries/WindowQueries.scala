@@ -695,7 +695,7 @@ object WindowQueries {
       .withColumn("n_last", count(lit(1)).over(w.rowsBetween(-9, 0)))
       .withColumn("sum_last", sum(col("value")).over(w.rowsBetween(-9, 0)))
       .filter(col("rn") % 5 === 0)
-      .select(col("user_id"), col("rn").as("fire_at"), col("n_last"),
+      .select(col("user_id"), col("rn").cast("long").as("fire_at"), col("n_last"),
         round(col("sum_last"), 4).as("sum_last"))
   }
   private val w20Sql =
@@ -1397,8 +1397,8 @@ object WindowQueries {
       |       GROUP BY 1, 2, 3)
       |SELECT m2.user_id, s_ts AS signup_ts, first_ts,
       |       max(cv.ts) AS last_ts, count(*) AS n_members,
-      |       sum(CASE WHEN cv.event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-      |       sum(CASE WHEN cv.event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+      |       CAST(sum(CASE WHEN cv.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+      |       CAST(sum(CASE WHEN cv.event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
       |       CAST(sum(cv.sval) AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_value, p_ts AS purchase_ts
       |FROM m2 JOIN cv ON cv.user_id = m2.user_id AND cv.ts >= first_ts AND cv.ts < p_ts
       |GROUP BY 1, 2, 3, 9""".stripMargin
@@ -1881,8 +1881,8 @@ object WindowQueries {
       |mem AS (SELECT m2.user_id, m2.s_ts, m2.p_ts,
       |         CASE WHEN cv.event_type = 'click' THEN 'C' ELSE 'V' END AS cls,
       |         cv.ts AS m_ts, count(*) OVER w AS r_n,
-      |         sum(CASE WHEN cv.event_type = 'click' THEN 1 ELSE 0 END) OVER w AS r_c,
-      |         sum(CASE WHEN cv.event_type = 'view' THEN 1 ELSE 0 END) OVER w AS r_v,
+      |         CAST(sum(CASE WHEN cv.event_type = 'click' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS r_c,
+      |         CAST(sum(CASE WHEN cv.event_type = 'view' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS r_v,
       |         sum(cv.sval) OVER w AS r_sum
       |        FROM m2 JOIN cv ON cv.user_id = m2.user_id
       |                       AND cv.ts >= m2.first_ts AND cv.ts < m2.p_ts

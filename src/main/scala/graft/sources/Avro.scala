@@ -99,9 +99,20 @@ object Avro {
     val schemaJson = try headStream.getSchema.toString finally headStream.close()
     val st = toStructType(new Schema.Parser().parse(schemaJson))
     val tz = st.fields.map(_.dataType) // captured cheaply by the closure
-    val rdd = spark.sparkContext.binaryFiles(glob).flatMap { case (_, pds) =>
+    val rdd = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
       val reader = new DataFileStream[GenericRecord](
         pds.open(), new GenericDatumReader[GenericRecord]())
+      // the eager close in hasNext only fires on a full drain — register a
+      // task-completion close so limit/take/first and task errors don't
+      // leak the underlying file handle (close() is idempotent)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.close()))
+      // every file decodes positionally against the driver schema (taken
+      // from the first file's header) — reject a mixed-schema directory
+      // loudly instead of silently mis-decoding columns
+      if (reader.getSchema.toString != schemaJson)
+        sys.error(s"avro schema mismatch in $path: file header schema " +
+          s"${reader.getSchema} differs from the directory schema $schemaJson")
       new Iterator[Row] {
         def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
         def next(): Row = {
@@ -120,7 +131,10 @@ object Avro {
     case (b: ByteBuffer, BinaryType) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
     case (micros: java.lang.Long, TimestampType) =>
-      java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(micros * 1000L))
+      // split micros into (seconds, nanos-of-second) — `micros * 1000`
+      // nanoseconds overflows Long past ~year 2262 / before ~1677
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
     case (x, _) => x
   }
 

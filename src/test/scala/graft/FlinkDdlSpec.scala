@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{FlinkDdl, GraftExtensions}
+
+/** The SQL DDL front door (reference flink-sql-parser SqlCreateTable /
+  * SqlWatermark): Flink-dialect CREATE TABLE … WITH ('connector' = …)
+  * registers Spark temp views — batch or streaming (watermark ⇒ streaming),
+  * with computed columns, option passthrough, and named rejections. */
+class FlinkDdlSpec extends AnyFunSuite with SparkTest {
+
+  test("batch DDL over parquet: declared schema, queryable by plain SQL") {
+    val n = FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_nation (
+         |  n_nationkey BIGINT,
+         |  n_name STRING,
+         |  n_regionkey BIGINT
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '$sfDir/nation.parquet',
+         |  'format' = 'parquet'
+         |)""".stripMargin)
+    assert(n == "ddl_nation")
+    val df = spark.table("ddl_nation")
+    assert(!df.isStreaming)
+    assert(df.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(spark.sql("SELECT count(*) AS c FROM ddl_nation").head().getLong(0) == 25L)
+  }
+
+  test("computed columns + PRIMARY KEY NOT ENFORCED + NOT NULL all parse") {
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_nation2 (
+         |  n_nationkey BIGINT NOT NULL,
+         |  n_name STRING,
+         |  name_uc AS upper(n_name),
+         |  key2 AS n_nationkey * 2,
+         |  PRIMARY KEY (n_nationkey) NOT ENFORCED
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '$sfDir/nation.parquet',
+         |  'format' = 'parquet'
+         |)""".stripMargin)
+    val r = spark.sql(
+      "SELECT name_uc, key2 FROM ddl_nation2 WHERE n_nationkey = 3").head()
+    assert(r.getString(0) == r.getString(0).toUpperCase && r.getLong(1) == 6L)
+  }
+
+  test("watermark DDL registers a STREAMING view; windowed agg from pure SQL") {
+    val dir = Files.createTempDirectory("ddl_stream").toFile
+    val f = new java.io.File(dir, "part1.json")
+    val w = new java.io.PrintWriter(f)
+    // two 10-minute windows for user 1: [00:00, 00:10) ×2, [00:10, 00:20) ×1
+    w.println("""{"user_id":1,"value":2.0,"ts":"2024-01-01T00:01:00.000Z"}""")
+    w.println("""{"user_id":1,"value":3.0,"ts":"2024-01-01T00:04:00.000Z"}""")
+    w.println("""{"user_id":1,"value":5.0,"ts":"2024-01-01T00:11:00.000Z"}""")
+    w.close()
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_stream_events (
+         |  user_id BIGINT,
+         |  value DOUBLE,
+         |  ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${dir.getAbsolutePath}',
+         |  'format' = 'json'
+         |)""".stripMargin)
+    assert(spark.table("ddl_stream_events").isStreaming)
+    // the windowed streaming aggregate, in pure SQL over the DDL table
+    val agg = spark.sql(
+      """SELECT user_id, window(ts, '10 minutes').start AS ws,
+        |       count(*) AS n, sum(value) AS sv
+        |FROM ddl_stream_events GROUP BY user_id, window(ts, '10 minutes')""".stripMargin)
+    assert(agg.isStreaming)
+    val q = agg.writeStream.format("memory").queryName("ddl_agg")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val rows = spark.sql("SELECT n, sv FROM ddl_agg ORDER BY ws")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((2L, 5.0), (1L, 5.0)))
+  }
+
+  test("graft.mode = 'batch' overrides the watermark-implies-streaming default") {
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_batch_events (
+         |  user_id BIGINT,
+         |  event_type STRING,
+         |  value DOUBLE,
+         |  ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '$sfDir/events.parquet',
+         |  'format' = 'parquet',
+         |  'graft.mode' = 'batch'
+         |)""".stripMargin)
+    val df = spark.table("ddl_batch_events")
+    assert(!df.isStreaming && df.count() > 0)
+  }
+
+  test("csv format options pass through with the format prefix stripped") {
+    val dir = Files.createTempDirectory("ddl_csv").toFile
+    val f = new java.io.File(dir, "d.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id;name"); w.println("1;alpha"); w.println("2;beta"); w.close()
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_csv (id BIGINT, name STRING) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${dir.getAbsolutePath}',
+         |  'format' = 'csv',
+         |  'csv.header' = 'true',
+         |  'csv.sep' = ';'
+         |)""".stripMargin)
+    val rows = spark.sql("SELECT id, name FROM ddl_csv ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "alpha"), (2L, "beta")))
+  }
+
+  test("named rejections: kafka, PROCTIME, enforced key, metadata, TIME type") {
+    def fails(ddl: String, frag: String): Unit = {
+      val e = intercept[RuntimeException](FlinkDdl.execute(spark, ddl))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    fails("""CREATE TABLE k (id BIGINT) WITH ('connector' = 'kafka',
+            |'topic' = 't', 'properties.bootstrap.servers' = 'x:9092')""".stripMargin,
+      "StreamOps")
+    fails("""CREATE TABLE p (id BIGINT, pt AS PROCTIME()) WITH (
+            |'connector' = 'filesystem', 'path' = '/x', 'format' = 'parquet')""".stripMargin,
+      "PROCTIME")
+    fails("""CREATE TABLE e (id BIGINT, PRIMARY KEY (id)) WITH (
+            |'connector' = 'filesystem', 'path' = '/x', 'format' = 'parquet')""".stripMargin,
+      "NOT ENFORCED")
+    fails("""CREATE TABLE m (id BIGINT, off BIGINT METADATA) WITH (
+            |'connector' = 'filesystem', 'path' = '/x', 'format' = 'parquet')""".stripMargin,
+      "METADATA")
+    fails("""CREATE TABLE t (id BIGINT, t TIME) WITH (
+            |'connector' = 'filesystem', 'path' = '/x', 'format' = 'parquet')""".stripMargin,
+      "unsupported type")
+  }
+
+  test("complex types parse: ARRAY / MAP / ROW / DECIMAL") {
+    val dir = Files.createTempDirectory("ddl_json").toFile
+    val f = new java.io.File(dir, "d.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"id":1,"xs":[1.5,2.5],"kv":{"a":2},"st":{"x":1,"y":"z"},"d":"1.25"}""")
+    w.close()
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_complex (
+         |  id BIGINT,
+         |  xs ARRAY<DOUBLE>,
+         |  kv MAP<STRING, BIGINT>,
+         |  st ROW<x BIGINT, y STRING>,
+         |  d DECIMAL(10, 2)
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${dir.getAbsolutePath}',
+         |  'format' = 'json'
+         |)""".stripMargin)
+    val r = spark.sql(
+      "SELECT xs[1], kv['a'], st.y, d FROM ddl_complex WHERE id = 1").head()
+    assert(r.getDouble(0) == 2.5 && r.getLong(1) == 2L && r.getString(2) == "z")
+    assert(r.getDecimal(3) == new java.math.BigDecimal("1.25"))
+  }
+
+  test("the DDL statement runs as pure spark.sql text via the parser extension") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().withExtensions(GraftExtensions.install).getOrCreate()
+    try {
+      val conf = s2.sql(
+        s"""CREATE TABLE ddl_sql_nation (
+           |  n_nationkey BIGINT,
+           |  n_name STRING
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$sfDir/nation.parquet',
+           |  'format' = 'parquet'
+           |)""".stripMargin).head()
+      assert(conf.getString(0) == "ddl_sql_nation")
+      assert(s2.sql("SELECT count(*) AS c FROM ddl_sql_nation").head().getLong(0) == 25L)
+      // non-DDL statements and Spark-native DDL pass through untouched
+      assert(s2.sql("SELECT 1 + 2 AS three").head().getInt(0) == 3)
+      s2.sql("CREATE OR REPLACE TEMPORARY VIEW ddl_native AS SELECT 7 AS x")
+      assert(s2.sql("SELECT x FROM ddl_native").head().getInt(0) == 7)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
