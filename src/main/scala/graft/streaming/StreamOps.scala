@@ -400,16 +400,23 @@ object StreamOps {
 
   /** ProcessFunction analog: explicit sessionization with keyed state and an
     * event-time timer. Emits a session when the watermark passes
-    * last-event + gap. */
-  def sessionize(events: Dataset[Event], watermark: String, gapMs: Long): Dataset[SessionOut] = {
+    * last-event + gap.
+    *
+    * `initialState` is the BootstrapTransformation analog generalized past
+    * the dedup shape (reference flink-state-processing-api
+    * WritableSavepoint.java / BootstrapTransformation.java): each supplied
+    * (key, SessionAcc) becomes that key's open session before the first
+    * batch, exactly as if a prior run had checkpointed mid-session — a
+    * subsequent in-gap event EXTENDS the seeded session rather than opening
+    * a new one. As with checkpointed state, a seeded key emits on its next
+    * event or timer; seeding alone schedules no timer (the reference's
+    * bootstrapped operators behave the same until the job runs). */
+  def sessionize(events: Dataset[Event], watermark: String, gapMs: Long,
+                 initialState: Option[Dataset[(Long, SessionAcc)]] = None): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val accEnc = Encoders.product[SessionAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAcc, SessionOut](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
+    val fn = (userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
           if (state.hasTimedOut) {
             val acc = state.get
             state.remove()
@@ -434,7 +441,16 @@ object StreamOps {
             state.setTimeoutTimestamp(acc.lastMs + gapMs)
             out.result().iterator
           }
-      }
+    val grouped = events.withWatermark("ts", watermark).groupByKey(_.user_id)
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState[SessionAcc, SessionOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(fn)
+      case None =>
+        grouped.flatMapGroupsWithState[SessionAcc, SessionOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+    }
   }
 
   /** CEP followed-by: emit (first, second) when `secondType` arrives within
@@ -667,16 +683,19 @@ object StreamOps {
   def cepPattern(events: Dataset[Event], watermark: String,
                  steps: Seq[Event => Boolean], withinMs: Long,
                  maxPartials: Int = 256,
-                 skipPastLast: Boolean = false): Dataset[PatternMatch] = {
+                 skipPastLast: Boolean = false,
+                 initialState: Option[Dataset[(Long, CepPatternAcc)]] = None): Dataset[PatternMatch] = {
     require(steps.size >= 2, "a pattern needs at least two steps")
     implicit val outEnc = Encoders.product[PatternMatch]
     implicit val accEnc = Encoders.product[CepPatternAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[CepPatternAcc, PatternMatch](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[CepPatternAcc]) =>
+    // `initialState`: BootstrapTransformation analog for the CEP shape —
+    // each (key, CepPatternAcc) seeds that key's OPEN PARTIAL MATCHES (and
+    // skip-past-last frontier) before the first batch, as if restored from
+    // a prior run's checkpoint: a seeded partial completes from live events
+    // exactly where the prior run left off. Seeded keys emit on their next
+    // event; seeding alone schedules no timer (checkpoint-restore parity).
+    val fn = (userId: Long, rows: Iterator[Event], state: GroupState[CepPatternAcc]) => {
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           var pending = state.getOption.map(_.pending).getOrElse(Nil)
           var lastEnd = state.getOption.map(_.lastEndMs).getOrElse(Long.MinValue)
@@ -737,7 +756,17 @@ object StreamOps {
                 pending.map(_.boundMs.last + withinMs)).min)
           }
           out.result().iterator
-      }
+    }
+    val grouped = events.withWatermark("ts", watermark).groupByKey(_.user_id)
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState[CepPatternAcc, PatternMatch](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(fn)
+      case None =>
+        grouped.flatMapGroupsWithState[CepPatternAcc, PatternMatch](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+    }
   }
 
   /** Step descriptor for [[cepPatternSteps]] — the streaming twins of the
@@ -2002,5 +2031,45 @@ object StreamOps {
                            key: String)(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
       sink(batch.join(broadcast(loadRules()), Seq(key), "left_outer"))
+    }.start()
+
+  /** `DataStream.iterate()` analog (reference flink-streaming-java/src/main/
+    * java/org/apache/flink/streaming/api/datastream/DataStream.java:537,
+    * IterativeStream.java): elements loop through a step function via a
+    * feedback edge until they exit.
+    *
+    * Spark's dataflow is acyclic, so the TRUE cyclic topology — feedback
+    * rows re-entering the SOURCE across micro-batches with unbounded loop
+    * lifetime — is not representable and is rejected here by design rather
+    * than approximated with an external re-ingestion hack. What IS
+    * expressible, and what the reference's own canonical IterateExample
+    * (minus-one until zero) actually needs, is a feedback loop that DRAINS:
+    * per micro-batch, `step` maps the frontier to (exit rows, feedback
+    * rows); feedback re-enters `step` within the same batch until empty.
+    * This runs each hop as a distributed job over the full frontier —
+    * nothing is collected to the driver — with `localCheckpoint` severing
+    * the per-hop lineage growth exactly as [[graft.operators.Iterate]]'s
+    * batch fixpoints do (the scale discipline for iterative plans).
+    *
+    * `maxHops` is the safety analog of Flink's `maxWaitTimeMillis` loop
+    * bound: a frontier still non-empty after `maxHops` FAILS the batch
+    * loudly (a silent drop would violate exactly-once per-element exit). */
+  def iterateBatches(stream: DataFrame,
+                     step: DataFrame => (DataFrame, DataFrame),
+                     maxHops: Int = 100)(
+                     emit: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      var frontier: DataFrame = batch.toDF()
+      var hops = 0
+      while (!frontier.isEmpty) {
+        if (hops >= maxHops) sys.error(
+          s"iterateBatches: feedback not drained after $maxHops hops in " +
+            s"batch $id — the loop must converge per micro-batch " +
+            "(cross-batch feedback is a cyclic topology Spark rejects)")
+        val (out, feedback) = step(frontier)
+        emit(out, id)
+        frontier = feedback.localCheckpoint(true)
+        hops += 1
+      }
     }.start()
 }

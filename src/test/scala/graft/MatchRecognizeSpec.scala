@@ -1082,4 +1082,59 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       .as[(Long, Long, Double, Timestamp)].collect().toSet
     assert(m == Set((1L, 10L, 5.0, at(20))), m.toString)
   }
+
+  test("ALL ROWS running measures are deterministic on equal-ts members " +
+       "(pinned (ts, classifier, value) member order)") {
+    // a click AND a view at the SAME timestamp inside one (C|V)+ run: the
+    // member window must order them classifier-first ('C' < 'V'), so the
+    // RUNNING counts/sums on each row are fixed, not partition-order luck
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0),
+      (1L, at(10), "click", 1.0), (1L, at(10), "view", 2.0),
+      (1L, at(15), "purchase", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(C_V.ts) AS n_m, COUNT(C.ts) AS n_c,
+        |           COUNT(V.ts) AS n_v, SUM(C_V.value) AS sv
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (C|V)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .select($"cls", $"n_m", $"n_c", $"n_v", $"sv")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSet
+    // 'C' runs first at ts 10: its row sees (1, 1, 0, 1.0); the 'V' row
+    // sees both members. A reversed order would instead produce a
+    // (V, 1, 0, 1, 2.0) row — the Set comparison catches either flip.
+    assert(m == Set(
+      ("S", 0L, 0L, 0L, None),
+      ("C", 1L, 1L, 0L, Some(1.0)),
+      ("V", 2L, 1L, 1L, Some(3.0)),
+      ("P", 2L, 1L, 1L, Some(3.0))), m.toString)
+    // equal (ts, classifier): the VALUE field breaks the remaining tie
+    val evs2 = Seq(
+      (1L, at(0), "signup", 0.0),
+      (1L, at(10), "click", 4.0), (1L, at(10), "click", 2.0),
+      (1L, at(15), "purchase", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m2 = MatchRecognize.detect(evs2,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES COUNT(C.ts) AS n_c, SUM(C.value) AS sv
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S C+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .select($"cls", $"n_c", $"sv")
+      .as[(String, Long, Option[Double])].collect().toSet
+    // ascending value: the 2.0 click's running sum is 2.0, then 6.0
+    assert(m2 == Set(
+      ("S", 0L, None), ("C", 1L, Some(2.0)),
+      ("C", 2L, Some(6.0)), ("P", 2L, Some(6.0))), m2.toString)
+  }
 }

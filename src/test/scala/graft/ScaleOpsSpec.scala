@@ -116,6 +116,44 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
       (4L, 2L, 0L, 0.0), (5L, 1L, 0L, 0.0)), out.toString)
   }
 
+  test("triangleCounts above the broadcast threshold: shuffle-join fallback, " +
+       "identical results, no broadcast in the plan") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    // threshold 0 forces the big-graph path: no HARD broadcast hint in the
+    // logical plan (a hard hint would throw past maxBroadcastTableBytes at
+    // real scale — AQE remains free to pick broadcast at runtime when the
+    // side actually fits, which is exactly the scale-safe behavior)
+    val big = Iterate.triangleCounts(edges, "src", "dst",
+      broadcastClosureThreshold = 0L)
+    assert(!big.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!big.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
+    // …and the guarded hint IS applied below the threshold (the fast path)
+    val hinted = Iterate.triangleCounts(edges, "src", "dst")
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
+    val out = big.as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0), (3L, 3L, 1L, 0.333333),
+      (4L, 2L, 0L, 0.0), (5L, 1L, 0L, 0.0)), out.toString)
+  }
+
+  test("summarizationVertices emits isolated groups the edge relation drops") {
+    import spark.implicits._
+    // group "C" (vertices 4, 5) has no incident edges: absent from the
+    // edge relation (documented), present in the vertex table
+    val verts = Seq((0L, "A"), (1L, "A"), (2L, "B"), (4L, "C"), (5L, "C"))
+      .toDF("id", "vv")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst").withColumn("ev", lit("x"))
+    val rel = Iterate.summarization(verts, "id", "vv", edges, "src", "dst", "ev")
+    val endpointGroups = rel.select($"src_value").union(rel.select($"dst_value"))
+      .distinct().as[String].collect().toSet
+    assert(endpointGroups == Set("A", "B"))
+    val vout = Iterate.summarizationVertices(verts, "id", "vv")
+      .as[(Long, String, Long)].collect().toSet
+    assert(vout == Set((0L, "A", 2L), (2L, "B", 1L), (4L, "C", 2L)), vout.toString)
+  }
+
   test("summarization reproduces the Gelly javadoc example (min-id reps)") {
     import spark.implicits._
     // Summarization.java's own example: vertices 0,1 = "A", 2,3 = "B";

@@ -91,4 +91,59 @@ class StateProcessingSpec extends AnyFunSuite with SparkTest {
       out.mkString(","))
     assert(out.filter(_.user_id == 7L).map(_.value).toSeq == Seq(3.0))
   }
+
+  test("bootstrapped sessionize: live events EXTEND the seeded open session") {
+    import graft.streaming.SessionAcc
+    // key 1 seeded mid-session: started at 0s, last event 30s, 2 events sum 3
+    val initial = Seq((1L, SessionAcc(at(0).getTime, at(30).getTime, 2L, 3.0))).toDS()
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDF().as[Event], "5 seconds",
+        gapMs = 60000L, initialState = Some(initial))
+      .writeStream.format("memory").queryName("sp_boot_sess")
+      .outputMode("append").start()
+    try {
+      // 70s is within the 60s gap of the seeded last (30s) → same session;
+      // key 2 opens a fresh one (proves seeding is per-key, not global)
+      in.addData(Event(1, at(70), "click", 4.0), Event(2, at(75), "view", 1.0))
+      q.processAllAvailable()
+      // watermark flush: both sessions time out and emit
+      in.addData(Event(9, at(500), "flush", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(9, at(900), "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sp_boot_sess")
+      .selectExpr("user_id", "session_start", "n", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .filter(t => t._1 == 1L || t._1 == 2L).toSet
+    // WITHOUT the seed, key 1's session would start at 70s with n=1 sum=4
+    assert(out == Set((1L, at(0), 3L, 7.0), (2L, at(75), 1L, 1.0)), out.toString)
+  }
+
+  test("bootstrapped cepPattern: a seeded partial match completes from live events") {
+    import graft.streaming.{CepPatternAcc, Partial}
+    // key 1 restored with signup@10s already bound (one open partial,
+    // one-of-three steps); key 2 starts cold
+    val initial = Seq((1L, CepPatternAcc(List(Partial(List(at(10).getTime)))))).toDS()
+    val steps: Seq[Event => Boolean] = Seq(
+      _.event_type == "signup", _.event_type == "click", _.event_type == "purchase")
+    val in = MemoryStream[Event]
+    val q = StreamOps.cepPattern(in.toDF().as[Event], "5 seconds", steps,
+        withinMs = 3600000L, initialState = Some(initial))
+      .writeStream.format("memory").queryName("sp_boot_cep")
+      .outputMode("append").start()
+    try {
+      // click + purchase complete the SEEDED partial — no signup ever
+      // arrives on the stream for key 1. Key 2 sends the same two events
+      // and must NOT match (no seeded signup).
+      in.addData(
+        Event(1, at(20), "click", 1.0), Event(1, at(30), "purchase", 2.0),
+        Event(2, at(20), "click", 1.0), Event(2, at(30), "purchase", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sp_boot_cep")
+      .selectExpr("user_id", "step_ts").collect()
+      .map(r => (r.getLong(0), r.getSeq[Timestamp](1).toList)).toSet
+    assert(out == Set((1L, List(at(10), at(20), at(30)))), out.toString)
+  }
 }

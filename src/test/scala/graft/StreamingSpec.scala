@@ -562,4 +562,44 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       s"the still-open pending must survive the timeout fire: $out")
     q.stop()
   }
+
+  test("iterateBatches: the minus-one feedback loop drains per micro-batch " +
+       "(DataStream.iterate analog)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val exits = new scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val in = MemoryStream[Event]
+    // Flink's IterateExample shape: decrement per hop, exit at 0 — user 1
+    // needs 3 hops, user 2 exits on the first
+    val q = StreamOps.iterateBatches(in.toDF(), frontier => {
+      val dec = frontier.withColumn("value", col("value") - 1)
+      (dec.filter(col("value") <= 0), dec.filter(col("value") > 0))
+    }) { (out, _) =>
+      exits.synchronized {
+        exits ++= out.collect().map(r =>
+          (r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+      }
+    }
+    try {
+      in.addData(Event(1, at(0), "n", 3.0), Event(2, at(0), "n", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(3, at(1), "n", 2.0)) // a second batch iterates independently
+      q.processAllAvailable()
+    } finally q.stop()
+    // every element exits EXACTLY once, at value 0
+    assert(exits.sorted.toList == List((1L, 0.0), (2L, 0.0), (3L, 0.0)),
+      exits.toString)
+    // a frontier that can never drain fails loudly at the hop bound —
+    // cross-batch feedback is rejected, not silently dropped
+    val in2 = MemoryStream[Event]
+    val q2 = StreamOps.iterateBatches(in2.toDF(),
+      frontier => (frontier.limit(0), frontier), maxHops = 3) { (_, _) => () }
+    try {
+      in2.addData(Event(9, at(0), "n", 1.0))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q2.processAllAvailable())
+      assert(e.getMessage.contains("feedback not drained") ||
+        Option(e.getCause).exists(_.getMessage.contains("feedback not drained")),
+        e.toString)
+    } finally q2.stop()
+  }
 }
