@@ -70,6 +70,12 @@ class FlinkDdlSqlParser(session: SparkSession, delegate: ParserInterface)
     if (FlinkDdl.isDdl(sqlText)) {
       val name = FlinkDdl.execute(session, sqlText)
       s"SELECT '$name' AS created_table"
+    } else if (FlinkDdl.isInsert(session, sqlText)) {
+      // INSERT INTO a DDL-declared table routes to its connector as a sink
+      // (Spark's own INSERT INTO would reject a temp view target anyway);
+      // INSERTs into non-DDL targets pass through to Spark untouched
+      val r = FlinkDdl.executeInsert(session, sqlText)
+      s"SELECT '$r' AS insert_result"
     } else sqlText
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(run(sqlText))
@@ -94,6 +100,16 @@ class FlinkDdlSqlParser(session: SparkSession, delegate: ParserInterface)
 object FlinkDdl {
   private val HeadRx =
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(""".r
+  private val InsertRx =
+    """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.*)$""".r
+
+  /** Declared (schema, options) of every DDL-registered table, so INSERT
+    * INTO can route to the table's CONNECTOR as a sink. Keyed per session
+    * (a registry, not a catalog — same library scope as the temp views). */
+  private val declared =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (StructType, Map[String, String])]()
+  private def declKey(spark: SparkSession, name: String): (Int, String) =
+    (System.identityHashCode(spark), name)
 
   /** A Flink DDL statement = CREATE TABLE whose trailing options block is
     * the Flink-specific `WITH ('key' = 'value', …)` quoted-key form. */
@@ -138,8 +154,88 @@ object FlinkDdl {
     watermark.foreach { case (c, delay) =>
       df = if (streaming) df.withWatermark(c, delay) else df }
     df.createOrReplaceTempView(name)
+    declared.put(declKey(spark, name), (schema, opts))
     name
   }
+
+  /** `INSERT INTO <ddl-table> SELECT …` — the statement every Flink SQL
+    * script ends with (reference flink-table SqlToOperationConverter →
+    * CatalogSinkModifyOperation; the sink side of the DDL table). The
+    * SELECT runs through the full session parser (so MATCH_RECOGNIZE and
+    * DDL-registered streaming views compose); a batch result writes
+    * through the connector's batch writer, a streaming result STARTS a
+    * streaming query into it — Flink's INSERT-INTO-submits-a-job
+    * behavior. Sink-side options: `'graft.checkpoint'` (default
+    * `<path>/_checkpoint`), `'graft.trigger' = 'availableNow'` to drain
+    * the currently-available input and stop (the bounded-execution mode;
+    * default is a continuous micro-batch query returned by id). Columns
+    * align BY POSITION and cast to the declared types, as the reference
+    * aligns them. Filesystem formats parquet/orc/csv/json/text stream or
+    * batch; avro and jdbc are batch-only sinks (as in the reference,
+    * where avro files and JDBC are bounded/append tables). */
+  def executeInsert(spark: SparkSession, sqlText: String): String = {
+    val m = InsertRx.findFirstMatchIn(sqlText).getOrElse(
+      sys.error("not an INSERT INTO statement"))
+    val name = m.group(1).split('.').last
+    val (schema, opts) = Option(declared.get(declKey(spark, name))).getOrElse(
+      sys.error(s"INSERT INTO $name: not a DDL-declared table in this " +
+        "session — declare the sink with CREATE TABLE … WITH (…) first"))
+    val selected = spark.sql(m.group(2).trim.stripSuffix(";"))
+    require(selected.columns.length == schema.length,
+      s"INSERT INTO $name: query has ${selected.columns.length} columns, " +
+        s"table declares ${schema.length} (alignment is by position)")
+    val df = selected.toDF(schema.fieldNames: _*)
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"INSERT INTO $name: connector '${opts("connector")}' requires '$k'"))
+    val conn = opts.getOrElse("connector",
+      sys.error(s"INSERT INTO $name: declared table has no connector"))
+    if (!df.isStreaming) conn match {
+      case "filesystem" =>
+        val fmt = req("format").toLowerCase
+        if (fmt == "avro") graft.sources.Avro.write(df, req("path"))
+        else df.write.format(fmt).mode("append").save(req("path"))
+        name
+      case "jdbc" =>
+        val props = new java.util.Properties()
+        opts.get("driver").foreach(props.setProperty("driver", _))
+        opts.get("username").foreach(props.setProperty("user", _))
+        opts.get("password").foreach(props.setProperty("password", _))
+        df.write.mode("append").jdbc(req("url"), req("table-name"), props)
+        name
+      case other => sys.error(s"INSERT INTO $name: connector '$other' is " +
+        "not a batch sink here (filesystem/jdbc are)")
+    } else conn match {
+      case "filesystem" =>
+        val fmt = req("format").toLowerCase
+        require(fmt != "avro", s"INSERT INTO $name: avro is a batch-only " +
+          "sink (container files need the Hadoop committer path)")
+        val path = req("path")
+        val w = df.writeStream.format(fmt)
+          .option("path", path)
+          .option("checkpointLocation",
+            opts.getOrElse("graft.checkpoint", s"$path/_checkpoint"))
+          .outputMode("append")
+        opts.get("graft.trigger") match {
+          case Some("availableNow") =>
+            // bounded drain: the job is DONE when the statement returns
+            val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+            q.awaitTermination()
+            name
+          case Some(other) => sys.error(s"INSERT INTO $name: unsupported " +
+            s"graft.trigger '$other' (availableNow or omit)")
+          case None => w.start().id.toString // continuous job, by query id
+        }
+      case other => sys.error(s"INSERT INTO $name: connector '$other' is " +
+        "not a streaming sink here (filesystem is; kafka et al are " +
+        "service-blocked — see StreamOps.kafkaSink)")
+    }
+  }
+
+  /** An INSERT INTO statement targeting a DDL-declared table. */
+  def isInsert(spark: SparkSession, sqlText: String): Boolean =
+    InsertRx.findFirstMatchIn(sqlText).exists(m =>
+      declared.containsKey(declKey(spark, m.group(1).split('.').last)))
 
   // ---- connector dispatch ----
 
@@ -156,6 +252,13 @@ object FlinkDdl {
       case "filesystem" =>
         val fmt = req("format").toLowerCase
         val path = req("path")
+        // a SINK table's directory needn't pre-exist at declaration (the
+        // reference's DDL is lazy); create it so the same declaration also
+        // reads back as an (initially empty) source — Hadoop FS API, so
+        // HDFS/S3 paths work on a real cluster, not just local files
+        val hpath = new org.apache.hadoop.fs.Path(path)
+        val hfs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!hfs.exists(hpath)) hfs.mkdirs(hpath)
         val fmtOpts = opts.collect {
           case (k, v) if k.startsWith(s"$fmt.") => k.drop(fmt.length + 1) -> v }
         fmt match {

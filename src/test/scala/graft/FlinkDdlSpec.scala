@@ -164,6 +164,55 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     assert(r.getDecimal(3) == new java.math.BigDecimal("1.25"))
   }
 
+  test("INSERT INTO a DDL-declared filesystem table: batch write through the connector") {
+    val sinkDir = Files.createTempDirectory("ddl_sink").toFile.getAbsolutePath
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_ins_src (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$sfDir/nation.parquet',
+         |      'format' = 'parquet')""".stripMargin)
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_ins_sink (key BIGINT, name STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$sinkDir/out',
+         |      'format' = 'parquet')""".stripMargin)
+    FlinkDdl.executeInsert(spark,
+      "INSERT INTO ddl_ins_sink SELECT n_nationkey, n_name FROM ddl_ins_src WHERE n_regionkey = 1")
+    val back = spark.read.parquet(s"$sinkDir/out")
+    assert(back.schema.fieldNames.toSeq == Seq("key", "name"))
+    assert(back.count() == 5) // region 1 has 5 nations
+    // a second INSERT appends (Flink INSERT INTO semantics), not overwrites
+    FlinkDdl.executeInsert(spark,
+      "INSERT INTO ddl_ins_sink SELECT n_nationkey, n_name FROM ddl_ins_src WHERE n_regionkey = 2")
+    assert(spark.read.parquet(s"$sinkDir/out").count() == 10)
+  }
+
+  test("full Flink SQL script: streaming source DDL -> sink DDL -> INSERT INTO " +
+       "starts a bounded streaming job") {
+    val srcDir = Files.createTempDirectory("ddl_scr_src").toFile
+    val sinkDir = Files.createTempDirectory("ddl_scr_sink").toFile.getAbsolutePath
+    val w = new java.io.PrintWriter(new java.io.File(srcDir, "p1.json"))
+    w.println("""{"user_id":1,"value":9.5,"ts":"2024-01-01T00:01:00.000Z"}""")
+    w.println("""{"user_id":2,"value":0.5,"ts":"2024-01-01T00:02:00.000Z"}""")
+    w.println("""{"user_id":3,"value":7.0,"ts":"2024-01-01T00:03:00.000Z"}""")
+    w.close()
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_scr_events (
+         |  user_id BIGINT, value DOUBLE, ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '${srcDir.getAbsolutePath}',
+         |        'format' = 'json')""".stripMargin)
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_scr_sink (user_id BIGINT, value DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$sinkDir/out',
+         |      'format' = 'parquet', 'graft.trigger' = 'availableNow')""".stripMargin)
+    // the INSERT is a STREAMING job (source is streaming); availableNow
+    // drains the input and returns only when the job is done
+    FlinkDdl.executeInsert(spark,
+      "INSERT INTO ddl_scr_sink SELECT user_id, value FROM ddl_scr_events WHERE value > 1.0")
+    val back = spark.read.parquet(s"$sinkDir/out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back == Set((1L, 9.5), (3L, 7.0)), back.toString)
+  }
+
   test("the DDL statement runs as pure spark.sql text via the parser extension") {
     val prev = spark
     SparkSession.clearActiveSession()
@@ -185,6 +234,14 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
       assert(s2.sql("SELECT 1 + 2 AS three").head().getInt(0) == 3)
       s2.sql("CREATE OR REPLACE TEMPORARY VIEW ddl_native AS SELECT 7 AS x")
       assert(s2.sql("SELECT x FROM ddl_native").head().getInt(0) == 7)
+      // INSERT INTO a DDL-declared sink works as sql text too
+      val sinkDir = Files.createTempDirectory("ddl_sql_sink").toFile.getAbsolutePath
+      s2.sql(
+        s"""CREATE TABLE ddl_sql_sink (k BIGINT) WITH (
+           |'connector' = 'filesystem', 'path' = '$sinkDir/out',
+           |'format' = 'parquet')""".stripMargin)
+      s2.sql("INSERT INTO ddl_sql_sink SELECT n_nationkey FROM ddl_sql_nation WHERE n_nationkey < 3")
+      assert(s2.read.parquet(s"$sinkDir/out").count() == 3)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
