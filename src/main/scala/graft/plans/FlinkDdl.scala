@@ -76,7 +76,10 @@ class FlinkDdlSqlParser(session: SparkSession, delegate: ParserInterface)
       // INSERTs into non-DDL targets pass through to Spark untouched
       val r = FlinkDdl.executeInsert(session, sqlText)
       s"SELECT '$r' AS insert_result"
-    } else sqlText
+    } else if (FlinkDdl.isDrop(session, sqlText)) {
+      val n = FlinkDdl.executeDrop(session, sqlText)
+      s"SELECT '$n' AS dropped_table"
+    } else FlinkDdl.rewriteCreateView(sqlText)
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(run(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -236,6 +239,35 @@ object FlinkDdl {
   def isInsert(spark: SparkSession, sqlText: String): Boolean =
     InsertRx.findFirstMatchIn(sqlText).exists(m =>
       declared.containsKey(declKey(spark, m.group(1).split('.').last)))
+
+  private val DropRx =
+    """(?is)^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+
+  /** A DROP TABLE targeting a DDL-declared table (a reference script's
+    * teardown line). Drops targeting anything else pass through to Spark
+    * (catalog tables, native temp views). */
+  def isDrop(spark: SparkSession, sqlText: String): Boolean =
+    DropRx.findFirstMatchIn(sqlText).exists(m =>
+      declared.containsKey(declKey(spark, m.group(1).split('.').last)))
+
+  def executeDrop(spark: SparkSession, sqlText: String): String = {
+    val name = DropRx.findFirstMatchIn(sqlText).get.group(1).split('.').last
+    declared.remove(declKey(spark, name))
+    spark.catalog.dropTempView(name)
+    name
+  }
+
+  private val CreateViewRx = """(?is)^(\s*CREATE\s+)(VIEW\s+\w+\s+AS\b)""".r
+
+  /** Flink-script `CREATE VIEW name AS SELECT …` → Spark
+    * `CREATE OR REPLACE TEMPORARY VIEW`: a PERSISTENT Spark view cannot
+    * reference temp views, so a script's CREATE VIEW over a DDL table
+    * would otherwise fail on exactly the statement shape Flink scripts
+    * use (reference SqlCreateView; Flink catalogs are session-scoped by
+    * default, so temporary is the faithful mapping). Qualified names and
+    * explicitly TEMPORARY/MATERIALIZED forms pass through untouched. */
+  def rewriteCreateView(sqlText: String): String =
+    CreateViewRx.replaceFirstIn(sqlText, "$1OR REPLACE TEMPORARY $2")
 
   // ---- connector dispatch ----
 

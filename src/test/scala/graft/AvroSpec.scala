@@ -80,4 +80,33 @@ class AvroSpec extends AnyFunSuite with SparkTest {
     val b = nation.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("far-date timestamps roundtrip (no nanosecond-range overflow)") {
+    val dir = Files.createTempDirectory("graft_avro").toString + "/t4"
+    // past ~2262 the old micros*1000 nanos path wrapped Long and corrupted
+    // the value on READ while the write stayed fine
+    val far = Timestamp.valueOf("2500-06-15 08:30:00.5")
+    val old = Timestamp.valueOf("1600-01-02 03:04:05.0")
+    val df = Seq((1L, far), (2L, old)).toDF("id", "ts")
+    Avro.write(df, dir)
+    val back = Avro.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(back == Set((1L, far), (2L, old)), back.toString)
+  }
+
+  test("a mixed-schema directory is rejected loudly, not silently mis-decoded") {
+    val dir = Files.createTempDirectory("graft_avro").toString + "/t5"
+    Avro.write(Seq((1L, "a")).toDF("id", "s"), dir)
+    // second write with a DIFFERENT schema into the same directory: give
+    // the files distinct names by writing to a subdir and moving the file up
+    val tmp2 = Files.createTempDirectory("graft_avro").toString + "/t5b"
+    Avro.write(Seq((2.5, 7L)).toDF("x", "y"), tmp2)
+    val src = new java.io.File(tmp2).listFiles().filter(_.getName.endsWith(".avro")).head
+    val dst = new java.io.File(dir, "zz-" + src.getName)
+    java.nio.file.Files.move(src.toPath, dst.toPath)
+    val e = intercept[org.apache.spark.SparkException](
+      Avro.read(spark, dir).collect())
+    assert(e.getMessage.contains("schema mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("schema mismatch")), e.toString)
+  }
 }

@@ -213,6 +213,35 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     assert(back == Set((1L, 9.5), (3L, 7.0)), back.toString)
   }
 
+  test("script CREATE VIEW rewrites to a temp view over DDL tables; DROP TABLE tears down") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().withExtensions(GraftExtensions.install).getOrCreate()
+    try {
+      s2.sql(
+        s"""CREATE TABLE ddl_vw_nation (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+           |WITH ('connector' = 'filesystem', 'path' = '$sfDir/nation.parquet',
+           |      'format' = 'parquet')""".stripMargin)
+      // a PERSISTENT view over a temp view is illegal in Spark — the script
+      // form must rewrite to a temporary view to run at all
+      s2.sql("CREATE VIEW ddl_big_nations AS SELECT n_name FROM ddl_vw_nation WHERE n_regionkey = 0")
+      assert(s2.sql("SELECT count(*) AS c FROM ddl_big_nations").head().getLong(0) == 5L)
+      // DROP TABLE removes the DDL table (temp view + registry entry)
+      s2.sql("DROP TABLE ddl_vw_nation")
+      intercept[org.apache.spark.sql.AnalysisException](s2.table("ddl_vw_nation").count())
+      // and a re-declared table with the same name starts clean
+      s2.sql(
+        s"""CREATE TABLE ddl_vw_nation (n_nationkey BIGINT)
+           |WITH ('connector' = 'filesystem', 'path' = '$sfDir/nation.parquet',
+           |      'format' = 'parquet')""".stripMargin)
+      assert(s2.table("ddl_vw_nation").schema.fieldNames.toSeq == Seq("n_nationkey"))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("the DDL statement runs as pure spark.sql text via the parser extension") {
     val prev = spark
     SparkSession.clearActiveSession()

@@ -92,6 +92,45 @@ class StateProcessingSpec extends AnyFunSuite with SparkTest {
     assert(out.filter(_.user_id == 7L).map(_.value).toSeq == Seq(3.0))
   }
 
+  test("savepoint ROUND TRIP: a checkpoint's state reads back as a batch " +
+       "table and bootstraps a brand-new query (state migration)") {
+    // the full ExistingSavepoint -> WritableSavepoint flow: run job A with a
+    // checkpoint, stop it, READ its keyed state batch-side, and seed job B
+    // (a fresh query, fresh checkpoint) from exactly that state
+    val ckpt = Files.createTempDirectory("graft_state_rt").toString
+    val inA = MemoryStream[Event]
+    inA.addData(Event(1, at(100), "click", 9.0), Event(2, at(40), "view", 4.0))
+    val qA = StreamOps.dedupKeepLast(inA.toDF().as[Event], "10 seconds")
+      .writeStream.format("memory").queryName("sp_rt_a")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    qA.processAllAvailable(); qA.stop()
+
+    // savepoint read: per-key latest rows, reshaped to the operator's state type
+    val migrated = StateInspect.operatorState(spark, ckpt)
+      .selectExpr("value.groupState.user_id", "value.groupState.ts",
+        "value.groupState.event_type", "value.groupState.value")
+      .as[Event]
+    // job B: NEW query, NO checkpoint lineage — only the migrated state.
+    // Key 1's in-stream event is OLDER than its migrated row (must lose);
+    // key 2's is NEWER (must win); key 3 is cold (sanity).
+    val inB = MemoryStream[Event]
+    inB.addData(
+      Event(1, at(50), "stale", 1.0), Event(2, at(60), "fresh", 6.0),
+      Event(3, at(10), "cold", 2.0))
+    val qB = StateInspect.dedupKeepLastBootstrapped(
+        inB.toDF().as[Event], "10 seconds", migrated)
+      .writeStream.format("memory").queryName("sp_rt_b")
+      .outputMode("update").start()
+    qB.processAllAvailable(); qB.stop()
+    val out = spark.table("sp_rt_b").as[Event].collect()
+      .map(e => (e.user_id, e.ts, e.value)).toSet
+    assert(out == Set(
+      (1L, at(100), 9.0), // migrated state survived job A's shutdown
+      (2L, at(60), 6.0),  // newer live event superseded the migrated row
+      (3L, at(10), 2.0)), out.toString)
+  }
+
   test("bootstrapped sessionize: live events EXTEND the seeded open session") {
     import graft.streaming.SessionAcc
     // key 1 seeded mid-session: started at 0s, last event 30s, 2 events sum 3
