@@ -234,15 +234,53 @@ object FunctionQueries {
       |       CAST(SUM(pos) AS BIGINT) AS sum_pos, CAST(MIN(pos) AS BIGINT) AS min_pos
       |FROM tok GROUP BY word ORDER BY n_occ DESC, word LIMIT 30""".stripMargin
 
+  // --- f12: the SQL DDL front door, driver-gated (reference
+  // flink-sql-parser SqlCreateTable / SqlCreateView: the CREATE TABLE …
+  // WITH → CREATE VIEW → SELECT script every Flink SQL user starts with).
+  // Tables register through graft.plans.FlinkDdl (batch filesystem
+  // connector, declared-subset projection), the joining view goes through
+  // the CREATE VIEW rewrite, and the aggregate runs as plain spark.sql over
+  // the registered names — the whole pipeline is DDL + SQL text. Money sums
+  // accumulate as ×100 scaled longs (exact, order-free) per the engine
+  // convention.
+  private val f12: Q = (s, dir) => {
+    graft.plans.FlinkDdl.execute(s,
+      s"""CREATE TABLE ddl_f12_orders (
+         |  o_orderkey BIGINT, o_custkey BIGINT,
+         |  o_totalprice DOUBLE, o_orderpriority STRING
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/orders.parquet',
+         |        'format' = 'parquet')""".stripMargin)
+    graft.plans.FlinkDdl.execute(s,
+      s"""CREATE TABLE ddl_f12_customer (c_custkey BIGINT, c_nationkey INT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/customer.parquet',
+         |      'format' = 'parquet')""".stripMargin)
+    s.sql(graft.plans.FlinkDdl.rewriteCreateView(
+      """CREATE VIEW ddl_f12_v AS
+        |SELECT c_nationkey, o_orderpriority, o_totalprice
+        |FROM ddl_f12_orders JOIN ddl_f12_customer ON o_custkey = c_custkey""".stripMargin))
+    s.sql(
+      """SELECT c_nationkey, o_orderpriority, count(*) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |         / CAST(100 AS DOUBLE) AS sum_price
+        |FROM ddl_f12_v GROUP BY c_nationkey, o_orderpriority""".stripMargin)
+  }
+  private val f12Sql =
+    """SELECT c_nationkey, o_orderpriority, count(*) AS n_orders,
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |         / CAST(100 AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03,
     "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05, "f06_temporal_funcs" -> f06,
     "f07_bitwise_funcs" -> f07, "f08_udagg_weighted_avg" -> f08,
-    "f09_collection_funcs" -> f09, "f10_table_agg" -> f10, "f11_udtf" -> f11)
+    "f09_collection_funcs" -> f09, "f10_table_agg" -> f10, "f11_udtf" -> f11,
+    "f12_ddl_script" -> f12)
   val oracles: Map[String, String] = Map(
     "f01_math_funcs" -> f01Sql, "f02_string_funcs2" -> f02Sql, "f03_json_extract" -> f03Sql,
     "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql, "f06_temporal_funcs" -> f06Sql,
     "f07_bitwise_funcs" -> f07Sql, "f08_udagg_weighted_avg" -> f08Sql,
     "f09_collection_funcs" -> f09Sql, "f10_table_agg" -> f10Sql,
-    "f11_udtf" -> f11Sql)
+    "f11_udtf" -> f11Sql, "f12_ddl_script" -> f12Sql)
 }

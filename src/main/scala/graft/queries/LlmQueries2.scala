@@ -421,6 +421,24 @@ object LlmQueries2 {
       |FROM e JOIN m ms ON ms.id = e.es JOIN m md ON md.id = e.ed
       |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
 
+  // ---------- i16: summarization OUTPUT VERTICES (isolated groups incl.) ----------
+  // The vertex half of Gelly Summarization (Summarization.java emits ALL
+  // groups as output vertices, including groups whose members have no
+  // incident edges — which i10's edge relation cannot carry): one hash
+  // aggregate over the nation-grouped supplier∪customer vertex table.
+  private val i16: Q = (s, dir) => {
+    val sup = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_nationkey").as("vv"))
+    val cust = Tables.load(s, dir, "customer")
+      .select((col("c_custkey") + 100000L).as("id"), col("c_nationkey").as("vv"))
+    Iterate.summarizationVertices(sup.union(cust), "id", "vv")
+  }
+  private val i16Sql =
+    """WITH v AS (SELECT s_suppkey AS id, s_nationkey AS vv FROM supplier
+      |     UNION SELECT c_custkey + 100000, c_nationkey FROM customer)
+      |SELECT min(id) AS id, vv AS value, count(*) AS group_size
+      |FROM v GROUP BY vv""".stripMargin
+
   // ---------- i11: community detection with hop-attenuated scores ----------
   // Gelly CommunityDetection (flink-gelly/.../library/
   // CommunityDetection.java, Leung et al.): label-with-score propagation
@@ -626,7 +644,7 @@ object LlmQueries2 {
     "i08_adamic_adar" -> i08, "i09_hits" -> i09, "i10_summarization" -> i10,
     "i11_community_detection" -> i11, "i12_vertex_metrics" -> i12,
     "i13_edge_metrics" -> i13, "i14_graph_checksum" -> i14,
-    "i15_clustering_stats" -> i15,
+    "i15_clustering_stats" -> i15, "i16_summarization_vertices" -> i16,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
@@ -637,6 +655,6 @@ object LlmQueries2 {
     "i09_hits" -> i09Sql, "i10_summarization" -> i10Sql,
     "i11_community_detection" -> i11Sql, "i12_vertex_metrics" -> i12Sql,
     "i13_edge_metrics" -> i13Sql, "i14_graph_checksum" -> i14Sql,
-    "i15_clustering_stats" -> i15Sql,
+    "i15_clustering_stats" -> i15Sql, "i16_summarization_vertices" -> i16Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }
