@@ -358,4 +358,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("f12 DDL tables keep scan pruning and filter pushdown (the front door " +
+       "costs no plan quality)") {
+    val p = planOf("f12_ddl_script")
+    // the declared-subset schema prunes the orders scan to the 4 declared
+    // columns — none of the undeclared ones may appear anywhere in the plan
+    assert(!p.contains("o_orderdate") && !p.contains("o_orderstatus"),
+      s"undeclared columns must not be read through a DDL table:\n$p")
+    // a WHERE through the registered view still pushes to the parquet scan
+    import graft.plans.FlinkDdl
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_pq_orders (o_orderkey BIGINT, o_totalprice DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$sfDir/orders.parquet',
+         |      'format' = 'parquet')""".stripMargin)
+    val df = spark.sql(
+      "SELECT o_orderkey FROM ddl_pq_orders WHERE o_totalprice > 100000.0")
+    df.collect()
+    val p2 = df.queryExecution.executedPlan.toString
+    assert(p2.contains("PushedFilters:") && p2.contains("o_totalprice"),
+      s"filter must reach the scan through the DDL view:\n$p2")
+  }
 }
