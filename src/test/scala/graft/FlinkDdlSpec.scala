@@ -213,6 +213,63 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     assert(back == Set((1L, 9.5), (3L, 7.0)), back.toString)
   }
 
+  test("DDL composes with MATCH_RECOGNIZE: CEP SQL over a DDL-declared table " +
+       "in one session (the full Flink SQL experience)") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().withExtensions(GraftExtensions.install).getOrCreate()
+    try {
+      val dir = Files.createTempDirectory("ddl_mr").toFile
+      val w = new java.io.PrintWriter(new java.io.File(dir, "ev.json"))
+      w.println("""{"user_id":1,"event_type":"signup","ts":"2024-01-01T00:00:00.000Z"}""")
+      w.println("""{"user_id":1,"event_type":"click","ts":"2024-01-01T00:10:00.000Z"}""")
+      w.println("""{"user_id":1,"event_type":"purchase","ts":"2024-01-01T00:20:00.000Z"}""")
+      w.println("""{"user_id":2,"event_type":"click","ts":"2024-01-01T00:05:00.000Z"}""")
+      w.close()
+      s2.sql(
+        s"""CREATE TABLE ddl_mr_events (
+           |  user_id BIGINT, event_type STRING, ts TIMESTAMP(3)
+           |) WITH ('connector' = 'filesystem', 'path' = '${dir.getAbsolutePath}',
+           |        'format' = 'json', 'graft.mode' = 'batch')""".stripMargin)
+      val rows = s2.sql(
+        """SELECT user_id, purchase_ts FROM ddl_mr_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES S.ts AS signup_ts, C.ts AS click_ts, P.ts AS purchase_ts
+          |  PATTERN (S C P)
+          |  WITHIN INTERVAL '24' HOUR
+          |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+          |         P AS event_type = 'purchase'
+          |)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString)).toSeq
+      assert(rows == Seq((1L, "2024-01-01T00:20:00Z")), rows.toString)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
+  test("rate connector: streaming source with computed columns from DDL") {
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_rate (
+        |  ts AS timestamp,
+        |  v2 AS value * 2,
+        |  WATERMARK FOR timestamp AS timestamp
+        |) WITH ('connector' = 'rate', 'rows-per-second' = '500')""".stripMargin)
+    val df = spark.table("ddl_rate")
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.contains("v2"))
+    val q = df.writeStream.format("memory").queryName("ddl_rate_out")
+      .outputMode("append").start()
+    try {
+      Thread.sleep(2500)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ddl_rate_out").selectExpr("value", "v2").collect()
+    assert(rows.nonEmpty, "rate source should have produced rows in 2.5s")
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 2))
+  }
+
   test("script CREATE VIEW rewrites to a temp view over DDL tables; DROP TABLE tears down") {
     val prev = spark
     SparkSession.clearActiveSession()
