@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml._
+
+/** Flink ML Pipeline API analog (flink-ml-parent: Pipeline/Estimator/
+  * Transformer/Model/Params + MultivariateGaussian) wired onto the
+  * engine's own distributed operators. */
+class MlPipelineSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private lazy val embeddings = spark.read
+    .parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+  test("scaler -> kmeans pipeline: fit chains stages, predictions match the " +
+       "engine's own kmeans on the scaled features") {
+    val pipe = new Pipeline()
+      .appendStage(new StandardScaler("embedding", "scaled"))
+      .appendStage(new KMeans("vec_id", "scaled", "cluster", k = 4, iters = 5))
+    assert(pipe.needFit)
+    val model = pipe.fit(embeddings)
+    val out = model.transform(embeddings)
+    val mine = out.select(col("vec_id"), col("cluster")).as[(Long, Int)]
+      .collect().toMap
+
+    // reference: scale by hand, run the engine's kmeans directly — the
+    // model's expression-only scoring must agree exactly (same init, same
+    // iteration count, same lowest-cid tie-break)
+    val scaledRef = new StandardScaler("embedding", "scaled").fit(embeddings)
+      .transform(embeddings)
+    val ref = graft.operators.Iterate.kmeans(scaledRef, "vec_id", "scaled", 4, 5)
+      .as[(Long, Int)].collect().toMap
+    assert(mine.size == ref.size)
+    assert(mine == ref, s"first diffs: ${
+      mine.collect { case (k, v) if ref.get(k) != Some(v) => (k, v, ref.get(k)) }.take(5)}")
+    // every cluster is populated at this k
+    assert(mine.values.toSet == Set(0, 1, 2, 3))
+  }
+
+  test("scaler model standardizes each dimension to mean 0 / std 1") {
+    val model = new StandardScaler("embedding", "scaled").fit(embeddings)
+    val stats = model.transform(embeddings)
+      .select(posexplode(col("scaled")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(avg("x").as("mu"), stddev_pop("x").as("sd"))
+      .collect()
+    assert(stats.forall(r => math.abs(r.getDouble(1)) < 1e-9 &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
+
+  test("unfitted pipeline with estimators rejects transform by name") {
+    val pipe = new Pipeline().appendStage(new KMeans("vec_id", "embedding", "c", 2, 2))
+    val e = intercept[IllegalArgumentException](pipe.transform(embeddings))
+    assert(e.getMessage.contains("unfitted"))
+    // a transformer-only pipeline transforms without fit (reference contract)
+    val tOnly = new Pipeline().appendStage(
+      new MultivariateGaussian("embedding", "lp",
+        Array.fill(embeddings.head().getSeq[Double](1).length)(0.0),
+        Array.tabulate(embeddings.head().getSeq[Double](1).length,
+          embeddings.head().getSeq[Double](1).length)((i, j) => if (i == j) 1.0 else 0.0)))
+    assert(!tOnly.needFit)
+    assert(tOnly.transform(embeddings).columns.contains("lp"))
+  }
+
+  test("MultivariateGaussian log-density matches the closed form (diagonal + full)") {
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(0.0, 0.0))).toDF("id", "v")
+    // diagonal: logpdf = -log(2π) - 0.5·log(σ1²σ2²) - 0.5·Σ (xi-μi)²/σi²
+    val diag = new MultivariateGaussian("v", "lp",
+      Array(1.0, 1.0), Array(Array(4.0, 0.0), Array(0.0, 0.25)))
+    val got = diag.transform(df).select("id", "lp").as[(Long, Double)].collect().toMap
+    def ref(x: Array[Double]): Double =
+      -math.log(2 * math.Pi) - 0.5 * math.log(4.0 * 0.25) -
+        0.5 * (math.pow(x(0) - 1, 2) / 4.0 + math.pow(x(1) - 1, 2) / 0.25)
+    assert(math.abs(got(1L) - ref(Array(1.0, 2.0))) < 1e-9)
+    assert(math.abs(got(2L) - ref(Array(0.0, 0.0))) < 1e-9)
+    // full covariance: check against a hand-inverted 2×2
+    val full = new MultivariateGaussian("v", "lp",
+      Array(0.0, 0.0), Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val g2 = full.transform(df).select("id", "lp").as[(Long, Double)].collect().toMap
+    // Σ⁻¹ = 1/3·[[2,-1],[-1,2]], |Σ| = 3
+    def ref2(x: Array[Double]): Double = {
+      val quad = (2 * x(0) * x(0) - 2 * x(0) * x(1) + 2 * x(1) * x(1)) / 3.0
+      -math.log(2 * math.Pi) - 0.5 * math.log(3.0) - 0.5 * quad
+    }
+    assert(math.abs(g2(1L) - ref2(Array(1.0, 2.0))) < 1e-9)
+    assert(math.abs(g2(2L) - ref2(Array(0.0, 0.0))) < 1e-9)
+  }
+
+  test("kmeans scoring is expression-only: no join, no shuffle in the plan") {
+    val model = new KMeans("vec_id", "embedding", "c", 3, 3).fit(embeddings)
+    val plan = model.transform(embeddings).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+}
