@@ -110,7 +110,7 @@ object FlinkDdl {
     * INTO can route to the table's CONNECTOR as a sink. Keyed per session
     * (a registry, not a catalog — same library scope as the temp views). */
   private val declared =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (StructType, Map[String, String])]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (StructType, Map[String, String], String)]()
   private def declKey(spark: SparkSession, name: String): (Int, String) =
     (System.identityHashCode(spark), name)
 
@@ -157,7 +157,7 @@ object FlinkDdl {
     watermark.foreach { case (c, delay) =>
       df = if (streaming) df.withWatermark(c, delay) else df }
     df.createOrReplaceTempView(name)
-    declared.put(declKey(spark, name), (schema, opts))
+    declared.put(declKey(spark, name), (schema, opts, sqlText))
     name
   }
 
@@ -180,7 +180,7 @@ object FlinkDdl {
     val m = InsertRx.findFirstMatchIn(sqlText).getOrElse(
       sys.error("not an INSERT INTO statement"))
     val name = m.group(1).split('.').last
-    val (schema, opts) = Option(declared.get(declKey(spark, name))).getOrElse(
+    val (schema, opts, ddlText) = Option(declared.get(declKey(spark, name))).getOrElse(
       sys.error(s"INSERT INTO $name: not a DDL-declared table in this " +
         "session — declare the sink with CREATE TABLE … WITH (…) first"))
     val selected = spark.sql(m.group(2).trim.stripSuffix(";"))
@@ -198,6 +198,10 @@ object FlinkDdl {
         val fmt = req("format").toLowerCase
         if (fmt == "avro") graft.sources.Avro.write(df, req("path"))
         else df.write.format(fmt).mode("append").save(req("path"))
+        // the registered view snapshotted the file listing at declare time
+        // (possibly empty) — re-register so a subsequent SELECT in the same
+        // script sees the rows this INSERT just wrote
+        execute(spark, ddlText)
         name
       case "jdbc" =>
         val props = new java.util.Properties()
@@ -221,9 +225,11 @@ object FlinkDdl {
           .outputMode("append")
         opts.get("graft.trigger") match {
           case Some("availableNow") =>
-            // bounded drain: the job is DONE when the statement returns
+            // bounded drain: the job is DONE when the statement returns —
+            // re-register the sink view so a following SELECT sees the rows
             val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
             q.awaitTermination()
+            execute(spark, ddlText)
             name
           case Some(other) => sys.error(s"INSERT INTO $name: unsupported " +
             s"graft.trigger '$other' (availableNow or omit)")
@@ -255,6 +261,54 @@ object FlinkDdl {
     declared.remove(declKey(spark, name))
     spark.catalog.dropTempView(name)
     name
+  }
+
+  /** The `sql-client -f script.sql` analog (reference flink-table/
+    * flink-sql-client `CliClient.java`/`SqlCommandParser.java`): run a
+    * whole multi-statement script — DDL, views, INSERTs, queries — in
+    * order, on ANY session (no parser extension required; each statement
+    * routes through the same dispatch the extension uses). Statements
+    * split on `;` outside quotes; `--` line comments are stripped.
+    * Returns the result of each statement (confirmation rows for DDL). */
+  def runScript(spark: SparkSession, script: String): Seq[DataFrame] = {
+    splitStatements(script).map { stmt =>
+      if (isDdl(stmt)) {
+        val n = execute(spark, stmt); spark.sql(s"SELECT '$n' AS created_table")
+      } else if (isInsert(spark, stmt)) {
+        val r = executeInsert(spark, stmt); spark.sql(s"SELECT '$r' AS insert_result")
+      } else if (isDrop(spark, stmt)) {
+        val n = executeDrop(spark, stmt); spark.sql(s"SELECT '$n' AS dropped_table")
+      } else spark.sql(rewriteCreateView(stmt))
+    }
+  }
+
+  /** Split a script on `;` at top level (outside single-quoted strings),
+    * with `--` line comments removed first. */
+  private[plans] def splitStatements(script: String): Seq[String] = {
+    val noComments = script.split('\n')
+      .map { line =>
+        // strip -- comments, but not a -- inside a quoted string
+        var inStr = false; var i = 0; var cut = line.length
+        while (i < line.length - 1 && cut == line.length) {
+          if (line(i) == '\'') inStr = !inStr
+          else if (!inStr && line(i) == '-' && line(i + 1) == '-') cut = i
+          i += 1
+        }
+        line.substring(0, cut)
+      }.mkString("\n")
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inStr = false
+    noComments.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case ';' => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   private val CreateViewRx = """(?is)^(\s*CREATE\s+)(VIEW\s+\w+\s+AS\b)""".r

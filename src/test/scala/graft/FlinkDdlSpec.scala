@@ -299,6 +299,38 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("runScript executes a whole multi-statement SQL script in order " +
+       "(the sql-client -f analog) on a plain session") {
+    val sinkDir = Files.createTempDirectory("ddl_script").toFile.getAbsolutePath
+    val results = FlinkDdl.runScript(spark,
+      s"""-- source over the star schema
+         |CREATE TABLE scr_nation (
+         |  n_nationkey BIGINT,
+         |  n_name STRING,   -- comment after a column
+         |  n_regionkey BIGINT
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '$sfDir/nation.parquet',
+         |  'format' = 'parquet'
+         |);
+         |
+         |CREATE VIEW scr_r0 AS SELECT n_nationkey, n_name FROM scr_nation WHERE n_regionkey = 0;
+         |
+         |CREATE TABLE scr_sink (k BIGINT, name STRING) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '$sinkDir/out',
+         |  'format' = 'parquet'
+         |);
+         |
+         |INSERT INTO scr_sink SELECT n_nationkey, n_name FROM scr_r0;
+         |
+         |SELECT count(*) AS n FROM scr_sink""".stripMargin)
+    assert(results.length == 5)
+    // the final SELECT reads the sink table the INSERT just wrote
+    assert(results.last.head().getLong(0) == 5L)
+    assert(spark.read.parquet(s"$sinkDir/out").count() == 5L)
+  }
+
   test("the DDL statement runs as pure spark.sql text via the parser extension") {
     val prev = spark
     SparkSession.clearActiveSession()
