@@ -521,6 +521,31 @@ object Iterate {
     val nEdges = e.count()
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tris = wedgeTriangles(e, deg, nEdges, broadcastClosureThreshold)
+    val perVertex = tris.select(col("x").as("id"))
+      .union(tris.select(col("y").as("id")))
+      .union(tris.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(perVertex, Seq("id"), "left_outer")
+      .select(col("id"), col("deg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2, round(
+          coalesce(col("tri"), lit(0L)).cast("double") * 2.0 /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
+  /** The degree-oriented wedge-join triangle core shared by
+    * [[triangleCounts]] and [[directedClusteringStats]]: canonical edges
+    * (u < v, distinct) + their degree table → one row (x, y, z) per
+    * triangle (x the apex of the orientation; each triangle listed exactly
+    * once). Orientation toward the (degree, id)-larger endpoint bounds
+    * out-degrees by O(√|E|), so the wedge join is O(|E|^1.5) instead of
+    * hub-quadratic; the closure against the |E|-sized oriented set
+    * broadcasts below the guarded threshold and shuffle-joins above it
+    * (a hard hint would throw past maxBroadcastTableBytes). */
+  private def wedgeTriangles(e: DataFrame, deg: DataFrame, nEdges: Long,
+                             broadcastClosureThreshold: Long): DataFrame = {
     val ed = e
       .join(deg.select(col("id").as("u2"), col("deg").as("du")), col("u") === col("u2"))
       .join(deg.select(col("id").as("v2"), col("deg").as("dv")), col("v") === col("v2"))
@@ -539,33 +564,12 @@ object Iterate {
     val o2 = oriented.select(col("src").as("s2"), col("dst").as("b"), col("ddeg").as("db"))
     val wedges = o1.join(o2, col("s1") === col("s2") &&
       (col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))))
-    // close wedges against a BROADCAST of the oriented edge set: the wedge
-    // table is the Σ outdeg² blow-up (tens of millions of rows) while the
-    // edge set is |E| — so BROADCAST the edges while they fit (≤ threshold
-    // edges × 16 B/row ≈ 160 MB raw, a few× that as a HashedRelation) and
-    // the wedges never shuffle. Past the threshold the hint is NOT applied
-    // — Spark would throw past maxBroadcastTableBytes — and the closure
-    // becomes a plain shuffle equi-join on (a, b): at that |E| the wedge
-    // shuffle is unavoidable and partition counts, not the algorithm, are
-    // the knob. Same guarded-hint pattern as connectedComponents'
-    // localThreshold gate above.
     val closure = oriented.select(col("src").as("cs"), col("dst").as("cd"))
     val closureSide =
       if (nEdges <= broadcastClosureThreshold) broadcast(closure) else closure
-    val tris = wedges.join(closureSide,
+    wedges.join(closureSide,
         col("a") === col("cs") && col("b") === col("cd"))
       .select(col("s1").as("x"), col("a").as("y"), col("b").as("z"))
-    val perVertex = tris.select(col("x").as("id"))
-      .union(tris.select(col("y").as("id")))
-      .union(tris.select(col("z").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("tri"))
-    deg.join(perVertex, Seq("id"), "left_outer")
-      .select(col("id"), col("deg").as("degree"),
-        coalesce(col("tri"), lit(0L)).as("n_triangles"),
-        when(col("deg") >= 2, round(
-          coalesce(col("tri"), lit(0L)).cast("double") * 2.0 /
-            (col("deg") * (col("deg") - 1)).cast("double"), 6))
-          .otherwise(lit(0.0)).as("lcc"))
   }
 
   /** Graph SUMMARIZATION — the Gelly Summarization analog (reference
@@ -821,6 +825,230 @@ object Iterate {
         (col("lcc6").cast("double") / (lit(1000000.0) * col("nv"))).as("avg_cc"),
         col("t03").as("triads_03"), col("t12").as("triads_12"),
         col("t21").as("triads_21"), col("t30").as("triads_30"))
+  }
+
+  /** DIRECTED clustering stats + FULL 16-type triadic census — the Gelly
+    * clustering/directed analytics (reference flink-libraries/flink-gelly/
+    * .../library/clustering/directed/TriadicCensus.java,
+    * LocalClusteringCoefficient.java, AverageClusteringCoefficient.java,
+    * GlobalClusteringCoefficient.java), closing the directed half of the
+    * clustering family. Semantics follow the reference exactly:
+    *
+    *  - Per unordered vertex pair: `fw`/`bw` direction flags over the
+    *    simple digraph (dedup, self-loops dropped) — a pair is
+    *    UNIDIRECTIONAL or BIDIRECTIONAL.
+    *  - Per vertex (reference VertexDegrees): degree d = distinct
+    *    neighbors, uni-as-source = d − in, uni-as-target = d − out,
+    *    bi = in + out − d; the six RAW open-triplet counts are the
+    *    reference helper's per-vertex products, summed.
+    *  - Per undirected triangle (the SAME degree-oriented wedge join as
+    *    [[triangleCounts]]): classified into the seven closed triad types
+    *    by its pair flags — 300 (3 bi), 210 (2 bi), 120d/120u/120c (1 bi;
+    *    the third vertex is common source / common sink / mixed), and
+    *    030c vs 030t (0 bi; cyclic iff every within-triangle out-degree
+    *    is exactly 1).
+    *  - The 16 census counts then follow the reference's exact
+    *    subtraction chain and closed forms (BigInteger there; integer-
+    *    exact BIGINT arithmetic with `div` here — both engines compute
+    *    identically, overflowing only past the same ~2.6·10⁶-vertex bound
+    *    as [[clusteringStats]]'s C(V,3)).
+    *  - Directed LCC (reference directed LocalClusteringCoefficient):
+    *    numerator per vertex = DIRECTED edges between its neighbors
+    *    (each triangle contributes its opposite pair's 1-or-2 edge
+    *    count), denominator d(d−1); degree < 2 pinned to 0 (the engine's
+    *    i15 convention — the reference emits NaN). avg_cc sums ×10⁶
+    *    scaled-integer scores (order-free); global_cc = Σ numerators /
+    *    Σ d(d−1) — closed ordered triplets over all ordered triplets —
+    *    one IEEE division of exact integers.
+    *
+    * Scale shape: everything is keyed equi-joins + hash aggregates off the
+    * one persisted pair table; the triangle core reuses the guarded-
+    * broadcast wedge join. Output: ONE row — (n_vertices, n_uni_edges,
+    * n_bi_edges, global_cc, avg_cc, t003, t012, t102, t021d, t021u,
+    * t021c, t111d, t111u, t030t, t030c, t201, t120d, t120u, t120c, t210,
+    * t300). */
+  def directedClusteringStats(edges: DataFrame, srcCol: String, dstCol: String,
+                              broadcastClosureThreshold: Long = 10000000L): DataFrame = {
+    val de = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pair table (u < v): fw = u→v present, bw = v→u present
+    val pairs = de.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"),
+        (col("src") < col("dst")).cast("int").as("isFw"))
+      .groupBy("u", "v")
+      .agg(max(col("isFw")).as("fw"), max(lit(1) - col("isFw")).as("bw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count() // materialize; gates the closure broadcast
+    val deg = pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val outd = de.groupBy(col("src").as("id")).agg(count(lit(1)).as("od"))
+    val ind = de.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+    val vstats = deg.join(outd, Seq("id"), "left_outer")
+      .join(ind, Seq("id"), "left_outer")
+      .select(col("id"), col("deg"),
+        (col("deg") - coalesce(col("indeg"), lit(0L))).as("us"),
+        (col("deg") - coalesce(col("od"), lit(0L))).as("ut"),
+        (coalesce(col("indeg"), lit(0L)) + coalesce(col("od"), lit(0L)) - col("deg")).as("bi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawAgg = vstats.agg(
+      count(lit(1)).as("vc"),
+      expr("sum(us + ut) div 2").as("uec"),
+      expr("sum(bi) div 2").as("bec"),
+      expr("sum(us * (us - 1) div 2)").as("r021d"),
+      expr("sum(ut * (ut - 1) div 2)").as("r021u"),
+      expr("sum(us * ut)").as("r021c"),
+      expr("sum(ut * bi)").as("r111d"),
+      expr("sum(us * bi)").as("r111u"),
+      expr("sum(bi * (bi - 1) div 2)").as("r201"),
+      expr("sum(deg * (deg - 1))").as("triplets"))
+    // triangles over the undirected projection, vertices sorted ascending
+    val tris = wedgeTriangles(pairs.select(col("u"), col("v")), deg, nPairs,
+        broadcastClosureThreshold)
+      .select(array_sort(array(col("x"), col("y"), col("z"))).as("ts"))
+      .select(col("ts").getItem(0).as("t1"), col("ts").getItem(1).as("t2"),
+        col("ts").getItem(2).as("t3"))
+    def pairSide(a: String, b: String, tag: String) =
+      pairs.select(col("u").as(a), col("v").as(b),
+        col("fw").as(s"fw$tag"), col("bw").as(s"bw$tag"))
+    val trip = tris
+      .join(pairSide("t1", "t2", "12"), Seq("t1", "t2"))
+      .join(pairSide("t1", "t3", "13"), Seq("t1", "t3"))
+      .join(pairSide("t2", "t3", "23"), Seq("t2", "t3"))
+      .withColumn("bi12", col("fw12") * col("bw12"))
+      .withColumn("bi13", col("fw13") * col("bw13"))
+      .withColumn("bi23", col("fw23") * col("bw23"))
+      .withColumn("nbi", col("bi12") + col("bi13") + col("bi23"))
+      .withColumn("ttype",
+        when(col("nbi") === 3, "300")
+          .when(col("nbi") === 2, "210")
+          .when(col("nbi") === 1,
+            // the bi pair's opposite vertex: common source → 120d,
+            // common target → 120u, one of each → 120c
+            when(col("bi12") === 1,
+              when(col("bw13") + col("bw23") === 2, "120d")
+                .when(col("bw13") + col("bw23") === 0, "120u").otherwise("120c"))
+              .when(col("bi13") === 1,
+                when(col("bw12") + col("fw23") === 2, "120d")
+                  .when(col("bw12") + col("fw23") === 0, "120u").otherwise("120c"))
+              .otherwise(
+                when(col("fw12") + col("fw13") === 2, "120d")
+                  .when(col("fw12") + col("fw13") === 0, "120u").otherwise("120c")))
+          // 0 bi: cyclic iff every within-triangle out-degree is exactly 1
+          .otherwise(when(greatest(
+              col("fw12") + col("fw13"), col("bw12") + col("fw23"),
+              col("bw13") + col("bw23")) === 1, "030c").otherwise("030t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def tcount(t: String) =
+      coalesce(sum(when(col("ttype") === t, 1L).otherwise(0L)), lit(0L))
+    val triAgg = trip.agg(
+      tcount("030t").as("t030t"), tcount("030c").as("t030c"),
+      tcount("120d").as("t120d"), tcount("120u").as("t120u"),
+      tcount("120c").as("t120c"), tcount("210").as("t210"),
+      tcount("300").as("t300"))
+    // directed LCC numerator: each triangle adds its OPPOSITE pair's
+    // directed-edge count (1 or 2) at each vertex
+    val numer = trip.select(col("t1").as("id"), (col("fw23") + col("bw23")).as("w"))
+      .union(trip.select(col("t2").as("id"), (col("fw13") + col("bw13")).as("w")))
+      .union(trip.select(col("t3").as("id"), (col("fw12") + col("bw12")).as("w")))
+      .groupBy("id").agg(sum(col("w")).cast("long").as("numer"))
+    val lccAgg = vstats.join(numer, Seq("id"), "left_outer")
+      .select(col("deg"), coalesce(col("numer"), lit(0L)).as("numer"))
+      .agg(
+        sum(when(col("deg") >= 2, round(round(
+            col("numer").cast("double") /
+              (col("deg") * (col("deg") - 1)).cast("double"), 6) * 1000000))
+          .otherwise(lit(0.0)).cast("long")).as("lcc6"),
+        sum(col("numer")).cast("long").as("closed_triplets"))
+    rawAgg.crossJoin(triAgg).crossJoin(lccAgg)
+      // the reference's exact subtraction chain (open triplets lose the
+      // triplets their containing triangles already counted)
+      .withColumn("t201", col("r201") - lit(3L) * col("t300") - col("t210"))
+      .withColumn("t111d", col("r111d") - col("t210") - col("t120c") - lit(2L) * col("t120d"))
+      .withColumn("t111u", col("r111u") - col("t210") - col("t120c") - lit(2L) * col("t120u"))
+      .withColumn("t021c", col("r021c") - col("t120c") - lit(3L) * col("t030c") - col("t030t"))
+      .withColumn("t021u", col("r021u") - col("t120u") - col("t030t"))
+      .withColumn("t021d", col("r021d") - col("t120d") - col("t030t"))
+      .withColumn("t102", col("bec") * (col("vc") - 2)
+        - col("t111d") - col("t111u") - lit(2L) * col("t201")
+        - col("t120d") - col("t120u") - col("t120c")
+        - lit(2L) * col("t210") - lit(3L) * col("t300"))
+      .withColumn("t012", col("uec") * (col("vc") - 2)
+        - lit(2L) * (col("t021d") + col("t021u") + col("t021c"))
+        - col("t111d") - col("t111u")
+        - lit(3L) * (col("t030t") + col("t030c"))
+        - lit(2L) * (col("t120d") + col("t120u") + col("t120c"))
+        - col("t210"))
+      .withColumn("t003",
+        expr("vc * (vc - 1) div 2 * (vc - 2) div 3")
+          - col("t012") - col("t102")
+          - col("t021d") - col("t021u") - col("t021c")
+          - col("t111d") - col("t111u") - col("t030t") - col("t030c")
+          - col("t201") - col("t120d") - col("t120u") - col("t120c")
+          - col("t210") - col("t300"))
+      .select(
+        col("vc").as("n_vertices"), col("uec").as("n_uni_edges"),
+        col("bec").as("n_bi_edges"),
+        when(col("triplets") > 0,
+          col("closed_triplets").cast("double") / col("triplets").cast("double"))
+          .otherwise(lit(0.0)).as("global_cc"),
+        (col("lcc6").cast("double") / (lit(1000000.0) * col("vc"))).as("avg_cc"),
+        col("t003"), col("t012"), col("t102"), col("t021d"), col("t021u"),
+        col("t021c"), col("t111d"), col("t111u"), col("t030t"), col("t030c"),
+        col("t201"), col("t120d"), col("t120u"), col("t120c"), col("t210"),
+        col("t300"))
+  }
+
+  /** DIRECTED whole-graph VERTEX METRICS — the Gelly analytic (reference
+    * flink-libraries/flink-gelly/.../library/metric/directed/
+    * VertexMetrics.java): over the simple digraph, per vertex degree d =
+    * DISTINCT neighbors, bi = out + in − d; single-row output exactly the
+    * reference's Result — vertex count, edge count uni + 2·bi (DIRECTED
+    * edges), uni/bi pair counts (the reference halves its doubly-counted
+    * accumulators; the pair relation here counts each once), average
+    * degree edges/V, density edges/(V(V−1)) (the DIRECTED potential-edge
+    * denominator), triplet count ΣC(d,2), and the four maxima (degree,
+    * out-degree, in-degree, triplets). One pair aggregate + three degree
+    * aggregates + one global agg — no join beyond the keyed degree
+    * joins, no iteration. The directed EdgeMetrics analytic is the
+    * undirected [[edgeMetrics]] computation over this projection (it
+    * reads only distinct-neighbor degrees), so it is covered by that
+    * operator rather than duplicated. */
+  def directedVertexMetrics(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val de = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = de.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v")).distinct()
+    val deg = pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val outd = de.groupBy(col("src").as("id")).agg(count(lit(1)).as("od"))
+    val ind = de.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+    deg.join(outd, Seq("id"), "left_outer").join(ind, Seq("id"), "left_outer")
+      .select(col("deg"),
+        coalesce(col("od"), lit(0L)).as("od"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"),
+        (coalesce(col("od"), lit(0L)) + coalesce(col("indeg"), lit(0L)) - col("deg")).as("bi"))
+      .agg(
+        count(lit(1)).as("vc"),
+        expr("sum(deg - bi) div 2").as("uec"),
+        expr("sum(bi) div 2").as("bec"),
+        expr("sum(deg * (deg - 1) div 2)").as("triplets"),
+        max(col("deg")).as("max_degree"),
+        max(col("od")).as("max_out_degree"),
+        max(col("indeg")).as("max_in_degree"),
+        expr("max(deg * (deg - 1) div 2)").as("max_triplets"))
+      .select(
+        col("vc").as("n_vertices"),
+        (col("uec") + lit(2L) * col("bec")).as("n_edges"),
+        col("uec").as("n_uni_edges"), col("bec").as("n_bi_edges"),
+        ((col("uec") + lit(2L) * col("bec")).cast("double") /
+          col("vc").cast("double")).as("avg_degree"),
+        ((col("uec") + lit(2L) * col("bec")).cast("double") /
+          (col("vc") * (col("vc") - 1)).cast("double")).as("density"),
+        col("triplets").as("n_triplets"),
+        col("max_degree"), col("max_out_degree"), col("max_in_degree"),
+        col("max_triplets"))
   }
 
   /** Graph CHECKSUM — the Gelly ChecksumHashCode analytic (reference

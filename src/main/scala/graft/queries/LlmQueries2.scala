@@ -439,6 +439,177 @@ object LlmQueries2 {
       |SELECT min(id) AS id, vv AS value, count(*) AS group_size
       |FROM v GROUP BY vv""".stripMargin
 
+  // ---------- i17: DIRECTED clustering stats + 16-type triadic census ----------
+  // The Gelly clustering/directed analytics (TriadicCensus,
+  // Local/Average/GlobalClusteringCoefficient — flink-gelly/.../library/
+  // clustering/directed/) on a genuinely DIRECTED part graph: edge a→b
+  // when parts co-occur in an order with a's line number below b's —
+  // opposite orders across orders create a uni/bi mix. Oracle: the same
+  // pair-flag + wedge-triangle + subtraction-chain pipeline in SQL (every
+  // aggregate CAST to BIGINT — DuckDB sums are HUGEINT otherwise).
+  private val i17: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") < col("b.l_linenumber") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    Iterate.directedClusteringStats(e, "src", "dst")
+  }
+  private val i17Sql =
+    """WITH de AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |     FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_linenumber < b.l_linenumber AND a.l_partkey <> b.l_partkey),
+      |pr AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+      |              max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fw,
+      |              max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS bw
+      |       FROM de GROUP BY 1, 2),
+      |deg AS (SELECT id, count(*) AS deg FROM
+      |        (SELECT u AS id FROM pr UNION ALL SELECT v FROM pr) GROUP BY 1),
+      |od AS (SELECT src AS id, count(*) AS od FROM de GROUP BY 1),
+      |ind AS (SELECT dst AS id, count(*) AS ind FROM de GROUP BY 1),
+      |vs AS (SELECT d.id, d.deg, d.deg - coalesce(i.ind, 0) AS us,
+      |        d.deg - coalesce(o.od, 0) AS ut,
+      |        coalesce(i.ind, 0) + coalesce(o.od, 0) - d.deg AS bi
+      |       FROM deg d LEFT JOIN od o ON o.id = d.id LEFT JOIN ind i ON i.id = d.id),
+      |raw AS (SELECT count(*) AS vc,
+      |        CAST(sum(us + ut) // 2 AS BIGINT) AS uec,
+      |        CAST(sum(bi) // 2 AS BIGINT) AS bec,
+      |        CAST(sum(us * (us - 1) // 2) AS BIGINT) AS r021d,
+      |        CAST(sum(ut * (ut - 1) // 2) AS BIGINT) AS r021u,
+      |        CAST(sum(us * ut) AS BIGINT) AS r021c,
+      |        CAST(sum(ut * bi) AS BIGINT) AS r111d,
+      |        CAST(sum(us * bi) AS BIGINT) AS r111u,
+      |        CAST(sum(bi * (bi - 1) // 2) AS BIGINT) AS r201,
+      |        CAST(sum(deg * (deg - 1)) AS BIGINT) AS triplets FROM vs),
+      |ed2 AS (SELECT pr.u, pr.v, du.deg AS du, dv.deg AS dv
+      |        FROM pr JOIN deg du ON du.id = pr.u JOIN deg dv ON dv.id = pr.v),
+      |o2 AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+      |              CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+      |              CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddeg
+      |       FROM ed2),
+      |w AS (SELECT o1.src AS apex, o1.dst AS a, oo.dst AS b
+      |      FROM o2 o1 JOIN o2 oo ON o1.src = oo.src
+      |        AND (o1.ddeg < oo.ddeg OR (o1.ddeg = oo.ddeg AND o1.dst < oo.dst))),
+      |tr AS (SELECT w.apex AS x, w.a AS y, w.b AS z
+      |       FROM w JOIN o2 ON o2.src = w.a AND o2.dst = w.b),
+      |ts AS (SELECT least(x, y, z) AS t1,
+      |              x + y + z - least(x, y, z) - greatest(x, y, z) AS t2,
+      |              greatest(x, y, z) AS t3 FROM tr),
+      |tj AS (SELECT t1, t2, t3,
+      |        p12.fw AS fw12, p12.bw AS bw12, p13.fw AS fw13, p13.bw AS bw13,
+      |        p23.fw AS fw23, p23.bw AS bw23,
+      |        p12.fw * p12.bw AS bi12, p13.fw * p13.bw AS bi13,
+      |        p23.fw * p23.bw AS bi23
+      |       FROM ts JOIN pr p12 ON p12.u = t1 AND p12.v = t2
+      |               JOIN pr p13 ON p13.u = t1 AND p13.v = t3
+      |               JOIN pr p23 ON p23.u = t2 AND p23.v = t3),
+      |tc AS (SELECT CASE
+      |         WHEN bi12 + bi13 + bi23 = 3 THEN '300'
+      |         WHEN bi12 + bi13 + bi23 = 2 THEN '210'
+      |         WHEN bi12 + bi13 + bi23 = 1 THEN
+      |           CASE WHEN bi12 = 1 THEN
+      |                  CASE WHEN bw13 + bw23 = 2 THEN '120d'
+      |                       WHEN bw13 + bw23 = 0 THEN '120u' ELSE '120c' END
+      |                WHEN bi13 = 1 THEN
+      |                  CASE WHEN bw12 + fw23 = 2 THEN '120d'
+      |                       WHEN bw12 + fw23 = 0 THEN '120u' ELSE '120c' END
+      |                ELSE
+      |                  CASE WHEN fw12 + fw13 = 2 THEN '120d'
+      |                       WHEN fw12 + fw13 = 0 THEN '120u' ELSE '120c' END END
+      |         ELSE CASE WHEN greatest(fw12 + fw13, bw12 + fw23, bw13 + bw23) = 1
+      |              THEN '030c' ELSE '030t' END END AS ttype,
+      |        fw12, bw12, fw13, bw13, fw23, bw23, t1, t2, t3
+      |       FROM tj),
+      |ta AS (SELECT
+      |        CAST(coalesce(sum(CASE WHEN ttype = '030t' THEN 1 ELSE 0 END), 0) AS BIGINT) AS t030t,
+      |        CAST(coalesce(sum(CASE WHEN ttype = '030c' THEN 1 ELSE 0 END), 0) AS BIGINT) AS t030c,
+      |        CAST(coalesce(sum(CASE WHEN ttype = '120d' THEN 1 ELSE 0 END), 0) AS BIGINT) AS t120d,
+      |        CAST(coalesce(sum(CASE WHEN ttype = '120u' THEN 1 ELSE 0 END), 0) AS BIGINT) AS t120u,
+      |        CAST(coalesce(sum(CASE WHEN ttype = '120c' THEN 1 ELSE 0 END), 0) AS BIGINT) AS t120c,
+      |        CAST(coalesce(sum(CASE WHEN ttype = '210' THEN 1 ELSE 0 END), 0) AS BIGINT) AS t210,
+      |        CAST(coalesce(sum(CASE WHEN ttype = '300' THEN 1 ELSE 0 END), 0) AS BIGINT) AS t300
+      |       FROM tc),
+      |nm AS (SELECT id, CAST(sum(w) AS BIGINT) AS numer FROM (
+      |        SELECT t1 AS id, fw23 + bw23 AS w FROM tc
+      |        UNION ALL SELECT t2, fw13 + bw13 FROM tc
+      |        UNION ALL SELECT t3, fw12 + bw12 FROM tc) GROUP BY 1),
+      |la AS (SELECT CAST(sum(CASE WHEN vs.deg >= 2 THEN
+      |          round(round(coalesce(nm.numer, 0) * 1.0 / (vs.deg * (vs.deg - 1)), 6)
+      |                * 1000000) ELSE 0 END) AS BIGINT) AS lcc6,
+      |        CAST(sum(coalesce(nm.numer, 0)) AS BIGINT) AS closed_triplets
+      |       FROM vs LEFT JOIN nm ON nm.id = vs.id),
+      |cf AS (SELECT * FROM raw CROSS JOIN ta CROSS JOIN la),
+      |c2 AS (SELECT *,
+      |        r201 - 3 * t300 - t210 AS t201,
+      |        r111d - t210 - t120c - 2 * t120d AS t111d,
+      |        r111u - t210 - t120c - 2 * t120u AS t111u,
+      |        r021c - t120c - 3 * t030c - t030t AS t021c,
+      |        r021u - t120u - t030t AS t021u,
+      |        r021d - t120d - t030t AS t021d
+      |       FROM cf),
+      |c3 AS (SELECT *,
+      |        bec * (vc - 2) - t111d - t111u - 2 * t201 - t120d - t120u - t120c
+      |          - 2 * t210 - 3 * t300 AS t102,
+      |        uec * (vc - 2) - 2 * (t021d + t021u + t021c) - t111d - t111u
+      |          - 3 * (t030t + t030c) - 2 * (t120d + t120u + t120c) - t210 AS t012
+      |       FROM c2)
+      |SELECT vc AS n_vertices, uec AS n_uni_edges, bec AS n_bi_edges,
+      |       CASE WHEN triplets > 0
+      |            THEN CAST(closed_triplets AS DOUBLE) / CAST(triplets AS DOUBLE)
+      |            ELSE 0.0 END AS global_cc,
+      |       CAST(lcc6 AS DOUBLE) / (1000000.0 * vc) AS avg_cc,
+      |       vc * (vc - 1) // 2 * (vc - 2) // 3 - t012 - t102 - t021d - t021u
+      |         - t021c - t111d - t111u - t030t - t030c - t201 - t120d - t120u
+      |         - t120c - t210 - t300 AS t003,
+      |       t012, t102, t021d, t021u, t021c, t111d, t111u, t030t, t030c,
+      |       t201, t120d, t120u, t120c, t210, t300
+      |FROM c3""".stripMargin
+
+  // ---------- i18: DIRECTED vertex metrics ----------
+  // Gelly metric/directed/VertexMetrics on the same directed part graph as
+  // i17: directed edge count uni + 2·bi, directed density n/(V(V−1)),
+  // out/in-degree maxima — the stats that differ from the undirected i12.
+  private val i18: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") < col("b.l_linenumber") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    Iterate.directedVertexMetrics(e, "src", "dst")
+  }
+  private val i18Sql =
+    """WITH de AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |     FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_linenumber < b.l_linenumber AND a.l_partkey <> b.l_partkey),
+      |pr AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM de),
+      |deg AS (SELECT id, count(*) AS deg FROM
+      |        (SELECT u AS id FROM pr UNION ALL SELECT v FROM pr) GROUP BY 1),
+      |od AS (SELECT src AS id, count(*) AS od FROM de GROUP BY 1),
+      |ind AS (SELECT dst AS id, count(*) AS ind FROM de GROUP BY 1),
+      |vs AS (SELECT d.deg, coalesce(o.od, 0) AS od, coalesce(i.ind, 0) AS ind,
+      |        coalesce(o.od, 0) + coalesce(i.ind, 0) - d.deg AS bi
+      |       FROM deg d LEFT JOIN od o ON o.id = d.id LEFT JOIN ind i ON i.id = d.id),
+      |ag AS (SELECT count(*) AS vc,
+      |        CAST(sum(deg - bi) // 2 AS BIGINT) AS uec,
+      |        CAST(sum(bi) // 2 AS BIGINT) AS bec,
+      |        CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS triplets,
+      |        CAST(max(deg) AS BIGINT) AS max_degree,
+      |        CAST(max(od) AS BIGINT) AS max_out_degree,
+      |        CAST(max(ind) AS BIGINT) AS max_in_degree,
+      |        CAST(max(deg * (deg - 1) // 2) AS BIGINT) AS max_triplets
+      |       FROM vs)
+      |SELECT vc AS n_vertices, uec + 2 * bec AS n_edges,
+      |       uec AS n_uni_edges, bec AS n_bi_edges,
+      |       CAST(uec + 2 * bec AS DOUBLE) / CAST(vc AS DOUBLE) AS avg_degree,
+      |       CAST(uec + 2 * bec AS DOUBLE) / CAST(vc * (vc - 1) AS DOUBLE) AS density,
+      |       triplets AS n_triplets, max_degree, max_out_degree,
+      |       max_in_degree, max_triplets
+      |FROM ag""".stripMargin
+
   // ---------- i11: community detection with hop-attenuated scores ----------
   // Gelly CommunityDetection (flink-gelly/.../library/
   // CommunityDetection.java, Leung et al.): label-with-score propagation
@@ -645,6 +816,7 @@ object LlmQueries2 {
     "i11_community_detection" -> i11, "i12_vertex_metrics" -> i12,
     "i13_edge_metrics" -> i13, "i14_graph_checksum" -> i14,
     "i15_clustering_stats" -> i15, "i16_summarization_vertices" -> i16,
+    "i17_directed_census" -> i17, "i18_directed_vertex_metrics" -> i18,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
@@ -656,5 +828,6 @@ object LlmQueries2 {
     "i11_community_detection" -> i11Sql, "i12_vertex_metrics" -> i12Sql,
     "i13_edge_metrics" -> i13Sql, "i14_graph_checksum" -> i14Sql,
     "i15_clustering_stats" -> i15Sql, "i16_summarization_vertices" -> i16Sql,
+    "i17_directed_census" -> i17Sql, "i18_directed_vertex_metrics" -> i18Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }

@@ -138,6 +138,71 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
       (4L, 2L, 0L, 0.0), (5L, 1L, 0L, 0.0)), out.toString)
   }
 
+  test("directedClusteringStats: full 16-type triadic census matches a " +
+       "bitmask brute force on a crafted digraph") {
+    import spark.implicits._
+    // a digraph exercising every triangle class: 120u {1,2,3}, 120c
+    // {3,4,5}, 030c {5,6,7}, 030t {1,3,5}, 300 {2,7,8}, 210 {4,6,8}
+    val edgeSet = Set(
+      (1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 3L), (3L, 5L), (5L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (1L, 5L),
+      (2L, 7L), (7L, 2L), (2L, 8L), (8L, 2L), (7L, 8L), (8L, 7L),
+      (4L, 6L), (6L, 4L), (4L, 8L), (8L, 4L), (6L, 8L))
+    val verts = edgeSet.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    // independent reference: Batagelj–Mrvar 64-entry bitmask→triad-type
+    // table (the same constants the reference's TriangleListingHelper
+    // cites), applied to EVERY vertex triple — no shared code with the
+    // operator's wedge-join + subtraction-chain path
+    val typeTable = Array(
+      1, 2, 2, 3, 2, 4, 6, 8, 2, 6, 5, 7, 3, 8, 7, 11,
+      2, 6, 4, 8, 5, 9, 9, 13, 6, 10, 9, 14, 7, 14, 12, 15,
+      2, 5, 6, 7, 6, 9, 10, 14, 4, 9, 9, 12, 8, 13, 14, 15,
+      3, 7, 8, 11, 7, 12, 14, 15, 8, 14, 13, 15, 11, 15, 15, 16)
+    val brute = new Array[Long](17)
+    for {
+      i <- verts.indices; j <- (i + 1) until verts.length
+      k <- (j + 1) until verts.length
+    } {
+      val (a, b, c) = (verts(i), verts(j), verts(k))
+      var m = 0
+      if (edgeSet((a, b))) m |= 1
+      if (edgeSet((b, a))) m |= 2
+      if (edgeSet((a, c))) m |= 4
+      if (edgeSet((c, a))) m |= 8
+      if (edgeSet((b, c))) m |= 16
+      if (edgeSet((c, b))) m |= 32
+      brute(typeTable(m)) += 1
+    }
+    val row = Iterate.directedClusteringStats(
+      edgeSet.toSeq.toDF("src", "dst"), "src", "dst").head()
+    val got = Seq("t003", "t012", "t102", "t021d", "t021u", "t021c",
+      "t111d", "t111u", "t030t", "t030c", "t201", "t120d", "t120u",
+      "t120c", "t210", "t300").map(c => row.getAs[Long](c))
+    assert(got == brute.drop(1).toSeq, s"got $got expected ${brute.drop(1).toSeq}")
+    // census invariant: the 16 counts partition all C(V,3) triples
+    val n = verts.length.toLong
+    assert(got.sum == n * (n - 1) * (n - 2) / 6)
+    // edge counts: uni/bi from the crafted set
+    val bi = edgeSet.count(e => edgeSet((e._2, e._1))) / 2
+    assert(row.getAs[Long]("n_bi_edges") == bi)
+    assert(row.getAs[Long]("n_uni_edges") == edgeSet.size - 2 * bi)
+    // directed LCC, brute-forced: per vertex, directed edges between
+    // neighbors over d(d-1)
+    val nbrs = verts.map(v => v -> edgeSet.collect {
+      case (a, b) if a == v => b; case (a, b) if b == v => a }.toSet).toMap
+    val lccs = verts.map { v =>
+      val nb = nbrs(v).toSeq
+      val d = nb.size
+      if (d < 2) 0.0
+      else {
+        val e = (for { x <- nb; y <- nb if x != y } yield edgeSet((x, y))).count(identity)
+        math.rint(e.toDouble / (d.toDouble * (d - 1)) * 1e6) / 1e6
+      }
+    }
+    assert(math.abs(row.getAs[Double]("avg_cc") - lccs.sum / verts.length) < 1e-9)
+  }
+
   test("summarizationVertices emits isolated groups the edge relation drops") {
     import spark.implicits._
     // group "C" (vertices 4, 5) has no incident edges: absent from the
