@@ -610,6 +610,55 @@ object LlmQueries2 {
       |       max_in_degree, max_triplets
       |FROM ag""".stripMargin
 
+  // ---------- i19: graph generators, closed-form cross-engine ----------
+  // The flink-gelly generator package (CycleGraph/PathGraph/StarGraph/
+  // EchoGraph/GridGraph/HypercubeGraph/SingletonEdgeGraph) as ONE tagged
+  // edge relation, sized n = |nation| so the oracle parameterizes from the
+  // same table; every generator is a closed form over ranges + modular
+  // arithmetic, so DuckDB reproduces the exact edge lists (RMat is
+  // hash-based and spec-verified instead, GraphGenSpec).
+  private val i19: Q = (s, dir) => {
+    import graft.operators.GraphGen
+    val n = Tables.load(s, dir, "nation").count() // 25 — tiny driver agg
+    def tag(t: String, df: DataFrame) =
+      df.select(lit(t).as("gen"), col("src"), col("dst"))
+    tag("cycle", GraphGen.cycle(s, n))
+      .union(tag("path", GraphGen.path(s, n)))
+      .union(tag("star", GraphGen.star(s, n)))
+      .union(tag("echo", GraphGen.echo(s, n, 4)))
+      .union(tag("grid", GraphGen.grid(s, Seq((5L, false), (5L, true)))))
+      .union(tag("hypercube", GraphGen.hypercube(s, 4)))
+      .union(tag("singleton", GraphGen.singletonEdge(s, 12)))
+  }
+  private val i19Sql =
+    """WITH n AS (SELECT count(*) AS n FROM nation),
+      |v AS (SELECT unnest(generate_series(0, n - 1)) AS i, n FROM n)
+      |SELECT 'cycle' AS gen, i AS src, (i + 1) % n AS dst FROM v
+      |UNION ALL SELECT 'cycle', i, (i + n - 1) % n FROM v
+      |UNION ALL SELECT 'path', i, i + 1 FROM v WHERE i < n - 1
+      |UNION ALL SELECT 'path', i + 1, i FROM v WHERE i < n - 1
+      |UNION ALL SELECT 'star', CAST(0 AS BIGINT), i FROM v WHERE i >= 1
+      |UNION ALL SELECT 'star', i, CAST(0 AS BIGINT) FROM v WHERE i >= 1
+      |UNION ALL SELECT 'echo', i, (i + (n - 3) // 2 + k) % n
+      |          FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks
+      |UNION ALL SELECT 'grid', g.range, g.range + 1
+      |          FROM range(25) g WHERE g.range % 5 < 4
+      |UNION ALL SELECT 'grid', g.range, g.range - 1
+      |          FROM range(25) g WHERE g.range % 5 > 0
+      |UNION ALL SELECT 'grid', g.range, g.range + 5
+      |          FROM range(25) g WHERE g.range // 5 < 4
+      |UNION ALL SELECT 'grid', g.range, g.range - 5
+      |          FROM range(25) g WHERE g.range // 5 > 0
+      |UNION ALL SELECT 'grid', g.range, g.range - 20
+      |          FROM range(25) g WHERE g.range // 5 = 4
+      |UNION ALL SELECT 'grid', g.range, g.range + 20
+      |          FROM range(25) g WHERE g.range // 5 = 0
+      |UNION ALL SELECT 'hypercube', h.range, xor(h.range, b)
+      |          FROM range(16) h CROSS JOIN
+      |               (SELECT unnest([1, 2, 4, 8]) AS b) bs
+      |UNION ALL SELECT 'singleton', p.range * 2, p.range * 2 + 1 FROM range(12) p
+      |UNION ALL SELECT 'singleton', p.range * 2 + 1, p.range * 2 FROM range(12) p""".stripMargin
+
   // ---------- i11: community detection with hop-attenuated scores ----------
   // Gelly CommunityDetection (flink-gelly/.../library/
   // CommunityDetection.java, Leung et al.): label-with-score propagation
@@ -816,7 +865,7 @@ object LlmQueries2 {
     "i11_community_detection" -> i11, "i12_vertex_metrics" -> i12,
     "i13_edge_metrics" -> i13, "i14_graph_checksum" -> i14,
     "i15_clustering_stats" -> i15, "i16_summarization_vertices" -> i16,
-    "i17_directed_census" -> i17, "i18_directed_vertex_metrics" -> i18,
+    "i17_directed_census" -> i17, "i18_directed_vertex_metrics" -> i18, "i19_graph_generators" -> i19,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
@@ -828,6 +877,6 @@ object LlmQueries2 {
     "i11_community_detection" -> i11Sql, "i12_vertex_metrics" -> i12Sql,
     "i13_edge_metrics" -> i13Sql, "i14_graph_checksum" -> i14Sql,
     "i15_clustering_stats" -> i15Sql, "i16_summarization_vertices" -> i16Sql,
-    "i17_directed_census" -> i17Sql, "i18_directed_vertex_metrics" -> i18Sql,
+    "i17_directed_census" -> i17Sql, "i18_directed_vertex_metrics" -> i18Sql, "i19_graph_generators" -> i19Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }
