@@ -659,6 +659,29 @@ object LlmQueries2 {
       |UNION ALL SELECT 'singleton', p.range * 2, p.range * 2 + 1 FROM range(12) p
       |UNION ALL SELECT 'singleton', p.range * 2 + 1, p.range * 2 FROM range(12) p""".stripMargin
 
+  // ---------- i20: bipartite projection ----------
+  // flink-gelly bipartite package (BipartiteGraph.projectionTopSimple):
+  // the part–order bipartite graph projected onto parts — one projected
+  // edge per shared order — aggregated per part pair (count + quantity
+  // sums; quantities are whole-number doubles, so sums are exact in any
+  // order). Oracle: the same self-join + aggregate.
+  private val i20: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+    graft.operators.Bipartite
+      .projectionTopSimple(li, "l_partkey", "l_orderkey", "l_quantity")
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("src_edge_value")).as("sum_q_src"),
+        sum(col("dst_edge_value")).as("sum_q_dst"))
+  }
+  private val i20Sql =
+    """SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS n_shared,
+      |       sum(a.l_quantity) AS sum_q_src, sum(b.l_quantity) AS sum_q_dst
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------- i11: community detection with hop-attenuated scores ----------
   // Gelly CommunityDetection (flink-gelly/.../library/
   // CommunityDetection.java, Leung et al.): label-with-score propagation
@@ -865,7 +888,7 @@ object LlmQueries2 {
     "i11_community_detection" -> i11, "i12_vertex_metrics" -> i12,
     "i13_edge_metrics" -> i13, "i14_graph_checksum" -> i14,
     "i15_clustering_stats" -> i15, "i16_summarization_vertices" -> i16,
-    "i17_directed_census" -> i17, "i18_directed_vertex_metrics" -> i18, "i19_graph_generators" -> i19,
+    "i17_directed_census" -> i17, "i18_directed_vertex_metrics" -> i18, "i19_graph_generators" -> i19, "i20_bipartite_projection" -> i20,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
@@ -877,6 +900,6 @@ object LlmQueries2 {
     "i11_community_detection" -> i11Sql, "i12_vertex_metrics" -> i12Sql,
     "i13_edge_metrics" -> i13Sql, "i14_graph_checksum" -> i14Sql,
     "i15_clustering_stats" -> i15Sql, "i16_summarization_vertices" -> i16Sql,
-    "i17_directed_census" -> i17Sql, "i18_directed_vertex_metrics" -> i18Sql, "i19_graph_generators" -> i19Sql,
+    "i17_directed_census" -> i17Sql, "i18_directed_vertex_metrics" -> i18Sql, "i19_graph_generators" -> i19Sql, "i20_bipartite_projection" -> i20Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }
