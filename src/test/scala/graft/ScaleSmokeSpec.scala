@@ -102,4 +102,29 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
     assert(ts <= tb * 50 + 15.0,
       f"knn graph super-N^1.5 blowup — base $tb%.2fs, 10x $ts%.2fs")
   }
+
+  test("RMat directed census smoke: 300k-edge power-law graph, census " +
+       "partitions C(V,3) exactly", SlowTest) {
+    import graft.operators.{GraphGen, Iterate}
+    // a genuinely skewed synthetic graph far above the crafted-spec sizes;
+    // the 16 census counts must still partition every vertex triple — any
+    // slip in the subtraction chain or triangle classification breaks the
+    // exact identity at this scale
+    val g = GraphGen.rmat(spark, scale = 16, edgeCount = 300000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t0 = System.nanoTime()
+    val row = Iterate.directedClusteringStats(g, "src", "dst").head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val v = row.getAs[Long]("n_vertices")
+    val censusSum = Seq("t003", "t012", "t102", "t021d", "t021u", "t021c",
+      "t111d", "t111u", "t030t", "t030c", "t201", "t120d", "t120u",
+      "t120c", "t210", "t300").map(row.getAs[Long]).sum
+    assert(censusSum == v * (v - 1) / 2 * (v - 2) / 3,
+      s"census must partition C($v, 3), got $censusSum")
+    // a hub-heavy RMat has real bidirectional pairs and triangles
+    assert(row.getAs[Long]("n_bi_edges") > 0 && row.getAs[Long]("t300") >= 0)
+    assert(row.getAs[Double]("global_cc") > 0.0)
+    info(f"directed census on 300k-edge rmat: $secs%6.2fs, V=$v")
+    g.unpersist()
+  }
 }
