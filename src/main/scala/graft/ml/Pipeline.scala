@@ -2,6 +2,8 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 /** The Flink ML Pipeline API analog (reference flink-ml-parent/flink-ml-api:
   * `Pipeline.java`, `Estimator.java`, `Transformer.java`, `Model.java`,
@@ -23,9 +25,12 @@ import org.apache.spark.sql.functions._
   *    literals — whole-stage codegen, zero shuffles, no UDF.
   *  - [[KMeans]] → [[KMeansModel]]: centroids from the engine's iterative
   *    k-means (broadcast centroids + map-side argmin per superstep);
-  *    scoring is a PURE EXPRESSION — per-centroid squared distances via
-  *    `aggregate(zip_with(...))` folded into a lowest-index argmin `CASE`
-  *    chain. No join, no shuffle: exactly what a 100 TB scoring pass needs.
+  *    scoring is a PURE EXPRESSION — the centroid matrix as ONE 2-D array
+  *    literal, per-centroid squared distances via a `transform` over it,
+  *    argmin via `array_position(dists, array_min(dists))`. No join, no
+  *    shuffle, and the plan is O(1) in k (no per-centroid expression
+  *    chain to blow the 64 KB codegen limits at production k): exactly
+  *    what a 100 TB scoring pass needs.
   *  - [[MultivariateGaussian]]: the one concrete math class in
   *    flink-ml-lib, as a scoring Transformer — Σ⁻¹ and log|Σ| computed
   *    once driver-side (Breeze, as the reference uses its own DenseMatrix
@@ -49,7 +54,14 @@ final class Params private (private val m: Map[String, Any]) {
 }
 object Params { val empty: Params = new Params(Map.empty) }
 
-sealed trait PipelineStage
+sealed trait PipelineStage {
+  /** The reference `PipelineStage#toJson` contract
+    * (flink-ml-parent/flink-ml-api/.../core/Pipeline.java:212-263 — each
+    * stage serializes its parameters; the pipeline serializes the stage
+    * list): this stage as a self-describing JSON string, reloadable via
+    * [[MlJson.loadStage]]. */
+  def toJson: String = JsonMethods.compact(JsonMethods.render(MlJson.stageJson(this)))
+}
 trait Transformer extends PipelineStage {
   def transform(df: DataFrame): DataFrame
 }
@@ -84,13 +96,29 @@ final class Pipeline(val stages: Vector[PipelineStage] = Vector.empty)
   }
 }
 
+object Pipeline {
+  /** The reference `Pipeline#loadJson` (Pipeline.java:212-263): rebuild a
+    * pipeline from the serialized stage list. */
+  def loadJson(json: String): Pipeline = MlJson.loadStage(json) match {
+    case p: Pipeline => p
+    case other => sys.error(s"not a Pipeline JSON: ${other.getClass.getName}")
+  }
+}
+
 final class PipelineModel(val stages: Vector[Transformer]) extends Model {
   override def transform(df: DataFrame): DataFrame =
     stages.foldLeft(df)((d, t) => t.transform(d))
 }
 
+object PipelineModel {
+  def loadJson(json: String): PipelineModel = MlJson.loadStage(json) match {
+    case p: PipelineModel => p
+    case other => sys.error(s"not a PipelineModel JSON: ${other.getClass.getName}")
+  }
+}
+
 /** Per-dimension standardization over an `array<double>` column. */
-final class StandardScaler(inputCol: String, outputCol: String)
+final class StandardScaler(val inputCol: String, val outputCol: String)
     extends Estimator[StandardScalerModel] {
   override def fit(df: DataFrame): StandardScalerModel = {
     val stats = df.select(posexplode(col(inputCol).cast("array<double>")).as(Seq("dim", "x")))
@@ -101,7 +129,7 @@ final class StandardScaler(inputCol: String, outputCol: String)
   }
 }
 
-final class StandardScalerModel(inputCol: String, outputCol: String,
+final class StandardScalerModel(val inputCol: String, val outputCol: String,
                                 val means: Array[Double], val stds: Array[Double])
     extends Model {
   override def transform(df: DataFrame): DataFrame = {
@@ -114,8 +142,9 @@ final class StandardScalerModel(inputCol: String, outputCol: String,
 
 /** K-means over an `array<double>` column, fit by the engine's iterative
   * centroids; scoring is expression-only (no join, no shuffle). */
-final class KMeans(idCol: String, featuresCol: String, predictionCol: String,
-                   k: Int, iters: Int) extends Estimator[KMeansModel] {
+final class KMeans(val idCol: String, val featuresCol: String,
+                   val predictionCol: String, val k: Int, val iters: Int)
+    extends Estimator[KMeansModel] {
   override def fit(df: DataFrame): KMeansModel = {
     val cents = graft.operators.Iterate
       .kmeansCentroids(df, idCol, featuresCol, k, iters - 1)
@@ -125,30 +154,30 @@ final class KMeans(idCol: String, featuresCol: String, predictionCol: String,
   }
 }
 
-final class KMeansModel(featuresCol: String, predictionCol: String,
+final class KMeansModel(val featuresCol: String, val predictionCol: String,
                         val centroids: Array[Array[Double]]) extends Model {
   override def transform(df: DataFrame): DataFrame = {
     val feat = col(featuresCol).cast("array<double>")
-    val dists: Seq[Column] = centroids.toSeq.map { c =>
-      aggregate(zip_with(feat, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    }
-    val minD = least(dists: _*)
-    // forward when-chain: equal-distance ties take the LOWEST cluster id,
-    // the same (d2, cid) order the engine's kmeans assignment minimizes
-    val pred = dists.zipWithIndex
-      .foldLeft(when(lit(false), lit(-1))) { case (acc, (d, i)) =>
-        acc.when(d === minD, lit(i)) }
-      .otherwise(lit(-1))
-    df.withColumn(predictionCol, pred)
+    // the centroid MATRIX is one 2-D literal and the per-centroid distances
+    // one `transform` over it — plan size is O(1) in k (a per-centroid
+    // expression chain hits the 64 KB codegen/constant-pool limits at
+    // production k in the hundreds), and `array_position` takes the FIRST
+    // minimum, i.e. equal-distance ties go to the LOWEST cluster id — the
+    // same (d2, cid) order the engine's kmeans assignment minimizes
+    val cmat = typedlit(centroids.map(_.toSeq).toSeq)
+    val dists = org.apache.spark.sql.functions.transform(cmat, c =>
+      aggregate(zip_with(feat, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+    df.withColumn(predictionCol,
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
   }
 }
 
 /** `MultivariateGaussian.java`'s surface as a scoring Transformer: adds the
   * log-density of the array column under N(mean, cov). Σ⁻¹ / log|Σ| once on
   * the driver; the row quadratic form is a nested array expression. */
-final class MultivariateGaussian(inputCol: String, outputCol: String,
-                                 mean: Array[Double], cov: Array[Array[Double]])
+final class MultivariateGaussian(val inputCol: String, val outputCol: String,
+                                 val mean: Array[Double], val cov: Array[Array[Double]])
     extends Transformer {
   private val d = mean.length
   private val (inv: Array[Array[Double]], logDet: Double) = {
@@ -171,5 +200,112 @@ final class MultivariateGaussian(inputCol: String, outputCol: String,
         lit(0.0), (acc, v) => acc + v))
     val quad = aggregate(rowDots, lit(0.0), (acc, v) => acc + v)
     df.withColumn(outputCol, lit(logNorm) - lit(0.5) * quad)
+  }
+}
+
+/** Stage (de)serialization — the reference persistence contract
+  * (flink-ml-parent/flink-ml-api/.../core/Pipeline.java:212-263:
+  * `toJson()` writes the stage list, each stage as its class name plus its
+  * parameter JSON; `loadJson()` reinstantiates each stage and restores its
+  * params). Same shape here: `{"stage": <FQCN>, "params": {…}}`, pipelines
+  * nesting their stage arrays. Doubles round-trip bit-exactly (Jackson
+  * emits the shortest uniquely-parsing decimal), so a reloaded model's
+  * transform output is bit-identical to the original's. */
+object MlJson {
+  private def darr(a: Array[Double]): JArray = JArray(a.map(JDouble(_)).toList)
+  private def dmat(m: Array[Array[Double]]): JArray = JArray(m.map(darr).toList)
+
+  def stageJson(s: PipelineStage): JValue = {
+    def wrap(params: List[(String, JValue)]): JValue =
+      JObject("stage" -> JString(s.getClass.getName), "params" -> JObject(params))
+    s match {
+      case p: Pipeline => wrap(List("stages" -> JArray(p.stages.map(stageJson).toList)))
+      case p: PipelineModel => wrap(List("stages" -> JArray(p.stages.map(stageJson).toList)))
+      case t: StandardScaler => wrap(List(
+        "inputCol" -> JString(t.inputCol), "outputCol" -> JString(t.outputCol)))
+      case t: StandardScalerModel => wrap(List(
+        "inputCol" -> JString(t.inputCol), "outputCol" -> JString(t.outputCol),
+        "means" -> darr(t.means), "stds" -> darr(t.stds)))
+      case t: KMeans => wrap(List(
+        "idCol" -> JString(t.idCol), "featuresCol" -> JString(t.featuresCol),
+        "predictionCol" -> JString(t.predictionCol),
+        "k" -> JInt(t.k), "iters" -> JInt(t.iters)))
+      case t: KMeansModel => wrap(List(
+        "featuresCol" -> JString(t.featuresCol),
+        "predictionCol" -> JString(t.predictionCol),
+        "centroids" -> dmat(t.centroids)))
+      case t: MultivariateGaussian => wrap(List(
+        "inputCol" -> JString(t.inputCol), "outputCol" -> JString(t.outputCol),
+        "mean" -> darr(t.mean), "cov" -> dmat(t.cov)))
+      case other => sys.error(s"stage ${other.getClass.getName} has no JSON " +
+        "serialization — only the built-in stages persist (the reference " +
+        "contract likewise requires each stage to implement its own json)")
+    }
+  }
+
+  def loadStage(json: String): PipelineStage = fromJson(JsonMethods.parse(json))
+
+  private def fromJson(j: JValue): PipelineStage = {
+    val fields = j match {
+      case JObject(f) => f.toMap
+      case other => sys.error(s"stage JSON must be an object, got $other")
+    }
+    def params: Map[String, JValue] = fields.get("params") match {
+      case Some(JObject(p)) => p.toMap
+      case _ => sys.error("stage JSON missing 'params' object")
+    }
+    def str(k: String): String = params(k) match {
+      case JString(s) => s
+      case other => sys.error(s"param '$k': expected string, got $other")
+    }
+    def int(k: String): Int = params(k) match {
+      case JInt(n) => n.toInt
+      case other => sys.error(s"param '$k': expected int, got $other")
+    }
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JInt(n) => n.toDouble // a whole double serializes as an int lexeme
+      case JDecimal(d) => d.toDouble
+      case other => sys.error(s"expected number, got $other")
+    }
+    def arr(k: String): Array[Double] = params(k) match {
+      case JArray(xs) => xs.map(num).toArray
+      case other => sys.error(s"param '$k': expected array, got $other")
+    }
+    def mat(k: String): Array[Array[Double]] = params(k) match {
+      case JArray(rows) => rows.map {
+        case JArray(xs) => xs.map(num).toArray
+        case other => sys.error(s"param '$k': expected 2-D array, got row $other")
+      }.toArray
+      case other => sys.error(s"param '$k': expected 2-D array, got $other")
+    }
+    def stages: Vector[PipelineStage] = params("stages") match {
+      case JArray(xs) => xs.map(fromJson).toVector
+      case other => sys.error(s"param 'stages': expected array, got $other")
+    }
+    fields.get("stage") match {
+      case Some(JString(cls)) => cls match {
+        case "graft.ml.Pipeline" => new Pipeline(stages)
+        case "graft.ml.PipelineModel" => new PipelineModel(stages.map {
+          case t: Transformer => t
+          case other => sys.error(s"PipelineModel stage is not a Transformer: $other")
+        })
+        case "graft.ml.StandardScaler" =>
+          new StandardScaler(str("inputCol"), str("outputCol"))
+        case "graft.ml.StandardScalerModel" =>
+          new StandardScalerModel(str("inputCol"), str("outputCol"),
+            arr("means"), arr("stds"))
+        case "graft.ml.KMeans" =>
+          new KMeans(str("idCol"), str("featuresCol"), str("predictionCol"),
+            int("k"), int("iters"))
+        case "graft.ml.KMeansModel" =>
+          new KMeansModel(str("featuresCol"), str("predictionCol"), mat("centroids"))
+        case "graft.ml.MultivariateGaussian" =>
+          new MultivariateGaussian(str("inputCol"), str("outputCol"),
+            arr("mean"), mat("cov"))
+        case other => sys.error(s"unknown pipeline stage class '$other'")
+      }
+      case _ => sys.error("stage JSON missing 'stage' class name")
+    }
   }
 }

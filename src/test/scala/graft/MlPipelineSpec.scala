@@ -92,4 +92,70 @@ class MlPipelineSpec extends AnyFunSuite with SparkTest {
     val plan = model.transform(embeddings).queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
+
+  test("pipeline persistence: fit -> toJson -> loadJson -> transform is " +
+       "bit-identical to the original model (reference Pipeline.java toJson/loadJson)") {
+    val pipe = new Pipeline()
+      .appendStage(new StandardScaler("embedding", "scaled"))
+      .appendStage(new KMeans("vec_id", "scaled", "cluster", k = 4, iters = 5))
+    val model = pipe.fit(embeddings)
+    val reloaded = PipelineModel.loadJson(model.toJson)
+    // every double (scaled features AND predictions) bit-identical
+    val orig = model.transform(embeddings)
+      .select(col("vec_id"), col("scaled"), col("cluster"))
+      .as[(Long, Seq[Double], Int)].collect().sortBy(_._1)
+    val back = reloaded.transform(embeddings)
+      .select(col("vec_id"), col("scaled"), col("cluster"))
+      .as[(Long, Seq[Double], Int)].collect().sortBy(_._1)
+    assert(orig.sameElements(back))
+    // the reloaded model's centroids are the original's, bit-for-bit
+    val km = model.stages.collect { case m: KMeansModel => m }.head
+    val km2 = reloaded.stages.collect { case m: KMeansModel => m }.head
+    assert(km.centroids.map(_.toSeq).toSeq == km2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("UNFITTED pipeline persistence round-trips estimators too " +
+       "(the reference serializes any stage list, fitted or not)") {
+    val pipe = new Pipeline()
+      .appendStage(new StandardScaler("embedding", "scaled"))
+      .appendStage(new KMeans("vec_id", "scaled", "cluster", k = 4, iters = 5))
+    val back = Pipeline.loadJson(pipe.toJson)
+    assert(back.needFit && back.stages.length == 2)
+    // fitting the reloaded pipeline gives the same predictions
+    val a = pipe.fit(embeddings).transform(embeddings)
+      .select(col("vec_id"), col("cluster")).as[(Long, Int)].collect().toMap
+    val b = back.fit(embeddings).transform(embeddings)
+      .select(col("vec_id"), col("cluster")).as[(Long, Int)].collect().toMap
+    assert(a == b)
+  }
+
+  test("unknown stage class in JSON is a named error") {
+    val e = intercept[RuntimeException](MlJson.loadStage(
+      """{"stage":"com.example.NotAStage","params":{}}"""))
+    assert(e.getMessage.contains("unknown pipeline stage"))
+  }
+
+  test("kmeans argmin is plan-bounded: k = 500 scores correctly (and the " +
+       "plan stays O(1) in k — no per-centroid expression chain)") {
+    val d = 4
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(500)(Array.fill(d)(rnd.nextDouble() * 10))
+    val pts = (1L to 200L).map(i => (i, Seq.fill(d)(rnd.nextDouble() * 10)))
+    val df = pts.toDF("id", "v")
+    val model = new KMeansModel("v", "c", cents)
+    val got = model.transform(df).select(col("id"), col("c"))
+      .as[(Long, Int)].collect().toMap
+    // brute-force argmin with the same lowest-index tie-break
+    def ref(x: Seq[Double]): Int = cents.zipWithIndex.minBy { case (c, i) =>
+      (c.zip(x).map { case (a, b) => (a - b) * (a - b) }.sum, i) }._2
+    pts.foreach { case (i, v) => assert(got(i) == ref(v), s"id $i") }
+    // the EXPRESSION TREE is O(1) in k: one transform-lambda over the
+    // centroid-matrix literal (the old per-centroid chain put k distance
+    // expressions in the plan — 500 zip_with nodes, not 1)
+    // analyzed plan (optimization constant-folds the local test relation):
+    // the dists expression appears twice (array_position + array_min),
+    // each with ONE zip_with — independent of k, where the old chain had k
+    val plan = model.transform(df).queryExecution.analyzed.toString
+    assert("(?i)zip_with".r.findAllIn(plan).length == 2, plan.take(500))
+  }
 }
