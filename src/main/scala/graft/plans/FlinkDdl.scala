@@ -48,9 +48,11 @@ import org.apache.spark.sql.types._
   *    watermark is Spark-documented as a no-op, matching batch Flink, so
   *    one DDL text serves both modes).
   *  - **computed columns** `name AS expr` → `withColumn(name, expr)` after
-  *    the physical load, in declaration order (`PROCTIME()` is rejected by
-  *    name — processing-time columns have no Spark analog; use the event
-  *    stream's own timestamps). **PRIMARY KEY … NOT ENFORCED** is accepted
+  *    the physical load, in declaration order. `PROCTIME()` (the
+  *    reference's proctime attribute) rewrites to `current_timestamp()` —
+  *    in Spark's micro-batch model that is evaluated per batch at
+  *    wall-clock time, i.e. processing time. **PRIMARY KEY … NOT
+  *    ENFORCED** is accepted
   *    and ignored exactly as the reference ignores it (metadata, not a
   *    constraint); an ENFORCED key is rejected as it is there. **METADATA**
   *    columns are rejected by name (connector-specific virtual columns).
@@ -108,11 +110,16 @@ object FlinkDdl {
 
   /** Declared (schema, options) of every DDL-registered table, so INSERT
     * INTO can route to the table's CONNECTOR as a sink. Keyed per session
-    * (a registry, not a catalog — same library scope as the temp views). */
+    * (a registry, not a catalog — same library scope as the temp views)
+    * by a WEAKLY-HELD per-session UUID: identity hash codes are not
+    * unique, so a GC'd session's key could otherwise collide with a new
+    * session and resolve an INSERT against a stale declared schema. */
   private val declared =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (StructType, Map[String, String], String)]()
-  private def declKey(spark: SparkSession, name: String): (Int, String) =
-    (System.identityHashCode(spark), name)
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (StructType, Map[String, String], String)]()
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def declKey(spark: SparkSession, name: String): (String, String) =
+    (sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString), name)
 
   /** A Flink DDL statement = CREATE TABLE whose trailing options block is
     * the Flink-specific `WITH ('key' = 'value', …)` quoted-key form. */
@@ -429,11 +436,15 @@ object FlinkDdl {
         sys.error(s"CREATE TABLE $name: METADATA columns are connector-" +
           "virtual and unsupported — read the physical column instead")
       case item @ ComputedRx(cn, ce) if !isTypeWord(ce) =>
-        require(!"""(?i)PROCTIME\s*\(""".r.findFirstIn(ce).isDefined,
-          s"CREATE TABLE $name: PROCTIME() has no Spark analog — use the " +
-            "event-time column (processing-time semantics are rejected, " +
-            "not approximated)")
-        computed += ((cn, ce))
+        // PROCTIME() (reference SqlCreateTable's proctime attribute) maps
+        // to `current_timestamp()`: in Spark's micro-batch model that IS
+        // processing time — evaluated at batch time, per batch — the same
+        // wall-clock-at-evaluation semantics the reference attribute
+        // carries (the engine's processing-time windows, StreamOps
+        // .processingTimeTumbleAgg / sessionizeProcessingTime, bucket the
+        // same clock). Works in batch mode too (statement-evaluation time).
+        computed += ((cn, """(?i)PROCTIME\s*\(\s*\)""".r
+          .replaceAllIn(ce, "current_timestamp()")))
       case ColumnRx(cn, tpe) =>
         fields += StructField(cn, toSparkType(tpe.trim, name))
       case other => sys.error(s"CREATE TABLE $name: unparseable item '$other'")

@@ -118,7 +118,56 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     assert(rows == Seq((1L, "alpha"), (2L, "beta")))
   }
 
-  test("named rejections: kafka, PROCTIME, enforced key, metadata, TIME type") {
+  test("PROCTIME() computed column: processing-time windowed aggregate " +
+       "driven entirely from DDL text (reference SqlCreateTable proctime attribute)") {
+    val dir = Files.createTempDirectory("ddl_proctime").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "e.json"))
+    w.println("""{"user_id":1,"value":2.0}""")
+    w.println("""{"user_id":1,"value":3.0}""")
+    w.println("""{"user_id":2,"value":5.0}""")
+    w.close()
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_proctime_events (
+         |  user_id BIGINT,
+         |  value DOUBLE,
+         |  pt AS PROCTIME()
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${dir.getAbsolutePath}',
+         |  'format' = 'json',
+         |  'graft.mode' = 'streaming'
+         |)""".stripMargin)
+    assert(spark.table("ddl_proctime_events").isStreaming)
+    // the processing-time tumbling window, in pure SQL over the DDL table
+    val agg = spark.sql(
+      """SELECT user_id, window(pt, '10 seconds').start AS ws, count(*) AS n
+        |FROM ddl_proctime_events GROUP BY user_id, window(pt, '10 seconds')""".stripMargin)
+    val q = agg.writeStream.format("memory").queryName("ddl_proctime_agg")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, sum(n) AS n FROM ddl_proctime_agg GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 2L, 2L -> 1L))
+    // batch mode gets the same column: PROCTIME() = evaluation-time clock
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_proctime_batch (
+         |  user_id BIGINT,
+         |  value DOUBLE,
+         |  pt AS PROCTIME()
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${dir.getAbsolutePath}',
+         |  'format' = 'json',
+         |  'graft.mode' = 'batch'
+         |)""".stripMargin)
+    val pts = spark.sql("SELECT pt FROM ddl_proctime_batch").collect()
+    val now = System.currentTimeMillis()
+    assert(pts.length == 3 && pts.forall(r =>
+      math.abs(r.getTimestamp(0).getTime - now) < 600000L))
+  }
+
+  test("named rejections: kafka, enforced key, metadata, TIME type") {
     def fails(ddl: String, frag: String): Unit = {
       val e = intercept[RuntimeException](FlinkDdl.execute(spark, ddl))
       assert(e.getMessage.contains(frag), e.getMessage)
@@ -126,9 +175,6 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     fails("""CREATE TABLE k (id BIGINT) WITH ('connector' = 'kafka',
             |'topic' = 't', 'properties.bootstrap.servers' = 'x:9092')""".stripMargin,
       "StreamOps")
-    fails("""CREATE TABLE p (id BIGINT, pt AS PROCTIME()) WITH (
-            |'connector' = 'filesystem', 'path' = '/x', 'format' = 'parquet')""".stripMargin,
-      "PROCTIME")
     fails("""CREATE TABLE e (id BIGINT, PRIMARY KEY (id)) WITH (
             |'connector' = 'filesystem', 'path' = '/x', 'format' = 'parquet')""".stripMargin,
       "NOT ENFORCED")
