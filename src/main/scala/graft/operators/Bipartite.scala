@@ -23,27 +23,45 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE shuffle on the shared-side key; output is
   * Σ deg·(deg−1) over the shared side — the reference's own blow-up. A
-  * hub vertex on the shared side dominates exactly as it does there;
-  * cap/salt upstream (e.g. the d02 hot-bucket cap pattern) when the
-  * degree distribution is skewed. */
+  * hub vertex on the shared side dominates exactly as it does there, so
+  * every projection takes `maxDegree`: shared-side vertices of degree
+  * above the cap are DROPPED before the self-join (the d02 hot-bucket cap
+  * policy — a hub connecting "everything to everything" carries no
+  * discriminating signal, and its Σdeg² output would swamp the job). The
+  * cap is a windowed count over EXACTLY the join key, so the one shuffle
+  * that sizes the degrees also co-partitions the join. Default = no cap,
+  * the reference's exact semantics. */
 object Bipartite {
+
+  private val NoCap = Long.MaxValue
+
+  /** Drop rows whose `keyCol` value occurs more than `maxDegree` times —
+    * the windowed count rides the join-key shuffle (no extra exchange). */
+  private def capped(edges: DataFrame, keyCol: String, maxDegree: Long): DataFrame =
+    if (maxDegree == NoCap) edges
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      edges.withColumn("__deg", count(lit(1)).over(w))
+        .filter(col("__deg") <= maxDegree).drop("__deg")
+    }
 
   /** (src, dst, src_edge_value, dst_edge_value): top vertices linked once
     * per shared bottom vertex. */
   def projectionTopSimple(edges: DataFrame, topCol: String, bottomCol: String,
-                          evCol: String): DataFrame =
-    simple(edges, joinOn = bottomCol, project = topCol, evCol)
+                          evCol: String, maxDegree: Long = NoCap): DataFrame =
+    simple(edges, joinOn = bottomCol, project = topCol, evCol, maxDegree)
 
   /** Bottom twin of [[projectionTopSimple]]. */
   def projectionBottomSimple(edges: DataFrame, topCol: String, bottomCol: String,
-                             evCol: String): DataFrame =
-    simple(edges, joinOn = topCol, project = bottomCol, evCol)
+                             evCol: String, maxDegree: Long = NoCap): DataFrame =
+    simple(edges, joinOn = topCol, project = bottomCol, evCol, maxDegree)
 
   private def simple(edges: DataFrame, joinOn: String, project: String,
-                     evCol: String): DataFrame = {
-    val a = edges.select(col(joinOn).as("k"), col(project).as("src"),
+                     evCol: String, maxDegree: Long): DataFrame = {
+    val e = capped(edges, joinOn, maxDegree)
+    val a = e.select(col(joinOn).as("k"), col(project).as("src"),
       col(evCol).as("src_edge_value"))
-    val b = edges.select(col(joinOn).as("k2"), col(project).as("dst"),
+    val b = e.select(col(joinOn).as("k2"), col(project).as("dst"),
       col(evCol).as("dst_edge_value"))
     a.join(b, col("k") === col("k2") && col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("src_edge_value"), col("dst_edge_value"))
@@ -54,25 +72,27 @@ object Bipartite {
     * edge value, flattened. `topVerts`/`bottomVerts` are (id, value). */
   def projectionTopFull(edges: DataFrame, topCol: String, bottomCol: String,
                         evCol: String, topVerts: DataFrame,
-                        bottomVerts: DataFrame): DataFrame =
+                        bottomVerts: DataFrame, maxDegree: Long = NoCap): DataFrame =
     full(edges, topCol, bottomCol, evCol, topVerts, bottomVerts,
-      joinOnBottom = true)
+      joinOnBottom = true, maxDegree)
 
   /** Bottom twin of [[projectionTopFull]] (intermediates are TOP vertices). */
   def projectionBottomFull(edges: DataFrame, topCol: String, bottomCol: String,
                            evCol: String, topVerts: DataFrame,
-                           bottomVerts: DataFrame): DataFrame =
+                           bottomVerts: DataFrame, maxDegree: Long = NoCap): DataFrame =
     full(edges, topCol, bottomCol, evCol, topVerts, bottomVerts,
-      joinOnBottom = false)
+      joinOnBottom = false, maxDegree)
 
   private def full(edges: DataFrame, topCol: String, bottomCol: String,
                    evCol: String, topVerts: DataFrame, bottomVerts: DataFrame,
-                   joinOnBottom: Boolean): DataFrame = {
+                   joinOnBottom: Boolean, maxDegree: Long): DataFrame = {
     def verts(df: DataFrame, id: String, v: String) =
       df.select(col(df.columns(0)).as(id), col(df.columns(1)).as(v))
     // the reference's joinEdgeWithVertices: each edge annotated with BOTH
-    // endpoint values before the projection self-join
-    val ewv = edges.select(col(topCol).as("t"), col(bottomCol).as("b"), col(evCol).as("ev"))
+    // endpoint values before the projection self-join (the degree cap runs
+    // FIRST — no point annotating edges the cap drops)
+    val e = capped(edges, if (joinOnBottom) bottomCol else topCol, maxDegree)
+    val ewv = e.select(col(topCol).as("t"), col(bottomCol).as("b"), col(evCol).as("ev"))
       .join(verts(topVerts, "t", "tv"), Seq("t"))
       .join(verts(bottomVerts, "b", "bv"), Seq("b"))
     val (k, proj, projV, interV) =

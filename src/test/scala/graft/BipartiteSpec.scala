@@ -45,6 +45,31 @@ class BipartiteSpec extends AnyFunSuite with SparkTest {
       (11L, 10L, 2L, "T2", "B11", "B10", "c", "b")), bottom.toString)
   }
 
+  test("maxDegree cap drops a hot connector BEFORE the self-join: bounded " +
+       "output, non-hub pairs untouched, default behavior unchanged") {
+    // one hot bottom vertex (99) connected to every top 1..50 — its
+    // uncapped contribution is 50·49 ordered pairs
+    val hub = (1L to 50L).map(t => (t, 99L, "h")).toDF("top", "bottom", "ev")
+    val skewed = edges.union(hub)
+    val uncapped = Bipartite.projectionTopSimple(skewed, "top", "bottom", "ev")
+    assert(uncapped.count() == 4L + 50L * 49L)
+    // cap at 10: the hub is dropped entirely, the base edges all survive
+    val capped = Bipartite.projectionTopSimple(skewed, "top", "bottom", "ev",
+      maxDegree = 10L)
+    val out = capped.as[(Long, Long, String, String)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, "a", "b"), (2L, 1L, "b", "a"),
+      (2L, 3L, "c", "d"), (3L, 2L, "d", "c")), out.toString)
+    // full projection honors the cap the same way
+    val tv = (1L to 50L).map(i => (i, s"T$i")).toDF("id", "value")
+    val bv = Seq((10L, "B10"), (11L, "B11"), (99L, "HUB")).toDF("id", "value")
+    assert(Bipartite.projectionTopFull(skewed, "top", "bottom", "ev", tv, bv,
+      maxDegree = 10L).count() == 4L)
+    // a cap ABOVE every degree is a no-op (same rows as uncapped)
+    assert(Bipartite.projectionTopSimple(skewed, "top", "bottom", "ev",
+      maxDegree = 1000L).count() == uncapped.count())
+  }
+
   test("a duplicate connector yields one projected edge PER connecting vertex") {
     val multi = edges.union(Seq((1L, 11L, "e")).toDS()
       .toDF("top", "bottom", "ev"))
