@@ -522,9 +522,16 @@ object Iterate {
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val tris = wedgeTriangles(e, deg, nEdges, broadcastClosureThreshold)
-    val perVertex = tris.select(col("x").as("id"))
-      .union(tris.select(col("y").as("id")))
-      .union(tris.select(col("z").as("id")))
+    perVertexTriangles(tris, "x", "y", "z", deg)
+  }
+
+  /** (id, degree, n_triangles, lcc) from a triangle listing + degree table
+    * — the shared tail of [[triangleCounts]] and the bundles. */
+  private def perVertexTriangles(tris: DataFrame, c1: String, c2: String,
+                                 c3: String, deg: DataFrame): DataFrame = {
+    val perVertex = tris.select(col(c1).as("id"))
+      .union(tris.select(col(c2).as("id")))
+      .union(tris.select(col(c3).as("id")))
       .groupBy("id").agg(count(lit(1)).as("tri"))
     deg.join(perVertex, Seq("id"), "left_outer")
       .select(col("id"), col("deg").as("degree"),
@@ -798,8 +805,36 @@ object Iterate {
     * Builds on [[triangleCounts]] (the per-vertex tri/lcc table) — ONE
     * global aggregate over it; the edge count is Σdeg/2 off the same
     * table, so the canonical edge set is never re-derived. */
-  def clusteringStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    triangleCounts(edges, srcCol, dstCol).agg(
+  def clusteringStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    clusteringStatsOf(triangleCounts(edges, srcCol, dstCol))
+
+  /** The shared-wedge-pass clustering bundle: `triangles` is the
+    * [[triangleCounts]] per-vertex table (PERSISTED — call
+    * `triangles.unpersist()` when done), `stats` the [[clusteringStats]]
+    * row aggregated FROM it, `census` the [[directedClusteringStats]] row
+    * when the bundle came from a directed graph. Running several
+    * clustering analytics used to cost one wedge join EACH — the bundle
+    * runs it once. */
+  final case class ClusteringBundle(triangles: DataFrame, stats: DataFrame,
+                                    census: Option[DataFrame]) {
+    def unpersist(): Unit = { triangles.unpersist(); () }
+  }
+
+  /** UNDIRECTED [[ClusteringBundle]]: triangle counts + clustering stats
+    * from one wedge pass over the simple undirected graph. */
+  def clusteringBundle(edges: DataFrame, srcCol: String, dstCol: String,
+                       broadcastClosureThreshold: Long = 10000000L): ClusteringBundle = {
+    val perVertex = triangleCounts(edges, srcCol, dstCol, broadcastClosureThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ClusteringBundle(perVertex, clusteringStatsOf(perVertex), None)
+  }
+
+  /** [[clusteringStats]] from an ALREADY-COMPUTED [[triangleCounts]] table
+    * — the aggregation alone, so a persisted per-vertex triangle table
+    * (see [[clusteringBundle]]) serves both analytics from one wedge
+    * pass. */
+  def clusteringStatsOf(perVertexTriangleCounts: DataFrame): DataFrame = {
+    perVertexTriangleCounts.agg(
       count(lit(1)).as("nv"),
       (sum(col("degree")) / 2).cast("long").as("n_edges"),
       sum(col("n_triangles")).cast("long").as("tri3"), // = 3T
@@ -868,7 +903,17 @@ object Iterate {
     * t021c, t111d, t111u, t030t, t030c, t201, t120d, t120u, t120c, t210,
     * t300). */
   def directedClusteringStats(edges: DataFrame, srcCol: String, dstCol: String,
-                              broadcastClosureThreshold: Long = 10000000L): DataFrame = {
+                              broadcastClosureThreshold: Long = 10000000L): DataFrame =
+    directedClusteringBundle(edges, srcCol, dstCol, broadcastClosureThreshold).census.get
+
+  /** The DIRECTED clustering bundle: [[directedClusteringStats]]' census
+    * row PLUS the undirected-projection [[triangleCounts]] table and
+    * [[clusteringStats]] row, all off ONE wedge pass (the classified
+    * triangle listing and the pair table are persisted and shared) — the
+    * i05/i15/i17 analytics without recomputing the wedge join per
+    * consumer. */
+  def directedClusteringBundle(edges: DataFrame, srcCol: String, dstCol: String,
+                               broadcastClosureThreshold: Long = 10000000L): ClusteringBundle = {
     val de = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -960,7 +1005,7 @@ object Iterate {
               (col("deg") * (col("deg") - 1)).cast("double"), 6) * 1000000))
           .otherwise(lit(0.0)).cast("long")).as("lcc6"),
         sum(col("numer")).cast("long").as("closed_triplets"))
-    rawAgg.crossJoin(triAgg).crossJoin(lccAgg)
+    val census = rawAgg.crossJoin(triAgg).crossJoin(lccAgg)
       // the reference's exact subtraction chain (open triplets lose the
       // triplets their containing triangles already counted)
       .withColumn("t201", col("r201") - lit(3L) * col("t300") - col("t210"))
@@ -997,6 +1042,13 @@ object Iterate {
         col("t021c"), col("t111d"), col("t111u"), col("t030t"), col("t030c"),
         col("t201"), col("t120d"), col("t120u"), col("t120c"), col("t210"),
         col("t300"))
+    // trip (the classified triangle listing) and pairs are persisted, so
+    // evaluating census, triangles, and stats together runs the wedge
+    // join ONCE; deg here is the undirected-projection distinct-neighbor
+    // degree — exactly what triangleCounts computes on that projection
+    val perVertex = perVertexTriangles(trip, "t1", "t2", "t3", deg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ClusteringBundle(perVertex, clusteringStatsOf(perVertex), Some(census))
   }
 
   /** DIRECTED whole-graph VERTEX METRICS — the Gelly analytic (reference

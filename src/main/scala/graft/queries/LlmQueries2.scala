@@ -881,6 +881,74 @@ object LlmQueries2 {
       |       t12 AS triads_12, t21 AS triads_21, t30 AS triads_30
       |FROM cf""".stripMargin
 
+  // ---------- i21: shared-wedge-pass clustering bundle ----------
+  // The i05 + i15 + i17 analytics used to cost one wedge join EACH when a
+  // user ran them together; `Iterate.directedClusteringBundle` runs the
+  // degree-oriented wedge join ONCE (classified triangle listing + pair
+  // table persisted) and serves all three. This query materializes ONE
+  // row drawing on every bundle member — undirected stats, directed
+  // census, and per-vertex triangle-table aggregates — on i17's directed
+  // part graph. Oracle: i17's CTE chain + i15's per-vertex/stats CTEs
+  // over the SAME triangle CTE, joined.
+  private val i21: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") < col("b.l_linenumber") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val b = Iterate.directedClusteringBundle(e, "src", "dst")
+    val u = b.stats.select(col("n_vertices"), col("n_edges"), col("n_triplets"),
+      col("n_triangles"), col("global_cc"), col("avg_cc"))
+    val c = b.census.get.select(col("n_uni_edges"), col("n_bi_edges"),
+      col("global_cc").as("dir_global_cc"), col("avg_cc").as("dir_avg_cc"),
+      col("t030t"), col("t030c"), col("t210"), col("t300"))
+    val t = b.triangles.agg(
+      sum(col("id") * col("n_triangles")).cast("long").as("tri_weighted"),
+      max(col("n_triangles")).cast("long").as("tri_max"))
+    u.crossJoin(c).crossJoin(t)
+  }
+  private val i21Sql = {
+    // the directed chain is i17's verbatim (same graph, same census); the
+    // undirected members ride the SAME tr/deg CTEs instead of re-deriving
+    val dirChain = i17Sql
+      .stripPrefix("WITH ")
+      .split("\n")
+      .takeWhile(l => !l.startsWith("SELECT vc AS n_vertices"))
+      .mkString("\n")
+    s"""WITH $dirChain,
+       |cen AS (SELECT vc, uec, bec, triplets, lcc6, closed_triplets,
+       |        t030t, t030c, t210, t300 FROM c3),
+       |pv AS (SELECT id, count(*) AS tri FROM
+       |       (SELECT x AS id FROM tr UNION ALL SELECT y FROM tr
+       |        UNION ALL SELECT z FROM tr) GROUP BY 1),
+       |lc AS (SELECT d.id, d.deg, coalesce(pv.tri, 0) AS tri,
+       |        CASE WHEN d.deg >= 2 THEN
+       |          round(coalesce(pv.tri, 0) * 2.0 / (d.deg * (d.deg - 1)), 6)
+       |        ELSE 0.0 END AS lcc
+       |       FROM deg d LEFT JOIN pv ON pv.id = d.id),
+       |uag AS (SELECT count(*) AS nv, CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+       |        CAST(sum(tri) AS BIGINT) AS tri3,
+       |        CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS triplets,
+       |        CAST(sum(round(lcc * 1000000)) AS BIGINT) AS lcc6,
+       |        CAST(sum(id * tri) AS BIGINT) AS tri_weighted,
+       |        CAST(max(tri) AS BIGINT) AS tri_max FROM lc)
+       |SELECT uag.nv AS n_vertices, uag.n_edges,
+       |       uag.triplets AS n_triplets,
+       |       CAST(uag.tri3 / 3 AS BIGINT) AS n_triangles,
+       |       CAST(uag.tri3 AS DOUBLE) / CAST(uag.triplets AS DOUBLE) AS global_cc,
+       |       CAST(uag.lcc6 AS DOUBLE) / (1000000.0 * uag.nv) AS avg_cc,
+       |       cen.uec AS n_uni_edges, cen.bec AS n_bi_edges,
+       |       CASE WHEN cen.triplets > 0
+       |            THEN CAST(cen.closed_triplets AS DOUBLE) / CAST(cen.triplets AS DOUBLE)
+       |            ELSE 0.0 END AS dir_global_cc,
+       |       CAST(cen.lcc6 AS DOUBLE) / (1000000.0 * cen.vc) AS dir_avg_cc,
+       |       cen.t030t, cen.t030c, cen.t210, cen.t300,
+       |       uag.tri_weighted, uag.tri_max
+       |FROM uag CROSS JOIN cen""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d07_dup_clusters" -> d07, "d08_dedup_verdict" -> d08, "i05_triangle_count" -> i05,
     "i06_label_propagation" -> i06, "i07_jaccard_index" -> i07,
@@ -889,6 +957,7 @@ object LlmQueries2 {
     "i13_edge_metrics" -> i13, "i14_graph_checksum" -> i14,
     "i15_clustering_stats" -> i15, "i16_summarization_vertices" -> i16,
     "i17_directed_census" -> i17, "i18_directed_vertex_metrics" -> i18, "i19_graph_generators" -> i19, "i20_bipartite_projection" -> i20,
+    "i21_clustering_bundle" -> i21,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
     "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
   val oracles: Map[String, String] = Map(
@@ -901,5 +970,6 @@ object LlmQueries2 {
     "i13_edge_metrics" -> i13Sql, "i14_graph_checksum" -> i14Sql,
     "i15_clustering_stats" -> i15Sql, "i16_summarization_vertices" -> i16Sql,
     "i17_directed_census" -> i17Sql, "i18_directed_vertex_metrics" -> i18Sql, "i19_graph_generators" -> i19Sql, "i20_bipartite_projection" -> i20Sql,
+    "i21_clustering_bundle" -> i21Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
 }

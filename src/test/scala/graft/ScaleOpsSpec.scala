@@ -116,6 +116,36 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
       (4L, 2L, 0L, 0.0), (5L, 1L, 0L, 0.0)), out.toString)
   }
 
+  test("clusteringBundle: counts + stats (+ directed census) agree with the " +
+       "standalone analytics, off one persisted wedge pass") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val bundle = Iterate.clusteringBundle(edges, "src", "dst")
+    // the shared triangle table IS persisted (that is the whole point)
+    assert(bundle.triangles.storageLevel.useMemory)
+    assert(bundle.triangles.as[(Long, Long, Long, Double)].collect().toSet ==
+      Iterate.triangleCounts(edges, "src", "dst")
+        .as[(Long, Long, Long, Double)].collect().toSet)
+    assert(bundle.stats.collect().toSeq ==
+      Iterate.clusteringStats(edges, "src", "dst").collect().toSeq)
+    assert(bundle.census.isEmpty)
+    bundle.unpersist()
+    // DIRECTED bundle: census row == directedClusteringStats, and the
+    // undirected-projection triangle table == triangleCounts on it
+    val dedges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val db = Iterate.directedClusteringBundle(dedges, "src", "dst")
+    assert(db.census.get.collect().toSeq ==
+      Iterate.directedClusteringStats(dedges, "src", "dst").collect().toSeq)
+    assert(db.triangles.as[(Long, Long, Long, Double)].collect().toSet ==
+      Iterate.triangleCounts(dedges, "src", "dst")
+        .as[(Long, Long, Long, Double)].collect().toSet)
+    assert(db.stats.collect().toSeq ==
+      Iterate.clusteringStats(dedges, "src", "dst").collect().toSeq)
+    db.unpersist()
+  }
+
   test("triangleCounts above the broadcast threshold: shuffle-join fallback, " +
        "identical results, no broadcast in the plan") {
     import spark.implicits._
