@@ -31,18 +31,19 @@ import org.apache.spark.sql.types._
   *    task-attempt/commit semantics (no executor-local-file trap).
   *
   * Type surface: boolean/int/long/float/double/string/bytes + nullable
-  * unions + timestamp-micros logical (what the star schema needs).
-  * Nested records/arrays/maps are out of scope and rejected loudly. */
+  * unions + timestamp-micros logical (what the star schema needs), PLUS
+  * nested records → struct, arrays → array, and string-keyed maps → map,
+  * recursively — the same nested shapes the reference's
+  * AvroRowDeserializationSchema.java `convertAvroType` handles. Unions of
+  * several non-null branches remain rejected loudly (as do fixed/enum —
+  * the reference maps those to types Spark has no analog for). */
 object Avro {
 
-  /** Avro schema → Spark schema. Fields may be primitive or a
-    * `union(null, primitive)` (→ nullable). */
+  /** Avro schema → Spark schema. Fields may be primitive, nested record /
+    * array / map, or a `union(null, T)` of any of those (→ nullable). */
   def toStructType(s: Schema): StructType = {
     require(s.getType == Schema.Type.RECORD, s"expected record schema, got ${s.getType}")
-    StructType(s.getFields.asScala.toSeq.map { f =>
-      val (ft, nullable) = unwrap(f.schema())
-      StructField(f.name(), sparkType(ft), nullable)
-    })
+    sparkType(s).asInstanceOf[StructType]
   }
 
   private def unwrap(s: Schema): (Schema, Boolean) =
@@ -64,29 +65,52 @@ object Avro {
     case Schema.Type.DOUBLE  => DoubleType
     case Schema.Type.STRING  => StringType
     case Schema.Type.BYTES   => BinaryType
-    case t => sys.error(s"unsupported avro type $t (nested/array/map out of scope)")
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.asScala.toSeq.map { f =>
+        val (ft, nullable) = unwrap(f.schema())
+        StructField(f.name(), sparkType(ft), nullable)
+      })
+    case Schema.Type.ARRAY =>
+      val (et, n) = unwrap(s.getElementType)
+      ArrayType(sparkType(et), containsNull = n)
+    case Schema.Type.MAP =>
+      val (vt, n) = unwrap(s.getValueType)
+      MapType(StringType, sparkType(vt), valueContainsNull = n)
+    case t => sys.error(s"unsupported avro type $t (fixed/enum/multi-branch " +
+      "unions have no Spark analog)")
   }
 
-  /** Spark schema → Avro record schema; every field a nullable union
-    * (the write-side convention — nullability is not narrowed). */
-  def toAvroSchema(st: StructType, name: String): Schema = {
-    val fields = SchemaBuilder.record(name).namespace("graft").fields()
-    st.fields.foldLeft(fields) { (fb, f) =>
-      val base = f.dataType match {
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case LongType    => Schema.create(Schema.Type.LONG)
-        case FloatType   => Schema.create(Schema.Type.FLOAT)
-        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
-        case StringType  => Schema.create(Schema.Type.STRING)
-        case BinaryType  => Schema.create(Schema.Type.BYTES)
-        case TimestampType =>
-          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
-        case t => sys.error(s"unsupported Spark type $t for avro write")
-      }
-      fb.name(f.name).`type`(Schema.createUnion(
-        Schema.create(Schema.Type.NULL), base)).withDefault(null)
-    }.endRecord()
+  /** Spark schema → Avro record schema; every field/element a nullable
+    * union (the write-side convention — nullability is not narrowed).
+    * Nested record names are the field path (avro names must be unique
+    * within a schema). */
+  def toAvroSchema(st: StructType, name: String): Schema =
+    avroBase(st, name).asInstanceOf[Schema]
+
+  private def nullableUnion(s: Schema): Schema =
+    Schema.createUnion(Schema.create(Schema.Type.NULL), s)
+
+  private def avroBase(dt: DataType, path: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case st: StructType =>
+      val fields = SchemaBuilder.record(path).namespace("graft").fields()
+      st.fields.foldLeft(fields) { (fb, f) =>
+        fb.name(f.name).`type`(nullableUnion(
+          avroBase(f.dataType, s"${path}_${f.name}"))).withDefault(null)
+      }.endRecord()
+    case ArrayType(et, _) =>
+      Schema.createArray(nullableUnion(avroBase(et, s"${path}_item")))
+    case MapType(StringType, vt, _) =>
+      Schema.createMap(nullableUnion(avroBase(vt, s"${path}_value")))
+    case t => sys.error(s"unsupported Spark type $t for avro write")
   }
 
   /** Read every `.avro` container file under `dir` as a DataFrame. */
@@ -135,6 +159,13 @@ object Avro {
       // nanoseconds overflows Long past ~year 2262 / before ~1677
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+    case (rec: GenericRecord, st: StructType) =>
+      Row.fromSeq(st.fields.zipWithIndex.map { case (f, i) =>
+        fromAvro(rec.get(i), f.dataType) })
+    case (c: java.util.Collection[_], ArrayType(et, _)) =>
+      c.asScala.toSeq.map(fromAvro(_, et))
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, x) => k.toString -> fromAvro(x, vt) }.toMap
     case (x, _) => x
   }
 
@@ -146,26 +177,53 @@ object Avro {
     val schemaJson = toAvroSchema(st, "graft_record").toString
     val conf = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
     AvroJob.setOutputSchema(conf, new Schema.Parser().parse(schemaJson))
+    // we hand the writer fully-built GenericRecords — the default REFLECT
+    // data model tries to reflect element classes inside union-typed
+    // arrays and NPEs; the GENERIC model writes them as-is
+    AvroJob.setDataModelClass(conf, classOf[GenericData])
     df.rdd.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
       rows.map { r =>
-        val rec = new GenericData.Record(schema)
-        st.fields.zipWithIndex.foreach { case (f, i) =>
-          rec.put(f.name, toAvro(if (r.isNullAt(i)) null else r.get(i)))
-        }
-        (new AvroWrapper[GenericRecord](rec), NullWritable.get())
+        (new AvroWrapper[GenericRecord](rowToRecord(r, schema)), NullWritable.get())
       }
     }.saveAsHadoopFile(dir, classOf[AvroWrapper[GenericRecord]],
       classOf[NullWritable], classOf[AvroOutputFormat[GenericRecord]], conf)
   }
 
-  private def toAvro(v: Any): Any = v match {
-    case null => null
-    case b: Array[Byte] => ByteBuffer.wrap(b)
-    case t: java.sql.Timestamp =>
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-    case x => x
+  private def rowToRecord(r: Row, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    schema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+      rec.put(f.name, toAvro(if (r.isNullAt(i)) null else r.get(i), f.schema()))
+    }
+    rec
   }
+
+  /** Spark value → Avro value against the TARGET field schema (nested
+    * records/arrays/maps need the schema to build their containers). */
+  private def toAvro(v: Any, s: Schema): Any =
+    if (v == null) null
+    else {
+      val base = if (s.getType == Schema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get else s
+      (v, base.getType) match {
+        case (r: Row, Schema.Type.RECORD) => rowToRecord(r, base)
+        case (xs: scala.collection.Seq[_], Schema.Type.ARRAY) =>
+          // GenericData.Array carries its schema — the mapred writer would
+          // otherwise try to REFLECT the element class of a plain List and
+          // NPE on union-typed elements
+          val out = new GenericData.Array[Any](xs.length, base)
+          xs.foreach(x => out.add(toAvro(x, base.getElementType)))
+          out
+        case (m: scala.collection.Map[_, _], Schema.Type.MAP) =>
+          val out = new java.util.HashMap[String, Any](m.size)
+          m.foreach { case (k, x) => out.put(k.toString, toAvro(x, base.getValueType)) }
+          out
+        case (b: Array[Byte], _) => ByteBuffer.wrap(b)
+        case (t: java.sql.Timestamp, _) =>
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        case (x, _) => x
+      }
+    }
 
   // ------------------------------------------------------------------
   // Single-record binary SERDE — the reference's Kafka wire-format half
@@ -198,7 +256,8 @@ object Avro {
         encoder = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, encoder)
         val rec = new GenericData.Record(schema)
         payload.fields.zipWithIndex.foreach { case (f, i) =>
-          rec.put(f.name, toAvro(if (r.isNullAt(idx(i))) null else r.get(idx(i))))
+          rec.put(f.name, toAvro(if (r.isNullAt(idx(i))) null else r.get(idx(i)),
+            schema.getFields.get(i).schema()))
         }
         writer.write(rec, encoder)
         encoder.flush()

@@ -38,6 +38,46 @@ class AvroSpec extends AnyFunSuite with SparkTest {
     assert(got == Set((1L, null), (null, "x")), got.toString)
   }
 
+  test("NESTED shapes roundtrip: record-in-record, arrays, string maps " +
+       "(flink-avro AvroRowDeserializationSchema nested handling)") {
+    val dir = Files.createTempDirectory("graft_avro").toString + "/nested"
+    val df = Seq(
+      (1L, ("alice", 30), Seq(1.5, 2.5), Map("a" -> 1L, "b" -> 2L)),
+      (2L, ("bob", 25), Seq.empty[Double], Map.empty[String, Long])
+    ).toDF("id", "who", "scores", "tags")
+    Avro.write(df, dir)
+    val back = Avro.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+    import org.apache.spark.sql.types._
+    assert(back.schema("who").dataType.asInstanceOf[StructType]
+      .map(f => (f.name, f.dataType)) == Seq(("_1", StringType), ("_2", IntegerType)))
+    assert(back.schema("scores").dataType.asInstanceOf[ArrayType]
+      .elementType == DoubleType)
+    assert(back.schema("tags").dataType.asInstanceOf[MapType]
+      .valueType == LongType)
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), (r.getStruct(1).getString(0), r.getStruct(1).getInt(1)),
+        r.getSeq[Double](2), r.getMap[String, Long](3).toMap)
+    assert(back.collect().map(canon).toSet == df.collect().map(canon).toSet)
+    // deep nesting: array of records, with a null element record field
+    val dir2 = Files.createTempDirectory("graft_avro").toString + "/nested2"
+    val df2 = Seq(
+      (10L, Seq(("x", 1L), (null, 2L))),
+      (11L, Seq.empty[(String, Long)])
+    ).toDF("id", "items")
+    Avro.write(df2, dir2)
+    val got = Avro.read(spark, dir2).collect().map { r =>
+      (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (if (x.isNullAt(0)) null else x.getString(0), x.getLong(1))))
+    }.toSet
+    assert(got == Set((10L, Seq(("x", 1L), (null, 2L))), (11L, Seq())), got.toString)
+    // the binary record serde gets the same surface for free
+    val schemaJson = Avro.toAvroSchema(
+      df.schema.asInstanceOf[org.apache.spark.sql.types.StructType], "rec").toString
+    val back2 = Avro.decodeRecords(Avro.encodeRecords(df), schemaJson)
+    assert(back2.collect().map(canon).toSet == df.collect().map(canon).toSet)
+  }
+
   test("record serde roundtrips rows through schemaless avro binary") {
     val ts = Timestamp.valueOf("2024-03-01 00:00:10.5")
     val df = Seq((1L, "a", 2.5, ts), (2L, null, -1.0, ts)).toDF("id", "s", "v", "ts")
