@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, FunctionQueries, LlmQueries, LlmQueries2, LlmQueries3, RelationalQueries, RelationalQueries2, RelationalQueries3, RelationalQueries4, WindowQueries}
+import graft.queries.{AnalyticsQueries, FunctionQueries, LlmQueries, LlmQueries2, LlmQueries3, RelationalQueries, RelationalQueries2, RelationalQueries3, RelationalQueries4, TpchQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
       RelationalQueries3.queries ++ RelationalQueries4.queries ++
       FunctionQueries.queries ++ AnalyticsQueries.queries ++
       WindowQueries.queries ++ LlmQueries.queries ++ LlmQueries2.queries ++
-      LlmQueries3.queries
+      LlmQueries3.queries ++ TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +24,5 @@ object SparkEntry {
       RelationalQueries3.oracles ++ RelationalQueries4.oracles ++
       FunctionQueries.oracles ++ AnalyticsQueries.oracles ++
       WindowQueries.oracles ++ LlmQueries.oracles ++ LlmQueries2.oracles ++
-      LlmQueries3.oracles
+      LlmQueries3.oracles ++ TpchQueries.oracles
 }
