@@ -379,4 +379,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(p2.contains("PushedFilters:") && p2.contains("o_totalprice"),
       s"filter must reach the scan through the DDL view:\n$p2")
   }
+
+  test("TPC-H sweep plans: h01 prunes + pushes through the text, " +
+       "h03/h21 stay cartesian-free with no hard broadcast hints") {
+    // h01: the shipdate predicate reaches the parquet scan and only the 7
+    // referenced lineitem columns are read
+    val p1 = planOf("h01_tpch_q01")
+    assert(p1.contains("PushedFilters:") && p1.contains("l_shipdate"),
+      s"shipdate filter must reach the scan:\n$p1")
+    assert(!p1.contains("l_orderkey"), s"unused columns must not be read:\n$p1")
+    // h03 (3-way star) and h21 (4-way + EXISTS/NOT-EXISTS): every join is
+    // keyed — the synthesized-column CTEs must not block join planning
+    for (n <- Seq("h03_tpch_q03", "h21_tpch_q21", "h19_tpch_q19")) {
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must plan keyed joins only:\n$p")
+    }
+    // no hard broadcast hints anywhere in the sweep — AQE picks broadcast
+    // at THIS scale, sort-merge at 100 TB; a hard hint would throw there
+    for (n <- Seq("h03_tpch_q03", "h21_tpch_q21")) {
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"), n)
+    }
+  }
 }
