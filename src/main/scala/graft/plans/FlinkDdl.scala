@@ -81,7 +81,10 @@ class FlinkDdlSqlParser(session: SparkSession, delegate: ParserInterface)
     } else if (FlinkDdl.isDrop(session, sqlText)) {
       val n = FlinkDdl.executeDrop(session, sqlText)
       s"SELECT '$n' AS dropped_table"
-    } else FlinkDdl.rewriteCreateView(sqlText)
+    } else if (FlinkDdl.isAlter(session, sqlText)) {
+      val n = FlinkDdl.executeAlter(session, sqlText)
+      s"SELECT '$n' AS altered_table"
+    } else FlinkDdl.rewriteCreateView(FlinkDdl.rewriteCreateFunction(sqlText))
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(run(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -270,6 +273,80 @@ object FlinkDdl {
     name
   }
 
+  private val AlterRenameRx =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$""".r
+  private val AlterSetRx =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s*\(""".r
+
+  /** An ALTER TABLE (RENAME TO / SET properties — reference
+    * `SqlAlterTableRename.java` / `SqlAlterTableProperties.java`, the two
+    * ALTER TABLE forms the 1.10 parser accepts) targeting a DDL-declared
+    * table. ALTERs on anything else pass through to Spark. */
+  def isAlter(spark: SparkSession, sqlText: String): Boolean = {
+    def declaredTarget(n: String) =
+      declared.containsKey(declKey(spark, n.split('.').last))
+    AlterRenameRx.findFirstMatchIn(sqlText).exists(m => declaredTarget(m.group(1))) ||
+      AlterSetRx.findFirstMatchIn(sqlText).exists(m => declaredTarget(m.group(1)))
+  }
+
+  /** RENAME re-registers the view (and its declared entry + stored DDL
+    * text) under the new name; SET merges the given options into the WITH
+    * block and re-executes the declaration — watermark/computed columns
+    * re-derive from the text, so an option change (e.g. a new 'path')
+    * takes effect exactly as a fresh CREATE would. */
+  def executeAlter(spark: SparkSession, sqlText: String): String =
+    AlterRenameRx.findFirstMatchIn(sqlText) match {
+      case Some(m) =>
+        val from = m.group(1).split('.').last
+        val to = m.group(2).split('.').last
+        val (_, _, ddlText) = declared.get(declKey(spark, from))
+        val hm = HeadRx.findFirstMatchIn(ddlText).get
+        // splice the new name into the stored text (group 1 is the name)
+        val newText = ddlText.substring(0, hm.start(1)) + to +
+          ddlText.substring(hm.end(1))
+        spark.catalog.dropTempView(from)
+        declared.remove(declKey(spark, from))
+        execute(spark, newText)
+        to
+      case None =>
+        val m = AlterSetRx.findFirstMatchIn(sqlText).get
+        val name = m.group(1).split('.').last
+        val setEnd = skipBalanced(sqlText, m.end - 1)
+        require(setEnd > 0, s"ALTER TABLE $name: unbalanced SET options")
+        require(sqlText.substring(setEnd).trim.stripSuffix(";").trim.isEmpty,
+          s"ALTER TABLE $name: unsupported trailing clause")
+        val newOpts = parseOptions(sqlText.substring(m.end, setEnd - 1), name)
+        val (_, oldOpts, ddlText) = declared.get(declKey(spark, name))
+        val merged = oldOpts ++ newOpts
+        // splice the merged options into the stored text's WITH block
+        val hm = HeadRx.findFirstMatchIn(ddlText).get
+        val schemaEnd = skipBalanced(ddlText, hm.end - 1)
+        val rest = ddlText.substring(schemaEnd)
+        val wm = """(?is)^\s*WITH\s*\(""".r.findFirstMatchIn(rest).get
+        val withEnd = skipBalanced(rest, wm.end - 1)
+        def quote(s: String) = s"'${s.replace("'", "''")}'"
+        val optsBlock = merged.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${quote(k)} = ${quote(v)}" }.mkString(", ")
+        val newText = ddlText.substring(0, schemaEnd) +
+          rest.substring(0, wm.end) + optsBlock + rest.substring(withEnd - 1)
+        execute(spark, newText)
+        name
+    }
+
+  private val CreateFunctionRx =
+    """(?is)^(\s*CREATE\s+)(?:TEMPORARY\s+SYSTEM\s+|TEMPORARY\s+)?(FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s+AS\s+'[^']+')\s*(?:LANGUAGE\s+(?:JAVA|SCALA))?\s*;?\s*$""".r
+
+  /** Flink `CREATE [TEMPORARY [SYSTEM]] FUNCTION f AS 'class' [LANGUAGE
+    * JAVA|SCALA]` (reference SqlCreateFunction.java) → Spark's native
+    * `CREATE TEMPORARY FUNCTION f AS 'class'`: the LANGUAGE suffix and the
+    * SYSTEM scope have no Spark spelling and drop; resolution stays
+    * Spark's — a class implementing Spark's UDF contract loads, a Flink
+    * UDF class fails with Spark's own named error (honest boundary: the
+    * engine maps the STATEMENT, not the Flink UDF ABI). Non-matching
+    * statements pass through untouched. */
+  def rewriteCreateFunction(sqlText: String): String =
+    CreateFunctionRx.replaceFirstIn(sqlText, "$1TEMPORARY $2")
+
   /** The `sql-client -f script.sql` analog (reference flink-table/
     * flink-sql-client `CliClient.java`/`SqlCommandParser.java`): run a
     * whole multi-statement script — DDL, views, INSERTs, queries — in
@@ -285,7 +362,9 @@ object FlinkDdl {
         val r = executeInsert(spark, stmt); spark.sql(s"SELECT '$r' AS insert_result")
       } else if (isDrop(spark, stmt)) {
         val n = executeDrop(spark, stmt); spark.sql(s"SELECT '$n' AS dropped_table")
-      } else spark.sql(rewriteCreateView(stmt))
+      } else if (isAlter(spark, stmt)) {
+        val n = executeAlter(spark, stmt); spark.sql(s"SELECT '$n' AS altered_table")
+      } else spark.sql(rewriteCreateView(rewriteCreateFunction(stmt)))
     }
   }
 
