@@ -43,6 +43,12 @@ import org.json4s.jackson.JsonMethods
   * progressively-transformed frame (the reference's `Pipeline#fit` loop),
   * and `transform` on an unfitted pipeline containing estimators is a
   * NAMED error exactly as the reference throws. */
+/** The reference `Params.java` member set (flink-ml-api/.../misc/param/
+  * Params.java: size/isEmpty/get/set/remove/contains/merge/toJson/fromJson;
+  * clear and clone fall away under immutability — `Params.empty` and
+  * structural sharing are their Scala spellings). Values are restricted to
+  * JSON-able shapes (string/boolean/numeric, plus double/string sequences)
+  * exactly where the reference restricts to jackson-serializable ones. */
 final class Params private (private val m: Map[String, Any]) {
   def set[T](key: String, value: T): Params = new Params(m + (key -> value))
   def get[T](key: String): T = m.getOrElse(key,
@@ -51,8 +57,49 @@ final class Params private (private val m: Map[String, Any]) {
     m.getOrElse(key, default).asInstanceOf[T]
   def contains(key: String): Boolean = m.contains(key)
   def size: Int = m.size
+  def isEmpty: Boolean = m.isEmpty
+  def remove(key: String): Params = new Params(m - key)
+  /** Right side wins on key conflicts — the reference's merge contract. */
+  def merge(other: Params): Params = new Params(m ++ other.m)
+  def toJson: String = {
+    def j(v: Any): JValue = v match {
+      case s: String => JString(s)
+      case b: Boolean => JBool(b)
+      case i: Int => JInt(i)
+      case l: Long => JInt(l)
+      case d: Double => JDouble(d)
+      case xs: Seq[_] => JArray(xs.map(j).toList)
+      case other => sys.error(s"param value ${other.getClass.getName} is not " +
+        "JSON-serializable (string/boolean/numeric/seq are)")
+    }
+    JsonMethods.compact(JsonMethods.render(
+      JObject(m.toList.sortBy(_._1).map { case (k, v) => k -> j(v) })))
+  }
+  override def equals(o: Any): Boolean = o match {
+    case p: Params => p.m == m
+    case _ => false
+  }
+  override def hashCode: Int = m.hashCode
 }
-object Params { val empty: Params = new Params(Map.empty) }
+object Params {
+  val empty: Params = new Params(Map.empty)
+  def fromJson(json: String): Params = {
+    def v(x: JValue): Any = x match {
+      case JString(s) => s
+      case JBool(b) => b
+      case JInt(n) => if (n.isValidInt) n.toInt else n.toLong
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case JArray(xs) => xs.map(v)
+      case other => sys.error(s"unsupported param JSON value $other")
+    }
+    JsonMethods.parse(json) match {
+      case JObject(fields) =>
+        new Params(fields.map { case (k, x) => k -> v(x) }.toMap)
+      case other => sys.error(s"Params JSON must be an object, got $other")
+    }
+  }
+}
 
 sealed trait PipelineStage {
   /** The reference `PipelineStage#toJson` contract

@@ -214,6 +214,60 @@ class FunctionParitySpec extends AnyFunSuite with SparkTest {
     "streamRecordTimestamp" -> (() => ()) // ditto: the record's event-time column
   )
 
+  /** The blink planner's SQL-level additions beyond the core 134
+    * (flink-table-planner-blink/.../functions/sql/FlinkSqlOperatorTable.java)
+    * — every non-window-auxiliary one evaluated; the TUMBLE_/HOP_/SESSION_
+    * ROWTIME/PROCTIME auxiliaries are the `window().start/end` accessors +
+    * the engine's streaming time columns (w-queries/StreamingSpec), and
+    * MATCH_ROWTIME/PROCTIME are the CEP output timestamp columns. */
+  private lazy val blinkParity: Seq[(String, () => Unit)] = Seq(
+    "ASCII" -> (() => assert(one("ascii('A')") == 65)),
+    "CHR" -> (() => assert(one("char(65)") == "A")),
+    "CONVERT_TZ" -> (() => assert(one(
+      "convert_timezone('UTC', 'America/Los_Angeles', timestamp '2024-01-01 12:00:00')")
+      .toString.replace('T', ' ').startsWith("2024-01-01 04:00"))), // NTZ result
+    "DECODE" -> (() => assert(one("decode(encode('abc', 'UTF-8'), 'UTF-8')") == "abc")),
+    "ENCODE" -> (() => assert(one("length(encode('abc', 'UTF-8'))") == 3)),
+    "FROM_UNIXTIME" -> (() => assert(
+      one("from_unixtime(0)").toString == "1970-01-01 00:00:00")),
+    "UNIX_TIMESTAMP" -> (() => assert(
+      one("unix_timestamp(timestamp '1970-01-01 00:00:10')") == 10L)),
+    "HASH_CODE" -> (() => assert(one("hash('abc')").isInstanceOf[Int])),
+    "IF" -> (() => assert(one("IF(2 > 1, 'a', 'b')") == "a")),
+    "INSTR" -> (() => assert(one("instr('abcd', 'cd')") == 3)),
+    "LOCATE" -> (() => assert(one("locate('cd', 'abcd')") == 3)),
+    "IS_ALPHA" -> (() => assert(one("'abc' RLIKE '^[a-zA-Z]+$'") == true)),
+    "IS_DIGIT" -> (() => assert(one("'123' RLIKE '^[0-9]+$'") == true)),
+    "IS_DECIMAL" -> (() => assert(one("try_cast('1.5' AS DECIMAL(10,2)) IS NOT NULL") == true)),
+    "LEFT" -> (() => assert(one("left('abcdef', 2)") == "ab")),
+    "RIGHT" -> (() => assert(one("right('abcdef', 2)") == "ef")),
+    "NOW" -> (() => assert(one("now()") != null)),
+    "PARSE_URL" -> (() => assert(
+      one("parse_url('https://a.com/p?q=1', 'HOST')") == "a.com")),
+    "REGEXP" -> (() => assert(one("'abc123' RLIKE '^[a-z]+[0-9]+$'") == true)),
+    "REVERSE" -> (() => assert(one("reverse('abc')") == "cba")),
+    "SPLIT_INDEX" -> (() => assert(one("element_at(split('a,b,c', ','), 2)") == "b")),
+    "STR_TO_MAP" -> (() => assert(one("str_to_map('a=1,b=2', ',', '=')['b']") == "2")),
+    "SUBSTR" -> (() => assert(one("substr('abcdef', 2, 3)") == "bcd")),
+    "TO_DATE" -> (() => assert(one("to_date('2024-01-01')").toString == "2024-01-01")),
+    "TO_TIMESTAMP" -> (() => assert(
+      one("to_timestamp('2024-01-01 10:00:00')").toString.startsWith("2024-01-01 10:00"))),
+    // PRINT is a logging side-channel, not a value function — the Spark
+    // spelling is df.show()/foreachBatch logging (disposition, not a gap)
+    "PRINT" -> (() => ()),
+    "TUMBLE_ROWTIME" -> (() => ()), "TUMBLE_PROCTIME" -> (() => ()),
+    "HOP_ROWTIME" -> (() => ()), "HOP_PROCTIME" -> (() => ()),
+    "SESSION_ROWTIME" -> (() => ()), "SESSION_PROCTIME" -> (() => ()),
+    "MATCH_ROWTIME" -> (() => ()), "MATCH_PROCTIME" -> (() => ())
+  )
+
+  test("every blink-planner SQL extension has a verified Spark mapping") {
+    val failures = blinkParity.flatMap { case (n, f) =>
+      try { f(); None } catch { case e: Throwable => Some(s"$n: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("every reference built-in function definition has a verified Spark mapping") {
     // BuiltInFunctionDefinitions.java declares 134 definitions; the three
     // time attributes are streaming-column mappings verified in the

@@ -129,6 +129,25 @@ class MlPipelineSpec extends AnyFunSuite with SparkTest {
     assert(a == b)
   }
 
+  test("Params: the reference member set — remove/isEmpty/merge/json roundtrip") {
+    val p = Params.empty.set("k", 4).set("name", "x").set("lr", 0.5)
+      .set("dims", Seq(1.0, 2.0))
+    assert(p.size == 4 && !p.isEmpty && p.contains("lr"))
+    assert(p.remove("lr").size == 3 && !p.remove("lr").contains("lr"))
+    // merge: right side wins on conflicts (the reference contract)
+    val merged = p.merge(Params.empty.set("k", 9).set("extra", true))
+    assert(merged.get[Int]("k") == 9 && merged.get[Boolean]("extra"))
+    // json roundtrip preserves values and types
+    val back = Params.fromJson(p.toJson)
+    assert(back == p, s"${back.toJson} != ${p.toJson}")
+    assert(back.get[Int]("k") == 4 && back.get[Double]("lr") == 0.5 &&
+      back.get[Seq[Double]]("dims") == Seq(1.0, 2.0))
+    // non-serializable values are a named error
+    val e = intercept[RuntimeException](
+      Params.empty.set("bad", new Object).toJson)
+    assert(e.getMessage.contains("JSON-serializable"))
+  }
+
   test("unknown stage class in JSON is a named error") {
     val e = intercept[RuntimeException](MlJson.loadStage(
       """{"stage":"com.example.NotAStage","params":{}}"""))
