@@ -84,7 +84,8 @@ class FlinkDdlSqlParser(session: SparkSession, delegate: ParserInterface)
     } else if (FlinkDdl.isAlter(session, sqlText)) {
       val n = FlinkDdl.executeAlter(session, sqlText)
       s"SELECT '$n' AS altered_table"
-    } else FlinkDdl.rewriteCreateView(FlinkDdl.rewriteCreateFunction(sqlText))
+    } else FlinkDdl.rewriteCreateView(FlinkDdl.rewriteCreateFunction(
+      FlinkDdl.rewriteDatabaseDdl(FlinkDdl.rejectUseCatalog(sqlText))))
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(run(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -333,6 +334,36 @@ object FlinkDdl {
         name
     }
 
+  private val CreateDatabaseRx =
+    """(?is)^(\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*(?:COMMENT\s+'[^']*'\s*)?)WITH\s*\(""".r
+  private val AlterDatabaseRx =
+    """(?is)^(\s*ALTER\s+DATABASE\s+[\w.]+\s+)SET\s*\(""".r
+
+  /** Flink `CREATE DATABASE db [COMMENT …] WITH ('k' = 'v')` /
+    * `ALTER DATABASE db SET ('k' = 'v')` (reference SqlCreateDatabase.java /
+    * SqlAlterDatabase.java) → Spark's `WITH DBPROPERTIES (…)` /
+    * `SET DBPROPERTIES (…)` spellings — the property syntax is the only
+    * difference; statements without a properties block pass through
+    * unchanged (they are already valid Spark). */
+  def rewriteDatabaseDdl(sqlText: String): String = {
+    val c = CreateDatabaseRx.replaceFirstIn(sqlText, "$1WITH DBPROPERTIES (")
+    AlterDatabaseRx.replaceFirstIn(c, "$1SET DBPROPERTIES (")
+  }
+
+  private val UseCatalogRx = """(?is)^\s*USE\s+CATALOG\s+([\w.]+)\s*;?\s*$""".r
+
+  /** `USE CATALOG c` (reference SqlUseCatalog.java) has no mapping — the
+    * engine is library-scoped with ONE session catalog (as stated for the
+    * temp-view registry); rejecting by name beats Spark's bare parse
+    * error. Plain `USE db` passes through to Spark untouched. */
+  def rejectUseCatalog(sqlText: String): String =
+    UseCatalogRx.findFirstMatchIn(sqlText) match {
+      case Some(m) => sys.error(s"USE CATALOG ${m.group(1)}: the engine is " +
+        "library-scoped with a single session catalog — multi-catalog " +
+        "switching has no mapping (USE <database> works)")
+      case None => sqlText
+    }
+
   private val CreateFunctionRx =
     """(?is)^(\s*CREATE\s+)(?:TEMPORARY\s+SYSTEM\s+|TEMPORARY\s+)?(FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s+AS\s+'[^']+')\s*(?:LANGUAGE\s+(?:JAVA|SCALA))?\s*;?\s*$""".r
 
@@ -364,7 +395,8 @@ object FlinkDdl {
         val n = executeDrop(spark, stmt); spark.sql(s"SELECT '$n' AS dropped_table")
       } else if (isAlter(spark, stmt)) {
         val n = executeAlter(spark, stmt); spark.sql(s"SELECT '$n' AS altered_table")
-      } else spark.sql(rewriteCreateView(rewriteCreateFunction(stmt)))
+      } else spark.sql(rewriteCreateView(rewriteCreateFunction(
+        rewriteDatabaseDdl(rejectUseCatalog(stmt)))))
     }
   }
 

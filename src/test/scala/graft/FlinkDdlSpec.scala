@@ -219,6 +219,25 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("NoSuchUdf"), e.getMessage)
   }
 
+  test("database DDL rewrites + USE CATALOG named rejection " +
+       "(reference SqlCreateDatabase / SqlAlterDatabase / SqlUseCatalog)") {
+    assert(FlinkDdl.rewriteDatabaseDdl(
+      "CREATE DATABASE IF NOT EXISTS db1 COMMENT 'x' WITH ('owner' = 'me')") ==
+      "CREATE DATABASE IF NOT EXISTS db1 COMMENT 'x' WITH DBPROPERTIES ('owner' = 'me')")
+    assert(FlinkDdl.rewriteDatabaseDdl("ALTER DATABASE db1 SET ('k' = 'v')") ==
+      "ALTER DATABASE db1 SET DBPROPERTIES ('k' = 'v')")
+    // statements without a properties block are already valid Spark
+    val plain = "CREATE DATABASE db2"
+    assert(FlinkDdl.rewriteDatabaseDdl(plain) == plain)
+    // end to end: the rewritten form executes in Spark and DROP cleans up
+    FlinkDdl.runScript(spark,
+      "CREATE DATABASE IF NOT EXISTS graft_ddl_db WITH ('team' = 'graft'); " +
+        "DROP DATABASE graft_ddl_db")
+    val e = intercept[RuntimeException](
+      FlinkDdl.runScript(spark, "USE CATALOG hive_cat"))
+    assert(e.getMessage.contains("library-scoped"), e.getMessage)
+  }
+
   test("named rejections: kafka, enforced key, metadata, TIME type") {
     def fails(ddl: String, frag: String): Unit = {
       val e = intercept[RuntimeException](FlinkDdl.execute(spark, ddl))
