@@ -38,8 +38,9 @@ import org.apache.spark.sql.functions._
   *                               -- the event `ts`, and RUNNING measures
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW
   *    | AFTER MATCH SKIP TO FIRST var | AFTER MATCH SKIP TO LAST var]
-  *   PATTERN (V1 V2[?|+|*|{n}|{n,m}] ...) -- linear; '?' = optional,
-  *                               -- '{n}' = times(n), '{n,m}' = greedy range
+  *   PATTERN (V1 V2[?|+|*|{n}|{n,m}|{n,}] ...) -- linear; '?' = optional,
+  *                               -- '{n}' = times(n), '{n,m}' = greedy range,
+  *                               -- '{n,}' = n-or-more (timesOrMore run),
   *                               -- (timesRange: n mandatory + up to m-n more),
   *                               -- '+' = oneOrMore (greedy run; measures via
   *                               -- FIRST/LAST/COUNT of the run timestamps),
@@ -106,6 +107,11 @@ object MatchRecognize {
                           skipPastLast: Boolean, allRows: Boolean,
                           skipTo: Option[(String, Boolean)] = None,
                           orderTies: Seq[String] = Nil)
+
+  /** Run-shaped quantifiers: '+', '*', and the SQL `{n,}` n-or-more form —
+    * all lower to the run (oneOrMore-family) machinery. */
+  private def isRunQ(q: String): Boolean =
+    q == "+" || q == "*" || (q.startsWith("{") && q.endsWith(",}"))
 
   private def sectionRx(name: String, stopAt: String) =
     (s"(?is)\\b$name\\b\\s+(.*?)\\s*(?=\\b(?:$stopAt)\\b)").r
@@ -195,7 +201,7 @@ object MatchRecognize {
       "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
       "|\\(\\s*(\\w+(?:\\s*\\|\\s*\\w+)+)\\s*\\)" +
       "|\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)|(\\w+))" +
-      "(\\?|\\+|\\*|\\{(\\d+)(?:,(\\d+))?\\})?").r
+      "(\\?|\\+|\\*|\\{(\\d+)(?:,(\\d+)?)?\\})?").r
     val varMatches = varRx.findAllMatchIn(patternBody).toSeq
     // every character of the PATTERN body must belong to a parsed element:
     // findAllMatchIn skips what it can't parse, and a silently-dropped
@@ -264,7 +270,7 @@ object MatchRecognize {
         // self PREV on a '+'/'*' run keeps the run-member semantics; all
         // other PREVs lower to physical-lag columns (rewritePrev)
         val runQuant = vars.exists(v0 => v0.name == dv && v0.alts.isEmpty &&
-          v0.seq.isEmpty && v0.quant.exists(q => q == "+" || q == "*"))
+          v0.seq.isEmpty && v0.quant.exists(isRunQ))
         dv -> rewritePrev(dv, m.group(2).trim, runQuant)
       }.toMap
     }.getOrElse(Map.empty)
@@ -506,7 +512,7 @@ object MatchRecognize {
     // alone) — named error, never silently-wrong members. Self physical
     // PREV on a run routes to the run-member LAST spelling instead
     // (rewritePrev), and plain/group-member self PREV is a pre-filter.
-    spec.vars.filter(v => v.quant.exists(q => q == "+" || q == "*"))
+    spec.vars.filter(v => v.quant.exists(isRunQ))
       .foreach { v =>
         (v.name +: (v.alts ++ v.seq)).flatMap(spec.defines.get).foreach { b =>
           val foreignPlag = RefRx.findAllMatchIn(b).exists(m =>
@@ -576,7 +582,7 @@ object MatchRecognize {
         // runs and groups keep their aggregate bind columns untouched —
         // prepending the ties would add them to the run aggregates instead
         bindByVar0 ++ spec.vars.filter(v => v.seq.isEmpty &&
-            !v.quant.exists(q => q == "+" || q == "*"))
+            !v.quant.exists(isRunQ))
           .map(v => v.name -> (spec.orderTies ++ bindByVar0
             .getOrElse(v.name, Nil).filterNot(spec.orderTies.contains)))
       }
@@ -661,6 +667,11 @@ object MatchRecognize {
           case "?" => pat = pat.optional()
           case "+" => pat = pat.oneOrMore()
           case "*" => pat = pat.zeroOrMore()
+          case q if q.endsWith(",}") =>
+            // SQL '{n,}' = n-or-more, greedy (flink-cep timesOrMore)
+            val n = q.stripPrefix("{").stripSuffix(",}").toInt
+            require(n >= 1, s"quantifier {$n,} on ${v.name} must be >= 1")
+            pat = pat.timesOrMore(n)
           case q =>
             val b = q.stripPrefix("{").stripSuffix("}").split(",")
             val (from, to) = if (b.length == 2) (b(0).toInt, b(1).toInt)
@@ -679,7 +690,7 @@ object MatchRecognize {
       }
       bindByVar.get(v.name).foreach { ks =>
         val isRun = selfRuns.contains(v.name) ||
-          v.quant.exists(q => q == "+" || q == "*")
+          v.quant.exists(isRunQ)
         // runs aggregate their value measures; every other quantifier binds
         // per expansion ('?' and the '{n,m}' optional tail bind null when
         // skipped — SUM/LAST/COUNT measures coalesce over them)
@@ -689,7 +700,7 @@ object MatchRecognize {
       // composite ORDER BY on a plain '+'/'*' run: first/last member VALUES
       // argmin/argmax by (tie, value) — membership stays time-level
       if (v.seq.isEmpty && v.alts.isEmpty && !selfRuns.contains(v.name) &&
-          v.quant.exists(q => q == "+" || q == "*"))
+          v.quant.exists(isRunQ))
         if (spec.orderTies.nonEmpty) pat = pat.tieBreak(spec.orderTies: _*)
     }
     if (spec.skipPastLast) pat = pat.afterMatchSkipPastLastEvent()
@@ -735,7 +746,7 @@ object MatchRecognize {
         .orderBy(matches.columns.filter(_.endsWith("_ts")).map(col).toIndexedSeq: _*)
       val cols = spec.measures.map { m =>
         val isRunVar = selfRuns.contains(m.varName) ||
-          quantOf.get(m.varName).flatten.exists(q => q == "+" || q == "*")
+          quantOf.get(m.varName).flatten.exists(isRunQ)
         val c = if (m.fn.contains("MATCH_NUMBER")) {
           row_number().over(mnWindow).cast("long")
         } else if (m.fn.contains("CLASSIFIER")) {
@@ -926,7 +937,7 @@ object MatchRecognize {
                             selfRuns: Map[String, RunDef],
                             compiled: Map[String, (Column, Option[Column], Seq[(String, String)])],
                             bindByVar: Map[String, Seq[String]]): DataFrame = {
-    val runVs = spec.vars.filter(v => v.quant.exists(q => q == "+" || q == "*"))
+    val runVs = spec.vars.filter(v => v.quant.exists(isRunQ))
     val nestedVs = spec.vars.filter(_.innerSeq.nonEmpty)
     if (nestedVs.nonEmpty) {
       require(nestedVs.size == 1 && spec.vars.count(_.seq.nonEmpty) == 1,

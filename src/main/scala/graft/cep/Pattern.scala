@@ -37,7 +37,8 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       runOffset: Int = 1,
                       groupRows: Boolean = false,
                       tieCols: Seq[String] = Nil,
-                      innerGroup: Seq[(String, Column)] = Nil)
+                      innerGroup: Seq[(String, Column)] = Nil,
+                      minRun: Int = 1)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,
@@ -166,6 +167,19 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       !steps.last.strict,
       "oneOrMore() excludes times(n)/optional()/bind()/next()")
     new Pattern(steps.init :+ steps.last.copy(oneOrMore = true), notStep, windowMs, skipPastLast, skipTo)
+  }
+
+  /** flink-cep `timesOrMore(n)` (reference Pattern.java:420 — at least n
+    * occurrences, greedy): the [[oneOrMore]] run machinery with a MINIMUM
+    * member count — a start whose maximal run holds fewer than n members
+    * does not match at all (the reference NFA never reaches the final
+    * state). `timesOrMore(1)` IS `oneOrMore()`. Same exclusions as
+    * oneOrMore; the run emits the same `<name>_first_ts`/`<name>_last_ts`/
+    * `<name>_n` columns, with `<name>_n >= n` guaranteed. */
+  def timesOrMore(n: Int): Pattern = {
+    require(n >= 1, s"timesOrMore($n): n must be >= 1")
+    new Pattern(steps.init :+ steps.last.copy(minRun = n), notStep, windowMs,
+      skipPastLast, skipTo).oneOrMore()
   }
 
   /** Zero-or-more — the `B*` quantifier (reference flink-cep
@@ -1388,6 +1402,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       out = joinBoundaryVals(out, name, st.keep,
         boundaryValTable(cand, st.keep, None,
           st.tieCols.indices.map(i => col(s"__rtie$i"))), seg = false)
+    }
+    // timesOrMore(n): a start whose maximal run holds fewer than n members
+    // never reaches the reference NFA's final state — drop it here, BEFORE
+    // after-match skip strategies claim its events
+    steps.filter(s => s.oneOrMore && s.minRun > 1).foreach { s =>
+      out = out.filter(col(s"${s.name}_n") >= s.minRun)
     }
     val matches = out.withColumnRenamed("__k", "key")
     if (skipPastLast) greedyAfterMatch(matches, startName = startTs, None)

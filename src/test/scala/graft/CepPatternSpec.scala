@@ -74,6 +74,36 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(ex.getMessage.contains("not a bound pattern variable"), ex.getMessage)
   }
 
+  test("timesOrMore(n): runs shorter than n never match (reference " +
+       "Pattern.java:420 — at least n occurrences, greedy)") {
+    // user 1: 3 clicks -> matches with n=3; user 2: 1 click -> maximal run
+    // too short, NO match; user 3: exactly 2 -> matches
+    val events = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "click"), (1L, at(6), "click"),
+      (1L, at(7), "click"), (1L, at(12), "purchase"),
+      (2L, at(0), "signup"), (2L, at(5), "click"), (2L, at(10), "purchase"),
+      (3L, at(0), "signup"), (3L, at(5), "click"), (3L, at(6), "click"),
+      (3L, at(11), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedBy("c", $"event_type" === "click").timesOrMore(2)
+      .followedBy("p", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(events, $"user_id", $"ts")
+      .select($"key", $"c_first_ts", $"c_last_ts", $"c_n", $"p_ts")
+      .as[(Long, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    assert(m == Set(
+      (1L, at(5), at(7), 3L, at(12)),
+      (3L, at(5), at(6), 2L, at(11))), m.toString)
+    // timesOrMore(1) IS oneOrMore: user 2 matches again
+    val m1 = Pattern.begin("s", $"event_type" === "signup")
+      .followedBy("c", $"event_type" === "click").timesOrMore(1)
+      .followedBy("p", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(events, $"user_id", $"ts")
+    assert(m1.count() == 3)
+  }
+
   test("oneOrMore().consecutive(): a gap time closes the run organically") {
     // user 1: clicks at 5,6,7 then a view at 8 breaks the chain — the click
     // at 9 is NOT a member; purchase binds after the run's LAST member (7);

@@ -265,6 +265,26 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m == Set((1L, at(0), at(10), at(20), 2L, at(30))))
   }
 
+  test("'{n,}' quantifier: n-or-more greedy run (timesOrMore) — short runs " +
+       "do not match; measures aggregate over the whole run") {
+    def q(n: Int) = MatchRecognize.detect(events,
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES S.ts AS s_ts, FIRST(C.ts) AS first_c, LAST(C.ts) AS last_c,
+         |           COUNT(C.ts) AS n_c, P.ts AS p_ts
+         |  PATTERN (S C{$n,} P)
+         |  WITHIN INTERVAL '1' HOUR
+         |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+         |         P AS event_type = 'purchase'
+         |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    // user 1 has a 2-click run: {2,} matches it, {3,} matches nothing
+    assert(q(2) == Set((1L, at(0), at(10), at(20), 2L, at(30))))
+    assert(q(3) == Set.empty)
+    // {1,} behaves exactly like '+'
+    assert(q(1) == Set((1L, at(0), at(10), at(20), 2L, at(30))))
+  }
+
   test("'*' quantifier: the run may be empty (user with no clicks still matches)") {
     val m = MatchRecognize.detect(events,
       """MATCH_RECOGNIZE (
