@@ -526,12 +526,14 @@ object Iterate {
   }
 
   /** (id, degree, n_triangles, lcc) from a triangle listing + degree table
-    * — the shared tail of [[triangleCounts]] and the bundles. */
+    * — the shared tail of [[triangleCounts]] and the bundles. The three
+    * corners EXPLODE out of one scan: a 3-way union of projections would
+    * evaluate the (unpersisted) wedge-join subtree once PER BRANCH —
+    * exchange reuse saves the shuffle, not the join probes. */
   private def perVertexTriangles(tris: DataFrame, c1: String, c2: String,
                                  c3: String, deg: DataFrame): DataFrame = {
-    val perVertex = tris.select(col(c1).as("id"))
-      .union(tris.select(col(c2).as("id")))
-      .union(tris.select(col(c3).as("id")))
+    val perVertex = tris
+      .select(explode(array(col(c1), col(c2), col(c3))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri"))
     deg.join(perVertex, Seq("id"), "left_outer")
       .select(col("id"), col("deg").as("degree"),
