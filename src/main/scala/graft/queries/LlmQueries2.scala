@@ -141,8 +141,12 @@ object LlmQueries2 {
     val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
-    val edges = base.select(col("s").as("src"), col("c").as("dst"))
-      .union(base.select(col("c").as("src"), col("s").as("dst")))
+    // both directions explode out of ONE evaluation of the base join (a
+    // union of two projections would run the lineitem-orders join twice)
+    val edges = base.select(explode(array(
+        struct(col("s").as("src"), col("c").as("dst")),
+        struct(col("c").as("src"), col("s").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     Iterate.pageRank(edges, "src", "dst", iters = PrIters, damping = PrDamping)
       .select(col("id"), round(col("rank"), 6).as("pagerank"))
   }
@@ -182,8 +186,12 @@ object LlmQueries2 {
     val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
-    val edges = base.select(col("s").as("src"), col("c").as("dst"))
-      .union(base.select(col("c").as("src"), col("s").as("dst")))
+    // both directions explode out of ONE evaluation of the base join (a
+    // union of two projections would run the lineitem-orders join twice)
+    val edges = base.select(explode(array(
+        struct(col("s").as("src"), col("c").as("dst")),
+        struct(col("c").as("src"), col("s").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .withColumn("w", lit(1.0) + (col("dst") % 8).cast("double") * lit(0.125))
     Iterate.sssp(edges, "src", "dst", "w", sourceId = 1L, iters = SsspIters)
   }
@@ -214,8 +222,12 @@ object LlmQueries2 {
     val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
-    val edges = base.select(col("s").as("src"), col("c").as("dst"))
-      .union(base.select(col("c").as("src"), col("s").as("dst")))
+    // both directions explode out of ONE evaluation of the base join (a
+    // union of two projections would run the lineitem-orders join twice)
+    val edges = base.select(explode(array(
+        struct(col("s").as("src"), col("c").as("dst")),
+        struct(col("c").as("src"), col("s").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .withColumn("w", lit(1.0) + (col("dst") % 8).cast("double") * lit(0.125))
     Iterate.ssspWorkset(edges, "src", "dst", "w", sourceId = 1L, iters = SsspIters)
   }
@@ -278,8 +290,12 @@ object LlmQueries2 {
     val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
-    val edges = base.select(col("s").as("src"), col("c").as("dst"))
-      .union(base.select(col("c").as("src"), col("s").as("dst")))
+    // both directions explode out of ONE evaluation of the base join (a
+    // union of two projections would run the lineitem-orders join twice)
+    val edges = base.select(explode(array(
+        struct(col("s").as("src"), col("c").as("dst")),
+        struct(col("c").as("src"), col("s").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     Iterate.labelPropagation(edges, "src", "dst", iters = LpIters)
       .select(col("id"), col("lab").as("community"))
   }
@@ -697,8 +713,12 @@ object LlmQueries2 {
     val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
-    val edges = base.select(col("s").as("src"), col("c").as("dst"))
-      .union(base.select(col("c").as("src"), col("s").as("dst")))
+    // both directions explode out of ONE evaluation of the base join (a
+    // union of two projections would run the lineitem-orders join twice)
+    val edges = base.select(explode(array(
+        struct(col("s").as("src"), col("c").as("dst")),
+        struct(col("c").as("src"), col("s").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     Iterate.communityDetection(edges, "src", "dst", iters = CdIters, delta = CdDelta)
   }
   private val i11Sql = {
