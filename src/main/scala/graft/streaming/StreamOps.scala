@@ -1272,9 +1272,17 @@ object StreamOps {
                           consecutive: Boolean = false,
                           branchPreds: Seq[Event => Boolean] = Nil,
                           tieOf: Event => Double = _.value,
-                          materializeRows: Boolean = false): Dataset[RunMatch] = {
+                          materializeRows: Boolean = false,
+                          minRun: Int = 1): Dataset[RunMatch] = {
     require(!(consecutive && (untilPred.nonEmpty || allowEmpty)),
       "consecutive excludes until/allowEmpty (the batch consecutive() surface)")
+    // minRun > 1 is Pattern.timesOrMore's streaming twin: a start whose
+    // maximal run holds fewer than minRun members never matches. The engine
+    // emits one match per start with no skip-strategy interplay, so the
+    // filter on the emitted run count is EXACTLY the batch semantics.
+    require(minRun >= 1, s"minRun must be >= 1 (got $minRun)")
+    require(minRun == 1 || !allowEmpty,
+      "minRun > 1 excludes allowEmpty (a zero-member run can never reach it)")
     // branchPreds: the quantified-alternation twin ((B|C)+ — batch
     // followedByOneOf().oneOrMore()): each member counts once, under its
     // first matching branch, emitted as branch_counts in pattern order
@@ -1283,7 +1291,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[RunMatch]
     implicit val accEnc = Encoders.product[RunAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    val matches = events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RunAcc, RunMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -1410,6 +1418,7 @@ object StreamOps {
           }
           out.result().iterator
       }
+    if (minRun == 1) matches else matches.filter(_.run_n >= minRun)
   }
 
   /** Streaming counterpart of `Pattern.followedByRun` — the V-shape

@@ -643,6 +643,48 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       r._9 == 4.5 && r._10 == 4.5 && r._11 == 2.0), s"batch=$batch")
   }
 
+  test("batch timesOrMore(n) and streaming cepPatternOneOrMore(minRun=n) agree") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: 3-click run (matches at minRun=2); user 2: 1-click run (no
+    // match); user 3: exactly 2 (matches), split across micro-batches
+    val all = Seq(
+      (1L, at(0), "signup", 0.0), (1L, at(5), "click", 1.0), (1L, at(6), "click", 1.0),
+      (1L, at(7), "click", 1.0), (1L, at(12), "purchase", 0.0),
+      (2L, at(0), "signup", 0.0), (2L, at(5), "click", 1.0), (2L, at(10), "purchase", 0.0),
+      (3L, at(0), "signup", 0.0), (3L, at(5), "click", 1.0), (3L, at(6), "click", 1.0),
+      (3L, at(11), "purchase", 0.0)
+    )
+    val batch = Pattern.begin("signup", $"event_type" === "signup")
+      .followedBy("click", $"event_type" === "click").timesOrMore(2)
+      .followedBy("purchase", $"event_type" === "purchase")
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type", "value"), $"user_id", $"ts")
+      .select($"key", $"click_first_ts", $"click_last_ts", $"click_n", $"purchase_ts")
+      .as[(Long, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternOneOrMore(in.toDS(), "10 seconds",
+        _.event_type == "signup", _.event_type == "click", _.event_type == "purchase",
+        HOUR, minRun = 2).toDF()
+      .writeStream.format("memory").queryName("s_tom_parity").outputMode("append").start()
+    // split by TIME (not by user): a by-user split would make the second
+    // batch's events late against the first batch's watermark
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+      .sortBy(_.ts.getTime)
+    val (b1, b2) = evs.partition(_.ts.getTime <= at(6).getTime)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    // a far-future sentinel advances the watermark past every window end
+    in.addData(StreamOps.Event(99L, at(600), "noise", 0.0))
+    q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_tom_parity")
+      .select("user_id", "run_first_ts", "run_last_ts", "run_n", "last_ts")
+      .as[(Long, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    assert(streaming == batch, s"streaming=$streaming batch=$batch")
+    assert(batch.map(_._1) == Set(1L, 3L) && batch.forall(_._4 >= 2), batch.toString)
+  }
+
   test("batch next() and streaming cepPatternSteps strict agree across micro-batches") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
