@@ -271,7 +271,34 @@ object FunctionQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  // --- f13: Flink SQL group windows, driver-gated (reference
+  // FlinkSqlOperatorTable TUMBLE/HOP/SESSION + _START/_END auxiliaries;
+  // GroupWindowSql rewrites the spelling to Spark's window functions, so
+  // the VERBATIM Flink text runs — the most common Flink SQL idiom).
+  // Oracle: the same 10-minute epoch bucketing in DuckDB; the value sum is
+  // a scaled-integer fold (2-dp grid, order-free, bit-identical).
+  private val f13: Q = (s, dir) => {
+    Tables.load(s, dir, "events").createOrReplaceTempView("f13_events")
+    s.sql(graft.plans.GroupWindowSql.rewrite(
+      """SELECT user_id,
+        |       TUMBLE_START(ts, INTERVAL '10' MINUTE) AS w_start,
+        |       TUMBLE_END(ts, INTERVAL '10' MINUTE) AS w_end,
+        |       count(*) AS n,
+        |       CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100 AS sv
+        |FROM f13_events
+        |GROUP BY user_id, TUMBLE(ts, INTERVAL '10' MINUTE)""".stripMargin))
+  }
+  private val f13Sql =
+    """SELECT user_id,
+      |       make_timestamp(CAST(floor(epoch(ts) / 600) * 600 * 1000000 AS BIGINT)) AS w_start,
+      |       make_timestamp(CAST((floor(epoch(ts) / 600) * 600 + 600) * 1000000 AS BIGINT)) AS w_end,
+      |       count(*) AS n,
+      |       CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100 AS sv
+      |FROM events
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "f13_flink_group_windows" -> f13,
     "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03,
     "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05, "f06_temporal_funcs" -> f06,
     "f07_bitwise_funcs" -> f07, "f08_udagg_weighted_avg" -> f08,
@@ -282,5 +309,6 @@ object FunctionQueries {
     "f04_conditional_funcs" -> f04Sql, "f05_hash_funcs" -> f05Sql, "f06_temporal_funcs" -> f06Sql,
     "f07_bitwise_funcs" -> f07Sql, "f08_udagg_weighted_avg" -> f08Sql,
     "f09_collection_funcs" -> f09Sql, "f10_table_agg" -> f10Sql,
-    "f11_udtf" -> f11Sql, "f12_ddl_script" -> f12Sql)
+    "f11_udtf" -> f11Sql, "f12_ddl_script" -> f12Sql,
+    "f13_flink_group_windows" -> f13Sql)
 }

@@ -238,6 +238,81 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("library-scoped"), e.getMessage)
   }
 
+  test("Flink group-window SQL spellings: TUMBLE/HOP/SESSION (+_START/_END) " +
+       "rewrite to Spark window functions; HOP swaps (slide, size)") {
+    import graft.plans.GroupWindowSql
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 3.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    df.createOrReplaceTempView("gw_events")
+    // TUMBLE parity vs the native window() API
+    val viaFlink = spark.sql(GroupWindowSql.rewrite(
+      """SELECT user_id, TUMBLE_START(ts, INTERVAL '10' MINUTE) AS ws,
+        |       TUMBLE_END(ts, INTERVAL '10' MINUTE) AS we, count(*) AS n
+        |FROM gw_events GROUP BY user_id, TUMBLE(ts, INTERVAL '10' MINUTE)""".stripMargin))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val viaSpark = df.groupBy(col("user_id"), window(col("ts"), "10 minutes"))
+      .count().select(col("user_id"), col("window.start"), col("window.end"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(viaFlink == viaSpark && viaFlink.size == 2)
+    // HOP: Flink order is (slide, size) — 5-minute slide, 10-minute size
+    // must produce 10-minute-WIDE windows every 5 minutes
+    val hop = spark.sql(GroupWindowSql.rewrite(
+      """SELECT HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS ws,
+        |       HOP_END(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS we,
+        |       count(*) AS n
+        |FROM gw_events GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)""".stripMargin))
+      .collect()
+    assert(hop.forall(r => r.getTimestamp(1).getTime - r.getTimestamp(0).getTime == 600000L),
+      "HOP windows must be SIZE (10 min) wide, not slide-wide")
+    assert(hop.map(_.getLong(2)).sum == 6L) // each event in 2 overlapping windows
+    // SESSION: 5-minute gap merges 00:01/00:04, splits 00:11
+    val sess = spark.sql(GroupWindowSql.rewrite(
+      """SELECT SESSION_START(ts, INTERVAL '5' MINUTE) AS ws, count(*) AS n
+        |FROM gw_events GROUP BY user_id, SESSION(ts, INTERVAL '5' MINUTE)""".stripMargin))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(sess == Set(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), 1L)), sess.toString)
+    // the time-attribute auxiliaries are NAMED rejections
+    val e = intercept[RuntimeException](GroupWindowSql.rewrite(
+      "SELECT TUMBLE_ROWTIME(ts, INTERVAL '10' MINUTE) FROM gw_events"))
+    assert(e.getMessage.contains("window.end"), e.getMessage)
+    // end to end as pure SQL text on a parser-extended session: a
+    // STREAMING DDL table + verbatim Flink windowed SQL
+    val dir = Files.createTempDirectory("gw_stream").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "e.json"))
+    w.println("""{"user_id":1,"value":2.0,"ts":"2024-01-01T00:01:00.000Z"}""")
+    w.println("""{"user_id":1,"value":3.0,"ts":"2024-01-01T00:04:00.000Z"}""")
+    w.close()
+    val prev = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().withExtensions(GraftExtensions.install).getOrCreate()
+    try {
+      s2.sql(
+        s"""CREATE TABLE gw_stream_events (
+           |  user_id BIGINT, value DOUBLE, ts TIMESTAMP(3),
+           |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+           |) WITH ('connector' = 'filesystem',
+           |        'path' = '${dir.getAbsolutePath}', 'format' = 'json')""".stripMargin)
+      val agg = s2.sql(
+        """SELECT user_id, TUMBLE_START(ts, INTERVAL '10' MINUTE) AS ws, count(*) AS n
+          |FROM gw_stream_events GROUP BY user_id, TUMBLE(ts, INTERVAL '10' MINUTE)""".stripMargin)
+      assert(agg.isStreaming)
+      val q = agg.writeStream.format("memory").queryName("gw_agg")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = s2.sql("SELECT n FROM gw_agg").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(2L), rows.mkString(","))
+    } finally {
+      SparkSession.setDefaultSession(prev); SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("named rejections: kafka, enforced key, metadata, TIME type") {
     def fails(ddl: String, frag: String): Unit = {
       val e = intercept[RuntimeException](FlinkDdl.execute(spark, ddl))
