@@ -196,6 +196,45 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     })
   }
 
+  test("timesOrMore(n) == the oneOrMore reference with a member-count floor " +
+       "on random logs") {
+    import graft.cep.Pattern
+    val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val WindowMs = 30L * 60000
+    val gen = Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf("a", "b", "c")))
+    assertHolds(Prop.forAll(gen, Gen.chooseNum(1, 4)) { (rows, n) =>
+      val evs = rows.zipWithIndex.map { case ((u, t), i) =>
+        (u, T0.getTime + i * 60000L, t)
+      }
+      val df = evs.map { case (u, tm, t) => (u, new java.sql.Timestamp(tm), t) }
+        .toDF("user_id", "ts", "event_type")
+      val got = Pattern.begin("a", col("event_type") === "a")
+        .followedBy("b", col("event_type") === "b").timesOrMore(n)
+        .followedBy("c", col("event_type") === "c")
+        .within(WindowMs).detect(df, col("user_id"), col("ts"))
+        .collect().map(r => (r.getAs[Long]("key"),
+          r.getAs[java.sql.Timestamp]("a_ts").getTime,
+          r.getAs[java.sql.Timestamp]("b_first_ts").getTime,
+          r.getAs[java.sql.Timestamp]("b_last_ts").getTime,
+          r.getAs[Long]("b_n"),
+          r.getAs[java.sql.Timestamp]("c_ts").getTime)).toSet
+      // reference: the greedy oneOrMore run (earliest b after a, earliest c
+      // after that b, members = every b in [first_b, c)), kept only when
+      // the maximal run holds >= n members — the timesOrMore contract
+      val want = (for {
+        u <- evs.map(_._1).distinct
+        sorted = evs.filter(_._1 == u).map(e => (e._2, e._3)).sortBy(_._1)
+        (t0, "a") <- sorted
+        end = t0 + WindowMs
+        b1 <- sorted.collectFirst { case (t, "b") if t > t0 && t <= end => t }.toSeq
+        c <- sorted.collectFirst { case (t, "c") if t > b1 && t <= end => t }.toSeq
+        members = sorted.filter { case (t, ty) => ty == "b" && t >= b1 && t < c }
+        if members.size >= n
+      } yield (u, t0, b1, members.last._1, members.size.toLong, c)).toSet
+      (got == want) :| s"n=$n got=$got want=$want"
+    })
+  }
+
   test("followedByRun (V-shape) == brute-force descending-chain reference") {
     import graft.cep.Pattern
     val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
