@@ -261,20 +261,30 @@ object Iterate {
     * are bounded (the bipartite incidence usually is; a hub vertex makes
     * ANY Jaccard pair join quadratic in its degree). */
   def jaccardIndex(edges: DataFrame, srcCol: String, dstCol: String,
-                   minShared: Long = 1L): DataFrame = {
+                   minShared: Long = 1L,
+                   broadcastDegThreshold: Long = 10000000L): DataFrame = {
     val n = edges.select(col(srcCol).as("id"), col(dstCol).as("nb")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the count materializes the persisted incidence (which both the degree
+    // agg and the pair join need anyway) and GUARDS the degree broadcast —
+    // a hard hint on a billion-vertex degree table would throw past
+    // maxBroadcastTableBytes; above the threshold the join shuffles and
+    // AQE still broadcasts at runtime when the side actually fits (the
+    // triangleCounts broadcastClosureThreshold convention)
+    val nIncidence = n.count()
     val deg = n.groupBy("id").agg(count(lit(1)).as("deg"))
+    def degSide(idAs: String, degAs: String) = {
+      val d = deg.select(col("id").as(idAs), col("deg").as(degAs))
+      if (nIncidence <= broadcastDegThreshold) broadcast(d) else d
+    }
     val shared = n.select(col("id").as("a"), col("nb"))
       .join(n.select(col("id").as("b"), col("nb").as("nb2")),
         col("nb") === col("nb2") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     shared
-      .join(broadcast(deg.select(col("id").as("da_id"), col("deg").as("da"))),
-        col("a") === col("da_id"))
-      .join(broadcast(deg.select(col("id").as("db_id"), col("deg").as("db"))),
-        col("b") === col("db_id"))
+      .join(degSide("da_id", "da"), col("a") === col("da_id"))
+      .join(degSide("db_id", "db"), col("b") === col("db_id"))
       .select(col("a").as("u"), col("b").as("v"), col("shared"),
         (col("da") + col("db") - col("shared")).as("dist_union"),
         (col("shared").cast("double") /
@@ -296,9 +306,13 @@ object Iterate {
     * associative integer addition (the engine's scaled-integer
     * convention), divided back to DOUBLE once at the end. */
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
-                 minShared: Long = 1L): DataFrame = {
+                 minShared: Long = 1L,
+                 broadcastDegThreshold: Long = 10000000L): DataFrame = {
     val n = edges.select(col(srcCol).as("id"), col(dstCol).as("nb")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializes the persisted incidence + GUARDS the weight broadcast
+    // (the jaccardIndex/triangleCounts guarded-hint convention)
+    val nIncidence = n.count()
     // common-neighbor degree -> exact scaled per-term weight
     // a degree-1 neighbor can never be COMMON to a pair — dropping it is
     // semantically lossless and keeps ln(deg) > 0
@@ -306,8 +320,12 @@ object Iterate {
       .filter(col("nbdeg") >= 2)
       .withColumn("w6",
         round(lit(1000000.0) / log(col("nbdeg").cast("double"))).cast("long"))
-    val wn = n.join(broadcast(nbDeg.select(col("nb").as("nb0"), col("w6"))),
-      col("nb") === col("nb0")).select(col("id"), col("nb"), col("w6"))
+    val nbSide = {
+      val d = nbDeg.select(col("nb").as("nb0"), col("w6"))
+      if (nIncidence <= broadcastDegThreshold) broadcast(d) else d
+    }
+    val wn = n.join(nbSide, col("nb") === col("nb0"))
+      .select(col("id"), col("nb"), col("w6"))
     wn.select(col("id").as("a"), col("nb"), col("w6"))
       .join(n.select(col("id").as("b"), col("nb").as("nb2")),
         col("nb") === col("nb2") && col("a") < col("b"))
@@ -603,18 +621,27 @@ object Iterate {
     * vertex set (one row per group, isolated or not).
     *
     * Scale shape: the group table (one row per distinct vertex value) is
-    * aggregated once and BROADCAST into the id→representative mapping;
+    * aggregated once and — while it fits under the GUARDED threshold —
+    * broadcast into the id→representative mapping (high-cardinality
+    * grouping values can make it near-|V|, where a hard hint would throw
+    * past maxBroadcastTableBytes; above the threshold the join shuffles
+    * and AQE still broadcasts at runtime when the side actually fits);
     * edges then take two keyed equi-joins (shuffle on vertex id, the
     * natural edge partitioning) and one hash aggregate on (srcRep,
     * dstRep, value). No iteration, no cartesian, no window. */
   def summarization(vertices: DataFrame, idCol: String, valCol: String,
                     edges: DataFrame, srcCol: String, dstCol: String,
-                    evCol: String): DataFrame = {
+                    evCol: String,
+                    broadcastGroupThreshold: Long = 10000000L): DataFrame = {
     val v = vertices.select(col(idCol).cast("long").as("id"), col(valCol).as("vv"))
       .distinct()
-    // one row per group: representative + size (small: |distinct values|)
+    // one row per group: representative + size. Persisted because the
+    // guarding count AND the mapping join both read it.
     val groups = v.groupBy("vv").agg(min(col("id")).as("rep"), count(lit(1)).as("gsize"))
-    val mapping = v.join(broadcast(groups), Seq("vv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groupsSide =
+      if (groups.count() <= broadcastGroupThreshold) broadcast(groups) else groups
+    val mapping = v.join(groupsSide, Seq("vv"))
       .select(col("id"), col("rep"), col("vv"), col("gsize"))
     val e = edges.select(col(srcCol).cast("long").as("es"),
       col(dstCol).cast("long").as("ed"), col(evCol).as("ev"))

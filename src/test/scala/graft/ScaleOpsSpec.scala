@@ -116,6 +116,30 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
       (4L, 2L, 0L, 0.0), (5L, 1L, 0L, 0.0)), out.toString)
   }
 
+  test("guarded broadcasts in jaccard/adamicAdar/summarization: above the " +
+       "threshold no hard hint is planned and results are identical") {
+    import spark.implicits._
+    val inc = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 11L))
+      .toDF("id", "nb")
+    def noHint(df: org.apache.spark.sql.DataFrame) =
+      !df.queryExecution.analyzed.toString.contains("ResolvedHint")
+    val jHint = Iterate.jaccardIndex(inc, "id", "nb")
+    val jPlain = Iterate.jaccardIndex(inc, "id", "nb", broadcastDegThreshold = 0L)
+    assert(!noHint(jHint) && noHint(jPlain))
+    assert(jHint.collect().toSet == jPlain.collect().toSet)
+    val aHint = Iterate.adamicAdar(inc, "id", "nb")
+    val aPlain = Iterate.adamicAdar(inc, "id", "nb", broadcastDegThreshold = 0L)
+    assert(!noHint(aHint) && noHint(aPlain))
+    assert(aHint.collect().toSet == aPlain.collect().toSet)
+    val verts = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "v")
+    val edges = Seq((1L, 2L, "e"), (2L, 3L, "f")).toDF("s", "d", "ev")
+    val sHint = Iterate.summarization(verts, "id", "v", edges, "s", "d", "ev")
+    val sPlain = Iterate.summarization(verts, "id", "v", edges, "s", "d", "ev",
+      broadcastGroupThreshold = 0L)
+    assert(!noHint(sHint) && noHint(sPlain))
+    assert(sHint.collect().toSet == sPlain.collect().toSet)
+  }
+
   test("clusteringBundle: counts + stats (+ directed census) agree with the " +
        "standalone analytics, off one persisted wedge pass") {
     import spark.implicits._
