@@ -75,7 +75,8 @@ object Relational {
     * `partCol` (6-dp rounding like the window variant): percent_rank =
     * (#smaller)/(total-1), cume_dist = (#<=)/total — integer ratios, so the
     * IEEE division matches any engine's native window functions bit-for-bit. */
-  def histogramRank(df: DataFrame, partCol: Column, valueCol: Column): DataFrame = {
+  def histogramRank(df: DataFrame, partCol: Column, valueCol: Column,
+                    broadcastHistThreshold: Long = 10000000L): DataFrame = {
     val hist = df.groupBy(partCol.as("__p"), valueCol.as("__v"))
       .agg(count(lit(1)).as("__c"))
     val wOrd = Window.partitionBy(col("__p")).orderBy(col("__v"))
@@ -89,7 +90,14 @@ object Relational {
         when(col("__total") === 1, lit(0.0))
           .otherwise(round((col("__cum") - col("__c")) / (col("__total") - 1), 6)).as("prk"),
         round(col("__cum") / col("__total"), 6).as("cd"))
-    df.join(broadcast(ranks), partCol === col("__p") && valueCol === col("__v"))
+      // persisted: the guarding count and the fact-side join both read it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // near-continuous values make the histogram rows-sized — a hard hint
+    // there would throw past maxBroadcastTableBytes; hint only under the
+    // guarded threshold (AQE still broadcasts at runtime when it fits)
+    val ranksSide =
+      if (ranks.count() <= broadcastHistThreshold) broadcast(ranks) else ranks
+    df.join(ranksSide, partCol === col("__p") && valueCol === col("__v"))
       .drop("__p", "__v")
   }
 
