@@ -165,7 +165,7 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
     def err(b: Array[Byte]): String =
       intercept[IllegalArgumentException](AudioHeaderDecoder.audioMeta(b)).getMessage
     assert(err(Array.fill[Byte](10)(0)).contains("RIFF"))
-    val riffNoFmt = ("RIFF" + " " * 4 + "WAVE" + " " * 40).getBytes("ISO-8859-1")
+    val riffNoFmt = ("RIFF" + "\u0000" * 4 + "WAVE" + "\u0000" * 40).getBytes("ISO-8859-1")
     assert(err(riffNoFmt).contains("fmt"))
   }
 
