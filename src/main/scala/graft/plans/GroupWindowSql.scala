@@ -44,7 +44,11 @@ object GroupWindowSql {
     s"$n ${unit.toLowerCase.stripSuffix("s")}s"
 
   /** Rewrite every group-window spelling in `sql`; text without them
-    * passes through byte-identical. */
+    * passes through byte-identical. An auxiliary whose arguments do not
+    * match any group-window call in the statement is a NAMED error — the
+    * rewrite maps it to `window.start/end` of the GROUP BY's window, so a
+    * silent mismatch would return the wrong window's bound (Flink's
+    * validator rejects the same mismatch). */
   def rewrite(sql: String): String = {
     TimeAttrRx.findFirstMatchIn(sql).foreach { m =>
       sys.error(s"${m.group(1)}_${m.group(2)}() re-exports a time ATTRIBUTE " +
@@ -52,6 +56,25 @@ object GroupWindowSql {
         "withWatermark carry that role; cascade over window.end instead " +
         "(StreamOps/w25 pattern)")
     }
+    // signatures normalize the interval (MINUTE == MINUTES) but keep the
+    // time argument verbatim (case-folded)
+    def sig1(kind: String, arg: String, n: String, u: String) =
+      s"$kind(${arg.toLowerCase}, ${dur(n, u)})"
+    def sig2(kind: String, arg: String, n1: String, u1: String, n2: String, u2: String) =
+      s"$kind(${arg.toLowerCase}, ${dur(n1, u1)}, ${dur(n2, u2)})"
+    val winSigs =
+      TumbleRx.findAllMatchIn(sql).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))).toSet ++
+        HopRx.findAllMatchIn(sql).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))).toSet ++
+        SessionRx.findAllMatchIn(sql).map(m => sig1("session", m.group(1), m.group(2), m.group(3))).toSet
+    val auxSigs =
+      TumbleAuxRx.findAllMatchIn(sql).map(m => sig1("tumble", m.group(2), m.group(3), m.group(4))).toSet ++
+        HopAuxRx.findAllMatchIn(sql).map(m => sig2("hop", m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))).toSet ++
+        SessionAuxRx.findAllMatchIn(sql).map(m => sig1("session", m.group(2), m.group(3), m.group(4))).toSet
+    val orphans = auxSigs -- winSigs
+    require(orphans.isEmpty,
+      s"group-window auxiliary arguments ${orphans.mkString(", ")} match no " +
+        "group-window call in the statement — the auxiliary must repeat the " +
+        "GROUP BY window's exact arguments (Flink validates the same way)")
     var out = sql
     out = TumbleAuxRx.replaceAllIn(out, m => s"window.${m.group(1).toLowerCase}")
     out = HopAuxRx.replaceAllIn(out, m => s"window.${m.group(1).toLowerCase}")

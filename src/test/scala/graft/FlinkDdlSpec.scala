@@ -282,6 +282,17 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     val e = intercept[RuntimeException](GroupWindowSql.rewrite(
       "SELECT TUMBLE_ROWTIME(ts, INTERVAL '10' MINUTE) FROM gw_events"))
     assert(e.getMessage.contains("window.end"), e.getMessage)
+    // an auxiliary whose args mismatch the GROUP BY window is a named
+    // error (silently mapping it would return the wrong window's bound)
+    val e2 = intercept[IllegalArgumentException](GroupWindowSql.rewrite(
+      """SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) AS ws, count(*) AS n
+        |FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)""".stripMargin))
+    assert(e2.getMessage.contains("match no"), e2.getMessage)
+    // ...but MINUTE vs MINUTES across calls is the SAME window, not a mismatch
+    assert(GroupWindowSql.rewrite(
+      "SELECT TUMBLE_START(ts, INTERVAL '10' MINUTES) AS ws, count(*) AS n " +
+        "FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
+      .contains("window.start"))
     // end to end as pure SQL text on a parser-extended session: a
     // STREAMING DDL table + verbatim Flink windowed SQL
     val dir = Files.createTempDirectory("gw_stream").toFile
