@@ -112,6 +112,15 @@ sealed trait PipelineStage {
 trait Transformer extends PipelineStage {
   def transform(df: DataFrame): DataFrame
 }
+object PipelineStage {
+  implicit final class StageFileOps(private val s: PipelineStage) extends AnyVal {
+    /** Persist [[PipelineStage.toJson]] to a file through the Hadoop FS
+      * API — HDFS/S3 paths work on a real cluster, not just local files
+      * (convenience beyond the reference's string-only contract). */
+    def saveJson(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+      MlJson.writeFile(spark, path, s.toJson)
+  }
+}
 trait Model extends Transformer
 trait Estimator[+M <: Model] extends PipelineStage {
   def fit(df: DataFrame): M
@@ -150,6 +159,8 @@ object Pipeline {
     case p: Pipeline => p
     case other => sys.error(s"not a Pipeline JSON: ${other.getClass.getName}")
   }
+  def loadJsonFile(spark: org.apache.spark.sql.SparkSession, path: String): Pipeline =
+    loadJson(MlJson.readFile(spark, path))
 }
 
 final class PipelineModel(val stages: Vector[Transformer]) extends Model {
@@ -162,6 +173,8 @@ object PipelineModel {
     case p: PipelineModel => p
     case other => sys.error(s"not a PipelineModel JSON: ${other.getClass.getName}")
   }
+  def loadJsonFile(spark: org.apache.spark.sql.SparkSession, path: String): PipelineModel =
+    loadJson(MlJson.readFile(spark, path))
 }
 
 /** Per-dimension standardization over an `array<double>` column. */
@@ -291,6 +304,23 @@ object MlJson {
   }
 
   def loadStage(json: String): PipelineStage = fromJson(JsonMethods.parse(json))
+
+  private[ml] def writeFile(spark: org.apache.spark.sql.SparkSession,
+                            path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[ml] def readFile(spark: org.apache.spark.sql.SparkSession,
+                           path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+  }
 
   private def fromJson(j: JValue): PipelineStage = {
     val fields = j match {

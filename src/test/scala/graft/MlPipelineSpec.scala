@@ -148,6 +148,26 @@ class MlPipelineSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("JSON-serializable"))
   }
 
+  test("file persistence through the Hadoop FS API: save -> load -> " +
+       "bit-identical transform") {
+    import graft.ml.PipelineStage.StageFileOps
+    val pipe = new Pipeline()
+      .appendStage(new StandardScaler("embedding", "scaled"))
+      .appendStage(new KMeans("vec_id", "scaled", "cluster", k = 3, iters = 3))
+    val model = pipe.fit(embeddings)
+    val path = java.nio.file.Files.createTempDirectory("ml_save").toString + "/model.json"
+    model.saveJson(spark, path)
+    val back = PipelineModel.loadJsonFile(spark, path)
+    val a = model.transform(embeddings).select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toMap
+    val b = back.transform(embeddings).select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toMap
+    assert(a == b)
+    // the unfitted pipeline saves/loads through the same path
+    pipe.saveJson(spark, path) // overwrite
+    assert(Pipeline.loadJsonFile(spark, path).needFit)
+  }
+
   test("unknown stage class in JSON is a named error") {
     val e = intercept[RuntimeException](MlJson.loadStage(
       """{"stage":"com.example.NotAStage","params":{}}"""))
