@@ -51,10 +51,15 @@ import org.json4s.jackson.JsonMethods
   * exactly where the reference restricts to jackson-serializable ones. */
 final class Params private (private val m: Map[String, Any]) {
   def set[T](key: String, value: T): Params = new Params(m + (key -> value))
-  def get[T](key: String): T = m.getOrElse(key,
-    sys.error(s"param '$key' is not set and has no default")).asInstanceOf[T]
-  def getOrElse[T](key: String, default: => T): T =
-    m.getOrElse(key, default).asInstanceOf[T]
+  /** JSON cannot distinguish Int from Long, so a persisted integral param
+    * may come back in either width; `get` coerces between the two (range-
+    * checked) so `get[Long]`/`get[Int]` are stable across a
+    * toJson→fromJson round trip. No silent float↔integral coercion. */
+  def get[T](key: String)(implicit ct: scala.reflect.ClassTag[T]): T =
+    Params.coerce[T](key, m.getOrElse(key,
+      sys.error(s"param '$key' is not set and has no default")))
+  def getOrElse[T](key: String, default: => T)(implicit ct: scala.reflect.ClassTag[T]): T =
+    m.get(key).map(Params.coerce[T](key, _)).getOrElse(default)
   def contains(key: String): Boolean = m.contains(key)
   def size: Int = m.size
   def isEmpty: Boolean = m.isEmpty
@@ -67,7 +72,7 @@ final class Params private (private val m: Map[String, Any]) {
       case b: Boolean => JBool(b)
       case i: Int => JInt(i)
       case l: Long => JInt(l)
-      case d: Double => JDouble(d)
+      case d: Double => MlJson.finite(d)
       case xs: Seq[_] => JArray(xs.map(j).toList)
       case other => sys.error(s"param value ${other.getClass.getName} is not " +
         "JSON-serializable (string/boolean/numeric/seq are)")
@@ -83,6 +88,21 @@ final class Params private (private val m: Map[String, Any]) {
 }
 object Params {
   val empty: Params = new Params(Map.empty)
+  /** Integral-width coercion for [[Params.get]]: a stored Int satisfies
+    * `get[Long]` and a stored Long satisfies `get[Int]` iff it fits. */
+  private[ml] def coerce[T](key: String, raw: Any)(
+      implicit ct: scala.reflect.ClassTag[T]): T = {
+    val want = ct.runtimeClass
+    val out: Any = raw match {
+      case i: Int if want == classOf[Long] || want == classOf[java.lang.Long] =>
+        i.toLong
+      case l: Long if want == classOf[Int] || want == classOf[java.lang.Integer] =>
+        if (l.isValidInt) l.toInt
+        else sys.error(s"param '$key' holds Long $l which does not fit in Int")
+      case other => other
+    }
+    out.asInstanceOf[T]
+  }
   def fromJson(json: String): Params = {
     def v(x: JValue): Any = x match {
       case JString(s) => s
@@ -228,8 +248,10 @@ final class KMeansModel(val featuresCol: String, val predictionCol: String,
     val dists = org.apache.spark.sql.functions.transform(cmat, c =>
       aggregate(zip_with(feat, c, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v))
+    // coalesce keeps the documented -1 fallback on null features (the
+    // array_position path alone would yield NULL, changing `pred >= 0` filters)
     df.withColumn(predictionCol,
-      (array_position(dists, array_min(dists)) - 1).cast("int"))
+      coalesce((array_position(dists, array_min(dists)) - 1).cast("int"), lit(-1)))
   }
 }
 
@@ -272,7 +294,14 @@ final class MultivariateGaussian(val inputCol: String, val outputCol: String,
   * emits the shortest uniquely-parsing decimal), so a reloaded model's
   * transform output is bit-identical to the original's. */
 object MlJson {
-  private def darr(a: Array[Double]): JArray = JArray(a.map(JDouble(_)).toList)
+  /** Reject non-finite doubles AT SAVE TIME with a named error — json4s
+    * renders NaN/Infinity as bare tokens, which is invalid JSON that only
+    * fails later, as a parse error inside loadStage. */
+  private[ml] def finite(d: Double): JDouble =
+    if (java.lang.Double.isFinite(d)) JDouble(d)
+    else sys.error(s"non-finite double $d is not JSON-serializable — " +
+      "refusing at save time (it would render as invalid JSON and fail at load)")
+  private def darr(a: Array[Double]): JArray = JArray(a.map(finite).toList)
   private def dmat(m: Array[Array[Double]]): JArray = JArray(m.map(darr).toList)
 
   def stageJson(s: PipelineStage): JValue = {

@@ -621,26 +621,36 @@ object Iterate {
     * vertex set (one row per group, isolated or not).
     *
     * Scale shape: the group table (one row per distinct vertex value) is
-    * aggregated once and — while it fits under the GUARDED threshold —
-    * broadcast into the id→representative mapping (high-cardinality
-    * grouping values can make it near-|V|, where a hard hint would throw
-    * past maxBroadcastTableBytes; above the threshold the join shuffles
-    * and AQE still broadcasts at runtime when the side actually fits);
-    * edges then take two keyed equi-joins (shuffle on vertex id, the
-    * natural edge partitioning) and one hash aggregate on (srcRep,
-    * dstRep, value). No iteration, no cartesian, no window. */
+    * aggregated once and — while its PLAN-TIME size estimate fits under
+    * the GUARDED threshold — broadcast into the id→representative mapping
+    * (high-cardinality grouping values can make it near-|V|, where a hard
+    * hint would throw past maxBroadcastTableBytes; above the threshold
+    * the join shuffles and AQE still broadcasts at runtime when the side
+    * actually fits). The guard reads Catalyst's statistics instead of
+    * running a driver-side count: the count was a whole extra job that
+    * doubled small-graph wall time, while the estimate is free and errs
+    * toward the safe side (it upper-bounds by the vertex scan, so a huge
+    * vertex table with few groups plans the shuffle and lets AQE
+    * broadcast the actually-tiny aggregate at runtime). Edges then take
+    * two keyed equi-joins (shuffle on vertex id, the natural edge
+    * partitioning) and one hash aggregate on (srcRep, dstRep, value) —
+    * the broadcast exchange of the group table is REUSED across both
+    * joins, so nothing is persisted and nothing leaks into the cache.
+    * No iteration, no cartesian, no window.
+    *
+    * @param broadcastGroupThreshold max ESTIMATED bytes (plan statistics)
+    *   of the group aggregate for which a hard broadcast hint is planned */
   def summarization(vertices: DataFrame, idCol: String, valCol: String,
                     edges: DataFrame, srcCol: String, dstCol: String,
                     evCol: String,
                     broadcastGroupThreshold: Long = 10000000L): DataFrame = {
     val v = vertices.select(col(idCol).cast("long").as("id"), col(valCol).as("vv"))
       .distinct()
-    // one row per group: representative + size. Persisted because the
-    // guarding count AND the mapping join both read it.
+    // one row per group: representative + size
     val groups = v.groupBy("vv").agg(min(col("id")).as("rep"), count(lit(1)).as("gsize"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = groups.queryExecution.optimizedPlan.stats.sizeInBytes
     val groupsSide =
-      if (groups.count() <= broadcastGroupThreshold) broadcast(groups) else groups
+      if (est <= broadcastGroupThreshold) broadcast(groups) else groups
     val mapping = v.join(groupsSide, Seq("vv"))
       .select(col("id"), col("rep"), col("vv"), col("gsize"))
     val e = edges.select(col(srcCol).cast("long").as("es"),

@@ -123,8 +123,19 @@ object FlinkDdl {
     new java.util.concurrent.ConcurrentHashMap[(String, String), (StructType, Map[String, String], String)]()
   private val sessionIds = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
-  private def declKey(spark: SparkSession, name: String): (String, String) =
+  private def declKey(spark: SparkSession, name: String): (String, String) = {
+    sweepDead()
     (sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString), name)
+  }
+
+  /** Evict `declared` entries whose session UUID no longer appears in the
+    * weak session map — the WeakHashMap entry dies with the GC'd session,
+    * but the ConcurrentHashMap rows it keyed would otherwise accumulate
+    * forever in long-lived multi-session processes. The predicate reads
+    * the live map per entry (tiny registries), so an entry registered
+    * concurrently for a just-created session is never swept. */
+  private def sweepDead(): Unit =
+    declared.keySet.removeIf(k => !sessionIds.containsValue(k._1))
 
   /** A Flink DDL statement = CREATE TABLE whose trailing options block is
     * the Flink-specific `WITH ('key' = 'value', …)` quoted-key form. */

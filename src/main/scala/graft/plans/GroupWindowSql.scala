@@ -1,10 +1,12 @@
 package graft.plans
 
+import scala.util.matching.Regex
+
 /** Flink SQL GROUP-WINDOW spellings → Spark's window functions, as a pure
   * text rewrite (reference flink-table/flink-table-planner-blink/.../
   * functions/sql/FlinkSqlOperatorTable.java TUMBLE/HOP/SESSION +
-  * auxiliary _START/_END group-window operators; the grammar half lives in
-  * the calcite extension). The most common Flink SQL idiom —
+  * auxiliary _START/_END/_ROWTIME group-window operators; the grammar half
+  * lives in the calcite extension). The most common Flink SQL idiom —
   * {{{ SELECT TUMBLE_START(ts, INTERVAL '10' MINUTE), count(*)
   *     FROM t GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE) }}}
   * — runs VERBATIM through `spark.sql` once rewritten:
@@ -15,15 +17,27 @@ package graft.plans
   *  - `SESSION(ts, INTERVAL 'gap' unit)`    → `session_window(ts, 'gap unit')`
   *  - `TUMBLE_START/_END`, `HOP_START/_END` → `window.start` / `window.end`
   *  - `SESSION_START/_END`                  → `session_window.start` / `.end`
+  *  - `TUMBLE_ROWTIME`/`HOP_ROWTIME`        → `window.end - INTERVAL '0.001' SECOND`
+  *    `SESSION_ROWTIME`                     → same over `session_window`
+  *    (the reference's rowtime auxiliary IS end − 1 ms — a time attribute
+  *    inside the window, so an ENCLOSING group window over it assigns each
+  *    inner window to the right outer bucket: the cascading-windows idiom
+  *    runs from pure Flink text. On a stream re-attach the watermark with
+  *    `withWatermark` on the derived column; Spark ≥3.4 chains the
+  *    stateful windows.)
   *
   * The rewrite applies on batch AND streaming frames exactly as Spark's
   * own window functions do (a GROUP BY window(...) exposes the `window`
   * struct to the SELECT list — same scoping as Flink's auxiliary
-  * functions). The `_ROWTIME`/`_PROCTIME` auxiliaries are NAMED
-  * rejections: they re-export a time ATTRIBUTE for further windowing
-  * (end − 1ms, a planner-internal notion); in Spark the event-time column
-  * + `withWatermark` carry that role — cascade windows over `window.end`
-  * instead (the engine's w25 pattern). */
+  * functions). The `_PROCTIME` auxiliaries remain NAMED rejections:
+  * processing time has no deterministic value to re-export.
+  *
+  * Matches that START inside a single-quoted string literal are left
+  * untouched (the interval quotes INSIDE a match are part of the match
+  * itself, so they never mask it). Auxiliary-vs-GROUP-BY validation
+  * normalizes the time argument to its last identifier segment, so
+  * `TUMBLE_START(t.ts, …)` matches `GROUP BY TUMBLE(ts, …)` exactly as
+  * Flink's semantic validator resolves both to the same column. */
 object GroupWindowSql {
 
   private val Unit = """(?:SECOND|MINUTE|HOUR|DAY)S?"""
@@ -37,11 +51,39 @@ object GroupWindowSql {
   private val HopAuxRx = s"""(?i)\\bHOP_(START|END)\\s*\\(\\s*$Arg\\s*,\\s*$Iv\\s*,\\s*$Iv\\s*\\)""".r
   private val SessionRx = s"""(?i)\\bSESSION\\s*\\(\\s*$Arg\\s*,\\s*$Iv\\s*\\)""".r
   private val SessionAuxRx = s"""(?i)\\bSESSION_(START|END)\\s*\\(\\s*$Arg\\s*,\\s*$Iv\\s*\\)""".r
-  private val TimeAttrRx =
-    """(?i)\b(TUMBLE|HOP|SESSION)_(ROWTIME|PROCTIME)\s*\(""".r
+  private val TumbleRowtimeRx = s"""(?i)\\bTUMBLE_ROWTIME\\s*\\(\\s*$Arg\\s*,\\s*$Iv\\s*\\)""".r
+  private val HopRowtimeRx = s"""(?i)\\bHOP_ROWTIME\\s*\\(\\s*$Arg\\s*,\\s*$Iv\\s*,\\s*$Iv\\s*\\)""".r
+  private val SessionRowtimeRx = s"""(?i)\\bSESSION_ROWTIME\\s*\\(\\s*$Arg\\s*,\\s*$Iv\\s*\\)""".r
+  private val ProctimeRx = """(?i)\b(TUMBLE|HOP|SESSION)_PROCTIME\s*\(""".r
 
   private def dur(n: String, unit: String): String =
     s"$n ${unit.toLowerCase.stripSuffix("s")}s"
+
+  /** position → inside a single-quoted SQL string literal ('' escapes). */
+  private def literalMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var i = 0; var in = false
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        if (in && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          mask(i) = true; mask(i + 1) = true; i += 2
+        } else { mask(i) = true; in = !in; i += 1 }
+      } else { mask(i) = in; i += 1 }
+    }
+    mask
+  }
+
+  private def matchesOutside(rx: Regex, s: String): List[Regex.Match] = {
+    val mask = literalMask(s)
+    rx.findAllMatchIn(s).filterNot(m => mask(m.start)).toList
+  }
+
+  /** replaceAllIn, skipping matches that start inside a string literal. */
+  private def replaceOutside(rx: Regex, s: String)(f: Regex.Match => String): String = {
+    val mask = literalMask(s)
+    rx.replaceAllIn(s, m =>
+      Regex.quoteReplacement(if (mask(m.start)) m.matched else f(m)))
+  }
 
   /** Rewrite every group-window spelling in `sql`; text without them
     * passes through byte-identical. An auxiliary whose arguments do not
@@ -50,41 +92,48 @@ object GroupWindowSql {
     * silent mismatch would return the wrong window's bound (Flink's
     * validator rejects the same mismatch). */
   def rewrite(sql: String): String = {
-    TimeAttrRx.findFirstMatchIn(sql).foreach { m =>
-      sys.error(s"${m.group(1)}_${m.group(2)}() re-exports a time ATTRIBUTE " +
-        "for further windowing — in Spark the event-time column + " +
-        "withWatermark carry that role; cascade over window.end instead " +
-        "(StreamOps/w25 pattern)")
+    matchesOutside(ProctimeRx, sql).headOption.foreach { m =>
+      sys.error(s"${m.group(1)}_PROCTIME() re-exports a PROCESSING-time " +
+        "attribute, which has no deterministic value — use the rowtime " +
+        "auxiliary (mapped to window.end - 1ms) or an explicit timestamp")
     }
-    // signatures normalize the interval (MINUTE == MINUTES) but keep the
-    // time argument verbatim (case-folded)
+    // signatures normalize the interval (MINUTE == MINUTES) and the time
+    // argument to its last identifier segment (t.ts == ts — Flink's
+    // validator resolves both to the same column)
+    def argOf(a: String) = a.toLowerCase.split('.').last
     def sig1(kind: String, arg: String, n: String, u: String) =
-      s"$kind(${arg.toLowerCase}, ${dur(n, u)})"
+      s"$kind(${argOf(arg)}, ${dur(n, u)})"
     def sig2(kind: String, arg: String, n1: String, u1: String, n2: String, u2: String) =
-      s"$kind(${arg.toLowerCase}, ${dur(n1, u1)}, ${dur(n2, u2)})"
+      s"$kind(${argOf(arg)}, ${dur(n1, u1)}, ${dur(n2, u2)})"
     val winSigs =
-      TumbleRx.findAllMatchIn(sql).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))).toSet ++
-        HopRx.findAllMatchIn(sql).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))).toSet ++
-        SessionRx.findAllMatchIn(sql).map(m => sig1("session", m.group(1), m.group(2), m.group(3))).toSet
+      matchesOutside(TumbleRx, sql).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))).toSet ++
+        matchesOutside(HopRx, sql).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))).toSet ++
+        matchesOutside(SessionRx, sql).map(m => sig1("session", m.group(1), m.group(2), m.group(3))).toSet
     val auxSigs =
-      TumbleAuxRx.findAllMatchIn(sql).map(m => sig1("tumble", m.group(2), m.group(3), m.group(4))).toSet ++
-        HopAuxRx.findAllMatchIn(sql).map(m => sig2("hop", m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))).toSet ++
-        SessionAuxRx.findAllMatchIn(sql).map(m => sig1("session", m.group(2), m.group(3), m.group(4))).toSet
+      matchesOutside(TumbleAuxRx, sql).map(m => sig1("tumble", m.group(2), m.group(3), m.group(4))).toSet ++
+        matchesOutside(HopAuxRx, sql).map(m => sig2("hop", m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))).toSet ++
+        matchesOutside(SessionAuxRx, sql).map(m => sig1("session", m.group(2), m.group(3), m.group(4))).toSet ++
+        matchesOutside(TumbleRowtimeRx, sql).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))).toSet ++
+        matchesOutside(HopRowtimeRx, sql).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))).toSet ++
+        matchesOutside(SessionRowtimeRx, sql).map(m => sig1("session", m.group(1), m.group(2), m.group(3))).toSet
     val orphans = auxSigs -- winSigs
     require(orphans.isEmpty,
       s"group-window auxiliary arguments ${orphans.mkString(", ")} match no " +
         "group-window call in the statement — the auxiliary must repeat the " +
         "GROUP BY window's exact arguments (Flink validates the same way)")
     var out = sql
-    out = TumbleAuxRx.replaceAllIn(out, m => s"window.${m.group(1).toLowerCase}")
-    out = HopAuxRx.replaceAllIn(out, m => s"window.${m.group(1).toLowerCase}")
-    out = SessionAuxRx.replaceAllIn(out, m => s"session_window.${m.group(1).toLowerCase}")
-    out = TumbleRx.replaceAllIn(out, m =>
+    out = replaceOutside(TumbleRowtimeRx, out)(_ => "(window.end - INTERVAL '0.001' SECOND)")
+    out = replaceOutside(HopRowtimeRx, out)(_ => "(window.end - INTERVAL '0.001' SECOND)")
+    out = replaceOutside(SessionRowtimeRx, out)(_ => "(session_window.end - INTERVAL '0.001' SECOND)")
+    out = replaceOutside(TumbleAuxRx, out)(m => s"window.${m.group(1).toLowerCase}")
+    out = replaceOutside(HopAuxRx, out)(m => s"window.${m.group(1).toLowerCase}")
+    out = replaceOutside(SessionAuxRx, out)(m => s"session_window.${m.group(1).toLowerCase}")
+    out = replaceOutside(TumbleRx, out)(m =>
       s"window(${m.group(1)}, '${dur(m.group(2), m.group(3))}')")
     // Flink HOP args are (slide, size); Spark window args are (size, slide)
-    out = HopRx.replaceAllIn(out, m =>
+    out = replaceOutside(HopRx, out)(m =>
       s"window(${m.group(1)}, '${dur(m.group(4), m.group(5))}', '${dur(m.group(2), m.group(3))}')")
-    out = SessionRx.replaceAllIn(out, m =>
+    out = replaceOutside(SessionRx, out)(m =>
       s"session_window(${m.group(1)}, '${dur(m.group(2), m.group(3))}')")
     out
   }

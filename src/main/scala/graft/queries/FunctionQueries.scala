@@ -297,8 +297,40 @@ object FunctionQueries {
       |FROM events
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // --- f14: cascading group windows from PURE Flink SQL text — the
+  // TUMBLE_ROWTIME auxiliary (reference FlinkSqlOperatorTable
+  // TUMBLE_ROWTIME: re-exports window.end - 1ms as a time attribute) feeds
+  // an ENCLOSING hourly TUMBLE. GroupWindowSql rewrites the auxiliary to
+  // `window.end - INTERVAL '0.001' SECOND`; 10-minute windows are
+  // hour-aligned, so the cascade equals direct hourly bucketing — which is
+  // exactly what the oracle computes (the cascade is the ENGINE-side path
+  // under test; the oracle checks the composed result).
+  private val f14: Q = (s, dir) => {
+    Tables.load(s, dir, "events").createOrReplaceTempView("f14_events")
+    s.sql(graft.plans.GroupWindowSql.rewrite(
+      """SELECT user_id,
+        |       TUMBLE_START(rt, INTERVAL '1' HOUR) AS w_start,
+        |       sum(n) AS n,
+        |       CAST(CAST(sum(sv_scaled) AS BIGINT) AS DOUBLE) / 100 AS sv
+        |FROM (SELECT user_id,
+        |             TUMBLE_ROWTIME(ts, INTERVAL '10' MINUTE) AS rt,
+        |             count(*) AS n,
+        |             sum(CAST(round(value * 100) AS BIGINT)) AS sv_scaled
+        |      FROM f14_events
+        |      GROUP BY user_id, TUMBLE(ts, INTERVAL '10' MINUTE))
+        |GROUP BY user_id, TUMBLE(rt, INTERVAL '1' HOUR)""".stripMargin))
+  }
+  private val f14Sql =
+    """SELECT user_id,
+      |       make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 * 1000000 AS BIGINT)) AS w_start,
+      |       count(*) AS n,
+      |       CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100 AS sv
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "f13_flink_group_windows" -> f13,
+    "f14_cascading_group_windows" -> f14,
     "f01_math_funcs" -> f01, "f02_string_funcs2" -> f02, "f03_json_extract" -> f03,
     "f04_conditional_funcs" -> f04, "f05_hash_funcs" -> f05, "f06_temporal_funcs" -> f06,
     "f07_bitwise_funcs" -> f07, "f08_udagg_weighted_avg" -> f08,
@@ -310,5 +342,6 @@ object FunctionQueries {
     "f07_bitwise_funcs" -> f07Sql, "f08_udagg_weighted_avg" -> f08Sql,
     "f09_collection_funcs" -> f09Sql, "f10_table_agg" -> f10Sql,
     "f11_udtf" -> f11Sql, "f12_ddl_script" -> f12Sql,
-    "f13_flink_group_windows" -> f13Sql)
+    "f13_flink_group_windows" -> f13Sql,
+    "f14_cascading_group_windows" -> f14Sql)
 }

@@ -34,9 +34,14 @@ import org.apache.spark.sql.types._
   * unions + timestamp-micros logical (what the star schema needs), PLUS
   * nested records → struct, arrays → array, and string-keyed maps → map,
   * recursively — the same nested shapes the reference's
-  * AvroRowDeserializationSchema.java `convertAvroType` handles. Unions of
-  * several non-null branches remain rejected loudly (as do fixed/enum —
-  * the reference maps those to types Spark has no analog for). */
+  * AvroRowDeserializationSchema.java `convertAvroType` handles — PLUS
+  * ENUM → string and FIXED → binary exactly as the reference decodes them
+  * (AvroRowDeserializationSchema.java:224 enum symbol → its string name,
+  * :259 fixed → its bytes). Both are READ-side widenings: the write path
+  * generates schemas from Spark types, which have no enum/fixed, so a
+  * round-tripped enum comes back as a plain string column (lossy by type,
+  * never by value). Unions of several non-null branches remain rejected
+  * loudly (no Spark analog). */
 object Avro {
 
   /** Avro schema → Spark schema. Fields may be primitive, nested record /
@@ -76,7 +81,9 @@ object Avro {
     case Schema.Type.MAP =>
       val (vt, n) = unwrap(s.getValueType)
       MapType(StringType, sparkType(vt), valueContainsNull = n)
-    case t => sys.error(s"unsupported avro type $t (fixed/enum/multi-branch " +
+    case Schema.Type.ENUM  => StringType // the symbol name, as the reference decodes
+    case Schema.Type.FIXED => BinaryType // the raw bytes, as the reference decodes
+    case t => sys.error(s"unsupported avro type $t (multi-branch " +
       "unions have no Spark analog)")
   }
 
@@ -151,7 +158,11 @@ object Avro {
   private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) =>
+      e.toString // enum → its symbol name (reference :224)
     case (s: CharSequence, StringType) => s.toString
+    case (f: org.apache.avro.generic.GenericFixed, BinaryType) =>
+      f.bytes().clone() // fixed → raw bytes (reference :259); clone — avro reuses buffers
     case (b: ByteBuffer, BinaryType) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
     case (micros: java.lang.Long, TimestampType) =>

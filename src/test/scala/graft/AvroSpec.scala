@@ -149,4 +149,54 @@ class AvroSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("schema mismatch") ||
       Option(e.getCause).exists(_.getMessage.contains("schema mismatch")), e.toString)
   }
+
+  test("ENUM decodes to its symbol name and FIXED to raw bytes " +
+       "(reference AvroRowDeserializationSchema.java:224,259)") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.generic.GenericData
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericDatumWriter, GenericRecord}
+    val schema: Schema = SchemaBuilder.record("ef").namespace("t").fields()
+      .requiredLong("id")
+      .name("color").`type`().enumeration("Color")
+        .symbols("RED", "GREEN", "BLUE").noDefault()
+      .name("digest").`type`().fixed("Digest").size(4).noDefault()
+      .name("maybe_color").`type`().unionOf().nullType().and()
+        .`type`("Color").endUnion().nullDefault()
+      .endRecord()
+    val dir = Files.createTempDirectory("graft_avro_ef").toFile
+    val f = new java.io.File(dir, "ef.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val colorSchema = schema.getField("color").schema()
+    val fixedSchema = schema.getField("digest").schema()
+    def rec(id: Long, color: String, bytes: Array[Byte], maybe: Option[String]) = {
+      val r = new GenericData.Record(schema)
+      r.put("id", id)
+      r.put("color", new GenericData.EnumSymbol(colorSchema, color))
+      r.put("digest", new GenericData.Fixed(fixedSchema, bytes))
+      r.put("maybe_color", maybe.map(new GenericData.EnumSymbol(colorSchema, _)).orNull)
+      r
+    }
+    w.append(rec(1L, "RED", Array[Byte](1, 2, 3, 4), Some("BLUE")))
+    w.append(rec(2L, "GREEN", Array[Byte](9, 8, 7, 6), None))
+    w.close()
+    val df = Avro.read(spark, dir.getAbsolutePath)
+    val st = df.schema
+    assert(st("color").dataType == org.apache.spark.sql.types.StringType)
+    assert(st("digest").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(st("maybe_color").dataType == org.apache.spark.sql.types.StringType &&
+      st("maybe_color").nullable)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("RED", "GREEN"))
+    assert(rows.map(_.getAs[Array[Byte]](2).toSeq).toSeq ==
+      Seq(Seq[Byte](1, 2, 3, 4), Seq[Byte](9, 8, 7, 6)))
+    assert(rows.map(r => Option(r.getString(3))).toSeq == Seq(Some("BLUE"), None))
+    // SQL over the decoded frame — the whole point of the widening
+    df.createOrReplaceTempView("avro_ef")
+    val n = spark.sql(
+      "SELECT count(*) FROM avro_ef WHERE color = 'RED' AND hex(digest) = '01020304'")
+      .head().getLong(0)
+    assert(n == 1L)
+  }
 }

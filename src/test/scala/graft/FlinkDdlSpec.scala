@@ -278,10 +278,35 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     assert(sess == Set(
       (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L),
       (java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), 1L)), sess.toString)
-    // the time-attribute auxiliaries are NAMED rejections
+    // TUMBLE_ROWTIME → window.end - 1ms: the cascading-windows idiom from
+    // pure Flink text (inner 5-min tumble re-windowed into 10-min buckets
+    // must equal a direct 10-min tumble count)
+    val cascaded = spark.sql(GroupWindowSql.rewrite(
+      """SELECT TUMBLE_START(rt, INTERVAL '10' MINUTE) AS ws, sum(n) AS n
+        |FROM (SELECT TUMBLE_ROWTIME(ts, INTERVAL '5' MINUTE) AS rt, count(*) AS n
+        |      FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE))
+        |GROUP BY TUMBLE(rt, INTERVAL '10' MINUTE)""".stripMargin))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val direct = df.groupBy(window(col("ts"), "10 minutes")).count()
+      .select(col("window.start"), col("count"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(cascaded == direct && cascaded.size == 2, s"$cascaded != $direct")
+    // _PROCTIME stays a NAMED rejection (no deterministic value to re-export)
     val e = intercept[RuntimeException](GroupWindowSql.rewrite(
-      "SELECT TUMBLE_ROWTIME(ts, INTERVAL '10' MINUTE) FROM gw_events"))
-    assert(e.getMessage.contains("window.end"), e.getMessage)
+      "SELECT TUMBLE_PROCTIME(ts, INTERVAL '10' MINUTE) FROM gw_events"))
+    assert(e.getMessage.contains("PROCESSING-time"), e.getMessage)
+    // a qualified auxiliary arg (t.ts) matches a bare GROUP BY arg (ts) —
+    // Flink's validator resolves both to the same column
+    assert(GroupWindowSql.rewrite(
+      "SELECT TUMBLE_START(t.ts, INTERVAL '10' MINUTE) AS ws, count(*) AS n " +
+        "FROM gw_events t GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
+      .contains("window.start"))
+    // group-window spellings INSIDE a string literal pass through untouched
+    val lit = GroupWindowSql.rewrite(
+      "SELECT 'use TUMBLE(ts, INTERVAL ''1'' MINUTE) here' AS hint, count(*) AS n " +
+        "FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
+    assert(lit.contains("'use TUMBLE(ts, INTERVAL ''1'' MINUTE) here'") &&
+      lit.contains("window(ts, '10 minutes')"), lit)
     // an auxiliary whose args mismatch the GROUP BY window is a named
     // error (silently mapping it would return the wrong window's bound)
     val e2 = intercept[IllegalArgumentException](GroupWindowSql.rewrite(

@@ -146,6 +146,39 @@ class MlPipelineSpec extends AnyFunSuite with SparkTest {
     val e = intercept[RuntimeException](
       Params.empty.set("bad", new Object).toJson)
     assert(e.getMessage.contains("JSON-serializable"))
+    // integral width is STABLE through the round trip: a Long param (even
+    // one that fits in Int) still satisfies get[Long] after fromJson, and a
+    // stored Int satisfies get[Long] (JSON can't tell the widths apart, so
+    // get coerces range-checked)
+    val lp = Params.empty.set("n", 7L).set("big", 1L << 40)
+    val lback = Params.fromJson(lp.toJson)
+    assert(lback.get[Long]("n") == 7L && lback.get[Long]("big") == (1L << 40))
+    assert(lback.get[Int]("n") == 7)
+    val eo = intercept[RuntimeException](lback.get[Int]("big"))
+    assert(eo.getMessage.contains("does not fit"), eo.getMessage)
+    // non-finite doubles are rejected AT SAVE with a named error (they
+    // would render as invalid JSON and only fail later, at load)
+    val en = intercept[RuntimeException](
+      Params.empty.set("x", Double.NaN).toJson)
+    assert(en.getMessage.contains("non-finite"), en.getMessage)
+    val ei = intercept[RuntimeException](MlJson.stageJson(
+      new StandardScalerModel("a", "b", Array(1.0, Double.PositiveInfinity), Array(1.0, 1.0))))
+    assert(ei.getMessage.contains("non-finite"), ei.getMessage)
+  }
+
+  test("KMeansModel: null features score the documented -1 fallback") {
+    val m = new KMeansModel("v", "pred", Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, Seq(9.0, 9.0)),
+        org.apache.spark.sql.Row(2L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+    val out = m.transform(df).select("id", "pred").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 1, 2L -> -1), out.toString)
   }
 
   test("file persistence through the Hadoop FS API: save -> load -> " +
