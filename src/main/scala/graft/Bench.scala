@@ -37,15 +37,22 @@ object Bench {
         catch { case e: Throwable =>
           failed = true; System.err.println(s"[bench] $name: $e")
         }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // rep ISOLATION (outside the measured span): each rep builds fresh
+        // frames, so rep N's persist()/localCheckpoint() blocks are dead
+        // weight during rep N+1 — clearCache() frees the cached frames, and
+        // unpersisting every registered RDD frees the localCheckpoint
+        // blocks, which clearCache does NOT touch and which otherwise wait
+        // for a GC cycle + ContextCleaner sweep (observed as rep-over-rep
+        // GROWTH on checkpoint-heavy queries: memory pressure, not code)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        t
       }
       // a crashed query must never publish a time: time-to-exception reads
       // as a speedup in round-over-round comparisons (r9 post-mortem)
       val cleanTimes = if (failed) Seq.empty[Double] else times
-      // release any persist() the query builder issued (d02/d04/s02 cache
-      // intermediate projections): without this the entries accumulate in
-      // executor memory across the 150+ query × reps suite
-      spark.catalog.clearCache()
       name -> cleanTimes
     }
     // 3-dp per-query times keep the JSON line compact enough to survive
