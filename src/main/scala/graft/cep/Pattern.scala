@@ -38,7 +38,10 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       groupRows: Boolean = false,
                       tieCols: Seq[String] = Nil,
                       innerGroup: Seq[(String, Column)] = Nil,
-                      minRun: Int = 1)
+                      minRun: Int = 1,
+                      anyBranch: Boolean = false,
+                      combinations: Boolean = false,
+                      maxComb: Int = 20)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,
@@ -47,6 +50,64 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def followedBy(name: String, pred: Column): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
     new Pattern(steps :+ Step(name, pred), notStep, windowMs, skipPastLast, skipTo)
+  }
+
+  /** ALL-MATCHES branching — flink-cep `followedByAny()` (reference
+    * flink-libraries/flink-cep/.../pattern/Pattern.java:322: relaxed
+    * contiguity where EVERY in-window candidate forks a match branch, not
+    * just the first — `a b1 b2` matches `(a,b1)` AND `(a,b2)`).
+    *
+    * This is the one reference combinator that steps OUTSIDE the engine's
+    * one-deterministic-match-per-start convention, so it is an explicit
+    * OPT-IN with its own compile path: a pattern using it must use it for
+    * EVERY step after `begin` (mixed first-match/all-match branching is a
+    * named rejection — the NFA interleaving has no declarative analog),
+    * and [[detect]] then emits EVERY strictly-time-increasing chain
+    * `a.ts < s1.ts < … < sn.ts ≤ a.ts + window` — a chain of keyed
+    * interval joins, one per step: no NFA, no per-event state, output
+    * bounded by the true match count (which is the combinatorial object
+    * the user asked for). AfterMatchSkip/notFollowedBy do not compose
+    * (they exist to PICK matches; this mode emits all of them). */
+  def followedByAny(name: String, pred: Column): Pattern = {
+    require(notStep.isEmpty, "followedByAny does not compose with notFollowedBy")
+    require(steps.nonEmpty, "followedByAny() follows a begin step")
+    require(steps.tail.forall(_.anyBranch),
+      "followedByAny cannot mix with first-match steps — every step after " +
+        "begin must be followedByAny (the all-branches NFA interleaving " +
+        "has no deterministic declarative analog)")
+    new Pattern(steps :+ Step(name, pred, anyBranch = true), notStep,
+      windowMs, skipPastLast, skipTo)
+  }
+
+  /** ALL-COMBINATIONS runs — flink-cep `oneOrMore().allowCombinations()`
+    * (reference Pattern.java:441: the looping state forks on every
+    * candidate, so a run over members `b1 b2 b3` emits EVERY non-empty
+    * ordered subset — `{b1}`, `{b1,b2}`, `{b1,b3}`, `{b1,b2,b3}`, …).
+    * Opt-in, like [[followedByAny]]: the pattern must be exactly
+    * `begin(A).followedBy(B).oneOrMore().allowCombinations().within(w)`
+    * (the reference's canonical shape; tails/groups are named
+    * rejections). [[detect]] then emits one row per (start, subset) with
+    * the run columns `<name>_n`/`<name>_first_ts`/`<name>_last_ts`.
+    *
+    * The 2^m − 1 subsets per start are the SEMANTICS, not an
+    * implementation artifact — the reference NFA materializes the same
+    * branches. The lowering is declarative (collect the ≤window member
+    * list per start, explode a bitmask sequence, filter by bit) and
+    * refuses loudly past `maxCombinationMembers` (default 20 ≈ 10⁶
+    * subsets per start) rather than letting a hot key detonate the
+    * cluster — the reference has no such guard and simply blows up. */
+  def allowCombinations(maxCombinationMembers: Int = 20): Pattern = {
+    require(steps.size == 2 && steps.last.oneOrMore &&
+      steps.last.group.isEmpty && !steps.last.opt && !steps.last.consec &&
+      steps.last.keep.isEmpty && steps.last.until.isEmpty &&
+      steps.last.alts.isEmpty && steps.last.minRun == 1,
+      "allowCombinations() requires the two-step begin(A) -> " +
+        "followedBy(B).oneOrMore() shape (plain run: no zeroOrMore/" +
+        "consecutive/bindRun/until/alternation/timesOrMore)")
+    require(maxCombinationMembers >= 1 && maxCombinationMembers <= 30,
+      s"maxCombinationMembers must be in [1, 30] (got $maxCombinationMembers)")
+    new Pattern(steps.init :+ steps.last.copy(combinations = true,
+      maxComb = maxCombinationMembers), notStep, windowMs, skipPastLast, skipTo)
   }
 
   /** flink-cep iterative condition (reference flink-libraries/flink-cep/src/
@@ -638,8 +699,84 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   /** Compile to a DataFrame of matches: one row per match, one `<name>_ts`
     * column per binding (suffixed `_1.._n` for quantified steps;
     * `_first_ts`/`_last_ts`/`_n` for oneOrMore runs). */
+  /** The ALL-MATCHES compile path behind [[followedByAny]] /
+    * [[allowCombinations]]: every match branch the reference NFA would
+    * fork, as declarative plans.
+    *
+    *  - followedByAny chains: one keyed interval join per step — the join
+    *    output IS the set of strictly-increasing in-window chains. No
+    *    min-aggregation (that is what picks ONE match), no NFA, no state.
+    *  - allowCombinations runs: the ≤window member list is collected per
+    *    start (bounded by the window), a bitmask sequence exploded, and
+    *    each subset filtered out of the list by bit — 2^m − 1 rows per
+    *    start because that is the semantics the user opted into, guarded
+    *    by a named error past `maxComb` members.
+    *
+    * Both are parallel in the key space and shuffle only on the key —
+    * the same scale shape as [[detect]]'s first-match joins. */
+  private def detectAllMatches(events: DataFrame, key: Column, ts: Column): DataFrame = {
+    require(windowMs.nonEmpty, "call within(...) before detect")
+    require(notStep.isEmpty && !skipPastLast && skipTo.isEmpty,
+      "all-matches mode emits EVERY match — notFollowedBy / after-match " +
+        "skip strategies exist to pick among matches and do not compose")
+    val win = expr(s"INTERVAL ${windowMs.get} MILLISECONDS")
+    val first = steps.head
+    val startTs = s"${first.name}_ts"
+    val anchors = events.filter(first.pred)
+      .select((key.as("__k") +: ts.as(startTs) +:
+        first.keep.map(c => col(c).as(s"${first.name}_$c"))): _*)
+    if (steps.last.combinations) {
+      val b = steps.last
+      val members = events.filter(b.pred).select(key.as("__k2"), ts.as("__mts"))
+      val kept = anchors.columns.map(col)
+      val lists = anchors.join(members,
+          col("__k") === col("__k2") && col("__mts") > col(startTs) &&
+            col("__mts") <= col(startTs) + win)
+        .groupBy(kept.toIndexedSeq: _*)
+        .agg(sort_array(collect_list(col("__mts"))).as("__ms"))
+        .withColumn("__m",
+          when(size(col("__ms")) > b.maxComb, raise_error(concat(
+            lit("allowCombinations: a start has "), size(col("__ms")).cast("string"),
+            lit(s" run members (max ${b.maxComb}) — 2^m subset branches; " +
+              "raise maxCombinationMembers (<= 30) or narrow the window"))))
+            .otherwise(size(col("__ms"))))
+      lists
+        .withColumn("__mask",
+          explode(expr("sequence(cast(1 as bigint), shiftleft(cast(1 as bigint), __m) - 1)")))
+        .withColumn("__sel", expr(
+          "filter(__ms, (x, i) -> ((__mask div shiftleft(cast(1 as bigint), i)) % 2) = 1)"))
+        .select((kept.toSeq :+ size(col("__sel")).cast("long").as(s"${b.name}_n") :+
+          element_at(col("__sel"), 1).as(s"${b.name}_first_ts") :+
+          element_at(col("__sel"), -1).as(s"${b.name}_last_ts")): _*)
+        .withColumnRenamed("__k", "key")
+    } else {
+      require(steps.tail.forall(s => s.anyBranch && !s.oneOrMore &&
+        s.reps == 1 && !s.opt && s.alts.isEmpty && !s.strict &&
+        s.group.isEmpty && s.iter.isEmpty && s.runOn.isEmpty &&
+        s.until.isEmpty && s.optTail == 0),
+        "followedByAny chains compose only with plain followedByAny steps " +
+          "(quantifiers/alternation/groups/iterative conditions are " +
+          "first-match machinery)")
+      var out = anchors
+      var prevTs: Column = col(startTs)
+      steps.tail.foreach { s =>
+        val cand = events.filter(s.pred)
+          .select((key.as("__k2") +: ts.as(s"${s.name}_ts") +:
+            s.keep.map(c => col(c).as(s"${s.name}_$c"))): _*)
+        out = out.join(cand,
+            col("__k") === col("__k2") && col(s"${s.name}_ts") > prevTs &&
+              col(s"${s.name}_ts") <= col(startTs) + win)
+          .drop("__k2")
+        prevTs = col(s"${s.name}_ts")
+      }
+      out.withColumnRenamed("__k", "key")
+    }
+  }
+
   def detect(events: DataFrame, key: Column, ts: Column): DataFrame = {
     require(windowMs.nonEmpty, "call within(...) before detect")
+    if (steps.exists(s => s.anyBranch || s.combinations))
+      return detectAllMatches(events, key, ts)
     require(notStep.isEmpty || !steps.exists(_.oneOrMore),
       "oneOrMore() with a terminal notFollowedBy is not supported")
     // exact millisecond interval: integer-dividing into whole seconds would

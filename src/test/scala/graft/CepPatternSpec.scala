@@ -1993,4 +1993,92 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     val p3 = df3.queryExecution.executedPlan.toString
     assert(!p3.contains("CartesianProduct") && !p3.contains("BroadcastNestedLoopJoin"), p3)
   }
+
+  test("followedByAny emits EVERY in-window chain (flink-cep Pattern.java:322) " +
+       "— brute-force property reference") {
+    val evs = Seq(
+      (1L, at(0), "a"), (1L, at(5), "b"), (1L, at(10), "b"), (1L, at(12), "c"),
+      (1L, at(20), "c"), (1L, at(70), "c"), // 70 outside the 1h window of a@0? no: 70min > 60min — out
+      (2L, at(0), "a"), (2L, at(3), "a"), (2L, at(8), "b"), (2L, at(9), "c"),
+      (3L, at(0), "b"), (3L, at(4), "c") // no anchor: no match
+    ).toDF("user_id", "ts", "event_type")
+    val got = Pattern.begin("a", $"event_type" === "a")
+      .followedByAny("b", $"event_type" === "b")
+      .followedByAny("c", $"event_type" === "c")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select("key", "a_ts", "b_ts", "c_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getTimestamp(3))).toSet
+    // brute force: every (a, b, c) with a.ts < b.ts < c.ts <= a.ts + window
+    val raw = Seq(
+      (1L, 0L, "a"), (1L, 5L, "b"), (1L, 10L, "b"), (1L, 12L, "c"),
+      (1L, 20L, "c"), (1L, 70L, "c"),
+      (2L, 0L, "a"), (2L, 3L, "a"), (2L, 8L, "b"), (2L, 9L, "c"),
+      (3L, 0L, "b"), (3L, 4L, "c"))
+    val want = (for {
+      (k1, t1, "a") <- raw
+      (k2, t2, "b") <- raw if k2 == k1 && t2 > t1 && t2 <= t1 + 60
+      (k3, t3, "c") <- raw if k3 == k1 && t3 > t2 && t3 <= t1 + 60
+    } yield (k1, at(t1), at(t2), at(t3))).toSet
+    assert(got == want && want.size == 6, s"got $got\nwant $want")
+    // mixing first-match and all-match branching is a named rejection
+    val e = intercept[IllegalArgumentException](
+      Pattern.begin("a", $"event_type" === "a")
+        .followedBy("b", $"event_type" === "b")
+        .followedByAny("c", $"event_type" === "c"))
+    assert(e.getMessage.contains("cannot mix"), e.getMessage)
+    // so is composing with notFollowedBy / after-match skip
+    val e2 = intercept[IllegalArgumentException](
+      Pattern.begin("a", $"event_type" === "a")
+        .followedByAny("b", $"event_type" === "b")
+        .afterMatchSkipPastLastEvent()
+        .within(HOUR).detect(evs, $"user_id", $"ts"))
+    assert(e2.getMessage.contains("all-matches"), e2.getMessage)
+  }
+
+  test("oneOrMore().allowCombinations() emits every ordered member subset " +
+       "(flink-cep Pattern.java:441) — brute-force property reference") {
+    val evs = Seq(
+      (1L, at(0), "a"), (1L, at(5), "b"), (1L, at(10), "b"), (1L, at(15), "b"),
+      (1L, at(70), "b"), // outside the window of a@0
+      (2L, at(0), "a"), (2L, at(2), "b"),
+      (3L, at(0), "a") // no members: no match (oneOrMore)
+    ).toDF("user_id", "ts", "event_type")
+    val got = Pattern.begin("a", $"event_type" === "a")
+      .followedBy("b", $"event_type" === "b").oneOrMore()
+      .allowCombinations()
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select("key", "a_ts", "b_n", "b_first_ts", "b_last_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    // brute force: every non-empty subset of the in-window members
+    def subsets(ms: Seq[Long]): Seq[Seq[Long]] =
+      (1 to ms.size).flatMap(k => ms.combinations(k).toSeq)
+    val want = (subsets(Seq(5L, 10L, 15L)).map(s =>
+        (1L, at(0), s.size.toLong, at(s.head), at(s.last))) ++
+      subsets(Seq(2L)).map(s => (2L, at(0), s.size.toLong, at(s.head), at(s.last))))
+      .toSet
+    assert(got == want, s"got $got\nwant $want")
+    // user 1: 2^3 - 1 = 7 subsets, but (n, first, last) collapses
+    // {5,15} and {5,10,15}? no — n differs; all 7 are distinct tuples
+    assert(got.count(_._1 == 1L) == 7 && got.count(_._1 == 2L) == 1)
+    // the member cap is a NAMED error, not an OOM
+    val e = intercept[Exception](
+      Pattern.begin("a", $"event_type" === "a")
+        .followedBy("b", $"event_type" === "b").oneOrMore()
+        .allowCombinations(maxCombinationMembers = 2)
+        .within(HOUR)
+        .detect(evs, $"user_id", $"ts").collect())
+    assert(e.getMessage != null && (e.getMessage.contains("allowCombinations") ||
+      Option(e.getCause).exists(_.getMessage.contains("allowCombinations"))), e.toString)
+    // only the canonical two-step shape composes
+    val e3 = intercept[IllegalArgumentException](
+      Pattern.begin("a", $"event_type" === "a")
+        .followedBy("b", $"event_type" === "b")
+        .followedBy("c", $"event_type" === "c").oneOrMore()
+        .allowCombinations())
+    assert(e3.getMessage.contains("two-step"), e3.getMessage)
+  }
 }
