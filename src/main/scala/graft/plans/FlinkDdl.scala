@@ -184,6 +184,48 @@ object FlinkDdl {
     name
   }
 
+  /** The reference's JDBC LOOKUP JOIN from DDL text (flink-connectors/
+    * flink-jdbc `JDBCTableSource#getLookupFunction` → `JDBCLookupFunction`:
+    * per-record point SELECTs against the declared table with a TTL'd
+    * cache, driving `JOIN dim FOR SYSTEM_TIME AS OF proctime`): the
+    * Structured-Streaming-idiomatic equivalent is per-MICRO-BATCH refresh —
+    * each trigger re-reads the declared jdbc table and broadcast-joins the
+    * snapshot, so a dimension update takes effect at the next trigger
+    * exactly like an expired Flink cache entry (and, unlike per-record
+    * lookups, costs ONE bounded dimension scan per trigger instead of one
+    * round-trip per stream row — the scale-correct shape for a
+    * 1000-executor stream). Returns the per-trigger loader for
+    * [[graft.streaming.StreamOps.broadcastRulesEnrich]]; see
+    * [[jdbcLookupEnrich]] for the one-call wiring. */
+  def jdbcLookupLoader(spark: SparkSession, name: String): () => DataFrame = {
+    val (_, opts, _) = Option(declared.get(declKey(spark, name))).getOrElse(
+      sys.error(s"jdbcLookupLoader($name): not a DDL-declared table in this " +
+        "session — declare it with CREATE TABLE … WITH ('connector' = 'jdbc', …) first"))
+    require(opts.get("connector").contains("jdbc"),
+      s"jdbcLookupLoader($name): the lookup-join idiom needs a 'jdbc' " +
+        s"declared table (got '${opts.getOrElse("connector", "?")}')")
+    def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"jdbcLookupLoader($name): missing option '$k'"))
+    () => {
+      val props = new java.util.Properties()
+      opts.get("driver").foreach(props.setProperty("driver", _))
+      opts.get("username").foreach(props.setProperty("user", _))
+      opts.get("password").foreach(props.setProperty("password", _))
+      spark.read.jdbc(req("url"), req("table-name"), props)
+    }
+  }
+
+  /** One-call JDBC lookup-join: enrich a STREAMING frame against a
+    * DDL-declared jdbc table (left-outer on `key`), re-reading the
+    * dimension snapshot each micro-batch. The end-to-end path for the
+    * reference's temporal JDBC enrichment, from DDL text to a running
+    * streaming query. */
+  def jdbcLookupEnrich(spark: SparkSession, stream: DataFrame, name: String,
+                       key: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamOps.broadcastRulesEnrich(
+      stream, jdbcLookupLoader(spark, name), key)(sink)
+
   /** `INSERT INTO <ddl-table> SELECT …` — the statement every Flink SQL
     * script ends with (reference flink-table SqlToOperationConverter →
     * CatalogSinkModifyOperation; the sink side of the DDL table). The

@@ -349,6 +349,49 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("JDBC lookup-join from DDL text: streaming enrich against a " +
+       "Derby-backed declared table, dimension updates seen next trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftlookup;create=true"
+    // the dimension lives in the DATABASE (the reference's lookup source)
+    Seq(("EUR", 1.25), ("GBP", 1.50)).toDF("cur", "rate")
+      .write.mode("overwrite").jdbc(url, "rates", new java.util.Properties())
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE fx_rates (cur STRING, rate DOUBLE) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'rates')""".stripMargin)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val q = FlinkDdl.jdbcLookupEnrich(spark,
+        in.toDF().toDF("cur", "amount"), "fx_rates", "cur") { b =>
+      out ++= b.select(col("cur"), col("amount") * col("rate"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      ()
+    }
+    in.addData(("EUR", 100.0)); q.processAllAvailable()
+    // dimension UPDATE in the database: next trigger must see it (the
+    // reference's cache-TTL refresh, at micro-batch granularity)
+    Seq(("EUR", 2.00), ("GBP", 1.50)).toDF("cur", "rate")
+      .write.mode("overwrite").jdbc(url, "rates", new java.util.Properties())
+    in.addData(("EUR", 100.0)); q.processAllAvailable()
+    q.stop()
+    assert(out.toSeq == Seq(("EUR", 125.0), ("EUR", 200.0)), out.toString)
+    // non-jdbc declared tables are a named rejection
+    val fsDir = Files.createTempDirectory("lk_fs").toString
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE lk_fs_t (id BIGINT) WITH ('connector' = 'filesystem',
+         |  'path' = '$fsDir', 'format' = 'parquet')""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      FlinkDdl.jdbcLookupLoader(spark, "lk_fs_t"))
+    assert(e.getMessage.contains("jdbc"), e.getMessage)
+    // undeclared names too
+    val e2 = intercept[RuntimeException](
+      FlinkDdl.jdbcLookupLoader(spark, "nope_not_declared"))
+    assert(e2.getMessage.contains("not a DDL-declared table"), e2.getMessage)
+  }
+
   test("named rejections: kafka, enforced key, metadata, TIME type") {
     def fails(ddl: String, frag: String): Unit = {
       val e = intercept[RuntimeException](FlinkDdl.execute(spark, ddl))

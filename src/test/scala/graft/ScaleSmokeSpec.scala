@@ -103,6 +103,62 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
       f"knn graph super-N^1.5 blowup — base $tb%.2fs, 10x $ts%.2fs")
   }
 
+  test("TPC-H heaviest queries at 10x: ~linear growth, plans stay " +
+       "cartesian-free at the larger stats", SlowTest) {
+    // h09 (6-way join over the synthesized partsupp), h02 (correlated min
+    // subquery), h21 (EXISTS + NOT EXISTS self-joins), h08 (nation market
+    // share) — the four most expensive TPC-H texts. The 10x corpus shifts
+    // every surrogate key CONSISTENTLY per replica (replica i of lineitem
+    // references replica i of orders/customer/part/supplier), so join
+    // selectivity per key matches the base corpus and output grows ~10x;
+    // nation/region are dimension constants and stay single-copy (nation
+    // keys are NOT shifted, so c_nationkey/s_nationkey stay valid).
+    val base = "/root/testdata/sf0.1"
+    val reps = 10
+    val scaled = java.nio.file.Files.createTempDirectory("graft_scale_h").toString
+    val OK = 10000000L // orderkey stride
+    val SK = 1000000L  // cust/part/supp key stride
+    def rep(t: String, shifts: Map[String, Long]): Unit = {
+      val df = spark.read.parquet(s"$base/$t.parquet")
+      val out = if (shifts.isEmpty) df // dimension constant: ONE copy
+      else (0 until reps).map { i =>
+        shifts.foldLeft(df) { case (d, (c, stride)) =>
+          d.withColumn(c, col(c) + lit(i * stride)) }
+      }.reduce(_ union _)
+      out.write.parquet(s"$scaled/$t.parquet")
+    }
+    rep("lineitem", Map("l_orderkey" -> OK, "l_partkey" -> SK, "l_suppkey" -> SK))
+    rep("orders", Map("o_orderkey" -> OK, "o_custkey" -> SK))
+    rep("customer", Map("c_custkey" -> SK))
+    rep("part", Map("p_partkey" -> SK))
+    rep("supplier", Map("s_suppkey" -> SK))
+    rep("nation", Map.empty)
+    rep("region", Map.empty)
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val queries = Seq("h09_tpch_q09", "h02_tpch_q02", "h21_tpch_q21", "h08_tpch_q08")
+    time(queries.head, base) // JIT/codegen warmup outside the measurements
+    queries.foreach { q =>
+      val tb = time(q, base)
+      val plan = SparkEntry.queries(q)(spark, scaled)
+        .queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: CartesianProduct appeared at 10x stats")
+      val ts = time(q, scaled)
+      info(f"$q%-14s base=$tb%6.2fs 10x=$ts%7.2fs ratio=${ts / tb}%5.1fx")
+      // ~linear with generous headroom; a quadratic join blow-up shows ~100x
+      assert(ts <= tb * 30 + 10.0,
+        f"$q: super-linear blowup — base $tb%.2fs, 10x $ts%.2fs")
+    }
+  }
+
   test("RMat directed census smoke: 300k-edge power-law graph, census " +
        "partitions C(V,3) exactly", SlowTest) {
     import graft.operators.{GraphGen, Iterate}
