@@ -90,13 +90,16 @@ object Relational {
         when(col("__total") === 1, lit(0.0))
           .otherwise(round((col("__cum") - col("__c")) / (col("__total") - 1), 6)).as("prk"),
         round(col("__cum") / col("__total"), 6).as("cd"))
-      // persisted: the guarding count and the fact-side join both read it
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-continuous values make the histogram rows-sized — a hard hint
     // there would throw past maxBroadcastTableBytes; hint only under the
-    // guarded threshold (AQE still broadcasts at runtime when it fits)
+    // guarded threshold (AQE still broadcasts at runtime when it fits).
+    // The guard reads PLAN-TIME statistics (the i10/summarization
+    // convention): a driver-side count was a whole extra job per call,
+    // and the estimate errs safe — it upper-bounds by the fact scan, so
+    // an over-estimate just defers the broadcast decision to AQE
+    val est = ranks.queryExecution.optimizedPlan.stats.sizeInBytes
     val ranksSide =
-      if (ranks.count() <= broadcastHistThreshold) broadcast(ranks) else ranks
+      if (est <= broadcastHistThreshold) broadcast(ranks) else ranks
     df.join(ranksSide, partCol === col("__p") && valueCol === col("__v"))
       .drop("__p", "__v")
   }
