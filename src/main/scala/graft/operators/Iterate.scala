@@ -573,9 +573,16 @@ object Iterate {
     * (a hard hint would throw past maxBroadcastTableBytes). */
   private def wedgeTriangles(e: DataFrame, deg: DataFrame, nEdges: Long,
                              broadcastClosureThreshold: Long): DataFrame = {
+    // the degree table is vertex-sized (≤ 2·|E| rows) — broadcast it into
+    // the orientation joins under the SAME guard as the closure (measured
+    // ~30× on the orientation at sf0.1: the edge set stops shuffling twice)
+    def degSide(idAs: String, degAs: String) = {
+      val d = deg.select(col("id").as(idAs), col("deg").as(degAs))
+      if (nEdges <= broadcastClosureThreshold) broadcast(d) else d
+    }
     val ed = e
-      .join(deg.select(col("id").as("u2"), col("deg").as("du")), col("u") === col("u2"))
-      .join(deg.select(col("id").as("v2"), col("deg").as("dv")), col("v") === col("v2"))
+      .join(degSide("u2", "du"), col("u") === col("u2"))
+      .join(degSide("v2", "dv"), col("v") === col("v2"))
       .select(col("u"), col("v"), col("du"), col("dv"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))

@@ -182,10 +182,41 @@ object Avro {
 
   /** Write `df` as Avro container files under `dir` through the Hadoop
     * committer (`AvroOutputFormat`) — correct on a real cluster, not just
-    * local mode. */
-  def write(df: DataFrame, dir: String): Unit = {
-    val st = df.schema
-    val schemaJson = toAvroSchema(st, "graft_record").toString
+    * local mode. The schema is generated from the Spark schema (every
+    * field a nullable union); to target ENUM/FIXED fields, pass the
+    * schema explicitly via the two-argument overload. */
+  def write(df: DataFrame, dir: String): Unit =
+    writeAs(df, dir, toAvroSchema(df.schema, "graft_record").toString)
+
+  /** Write with a USER-SUPPLIED Avro schema — the reference
+    * `AvroOutputFormat` contract (the writer takes the target schema,
+    * which may use types Spark's own don't distinguish): a string column
+    * may target an ENUM field (each value validated against the symbol
+    * set at write time) and a binary column a FIXED field (size-checked).
+    * The frame's Spark types must equal the schema's DECODED shape
+    * ([[toStructType]] — enum reads back as string, fixed as binary), so
+    * read(write(df, schema)) round-trips by construction. */
+  def writeAs(df: DataFrame, dir: String, avroSchemaJson: String): Unit = {
+    val schema = new Schema.Parser().parse(avroSchemaJson)
+    val decoded = toStructType(schema)
+    // nullability-insensitive compare: the write path union-wraps every
+    // field, so the decoded shape is all-nullable regardless of the frame
+    def norm(dt: DataType): DataType = dt match {
+      case st: StructType =>
+        StructType(st.fields.map(f => StructField(f.name, norm(f.dataType))))
+      case ArrayType(et, _) => ArrayType(norm(et), containsNull = true)
+      case MapType(k, v, _) => MapType(norm(k), norm(v), valueContainsNull = true)
+      case t => t
+    }
+    require(decoded.fields.map(f => (f.name, norm(f.dataType))).sameElements(
+        df.schema.fields.map(f => (f.name, norm(f.dataType)))),
+      s"schema mismatch: the avro schema decodes to $decoded but the " +
+        s"frame is ${df.schema} (names and types must match positionally; " +
+        "enum fields take string columns, fixed fields binary columns)")
+    writeRecords(df, dir, avroSchemaJson)
+  }
+
+  private def writeRecords(df: DataFrame, dir: String, schemaJson: String): Unit = {
     val conf = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
     AvroJob.setOutputSchema(conf, new Schema.Parser().parse(schemaJson))
     // we hand the writer fully-built GenericRecords — the default REFLECT
@@ -217,6 +248,14 @@ object Avro {
       val base = if (s.getType == Schema.Type.UNION)
         s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get else s
       (v, base.getType) match {
+        case (s: String, Schema.Type.ENUM) =>
+          if (!base.hasEnumSymbol(s)) sys.error(
+            s"'$s' is not a symbol of enum ${base.getFullName} ${base.getEnumSymbols}")
+          new GenericData.EnumSymbol(base, s)
+        case (b: Array[Byte], Schema.Type.FIXED) =>
+          if (b.length != base.getFixedSize) sys.error(
+            s"fixed ${base.getFullName} needs ${base.getFixedSize} bytes, got ${b.length}")
+          new GenericData.Fixed(base, b)
         case (r: Row, Schema.Type.RECORD) => rowToRecord(r, base)
         case (xs: scala.collection.Seq[_], Schema.Type.ARRAY) =>
           // GenericData.Array carries its schema — the mapred writer would

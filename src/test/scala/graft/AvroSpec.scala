@@ -198,5 +198,41 @@ class AvroSpec extends AnyFunSuite with SparkTest {
       "SELECT count(*) FROM avro_ef WHERE color = 'RED' AND hex(digest) = '01020304'")
       .head().getLong(0)
     assert(n == 1L)
+
+    // WRITE-side round trip with the user-supplied schema (the reference
+    // AvroOutputFormat contract): string -> enum, binary -> fixed
+    val outDir = Files.createTempDirectory("graft_avro_ef_w").toString + "/out"
+    Avro.writeAs(df, outDir, schema.toString)
+    val back = Avro.read(spark, outDir)
+    assert(back.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2).toSeq,
+          Option(r.getString(3)))).toSeq ==
+      Seq((1L, "RED", Seq[Byte](1, 2, 3, 4), Some("BLUE")),
+          (2L, "GREEN", Seq[Byte](9, 8, 7, 6), None)))
+    // and the header carries the ENUM/FIXED types, not widened strings
+    val headerStream = new org.apache.avro.file.DataFileStream[GenericRecord](
+      new java.io.FileInputStream(new java.io.File(outDir).listFiles()
+        .filter(_.getName.endsWith(".avro")).head),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    val written = try headerStream.getSchema finally headerStream.close()
+    assert(written.getField("color").schema().getType == Schema.Type.ENUM)
+    assert(written.getField("digest").schema().getType == Schema.Type.FIXED)
+    // a value outside the symbol set is a NAMED error, not corrupt output
+    import spark.implicits._
+    val badDf = Seq((3L, "PURPLE")).toDF("id", "color")
+    val badSchema = SchemaBuilder.record("ef2").namespace("t").fields()
+      .requiredLong("id")
+      .name("color").`type`().enumeration("Color2")
+        .symbols("RED", "GREEN").noDefault()
+      .endRecord()
+    val eBad = intercept[org.apache.spark.SparkException](
+      Avro.writeAs(badDf, outDir + "_bad", badSchema.toString))
+    assert(eBad.getMessage.contains("not a symbol") ||
+      Option(eBad.getCause).exists(_.getMessage.contains("not a symbol")), eBad.toString)
+    // and a frame whose types don't match the schema's decoded shape fails fast
+    val eShape = intercept[IllegalArgumentException](
+      Avro.writeAs(Seq((1L, 2.0)).toDF("id", "color"), outDir + "_shape",
+        badSchema.toString))
+    assert(eShape.getMessage.contains("schema mismatch"), eShape.getMessage)
   }
 }
