@@ -2365,6 +2365,32 @@ object WindowQueries {
       |       s_ts + INTERVAL 96 HOURS AS timeout_ts
       |FROM b3 WHERE p_ts IS NULL""".stripMargin
 
+  // --- w27: ALL-MATCHES CEP — followedByAny chains (flink-cep
+  // Pattern.java:322: every in-window candidate forks a branch; the
+  // engine's r14 opt-in all-matches mode). Every strictly-increasing
+  // (signup, click, purchase) chain within 24 hours of the signup — the
+  // output IS the set of chains, which the oracle derives as the plain
+  // 3-way inequality join (the all-matches semantics ARE SQL joins;
+  // that is the point of the declarative compile path).
+  private val w27: Q = (s, dir) => {
+    graft.cep.Pattern.begin("s", col("event_type") === "signup")
+      .followedByAny("c", col("event_type") === "click")
+      .followedByAny("p", col("event_type") === "purchase")
+      .within(24L * 3600 * 1000)
+      .detect(ev(s, dir), col("user_id"), col("ts"))
+      .select(col("key").as("user_id"), col("s_ts"), col("c_ts"), col("p_ts"))
+  }
+  private val w27Sql =
+    """SELECT s.user_id, CAST(s.ts AS TIMESTAMP) AS s_ts,
+      |       CAST(c.ts AS TIMESTAMP) AS c_ts, CAST(p.ts AS TIMESTAMP) AS p_ts
+      |FROM events s
+      |JOIN events c ON c.user_id = s.user_id AND c.ts > s.ts
+      |             AND c.ts <= s.ts + INTERVAL 24 HOURS
+      |JOIN events p ON p.user_id = s.user_id AND p.ts > c.ts
+      |             AND p.ts <= s.ts + INTERVAL 24 HOURS
+      |WHERE s.event_type = 'signup' AND c.event_type = 'click'
+      |  AND p.event_type = 'purchase'""".stripMargin
+
   // --- w25: CASCADING window re-aggregation (the Flink "cascading window
   // aggregation" pattern — flink-docs window-agg section; coarse windows
   // re-aggregate fine PARTIALS instead of rescanning facts): hourly tumble
@@ -2396,6 +2422,7 @@ object WindowQueries {
 
   val queries: Map[String, Q] = Map(
     "w25_cascading_windows" -> w25, "w26_cep_timeout" -> w26,
+    "w27_cep_followed_by_any" -> w27,
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
     "w22_cep_consecutive" -> w22, "w23_delta_evictor" -> w23,
@@ -2452,5 +2479,6 @@ object WindowQueries {
     "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql,
     "m31_all_rows_two_runs" -> m31Sql, "m32_all_rows_group_run" -> m32Sql,
     "m33_nested_group" -> m33Sql, "m34_all_rows_nested" -> m34Sql,
-    "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql)
+    "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
+    "w27_cep_followed_by_any" -> w27Sql)
 }
