@@ -535,6 +535,55 @@ object StreamOps {
       joinType)
   }
 
+  /** The ALL-MATCHES streaming twin of
+    * [[graft.cep.Pattern.followedByAny]] (reference flink-cep
+    * Pattern.java:322 applied on a stream: every in-window candidate
+    * forks a match branch). The one-candidate-per-step CEP modes need
+    * custom state (the cepPattern family); the all-branches mode emits
+    * exactly what Spark's NATIVE stream-stream interval joins produce,
+    * so the lowering is a cascade of watermarked joins — no custom state,
+    * append-mode output, per-key join state bounded by the window (Spark
+    * derives the cleanup bound from the two-sided time condition; ≥3.4
+    * chains the stateful joins). Emits every strictly-time-increasing
+    * chain `s1.ts < s2.ts < … ≤ s1.ts + window` as `user_id` +
+    * `<name>_ts` per step — the same columns the batch
+    * [[graft.cep.Pattern]] all-matches compile emits, so batch/stream
+    * parity is a set-equality check. */
+  def cepFollowedByAnyChain(events: Dataset[Event], watermark: String,
+                            steps: Seq[(String, String)],
+                            windowMs: Long): DataFrame = {
+    require(steps.size >= 2, "a chain needs at least two steps (name -> event_type)")
+    val wmed = events.toDF().withWatermark("ts", watermark)
+    val win = expr(s"INTERVAL $windowMs MILLISECONDS")
+    val (n0, t0) = steps.head
+    val start = s"${n0}_ts"
+    var out = wmed.filter(col("event_type") === t0)
+      .select(col("user_id"), col("ts").as(start))
+    var prev = start
+    val earlier = scala.collection.mutable.ListBuffer(start)
+    steps.tail.foreach { case (n, tp) =>
+      val cur = s"${n}_ts"
+      val cand = wmed.filter(col("event_type") === tp)
+        .select(col("user_id").as("__k2"), col("ts").as(cur))
+      // the per-hop bound (cur <= prev + window) is IMPLIED by the chain
+      // (cur <= start + window and prev > start) — it is spelled out so
+      // the join carries a two-sided time constraint on the two EVENT-TIME
+      // columns, which is what bounds the join state
+      out = out.join(cand,
+          col("user_id") === col("__k2") && col(cur) > col(prev) &&
+            col(cur) <= col(prev) + win && col(cur) <= col(start) + win)
+        .drop("__k2")
+      // Spark allows ONE event-time column per stream: keep the newest
+      // binding as the watermark carrier and strip the marker from every
+      // earlier ts (+0s arithmetic = equal value, fresh unmarked column)
+      out = earlier.foldLeft(out)((d, c) =>
+        d.withColumn(c, col(c) + expr("INTERVAL 0 SECONDS")))
+      earlier += cur
+      prev = cur
+    }
+    out
+  }
+
   /** WINDOW-aligned stream-stream join (reference flink-streaming-java/.../
     * datastream/JoinedStreams.java: `left.join(right).where(key).equalTo(key)
     * .window(TumblingEventTimeWindows.of(size))`): rows of the two streams

@@ -256,6 +256,39 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out.toSeq == Seq((1L, "allow"), (1L, "block")))
   }
 
+  test("cepFollowedByAnyChain emits EVERY in-window chain via native " +
+       "stream-stream joins — batch all-matches parity") {
+    val in = MemoryStream[Event]
+    val evs = Seq(
+      Event(1, at(0), "signup", 1.0), Event(1, at(10), "click", 1.0),
+      Event(1, at(20), "click", 1.0), Event(1, at(30), "purchase", 1.0),
+      Event(1, at(200), "purchase", 1.0), // outside the 60s window of signup@0
+      Event(2, at(0), "signup", 1.0), Event(2, at(5), "purchase", 1.0))
+    in.addData(evs: _*); in.addData(FLUSH)
+    val out = run("s_any_chain", StreamOps.cepFollowedByAnyChain(
+      in.toDS(), "5 seconds",
+      Seq("s" -> "signup", "c" -> "click", "p" -> "purchase"), 60000L))
+    val got = out.select("user_id", "s_ts", "c_ts", "p_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getTimestamp(3))).toSet
+    // (signup@0, click@10, purchase@30) and (signup@0, click@20, purchase@30);
+    // user 2 has no click; purchase@200 is out of window
+    assert(got == Set(
+      (1L, at(0), at(10), at(30)),
+      (1L, at(0), at(20), at(30))), got.toString)
+    // parity with the batch all-matches compile on the same data
+    import org.apache.spark.sql.functions.col
+    val batch = graft.cep.Pattern.begin("s", col("event_type") === "signup")
+      .followedByAny("c", col("event_type") === "click")
+      .followedByAny("p", col("event_type") === "purchase")
+      .within(60000L)
+      .detect(evs.toDF(), col("user_id"), col("ts"))
+      .select(col("key"), col("s_ts"), col("c_ts"), col("p_ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getTimestamp(3))).toSet
+    assert(batch == got, s"batch $batch != stream $got")
+  }
+
   test("streamStaticEnrich broadcast-joins a dimension") {
     val in = MemoryStream[Event]
     in.addData(Event(1, at(0), "click", 1.0))
