@@ -576,4 +576,55 @@ class PropertySpec extends AnyFunSuite with SparkTest {
       }
     })
   }
+
+  test("all-matches CEP == brute force on random event streams " +
+       "(followedByAny chains and allowCombinations subsets)") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // random per-key event lists: (key, minute-offset, type in {a,b,c})
+    val gen = Gen.listOfN(24, for {
+      k <- Gen.chooseNum(1L, 3L)
+      m <- Gen.chooseNum(0L, 50L)
+      t <- Gen.oneOf("a", "b", "c")
+    } yield (k, m, t)).map(_.distinct)
+    val W = 20L * 60000 // 20-minute window
+    assertHolds(Prop.forAll(gen) { evs =>
+      val df = evs.map { case (k, m, t) => (k, new Timestamp(t0 + m * 60000), t) }
+        .toDF("k", "ts", "tp")
+      // chains: a -> any b -> any c
+      val gotChains = graft.cep.Pattern.begin("a", col("tp") === "a")
+        .followedByAny("b", col("tp") === "b")
+        .followedByAny("c", col("tp") === "c")
+        .within(W)
+        .detect(df, col("k"), col("ts"))
+        .select("key", "a_ts", "b_ts", "c_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+      val ms = evs.map { case (k, m, t) => (k, t0 + m * 60000, t) }
+      val wantChains = (for {
+        (k1, m1, "a") <- ms
+        (k2, m2, "b") <- ms if k2 == k1 && m2 > m1 && m2 <= m1 + W
+        (k3, m3, "c") <- ms if k3 == k1 && m3 > m2 && m3 <= m1 + W
+      } yield (k1, m1, m2, m3)).toSet
+      // combinations: a -> b+ allowCombinations
+      val gotCombs = graft.cep.Pattern.begin("a", col("tp") === "a")
+        .followedBy("b", col("tp") === "b").oneOrMore()
+        .allowCombinations(maxCombinationMembers = 24)
+        .within(W)
+        .detect(df, col("k"), col("ts"))
+        .select("key", "a_ts", "b_n", "b_first_ts", "b_last_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getTimestamp(3).getTime, r.getTimestamp(4).getTime))
+        .groupBy(identity).map { case (kv, xs) => (kv, xs.length) }
+      val wantCombs = (for {
+        (k1, m1, "a") <- ms
+        members = ms.collect { case (k2, m2, "b") if k2 == k1 && m2 > m1 && m2 <= m1 + W => m2 }.sorted
+        n <- 1 to members.size
+        sub <- members.combinations(n)
+      } yield (k1, m1, n.toLong, sub.head, sub.last))
+        .groupBy(identity).map { case (kv, xs) => (kv, xs.length) }
+      (gotChains == wantChains) :| s"chains mismatch: got=$gotChains want=$wantChains" &&
+        (gotCombs == wantCombs) :| s"combinations (with multiplicity) mismatch"
+    })
+  }
 }
