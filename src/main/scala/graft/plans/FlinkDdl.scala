@@ -84,9 +84,9 @@ class FlinkDdlSqlParser(session: SparkSession, delegate: ParserInterface)
     } else if (FlinkDdl.isAlter(session, sqlText)) {
       val n = FlinkDdl.executeAlter(session, sqlText)
       s"SELECT '$n' AS altered_table"
-    } else GroupWindowSql.rewrite(FlinkDdl.rewriteCreateView(
-      FlinkDdl.rewriteCreateFunction(
-        FlinkDdl.rewriteDatabaseDdl(FlinkDdl.rejectUseCatalog(sqlText)))))
+    } else GroupWindowSql.rewrite(LookupJoinSql.rewrite(
+      FlinkDdl.rewriteCreateView(FlinkDdl.rewriteCreateFunction(
+        FlinkDdl.rewriteDatabaseDdl(FlinkDdl.rejectUseCatalog(sqlText))))))
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(run(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -449,8 +449,9 @@ object FlinkDdl {
         val n = executeDrop(spark, stmt); spark.sql(s"SELECT '$n' AS dropped_table")
       } else if (isAlter(spark, stmt)) {
         val n = executeAlter(spark, stmt); spark.sql(s"SELECT '$n' AS altered_table")
-      } else spark.sql(GroupWindowSql.rewrite(rewriteCreateView(
-        rewriteCreateFunction(rewriteDatabaseDdl(rejectUseCatalog(stmt))))))
+      } else spark.sql(GroupWindowSql.rewrite(LookupJoinSql.rewrite(
+        rewriteCreateView(rewriteCreateFunction(
+          rewriteDatabaseDdl(rejectUseCatalog(stmt)))))))
     }
   }
 

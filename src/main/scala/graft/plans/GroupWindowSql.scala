@@ -60,7 +60,7 @@ object GroupWindowSql {
     s"$n ${unit.toLowerCase.stripSuffix("s")}s"
 
   /** position → inside a single-quoted SQL string literal ('' escapes). */
-  private def literalMask(s: String): Array[Boolean] = {
+  private[plans] def literalMask(s: String): Array[Boolean] = {
     val mask = new Array[Boolean](s.length)
     var i = 0; var in = false
     while (i < s.length) {
@@ -79,7 +79,7 @@ object GroupWindowSql {
   }
 
   /** replaceAllIn, skipping matches that start inside a string literal. */
-  private def replaceOutside(rx: Regex, s: String)(f: Regex.Match => String): String = {
+  private[plans] def replaceOutside(rx: Regex, s: String)(f: Regex.Match => String): String = {
     val mask = literalMask(s)
     rx.replaceAllIn(s, m =>
       Regex.quoteReplacement(if (mask(m.start)) m.matched else f(m)))

@@ -390,6 +390,23 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     val e2 = intercept[RuntimeException](
       FlinkDdl.jdbcLookupLoader(spark, "nope_not_declared"))
     assert(e2.getMessage.contains("not a DDL-declared table"), e2.getMessage)
+
+    // the PURE-SQL lookup-join spelling: FOR SYSTEM_TIME AS OF proctime
+    // strips to the current-snapshot join (which IS its semantics here)
+    Seq(("EUR", 100.0), ("GBP", 10.0)).toDF("cur", "amount")
+      .withColumn("proctime", org.apache.spark.sql.functions.current_timestamp())
+      .createOrReplaceTempView("lk_orders")
+    val res = FlinkDdl.runScript(spark,
+      """SELECT o.cur, o.amount * r.rate AS converted
+        |FROM lk_orders o JOIN fx_rates r FOR SYSTEM_TIME AS OF o.proctime
+        |ON o.cur = r.cur""".stripMargin).head
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(res == Map("EUR" -> 200.0, "GBP" -> 15.0), res.toString)
+    // event-time versioned lookup is a NAMED rejection (needs w13 buffering)
+    val e3 = intercept[RuntimeException](FlinkDdl.runScript(spark,
+      """SELECT o.cur FROM lk_orders o JOIN fx_rates r
+        |FOR SYSTEM_TIME AS OF o.rowtime ON o.cur = r.cur""".stripMargin))
+    assert(e3.getMessage.contains("temporalJoin"), e3.getMessage)
   }
 
   test("named rejections: kafka, enforced key, metadata, TIME type") {
