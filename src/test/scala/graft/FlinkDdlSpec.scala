@@ -291,6 +291,18 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
       .select(col("window.start"), col("count"))
       .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
     assert(cascaded == direct && cascaded.size == 2, s"$cascaded != $direct")
+    // SESSION_ROWTIME cascades too: session windows rolled into 10-min
+    // tumbles (end-1ms lands inside the session's own bucket)
+    val sessCascade = spark.sql(GroupWindowSql.rewrite(
+      """SELECT TUMBLE_START(rt, INTERVAL '10' MINUTE) AS ws, sum(n) AS n
+        |FROM (SELECT SESSION_ROWTIME(ts, INTERVAL '5' MINUTE) AS rt, count(*) AS n
+        |      FROM gw_events GROUP BY user_id, SESSION(ts, INTERVAL '5' MINUTE))
+        |GROUP BY TUMBLE(rt, INTERVAL '10' MINUTE)""".stripMargin))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    // session [00:01, 00:09) ends 00:09 -> bucket 00:00; session @00:11 -> 00:10
+    assert(sessCascade == Map(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00") -> 2L,
+      java.sql.Timestamp.valueOf("2024-01-01 00:10:00") -> 1L), sessCascade.toString)
     // _PROCTIME stays a NAMED rejection (no deterministic value to re-export)
     val e = intercept[RuntimeException](GroupWindowSql.rewrite(
       "SELECT TUMBLE_PROCTIME(ts, INTERVAL '10' MINUTE) FROM gw_events"))
