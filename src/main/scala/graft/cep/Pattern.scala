@@ -721,15 +721,37 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         "skip strategies exist to pick among matches and do not compose")
     val win = expr(s"INTERVAL ${windowMs.get} MILLISECONDS")
     val first = steps.head
+    // the anchor must be a PLAIN begin step: quantifiers/alternation on it
+    // are first-match machinery the all-matches compile would silently drop
+    require(first.reps == 1 && first.optTail == 0 && !first.opt &&
+      !first.oneOrMore && first.alts.isEmpty && first.group.isEmpty &&
+      first.iter.isEmpty && first.runOn.isEmpty && first.until.isEmpty &&
+      !first.strict,
+      "all-matches mode needs a plain begin step — quantifiers/alternation/" +
+        "groups on the anchor are first-match machinery (named rejection, " +
+        "not a silent drop)")
     val startTs = s"${first.name}_ts"
     val anchors = events.filter(first.pred)
       .select((key.as("__k") +: ts.as(startTs) +:
         first.keep.map(c => col(c).as(s"${first.name}_$c"))): _*)
     if (steps.last.combinations) {
       val b = steps.last
+      // modifiers attached AFTER allowCombinations() would otherwise be
+      // silently ignored — re-validate the shape at compile time
+      require(!b.consec && b.until.isEmpty && b.keep.isEmpty && b.reps == 1 &&
+        b.minRun == 1 && b.alts.isEmpty && b.group.isEmpty && !b.opt &&
+        !b.strict && b.iter.isEmpty && b.runOn.isEmpty,
+        "allowCombinations() composes with a PLAIN oneOrMore run only — " +
+          "consecutive/until/bindRun/times/timesOrMore/alternation added " +
+          "after it are first-match machinery (named rejection, not a " +
+          "silent drop)")
       val members = events.filter(b.pred).select(key.as("__k2"), ts.as("__mts"))
-      val kept = anchors.columns.map(col)
-      val lists = anchors.join(members,
+      // one subset family per anchor EVENT (the reference NFA forks per
+      // event): a uniquifier keeps equal-(key, ts) anchors apart through
+      // the grouping — it never reaches the output columns
+      val uAnchors = anchors.withColumn("__aid", monotonically_increasing_id())
+      val kept = uAnchors.columns.map(col)
+      val lists = uAnchors.join(members,
           col("__k") === col("__k2") && col("__mts") > col(startTs) &&
             col("__mts") <= col(startTs) + win)
         .groupBy(kept.toIndexedSeq: _*)
@@ -740,12 +762,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             lit(s" run members (max ${b.maxComb}) — 2^m subset branches; " +
               "raise maxCombinationMembers (<= 30) or narrow the window"))))
             .otherwise(size(col("__ms"))))
+      val outCols = anchors.columns.map(col)
       lists
         .withColumn("__mask",
           explode(expr("sequence(cast(1 as bigint), shiftleft(cast(1 as bigint), __m) - 1)")))
         .withColumn("__sel", expr(
           "filter(__ms, (x, i) -> ((__mask div shiftleft(cast(1 as bigint), i)) % 2) = 1)"))
-        .select((kept.toSeq :+ size(col("__sel")).cast("long").as(s"${b.name}_n") :+
+        .select((outCols.toSeq :+ size(col("__sel")).cast("long").as(s"${b.name}_n") :+
           element_at(col("__sel"), 1).as(s"${b.name}_first_ts") :+
           element_at(col("__sel"), -1).as(s"${b.name}_last_ts")): _*)
         .withColumnRenamed("__k", "key")

@@ -73,7 +73,18 @@ final class Params private (private val m: Map[String, Any]) {
       case i: Int => JInt(i)
       case l: Long => JInt(l)
       case d: Double => MlJson.finite(d)
-      case xs: Seq[_] => JArray(xs.map(j).toList)
+      case xs: Seq[_] =>
+        // the documented sequence contract is double/string seqs — an
+        // integral-element seq would come back width-unstable (JSON holds
+        // no element width and the scalar Int↔Long coercion cannot see
+        // through the erased element type), so it is a NAMED error here,
+        // at save, not a ClassCastException later at the use site
+        xs.find(x => x.isInstanceOf[Int] || x.isInstanceOf[Long]).foreach(x =>
+          sys.error(s"integral-element sequences do not round-trip " +
+            s"width-stably through JSON (found ${x.getClass.getSimpleName} " +
+            "element) — use Seq[Double] or Seq[String] (the documented " +
+            "sequence shapes)"))
+        JArray(xs.map(j).toList)
       case other => sys.error(s"param value ${other.getClass.getName} is not " +
         "JSON-serializable (string/boolean/numeric/seq are)")
     }

@@ -645,19 +645,19 @@ object Iterate {
     * joins, so nothing is persisted and nothing leaks into the cache.
     * No iteration, no cartesian, no window.
     *
-    * @param broadcastGroupThreshold max ESTIMATED bytes (plan statistics)
+    * @param broadcastGroupBytesThreshold max ESTIMATED bytes (plan statistics)
     *   of the group aggregate for which a hard broadcast hint is planned */
   def summarization(vertices: DataFrame, idCol: String, valCol: String,
                     edges: DataFrame, srcCol: String, dstCol: String,
                     evCol: String,
-                    broadcastGroupThreshold: Long = 10000000L): DataFrame = {
+                    broadcastGroupBytesThreshold: Long = 10000000L): DataFrame = {
     val v = vertices.select(col(idCol).cast("long").as("id"), col(valCol).as("vv"))
       .distinct()
     // one row per group: representative + size
     val groups = v.groupBy("vv").agg(min(col("id")).as("rep"), count(lit(1)).as("gsize"))
     val est = groups.queryExecution.optimizedPlan.stats.sizeInBytes
     val groupsSide =
-      if (est <= broadcastGroupThreshold) broadcast(groups) else groups
+      if (est <= broadcastGroupBytesThreshold) broadcast(groups) else groups
     val mapping = v.join(groupsSide, Seq("vv"))
       .select(col("id"), col("rep"), col("vv"), col("gsize"))
     val e = edges.select(col(srcCol).cast("long").as("es"),

@@ -76,7 +76,7 @@ object Relational {
     * (#smaller)/(total-1), cume_dist = (#<=)/total — integer ratios, so the
     * IEEE division matches any engine's native window functions bit-for-bit. */
   def histogramRank(df: DataFrame, partCol: Column, valueCol: Column,
-                    broadcastHistThreshold: Long = 10000000L): DataFrame = {
+                    broadcastHistBytesThreshold: Long = 10000000L): DataFrame = {
     val hist = df.groupBy(partCol.as("__p"), valueCol.as("__v"))
       .agg(count(lit(1)).as("__c"))
     val wOrd = Window.partitionBy(col("__p")).orderBy(col("__v"))
@@ -99,7 +99,7 @@ object Relational {
     // an over-estimate just defers the broadcast decision to AQE
     val est = ranks.queryExecution.optimizedPlan.stats.sizeInBytes
     val ranksSide =
-      if (est <= broadcastHistThreshold) broadcast(ranks) else ranks
+      if (est <= broadcastHistBytesThreshold) broadcast(ranks) else ranks
     df.join(ranksSide, partCol === col("__p") && valueCol === col("__v"))
       .drop("__p", "__v")
   }

@@ -59,12 +59,17 @@ object GroupWindowSql {
   private def dur(n: String, unit: String): String =
     s"$n ${unit.toLowerCase.stripSuffix("s")}s"
 
-  /** position → inside a single-quoted SQL string literal ('' escapes). */
+  /** position → inside a single-quoted SQL string literal ('' escapes;
+    * backslash escapes too — Spark's default parser accepts `\'` inside a
+    * literal, and treating it as the closing quote would flip the mask
+    * mid-literal and let the rewrite corrupt the statement). */
   private[plans] def literalMask(s: String): Array[Boolean] = {
     val mask = new Array[Boolean](s.length)
     var i = 0; var in = false
     while (i < s.length) {
-      if (s.charAt(i) == '\'') {
+      if (in && s.charAt(i) == '\\' && i + 1 < s.length) {
+        mask(i) = true; mask(i + 1) = true; i += 2
+      } else if (s.charAt(i) == '\'') {
         if (in && i + 1 < s.length && s.charAt(i + 1) == '\'') {
           mask(i) = true; mask(i + 1) = true; i += 2
         } else { mask(i) = true; in = !in; i += 1 }
@@ -97,30 +102,40 @@ object GroupWindowSql {
         "attribute, which has no deterministic value — use the rowtime " +
         "auxiliary (mapped to window.end - 1ms) or an explicit timestamp")
     }
-    // signatures normalize the interval (MINUTE == MINUTES) and the time
-    // argument to its last identifier segment (t.ts == ts — Flink's
-    // validator resolves both to the same column)
-    def argOf(a: String) = a.toLowerCase.split('.').last
+    // signatures normalize the interval (MINUTE == MINUTES); the time
+    // argument matches when the FULL (case-folded) spelling matches, or
+    // when exactly one side is unqualified and the last identifier segment
+    // agrees (t.ts == ts — Flink's validator resolves both to the same
+    // column). Two DIFFERENTLY-qualified args (o.ts vs e.ts) stay a
+    // mismatch — they may be different columns, and silently mapping the
+    // auxiliary to the other table's window would return the wrong bound.
     def sig1(kind: String, arg: String, n: String, u: String) =
-      s"$kind(${argOf(arg)}, ${dur(n, u)})"
+      (arg.toLowerCase, s"$kind ${dur(n, u)}")
     def sig2(kind: String, arg: String, n1: String, u1: String, n2: String, u2: String) =
-      s"$kind(${argOf(arg)}, ${dur(n1, u1)}, ${dur(n2, u2)})"
+      (arg.toLowerCase, s"$kind ${dur(n1, u1)} ${dur(n2, u2)}")
     val winSigs =
-      matchesOutside(TumbleRx, sql).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))).toSet ++
-        matchesOutside(HopRx, sql).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))).toSet ++
-        matchesOutside(SessionRx, sql).map(m => sig1("session", m.group(1), m.group(2), m.group(3))).toSet
+      matchesOutside(TumbleRx, sql).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))) ++
+        matchesOutside(HopRx, sql).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))) ++
+        matchesOutside(SessionRx, sql).map(m => sig1("session", m.group(1), m.group(2), m.group(3)))
     val auxSigs =
-      matchesOutside(TumbleAuxRx, sql).map(m => sig1("tumble", m.group(2), m.group(3), m.group(4))).toSet ++
-        matchesOutside(HopAuxRx, sql).map(m => sig2("hop", m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))).toSet ++
-        matchesOutside(SessionAuxRx, sql).map(m => sig1("session", m.group(2), m.group(3), m.group(4))).toSet ++
-        matchesOutside(TumbleRowtimeRx, sql).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))).toSet ++
-        matchesOutside(HopRowtimeRx, sql).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))).toSet ++
-        matchesOutside(SessionRowtimeRx, sql).map(m => sig1("session", m.group(1), m.group(2), m.group(3))).toSet
-    val orphans = auxSigs -- winSigs
+      matchesOutside(TumbleAuxRx, sql).map(m => sig1("tumble", m.group(2), m.group(3), m.group(4))) ++
+        matchesOutside(HopAuxRx, sql).map(m => sig2("hop", m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))) ++
+        matchesOutside(SessionAuxRx, sql).map(m => sig1("session", m.group(2), m.group(3), m.group(4))) ++
+        matchesOutside(TumbleRowtimeRx, sql).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))) ++
+        matchesOutside(HopRowtimeRx, sql).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))) ++
+        matchesOutside(SessionRowtimeRx, sql).map(m => sig1("session", m.group(1), m.group(2), m.group(3)))
+    def argsAgree(a: String, w: String): Boolean =
+      a == w ||
+        (!a.contains('.') && w.split('.').last == a) ||
+        (!w.contains('.') && a.split('.').last == w)
+    val orphans = auxSigs.filterNot { case (aArg, aSuf) =>
+      winSigs.exists { case (wArg, wSuf) => wSuf == aSuf && argsAgree(aArg, wArg) }
+    }
     require(orphans.isEmpty,
-      s"group-window auxiliary arguments ${orphans.mkString(", ")} match no " +
-        "group-window call in the statement — the auxiliary must repeat the " +
-        "GROUP BY window's exact arguments (Flink validates the same way)")
+      s"group-window auxiliary arguments ${orphans.map(o => s"${o._2}(${o._1})").toSet.mkString(", ")} " +
+        "match no group-window call in the statement — the auxiliary must " +
+        "repeat the GROUP BY window's exact arguments (Flink validates the " +
+        "same way)")
     var out = sql
     out = replaceOutside(TumbleRowtimeRx, out)(_ => "(window.end - INTERVAL '0.001' SECOND)")
     out = replaceOutside(HopRowtimeRx, out)(_ => "(window.end - INTERVAL '0.001' SECOND)")

@@ -2080,5 +2080,28 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
         .followedBy("c", $"event_type" === "c").oneOrMore()
         .allowCombinations())
     assert(e3.getMessage.contains("two-step"), e3.getMessage)
+    // quantifiers on the BEGIN step are a named rejection, not a silent
+    // drop (the all-matches compile has no anchor-repetition machinery)
+    val e4 = intercept[IllegalArgumentException](
+      Pattern.begin("a", $"event_type" === "a").times(2)
+        .followedByAny("b", $"event_type" === "b")
+        .within(HOUR).detect(evs, $"user_id", $"ts"))
+    assert(e4.getMessage.contains("plain begin step"), e4.getMessage)
+    // modifiers attached AFTER allowCombinations() are a named rejection too
+    val e5 = intercept[IllegalArgumentException](
+      Pattern.begin("a", $"event_type" === "a")
+        .followedBy("b", $"event_type" === "b").oneOrMore()
+        .allowCombinations().consecutive()
+        .within(HOUR).detect(evs, $"user_id", $"ts"))
+    assert(e5.getMessage.contains("PLAIN oneOrMore"), e5.getMessage)
+    // equal-(key, ts) anchor EVENTS each fork their own subset family
+    // (the reference NFA forks per event)
+    val dup = Seq((1L, at(0), "a"), (1L, at(0), "a"), (1L, at(5), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val dupOut = Pattern.begin("a", $"event_type" === "a")
+      .followedBy("b", $"event_type" === "b").oneOrMore()
+      .allowCombinations()
+      .within(HOUR).detect(dup, $"user_id", $"ts").collect()
+    assert(dupOut.length == 2, dupOut.mkString(","))
   }
 }

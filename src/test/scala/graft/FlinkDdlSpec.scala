@@ -319,6 +319,19 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
         "FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
     assert(lit.contains("'use TUMBLE(ts, INTERVAL ''1'' MINUTE) here'") &&
       lit.contains("window(ts, '10 minutes')"), lit)
+    // ...including literals with BACKSLASH-escaped quotes (Spark's default
+    // parser accepts \' — the mask must not flip state mid-literal)
+    val lit2 = GroupWindowSql.rewrite(
+      "SELECT 'don\\'t touch TUMBLE(ts, INTERVAL \\'1\\' MINUTE)' AS hint, count(*) AS n " +
+        "FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
+    assert(lit2.contains("don\\'t touch TUMBLE(ts, INTERVAL \\'1\\' MINUTE)") &&
+      lit2.contains("window(ts, '10 minutes')"), lit2)
+    // two DIFFERENTLY-qualified time args stay a mismatch (they may be
+    // different columns — Flink's validator rejects the same)
+    val e3 = intercept[IllegalArgumentException](GroupWindowSql.rewrite(
+      "SELECT TUMBLE_START(o.ts, INTERVAL '10' MINUTE) AS ws, count(*) AS n " +
+        "FROM gw_events e GROUP BY TUMBLE(e.ts, INTERVAL '10' MINUTE)"))
+    assert(e3.getMessage.contains("match no"), e3.getMessage)
     // an auxiliary whose args mismatch the GROUP BY window is a named
     // error (silently mapping it would return the wrong window's bound)
     val e2 = intercept[IllegalArgumentException](GroupWindowSql.rewrite(

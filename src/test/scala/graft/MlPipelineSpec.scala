@@ -156,6 +156,12 @@ class MlPipelineSpec extends AnyFunSuite with SparkTest {
     assert(lback.get[Int]("n") == 7)
     val eo = intercept[RuntimeException](lback.get[Int]("big"))
     assert(eo.getMessage.contains("does not fit"), eo.getMessage)
+    // integral-ELEMENT sequences are outside the documented contract
+    // (double/string seqs) and would come back width-unstable — named
+    // error at save, not a ClassCastException later at element access
+    val es = intercept[RuntimeException](
+      Params.empty.set("xs", Seq(1L, 2L)).toJson)
+    assert(es.getMessage.contains("width-stably"), es.getMessage)
     // non-finite doubles are rejected AT SAVE with a named error (they
     // would render as invalid JSON and only fail later, at load)
     val en = intercept[RuntimeException](

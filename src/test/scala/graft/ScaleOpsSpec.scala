@@ -135,7 +135,7 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
     val edges = Seq((1L, 2L, "e"), (2L, 3L, "f")).toDF("s", "d", "ev")
     val sHint = Iterate.summarization(verts, "id", "v", edges, "s", "d", "ev")
     val sPlain = Iterate.summarization(verts, "id", "v", edges, "s", "d", "ev",
-      broadcastGroupThreshold = 0L)
+      broadcastGroupBytesThreshold = 0L)
     assert(!noHint(sHint) && noHint(sPlain))
     assert(sHint.collect().toSet == sPlain.collect().toSet)
   }
