@@ -611,10 +611,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(notStep.isEmpty && !skipPastLast && skipTo.isEmpty &&
       steps.forall(s => s.reps == 1 && !s.opt && !s.oneOrMore &&
         s.alts.isEmpty && s.group.isEmpty && s.innerGroup.isEmpty &&
-        s.runOn.isEmpty && !s.strict && s.until.isEmpty),
+        s.runOn.isEmpty && !s.strict && s.until.isEmpty &&
+        !s.anyBranch && !s.combinations),
       "detectWithTimeouts() supports linear plain followedBy patterns " +
         "(quantifiers/groups/runs/strict/negative steps and AFTER MATCH " +
-        "SKIP keep detect()'s match-only contract)")
+        "SKIP keep detect()'s match-only contract; the all-matches modes " +
+        "have no single stuck-prefix notion to time out)")
     val relaxed = new Pattern(steps.head +: steps.tail.map(_.copy(opt = true)),
       None, windowMs)
     val all = relaxed.detect(events, key, ts)

@@ -2022,12 +2022,25 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (k3, t3, "c") <- raw if k3 == k1 && t3 > t2 && t3 <= t1 + 60
     } yield (k1, at(t1), at(t2), at(t3))).toSet
     assert(got == want && want.size == 6, s"got $got\nwant $want")
+    // bind() payload columns flow through the chain compile
+    val withVals = Pattern.begin("a", $"event_type" === "a")
+      .followedByAny("b", $"event_type" === "b").bind("event_type")
+      .within(HOUR)
+      .detect(evs.withColumn("event_type", $"event_type"), $"user_id", $"ts")
+    assert(withVals.columns.contains("b_event_type") &&
+      withVals.select("b_event_type").collect().forall(_.getString(0) == "b"))
     // mixing first-match and all-match branching is a named rejection
     val e = intercept[IllegalArgumentException](
       Pattern.begin("a", $"event_type" === "a")
         .followedBy("b", $"event_type" === "b")
         .followedByAny("c", $"event_type" === "c"))
     assert(e.getMessage.contains("cannot mix"), e.getMessage)
+    // ...and detectWithTimeouts keeps its match-only contract
+    val eT = intercept[IllegalArgumentException](
+      Pattern.begin("a", $"event_type" === "a")
+        .followedByAny("b", $"event_type" === "b")
+        .within(HOUR).detectWithTimeouts(evs, $"user_id", $"ts"))
+    assert(eT.getMessage.contains("all-matches"), eT.getMessage)
     // so is composing with notFollowedBy / after-match skip
     val e2 = intercept[IllegalArgumentException](
       Pattern.begin("a", $"event_type" === "a")
