@@ -84,9 +84,7 @@ class FlinkDdlSqlParser(session: SparkSession, delegate: ParserInterface)
     } else if (FlinkDdl.isAlter(session, sqlText)) {
       val n = FlinkDdl.executeAlter(session, sqlText)
       s"SELECT '$n' AS altered_table"
-    } else GroupWindowSql.rewrite(LookupJoinSql.rewrite(
-      FlinkDdl.rewriteCreateView(FlinkDdl.rewriteCreateFunction(
-        FlinkDdl.rewriteDatabaseDdl(FlinkDdl.rejectUseCatalog(sqlText))))))
+    } else FlinkDdl.rewriteStatement(session, sqlText)
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(run(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -136,6 +134,20 @@ object FlinkDdl {
     * concurrently for a just-created session is never swept. */
   private def sweepDead(): Unit =
     declared.keySet.removeIf(k => !sessionIds.containsValue(k._1))
+
+  /** The ONE statement-rewrite chain both front-door paths share (the
+    * parser extension and `runScript`; `executeInsert` routes its inner
+    * SELECT through it too): USE CATALOG rejection → database DDL →
+    * CREATE FUNCTION → CREATE VIEW → lookup-join clause → group-window
+    * spellings. String-literal masking follows the session's actual
+    * escape semantics (`spark.sql.parser.escapedStringLiterals`). */
+  private[plans] def rewriteStatement(spark: SparkSession, stmt: String): String = {
+    val bs = !spark.conf.getOption("spark.sql.parser.escapedStringLiterals")
+      .contains("true")
+    GroupWindowSql.rewrite(LookupJoinSql.rewrite(
+      rewriteCreateView(rewriteCreateFunction(
+        rewriteDatabaseDdl(rejectUseCatalog(stmt)))), bs), bs)
+  }
 
   /** A Flink DDL statement = CREATE TABLE whose trailing options block is
     * the Flink-specific `WITH ('key' = 'value', …)` quoted-key form. */
@@ -248,7 +260,10 @@ object FlinkDdl {
     val (schema, opts, ddlText) = Option(declared.get(declKey(spark, name))).getOrElse(
       sys.error(s"INSERT INTO $name: not a DDL-declared table in this " +
         "session — declare the sink with CREATE TABLE … WITH (…) first"))
-    val selected = spark.sql(m.group(2).trim.stripSuffix(";"))
+    // the inner SELECT goes through the SAME rewrite chain as a standalone
+    // statement — group windows and lookup-join spellings work inside
+    // INSERT INTO on every path, parser extension or runScript
+    val selected = spark.sql(rewriteStatement(spark, m.group(2).trim.stripSuffix(";")))
     require(selected.columns.length == schema.length,
       s"INSERT INTO $name: query has ${selected.columns.length} columns, " +
         s"table declares ${schema.length} (alignment is by position)")
@@ -449,9 +464,7 @@ object FlinkDdl {
         val n = executeDrop(spark, stmt); spark.sql(s"SELECT '$n' AS dropped_table")
       } else if (isAlter(spark, stmt)) {
         val n = executeAlter(spark, stmt); spark.sql(s"SELECT '$n' AS altered_table")
-      } else spark.sql(GroupWindowSql.rewrite(LookupJoinSql.rewrite(
-        rewriteCreateView(rewriteCreateFunction(
-          rewriteDatabaseDdl(rejectUseCatalog(stmt)))))))
+      } else spark.sql(rewriteStatement(spark, stmt))
     }
   }
 

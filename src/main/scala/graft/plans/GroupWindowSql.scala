@@ -60,14 +60,18 @@ object GroupWindowSql {
     s"$n ${unit.toLowerCase.stripSuffix("s")}s"
 
   /** position → inside a single-quoted SQL string literal ('' escapes;
-    * backslash escapes too — Spark's default parser accepts `\'` inside a
-    * literal, and treating it as the closing quote would flip the mask
-    * mid-literal and let the rewrite corrupt the statement). */
-  private[plans] def literalMask(s: String): Array[Boolean] = {
+    * backslash escapes too when `backslashEscapes` — Spark's DEFAULT
+    * parser accepts `\'` inside a literal, and treating it as the closing
+    * quote would flip the mask mid-literal and let the rewrite corrupt
+    * the statement. Under the legacy
+    * `spark.sql.parser.escapedStringLiterals=true` config backslash is a
+    * plain character — pass `backslashEscapes = false` there (FlinkDdl
+    * reads the session conf). */
+  private[plans] def literalMask(s: String, backslashEscapes: Boolean = true): Array[Boolean] = {
     val mask = new Array[Boolean](s.length)
     var i = 0; var in = false
     while (i < s.length) {
-      if (in && s.charAt(i) == '\\' && i + 1 < s.length) {
+      if (backslashEscapes && in && s.charAt(i) == '\\' && i + 1 < s.length) {
         mask(i) = true; mask(i + 1) = true; i += 2
       } else if (s.charAt(i) == '\'') {
         if (in && i + 1 < s.length && s.charAt(i + 1) == '\'') {
@@ -78,14 +82,17 @@ object GroupWindowSql {
     mask
   }
 
-  private def matchesOutside(rx: Regex, s: String): List[Regex.Match] = {
-    val mask = literalMask(s)
+  private def matchesOutside(rx: Regex, s: String,
+                             backslashEscapes: Boolean = true): List[Regex.Match] = {
+    val mask = literalMask(s, backslashEscapes)
     rx.findAllMatchIn(s).filterNot(m => mask(m.start)).toList
   }
 
   /** replaceAllIn, skipping matches that start inside a string literal. */
-  private[plans] def replaceOutside(rx: Regex, s: String)(f: Regex.Match => String): String = {
-    val mask = literalMask(s)
+  private[plans] def replaceOutside(rx: Regex, s: String,
+                                    backslashEscapes: Boolean = true)(
+      f: Regex.Match => String): String = {
+    val mask = literalMask(s, backslashEscapes)
     rx.replaceAllIn(s, m =>
       Regex.quoteReplacement(if (mask(m.start)) m.matched else f(m)))
   }
@@ -96,8 +103,8 @@ object GroupWindowSql {
     * rewrite maps it to `window.start/end` of the GROUP BY's window, so a
     * silent mismatch would return the wrong window's bound (Flink's
     * validator rejects the same mismatch). */
-  def rewrite(sql: String): String = {
-    matchesOutside(ProctimeRx, sql).headOption.foreach { m =>
+  def rewrite(sql: String, backslashEscapes: Boolean = true): String = {
+    matchesOutside(ProctimeRx, sql, backslashEscapes).headOption.foreach { m =>
       sys.error(s"${m.group(1)}_PROCTIME() re-exports a PROCESSING-time " +
         "attribute, which has no deterministic value — use the rowtime " +
         "auxiliary (mapped to window.end - 1ms) or an explicit timestamp")
@@ -114,16 +121,16 @@ object GroupWindowSql {
     def sig2(kind: String, arg: String, n1: String, u1: String, n2: String, u2: String) =
       (arg.toLowerCase, s"$kind ${dur(n1, u1)} ${dur(n2, u2)}")
     val winSigs =
-      matchesOutside(TumbleRx, sql).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))) ++
-        matchesOutside(HopRx, sql).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))) ++
-        matchesOutside(SessionRx, sql).map(m => sig1("session", m.group(1), m.group(2), m.group(3)))
+      matchesOutside(TumbleRx, sql, backslashEscapes).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))) ++
+        matchesOutside(HopRx, sql, backslashEscapes).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))) ++
+        matchesOutside(SessionRx, sql, backslashEscapes).map(m => sig1("session", m.group(1), m.group(2), m.group(3)))
     val auxSigs =
-      matchesOutside(TumbleAuxRx, sql).map(m => sig1("tumble", m.group(2), m.group(3), m.group(4))) ++
-        matchesOutside(HopAuxRx, sql).map(m => sig2("hop", m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))) ++
-        matchesOutside(SessionAuxRx, sql).map(m => sig1("session", m.group(2), m.group(3), m.group(4))) ++
-        matchesOutside(TumbleRowtimeRx, sql).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))) ++
-        matchesOutside(HopRowtimeRx, sql).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))) ++
-        matchesOutside(SessionRowtimeRx, sql).map(m => sig1("session", m.group(1), m.group(2), m.group(3)))
+      matchesOutside(TumbleAuxRx, sql, backslashEscapes).map(m => sig1("tumble", m.group(2), m.group(3), m.group(4))) ++
+        matchesOutside(HopAuxRx, sql, backslashEscapes).map(m => sig2("hop", m.group(2), m.group(3), m.group(4), m.group(5), m.group(6))) ++
+        matchesOutside(SessionAuxRx, sql, backslashEscapes).map(m => sig1("session", m.group(2), m.group(3), m.group(4))) ++
+        matchesOutside(TumbleRowtimeRx, sql, backslashEscapes).map(m => sig1("tumble", m.group(1), m.group(2), m.group(3))) ++
+        matchesOutside(HopRowtimeRx, sql, backslashEscapes).map(m => sig2("hop", m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))) ++
+        matchesOutside(SessionRowtimeRx, sql, backslashEscapes).map(m => sig1("session", m.group(1), m.group(2), m.group(3)))
     def argsAgree(a: String, w: String): Boolean =
       a == w ||
         (!a.contains('.') && w.split('.').last == a) ||
@@ -137,18 +144,18 @@ object GroupWindowSql {
         "repeat the GROUP BY window's exact arguments (Flink validates the " +
         "same way)")
     var out = sql
-    out = replaceOutside(TumbleRowtimeRx, out)(_ => "(window.end - INTERVAL '0.001' SECOND)")
-    out = replaceOutside(HopRowtimeRx, out)(_ => "(window.end - INTERVAL '0.001' SECOND)")
-    out = replaceOutside(SessionRowtimeRx, out)(_ => "(session_window.end - INTERVAL '0.001' SECOND)")
-    out = replaceOutside(TumbleAuxRx, out)(m => s"window.${m.group(1).toLowerCase}")
-    out = replaceOutside(HopAuxRx, out)(m => s"window.${m.group(1).toLowerCase}")
-    out = replaceOutside(SessionAuxRx, out)(m => s"session_window.${m.group(1).toLowerCase}")
-    out = replaceOutside(TumbleRx, out)(m =>
+    out = replaceOutside(TumbleRowtimeRx, out, backslashEscapes)(_ => "(window.end - INTERVAL '0.001' SECOND)")
+    out = replaceOutside(HopRowtimeRx, out, backslashEscapes)(_ => "(window.end - INTERVAL '0.001' SECOND)")
+    out = replaceOutside(SessionRowtimeRx, out, backslashEscapes)(_ => "(session_window.end - INTERVAL '0.001' SECOND)")
+    out = replaceOutside(TumbleAuxRx, out, backslashEscapes)(m => s"window.${m.group(1).toLowerCase}")
+    out = replaceOutside(HopAuxRx, out, backslashEscapes)(m => s"window.${m.group(1).toLowerCase}")
+    out = replaceOutside(SessionAuxRx, out, backslashEscapes)(m => s"session_window.${m.group(1).toLowerCase}")
+    out = replaceOutside(TumbleRx, out, backslashEscapes)(m =>
       s"window(${m.group(1)}, '${dur(m.group(2), m.group(3))}')")
     // Flink HOP args are (slide, size); Spark window args are (size, slide)
-    out = replaceOutside(HopRx, out)(m =>
+    out = replaceOutside(HopRx, out, backslashEscapes)(m =>
       s"window(${m.group(1)}, '${dur(m.group(4), m.group(5))}', '${dur(m.group(2), m.group(3))}')")
-    out = replaceOutside(SessionRx, out)(m =>
+    out = replaceOutside(SessionRx, out, backslashEscapes)(m =>
       s"session_window(${m.group(1)}, '${dur(m.group(2), m.group(3))}')")
     out
   }

@@ -432,6 +432,17 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
       """SELECT o.cur FROM lk_orders o JOIN fx_rates r
         |FOR SYSTEM_TIME AS OF o.rowtime ON o.cur = r.cur""".stripMargin))
     assert(e3.getMessage.contains("temporalJoin"), e3.getMessage)
+    // Spark's OWN SQL:2011 time travel passes through UNTOUCHED (only
+    // proctime/rowtime ATTRIBUTES are the Flink lookup spelling)
+    import graft.plans.LookupJoinSql
+    val tt = "SELECT * FROM delta_tbl FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-01 00:00:00'"
+    assert(LookupJoinSql.rewrite(tt) == tt)
+    val tv = "SELECT * FROM delta_tbl FOR SYSTEM_TIME AS OF 1548751078"
+    assert(LookupJoinSql.rewrite(tv) == tv)
+    // the direct PROCTIME() operand strips CLEANLY (no dangling parens)
+    val pc = LookupJoinSql.rewrite(
+      "SELECT 1 FROM a JOIN b FOR SYSTEM_TIME AS OF PROCTIME() ON a.k = b.k")
+    assert(!pc.contains("SYSTEM_TIME") && !pc.contains("()"), pc)
   }
 
   test("named rejections: kafka, enforced key, metadata, TIME type") {
