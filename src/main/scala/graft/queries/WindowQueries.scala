@@ -2391,6 +2391,44 @@ object WindowQueries {
       |WHERE s.event_type = 'signup' AND c.event_type = 'click'
       |  AND p.event_type = 'purchase'""".stripMargin
 
+  // --- w28: ALL-COMBINATIONS CEP runs (flink-cep oneOrMore().
+  // allowCombinations(), Pattern.java:441: every non-empty ordered subset
+  // of the in-window run members is its own match). The oracle replays the
+  // SAME bitmask-subset expansion in DuckDB (generate_series over
+  // 2^m − 1 + list_filter by bit — DuckDB's lambda index is 1-based where
+  // Spark's is 0-based; both walk the sorted member list, so subset k is
+  // identical). 12-hour window keeps m ≤ 3 on this corpus — the subset
+  // blow-up is the SEMANTICS, bounded here by data, in production by the
+  // engine's maxCombinationMembers cap.
+  private val w28: Q = (s, dir) => {
+    graft.cep.Pattern.begin("s", col("event_type") === "signup")
+      .followedBy("p", col("event_type") === "purchase").oneOrMore()
+      .allowCombinations()
+      .within(12L * 3600 * 1000)
+      .detect(ev(s, dir), col("user_id"), col("ts"))
+      .select(col("key").as("user_id"), col("s_ts"),
+        col("p_n"), col("p_first_ts"), col("p_last_ts"))
+  }
+  private val w28Sql =
+    """WITH anchors AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS s_ts
+      |                 FROM events WHERE event_type = 'signup'),
+      |mem AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      |        FROM events WHERE event_type = 'purchase'),
+      |l AS (SELECT a.user_id, a.s_ts, list(m.ts ORDER BY m.ts) AS ms
+      |      FROM anchors a JOIN mem m ON m.user_id = a.user_id
+      |        AND m.ts > a.s_ts AND m.ts <= a.s_ts + INTERVAL 12 HOURS
+      |      GROUP BY 1, 2),
+      |e AS (SELECT user_id, s_ts, ms,
+      |             unnest(generate_series(1, (1::BIGINT << len(ms)) - 1)) AS mask
+      |      FROM l),
+      |sel AS (SELECT user_id, s_ts,
+      |               list_filter(ms, (x, i) ->
+      |                 ((mask // (1::BIGINT << (i - 1))) % 2) = 1) AS sub
+      |        FROM e)
+      |SELECT user_id, s_ts, len(sub) AS p_n,
+      |       sub[1] AS p_first_ts, sub[-1] AS p_last_ts
+      |FROM sel""".stripMargin
+
   // --- w25: CASCADING window re-aggregation (the Flink "cascading window
   // aggregation" pattern — flink-docs window-agg section; coarse windows
   // re-aggregate fine PARTIALS instead of rescanning facts): hourly tumble
@@ -2422,7 +2460,7 @@ object WindowQueries {
 
   val queries: Map[String, Q] = Map(
     "w25_cascading_windows" -> w25, "w26_cep_timeout" -> w26,
-    "w27_cep_followed_by_any" -> w27,
+    "w27_cep_followed_by_any" -> w27, "w28_cep_combinations" -> w28,
     "w17_time_evictor" -> w17, "w18_count_evictor" -> w18, "w19_cep_alternation" -> w19,
     "w20_sliding_count_window" -> w20, "w21_cep_strict" -> w21,
     "w22_cep_consecutive" -> w22, "w23_delta_evictor" -> w23,
@@ -2480,5 +2518,6 @@ object WindowQueries {
     "m31_all_rows_two_runs" -> m31Sql, "m32_all_rows_group_run" -> m32Sql,
     "m33_nested_group" -> m33Sql, "m34_all_rows_nested" -> m34Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
-    "w27_cep_followed_by_any" -> w27Sql)
+    "w27_cep_followed_by_any" -> w27Sql,
+    "w28_cep_combinations" -> w28Sql)
 }
