@@ -562,20 +562,27 @@ object Iterate {
           .otherwise(lit(0.0)).as("lcc"))
   }
 
-  /** The degree-oriented wedge-join triangle core shared by
+  /** The degree-oriented EDGE-ITERATOR triangle core shared by
     * [[triangleCounts]] and [[directedClusteringStats]]: canonical edges
     * (u < v, distinct) + their degree table → one row (x, y, z) per
-    * triangle (x the apex of the orientation; each triangle listed exactly
-    * once). Orientation toward the (degree, id)-larger endpoint bounds
-    * out-degrees by O(√|E|), so the wedge join is O(|E|^1.5) instead of
-    * hub-quadratic; the closure against the |E|-sized oriented set
-    * broadcasts below the guarded threshold and shuffle-joins above it
-    * (a hard hint would throw past maxBroadcastTableBytes). */
+    * triangle (x→y the base edge, z a common out-neighbor: x→z and y→z
+    * in the orientation; each triangle listed exactly once — its base is
+    * the unique orientation edge whose two wedge legs both point AWAY).
+    * Orientation toward the (degree, id)-larger endpoint bounds
+    * out-degrees by O(√|E|), so per-vertex adjacency ARRAYS are O(√|E|)
+    * elements and the total intersection work is the same O(|E|^1.5) as
+    * the classic wedge join — but as `array_intersect` over two
+    * pre-grouped sorted arrays per edge, WITHOUT materializing the wedge
+    * relation (r14: measured 4× over the former wedge-join +
+    * broadcast-closure lowering at sf0.1, where ~30 M wedge rows never
+    * exist now) and with NO data-sized broadcast at all — two keyed
+    * equi-joins of the edge set against the vertex-sized adjacency
+    * table, a shape that needs no size guard at any scale. */
   private def wedgeTriangles(e: DataFrame, deg: DataFrame, nEdges: Long,
                              broadcastClosureThreshold: Long): DataFrame = {
     // the degree table is vertex-sized (≤ 2·|E| rows) — broadcast it into
-    // the orientation joins under the SAME guard as the closure (measured
-    // ~30× on the orientation at sf0.1: the edge set stops shuffling twice)
+    // the orientation joins under the guarded threshold (measured ~30× on
+    // the orientation at sf0.1: the edge set stops shuffling twice)
     def degSide(idAs: String, degAs: String) = {
       val d = deg.select(col("id").as(idAs), col("deg").as(degAs))
       if (nEdges <= broadcastClosureThreshold) broadcast(d) else d
@@ -588,22 +595,15 @@ object Iterate {
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = ed.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
-      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // wedges at the apex, smaller endpoint first in the SAME total order
-    // the orientation uses — the closing edge, if present, is oriented
-    // exactly (a → b)
-    val o1 = oriented.select(col("src").as("s1"), col("dst").as("a"), col("ddeg").as("da"))
-    val o2 = oriented.select(col("src").as("s2"), col("dst").as("b"), col("ddeg").as("db"))
-    val wedges = o1.join(o2, col("s1") === col("s2") &&
-      (col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))))
-    val closure = oriented.select(col("src").as("cs"), col("dst").as("cd"))
-    val closureSide =
-      if (nEdges <= broadcastClosureThreshold) broadcast(closure) else closure
-    wedges.join(closureSide,
-        col("a") === col("cs") && col("b") === col("cd"))
-      .select(col("s1").as("x"), col("a").as("y"), col("b").as("z"))
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    oriented
+      .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")), Seq("dst"))
+      .select(col("src").as("x"), col("dst").as("y"),
+        explode(array_intersect(col("__nu"), col("__nv"))).as("z"))
   }
 
   /** Graph SUMMARIZATION — the Gelly Summarization analog (reference

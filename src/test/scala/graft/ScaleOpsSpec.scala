@@ -183,10 +183,14 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
       broadcastClosureThreshold = 0L)
     assert(!big.queryExecution.analyzed.toString.contains("ResolvedHint"))
     assert(!big.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
-    // …and the guarded hint IS applied below the threshold (the fast path)
-    val hinted = Iterate.triangleCounts(edges, "src", "dst")
-    assert(hinted.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
     val out = big.as[(Long, Long, Long, Double)].collect().toSet
+    // …and the guarded hint IS applied below the threshold (the fast path).
+    // The r14 triangle core puts the guarded hints BELOW the persisted
+    // orientation, so the optimized plan shows an InMemoryRelation where
+    // the hint lives — assert on the ANALYZED plan, which is taken before
+    // cache substitution and shows the raw hinted subtree
+    val hinted = Iterate.triangleCounts(edges, "src", "dst")
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
     assert(out == Set(
       (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0), (3L, 3L, 1L, 0.333333),
       (4L, 2L, 0L, 0.0), (5L, 1L, 0L, 0.0)), out.toString)
