@@ -40,8 +40,26 @@ import org.apache.spark.sql.types._
   * :259 fixed → its bytes). Both are READ-side widenings: the write path
   * generates schemas from Spark types, which have no enum/fixed, so a
   * round-tripped enum comes back as a plain string column (lossy by type,
-  * never by value). Unions of several non-null branches remain rejected
-  * loudly (no Spark analog). */
+  * never by value).
+  *
+  * LOGICAL types follow AvroSchemaConverter.java:118-148 — `decimal` on
+  * bytes OR fixed → DecimalType(precision, scale) (value decode is the
+  * reference's convertToDecimal: `new BigDecimal(new BigInteger(bytes),
+  * scale)`), `date` on int → DateType (epoch-day, the reference's
+  * Calcite-adopted local-date), `timestamp-millis` on long →
+  * TimestampType (the reference's only timestamp logical; our
+  * `timestamp-micros` support is a widening — both map to TimestampType
+  * and the decoder picks the unit from the field's Avro schema). Spark
+  * keeps timestamps as instants where the reference shifts into JVM-local
+  * wall time for its SQL_TIMESTAMP — same point on the time line, session
+  * timezone applies at display. `time-millis` is a NAMED rejection: Spark
+  * has no TIME-of-day type (the reference maps it to SQL_TIME). DateType
+  * and DecimalType write back as `date`-logical int / `decimal`-logical
+  * bytes; decimal into a FIXED field is a named write-side rejection
+  * (size-padding convention is the user's call, not ours). Unions of
+  * several non-null branches remain rejected loudly (the reference drops
+  * them to Kryo GENERIC — no relational analog there either,
+  * AvroSchemaConverter.java:113-115). */
 object Avro {
 
   /** Avro schema → Spark schema. Fields may be primitive, nested record /
@@ -62,14 +80,24 @@ object Avro {
 
   private def sparkType(s: Schema): DataType = s.getType match {
     case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.INT     => IntegerType
+    case Schema.Type.INT =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) DateType
+      else if (s.getLogicalType.isInstanceOf[LogicalTypes.TimeMillis])
+        sys.error("avro time-millis has no Spark analog (no TIME-of-day " +
+          "type; the reference maps it to SQL_TIME) — store it as a plain " +
+          "int of millis-since-midnight")
+      else IntegerType
     case Schema.Type.LONG =>
-      if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros]) TimestampType
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros] ||
+          s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis]) TimestampType
       else LongType
     case Schema.Type.FLOAT   => FloatType
     case Schema.Type.DOUBLE  => DoubleType
     case Schema.Type.STRING  => StringType
-    case Schema.Type.BYTES   => BinaryType
+    case Schema.Type.BYTES   => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType
+    }
     case Schema.Type.RECORD =>
       StructType(s.getFields.asScala.toSeq.map { f =>
         val (ft, nullable) = unwrap(f.schema())
@@ -82,7 +110,10 @@ object Avro {
       val (vt, n) = unwrap(s.getValueType)
       MapType(StringType, sparkType(vt), valueContainsNull = n)
     case Schema.Type.ENUM  => StringType // the symbol name, as the reference decodes
-    case Schema.Type.FIXED => BinaryType // the raw bytes, as the reference decodes
+    case Schema.Type.FIXED => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType // the raw bytes, as the reference decodes
+    }
     case t => sys.error(s"unsupported avro type $t (multi-branch " +
       "unions have no Spark analog)")
   }
@@ -107,6 +138,11 @@ object Avro {
     case BinaryType  => Schema.create(Schema.Type.BYTES)
     case TimestampType =>
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case dt: DecimalType =>
+      LogicalTypes.decimal(dt.precision, dt.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case st: StructType =>
       val fields = SchemaBuilder.record(path).namespace("graft").fields()
       st.fields.foldLeft(fields) { (fb, f) =>
@@ -144,27 +180,45 @@ object Avro {
       if (reader.getSchema.toString != schemaJson)
         sys.error(s"avro schema mismatch in $path: file header schema " +
           s"${reader.getSchema} differs from the directory schema $schemaJson")
+      val fieldSchemas = reader.getSchema.getFields.asScala.toIndexedSeq
+        .map(f => unwrap(f.schema())._1)
       new Iterator[Row] {
         def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
         def next(): Row = {
           val rec = reader.next()
-          Row.fromSeq(tz.indices.map(i => fromAvro(rec.get(i), tz(i))))
+          Row.fromSeq(tz.indices.map(i => fromAvro(rec.get(i), tz(i), fieldSchemas(i))))
         }
       }
     }
     spark.createDataFrame(rdd, st)
   }
 
-  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+  /** Avro value → external Row value. `s` is the field's Avro schema with
+    * any nullable union already unwrapped — the Spark type alone cannot
+    * distinguish timestamp-millis from -micros (both TimestampType), so
+    * the unit comes from the schema's logical type. */
+  private def fromAvro(v: Any, dt: DataType, s: Schema): Any = (v, dt) match {
     case (null, _) => null
     case (u: org.apache.avro.util.Utf8, StringType) => u.toString
     case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) =>
       e.toString // enum → its symbol name (reference :224)
     case (s: CharSequence, StringType) => s.toString
+    case (f: org.apache.avro.generic.GenericFixed, _: DecimalType) =>
+      decodeDecimal(f.bytes(), s) // reference convertToDecimal on fixed
     case (f: org.apache.avro.generic.GenericFixed, BinaryType) =>
       f.bytes().clone() // fixed → raw bytes (reference :259); clone — avro reuses buffers
+    case (b: ByteBuffer, _: DecimalType) =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+      decodeDecimal(a, s) // reference convertToDecimal on bytes
     case (b: ByteBuffer, BinaryType) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case (days: java.lang.Integer, DateType) =>
+      // epoch-day → the same calendar date the reference's Calcite-adopted
+      // local-tz shift lands on (convertToDate)
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue()))
+    case (t: java.lang.Long, TimestampType)
+        if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis] =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(t))
     case (micros: java.lang.Long, TimestampType) =>
       // split micros into (seconds, nanos-of-second) — `micros * 1000`
       // nanoseconds overflows Long past ~year 2262 / before ~1677
@@ -172,13 +226,19 @@ object Avro {
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
     case (rec: GenericRecord, st: StructType) =>
       Row.fromSeq(st.fields.zipWithIndex.map { case (f, i) =>
-        fromAvro(rec.get(i), f.dataType) })
+        fromAvro(rec.get(i), f.dataType, unwrap(s.getFields.get(i).schema())._1) })
     case (c: java.util.Collection[_], ArrayType(et, _)) =>
-      c.asScala.toSeq.map(fromAvro(_, et))
+      val es = unwrap(s.getElementType)._1
+      c.asScala.toSeq.map(fromAvro(_, et, es))
     case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
-      m.asScala.map { case (k, x) => k.toString -> fromAvro(x, vt) }.toMap
+      val vs = unwrap(s.getValueType)._1
+      m.asScala.map { case (k, x) => k.toString -> fromAvro(x, vt, vs) }.toMap
     case (x, _) => x
   }
+
+  private def decodeDecimal(bytes: Array[Byte], s: Schema): java.math.BigDecimal =
+    new java.math.BigDecimal(new java.math.BigInteger(bytes),
+      s.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale)
 
   /** Write `df` as Avro container files under `dir` through the Hadoop
     * committer (`AvroOutputFormat`) — correct on a real cluster, not just
@@ -271,6 +331,17 @@ object Avro {
         case (b: Array[Byte], _) => ByteBuffer.wrap(b)
         case (t: java.sql.Timestamp, _) =>
           t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        case (d: java.sql.Date, _) =>
+          Math.toIntExact(d.toLocalDate.toEpochDay) // date logical: epoch days
+        case (bd: java.math.BigDecimal, Schema.Type.BYTES) =>
+          // decimal logical on bytes: two's-complement unscaled value at the
+          // SCHEMA's scale (the frame's DecimalType scale by construction)
+          val scale = base.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
+          ByteBuffer.wrap(bd.setScale(scale).unscaledValue().toByteArray)
+        case (_: java.math.BigDecimal, Schema.Type.FIXED) => sys.error(
+          "decimal into a FIXED field is not supported on the write side " +
+            "(pick the bytes spelling; fixed-size sign-extension padding is " +
+            "a corpus convention, not ours) — reads of fixed+decimal work")
         case (x, _) => x
       }
     }
@@ -328,6 +399,8 @@ object Avro {
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
+      val fieldSchemas = schema.getFields.asScala.toIndexedSeq
+        .map(f => unwrap(f.schema())._1)
       val reader = new GenericDatumReader[GenericRecord](schema)
       var decoder: org.apache.avro.io.BinaryDecoder = null
       var rec: GenericRecord = null
@@ -336,7 +409,8 @@ object Avro {
           .binaryDecoder(r.getAs[Array[Byte]](vIdx), decoder)
         rec = reader.read(rec, decoder)
         Row.fromSeq(keepIdx.map(r.get) ++
-          payload.fields.zipWithIndex.map { case (f, i) => fromAvro(rec.get(i), f.dataType) })
+          payload.fields.zipWithIndex.map { case (f, i) =>
+            fromAvro(rec.get(i), f.dataType, fieldSchemas(i)) })
       }
     }
   }

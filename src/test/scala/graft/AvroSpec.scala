@@ -235,4 +235,131 @@ class AvroSpec extends AnyFunSuite with SparkTest {
         badSchema.toString))
     assert(eShape.getMessage.contains("schema mismatch"), eShape.getMessage)
   }
+
+  test("LOGICAL types decode as the reference converts them: date, " +
+       "timestamp-millis, decimal on bytes AND fixed " +
+       "(AvroSchemaConverter.java:118-148, convertToDecimal/convertToDate)") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.types._
+    val dateS = LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    val tsmS = LogicalTypes.timestampMillis().addToSchema(Schema.create(Schema.Type.LONG))
+    val decB = LogicalTypes.decimal(10, 2).addToSchema(Schema.create(Schema.Type.BYTES))
+    val decF = LogicalTypes.decimal(12, 3)
+      .addToSchema(Schema.createFixed("Amount", null, "t", 6))
+    val schema: Schema = SchemaBuilder.record("lt").namespace("t").fields()
+      .requiredLong("id")
+      .name("d").`type`(dateS).noDefault()
+      .name("maybe_d").`type`(Schema.createUnion(
+        Schema.create(Schema.Type.NULL), dateS)).withDefault(null)
+      .name("tsm").`type`(tsmS).noDefault()
+      .name("price").`type`(decB).noDefault()
+      .name("amount").`type`(decF).noDefault()
+      .endRecord()
+    def fixedBytes(bd: java.math.BigDecimal, size: Int): Array[Byte] = {
+      val raw = bd.unscaledValue().toByteArray
+      val out = Array.fill[Byte](size)(if (bd.signum() < 0) -1 else 0)
+      System.arraycopy(raw, 0, out, size - raw.length, raw.length)
+      out
+    }
+    val dir = Files.createTempDirectory("graft_avro_lt").toFile
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "lt.avro"))
+    def rec(id: Long, days: Int, maybe: Option[Int], millis: Long,
+            price: java.math.BigDecimal, amount: java.math.BigDecimal) = {
+      val r = new GenericData.Record(schema)
+      r.put("id", id); r.put("d", days)
+      r.put("maybe_d", maybe.map(Int.box).orNull)
+      r.put("tsm", millis)
+      r.put("price", java.nio.ByteBuffer.wrap(price.unscaledValue().toByteArray))
+      r.put("amount", new GenericData.Fixed(decF, fixedBytes(amount, 6)))
+      r
+    }
+    // 2024-03-01 = epoch day 19783; millis chosen on an exact millisecond
+    w.append(rec(1L, 19783, Some(0), 1709294096123L,
+      new java.math.BigDecimal("12345678.90"), new java.math.BigDecimal("-1.500")))
+    w.append(rec(2L, -1, None, 0L,
+      new java.math.BigDecimal("-0.01"), new java.math.BigDecimal("123456789.375")))
+    w.close()
+    val df = Avro.read(spark, dir.getAbsolutePath)
+    val st = df.schema
+    assert(st("d").dataType == DateType)
+    assert(st("maybe_d").dataType == DateType && st("maybe_d").nullable)
+    assert(st("tsm").dataType == TimestampType)
+    assert(st("price").dataType == DecimalType(10, 2))
+    assert(st("amount").dataType == DecimalType(12, 3))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getDate(1).toString).toSeq == Seq("2024-03-01", "1969-12-31"))
+    assert(rows(0).getDate(2).toString == "1970-01-01" && rows(1).isNullAt(2))
+    assert(rows.map(_.getTimestamp(3).getTime).toSeq == Seq(1709294096123L, 0L))
+    assert(rows.map(r => r.getDecimal(4).toPlainString).toSeq ==
+      Seq("12345678.90", "-0.01"))
+    assert(rows.map(r => r.getDecimal(5).toPlainString).toSeq ==
+      Seq("-1.500", "123456789.375"))
+    // SQL over the decoded frame: exact decimal arithmetic, date functions
+    df.createOrReplaceTempView("avro_lt")
+    assert(spark.sql("SELECT CAST(sum(price) AS STRING) FROM avro_lt")
+      .head().getString(0) == "12345678.89")
+    assert(spark.sql(
+      "SELECT count(*) FROM avro_lt WHERE year(d) = 2024").head().getLong(0) == 1L)
+  }
+
+  test("DateType and DecimalType columns roundtrip through the generated " +
+       "write schema (date-logical int / decimal-logical bytes)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_avro").toString + "/lt_rt"
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType), StructField("v", DecimalType(14, 4))))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, java.sql.Date.valueOf("2024-02-29"),
+        new java.math.BigDecimal("9999999999.0001")),
+      org.apache.spark.sql.Row(2L, java.sql.Date.valueOf("1964-07-02"),
+        new java.math.BigDecimal("-0.1000")),
+      org.apache.spark.sql.Row(3L, null, null))
+    val df = spark.createDataFrame(rows, st)
+    Avro.write(df, dir)
+    val back = Avro.read(spark, dir)
+    assert(back.schema("d").dataType == DateType &&
+      back.schema("v").dataType == DecimalType(14, 4))
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.getDate(1)).map(_.toString),
+        Option(r.getDecimal(2)).map(_.toPlainString))
+    assert(back.collect().map(canon).toSet == df.collect().map(canon).toSet)
+    // the written header carries the logical types, not plain int/bytes
+    val headerStream = new org.apache.avro.file.DataFileStream[
+        org.apache.avro.generic.GenericRecord](
+      new java.io.FileInputStream(new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".avro")).head),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val written = try headerStream.getSchema finally headerStream.close()
+    def logical(f: String) = written.getField(f).schema().getTypes.get(1).getLogicalType
+    assert(logical("d").isInstanceOf[org.apache.avro.LogicalTypes.Date])
+    assert(logical("v").isInstanceOf[org.apache.avro.LogicalTypes.Decimal])
+  }
+
+  test("time-millis and decimal-into-FIXED writes are NAMED rejections") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    val timeS = LogicalTypes.timeMillis().addToSchema(Schema.create(Schema.Type.INT))
+    val s = SchemaBuilder.record("tm").namespace("t").fields()
+      .name("t").`type`(timeS).noDefault().endRecord()
+    val e = intercept[RuntimeException](Avro.toStructType(s))
+    assert(e.getMessage.contains("time-millis"), e.getMessage)
+    // decimal targeting a fixed field: read works (prior test), write is named
+    val decF = LogicalTypes.decimal(12, 3)
+      .addToSchema(Schema.createFixed("Amt2", null, "t", 6))
+    val fs = SchemaBuilder.record("fx").namespace("t").fields()
+      .requiredLong("id").name("amount").`type`(decF).noDefault().endRecord()
+    import spark.implicits._
+    val df = Seq((1L, BigDecimal("1.500"))).toDF("id", "amount")
+      .select($"id", $"amount".cast(org.apache.spark.sql.types.DecimalType(12, 3))
+        .as("amount"))
+    val eW = intercept[Exception](Avro.writeAs(df,
+      Files.createTempDirectory("graft_avro").toString + "/fx", fs.toString))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eW).exists(_.contains("FIXED field is not supported")), eW.toString)
+  }
 }
