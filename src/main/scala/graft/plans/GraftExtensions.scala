@@ -40,6 +40,11 @@ object GraftExtensions {
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[graft.functions.SortedIntersectPacked].getName,
+        "graft_sorted_intersect"),
+      sortedIntersect _))
     ext.injectTableFunction((
       new FunctionIdentifier("graph_pagerank"),
       new ExpressionInfo("graft", "graph_pagerank"),
@@ -76,12 +81,30 @@ object GraftExtensions {
     org.apache.spark.sql.graftbridge.ColumnBridge.logicalPlan(ranked)
   }
 
+  /** `graft_sorted_intersect(a, b[, flagBits])` — the codegen'd merge
+    * intersection of two sorted `array<bigint>` columns
+    * ([[graft.functions.SortedIntersectPacked]]); `flagBits` (a literal,
+    * default 0) carries each element's low bits through a key match. */
+  private def sortedIntersect(children: Seq[Expression]): Expression = {
+    require(children.length == 2 || children.length == 3,
+      "graft_sorted_intersect(a, b[, flagBits])")
+    val bits =
+      if (children.length == 2) 0
+      else children(2).eval() match {
+        case n: Number => n.intValue()
+        case _ => sys.error("graft_sorted_intersect flagBits must be an int literal")
+      }
+    graft.functions.SortedIntersectPacked(children(0), children(1), bits)
+  }
+
   /** Install onto an already-running session (extensions normally bind at
     * construction): function via the registry, rule via the public
     * `experimental.extraOptimizations` hook. */
   def installInto(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(spark, "array_dot",
       children => ArrayDotProduct(children(0), children(1)))
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "graft_sorted_intersect", sortedIntersect _)
     org.apache.spark.sql.graftbridge.ColumnBridge.registerTableFunction(
       spark, "graph_pagerank", pageRankPlan _)
     if (!spark.experimental.extraOptimizations.contains(DotProductFusion))
