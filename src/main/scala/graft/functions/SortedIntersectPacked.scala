@@ -21,18 +21,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * needs it (this), UDF never.
   *
   * Element encoding: each element is `(key << flagBits) | flags` with
-  * `0 ≤ flags < 2^flagBits` and keys NONNEGATIVE and STRICTLY INCREASING
-  * within each array (distinct adjacency guarantees this). Elements match
+  * `0 ≤ flags < 2^flagBits` and keys STRICTLY INCREASING within each
+  * array (distinct adjacency guarantees this; keys may be negative — the
+  * walk extracts them with ARITHMETIC shifts, so signed packed order is
+  * signed key order, exactly what `sort_array` produced). Elements match
   * on `key`; each match emits `(key << 2·flagBits) | (leftFlags <<
   * flagBits) | rightFlags` — so with `flagBits = 0` this is exactly the
   * sorted distinct intersection, and with `flagBits = 2` the directed
   * census reads BOTH pairs' direction flags out of the one intersection
-  * (keys must stay below 2^(62 − 2·flagBits); vertex ids are nowhere near).
+  * (|key| must stay below 2^(61 − 2·flagBits); vertex ids are nowhere
+  * near).
   *
   * Nulls: a null array yields null (null-intolerant binary expression);
   * null ELEMENTS cannot occur in `sort_array(collect_list(...))` output,
-  * but if present on either side the result is null rather than garbage
-  * (matching ArrayDotProduct's convention). */
+  * but a null element reached by the walk (i.e. before either side is
+  * exhausted) nulls the result rather than reading garbage (matching
+  * ArrayDotProduct's convention; trailing elements past the shorter
+  * side's exhaustion are never inspected). */
 case class SortedIntersectPacked(left: Expression, right: Expression,
                                  flagBits: Int)
   extends BinaryExpression {
@@ -70,7 +75,7 @@ case class SortedIntersectPacked(left: Expression, right: Expression,
     while (i < na && j < nb) {
       if (x.isNullAt(i) || y.isNullAt(j)) return null
       val xv = x.getLong(i); val yv = y.getLong(j)
-      val kx = xv >>> flagBits; val ky = yv >>> flagBits
+      val kx = xv >> flagBits; val ky = yv >> flagBits
       if (kx < ky) i += 1
       else if (kx > ky) j += 1
       else {
@@ -106,8 +111,8 @@ case class SortedIntersectPacked(left: Expression, right: Expression,
          |  $nullCheck
          |  long $xv = $a.getLong($i);
          |  long $yv = $b.getLong($j);
-         |  long $kx = $xv >>> $flagBits;
-         |  long $ky = $yv >>> $flagBits;
+         |  long $kx = $xv >> $flagBits;
+         |  long $ky = $yv >> $flagBits;
          |  if ($kx < $ky) { $i++; }
          |  else if ($kx > $ky) { $j++; }
          |  else {

@@ -585,9 +585,33 @@ object Iterate {
     * [[flaggedTriangles]].) */
   private def wedgeTriangles(e: DataFrame, deg: DataFrame, nEdges: Long,
                              broadcastClosureThreshold: Long): DataFrame = {
-    // the degree table is vertex-sized (≤ 2·|E| rows) — broadcast it into
-    // the orientation joins under the guarded threshold (measured ~30× on
-    // the orientation at sf0.1: the edge set stops shuffling twice)
+    val (oriented, adj) =
+      orientedAdjacency(e, deg, nEdges, broadcastClosureThreshold, flagged = false)
+    oriented
+      .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")), Seq("dst"))
+      .select(col("src").as("x"), col("dst").as("y"),
+        explode(array_intersect(col("__nu"), col("__nv"))).as("z"))
+  }
+
+  /** The orientation prelude shared by [[wedgeTriangles]] and
+    * [[flaggedTriangles]]: canonical (u, v[, fw, bw]) edges + their degree
+    * table → the degree-oriented edge set and the per-vertex sorted
+    * out-adjacency array (`dst`, or `dst·4 + fl` with the canonical pair
+    * flags packed into the low bits when `flagged`). `oriented` is
+    * persisted (it feeds the adjacency aggregate AND the probe side).
+    * The adjacency is NOT: its shuffle is deduped by exchange reuse, and
+    * only the post-shuffle merge aggregate + sort runs once per consumer
+    * — persisting it instead was MEASURED SLOWER (i17 9.0 → 10.7 s at
+    * sf0.1: block-store writes of |V| array rows cost more than the
+    * duplicated merge agg they save).
+    *
+    * The degree table is vertex-sized (≤ 2·|E| rows) — broadcast into the
+    * orientation joins under the guarded threshold (measured ~30× on the
+    * orientation at sf0.1: the edge set stops shuffling twice). */
+  private def orientedAdjacency(e: DataFrame, deg: DataFrame, nEdges: Long,
+                                broadcastClosureThreshold: Long,
+                                flagged: Boolean): (DataFrame, DataFrame) = {
     def degSide(idAs: String, degAs: String) = {
       val d = deg.select(col("id").as(idAs), col("deg").as(degAs))
       if (nEdges <= broadcastClosureThreshold) broadcast(d) else d
@@ -595,20 +619,21 @@ object Iterate {
     val ed = e
       .join(degSide("u2", "du"), col("u") === col("u2"))
       .join(degSide("v2", "dv"), col("v") === col("v2"))
-      .select(col("u"), col("v"), col("du"), col("dv"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = ed.select(
-      when(uFirst, col("u")).otherwise(col("v")).as("src"),
-      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    val src = when(uFirst, col("u")).otherwise(col("v"))
+    val dst = when(uFirst, col("v")).otherwise(col("u"))
+    val oriented = (if (flagged)
+        // fl packs the CANONICAL (u<v) flags — fw·2 + bw — so the value is
+        // orientation-independent and decodes the same way on every side
+        ed.select(src.cast("long").as("src"), dst.cast("long").as("dst"),
+          (col("fw") * 2 + col("bw")).cast("long").as("fl"))
+      else ed.select(src.as("src"), dst.as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adjElem = if (flagged) col("dst") * 4 + col("fl") else col("dst")
     val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    oriented
-      .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")), Seq("dst"))
-      .select(col("src").as("x"), col("dst").as("y"),
-        explode(array_intersect(col("__nu"), col("__nv"))).as("z"))
+      .agg(sort_array(collect_list(adjElem)).as("nbrs"))
+    (oriented, adj)
   }
 
   /** [[wedgeTriangles]] over a DIRECTION-FLAGGED pair table — the directed
@@ -631,28 +656,11 @@ object Iterate {
     * disappear entirely, with no auxiliary lookup structure at all. */
   private def flaggedTriangles(pairs: DataFrame, deg: DataFrame, nEdges: Long,
                                broadcastClosureThreshold: Long): DataFrame = {
-    def degSide(idAs: String, degAs: String) = {
-      val d = deg.select(col("id").as(idAs), col("deg").as(degAs))
-      if (nEdges <= broadcastClosureThreshold) broadcast(d) else d
-    }
-    val ed = pairs
-      .join(degSide("u2", "du"), col("u") === col("u2"))
-      .join(degSide("v2", "dv"), col("v") === col("v2"))
-      .select(col("u"), col("v"), col("fw"), col("bw"), col("du"), col("dv"))
-    val uFirst = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    // fl packs the CANONICAL (u<v) flags — fw·2 + bw — so the value is
-    // orientation-independent and decodes the same way on every side
-    val oriented = ed.select(
-      when(uFirst, col("u")).otherwise(col("v")).cast("long").as("src"),
-      when(uFirst, col("v")).otherwise(col("u")).cast("long").as("dst"),
-      (col("fw") * 2 + col("bw")).cast("long").as("fl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val adj = oriented.groupBy(col("src")).agg(
-      sort_array(collect_list(col("dst") * 4 + col("fl"))).as("pn"))
+    val (oriented, adj) =
+      orientedAdjacency(pairs, deg, nEdges, broadcastClosureThreshold, flagged = true)
     oriented
-      .join(adj.select(col("src"), col("pn").as("__nu")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("pn").as("__nv")), Seq("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")), Seq("dst"))
       .select(col("src").as("x"), col("dst").as("y"), col("fl").as("flxy"),
         // packed match: (z << 4) | (flags of {x,z} << 2) | flags of {y,z}
         explode(graft.functions.SortedIntersectPacked(

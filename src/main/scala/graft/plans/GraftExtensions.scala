@@ -90,9 +90,22 @@ object GraftExtensions {
       "graft_sorted_intersect(a, b[, flagBits])")
     val bits =
       if (children.length == 2) 0
-      else children(2).eval() match {
-        case n: Number => n.intValue()
-        case _ => sys.error("graft_sorted_intersect flagBits must be an int literal")
+      else {
+        // a column reference would throw a raw Cannot-evaluate from eval(),
+        // and a fractional literal would silently truncate — name both
+        val integral = children(2).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        if (!children(2).foldable || !integral)
+          sys.error("graft_sorted_intersect flagBits must be an integer literal")
+        children(2).eval() match {
+          case n: Number => n.intValue()
+          case _ => sys.error("graft_sorted_intersect flagBits must be an integer literal")
+        }
       }
     graft.functions.SortedIntersectPacked(children(0), children(1), bits)
   }

@@ -2410,14 +2410,18 @@ object WindowQueries {
         col("p_n"), col("p_first_ts"), col("p_last_ts"))
   }
   private val w28Sql =
-    """WITH anchors AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS s_ts
+    """WITH anchors AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS s_ts,
+      |                        row_number() OVER (PARTITION BY user_id, ts) AS a_n
       |                 FROM events WHERE event_type = 'signup'),
       |mem AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
       |        FROM events WHERE event_type = 'purchase'),
       |l AS (SELECT a.user_id, a.s_ts, list(m.ts ORDER BY m.ts) AS ms
       |      FROM anchors a JOIN mem m ON m.user_id = a.user_id
       |        AND m.ts > a.s_ts AND m.ts <= a.s_ts + INTERVAL 12 HOURS
-      |      GROUP BY 1, 2),
+      |      -- a_n: the engine forks one subset family per anchor EVENT, so
+      |      -- duplicate (user, ts) signup rows must stay separate groups
+      |      -- (collapsing them would also double every member in the list)
+      |      GROUP BY 1, 2, a.a_n),
       |e AS (SELECT user_id, s_ts, ms,
       |             unnest(generate_series(1, (1::BIGINT << len(ms)) - 1)) AS mask
       |      FROM l),

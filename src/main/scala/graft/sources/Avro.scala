@@ -330,7 +330,12 @@ object Avro {
           out
         case (b: Array[Byte], _) => ByteBuffer.wrap(b)
         case (t: java.sql.Timestamp, _) =>
-          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          // unit from the TARGET schema's logical type: a user-supplied
+          // writeAs schema may declare timestamp-millis — writing micros
+          // there would be a silent 1000× corruption
+          if (base.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis])
+            t.getTime
+          else t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
         case (d: java.sql.Date, _) =>
           Math.toIntExact(d.toLocalDate.toEpochDay) // date logical: epoch days
         case (bd: java.math.BigDecimal, Schema.Type.BYTES) =>

@@ -340,6 +340,33 @@ class AvroSpec extends AnyFunSuite with SparkTest {
     assert(logical("v").isInstanceOf[org.apache.avro.LogicalTypes.Decimal])
   }
 
+  test("writeAs into a timestamp-millis field writes MILLIS (unit from the target schema)") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import spark.implicits._
+    // both units decode to TimestampType, so writeAs validation accepts a
+    // Timestamp column for either — the encoder must pick the unit from
+    // the target field or a millis field gets micros (1000x corruption)
+    val tsm = LogicalTypes.timestampMillis().addToSchema(Schema.create(Schema.Type.LONG))
+    val s = SchemaBuilder.record("tsm").namespace("t").fields()
+      .requiredLong("id").name("at").`type`(tsm).noDefault().endRecord()
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789")
+    val df = Seq((1L, t0)).toDF("id", "at")
+    val dir = Files.createTempDirectory("graft_avro").toString + "/tsm"
+    Avro.writeAs(df, dir, s.toString)
+    // raw decode: the long on disk must be epoch MILLIS
+    val stream = new org.apache.avro.file.DataFileStream[
+        org.apache.avro.generic.GenericRecord](
+      new java.io.FileInputStream(new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".avro")).head),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val raw = try stream.next().get("at").asInstanceOf[Long] finally stream.close()
+    assert(raw === t0.getTime, s"expected epoch millis ${t0.getTime}, got $raw")
+    // and the engine's own read round-trips it
+    val back = Avro.read(spark, dir).select("at").as[java.sql.Timestamp].head()
+    assert(back === t0)
+  }
+
   test("time-millis and decimal-into-FIXED writes are NAMED rejections") {
     import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
     val timeS = LogicalTypes.timeMillis().addToSchema(Schema.create(Schema.Type.INT))

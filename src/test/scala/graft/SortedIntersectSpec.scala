@@ -47,6 +47,29 @@ class SortedIntersectSpec extends AnyFunSuite with SparkTest {
       .isNullAt(0))
   }
 
+  test("negative keys: signed packed order is walked correctly") {
+    // sort_array orders packed longs SIGNED-ascending; the walk must
+    // extract keys with arithmetic shifts or negative ids silently skip
+    // matches (flagBits=0 and the packed census form both)
+    assert(run("graft_sorted_intersect(array(-9L, -3L, 4L), array(-9L, 4L, 7L), 0)")
+      .getSeq[Long](0) === Seq(-9L, 4L))
+    // keys -2 and 3 shared; packed = key*4 + fl
+    val r = run("graft_sorted_intersect(array(-2L*4+1, 3L*4+2), " +
+      "array(-5L*4+0, -2L*4+3, 3L*4+0), 2)")
+    assert(r.getSeq[Long](0) ===
+      Seq((-2L << 4) | (1L << 2) | 3L, (3L << 4) | (2L << 2) | 0L))
+  }
+
+  test("flagBits must be an integer literal — fractional and column args are named errors") {
+    val e1 = intercept[Exception](
+      s.sql("SELECT graft_sorted_intersect(array(1L), array(1L), 2.5)").collect())
+    assert(e1.getMessage.contains("integer literal"), e1.getMessage)
+    val e2 = intercept[Exception](
+      s.sql("SELECT graft_sorted_intersect(array(1L), array(1L), id) FROM range(1)")
+        .collect())
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+  }
+
   test("non-bigint input is rejected at analysis time with a named error") {
     val e = intercept[Exception](
       spark.sql("SELECT graft_sorted_intersect(array('a'), array('b'), 0)").collect())

@@ -123,6 +123,25 @@ class TriadCensusPropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("census is id-sign-agnostic: negative vertex ids classify identically") {
+    // the packed adjacency walk must use SIGNED key extraction — negative
+    // ids would otherwise silently drop triangles from the listing
+    val rnd = new scala.util.Random(5)
+    val edges = for {
+      a <- 0 until 12; b <- 0 until 12
+      if rnd.nextDouble() < 0.3
+    } yield (a.toLong - 6L, b.toLong - 6L) // ids straddle zero
+    val (bc, bg, ba, buni, bbi) = brute(edges)
+    val row = engineRow(edges)
+    typeCols.foreach { c =>
+      assert(row.getAs[Long](c) === bc(c), s"neg-id type=$c")
+    }
+    assert(row.getAs[Long]("n_uni_edges") === buni)
+    assert(row.getAs[Long]("n_bi_edges") === bbi)
+    assert(math.abs(row.getAs[Double]("global_cc") - bg) < 1e-9)
+    assert(math.abs(row.getAs[Double]("avg_cc") - ba) < 1e-9)
+  }
+
   test("census closed shapes: pure 3-cycle, all-bidirectional triangle, out-star") {
     // 3-cycle → exactly one 030c
     val cyc = engineRow(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
