@@ -474,6 +474,84 @@ object Iterate {
     dist
   }
 
+  /** GENERIC vertex-centric iteration — the Gelly/Pregel PROGRAMMING MODEL
+    * as a first-class combinator (reference flink-gelly/.../pregel/
+    * VertexCentricIteration.java + ComputeFunction.java, surfaced as
+    * Graph.runVertexCentricIteration): the reference lets a user run a
+    * CUSTOM graph algorithm by writing a compute function; the library
+    * algorithms in this file are fixed instances of that model. This is
+    * the DataFrame analog — the algorithm is three Catalyst expressions,
+    * so every superstep stays one declarative plan:
+    *
+    *  - `message(k)`: evaluated per EDGE whose source holds a state —
+    *    sees the source's state as `state` plus every edge column; null
+    *    messages are not sent (so a null-state vertex naturally stays
+    *    silent in reach-style algorithms). `k` is the 0-based superstep
+    *    (the reference's getSuperstepNumber) for attenuation-style
+    *    per-round constants.
+    *  - `merge`: an AGGREGATE over `msg` combining a vertex's inbox
+    *    (the reference's MessageCombiner + the gather of its iterator —
+    *    min/max/sum/collect_list all work).
+    *  - `update(k)`: evaluated per vertex THAT RECEIVED a message — sees
+    *    the old `state` and the merged `msg`. No-inbox vertices keep
+    *    their state unchanged, the reference's vote-to-halt default.
+    *
+    * Halts after `maxSupersteps`, or earlier at a FIXPOINT (no state
+    * changed, null-safe) when `haltOnFixpoint` — everyone-voted-to-halt.
+    * The check rides the superstep's own materialization: the updated
+    * frame carries the previous state one column wide, so no extra join
+    * or job beyond an isEmpty probe on the checkpointed result.
+    *
+    * Scale shape — the engine's iteration conventions baked in so custom
+    * algorithms inherit them: edges pre-partitioned on the source ONCE
+    * and persisted; per superstep one keyed join + one hash aggregate +
+    * the update projection; `localCheckpoint` per superstep with eager
+    * predecessor freeing (lineage stays O(1) deep regardless of round
+    * count). `VertexCentricSpec` re-derives SSSP and connected
+    * components through this combinator and proves them equal to the
+    * dedicated [[sssp]]/[[connectedComponents]] operators on random
+    * graphs; `i22_vertex_centric` runs the SSSP instance against the
+    * same unrolled-CTE oracle as i03/i04. */
+  def vertexCentric(edges: DataFrame, srcCol: String, dstCol: String,
+                    vertices: DataFrame, idCol: String, stateCol: String,
+                    message: Int => Column, merge: Column,
+                    update: Int => Column, maxSupersteps: Int,
+                    haltOnFixpoint: Boolean = true): DataFrame = {
+    val reserved = Seq("state", "msg", "__vid", "__prev")
+    reserved.filter(edges.columns.contains).foreach(c => sys.error(
+      s"vertexCentric: edge column '$c' collides with a reserved name " +
+        s"(${reserved.mkString(", ")}) — rename it before iterating"))
+    val e = edges.repartition(col(srcCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var wide = vertices
+      .select(col(idCol).as("id"), col(stateCol).as("state"),
+        col(stateCol).as("__prev"))
+      .localCheckpoint(true)
+    var k = 0
+    var fixed = false
+    while (k < maxSupersteps && !fixed) {
+      val prev = wide
+      val msgs = e
+        .join(wide.select(col("id").as("__vid"), col("state")),
+          col(srcCol) === col("__vid"))
+        .select(col(dstCol).as("id"), message(k).as("msg"))
+        .filter(col("msg").isNotNull)
+      val inbox = msgs.groupBy("id").agg(merge.as("msg"))
+      wide = wide.select(col("id"), col("state"))
+        .join(inbox, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("msg").isNull, col("state")).otherwise(update(k)).as("state"),
+          col("state").as("__prev"))
+        .localCheckpoint(true)
+      if (haltOnFixpoint)
+        fixed = wide.filter(!(col("state") <=> col("__prev"))).isEmpty
+      freeFrame(prev)
+      k += 1
+    }
+    e.unpersist()
+    wide.select(col("id"), col("state"))
+  }
+
   /** Driver-side union-find for sub-threshold edge lists: union by min root
     * (the smaller root absorbs the larger, preserving the min-label
     * contract) with path compression. Vertex ids are compressed to dense

@@ -232,6 +232,38 @@ object LlmQueries2 {
     Iterate.ssspWorkset(edges, "src", "dst", "w", sourceId = 1L, iters = SsspIters)
   }
 
+  // ---------- i22: GENERIC vertex-centric (Pregel) combinator ----------
+  // The same SSSP as i03, but expressed through the USER-FACING
+  // programming model (Iterate.vertexCentric — the Gelly
+  // runVertexCentricIteration analog): message = state + w, merge = min,
+  // update = least(old, merged), halt on fixpoint. The oracle is i03's
+  // unrolled-CTE chain — the point: a custom algorithm written against
+  // the generic combinator produces bit-identical results to the
+  // dedicated library operator (fixpoint early-exit is safe for min-plus:
+  // once a Bellman-Ford round changes nothing, nothing ever changes).
+  private val i22: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
+    val edges = base.select(explode(array(
+        struct(col("s").as("src"), col("c").as("dst")),
+        struct(col("c").as("src"), col("s").as("dst")))).as("e"))
+      .select(col("e.src").cast("long").as("src"), col("e.dst").cast("long").as("dst"))
+      .distinct()
+      .withColumn("w", lit(1.0) + (col("dst") % 8).cast("double") * lit(0.125))
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .select(col("id"), when(col("id") === 1L, lit(0.0))
+        .otherwise(lit(null).cast("double")).as("dist"))
+    Iterate.vertexCentric(edges, "src", "dst", verts, "id", "dist",
+        message = _ => col("state") + col("w"),
+        merge = min(col("msg")),
+        update = _ => least(col("state"), col("msg")),
+        maxSupersteps = SsspIters)
+      .select(col("id"), col("state").as("dist"))
+  }
+
   // ---------- shared co-purchase part-graph edge builders ----------
   // ONE lineitem scan: group each order's items and expand the pairs
   // in-memory (orders hold a handful of lines — the per-order expansion is
@@ -977,7 +1009,7 @@ object LlmQueries2 {
     "i17_directed_census" -> i17, "i18_directed_vertex_metrics" -> i18, "i19_graph_generators" -> i19, "i20_bipartite_projection" -> i20,
     "i21_clustering_bundle" -> i21,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
-    "i03_sssp" -> i03, "i04_sssp_workset" -> i04)
+    "i03_sssp" -> i03, "i04_sssp_workset" -> i04, "i22_vertex_centric" -> i22)
   val oracles: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql, "d08_dedup_verdict" -> d08Sql,
     "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql,
@@ -989,5 +1021,6 @@ object LlmQueries2 {
     "i15_clustering_stats" -> i15Sql, "i16_summarization_vertices" -> i16Sql,
     "i17_directed_census" -> i17Sql, "i18_directed_vertex_metrics" -> i18Sql, "i19_graph_generators" -> i19Sql, "i20_bipartite_projection" -> i20Sql,
     "i21_clustering_bundle" -> i21Sql,
-    "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql)
+    "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql,
+    "i22_vertex_centric" -> i03Sql)
 }
