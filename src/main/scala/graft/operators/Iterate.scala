@@ -500,7 +500,13 @@ object Iterate {
     * changed, null-safe) when `haltOnFixpoint` — everyone-voted-to-halt.
     * The check rides the superstep's own materialization: the updated
     * frame carries the previous state one column wide, so no extra join
-    * or job beyond an isEmpty probe on the checkpointed result.
+    * or job beyond an isEmpty probe on the checkpointed result (skipped
+    * on the final superstep, whose verdict nothing would consume).
+    * CAUTION: a state plateau is only an algorithm fixpoint when the
+    * expressions are superstep-INDEPENDENT (the monotone min/max/reach
+    * family). A schedule that goes quiet early and re-activates at a
+    * later `k` would be cut off — pass `haltOnFixpoint = false` for any
+    * genuinely k-dependent algorithm and bound it by `maxSupersteps`.
     *
     * Scale shape — the engine's iteration conventions baked in so custom
     * algorithms inherit them: edges pre-partitioned on the source ONCE
@@ -517,10 +523,11 @@ object Iterate {
                     message: Int => Column, merge: Column,
                     update: Int => Column, maxSupersteps: Int,
                     haltOnFixpoint: Boolean = true): DataFrame = {
-    val reserved = Seq("state", "msg", "__vid", "__prev")
-    reserved.filter(edges.columns.contains).foreach(c => sys.error(
-      s"vertexCentric: edge column '$c' collides with a reserved name " +
-        s"(${reserved.mkString(", ")}) — rename it before iterating"))
+    val reserved = Seq("state", "msg", "__vid", "__prev", "__n")
+    // Spark resolves columns case-insensitively by default — so must this
+    edges.columns.filter(c => reserved.contains(c.toLowerCase)).foreach(c =>
+      sys.error(s"vertexCentric: edge column '$c' collides with a reserved " +
+        s"name (${reserved.mkString(", ")}) — rename it before iterating"))
     val e = edges.repartition(col(srcCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var wide = vertices
@@ -536,14 +543,20 @@ object Iterate {
           col(srcCol) === col("__vid"))
         .select(col(dstCol).as("id"), message(k).as("msg"))
         .filter(col("msg").isNotNull)
-      val inbox = msgs.groupBy("id").agg(merge.as("msg"))
+      // __n tracks RECEIPT separately from the merged value: a merge that
+      // evaluates to null over a non-empty inbox (a filtered min, say)
+      // must still trigger update — "received a message" is the contract,
+      // not "merged to a non-null value"
+      val inbox = msgs.groupBy("id")
+        .agg(merge.as("msg"), count(lit(1)).as("__n"))
       wide = wide.select(col("id"), col("state"))
         .join(inbox, Seq("id"), "left_outer")
         .select(col("id"),
-          when(col("msg").isNull, col("state")).otherwise(update(k)).as("state"),
+          when(col("__n").isNull, col("state")).otherwise(update(k)).as("state"),
           col("state").as("__prev"))
         .localCheckpoint(true)
-      if (haltOnFixpoint)
+      // the final superstep's verdict would go unread — skip the probe
+      if (haltOnFixpoint && k < maxSupersteps - 1)
         fixed = wide.filter(!(col("state") <=> col("__prev"))).isEmpty
       freeFrame(prev)
       k += 1

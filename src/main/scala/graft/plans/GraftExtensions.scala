@@ -103,7 +103,12 @@ object GraftExtensions {
         if (!children(2).foldable || !integral)
           sys.error("graft_sorted_intersect flagBits must be an integer literal")
         children(2).eval() match {
-          case n: Number => n.intValue()
+          // longValue + range check: intValue() would silently truncate an
+          // out-of-int-range LongType literal (2^32+2 -> flagBits 2)
+          case n: Number if n.longValue() >= 0 && n.longValue() <= 15 =>
+            n.intValue()
+          case n: Number => sys.error(
+            s"graft_sorted_intersect flagBits must be in [0, 15], got ${n.longValue()}")
           case _ => sys.error("graft_sorted_intersect flagBits must be an integer literal")
         }
       }

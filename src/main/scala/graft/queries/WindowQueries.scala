@@ -2411,7 +2411,8 @@ object WindowQueries {
   }
   private val w28Sql =
     """WITH anchors AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS s_ts,
-      |                        row_number() OVER (PARTITION BY user_id, ts) AS a_n
+      |                        row_number() OVER (
+      |                          PARTITION BY user_id, CAST(ts AS TIMESTAMP)) AS a_n
       |                 FROM events WHERE event_type = 'signup'),
       |mem AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
       |        FROM events WHERE event_type = 'purchase'),

@@ -68,6 +68,12 @@ class SortedIntersectSpec extends AnyFunSuite with SparkTest {
       s.sql("SELECT graft_sorted_intersect(array(1L), array(1L), id) FROM range(1)")
         .collect())
     assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+    // out-of-int-range LongType literals must not silently truncate
+    // (4294967298.intValue() == 2); the range check names them
+    val e3 = intercept[Exception](
+      s.sql("SELECT graft_sorted_intersect(array(1L), array(1L), 4294967298)")
+        .collect())
+    assert(e3.getMessage.contains("[0, 15]"), e3.getMessage)
   }
 
   test("non-bigint input is rejected at analysis time with a named error") {

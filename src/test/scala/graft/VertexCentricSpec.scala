@@ -90,7 +90,7 @@ class VertexCentricSpec extends AnyFunSuite with SparkTest {
     assert(out === Map(0L -> Some(1.0), 1L -> Some(2.0), 2L -> None))
   }
 
-  test("reserved edge column names are a named error") {
+  test("reserved edge column names are a named error, case-insensitively") {
     val edges = Seq((0L, 1L, 9L)).toDF("src", "dst", "msg")
     val verts = Seq((0L, 0L)).toDF("id", "s")
     val e = intercept[RuntimeException](
@@ -98,5 +98,27 @@ class VertexCentricSpec extends AnyFunSuite with SparkTest {
         message = _ => col("state"), merge = min(col("msg")),
         update = _ => col("msg"), maxSupersteps = 1))
     assert(e.getMessage.contains("reserved"), e.getMessage)
+    // Spark resolves columns case-insensitively — so must the guard
+    val e2 = intercept[RuntimeException](
+      Iterate.vertexCentric(Seq((0L, 1L, 9L)).toDF("src", "dst", "MSG"),
+        "src", "dst", verts, "id", "s",
+        message = _ => col("state"), merge = min(col("msg")),
+        update = _ => col("msg"), maxSupersteps = 1))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
+  test("a merge that evaluates to null over a NON-empty inbox still triggers update") {
+    // receipt is the contract, not merged-to-non-null: the filtered min is
+    // null but b received a message, so update must run (here: reset to -1)
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val verts = Seq((0L, 5L), (1L, 10L), (2L, 20L)).toDF("id", "s")
+    val out = Iterate.vertexCentric(edges, "src", "dst", verts, "id", "s",
+        message = _ => col("state"),
+        merge = min(when(col("msg") > lit(100L), col("msg"))), // always null here
+        update = _ => lit(-1L),
+        maxSupersteps = 1, haltOnFixpoint = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // b received (and reset); a and c had no inbox and keep state
+    assert(out === Map(0L -> 5L, 1L -> -1L, 2L -> 20L))
   }
 }
