@@ -640,18 +640,23 @@ object Iterate {
     * evaluate the (unpersisted) wedge-join subtree once PER BRANCH —
     * exchange reuse saves the shuffle, not the join probes. */
   private def perVertexTriangles(tris: DataFrame, c1: String, c2: String,
-                                 c3: String, deg: DataFrame): DataFrame = {
-    val perVertex = tris
+                                 c3: String, deg: DataFrame): DataFrame =
+    perVertexFromCounts(tris
       .select(explode(array(col(c1), col(c2), col(c3))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("tri"))
-    deg.join(perVertex, Seq("id"), "left_outer")
+      .groupBy("id").agg(count(lit(1)).as("tri")), deg)
+
+  /** The (id, degree, n_triangles, lcc) tail over an ALREADY-AGGREGATED
+    * per-vertex triangle-count table — shared with the directed bundle,
+    * whose single corner-explode pass produces the counts alongside the
+    * directed-LCC numerators. */
+  private def perVertexFromCounts(counts: DataFrame, deg: DataFrame): DataFrame =
+    deg.join(counts, Seq("id"), "left_outer")
       .select(col("id"), col("deg").as("degree"),
         coalesce(col("tri"), lit(0L)).as("n_triangles"),
         when(col("deg") >= 2, round(
           coalesce(col("tri"), lit(0L)).cast("double") * 2.0 /
             (col("deg") * (col("deg") - 1)).cast("double"), 6))
           .otherwise(lit(0.0)).as("lcc"))
-  }
 
   /** The degree-oriented EDGE-ITERATOR triangle core shared by
     * [[triangleCounts]] and [[directedClusteringStats]]: canonical edges
@@ -1201,11 +1206,22 @@ object Iterate {
       tcount("300").as("t300"))
     // directed LCC numerator: each triangle adds its OPPOSITE pair's
     // directed-edge count (1 or 2) at each vertex
-    val numer = trip.select(col("x").as("id"), (col("fwyz") + col("bwyz")).as("w"))
-      .union(trip.select(col("y").as("id"), (col("fwxz") + col("bwxz")).as("w")))
-      .union(trip.select(col("z").as("id"), (col("fwxy") + col("bwxy")).as("w")))
-      .groupBy("id").agg(sum(col("w")).cast("long").as("numer"))
-    val lccAgg = vstats.join(numer, Seq("id"), "left_outer")
+    // ONE corner-explode pass over the persisted triangle listing yields
+    // BOTH per-vertex tables: the triangle count (the undirected bundle
+    // member) and the directed-LCC numerator — each triangle contributes
+    // its OPPOSITE pair's 1-or-2 directed-edge count at each corner.
+    // (The former shape scanned trip four times: a 3-way union for the
+    // numerators plus perVertexTriangles' own explode.)
+    val corner = trip.select(explode(array(
+        struct(col("x").as("id"), (col("fwyz") + col("bwyz")).cast("long").as("w")),
+        struct(col("y").as("id"), (col("fwxz") + col("bwxz")).cast("long").as("w")),
+        struct(col("z").as("id"), (col("fwxy") + col("bwxy")).cast("long").as("w"))))
+        .as("c"))
+      .groupBy(col("c.id").as("id"))
+      .agg(count(lit(1)).as("tri"), sum(col("c.w")).cast("long").as("numer"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lccAgg = vstats.join(corner.select(col("id"), col("numer")),
+        Seq("id"), "left_outer")
       .select(col("deg"), coalesce(col("numer"), lit(0L)).as("numer"))
       .agg(
         sum(when(col("deg") >= 2, round(round(
@@ -1254,7 +1270,7 @@ object Iterate {
     // evaluating census, triangles, and stats together runs the wedge
     // join ONCE; deg here is the undirected-projection distinct-neighbor
     // degree — exactly what triangleCounts computes on that projection
-    val perVertex = perVertexTriangles(trip, "x", "y", "z", deg)
+    val perVertex = perVertexFromCounts(corner.select(col("id"), col("tri")), deg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ClusteringBundle(perVertex, clusteringStatsOf(perVertex), Some(census))
   }
