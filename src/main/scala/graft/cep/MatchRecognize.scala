@@ -45,6 +45,12 @@ import org.apache.spark.sql.functions._
   *                               -- '+' = oneOrMore (greedy run; measures via
   *                               -- FIRST/LAST/COUNT of the run timestamps),
   *                               -- '*' = zeroOrMore (run may be empty);
+  *                               -- RELUCTANT '+?'/'{n,}?'/'{n,m}?'/'{n}?'
+  *                               -- collapse to exact counts {1}/{n} (see
+  *                               -- [[normalizeQuant]]: minimal binding
+  *                               -- always wins under earliest-match);
+  *                               -- '*?'/'??' are named rejections
+  *                               -- (minimum zero = never binds);
   *                               -- (B|C) = alternation (followedByOneOf):
   *                               -- the group binds as variable "B_C" and
   *                               -- `B_C.cls AS alias` measures the matched
@@ -112,6 +118,38 @@ object MatchRecognize {
     * all lower to the run (oneOrMore-family) machinery. */
   private def isRunQ(q: String): Boolean =
     q == "+" || q == "*" || (q.startsWith("{") && q.endsWith(",}"))
+
+  /** RELUCTANT quantifiers (`B+?`, `B{n,}?`, `B{n,m}?`, `B{n}?`) — the
+    * spelling the reference REQUIRES on a quantified FINAL pattern element
+    * (flink-table-planner-blink StreamExecMatch.scala:203-207 rejects
+    * greedy-final patterns outright, so every published Flink 1.10
+    * MATCH_RECOGNIZE example ending in a quantifier ends in a reluctant
+    * one). Under this engine's documented relaxed-contiguity earliest-match
+    * semantics the lowering is a parse-time collapse to EXACT counts:
+    * reluctance prefers the fewest occurrences, and relaxed contiguity lets
+    * any surplus candidate event be ignored rather than consumed, so the
+    * minimal binding is always achievable and always wins — `B+?` becomes
+    * `B{1}`, `B{n,}?` and `B{n,m}?` become `B{n}`, `B{n}?` is `B{n}`
+    * (reluctance on an exact count is vacuous). Measures see the normal
+    * exact-count columns: COUNT = n, FIRST/LAST/SUM fold over the n bound
+    * members, and a self-PREV lowers to the physical-lag column (the SQL
+    * PREV semantics — with no surplus members there is no run to navigate).
+    * `B*?` and `B??` have minimum ZERO: under earliest-match they would
+    * never bind at all (every match carries null/0 for the variable), which
+    * is almost certainly not what the query means — they stay NAMED
+    * rejections carrying the rewrite (omit the variable, or use the greedy
+    * `B*` / `B?` spelling). */
+  private def normalizeQuant(name: String, q: String): String = q match {
+    case "+?" => "{1}"
+    case "*?" | "??" => sys.error(s"reluctant quantifier '$q' on $name: its " +
+      "minimum is zero, so under earliest-match semantics the variable " +
+      "would never bind (null timestamps, COUNT 0 on every match) — omit " +
+      s"the variable, or use the greedy '${q.take(1)}' spelling")
+    case qq if qq.startsWith("{") && qq.endsWith("?") =>
+      val inner = qq.stripPrefix("{").stripSuffix("?").stripSuffix("}")
+      s"{${inner.split(",")(0).trim}}" // {n,}? / {n,m}? / {n}? -> {n}
+    case qq => qq
+  }
 
   private def sectionRx(name: String, stopAt: String) =
     (s"(?is)\\b$name\\b\\s+(.*?)\\s*(?=\\b(?:$stopAt)\\b)").r
@@ -201,7 +239,7 @@ object MatchRecognize {
       "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
       "|\\(\\s*(\\w+(?:\\s*\\|\\s*\\w+)+)\\s*\\)" +
       "|\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)|(\\w+))" +
-      "(\\?|\\+|\\*|\\{(\\d+)(?:,(\\d+)?)?\\})?").r
+      "(\\?\\??|\\+\\??|\\*\\??|\\{(\\d+)(?:,(\\d+)?)?\\}\\??)?").r
     val varMatches = varRx.findAllMatchIn(patternBody).toSeq
     // every character of the PATTERN body must belong to a parsed element:
     // findAllMatchIn skips what it can't parse, and a silently-dropped
@@ -250,7 +288,8 @@ object MatchRecognize {
               s"sequence group (${subs.mkString(" ")}) requires the '+' or " +
                 "'*' quantifier (the GroupPattern oneOrMore[.optional] surface)")
             PatternVar(subs.mkString("_"), Some(g.group(6)), Nil, subs)
-          case (None, None, None) => PatternVar(g.group(5), Option(g.group(6)))
+          case (None, None, None) => PatternVar(g.group(5),
+            Option(g.group(6)).map(normalizeQuant(g.group(5), _)))
         }
       }
     require(vars.nonEmpty, "PATTERN must bind at least one variable")

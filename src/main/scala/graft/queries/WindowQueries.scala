@@ -2320,6 +2320,28 @@ object WindowQueries {
       |FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
       |WHERE b.rn = 1 AND w.phase = 'closed'""".stripMargin)
 
+  // --- m35: RELUCTANT quantifiers — the spelling the reference REQUIRES on
+  // a quantified final pattern element (StreamExecMatch.scala:203-207
+  // rejects greedy-final patterns, so every published Flink 1.10 pattern
+  // ending in a quantifier ends in `+?`-family). Mid-pattern `B{2,}?` and
+  // final `C+?` both appear; under earliest-match relaxed contiguity both
+  // collapse to their minima at parse time (MatchRecognize.normalizeQuant:
+  // `{2,}?` -> `{2}`, `+?` -> `{1}`), making this query bit-identical to
+  // m01's `(A B{2} C)` by construction — the oracle IS m01's oracle.
+  private val m35: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES A.ts AS view_ts, FIRST(B.ts) AS first_click_ts,
+        |           LAST(B.ts) AS last_click_ts, C.ts AS purchase_ts
+        |  PATTERN (A B{2,}? C+?)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m35Sql = m01Sql
+
   // --- w26: CEP TIMED-OUT partial matches (flink-cep PatternStream.select
   // with an OutputTag + PatternTimeoutFunction — the timeout SIDE OUTPUT:
   // a funnel analysis needs the users who STALLED and where, not just the
@@ -2491,7 +2513,8 @@ object WindowQueries {
     "m27_prev_foreign" -> m27, "m28_prev_plain" -> m28,
     "m29_all_rows_alt" -> m29, "m30_multi_tiebreak" -> m30,
     "m31_all_rows_two_runs" -> m31, "m32_all_rows_group_run" -> m32,
-    "m33_nested_group" -> m33, "m34_all_rows_nested" -> m34)
+    "m33_nested_group" -> m33, "m34_all_rows_nested" -> m34,
+    "m35_reluctant_quant" -> m35)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -2522,6 +2545,7 @@ object WindowQueries {
     "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql,
     "m31_all_rows_two_runs" -> m31Sql, "m32_all_rows_group_run" -> m32Sql,
     "m33_nested_group" -> m33Sql, "m34_all_rows_nested" -> m34Sql,
+    "m35_reluctant_quant" -> m35Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

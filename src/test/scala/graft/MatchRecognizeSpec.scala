@@ -1157,4 +1157,75 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       ("S", 0L, None), ("C", 1L, Some(2.0)),
       ("C", 2L, Some(6.0)), ("P", 2L, Some(6.0))), m2.toString)
   }
+
+  test("reluctant '+?' mid-pattern binds the minimal single member") {
+    def run(pat: String) = MatchRecognize.detect(events,
+      s"""MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(C.ts) AS fc, LAST(C.ts) AS lc,
+        |           COUNT(C.ts) AS nc, P.ts AS p_ts
+        |  PATTERN ($pat)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)]
+      .collect().toSet
+    // user 1 has TWO clicks before the purchase: reluctant C+? takes ONE
+    // (the earliest), identical to the explicit {1} lowering — the greedy
+    // C+ run would report nc = 2
+    val reluctant = run("S C+? P")
+    assert(reluctant == run("S C{1} P"))
+    assert(reluctant == Set((1L, at(0), at(10), at(10), 1L, at(30))))
+    val greedy = run("S C+ P")
+    assert(greedy.head._5 == 2L, s"greedy control: $greedy")
+  }
+
+  test("reluctant '{n,}?' / '{n,m}?' collapse to exactly n") {
+    def run(pat: String) = MatchRecognize.detect(events,
+      s"""MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(C.ts) AS fc, LAST(C.ts) AS lc, P.ts AS p_ts
+        |  PATTERN ($pat)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Timestamp)].collect().toSet
+    val expected = Set((1L, at(0), at(10), at(20), at(30)))
+    assert(run("S C{2,}? P") == expected)
+    assert(run("S C{2,5}? P") == expected)
+    assert(run("S C{2,}? P") == run("S C{2} P"))
+  }
+
+  test("reluctant final element — the shape the reference REQUIRES") {
+    // StreamExecMatch.scala:203-207 rejects greedy-final patterns; `S C+?`
+    // is the canonical compliant spelling and completes at the first C
+    val m = MatchRecognize.detect(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(C.ts) AS c_ts, COUNT(C.ts) AS nc
+        |  PATTERN (S C+?)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(m == Set((1L, at(0), at(10), 1L), (2L, at(0), at(5), 1L)))
+  }
+
+  test("'*?' and '??' are named rejections (minimum zero never binds)") {
+    for (q <- Seq("C*?", "C??")) {
+      val e = intercept[RuntimeException](MatchRecognize.detect(events,
+        s"""MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts
+          |  MEASURES S.ts AS s_ts, P.ts AS p_ts
+          |  PATTERN (S $q P)
+          |  WITHIN INTERVAL '1' HOUR
+          |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+          |         P AS event_type = 'purchase'
+          |)""".stripMargin))
+      assert(e.getMessage.contains("reluctant quantifier") &&
+        e.getMessage.contains("never bind"), e.getMessage)
+    }
+  }
 }
