@@ -83,19 +83,32 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * (reference Pattern.java:441: the looping state forks on every
     * candidate, so a run over members `b1 b2 b3` emits EVERY non-empty
     * ordered subset — `{b1}`, `{b1,b2}`, `{b1,b3}`, `{b1,b2,b3}`, …).
-    * Opt-in, like [[followedByAny]]: the pattern must be exactly
-    * `begin(A).followedBy(B).oneOrMore().allowCombinations().within(w)`
-    * (the reference's canonical shape; tails/groups are named
-    * rejections). [[detect]] then emits one row per (start, subset) with
-    * the run columns `<name>_n`/`<name>_first_ts`/`<name>_last_ts`.
+    * Opt-in, like [[followedByAny]]: the pattern must be
+    * `begin(A).followedBy(B).oneOrMore().allowCombinations()` optionally
+    * followed by PLAIN `followedBy` trailing steps (reference
+    * Pattern.java:441 allows the toggle on any looping state — `A B+ C`
+    * is the common shape; groups/quantifiers/iterative conditions on a
+    * trailing step stay named rejections), then `.within(w)`. [[detect]]
+    * emits one row per (start, subset) with the run columns
+    * `<name>_n`/`<name>_first_ts`/`<name>_last_ts`; each trailing step
+    * binds its FIRST in-window candidate strictly after the subset's
+    * last member (flink-cep followedBy takes the first match per
+    * branch), and subsets whose trailing chain cannot complete emit
+    * nothing. The trailing bindings depend only on the subset's LAST
+    * member, so they are computed once per (start, member) — O(m) rows
+    * per start — and joined back to the 2^m subset rows, never chained
+    * per subset.
     *
     * The 2^m − 1 subsets per start are the SEMANTICS, not an
     * implementation artifact — the reference NFA materializes the same
     * branches. The lowering is declarative (collect the ≤window member
-    * list per start, explode a bitmask sequence, filter by bit) and
-    * refuses loudly past `maxCombinationMembers` (default 20 ≈ 10⁶
-    * subsets per start) rather than letting a hot key detonate the
-    * cluster — the reference has no such guard and simply blows up. */
+    * list per start, explode a bitmask SPLIT into high and low halves —
+    * the largest materialized per-row array is 2^⌈m/2⌉ ≈ 32 K entries at
+    * the m = 30 ceiling, never the 2^m ≈ 8.6 GB a single sequence would
+    * allocate — and filter members by bit) and refuses loudly past
+    * `maxCombinationMembers` (default 20 ≈ 10⁶ subsets per start) rather
+    * than letting a hot key detonate the cluster — the reference has no
+    * such guard and simply blows up. */
   def allowCombinations(maxCombinationMembers: Int = 20): Pattern = {
     require(steps.size == 2 && steps.last.oneOrMore &&
       steps.last.group.isEmpty && !steps.last.opt && !steps.last.consec &&
@@ -736,17 +749,31 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     val anchors = events.filter(first.pred)
       .select((key.as("__k") +: ts.as(startTs) +:
         first.keep.map(c => col(c).as(s"${first.name}_$c"))): _*)
-    if (steps.last.combinations) {
-      val b = steps.last
+    if (steps.exists(_.combinations)) {
+      val b = steps(1)
       // modifiers attached AFTER allowCombinations() would otherwise be
       // silently ignored — re-validate the shape at compile time
-      require(!b.consec && b.until.isEmpty && b.keep.isEmpty && b.reps == 1 &&
-        b.minRun == 1 && b.alts.isEmpty && b.group.isEmpty && !b.opt &&
-        !b.strict && b.iter.isEmpty && b.runOn.isEmpty,
+      require(b.combinations && !b.consec && b.until.isEmpty && b.keep.isEmpty &&
+        b.reps == 1 && b.minRun == 1 && b.alts.isEmpty && b.group.isEmpty &&
+        !b.opt && !b.strict && b.iter.isEmpty && b.runOn.isEmpty,
         "allowCombinations() composes with a PLAIN oneOrMore run only — " +
           "consecutive/until/bindRun/times/timesOrMore/alternation added " +
           "after it are first-match machinery (named rejection, not a " +
           "silent drop)")
+      // trailing steps after the combinations run (reference Pattern.java:441
+      // allows the toggle on any looping state — `A B+ C`): plain followedBy
+      // only; anything else would silently change which subsets survive
+      val trailing = steps.drop(2)
+      trailing.foreach { s =>
+        require(!s.anyBranch && !s.oneOrMore && !s.combinations && s.reps == 1 &&
+          s.optTail == 0 && !s.opt && s.alts.isEmpty && !s.strict &&
+          s.group.isEmpty && s.iter.isEmpty && s.runOn.isEmpty &&
+          s.until.isEmpty && s.keep.isEmpty,
+          s"allowCombinations trailing step '${s.name}': only a plain " +
+            "followedBy composes after the combinations run — quantifiers/" +
+            "groups/alternation/iterative/strict/bind() are first-match " +
+            "machinery (named rejection, not a silent drop)")
+      }
       val members = events.filter(b.pred).select(key.as("__k2"), ts.as("__mts"))
       // one subset family per anchor EVENT (the reference NFA forks per
       // event): a uniquifier keeps equal-(key, ts) anchors apart through
@@ -764,16 +791,56 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             lit(s" run members (max ${b.maxComb}) — 2^m subset branches; " +
               "raise maxCombinationMembers (<= 30) or narrow the window"))))
             .otherwise(size(col("__ms"))))
+      // trailing bindings depend only on the subset's LAST member: compute
+      // them once per (anchor, member) — O(m) rows per start — then join
+      // back to the 2^m subset rows, never chained per subset. Each step
+      // binds its FIRST in-window candidate strictly after the previous
+      // binding (flink-cep followedBy takes the first match per branch);
+      // a member whose chain cannot complete drops here, and its subsets
+      // drop at the join below (a match requires every step).
+      val trail: Option[DataFrame] = if (trailing.isEmpty) None else Some {
+        var bounds = lists.select(col("__aid").as("__aid2"),
+          col("__k").as("__bk"), col(startTs).as("__t0"),
+          explode(col("__ms")).as("__lt"))
+        var prev: Column = col("__lt")
+        trailing.foreach { s =>
+          val cand = events.filter(s.pred).select(key.as("__k3"), ts.as("__cts"))
+          val keep = bounds.columns.map(col).toIndexedSeq
+          bounds = bounds.join(cand,
+              col("__bk") === col("__k3") && col("__cts") > prev &&
+                col("__cts") <= col("__t0") + win)
+            .groupBy(keep: _*)
+            .agg(min(col("__cts")).as(s"${s.name}_ts"))
+          prev = col(s"${s.name}_ts")
+        }
+        bounds.drop("__bk", "__t0")
+      }
       val outCols = anchors.columns.map(col)
-      lists
-        .withColumn("__mask",
-          explode(expr("sequence(cast(1 as bigint), shiftleft(cast(1 as bigint), __m) - 1)")))
+      // the bitmask EXPLODES IN TWO HALVES: one sequence(1, 2^m − 1) array
+      // would materialize 2^m longs in a single row (~8.6 GB at the m = 30
+      // ceiling — an executor OOM the [1, 30] guard would be presenting as
+      // supported); splitting into high and low halves caps the largest
+      // per-row array at 2^⌈m/2⌉ ≈ 32 K entries while producing the same
+      // mask set {1 … 2^m − 1}
+      val subsets = lists
+        .withColumn("__lob", expr("__m div 2"))
+        .withColumn("__hi", explode(expr(
+          "sequence(cast(0 as bigint), shiftleft(cast(1 as bigint), __m - __lob) - 1)")))
+        .withColumn("__lo", explode(expr(
+          "sequence(cast(0 as bigint), shiftleft(cast(1 as bigint), __lob) - 1)")))
+        .withColumn("__mask", expr("__hi * shiftleft(cast(1 as bigint), __lob) + __lo"))
+        .filter(col("__mask") >= 1)
         .withColumn("__sel", expr(
           "filter(__ms, (x, i) -> ((__mask div shiftleft(cast(1 as bigint), i)) % 2) = 1)"))
-        .select((outCols.toSeq :+ size(col("__sel")).cast("long").as(s"${b.name}_n") :+
+        .select((outCols.toSeq :+ col("__aid") :+
+          size(col("__sel")).cast("long").as(s"${b.name}_n") :+
           element_at(col("__sel"), 1).as(s"${b.name}_first_ts") :+
           element_at(col("__sel"), -1).as(s"${b.name}_last_ts")): _*)
-        .withColumnRenamed("__k", "key")
+      trail.fold(subsets.drop("__aid")) { t =>
+        subsets.join(t, col("__aid") === col("__aid2") &&
+            col(s"${b.name}_last_ts") === col("__lt"))
+          .drop("__aid", "__aid2", "__lt")
+      }.withColumnRenamed("__k", "key")
     } else {
       require(steps.tail.forall(s => s.anyBranch && !s.oneOrMore &&
         s.reps == 1 && !s.opt && s.alts.isEmpty && !s.strict &&

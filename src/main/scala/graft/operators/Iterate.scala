@@ -495,6 +495,15 @@ object Iterate {
     *  - `update(k)`: evaluated per vertex THAT RECEIVED a message — sees
     *    the old `state` and the merged `msg`. No-inbox vertices keep
     *    their state unchanged, the reference's vote-to-halt default.
+    *    With `updateAlways = true`, `update(k)` runs on EVERY vertex
+    *    every superstep (`msg` is null for an empty inbox) — the
+    *    reference's ComputeFunction may `setNewVertexValue` regardless
+    *    of its inbox, which PageRank-class algorithms need: the damping
+    *    term applies to every vertex each round, inbox or not.
+    *    `VertexCentricSpec` re-derives PageRank this way (out-degree
+    *    rides the edge frame as a column) and proves it equal to the
+    *    dedicated [[pageRank]]; `i23_vertex_centric_pr` runs it against
+    *    i02's unrolled-CTE oracle.
     *
     * Halts after `maxSupersteps`, or earlier at a FIXPOINT (no state
     * changed, null-safe) when `haltOnFixpoint` — everyone-voted-to-halt.
@@ -522,7 +531,8 @@ object Iterate {
                     vertices: DataFrame, idCol: String, stateCol: String,
                     message: Int => Column, merge: Column,
                     update: Int => Column, maxSupersteps: Int,
-                    haltOnFixpoint: Boolean = true): DataFrame = {
+                    haltOnFixpoint: Boolean = true,
+                    updateAlways: Boolean = false): DataFrame = {
     val reserved = Seq("state", "msg", "__vid", "__prev", "__n")
     // Spark resolves columns case-insensitively by default — so must this
     edges.columns.filter(c => reserved.contains(c.toLowerCase)).foreach(c =>
@@ -549,11 +559,11 @@ object Iterate {
       // not "merged to a non-null value"
       val inbox = msgs.groupBy("id")
         .agg(merge.as("msg"), count(lit(1)).as("__n"))
+      val newState = if (updateAlways) update(k)
+        else when(col("__n").isNull, col("state")).otherwise(update(k))
       wide = wide.select(col("id"), col("state"))
         .join(inbox, Seq("id"), "left_outer")
-        .select(col("id"),
-          when(col("__n").isNull, col("state")).otherwise(update(k)).as("state"),
-          col("state").as("__prev"))
+        .select(col("id"), newState.as("state"), col("state").as("__prev"))
         .localCheckpoint(true)
       // the final superstep's verdict would go unread — skip the probe
       if (haltOnFixpoint && k < maxSupersteps - 1)

@@ -264,6 +264,43 @@ object LlmQueries2 {
       .select(col("id"), col("state").as("dist"))
   }
 
+  // ---------- i23: vertex-centric PageRank (updateAlways mode) ----------
+  // The same PageRank as i02, but expressed through the generic combinator
+  // with `updateAlways = true` — the mode PageRank-CLASS algorithms need:
+  // the damping term applies to EVERY vertex each superstep, inbox or not
+  // (the reference's ComputeFunction may setNewVertexValue regardless of
+  // messages). Out-degree rides the edge frame as a plain column (one
+  // pre-join before the loop, partitioned away with the edges), message =
+  // state/odeg, merge = sum, update = round((1-d)/n + d·coalesce(msg,0), 9)
+  // — i02's exact per-round arithmetic, so the oracle is i02's
+  // unrolled-CTE chain verbatim. haltOnFixpoint stays OFF: PageRank is a
+  // fixed-round schedule, not a monotone fixpoint.
+  private val i23: Q = (s, dir) => {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
+    val edges0 = base.select(explode(array(
+        struct(col("s").as("src"), col("c").as("dst")),
+        struct(col("c").as("src"), col("s").as("dst")))).as("e"))
+      .select(col("e.src").cast("long").as("src"), col("e.dst").cast("long").as("dst"))
+      .distinct()
+    val outd = edges0.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val edges = edges0.join(outd, "src")
+    val verts = edges0.select(col("src").as("id"))
+      .union(edges0.select(col("dst").as("id"))).distinct()
+    val n = verts.count()
+    val init = verts.select(col("id"),
+      round(lit(1.0) / lit(n), 9).as("rank"))
+    Iterate.vertexCentric(edges, "src", "dst", init, "id", "rank",
+        message = _ => col("state") / col("odeg"),
+        merge = sum(col("msg")),
+        update = _ => round(lit(1.0 - PrDamping) / lit(n) +
+          lit(PrDamping) * coalesce(col("msg"), lit(0.0)), 9),
+        maxSupersteps = PrIters, haltOnFixpoint = false, updateAlways = true)
+      .select(col("id"), round(col("state"), 6).as("pagerank"))
+  }
+
   // ---------- shared co-purchase part-graph edge builders ----------
   // ONE lineitem scan: group each order's items and expand the pairs
   // in-memory (orders hold a handful of lines — the per-order expansion is
@@ -1009,7 +1046,8 @@ object LlmQueries2 {
     "i17_directed_census" -> i17, "i18_directed_vertex_metrics" -> i18, "i19_graph_generators" -> i19, "i20_bipartite_projection" -> i20,
     "i21_clustering_bundle" -> i21,
     "t05_stopword_scrub" -> t05, "i01_kmeans" -> i01, "i02_pagerank" -> i02,
-    "i03_sssp" -> i03, "i04_sssp_workset" -> i04, "i22_vertex_centric" -> i22)
+    "i03_sssp" -> i03, "i04_sssp_workset" -> i04, "i22_vertex_centric" -> i22,
+    "i23_vertex_centric_pr" -> i23)
   val oracles: Map[String, String] = Map(
     "d07_dup_clusters" -> d07Sql, "d08_dedup_verdict" -> d08Sql,
     "t05_stopword_scrub" -> t05Sql, "i01_kmeans" -> i01Sql, "i02_pagerank" -> i02Sql,
@@ -1022,5 +1060,5 @@ object LlmQueries2 {
     "i17_directed_census" -> i17Sql, "i18_directed_vertex_metrics" -> i18Sql, "i19_graph_generators" -> i19Sql, "i20_bipartite_projection" -> i20Sql,
     "i21_clustering_bundle" -> i21Sql,
     "i03_sssp" -> i03Sql, "i04_sssp_workset" -> i03Sql,
-    "i22_vertex_centric" -> i03Sql)
+    "i22_vertex_centric" -> i03Sql, "i23_vertex_centric_pr" -> i02Sql)
 }

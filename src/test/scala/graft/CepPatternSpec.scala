@@ -2117,4 +2117,57 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       .within(HOUR).detect(dup, $"user_id", $"ts").collect()
     assert(dupOut.length == 2, dupOut.mkString(","))
   }
+
+  test("allowCombinations with a TRAILING step (A B+ C, Pattern.java:441 " +
+       "on a non-final looping state) — brute-force property reference") {
+    val evs = Seq(
+      (1L, at(0), "a"), (1L, at(5), "b"), (1L, at(10), "b"),
+      (1L, at(12), "c"), (1L, at(20), "b"), (1L, at(30), "c"),
+      (2L, at(0), "a"), (2L, at(3), "b") // members but no c: all subsets drop
+    ).toDF("user_id", "ts", "event_type")
+    val got = Pattern.begin("a", $"event_type" === "a")
+      .followedBy("b", $"event_type" === "b").oneOrMore()
+      .allowCombinations()
+      .followedBy("c", $"event_type" === "c")
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select("key", "a_ts", "b_n", "b_first_ts", "b_last_ts", "c_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getTimestamp(5))).toSet
+    // brute force: every non-empty subset of the in-window members, each
+    // closed by the FIRST c strictly after its last member (in-window);
+    // subsets whose chain cannot complete emit nothing
+    val members = Seq(5L, 10L, 20L)
+    val cs = Seq(12L, 30L)
+    val want = (for {
+      k <- 1 to members.size
+      s <- members.combinations(k)
+      c = cs.find(_ > s.last) if c.nonEmpty
+    } yield (1L, at(0), s.size.toLong, at(s.head), at(s.last), at(c.get))).toSet
+    assert(got == want, s"got $got\nwant $want")
+    // subsets whose last member precedes c@12: {5}, {10}, {5,10}
+    assert(got.size == 7 && got.count(_._6 == at(12)) == 3)
+    // TWO trailing steps chain first-match bindings: d after c
+    val evs2 = evs.union(Seq((1L, at(40), "d")).toDF("user_id", "ts", "event_type"))
+    val got2 = Pattern.begin("a", $"event_type" === "a")
+      .followedBy("b", $"event_type" === "b").oneOrMore()
+      .allowCombinations()
+      .followedBy("c", $"event_type" === "c")
+      .followedBy("d", $"event_type" === "d")
+      .within(HOUR)
+      .detect(evs2, $"user_id", $"ts")
+      .select("b_last_ts", "c_ts", "d_ts")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    // 7 subset rows collapse to 3 distinct (last, c, d) triples
+    assert(got2 == Set((at(5), at(12), at(40)), (at(10), at(12), at(40)),
+      (at(20), at(30), at(40))), s"got2 $got2")
+    // a MODIFIED trailing step is a named rejection, not a silent drop
+    val e = intercept[IllegalArgumentException](
+      Pattern.begin("a", $"event_type" === "a")
+        .followedBy("b", $"event_type" === "b").oneOrMore()
+        .allowCombinations()
+        .followedBy("c", $"event_type" === "c").optional()
+        .within(HOUR).detect(evs, $"user_id", $"ts"))
+    assert(e.getMessage.contains("trailing step"), e.getMessage)
+  }
 }

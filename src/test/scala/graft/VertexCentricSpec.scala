@@ -60,6 +60,49 @@ class VertexCentricSpec extends AnyFunSuite with SparkTest {
     assert(generic === dedicated)
   }
 
+  test("PageRank via updateAlways == the dedicated pageRank operator") {
+    // updateAlways: damping applies to EVERY vertex each superstep, inbox
+    // or not — the mode PageRank-class algorithms need. Out-degree rides
+    // the edge frame as a column; arithmetic is pageRank's exactly
+    // (9-dp inter-round rounds), so results must be bit-identical.
+    for (seed <- Seq(5, 23)) {
+      val edges0 = randomWeightedDigraph(seed, 18, 0.15).select("src", "dst")
+      val iters = 4
+      val dedicated = Iterate.pageRank(edges0, "src", "dst", iters)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val dedup = edges0.distinct()
+      val outd = dedup.groupBy("src").agg(count(lit(1)).as("odeg"))
+      val edges = dedup.join(outd, "src")
+      val verts = dedup.select(col("src").as("id"))
+        .union(dedup.select(col("dst").as("id"))).distinct()
+      val n = verts.count()
+      val init = verts.select(col("id"), round(lit(1.0) / lit(n), 9).as("rank"))
+      val generic = Iterate.vertexCentric(edges, "src", "dst", init, "id", "rank",
+          message = _ => col("state") / col("odeg"),
+          merge = sum(col("msg")),
+          update = _ => round(lit(0.15) / lit(n) +
+            lit(0.85) * coalesce(col("msg"), lit(0.0)), 9),
+          maxSupersteps = iters, haltOnFixpoint = false, updateAlways = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(generic === dedicated, s"seed=$seed")
+    }
+  }
+
+  test("updateAlways runs update on no-inbox vertices with a null msg") {
+    // c has no inbox: default mode keeps state, updateAlways evaluates
+    // update with msg null (here: coalesce resets it to 0 then adds 1)
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val verts = Seq((0L, 5L), (1L, 10L), (2L, 20L)).toDF("id", "s")
+    val out = Iterate.vertexCentric(edges, "src", "dst", verts, "id", "s",
+        message = _ => col("state"),
+        merge = max(col("msg")),
+        update = _ => coalesce(col("msg"), lit(0L)) + lit(1L),
+        maxSupersteps = 1, haltOnFixpoint = false, updateAlways = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // b received a=5 -> 6; a and c had no inbox -> coalesce(null,0)+1 = 1
+    assert(out === Map(0L -> 1L, 1L -> 6L, 2L -> 1L))
+  }
+
   test("the superstep index reaches message and update expressions") {
     // one edge a->b, message(k) = state(a) + k, update replaces: after two
     // rounds b = 7 + 1 (round indices 0 then 1; the last write wins)
