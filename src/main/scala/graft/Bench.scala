@@ -44,10 +44,12 @@ object Bench {
         // unpersisting every registered RDD frees the localCheckpoint
         // blocks, which clearCache does NOT touch and which otherwise wait
         // for a GC cycle + ContextCleaner sweep (observed as rep-over-rep
-        // GROWTH on checkpoint-heavy queries: memory pressure, not code)
+        // GROWTH on checkpoint-heavy queries: memory pressure, not code).
+        // BLOCKING: an async free can lag into the next measured rep,
+        // undercutting the isolation this sweep exists for
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         t
       }
       // a crashed query must never publish a time: time-to-exception reads

@@ -1035,8 +1035,16 @@ object Iterate {
     * clustering analytics used to cost one wedge join EACH — the bundle
     * runs it once. */
   final case class ClusteringBundle(triangles: DataFrame, stats: DataFrame,
-                                    census: Option[DataFrame]) {
-    def unpersist(): Unit = { triangles.unpersist(); () }
+                                    census: Option[DataFrame],
+                                    interim: Seq[DataFrame] = Nil) {
+    /** Frees the persisted per-vertex table AND the bundle's interim
+      * frames (the directed bundle persists the classified triangle
+      * listing, corner aggregate, pair table, vertex stats, and edge set
+      * for the shared wedge pass — without freeing them here each bundle
+      * call would leak cached frames for the session lifetime). */
+    def unpersist(): Unit = {
+      triangles.unpersist(); interim.foreach(_.unpersist()); ()
+    }
   }
 
   /** UNDIRECTED [[ClusteringBundle]]: triangle counts + clustering stats
@@ -1282,7 +1290,8 @@ object Iterate {
     // degree — exactly what triangleCounts computes on that projection
     val perVertex = perVertexFromCounts(corner.select(col("id"), col("tri")), deg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ClusteringBundle(perVertex, clusteringStatsOf(perVertex), Some(census))
+    ClusteringBundle(perVertex, clusteringStatsOf(perVertex), Some(census),
+      interim = Seq(corner, trip, vstats, pairs, de))
   }
 
   /** DIRECTED whole-graph VERTEX METRICS — the Gelly analytic (reference

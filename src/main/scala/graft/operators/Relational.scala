@@ -74,7 +74,16 @@ object Relational {
     * dense_rank / percent_rank / cume_dist of `ORDER BY valueCol` within
     * `partCol` (6-dp rounding like the window variant): percent_rank =
     * (#smaller)/(total-1), cume_dist = (#<=)/total — integer ratios, so the
-    * IEEE division matches any engine's native window functions bit-for-bit. */
+    * IEEE division matches any engine's native window functions bit-for-bit.
+    *
+    * API note (r14): the guard parameter is `broadcastHistBytesThreshold`
+    * — ESTIMATED BYTES of the optimized histogram plan (plan-stats
+    * sizing), replacing the r13 row-count guard `broadcastHistThreshold`.
+    * The rename is deliberate so named-argument callers fail to compile
+    * instead of silently reinterpreting a row count as bytes; the default
+    * (10 MB) matches Spark's autoBroadcastJoinThreshold order. The same
+    * convention applies to `Iterate.summarization`'s
+    * `broadcastGroupBytesThreshold`. */
   def histogramRank(df: DataFrame, partCol: Column, valueCol: Column,
                     broadcastHistBytesThreshold: Long = 10000000L): DataFrame = {
     val hist = df.groupBy(partCol.as("__p"), valueCol.as("__v"))

@@ -69,15 +69,24 @@ object GroupWindowSql {
     * reads the session conf). */
   private[plans] def literalMask(s: String, backslashEscapes: Boolean = true): Array[Boolean] = {
     val mask = new Array[Boolean](s.length)
-    var i = 0; var in = false
+    // Spark's default parser accepts BOTH '...' and "..." as string
+    // literals (double-quote-as-identifier needs ANSI double_quoted_
+    // identifiers) — a TUMBLE/HOP/SESSION/FOR SYSTEM_TIME spelling inside
+    // either must not be rewritten or validated. q tracks which quote
+    // opened the current literal; the doubled-quote escape applies to
+    // each kind, the OTHER quote char is plain content inside a literal.
+    var i = 0; var q: Char = 0
     while (i < s.length) {
-      if (backslashEscapes && in && s.charAt(i) == '\\' && i + 1 < s.length) {
+      val c = s.charAt(i)
+      if (backslashEscapes && q != 0 && c == '\\' && i + 1 < s.length) {
         mask(i) = true; mask(i + 1) = true; i += 2
-      } else if (s.charAt(i) == '\'') {
-        if (in && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+      } else if (c == '\'' || c == '"') {
+        if (q == c && i + 1 < s.length && s.charAt(i + 1) == c) {
           mask(i) = true; mask(i + 1) = true; i += 2
-        } else { mask(i) = true; in = !in; i += 1 }
-      } else { mask(i) = in; i += 1 }
+        } else if (q == 0) { mask(i) = true; q = c; i += 1 }
+        else if (q == c) { mask(i) = true; q = 0; i += 1 }
+        else { mask(i) = true; i += 1 }
+      } else { mask(i) = q != 0; i += 1 }
     }
     mask
   }

@@ -326,6 +326,18 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
         "FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
     assert(lit2.contains("don\\'t touch TUMBLE(ts, INTERVAL \\'1\\' MINUTE)") &&
       lit2.contains("window(ts, '10 minutes')"), lit2)
+    // ...and DOUBLE-quoted literals (Spark's default parser accepts "..."
+    // as a string literal too — a spelling inside one must pass through)
+    val lit3 = GroupWindowSql.rewrite(
+      "SELECT \"use TUMBLE(ts, INTERVAL '1' MINUTE) or \"\"SESSION\"\"\" AS hint, " +
+        "count(*) AS n FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
+    assert(lit3.contains("\"use TUMBLE(ts, INTERVAL '1' MINUTE) or \"\"SESSION\"\"\"") &&
+      lit3.contains("window(ts, '10 minutes')"), lit3)
+    // a double-quoted TUMBLE_PROCTIME must NOT trip the named rejection
+    assert(GroupWindowSql.rewrite(
+      "SELECT \"TUMBLE_PROCTIME(ts, INTERVAL '1' MINUTE)\" AS doc, count(*) AS n " +
+        "FROM gw_events GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)")
+      .contains("window(ts, '10 minutes')"))
     // two DIFFERENTLY-qualified time args stay a mismatch (they may be
     // different columns — Flink's validator rejects the same)
     val e3 = intercept[IllegalArgumentException](GroupWindowSql.rewrite(
