@@ -321,7 +321,7 @@ object LlmQueries2 {
         .as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
 
-  private def partEdgesDirected(s: SparkSession, dir: String): DataFrame =
+  private[graft] def partEdgesDirected(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       .groupBy("l_orderkey").agg(collect_list(struct(

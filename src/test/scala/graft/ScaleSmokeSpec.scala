@@ -159,6 +159,76 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("graph heavies at 10x: edge-iterator/census/HITS grow ~linearly, " +
+       "cartesian-free, and the census completes UNHINTED", SlowTest) {
+    // i05 (triangle counts), i17 (directed census), i21 (directed bundle),
+    // i09 (HITS) — the graph cost class. The 10x corpus shifts l_orderkey
+    // AND l_partkey/l_suppkey per replica, so each replica is a DISJOINT
+    // subgraph with the base corpus's exact local structure: per-order
+    // fan-out stays bounded (the one-scan edge build's O(k²) per order),
+    // edges grow ~10x, and the edge-iterator's O(|E|^1.5) bound — summed
+    // over disjoint replicas — grows linearly in replicas. A broken
+    // orientation or a global all-pairs step would show ~100x.
+    val base = "/root/testdata/sf0.1"
+    val reps = 10
+    val scaled = java.nio.file.Files.createTempDirectory("graft_scale_g").toString
+    val OK = 10000000L
+    val SK = 1000000L
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until reps).map(i => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * OK))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * SK))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * SK)))
+      .reduce(_ union _)
+      .write.parquet(s"$scaled/lineitem.parquet")
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    (0 until reps).map(i => orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * OK))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * SK)))
+      .reduce(_ union _)
+      .write.parquet(s"$scaled/orders.parquet")
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val queries = Seq("i05_triangle_count", "i17_directed_census",
+      "i21_clustering_bundle", "i09_hits")
+    time("i05_triangle_count", base) // JIT/codegen warmup outside the measurements
+    queries.foreach { q =>
+      val tb = time(q, base)
+      val plan = SparkEntry.queries(q)(spark, scaled)
+        .queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: CartesianProduct appeared at 10x stats")
+      val ts = time(q, scaled)
+      info(f"$q%-22s base=$tb%6.2fs 10x=$ts%7.2fs ratio=${ts / tb}%5.1fx")
+      assert(ts <= tb * 30 + 15.0,
+        f"$q: super-linear blowup — base $tb%.2fs, 10x $ts%.2fs")
+    }
+    // the no-broadcast claim, DIRECTLY: past the guard threshold every
+    // data-sized broadcast hint disappears (AQE may still pick broadcast
+    // where runtime sizes fit — the claim is no HARD hint that would
+    // throw at 100TB). threshold = 0 simulates the over-threshold regime
+    // on the 10x corpus: no ResolvedHint in the analyzed plan, and the
+    // census row equals the hinted run's bit-for-bit.
+    import graft.operators.Iterate
+    import graft.queries.LlmQueries2
+    val edges10 = LlmQueries2.partEdgesDirected(spark, scaled)
+    val unhinted = Iterate.directedClusteringStats(edges10, "src", "dst",
+      broadcastClosureThreshold = 0L)
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "unhinted census: a data-sized broadcast hint survived threshold 0")
+    val hinted = Iterate.directedClusteringStats(edges10, "src", "dst").head()
+    val un = unhinted.head()
+    spark.catalog.clearCache()
+    assert(un == hinted, s"unhinted census row diverged:\n$un\n$hinted")
+  }
+
   test("RMat directed census smoke: 300k-edge power-law graph, census " +
        "partitions C(V,3) exactly", SlowTest) {
     import graft.operators.{GraphGen, Iterate}
