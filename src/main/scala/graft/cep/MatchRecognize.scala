@@ -638,11 +638,8 @@ object MatchRecognize {
       require(m.field == "ts" || m.varName != groupOf(m.varName).name,
         s"value measures over a sequence group must address a member " +
           s"variable (got ${m.varName}.${m.field} on the group itself)")
-      // nested chains carry timestamps and counts only (no bindGroup)
-      require(m.field == "ts" || groupOf(m.varName).innerSeq.isEmpty,
-        s"nested group ${groupOf(m.varName).name}: timestamp measures only " +
-          s"(FIRST/LAST/COUNT over member timestamps — got " +
-          s"${m.varName}.${m.field})")
+      // nested member value measures ride bindGroup through the two-level
+      // chain walk (r15) — validated in the lowering below
     }
     // ALL ROWS over a sequence group: the chain additionally materializes
     // per-repetition member bindings (see materializeGroupRows below);
@@ -657,20 +654,23 @@ object MatchRecognize {
       } else if (v.innerSeq.nonEmpty) {
         // NESTED group ((I...)+ T...)+ — one level of flink-cep
         // GroupPattern-in-GroupPattern; the chain carries boundary
-        // timestamps and outer/inner repetition counts only
+        // timestamps, outer/inner repetition counts, and (r15) bindGroup
+        // running value aggregates over inner AND tail members
         (v.innerSeq ++ v.seq).foreach { sv =>
-          require(!bindByVar.contains(sv),
-            s"nested group ${v.name}: value measures over member $sv are " +
-              "not supported (timestamp FIRST/LAST/COUNT only)")
           compiled(sv)._2.foreach(_ => sys.error(s"nested group ${v.name}: " +
             s"member $sv may not use an iterative/PREV condition"))
         }
+        val nestedBinds = (v.innerSeq ++ v.seq).filter(bindByVar.contains)
+        require(nestedBinds.isEmpty || !spec.allRows,
+          s"nested group ${v.name}: ALL ROWS PER MATCH does not compose " +
+            "with member value measures (ONE ROW PER MATCH only)")
         require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
           s"compose with a nested group (${v.name}): the chain binds no " +
           "member values for a tiebreak to steer")
         pat = pat.followedByNestedGroup(v.name,
           v.innerSeq.map(sv => sv -> compiled(sv)._1),
           v.seq.map(sv => sv -> compiled(sv)._1))
+        nestedBinds.foreach(sv => pat = pat.bindGroup(sv, bindByVar(sv): _*))
         // ALL ROWS needs each bound event + running counts on the match row
         if (spec.allRows) pat = pat.materializeNestedRows()
         pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
@@ -830,9 +830,27 @@ object MatchRecognize {
             // member exactly once (COUNT(T.ts) = outer count) and each
             // inner sub-sequence binds every inner member exactly once
             // (COUNT(I.ts) = total inner count).
-            require(m.field == "ts", s"nested group ${g.name}: timestamp " +
-              s"measures only (got ${m.varName}.${m.field})")
-            m.fn match {
+            if (m.field != "ts") {
+              // member VALUE measures over the nested chain (r15, the
+              // former named rejection) — bindGroup's running aggregates,
+              // folded per COMPLETED repetition (inner members bind once
+              // per sub-sequence, tails once per repetition); the column
+              // naming is the one-level group chain's, so the lowering is
+              // shared
+              val sfx = s"${m.varName}_${m.field}"
+              m.fn match {
+                case Some("SUM") => col(s"${g.name}_sum_$sfx")
+                case Some("AVG") => col(s"${g.name}_sum_$sfx") / col(s"${g.name}_cnt_$sfx")
+                case Some("MIN") => col(s"${g.name}_min_$sfx")
+                case Some("MAX") => col(s"${g.name}_max_$sfx")
+                case Some("FIRST") => col(s"${g.name}_first_$sfx")
+                case Some("LAST") => col(s"${g.name}_last_$sfx")
+                case Some("COUNT") => col(s"${g.name}_cnt_$sfx")
+                case other => sys.error(s"nested group member ${m.varName}: " +
+                  s"use SUM/AVG/MIN/MAX/FIRST/LAST/COUNT (got " +
+                  s"${other.getOrElse("a bare reference")})")
+              }
+            } else m.fn match {
               case Some("COUNT") if g.innerSeq.contains(m.varName) =>
                 col(s"${g.name}_inner_n")
               case Some("COUNT") => col(s"${g.name}_n")

@@ -460,12 +460,19 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * yields nulls with count 0. */
   def bindGroup(member: String, cols: String*): Pattern = {
     require(steps.nonEmpty && steps.last.group.nonEmpty,
-      "bindGroup() requires followedByGroup() as the last step")
-    require(steps.last.innerGroup.isEmpty,
-      "bindGroup() does not compose with followedByNestedGroup() — nested " +
-        "chains carry timestamps and counts only")
-    require(steps.last.group.exists(_._1 == member),
+      "bindGroup() requires followedByGroup()/followedByNestedGroup() as " +
+        "the last step")
+    // on a NESTED group (r15, upgrading the former named rejection) the
+    // member may be an inner sub-step OR a tail step: inner values join
+    // onto the sub-match table at the member's bound time, tail values
+    // ride the tail candidate rows, and the two-level walk folds completed
+    // repetitions into the same running sum/min/max/first/last/cnt state
+    // the one-level chain keeps
+    require((steps.last.innerGroup ++ steps.last.group).exists(_._1 == member),
       s"bindGroup($member): not a member of group ${steps.last.name}")
+    require(steps.last.innerGroup.isEmpty || !steps.last.groupRows,
+      "bindGroup() on a nested group does not compose with " +
+        "materializeNestedRows() (ONE ROW PER MATCH only)")
     new Pattern(steps.init :+ steps.last.copy(
       groupKeep = steps.last.groupKeep ++ cols.map(member -> _)),
       notStep, windowMs, skipPastLast, skipTo)
@@ -494,6 +501,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def materializeNestedRows(): Pattern = {
     require(steps.nonEmpty && steps.last.innerGroup.nonEmpty,
       "materializeNestedRows() requires followedByNestedGroup() as the last step")
+    require(steps.last.groupKeep.isEmpty,
+      "materializeNestedRows() does not compose with bindGroup() on a " +
+        "nested group (ONE ROW PER MATCH only)")
     new Pattern(steps.init :+ steps.last.copy(groupRows = true),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -1092,21 +1102,63 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             .agg(min(col(s"__gc$j")).as(s"__ge$j"))
           prevSub = col(s"__ge$j")
         }
+        // bindGroup VALUE measures through the nested chain (r15, the
+        // former named rejection): per bound (member, col) a per-(key, ts)
+        // min-value table — the engine's equal-ts (value) min tie-break,
+        // cast to double for O(1) running state. INNER members join onto
+        // the sub-match table at their bound time; TAIL members ride their
+        // candidate rows. The walk folds values of COMPLETED repetitions
+        // only (a failed attempt's values are discarded with it — the
+        // greedy-no-backtracking convention).
+        val innerNames0 = s.innerGroup.map(_._1)
+        val gkInner = s.groupKeep.zipWithIndex.filter {
+          case ((m, _), _) => innerNames0.contains(m) }
+        val gkTailsByStep: Map[Int, Seq[((String, String), Int)]] =
+          s.group.zipWithIndex.map { case ((tn, _), j) =>
+            j -> s.groupKeep.zipWithIndex.filter { case ((m, _), _) => m == tn }
+          }.toMap
+        gkInner.foreach { case ((m, c), i) =>
+          val im = innerNames0.indexOf(m)
+          val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
+          val vt = events.filter(s.innerGroup(im)._2)
+            .groupBy(key.as("__vk"), ts.as("__vts"))
+            .agg(min(col(c).cast("double")).as(s"__nv$i"))
+          isubs = isubs.join(vt, col("__gk") === col("__vk") &&
+              boundTs === col("__vts"))
+            .drop("__vk", "__vts")
+        }
         // tagged candidate union: inner sub-matches (tag 0, start + end +
-        // per-member binding times) and each tail step's pre-filtered
-        // candidates (tag j+1, ts only) — pre-reduced per step, never raw
-        // unfiltered events
+        // per-member binding times + inner bound values) and each tail
+        // step's pre-filtered candidates (tag j+1, ts + that tail's bound
+        // values) — pre-reduced per step, never raw unfiltered events
         val memTs: Seq[Column] = col("__gb") +:
           (0 until s.innerGroup.size - 1).map(j => col(s"__ge$j"))
+        val innerValsCol: Column =
+          if (gkInner.isEmpty) lit(null).cast("array<double>")
+          else array(gkInner.map { case (_, i) => col(s"__nv$i") }: _*)
         val tagged = s.group.zipWithIndex.foldLeft(
           isubs.select(col("__gk"), lit(0).as("__tag"),
             col("__gb").as("__t1"), prevSub.as("__t2"),
-            array(memTs: _*).as("__mems"))) {
+            array(memTs: _*).as("__mems"), innerValsCol.as("__vals"))) {
           case (acc, ((_, p), j)) =>
-            acc.unionByName(events.filter(p).select(key.as("__gk"),
-              lit(j + 1).as("__tag"), ts.as("__t1"),
-              lit(null).cast("timestamp").as("__t2"),
-              lit(null).cast("array<timestamp>").as("__mems")))
+            val tks = gkTailsByStep(j)
+            val cand =
+              if (tks.isEmpty) events.filter(p).select(key.as("__gk"),
+                lit(j + 1).as("__tag"), ts.as("__t1"),
+                lit(null).cast("timestamp").as("__t2"),
+                lit(null).cast("array<timestamp>").as("__mems"),
+                lit(null).cast("array<double>").as("__vals"))
+              else {
+                val aggs = tks.map { case ((_, c), i) =>
+                  min(col(c).cast("double")).as(s"__tv$i") }
+                events.filter(p).groupBy(key.as("__gk"), ts.as("__t1"))
+                  .agg(aggs.head, aggs.tail: _*)
+                  .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),
+                    lit(null).cast("timestamp").as("__t2"),
+                    lit(null).cast("array<timestamp>").as("__mems"),
+                    array(tks.map { case (_, i) => col(s"__tv$i") }: _*).as("__vals"))
+              }
+            acc.unionByName(cand)
         }
         val anch = out.withColumn("__gprev", prevTs)
           .withColumn("__gwend", col(startTs) + win)
@@ -1126,6 +1178,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   org.apache.spark.sql.types.LongType),
                 org.apache.spark.sql.types.StructField("subs",
                   org.apache.spark.sql.types.LongType))), false)))
+        // per bound (member, col): sum/min/max/first/last (double) + cnt —
+        // the one-level bindGroup naming, so the MEASURES lowering is shared
+        val valFields = s.groupKeep.flatMap { case (m, c) =>
+          Seq("sum", "min", "max", "first", "last").map(a =>
+            org.apache.spark.sql.types.StructField(s"${s.name}_${a}_${m}_$c",
+              org.apache.spark.sql.types.DoubleType)) :+
+            org.apache.spark.sql.types.StructField(s"${s.name}_cnt_${m}_$c",
+              org.apache.spark.sql.types.LongType)
+        }
         val outSchema = org.apache.spark.sql.types.StructType(
           aSchema.fields ++ Seq(
             org.apache.spark.sql.types.StructField(s"${s.name}_first_ts",
@@ -1135,7 +1196,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             org.apache.spark.sql.types.StructField(s"${s.name}_n",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField(s"${s.name}_inner_n",
-              org.apache.spark.sql.types.LongType)) ++ rowsFields)
+              org.apache.spark.sql.types.LongType)) ++ valFields ++ rowsFields)
         val strEnc = org.apache.spark.sql.Encoders.STRING
         val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
         val candKV = tagged.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
@@ -1144,18 +1205,25 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val matRows = s.groupRows
         val innerNames = s.innerGroup.map(_._1)
         val tailNames = s.group.map(_._1)
+        // primitive copies for the closure: groupKeep positions per source
+        val gkN = s.groupKeep.size
+        val gkInnerPos = gkInner.map(_._2).toArray
+        val gkTailPos = Array.tabulate(nTails)(j => gkTailsByStep(j).map(_._2).toArray)
         val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
           val all = cs.toArray
           // inner sub-matches sorted by start (+ member binding times for
-          // materializeNestedRows); per-tail sorted candidate times —
+          // materializeNestedRows, + inner bound values for bindGroup);
+          // per-tail sorted candidate (time, values) —
           // full-precision Timestamp comparisons throughout
           val subs = all.filter(_.getInt(1) == 0)
             .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3),
-              if (matRows) r.getSeq[Any](4).map(Pattern.anyToTs) else null))
+              if (matRows) r.getSeq[Any](4).map(Pattern.anyToTs) else null,
+              if (gkInnerPos.length > 0) Pattern.dblsOf(r, 5) else null))
             .sortWith((p, q) => p._1.before(q._1))
           val tails = Array.tabulate(nTails) { j =>
-            all.filter(_.getInt(1) == j + 1).map(r => Pattern.tsOf(r, 2))
-              .sortWith((p, q) => p.before(q))
+            all.filter(_.getInt(1) == j + 1).map(r => (Pattern.tsOf(r, 2),
+              if (gkTailPos(j).length > 0) Pattern.dblsOf(r, 5) else null))
+              .sortWith((p, q) => p._1.before(q._1))
           }
           // index of the first element strictly after t (binary search)
           def subAfter(t: java.sql.Timestamp): Int = {
@@ -1168,7 +1236,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             val arr = tails(j)
             var lo = 0; var hi = arr.length
             while (lo < hi) { val mid = (lo + hi) >>> 1
-              if (arr(mid).after(t)) hi = mid else lo = mid + 1 }
+              if (arr(mid)._1.after(t)) hi = mid else lo = mid + 1 }
             lo
           }
           as.flatMap { a =>
@@ -1177,6 +1245,16 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             var lastEnd = tau
             var first: java.sql.Timestamp = null
             var n = 0L; var innerTot = 0L; var done = false
+            // bindGroup running state (the one-level chain's shape): folded
+            // per COMPLETED repetition from the attempt's pending list —
+            // a failed attempt's values are discarded with its rows
+            val vSum = new Array[java.lang.Double](gkN)
+            val vMin = new Array[java.lang.Double](gkN)
+            val vMax = new Array[java.lang.Double](gkN)
+            val vFirst = new Array[java.lang.Double](gkN)
+            val vLast = new Array[java.lang.Double](gkN)
+            val vCnt = new Array[Long](gkN)
+            val vSeen = new Array[Boolean](gkN)
             // materializeNestedRows: per bound event (ts, cls, reps, subs)
             // — flushed per COMPLETED repetition, a failed attempt's rows
             // are discarded
@@ -1194,6 +1272,11 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 val repRows = if (matRows)
                   scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
                 else null
+                // the attempt's bound values in binding order — folded into
+                // the running state only if the repetition COMPLETES
+                val pendVals = if (gkN > 0)
+                  scala.collection.mutable.ArrayBuffer.empty[(Int, java.lang.Double)]
+                else null
                 // a sub's member rows: running counts AS OF each row (the
                 // final member completes the sub, so it counts it)
                 def subRows(idx: Int, kAfter: Long): Unit = if (matRows) {
@@ -1205,31 +1288,45 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                     j += 1
                   }
                 }
+                def subVals(idx: Int): Unit = if (gkInnerPos.length > 0) {
+                  val vs = subs(idx)._4
+                  var p = 0
+                  while (p < gkInnerPos.length) {
+                    pendVals += ((gkInnerPos(p), vs(p))); p += 1
+                  }
+                }
                 // inner chain bounded by the first tail opportunity: absorb
                 // the next sub-match only if it completes strictly BEFORE
                 // the earliest first-tail candidate after the current chain
                 // end (the tail punctuates repetitions — reluctant close)
                 var e = subs(i0)._2; var k = 1L; var more = true
-                subRows(i0, 1L)
+                subRows(i0, 1L); subVals(i0)
                 while (more) {
                   val nx = subAfter(e)
                   val tx = tailAfter(0, e)
                   val tCand = if (tx < tails(0).length &&
-                      !tails(0)(tx).after(wEnd)) tails(0)(tx) else null
+                      !tails(0)(tx)._1.after(wEnd)) tails(0)(tx)._1 else null
                   if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
                       (tCand != null && !subs(nx)._2.before(tCand))) more = false
-                  else { e = subs(nx)._2; k += 1; subRows(nx, k) }
+                  else { e = subs(nx)._2; k += 1; subRows(nx, k); subVals(nx) }
                 }
                 // tail bindings: earliest candidate strictly after the
                 // previous binding, all within the match window
                 var t = e; var ok = true; var ti = 0
                 while (ok && ti < nTails) {
                   val x = tailAfter(ti, t)
-                  if (x >= tails(ti).length || tails(ti)(x).after(wEnd)) ok = false
+                  if (x >= tails(ti).length || tails(ti)(x)._1.after(wEnd)) ok = false
                   else {
-                    t = tails(ti)(x)
+                    t = tails(ti)(x)._1
                     if (matRows) repRows += org.apache.spark.sql.Row(t,
                       tailNames(ti), n + 1, innerTot + k)
+                    if (gkTailPos(ti).length > 0) {
+                      val tvs = tails(ti)(x)._2
+                      var p = 0
+                      while (p < gkTailPos(ti).length) {
+                        pendVals += ((gkTailPos(ti)(p), tvs(p))); p += 1
+                      }
+                    }
                     ti += 1
                   }
                 }
@@ -1238,18 +1335,32 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   if (n == 0) first = subs(i0)._1
                   lastEnd = t; n += 1; innerTot += k
                   if (matRows) allRows ++= repRows
+                  if (gkN > 0) pendVals.foreach { case (gi, v) =>
+                    if (!vSeen(gi)) { vFirst(gi) = v; vSeen(gi) = true }
+                    vLast(gi) = v
+                    if (v != null) {
+                      vCnt(gi) += 1
+                      vSum(gi) = if (vSum(gi) == null) v
+                                 else java.lang.Double.valueOf(vSum(gi) + v)
+                      if (vMin(gi) == null || v < vMin(gi)) vMin(gi) = v
+                      if (vMax(gi) == null || v > vMax(gi)) vMax(gi) = v
+                    }
+                  }
                 }
               }
             }
             val rowsCols: Seq[Any] = if (matRows) Seq(allRows.toSeq) else Nil
+            val valCols: Seq[Any] = (0 until gkN).flatMap(j =>
+              Seq(vSum(j), vMin(j), vMax(j), vFirst(j), vLast(j), vCnt(j)))
             // ((...)+ ...)* (opt): an empty chain keeps the match row with
             // null boundaries and count 0 — the zeroOrMore convention
             if (n == 0 && !optGroup) Iterator.empty
             else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
               a.toSeq ++ Seq(null, null, 0L, 0L) ++
+                (0 until gkN).flatMap(_ => Seq(null, null, null, null, null, 0L)) ++
                 (if (matRows) Seq(Seq.empty) else Nil)))
             else Iterator.single(org.apache.spark.sql.Row.fromSeq(
-              a.toSeq ++ Seq(first, lastEnd, n, innerTot) ++ rowsCols))
+              a.toSeq ++ Seq(first, lastEnd, n, innerTot) ++ valCols ++ rowsCols))
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
         out = chained.toDF().drop("__gprev", "__gwend")
@@ -1732,6 +1843,16 @@ object Pattern extends Serializable {
     case o => throw new IllegalStateException(
       s"timestamp column holds ${o.getClass.getName}")
   }
+
+  /** array<double> column as a boxed array (null elements preserved —
+    * a bound member whose source value is null stays distinguishable). */
+  private[cep] def dblsOf(r: org.apache.spark.sql.Row, i: Int): Array[java.lang.Double] =
+    if (r.isNullAt(i)) null
+    else r.getSeq[Any](i).map {
+      case null => null
+      case d: java.lang.Double => d
+      case n: java.lang.Number => java.lang.Double.valueOf(n.doubleValue())
+    }.toArray
 
   private[cep] def tsOf(r: org.apache.spark.sql.Row, i: Int): java.sql.Timestamp =
     anyToTs(r.get(i))

@@ -2320,6 +2320,79 @@ object WindowQueries {
       |FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
       |WHERE b.rn = 1 AND w.phase = 'closed'""".stripMargin)
 
+  // --- m36: member VALUE measures over the NESTED group pattern (m33's
+  // shape, the last named-rejection measure class): SUM/AVG over an inner
+  // member, MIN over another, LAST over the tail — bindGroup running
+  // aggregates carried through the two-level chain walk, folded per
+  // COMPLETED repetition (a failed attempt's values are discarded with
+  // it). Oracle: the m33 walk CTE re-read as a row source (the m34
+  // convention), values joined per (user_id, ts, event_type) with the
+  // engine's equal-ts min tie-break, aggregated per best match.
+  private val m36: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(V.ts) AS n_reps,
+        |           SUM(B.value) AS sum_b, AVG(B.value) AS avg_b,
+        |           MIN(C.value) AS min_c, LAST(V.value) AS last_v
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+  private val m36Sql = m33Sql.replace(
+    """best AS (
+      |  SELECT user_id, s_ts, first_b, match_end, n_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, s_ts AS signup_ts, first_b AS grp_first_ts,
+      |       match_end AS grp_last_ts, n_done AS n_reps, inner_done AS n_inner
+      |FROM best WHERE rn = 1""".stripMargin,
+    """best AS (
+      |  SELECT user_id, s_ts, first_b, match_end, n_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed'),
+      |vals AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |                min(value) AS v
+      |         FROM events GROUP BY 1, 2, 3),
+      |mrows AS (
+      |  SELECT w.user_id, b.s_ts, 'B' AS cls, w.cur_b AS ts, w.n_done AS rep
+      |  FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
+      |  WHERE b.rn = 1 AND w.phase = 'chain' AND w.n_done + 1 <= b.n_done
+      |  UNION ALL
+      |  SELECT w.user_id, b.s_ts, 'C', w.cur_e, w.n_done
+      |  FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
+      |  WHERE b.rn = 1 AND w.phase = 'chain' AND w.n_done + 1 <= b.n_done
+      |  UNION ALL
+      |  SELECT w.user_id, b.s_ts, 'V', w.match_end, w.n_done
+      |  FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
+      |  WHERE b.rn = 1 AND w.phase = 'closed'),
+      |mv AS (
+      |  SELECT r.user_id, r.s_ts, r.cls, r.ts, r.rep, v.v
+      |  FROM mrows r JOIN vals v ON v.user_id = r.user_id AND v.ts = r.ts
+      |   AND v.event_type = CASE r.cls WHEN 'B' THEN 'click'
+      |                                 WHEN 'C' THEN 'view' ELSE 'error' END),
+      |lastv AS (
+      |  SELECT user_id, s_ts, v FROM (
+      |    SELECT m.user_id, m.s_ts, m.v,
+      |           row_number() OVER (PARTITION BY m.user_id, m.s_ts
+      |                              ORDER BY m.rep DESC) AS rn
+      |    FROM mv m WHERE m.cls = 'V') WHERE rn = 1)
+      |SELECT b.user_id, b.s_ts AS signup_ts, b.n_done AS n_reps,
+      |  sum(CASE WHEN m.cls = 'B' THEN m.v END) AS sum_b,
+      |  sum(CASE WHEN m.cls = 'B' THEN m.v END)
+      |    / count(CASE WHEN m.cls = 'B' THEN 1 END) AS avg_b,
+      |  min(CASE WHEN m.cls = 'C' THEN m.v END) AS min_c,
+      |  min(l.v) AS last_v
+      |FROM best b
+      |JOIN mv m ON m.user_id = b.user_id AND m.s_ts = b.s_ts
+      |JOIN lastv l ON l.user_id = b.user_id AND l.s_ts = b.s_ts
+      |WHERE b.rn = 1
+      |GROUP BY 1, 2, 3""".stripMargin)
+
   // --- m35: RELUCTANT quantifiers — the spelling the reference REQUIRES on
   // a quantified final pattern element (StreamExecMatch.scala:203-207
   // rejects greedy-final patterns, so every published Flink 1.10 pattern
@@ -2514,7 +2587,7 @@ object WindowQueries {
     "m29_all_rows_alt" -> m29, "m30_multi_tiebreak" -> m30,
     "m31_all_rows_two_runs" -> m31, "m32_all_rows_group_run" -> m32,
     "m33_nested_group" -> m33, "m34_all_rows_nested" -> m34,
-    "m35_reluctant_quant" -> m35)
+    "m35_reluctant_quant" -> m35, "m36_nested_values" -> m36)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -2545,7 +2618,7 @@ object WindowQueries {
     "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql,
     "m31_all_rows_two_runs" -> m31Sql, "m32_all_rows_group_run" -> m32Sql,
     "m33_nested_group" -> m33Sql, "m34_all_rows_nested" -> m34Sql,
-    "m35_reluctant_quant" -> m35Sql,
+    "m35_reluctant_quant" -> m35Sql, "m36_nested_values" -> m36Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

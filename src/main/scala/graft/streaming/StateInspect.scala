@@ -49,6 +49,73 @@ object StateInspect {
     r.load(checkpointDir)
   }
 
+  /** The savepoint WRITE surface — the `Savepoint.create(backend)
+    * .withOperator(uid, transformation).write(path)` analog (reference
+    * flink-state-processing-api WritableSavepoint.java): materialize a
+    * batch state frame into a REAL streaming checkpoint at
+    * `checkpointDir`, which a later run of the same operator RESTORES
+    * from via its `checkpointLocation` alone — NO initialState plumbing
+    * in the restarted job, exactly how a reference job restores a written
+    * savepoint. Closes the state-processing loop: read =
+    * [[operatorState]], bootstrap-at-start = `initialState`, write = this.
+    *
+    * Mechanics: `build` receives an EMPTY-looking in-memory stream and
+    * must return the operator pipeline with the state to write supplied
+    * as its `initialState` (e.g. `ev => StreamOps.sessionize(ev, wm, gap,
+    * initialState = Some(stateFrame))`). A streaming query with no
+    * available data commits no batch at all (so no state files would be
+    * written): the bootstrap therefore feeds ONE sentinel event — epoch
+    * timestamp, reserved key, FILTERED OUT before `build` ever sees it —
+    * purely to make batch 0 commit. The initial-state relation is part of
+    * that first batch's plan, so Spark's own state store machinery writes
+    * every seeded entry into the checkpoint — no hand-written store
+    * files, so the on-disk format stays version-proof. The sentinel never
+    * reaches the operator (no state pollution) and its epoch timestamp
+    * advances the watermark nowhere (no seeded timer can have fired).
+    *
+    * The sentinel DID consume one source offset, which is a bootstrap
+    * artifact, not real input — left in place it would alias against the
+    * restarted run's own first block (the restart would silently skip
+    * it). The offset log's batch-0 entry is therefore re-pointed at the
+    * pre-data offset (-1) after the run: the checkpoint then presents
+    * exactly a written savepoint's semantics — "state exists, no input
+    * consumed" — and the restarted source replays from ITS beginning.
+    * The offset log is the checkpoint's stable line-oriented text format
+    * (version header, metadata json, one offset json per source).
+    *
+    * The restarted query must use the same operator shape (same state
+    * and output encoders) and the same `checkpointLocation`, with NO
+    * initialState plumbing — the same contract as restoring any
+    * checkpoint. */
+  def writeSavepoint(spark: SparkSession, checkpointDir: String,
+                     outputMode: String = "update")(
+      build: Dataset[Event] => Dataset[_]): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    implicit val evEnc = Encoders.product[Event]
+    val src = MemoryStream[Event]
+    src.addData(Event(Long.MinValue, new java.sql.Timestamp(0L), "__bootstrap__", 0.0))
+    val q = build(src.toDS().filter(_.user_id != Long.MinValue))
+      .writeStream.format("noop")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // re-point batch 0's committed source offset at "nothing consumed"
+    val off = new java.io.File(s"$checkpointDir/offsets/0")
+    require(off.isFile, s"writeSavepoint: bootstrap batch did not commit " +
+      s"(no ${off.getPath})")
+    val lines = scala.io.Source.fromFile(off, "UTF-8") match {
+      case s => try s.getLines().toVector finally s.close()
+    }
+    // v1 header + metadata json stay; the single source's offset -> -1
+    require(lines.length >= 3, s"unexpected offset log shape: $lines")
+    java.nio.file.Files.write(off.toPath,
+      (lines.dropRight(1) :+ "-1").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** [[StreamOps.dedupKeepLast]] with BOOTSTRAPPED state — the
     * BootstrapTransformation analog: `initial` (a batch dataset, one row
     * per key at most — enforce upstream) becomes each key's pre-existing

@@ -325,8 +325,17 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       .followedByNestedGroup("g",
         Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
         Seq("v" -> ($"event_type" === "v")))
-    val e1 = intercept[IllegalArgumentException](p.bindGroup("b", "value"))
-    assert(e1.getMessage.contains("followedByNestedGroup"), e1.getMessage)
+    // bindGroup on a nested member is SUPPORTED since r15; what stays a
+    // named rejection is combining it with materializeNestedRows (either
+    // order), and a non-member name
+    val e1 = intercept[IllegalArgumentException](
+      p.bindGroup("b", "value").materializeNestedRows())
+    assert(e1.getMessage.contains("bindGroup"), e1.getMessage)
+    val e1b = intercept[IllegalArgumentException](
+      p.materializeNestedRows().bindGroup("b", "value"))
+    assert(e1b.getMessage.contains("materializeNestedRows"), e1b.getMessage)
+    val e1c = intercept[IllegalArgumentException](p.bindGroup("zz", "value"))
+    assert(e1c.getMessage.contains("not a member"), e1c.getMessage)
     val e2 = intercept[IllegalArgumentException](p.materializeGroupRows())
     assert(e2.getMessage.contains("followedByNestedGroup"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException](p.tieBreak("value"))

@@ -960,8 +960,10 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         P AS event_type = 'purchase'
         |)""".stripMargin))
     assert(e4.getMessage.contains("FINAL pattern element"), e4.getMessage)
-    // value measures over a nested group member: named rejection
-    val e5 = intercept[Exception](MatchRecognize.detect(evs,
+    // value measures over a nested group member: SUPPORTED since r15
+    // (bindGroup through the two-level walk) — the former named rejection
+    // must no longer fire; behavior is pinned by the dedicated test below
+    MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES S.ts AS s_ts, SUM(C.value) AS sum_c
@@ -969,8 +971,7 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
         |         C AS event_type = 'view', D AS event_type = 'purchase'
-        |)""".stripMargin))
-    assert(e5.getMessage.contains("timestamp measures only"), e5.getMessage)
+        |)""".stripMargin).collect()
   }
 
   test("ALL ROWS PER MATCH over a nested group S ((B C)+ V)+") {
@@ -1156,6 +1157,57 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m2 == Set(
       ("S", 0L, None), ("C", 1L, Some(2.0)),
       ("C", 2L, Some(6.0)), ("P", 2L, Some(6.0))), m2.toString)
+  }
+
+  test("nested group member VALUE measures fold per completed repetition") {
+    // S ((B C)+ V)+ — rep 1 absorbs two subs (B@5 v2, C@10 v3; B@15 v4,
+    // C@20 v5) then V@25 v9; rep 2 one sub (B@30 v1, C@35 v7) then V@40 v8.
+    // The third sub (B@45 C@50, v=100 each) COMPLETES but no tail follows:
+    // the attempt fails and its values must be DISCARDED
+    // (greedy-no-backtracking) — sum_b 7 not 107, min_c 3 not... (100 would
+    // not change min, but sum/avg/last would shift).
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0),
+      (1L, at(5), "click", 2.0), (1L, at(10), "view", 3.0),
+      (1L, at(15), "click", 4.0), (1L, at(20), "view", 5.0),
+      (1L, at(25), "error", 9.0),
+      (1L, at(30), "click", 1.0), (1L, at(35), "view", 7.0),
+      (1L, at(40), "error", 8.0),
+      (1L, at(45), "click", 100.0), (1L, at(50), "view", 100.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(V.ts) AS n_reps,
+        |           SUM(B.value) AS sum_b, AVG(B.value) AS avg_b,
+        |           MIN(C.value) AS min_c, MAX(C.value) AS max_c,
+        |           FIRST(B.value) AS first_b, LAST(V.value) AS last_v
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+      .selectExpr("user_id", "n_reps", "sum_b", "avg_b", "min_c", "max_c",
+        "first_b", "last_v")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(m == Set((1L, 2L, 7.0, 7.0 / 3.0, 3.0, 7.0, 2.0, 8.0)), m.toString)
+  }
+
+  test("nested group values + ALL ROWS stays a named rejection") {
+    val evs = Seq((1L, at(0), "signup", 0.0)).toDF("user_id", "ts", "event_type", "value")
+    val e = intercept[IllegalArgumentException](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, SUM(B.value) AS sum_b
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin))
+    assert(e.getMessage.contains("ALL ROWS PER MATCH does not compose"),
+      e.getMessage)
   }
 
   test("reluctant '+?' mid-pattern binds the minimal single member") {

@@ -159,6 +159,51 @@ class StateProcessingSpec extends AnyFunSuite with SparkTest {
     assert(out == Set((1L, at(0), 3L, 7.0), (2L, at(75), 1L, 1.0)), out.toString)
   }
 
+  test("savepoint WRITE: a batch frame becomes a real checkpoint a fresh " +
+       "query restores from WITHOUT initialState plumbing") {
+    import graft.streaming.{SessionAcc, SessionOut}
+    val ckpt = Files.createTempDirectory("graft_sp_write").toString
+    // WritableSavepoint.withOperator analog: key 1 mid-session
+    // (start 0s, last 30s, 2 events, sum 3) written into a real checkpoint
+    val stateFrame = Seq((1L, SessionAcc(at(0).getTime, at(30).getTime, 2L, 3.0))).toDS()
+    StateInspect.writeSavepoint(spark, ckpt, outputMode = "append") { ev =>
+      StreamOps.sessionize(ev, "5 seconds", gapMs = 60000L,
+        initialState = Some(stateFrame))
+    }
+    // the written checkpoint reads back like any savepoint
+    val written = StateInspect.operatorState(spark, ckpt)
+      .selectExpr("key.value AS uid", "value.groupState.startMs",
+        "value.groupState.lastMs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(written == Set((1L, at(0).getTime, at(30).getTime)), written.toString)
+    // RESTART: same operator shape, same checkpointLocation, NO
+    // initialState anywhere — the restore path is the checkpoint alone
+    // (foreachBatch sink: the memory sink does not support recovery)
+    // foreachBatch calls are serial on the stream thread — no sync needed
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Timestamp, Long, Double)]
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(in.toDF().as[Event], "5 seconds", gapMs = 60000L)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
+        got ++= batch.collect().map(s => (s.user_id, s.session_start, s.n, s.sum_value))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // 70s is within the 60s gap of the WRITTEN session's last (30s):
+      // it must EXTEND the restored session, not open a new one
+      in.addData(Event(1, at(70), "click", 4.0), Event(2, at(75), "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(9, at(500), "flush", 0.0)); q.processAllAvailable()
+      in.addData(Event(9, at(900), "flush", 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val out = got.filter(t => t._1 == 1L || t._1 == 2L).toSet
+    // WITHOUT the written savepoint, key 1's session would start at 70s
+    // with n=1 sum=4
+    assert(out == Set((1L, at(0), 3L, 7.0), (2L, at(75), 1L, 1.0)), out.toString)
+  }
+
   test("bootstrapped cepPattern: a seeded partial match completes from live events") {
     import graft.streaming.{CepPatternAcc, Partial}
     // key 1 restored with signup@10s already bound (one open partial,
