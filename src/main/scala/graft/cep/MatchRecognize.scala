@@ -276,18 +276,33 @@ object MatchRecognize {
           case (None, Some(alt), _) =>
             val branches = alt.split("\\|").map(_.trim).toSeq
             // (B|C)+ / (B|C)* — flink-cep GroupPattern over oneOf: a run
-            // whose members match any branch, with per-branch counts.
-            // '?'/'{n,m}' on an alternation stay named rejections.
-            require(g.group(6) == null || g.group(6) == "+" || g.group(6) == "*",
-              s"alternation group ($alt): only the '+' or '*' quantifier " +
-                s"is supported (got '${g.group(6)}')")
-            PatternVar(branches.mkString("_"), Option(g.group(6)), branches)
+            // whose members match any branch, with per-branch counts. The
+            // reluctant '(B|C)+?' collapses to ONE member of any branch —
+            // the bare '(B|C)' one-of (see [[normalizeQuant]]: the minimal
+            // binding always wins). '?'/'{n,m}' stay named rejections.
+            val q = Option(g.group(6)) match {
+              case Some("+?") => None
+              case q0 @ (None | Some("+") | Some("*")) => q0
+              case Some(other) => sys.error(s"alternation group ($alt): " +
+                "only the '+', '*' or reluctant '+?' quantifier is " +
+                s"supported (got '$other')")
+            }
+            PatternVar(branches.mkString("_"), q, branches)
           case (None, None, Some(seq)) =>
             val subs = seq.trim.split("\\s+").toSeq
-            require(g.group(6) == "+" || g.group(6) == "*",
-              s"sequence group (${subs.mkString(" ")}) requires the '+' or " +
-                "'*' quantifier (the GroupPattern oneOrMore[.optional] surface)")
-            PatternVar(subs.mkString("_"), Some(g.group(6)), Nil, subs)
+            // (B C)+ / (B C)* — GroupPattern oneOrMore[.optional]. The
+            // reluctant '(B C)+?' collapses to exactly ONE repetition
+            // (minimal binding always wins), which is also the bare
+            // '(B C)' inline-sequence semantics — both lower to the
+            // single-repetition declarative sub-match join.
+            val q = Option(g.group(6)) match {
+              case Some("+?") => None
+              case q0 @ (None | Some("+") | Some("*")) => q0
+              case Some(other) => sys.error(s"sequence group " +
+                s"(${subs.mkString(" ")}): only '+', '*', reluctant '+?' " +
+                s"or no quantifier is supported (got '$other')")
+            }
+            PatternVar(subs.mkString("_"), q, Nil, subs)
           case (None, None, None) => PatternVar(g.group(5),
             Option(g.group(6)).map(normalizeQuant(g.group(5), _)))
         }
@@ -686,7 +701,10 @@ object MatchRecognize {
         if (spec.allRows) pat = pat.materializeGroupRows()
         // composite ORDER BY: member value bindings argmin by (tie, value)
         if (spec.orderTies.nonEmpty) pat = pat.tieBreak(spec.orderTies: _*)
-        pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
+        // quant None = the bare/reluctant-collapsed SINGLE repetition —
+        // the declarative sub-match join, no chain
+        v.quant.foreach(q =>
+          pat = if (q == "*") pat.zeroOrMore() else pat.oneOrMore())
       } else if (v.alts.nonEmpty) {
         pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> compiled(b)._1): _*)
         // quantified alternation group: the '+'/'*' run over the union of
@@ -875,6 +893,12 @@ object MatchRecognize {
             // repetition's final sub-binding, repetition count): FIRST
             // addresses the group's first sub-variable (or the group
             // itself), LAST its last, COUNT any member
+            case Some("COUNT") if g.quant.isEmpty =>
+              // bare/reluctant-collapsed single repetition: no _n column —
+              // the count is 1 (0 never occurs: the inner join drops
+              // starts whose repetition cannot complete)
+              when(col(s"${g.name}_first_ts").isNotNull, lit(1L))
+                .otherwise(lit(0L))
             case Some("COUNT") => col(s"${g.name}_n")
             case Some("FIRST") =>
               require(m.varName == g.name || m.varName == g.seq.head,

@@ -477,17 +477,20 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         C AS event_type = 'c', U AS event_type = 'purchase'
         |)""".stripMargin).collect())
     assert(ex.getMessage.contains("FIRST sub-step only"), ex.getMessage)
-    // a sequence group without '+' is a named error
-    val ex2 = intercept[IllegalArgumentException](MatchRecognize.detect(evs,
+    // a bare sequence group (no quantifier) is the SINGLE repetition
+    // since r15 (formerly a named error; also the reluctant '+?' target)
+    val bare = MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
-        |  MEASURES S.ts AS s_ts
+        |  MEASURES S.ts AS s_ts, FIRST(B.ts) AS fb, LAST(C.ts) AS lc,
+        |           COUNT(C.ts) AS n, U.ts AS u_ts
         |  PATTERN (S (B C) U)
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', B AS event_type = 'b',
         |         C AS event_type = 'c', U AS event_type = 'purchase'
-        |)""".stripMargin).collect())
-    assert(ex2.getMessage.contains("requires the '+'"), ex2.getMessage)
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)].collect().toSet
+    assert(bare == Set((1L, at(0), at(5), at(10), 1L, at(25))), bare.toString)
     // interior whitespace in the group is cosmetic: ( B C )+ == (B C)+
     val spaced = MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
@@ -1263,6 +1266,45 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |)""".stripMargin)
       .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
     assert(m == Set((1L, at(0), at(10), 1L), (2L, at(0), at(5), 1L)))
+  }
+
+  test("reluctant '(B C)+?' and '(B|C)+?' collapse to ONE repetition; " +
+       "bare groups are the same single-repetition shape") {
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(5), "click"), (1L, at(10), "view"),
+      (1L, at(15), "click"), (1L, at(20), "view"), (1L, at(25), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    def run(pat: String) = MatchRecognize.detect(evs,
+      s"""MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(B.ts) AS fb, LAST(C.ts) AS lc,
+        |           COUNT(C.ts) AS n, P.ts AS p_ts
+        |  PATTERN ($pat)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Timestamp)]
+      .collect().toSet
+    // greedy (B C)+ absorbs BOTH subs (both complete before P@25): n = 2;
+    // reluctant (B C)+? takes exactly ONE — identical to the bare group
+    assert(run("S (B C)+ P").head._5 == 2L)
+    val one = Set((1L, at(0), at(5), at(10), 1L, at(25)))
+    assert(run("S (B C)+? P") == one)
+    assert(run("S (B C) P") == one)
+    // alternation: (B|C)+? = one member of any branch = bare (B|C)
+    def runAlt(pat: String) = MatchRecognize.detect(evs,
+      s"""MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, B_C.ts AS m_ts, P.ts AS p_ts
+        |  PATTERN ($pat)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Timestamp, Timestamp)].collect().toSet
+    assert(runAlt("S (B|C)+? P") == runAlt("S (B|C) P"))
+    assert(runAlt("S (B|C)+? P") == Set((1L, at(0), at(5), at(25))))
   }
 
   test("'*?' and '??' are named rejections (minimum zero never binds)") {
