@@ -114,6 +114,28 @@ object MatchRecognize {
                           skipTo: Option[(String, Boolean)] = None,
                           orderTies: Seq[String] = Nil)
 
+  /** Member VALUE measure → the bindGroup running-aggregate column
+    * (`<group>_<agg>_<member>_<field>`) — ONE mapping shared by the
+    * one-level group chain and the nested chain (both emit the same
+    * column naming): one bound occurrence per repetition (one-level) /
+    * per sub or tail binding (nested), so COUNT is the non-null count
+    * and AVG its matching divisor. */
+  private def memberValueMeasure(gName: String, m: Measure): Column = {
+    val sfx = s"${m.varName}_${m.field}"
+    m.fn match {
+      case Some("SUM") => col(s"${gName}_sum_$sfx")
+      case Some("AVG") => col(s"${gName}_sum_$sfx") / col(s"${gName}_cnt_$sfx")
+      case Some("MIN") => col(s"${gName}_min_$sfx")
+      case Some("MAX") => col(s"${gName}_max_$sfx")
+      case Some("FIRST") => col(s"${gName}_first_$sfx")
+      case Some("LAST") => col(s"${gName}_last_$sfx")
+      case Some("COUNT") => col(s"${gName}_cnt_$sfx")
+      case other => sys.error(s"group member ${m.varName}: use " +
+        s"SUM/AVG/MIN/MAX/FIRST/LAST/COUNT (got " +
+        s"${other.getOrElse("a bare reference")})")
+    }
+  }
+
   /** Run-shaped quantifiers: '+', '*', and the SQL `{n,}` n-or-more form —
     * all lower to the run (oneOrMore-family) machinery. */
   private def isRunQ(q: String): Boolean =
@@ -517,7 +539,10 @@ object MatchRecognize {
       require(pos(a) < groupPos,
         s"DEFINE $v references $a, which is not bound earlier in the PATTERN")
       val pv = spec.vars(pos(a))
-      require(pv.alts.isEmpty && pv.quant.isEmpty,
+      // seq/innerSeq excluded explicitly: a BARE group (quant None since
+      // r15) would otherwise pass and die later as an unresolved column
+      require(pv.alts.isEmpty && pv.quant.isEmpty && pv.seq.isEmpty &&
+          pv.innerSeq.isEmpty,
         s"DEFINE $v references $a: relative references need a plain, unquantified variable")
     }
     def rewritePlain(s: String): String = RefRx.replaceAllIn(s, m =>
@@ -853,21 +878,9 @@ object MatchRecognize {
               // former named rejection) — bindGroup's running aggregates,
               // folded per COMPLETED repetition (inner members bind once
               // per sub-sequence, tails once per repetition); the column
-              // naming is the one-level group chain's, so the lowering is
-              // shared
-              val sfx = s"${m.varName}_${m.field}"
-              m.fn match {
-                case Some("SUM") => col(s"${g.name}_sum_$sfx")
-                case Some("AVG") => col(s"${g.name}_sum_$sfx") / col(s"${g.name}_cnt_$sfx")
-                case Some("MIN") => col(s"${g.name}_min_$sfx")
-                case Some("MAX") => col(s"${g.name}_max_$sfx")
-                case Some("FIRST") => col(s"${g.name}_first_$sfx")
-                case Some("LAST") => col(s"${g.name}_last_$sfx")
-                case Some("COUNT") => col(s"${g.name}_cnt_$sfx")
-                case other => sys.error(s"nested group member ${m.varName}: " +
-                  s"use SUM/AVG/MIN/MAX/FIRST/LAST/COUNT (got " +
-                  s"${other.getOrElse("a bare reference")})")
-              }
+              // naming is the one-level group chain's, so the lowering IS
+              // the shared helper
+              memberValueMeasure(g.name, m)
             } else m.fn match {
               case Some("COUNT") if g.innerSeq.contains(m.varName) =>
                 col(s"${g.name}_inner_n")
@@ -913,25 +926,7 @@ object MatchRecognize {
             case other => sys.error(s"group variable ${g.name}: " +
               s"FIRST/LAST/COUNT only over timestamps (got " +
               s"${other.getOrElse("a bare reference")})")
-          } else {
-            // member value measures — bindGroup's running chain aggregates
-            // (MatchRecognizeITCase aggregate-measure shapes over
-            // quantified patterns); one occurrence per repetition, so
-            // COUNT is the non-null count and AVG its matching divisor
-            val sfx = s"${m.varName}_${m.field}"
-            m.fn match {
-              case Some("SUM") => col(s"${g.name}_sum_$sfx")
-              case Some("AVG") => col(s"${g.name}_sum_$sfx") / col(s"${g.name}_cnt_$sfx")
-              case Some("MIN") => col(s"${g.name}_min_$sfx")
-              case Some("MAX") => col(s"${g.name}_max_$sfx")
-              case Some("FIRST") => col(s"${g.name}_first_$sfx")
-              case Some("LAST") => col(s"${g.name}_last_$sfx")
-              case Some("COUNT") => col(s"${g.name}_cnt_$sfx")
-              case other => sys.error(s"group member ${m.varName}: use " +
-                s"SUM/AVG/MIN/MAX/FIRST/LAST/COUNT (got " +
-                s"${other.getOrElse("a bare reference")})")
-            }
-          }
+          } else memberValueMeasure(g.name, m)
         } else if (isRunVar) {
           // a run binds its boundary timestamps + count, and (via bindRun)
           // per-column running SUM/MIN/MAX and first/last member values

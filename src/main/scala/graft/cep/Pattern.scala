@@ -790,7 +790,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       // the grouping — it never reaches the output columns
       val uAnchors = anchors.withColumn("__aid", monotonically_increasing_id())
       val kept = uAnchors.columns.map(col)
-      val lists = uAnchors.join(members,
+      val lists0 = uAnchors.join(members,
           col("__k") === col("__k2") && col("__mts") > col(startTs) &&
             col("__mts") <= col(startTs) + win)
         .groupBy(kept.toIndexedSeq: _*)
@@ -801,6 +801,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             lit(s" run members (max ${b.maxComb}) — 2^m subset branches; " +
               "raise maxCombinationMembers (<= 30) or narrow the window"))))
             .otherwise(size(col("__ms"))))
+      // with trailing steps the subset branch and the trailing-binding
+      // branch BOTH consume this frame and equi-join back on __aid — a
+      // NON-DETERMINISTIC id. Materialize it once (localCheckpoint) so a
+      // recomputation (stage retry, missed exchange reuse) cannot assign
+      // the two branches different ids for the same anchor, which would
+      // silently drop subsets or bind the wrong trailing events.
+      val lists = if (trailing.isEmpty) lists0 else lists0.localCheckpoint(true)
       // trailing bindings depend only on the subset's LAST member: compute
       // them once per (anchor, member) — O(m) rows per start — then join
       // back to the 2^m subset rows, never chained per subset. Each step
@@ -1178,15 +1185,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   org.apache.spark.sql.types.LongType),
                 org.apache.spark.sql.types.StructField("subs",
                   org.apache.spark.sql.types.LongType))), false)))
-        // per bound (member, col): sum/min/max/first/last (double) + cnt —
-        // the one-level bindGroup naming, so the MEASURES lowering is shared
-        val valFields = s.groupKeep.flatMap { case (m, c) =>
-          Seq("sum", "min", "max", "first", "last").map(a =>
-            org.apache.spark.sql.types.StructField(s"${s.name}_${a}_${m}_$c",
-              org.apache.spark.sql.types.DoubleType)) :+
-            org.apache.spark.sql.types.StructField(s"${s.name}_cnt_${m}_$c",
-              org.apache.spark.sql.types.LongType)
-        }
+        // the one-level bindGroup naming (shared builder), so the
+        // MEASURES lowering is shared too
+        val valFields = Pattern.groupValFields(s.name, s.groupKeep)
         val outSchema = org.apache.spark.sql.types.StructType(
           aSchema.fields ++ Seq(
             org.apache.spark.sql.types.StructField(s"${s.name}_first_ts",
@@ -1462,14 +1463,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           val keyIdx = aSchema.fieldIndex("__k")
           val prevIdx = aSchema.fieldIndex("__gprev")
           val wendIdx = aSchema.fieldIndex("__gwend")
-          // per bound (member, col): sum/min/max/first/last (double) + cnt
-          val valFields = s.groupKeep.flatMap { case (m, c) =>
-            Seq("sum", "min", "max", "first", "last").map(a =>
-              org.apache.spark.sql.types.StructField(s"${s.name}_${a}_${m}_$c",
-                org.apache.spark.sql.types.DoubleType)) :+
-              org.apache.spark.sql.types.StructField(s"${s.name}_cnt_${m}_$c",
-                org.apache.spark.sql.types.LongType)
-          }
+          // per bound (member, col): sum/min/max/first/last + cnt (shared builder)
+          val valFields = Pattern.groupValFields(s.name, s.groupKeep)
           val repFields = if (!s.groupRows) Nil else Seq(
             org.apache.spark.sql.types.StructField(s"${s.name}_reps",
               org.apache.spark.sql.types.ArrayType(
@@ -1843,6 +1838,19 @@ object Pattern extends Serializable {
     case o => throw new IllegalStateException(
       s"timestamp column holds ${o.getClass.getName}")
   }
+
+  /** Per bound (member, col): sum/min/max/first/last (double) + cnt (long)
+    * — the bindGroup output schema, ONE builder shared by the one-level
+    * group chain and the nested chain so the naming cannot diverge. */
+  private[cep] def groupValFields(name: String,
+      groupKeep: Seq[(String, String)]): Seq[org.apache.spark.sql.types.StructField] =
+    groupKeep.flatMap { case (m, c) =>
+      Seq("sum", "min", "max", "first", "last").map(a =>
+        org.apache.spark.sql.types.StructField(s"${name}_${a}_${m}_$c",
+          org.apache.spark.sql.types.DoubleType)) :+
+        org.apache.spark.sql.types.StructField(s"${name}_cnt_${m}_$c",
+          org.apache.spark.sql.types.LongType)
+    }
 
   /** array<double> column as a boxed array (null elements preserved —
     * a bound member whose source value is null stays distinguishable). */

@@ -1132,8 +1132,19 @@ object Iterate {
     * t021c, t111d, t111u, t030t, t030c, t201, t120d, t120u, t120c, t210,
     * t300). */
   def directedClusteringStats(edges: DataFrame, srcCol: String, dstCol: String,
-                              broadcastClosureThreshold: Long = 10000000L): DataFrame =
-    directedClusteringBundle(edges, srcCol, dstCol, broadcastClosureThreshold).census.get
+                              broadcastClosureThreshold: Long = 10000000L): DataFrame = {
+    // census-only consumers never see the bundle handle, so free its
+    // persisted interim frames HERE: the census is a single row —
+    // materialize it, unpersist the bundle, return a local relation
+    // (otherwise every call leaks the wedge-pass frames for the session)
+    val b = directedClusteringBundle(edges, srcCol, dstCol, broadcastClosureThreshold)
+    val census = b.census.get
+    val rows = census.collect()
+    val out = census.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), census.schema)
+    b.unpersist()
+    out
+  }
 
   /** The DIRECTED clustering bundle: [[directedClusteringStats]]' census
     * row PLUS the undirected-projection [[triangleCounts]] table and

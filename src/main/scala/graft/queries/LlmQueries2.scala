@@ -994,7 +994,13 @@ object LlmQueries2 {
     val t = b.triangles.agg(
       sum(col("id") * col("n_triangles")).cast("long").as("tri_weighted"),
       max(col("n_triangles")).cast("long").as("tri_max"))
-    u.crossJoin(c).crossJoin(t)
+    // single-row output: materialize it so the bundle's persisted interim
+    // frames can be freed HERE instead of leaking for the session (a lazy
+    // return could not unpersist before the consumer evaluates)
+    val out = u.crossJoin(c).crossJoin(t)
+    val rows = out.collect()
+    b.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
   private val i21Sql = {
     // the directed chain is i17's verbatim (same graph, same census); the

@@ -109,8 +109,18 @@ object StateInspect {
     val lines = scala.io.Source.fromFile(off, "UTF-8") match {
       case s => try s.getLines().toVector finally s.close()
     }
-    // v1 header + metadata json stay; the single source's offset -> -1
-    require(lines.length >= 3, s"unexpected offset log shape: $lines")
+    // v1 header + metadata json stay; the single source's offset -> -1.
+    // EXACTLY one source and one committed batch are the bootstrap
+    // contract: with a second source (or a trailing no-data batch) the
+    // rewrite would leave a consumed offset in place and the restarted
+    // run would silently skip its first block — refuse by name instead.
+    require(lines.length == 3, "writeSavepoint: the bootstrap pipeline " +
+      s"must read exactly ONE streaming source (offset log has " +
+      s"${lines.length - 2} source offset lines) — multi-source operators " +
+      "cannot be savepoint-bootstrapped this way")
+    require(!new java.io.File(s"$checkpointDir/offsets/1").exists(),
+      "writeSavepoint: the bootstrap run committed more than one batch — " +
+      "the batch-0 offset rewrite would be ineffective")
     java.nio.file.Files.write(off.toPath,
       (lines.dropRight(1) :+ "-1").mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -47,8 +47,9 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // cache teardown OUTSIDE the measured span
+      t
     }
     time(queries.head, base) // JIT/codegen warmup outside the measurements
     val rows = queries.map { q =>
@@ -91,8 +92,9 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
       val t0 = System.nanoTime()
       graft.queries.LlmQueries.knnGraph(spark, dir, k = k, nProbes = 3, topK = 3)
         .write.mode("overwrite").format("noop").save()
-      spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // cache teardown OUTSIDE the measured span
+      t
     }
     run(base, nBase) // warmup
     val tb = run(base, nBase)
@@ -139,8 +141,9 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // cache teardown OUTSIDE the measured span
+      t
     }
     val queries = Seq("h09_tpch_q09", "h02_tpch_q02", "h21_tpch_q21", "h08_tpch_q08")
     time(queries.head, base) // JIT/codegen warmup outside the measurements
@@ -192,8 +195,9 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // cache teardown OUTSIDE the measured span
+      t
     }
     val queries = Seq("i05_triangle_count", "i17_directed_census",
       "i21_clustering_bundle", "i09_hits")
