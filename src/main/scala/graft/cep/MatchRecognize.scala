@@ -104,7 +104,8 @@ object MatchRecognize {
 
   private case class PatternVar(name: String, quant: Option[String],
                                 alts: Seq[String] = Nil, seq: Seq[String] = Nil,
-                                innerSeq: Seq[String] = Nil)
+                                innerSeq: Seq[String] = Nil,
+                                innerStar: Boolean = false)
   private case class Measure(fn: Option[String], varName: String,
                              field: String, alias: String)
   private case class Spec(partitionBy: Seq[String], orderBy: String,
@@ -257,7 +258,7 @@ object MatchRecognize {
     // quantifier, an alternation group (B|C), or a quantified SEQUENCE
     // group (B C)+ (flink-cep GroupPattern) — groups named by joining
     // their members
-    val varRx = ("(?:\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*\\+\\s*" +
+    val varRx = ("(?:\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
       "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
       "|\\(\\s*(\\w+(?:\\s*\\|\\s*\\w+)+)\\s*\\)" +
       "|\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)|(\\w+))" +
@@ -276,25 +277,26 @@ object MatchRecognize {
         require(gap.isEmpty,
           s"unsupported PATTERN syntax near '$gap' in PATTERN ($patternBody)" +
             (if (gap.contains("(")) " — the one supported nested shape is " +
-              "((I1 I2 ...)+ T1 ...)+ (inner '+', at least one tail step, " +
-              "outer '+'/'*')" else ""))
+              "((I1 I2 ...)+ T1 ...)+ (inner '+' or '*', at least one " +
+              "tail step, outer '+'/'*')" else ""))
         if (m != null) pos = m.end
       }
     }
     val vars = varMatches.map { g =>
-        (Option(g.group(1)), Option(g.group(3)), Option(g.group(4))) match {
+        (Option(g.group(1)), Option(g.group(4)), Option(g.group(5))) match {
           case (Some(inner), _, _) =>
-            // nested group ((I...)+ T...)+ — flink-cep GroupPattern
-            // composing recursively (one level): inner sub-sequence under
-            // '+', tail steps, outer '+'/'*'
+            // nested group ((I...)+ T...)+ / ((I...)* T...)+ — flink-cep
+            // GroupPattern composing recursively (one level): inner
+            // sub-sequence under '+' (or '*' = zero-or-more sub-chains per
+            // repetition, r15), tail steps, outer '+'/'*'
             val innerSubs = inner.trim.split("\\s+").toSeq
-            val tails = g.group(2).trim.split("\\s+").toSeq
-            require(g.group(6) == "+" || g.group(6) == "*",
-              s"nested group ((${innerSubs.mkString(" ")})+ " +
+            val tails = g.group(3).trim.split("\\s+").toSeq
+            require(g.group(7) == "+" || g.group(7) == "*",
+              s"nested group ((${innerSubs.mkString(" ")})${g.group(2)} " +
                 s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
-                s"quantifier (got '${Option(g.group(6)).getOrElse("")}')")
-            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(6)),
-              Nil, tails, innerSubs)
+                s"quantifier (got '${Option(g.group(7)).getOrElse("")}')")
+            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(7)),
+              Nil, tails, innerSubs, innerStar = g.group(2) == "*")
           case (None, Some(alt), _) =>
             val branches = alt.split("\\|").map(_.trim).toSeq
             // (B|C)+ / (B|C)* — flink-cep GroupPattern over oneOf: a run
@@ -302,7 +304,7 @@ object MatchRecognize {
             // reluctant '(B|C)+?' collapses to ONE member of any branch —
             // the bare '(B|C)' one-of (see [[normalizeQuant]]: the minimal
             // binding always wins). '?'/'{n,m}' stay named rejections.
-            val q = Option(g.group(6)) match {
+            val q = Option(g.group(7)) match {
               case Some("+?") => None
               case q0 @ (None | Some("+") | Some("*")) => q0
               case Some(other) => sys.error(s"alternation group ($alt): " +
@@ -317,7 +319,7 @@ object MatchRecognize {
             // (minimal binding always wins), which is also the bare
             // '(B C)' inline-sequence semantics — both lower to the
             // single-repetition declarative sub-match join.
-            val q = Option(g.group(6)) match {
+            val q = Option(g.group(7)) match {
               case Some("+?") => None
               case q0 @ (None | Some("+") | Some("*")) => q0
               case Some(other) => sys.error(s"sequence group " +
@@ -325,8 +327,8 @@ object MatchRecognize {
                 s"or no quantifier is supported (got '$other')")
             }
             PatternVar(subs.mkString("_"), q, Nil, subs)
-          case (None, None, None) => PatternVar(g.group(5),
-            Option(g.group(6)).map(normalizeQuant(g.group(5), _)))
+          case (None, None, None) => PatternVar(g.group(6),
+            Option(g.group(7)).map(normalizeQuant(g.group(6), _)))
         }
       }
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
@@ -709,7 +711,8 @@ object MatchRecognize {
           "member values for a tiebreak to steer")
         pat = pat.followedByNestedGroup(v.name,
           v.innerSeq.map(sv => sv -> compiled(sv)._1),
-          v.seq.map(sv => sv -> compiled(sv)._1))
+          v.seq.map(sv => sv -> compiled(sv)._1),
+          innerOptional = v.innerStar)
         nestedBinds.foreach(sv => pat = pat.bindGroup(sv, bindByVar(sv): _*))
         // ALL ROWS needs each bound event + running counts on the match row
         if (spec.allRows) pat = pat.materializeNestedRows()
@@ -890,6 +893,13 @@ object MatchRecognize {
                   s"FIRST(${m.varName}.ts): the nested chain materializes " +
                     s"the first repetition's FIRST inner binding only " +
                     s"(${g.innerSeq.head})")
+                // inner '*': the first repetition may be TAIL-ONLY, so the
+                // group boundary is not necessarily an inner binding —
+                // only the group-level spelling stays truthful
+                require(!g.innerStar || m.varName == g.name,
+                  s"FIRST(${m.varName}.ts): with an inner '*' the first " +
+                    "repetition may start at a tail — use " +
+                    s"FIRST(${g.name}.ts) for the group boundary")
                 col(s"${g.name}_first_ts")
               case Some("LAST") =>
                 require(m.varName == g.name || m.varName == g.seq.last,

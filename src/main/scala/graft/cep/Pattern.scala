@@ -41,7 +41,8 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       minRun: Int = 1,
                       anyBranch: Boolean = false,
                       combinations: Boolean = false,
-                      maxComb: Int = 20)
+                      maxComb: Int = 20,
+                      innerOpt: Boolean = false)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,
@@ -427,8 +428,19 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * counts, with binary-searched sorted arrays inside the walk.
     * [[bindGroup]]/[[materializeGroupRows]]/[[tieBreak]] do not compose
     * with nested groups (named errors). */
+  /** `innerOptional` (r15, upgrading the former inner-`*` named
+    * rejection): the inner sub-group may repeat ZERO times inside a
+    * repetition — `((I...)* T...)+` (reference GroupPattern composes an
+    * optional inner group the same way). A repetition then binds EITHER
+    * a (greedy, tail-punctuated) inner chain + tails, OR the tails
+    * alone — tail-first when the earliest first-tail candidate does not
+    * come strictly after the earliest completable sub (the same
+    * earliest-completion rule that punctuates the inner chain: the
+    * branch completing first wins). The outer chain keeps absorbing
+    * tail-only repetitions while tails remain in-window. */
   def followedByNestedGroup(name: String, inner: Seq[(String, Column)],
-                            tail: Seq[(String, Column)]): Pattern = {
+                            tail: Seq[(String, Column)],
+                            innerOptional: Boolean = false): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
     require(steps.nonEmpty, "followedByNestedGroup() follows a begin step")
     require(inner.size >= 2,
@@ -440,7 +452,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         "followedByGroup)")
     new Pattern(steps :+ Step(name,
       (inner.map(_._2) ++ tail.map(_._2)).reduce(_ || _),
-      group = tail.toVector, innerGroup = inner.toVector),
+      group = tail.toVector, innerGroup = inner.toVector,
+      innerOpt = innerOptional),
       notStep, windowMs, skipPastLast, skipTo)
   }
 
@@ -1204,6 +1217,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val optGroup = s.opt
         val nTails = s.group.size
         val matRows = s.groupRows
+        val innerOptFlag = s.innerOpt
         val innerNames = s.innerGroup.map(_._1)
         val tailNames = s.group.map(_._1)
         // primitive copies for the closure: groupKeep positions per source
@@ -1268,7 +1282,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               // completion monotone in start: if it cannot complete
               // in-window, no later start can either)
               val i0 = subAfter(lastEnd)
-              if (i0 >= subs.length || subs(i0)._2.after(wEnd)) done = true
+              val subAvail = i0 < subs.length && !subs(i0)._2.after(wEnd)
+              // innerOptional: the repetition may bind the tails ALONE —
+              // tail-first when the earliest first-tail candidate does not
+              // come strictly after the earliest completable sub (the same
+              // earliest-completion rule that punctuates the inner chain;
+              // ties favor the tail)
+              val tx0 = tailAfter(0, lastEnd)
+              val t0Avail = tx0 < tails(0).length &&
+                !tails(0)(tx0)._1.after(wEnd)
+              val tailFirst = innerOptFlag && t0Avail &&
+                (!subAvail || !subs(i0)._2.before(tails(0)(tx0)._1))
+              if (!subAvail && !tailFirst) done = true
               else {
                 val repRows = if (matRows)
                   scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
@@ -1299,17 +1324,24 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 // inner chain bounded by the first tail opportunity: absorb
                 // the next sub-match only if it completes strictly BEFORE
                 // the earliest first-tail candidate after the current chain
-                // end (the tail punctuates repetitions — reluctant close)
-                var e = subs(i0)._2; var k = 1L; var more = true
-                subRows(i0, 1L); subVals(i0)
-                while (more) {
-                  val nx = subAfter(e)
-                  val tx = tailAfter(0, e)
-                  val tCand = if (tx < tails(0).length &&
-                      !tails(0)(tx)._1.after(wEnd)) tails(0)(tx)._1 else null
-                  if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
-                      (tCand != null && !subs(nx)._2.before(tCand))) more = false
-                  else { e = subs(nx)._2; k += 1; subRows(nx, k); subVals(nx) }
+                // end (the tail punctuates repetitions — reluctant close).
+                // A tail-first repetition (innerOptional) skips the chain:
+                // k stays 0 and the tails bind directly after lastEnd.
+                var e = lastEnd; var k = 0L
+                var repFirst: java.sql.Timestamp = null
+                if (!tailFirst) {
+                  e = subs(i0)._2; k = 1L; repFirst = subs(i0)._1
+                  subRows(i0, 1L); subVals(i0)
+                  var more = true
+                  while (more) {
+                    val nx = subAfter(e)
+                    val tx = tailAfter(0, e)
+                    val tCand = if (tx < tails(0).length &&
+                        !tails(0)(tx)._1.after(wEnd)) tails(0)(tx)._1 else null
+                    if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
+                        (tCand != null && !subs(nx)._2.before(tCand))) more = false
+                    else { e = subs(nx)._2; k += 1; subRows(nx, k); subVals(nx) }
+                  }
                 }
                 // tail bindings: earliest candidate strictly after the
                 // previous binding, all within the match window
@@ -1319,6 +1351,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   if (x >= tails(ti).length || tails(ti)(x)._1.after(wEnd)) ok = false
                   else {
                     t = tails(ti)(x)._1
+                    if (repFirst == null) repFirst = t
                     if (matRows) repRows += org.apache.spark.sql.Row(t,
                       tailNames(ti), n + 1, innerTot + k)
                     if (gkTailPos(ti).length > 0) {
@@ -1333,7 +1366,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 }
                 if (!ok) done = true
                 else {
-                  if (n == 0) first = subs(i0)._1
+                  if (n == 0) first = repFirst
                   lastEnd = t; n += 1; innerTot += k
                   if (matRows) allRows ++= repRows
                   if (gkN > 0) pendVals.foreach { case (gi, v) =>

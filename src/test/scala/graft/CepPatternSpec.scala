@@ -347,6 +347,45 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(e4.getMessage.contains("oneOrMore"), e4.getMessage)
   }
 
+  test("followedByNestedGroup innerOptional: ((B C)* V)+ binds tail-only " +
+       "repetitions, and equals inner '+' when every repetition has subs") {
+    // tail-only reps: V@10 and V@20 precede any completable sub, the
+    // sub (25,30) completes before V@35 — walk: [V10][V20][(25,30)+V35]
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(10), "v"), (1L, at(20), "v"),
+      (1L, at(25), "b"), (1L, at(30), "c"), (1L, at(35), "v")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "signup")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")), innerOptional = true)
+      .oneOrMore()
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(m == Set((1L, at(10), at(35), 3L, 1L)), m.toString)
+    // when every repetition has a completable sub before its tail, the
+    // star walk IS the plus walk
+    val evs2 = Seq(
+      (1L, at(0), "signup"),
+      (1L, at(10), "b"), (1L, at(20), "c"), (1L, at(25), "b"),
+      (1L, at(30), "c"), (1L, at(40), "v"),
+      (1L, at(45), "b"), (1L, at(50), "c"), (1L, at(55), "v")
+    ).toDF("user_id", "ts", "event_type")
+    def run(opt: Boolean) = Pattern.begin("s", $"event_type" === "signup")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")), innerOptional = opt)
+      .oneOrMore()
+      .within(HOUR)
+      .detect(evs2, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(run(true) == run(false) &&
+      run(true) == Set((1L, at(10), at(55), 2L, 3L)), run(true).toString)
+  }
+
   test("quantified alternation (B|C)+: run over the union with per-branch counts") {
     val evs = Seq(
       (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),

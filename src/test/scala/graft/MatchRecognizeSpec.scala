@@ -925,9 +925,10 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         C AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin))
     assert(e1.getMessage.contains("alternation"), e1.getMessage)
-    // nested group with an inner '*': only the inner-'+' shape lowers —
-    // named rejection via the residue check
-    val e2 = intercept[Exception](MatchRecognize.detect(evs,
+    // nested group with an inner '*': SUPPORTED since r15 (tail-only
+    // repetitions) — the former named rejection must no longer fire;
+    // behavior is pinned by the dedicated inner-'*' tests
+    MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES S.ts AS s_ts
@@ -936,8 +937,7 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
         |         C AS event_type = 'view', D AS event_type = 'click',
         |         P AS event_type = 'purchase'
-        |)""".stripMargin))
-    assert(e2.getMessage.contains("nested"), e2.getMessage)
+        |)""".stripMargin).collect()
     // depth-3 nesting: named rejection
     val e3 = intercept[Exception](MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
@@ -1266,6 +1266,39 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |)""".stripMargin)
       .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
     assert(m == Set((1L, at(0), at(10), 1L), (2L, at(0), at(5), 1L)))
+  }
+
+  test("inner '*' in a nested group: ((B C)* V)+ from SQL text") {
+    val evs = Seq(
+      (1L, at(0), "signup"), (1L, at(10), "error"), (1L, at(20), "error"),
+      (1L, at(25), "click"), (1L, at(30), "view"), (1L, at(35), "error")
+    ).toDF("user_id", "ts", "event_type")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(V.ts) AS n_reps, COUNT(B.ts) AS n_inner,
+        |           LAST(V.ts) AS last_v
+        |  PATTERN (S ((B C)* V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Long, Long, Timestamp)].collect().toSet
+    // two tail-only repetitions (V@10, V@20) then one sub + V@35
+    assert(m == Set((1L, at(0), 3L, 1L, at(35))), m.toString)
+    // FIRST over an inner member is ambiguous under inner '*' (the first
+    // repetition may start at a tail) — named rejection steering to the
+    // group-level spelling
+    val e = intercept[IllegalArgumentException](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(B.ts) AS fb
+        |  PATTERN (S ((B C)* V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin))
+    assert(e.getMessage.contains("inner '*'"), e.getMessage)
   }
 
   test("reluctant '(B C)+?' and '(B|C)+?' collapse to ONE repetition; " +
