@@ -2393,6 +2393,132 @@ object WindowQueries {
       |WHERE b.rn = 1
       |GROUP BY 1, 2, 3""".stripMargin)
 
+  // --- m37: INNER '*' in the nested group — `S ((B C)* V)+` (m33's shape
+  // with zero-or-more sub-chains per repetition, the former named
+  // rejection): a repetition binds tails ALONE when the earliest
+  // first-tail candidate does not come strictly after the earliest
+  // completable sub (ties favor the tail — the same earliest-completion
+  // rule that punctuates the inner chain). Oracle: the m33
+  // deterministic-successor walk extended with a 'tail' mode (tail-only
+  // repetition from the closed state) and a tail-first entry — every walk
+  // row still has exactly ONE successor.
+  private val m37: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B_C_V.ts) AS first_g,
+        |           LAST(V.ts) AS last_v, COUNT(V.ts) AS n_reps,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S ((B C)* V)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+  private val m37Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='error'),
+      |subs AS (
+      |  SELECT b.user_id, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM b JOIN c ON c.user_id = b.user_id AND c.ts > b.ts
+      |              AND c.ts <= b.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2),
+      |vnext AS (
+      |  SELECT su.user_id, su.b_ts, min(v.ts) AS v_ts
+      |  FROM subs su LEFT JOIN v ON v.user_id = su.user_id AND v.ts > su.e_ts
+      |  GROUP BY 1, 2),
+      |nsubx AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(su.b_ts) AS nb
+      |  FROM v LEFT JOIN subs su ON su.user_id = v.user_id AND su.b_ts > v.ts
+      |  GROUP BY 1, 2),
+      |vvx AS (
+      |  SELECT v1.user_id, v1.ts AS v_ts, min(v2.ts) AS nv
+      |  FROM v v1 LEFT JOIN v v2 ON v2.user_id = v1.user_id AND v2.ts > v1.ts
+      |  GROUP BY 1, 2),
+      |e0 AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 96 HOURS AS w_end,
+      |         min(su.b_ts) AS b1
+      |  FROM s LEFT JOIN subs su ON su.user_id = s.user_id AND su.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |v0 AS (
+      |  SELECT s.user_id, s.ts AS s_ts, min(v.ts) AS v1
+      |  FROM s LEFT JOIN v ON v.user_id = s.user_id AND v.ts > s.ts
+      |  GROUP BY 1, 2),
+      |entry AS (
+      |  SELECT e0.user_id, e0.s_ts, e0.w_end, e0.b1, su.e_ts AS b1_e, v0.v1
+      |  FROM e0 JOIN v0 ON v0.user_id = e0.user_id AND v0.s_ts = e0.s_ts
+      |  LEFT JOIN subs su ON su.user_id = e0.user_id AND su.b_ts = e0.b1),
+      |walk AS (
+      |  SELECT user_id, s_ts, w_end, v1 AS first_ts,
+      |         CAST(NULL AS TIMESTAMP) AS cur_b, CAST(NULL AS TIMESTAMP) AS cur_e,
+      |         CAST(0 AS BIGINT) AS chain_k, CAST(1 AS BIGINT) AS n_done,
+      |         CAST(0 AS BIGINT) AS inner_done, v1 AS match_end, 'closed' AS phase
+      |  FROM entry
+      |  WHERE v1 IS NOT NULL AND v1 <= w_end
+      |    AND (b1 IS NULL OR b1_e IS NULL OR b1_e > w_end OR b1_e >= v1)
+      |  UNION ALL
+      |  SELECT user_id, s_ts, w_end, b1, b1, b1_e,
+      |         CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |         CAST(NULL AS TIMESTAMP), 'chain'
+      |  FROM entry
+      |  WHERE b1 IS NOT NULL AND b1_e IS NOT NULL AND b1_e <= w_end
+      |    AND (v1 IS NULL OR v1 > w_end OR b1_e < v1)
+      |  UNION ALL
+      |  SELECT user_id, s_ts, w_end, first_ts,
+      |         CASE WHEN mode = 'extend' THEN nx_b WHEN mode = 'newrep' THEN nr_b END,
+      |         CASE WHEN mode = 'extend' THEN nx_e WHEN mode = 'newrep' THEN nr_e END,
+      |         CASE WHEN mode = 'extend' THEN chain_k + 1
+      |              WHEN mode = 'newrep' THEN CAST(1 AS BIGINT) ELSE chain_k END,
+      |         CASE WHEN mode IN ('close', 'tail') THEN n_done + 1 ELSE n_done END,
+      |         CASE WHEN mode = 'close' THEN inner_done + chain_k ELSE inner_done END,
+      |         CASE WHEN mode = 'close' THEN vts WHEN mode = 'tail' THEN nvts
+      |              ELSE match_end END,
+      |         CASE WHEN mode IN ('close', 'tail') THEN 'closed' ELSE 'chain' END
+      |  FROM (
+      |    SELECT w.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e, vn.v_ts AS vts,
+      |           nr.b_ts AS nr_b, nr.e_ts AS nr_e, vvx.nv AS nvts,
+      |      CASE
+      |        WHEN w.phase = 'chain' AND nx.b_ts IS NOT NULL
+      |             AND nx.e_ts <= w.w_end
+      |             AND (vn.v_ts IS NULL OR vn.v_ts > w.w_end
+      |                  OR nx.e_ts < vn.v_ts) THEN 'extend'
+      |        WHEN w.phase = 'chain' AND vn.v_ts IS NOT NULL
+      |             AND vn.v_ts <= w.w_end THEN 'close'
+      |        WHEN w.phase = 'closed' AND vvx.nv IS NOT NULL
+      |             AND vvx.nv <= w.w_end
+      |             AND (nr.b_ts IS NULL OR nr.e_ts IS NULL
+      |                  OR nr.e_ts > w.w_end OR nr.e_ts >= vvx.nv) THEN 'tail'
+      |        WHEN w.phase = 'closed' AND nr.b_ts IS NOT NULL
+      |             AND nr.e_ts IS NOT NULL AND nr.e_ts <= w.w_end THEN 'newrep'
+      |      END AS mode
+      |    FROM walk w
+      |    LEFT JOIN link l  ON w.phase = 'chain' AND l.user_id = w.user_id
+      |                      AND l.b_ts = w.cur_b
+      |    LEFT JOIN subs nx ON nx.user_id = w.user_id AND nx.b_ts = l.nb
+      |    LEFT JOIN vnext vn ON w.phase = 'chain' AND vn.user_id = w.user_id
+      |                       AND vn.b_ts = w.cur_b
+      |    LEFT JOIN nsubx ns ON w.phase = 'closed' AND ns.user_id = w.user_id
+      |                      AND ns.v_ts = w.match_end
+      |    LEFT JOIN subs nr ON nr.user_id = w.user_id AND nr.b_ts = ns.nb
+      |    LEFT JOIN vvx ON w.phase = 'closed' AND vvx.user_id = w.user_id
+      |                  AND vvx.v_ts = w.match_end
+      |  ) WHERE mode IS NOT NULL),
+      |best AS (
+      |  SELECT user_id, s_ts, first_ts, match_end, n_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, s_ts AS signup_ts, first_ts AS first_g,
+      |       match_end AS last_v, n_done AS n_reps, inner_done AS n_inner
+      |FROM best WHERE rn = 1""".stripMargin
+
   // --- m35: RELUCTANT quantifiers — the spelling the reference REQUIRES on
   // a quantified final pattern element (StreamExecMatch.scala:203-207
   // rejects greedy-final patterns, so every published Flink 1.10 pattern
@@ -2587,7 +2713,7 @@ object WindowQueries {
     "m29_all_rows_alt" -> m29, "m30_multi_tiebreak" -> m30,
     "m31_all_rows_two_runs" -> m31, "m32_all_rows_group_run" -> m32,
     "m33_nested_group" -> m33, "m34_all_rows_nested" -> m34,
-    "m35_reluctant_quant" -> m35, "m36_nested_values" -> m36)
+    "m35_reluctant_quant" -> m35, "m36_nested_values" -> m36, "m37_nested_inner_star" -> m37)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -2618,7 +2744,7 @@ object WindowQueries {
     "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql,
     "m31_all_rows_two_runs" -> m31Sql, "m32_all_rows_group_run" -> m32Sql,
     "m33_nested_group" -> m33Sql, "m34_all_rows_nested" -> m34Sql,
-    "m35_reluctant_quant" -> m35Sql, "m36_nested_values" -> m36Sql,
+    "m35_reluctant_quant" -> m35Sql, "m36_nested_values" -> m36Sql, "m37_nested_inner_star" -> m37Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)
