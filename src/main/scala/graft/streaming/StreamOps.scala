@@ -1835,6 +1835,12 @@ object StreamOps {
     * the (ms, type, tie, value) processing order (the established twin
     * convention; batch uses strict time inequalities). maxPartials cap,
     * watermark pruning and event-time eviction as in [[cepPatternGroup]]. */
+  /** `innerOptional` (r15) — the `((I...)* T)+` twin of the batch
+    * `followedByNestedGroup(innerOptional = true)`: a tail may close a
+    * ZERO-sub repetition (strictly after the previous tail / the anchor),
+    * discarding any in-progress sub — in arrival order this IS the batch
+    * tail-first rule (the tail arrived before the first sub completed);
+    * the group's first boundary is then that tail. */
   def cepPatternNestedGroup(events: Dataset[Event], watermark: String,
                             firstPred: Event => Boolean,
                             innerPreds: Seq[Event => Boolean],
@@ -1843,7 +1849,8 @@ object StreamOps {
                             materializeRows: Boolean = false,
                             innerNames: Seq[String] = Nil,
                             tailName: String = "T",
-                            tieOf: Event => Double = _.value): Dataset[NestMatch] = {
+                            tieOf: Event => Double = _.value,
+                            innerOptional: Boolean = false): Dataset[NestMatch] = {
     require(innerPreds.size >= 2, "the inner sub-group needs at least two steps")
     require(!materializeRows || innerNames.size == innerPreds.size,
       "materializeRows needs one classifier name per inner step")
@@ -1911,11 +1918,18 @@ object StreamOps {
                     curSubRows = if (!materializeRows) Nil
                       else NestRow(t, innerNames(p.subIdx), p.reps,
                         p.innerTot + p.curSubs) :: p.curSubRows))
-                } else if (tailPred(e) && p.curSubs >= 1 && t > p.lastCompMs) {
+                } else if (tailPred(e) && (p.curSubs >= 1 || innerOptional) &&
+                    t > (if (p.curSubs >= 1) p.lastCompMs
+                         else math.max(p.lastTailMs, p.firstMs))) {
                   // the tail closes the repetition; an in-progress sub is
                   // discarded (the batch next-repetition anchor is strictly
-                  // after this tail, so its start can never be reused)
+                  // after this tail, so its start can never be reused).
+                  // innerOptional: a ZERO-sub close is the batch tail-first
+                  // repetition — the group's first boundary is this tail
+                  // when nothing bound before it
                   Some(p.copy(reps = p.reps + 1,
+                    gFirstMs = if (p.reps == 0 && p.curSubs == 0) t
+                               else p.gFirstMs,
                     innerTot = p.innerTot + p.curSubs, lastTailMs = t,
                     curSubs = 0L, subIdx = 0, curStartMs = -1L,
                     inSubLastMs = -1L, lastCompMs = -1L,

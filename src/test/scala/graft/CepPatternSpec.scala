@@ -1286,6 +1286,41 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (6L, at(0), at(5), at(12), 1L, 1L),
       (7L, at(0), at(5), at(12), 1L, 1L)),
       s"streaming=$streaming batch=$batch")
+
+    // INNER '*' parity: the same corpus under innerOptional — user 7's
+    // v@2/v@7 become tail-only repetitions (and the in-progress b@5 sub is
+    // discarded at the v@7 close); every all-sub user is unchanged
+    val batchStar = Pattern.begin("s", $"event_type" === "s")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")), innerOptional = true)
+      .oneOrMore()
+      .within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)].collect().toSet
+    val inS = MemoryStream[graft.streaming.Event]
+    val qS = StreamOps.cepPatternNestedGroup(inS.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        _.event_type == "v", HOUR, innerOptional = true).toDF()
+      .writeStream.format("memory").queryName("s_nest_star_parity")
+      .outputMode("append").start()
+    inS.addData(evs.take(7)); qS.processAllAvailable() // split mid-chain
+    inS.addData(evs.drop(7)); qS.processAllAvailable()
+    inS.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); qS.processAllAvailable()
+    inS.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); qS.processAllAvailable(); qS.stop()
+    val streamingStar = spark.table("s_nest_star_parity")
+      .as[graft.streaming.NestMatch].collect()
+      .map(m => (m.user_id, m.first_ts, m.grp_first_ts, m.grp_last_ts,
+        m.n_reps, m.n_inner))
+      .toSet
+    assert(streamingStar == batchStar && batchStar == Set(
+      (1L, at(0), at(5), at(35), 2L, 3L),
+      (3L, at(0), at(5), at(15), 1L, 1L),
+      (5L, at(0), at(5), at(16), 2L, 2L),
+      (6L, at(0), at(5), at(12), 1L, 1L),
+      (7L, at(0), at(2), at(12), 3L, 0L)),
+      s"streamingStar=$streamingStar batchStar=$batchStar")
   }
 
   test("batch bindGroup values and streaming cepPatternGroup(valueSubIdx) agree") {
