@@ -246,22 +246,31 @@ object LlmQueries2 {
     val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
+    // persisted: the builder consumes this frame several times (vertex
+    // derivation + the combinator's own edge materialization) — without
+    // the persist each consumer re-runs the lineitem⋈orders join. The
+    // combinator's superstep loop is EAGER (localCheckpoint), so the
+    // unpersist below runs after everything derived from it is
+    // materialized.
     val edges = base.select(explode(array(
         struct(col("s").as("src"), col("c").as("dst")),
         struct(col("c").as("src"), col("s").as("dst")))).as("e"))
       .select(col("e.src").cast("long").as("src"), col("e.dst").cast("long").as("dst"))
       .distinct()
       .withColumn("w", lit(1.0) + (col("dst") % 8).cast("double") * lit(0.125))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .select(col("id"), when(col("id") === 1L, lit(0.0))
         .otherwise(lit(null).cast("double")).as("dist"))
-    Iterate.vertexCentric(edges, "src", "dst", verts, "id", "dist",
+    val out = Iterate.vertexCentric(edges, "src", "dst", verts, "id", "dist",
         message = _ => col("state") + col("w"),
         merge = min(col("msg")),
         update = _ => least(col("state"), col("msg")),
         maxSupersteps = SsspIters)
       .select(col("id"), col("state").as("dist"))
+    edges.unpersist()
+    out
   }
 
   // ---------- i23: vertex-centric PageRank (updateAlways mode) ----------
@@ -280,11 +289,17 @@ object LlmQueries2 {
     val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), (col("o_custkey") + 100000L).as("c"))
+    // persisted: outd, the odeg-carrying edge frame, the vertex set, the
+    // driver count AND the combinator's edge materialization all consume
+    // this frame — unpersisted, each re-runs the lineitem⋈orders join
+    // (~2× the whole query's cost, A/B-measured). The combinator's loop
+    // is EAGER, so the unpersist below is safe.
     val edges0 = base.select(explode(array(
         struct(col("s").as("src"), col("c").as("dst")),
         struct(col("c").as("src"), col("s").as("dst")))).as("e"))
       .select(col("e.src").cast("long").as("src"), col("e.dst").cast("long").as("dst"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outd = edges0.groupBy("src").agg(count(lit(1)).as("odeg"))
     val edges = edges0.join(outd, "src")
     val verts = edges0.select(col("src").as("id"))
@@ -292,13 +307,15 @@ object LlmQueries2 {
     val n = verts.count()
     val init = verts.select(col("id"),
       round(lit(1.0) / lit(n), 9).as("rank"))
-    Iterate.vertexCentric(edges, "src", "dst", init, "id", "rank",
+    val out = Iterate.vertexCentric(edges, "src", "dst", init, "id", "rank",
         message = _ => col("state") / col("odeg"),
         merge = sum(col("msg")),
         update = _ => round(lit(1.0 - PrDamping) / lit(n) +
           lit(PrDamping) * coalesce(col("msg"), lit(0.0)), 9),
         maxSupersteps = PrIters, haltOnFixpoint = false, updateAlways = true)
       .select(col("id"), round(col("state"), 6).as("pagerank"))
+    edges0.unpersist()
+    out
   }
 
   // ---------- shared co-purchase part-graph edge builders ----------
