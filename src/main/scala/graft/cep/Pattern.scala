@@ -800,10 +800,22 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       val members = events.filter(b.pred).select(key.as("__k2"), ts.as("__mts"))
       // one subset family per anchor EVENT (the reference NFA forks per
       // event): a uniquifier keeps equal-(key, ts) anchors apart through
-      // the grouping — it never reaches the output columns
-      val uAnchors = anchors.withColumn("__aid", monotonically_increasing_id())
+      // the grouping — it never reaches the output columns. The id is
+      // DETERMINISTIC (per-key row_number over every anchor column):
+      // with trailing steps the subset branch and the trailing-binding
+      // branch both consume this frame and equi-join back on
+      // (__k, __aid), and a nondeterministic id (monotonically_
+      // increasing_id) recomputed independently in the two branches
+      // could pair them differently — silently dropping subsets or
+      // binding the wrong trailing events. Equal-(key, ts, payload)
+      // anchors are IDENTICAL rows, so the arbitrary order among them is
+      // permutation-invariant: any assignment yields the same join.
+      val ww = org.apache.spark.sql.expressions.Window
+      val anchorOrd = anchors.columns.filter(_ != "__k").map(col)
+      val uAnchors = anchors.withColumn("__aid",
+        row_number().over(ww.partitionBy(col("__k")).orderBy(anchorOrd.toIndexedSeq: _*)))
       val kept = uAnchors.columns.map(col)
-      val lists0 = uAnchors.join(members,
+      val lists = uAnchors.join(members,
           col("__k") === col("__k2") && col("__mts") > col(startTs) &&
             col("__mts") <= col(startTs) + win)
         .groupBy(kept.toIndexedSeq: _*)
@@ -814,13 +826,6 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             lit(s" run members (max ${b.maxComb}) — 2^m subset branches; " +
               "raise maxCombinationMembers (<= 30) or narrow the window"))))
             .otherwise(size(col("__ms"))))
-      // with trailing steps the subset branch and the trailing-binding
-      // branch BOTH consume this frame and equi-join back on __aid — a
-      // NON-DETERMINISTIC id. Materialize it once (localCheckpoint) so a
-      // recomputation (stage retry, missed exchange reuse) cannot assign
-      // the two branches different ids for the same anchor, which would
-      // silently drop subsets or bind the wrong trailing events.
-      val lists = if (trailing.isEmpty) lists0 else lists0.localCheckpoint(true)
       // trailing bindings depend only on the subset's LAST member: compute
       // them once per (anchor, member) — O(m) rows per start — then join
       // back to the 2^m subset rows, never chained per subset. Each step
@@ -843,7 +848,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             .agg(min(col("__cts")).as(s"${s.name}_ts"))
           prev = col(s"${s.name}_ts")
         }
-        bounds.drop("__bk", "__t0")
+        bounds.drop("__t0") // __bk stays: __aid is only per-key unique
       }
       val outCols = anchors.columns.map(col)
       // the bitmask EXPLODES IN TWO HALVES: one sequence(1, 2^m − 1) array
@@ -867,9 +872,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           element_at(col("__sel"), 1).as(s"${b.name}_first_ts") :+
           element_at(col("__sel"), -1).as(s"${b.name}_last_ts")): _*)
       trail.fold(subsets.drop("__aid")) { t =>
-        subsets.join(t, col("__aid") === col("__aid2") &&
+        subsets.join(t, col("__k") === col("__bk") &&
+            col("__aid") === col("__aid2") &&
             col(s"${b.name}_last_ts") === col("__lt"))
-          .drop("__aid", "__aid2", "__lt")
+          .drop("__aid", "__aid2", "__lt", "__bk")
       }.withColumnRenamed("__k", "key")
     } else {
       require(steps.tail.forall(s => s.anyBranch && !s.oneOrMore &&

@@ -1041,10 +1041,27 @@ object Iterate {
       * frames (the directed bundle persists the classified triangle
       * listing, corner aggregate, pair table, vertex stats, and edge set
       * for the shared wedge pass — without freeing them here each bundle
-      * call would leak cached frames for the session lifetime). */
+      * call would leak cached frames for the session lifetime).
+      *
+      * CAVEAT — Spark's cache is keyed by CANONICALIZED PLAN: two bundles
+      * built over canonically identical edges share cache entries, so
+      * unpersisting one (including [[directedClusteringStats]]' internal
+      * bundle) evicts the other's too — its later reads silently
+      * recompute the wedge pass (correct, just not cached). Hold ONE
+      * bundle per graph and read everything through it. */
     def unpersist(): Unit = {
       triangles.unpersist(); interim.foreach(_.unpersist()); ()
     }
+  }
+
+  /** Materialize a SINGLE-ROW (or tiny) bundle-derived result and free
+    * the bundle that produced it — the census-only/i21 localization
+    * shared in one place: collect first, free after, return a local
+    * relation (a lazy return could never free the interim frames). */
+  private[graft] def sealRows(df: DataFrame, b: ClusteringBundle): DataFrame = {
+    val rows = df.collect()
+    b.unpersist()
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** UNDIRECTED [[ClusteringBundle]]: triangle counts + clustering stats
@@ -1138,12 +1155,7 @@ object Iterate {
     // materialize it, unpersist the bundle, return a local relation
     // (otherwise every call leaks the wedge-pass frames for the session)
     val b = directedClusteringBundle(edges, srcCol, dstCol, broadcastClosureThreshold)
-    val census = b.census.get
-    val rows = census.collect()
-    val out = census.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), census.schema)
-    b.unpersist()
-    out
+    sealRows(b.census.get, b)
   }
 
   /** The DIRECTED clustering bundle: [[directedClusteringStats]]' census

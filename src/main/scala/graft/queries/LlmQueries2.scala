@@ -1014,10 +1014,7 @@ object LlmQueries2 {
     // single-row output: materialize it so the bundle's persisted interim
     // frames can be freed HERE instead of leaking for the session (a lazy
     // return could not unpersist before the consumer evaluates)
-    val out = u.crossJoin(c).crossJoin(t)
-    val rows = out.collect()
-    b.unpersist()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    Iterate.sealRows(u.crossJoin(c).crossJoin(t), b)
   }
   private val i21Sql = {
     // the directed chain is i17's verbatim (same graph, same census); the

@@ -1840,7 +1840,11 @@ object StreamOps {
     * ZERO-sub repetition (strictly after the previous tail / the anchor),
     * discarding any in-progress sub — in arrival order this IS the batch
     * tail-first rule (the tail arrived before the first sub completed);
-    * the group's first boundary is then that tail. */
+    * the group's first boundary is then that tail. EQUAL-timestamp
+    * sub-completion vs tail resolves by the (ms, type, tie, value)
+    * processing order — the established twin convention (batch ties
+    * favor the tail via its strict inequalities); same-ms corpora can
+    * diverge there, as with every other cep twin. */
   def cepPatternNestedGroup(events: Dataset[Event], watermark: String,
                             firstPred: Event => Boolean,
                             innerPreds: Seq[Event => Boolean],

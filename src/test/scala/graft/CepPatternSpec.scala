@@ -386,6 +386,29 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       run(true) == Set((1L, at(10), at(55), 2L, 3L)), run(true).toString)
   }
 
+  test("innerOptional with TWO tails: a tail-only repetition binds the " +
+       "full tail chain, and a missing later tail aborts it") {
+    // rep1 is TAIL-ONLY (d@5 e@8 precede the first completable sub);
+    // rep2 is a sub + both tails. User 2 opens tail-first but its second
+    // tail never arrives: greedy-no-backtracking aborts — no match.
+    val evs = Seq(
+      (1L, at(0), "s"), (1L, at(5), "d"), (1L, at(8), "e"),
+      (1L, at(10), "b"), (1L, at(12), "c"), (1L, at(15), "d"), (1L, at(18), "e"),
+      (2L, at(0), "s"), (2L, at(5), "d")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "s")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("d" -> ($"event_type" === "d"), "e" -> ($"event_type" === "e")),
+        innerOptional = true)
+      .oneOrMore()
+      .within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(m == Set((1L, at(5), at(18), 2L, 1L)), m.toString)
+  }
+
   test("quantified alternation (B|C)+: run over the union with per-branch counts") {
     val evs = Seq(
       (1L, at(0), "signup"), (1L, at(5), "b"), (1L, at(10), "c"),

@@ -223,12 +223,16 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
     import graft.operators.Iterate
     import graft.queries.LlmQueries2
     val edges10 = LlmQueries2.partEdgesDirected(spark, scaled)
-    val unhinted = Iterate.directedClusteringStats(edges10, "src", "dst",
+    // the BUNDLE's census frame carries the live plan (the stats wrapper
+    // returns a collected local relation, whose plan can never show a
+    // hint — asserting on it would be vacuous)
+    val ub = Iterate.directedClusteringBundle(edges10, "src", "dst",
       broadcastClosureThreshold = 0L)
-    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+    assert(!ub.census.get.queryExecution.analyzed.toString.contains("ResolvedHint"),
       "unhinted census: a data-sized broadcast hint survived threshold 0")
+    val un = ub.census.get.head()
+    ub.unpersist()
     val hinted = Iterate.directedClusteringStats(edges10, "src", "dst").head()
-    val un = unhinted.head()
     spark.catalog.clearCache()
     assert(un == hinted, s"unhinted census row diverged:\n$un\n$hinted")
   }
