@@ -218,12 +218,60 @@ object FlinkDdl {
         s"declared table (got '${opts.getOrElse("connector", "?")}')")
     def req(k: String): String = opts.getOrElse(k,
       sys.error(s"jdbcLookupLoader($name): missing option '$k'"))
+    // reference lookup-cache options (flink-connectors/flink-jdbc
+    // JdbcLookupOptions / JDBCLookupFunction's Guava cache):
+    // 'lookup.cache.ttl' serves cached entries until expiry,
+    // 'lookup.cache.max-rows' bounds the cache's memory. Snapshot
+    // mapping: the whole dimension IS the cache entry — with a ttl the
+    // loader re-reads the table only after expiry, and an in-ttl trigger
+    // serves the MATERIALIZED previous snapshot (collected rows; a merely
+    // memoized lazy frame would silently re-run the jdbc scan per
+    // trigger). max-rows is a NAMED guard on the snapshot size: the
+    // reference evicts per-key LRU entries, but with whole-table
+    // snapshots an overflow means the dimension no longer fits the
+    // declared budget — an error, not a silent eviction.
+    val ttlMs = opts.get("lookup.cache.ttl").map(parseTtlMs(name, _)).getOrElse(0L)
+    val maxRows = opts.get("lookup.cache.max-rows").map(_.trim.toLong)
+    val cached = new java.util.concurrent.atomic.AtomicReference[(Long, DataFrame)]
     () => {
-      val props = new java.util.Properties()
-      opts.get("driver").foreach(props.setProperty("driver", _))
-      opts.get("username").foreach(props.setProperty("user", _))
-      opts.get("password").foreach(props.setProperty("password", _))
-      spark.read.jdbc(req("url"), req("table-name"), props)
+      val now = System.currentTimeMillis()
+      val cur = cached.get()
+      if (ttlMs > 0 && cur != null && now - cur._1 < ttlMs) cur._2
+      else {
+        val props = new java.util.Properties()
+        opts.get("driver").foreach(props.setProperty("driver", _))
+        opts.get("username").foreach(props.setProperty("user", _))
+        opts.get("password").foreach(props.setProperty("password", _))
+        val df = spark.read.jdbc(req("url"), req("table-name"), props)
+        if (ttlMs == 0 && maxRows.isEmpty) df // uncached: per-trigger read
+        else {
+          val rows = df.collect()
+          maxRows.foreach(mr => require(rows.length <= mr,
+            s"jdbcLookupLoader($name): dimension snapshot has " +
+              s"${rows.length} rows > lookup.cache.max-rows = $mr — " +
+              "raise the bound or drop the cache option"))
+          val snap = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), df.schema)
+          cached.set((now, snap))
+          snap
+        }
+      }
+    }
+  }
+
+  /** Flink-style duration for `lookup.cache.ttl`: `'500 ms'`, `'10 s'`,
+    * `'5 min'`, `'1 h'` (unit optional = milliseconds). */
+  private def parseTtlMs(name: String, s0: String): Long = {
+    val m = ("(?i)^\\s*(\\d+)\\s*(ms|s|sec|second|seconds|min|minute|" +
+      "minutes|h|hour|hours)?\\s*$").r.findFirstMatchIn(s0).getOrElse(
+      sys.error(s"jdbcLookupLoader($name): cannot parse lookup.cache.ttl " +
+        s"'$s0' — use e.g. '500 ms', '10 s', '5 min', '1 h'"))
+    val n = m.group(1).toLong
+    Option(m.group(2)).map(_.toLowerCase) match {
+      case None | Some("ms") => n
+      case Some("s" | "sec" | "second" | "seconds") => n * 1000L
+      case Some("min" | "minute" | "minutes") => n * 60000L
+      case _ => n * 3600000L
     }
   }
 

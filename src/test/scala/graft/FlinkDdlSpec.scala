@@ -457,6 +457,53 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     assert(!pc.contains("SYSTEM_TIME") && !pc.contains("()"), pc)
   }
 
+  test("lookup cache options: ttl serves the materialized snapshot, " +
+       "max-rows is a named guard, bad durations are named errors") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftlkcache;create=true"
+    Seq(("EUR", 1.25)).toDF("cur", "rate")
+      .write.mode("overwrite").jdbc(url, "crates", new java.util.Properties())
+    // reference JdbcLookupOptions: within lookup.cache.ttl the loader
+    // serves the cached snapshot — a dimension UPDATE is NOT visible
+    // until expiry (here ttl = 1 h: never within the test)
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE fx_cached (cur STRING, rate DOUBLE) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'crates',
+         |  'lookup.cache.ttl' = '1 h')""".stripMargin)
+    val loader = FlinkDdl.jdbcLookupLoader(spark, "fx_cached")
+    val r1 = loader().collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(r1 == Set(("EUR", 1.25)), r1.toString)
+    Seq(("EUR", 9.99)).toDF("cur", "rate")
+      .write.mode("overwrite").jdbc(url, "crates", new java.util.Properties())
+    val r2 = loader().collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(r2 == Set(("EUR", 1.25)), s"cached snapshot must survive the UPDATE: $r2")
+    // an UNCACHED loader on the same table sees the update immediately
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE fx_uncached (cur STRING, rate DOUBLE) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'crates')""".stripMargin)
+    val r3 = FlinkDdl.jdbcLookupLoader(spark, "fx_uncached")()
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(r3 == Set(("EUR", 9.99)), r3.toString)
+    // max-rows: the snapshot-size guard is a NAMED error, not an eviction
+    Seq(("EUR", 1.0), ("GBP", 2.0)).toDF("cur", "rate")
+      .write.mode("overwrite").jdbc(url, "crates", new java.util.Properties())
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE fx_capped (cur STRING, rate DOUBLE) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'crates',
+         |  'lookup.cache.max-rows' = '1')""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      FlinkDdl.jdbcLookupLoader(spark, "fx_capped")())
+    assert(e.getMessage.contains("max-rows"), e.getMessage)
+    // unparseable ttl: named error at loader construction
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE fx_badttl (cur STRING, rate DOUBLE) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'crates',
+         |  'lookup.cache.ttl' = 'tomorrow')""".stripMargin)
+    val e2 = intercept[RuntimeException](
+      FlinkDdl.jdbcLookupLoader(spark, "fx_badttl"))
+    assert(e2.getMessage.contains("lookup.cache.ttl"), e2.getMessage)
+  }
+
   test("named rejections: kafka, enforced key, metadata, TIME type") {
     def fails(ddl: String, frag: String): Unit = {
       val e = intercept[RuntimeException](FlinkDdl.execute(spark, ddl))
