@@ -703,9 +703,6 @@ object MatchRecognize {
             s"member $sv may not use an iterative/PREV condition"))
         }
         val nestedBinds = (v.innerSeq ++ v.seq).filter(bindByVar.contains)
-        require(nestedBinds.isEmpty || !spec.allRows,
-          s"nested group ${v.name}: ALL ROWS PER MATCH does not compose " +
-            "with member value measures (ONE ROW PER MATCH only)")
         require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
           s"compose with a nested group (${v.name}): the chain binds no " +
           "member values for a tiebreak to steer")
@@ -1031,7 +1028,7 @@ object MatchRecognize {
       require(!runVs.exists(v => v.seq.isEmpty),
         "ALL ROWS PER MATCH: a nested group does not compose with plain " +
           "'+'/'*' runs in the same pattern")
-      return allRowsNested(spec, matches0, bounds, nestedVs.head)
+      return allRowsNested(spec, matches0, bounds, nestedVs.head, bindByVar)
     }
     val groupVs = spec.vars.filter(_.seq.nonEmpty)
     if (groupVs.nonEmpty) {
@@ -1136,7 +1133,13 @@ object MatchRecognize {
     * nested group must be the final pattern element. */
   private def allRowsNested(spec: Spec, matches0: DataFrame,
                             bounds: Map[String, (Int, Int)],
-                            g: PatternVar): DataFrame = {
+                            g: PatternVar,
+                            bindByVar: Map[String, Seq[String]]): DataFrame = {
+    // groupKeep order — the lowering's bindGroup call order — indexes the
+    // per-row vsum/vcnt running-value snapshots
+    val gkIdx: Map[(String, String), Int] =
+      (g.innerSeq ++ g.seq).filter(bindByVar.contains)
+        .flatMap(sv => bindByVar(sv).map(sv -> _)).zipWithIndex.toMap
     require(spec.vars.last.name == g.name,
       "ALL ROWS over a nested group: the nested group must be the FINAL " +
         "pattern element")
@@ -1163,9 +1166,32 @@ object MatchRecognize {
       else if (m.fn.contains("CLASSIFIER"))
         r.map(_.getField("cls")).getOrElse(lit(pre(u).name))
       else if (isMember(m.varName)) {
-        require(m.field == "ts" && m.fn.contains("COUNT"),
-          s"ALL ROWS over nested group ${g.name}: running COUNT over " +
-            s"member timestamps is the only member measure (got " +
+        if (m.field != "ts") {
+          // running VALUE measures (r15): each materialized row carries
+          // per-(member, col) vsum/vcnt snapshots AS OF the row — the
+          // RUNNING SUM/COUNT/AVG semantics; running MIN/MAX/FIRST/LAST
+          // are not materialized per row (named error)
+          val gi = gkIdx.getOrElse((m.varName, m.field), sys.error(
+            s"ALL ROWS nested value measure ${m.varName}.${m.field}: no " +
+              "bound value column materialized for it"))
+          val sumAt = r.map(rr => element_at(rr.getField("vsum"), gi + 1))
+            .getOrElse(lit(null).cast("double"))
+          val cntAt = r.map(rr => element_at(rr.getField("vcnt"), gi + 1))
+            .getOrElse(lit(0L))
+          m.fn match {
+            case Some("SUM") => sumAt
+            case Some("COUNT") => cntAt
+            case Some("AVG") => sumAt / cntAt
+            case other => sys.error(s"ALL ROWS over nested group " +
+              s"${g.name}: running SUM/COUNT/AVG are the member VALUE " +
+              "measures (running MIN/MAX/FIRST/LAST are not materialized " +
+              s"per row) — got ${other.getOrElse("a bare reference")}" +
+              s"(${m.varName}.${m.field})")
+          }
+        } else {
+        require(m.fn.contains("COUNT"),
+          s"ALL ROWS over nested group ${g.name}: running COUNT is the " +
+            s"only member TIMESTAMP measure (got " +
             s"${m.fn.getOrElse("a bare reference")}(${m.varName}." +
             s"${m.field}))")
         if (m.varName != g.name && g.innerSeq.contains(m.varName)) {
@@ -1174,6 +1200,7 @@ object MatchRecognize {
               s"for the FINAL inner member only ($finalInner)")
           r.map(_.getField("subs")).getOrElse(lit(0L))
         } else r.map(_.getField("reps")).getOrElse(lit(0L))
+        }
       } else {
         val i = preIdx.getOrElse(m.varName,
           sys.error(s"unknown variable ${m.varName}"))

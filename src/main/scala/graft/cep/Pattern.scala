@@ -483,9 +483,6 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // the one-level chain keeps
     require((steps.last.innerGroup ++ steps.last.group).exists(_._1 == member),
       s"bindGroup($member): not a member of group ${steps.last.name}")
-    require(steps.last.innerGroup.isEmpty || !steps.last.groupRows,
-      "bindGroup() on a nested group does not compose with " +
-        "materializeNestedRows() (ONE ROW PER MATCH only)")
     new Pattern(steps.init :+ steps.last.copy(
       groupKeep = steps.last.groupKeep ++ cols.map(member -> _)),
       notStep, windowMs, skipPastLast, skipTo)
@@ -511,12 +508,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * inner chain at window end, or a failed tail) are never emitted.
     * Per-match state is bounded by the window's binding count, and
     * downstream consumers expand with a generator — no extra join. */
+  /** With [[bindGroup]] columns on the nested group (r15), each
+    * materialized row additionally carries `vsum`/`vcnt` — the RUNNING
+    * per-(member, col) sum and non-null count AS OF the row (including
+    * the row's own contribution) — the raw material for ALL ROWS running
+    * SUM/COUNT/AVG value measures. Running MIN/MAX/FIRST/LAST per row
+    * are not materialized (named errors downstream). */
   def materializeNestedRows(): Pattern = {
     require(steps.nonEmpty && steps.last.innerGroup.nonEmpty,
       "materializeNestedRows() requires followedByNestedGroup() as the last step")
-    require(steps.last.groupKeep.isEmpty,
-      "materializeNestedRows() does not compose with bindGroup() on a " +
-        "nested group (ONE ROW PER MATCH only)")
     new Pattern(steps.init :+ steps.last.copy(groupRows = true),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -1192,18 +1192,29 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val keyIdx = aSchema.fieldIndex("__k")
         val prevIdx = aSchema.fieldIndex("__gprev")
         val wendIdx = aSchema.fieldIndex("__gwend")
-        val rowsFields = if (!s.groupRows) Nil else Seq(
-          org.apache.spark.sql.types.StructField(s"${s.name}_rows",
+        val rowsFields = if (!s.groupRows) Nil else {
+          val base = Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("cls",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("reps",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("subs",
+              org.apache.spark.sql.types.LongType))
+          // bindGroup + materializeNestedRows: per row the RUNNING
+          // per-(member, col) sum + non-null count AS OF the row
+          val valRows = if (s.groupKeep.isEmpty) Nil else Seq(
+            org.apache.spark.sql.types.StructField("vsum",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true)),
+            org.apache.spark.sql.types.StructField("vcnt",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType, false)))
+          Seq(org.apache.spark.sql.types.StructField(s"${s.name}_rows",
             org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("ts",
-                  org.apache.spark.sql.types.TimestampType),
-                org.apache.spark.sql.types.StructField("cls",
-                  org.apache.spark.sql.types.StringType),
-                org.apache.spark.sql.types.StructField("reps",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("subs",
-                  org.apache.spark.sql.types.LongType))), false)))
+              org.apache.spark.sql.types.StructType(base ++ valRows), false)))
+        }
         // the one-level bindGroup naming (shared builder), so the
         // MEASURES lowering is shared too
         val valFields = Pattern.groupValFields(s.name, s.groupKeep)
@@ -1230,6 +1241,14 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val gkN = s.groupKeep.size
         val gkInnerPos = gkInner.map(_._2).toArray
         val gkTailPos = Array.tabulate(nTails)(j => gkTailsByStep(j).map(_._2).toArray)
+        // rows carry running value snapshots when BOTH surfaces are on;
+        // per inner member j: (index into the sub's __vals array, gk pos)
+        val rowVals = matRows && gkN > 0
+        val gkInnerByMember: Array[Array[(Int, Int)]] =
+          Array.tabulate(innerNames.size)(j =>
+            gkInner.zipWithIndex.collect {
+              case (((m, _), gi), vi) if m == innerNames(j) => (vi, gi)
+            }.toArray)
         val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
           val all = cs.toArray
           // inner sub-matches sorted by start (+ member binding times for
@@ -1309,13 +1328,37 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 val pendVals = if (gkN > 0)
                   scala.collection.mutable.ArrayBuffer.empty[(Int, java.lang.Double)]
                 else null
+                // per-row RUNNING value snapshots (bindGroup + ALL ROWS):
+                // rep-local copies seeded from the committed totals — a
+                // failed repetition's snapshots die with its rows
+                val repSum = if (rowVals) vSum.clone() else null
+                val repCnt = if (rowVals) vCnt.clone() else null
+                def applyVal(gi: Int, v: java.lang.Double): Unit = if (v != null) {
+                  repCnt(gi) += 1
+                  repSum(gi) = if (repSum(gi) == null) v
+                               else java.lang.Double.valueOf(repSum(gi) + v)
+                }
+                def rowOf(ts0: java.sql.Timestamp, cls: String, reps0: Long,
+                          subs0: Long): org.apache.spark.sql.Row =
+                  if (!rowVals) org.apache.spark.sql.Row(ts0, cls, reps0, subs0)
+                  else org.apache.spark.sql.Row(ts0, cls, reps0, subs0,
+                    repSum.toVector, repCnt.toVector)
                 // a sub's member rows: running counts AS OF each row (the
-                // final member completes the sub, so it counts it)
+                // final member completes the sub, so it counts it); value
+                // snapshots include the row's OWN contribution
                 def subRows(idx: Int, kAfter: Long): Unit = if (matRows) {
                   val mems = subs(idx)._3
                   var j = 0
                   while (j < mems.length) {
-                    repRows += org.apache.spark.sql.Row(mems(j), innerNames(j),
+                    if (rowVals) {
+                      val contrib = gkInnerByMember(j)
+                      var p = 0
+                      while (p < contrib.length) {
+                        applyVal(contrib(p)._2, subs(idx)._4(contrib(p)._1))
+                        p += 1
+                      }
+                    }
+                    repRows += rowOf(mems(j), innerNames(j),
                       n, innerTot + kAfter - (if (j == mems.length - 1) 0 else 1))
                     j += 1
                   }
@@ -1358,7 +1401,14 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   else {
                     t = tails(ti)(x)._1
                     if (repFirst == null) repFirst = t
-                    if (matRows) repRows += org.apache.spark.sql.Row(t,
+                    if (rowVals && gkTailPos(ti).length > 0) {
+                      val tvs = tails(ti)(x)._2
+                      var p = 0
+                      while (p < gkTailPos(ti).length) {
+                        applyVal(gkTailPos(ti)(p), tvs(p)); p += 1
+                      }
+                    }
+                    if (matRows) repRows += rowOf(t,
                       tailNames(ti), n + 1, innerTot + k)
                     if (gkTailPos(ti).length > 0) {
                       val tvs = tails(ti)(x)._2

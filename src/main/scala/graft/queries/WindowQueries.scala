@@ -2393,6 +2393,72 @@ object WindowQueries {
       |WHERE b.rn = 1
       |GROUP BY 1, 2, 3""".stripMargin)
 
+  // --- m38: ALL ROWS PER MATCH + nested member VALUE measures (the last
+  // nested-measure combination, formerly a named rejection): each
+  // materialized row carries per-(member, col) vsum/vcnt running
+  // snapshots AS OF the row — RUNNING SUM/COUNT/AVG semantics, a failed
+  // repetition's values discarded with its rows. Oracle: the m33 walk
+  // re-read as a row source (the m34 convention), C values joined per
+  // (user_id, ts), running aggregates as SQL window functions over the
+  // match's rows (bound events are STRICTLY increasing in time, so ORDER
+  // BY ts is a total order within a match).
+  private val m38: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, SUM(C.value) AS run_sum_c,
+        |           COUNT(C.value) AS n_c, COUNT(V.ts) AS n_reps
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+  private val m38Sql = m33Sql.replace(
+    """best AS (
+      |  SELECT user_id, s_ts, first_b, match_end, n_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, s_ts AS signup_ts, first_b AS grp_first_ts,
+      |       match_end AS grp_last_ts, n_done AS n_reps, inner_done AS n_inner
+      |FROM best WHERE rn = 1""".stripMargin,
+    """best AS (
+      |  SELECT user_id, s_ts, first_b, match_end, n_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed'),
+      |rws AS (
+      |  SELECT b.user_id, b.s_ts, 'S' AS cls, b.s_ts AS ts
+      |  FROM best b WHERE b.rn = 1
+      |  UNION ALL
+      |  SELECT w.user_id, b.s_ts, 'B', w.cur_b
+      |  FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
+      |  WHERE b.rn = 1 AND w.phase = 'chain' AND w.n_done + 1 <= b.n_done
+      |  UNION ALL
+      |  SELECT w.user_id, b.s_ts, 'C', w.cur_e
+      |  FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
+      |  WHERE b.rn = 1 AND w.phase = 'chain' AND w.n_done + 1 <= b.n_done
+      |  UNION ALL
+      |  SELECT w.user_id, b.s_ts, 'V', w.match_end
+      |  FROM walk w JOIN best b ON b.user_id = w.user_id AND b.s_ts = w.s_ts
+      |  WHERE b.rn = 1 AND w.phase = 'closed'),
+      |cvals AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, min(value) AS v
+      |          FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |enr AS (
+      |  SELECT r.user_id, r.s_ts, r.cls, r.ts,
+      |         CASE WHEN r.cls = 'C' THEN v.v END AS cv
+      |  FROM rws r LEFT JOIN cvals v ON v.user_id = r.user_id
+      |   AND v.ts = r.ts AND r.cls = 'C')
+      |SELECT user_id, cls, ts, s_ts AS signup_ts,
+      |       sum(cv) OVER w AS run_sum_c,
+      |       count(cv) OVER w AS n_c,
+      |       count(CASE WHEN cls = 'V' THEN 1 END) OVER w AS n_reps
+      |FROM enr
+      |WINDOW w AS (PARTITION BY user_id, s_ts ORDER BY ts
+      |             ROWS UNBOUNDED PRECEDING)""".stripMargin)
+
   // --- m37: INNER '*' in the nested group — `S ((B C)* V)+` (m33's shape
   // with zero-or-more sub-chains per repetition, the former named
   // rejection): a repetition binds tails ALONE when the earliest
@@ -2713,7 +2779,7 @@ object WindowQueries {
     "m29_all_rows_alt" -> m29, "m30_multi_tiebreak" -> m30,
     "m31_all_rows_two_runs" -> m31, "m32_all_rows_group_run" -> m32,
     "m33_nested_group" -> m33, "m34_all_rows_nested" -> m34,
-    "m35_reluctant_quant" -> m35, "m36_nested_values" -> m36, "m37_nested_inner_star" -> m37)
+    "m35_reluctant_quant" -> m35, "m36_nested_values" -> m36, "m37_nested_inner_star" -> m37, "m38_all_rows_nested_values" -> m38)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -2744,7 +2810,7 @@ object WindowQueries {
     "m29_all_rows_alt" -> m29Sql, "m30_multi_tiebreak" -> m30Sql,
     "m31_all_rows_two_runs" -> m31Sql, "m32_all_rows_group_run" -> m32Sql,
     "m33_nested_group" -> m33Sql, "m34_all_rows_nested" -> m34Sql,
-    "m35_reluctant_quant" -> m35Sql, "m36_nested_values" -> m36Sql, "m37_nested_inner_star" -> m37Sql,
+    "m35_reluctant_quant" -> m35Sql, "m36_nested_values" -> m36Sql, "m37_nested_inner_star" -> m37Sql, "m38_all_rows_nested_values" -> m38Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

@@ -325,15 +325,11 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       .followedByNestedGroup("g",
         Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
         Seq("v" -> ($"event_type" === "v")))
-    // bindGroup on a nested member is SUPPORTED since r15; what stays a
-    // named rejection is combining it with materializeNestedRows (either
-    // order), and a non-member name
-    val e1 = intercept[IllegalArgumentException](
-      p.bindGroup("b", "value").materializeNestedRows())
-    assert(e1.getMessage.contains("bindGroup"), e1.getMessage)
-    val e1b = intercept[IllegalArgumentException](
-      p.materializeNestedRows().bindGroup("b", "value"))
-    assert(e1b.getMessage.contains("materializeNestedRows"), e1b.getMessage)
+    // bindGroup on a nested member is SUPPORTED since r15, and composes
+    // with materializeNestedRows (per-row running value snapshots) in
+    // either order; a non-member name stays a named rejection
+    p.bindGroup("b", "value").materializeNestedRows()
+    p.materializeNestedRows().bindGroup("b", "value")
     val e1c = intercept[IllegalArgumentException](p.bindGroup("zz", "value"))
     assert(e1c.getMessage.contains("not a member"), e1c.getMessage)
     val e2 = intercept[IllegalArgumentException](p.materializeGroupRows())

@@ -1197,20 +1197,54 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m == Set((1L, 2L, 7.0, 7.0 / 3.0, 3.0, 7.0, 2.0, 8.0)), m.toString)
   }
 
-  test("nested group values + ALL ROWS stays a named rejection") {
-    val evs = Seq((1L, at(0), "signup", 0.0)).toDF("user_id", "ts", "event_type", "value")
-    val e = intercept[IllegalArgumentException](MatchRecognize.detect(evs,
+  test("ALL ROWS + nested member values: per-row RUNNING SUM/COUNT/AVG " +
+       "snapshots; a failed repetition's values never appear") {
+    // same corpus as the ONE-ROW values test: two committed repetitions,
+    // then a completed sub (values 100) whose tail never arrives — its
+    // rows AND values must be absent
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0),
+      (1L, at(5), "click", 2.0), (1L, at(10), "view", 3.0),
+      (1L, at(15), "click", 4.0), (1L, at(20), "view", 5.0),
+      (1L, at(25), "error", 9.0),
+      (1L, at(30), "click", 1.0), (1L, at(35), "view", 7.0),
+      (1L, at(40), "error", 8.0),
+      (1L, at(45), "click", 100.0), (1L, at(50), "view", 100.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val rows = MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
-        |  MEASURES S.ts AS s_ts, SUM(B.value) AS sum_b
+        |  MEASURES SUM(B.value) AS sum_b, COUNT(C.value) AS n_c,
+        |           AVG(B.value) AS avg_b
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+      .selectExpr("cls", "ts", "sum_b", "n_c")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3)))
+    assert(rows.sortBy(_._2.getTime).toSeq == Seq(
+      ("S", at(0), None, 0L),
+      ("B", at(5), Some(2.0), 0L), ("C", at(10), Some(2.0), 1L),
+      ("B", at(15), Some(6.0), 1L), ("C", at(20), Some(6.0), 2L),
+      ("V", at(25), Some(6.0), 2L),
+      ("B", at(30), Some(7.0), 2L), ("C", at(35), Some(7.0), 3L),
+      ("V", at(40), Some(7.0), 3L)).sortBy(_._2.getTime), rows.toSeq.toString)
+    // running MIN/MAX stay named rejections under ALL ROWS (not
+    // materialized per row)
+    val e = intercept[RuntimeException](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES MIN(B.value) AS min_b
         |  ALL ROWS PER MATCH
         |  PATTERN (S ((B C)+ V)+)
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
         |         C AS event_type = 'view', V AS event_type = 'error'
         |)""".stripMargin))
-    assert(e.getMessage.contains("ALL ROWS PER MATCH does not compose"),
-      e.getMessage)
+    assert(e.getMessage.contains("not materialized per row"), e.getMessage)
   }
 
   test("reluctant '+?' mid-pattern binds the minimal single member") {
