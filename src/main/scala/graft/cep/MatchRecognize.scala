@@ -115,6 +115,17 @@ object MatchRecognize {
                           skipTo: Option[(String, Boolean)] = None,
                           orderTies: Seq[String] = Nil)
 
+  /** The (member, col) ORDER of a nested group's bound value columns —
+    * ONE derivation shared by the lowering (which drives the bindGroup
+    * calls, i.e. the engine's groupKeep order) and the ALL ROWS
+    * expansion (which indexes the per-row vsum/vcnt snapshots): a
+    * divergence between the two would silently read another column's
+    * running values. */
+  private def nestedKeepOrder(innerSeq: Seq[String], seq: Seq[String],
+      bindByVar: Map[String, Seq[String]]): Seq[(String, String)] =
+    (innerSeq ++ seq).filter(bindByVar.contains)
+      .flatMap(sv => bindByVar(sv).map(sv -> _))
+
   /** Member VALUE measure → the bindGroup running-aggregate column
     * (`<group>_<agg>_<member>_<field>`) — ONE mapping shared by the
     * one-level group chain and the nested chain (both emit the same
@@ -702,7 +713,6 @@ object MatchRecognize {
           compiled(sv)._2.foreach(_ => sys.error(s"nested group ${v.name}: " +
             s"member $sv may not use an iterative/PREV condition"))
         }
-        val nestedBinds = (v.innerSeq ++ v.seq).filter(bindByVar.contains)
         require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
           s"compose with a nested group (${v.name}): the chain binds no " +
           "member values for a tiebreak to steer")
@@ -710,7 +720,10 @@ object MatchRecognize {
           v.innerSeq.map(sv => sv -> compiled(sv)._1),
           v.seq.map(sv => sv -> compiled(sv)._1),
           innerOptional = v.innerStar)
-        nestedBinds.foreach(sv => pat = pat.bindGroup(sv, bindByVar(sv): _*))
+        // SHARED order derivation (nestedKeepOrder) — the engine's
+        // groupKeep sequence must equal the ALL ROWS snapshot indexing
+        nestedKeepOrder(v.innerSeq, v.seq, bindByVar)
+          .foreach { case (sv, c) => pat = pat.bindGroup(sv, c) }
         // ALL ROWS needs each bound event + running counts on the match row
         if (spec.allRows) pat = pat.materializeNestedRows()
         pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
@@ -1136,10 +1149,9 @@ object MatchRecognize {
                             g: PatternVar,
                             bindByVar: Map[String, Seq[String]]): DataFrame = {
     // groupKeep order — the lowering's bindGroup call order — indexes the
-    // per-row vsum/vcnt running-value snapshots
+    // per-row vsum/vcnt running-value snapshots (SHARED derivation)
     val gkIdx: Map[(String, String), Int] =
-      (g.innerSeq ++ g.seq).filter(bindByVar.contains)
-        .flatMap(sv => bindByVar(sv).map(sv -> _)).zipWithIndex.toMap
+      nestedKeepOrder(g.innerSeq, g.seq, bindByVar).zipWithIndex.toMap
     require(spec.vars.last.name == g.name,
       "ALL ROWS over a nested group: the nested group must be the FINAL " +
         "pattern element")

@@ -1401,22 +1401,21 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   else {
                     t = tails(ti)(x)._1
                     if (repFirst == null) repFirst = t
-                    if (rowVals && gkTailPos(ti).length > 0) {
-                      val tvs = tails(ti)(x)._2
-                      var p = 0
-                      while (p < gkTailPos(ti).length) {
-                        applyVal(gkTailPos(ti)(p), tvs(p)); p += 1
-                      }
-                    }
-                    if (matRows) repRows += rowOf(t,
-                      tailNames(ti), n + 1, innerTot + k)
+                    // ONE loop feeds both accumulations (snapshot + the
+                    // commit fold's pending list) so they cannot diverge;
+                    // snapshots apply BEFORE the row (own contribution)
                     if (gkTailPos(ti).length > 0) {
                       val tvs = tails(ti)(x)._2
                       var p = 0
                       while (p < gkTailPos(ti).length) {
-                        pendVals += ((gkTailPos(ti)(p), tvs(p))); p += 1
+                        val gi = gkTailPos(ti)(p)
+                        if (rowVals) applyVal(gi, tvs(p))
+                        pendVals += ((gi, tvs(p)))
+                        p += 1
                       }
                     }
+                    if (matRows) repRows += rowOf(t,
+                      tailNames(ti), n + 1, innerTot + k)
                     ti += 1
                   }
                 }

@@ -231,20 +231,37 @@ object FlinkDdl {
     // snapshots an overflow means the dimension no longer fits the
     // declared budget — an error, not a silent eviction.
     val ttlMs = opts.get("lookup.cache.ttl").map(parseTtlMs(name, _)).getOrElse(0L)
-    val maxRows = opts.get("lookup.cache.max-rows").map(_.trim.toLong)
+    val maxRows = opts.get("lookup.cache.max-rows").map(v =>
+      try v.trim.toLong catch { case _: NumberFormatException => sys.error(
+        s"jdbcLookupLoader($name): cannot parse lookup.cache.max-rows " +
+          s"'$v' — an integer row bound is required") })
+    // MONOTONIC expiry clock: a wall-clock step (NTP) must not extend or
+    // shorten the cached snapshot's life (the reference's Guava cache
+    // uses a monotonic ticker too)
+    val ttlNanos = ttlMs * 1000000L
     val cached = new java.util.concurrent.atomic.AtomicReference[(Long, DataFrame)]
     () => {
-      val now = System.currentTimeMillis()
+      val now = System.nanoTime()
       val cur = cached.get()
-      if (ttlMs > 0 && cur != null && now - cur._1 < ttlMs) cur._2
+      if (ttlMs > 0 && cur != null && now - cur._1 < ttlNanos) cur._2
       else {
         val props = new java.util.Properties()
         opts.get("driver").foreach(props.setProperty("driver", _))
         opts.get("username").foreach(props.setProperty("user", _))
         opts.get("password").foreach(props.setProperty("password", _))
         val df = spark.read.jdbc(req("url"), req("table-name"), props)
-        if (ttlMs == 0 && maxRows.isEmpty) df // uncached: per-trigger read
-        else {
+        if (ttlMs == 0) {
+          // uncached: per-trigger read; with a bound, validate it
+          // DISTRIBUTEDLY (no driver materialization for a frame that is
+          // not being cached)
+          maxRows.foreach { mr =>
+            require(df.limit(mr.toInt + 1).count() <= mr,
+              s"jdbcLookupLoader($name): dimension exceeds " +
+                s"lookup.cache.max-rows = $mr — raise the bound or drop " +
+                "the option")
+          }
+          df
+        } else {
           val rows = df.collect()
           maxRows.foreach(mr => require(rows.length <= mr,
             s"jdbcLookupLoader($name): dimension snapshot has " +
