@@ -231,15 +231,28 @@ object FlinkDdl {
     // snapshots an overflow means the dimension no longer fits the
     // declared budget — an error, not a silent eviction.
     val ttlMs = opts.get("lookup.cache.ttl").map(parseTtlMs(name, _)).getOrElse(0L)
-    val maxRows = opts.get("lookup.cache.max-rows").map(v =>
-      try v.trim.toLong catch { case _: NumberFormatException => sys.error(
+    val maxRows = opts.get("lookup.cache.max-rows").map { v =>
+      val n = try v.trim.toLong catch { case _: NumberFormatException => sys.error(
         s"jdbcLookupLoader($name): cannot parse lookup.cache.max-rows " +
-          s"'$v' — an integer row bound is required") })
+          s"'$v' — an integer row bound is required") }
+      // the uncached bound check runs through limit(n + 1), whose argument
+      // is an Int — a bound at or past Int.MaxValue would overflow to a
+      // negative/wrong limit (and a snapshot that large has no business
+      // being collected to the driver anyway): reject by name
+      require(n >= 1 && n < Int.MaxValue,
+        s"jdbcLookupLoader($name): lookup.cache.max-rows = $n is out of " +
+          s"range — use a bound in [1, ${Int.MaxValue - 1}]")
+      n
+    }
     // MONOTONIC expiry clock: a wall-clock step (NTP) must not extend or
     // shorten the cached snapshot's life (the reference's Guava cache
     // uses a monotonic ticker too)
     val ttlNanos = ttlMs * 1000000L
     val cached = new java.util.concurrent.atomic.AtomicReference[(Long, DataFrame)]
+    // the uncached bound check costs one extra bounded jdbc scan — run it
+    // on the FIRST trigger only (memoized per loader); a dimension growing
+    // past the bound later is caught the next time a loader is built
+    val boundChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
     () => {
       val now = System.nanoTime()
       val cur = cached.get()
@@ -254,11 +267,12 @@ object FlinkDdl {
           // uncached: per-trigger read; with a bound, validate it
           // DISTRIBUTEDLY (no driver materialization for a frame that is
           // not being cached)
-          maxRows.foreach { mr =>
+          if (!boundChecked.get()) maxRows.foreach { mr =>
             require(df.limit(mr.toInt + 1).count() <= mr,
               s"jdbcLookupLoader($name): dimension exceeds " +
                 s"lookup.cache.max-rows = $mr — raise the bound or drop " +
                 "the option")
+            boundChecked.set(true)
           }
           df
         } else {
@@ -302,6 +316,121 @@ object FlinkDdl {
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.StreamOps.broadcastRulesEnrich(
       stream, jdbcLookupLoader(spark, name), key)(sink)
+
+  /** Per-KEY lazy lookup cache — the reference's actual JDBCLookupFunction
+    * shape (flink-connectors/flink-jdbc/src/main/java/org/apache/flink/api/
+    * java/io/jdbc/JDBCLookupFunction.java:55-80: a Guava
+    * `Cache<Row, List<Row>>` with `maximumSize = lookup.cache.max-rows` and
+    * `expireAfterWrite = lookup.cache.ttl`, querying the database on each
+    * cache miss): serves dimensions LARGER than `max-rows` — which the
+    * whole-table snapshot loader refuses by design — by caching per-key
+    * result lists and querying only the misses.
+    *
+    * Spark-first adaptation of the per-record lookup: misses are batched
+    * per MICRO-BATCH — the batch's distinct missing keys go to the
+    * database as ONE `IN`-pushdown jdbc read (never one round-trip per
+    * stream row), the cache is LRU-bounded at `max-rows` KEY entries (the
+    * reference's `maximumSize` also counts key entries) with per-entry ttl
+    * expiry on the monotonic clock, and the enrichment broadcast-joins the
+    * batch against the cached rows of exactly its own keys (bounded by the
+    * batch's key cardinality, not the dimension size). Misses with no
+    * dimension row cache an EMPTY list (the reference caches those too) so
+    * repeated unmatched keys never re-query. */
+  final class JdbcPerKeyLookup(spark: SparkSession, name: String, key: String) {
+    private val (dimSchema, opts) = {
+      val (sch, o, _) = Option(declared.get(declKey(spark, name))).getOrElse(
+        sys.error(s"JdbcPerKeyLookup($name): not a DDL-declared table in " +
+          "this session — declare it with CREATE TABLE … WITH " +
+          "('connector' = 'jdbc', …) first"))
+      require(o.get("connector").contains("jdbc"),
+        s"JdbcPerKeyLookup($name): the lookup-join idiom needs a 'jdbc' " +
+          s"declared table (got '${o.getOrElse("connector", "?")}')")
+      (sch, o)
+    }
+    require(dimSchema.fieldNames.contains(key),
+      s"JdbcPerKeyLookup($name): lookup key '$key' is not a declared column")
+    private val ttlNanos =
+      opts.get("lookup.cache.ttl").map(parseTtlMs(name, _)).getOrElse(0L) * 1000000L
+    private val maxKeys = opts.get("lookup.cache.max-rows").map { v =>
+      val n = try v.trim.toLong catch {
+        case _: NumberFormatException => sys.error(
+          s"JdbcPerKeyLookup($name): cannot parse lookup.cache.max-rows " +
+            s"'$v' — an integer entry bound is required") }
+      require(n >= 1 && n <= Int.MaxValue,
+        s"JdbcPerKeyLookup($name): lookup.cache.max-rows = $n is out of " +
+          s"range — use a bound in [1, ${Int.MaxValue}]")
+      n.toInt
+    }
+    private def req(k: String): String = opts.getOrElse(k,
+      sys.error(s"JdbcPerKeyLookup($name): missing option '$k'"))
+    // one LAZY frame over the declared table: each miss set filters it
+    // (isin pushes down as an IN predicate), and its schema types the
+    // collected row snapshots
+    private def dimFrame: DataFrame = {
+      val props = new java.util.Properties()
+      opts.get("driver").foreach(props.setProperty("driver", _))
+      opts.get("username").foreach(props.setProperty("user", _))
+      opts.get("password").foreach(props.setProperty("password", _))
+      spark.read.jdbc(req("url"), req("table-name"), props)
+    }
+    private case class Entry(at: Long, rows: Array[org.apache.spark.sql.Row])
+    // accessOrder = true: iteration order is least-recently-USED first —
+    // the reference cache's LRU eviction order
+    private val cache =
+      new java.util.LinkedHashMap[Any, Entry](16, 0.75f, true)
+    // observability for specs and triage (the reference exposes Guava
+    // cache stats the same way)
+    @volatile var hits = 0L
+    @volatile var misses = 0L
+    def cachedKeys: Int = cache.synchronized(cache.size)
+
+    /** Enrich one (micro-)batch: left-outer join on `key` against the
+      * dimension rows of exactly this batch's keys, querying only the
+      * cache misses. */
+    def enrich(batch: DataFrame): DataFrame = cache.synchronized {
+      val keys = batch.select(col(key)).distinct().collect()
+        .map(_.get(0)).filter(_ != null)
+      val now = System.nanoTime()
+      val (hit, miss) = keys.partition(k =>
+        Option(cache.get(k)).exists(e => ttlNanos == 0L || now - e.at < ttlNanos))
+      hits += hit.length; misses += miss.length
+      // the batch's enrichment rows are gathered BEFORE cache puts and
+      // eviction: a batch with more keys than max-rows still enriches
+      // completely (the cache bounds MEMORY ACROSS batches, never this
+      // batch's correctness)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      hit.foreach(k => cache.get(k).rows.foreach(rows.add))
+      if (miss.nonEmpty) {
+        // ONE bounded read for all misses, never one round-trip per row
+        val fetched = dimFrame.filter(col(key).isin(miss.toSeq: _*)).collect()
+        fetched.foreach(rows.add)
+        val byKey = fetched.groupBy(_.getAs[Any](key))
+        miss.foreach(k => cache.put(k,
+          Entry(now, byKey.getOrElse(k, Array.empty))))
+        maxKeys.foreach { mk =>
+          val it = cache.entrySet().iterator()
+          while (cache.size > mk && it.hasNext) { it.next(); it.remove() }
+        }
+      }
+      val snap = spark.createDataFrame(rows, dimFrame.schema)
+      batch.join(org.apache.spark.sql.functions.broadcast(snap),
+        Seq(key), "left_outer")
+    }
+  }
+
+  /** [[jdbcLookupEnrich]]'s per-key twin: streaming enrichment through a
+    * [[JdbcPerKeyLookup]] cache — the path for dimensions larger than
+    * `lookup.cache.max-rows`, which the snapshot loader refuses. */
+  def jdbcLookupEnrichPerKey(spark: SparkSession, stream: DataFrame,
+                             name: String, key: String)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lk = new JdbcPerKeyLookup(spark, name, key)
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(lk.enrich(batch.toDF()))
+    }.start()
+  }
 
   /** `INSERT INTO <ddl-table> SELECT …` — the statement every Flink SQL
     * script ends with (reference flink-table SqlToOperationConverter →

@@ -121,6 +121,18 @@ object StateInspect {
     require(!new java.io.File(s"$checkpointDir/offsets/1").exists(),
       "writeSavepoint: the bootstrap run committed more than one batch — " +
       "the batch-0 offset rewrite would be ineffective")
+    // the literal '-1' deserializes as a LongOffset — the format of
+    // MemoryStream (this bootstrap's source) and file sources. A source
+    // with STRUCTURED json offsets (e.g. Kafka's per-partition map) would
+    // fail to parse it on restart: enforce the single-LongOffset-source
+    // contract by requiring the committed offset line to itself be a
+    // plain integer before rewriting
+    require(scala.util.Try(lines.last.trim.toLong).isSuccess,
+      "writeSavepoint: the bootstrap source's committed offset " +
+        s"('${lines.last}') is not a plain LongOffset integer — only " +
+        "LongOffset-style sources (MemoryStream, file sources) can be " +
+        "savepoint-bootstrapped (a structured-offset source like Kafka " +
+        "would fail to deserialize the '-1' rewrite on restart)")
     java.nio.file.Files.write(off.toPath,
       (lines.dropRight(1) :+ "-1").mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -504,6 +504,72 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     assert(e2.getMessage.contains("lookup.cache.ttl"), e2.getMessage)
   }
 
+  test("per-key lazy lookup cache: serves a dimension LARGER than " +
+       "max-rows, LRU-bounded, batched misses, negative caching") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftlkperkey;create=true"
+    // 10-row dimension, cache bounded at 3 key entries: the snapshot
+    // loader REFUSES this shape (max-rows guard); the per-key cache is
+    // the reference JDBCLookupFunction's answer to it
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "label")
+      .write.mode("overwrite").jdbc(url, "bigdim", new java.util.Properties())
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE bigdim_t (id BIGINT, label STRING) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'bigdim',
+         |  'lookup.cache.max-rows' = '3')""".stripMargin)
+    val lk = new FlinkDdl.JdbcPerKeyLookup(spark, "bigdim_t", "id")
+    def run(ks: Seq[Long]): Map[Long, String] =
+      lk.enrich(ks.toDF("id")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch 1: two misses, both enriched correctly
+    assert(run(Seq(1L, 2L)) == Map(1L -> "v1", 2L -> "v2"))
+    assert(lk.misses == 2 && lk.hits == 0 && lk.cachedKeys == 2)
+    // batch 2: two hits + one miss
+    assert(run(Seq(1L, 2L, 3L)) == Map(1L -> "v1", 2L -> "v2", 3L -> "v3"))
+    assert(lk.misses == 3 && lk.hits == 2 && lk.cachedKeys == 3)
+    // batch 3: a fourth key evicts the LRU entry — the cache stays at the
+    // max-rows bound while the DIMENSION stays 10 rows
+    assert(run(Seq(4L)) == Map(4L -> "v4"))
+    assert(lk.cachedKeys == 3)
+    // negative caching: an unmatched key enriches null and the SECOND
+    // request is a hit (no re-query — the reference caches empty lists)
+    val miss1 = lk.enrich(Seq(99L).toDF("id")).collect()
+    assert(miss1.length == 1 && miss1.head.isNullAt(1))
+    val missesAfter = lk.misses
+    lk.enrich(Seq(99L).toDF("id")).collect()
+    assert(lk.misses == missesAfter, "negative entry must be served from cache")
+    // cached entries survive a dimension UPDATE (no ttl = no expiry; the
+    // ttl'd variant expires on the monotonic clock like the snapshot path)
+    Seq((4L, "CHANGED")).toDF("id", "label")
+      .write.mode("append").jdbc(url, "bigdim", new java.util.Properties())
+    assert(run(Seq(4L)) == Map(4L -> "v4"), "cached key must not re-query")
+    // a batch with MORE keys than max-rows still enriches completely —
+    // the bound caps memory across batches, never a batch's correctness
+    val all = run((1L to 10L))
+    assert(all == (1L to 10L).map(i => i -> s"v$i").toMap, all.toString)
+    assert(lk.cachedKeys == 3)
+    // streaming wiring: the foreachBatch twin drives the same cache
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = FlinkDdl.jdbcLookupEnrichPerKey(spark,
+        in.toDF().toDF("id"), "bigdim_t", "id") { b =>
+      got ++= b.collect().map(r => (r.getLong(0), r.getString(1)))
+      ()
+    }
+    in.addData(5L); q.processAllAvailable(); q.stop()
+    assert(got.toSeq == Seq((5L, "v5")), got.toString)
+    // non-jdbc / undeclared names stay named rejections
+    val e = intercept[RuntimeException](
+      new FlinkDdl.JdbcPerKeyLookup(spark, "nope_undeclared", "id"))
+    assert(e.getMessage.contains("not a DDL-declared table"), e.getMessage)
+    // a key column that is not declared is a named error
+    val e2 = intercept[IllegalArgumentException](
+      new FlinkDdl.JdbcPerKeyLookup(spark, "bigdim_t", "wrong_col"))
+    assert(e2.getMessage.contains("wrong_col"), e2.getMessage)
+  }
+
   test("named rejections: kafka, enforced key, metadata, TIME type") {
     def fails(ddl: String, frag: String): Unit = {
       val e = intercept[RuntimeException](FlinkDdl.execute(spark, ddl))
