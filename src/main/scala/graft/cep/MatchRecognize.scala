@@ -105,7 +105,9 @@ object MatchRecognize {
   private case class PatternVar(name: String, quant: Option[String],
                                 alts: Seq[String] = Nil, seq: Seq[String] = Nil,
                                 innerSeq: Seq[String] = Nil,
-                                innerStar: Boolean = false)
+                                innerStar: Boolean = false,
+                                inner2Seq: Seq[String] = Nil,
+                                midSeq: Seq[String] = Nil)
   private case class Measure(fn: Option[String], varName: String,
                              field: String, alias: String)
   private case class Spec(partitionBy: Seq[String], orderBy: String,
@@ -181,7 +183,15 @@ object MatchRecognize {
       s"the variable, or use the greedy '${q.take(1)}' spelling")
     case qq if qq.startsWith("{") && qq.endsWith("?") =>
       val inner = qq.stripPrefix("{").stripSuffix("?").stripSuffix("}")
-      s"{${inner.split(",")(0).trim}}" // {n,}? / {n,m}? / {n}? -> {n}
+      val n = inner.split(",")(0).trim
+      // a zero minimum ({0,m}?/{0,}?) is the *?/?? case in braces — raise
+      // the SAME dedicated never-binds rejection here, not the generic
+      // "{0} must be >= 1" error the collapse would surface later
+      if (n == "0") sys.error(s"reluctant quantifier '$q' on $name: its " +
+        "minimum is zero, so under earliest-match semantics the variable " +
+        "would never bind (null timestamps, COUNT 0 on every match) — omit " +
+        "the variable, or use a greedy quantifier with a positive minimum")
+      s"{$n}" // {n,}? / {n,m}? / {n}? -> {n}
     case qq => qq
   }
 
@@ -245,31 +255,37 @@ object MatchRecognize {
     // one row per bound event (see allRowsOutput)
     val allRows =
       "(?is)\\bALL\\s+ROWS\\s+PER\\s+MATCH\\b".r.findFirstIn(body).nonEmpty
-    // up to TWO nesting levels inside the PATTERN body: alternation /
-    // sequence groups (A (B|C) D), and ONE nested group ((A B)+ C)+
+    // up to THREE nesting levels inside the PATTERN body: alternation /
+    // sequence groups (A (B|C) D), ONE nested group ((A B)+ C)+, and the
+    // DEPTH-2 nested group (((A B)+ C)+ D)+
     val patternBody =
-      ("(?is)\\bPATTERN\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*)\\)").r
+      ("(?is)\\bPATTERN\\s*\\(((?:[^()]|\\((?:[^()]|\\((?:[^()]|" +
+        "\\([^()]*\\))*\\))*\\))*)\\)").r
       .findFirstMatchIn(body) match {
         case Some(m) => m.group(1).trim
-        // a depth-3 PATTERN body fails the two-level body regex outright —
-        // name the rejection rather than reporting the clause as absent.
+        // a depth-4 PATTERN body fails the three-level body regex outright
+        // — name the rejection rather than reporting the clause as absent.
         // The reference composes GroupPattern recursively to any depth
         // (flink-cep GroupPattern wraps an arbitrary inner Pattern); here
-        // ONE nested level ( ((A B)+ C)+ ) lowers declaratively and deeper
-        // nesting has no encoding.
+        // TWO nested levels ( (((A B)+ C)+ D)+ ) lower declaratively and
+        // deeper nesting has no encoding.
         case None if "(?is)\\bPATTERN\\s*\\(".r.findFirstIn(body).isDefined =>
-          sys.error("PATTERN bodies nested deeper than one group-in-group " +
-            "level (e.g. (((A B)+ C)+ D)+) are not supported: one nested " +
-            "level ( ((A B)+ C)+ ) is — flatten deeper groups or run " +
-            "multiple detect passes")
+          sys.error("PATTERN bodies nested deeper than two group-in-group " +
+            "levels (e.g. ((((A B)+ C)+ D)+ E)+) are not supported: up to " +
+            "two nested levels ( ((A B)+ C)+ and (((A B)+ C)+ D)+ ) are — " +
+            "flatten deeper groups or run multiple detect passes")
         case None => sys.error("PATTERN (...) required")
       }
-    // elements: a NESTED group ((I...)+ T...)+ (flink-cep GroupPattern in
-    // GroupPattern — one level), a bare variable with an optional
-    // quantifier, an alternation group (B|C), or a quantified SEQUENCE
-    // group (B C)+ (flink-cep GroupPattern) — groups named by joining
-    // their members
-    val varRx = ("(?:\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
+    // elements: a DEPTH-2 nested group (((I...)+ M...)+ T...)+ (flink-cep
+    // GroupPattern composed twice), a NESTED group ((I...)+ T...)+ (one
+    // level), a bare variable with an optional quantifier, an alternation
+    // group (B|C), or a quantified SEQUENCE group (B C)+ (flink-cep
+    // GroupPattern) — groups named by joining their members. Alternatives
+    // ordered deepest-first so the depth-2 shape never half-parses as a
+    // depth-1 group plus residue.
+    val varRx = ("(?:\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*\\+\\s*" +
+      "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)" +
+      "|\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
       "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
       "|\\(\\s*(\\w+(?:\\s*\\|\\s*\\w+)+)\\s*\\)" +
       "|\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)|(\\w+))" +
@@ -287,35 +303,55 @@ object MatchRecognize {
         val gap = patternBody.substring(pos, end).trim
         require(gap.isEmpty,
           s"unsupported PATTERN syntax near '$gap' in PATTERN ($patternBody)" +
-            (if (gap.contains("(")) " — the one supported nested shape is " +
+            (if (gap.contains("(")) " — the supported nested shapes are " +
               "((I1 I2 ...)+ T1 ...)+ (inner '+' or '*', at least one " +
-              "tail step, outer '+'/'*')" else ""))
+              "tail step, outer '+'/'*') and (((I1 I2 ...)+ M1 ...)+ " +
+              "T1 ...)+ (depth 2: inner and mid '+', outer '+'/'*')"
+             else ""))
         if (m != null) pos = m.end
       }
     }
     val vars = varMatches.map { g =>
-        (Option(g.group(1)), Option(g.group(4)), Option(g.group(5))) match {
-          case (Some(inner), _, _) =>
+        (Option(g.group(1)), Option(g.group(4)), Option(g.group(7)),
+            Option(g.group(8))) match {
+          case (Some(in2), _, _, _) =>
+            // DEPTH-2 nested group (((I...)+ M...)+ T...)+ — flink-cep
+            // GroupPattern composed twice (GroupPattern.java:30 wraps an
+            // arbitrary inner Pattern): innermost sub-sequence under '+',
+            // mid tail steps closing each level-1 repetition, outer tail
+            // steps closing each outer repetition, outer '+'/'*'
+            val innerSubs = in2.trim.split("\\s+").toSeq
+            val mids = g.group(2).trim.split("\\s+").toSeq
+            val tails = g.group(3).trim.split("\\s+").toSeq
+            require(g.group(10) == "+" || g.group(10) == "*",
+              s"depth-2 nested group (((${innerSubs.mkString(" ")})+ " +
+                s"${mids.mkString(" ")})+ ${tails.mkString(" ")}) requires " +
+                "the outer '+' or '*' quantifier (got " +
+                s"'${Option(g.group(10)).getOrElse("")}')")
+            PatternVar((innerSubs ++ mids ++ tails).mkString("_"),
+              Option(g.group(10)), Nil, tails, Nil,
+              inner2Seq = innerSubs, midSeq = mids)
+          case (None, Some(inner), _, _) =>
             // nested group ((I...)+ T...)+ / ((I...)* T...)+ — flink-cep
             // GroupPattern composing recursively (one level): inner
             // sub-sequence under '+' (or '*' = zero-or-more sub-chains per
             // repetition, r15), tail steps, outer '+'/'*'
             val innerSubs = inner.trim.split("\\s+").toSeq
-            val tails = g.group(3).trim.split("\\s+").toSeq
-            require(g.group(7) == "+" || g.group(7) == "*",
-              s"nested group ((${innerSubs.mkString(" ")})${g.group(2)} " +
+            val tails = g.group(6).trim.split("\\s+").toSeq
+            require(g.group(10) == "+" || g.group(10) == "*",
+              s"nested group ((${innerSubs.mkString(" ")})${g.group(5)} " +
                 s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
-                s"quantifier (got '${Option(g.group(7)).getOrElse("")}')")
-            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(7)),
-              Nil, tails, innerSubs, innerStar = g.group(2) == "*")
-          case (None, Some(alt), _) =>
+                s"quantifier (got '${Option(g.group(10)).getOrElse("")}')")
+            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(10)),
+              Nil, tails, innerSubs, innerStar = g.group(5) == "*")
+          case (None, None, Some(alt), _) =>
             val branches = alt.split("\\|").map(_.trim).toSeq
             // (B|C)+ / (B|C)* — flink-cep GroupPattern over oneOf: a run
             // whose members match any branch, with per-branch counts. The
             // reluctant '(B|C)+?' collapses to ONE member of any branch —
             // the bare '(B|C)' one-of (see [[normalizeQuant]]: the minimal
             // binding always wins). '?'/'{n,m}' stay named rejections.
-            val q = Option(g.group(7)) match {
+            val q = Option(g.group(10)) match {
               case Some("+?") => None
               case q0 @ (None | Some("+") | Some("*")) => q0
               case Some(other) => sys.error(s"alternation group ($alt): " +
@@ -323,14 +359,14 @@ object MatchRecognize {
                 s"supported (got '$other')")
             }
             PatternVar(branches.mkString("_"), q, branches)
-          case (None, None, Some(seq)) =>
+          case (None, None, None, Some(seq)) =>
             val subs = seq.trim.split("\\s+").toSeq
             // (B C)+ / (B C)* — GroupPattern oneOrMore[.optional]. The
             // reluctant '(B C)+?' collapses to exactly ONE repetition
             // (minimal binding always wins), which is also the bare
             // '(B C)' inline-sequence semantics — both lower to the
             // single-repetition declarative sub-match join.
-            val q = Option(g.group(7)) match {
+            val q = Option(g.group(10)) match {
               case Some("+?") => None
               case q0 @ (None | Some("+") | Some("*")) => q0
               case Some(other) => sys.error(s"sequence group " +
@@ -338,8 +374,8 @@ object MatchRecognize {
                 s"or no quantifier is supported (got '$other')")
             }
             PatternVar(subs.mkString("_"), q, Nil, subs)
-          case (None, None, None) => PatternVar(g.group(6),
-            Option(g.group(7)).map(normalizeQuant(g.group(6), _)))
+          case (None, None, None, None) => PatternVar(g.group(9),
+            Option(g.group(10)).map(normalizeQuant(g.group(9), _)))
         }
       }
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
@@ -555,7 +591,7 @@ object MatchRecognize {
       // seq/innerSeq excluded explicitly: a BARE group (quant None since
       // r15) would otherwise pass and die later as an unresolved column
       require(pv.alts.isEmpty && pv.quant.isEmpty && pv.seq.isEmpty &&
-          pv.innerSeq.isEmpty,
+          pv.innerSeq.isEmpty && pv.inner2Seq.isEmpty && pv.midSeq.isEmpty,
         s"DEFINE $v references $a: relative references need a plain, unquantified variable")
     }
     def rewritePlain(s: String): String = RefRx.replaceAllIn(s, m =>
@@ -582,7 +618,12 @@ object MatchRecognize {
   /** Parse `sql` and run the compiled pattern over `events`. Output: the
     * partition column (under its own name) + one column per MEASURES item;
     * with no MEASURES clause, the raw [[Pattern.detect]] binding columns. */
-  def detect(events0: DataFrame, sql: String): DataFrame = {
+  /** `maxEventsPerKey` bounds the per-key row materialization of the
+    * sequential chain walks (see [[Pattern.DefaultMaxEventsPerKey]]) — a
+    * hot partition key past the ceiling refuses by name instead of OOMing
+    * an executor. */
+  def detect(events0: DataFrame, sql: String,
+             maxEventsPerKey: Int = Pattern.DefaultMaxEventsPerKey): DataFrame = {
     val spec = parse(sql)
     // PREV physical navigation (rewritePrev's `__plag<n>_<col>` tokens):
     // precompute each needed lag ONCE over (PARTITION BY key ORDER BY
@@ -639,7 +680,7 @@ object MatchRecognize {
             s"alternation branch $b cannot use relative references")
           b -> c
         }
-        val seqSubs = (v.innerSeq ++ v.seq).map { sv =>
+        val seqSubs = (v.inner2Seq ++ v.midSeq ++ v.innerSeq ++ v.seq).map { sv =>
           val c = compiledPred(spec, sv, i)
           require(c._2.isEmpty,
             s"group sub-variable $sv cannot use relative references")
@@ -686,7 +727,8 @@ object MatchRecognize {
     // address a specific MEMBER (the group's own name spans several
     // variables and would be ambiguous)
     val groupOf: Map[String, PatternVar] = spec.vars.filter(_.seq.nonEmpty)
-      .flatMap(g => (g.name +: (g.innerSeq ++ g.seq)).map(_ -> g)).toMap
+      .flatMap(g => (g.name +: (g.inner2Seq ++ g.midSeq ++ g.innerSeq ++
+        g.seq)).map(_ -> g)).toMap
     spec.measures.filter(m => groupOf.contains(m.varName)).foreach { m =>
       require(m.field == "ts" || m.varName != groupOf(m.varName).name,
         s"value measures over a sequence group must address a member " +
@@ -704,6 +746,32 @@ object MatchRecognize {
         // the '+' quantifier is consumed by the run lowering itself
         val rd = selfRuns(v.name)
         pat = pat.followedByRun(v.name, rd.pre, rd.colName, rd.accept, rd.offset)
+      } else if (v.inner2Seq.nonEmpty) {
+        // DEPTH-2 nested group (((I...)+ M...)+ T...)+ — two levels of
+        // flink-cep GroupPattern composition; the chain carries boundary
+        // timestamps and outer/mid/inner repetition counts. Value
+        // measures and member binds are named rejections (the three-level
+        // walk materializes counts, not running value state).
+        (v.inner2Seq ++ v.midSeq ++ v.seq).foreach { sv =>
+          compiled(sv)._2.foreach(_ => sys.error(s"depth-2 nested group " +
+            s"${v.name}: member $sv may not use an iterative/PREV condition"))
+          require(!bindByVar.contains(sv),
+            s"depth-2 nested group ${v.name}: value measures over member " +
+              s"$sv are not supported — the three-level chain materializes " +
+              "FIRST/LAST/COUNT timestamps only")
+        }
+        require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
+          s"compose with a depth-2 nested group (${v.name}): the chain " +
+          "binds no member values for a tiebreak to steer")
+        require(!spec.allRows, s"ALL ROWS PER MATCH over a depth-2 nested " +
+          s"group (${v.name}) is not supported — the three-level walk " +
+          "does not materialize per-event rows (use the one-level " +
+          "((I...)+ T...)+ shape, or ONE ROW PER MATCH with COUNT measures)")
+        pat = pat.followedByNested2Group(v.name,
+          v.inner2Seq.map(sv => sv -> compiled(sv)._1),
+          v.midSeq.map(sv => sv -> compiled(sv)._1),
+          v.seq.map(sv => sv -> compiled(sv)._1))
+        pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
       } else if (v.innerSeq.nonEmpty) {
         // NESTED group ((I...)+ T...)+ — one level of flink-cep
         // GroupPattern-in-GroupPattern; the chain carries boundary
@@ -810,7 +878,7 @@ object MatchRecognize {
     val keyCol = if (spec.partitionBy.size == 1) col(spec.partitionBy.head)
                  else struct(spec.partitionBy.map(col): _*)
     val matches = pat.within(spec.withinMs)
-      .detect(events, keyCol, col(spec.orderBy))
+      .detect(events, keyCol, col(spec.orderBy), maxEventsPerKey)
     // (min, max) occurrences per variable: '?' = (0,1), '{n}' = (n,n),
     // '{n,m}' = (n,m), unquantified (and '+'/'*', which never read these
     // bounds — their measures route to the run columns) = (1,1)
@@ -878,7 +946,43 @@ object MatchRecognize {
           col(s"${g.name}_n_${m.varName}")
         } else if (groupOf.contains(m.varName)) {
           val g = groupOf(m.varName)
-          if (g.innerSeq.nonEmpty) {
+          if (g.inner2Seq.nonEmpty) {
+            // DEPTH-2 nested group (((I...)+ M...)+ T...)+: the chain
+            // binds (first repetition's first inner binding, last
+            // repetition's final tail binding, outer / level-1 / inner
+            // repetition counts). Each outer repetition binds every
+            // OUTER tail exactly once (COUNT(T.ts) = outer count), each
+            // level-1 repetition every MID step once (COUNT(M.ts) =
+            // total level-1 count) and each inner sub-sequence every
+            // INNER member once (COUNT(I.ts) = total inner count).
+            if (m.field != "ts") sys.error(s"depth-2 nested group " +
+              s"${g.name}: value measures over members are not supported " +
+              "— FIRST/LAST/COUNT over timestamps only (got " +
+              s"${m.fn.getOrElse("a bare reference")}(${m.varName}." +
+              s"${m.field}))")
+            m.fn match {
+              case Some("COUNT") if g.inner2Seq.contains(m.varName) =>
+                col(s"${g.name}_inner_n")
+              case Some("COUNT") if g.midSeq.contains(m.varName) =>
+                col(s"${g.name}_mid_n")
+              case Some("COUNT") => col(s"${g.name}_n")
+              case Some("FIRST") =>
+                require(m.varName == g.name || m.varName == g.inner2Seq.head,
+                  s"FIRST(${m.varName}.ts): the depth-2 chain materializes " +
+                    s"the first repetition's FIRST inner binding only " +
+                    s"(${g.inner2Seq.head})")
+                col(s"${g.name}_first_ts")
+              case Some("LAST") =>
+                require(m.varName == g.name || m.varName == g.seq.last,
+                  s"LAST(${m.varName}.ts): the depth-2 chain materializes " +
+                    s"the last repetition's FINAL outer-tail binding only " +
+                    s"(${g.seq.last})")
+                col(s"${g.name}_last_ts")
+              case other => sys.error(s"depth-2 nested group ${g.name}: " +
+                s"FIRST/LAST/COUNT only over timestamps (got " +
+                s"${other.getOrElse("a bare reference")})")
+            }
+          } else if (g.innerSeq.nonEmpty) {
             // nested group ((I...)+ T...)+: the chain binds (first
             // repetition's first inner binding, last repetition's final
             // tail binding, outer repetition count, total inner

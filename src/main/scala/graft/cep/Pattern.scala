@@ -42,7 +42,10 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       anyBranch: Boolean = false,
                       combinations: Boolean = false,
                       maxComb: Int = 20,
-                      innerOpt: Boolean = false)
+                      innerOpt: Boolean = false,
+                      inner2: Seq[(String, Column)] = Nil,
+                      mid2: Seq[(String, Column)] = Nil,
+                      tail2: Seq[(String, Column)] = Nil)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,
@@ -184,7 +187,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // optional and ranged steps may bind too: a skipped expansion's payload
     // is null (the refinement tables join left) — only runs aggregate
     // instead of binding, via bindRun()
-    require(steps.nonEmpty && !steps.last.oneOrMore && steps.last.group.isEmpty,
+    require(steps.nonEmpty && !steps.last.oneOrMore && steps.last.group.isEmpty &&
+      steps.last.inner2.isEmpty,
       "bind() applies to plain/optional/times(n)/timesRange steps — use bindRun() for runs")
     new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast, skipTo)
   }
@@ -289,7 +293,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * empty zeroOrMore run yields nulls (count stays 0). */
   def bindRun(cols: String*): Pattern = {
     require(steps.nonEmpty && (steps.last.oneOrMore || steps.last.runOn.nonEmpty) &&
-      steps.last.group.isEmpty,
+      steps.last.group.isEmpty && steps.last.inner2.isEmpty,
       "bindRun() requires oneOrMore()/zeroOrMore()/followedByRun() on a non-group step")
     new Pattern(steps.init :+ steps.last.copy(keep = cols.toVector), notStep, windowMs, skipPastLast, skipTo)
   }
@@ -353,6 +357,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * then the run is one keyed equi-join on the segment id. */
   def consecutive(): Pattern = {
     require(steps.nonEmpty && steps.last.oneOrMore && steps.last.group.isEmpty &&
+      steps.last.inner2.isEmpty &&
       !steps.last.opt && steps.last.keep.isEmpty && steps.last.until.isEmpty,
       "consecutive() requires a plain oneOrMore() step " +
         "(excludes zeroOrMore/bindRun/until/groups)")
@@ -457,6 +462,63 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       notStep, windowMs, skipPastLast, skipTo)
   }
 
+  /** DEPTH-2 nested group — TWO levels of group-in-group composition,
+    * `(((I1 I2 ...)+ M1 ...)+ T1 ...)` quantified by
+    * [[oneOrMore]]/[[zeroOrMore]] (reference flink-cep GroupPattern.java:30
+    * wraps an ARBITRARY inner Pattern, so `(((A B)+ C)+ D)+` is one more
+    * recursive composition; NFACompiler walks it the same way). The
+    * semantics RECURSE the one-level [[followedByNestedGroup]] rule: each
+    * outer repetition matches one-or-more complete LEVEL-1 repetitions —
+    * where a level-1 repetition is a greedy inner `(I...)` chain
+    * punctuated by the earliest first-MID candidate, then the mid steps
+    * `M...` bound sequentially — and then the outer tail steps `T...`.
+    * The outer tail punctuates the level-1 chain exactly as the mid
+    * punctuates the inner chain: the chain absorbs the next level-1
+    * repetition only while it completes strictly BEFORE the earliest
+    * first-outer-tail candidate after the current chain end (reluctant
+    * close at every level — the same deterministic canonicalization of
+    * the reference NFA's match set, applied recursively). The next outer
+    * repetition anchors at the earliest inner-sub start strictly after
+    * the previous repetition's final tail binding; a repetition that
+    * cannot complete in-window ends the chain with the repetitions
+    * already completed (greedy-no-backtracking at every level). Emits
+    * `<name>_first_ts` (first repetition's first inner binding),
+    * `<name>_last_ts` (last repetition's final outer-tail binding),
+    * `<name>_n` (outer repetition count), `<name>_mid_n` (total level-1
+    * repetitions across outer repetitions) and `<name>_inner_n` (total
+    * inner sub-sequences).
+    *
+    * Lowering: the innermost sub-group compiles ONCE to the per-key
+    * sub-match table (completion monotone in start), mid and outer-tail
+    * candidates are per-step pre-filtered (key, ts) tables, and the
+    * THREE-level chain walk is one cogroup per key — the level-1
+    * repetition probe (`r1After`) is a function the outer chain calls
+    * both to punctuate and to absorb, so nothing is recomputed and the
+    * walk stays O(total bindings · log candidates) per key, bounded by
+    * `maxEventsPerKey`. [[bindGroup]] / [[materializeNestedRows]] /
+    * [[tieBreak]] do not compose (named errors). */
+  def followedByNested2Group(name: String, inner: Seq[(String, Column)],
+                             mid: Seq[(String, Column)],
+                             tail: Seq[(String, Column)]): Pattern = {
+    require(notStep.isEmpty, "notFollowedBy must be the terminal step")
+    require(steps.nonEmpty, "followedByNested2Group() follows a begin step")
+    require(inner.size >= 2,
+      "the innermost sub-group needs at least two steps (a single-variable " +
+        "inner '+' is a plain run — use followedByNestedGroup)")
+    require(mid.nonEmpty,
+      "the depth-2 group needs at least one MID tail step after the inner " +
+        "sub-group (a mid-less (((A B)+)+ C)+ collapses to ((A B)+ C)+ — " +
+        "use followedByNestedGroup)")
+    require(tail.nonEmpty,
+      "the depth-2 group needs at least one OUTER tail step (a tail-less " +
+        "((((A B)+ C)+))+ collapses to ((A B)+ C)+ — use " +
+        "followedByNestedGroup)")
+    new Pattern(steps :+ Step(name,
+      (inner.map(_._2) ++ mid.map(_._2) ++ tail.map(_._2)).reduce(_ || _),
+      inner2 = inner.toVector, mid2 = mid.toVector, tail2 = tail.toVector),
+      notStep, windowMs, skipPastLast, skipTo)
+  }
+
   /** Bind a value column of a GROUP MEMBER across the group's repetitions —
     * the aggregate-measure surface of [[followedByGroup]] (reference
     * flink-table MatchRecognizeITCase aggregate measures, `SUM(C.price)`
@@ -546,9 +608,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.nonEmpty &&
       (steps.last.oneOrMore || steps.last.group.nonEmpty),
       "tieBreak() applies to a oneOrMore()/zeroOrMore() run or a group step")
-    require(steps.last.innerGroup.isEmpty,
-      "tieBreak() does not compose with followedByNestedGroup() — nested " +
-        "chains bind no member values for a tiebreak to steer")
+    require(steps.last.innerGroup.isEmpty && steps.last.inner2.isEmpty,
+      "tieBreak() does not compose with followedByNestedGroup()/" +
+        "followedByNested2Group() — nested chains bind no member values " +
+        "for a tiebreak to steer")
     new Pattern(steps.init :+ steps.last.copy(tieCols = cs.toVector),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -559,7 +622,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * those before the EARLIEST such stop event. The first occurrence and the
     * following steps are unaffected. */
   def until(cond: Column): Pattern = {
-    require(steps.nonEmpty && steps.last.oneOrMore && steps.last.group.isEmpty,
+    require(steps.nonEmpty && steps.last.oneOrMore && steps.last.group.isEmpty &&
+      steps.last.inner2.isEmpty,
       "until() requires oneOrMore() on a non-group step")
     new Pattern(steps.init :+ steps.last.copy(until = Some(cond)), notStep, windowMs, skipPastLast, skipTo)
   }
@@ -647,6 +711,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(notStep.isEmpty && !skipPastLast && skipTo.isEmpty &&
       steps.forall(s => s.reps == 1 && !s.opt && !s.oneOrMore &&
         s.alts.isEmpty && s.group.isEmpty && s.innerGroup.isEmpty &&
+        s.inner2.isEmpty &&
         s.runOn.isEmpty && !s.strict && s.until.isEmpty &&
         !s.anyBranch && !s.combinations),
       "detectWithTimeouts() supports linear plain followedBy patterns " +
@@ -790,7 +855,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       trailing.foreach { s =>
         require(!s.anyBranch && !s.oneOrMore && !s.combinations && s.reps == 1 &&
           s.optTail == 0 && !s.opt && s.alts.isEmpty && !s.strict &&
-          s.group.isEmpty && s.iter.isEmpty && s.runOn.isEmpty &&
+          s.group.isEmpty && s.inner2.isEmpty && s.iter.isEmpty &&
+          s.runOn.isEmpty &&
           s.until.isEmpty && s.keep.isEmpty,
           s"allowCombinations trailing step '${s.name}': only a plain " +
             "followedBy composes after the combinations run — quantifiers/" +
@@ -811,7 +877,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       // anchors are IDENTICAL rows, so the arbitrary order among them is
       // permutation-invariant: any assignment yields the same join.
       val ww = org.apache.spark.sql.expressions.Window
-      val anchorOrd = anchors.columns.filter(_ != "__k").map(col)
+      // order by the ORDERABLE anchor columns only: a bound payload of an
+      // unorderable type (map) would make the row_number an
+      // AnalysisException. Dropping it from the order is safe — anchors
+      // tied on every orderable column share (key, ts), so their member
+      // lists and trailing bindings are identical and any id assignment
+      // among them joins to the same rows (each row still carries its own
+      // payload through the subset branch)
+      val anchorOrd = anchors.schema.fields
+        .filter(f => f.name != "__k" &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+        .map(f => col(f.name))
       val uAnchors = anchors.withColumn("__aid",
         row_number().over(ww.partitionBy(col("__k")).orderBy(anchorOrd.toIndexedSeq: _*)))
       val kept = uAnchors.columns.map(col)
@@ -880,7 +956,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     } else {
       require(steps.tail.forall(s => s.anyBranch && !s.oneOrMore &&
         s.reps == 1 && !s.opt && s.alts.isEmpty && !s.strict &&
-        s.group.isEmpty && s.iter.isEmpty && s.runOn.isEmpty &&
+        s.group.isEmpty && s.inner2.isEmpty && s.iter.isEmpty &&
+        s.runOn.isEmpty &&
         s.until.isEmpty && s.optTail == 0),
         "followedByAny chains compose only with plain followedByAny steps " +
           "(quantifiers/alternation/groups/iterative conditions are " +
@@ -901,8 +978,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     }
   }
 
-  def detect(events: DataFrame, key: Column, ts: Column): DataFrame = {
+  /** `maxEventsPerKey` bounds the PER-KEY row materialization of the
+    * sequential walks (group/nested chains, PREV(n>1) segmentation, AFTER
+    * MATCH greedy selection) — a hot key past the ceiling refuses by name
+    * instead of OOMing an executor (see [[Pattern.DefaultMaxEventsPerKey]]).
+    * The purely declarative paths never materialize per-key state and
+    * ignore the bound. */
+  def detect(events: DataFrame, key: Column, ts: Column,
+             maxEventsPerKey: Int = Pattern.DefaultMaxEventsPerKey): DataFrame = {
     require(windowMs.nonEmpty, "call within(...) before detect")
+    require(maxEventsPerKey >= 1,
+      s"maxEventsPerKey must be >= 1 (got $maxEventsPerKey)")
+    val maxPK = maxEventsPerKey // primitive copy for the per-key closures
     if (steps.exists(s => s.anyBranch || s.combinations))
       return detectAllMatches(events, key, ts)
     require(notStep.isEmpty || !steps.exists(_.oneOrMore),
@@ -993,9 +1080,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           val rvIdx = bSchema.fieldIndex("__rv")
           val okIdx = bSchema.fieldIndex("__okN")
           val strEnc = org.apache.spark.sql.Encoders.STRING
+          // precomputed label: interpolating s.name inside the closure
+          // would capture the Step (whose Columns are not serializable)
+          val walkLabel = s"followedByRun(${s.name}, offset = $n) per-key segmentation"
           okd.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
             .flatMapGroups { (_, it) =>
-              val rows = it.toArray
+              val rows = Pattern.boundedRows(it, maxPK, walkLabel)
               // (ts, value) order — the same ordering as the lag window
               java.util.Arrays.sort(rows, new java.util.Comparator[org.apache.spark.sql.Row] {
                 def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
@@ -1096,6 +1186,177 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             count(lit(1)).as(s"${s.name}_n"))
           .drop("__rseg")
         prevTs = col(s"${s.name}_last_ts")
+      } else if (s.inner2.nonEmpty) {
+        // --- DEPTH-2 nested group (((I...)+ M...)+ T...)+
+        // (followedByNested2Group): the one-level walk's recursion — the
+        // innermost sub-group lowers to the same declarative sub-match
+        // table, mid/outer-tail candidates are pre-filtered (key, ts)
+        // tables, and the three-level chain walks per key inside ONE
+        // cogroup. The level-1 repetition probe (inner chain punctuated
+        // by the earliest first-mid candidate + sequential mid bindings)
+        // is a local function the outer chain calls both to PUNCTUATE
+        // (absorb the next level-1 repetition only while it completes
+        // strictly before the earliest first-outer-tail candidate) and
+        // to ABSORB — one computation per decision, never recomputed.
+        require(s.oneOrMore,
+          s"depth-2 nested group ${s.name}: quantify with oneOrMore()/" +
+            "zeroOrMore()")
+        var isubs = events.filter(s.inner2.head._2)
+          .select(key.as("__gk"), ts.as("__gb"))
+        var prevSub: Column = col("__gb")
+        s.inner2.tail.zipWithIndex.foreach { case ((_, p), j) =>
+          val cand = events.filter(p).select(key.as("__gk2"), ts.as(s"__gc$j"))
+          val kept0 = isubs.columns.map(col)
+          isubs = isubs.join(cand, col("__gk") === col("__gk2") &&
+              col(s"__gc$j") > prevSub && col(s"__gc$j") <= col("__gb") + win)
+            .groupBy(kept0.toIndexedSeq: _*)
+            .agg(min(col(s"__gc$j")).as(s"__ge$j"))
+          prevSub = col(s"__ge$j")
+        }
+        // tagged candidate union: inner sub-matches (tag 0: start + end),
+        // each mid step's candidates (tags 1..nMid), each outer tail
+        // step's candidates (tags nMid+1..nMid+nTails) — all pre-reduced
+        val tagged = (s.mid2 ++ s.tail2).zipWithIndex.foldLeft(
+          isubs.select(col("__gk"), lit(0).as("__tag"),
+            col("__gb").as("__t1"), prevSub.as("__t2"))) {
+          case (acc, ((_, p), j)) =>
+            acc.unionByName(events.filter(p).select(key.as("__gk"),
+              lit(j + 1).as("__tag"), ts.as("__t1"),
+              lit(null).cast("timestamp").as("__t2")))
+        }
+        val anch = out.withColumn("__gprev", prevTs)
+          .withColumn("__gwend", col(startTs) + win)
+        val aSchema = anch.schema
+        val keyIdx = aSchema.fieldIndex("__k")
+        val prevIdx = aSchema.fieldIndex("__gprev")
+        val wendIdx = aSchema.fieldIndex("__gwend")
+        val outSchema = org.apache.spark.sql.types.StructType(
+          aSchema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(s"${s.name}_first_ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField(s"${s.name}_last_ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField(s"${s.name}_n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(s"${s.name}_mid_n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(s"${s.name}_inner_n",
+              org.apache.spark.sql.types.LongType)))
+        val strEnc = org.apache.spark.sql.Encoders.STRING
+        val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
+        val candKV = tagged.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
+        val optGroup = s.opt
+        val nMid = s.mid2.size
+        val nTails = s.tail2.size
+        val sName = s.name
+        val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
+          val all = Pattern.boundedRows(cs, maxPK,
+            s"depth-2 nested group ${sName} three-level chain walk")
+          val subs = all.filter(_.getInt(1) == 0)
+            .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3)))
+            .sortWith((p, q) => p._1.before(q._1))
+          // mids(0..nMid-1), touts(0..nTails-1): sorted candidate times
+          val cands = Array.tabulate(nMid + nTails) { j =>
+            all.filter(_.getInt(1) == j + 1).map(r => Pattern.tsOf(r, 2))
+              .sortWith((p, q) => p.before(q))
+          }
+          def subAfter(t: java.sql.Timestamp): Int = {
+            var lo = 0; var hi = subs.length
+            while (lo < hi) { val mid = (lo + hi) >>> 1
+              if (subs(mid)._1.after(t)) hi = mid else lo = mid + 1 }
+            lo
+          }
+          def candAfter(j: Int, t: java.sql.Timestamp): Int = {
+            val arr = cands(j)
+            var lo = 0; var hi = arr.length
+            while (lo < hi) { val mid = (lo + hi) >>> 1
+              if (arr(mid).after(t)) hi = mid else lo = mid + 1 }
+            lo
+          }
+          as.flatMap { a =>
+            val tau = Pattern.tsOf(a, prevIdx)
+            val wEnd = Pattern.tsOf(a, wendIdx)
+            // one LEVEL-1 repetition anchored strictly after t: greedy
+            // inner chain punctuated by the earliest first-mid candidate,
+            // then the mid steps bound sequentially — (first binding,
+            // end = final mid binding, inner sub count), or null if no
+            // repetition completes in-window (completion monotone in
+            // start at every level: each stage is an earliest-after over
+            // a shrinking candidate set, so no later anchor completes
+            // earlier)
+            def r1After(t: java.sql.Timestamp)
+                : (java.sql.Timestamp, java.sql.Timestamp, Long) = {
+              val i0 = subAfter(t)
+              if (i0 >= subs.length || subs(i0)._2.after(wEnd)) return null
+              var e = subs(i0)._2
+              var k = 1L
+              var more = true
+              while (more) {
+                val nx = subAfter(e)
+                val mx = candAfter(0, e)
+                val mCand = if (mx < cands(0).length &&
+                    !cands(0)(mx).after(wEnd)) cands(0)(mx) else null
+                if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
+                    (mCand != null && !subs(nx)._2.before(mCand))) more = false
+                else { e = subs(nx)._2; k += 1 }
+              }
+              var t2 = e; var mi = 0
+              while (mi < nMid) {
+                val x = candAfter(mi, t2)
+                if (x >= cands(mi).length || cands(mi)(x).after(wEnd)) return null
+                t2 = cands(mi)(x); mi += 1
+              }
+              (subs(i0)._1, t2, k)
+            }
+            var lastEnd = tau
+            var first: java.sql.Timestamp = null
+            var n = 0L; var midTot = 0L; var innerTot = 0L; var done = false
+            while (!done) {
+              // one OUTER repetition: a greedy chain of level-1
+              // repetitions (first one unconditional, the rest punctuated
+              // by the earliest first-outer-tail candidate), then the
+              // outer tails bound sequentially
+              val r1 = r1After(lastEnd)
+              if (r1 == null) done = true
+              else {
+                var gEnd = r1._2; var m = 1L; var kSum = r1._3
+                val repFirst = r1._1
+                var more = true
+                while (more) {
+                  val tx = candAfter(nMid, gEnd)
+                  val tCand = if (tx < cands(nMid).length &&
+                      !cands(nMid)(tx).after(wEnd)) cands(nMid)(tx) else null
+                  val nx = r1After(gEnd)
+                  if (nx == null ||
+                      (tCand != null && !nx._2.before(tCand))) more = false
+                  else { gEnd = nx._2; m += 1; kSum += nx._3 }
+                }
+                var t = gEnd; var ok = true; var ti = 0
+                while (ok && ti < nTails) {
+                  val x = candAfter(nMid + ti, t)
+                  if (x >= cands(nMid + ti).length ||
+                      cands(nMid + ti)(x).after(wEnd)) ok = false
+                  else { t = cands(nMid + ti)(x); ti += 1 }
+                }
+                if (!ok) done = true
+                else {
+                  if (n == 0) first = repFirst
+                  lastEnd = t; n += 1; midTot += m; innerTot += kSum
+                }
+              }
+            }
+            // ((( ... )+ ...)* (opt): an empty chain keeps the match row
+            // with null boundaries and count 0 — the zeroOrMore convention
+            if (n == 0 && !optGroup) Iterator.empty
+            else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
+              a.toSeq ++ Seq(null, null, 0L, 0L, 0L)))
+            else Iterator.single(org.apache.spark.sql.Row.fromSeq(
+              a.toSeq ++ Seq(first, lastEnd, n, midTot, innerTot)))
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+        out = chained.toDF().drop("__gprev", "__gwend")
+        prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
+                 else col(s"${s.name}_last_ts")
       } else if (s.innerGroup.nonEmpty) {
         // --- NESTED group ((I...)+ T...)+ (followedByNestedGroup): the
         // inner sub-group lowers to the followedByGroup sub-match table
@@ -1237,6 +1498,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val innerOptFlag = s.innerOpt
         val innerNames = s.innerGroup.map(_._1)
         val tailNames = s.group.map(_._1)
+        val sName = s.name
         // primitive copies for the closure: groupKeep positions per source
         val gkN = s.groupKeep.size
         val gkInnerPos = gkInner.map(_._2).toArray
@@ -1250,7 +1512,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               case (((m, _), gi), vi) if m == innerNames(j) => (vi, gi)
             }.toArray)
         val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
-          val all = cs.toArray
+          val all = Pattern.boundedRows(cs, maxPK,
+            s"nested group ${sName} two-level chain walk")
           // inner sub-matches sorted by start (+ member binding times for
           // materializeNestedRows, + inner bound values for bindGroup);
           // per-tail sorted candidate (time, values) —
@@ -1578,15 +1841,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           val optGroup = s.opt
           val gkN = s.groupKeep.size
           val matRows = s.groupRows
+          val sName = s.name
           val chained = anchKV.cogroup(subKV) { (_, as, ss) =>
             // full-precision Timestamp comparisons (compareTo includes
             // nanos) — the declarative joins compare at full precision too
-            val pairs = ss.map(r => (Pattern.tsOf(r, 1), Pattern.tsOf(r, 2),
+            val pairs = Pattern.boundedRows(ss, maxPK,
+                s"group ${sName} repetition chain walk")
+              .map(r => (Pattern.tsOf(r, 1), Pattern.tsOf(r, 2),
                 Array.tabulate[java.lang.Double](gkN)(j =>
                   if (r.isNullAt(3 + j)) null else r.getDouble(3 + j)),
                 if (matRows) r.getSeq[Any](3 + gkN).map(Pattern.anyToTs)
                 else null))
-              .toArray.sortWith((p, q) => p._1.before(q._1))
+              .sortWith((p, q) => p._1.before(q._1))
             as.flatMap { a =>
               val tau = Pattern.tsOf(a, prevIdx)
               val wEnd = Pattern.tsOf(a, wendIdx)
@@ -1768,7 +2034,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // oneOrMore run aggregation: the chain above bound the FIRST occurrence;
     // one more keyed equi-join collects the run up to the next binding (or
     // the window end when the run ends the pattern)
-    expanded.zipWithIndex.filter(p => p._1.oneOrMore && p._1.group.isEmpty && !p._1.consec)
+    expanded.zipWithIndex.filter(p => p._1.oneOrMore && p._1.group.isEmpty &&
+        p._1.inner2.isEmpty && !p._1.consec)
       .foreach { case (st, i) =>
       val name = st.name
       val pred = st.pred
@@ -1833,7 +2100,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       out = out.filter(col(s"${s.name}_n") >= s.minRun)
     }
     val matches = out.withColumnRenamed("__k", "key")
-    if (skipPastLast) greedyAfterMatch(matches, startName = startTs, None)
+    if (skipPastLast) greedyAfterMatch(matches, startName = startTs, None, maxPK)
     else skipTo match {
       case None => matches
       case Some((v, isLast)) =>
@@ -1851,7 +2118,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               s"AFTER MATCH SKIP TO: '$v' is not a bound pattern variable")
             if (isLast) coalesce(exp.reverse.map(col): _*) else col(exp.head)
           }
-        greedyAfterMatch(matches, startName = startTs, Some(restart))
+        greedyAfterMatch(matches, startName = startTs, Some(restart), maxPK)
     }
   }
 
@@ -1868,7 +2135,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * Greedy selection is inherently sequential per key, parallel in the key
     * space; per-key match lists are window-bounded. */
   private def greedyAfterMatch(matches0: DataFrame, startName: String,
-                               restart: Option[Column]): DataFrame = {
+                               restart: Option[Column], maxPK: Int): DataFrame = {
     val matches = restart.fold(matches0)(rc =>
       matches0.withColumn("__restart_ts", coalesce(rc, col(startName))))
     val schema = matches.schema
@@ -1886,7 +2153,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       .flatMapGroups { (_, it) =>
         def endOf(r: org.apache.spark.sql.Row): Long =
           tsIdx.flatMap(i => Option(Pattern.tsOf(r, i)).map(_.getTime)).max
-        val rows = it.toSeq.sortBy(r => (Pattern.tsOf(r, startIdx).getTime, endOf(r)))
+        val rows = Pattern.boundedRows(it, maxPK, "AFTER MATCH greedy selection")
+          .sortBy(r => (Pattern.tsOf(r, startIdx).getTime, endOf(r)))
         var threshold = Long.MinValue
         rows.iterator.filter { r =>
           val start = Pattern.tsOf(r, startIdx).getTime
@@ -1905,6 +2173,34 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
 object Pattern extends Serializable {
   def begin(name: String, pred: Column): Pattern =
     new Pattern(Vector(Step(name, pred)), None, None)
+
+  /** Default per-key candidate ceiling for the sequential per-key walks
+    * (group/nested repetition chains, PREV(n>1) segmentation, AFTER MATCH
+    * greedy selection). The declarative join/agg steps never materialize a
+    * key's rows; only these walks do — and the reference's SharedBuffer
+    * (flink-cep/.../sharedbuffer/SharedBuffer.java) grows per-key state
+    * unboundedly there and simply falls over on a hot key. 2M rows ≈
+    * low-hundreds MB of boxed rows per task — within an executor's
+    * working budget at local[32] sizing, and a loud named error past it
+    * (the maxComb precedent) instead of a silent executor OOM. */
+  val DefaultMaxEventsPerKey: Int = 2000000
+
+  /** Drain `it` into an array, refusing by name past `max` rows — the
+    * skew guard for the per-key walks. */
+  private[cep] def boundedRows(it: Iterator[org.apache.spark.sql.Row], max: Int,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    while (it.hasNext) {
+      if (buf.length >= max)
+        throw new IllegalStateException(
+          s"$what: a key holds more than $max candidate rows " +
+            "(maxEventsPerKey) — the per-key walk would materialize them " +
+            "all; raise detect(..., maxEventsPerKey = ...), narrow the " +
+            "step predicates or the within() window, or split the hot key")
+      buf += it.next()
+    }
+    buf.toArray
+  }
 
   /** Collision-free key rendering for per-key JVM grouping: composite
     * PARTITION BY keys are struct Rows whose toString ("[a,b]") can collide

@@ -938,8 +938,10 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         C AS event_type = 'view', D AS event_type = 'click',
         |         P AS event_type = 'purchase'
         |)""".stripMargin).collect()
-    // depth-3 nesting: named rejection
-    val e3 = intercept[Exception](MatchRecognize.detect(evs,
+    // depth-2 nesting (((B C)+ D)+ E)+ is SUPPORTED since r16 — the former
+    // named rejection must no longer fire; behavior is pinned by the
+    // dedicated depth-2 tests. Depth-3 is the new named rejection.
+    MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES S.ts AS s_ts
@@ -948,6 +950,17 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
         |         C AS event_type = 'view', D AS event_type = 'click',
         |         E AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin).collect()
+    val e3 = intercept[Exception](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S ((((B C)+ D)+ E)+ F)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', D AS event_type = 'click',
+        |         E AS event_type = 'view', F AS event_type = 'error',
+        |         P AS event_type = 'purchase'
         |)""".stripMargin))
     assert(e3.getMessage.contains("deeper"), e3.getMessage)
     // ALL ROWS with the nested group NOT the final element: named rejection
@@ -1043,6 +1056,99 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(m == Set(
       (1L, at(0), at(10), at(55), 2L, 3L),
       (2L, at(0), at(10), at(35), 2L, 2L)), m.toString)
+  }
+
+  test("DEPTH-2 nested group S (((B C)+ V)+ W)+ from SQL text") {
+    // user 1: outer rep 1 = R1{(1,2)(3,4)}V@5 + R1{(6,7)}V@8, W@9
+    //         (the R1 ending @12 is NOT absorbed: 12 >= W@9 — the outer
+    //         tail punctuates the level-1 chain);
+    //         outer rep 2 = R1{(10,11)}V@12, W@13
+    // user 2: one outer rep, then a COMPLETE dangling R1 with no W after
+    //         — discarded (greedy-no-backtracking at the outer level)
+    // user 3: no W at all — no match
+    val evs = Seq(
+      (1L, at(0), "s", 0.0),
+      (1L, at(1), "b", 0.0), (1L, at(2), "c", 0.0),
+      (1L, at(3), "b", 0.0), (1L, at(4), "c", 0.0),
+      (1L, at(5), "v", 0.0),
+      (1L, at(6), "b", 0.0), (1L, at(7), "c", 0.0),
+      (1L, at(8), "v", 0.0),
+      (1L, at(9), "w", 0.0),
+      (1L, at(10), "b", 0.0), (1L, at(11), "c", 0.0),
+      (1L, at(12), "v", 0.0),
+      (1L, at(13), "w", 0.0),
+      (2L, at(0), "s", 0.0),
+      (2L, at(1), "b", 0.0), (2L, at(2), "c", 0.0), (2L, at(3), "v", 0.0),
+      (2L, at(4), "w", 0.0),
+      (2L, at(5), "b", 0.0), (2L, at(6), "c", 0.0), (2L, at(7), "v", 0.0),
+      (3L, at(0), "s", 0.0),
+      (3L, at(1), "b", 0.0), (3L, at(2), "c", 0.0), (3L, at(3), "v", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(W.ts) AS grp_last_ts, COUNT(W.ts) AS n_outer,
+        |           COUNT(V.ts) AS n_mid, COUNT(B.ts) AS n_inner
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w'
+        |)""".stripMargin
+    val m = MatchRecognize.detect(evs, sql)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long, Long)]
+      .collect().toSet
+    assert(m == Set(
+      (1L, at(0), at(1), at(13), 2L, 3L, 4L),
+      (2L, at(0), at(1), at(4), 1L, 1L, 1L)), m.toString)
+    // the SQL clause must equal the hand-built combinator result
+    val viaApi = Pattern.begin("S", $"event_type" === "s")
+      .followedByNested2Group("G",
+        Seq("B" -> ($"event_type" === "b"), "C" -> ($"event_type" === "c")),
+        Seq("V" -> ($"event_type" === "v")),
+        Seq("W" -> ($"event_type" === "w")))
+      .oneOrMore()
+      .within(3600000L)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"S_ts", $"G_first_ts", $"G_last_ts", $"G_n",
+        $"G_mid_n", $"G_inner_n")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long, Long)]
+      .collect().toSet
+    assert(viaApi == m, viaApi.toString)
+    // outer '*' (zeroOrMore): user 3's empty chain keeps the match row
+    // with count 0 and null boundaries
+    val z = MatchRecognize.detect(evs,
+        sql.replace("(S (((B C)+ V)+ W)+)", "(S (((B C)+ V)+ W)*)"))
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long, Long, Long)]
+      .collect().toSet
+    assert(z.contains((3L, at(0), None, None, 0L, 0L, 0L)), z.toString)
+    assert(z.size == 3, z.toString)
+    // a trailing plain step after the depth-2 group binds after its end
+    val tr = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(W.ts) AS n_outer, P.ts AS p_ts
+        |  PATTERN (S (((B C)+ V)+ W)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w', P AS event_type = 'b'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Long, Timestamp)].collect().toSet
+    // user 1: the greedy chain commits 2 reps ending @13 and P (a 'b')
+    // then fails — NO match (greedy-no-backtracking, the chain never
+    // retries with fewer reps). User 2: chain ends @4, P binds b@5.
+    assert(tr == Set((2L, at(0), 1L, at(5))), tr.toString)
+    // named rejections: member value measures, ALL ROWS
+    val ev = intercept[Exception](MatchRecognize.detect(evs,
+      sql.replace("COUNT(B.ts) AS n_inner", "SUM(C.value) AS sum_c")).collect())
+    assert(ev.getMessage.contains("value measures"), ev.getMessage)
+    val ea = intercept[Exception](MatchRecognize.detect(evs,
+      sql.replace("PATTERN", "ALL ROWS PER MATCH\n  PATTERN")).collect())
+    assert(ea.getMessage.contains("ALL ROWS"), ea.getMessage)
   }
 
   test("ALL ROWS over a MIXED group+run pattern (S (B C)+ V+ P)") {

@@ -261,4 +261,65 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
     info(f"directed census on 300k-edge rmat: $secs%6.2fs, V=$v")
     g.unpersist()
   }
+
+  test("CEP hot-key skew smoke: a key at 10x the median completes the " +
+       "sequential chain walk, and the maxEventsPerKey ceiling refuses " +
+       "by name", SlowTest) {
+    import java.sql.Timestamp
+    import graft.cep.Pattern
+    import spark.implicits._
+    // 100 median keys x 1,000 events + ONE hot key at 10x (10,000 events)
+    // — the skew shape that detonates the reference's per-key SharedBuffer
+    // (flink-cep/.../sharedbuffer/SharedBuffer.java grows state per partial
+    // match with no bound). The group-repetition chain walk materializes
+    // the key's pre-reduced sub-matches, so the hot key is the cost class
+    // with no prior 10x evidence.
+    val t0ms = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def keyRows(k: Long, n: Int): Seq[(Long, Timestamp, String)] =
+      (0 until n).map { i =>
+        val et = (i % 3) match {
+          case 0 => "a"; case 1 => "b"; case 2 => "c"
+        }
+        (k, new Timestamp(t0ms + i * 1000L), et)
+      }
+    val median = 1000
+    val rows = (1L to 100L).flatMap(k => keyRows(k, median)) ++
+      keyRows(1000L, median * 10)
+    val events = rows.toDF("user_id", "ts", "event_type")
+      .repartition(32).persist()
+    events.count()
+    // (b c)+ group chain after an 'a' anchor, window spanning the whole
+    // key: the hot key's walk sees ~6,666 pre-reduced sub-matches
+    def pat = Pattern.begin("s", $"event_type" === "a")
+      .followedByGroup("g", "gb" -> ($"event_type" === "b"),
+        "gc" -> ($"event_type" === "c"))
+      .oneOrMore()
+      .within(median * 10 * 1000L)
+    val t0 = System.nanoTime()
+    val m = pat.detect(events, $"user_id", $"ts")
+      .groupBy($"key").agg(count(lit(1)).as("n"), max($"g_n").as("max_reps"))
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val hot = m.find(_.getAs[Long]("key") == 1000L).get
+    val med = m.find(_.getAs[Long]("key") == 1L).get
+    // every 'a' anchors a match; the hot key's first anchor absorbs ~10x
+    // the median key's repetitions — the walk completes, state bounded by
+    // the key's sub-match count
+    assert(hot.getAs[Long]("max_reps") >= med.getAs[Long]("max_reps") * 9,
+      s"hot key reps ${hot.getAs[Long]("max_reps")} vs median " +
+        s"${med.getAs[Long]("max_reps")}")
+    assert(m.length == 101 && m.forall(_.getAs[Long]("n") > 0))
+    info(f"hot-key group chain walk: $secs%6.2fs, hot reps = " +
+      s"${hot.getAs[Long]("max_reps")}, median reps = " +
+      s"${med.getAs[Long]("max_reps")}")
+    // the ceiling: below the hot key's candidate count, the walk REFUSES
+    // by name instead of materializing the key
+    val e = intercept[Exception] {
+      pat.detect(events, $"user_id", $"ts", maxEventsPerKey = 2000).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("maxEventsPerKey"), msgs)
+    events.unpersist(blocking = true)
+  }
 }
