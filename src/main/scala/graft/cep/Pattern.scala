@@ -45,7 +45,8 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       innerOpt: Boolean = false,
                       inner2: Seq[(String, Column)] = Nil,
                       mid2: Seq[(String, Column)] = Nil,
-                      tail2: Seq[(String, Column)] = Nil)
+                      tail2: Seq[(String, Column)] = Nil,
+                      tailRes: Seq[(String, String, String, Column)] = Nil)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,

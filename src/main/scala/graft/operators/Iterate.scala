@@ -718,9 +718,28 @@ object Iterate {
   private def orientedAdjacency(e: DataFrame, deg: DataFrame, nEdges: Long,
                                 broadcastClosureThreshold: Long,
                                 flagged: Boolean): (DataFrame, DataFrame) = {
+    // The broadcast side is the VERTEX-sized degree table, not the edge
+    // set — and vertices can be orders of magnitude fewer (the i05 part
+    // graph: 12 M edges over 200 K vertices / ~3 MB at 10× sf0.1, where
+    // the edge-count proxy alone dropped the hint — the r16 triage; the
+    // broadcast is worth ~12% end-to-end there, min-of-3). Past the free
+    // edge-count fast path, ONE shuffle-free approx-distinct pass over
+    // the persisted edge set (HLL partials, no exchange — an exact
+    // deg.count() shuffle was measured to eat the entire gain) decides
+    // against the 2×threshold row bound the edge proxy already tolerated
+    // in its worst case (|V| ≤ 2|E|); the 5% HLL error is hint-slack, not
+    // correctness — AQE still re-plans whichever way the hint goes.
+    // threshold ≤ 0 still means NO hint anywhere — the over-threshold
+    // regime the 100 TB scale smoke simulates.
+    val degBroadcastable =
+      nEdges <= broadcastClosureThreshold ||
+        (broadcastClosureThreshold > 0 &&
+          e.select(explode(array(col("u"), col("v"))).as("id"))
+            .agg(approx_count_distinct(col("id"), 0.05)).head().getLong(0)
+            <= 2L * broadcastClosureThreshold)
     def degSide(idAs: String, degAs: String) = {
       val d = deg.select(col("id").as(idAs), col("deg").as(degAs))
-      if (nEdges <= broadcastClosureThreshold) broadcast(d) else d
+      if (degBroadcastable) broadcast(d) else d
     }
     val ed = e
       .join(degSide("u2", "du"), col("u") === col("u2"))

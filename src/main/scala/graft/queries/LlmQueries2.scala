@@ -327,7 +327,7 @@ object LlmQueries2 {
   // multiset (measured 3× faster at sf0.1, same distinct edge set) and
   // the downstream operators dedup exactly as before. The DuckDB oracles
   // keep the self-join spelling — same pairs, independently derived.
-  private def partEdgesUndirected(s: SparkSession, dir: String): DataFrame =
+  private[graft] def partEdgesUndirected(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey").cast("long").as("pk"))
       .groupBy("l_orderkey").agg(collect_list(col("pk")).as("xs"))
