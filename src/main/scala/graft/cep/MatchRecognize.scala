@@ -682,7 +682,11 @@ object MatchRecognize {
         }
         val seqSubs = (v.inner2Seq ++ v.midSeq ++ v.innerSeq ++ v.seq).map { sv =>
           val c = compiledPred(spec, sv, i)
-          require(c._2.isEmpty,
+          // ONE-LEVEL nested group members pass through: tail members
+          // lower onto bindTailResidual (r16), inner members get the
+          // specific per-anchor-table rejection in the lowering walk
+          require(c._2.isEmpty || v.innerSeq.nonEmpty ||
+              v.inner2Seq.nonEmpty,
             s"group sub-variable $sv cannot use relative references")
           sv -> c
         }
@@ -777,10 +781,56 @@ object MatchRecognize {
         // GroupPattern-in-GroupPattern; the chain carries boundary
         // timestamps, outer/inner repetition counts, and (r15) bindGroup
         // running value aggregates over inner AND tail members
-        (v.innerSeq ++ v.seq).foreach { sv =>
+        v.innerSeq.foreach { sv =>
           compiled(sv)._2.foreach(_ => sys.error(s"nested group ${v.name}: " +
-            s"member $sv may not use an iterative/PREV condition"))
+            s"inner member $sv may not use an iterative/PREV condition — " +
+            "iterative conditions compose with TAIL members only (the " +
+            "shared inner sub-match table would need to be per-anchor; " +
+            "move the condition to a tail step or split the pattern)"))
         }
+        // TAIL members MAY be iterative (r16 — flink-cep
+        // IterativeCondition.java:65 inside a GroupPattern): ONE relative
+        // conjunct of the shape `T.col <op> <arithmetic over earlier
+        // plain bindings>` lowers onto Pattern.bindTailResidual — the
+        // threshold evaluates per anchor, the walk scans each tail to
+        // its first satisfying candidate. Other shapes are named errors.
+        val tailResiduals: Seq[(String, (String, String, String))] =
+          v.seq.flatMap { sv =>
+            if (compiled(sv)._2.isEmpty) None else {
+              val body = spec.defines(sv)
+              val posAll = spec.vars.map(_.name).toSet
+              val rel = splitTopAnd(body).filter(c =>
+                RefRx.findAllMatchIn(c).exists(m =>
+                  m.group(1) != sv && posAll(m.group(1))))
+              require(rel.size == 1, s"nested group tail $sv: exactly one " +
+                "relative conjunct is supported (got " +
+                s"${rel.size} in '$body')")
+              val m0 = ("(?is)^\\s*(?:" + java.util.regex.Pattern.quote(sv) +
+                "\\.)?(\\w+)\\s*(<=|>=|<|>)\\s*(.+)$").r
+                .findFirstMatchIn(rel.head.trim).getOrElse(
+                  sys.error(s"nested group tail $sv: the relative conjunct " +
+                    s"must be `$sv.<col> <,<=,>,>= <expr over earlier " +
+                    s"bindings>` — cannot compile '${rel.head.trim}'"))
+              val (lhsCol, op, rhs) = (m0.group(1), m0.group(2), m0.group(3))
+              require(!RefRx.findAllMatchIn(rhs).exists(_.group(1) == sv),
+                s"nested group tail $sv: the threshold side may not " +
+                  s"reference $sv itself ('$rhs')")
+              // the threshold must be anchor-computable: qualified prior
+              // refs + numeric arithmetic only (a bare event column there
+              // would be candidate-dependent and silently wrong)
+              import scala.util.matching.Regex.quoteReplacement
+              val residue = RefRx.replaceAllIn(rhs, _ => quoteReplacement("0"))
+              require("^[-+*/(). 0-9eE]*$".r.matches(residue),
+                s"nested group tail $sv: the threshold side must be " +
+                  "arithmetic over qualified earlier bindings and numeric " +
+                  s"literals (got '$rhs')")
+              val rhsBound = RefRx.replaceAllIn(rhs, m => quoteReplacement {
+                val (a, cn) = (m.group(1), m.group(2))
+                if (cn == spec.orderBy) s"${a}_ts" else s"${a}_$cn"
+              })
+              Some(sv -> ((lhsCol, op, rhsBound)))
+            }
+          }
         require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
           s"compose with a nested group (${v.name}): the chain binds no " +
           "member values for a tiebreak to steer")
@@ -788,6 +838,9 @@ object MatchRecognize {
           v.innerSeq.map(sv => sv -> compiled(sv)._1),
           v.seq.map(sv => sv -> compiled(sv)._1),
           innerOptional = v.innerStar)
+        tailResiduals.foreach { case (sv, (c, op, rhs)) =>
+          pat = pat.bindTailResidual(sv, c, op, expr(rhs))
+        }
         // SHARED order derivation (nestedKeepOrder) — the engine's
         // groupKeep sequence must equal the ALL ROWS snapshot indexing
         nestedKeepOrder(v.innerSeq, v.seq, bindByVar)

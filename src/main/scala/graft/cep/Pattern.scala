@@ -546,8 +546,54 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // the one-level chain keeps
     require((steps.last.innerGroup ++ steps.last.group).exists(_._1 == member),
       s"bindGroup($member): not a member of group ${steps.last.name}")
+    require(!steps.last.tailRes.exists(_._1 == member),
+      s"bindGroup($member): does not compose with bindTailResidual on " +
+        "the same member")
     new Pattern(steps.init :+ steps.last.copy(
       groupKeep = steps.last.groupKeep ++ cols.map(member -> _)),
+      notStep, windowMs, skipPastLast, skipTo)
+  }
+
+  /** ITERATIVE condition on a nested-group TAIL member — the reference's
+    * IterativeCondition (flink-cep IterativeCondition.java:65,
+    * `ctx.getEventsForPattern`) reaching INSIDE a GroupPattern: the tail
+    * step binds the earliest candidate whose `valueCol` satisfies
+    * `<op> threshold`, where `threshold` is a Column over the EARLIER
+    * plain steps' bound columns (e.g. `W.value > 2 * S.value` — the w14
+    * shape, relative to the match's own anchor bindings). Because the
+    * threshold varies per match, the walk carries each tail candidate's
+    * value extreme per (key, ts) — max for `>`/`>=`, min for `<`/`<=`,
+    * so "any candidate at this ts satisfies" is one comparison — and
+    * scans forward from the usual earliest position to the first
+    * satisfying candidate; punctuation uses the same satisfying scan
+    * (the tail can only punctuate where it can bind). A null threshold
+    * (null anchor binding) never binds — SQL three-valued logic.
+    *
+    * INNER members stay named rejections: their predicate shapes the
+    * pre-compiled sub-match table, which is shared across anchors — an
+    * anchor-dependent residual there would need one sub-match table per
+    * match (rewrite: move the condition to a tail step, or split the
+    * pattern). One residual per tail member; does not compose with
+    * [[bindGroup]] on the same member (the per-(key, ts) reduction
+    * differs). */
+  def bindTailResidual(member: String, valueCol: String, op: String,
+                       threshold: Column): Pattern = {
+    require(steps.nonEmpty && steps.last.innerGroup.nonEmpty,
+      "bindTailResidual() requires followedByNestedGroup() as the last step")
+    require(steps.last.group.exists(_._1 == member),
+      s"bindTailResidual($member): not a TAIL member of nested group " +
+        s"${steps.last.name} (inner members cannot carry iterative " +
+        "conditions — the shared sub-match table would need to be " +
+        "per-anchor; move the condition to a tail step)")
+    require(Set("<", "<=", ">", ">=")(op),
+      s"bindTailResidual($member): op must be one of < <= > >= (got '$op')")
+    require(!steps.last.tailRes.exists(_._1 == member),
+      s"bindTailResidual($member): one residual per tail member")
+    require(!steps.last.groupKeep.exists(_._1 == member),
+      s"bindTailResidual($member): does not compose with bindGroup on " +
+        "the same member")
+    new Pattern(steps.init :+ steps.last.copy(
+      tailRes = steps.last.tailRes :+ ((member, valueCol, op, threshold))),
       notStep, windowMs, skipPastLast, skipTo)
   }
 
@@ -1424,19 +1470,35 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val innerValsCol: Column =
           if (gkInner.isEmpty) lit(null).cast("array<double>")
           else array(gkInner.map { case (_, i) => col(s"__nv$i") }: _*)
+        // bindTailResidual tails: per (key, ts) the OP-APPROPRIATE value
+        // extreme (max for >/>=, min for </<=) — "any candidate at this
+        // ts satisfies the per-anchor threshold" is then one comparison
+        // in the walk
+        val resByTail: Map[Int, (String, String)] = s.tailRes.map {
+          case (m, c, op, _) => s.group.indexWhere(_._1 == m) -> ((c, op))
+        }.toMap
         val tagged = s.group.zipWithIndex.foldLeft(
           isubs.select(col("__gk"), lit(0).as("__tag"),
             col("__gb").as("__t1"), prevSub.as("__t2"),
             array(memTs: _*).as("__mems"), innerValsCol.as("__vals"))) {
           case (acc, ((_, p), j)) =>
             val tks = gkTailsByStep(j)
-            val cand =
-              if (tks.isEmpty) events.filter(p).select(key.as("__gk"),
+            val cand = resByTail.get(j) match {
+              case Some((c, op)) =>
+                val agg0 = if (op == ">" || op == ">=")
+                  max(col(c).cast("double")) else min(col(c).cast("double"))
+                events.filter(p).groupBy(key.as("__gk"), ts.as("__t1"))
+                  .agg(agg0.as("__tvres"))
+                  .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),
+                    lit(null).cast("timestamp").as("__t2"),
+                    lit(null).cast("array<timestamp>").as("__mems"),
+                    array(col("__tvres")).as("__vals"))
+              case None if tks.isEmpty => events.filter(p).select(key.as("__gk"),
                 lit(j + 1).as("__tag"), ts.as("__t1"),
                 lit(null).cast("timestamp").as("__t2"),
                 lit(null).cast("array<timestamp>").as("__mems"),
                 lit(null).cast("array<double>").as("__vals"))
-              else {
+              case None =>
                 val aggs = tks.map { case ((_, c), i) =>
                   min(col(c).cast("double")).as(s"__tv$i") }
                 events.filter(p).groupBy(key.as("__gk"), ts.as("__t1"))
@@ -1445,10 +1507,16 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                     lit(null).cast("timestamp").as("__t2"),
                     lit(null).cast("array<timestamp>").as("__mems"),
                     array(tks.map { case (_, i) => col(s"__tv$i") }: _*).as("__vals"))
-              }
+            }
             acc.unionByName(cand)
         }
-        val anch = out.withColumn("__gprev", prevTs)
+        // per-anchor residual thresholds: Columns over EARLIER bound
+        // columns, evaluated once on the anchor frame
+        val outRes = s.tailRes.foldLeft(out) { case (d, (m, _, _, thr)) =>
+          d.withColumn(s"__tres${s.group.indexWhere(_._1 == m)}",
+            thr.cast("double"))
+        }
+        val anch = outRes.withColumn("__gprev", prevTs)
           .withColumn("__gwend", col(startTs) + win)
         val aSchema = anch.schema
         val keyIdx = aSchema.fieldIndex("__k")
@@ -1504,6 +1572,14 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val gkN = s.groupKeep.size
         val gkInnerPos = gkInner.map(_._2).toArray
         val gkTailPos = Array.tabulate(nTails)(j => gkTailsByStep(j).map(_._2).toArray)
+        // bindTailResidual: per tail an op code (0 none, 1 <, 2 <=, 3 >,
+        // 4 >=) and the anchor-frame field index of its threshold column
+        val resOps: Array[Int] = Array.tabulate(nTails)(j =>
+          resByTail.get(j).map(_._2 match {
+            case "<" => 1; case "<=" => 2; case ">" => 3; case _ => 4
+          }).getOrElse(0))
+        val resThrIdx: Array[Int] = Array.tabulate(nTails)(j =>
+          if (resOps(j) != 0) aSchema.fieldIndex(s"__tres$j") else -1)
         // rows carry running value snapshots when BOTH surfaces are on;
         // per inner member j: (index into the sub's __vals array, gk pos)
         val rowVals = matRows && gkN > 0
@@ -1526,7 +1602,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             .sortWith((p, q) => p._1.before(q._1))
           val tails = Array.tabulate(nTails) { j =>
             all.filter(_.getInt(1) == j + 1).map(r => (Pattern.tsOf(r, 2),
-              if (gkTailPos(j).length > 0) Pattern.dblsOf(r, 5) else null))
+              if (gkTailPos(j).length > 0 || resOps(j) != 0)
+                Pattern.dblsOf(r, 5) else null))
               .sortWith((p, q) => p._1.before(q._1))
           }
           // index of the first element strictly after t (binary search)
@@ -1550,6 +1627,29 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             var first: java.sql.Timestamp = null
             var n = 0L; var innerTot = 0L; var done = false
             // bindGroup running state (the one-level chain's shape): folded
+            // bindTailResidual: the anchor's thresholds (null = the
+            // referenced binding is null -> never binds, SQL 3VL), and
+            // the satisfying-scan binding: first candidate strictly
+            // after t whose per-ts value extreme satisfies the op —
+            // punctuation and binding share this, so the tail can only
+            // punctuate where it can bind
+            val resThr: Array[java.lang.Double] = Array.tabulate(nTails)(j =>
+              if (resThrIdx(j) < 0 || a.isNullAt(resThrIdx(j))) null
+              else java.lang.Double.valueOf(a.getDouble(resThrIdx(j))))
+            def tailBind(j: Int, t: java.sql.Timestamp): Int = {
+              var x = tailAfter(j, t)
+              if (resOps(j) != 0) {
+                val arr = tails(j); val thr = resThr(j)
+                def sat(v: java.lang.Double): Boolean =
+                  thr != null && v != null && (resOps(j) match {
+                    case 1 => v < thr; case 2 => v <= thr
+                    case 3 => v > thr; case _ => v >= thr
+                  })
+                while (x < arr.length &&
+                    !sat(if (arr(x)._2 == null) null else arr(x)._2(0))) x += 1
+              }
+              x
+            }
             // per COMPLETED repetition from the attempt's pending list —
             // a failed attempt's values are discarded with its rows
             val vSum = new Array[java.lang.Double](gkN)
@@ -1577,7 +1677,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               // come strictly after the earliest completable sub (the same
               // earliest-completion rule that punctuates the inner chain;
               // ties favor the tail)
-              val tx0 = tailAfter(0, lastEnd)
+              val tx0 = tailBind(0, lastEnd)
               val t0Avail = tx0 < tails(0).length &&
                 !tails(0)(tx0)._1.after(wEnd)
               val tailFirst = innerOptFlag && t0Avail &&
@@ -1648,7 +1748,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   var more = true
                   while (more) {
                     val nx = subAfter(e)
-                    val tx = tailAfter(0, e)
+                    val tx = tailBind(0, e)
                     val tCand = if (tx < tails(0).length &&
                         !tails(0)(tx)._1.after(wEnd)) tails(0)(tx)._1 else null
                     if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
@@ -1660,7 +1760,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 // previous binding, all within the match window
                 var t = e; var ok = true; var ti = 0
                 while (ok && ti < nTails) {
-                  val x = tailAfter(ti, t)
+                  val x = tailBind(ti, t)
                   if (x >= tails(ti).length || tails(ti)(x)._1.after(wEnd)) ok = false
                   else {
                     t = tails(ti)(x)._1
@@ -1717,6 +1817,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
         out = chained.toDF().drop("__gprev", "__gwend")
+          .drop(resByTail.keys.map(j => s"__tres$j").toSeq: _*)
         prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
                  else col(s"${s.name}_last_ts")
       } else if (s.group.nonEmpty) {

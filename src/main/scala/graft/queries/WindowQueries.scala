@@ -2913,6 +2913,113 @@ object WindowQueries {
       |       inner_done AS n_inner
       |FROM best WHERE rn = 1""".stripMargin
 
+  // --- m40: ITERATIVE condition on a nested-group TAIL member (flink-cep
+  // IterativeCondition.java:65 reaching inside a GroupPattern — the r15
+  // named rejection at the nested-member boundary): `V AS V.value >
+  // 2 * S.value` inside `S ((B C)+ V)+` — the tail's acceptance is
+  // relative to the match's OWN anchor binding, so both the tail BINDING
+  // and the chain PUNCTUATION consider only candidates above the
+  // per-anchor threshold (Pattern.bindTailResidual: per-(key, ts) value
+  // extremes + a satisfying scan in the walk; inner members stay named
+  // rejections — their shared sub-match table would need to be
+  // per-anchor). Oracle: the m33 deterministic-successor walk with the
+  // V-link tables parametrized BY ANCHOR (joined on (user_id, s_ts) too,
+  // v filtered by the threshold) — the punctuation rule then replays
+  // over satisfying candidates only, exactly as the engine scans.
+  private val m40: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(V.ts) AS grp_last_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view',
+        |         V AS event_type = 'error' AND V.value > 2 * S.value
+        |)""".stripMargin)
+  private val m40Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='signup'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='error'),
+      |subs AS (
+      |  SELECT b.user_id, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM b JOIN c ON c.user_id = b.user_id AND c.ts > b.ts
+      |              AND c.ts <= b.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2),
+      |entry AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 96 HOURS AS w_end,
+      |         min(s.value) AS s_val, min(su.b_ts) AS b1
+      |  FROM s JOIN subs su ON su.user_id = s.user_id AND su.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |vnext AS (
+      |  SELECT e.user_id, e.s_ts, su.b_ts, min(v.ts) AS v_ts
+      |  FROM entry e
+      |  JOIN subs su ON su.user_id = e.user_id
+      |  LEFT JOIN v ON v.user_id = e.user_id AND v.ts > su.e_ts
+      |              AND v.value > 2 * e.s_val
+      |  GROUP BY 1, 2, 3),
+      |nsub AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(su.b_ts) AS nb
+      |  FROM v LEFT JOIN subs su ON su.user_id = v.user_id AND su.b_ts > v.ts
+      |  GROUP BY 1, 2),
+      |walk AS (
+      |  SELECT e.user_id, e.s_ts, e.w_end, su.b_ts AS first_b,
+      |         su.b_ts AS cur_b, su.e_ts AS cur_e,
+      |         CAST(1 AS BIGINT) AS chain_k, CAST(0 AS BIGINT) AS n_done,
+      |         CAST(0 AS BIGINT) AS inner_done,
+      |         CAST(NULL AS TIMESTAMP) AS match_end, 'chain' AS phase
+      |  FROM entry e JOIN subs su ON su.user_id = e.user_id AND su.b_ts = e.b1
+      |  WHERE su.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT user_id, s_ts, w_end, first_b,
+      |         CASE WHEN mode='extend' THEN nx_b WHEN mode='newrep' THEN nr_b END,
+      |         CASE WHEN mode='extend' THEN nx_e WHEN mode='newrep' THEN nr_e END,
+      |         CASE WHEN mode='extend' THEN chain_k + 1
+      |              WHEN mode='newrep' THEN CAST(1 AS BIGINT) ELSE chain_k END,
+      |         CASE WHEN mode='close' THEN n_done + 1 ELSE n_done END,
+      |         CASE WHEN mode='close' THEN inner_done + chain_k ELSE inner_done END,
+      |         CASE WHEN mode='close' THEN vts ELSE match_end END,
+      |         CASE WHEN mode='close' THEN 'closed' ELSE 'chain' END
+      |  FROM (
+      |    SELECT w.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e, vn.v_ts AS vts,
+      |           nr.b_ts AS nr_b, nr.e_ts AS nr_e,
+      |      CASE WHEN w.phase = 'chain' AND nx.b_ts IS NOT NULL
+      |                AND nx.e_ts <= w.w_end
+      |                AND (vn.v_ts IS NULL OR vn.v_ts > w.w_end
+      |                     OR nx.e_ts < vn.v_ts) THEN 'extend'
+      |           WHEN w.phase = 'chain' AND vn.v_ts IS NOT NULL
+      |                AND vn.v_ts <= w.w_end THEN 'close'
+      |           WHEN w.phase = 'closed' AND nr.b_ts IS NOT NULL
+      |                AND nr.e_ts <= w.w_end THEN 'newrep'
+      |      END AS mode
+      |    FROM walk w
+      |    LEFT JOIN link l  ON w.phase='chain' AND l.user_id = w.user_id
+      |                      AND l.b_ts = w.cur_b
+      |    LEFT JOIN subs nx ON nx.user_id = w.user_id AND nx.b_ts = l.nb
+      |    LEFT JOIN vnext vn ON w.phase='chain' AND vn.user_id = w.user_id
+      |                       AND vn.s_ts = w.s_ts AND vn.b_ts = w.cur_b
+      |    LEFT JOIN nsub ns ON w.phase='closed' AND ns.user_id = w.user_id
+      |                      AND ns.v_ts = w.match_end
+      |    LEFT JOIN subs nr ON nr.user_id = w.user_id AND nr.b_ts = ns.nb
+      |  ) WHERE mode IS NOT NULL),
+      |best AS (
+      |  SELECT user_id, s_ts, first_b, match_end, n_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, s_ts AS signup_ts, first_b AS grp_first_ts,
+      |       match_end AS grp_last_ts, n_done AS n_reps, inner_done AS n_inner
+      |FROM best WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w25_cascading_windows" -> w25, "w26_cep_timeout" -> w26,
     "w27_cep_followed_by_any" -> w27, "w28_cep_combinations" -> w28,
@@ -2943,7 +3050,7 @@ object WindowQueries {
     "m31_all_rows_two_runs" -> m31, "m32_all_rows_group_run" -> m32,
     "m33_nested_group" -> m33, "m34_all_rows_nested" -> m34,
     "m35_reluctant_quant" -> m35, "m36_nested_values" -> m36, "m37_nested_inner_star" -> m37, "m38_all_rows_nested_values" -> m38,
-    "m39_depth2_nested_group" -> m39)
+    "m39_depth2_nested_group" -> m39, "m40_nested_iter_tail" -> m40)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -2975,7 +3082,7 @@ object WindowQueries {
     "m31_all_rows_two_runs" -> m31Sql, "m32_all_rows_group_run" -> m32Sql,
     "m33_nested_group" -> m33Sql, "m34_all_rows_nested" -> m34Sql,
     "m35_reluctant_quant" -> m35Sql, "m36_nested_values" -> m36Sql, "m37_nested_inner_star" -> m37Sql, "m38_all_rows_nested_values" -> m38Sql,
-    "m39_depth2_nested_group" -> m39Sql,
+    "m39_depth2_nested_group" -> m39Sql, "m40_nested_iter_tail" -> m40Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

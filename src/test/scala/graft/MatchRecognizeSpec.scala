@@ -1058,6 +1058,91 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       (2L, at(0), at(10), at(35), 2L, 2L)), m.toString)
   }
 
+  test("ITERATIVE condition on a nested-group TAIL member: " +
+       "V.value > 2 * S.value inside S ((B C)+ V)+") {
+    // user 1 (S.value = 10, threshold 20): v@40(25) binds rep 1; v@55(15)
+    //   FAILS the residual and is skipped — rep 2 closes at v@57(30)
+    // user 2 (S.value = 50, threshold 100): no v qualifies — NO match
+    //   even though plain v events exist
+    // user 3 (S.value = 10): v@3(5) fails, so it does NOT punctuate the
+    //   inner chain — the chain absorbs sub2 and closes at v@6(30):
+    //   ONE repetition of TWO subs (a plain V would split into two reps)
+    val evs = Seq(
+      (1L, at(0), "signup", 10.0),
+      (1L, at(10), "click", 0.0), (1L, at(20), "view", 0.0),
+      (1L, at(25), "click", 0.0), (1L, at(30), "view", 0.0),
+      (1L, at(40), "error", 25.0),
+      (1L, at(45), "click", 0.0), (1L, at(50), "view", 0.0),
+      (1L, at(55), "error", 15.0), (1L, at(57), "error", 30.0),
+      (2L, at(0), "signup", 50.0),
+      (2L, at(10), "click", 0.0), (2L, at(20), "view", 0.0),
+      (2L, at(40), "error", 25.0), (2L, at(55), "error", 30.0),
+      (3L, at(0), "signup", 10.0),
+      (3L, at(1), "click", 0.0), (3L, at(2), "view", 0.0),
+      (3L, at(3), "error", 5.0),
+      (3L, at(4), "click", 0.0), (3L, at(5), "view", 0.0),
+      (3L, at(6), "error", 30.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(V.ts) AS grp_last_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view',
+        |         V AS event_type = 'error' AND V.value > 2 * S.value
+        |)""".stripMargin
+    val m = MatchRecognize.detect(evs, sql)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)]
+      .collect().toSet
+    assert(m == Set(
+      (1L, at(0), at(10), at(57), 2L, 3L),
+      (3L, at(0), at(1), at(6), 1L, 2L)), m.toString)
+    // combinator parity: bindTailResidual is the lowering target
+    val viaApi = Pattern.begin("S", $"event_type" === "signup").bind("value")
+      .followedByNestedGroup("G",
+        Seq("B" -> ($"event_type" === "click"),
+            "C" -> ($"event_type" === "view")),
+        Seq("V" -> ($"event_type" === "error")))
+      .bindTailResidual("V", "value", ">",
+        org.apache.spark.sql.functions.expr("2 * S_value"))
+      .oneOrMore()
+      .within(3600000L)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"S_ts", $"G_first_ts", $"G_last_ts", $"G_n",
+        $"G_inner_n")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)]
+      .collect().toSet
+    assert(viaApi == m, viaApi.toString)
+    // null threshold (null S.value) never binds — SQL 3VL
+    val evsNull = Seq(
+      (9L, at(0), "signup", null.asInstanceOf[java.lang.Double]),
+      (9L, at(1), "click", java.lang.Double.valueOf(0.0)),
+      (9L, at(2), "view", java.lang.Double.valueOf(0.0)),
+      (9L, at(3), "error", java.lang.Double.valueOf(99.0))
+    ).toDF("user_id", "ts", "event_type", "value")
+    assert(MatchRecognize.detect(evsNull, sql).collect().isEmpty)
+    // named rejections: INNER member iterative, non-comparison shape,
+    // candidate-dependent threshold
+    val eInner = intercept[Exception](MatchRecognize.detect(evs,
+      sql.replace("V AS event_type = 'error' AND V.value > 2 * S.value",
+        "V AS event_type = 'error', C AS C.value > S.value")).collect())
+    assert(eInner.getMessage.contains("TAIL members only"), eInner.getMessage)
+    val eShape = intercept[Exception](MatchRecognize.detect(evs,
+      sql.replace("V.value > 2 * S.value",
+        "V.value = S.value")).collect())
+    assert(eShape.getMessage.contains("cannot compile"), eShape.getMessage)
+    val eBare = intercept[Exception](MatchRecognize.detect(evs,
+      sql.replace("V.value > 2 * S.value",
+        "V.value > S.value + value")).collect())
+    assert(eBare.getMessage.contains("arithmetic over qualified"),
+      eBare.getMessage)
+  }
+
   test("DEPTH-2 nested group S (((B C)+ V)+ W)+ from SQL text") {
     // user 1: outer rep 1 = R1{(1,2)(3,4)}V@5 + R1{(6,7)}V@8, W@9
     //         (the R1 ending @12 is NOT absorbed: 12 >= W@9 — the outer
