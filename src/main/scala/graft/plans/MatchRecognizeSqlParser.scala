@@ -22,17 +22,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * parses unchanged through Spark's own parser. Multiple MATCH_RECOGNIZE
   * segments rewrite recursively.
   *
-  * Contract (the price of the textual strategy — a full LogicalPlan lowering
-  * like the `graph_pagerank` TVF bridge would lift all three):
-  *  - The FROM source MUST be a resolvable catalog table or temp view.
-  *    Subqueries and CTE aliases are rejected with a named error — register
-  *    a temp view instead. This includes a CTE alias that SHADOWS an
-  *    existing table name: the statement text is scanned for `WITH/,"name"
-  *    AS (` and rejected, because the textual rewrite would otherwise bind
-  *    the pattern to the catalog object, not the CTE.
+  * Contract:
+  *  - The FROM source may be a catalog table / temp view, a PARENTHESIZED
+  *    SUBQUERY (`FROM (SELECT …) [AS a] MATCH_RECOGNIZE (…)` — the
+  *    subquery runs through the session parser, so nested
+  *    MATCH_RECOGNIZE inside it composes), or a TOP-LEVEL CTE ALIAS of
+  *    the same statement (r16, lifting the former named rejections): the
+  *    statement's WITH prefix re-runs with `SELECT * FROM <alias>`
+  *    appended, so chained CTEs resolve per SQL scope rules and a CTE
+  *    alias shadowing a catalog name correctly binds to the CTE. A CTE
+  *    with a column list falls back to catalog resolution (named error
+  *    if unresolvable).
   *  - The pattern compiles EAGERLY at parse time: `EXPLAIN` (and any
   *    plan-only path) runs the pattern compilation, though match rows are
-  *    only computed when the plan executes.
+  *    only computed when the plan executes. (A full LogicalPlan lowering
+  *    like the `graph_pagerank` TVF bridge would lift this.)
   *  - Each distinct (table, clause) pair registers one `__graft_mr_*` temp
   *    view in the session catalog; re-parsing the same text reuses it
   *    (createOrReplace), so views do not grow with repetition, only with
@@ -61,51 +65,126 @@ class MatchRecognizeSqlParser(session: SparkSession, delegate: ParserInterface)
 
 object MatchRecognizeSqlParser {
   private val FromRx = "(?is)\\bFROM\\s+([\\w.]+)\\s+MATCH_RECOGNIZE\\s*\\(".r
+  private val FromSubRx = "(?is)\\bFROM\\s*\\(".r
 
-  /** Replace every `FROM <table> MATCH_RECOGNIZE (...)` segment with a temp
-    * view holding the compiled matches; other statements pass through. */
-  def rewrite(session: SparkSession, sqlText: String): String =
+  /** Index of the parenthesis closing the one at `open`. */
+  private def closeParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < s.length && {
+      val c = s(i)
+      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      depth != 0
+    }) i += 1
+    require(i < s.length, "unbalanced MATCH_RECOGNIZE parentheses")
+    i
+  }
+
+  /** Resolve a top-level CTE alias of this statement to a DataFrame — the
+    * SQL scoping a textual rewrite would otherwise break (r16, lifting the
+    * former named rejection): the statement's WITH prefix (through the
+    * last top-level CTE body) re-runs with `SELECT * FROM <alias>`
+    * appended, so chained CTE references — and nested MATCH_RECOGNIZE
+    * inside CTE bodies, via parser re-entry — resolve exactly as the SQL
+    * scope rules say. None when the statement has no top-level WITH, the
+    * alias is not among its CTEs, or the prefix has a shape this textual
+    * scan does not parse (a CTE column list) — the caller then falls back
+    * to catalog resolution. */
+  private def cteFrame(session: SparkSession, sql: String,
+                       alias: String): Option[org.apache.spark.sql.DataFrame] = {
+    val w = "(?is)^\\s*WITH\\b(\\s+RECURSIVE\\b)?".r.findFirstMatchIn(sql)
+      .getOrElse(return None)
+    val itemRx = "(?is)^\\s*(\\w+)\\s+AS\\s*\\(".r
+    var i = w.end
+    var names = List.empty[String]
+    var lastEnd = i
+    var more = true
+    while (more) {
+      itemRx.findFirstMatchIn(sql.substring(i)) match {
+        case Some(it) =>
+          val close = closeParen(sql, i + it.end - 1)
+          names ::= it.group(1)
+          lastEnd = close + 1
+          "(?s)^\\s*,".r.findFirstMatchIn(sql.substring(close + 1)) match {
+            case Some(cm) => i = close + 1 + cm.end
+            case None => more = false
+          }
+        case None => return None
+      }
+    }
+    if (!names.contains(alias)) None
+    // parser re-entry: a MATCH_RECOGNIZE inside a CTE body rewrites here
+    // too (each pass eliminates one clause — the recursion terminates)
+    else Some(session.sql(sql.substring(0, lastEnd) + s" SELECT * FROM $alias"))
+  }
+
+  /** `FROM ( <subquery> ) [AS alias] MATCH_RECOGNIZE (...)` — the subquery
+    * runs through the session parser (nested MATCH_RECOGNIZE included) and
+    * the segment rewrites like the table form. None when no such segment
+    * exists. */
+  private def rewriteSubquery(session: SparkSession,
+                              sql: String): Option[String] = {
+    for (m <- FromSubRx.findAllMatchIn(sql)) {
+      val open = m.end - 1
+      val close = closeParen(sql, open)
+      // optional `AS alias` between the subquery and the clause; the
+      // negative lookahead keeps the keyword from parsing as the alias
+      val tailRx = ("(?is)^\\s*(?:(?:AS\\s+)?(?!MATCH_RECOGNIZE\\b)\\w+\\s+)?" +
+        "MATCH_RECOGNIZE\\s*\\(").r
+      tailRx.findFirstMatchIn(sql.substring(close + 1)).foreach { t =>
+        val subSql = sql.substring(open + 1, close)
+        val mrOpen = close + 1 + t.end - 1
+        val mrClose = closeParen(sql, mrOpen)
+        val clause = "MATCH_RECOGNIZE " + sql.substring(mrOpen, mrClose + 1)
+        val matches = graft.cep.MatchRecognize.detect(session.sql(subSql), clause)
+        val view = s"__graft_mr_${Integer.toHexString(subSql.hashCode * 31 + clause.hashCode)}"
+        matches.createOrReplaceTempView(view)
+        return Some(sql.substring(0, m.start) + s"FROM $view" +
+          sql.substring(mrClose + 1))
+      }
+    }
+    None
+  }
+
+  /** Replace every `FROM <source> MATCH_RECOGNIZE (...)` segment — source a
+    * catalog table/temp view, a top-level CTE alias of this statement, or a
+    * parenthesized subquery — with a temp view holding the compiled
+    * matches; other statements pass through. */
+  def rewrite(session: SparkSession, sqlText: String): String = {
+    rewriteSubquery(session, sqlText) match {
+      case Some(s) => return rewrite(session, s)
+      case None =>
+    }
     FromRx.findFirstMatchIn(sqlText) match {
       case None => sqlText
       case Some(m) =>
         val table = m.group(1)
         val open = m.end - 1 // the regex ends at the clause's open paren
-        var depth = 0; var i = open
-        while (i < sqlText.length && {
-          val c = sqlText(i)
-          if (c == '(') depth += 1 else if (c == ')') depth -= 1
-          depth != 0
-        }) i += 1
-        require(i < sqlText.length, "unbalanced MATCH_RECOGNIZE parentheses")
+        val i = closeParen(sqlText, open)
         val clause = "MATCH_RECOGNIZE " + sqlText.substring(open, i + 1)
-        // a CTE alias shadowing a real table would silently bind the pattern
-        // to the catalog object — reject it instead of returning wrong rows
-        // \s* (not \s+) after the comma/WITH: `WITH a AS (...),events AS (`
-        // has no space after the comma; RECURSIVE is an optional prefix
-        val cteRx = (s"(?is)(?:\\bWITH\\b(?:\\s+RECURSIVE\\b)?|,)\\s*" +
-          s"${java.util.regex.Pattern.quote(table)}\\s+AS\\s*\\(").r
-        if (cteRx.findFirstIn(sqlText).isDefined)
-          throw new IllegalArgumentException(
-            s"MATCH_RECOGNIZE front door: FROM source '$table' is defined as " +
-              "a CTE in this statement; the textual rewrite binds sources to " +
-              "catalog tables/views only — createOrReplaceTempView the input " +
-              "instead of a WITH clause")
-        val source =
-          try session.table(table)
-          catch {
-            case e: org.apache.spark.sql.AnalysisException =>
-              throw new IllegalArgumentException(
-                s"MATCH_RECOGNIZE front door: FROM source '$table' is not a " +
-                  "resolvable table or temp view (subqueries and CTE aliases " +
-                  "are not supported — createOrReplaceTempView the input first)",
-                e)
-          }
+        // SQL scoping: a top-level CTE alias of THIS statement wins over a
+        // same-named catalog object (the former shadowing named rejection,
+        // lifted r16)
+        val (source, srcKey) = cteFrame(session, sqlText, table) match {
+          case Some(df) => (df, sqlText.hashCode * 31 + table.hashCode)
+          case None =>
+            (try session.table(table)
+             catch {
+               case e: org.apache.spark.sql.AnalysisException =>
+                 throw new IllegalArgumentException(
+                   s"MATCH_RECOGNIZE front door: FROM source '$table' is " +
+                     "not a resolvable table/temp view or a top-level CTE " +
+                     "alias of this statement", e)
+             }, table.hashCode)
+        }
         val matches = graft.cep.MatchRecognize.detect(source, clause)
-        // deterministic per (table, clause): re-parsing the same text reuses
-        // the same view name (createOrReplace makes that idempotent)
-        val view = s"__graft_mr_${Integer.toHexString(table.hashCode * 31 + clause.hashCode)}"
+        // deterministic per (source, clause): re-parsing the same text
+        // reuses the same view name (createOrReplace makes it idempotent);
+        // CTE sources key on the full statement so same-alias different-body
+        // statements never share a view
+        val view = s"__graft_mr_${Integer.toHexString(srcKey * 31 + clause.hashCode)}"
         matches.createOrReplaceTempView(view)
         rewrite(session,
           sqlText.substring(0, m.start) + s"FROM $view" + sqlText.substring(i + 1))
     }
+  }
 }

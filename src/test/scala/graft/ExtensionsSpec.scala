@@ -111,29 +111,34 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
       val planText = s2.sql("EXPLAIN SELECT * FROM mr_events2" + clause)
         .head().getString(0)
       assert(planText.contains("Physical Plan"), planText)
-      // a CTE alias is NOT a catalog table: named contract error, not an
-      // opaque resolution failure
-      val e = intercept[IllegalArgumentException] {
-        s2.sql("WITH cte_src AS (SELECT * FROM mr_events2) " +
-          "SELECT * FROM cte_src" + clause)
-      }
-      assert(e.getMessage.contains("defined as a CTE"), e.getMessage)
-      assert(e.getMessage.contains("cte_src"), e.getMessage)
-      // a CTE alias SHADOWING a real temp view must also be rejected — the
-      // textual rewrite would otherwise silently bind the catalog object
-      val e2 = intercept[IllegalArgumentException] {
-        s2.sql("WITH mr_events2 AS (SELECT * FROM mr_events2 WHERE user_id < 0) " +
-          "SELECT * FROM mr_events2" + clause)
-      }
-      assert(e2.getMessage.contains("defined as a CTE"), e2.getMessage)
-      // no whitespace after the comma (`,mr_events2 AS (`) must also be
-      // caught — the guard regex accepts \s* after the WITH/comma
-      val e2b = intercept[IllegalArgumentException] {
-        s2.sql("WITH other_cte AS (SELECT 1 AS one)," +
-          "mr_events2 AS (SELECT * FROM mr_events2 WHERE user_id < 0) " +
-          "SELECT * FROM mr_events2" + clause)
-      }
-      assert(e2b.getMessage.contains("defined as a CTE"), e2b.getMessage)
+      // a top-level CTE alias RESOLVES (r16 — the former named rejection):
+      // the pattern binds to the CTE frame per SQL scope rules
+      val cteRows = s2.sql("WITH cte_src AS (SELECT * FROM mr_events2) " +
+        "SELECT * FROM cte_src" + clause).collect()
+      assert(cteRows.length == 1 && cteRows.head.getAs[Long]("user_id") == 1L,
+        cteRows.mkString(","))
+      // a CTE alias SHADOWING a real temp view binds the CTE, not the
+      // catalog object — the empty-filtered CTE yields NO matches even
+      // though the shadowed view has one
+      val shadowRows = s2.sql(
+        "WITH mr_events2 AS (SELECT * FROM mr_events2 WHERE user_id < 0) " +
+          "SELECT * FROM mr_events2" + clause).collect()
+      assert(shadowRows.isEmpty, shadowRows.mkString(","))
+      // no whitespace after the comma (`,mr_events2 AS (`) — chained CTEs
+      // parse and the SECOND alias resolves
+      val chainRows = s2.sql("WITH other_cte AS (SELECT 1 AS one)," +
+        "mr_events2 AS (SELECT * FROM mr_events2 WHERE user_id < 0) " +
+        "SELECT * FROM mr_events2" + clause).collect()
+      assert(chainRows.isEmpty, chainRows.mkString(","))
+      // a PARENTHESIZED SUBQUERY source (r16 — the former named
+      // rejection), bare and aliased
+      val subRows = s2.sql("SELECT * FROM (SELECT * FROM mr_events2)" +
+        clause).collect()
+      assert(subRows.length == 1, subRows.mkString(","))
+      val subAliasRows = s2.sql(
+        "SELECT * FROM (SELECT * FROM mr_events2 WHERE user_id < 0) AS t" +
+          clause).collect()
+      assert(subAliasRows.isEmpty, subAliasRows.mkString(","))
       // a non-CTE unresolvable name still gets the resolution error
       val e3 = intercept[IllegalArgumentException] {
         s2.sql("SELECT * FROM no_such_table_xyz" + clause)
