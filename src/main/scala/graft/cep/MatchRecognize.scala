@@ -817,16 +817,22 @@ object MatchRecognize {
                   s"reference $sv itself ('$rhs')")
               // the threshold must be anchor-computable: qualified prior
               // refs + numeric arithmetic only (a bare event column there
-              // would be candidate-dependent and silently wrong)
+              // would be candidate-dependent and silently wrong). RefRx
+              // also matches DECIMAL LITERALS ("1.5" parses as 1.5) —
+              // digit-led matches are literals, not references: leave
+              // them alone in both the residue check and the rewrite
               import scala.util.matching.Regex.quoteReplacement
-              val residue = RefRx.replaceAllIn(rhs, _ => quoteReplacement("0"))
+              def isLiteral(a: String): Boolean = a.head.isDigit
+              val residue = RefRx.replaceAllIn(rhs, m =>
+                quoteReplacement(if (isLiteral(m.group(1))) m.matched else "0"))
               require("^[-+*/(). 0-9eE]*$".r.matches(residue),
                 s"nested group tail $sv: the threshold side must be " +
                   "arithmetic over qualified earlier bindings and numeric " +
                   s"literals (got '$rhs')")
               val rhsBound = RefRx.replaceAllIn(rhs, m => quoteReplacement {
                 val (a, cn) = (m.group(1), m.group(2))
-                if (cn == spec.orderBy) s"${a}_ts" else s"${a}_$cn"
+                if (isLiteral(a)) m.matched
+                else if (cn == spec.orderBy) s"${a}_ts" else s"${a}_$cn"
               })
               Some(sv -> ((lhsCol, op, rhsBound)))
             }

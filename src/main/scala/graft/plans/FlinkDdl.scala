@@ -363,10 +363,12 @@ object FlinkDdl {
     }
     private def req(k: String): String = opts.getOrElse(k,
       sys.error(s"JdbcPerKeyLookup($name): missing option '$k'"))
-    // one LAZY frame over the declared table: each miss set filters it
-    // (isin pushes down as an IN predicate), and its schema types the
-    // collected row snapshots
-    private def dimFrame: DataFrame = {
+    // ONE frame over the declared table, built once: spark.read.jdbc
+    // resolves the schema with a database round trip, so a def here would
+    // pay one metadata query per micro-batch even on all-hit batches.
+    // Each miss set filters it (isin pushes down as an IN predicate), and
+    // its schema types the collected row snapshots.
+    private lazy val dimFrame: DataFrame = {
       val props = new java.util.Properties()
       opts.get("driver").foreach(props.setProperty("driver", _))
       opts.get("username").foreach(props.setProperty("user", _))
@@ -388,7 +390,13 @@ object FlinkDdl {
       * dimension rows of exactly this batch's keys, querying only the
       * cache misses. */
     def enrich(batch: DataFrame): DataFrame = cache.synchronized {
-      val keys = batch.select(col(key)).distinct().collect()
+      // keys normalize to the DIMENSION's key type before any cache or
+      // byKey lookup: a stream INT probing a BIGINT dimension would
+      // otherwise compare boxed Integer vs Long (never equal), negative-
+      // caching keys that exist and silently enriching nulls from the
+      // second batch on
+      val keys = batch.select(col(key).cast(
+          dimFrame.schema(key).dataType)).distinct().collect()
         .map(_.get(0)).filter(_ != null)
       val now = System.nanoTime()
       val (hit, miss) = keys.partition(k =>

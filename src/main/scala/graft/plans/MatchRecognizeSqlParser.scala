@@ -67,15 +67,26 @@ object MatchRecognizeSqlParser {
   private val FromRx = "(?is)\\bFROM\\s+([\\w.]+)\\s+MATCH_RECOGNIZE\\s*\\(".r
   private val FromSubRx = "(?is)\\bFROM\\s*\\(".r
 
-  /** Index of the parenthesis closing the one at `open`. */
+  /** Index of the parenthesis closing the one at `open`, skipping
+    * single-quoted SQL string literals (with '' escapes) — a quoted '('
+    * must not count toward nesting. */
   private def closeParen(s: String, open: Int): Int = {
     var depth = 0; var i = open
-    while (i < s.length && {
-      val c = s(i)
-      if (c == '(') depth += 1 else if (c == ')') depth -= 1
-      depth != 0
-    }) i += 1
-    require(i < s.length, "unbalanced MATCH_RECOGNIZE parentheses")
+    var done = false
+    while (i < s.length && !done) {
+      s(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && (s(i) != '\'' ||
+              (i + 1 < s.length && s(i + 1) == '\'' && { i += 1; true })))
+            i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) done = true
+        case _ =>
+      }
+      if (!done) i += 1
+    }
+    require(done, "unbalanced MATCH_RECOGNIZE parentheses")
     i
   }
 
@@ -111,7 +122,7 @@ object MatchRecognizeSqlParser {
         case None => return None
       }
     }
-    if (!names.contains(alias)) None
+    if (!names.exists(_.equalsIgnoreCase(alias))) None
     // parser re-entry: a MATCH_RECOGNIZE inside a CTE body rewrites here
     // too (each pass eliminates one clause — the recursion terminates)
     else Some(session.sql(sql.substring(0, lastEnd) + s" SELECT * FROM $alias"))
@@ -123,6 +134,9 @@ object MatchRecognizeSqlParser {
     * exists. */
   private def rewriteSubquery(session: SparkSession,
                               sql: String): Option[String] = {
+    // plain statements must never pay (or risk) the paren scan — the
+    // pre-r16 behavior for every statement without the clause
+    if ("(?i)MATCH_RECOGNIZE".r.findFirstIn(sql).isEmpty) return None
     for (m <- FromSubRx.findAllMatchIn(sql)) {
       val open = m.end - 1
       val close = closeParen(sql, open)
@@ -167,6 +181,19 @@ object MatchRecognizeSqlParser {
         val (source, srcKey) = cteFrame(session, sqlText, table) match {
           case Some(df) => (df, sqlText.hashCode * 31 + table.hashCode)
           case None =>
+            // the source is STILL defined as a CTE somewhere this textual
+            // scan cannot evaluate (a WITH after INSERT INTO, a CTE column
+            // list): binding the catalog object would silently shadow the
+            // CTE — keep the named rejection for exactly those shapes
+            val cteRx = (s"(?is)(?:\\bWITH\\b(?:\\s+RECURSIVE\\b)?|,)\\s*" +
+              s"${java.util.regex.Pattern.quote(table)}\\s+AS\\s*\\(").r
+            if (cteRx.findFirstIn(sqlText).isDefined)
+              throw new IllegalArgumentException(
+                s"MATCH_RECOGNIZE front door: FROM source '$table' is " +
+                  "defined as a CTE in a position this textual rewrite " +
+                  "cannot evaluate (a WITH clause not at statement start, " +
+                  "or a CTE with a column list) — createOrReplaceTempView " +
+                  "the input instead")
             (try session.table(table)
              catch {
                case e: org.apache.spark.sql.AnalysisException =>

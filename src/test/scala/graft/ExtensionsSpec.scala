@@ -144,6 +144,24 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
         s2.sql("SELECT * FROM no_such_table_xyz" + clause)
       }
       assert(e3.getMessage.contains("not a resolvable table"), e3.getMessage)
+      // plain statements with FROM ( and quoted parens pass through
+      // untouched (the subquery scan only engages when the statement
+      // mentions MATCH_RECOGNIZE, and the paren walk skips literals)
+      assert(s2.sql("SELECT * FROM (SELECT '(' AS x) t").head().getString(0) == "(")
+      // a quoted '(' inside the clause itself must not break the scan
+      val qRows = s2.sql("SELECT * FROM (SELECT user_id, ts, " +
+        "concat(event_type, '(') AS event_type FROM mr_events2)" +
+        clause.replace("= 'view'", "= 'view('")).collect()
+      assert(qRows.length == 1, qRows.mkString(","))
+      // a WITH clause NOT at statement start (textually unevaluable) keeps
+      // the named rejection instead of silently binding the catalog object
+      Seq((1L, "x")).toDF("user_id", "s").createOrReplaceTempView("mr_sink3")
+      val e4 = intercept[IllegalArgumentException] {
+        s2.sql("INSERT INTO mr_sink3 WITH mr_events2 AS " +
+          "(SELECT * FROM mr_events2 WHERE user_id < 0) " +
+          "SELECT user_id, 'a' FROM mr_events2" + clause)
+      }
+      assert(e4.getMessage.contains("cannot evaluate"), e4.getMessage)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

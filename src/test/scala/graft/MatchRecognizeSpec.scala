@@ -1126,6 +1126,15 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       (9L, at(3), "error", java.lang.Double.valueOf(99.0))
     ).toDF("user_id", "ts", "event_type", "value")
     assert(MatchRecognize.detect(evsNull, sql).collect().isEmpty)
+    // decimal literals in the threshold survive the rewrite (RefRx also
+    // matches "1.5" — digit-led matches are literals, not column refs):
+    // threshold = 1.5*10 + 0.5 = 15.5 for user 1, so v@55(15) still fails
+    // and v@40(25)/v@57(30) still bind — the same match set
+    val dec = MatchRecognize.detect(evs,
+        sql.replace("2 * S.value", "1.5 * S.value + 0.5"))
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)]
+      .collect().toSet
+    assert(dec == m, dec.toString)
     // named rejections: INNER member iterative, non-comparison shape,
     // candidate-dependent threshold
     val eInner = intercept[Exception](MatchRecognize.detect(evs,
