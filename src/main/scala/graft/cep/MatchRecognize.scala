@@ -759,10 +759,6 @@ object MatchRecognize {
         (v.inner2Seq ++ v.midSeq ++ v.seq).foreach { sv =>
           compiled(sv)._2.foreach(_ => sys.error(s"depth-2 nested group " +
             s"${v.name}: member $sv may not use an iterative/PREV condition"))
-          require(!bindByVar.contains(sv),
-            s"depth-2 nested group ${v.name}: value measures over member " +
-              s"$sv are not supported — the three-level chain materializes " +
-              "FIRST/LAST/COUNT timestamps only")
         }
         require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
           s"compose with a depth-2 nested group (${v.name}): the chain " +
@@ -775,6 +771,11 @@ object MatchRecognize {
           v.inner2Seq.map(sv => sv -> compiled(sv)._1),
           v.midSeq.map(sv => sv -> compiled(sv)._1),
           v.seq.map(sv => sv -> compiled(sv)._1))
+        // member VALUE measures (r16): the SHARED order derivation — the
+        // engine's groupKeep sequence (members in declaration order, each
+        // member's columns in bindByVar order)
+        nestedKeepOrder(v.inner2Seq ++ v.midSeq, v.seq, bindByVar)
+          .foreach { case (sv, c) => pat = pat.bindGroup(sv, c) }
         pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
       } else if (v.innerSeq.nonEmpty) {
         // NESTED group ((I...)+ T...)+ — one level of flink-cep
@@ -1014,12 +1015,8 @@ object MatchRecognize {
             // level-1 repetition every MID step once (COUNT(M.ts) =
             // total level-1 count) and each inner sub-sequence every
             // INNER member once (COUNT(I.ts) = total inner count).
-            if (m.field != "ts") sys.error(s"depth-2 nested group " +
-              s"${g.name}: value measures over members are not supported " +
-              "— FIRST/LAST/COUNT over timestamps only (got " +
-              s"${m.fn.getOrElse("a bare reference")}(${m.varName}." +
-              s"${m.field}))")
-            m.fn match {
+            if (m.field != "ts") memberValueMeasure(g.name, m)
+            else m.fn match {
               case Some("COUNT") if g.inner2Seq.contains(m.varName) =>
                 col(s"${g.name}_inner_n")
               case Some("COUNT") if g.midSeq.contains(m.varName) =>

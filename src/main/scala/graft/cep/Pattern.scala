@@ -496,7 +496,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * repetition probe (`r1After`) is a function the outer chain calls
     * both to punctuate and to absorb, so nothing is recomputed and the
     * walk stays O(total bindings · log candidates) per key, bounded by
-    * `maxEventsPerKey`. [[bindGroup]] / [[materializeNestedRows]] /
+    * `maxEventsPerKey`. [[bindGroup]] composes (r16 — member VALUE
+    * measures: inner values join the sub-match table, mid/tail values
+    * ride their candidate rows, and the walk folds values through TWO
+    * pending levels — a level-1 repetition's values commit into the
+    * outer attempt only when it is absorbed, the attempt's only when the
+    * outer repetition completes); [[materializeNestedRows]] /
     * [[tieBreak]] do not compose (named errors). */
   def followedByNested2Group(name: String, inner: Seq[(String, Column)],
                              mid: Seq[(String, Column)],
@@ -535,16 +540,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * same shape as [[bindRun]]'s run aggregates. An empty `(sub)*` chain
     * yields nulls with count 0. */
   def bindGroup(member: String, cols: String*): Pattern = {
-    require(steps.nonEmpty && steps.last.group.nonEmpty,
-      "bindGroup() requires followedByGroup()/followedByNestedGroup() as " +
-        "the last step")
+    require(steps.nonEmpty && (steps.last.group.nonEmpty ||
+        steps.last.inner2.nonEmpty),
+      "bindGroup() requires followedByGroup()/followedByNestedGroup()/" +
+        "followedByNested2Group() as the last step")
     // on a NESTED group (r15, upgrading the former named rejection) the
     // member may be an inner sub-step OR a tail step: inner values join
     // onto the sub-match table at the member's bound time, tail values
     // ride the tail candidate rows, and the two-level walk folds completed
     // repetitions into the same running sum/min/max/first/last/cnt state
     // the one-level chain keeps
-    require((steps.last.innerGroup ++ steps.last.group).exists(_._1 == member),
+    require((steps.last.innerGroup ++ steps.last.group ++ steps.last.inner2 ++
+        steps.last.mid2 ++ steps.last.tail2).exists(_._1 == member),
       s"bindGroup($member): not a member of group ${steps.last.name}")
     require(!steps.last.tailRes.exists(_._1 == member),
       s"bindGroup($member): does not compose with bindTailResidual on " +
@@ -1260,16 +1267,57 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             .agg(min(col(s"__gc$j")).as(s"__ge$j"))
           prevSub = col(s"__ge$j")
         }
-        // tagged candidate union: inner sub-matches (tag 0: start + end),
-        // each mid step's candidates (tags 1..nMid), each outer tail
-        // step's candidates (tags nMid+1..nMid+nTails) — all pre-reduced
+        // bindGroup VALUE measures through the depth-2 chain (r16, the
+        // m36 recipe recursed): INNER member values join the sub-match
+        // table at the member's bound time; MID and OUTER-TAIL values
+        // ride their candidate rows as per-(key, ts) min-value tables —
+        // the engine's equal-ts (value) min tie-break, doubles for O(1)
+        // running state
+        val inner2Names = s.inner2.map(_._1)
+        val gkInner = s.groupKeep.zipWithIndex.filter {
+          case ((m, _), _) => inner2Names.contains(m) }
+        val gkByStep: Map[Int, Seq[((String, String), Int)]] =
+          (s.mid2 ++ s.tail2).zipWithIndex.map { case ((tn, _), j) =>
+            j -> s.groupKeep.zipWithIndex.filter { case ((m, _), _) => m == tn }
+          }.toMap
+        gkInner.foreach { case ((m, c), i) =>
+          val im = inner2Names.indexOf(m)
+          val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
+          val vt = events.filter(s.inner2(im)._2)
+            .groupBy(key.as("__vk"), ts.as("__vts"))
+            .agg(min(col(c).cast("double")).as(s"__nv$i"))
+          isubs = isubs.join(vt, col("__gk") === col("__vk") &&
+              boundTs === col("__vts"))
+            .drop("__vk", "__vts")
+        }
+        val innerValsCol: Column =
+          if (gkInner.isEmpty) lit(null).cast("array<double>")
+          else array(gkInner.map { case (_, i) => col(s"__nv$i") }: _*)
+        // tagged candidate union: inner sub-matches (tag 0: start + end +
+        // inner bound values), each mid step's candidates (tags 1..nMid),
+        // each outer tail step's candidates (tags nMid+1..nMid+nTails) —
+        // all pre-reduced, with that step's bound values when asked
         val tagged = (s.mid2 ++ s.tail2).zipWithIndex.foldLeft(
           isubs.select(col("__gk"), lit(0).as("__tag"),
-            col("__gb").as("__t1"), prevSub.as("__t2"))) {
+            col("__gb").as("__t1"), prevSub.as("__t2"),
+            innerValsCol.as("__vals"))) {
           case (acc, ((_, p), j)) =>
-            acc.unionByName(events.filter(p).select(key.as("__gk"),
-              lit(j + 1).as("__tag"), ts.as("__t1"),
-              lit(null).cast("timestamp").as("__t2")))
+            val tks = gkByStep(j)
+            val cand =
+              if (tks.isEmpty) events.filter(p).select(key.as("__gk"),
+                lit(j + 1).as("__tag"), ts.as("__t1"),
+                lit(null).cast("timestamp").as("__t2"),
+                lit(null).cast("array<double>").as("__vals"))
+              else {
+                val aggs = tks.map { case ((_, c), i) =>
+                  min(col(c).cast("double")).as(s"__tv$i") }
+                events.filter(p).groupBy(key.as("__gk"), ts.as("__t1"))
+                  .agg(aggs.head, aggs.tail: _*)
+                  .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),
+                    lit(null).cast("timestamp").as("__t2"),
+                    array(tks.map { case (_, i) => col(s"__tv$i") }: _*).as("__vals"))
+              }
+            acc.unionByName(cand)
         }
         val anch = out.withColumn("__gprev", prevTs)
           .withColumn("__gwend", col(startTs) + win)
@@ -1288,7 +1336,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             org.apache.spark.sql.types.StructField(s"${s.name}_mid_n",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField(s"${s.name}_inner_n",
-              org.apache.spark.sql.types.LongType)))
+              org.apache.spark.sql.types.LongType)) ++
+          Pattern.groupValFields(s.name, s.groupKeep))
         val strEnc = org.apache.spark.sql.Encoders.STRING
         val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
         val candKV = tagged.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
@@ -1296,16 +1345,23 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val nMid = s.mid2.size
         val nTails = s.tail2.size
         val sName = s.name
+        // primitive groupKeep positions per source (closure copies)
+        val gkN = s.groupKeep.size
+        val gkInnerPos = gkInner.map(_._2).toArray
+        val gkStepPos = Array.tabulate(nMid + nTails)(j => gkByStep(j).map(_._2).toArray)
         val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
           val all = Pattern.boundedRows(cs, maxPK,
             s"depth-2 nested group ${sName} three-level chain walk")
           val subs = all.filter(_.getInt(1) == 0)
-            .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3)))
+            .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3),
+              if (gkInnerPos.length > 0) Pattern.dblsOf(r, 4) else null))
             .sortWith((p, q) => p._1.before(q._1))
-          // mids(0..nMid-1), touts(0..nTails-1): sorted candidate times
+          // mids(0..nMid-1), touts(0..nTails-1): sorted candidate (time,
+          // bound values)
           val cands = Array.tabulate(nMid + nTails) { j =>
-            all.filter(_.getInt(1) == j + 1).map(r => Pattern.tsOf(r, 2))
-              .sortWith((p, q) => p.before(q))
+            all.filter(_.getInt(1) == j + 1).map(r => (Pattern.tsOf(r, 2),
+              if (gkStepPos(j).length > 0) Pattern.dblsOf(r, 4) else null))
+              .sortWith((p, q) => p._1.before(q._1))
           }
           def subAfter(t: java.sql.Timestamp): Int = {
             var lo = 0; var hi = subs.length
@@ -1317,7 +1373,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             val arr = cands(j)
             var lo = 0; var hi = arr.length
             while (lo < hi) { val mid = (lo + hi) >>> 1
-              if (arr(mid).after(t)) hi = mid else lo = mid + 1 }
+              if (arr(mid)._1.after(t)) hi = mid else lo = mid + 1 }
             lo
           }
           as.flatMap { a =>
@@ -1332,32 +1388,65 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             // a shrinking candidate set, so no later anchor completes
             // earlier)
             def r1After(t: java.sql.Timestamp)
-                : (java.sql.Timestamp, java.sql.Timestamp, Long) = {
+                : (java.sql.Timestamp, java.sql.Timestamp, Long,
+                   scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)]) = {
               val i0 = subAfter(t)
               if (i0 >= subs.length || subs(i0)._2.after(wEnd)) return null
+              // the repetition's bound values in binding order — folded
+              // into the attempt only if the repetition COMPLETES, and
+              // into the committed state only if the OUTER repetition
+              // does (greedy-no-backtracking at both levels)
+              val pend = if (gkN > 0)
+                scala.collection.mutable.ArrayBuffer.empty[(Int, java.lang.Double)]
+              else null
+              def subVals(idx: Int): Unit = if (gkInnerPos.length > 0) {
+                val vs = subs(idx)._3
+                var p = 0
+                while (p < gkInnerPos.length) {
+                  pend += ((gkInnerPos(p), vs(p))); p += 1
+                }
+              }
               var e = subs(i0)._2
               var k = 1L
+              subVals(i0)
               var more = true
               while (more) {
                 val nx = subAfter(e)
                 val mx = candAfter(0, e)
                 val mCand = if (mx < cands(0).length &&
-                    !cands(0)(mx).after(wEnd)) cands(0)(mx) else null
+                    !cands(0)(mx)._1.after(wEnd)) cands(0)(mx)._1 else null
                 if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
                     (mCand != null && !subs(nx)._2.before(mCand))) more = false
-                else { e = subs(nx)._2; k += 1 }
+                else { e = subs(nx)._2; k += 1; subVals(nx) }
               }
               var t2 = e; var mi = 0
               while (mi < nMid) {
                 val x = candAfter(mi, t2)
-                if (x >= cands(mi).length || cands(mi)(x).after(wEnd)) return null
-                t2 = cands(mi)(x); mi += 1
+                if (x >= cands(mi).length || cands(mi)(x)._1.after(wEnd)) return null
+                t2 = cands(mi)(x)._1
+                if (gkStepPos(mi).length > 0) {
+                  val vs = cands(mi)(x)._2
+                  var p = 0
+                  while (p < gkStepPos(mi).length) {
+                    pend += ((gkStepPos(mi)(p), vs(p))); p += 1
+                  }
+                }
+                mi += 1
               }
-              (subs(i0)._1, t2, k)
+              (subs(i0)._1, t2, k, pend)
             }
             var lastEnd = tau
             var first: java.sql.Timestamp = null
             var n = 0L; var midTot = 0L; var innerTot = 0L; var done = false
+            // committed bindGroup running state (the one-level chain's
+            // shape) — folded per COMMITTED outer repetition
+            val vSum = new Array[java.lang.Double](gkN)
+            val vMin = new Array[java.lang.Double](gkN)
+            val vMax = new Array[java.lang.Double](gkN)
+            val vFirst = new Array[java.lang.Double](gkN)
+            val vLast = new Array[java.lang.Double](gkN)
+            val vCnt = new Array[Long](gkN)
+            val vSeen = new Array[Boolean](gkN)
             while (!done) {
               // one OUTER repetition: a greedy chain of level-1
               // repetitions (first one unconditional, the rest punctuated
@@ -1368,37 +1457,71 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               else {
                 var gEnd = r1._2; var m = 1L; var kSum = r1._3
                 val repFirst = r1._1
+                // the outer attempt's pending values: absorbed level-1
+                // repetitions' values + the outer tails' — committed only
+                // when the outer repetition completes
+                val pendAtt = if (gkN > 0)
+                  scala.collection.mutable.ArrayBuffer.empty[(Int, java.lang.Double)]
+                else null
+                if (gkN > 0) pendAtt ++= r1._4
                 var more = true
                 while (more) {
                   val tx = candAfter(nMid, gEnd)
                   val tCand = if (tx < cands(nMid).length &&
-                      !cands(nMid)(tx).after(wEnd)) cands(nMid)(tx) else null
+                      !cands(nMid)(tx)._1.after(wEnd)) cands(nMid)(tx)._1 else null
                   val nx = r1After(gEnd)
                   if (nx == null ||
                       (tCand != null && !nx._2.before(tCand))) more = false
-                  else { gEnd = nx._2; m += 1; kSum += nx._3 }
+                  else {
+                    gEnd = nx._2; m += 1; kSum += nx._3
+                    if (gkN > 0) pendAtt ++= nx._4
+                  }
                 }
                 var t = gEnd; var ok = true; var ti = 0
                 while (ok && ti < nTails) {
                   val x = candAfter(nMid + ti, t)
                   if (x >= cands(nMid + ti).length ||
-                      cands(nMid + ti)(x).after(wEnd)) ok = false
-                  else { t = cands(nMid + ti)(x); ti += 1 }
+                      cands(nMid + ti)(x)._1.after(wEnd)) ok = false
+                  else {
+                    t = cands(nMid + ti)(x)._1
+                    if (gkStepPos(nMid + ti).length > 0) {
+                      val vs = cands(nMid + ti)(x)._2
+                      var p = 0
+                      while (p < gkStepPos(nMid + ti).length) {
+                        pendAtt += ((gkStepPos(nMid + ti)(p), vs(p))); p += 1
+                      }
+                    }
+                    ti += 1
+                  }
                 }
                 if (!ok) done = true
                 else {
                   if (n == 0) first = repFirst
                   lastEnd = t; n += 1; midTot += m; innerTot += kSum
+                  if (gkN > 0) pendAtt.foreach { case (gi, v) =>
+                    if (!vSeen(gi)) { vFirst(gi) = v; vSeen(gi) = true }
+                    vLast(gi) = v
+                    if (v != null) {
+                      vCnt(gi) += 1
+                      vSum(gi) = if (vSum(gi) == null) v
+                                 else java.lang.Double.valueOf(vSum(gi) + v)
+                      if (vMin(gi) == null || v < vMin(gi)) vMin(gi) = v
+                      if (vMax(gi) == null || v > vMax(gi)) vMax(gi) = v
+                    }
+                  }
                 }
               }
             }
+            val valCols: Seq[Any] = (0 until gkN).flatMap(j =>
+              Seq(vSum(j), vMin(j), vMax(j), vFirst(j), vLast(j), vCnt(j)))
             // ((( ... )+ ...)* (opt): an empty chain keeps the match row
             // with null boundaries and count 0 — the zeroOrMore convention
             if (n == 0 && !optGroup) Iterator.empty
             else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
-              a.toSeq ++ Seq(null, null, 0L, 0L, 0L)))
+              a.toSeq ++ Seq(null, null, 0L, 0L, 0L) ++
+                (0 until gkN).flatMap(_ => Seq(null, null, null, null, null, 0L))))
             else Iterator.single(org.apache.spark.sql.Row.fromSeq(
-              a.toSeq ++ Seq(first, lastEnd, n, midTot, innerTot)))
+              a.toSeq ++ Seq(first, lastEnd, n, midTot, innerTot) ++ valCols))
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
         out = chained.toDF().drop("__gprev", "__gwend")

@@ -1236,13 +1236,53 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     // then fails — NO match (greedy-no-backtracking, the chain never
     // retries with fewer reps). User 2: chain ends @4, P binds b@5.
     assert(tr == Set((2L, at(0), 1L, at(5))), tr.toString)
-    // named rejections: member value measures, ALL ROWS
-    val ev = intercept[Exception](MatchRecognize.detect(evs,
-      sql.replace("COUNT(B.ts) AS n_inner", "SUM(C.value) AS sum_c")).collect())
-    assert(ev.getMessage.contains("value measures"), ev.getMessage)
+    // member VALUE measures are SUPPORTED (r16 late add — behavior pinned
+    // by the dedicated depth-2 value test; this corpus has value = 0.0)
+    val ev = MatchRecognize.detect(evs,
+      sql.replace("COUNT(B.ts) AS n_inner", "SUM(C.value) AS sum_c"))
+      .collect()
+    assert(ev.length == 2 && ev.forall(_.getAs[Double]("sum_c") == 0.0),
+      ev.mkString(","))
+    // ALL ROWS stays a named rejection
     val ea = intercept[Exception](MatchRecognize.detect(evs,
       sql.replace("PATTERN", "ALL ROWS PER MATCH\n  PATTERN")).collect())
     assert(ea.getMessage.contains("ALL ROWS"), ea.getMessage)
+  }
+
+  test("DEPTH-2 nested group member VALUE measures (two pending levels)") {
+    // the m39 corpus with value = minute index. Committed bindings:
+    //   user 1: B@{1,3,6,10} C@{2,4,7,11} V@{5,8,12} W@{9,13}
+    //     (the SPECULATED-but-unabsorbed R1 ending @12 in outer rep 1 is
+    //     re-walked and committed by outer rep 2 — counted ONCE)
+    //   user 2: B@1 C@2 V@3 W@4; the dangling complete R1 (5,6,7) with no
+    //     W after is DISCARDED at the outer level — its values too
+    def rows(k: Long, evs: (Long, String)*) =
+      evs.map { case (min0, et) => (k, at(min0), et, min0.toDouble) }
+    val evs = (rows(1L, 0L -> "s", 1L -> "b", 2L -> "c", 3L -> "b",
+        4L -> "c", 5L -> "v", 6L -> "b", 7L -> "c", 8L -> "v", 9L -> "w",
+        10L -> "b", 11L -> "c", 12L -> "v", 13L -> "w") ++
+      rows(2L, 0L -> "s", 1L -> "b", 2L -> "c", 3L -> "v", 4L -> "w",
+        5L -> "b", 6L -> "c", 7L -> "v"))
+      .toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(W.ts) AS n_outer,
+        |           SUM(B.value) AS sum_b, AVG(C.value) AS avg_c,
+        |           MAX(V.value) AS max_v, LAST(W.value) AS last_w,
+        |           COUNT(C.value) AS cnt_c
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w'
+        |)""".stripMargin)
+      .as[(Long, Timestamp, Long, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    assert(m == Set(
+      (1L, at(0), 2L, 20.0, 6.0, 12.0, 13.0, 4L),
+      (2L, at(0), 1L, 1.0, 2.0, 3.0, 4.0, 1L)), m.toString)
   }
 
   test("ALL ROWS over a MIXED group+run pattern (S (B C)+ V+ P)") {
