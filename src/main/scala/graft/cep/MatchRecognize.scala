@@ -763,10 +763,11 @@ object MatchRecognize {
         require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
           s"compose with a depth-2 nested group (${v.name}): the chain " +
           "binds no member values for a tiebreak to steer")
-        require(!spec.allRows, s"ALL ROWS PER MATCH over a depth-2 nested " +
-          s"group (${v.name}) is not supported — the three-level walk " +
-          "does not materialize per-event rows (use the one-level " +
-          "((I...)+ T...)+ shape, or ONE ROW PER MATCH with COUNT measures)")
+        require(!spec.allRows || bindByVar.keySet.intersect(
+            (v.inner2Seq ++ v.midSeq ++ v.seq).toSet).isEmpty,
+          s"ALL ROWS PER MATCH over a depth-2 nested group (${v.name}) " +
+            "does not compose with member VALUE measures — per-row " +
+            "running value snapshots are one-level only")
         pat = pat.followedByNested2Group(v.name,
           v.inner2Seq.map(sv => sv -> compiled(sv)._1),
           v.midSeq.map(sv => sv -> compiled(sv)._1),
@@ -776,6 +777,9 @@ object MatchRecognize {
         // member's columns in bindByVar order)
         nestedKeepOrder(v.inner2Seq ++ v.midSeq, v.seq, bindByVar)
           .foreach { case (sv, c) => pat = pat.bindGroup(sv, c) }
+        // ALL ROWS (r16): the walk materializes every committed bound
+        // event with running (reps, mids, subs) counts
+        if (spec.allRows) pat = pat.materializeNestedRows()
         pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()
       } else if (v.innerSeq.nonEmpty) {
         // NESTED group ((I...)+ T...)+ — one level of flink-cep
@@ -1194,6 +1198,16 @@ object MatchRecognize {
                             compiled: Map[String, (Column, Option[Column], Seq[(String, String)])],
                             bindByVar: Map[String, Seq[String]]): DataFrame = {
     val runVs = spec.vars.filter(v => v.quant.exists(isRunQ))
+    val nested2Vs = spec.vars.filter(_.inner2Seq.nonEmpty)
+    if (nested2Vs.nonEmpty) {
+      require(nested2Vs.size == 1 && spec.vars.count(_.seq.nonEmpty) == 1,
+        "ALL ROWS PER MATCH supports one depth-2 nested group (no other " +
+          "groups)")
+      require(!runVs.exists(v => v.seq.isEmpty),
+        "ALL ROWS PER MATCH: a depth-2 nested group does not compose with " +
+          "plain '+'/'*' runs in the same pattern")
+      return allRowsNested2(spec, matches0, nested2Vs.head)
+    }
     val nestedVs = spec.vars.filter(_.innerSeq.nonEmpty)
     if (nestedVs.nonEmpty) {
       require(nestedVs.size == 1 && spec.vars.count(_.seq.nonEmpty) == 1,
@@ -1380,6 +1394,92 @@ object MatchRecognize {
           s"prefix variable ${m.varName}: bare/FIRST/LAST only (got " +
             s"${m.fn.get})")
         // running semantics: a later prefix variable is null before its row
+        if (i <= u) col(s"${m.varName}_${m.field}")
+        else when(lit(false), col(s"${m.varName}_${m.field}"))
+      }
+    val prefixStructs = pre.zipWithIndex.map { case (v, u) =>
+      struct((lit(v.name).as("cls") +: col(s"${v.name}_ts").as("ts") +:
+        spec.measures.map(m => measureAt(m, u, None).as(m.alias))): _*)
+    }
+    val memberRows = transform(col(s"${g.name}_rows"), r =>
+      struct((r.getField("cls").as("cls") +: r.getField("ts").as("ts") +:
+        spec.measures.map(m => measureAt(m, pre.size, Some(r)).as(m.alias))): _*))
+    val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
+    matches
+      .select(keyOut(spec) :+
+        explode(concat(array(prefixStructs: _*), memberRows)).as("__r"): _*)
+      .select(spec.partitionBy.map(col) ++
+        rowCols.map(n => col(s"__r.$n").as(n)): _*)
+  }
+
+  /** [[allRowsOutput]]'s DEPTH-2 expansion — ALL ROWS over
+    * `(((B C)+ V)+ W)+` (r16; reference StreamExecMatch emits member rows
+    * for ANY pattern shape): the three-level walk materialized every
+    * COMMITTED bound event with its classifier and running counts
+    * (`Pattern.materializeNestedRows` on a depth-2 step: `<g>_rows` =
+    * (ts, cls, reps, mids, subs) — rows of rejected level-1 speculations
+    * and uncommitted outer attempts were discarded in the walk), so the
+    * expansion is one generator over the match row. Supported measures:
+    * plain unquantified PREFIX variables, CLASSIFIER(), MATCH_NUMBER(),
+    * running COUNT over an outer-tail member or the group (outer
+    * repetitions as of the row), over the FINAL mid member (level-1
+    * repetitions as of the row) and over the FINAL inner member (inner
+    * sub-sequences as of the row); member value measures and everything
+    * else are named errors. The group must be the final pattern element. */
+  private def allRowsNested2(spec: Spec, matches0: DataFrame,
+                             g: PatternVar): DataFrame = {
+    require(spec.vars.last.name == g.name,
+      "ALL ROWS over a depth-2 nested group: the group must be the FINAL " +
+        "pattern element")
+    val pre = spec.vars.init
+    pre.foreach(v => require(v.quant.isEmpty && v.alts.isEmpty && v.seq.isEmpty,
+      "ALL ROWS over a depth-2 nested group composes with plain " +
+        s"unquantified prefix variables only (got ${v.name})"))
+    val mnAliases = spec.measures.filter(_.fn.contains("MATCH_NUMBER")).map(_.alias)
+    val matches = if (mnAliases.isEmpty) matches0 else {
+      val mnWindow = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(matches0.columns.filter(_.endsWith("_ts")).map(col).toIndexedSeq: _*)
+      mnAliases.foldLeft(matches0)((df, a) =>
+        df.withColumn(s"__mn_$a", row_number().over(mnWindow).cast("long")))
+    }
+    val finalInner = g.inner2Seq.last
+    val finalMid = g.midSeq.last
+    val preIdx: Map[String, Int] = pre.map(_.name).zipWithIndex.toMap
+    def isMember(v: String): Boolean =
+      v == g.name || g.inner2Seq.contains(v) || g.midSeq.contains(v) ||
+        g.seq.contains(v)
+    def measureAt(m: Measure, u: Int, r: Option[Column]): Column =
+      if (m.fn.contains("MATCH_NUMBER")) col(s"__mn_${m.alias}")
+      else if (m.fn.contains("CLASSIFIER"))
+        r.map(_.getField("cls")).getOrElse(lit(pre(u).name))
+      else if (isMember(m.varName)) {
+        require(m.field == "ts",
+          s"ALL ROWS over depth-2 nested group ${g.name}: member VALUE " +
+            "measures are not materialized per row (running counts only) " +
+            s"— got ${m.fn.getOrElse("a bare reference")}(${m.varName}." +
+            s"${m.field})")
+        require(m.fn.contains("COUNT"),
+          s"ALL ROWS over depth-2 nested group ${g.name}: running COUNT " +
+            s"is the only member measure (got " +
+            s"${m.fn.getOrElse("a bare reference")}(${m.varName}.ts))")
+        if (g.inner2Seq.contains(m.varName)) {
+          require(m.varName == finalInner,
+            s"COUNT(${m.varName}.ts): running inner counts materialize " +
+              s"for the FINAL inner member only ($finalInner)")
+          r.map(_.getField("subs")).getOrElse(lit(0L))
+        } else if (g.midSeq.contains(m.varName)) {
+          require(m.varName == finalMid,
+            s"COUNT(${m.varName}.ts): running level-1 counts materialize " +
+              s"for the FINAL mid member only ($finalMid)")
+          r.map(_.getField("mids")).getOrElse(lit(0L))
+        } else r.map(_.getField("reps")).getOrElse(lit(0L))
+      } else {
+        val i = preIdx.getOrElse(m.varName,
+          sys.error(s"unknown variable ${m.varName}"))
+        require(m.fn.isEmpty || m.fn.contains("FIRST") || m.fn.contains("LAST"),
+          s"prefix variable ${m.varName}: bare/FIRST/LAST only (got " +
+            s"${m.fn.get})")
         if (i <= u) col(s"${m.varName}_${m.field}")
         else when(lit(false), col(s"${m.varName}_${m.field}"))
       }

@@ -556,6 +556,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(!steps.last.tailRes.exists(_._1 == member),
       s"bindGroup($member): does not compose with bindTailResidual on " +
         "the same member")
+    require(steps.last.inner2.isEmpty || !steps.last.groupRows,
+      s"bindGroup($member): per-row running value snapshots are one-level " +
+        "only — does not compose with materializeNestedRows on a depth-2 " +
+        "group")
     new Pattern(steps.init :+ steps.last.copy(
       groupKeep = steps.last.groupKeep ++ cols.map(member -> _)),
       notStep, windowMs, skipPastLast, skipTo)
@@ -630,9 +634,22 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * the row's own contribution) — the raw material for ALL ROWS running
     * SUM/COUNT/AVG value measures. Running MIN/MAX/FIRST/LAST per row
     * are not materialized (named errors downstream). */
+  /** On a DEPTH-2 group (r16) the materialized structs additionally carry
+    * `mids` — level-1 repetitions completed as of the row (a row that
+    * itself completes one counts it, the same convention as reps/subs);
+    * rows of a level-1 repetition that is never absorbed, or of an outer
+    * repetition that never completes, are never emitted (the two-level
+    * discard the value fold follows). Running value snapshots
+    * (`vsum`/`vcnt`) are one-level only — bindGroup + materializeNestedRows
+    * on a depth-2 step is a named mutual exclusion. */
   def materializeNestedRows(): Pattern = {
-    require(steps.nonEmpty && steps.last.innerGroup.nonEmpty,
-      "materializeNestedRows() requires followedByNestedGroup() as the last step")
+    require(steps.nonEmpty && (steps.last.innerGroup.nonEmpty ||
+        steps.last.inner2.nonEmpty),
+      "materializeNestedRows() requires followedByNestedGroup()/" +
+        "followedByNested2Group() as the last step")
+    require(steps.last.inner2.isEmpty || steps.last.groupKeep.isEmpty,
+      "materializeNestedRows() on a depth-2 group does not compose with " +
+        "bindGroup (per-row running value snapshots are one-level only)")
     new Pattern(steps.init :+ steps.last.copy(groupRows = true),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -1293,21 +1310,30 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val innerValsCol: Column =
           if (gkInner.isEmpty) lit(null).cast("array<double>")
           else array(gkInner.map { case (_, i) => col(s"__nv$i") }: _*)
+        // materializeNestedRows: each sub-match carries its MEMBER binding
+        // times in member order (start + chained completion times)
+        val memTs: Seq[Column] = col("__gb") +:
+          (0 until s.inner2.size - 1).map(j => col(s"__ge$j"))
+        val memsCol: Column =
+          if (s.groupRows) array(memTs: _*)
+          else lit(null).cast("array<timestamp>")
         // tagged candidate union: inner sub-matches (tag 0: start + end +
-        // inner bound values), each mid step's candidates (tags 1..nMid),
-        // each outer tail step's candidates (tags nMid+1..nMid+nTails) —
-        // all pre-reduced, with that step's bound values when asked
+        // inner bound values + member times), each mid step's candidates
+        // (tags 1..nMid), each outer tail step's candidates (tags
+        // nMid+1..nMid+nTails) — all pre-reduced, with that step's bound
+        // values when asked
         val tagged = (s.mid2 ++ s.tail2).zipWithIndex.foldLeft(
           isubs.select(col("__gk"), lit(0).as("__tag"),
             col("__gb").as("__t1"), prevSub.as("__t2"),
-            innerValsCol.as("__vals"))) {
+            innerValsCol.as("__vals"), memsCol.as("__mems"))) {
           case (acc, ((_, p), j)) =>
             val tks = gkByStep(j)
             val cand =
               if (tks.isEmpty) events.filter(p).select(key.as("__gk"),
                 lit(j + 1).as("__tag"), ts.as("__t1"),
                 lit(null).cast("timestamp").as("__t2"),
-                lit(null).cast("array<double>").as("__vals"))
+                lit(null).cast("array<double>").as("__vals"),
+                lit(null).cast("array<timestamp>").as("__mems"))
               else {
                 val aggs = tks.map { case ((_, c), i) =>
                   min(col(c).cast("double")).as(s"__tv$i") }
@@ -1315,7 +1341,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   .agg(aggs.head, aggs.tail: _*)
                   .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),
                     lit(null).cast("timestamp").as("__t2"),
-                    array(tks.map { case (_, i) => col(s"__tv$i") }: _*).as("__vals"))
+                    array(tks.map { case (_, i) => col(s"__tv$i") }: _*).as("__vals"),
+                    lit(null).cast("array<timestamp>").as("__mems"))
               }
             acc.unionByName(cand)
         }
@@ -1337,7 +1364,21 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField(s"${s.name}_inner_n",
               org.apache.spark.sql.types.LongType)) ++
-          Pattern.groupValFields(s.name, s.groupKeep))
+          Pattern.groupValFields(s.name, s.groupKeep) ++
+          (if (!s.groupRows) Nil else Seq(
+            org.apache.spark.sql.types.StructField(s"${s.name}_rows",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("ts",
+                    org.apache.spark.sql.types.TimestampType),
+                  org.apache.spark.sql.types.StructField("cls",
+                    org.apache.spark.sql.types.StringType),
+                  org.apache.spark.sql.types.StructField("reps",
+                    org.apache.spark.sql.types.LongType),
+                  org.apache.spark.sql.types.StructField("mids",
+                    org.apache.spark.sql.types.LongType),
+                  org.apache.spark.sql.types.StructField("subs",
+                    org.apache.spark.sql.types.LongType))), false)))))
         val strEnc = org.apache.spark.sql.Encoders.STRING
         val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
         val candKV = tagged.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
@@ -1345,6 +1386,11 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val nMid = s.mid2.size
         val nTails = s.tail2.size
         val sName = s.name
+        val matRows = s.groupRows
+        // all member names in tag order: inner members, mids, outer tails
+        val clsNames = (s.inner2.map(_._1) ++ s.mid2.map(_._1) ++
+          s.tail2.map(_._1)).toArray
+        val nInner = s.inner2.size
         // primitive groupKeep positions per source (closure copies)
         val gkN = s.groupKeep.size
         val gkInnerPos = gkInner.map(_._2).toArray
@@ -1354,7 +1400,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             s"depth-2 nested group ${sName} three-level chain walk")
           val subs = all.filter(_.getInt(1) == 0)
             .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3),
-              if (gkInnerPos.length > 0) Pattern.dblsOf(r, 4) else null))
+              if (gkInnerPos.length > 0) Pattern.dblsOf(r, 4) else null,
+              if (matRows) r.getSeq[Any](5).map(Pattern.anyToTs) else null))
             .sortWith((p, q) => p._1.before(q._1))
           // mids(0..nMid-1), touts(0..nTails-1): sorted candidate (time,
           // bound values)
@@ -1389,25 +1436,44 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             // earlier)
             def r1After(t: java.sql.Timestamp)
                 : (java.sql.Timestamp, java.sql.Timestamp, Long,
-                   scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)]) = {
+                   scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)],
+                   scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Int, Long, Long)]) = {
               val i0 = subAfter(t)
               if (i0 >= subs.length || subs(i0)._2.after(wEnd)) return null
-              // the repetition's bound values in binding order — folded
+              // the repetition's bound values (and, under
+              // materializeNestedRows, its rows with LOCAL counts:
+              // (ts, member index, mids delta, subs-as-of-local)) — folded
               // into the attempt only if the repetition COMPLETES, and
               // into the committed state only if the OUTER repetition
               // does (greedy-no-backtracking at both levels)
               val pend = if (gkN > 0)
                 scala.collection.mutable.ArrayBuffer.empty[(Int, java.lang.Double)]
               else null
-              def subVals(idx: Int): Unit = if (gkInnerPos.length > 0) {
-                val vs = subs(idx)._3
-                var p = 0
-                while (p < gkInnerPos.length) {
-                  pend += ((gkInnerPos(p), vs(p))); p += 1
+              val rows = if (matRows)
+                scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, Int, Long, Long)]
+              else null
+              var k = 0L
+              def subVals(idx: Int): Unit = {
+                if (gkInnerPos.length > 0) {
+                  val vs = subs(idx)._3
+                  var p = 0
+                  while (p < gkInnerPos.length) {
+                    pend += ((gkInnerPos(p), vs(p))); p += 1
+                  }
+                }
+                if (matRows) {
+                  val mems = subs(idx)._4
+                  var j = 0
+                  while (j < mems.length) {
+                    // the final member completes the sub and counts it
+                    rows += ((mems(j), j, 0L,
+                      if (j == mems.length - 1) k else k - 1))
+                    j += 1
+                  }
                 }
               }
               var e = subs(i0)._2
-              var k = 1L
+              k = 1L
               subVals(i0)
               var more = true
               while (more) {
@@ -1431,9 +1497,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                     pend += ((gkStepPos(mi)(p), vs(p))); p += 1
                   }
                 }
+                // the LAST mid step completes the level-1 repetition
+                if (matRows) rows += ((t2, nInner + mi,
+                  if (mi == nMid - 1) 1L else 0L, k))
                 mi += 1
               }
-              (subs(i0)._1, t2, k, pend)
+              (subs(i0)._1, t2, k, pend, rows)
             }
             var lastEnd = tau
             var first: java.sql.Timestamp = null
@@ -1447,6 +1516,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             val vLast = new Array[java.lang.Double](gkN)
             val vCnt = new Array[Long](gkN)
             val vSeen = new Array[Boolean](gkN)
+            // materializeNestedRows: committed rows flush per COMMITTED
+            // outer repetition — a rejected speculation's rows die with
+            // it, a failed attempt's with the attempt
+            val allRows = if (matRows)
+              scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            else null
             while (!done) {
               // one OUTER repetition: a greedy chain of level-1
               // repetitions (first one unconditional, the rest punctuated
@@ -1464,6 +1539,20 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   scala.collection.mutable.ArrayBuffer.empty[(Int, java.lang.Double)]
                 else null
                 if (gkN > 0) pendAtt ++= r1._4
+                val attRows = if (matRows)
+                  scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+                else null
+                // local row counts -> global running counts, resolved at
+                // ABSORB time (attempt offsets known then): reps = outer
+                // completed (n), mids/subs = committed + attempt-before +
+                // the row's local delta
+                def absorbRows(rws: scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Int, Long, Long)],
+                               attMidsBefore: Long, attInnerBefore: Long): Unit =
+                  if (matRows) rws.foreach { case (ts0, ci, md, sl) =>
+                    attRows += org.apache.spark.sql.Row(ts0, clsNames(ci), n,
+                      midTot + attMidsBefore + md, innerTot + attInnerBefore + sl)
+                  }
+                absorbRows(if (matRows) r1._5 else null, 0L, 0L)
                 var more = true
                 while (more) {
                   val tx = candAfter(nMid, gEnd)
@@ -1473,6 +1562,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   if (nx == null ||
                       (tCand != null && !nx._2.before(tCand))) more = false
                   else {
+                    absorbRows(if (matRows) nx._5 else null, m, kSum)
                     gEnd = nx._2; m += 1; kSum += nx._3
                     if (gkN > 0) pendAtt ++= nx._4
                   }
@@ -1491,6 +1581,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                         pendAtt += ((gkStepPos(nMid + ti)(p), vs(p))); p += 1
                       }
                     }
+                    // an outer-tail row completes the outer repetition
+                    if (matRows) attRows += org.apache.spark.sql.Row(t,
+                      clsNames(nInner + nMid + ti), n + 1, midTot + m,
+                      innerTot + kSum)
                     ti += 1
                   }
                 }
@@ -1498,6 +1592,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 else {
                   if (n == 0) first = repFirst
                   lastEnd = t; n += 1; midTot += m; innerTot += kSum
+                  if (matRows) allRows ++= attRows
                   if (gkN > 0) pendAtt.foreach { case (gi, v) =>
                     if (!vSeen(gi)) { vFirst(gi) = v; vSeen(gi) = true }
                     vLast(gi) = v
@@ -1514,14 +1609,16 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             }
             val valCols: Seq[Any] = (0 until gkN).flatMap(j =>
               Seq(vSum(j), vMin(j), vMax(j), vFirst(j), vLast(j), vCnt(j)))
+            val rowsCols: Seq[Any] = if (matRows) Seq(allRows.toSeq) else Nil
             // ((( ... )+ ...)* (opt): an empty chain keeps the match row
             // with null boundaries and count 0 — the zeroOrMore convention
             if (n == 0 && !optGroup) Iterator.empty
             else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
               a.toSeq ++ Seq(null, null, 0L, 0L, 0L) ++
-                (0 until gkN).flatMap(_ => Seq(null, null, null, null, null, 0L))))
+                (0 until gkN).flatMap(_ => Seq(null, null, null, null, null, 0L)) ++
+                (if (matRows) Seq(Seq.empty) else Nil)))
             else Iterator.single(org.apache.spark.sql.Row.fromSeq(
-              a.toSeq ++ Seq(first, lastEnd, n, midTot, innerTot) ++ valCols))
+              a.toSeq ++ Seq(first, lastEnd, n, midTot, innerTot) ++ valCols ++ rowsCols))
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
         out = chained.toDF().drop("__gprev", "__gwend")

@@ -1285,6 +1285,64 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       (2L, at(0), 1L, 1.0, 2.0, 3.0, 4.0, 1L)), m.toString)
   }
 
+  test("ALL ROWS PER MATCH over a DEPTH-2 nested group (running " +
+       "reps/mids/subs per row; rejected speculations emit nothing)") {
+    val evs = Seq(
+      (1L, at(0), "s"), (1L, at(1), "b"), (1L, at(2), "c"),
+      (1L, at(3), "b"), (1L, at(4), "c"), (1L, at(5), "v"),
+      (1L, at(6), "b"), (1L, at(7), "c"), (1L, at(8), "v"),
+      (1L, at(9), "w"),
+      (1L, at(10), "b"), (1L, at(11), "c"), (1L, at(12), "v"),
+      (1L, at(13), "w"),
+      (2L, at(0), "s"), (2L, at(1), "b"), (2L, at(2), "c"),
+      (2L, at(3), "v"), (2L, at(4), "w"),
+      // user 2's dangling complete R1 with no W: its rows must NOT emit
+      (2L, at(5), "b"), (2L, at(6), "c"), (2L, at(7), "v")
+    ).toDF("user_id", "ts", "event_type")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(W.ts) AS n_reps,
+        |           COUNT(V.ts) AS n_mids, COUNT(C.ts) AS n_subs
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w'
+        |)""".stripMargin)
+      .select($"user_id", $"cls", $"ts", $"n_reps", $"n_mids", $"n_subs")
+      .as[(Long, String, Timestamp, Long, Long, Long)].collect().toSet
+    val u1 = Seq(
+      ("S", 0L, 0L, 0L, 0L), ("B", 1L, 0L, 0L, 0L), ("C", 2L, 0L, 0L, 1L),
+      ("B", 3L, 0L, 0L, 1L), ("C", 4L, 0L, 0L, 2L), ("V", 5L, 0L, 1L, 2L),
+      ("B", 6L, 0L, 1L, 2L), ("C", 7L, 0L, 1L, 3L), ("V", 8L, 0L, 2L, 3L),
+      ("W", 9L, 1L, 2L, 3L), ("B", 10L, 1L, 2L, 3L), ("C", 11L, 1L, 2L, 4L),
+      ("V", 12L, 1L, 3L, 4L), ("W", 13L, 2L, 3L, 4L)
+    ).map { case (c, t, r, mm, ss) => (1L, c, at(t), r, mm, ss) }
+    val u2 = Seq(
+      ("S", 0L, 0L, 0L, 0L), ("B", 1L, 0L, 0L, 0L), ("C", 2L, 0L, 0L, 1L),
+      ("V", 3L, 0L, 1L, 1L), ("W", 4L, 1L, 1L, 1L)
+    ).map { case (c, t, r, mm, ss) => (2L, c, at(t), r, mm, ss) }
+    assert(m == (u1 ++ u2).toSet, m.toSeq.sortBy(r => (r._1, r._3.getTime))
+      .mkString("\n"))
+    // value measures under depth-2 ALL ROWS: named rejection
+    val ev2 = evs.withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+    val e = intercept[Exception](MatchRecognize.detect(ev2,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES SUM(B.value) AS sb
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w'
+        |)""".stripMargin).collect())
+    assert(e.getMessage.contains("value"), e.getMessage)
+  }
+
   test("ALL ROWS over a MIXED group+run pattern (S (B C)+ V+ P)") {
     // two (click view) repetitions, then an error+ run, then purchase:
     // group member rows ride the repetition arrays, run member rows the
