@@ -753,9 +753,9 @@ object MatchRecognize {
       } else if (v.inner2Seq.nonEmpty) {
         // DEPTH-2 nested group (((I...)+ M...)+ T...)+ — two levels of
         // flink-cep GroupPattern composition; the chain carries boundary
-        // timestamps and outer/mid/inner repetition counts. Value
-        // measures and member binds are named rejections (the three-level
-        // walk materializes counts, not running value state).
+        // timestamps, outer/mid/inner repetition counts and (r16 late
+        // adds) bindGroup running value aggregates + materialized ALL
+        // ROWS rows, both folded through the two pending levels.
         (v.inner2Seq ++ v.midSeq ++ v.seq).foreach { sv =>
           compiled(sv)._2.foreach(_ => sys.error(s"depth-2 nested group " +
             s"${v.name}: member $sv may not use an iterative/PREV condition"))
@@ -1385,7 +1385,14 @@ object MatchRecognize {
             s"COUNT(${m.varName}.ts): running inner counts materialize " +
               s"for the FINAL inner member only ($finalInner)")
           r.map(_.getField("subs")).getOrElse(lit(0L))
-        } else r.map(_.getField("reps")).getOrElse(lit(0L))
+        } else {
+          // reps counts COMPLETED repetitions — only the FINAL tail's
+          // running count equals it on every row
+          require(m.varName == g.name || m.varName == g.seq.last,
+            s"COUNT(${m.varName}.ts): running tail counts materialize " +
+              s"for the FINAL tail member only (${g.seq.last})")
+          r.map(_.getField("reps")).getOrElse(lit(0L))
+        }
         }
       } else {
         val i = preIdx.getOrElse(m.varName,
@@ -1473,7 +1480,12 @@ object MatchRecognize {
             s"COUNT(${m.varName}.ts): running level-1 counts materialize " +
               s"for the FINAL mid member only ($finalMid)")
           r.map(_.getField("mids")).getOrElse(lit(0L))
-        } else r.map(_.getField("reps")).getOrElse(lit(0L))
+        } else {
+          require(m.varName == g.name || m.varName == g.seq.last,
+            s"COUNT(${m.varName}.ts): running outer counts materialize " +
+              s"for the FINAL outer-tail member only (${g.seq.last})")
+          r.map(_.getField("reps")).getOrElse(lit(0L))
+        }
       } else {
         val i = preIdx.getOrElse(m.varName,
           sys.error(s"unknown variable ${m.varName}"))

@@ -1297,12 +1297,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           (s.mid2 ++ s.tail2).zipWithIndex.map { case ((tn, _), j) =>
             j -> s.groupKeep.zipWithIndex.filter { case ((m, _), _) => m == tn }
           }.toMap
-        gkInner.foreach { case ((m, c), i) =>
+        // ONE aggregate + join per MEMBER (all its kept columns together)
+        gkInner.groupBy(_._1._1).foreach { case (m, entries) =>
           val im = inner2Names.indexOf(m)
           val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
+          val aggs = entries.map { case ((_, c), i) =>
+            min(col(c).cast("double")).as(s"__nv$i") }
           val vt = events.filter(s.inner2(im)._2)
             .groupBy(key.as("__vk"), ts.as("__vts"))
-            .agg(min(col(c).cast("double")).as(s"__nv$i"))
+            .agg(aggs.head, aggs.tail: _*)
           isubs = isubs.join(vt, col("__gk") === col("__vk") &&
               boundTs === col("__vts"))
             .drop("__vk", "__vts")
@@ -1581,9 +1584,11 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                         pendAtt += ((gkStepPos(nMid + ti)(p), vs(p))); p += 1
                       }
                     }
-                    // an outer-tail row completes the outer repetition
+                    // only the FINAL outer tail completes the outer
+                    // repetition (the final-member-counts convention)
                     if (matRows) attRows += org.apache.spark.sql.Row(t,
-                      clsNames(nInner + nMid + ti), n + 1, midTot + m,
+                      clsNames(nInner + nMid + ti),
+                      n + (if (ti == nTails - 1) 1L else 0L), midTot + m,
                       innerTot + kSum)
                     ti += 1
                   }
@@ -1593,17 +1598,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   if (n == 0) first = repFirst
                   lastEnd = t; n += 1; midTot += m; innerTot += kSum
                   if (matRows) allRows ++= attRows
-                  if (gkN > 0) pendAtt.foreach { case (gi, v) =>
-                    if (!vSeen(gi)) { vFirst(gi) = v; vSeen(gi) = true }
-                    vLast(gi) = v
-                    if (v != null) {
-                      vCnt(gi) += 1
-                      vSum(gi) = if (vSum(gi) == null) v
-                                 else java.lang.Double.valueOf(vSum(gi) + v)
-                      if (vMin(gi) == null || v < vMin(gi)) vMin(gi) = v
-                      if (vMax(gi) == null || v > vMax(gi)) vMax(gi) = v
-                    }
-                  }
+                  if (gkN > 0) Pattern.commitPending(pendAtt,
+                    vSum, vMin, vMax, vFirst, vLast, vCnt, vSeen)
                 }
               }
             }
@@ -1671,12 +1667,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           s.group.zipWithIndex.map { case ((tn, _), j) =>
             j -> s.groupKeep.zipWithIndex.filter { case ((m, _), _) => m == tn }
           }.toMap
-        gkInner.foreach { case ((m, c), i) =>
+        // ONE aggregate + join per MEMBER (all its kept columns together)
+        // — per-(member, column) joins would rescan the event table and
+        // reshuffle once per extra column
+        gkInner.groupBy(_._1._1).foreach { case (m, entries) =>
           val im = innerNames0.indexOf(m)
           val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
+          val aggs = entries.map { case ((_, c), i) =>
+            min(col(c).cast("double")).as(s"__nv$i") }
           val vt = events.filter(s.innerGroup(im)._2)
             .groupBy(key.as("__vk"), ts.as("__vts"))
-            .agg(min(col(c).cast("double")).as(s"__nv$i"))
+            .agg(aggs.head, aggs.tail: _*)
           isubs = isubs.join(vt, col("__gk") === col("__vk") &&
               boundTs === col("__vts"))
             .drop("__vk", "__vts")
@@ -1998,8 +1999,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                         p += 1
                       }
                     }
-                    if (matRows) repRows += rowOf(t,
-                      tailNames(ti), n + 1, innerTot + k)
+                    // only the FINAL tail completes the repetition — a
+                    // mid-sequence tail row's reps must not count it yet
+                    // (the same final-member-counts convention inner rows
+                    // follow)
+                    if (matRows) repRows += rowOf(t, tailNames(ti),
+                      n + (if (ti == nTails - 1) 1 else 0), innerTot + k)
                     ti += 1
                   }
                 }
@@ -2008,17 +2013,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   if (n == 0) first = repFirst
                   lastEnd = t; n += 1; innerTot += k
                   if (matRows) allRows ++= repRows
-                  if (gkN > 0) pendVals.foreach { case (gi, v) =>
-                    if (!vSeen(gi)) { vFirst(gi) = v; vSeen(gi) = true }
-                    vLast(gi) = v
-                    if (v != null) {
-                      vCnt(gi) += 1
-                      vSum(gi) = if (vSum(gi) == null) v
-                                 else java.lang.Double.valueOf(vSum(gi) + v)
-                      if (vMin(gi) == null || v < vMin(gi)) vMin(gi) = v
-                      if (vMax(gi) == null || v > vMax(gi)) vMax(gi) = v
-                    }
-                  }
+                  if (gkN > 0) Pattern.commitPending(pendVals,
+                    vSum, vMin, vMax, vFirst, vLast, vCnt, vSeen)
                 }
               }
             }
@@ -2556,6 +2552,29 @@ object Pattern extends Serializable {
           org.apache.spark.sql.types.DoubleType)) :+
         org.apache.spark.sql.types.StructField(s"${name}_cnt_${m}_$c",
           org.apache.spark.sql.types.LongType)
+    }
+
+  /** Fold a pending (groupKeep-index, value) list into the running
+    * bindGroup state — ONE implementation shared by the nested and
+    * depth-2 chain walks so null/FIRST-LAST semantics cannot diverge
+    * between the shapes. first/last are positional (nulls included),
+    * sum/min/max/cnt ignore nulls. */
+  private[cep] def commitPending(
+      pend: scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)],
+      vSum: Array[java.lang.Double], vMin: Array[java.lang.Double],
+      vMax: Array[java.lang.Double], vFirst: Array[java.lang.Double],
+      vLast: Array[java.lang.Double], vCnt: Array[Long],
+      vSeen: Array[Boolean]): Unit =
+    pend.foreach { case (gi, v) =>
+      if (!vSeen(gi)) { vFirst(gi) = v; vSeen(gi) = true }
+      vLast(gi) = v
+      if (v != null) {
+        vCnt(gi) += 1
+        vSum(gi) = if (vSum(gi) == null) v
+                   else java.lang.Double.valueOf(vSum(gi) + v)
+        if (vMin(gi) == null || v < vMin(gi)) vMin(gi) = v
+        if (vMax(gi) == null || v > vMax(gi)) vMax(gi) = v
+      }
     }
 
   /** array<double> column as a boxed array (null elements preserved —

@@ -1343,6 +1343,41 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("value"), e.getMessage)
   }
 
+  test("ALL ROWS nested group with TWO tail steps: only the FINAL tail " +
+       "row counts the repetition (reps convention)") {
+    val evs = Seq(
+      (1L, at(0), "s"), (1L, at(1), "b"), (1L, at(2), "c"),
+      (1L, at(3), "v"), (1L, at(4), "u"),
+      (1L, at(5), "b"), (1L, at(6), "c"), (1L, at(7), "v"), (1L, at(8), "u")
+    ).toDF("user_id", "ts", "event_type")
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(U.ts) AS n_reps,
+        |           COUNT(C.ts) AS n_subs
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ V U)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         U AS event_type = 'u'
+        |)""".stripMargin
+    val m = MatchRecognize.detect(evs, sql)
+      .select($"cls", $"ts", $"n_reps", $"n_subs")
+      .as[(String, Timestamp, Long, Long)].collect().toSet
+    assert(m == Set(
+      ("S", at(0), 0L, 0L), ("B", at(1), 0L, 0L), ("C", at(2), 0L, 1L),
+      ("V", at(3), 0L, 1L), ("U", at(4), 1L, 1L), ("B", at(5), 1L, 1L),
+      ("C", at(6), 1L, 2L), ("V", at(7), 1L, 2L), ("U", at(8), 2L, 2L)),
+      m.toSeq.sortBy(_._2.getTime).mkString("\n"))
+    // running COUNT over a NON-FINAL tail member: named error (its true
+    // running count differs from reps between it and the final tail)
+    val e = intercept[Exception](MatchRecognize.detect(evs,
+      sql.replace("COUNT(U.ts) AS n_reps", "COUNT(V.ts) AS n_reps")).collect())
+    assert(e.getMessage.contains("FINAL tail member"), e.getMessage)
+  }
+
   test("ALL ROWS over a MIXED group+run pattern (S (B C)+ V+ P)") {
     // two (click view) repetitions, then an error+ run, then purchase:
     // group member rows ride the repetition arrays, run member rows the
