@@ -283,7 +283,7 @@ object MatchRecognize {
     // GroupPattern) — groups named by joining their members. Alternatives
     // ordered deepest-first so the depth-2 shape never half-parses as a
     // depth-1 group plus residue.
-    val varRx = ("(?:\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*\\+\\s*" +
+    val varRx = ("(?:\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
       "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)" +
       "|\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
       "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
@@ -312,8 +312,8 @@ object MatchRecognize {
       }
     }
     val vars = varMatches.map { g =>
-        (Option(g.group(1)), Option(g.group(4)), Option(g.group(7)),
-            Option(g.group(8))) match {
+        (Option(g.group(1)), Option(g.group(5)), Option(g.group(8)),
+            Option(g.group(9))) match {
           case (Some(in2), _, _, _) =>
             // DEPTH-2 nested group (((I...)+ M...)+ T...)+ — flink-cep
             // GroupPattern composed twice (GroupPattern.java:30 wraps an
@@ -321,15 +321,16 @@ object MatchRecognize {
             // mid tail steps closing each level-1 repetition, outer tail
             // steps closing each outer repetition, outer '+'/'*'
             val innerSubs = in2.trim.split("\\s+").toSeq
-            val mids = g.group(2).trim.split("\\s+").toSeq
-            val tails = g.group(3).trim.split("\\s+").toSeq
-            require(g.group(10) == "+" || g.group(10) == "*",
-              s"depth-2 nested group (((${innerSubs.mkString(" ")})+ " +
-                s"${mids.mkString(" ")})+ ${tails.mkString(" ")}) requires " +
-                "the outer '+' or '*' quantifier (got " +
-                s"'${Option(g.group(10)).getOrElse("")}')")
+            val mids = g.group(3).trim.split("\\s+").toSeq
+            val tails = g.group(4).trim.split("\\s+").toSeq
+            require(g.group(11) == "+" || g.group(11) == "*",
+              s"depth-2 nested group (((${innerSubs.mkString(" ")})" +
+                s"${g.group(2)} ${mids.mkString(" ")})+ " +
+                s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
+                s"quantifier (got '${Option(g.group(11)).getOrElse("")}')")
             PatternVar((innerSubs ++ mids ++ tails).mkString("_"),
-              Option(g.group(10)), Nil, tails, Nil,
+              Option(g.group(11)), Nil, tails, Nil,
+              innerStar = g.group(2) == "*",
               inner2Seq = innerSubs, midSeq = mids)
           case (None, Some(inner), _, _) =>
             // nested group ((I...)+ T...)+ / ((I...)* T...)+ — flink-cep
@@ -337,13 +338,13 @@ object MatchRecognize {
             // sub-sequence under '+' (or '*' = zero-or-more sub-chains per
             // repetition, r15), tail steps, outer '+'/'*'
             val innerSubs = inner.trim.split("\\s+").toSeq
-            val tails = g.group(6).trim.split("\\s+").toSeq
-            require(g.group(10) == "+" || g.group(10) == "*",
-              s"nested group ((${innerSubs.mkString(" ")})${g.group(5)} " +
+            val tails = g.group(7).trim.split("\\s+").toSeq
+            require(g.group(11) == "+" || g.group(11) == "*",
+              s"nested group ((${innerSubs.mkString(" ")})${g.group(6)} " +
                 s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
-                s"quantifier (got '${Option(g.group(10)).getOrElse("")}')")
-            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(10)),
-              Nil, tails, innerSubs, innerStar = g.group(5) == "*")
+                s"quantifier (got '${Option(g.group(11)).getOrElse("")}')")
+            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(11)),
+              Nil, tails, innerSubs, innerStar = g.group(6) == "*")
           case (None, None, Some(alt), _) =>
             val branches = alt.split("\\|").map(_.trim).toSeq
             // (B|C)+ / (B|C)* — flink-cep GroupPattern over oneOf: a run
@@ -351,7 +352,7 @@ object MatchRecognize {
             // reluctant '(B|C)+?' collapses to ONE member of any branch —
             // the bare '(B|C)' one-of (see [[normalizeQuant]]: the minimal
             // binding always wins). '?'/'{n,m}' stay named rejections.
-            val q = Option(g.group(10)) match {
+            val q = Option(g.group(11)) match {
               case Some("+?") => None
               case q0 @ (None | Some("+") | Some("*")) => q0
               case Some(other) => sys.error(s"alternation group ($alt): " +
@@ -366,7 +367,7 @@ object MatchRecognize {
             // (minimal binding always wins), which is also the bare
             // '(B C)' inline-sequence semantics — both lower to the
             // single-repetition declarative sub-match join.
-            val q = Option(g.group(10)) match {
+            val q = Option(g.group(11)) match {
               case Some("+?") => None
               case q0 @ (None | Some("+") | Some("*")) => q0
               case Some(other) => sys.error(s"sequence group " +
@@ -374,8 +375,8 @@ object MatchRecognize {
                 s"or no quantifier is supported (got '$other')")
             }
             PatternVar(subs.mkString("_"), q, Nil, subs)
-          case (None, None, None, None) => PatternVar(g.group(9),
-            Option(g.group(10)).map(normalizeQuant(g.group(9), _)))
+          case (None, None, None, None) => PatternVar(g.group(10),
+            Option(g.group(11)).map(normalizeQuant(g.group(10), _)))
         }
       }
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
@@ -771,7 +772,8 @@ object MatchRecognize {
         pat = pat.followedByNested2Group(v.name,
           v.inner2Seq.map(sv => sv -> compiled(sv)._1),
           v.midSeq.map(sv => sv -> compiled(sv)._1),
-          v.seq.map(sv => sv -> compiled(sv)._1))
+          v.seq.map(sv => sv -> compiled(sv)._1),
+          innerOptional = v.innerStar)
         // member VALUE measures (r16): the SHARED order derivation — the
         // engine's groupKeep sequence (members in declaration order, each
         // member's columns in bindByVar order)
@@ -1031,6 +1033,12 @@ object MatchRecognize {
                   s"FIRST(${m.varName}.ts): the depth-2 chain materializes " +
                     s"the first repetition's FIRST inner binding only " +
                     s"(${g.inner2Seq.head})")
+                // inner '*': the first repetition may be MID-ONLY, so the
+                // boundary is not necessarily an inner binding
+                require(!g.innerStar || m.varName == g.name,
+                  s"FIRST(${m.varName}.ts): with an inner '*' the first " +
+                    "repetition may start at a mid step — use " +
+                    s"FIRST(${g.name}.ts) for the group boundary")
                 col(s"${g.name}_first_ts")
               case Some("LAST") =>
                 require(m.varName == g.name || m.varName == g.seq.last,

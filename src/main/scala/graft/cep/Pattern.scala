@@ -503,9 +503,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * outer attempt only when it is absorbed, the attempt's only when the
     * outer repetition completes); [[materializeNestedRows]] /
     * [[tieBreak]] do not compose (named errors). */
+  /** `innerOptional` (r16, the m37 recipe recursed): the innermost
+    * sub-group may repeat ZERO times inside a level-1 repetition —
+    * `(((I...)* M...)+ T...)+`. A level-1 repetition then binds EITHER a
+    * (greedy, mid-punctuated) inner chain + mids, OR the mids alone —
+    * mid-first when the earliest first-mid candidate does not come
+    * strictly after the earliest completable sub (the same
+    * earliest-completion rule, ties favoring the mid — the one-level
+    * inner-'*' convention one level down). */
   def followedByNested2Group(name: String, inner: Seq[(String, Column)],
                              mid: Seq[(String, Column)],
-                             tail: Seq[(String, Column)]): Pattern = {
+                             tail: Seq[(String, Column)],
+                             innerOptional: Boolean = false): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
     require(steps.nonEmpty, "followedByNested2Group() follows a begin step")
     require(inner.size >= 2,
@@ -521,7 +530,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         "followedByNestedGroup)")
     new Pattern(steps :+ Step(name,
       (inner.map(_._2) ++ mid.map(_._2) ++ tail.map(_._2)).reduce(_ || _),
-      inner2 = inner.toVector, mid2 = mid.toVector, tail2 = tail.toVector),
+      inner2 = inner.toVector, mid2 = mid.toVector, tail2 = tail.toVector,
+      innerOpt = innerOptional),
       notStep, windowMs, skipPastLast, skipTo)
   }
 
@@ -1390,6 +1400,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val nTails = s.tail2.size
         val sName = s.name
         val matRows = s.groupRows
+        val innerOptFlag = s.innerOpt
         // all member names in tag order: inner members, mids, outer tails
         val clsNames = (s.inner2.map(_._1) ++ s.mid2.map(_._1) ++
           s.tail2.map(_._1)).toArray
@@ -1442,7 +1453,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                    scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)],
                    scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Int, Long, Long)]) = {
               val i0 = subAfter(t)
-              if (i0 >= subs.length || subs(i0)._2.after(wEnd)) return null
+              val subAvail = i0 < subs.length && !subs(i0)._2.after(wEnd)
+              // innerOptional: the level-1 repetition may bind the mids
+              // ALONE — mid-first when the earliest first-mid candidate
+              // does not come strictly after the earliest completable sub
+              // (ties favor the mid, the one-level inner-'*' convention)
+              val mx0 = candAfter(0, t)
+              val m0Avail = mx0 < cands(0).length &&
+                !cands(0)(mx0)._1.after(wEnd)
+              val midFirst = innerOptFlag && m0Avail &&
+                (!subAvail || !subs(i0)._2.before(cands(0)(mx0)._1))
+              if (!subAvail && !midFirst) return null
               // the repetition's bound values (and, under
               // materializeNestedRows, its rows with LOCAL counts:
               // (ts, member index, mids delta, subs-as-of-local)) — folded
@@ -1475,24 +1496,30 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   }
                 }
               }
-              var e = subs(i0)._2
-              k = 1L
-              subVals(i0)
-              var more = true
-              while (more) {
-                val nx = subAfter(e)
-                val mx = candAfter(0, e)
-                val mCand = if (mx < cands(0).length &&
-                    !cands(0)(mx)._1.after(wEnd)) cands(0)(mx)._1 else null
-                if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
-                    (mCand != null && !subs(nx)._2.before(mCand))) more = false
-                else { e = subs(nx)._2; k += 1; subVals(nx) }
+              var e = t
+              var repFirst: java.sql.Timestamp = null
+              if (!midFirst) {
+                e = subs(i0)._2
+                k = 1L
+                repFirst = subs(i0)._1
+                subVals(i0)
+                var more = true
+                while (more) {
+                  val nx = subAfter(e)
+                  val mx = candAfter(0, e)
+                  val mCand = if (mx < cands(0).length &&
+                      !cands(0)(mx)._1.after(wEnd)) cands(0)(mx)._1 else null
+                  if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
+                      (mCand != null && !subs(nx)._2.before(mCand))) more = false
+                  else { e = subs(nx)._2; k += 1; subVals(nx) }
+                }
               }
               var t2 = e; var mi = 0
               while (mi < nMid) {
                 val x = candAfter(mi, t2)
                 if (x >= cands(mi).length || cands(mi)(x)._1.after(wEnd)) return null
                 t2 = cands(mi)(x)._1
+                if (repFirst == null) repFirst = t2 // mid-first repetition
                 if (gkStepPos(mi).length > 0) {
                   val vs = cands(mi)(x)._2
                   var p = 0
@@ -1505,7 +1532,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   if (mi == nMid - 1) 1L else 0L, k))
                 mi += 1
               }
-              (subs(i0)._1, t2, k, pend, rows)
+              (repFirst, t2, k, pend, rows)
             }
             var lastEnd = tau
             var first: java.sql.Timestamp = null

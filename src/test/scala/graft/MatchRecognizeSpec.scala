@@ -1249,6 +1249,55 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(ea.getMessage.contains("ALL ROWS"), ea.getMessage)
   }
 
+  test("DEPTH-2 nested group with inner '*': (((B C)* V)+ W)+ binds " +
+       "mid-only level-1 repetitions") {
+    // user 1: R1_1 is MID-ONLY (v@1 beats the sub ending @3 — ties favor
+    //   the mid, the one-level inner-'*' convention one level down),
+    //   R1_2 = (2,3) v@4; W@5 -> one outer rep, mid=2, inner=1, first=v@1
+    // user 2: NO subs at all — two outer reps of mid-only repetitions
+    val evs = Seq(
+      (1L, at(0), "s"), (1L, at(1), "v"), (1L, at(2), "b"),
+      (1L, at(3), "c"), (1L, at(4), "v"), (1L, at(5), "w"),
+      (2L, at(0), "s"), (2L, at(1), "v"), (2L, at(2), "w"),
+      (2L, at(3), "v"), (2L, at(4), "w")
+    ).toDF("user_id", "ts", "event_type")
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, LAST(W.ts) AS grp_last_ts,
+        |           COUNT(W.ts) AS n_outer, COUNT(V.ts) AS n_mid,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S (((B C)* V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w'
+        |)""".stripMargin
+    val m = MatchRecognize.detect(evs, sql)
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
+    assert(m == Set(
+      (1L, at(0), at(5), 1L, 2L, 1L),
+      (2L, at(0), at(4), 2L, 2L, 0L)), m.toString)
+    // star == plus when every level-1 repetition has subs (the m37
+    // equivalence, one level down): the m39 corpus through both spellings
+    val evs2 = Seq(
+      (1L, at(0), "s"), (1L, at(1), "b"), (1L, at(2), "c"),
+      (1L, at(3), "v"), (1L, at(4), "w")
+    ).toDF("user_id", "ts", "event_type")
+    val viaStar = MatchRecognize.detect(evs2, sql)
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
+    val viaPlus = MatchRecognize.detect(evs2,
+        sql.replace("(((B C)* V)+ W)+", "(((B C)+ V)+ W)+"))
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
+    assert(viaStar == viaPlus && viaStar.nonEmpty, s"$viaStar vs $viaPlus")
+    // FIRST over an inner member under inner '*': named error (the first
+    // repetition may start at a mid step)
+    val e = intercept[Exception](MatchRecognize.detect(evs,
+      sql.replace("LAST(W.ts) AS grp_last_ts", "FIRST(B.ts) AS gf")).collect())
+    assert(e.getMessage.contains("mid step"), e.getMessage)
+  }
+
   test("DEPTH-2 nested group member VALUE measures (two pending levels)") {
     // the m39 corpus with value = minute index. Committed bindings:
     //   user 1: B@{1,3,6,10} C@{2,4,7,11} V@{5,8,12} W@{9,13}
