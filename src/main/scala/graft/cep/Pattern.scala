@@ -1457,12 +1457,14 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               // innerOptional: the level-1 repetition may bind the mids
               // ALONE — mid-first when the earliest first-mid candidate
               // does not come strictly after the earliest completable sub
-              // (ties favor the mid, the one-level inner-'*' convention)
-              val mx0 = candAfter(0, t)
-              val m0Avail = mx0 < cands(0).length &&
-                !cands(0)(mx0)._1.after(wEnd)
-              val midFirst = innerOptFlag && m0Avail &&
-                (!subAvail || !subs(i0)._2.before(cands(0)(mx0)._1))
+              // (ties favor the mid, the one-level inner-'*' convention).
+              // The binary search runs only under the flag — the inner-'+'
+              // probe is the walk's innermost hot path
+              val midFirst = innerOptFlag && {
+                val mx0 = candAfter(0, t)
+                mx0 < cands(0).length && !cands(0)(mx0)._1.after(wEnd) &&
+                  (!subAvail || !subs(i0)._2.before(cands(0)(mx0)._1))
+              }
               if (!subAvail && !midFirst) return null
               // the repetition's bound values (and, under
               // materializeNestedRows, its rows with LOCAL counts:

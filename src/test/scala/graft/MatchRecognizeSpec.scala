@@ -1298,6 +1298,60 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("mid step"), e.getMessage)
   }
 
+  test("DEPTH-2 inner '*' composes with VALUE measures and ALL ROWS " +
+       "(mid-only repetitions fold values and rows with k = 0)") {
+    // value = minute index; user 1: R1_1 is MID-ONLY (V@1), R1_2 =
+    // (B@2 C@3) V@4, W@5; user 2 has NO subs at all
+    val evs = Seq(
+      (1L, at(0), "s", 0.0), (1L, at(1), "v", 1.0), (1L, at(2), "b", 2.0),
+      (1L, at(3), "c", 3.0), (1L, at(4), "v", 4.0), (1L, at(5), "w", 5.0),
+      (2L, at(0), "s", 0.0), (2L, at(1), "v", 1.0), (2L, at(2), "w", 2.0),
+      (2L, at(3), "v", 3.0), (2L, at(4), "w", 4.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES SUM(V.value) AS sum_v, COUNT(V.value) AS cnt_v,
+        |           SUM(B.value) AS sum_b, LAST(W.value) AS last_w
+        |  PATTERN (S (((B C)* V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w'
+        |)""".stripMargin)
+      .as[(Long, Double, Long, Option[Double], Double)].collect().toSet
+    assert(m == Set(
+      (1L, 5.0, 2L, Some(2.0), 5.0),
+      (2L, 4.0, 2L, None, 4.0)), m.toString)
+    // ALL ROWS: mid-only repetitions emit their V row with k = 0 subs
+    val rows = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES COUNT(W.ts) AS n_reps, COUNT(V.ts) AS n_mids,
+        |           COUNT(C.ts) AS n_subs
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (((B C)* V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w'
+        |)""".stripMargin)
+      .select($"user_id", $"cls", $"ts", $"n_reps", $"n_mids", $"n_subs")
+      .as[(Long, String, Timestamp, Long, Long, Long)].collect().toSet
+    val u1 = Seq(
+      ("S", 0L, 0L, 0L, 0L), ("V", 1L, 0L, 1L, 0L), ("B", 2L, 0L, 1L, 0L),
+      ("C", 3L, 0L, 1L, 1L), ("V", 4L, 0L, 2L, 1L), ("W", 5L, 1L, 2L, 1L)
+    ).map { case (c, t, r, mm, ss) => (1L, c, at(t), r, mm, ss) }
+    val u2 = Seq(
+      ("S", 0L, 0L, 0L, 0L), ("V", 1L, 0L, 1L, 0L), ("W", 2L, 1L, 1L, 0L),
+      ("V", 3L, 1L, 2L, 0L), ("W", 4L, 2L, 2L, 0L)
+    ).map { case (c, t, r, mm, ss) => (2L, c, at(t), r, mm, ss) }
+    assert(rows == (u1 ++ u2).toSet,
+      rows.toSeq.sortBy(r => (r._1, r._3.getTime)).mkString("\n"))
+  }
+
   test("DEPTH-2 nested group member VALUE measures (two pending levels)") {
     // the m39 corpus with value = minute index. Committed bindings:
     //   user 1: B@{1,3,6,10} C@{2,4,7,11} V@{5,8,12} W@{9,13}
