@@ -562,6 +562,52 @@ object MatchRecognize {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Parse a nested/depth-2 TAIL member's iterative DEFINE — ONE relative
+    * conjunct `T.col <op> <arithmetic over qualified earlier bindings>` —
+    * into (value column, op, threshold SQL over bound-column names); the
+    * lowering target is [[Pattern.bindTailResidual]]. Everything else is
+    * a named error. */
+  private def parseTailResidual(spec: Spec,
+                                sv: String): (String, String, String) = {
+    val body = spec.defines(sv)
+    val posAll = spec.vars.map(_.name).toSet
+    val rel = splitTopAnd(body).filter(c =>
+      RefRx.findAllMatchIn(c).exists(m =>
+        m.group(1) != sv && posAll(m.group(1))))
+    require(rel.size == 1, s"nested group tail $sv: exactly one " +
+      s"relative conjunct is supported (got ${rel.size} in '$body')")
+    val m0 = ("(?is)^\\s*(?:" + java.util.regex.Pattern.quote(sv) +
+      "\\.)?(\\w+)\\s*(<=|>=|<|>)\\s*(.+)$").r
+      .findFirstMatchIn(rel.head.trim).getOrElse(
+        sys.error(s"nested group tail $sv: the relative conjunct " +
+          s"must be `$sv.<col> <,<=,>,>= <expr over earlier " +
+          s"bindings>` — cannot compile '${rel.head.trim}'"))
+    val (lhsCol, op, rhs) = (m0.group(1), m0.group(2), m0.group(3))
+    require(!RefRx.findAllMatchIn(rhs).exists(_.group(1) == sv),
+      s"nested group tail $sv: the threshold side may not " +
+        s"reference $sv itself ('$rhs')")
+    // the threshold must be anchor-computable: qualified prior refs +
+    // numeric arithmetic only (a bare event column there would be
+    // candidate-dependent and silently wrong). RefRx also matches
+    // DECIMAL LITERALS ("1.5" parses as 1.5) — digit-led matches are
+    // literals, not references: leave them alone in both the residue
+    // check and the rewrite
+    import scala.util.matching.Regex.quoteReplacement
+    def isLiteral(a: String): Boolean = a.head.isDigit
+    val residue = RefRx.replaceAllIn(rhs, m =>
+      quoteReplacement(if (isLiteral(m.group(1))) m.matched else "0"))
+    require("^[-+*/(). 0-9eE]*$".r.matches(residue),
+      s"nested group tail $sv: the threshold side must be " +
+        "arithmetic over qualified earlier bindings and numeric " +
+        s"literals (got '$rhs')")
+    val rhsBound = RefRx.replaceAllIn(rhs, m => quoteReplacement {
+      val (a, cn) = (m.group(1), m.group(2))
+      if (isLiteral(a)) m.matched
+      else if (cn == spec.orderBy) s"${a}_ts" else s"${a}_$cn"
+    })
+    (lhsCol, op, rhsBound)
+  }
+
   /** Compile one variable's DEFINE body. `v` is the variable (or alternation
     * branch) being defined; `groupPos` its position in the PATTERN.
     *
@@ -757,10 +803,21 @@ object MatchRecognize {
         // timestamps, outer/mid/inner repetition counts and (r16 late
         // adds) bindGroup running value aggregates + materialized ALL
         // ROWS rows, both folded through the two pending levels.
-        (v.inner2Seq ++ v.midSeq ++ v.seq).foreach { sv =>
+        (v.inner2Seq ++ v.midSeq).foreach { sv =>
           compiled(sv)._2.foreach(_ => sys.error(s"depth-2 nested group " +
-            s"${v.name}: member $sv may not use an iterative/PREV condition"))
+            s"${v.name}: inner/mid member $sv may not use an iterative/" +
+            "PREV condition — iterative conditions compose with OUTER " +
+            "TAIL members only (the shared sub-match and level-1 " +
+            "completion tables would need to be per-anchor)"))
         }
+        // OUTER TAIL members MAY be iterative (r16 — the m40 recipe at
+        // depth 2): the same single-relative-conjunct contract, lowered
+        // onto Pattern.bindTailResidual against the depth-2 walk
+        val tailResiduals2: Seq[(String, (String, String, String))] =
+          v.seq.flatMap { sv =>
+            if (compiled(sv)._2.isEmpty) None
+            else Some(sv -> parseTailResidual(spec, sv))
+          }
         require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
           s"compose with a depth-2 nested group (${v.name}): the chain " +
           "binds no member values for a tiebreak to steer")
@@ -774,6 +831,9 @@ object MatchRecognize {
           v.midSeq.map(sv => sv -> compiled(sv)._1),
           v.seq.map(sv => sv -> compiled(sv)._1),
           innerOptional = v.innerStar)
+        tailResiduals2.foreach { case (sv, (c, op, rhs)) =>
+          pat = pat.bindTailResidual(sv, c, op, expr(rhs))
+        }
         // member VALUE measures (r16): the SHARED order derivation — the
         // engine's groupKeep sequence (members in declaration order, each
         // member's columns in bindByVar order)
@@ -803,46 +863,8 @@ object MatchRecognize {
         // its first satisfying candidate. Other shapes are named errors.
         val tailResiduals: Seq[(String, (String, String, String))] =
           v.seq.flatMap { sv =>
-            if (compiled(sv)._2.isEmpty) None else {
-              val body = spec.defines(sv)
-              val posAll = spec.vars.map(_.name).toSet
-              val rel = splitTopAnd(body).filter(c =>
-                RefRx.findAllMatchIn(c).exists(m =>
-                  m.group(1) != sv && posAll(m.group(1))))
-              require(rel.size == 1, s"nested group tail $sv: exactly one " +
-                "relative conjunct is supported (got " +
-                s"${rel.size} in '$body')")
-              val m0 = ("(?is)^\\s*(?:" + java.util.regex.Pattern.quote(sv) +
-                "\\.)?(\\w+)\\s*(<=|>=|<|>)\\s*(.+)$").r
-                .findFirstMatchIn(rel.head.trim).getOrElse(
-                  sys.error(s"nested group tail $sv: the relative conjunct " +
-                    s"must be `$sv.<col> <,<=,>,>= <expr over earlier " +
-                    s"bindings>` — cannot compile '${rel.head.trim}'"))
-              val (lhsCol, op, rhs) = (m0.group(1), m0.group(2), m0.group(3))
-              require(!RefRx.findAllMatchIn(rhs).exists(_.group(1) == sv),
-                s"nested group tail $sv: the threshold side may not " +
-                  s"reference $sv itself ('$rhs')")
-              // the threshold must be anchor-computable: qualified prior
-              // refs + numeric arithmetic only (a bare event column there
-              // would be candidate-dependent and silently wrong). RefRx
-              // also matches DECIMAL LITERALS ("1.5" parses as 1.5) —
-              // digit-led matches are literals, not references: leave
-              // them alone in both the residue check and the rewrite
-              import scala.util.matching.Regex.quoteReplacement
-              def isLiteral(a: String): Boolean = a.head.isDigit
-              val residue = RefRx.replaceAllIn(rhs, m =>
-                quoteReplacement(if (isLiteral(m.group(1))) m.matched else "0"))
-              require("^[-+*/(). 0-9eE]*$".r.matches(residue),
-                s"nested group tail $sv: the threshold side must be " +
-                  "arithmetic over qualified earlier bindings and numeric " +
-                  s"literals (got '$rhs')")
-              val rhsBound = RefRx.replaceAllIn(rhs, m => quoteReplacement {
-                val (a, cn) = (m.group(1), m.group(2))
-                if (isLiteral(a)) m.matched
-                else if (cn == spec.orderBy) s"${a}_ts" else s"${a}_$cn"
-              })
-              Some(sv -> ((lhsCol, op, rhsBound)))
-            }
+            if (compiled(sv)._2.isEmpty) None
+            else Some(sv -> parseTailResidual(spec, sv))
           }
         require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
           s"compose with a nested group (${v.name}): the chain binds no " +

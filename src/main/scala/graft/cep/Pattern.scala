@@ -599,13 +599,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * differs). */
   def bindTailResidual(member: String, valueCol: String, op: String,
                        threshold: Column): Pattern = {
-    require(steps.nonEmpty && steps.last.innerGroup.nonEmpty,
-      "bindTailResidual() requires followedByNestedGroup() as the last step")
-    require(steps.last.group.exists(_._1 == member),
+    require(steps.nonEmpty && (steps.last.innerGroup.nonEmpty ||
+        steps.last.inner2.nonEmpty),
+      "bindTailResidual() requires followedByNestedGroup()/" +
+        "followedByNested2Group() as the last step")
+    require((steps.last.group ++ steps.last.tail2).exists(_._1 == member),
       s"bindTailResidual($member): not a TAIL member of nested group " +
-        s"${steps.last.name} (inner members cannot carry iterative " +
-        "conditions — the shared sub-match table would need to be " +
-        "per-anchor; move the condition to a tail step)")
+        s"${steps.last.name} (inner and MID members cannot carry iterative " +
+        "conditions — the shared sub-match/level-1 completion tables would " +
+        "need to be per-anchor; move the condition to an outer tail step)")
     require(Set("<", "<=", ">", ">=")(op),
       s"bindTailResidual($member): op must be one of < <= > >= (got '$op')")
     require(!steps.last.tailRes.exists(_._1 == member),
@@ -1307,6 +1309,14 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           (s.mid2 ++ s.tail2).zipWithIndex.map { case ((tn, _), j) =>
             j -> s.groupKeep.zipWithIndex.filter { case ((m, _), _) => m == tn }
           }.toMap
+        // bindTailResidual on an OUTER tail (r16 — the m40 recipe at depth
+        // 2): per (key, ts) the op-appropriate value extreme; the walk
+        // scans to the first satisfying candidate and punctuation shares
+        // the scan. Keyed by the step's position in the mid2++tail2 order.
+        val resByStep2: Map[Int, (String, String)] = s.tailRes.map {
+          case (m, c, op, _) =>
+            (s.mid2.size + s.tail2.indexWhere(_._1 == m)) -> ((c, op))
+        }.toMap
         // ONE aggregate + join per MEMBER (all its kept columns together)
         gkInner.groupBy(_._1._1).foreach { case (m, entries) =>
           val im = inner2Names.indexOf(m)
@@ -1341,13 +1351,22 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             innerValsCol.as("__vals"), memsCol.as("__mems"))) {
           case (acc, ((_, p), j)) =>
             val tks = gkByStep(j)
-            val cand =
-              if (tks.isEmpty) events.filter(p).select(key.as("__gk"),
+            val cand = resByStep2.get(j) match {
+              case Some((c, op)) =>
+                val agg0 = if (op == ">" || op == ">=")
+                  max(col(c).cast("double")) else min(col(c).cast("double"))
+                events.filter(p).groupBy(key.as("__gk"), ts.as("__t1"))
+                  .agg(agg0.as("__tvres"))
+                  .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),
+                    lit(null).cast("timestamp").as("__t2"),
+                    array(col("__tvres")).as("__vals"),
+                    lit(null).cast("array<timestamp>").as("__mems"))
+              case None if tks.isEmpty => events.filter(p).select(key.as("__gk"),
                 lit(j + 1).as("__tag"), ts.as("__t1"),
                 lit(null).cast("timestamp").as("__t2"),
                 lit(null).cast("array<double>").as("__vals"),
                 lit(null).cast("array<timestamp>").as("__mems"))
-              else {
+              case None =>
                 val aggs = tks.map { case ((_, c), i) =>
                   min(col(c).cast("double")).as(s"__tv$i") }
                 events.filter(p).groupBy(key.as("__gk"), ts.as("__t1"))
@@ -1356,10 +1375,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                     lit(null).cast("timestamp").as("__t2"),
                     array(tks.map { case (_, i) => col(s"__tv$i") }: _*).as("__vals"),
                     lit(null).cast("array<timestamp>").as("__mems"))
-              }
+            }
             acc.unionByName(cand)
         }
-        val anch = out.withColumn("__gprev", prevTs)
+        // per-anchor residual thresholds: Columns over EARLIER bound
+        // columns, evaluated once on the anchor frame
+        val outRes2 = s.tailRes.foldLeft(out) { case (d, (m, _, _, thr)) =>
+          d.withColumn(
+            s"__tres${s.mid2.size + s.tail2.indexWhere(_._1 == m)}",
+            thr.cast("double"))
+        }
+        val anch = outRes2.withColumn("__gprev", prevTs)
           .withColumn("__gwend", col(startTs) + win)
         val aSchema = anch.schema
         val keyIdx = aSchema.fieldIndex("__k")
@@ -1409,6 +1435,14 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val gkN = s.groupKeep.size
         val gkInnerPos = gkInner.map(_._2).toArray
         val gkStepPos = Array.tabulate(nMid + nTails)(j => gkByStep(j).map(_._2).toArray)
+        // bindTailResidual: per step an op code (0 none, 1 <, 2 <=, 3 >,
+        // 4 >=) and the anchor-frame field index of its threshold column
+        val resOps2: Array[Int] = Array.tabulate(nMid + nTails)(j =>
+          resByStep2.get(j).map(_._2 match {
+            case "<" => 1; case "<=" => 2; case ">" => 3; case _ => 4
+          }).getOrElse(0))
+        val resThrIdx2: Array[Int] = Array.tabulate(nMid + nTails)(j =>
+          if (resOps2(j) != 0) aSchema.fieldIndex(s"__tres$j") else -1)
         val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
           val all = Pattern.boundedRows(cs, maxPK,
             s"depth-2 nested group ${sName} three-level chain walk")
@@ -1421,7 +1455,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           // bound values)
           val cands = Array.tabulate(nMid + nTails) { j =>
             all.filter(_.getInt(1) == j + 1).map(r => (Pattern.tsOf(r, 2),
-              if (gkStepPos(j).length > 0) Pattern.dblsOf(r, 4) else null))
+              if (gkStepPos(j).length > 0 || resOps2(j) != 0)
+                Pattern.dblsOf(r, 4) else null))
               .sortWith((p, q) => p._1.before(q._1))
           }
           def subAfter(t: java.sql.Timestamp): Int = {
@@ -1440,6 +1475,28 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           as.flatMap { a =>
             val tau = Pattern.tsOf(a, prevIdx)
             val wEnd = Pattern.tsOf(a, wendIdx)
+            // bindTailResidual: the anchor's thresholds (null never
+            // binds, SQL 3VL) and the satisfying-scan binding — first
+            // candidate strictly after t whose per-ts extreme satisfies
+            // the op; punctuation and binding share it
+            val resThr2: Array[java.lang.Double] =
+              Array.tabulate(nMid + nTails)(j =>
+                if (resThrIdx2(j) < 0 || a.isNullAt(resThrIdx2(j))) null
+                else java.lang.Double.valueOf(a.getDouble(resThrIdx2(j))))
+            def candBind(j: Int, t: java.sql.Timestamp): Int = {
+              var x = candAfter(j, t)
+              if (resOps2(j) != 0) {
+                val arr = cands(j); val thr = resThr2(j)
+                def sat(v: java.lang.Double): Boolean =
+                  thr != null && v != null && (resOps2(j) match {
+                    case 1 => v < thr; case 2 => v <= thr
+                    case 3 => v > thr; case _ => v >= thr
+                  })
+                while (x < arr.length &&
+                    !sat(if (arr(x)._2 == null) null else arr(x)._2(0))) x += 1
+              }
+              x
+            }
             // one LEVEL-1 repetition anchored strictly after t: greedy
             // inner chain punctuated by the earliest first-mid candidate,
             // then the mid steps bound sequentially — (first binding,
@@ -1587,7 +1644,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 absorbRows(if (matRows) r1._5 else null, 0L, 0L)
                 var more = true
                 while (more) {
-                  val tx = candAfter(nMid, gEnd)
+                  val tx = candBind(nMid, gEnd)
                   val tCand = if (tx < cands(nMid).length &&
                       !cands(nMid)(tx)._1.after(wEnd)) cands(nMid)(tx)._1 else null
                   val nx = r1After(gEnd)
@@ -1601,7 +1658,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 }
                 var t = gEnd; var ok = true; var ti = 0
                 while (ok && ti < nTails) {
-                  val x = candAfter(nMid + ti, t)
+                  val x = candBind(nMid + ti, t)
                   if (x >= cands(nMid + ti).length ||
                       cands(nMid + ti)(x)._1.after(wEnd)) ok = false
                   else {
@@ -1647,6 +1704,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
         out = chained.toDF().drop("__gprev", "__gwend")
+          .drop(resByStep2.keys.map(j => s"__tres$j").toSeq: _*)
         prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
                  else col(s"${s.name}_last_ts")
       } else if (s.innerGroup.nonEmpty) {

@@ -3612,6 +3612,162 @@ object WindowQueries {
       |       n_done AS n_outer, mid_done AS n_mid, inner_done AS n_inner
       |FROM best WHERE rn = 1""".stripMargin
 
+  // --- m44: ITERATIVE condition on a DEPTH-2 OUTER TAIL (the m40 recipe
+  // at depth 2 — r16 late add): `W AS W.value > 2 * S.value` inside
+  // `S (((B C)+ V)+ W)+` — the outer tail's acceptance is relative to the
+  // match's own anchor binding, so both the W BINDING and the level-1
+  // chain PUNCTUATION consider only candidates above the per-anchor
+  // threshold (Pattern.bindTailResidual against the three-level walk).
+  // Oracle: the m39 speculation-checkpoint CTE with the W-link tables
+  // PARAMETRIZED BY ANCHOR (joined on (user_id, s_ts), w filtered by the
+  // threshold) — the absorb-vs-close decision then replays over
+  // satisfying candidates only, exactly as the engine scans.
+  private val m44: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, LAST(W.ts) AS grp_last_ts,
+        |           COUNT(W.ts) AS n_outer, COUNT(V.ts) AS n_mid,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase' AND W.value > 2 * S.value
+        |)""".stripMargin)
+  private val m44Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='signup'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='error'),
+      |w AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='purchase'),
+      |subs AS (
+      |  SELECT b.user_id, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM b JOIN c ON c.user_id = b.user_id AND c.ts > b.ts
+      |              AND c.ts <= b.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2),
+      |vnext AS (
+      |  SELECT su.user_id, su.b_ts, min(v.ts) AS v_ts
+      |  FROM subs su LEFT JOIN v ON v.user_id = su.user_id AND v.ts > su.e_ts
+      |  GROUP BY 1, 2),
+      |nsubv AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(su.b_ts) AS nb
+      |  FROM v LEFT JOIN subs su ON su.user_id = v.user_id AND su.b_ts > v.ts
+      |  GROUP BY 1, 2),
+      |entry AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 96 HOURS AS w_end,
+      |         min(s.value) AS s_val, min(su.b_ts) AS b1
+      |  FROM s JOIN subs su ON su.user_id = s.user_id AND su.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |wnextv AS (
+      |  SELECT e.user_id, e.s_ts, v.ts AS v_ts, min(w.ts) AS w_ts
+      |  FROM entry e
+      |  JOIN v ON v.user_id = e.user_id
+      |  LEFT JOIN w ON w.user_id = e.user_id AND w.ts > v.ts
+      |              AND w.value > 2 * e.s_val
+      |  GROUP BY 1, 2, 3),
+      |nsubw AS (
+      |  SELECT w.user_id, w.ts AS w_ts, min(su.b_ts) AS nb
+      |  FROM w LEFT JOIN subs su ON su.user_id = w.user_id AND su.b_ts > w.ts
+      |  GROUP BY 1, 2),
+      |walk AS (
+      |  SELECT e.user_id, e.s_ts, e.w_end,
+      |         su.b_ts AS cur_b, su.e_ts AS cur_e,
+      |         CAST(1 AS BIGINT) AS chain_k,
+      |         CAST(0 AS BIGINT) AS att_mid, CAST(0 AS BIGINT) AS att_inner,
+      |         CAST(NULL AS TIMESTAMP) AS att_gend,
+      |         CAST(0 AS BIGINT) AS n_done, CAST(0 AS BIGINT) AS mid_done,
+      |         CAST(0 AS BIGINT) AS inner_done,
+      |         CAST(NULL AS TIMESTAMP) AS match_end, 'chain' AS phase
+      |  FROM entry e JOIN subs su ON su.user_id = e.user_id AND su.b_ts = e.b1
+      |  WHERE su.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT user_id, s_ts, w_end,
+      |         CASE WHEN mode='extend' THEN nx_b
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_b END,
+      |         CASE WHEN mode='extend' THEN nx_e
+      |              WHEN mode='closer1' THEN vts
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_e END,
+      |         CASE WHEN mode='extend' THEN chain_k + 1
+      |              WHEN mode IN ('absorb_spec','newatt') THEN CAST(1 AS BIGINT)
+      |              ELSE chain_k END,
+      |         CASE WHEN mode='absorb_spec' THEN att_mid + 1
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE att_mid END,
+      |         CASE WHEN mode='absorb_spec' THEN att_inner + chain_k
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE att_inner END,
+      |         CASE WHEN mode='absorb_spec' THEN cur_e
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(NULL AS TIMESTAMP)
+      |              ELSE att_gend END,
+      |         CASE WHEN mode IN ('chfail_close','absorb_close','reject_close') THEN n_done + 1 ELSE n_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN mid_done + att_mid
+      |              WHEN mode='absorb_close' THEN mid_done + att_mid + 1
+      |              ELSE mid_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN inner_done + att_inner
+      |              WHEN mode='absorb_close' THEN inner_done + att_inner + chain_k
+      |              ELSE inner_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN wcand
+      |              WHEN mode='absorb_close' THEN w2ts
+      |              ELSE match_end END,
+      |         CASE WHEN mode IN ('chfail_close','absorb_close','reject_close') THEN 'closed'
+      |              WHEN mode='closer1' THEN 'mid' ELSE 'chain' END
+      |  FROM (
+      |    SELECT wk.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e, vn.v_ts AS vts,
+      |           wc.w_ts AS wcand, w2.w_ts AS w2ts,
+      |           nr.b_ts AS nr_b, nr.e_ts AS nr_e,
+      |      CASE WHEN wk.phase = 'chain' AND nx.b_ts IS NOT NULL
+      |                AND nx.e_ts <= wk.w_end
+      |                AND NOT (vn.v_ts IS NOT NULL AND vn.v_ts <= wk.w_end
+      |                         AND nx.e_ts >= vn.v_ts) THEN 'extend'
+      |           WHEN wk.phase = 'chain' AND vn.v_ts IS NOT NULL
+      |                AND vn.v_ts <= wk.w_end THEN 'closer1'
+      |           WHEN wk.phase = 'chain' AND wk.att_mid > 0
+      |                AND wc.w_ts IS NOT NULL AND wc.w_ts <= wk.w_end
+      |                THEN 'chfail_close'
+      |           WHEN wk.phase = 'mid' AND (wk.att_mid = 0
+      |                OR wc.w_ts IS NULL OR wc.w_ts > wk.w_end
+      |                OR wk.cur_e < wc.w_ts) THEN
+      |             CASE WHEN nr.b_ts IS NOT NULL AND nr.e_ts <= wk.w_end
+      |                  THEN 'absorb_spec'
+      |                  WHEN w2.w_ts IS NOT NULL AND w2.w_ts <= wk.w_end
+      |                  THEN 'absorb_close' END
+      |           WHEN wk.phase = 'mid' THEN 'reject_close'
+      |           WHEN wk.phase = 'closed' AND nr.b_ts IS NOT NULL
+      |                AND nr.e_ts <= wk.w_end THEN 'newatt'
+      |      END AS mode
+      |    FROM walk wk
+      |    LEFT JOIN link l  ON wk.phase='chain' AND l.user_id = wk.user_id
+      |                      AND l.b_ts = wk.cur_b
+      |    LEFT JOIN subs nx ON nx.user_id = wk.user_id AND nx.b_ts = l.nb
+      |    LEFT JOIN vnext vn ON wk.phase='chain' AND vn.user_id = wk.user_id
+      |                       AND vn.b_ts = wk.cur_b
+      |    LEFT JOIN wnextv wc ON wc.user_id = wk.user_id
+      |                        AND wc.s_ts = wk.s_ts AND wc.v_ts = wk.att_gend
+      |    LEFT JOIN wnextv w2 ON wk.phase='mid' AND w2.user_id = wk.user_id
+      |                        AND w2.s_ts = wk.s_ts AND w2.v_ts = wk.cur_e
+      |    LEFT JOIN nsubv nv ON wk.phase='mid' AND nv.user_id = wk.user_id
+      |                       AND nv.v_ts = wk.cur_e
+      |    LEFT JOIN nsubw nw ON wk.phase='closed' AND nw.user_id = wk.user_id
+      |                       AND nw.w_ts = wk.match_end
+      |    LEFT JOIN subs nr ON nr.user_id = wk.user_id
+      |                      AND nr.b_ts = COALESCE(nv.nb, nw.nb)
+      |  ) WHERE mode IS NOT NULL),
+      |best AS (
+      |  SELECT user_id, s_ts, match_end, n_done, mid_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, s_ts AS signup_ts, match_end AS grp_last_ts,
+      |       n_done AS n_outer, mid_done AS n_mid, inner_done AS n_inner
+      |FROM best WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w25_cascading_windows" -> w25, "w26_cep_timeout" -> w26,
     "w27_cep_followed_by_any" -> w27, "w28_cep_combinations" -> w28,
@@ -3644,7 +3800,7 @@ object WindowQueries {
     "m35_reluctant_quant" -> m35, "m36_nested_values" -> m36, "m37_nested_inner_star" -> m37, "m38_all_rows_nested_values" -> m38,
     "m39_depth2_nested_group" -> m39, "m40_nested_iter_tail" -> m40,
     "m41_depth2_values" -> m41, "m42_all_rows_depth2" -> m42,
-    "m43_depth2_inner_star" -> m43)
+    "m43_depth2_inner_star" -> m43, "m44_depth2_iter_tail" -> m44)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -3678,7 +3834,7 @@ object WindowQueries {
     "m35_reluctant_quant" -> m35Sql, "m36_nested_values" -> m36Sql, "m37_nested_inner_star" -> m37Sql, "m38_all_rows_nested_values" -> m38Sql,
     "m39_depth2_nested_group" -> m39Sql, "m40_nested_iter_tail" -> m40Sql,
     "m41_depth2_values" -> m41Sql, "m42_all_rows_depth2" -> m42Sql,
-    "m43_depth2_inner_star" -> m43Sql,
+    "m43_depth2_inner_star" -> m43Sql, "m44_depth2_iter_tail" -> m44Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

@@ -1352,6 +1352,45 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       rows.toSeq.sortBy(r => (r._1, r._3.getTime)).mkString("\n"))
   }
 
+  test("ITERATIVE condition on a DEPTH-2 OUTER TAIL: " +
+       "W.value > 2 * S.value inside S (((B C)+ V)+ W)+") {
+    // user 1 (S.value = 10, threshold 20): w@4(15) FAILS the residual —
+    //   it neither binds nor punctuates; rep 1 closes at w@5(25), rep 2
+    //   at w@9(30)
+    // user 2 (S.value = 50, threshold 100): no w qualifies — NO match
+    val evs = Seq(
+      (1L, at(0), "s", 10.0),
+      (1L, at(1), "b", 0.0), (1L, at(2), "c", 0.0), (1L, at(3), "v", 0.0),
+      (1L, at(4), "w", 15.0), (1L, at(5), "w", 25.0),
+      (1L, at(6), "b", 0.0), (1L, at(7), "c", 0.0), (1L, at(8), "v", 0.0),
+      (1L, at(9), "w", 30.0),
+      (2L, at(0), "s", 50.0),
+      (2L, at(1), "b", 0.0), (2L, at(2), "c", 0.0), (2L, at(3), "v", 0.0),
+      (2L, at(4), "w", 25.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, LAST(W.ts) AS grp_last_ts,
+        |           COUNT(W.ts) AS n_outer, COUNT(V.ts) AS n_mid,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w' AND W.value > 2 * S.value
+        |)""".stripMargin
+    val m = MatchRecognize.detect(evs, sql)
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
+    assert(m == Set((1L, at(0), at(9), 2L, 2L, 2L)), m.toString)
+    // inner/mid members with an iterative condition: named error
+    val e = intercept[Exception](MatchRecognize.detect(evs,
+      sql.replace("V AS event_type = 'v'",
+        "V AS event_type = 'v' AND V.value > S.value")).collect())
+    assert(e.getMessage.contains("OUTER TAIL members only"), e.getMessage)
+  }
+
   test("DEPTH-2 nested group member VALUE measures (two pending levels)") {
     // the m39 corpus with value = minute index. Committed bindings:
     //   user 1: B@{1,3,6,10} C@{2,4,7,11} V@{5,8,12} W@{9,13}
