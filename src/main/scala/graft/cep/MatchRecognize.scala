@@ -866,9 +866,6 @@ object MatchRecognize {
             if (compiled(sv)._2.isEmpty) None
             else Some(sv -> parseTailResidual(spec, sv))
           }
-        require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
-          s"compose with a nested group (${v.name}): the chain binds no " +
-          "member values for a tiebreak to steer")
         pat = pat.followedByNestedGroup(v.name,
           v.innerSeq.map(sv => sv -> compiled(sv)._1),
           v.seq.map(sv => sv -> compiled(sv)._1),
@@ -880,6 +877,11 @@ object MatchRecognize {
         // groupKeep sequence must equal the ALL ROWS snapshot indexing
         nestedKeepOrder(v.innerSeq, v.seq, bindByVar)
           .foreach { case (sv, c) => pat = pat.bindGroup(sv, c) }
+        // composite ORDER BY (r16, the former named rejection — nested
+        // chains bind member values since r15): equal-ts candidates'
+        // values argmin by (ties..., value); membership and succession
+        // stay time-level, the one-level group convention
+        if (spec.orderTies.nonEmpty) pat = pat.tieBreak(spec.orderTies: _*)
         // ALL ROWS needs each bound event + running counts on the match row
         if (spec.allRows) pat = pat.materializeNestedRows()
         pat = if (v.quant.contains("*")) pat.zeroOrMore() else pat.oneOrMore()

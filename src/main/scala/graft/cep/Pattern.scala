@@ -689,12 +689,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def tieBreak(cs: String*): Pattern = {
     require(cs.nonEmpty, "tieBreak() needs at least one column")
     require(steps.nonEmpty &&
-      (steps.last.oneOrMore || steps.last.group.nonEmpty),
+      (steps.last.oneOrMore || steps.last.group.nonEmpty ||
+        steps.last.inner2.nonEmpty),
       "tieBreak() applies to a oneOrMore()/zeroOrMore() run or a group step")
-    require(steps.last.innerGroup.isEmpty && steps.last.inner2.isEmpty,
-      "tieBreak() does not compose with followedByNestedGroup()/" +
-        "followedByNested2Group() — nested chains bind no member values " +
-        "for a tiebreak to steer")
+    require(steps.last.inner2.isEmpty,
+      "tieBreak() does not compose with followedByNested2Group() — " +
+        "depth-2 value tables are not tie-steered yet")
     new Pattern(steps.init :+ steps.last.copy(tieCols = cs.toVector),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -1756,12 +1756,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           }.toMap
         // ONE aggregate + join per MEMBER (all its kept columns together)
         // — per-(member, column) joins would rescan the event table and
-        // reshuffle once per extra column
+        // reshuffle once per extra column. Equal-ts candidates: (value)
+        // min by default, (ties..., value) argmin under a composite
+        // ORDER BY tiebreak (r16 — the one-level group convention)
+        def nestedValAgg(c: String, as0: String): Column =
+          (if (s.tieCols.isEmpty) min(col(c).cast("double"))
+           else min_by(col(c).cast("double"),
+             struct(s.tieCols.map(col) :+ col(c).cast("double"): _*))).as(as0)
         gkInner.groupBy(_._1._1).foreach { case (m, entries) =>
           val im = innerNames0.indexOf(m)
           val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
-          val aggs = entries.map { case ((_, c), i) =>
-            min(col(c).cast("double")).as(s"__nv$i") }
+          val aggs = entries.map { case ((_, c), i) => nestedValAgg(c, s"__nv$i") }
           val vt = events.filter(s.innerGroup(im)._2)
             .groupBy(key.as("__vk"), ts.as("__vts"))
             .agg(aggs.head, aggs.tail: _*)

@@ -3768,6 +3768,146 @@ object WindowQueries {
       |       n_done AS n_outer, mid_done AS n_mid, inner_done AS n_inner
       |FROM best WHERE rn = 1""".stripMargin
 
+  // --- m45: composite ORDER BY tiebreak + NESTED-group member VALUES
+  // (r16 late add, lifting the r15 named rejection — stale since m36
+  // gave nested chains bound member values): `ORDER BY ts, tie1` over
+  // the m33 pattern with value measures — equal-timestamp candidates'
+  // VALUES argmin by (tie, value) instead of plain (value) min
+  // (membership and succession stay time-level, the one-level group
+  // tieBreak convention). Ties are MANUFACTURED the m30 way (hour-
+  // truncated ts + event_id div 100 tie — 15 signup / 20 view coarse-
+  // hour duplicate groups at sf0.01, so the argmin is exercised).
+  // Oracle: the m33 walk over the coarsened frame, anchors keyed PER
+  // SIGNUP EVENT (duplicate coarse-hour anchors emit duplicate rows,
+  // as the engine's per-event anchors do), member values joined per
+  // (user, ts, type) as the {tie, value} struct-min's value field.
+  private val m45: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(
+      ev(s, dir).withColumn("ts", date_trunc("hour", col("ts")))
+        .withColumn("tie1", expr("event_id div 100")),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, tie1
+        |  MEASURES S.ts AS signup_ts, COUNT(V.ts) AS n_reps,
+        |           SUM(B.value) AS sum_b, MIN(C.value) AS min_c,
+        |           LAST(V.value) AS last_v
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+  private val m45Sql =
+    """WITH RECURSIVE
+      |e AS (SELECT user_id, event_id, event_id // 100 AS tie1,
+      |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+      |             event_type, value FROM events),
+      |s AS (SELECT user_id, event_id, ts FROM e WHERE event_type='signup'),
+      |b AS (SELECT user_id, ts FROM e WHERE event_type='click'),
+      |c AS (SELECT user_id, ts FROM e WHERE event_type='view'),
+      |v AS (SELECT user_id, ts FROM e WHERE event_type='error'),
+      |subs AS (
+      |  SELECT b.user_id, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM b JOIN c ON c.user_id = b.user_id AND c.ts > b.ts
+      |              AND c.ts <= b.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2),
+      |vnext AS (
+      |  SELECT su.user_id, su.b_ts, min(v.ts) AS v_ts
+      |  FROM subs su LEFT JOIN v ON v.user_id = su.user_id AND v.ts > su.e_ts
+      |  GROUP BY 1, 2),
+      |nsub AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(su.b_ts) AS nb
+      |  FROM v LEFT JOIN subs su ON su.user_id = v.user_id AND su.b_ts > v.ts
+      |  GROUP BY 1, 2),
+      |entry AS (
+      |  SELECT s.user_id, s.event_id AS sid, s.ts AS s_ts,
+      |         s.ts + INTERVAL 96 HOURS AS w_end, min(su.b_ts) AS b1
+      |  FROM s JOIN subs su ON su.user_id = s.user_id AND su.b_ts > s.ts
+      |  GROUP BY 1, 2, 3, 4),
+      |walk AS (
+      |  SELECT e.user_id, e.sid, e.s_ts, e.w_end,
+      |         su.b_ts AS cur_b, su.e_ts AS cur_e,
+      |         CAST(1 AS BIGINT) AS chain_k, CAST(0 AS BIGINT) AS n_done,
+      |         CAST(NULL AS TIMESTAMP) AS match_end, 'chain' AS phase
+      |  FROM entry e JOIN subs su ON su.user_id = e.user_id AND su.b_ts = e.b1
+      |  WHERE su.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT user_id, sid, s_ts, w_end,
+      |         CASE WHEN mode='extend' THEN nx_b WHEN mode='newrep' THEN nr_b END,
+      |         CASE WHEN mode='extend' THEN nx_e WHEN mode='newrep' THEN nr_e END,
+      |         CASE WHEN mode='extend' THEN chain_k + 1
+      |              WHEN mode='newrep' THEN CAST(1 AS BIGINT) ELSE chain_k END,
+      |         CASE WHEN mode='close' THEN n_done + 1 ELSE n_done END,
+      |         CASE WHEN mode='close' THEN vts ELSE match_end END,
+      |         CASE WHEN mode='close' THEN 'closed' ELSE 'chain' END
+      |  FROM (
+      |    SELECT w.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e, vn.v_ts AS vts,
+      |           nr.b_ts AS nr_b, nr.e_ts AS nr_e,
+      |      CASE WHEN w.phase = 'chain' AND nx.b_ts IS NOT NULL
+      |                AND nx.e_ts <= w.w_end
+      |                AND (vn.v_ts IS NULL OR vn.v_ts > w.w_end
+      |                     OR nx.e_ts < vn.v_ts) THEN 'extend'
+      |           WHEN w.phase = 'chain' AND vn.v_ts IS NOT NULL
+      |                AND vn.v_ts <= w.w_end THEN 'close'
+      |           WHEN w.phase = 'closed' AND nr.b_ts IS NOT NULL
+      |                AND nr.e_ts <= w.w_end THEN 'newrep'
+      |      END AS mode
+      |    FROM walk w
+      |    LEFT JOIN link l  ON w.phase='chain' AND l.user_id = w.user_id
+      |                      AND l.b_ts = w.cur_b
+      |    LEFT JOIN subs nx ON nx.user_id = w.user_id AND nx.b_ts = l.nb
+      |    LEFT JOIN vnext vn ON w.phase='chain' AND vn.user_id = w.user_id
+      |                       AND vn.b_ts = w.cur_b
+      |    LEFT JOIN nsub ns ON w.phase='closed' AND ns.user_id = w.user_id
+      |                      AND ns.v_ts = w.match_end
+      |    LEFT JOIN subs nr ON nr.user_id = w.user_id AND nr.b_ts = ns.nb
+      |  ) WHERE mode IS NOT NULL),
+      |best AS (
+      |  SELECT user_id, sid, s_ts, n_done,
+      |         row_number() OVER (PARTITION BY user_id, sid
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed'),
+      |vals AS (
+      |  SELECT user_id, ts, event_type,
+      |         struct_extract(min({'t': tie1, 'v': value}), 'v') AS v
+      |  FROM e GROUP BY 1, 2, 3),
+      |mrows AS (
+      |  SELECT w.user_id, b.sid, b.s_ts, 'B' AS cls, w.cur_b AS ts,
+      |         w.n_done AS rep
+      |  FROM walk w JOIN best b ON b.user_id = w.user_id AND b.sid = w.sid
+      |  WHERE b.rn = 1 AND w.phase = 'chain' AND w.n_done + 1 <= b.n_done
+      |  UNION ALL
+      |  SELECT w.user_id, b.sid, b.s_ts, 'C', w.cur_e, w.n_done
+      |  FROM walk w JOIN best b ON b.user_id = w.user_id AND b.sid = w.sid
+      |  WHERE b.rn = 1 AND w.phase = 'chain' AND w.n_done + 1 <= b.n_done
+      |  UNION ALL
+      |  SELECT w.user_id, b.sid, b.s_ts, 'V', w.match_end, w.n_done
+      |  FROM walk w JOIN best b ON b.user_id = w.user_id AND b.sid = w.sid
+      |  WHERE b.rn = 1 AND w.phase = 'closed'),
+      |mv AS (
+      |  SELECT r.user_id, r.sid, r.s_ts, r.cls, r.ts, r.rep, v.v
+      |  FROM mrows r JOIN vals v ON v.user_id = r.user_id AND v.ts = r.ts
+      |   AND v.event_type = CASE r.cls WHEN 'B' THEN 'click'
+      |                                 WHEN 'C' THEN 'view' ELSE 'error' END),
+      |lastv AS (
+      |  SELECT user_id, sid, v FROM (
+      |    SELECT m.user_id, m.sid, m.v,
+      |           row_number() OVER (PARTITION BY m.user_id, m.sid
+      |                              ORDER BY m.rep DESC) AS rn
+      |    FROM mv m WHERE m.cls = 'V') WHERE rn = 1)
+      |SELECT b.user_id, b.s_ts AS signup_ts, b.n_done AS n_reps,
+      |  sum(CASE WHEN m.cls = 'B' THEN m.v END) AS sum_b,
+      |  min(CASE WHEN m.cls = 'C' THEN m.v END) AS min_c,
+      |  min(l.v) AS last_v
+      |FROM best b
+      |JOIN mv m ON m.user_id = b.user_id AND m.sid = b.sid
+      |JOIN lastv l ON l.user_id = b.user_id AND l.sid = b.sid
+      |WHERE b.rn = 1
+      |GROUP BY b.user_id, b.sid, b.s_ts, b.n_done""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w25_cascading_windows" -> w25, "w26_cep_timeout" -> w26,
     "w27_cep_followed_by_any" -> w27, "w28_cep_combinations" -> w28,
@@ -3800,7 +3940,7 @@ object WindowQueries {
     "m35_reluctant_quant" -> m35, "m36_nested_values" -> m36, "m37_nested_inner_star" -> m37, "m38_all_rows_nested_values" -> m38,
     "m39_depth2_nested_group" -> m39, "m40_nested_iter_tail" -> m40,
     "m41_depth2_values" -> m41, "m42_all_rows_depth2" -> m42,
-    "m43_depth2_inner_star" -> m43, "m44_depth2_iter_tail" -> m44)
+    "m43_depth2_inner_star" -> m43, "m44_depth2_iter_tail" -> m44, "m45_nested_tiebreak" -> m45)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -3834,7 +3974,7 @@ object WindowQueries {
     "m35_reluctant_quant" -> m35Sql, "m36_nested_values" -> m36Sql, "m37_nested_inner_star" -> m37Sql, "m38_all_rows_nested_values" -> m38Sql,
     "m39_depth2_nested_group" -> m39Sql, "m40_nested_iter_tail" -> m40Sql,
     "m41_depth2_values" -> m41Sql, "m42_all_rows_depth2" -> m42Sql,
-    "m43_depth2_inner_star" -> m43Sql, "m44_depth2_iter_tail" -> m44Sql,
+    "m43_depth2_inner_star" -> m43Sql, "m44_depth2_iter_tail" -> m44Sql, "m45_nested_tiebreak" -> m45Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)
