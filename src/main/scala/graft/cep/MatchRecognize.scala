@@ -819,8 +819,9 @@ object MatchRecognize {
             else Some(sv -> parseTailResidual(spec, sv))
           }
         require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
-          s"compose with a depth-2 nested group (${v.name}): the chain " +
-          "binds no member values for a tiebreak to steer")
+          s"compose with a depth-2 nested group (${v.name}) yet: the " +
+          "depth-2 value tables are not tie-steered (the one-level nested " +
+          "group composes since r16)")
         require(!spec.allRows || bindByVar.keySet.intersect(
             (v.inner2Seq ++ v.midSeq ++ v.seq).toSet).isEmpty,
           s"ALL ROWS PER MATCH over a depth-2 nested group (${v.name}) " +

@@ -1760,9 +1760,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         // min by default, (ties..., value) argmin under a composite
         // ORDER BY tiebreak (r16 — the one-level group convention)
         def nestedValAgg(c: String, as0: String): Column =
-          (if (s.tieCols.isEmpty) min(col(c).cast("double"))
-           else min_by(col(c).cast("double"),
-             struct(s.tieCols.map(col) :+ col(c).cast("double"): _*))).as(as0)
+          Pattern.tieMinAgg(c, s.tieCols).as(as0)
         gkInner.groupBy(_._1._1).foreach { case (m, entries) =>
           val im = innerNames0.indexOf(m)
           val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
@@ -1812,8 +1810,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 lit(null).cast("array<timestamp>").as("__mems"),
                 lit(null).cast("array<double>").as("__vals"))
               case None =>
+                // tail member values tie-steer too (one shared builder —
+                // the r16 review caught this copy still on plain min)
                 val aggs = tks.map { case ((_, c), i) =>
-                  min(col(c).cast("double")).as(s"__tv$i") }
+                  nestedValAgg(c, s"__tv$i") }
                 events.filter(p).groupBy(key.as("__gk"), ts.as("__t1"))
                   .agg(aggs.head, aggs.tail: _*)
                   .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),
@@ -2156,10 +2156,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
           // equal-ts candidates: (value) min by default, (ties..., value)
           // argmin under a composite ORDER BY tiebreak — both hash aggregates
-          val vAgg =
-            if (s.tieCols.isEmpty) min(col(c).cast("double"))
-            else min_by(col(c).cast("double"),
-              struct(s.tieCols.map(col) :+ col(c).cast("double"): _*))
+          val vAgg = Pattern.tieMinAgg(c, s.tieCols)
           val vt = events.filter(s.group(im)._2)
             .groupBy(key.as("__vk"), ts.as("__vts"))
             .agg(vAgg.as(s"__gv$i"))
@@ -2645,6 +2642,15 @@ object Pattern extends Serializable {
         org.apache.spark.sql.types.StructField(s"${name}_cnt_${m}_$c",
           org.apache.spark.sql.types.LongType)
     }
+
+  /** The equal-timestamp VALUE tie-break aggregate — plain (value) min,
+    * or (ties..., value) argmin under a composite ORDER BY tiebreak.
+    * ONE builder for every member-value table (flat group, nested inner,
+    * nested tail) so the convention cannot diverge between shapes. */
+  private[cep] def tieMinAgg(c: String, tieCols: Seq[String]): Column =
+    if (tieCols.isEmpty) min(col(c).cast("double"))
+    else min_by(col(c).cast("double"),
+      struct(tieCols.map(col) :+ col(c).cast("double"): _*))
 
   /** Fold a pending (groupKeep-index, value) list into the running
     * bindGroup state — ONE implementation shared by the nested and

@@ -3638,7 +3638,7 @@ object WindowQueries {
         |)""".stripMargin)
   private val m44Sql =
     """WITH RECURSIVE
-      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='signup'),
+      |s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='signup'),
       |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
       |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
       |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='error'),
@@ -3661,12 +3661,13 @@ object WindowQueries {
       |  FROM v LEFT JOIN subs su ON su.user_id = v.user_id AND su.b_ts > v.ts
       |  GROUP BY 1, 2),
       |entry AS (
-      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 96 HOURS AS w_end,
-      |         min(s.value) AS s_val, min(su.b_ts) AS b1
+      |  SELECT s.user_id, s.event_id AS sid, s.ts AS s_ts,
+      |         s.ts + INTERVAL 96 HOURS AS w_end, s.value AS s_val,
+      |         min(su.b_ts) AS b1
       |  FROM s JOIN subs su ON su.user_id = s.user_id AND su.b_ts > s.ts
-      |  GROUP BY 1, 2, 3),
+      |  GROUP BY 1, 2, 3, 4, 5),
       |wnextv AS (
-      |  SELECT e.user_id, e.s_ts, v.ts AS v_ts, min(w.ts) AS w_ts
+      |  SELECT e.user_id, e.sid, v.ts AS v_ts, min(w.ts) AS w_ts
       |  FROM entry e
       |  JOIN v ON v.user_id = e.user_id
       |  LEFT JOIN w ON w.user_id = e.user_id AND w.ts > v.ts
@@ -3677,7 +3678,7 @@ object WindowQueries {
       |  FROM w LEFT JOIN subs su ON su.user_id = w.user_id AND su.b_ts > w.ts
       |  GROUP BY 1, 2),
       |walk AS (
-      |  SELECT e.user_id, e.s_ts, e.w_end,
+      |  SELECT e.user_id, e.sid, e.s_ts, e.w_end,
       |         su.b_ts AS cur_b, su.e_ts AS cur_e,
       |         CAST(1 AS BIGINT) AS chain_k,
       |         CAST(0 AS BIGINT) AS att_mid, CAST(0 AS BIGINT) AS att_inner,
@@ -3688,7 +3689,7 @@ object WindowQueries {
       |  FROM entry e JOIN subs su ON su.user_id = e.user_id AND su.b_ts = e.b1
       |  WHERE su.e_ts <= e.w_end
       |  UNION ALL
-      |  SELECT user_id, s_ts, w_end,
+      |  SELECT user_id, sid, s_ts, w_end,
       |         CASE WHEN mode='extend' THEN nx_b
       |              WHEN mode IN ('absorb_spec','newatt') THEN nr_b END,
       |         CASE WHEN mode='extend' THEN nx_e
@@ -3749,9 +3750,9 @@ object WindowQueries {
       |    LEFT JOIN vnext vn ON wk.phase='chain' AND vn.user_id = wk.user_id
       |                       AND vn.b_ts = wk.cur_b
       |    LEFT JOIN wnextv wc ON wc.user_id = wk.user_id
-      |                        AND wc.s_ts = wk.s_ts AND wc.v_ts = wk.att_gend
+      |                        AND wc.sid = wk.sid AND wc.v_ts = wk.att_gend
       |    LEFT JOIN wnextv w2 ON wk.phase='mid' AND w2.user_id = wk.user_id
-      |                        AND w2.s_ts = wk.s_ts AND w2.v_ts = wk.cur_e
+      |                        AND w2.sid = wk.sid AND w2.v_ts = wk.cur_e
       |    LEFT JOIN nsubv nv ON wk.phase='mid' AND nv.user_id = wk.user_id
       |                       AND nv.v_ts = wk.cur_e
       |    LEFT JOIN nsubw nw ON wk.phase='closed' AND nw.user_id = wk.user_id
@@ -3760,13 +3761,15 @@ object WindowQueries {
       |                      AND nr.b_ts = COALESCE(nv.nb, nw.nb)
       |  ) WHERE mode IS NOT NULL),
       |best AS (
-      |  SELECT user_id, s_ts, match_end, n_done, mid_done, inner_done,
-      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |  SELECT user_id, sid, s_ts, match_end, n_done, mid_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, sid
       |                            ORDER BY n_done DESC) AS rn
       |  FROM walk WHERE phase = 'closed')
       |SELECT user_id, s_ts AS signup_ts, match_end AS grp_last_ts,
-      |       n_done AS n_outer, mid_done AS n_mid, inner_done AS n_inner
-      |FROM best WHERE rn = 1""".stripMargin
+      |       n_outer, n_mid, n_inner
+      |FROM (SELECT user_id, s_ts, match_end, n_done AS n_outer,
+      |             mid_done AS n_mid, inner_done AS n_inner
+      |      FROM best WHERE rn = 1)""".stripMargin
 
   // --- m45: composite ORDER BY tiebreak + NESTED-group member VALUES
   // (r16 late add, lifting the r15 named rejection — stale since m36

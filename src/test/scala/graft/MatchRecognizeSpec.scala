@@ -1395,32 +1395,36 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
        "(equal-ts candidates argmin by (tie, value))") {
     // two B candidates at ts 10: (tie 2, val 4) vs (tie 1, val 6) — the
     // tiebreak binds 6 where the plain (value)-min would bind 4; two C
-    // candidates at ts 20: (tie 2, val 3) vs (tie 1, val 9) — tie binds 9
+    // candidates at ts 20: (tie 2, val 3) vs (tie 1, val 9) — tie binds 9;
+    // two V (TAIL member) candidates at ts 30: (tie 2, val 1) vs
+    // (tie 1, val 8) — tie binds 8 (the r16 review caught the tail-table
+    // copy still on plain min: both table shapes must steer)
     val evs = Seq(
       (1L, at(0), "s", 0L, 0.0),
       (1L, at(10), "b", 2L, 4.0), (1L, at(10), "b", 1L, 6.0),
       (1L, at(20), "c", 2L, 3.0), (1L, at(20), "c", 1L, 9.0),
-      (1L, at(30), "v", 0L, 0.0)
+      (1L, at(30), "v", 2L, 1.0), (1L, at(30), "v", 1L, 8.0)
     ).toDF("user_id", "ts", "event_type", "tie1", "value")
     val sql =
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id
         |  ORDER BY ts, tie1
         |  MEASURES S.ts AS signup_ts, SUM(B.value) AS sum_b,
-        |           LAST(C.value) AS last_c, COUNT(V.ts) AS n_reps
+        |           LAST(C.value) AS last_c, LAST(V.value) AS last_v,
+        |           COUNT(V.ts) AS n_reps
         |  PATTERN (S ((B C)+ V)+)
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 's', B AS event_type = 'b',
         |         C AS event_type = 'c', V AS event_type = 'v'
         |)""".stripMargin
     val m = MatchRecognize.detect(evs, sql)
-      .as[(Long, Timestamp, Double, Double, Long)].collect().toSet
-    assert(m == Set((1L, at(0), 6.0, 9.0, 1L)), m.toString)
+      .as[(Long, Timestamp, Double, Double, Double, Long)].collect().toSet
+    assert(m == Set((1L, at(0), 6.0, 9.0, 8.0, 1L)), m.toString)
     // the PLAIN (value)-min control: same data without the tiebreak
     val plain = MatchRecognize.detect(evs,
         sql.replace("ORDER BY ts, tie1", "ORDER BY ts"))
-      .as[(Long, Timestamp, Double, Double, Long)].collect().toSet
-    assert(plain == Set((1L, at(0), 4.0, 3.0, 1L)), plain.toString)
+      .as[(Long, Timestamp, Double, Double, Double, Long)].collect().toSet
+    assert(plain == Set((1L, at(0), 4.0, 3.0, 1.0, 1L)), plain.toString)
   }
 
   test("DEPTH-2 nested group member VALUE measures (two pending levels)") {
