@@ -594,6 +594,17 @@ object MatchRecognize {
     // check and the rewrite
     import scala.util.matching.Regex.quoteReplacement
     def isLiteral(a: String): Boolean = a.head.isDigit
+    // every non-literal qualifier must be a KNOWN pattern variable — an
+    // unknown one (e.g. a typo'd 'S2.value') would rewrite to a bound
+    // column that does not exist and die later as an opaque unresolved-
+    // column AnalysisException instead of this named error
+    RefRx.findAllMatchIn(rhs).foreach { m =>
+      require(isLiteral(m.group(1)) || posAll(m.group(1)),
+        s"nested group tail $sv: the threshold references " +
+          s"'${m.group(1)}.${m.group(2)}', but '${m.group(1)}' is not a " +
+          "pattern variable — thresholds are arithmetic over qualified " +
+          "EARLIER bindings and numeric literals")
+    }
     val residue = RefRx.replaceAllIn(rhs, m =>
       quoteReplacement(if (isLiteral(m.group(1))) m.matched else "0"))
     require("^[-+*/(). 0-9eE]*$".r.matches(residue),

@@ -250,9 +250,12 @@ object FlinkDdl {
     val ttlNanos = ttlMs * 1000000L
     val cached = new java.util.concurrent.atomic.AtomicReference[(Long, DataFrame)]
     // the uncached bound check costs one extra bounded jdbc scan — run it
-    // on the FIRST trigger only (memoized per loader); a dimension growing
-    // past the bound later is caught the next time a loader is built
-    val boundChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // on the first trigger and RE-VALIDATE every UncachedBoundRecheck
+    // triggers thereafter: a dimension growing past the declared budget
+    // mid-stream fails the contract within a bounded number of batches
+    // ('overflow is an error, not a silent eviction'), at ~1% scan
+    // overhead instead of per-trigger
+    val triggerCount = new java.util.concurrent.atomic.AtomicLong(0L)
     () => {
       val now = System.nanoTime()
       val cur = cached.get()
@@ -266,14 +269,14 @@ object FlinkDdl {
         if (ttlMs == 0) {
           // uncached: per-trigger read; with a bound, validate it
           // DISTRIBUTEDLY (no driver materialization for a frame that is
-          // not being cached)
-          if (!boundChecked.get()) maxRows.foreach { mr =>
-            require(df.limit(mr.toInt + 1).count() <= mr,
-              s"jdbcLookupLoader($name): dimension exceeds " +
-                s"lookup.cache.max-rows = $mr — raise the bound or drop " +
-                "the option")
-            boundChecked.set(true)
-          }
+          // not being cached) on the first trigger and periodically after
+          if (triggerCount.getAndIncrement() % UncachedBoundRecheck == 0)
+            maxRows.foreach { mr =>
+              require(df.limit(mr.toInt + 1).count() <= mr,
+                s"jdbcLookupLoader($name): dimension exceeds " +
+                  s"lookup.cache.max-rows = $mr — raise the bound or drop " +
+                  "the option")
+            }
           df
         } else {
           val rows = df.collect()
@@ -335,7 +338,20 @@ object FlinkDdl {
     * batch against the cached rows of exactly its own keys (bounded by the
     * batch's key cardinality, not the dimension size). Misses with no
     * dimension row cache an EMPTY list (the reference caches those too) so
-    * repeated unmatched keys never re-query. */
+    * repeated unmatched keys never re-query. Caching engages only when
+    * BOTH `lookup.cache.ttl` and `lookup.cache.max-rows` are set — the
+    * reference builds its Guava cache only when both cacheMaxSize and
+    * cacheExpireMs are configured, and either absent means query-through
+    * (no unbounded or never-expiring cache here either). */
+  /** Upper bound on keys per pushed-down IN list — databases cap IN-list
+    * terms (Oracle at 1000) and statement length; misses chunk into
+    * IN reads of at most this many keys, unioned client-side. */
+  private val InChunkKeys = 900
+
+  /** Re-validate the UNCACHED loader's lookup.cache.max-rows bound every
+    * this many triggers (first trigger always validates). */
+  private val UncachedBoundRecheck = 100L
+
   final class JdbcPerKeyLookup(spark: SparkSession, name: String, key: String) {
     private val (dimSchema, opts) = {
       val (sch, o, _) = Option(declared.get(declKey(spark, name))).getOrElse(
@@ -361,6 +377,14 @@ object FlinkDdl {
           s"range — use a bound in [1, ${Int.MaxValue}]")
       n.toInt
     }
+    // the REFERENCE contract (JDBCLookupFunction.java:75-80): the Guava
+    // cache is built only when BOTH cacheMaxSize and cacheExpireMs are set
+    // — either absent means NO caching (query the database every time),
+    // never an unbounded or never-expiring cache. Same here: without both
+    // options every batch's keys are fetched fresh (still ONE batched read
+    // per micro-batch, never per-row round trips).
+    private val cacheEnabled =
+      ttlNanos > 0L && maxKeys.nonEmpty
     private def req(k: String): String = opts.getOrElse(k,
       sys.error(s"JdbcPerKeyLookup($name): missing option '$k'"))
     // ONE frame over the declared table, built once: spark.read.jdbc
@@ -399,8 +423,10 @@ object FlinkDdl {
           dimFrame.schema(key).dataType)).distinct().collect()
         .map(_.get(0)).filter(_ != null)
       val now = System.nanoTime()
-      val (hit, miss) = keys.partition(k =>
-        Option(cache.get(k)).exists(e => ttlNanos == 0L || now - e.at < ttlNanos))
+      val (hit, miss) =
+        if (!cacheEnabled) (Array.empty[Any], keys)
+        else keys.partition(k =>
+          Option(cache.get(k)).exists(e => now - e.at < ttlNanos))
       hits += hit.length; misses += miss.length
       // the batch's enrichment rows are gathered BEFORE cache puts and
       // eviction: a batch with more keys than max-rows still enriches
@@ -409,15 +435,20 @@ object FlinkDdl {
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       hit.foreach(k => cache.get(k).rows.foreach(rows.add))
       if (miss.nonEmpty) {
-        // ONE bounded read for all misses, never one round-trip per row
-        val fetched = dimFrame.filter(col(key).isin(miss.toSeq: _*)).collect()
+        // batched reads for the misses, never one round-trip per row —
+        // CHUNKED so the pushed-down IN list stays under database
+        // expression limits (e.g. Oracle's 1000-term IN cap)
+        val fetched = miss.grouped(InChunkKeys).flatMap(chunk =>
+          dimFrame.filter(col(key).isin(chunk.toSeq: _*)).collect()).toArray
         fetched.foreach(rows.add)
-        val byKey = fetched.groupBy(_.getAs[Any](key))
-        miss.foreach(k => cache.put(k,
-          Entry(now, byKey.getOrElse(k, Array.empty))))
-        maxKeys.foreach { mk =>
-          val it = cache.entrySet().iterator()
-          while (cache.size > mk && it.hasNext) { it.next(); it.remove() }
+        if (cacheEnabled) {
+          val byKey = fetched.groupBy(_.getAs[Any](key))
+          miss.foreach(k => cache.put(k,
+            Entry(now, byKey.getOrElse(k, Array.empty))))
+          maxKeys.foreach { mk =>
+            val it = cache.entrySet().iterator()
+            while (cache.size > mk && it.hasNext) { it.next(); it.remove() }
+          }
         }
       }
       val snap = spark.createDataFrame(rows, dimFrame.schema)

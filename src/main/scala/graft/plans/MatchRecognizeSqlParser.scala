@@ -68,8 +68,10 @@ object MatchRecognizeSqlParser {
   private val FromSubRx = "(?is)\\bFROM\\s*\\(".r
 
   /** Index of the parenthesis closing the one at `open`, skipping
-    * single-quoted SQL string literals (with '' escapes) — a quoted '('
-    * must not count toward nesting. */
+    * single-quoted SQL string literals (with '' escapes), double-quoted
+    * and backquoted identifiers, `--` line comments and bracketed
+    * comments — a '(' or ')' inside any of those must not count toward
+    * nesting. */
   private def closeParen(s: String, open: Int): Int = {
     var depth = 0; var i = open
     var done = false
@@ -80,6 +82,19 @@ object MatchRecognizeSqlParser {
           while (i < s.length && (s(i) != '\'' ||
               (i + 1 < s.length && s(i + 1) == '\'' && { i += 1; true })))
             i += 1
+        case '"' =>
+          i += 1
+          while (i < s.length && s(i) != '"') i += 1
+        case '`' =>
+          i += 1
+          while (i < s.length && s(i) != '`') i += 1
+        case '-' if i + 1 < s.length && s(i + 1) == '-' =>
+          while (i < s.length && s(i) != '\n') i += 1
+          i -= 1 // the shared increment below steps past the newline
+        case '/' if i + 1 < s.length && s(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < s.length && !(s(i) == '*' && s(i + 1) == '/')) i += 1
+          i += 1 // lands on '/', the shared increment steps past it
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) done = true
         case _ =>

@@ -153,6 +153,12 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
         "concat(event_type, '(') AS event_type FROM mr_events2)" +
         clause.replace("= 'view'", "= 'view('")).collect()
       assert(qRows.length == 1, qRows.mkString(","))
+      // parens inside -- line comments, /* */ block comments, and
+      // backquoted identifiers must not count toward nesting either
+      val cRows = s2.sql("SELECT * FROM (SELECT user_id, ts, -- a ( stray\n" +
+        "  /* also ) here */ event_type AS `weird(col` , event_type " +
+        "FROM mr_events2)" + clause).collect()
+      assert(cRows.length == 1, cRows.mkString(","))
       // a WITH clause NOT at statement start (textually unevaluable) keeps
       // the named rejection instead of silently binding the catalog object
       Seq((1L, "x")).toDF("user_id", "s").createOrReplaceTempView("mr_sink3")

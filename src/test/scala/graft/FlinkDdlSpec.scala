@@ -516,7 +516,7 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     FlinkDdl.execute(spark,
       s"""CREATE TABLE bigdim_t (id BIGINT, label STRING) WITH (
          |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'bigdim',
-         |  'lookup.cache.max-rows' = '3')""".stripMargin)
+         |  'lookup.cache.max-rows' = '3', 'lookup.cache.ttl' = '1 h')""".stripMargin)
     val lk = new FlinkDdl.JdbcPerKeyLookup(spark, "bigdim_t", "id")
     def run(ks: Seq[Long]): Map[Long, String] =
       lk.enrich(ks.toDF("id")).collect()
@@ -538,8 +538,8 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     val missesAfter = lk.misses
     lk.enrich(Seq(99L).toDF("id")).collect()
     assert(lk.misses == missesAfter, "negative entry must be served from cache")
-    // cached entries survive a dimension UPDATE (no ttl = no expiry; the
-    // ttl'd variant expires on the monotonic clock like the snapshot path)
+    // cached entries survive a dimension UPDATE within the ttl (expiry is
+    // on the monotonic clock, like the snapshot path)
     Seq((4L, "CHANGED")).toDF("id", "label")
       .write.mode("append").jdbc(url, "bigdim", new java.util.Properties())
     assert(run(Seq(4L)) == Map(4L -> "v4"), "cached key must not re-query")
@@ -568,6 +568,43 @@ class FlinkDdlSpec extends AnyFunSuite with SparkTest {
     val e2 = intercept[IllegalArgumentException](
       new FlinkDdl.JdbcPerKeyLookup(spark, "bigdim_t", "wrong_col"))
     assert(e2.getMessage.contains("wrong_col"), e2.getMessage)
+  }
+
+  test("per-key lookup: query-through without BOTH cache options (the " +
+       "reference contract), and misses chunk into bounded IN reads") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftlkquerythrough;create=true"
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "label")
+      .write.mode("overwrite").jdbc(url, "qt_dim", new java.util.Properties())
+    // max-rows WITHOUT ttl: the reference (JDBCLookupFunction.java:75-80)
+    // builds its Guava cache only when BOTH cacheMaxSize and cacheExpireMs
+    // are set — either absent = query-through, never a never-expiring or
+    // unbounded cache
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE qt_dim_t (id BIGINT, label STRING) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'qt_dim',
+         |  'lookup.cache.max-rows' = '3')""".stripMargin)
+    val lk = new FlinkDdl.JdbcPerKeyLookup(spark, "qt_dim_t", "id")
+    def run(ks: Seq[Long]): Map[Long, String] =
+      lk.enrich(ks.toDF("id")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(run(Seq(1L, 2L)) == Map(1L -> "v1", 2L -> "v2"))
+    assert(lk.misses == 2 && lk.hits == 0 && lk.cachedKeys == 0,
+      "query-through must not populate the cache")
+    // the SAME keys again: still misses (re-queried, never served stale)
+    assert(run(Seq(1L, 2L)) == Map(1L -> "v1", 2L -> "v2"))
+    assert(lk.misses == 4 && lk.hits == 0)
+    // a dimension update is visible on the NEXT batch (no stale serving)
+    Seq((1L, "NEW")).toDF("id", "label")
+      .write.mode("overwrite").jdbc(url, "qt_dim", new java.util.Properties())
+    assert(run(Seq(1L)) == Map(1L -> "NEW"))
+    // >900 distinct miss keys: the IN pushdown chunks into bounded reads
+    // (databases cap IN-list terms) and the union still enriches every
+    // present key exactly once, absent keys as nulls
+    val big = lk.enrich((1L to 1000L).toDF("id")).collect()
+    assert(big.length == 1000, s"got ${big.length} rows")
+    val found = big.filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
+    assert(found.toSeq == Seq(1L -> "NEW"), found.mkString(","))
   }
 
   test("named rejections: kafka, enforced key, metadata, TIME type") {

@@ -1150,6 +1150,13 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         "V.value > S.value + value")).collect())
     assert(eBare.getMessage.contains("arithmetic over qualified"),
       eBare.getMessage)
+    // a typo'd qualifier in the threshold ('S2.value' alongside the real
+    // S ref) is a NAMED error, not a downstream unresolved-column
+    // AnalysisException
+    val eTypo = intercept[Exception](MatchRecognize.detect(evs,
+      sql.replace("2 * S.value", "S.value + S2.value")).collect())
+    assert(eTypo.getMessage.contains("not a pattern variable"),
+      eTypo.getMessage)
   }
 
   test("DEPTH-2 nested group S (((B C)+ V)+ W)+ from SQL text") {
