@@ -829,10 +829,6 @@ object MatchRecognize {
             if (compiled(sv)._2.isEmpty) None
             else Some(sv -> parseTailResidual(spec, sv))
           }
-        require(spec.orderTies.isEmpty, s"ORDER BY tiebreak columns do not " +
-          s"compose with a depth-2 nested group (${v.name}) yet: the " +
-          "depth-2 value tables are not tie-steered (the one-level nested " +
-          "group composes since r16)")
         require(!spec.allRows || bindByVar.keySet.intersect(
             (v.inner2Seq ++ v.midSeq ++ v.seq).toSet).isEmpty,
           s"ALL ROWS PER MATCH over a depth-2 nested group (${v.name}) " +
@@ -851,6 +847,11 @@ object MatchRecognize {
         // member's columns in bindByVar order)
         nestedKeepOrder(v.inner2Seq ++ v.midSeq, v.seq, bindByVar)
           .foreach { case (sv, c) => pat = pat.bindGroup(sv, c) }
+        // composite ORDER BY (r17, the former depth-2 named rejection):
+        // equal-ts candidates' values argmin by (ties..., value) at every
+        // nesting level — membership and succession stay time-level, the
+        // one-level group convention
+        if (spec.orderTies.nonEmpty) pat = pat.tieBreak(spec.orderTies: _*)
         // ALL ROWS (r16): the walk materializes every committed bound
         // event with running (reps, mids, subs) counts
         if (spec.allRows) pat = pat.materializeNestedRows()

@@ -501,8 +501,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * ride their candidate rows, and the walk folds values through TWO
     * pending levels — a level-1 repetition's values commit into the
     * outer attempt only when it is absorbed, the attempt's only when the
-    * outer repetition completes); [[materializeNestedRows]] /
-    * [[tieBreak]] do not compose (named errors). */
+    * outer repetition completes); [[tieBreak]] steers the value tables
+    * at every level (r17 — the shared tieMinAgg builder);
+    * [[materializeNestedRows]] composes except with bindGroup (named
+    * mutual exclusion). */
   /** `innerOptional` (r16, the m37 recipe recursed): the innermost
     * sub-group may repeat ZERO times inside a level-1 repetition —
     * `(((I...)* M...)+ T...)+`. A level-1 repetition then binds EITHER a
@@ -692,9 +694,6 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       (steps.last.oneOrMore || steps.last.group.nonEmpty ||
         steps.last.inner2.nonEmpty),
       "tieBreak() applies to a oneOrMore()/zeroOrMore() run or a group step")
-    require(steps.last.inner2.isEmpty,
-      "tieBreak() does not compose with followedByNested2Group() — " +
-        "depth-2 value tables are not tie-steered yet")
     new Pattern(steps.init :+ steps.last.copy(tieCols = cs.toVector),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -1317,12 +1316,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           case (m, c, op, _) =>
             (s.mid2.size + s.tail2.indexWhere(_._1 == m)) -> ((c, op))
         }.toMap
-        // ONE aggregate + join per MEMBER (all its kept columns together)
+        // ONE aggregate + join per MEMBER (all its kept columns together).
+        // Equal-ts candidates: (value) min by default, (ties..., value)
+        // argmin under a composite ORDER BY tiebreak (r17 — the shared
+        // tieMinAgg builder, closing the depth-2 tie-steer rejection)
         gkInner.groupBy(_._1._1).foreach { case (m, entries) =>
           val im = inner2Names.indexOf(m)
           val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
           val aggs = entries.map { case ((_, c), i) =>
-            min(col(c).cast("double")).as(s"__nv$i") }
+            Pattern.tieMinAgg(c, s.tieCols).as(s"__nv$i") }
           val vt = events.filter(s.inner2(im)._2)
             .groupBy(key.as("__vk"), ts.as("__vts"))
             .agg(aggs.head, aggs.tail: _*)
@@ -1367,8 +1369,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 lit(null).cast("array<double>").as("__vals"),
                 lit(null).cast("array<timestamp>").as("__mems"))
               case None =>
+                // mid/outer-tail member values tie-steer too (the shared
+                // tieMinAgg builder — the r16 one-level convention)
                 val aggs = tks.map { case ((_, c), i) =>
-                  min(col(c).cast("double")).as(s"__tv$i") }
+                  Pattern.tieMinAgg(c, s.tieCols).as(s"__tv$i") }
                 events.filter(p).groupBy(key.as("__gk"), ts.as("__t1"))
                   .agg(aggs.head, aggs.tail: _*)
                   .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),

@@ -3911,6 +3911,227 @@ object WindowQueries {
       |WHERE b.rn = 1
       |GROUP BY b.user_id, b.sid, b.s_ts, b.n_done""".stripMargin
 
+  // --- m47: composite ORDER BY tiebreak + DEPTH-2 nested-group member
+  // VALUES (r17, lifting the r16 named rejection — the last tiebreak
+  // composition): `ORDER BY ts, tie1` over the m41 shape — equal-ts
+  // candidates' values argmin by (tie, value) at EVERY nesting level
+  // (inner members' sub-match value tables, mid and outer-tail candidate
+  // value tables — one shared Pattern.tieMinAgg builder, so the
+  // convention cannot diverge between depths). Ties MANUFACTURED the
+  // m30/m45 way (hour-truncated ts + event_id div 100). Oracle: the m41
+  // speculation-checkpoint CTE over the coarsened frame, anchors keyed
+  // PER SIGNUP EVENT (the m44/m45 anchor-collapse lesson), member value
+  // tables as {tie, value} struct-min per (user, ts, type).
+  private val m47: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(
+      ev(s, dir).withColumn("ts", date_trunc("hour", col("ts")))
+        .withColumn("tie1", expr("event_id div 100")),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, tie1
+        |  MEASURES S.ts AS signup_ts, COUNT(W.ts) AS n_outer,
+        |           SUM(B.value) AS sum_b, AVG(C.value) AS avg_c,
+        |           MAX(V.value) AS max_v, LAST(W.value) AS last_w
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m47Sql =
+    """WITH RECURSIVE
+      |e AS (SELECT user_id, event_id, event_id // 100 AS tie1,
+      |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+      |             event_type, value FROM events),
+      |s AS (SELECT user_id, event_id, ts FROM e WHERE event_type='signup'),
+      |b AS (SELECT user_id, ts FROM e WHERE event_type='click'),
+      |c AS (SELECT user_id, ts FROM e WHERE event_type='view'),
+      |v AS (SELECT user_id, ts FROM e WHERE event_type='error'),
+      |w AS (SELECT user_id, ts FROM e WHERE event_type='purchase'),
+      |bval AS (SELECT user_id, ts, struct_extract(min({'t': tie1, 'v': value}), 'v') AS val
+      |         FROM e WHERE event_type='click' GROUP BY 1, 2),
+      |cval AS (SELECT user_id, ts, struct_extract(min({'t': tie1, 'v': value}), 'v') AS val
+      |         FROM e WHERE event_type='view' GROUP BY 1, 2),
+      |vval AS (SELECT user_id, ts, struct_extract(min({'t': tie1, 'v': value}), 'v') AS val
+      |         FROM e WHERE event_type='error' GROUP BY 1, 2),
+      |wval AS (SELECT user_id, ts, struct_extract(min({'t': tie1, 'v': value}), 'v') AS val
+      |         FROM e WHERE event_type='purchase' GROUP BY 1, 2),
+      |subs0 AS (
+      |  SELECT b.user_id, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM b JOIN c ON c.user_id = b.user_id AND c.ts > b.ts
+      |              AND c.ts <= b.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |subs AS (
+      |  SELECT su.user_id, su.b_ts, su.e_ts, bv.val AS bv, cv.val AS cv
+      |  FROM subs0 su
+      |  JOIN bval bv ON bv.user_id = su.user_id AND bv.ts = su.b_ts
+      |  JOIN cval cv ON cv.user_id = su.user_id AND cv.ts = su.e_ts),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2),
+      |vnext0 AS (
+      |  SELECT su.user_id, su.b_ts, min(v.ts) AS v_ts
+      |  FROM subs su LEFT JOIN v ON v.user_id = su.user_id AND v.ts > su.e_ts
+      |  GROUP BY 1, 2),
+      |vnext AS (
+      |  SELECT vn.user_id, vn.b_ts, vn.v_ts, vv.val AS vv
+      |  FROM vnext0 vn LEFT JOIN vval vv ON vv.user_id = vn.user_id
+      |                                   AND vv.ts = vn.v_ts),
+      |nsubv AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(su.b_ts) AS nb
+      |  FROM v LEFT JOIN subs su ON su.user_id = v.user_id AND su.b_ts > v.ts
+      |  GROUP BY 1, 2),
+      |wnextv0 AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(w.ts) AS w_ts
+      |  FROM v LEFT JOIN w ON w.user_id = v.user_id AND w.ts > v.ts
+      |  GROUP BY 1, 2),
+      |wnextv AS (
+      |  SELECT wn.user_id, wn.v_ts, wn.w_ts, wv.val AS wv
+      |  FROM wnextv0 wn LEFT JOIN wval wv ON wv.user_id = wn.user_id
+      |                                    AND wv.ts = wn.w_ts),
+      |nsubw AS (
+      |  SELECT w.user_id, w.ts AS w_ts, min(su.b_ts) AS nb
+      |  FROM w LEFT JOIN subs su ON su.user_id = w.user_id AND su.b_ts > w.ts
+      |  GROUP BY 1, 2),
+      |entry AS (
+      |  SELECT s.user_id, s.event_id AS sid, s.ts AS s_ts,
+      |         s.ts + INTERVAL 96 HOURS AS w_end, min(su.b_ts) AS b1
+      |  FROM s JOIN subs su ON su.user_id = s.user_id AND su.b_ts > s.ts
+      |  GROUP BY 1, 2, 3, 4),
+      |walk AS (
+      |  SELECT e.user_id, e.sid, e.s_ts, e.w_end,
+      |         su.b_ts AS cur_b, su.e_ts AS cur_e,
+      |         CAST(1 AS BIGINT) AS chain_k,
+      |         CAST(0 AS BIGINT) AS att_mid, CAST(0 AS BIGINT) AS att_inner,
+      |         CAST(NULL AS TIMESTAMP) AS att_gend,
+      |         CAST(0 AS BIGINT) AS n_done, CAST(0 AS BIGINT) AS mid_done,
+      |         CAST(0 AS BIGINT) AS inner_done,
+      |         CAST(NULL AS TIMESTAMP) AS match_end, 'chain' AS phase,
+      |         su.bv AS r1_bs, su.cv AS r1_cs,
+      |         CAST(NULL AS DOUBLE) AS r1_v,
+      |         CAST(0 AS DOUBLE) AS att_bs, CAST(0 AS DOUBLE) AS att_cs,
+      |         CAST(NULL AS DOUBLE) AS att_vm,
+      |         CAST(0 AS DOUBLE) AS dn_bs, CAST(0 AS DOUBLE) AS dn_cs,
+      |         CAST(NULL AS DOUBLE) AS dn_vm, CAST(NULL AS DOUBLE) AS dn_wl
+      |  FROM entry e JOIN subs su ON su.user_id = e.user_id AND su.b_ts = e.b1
+      |  WHERE su.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT user_id, sid, s_ts, w_end,
+      |         CASE WHEN mode='extend' THEN nx_b
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_b END,
+      |         CASE WHEN mode='extend' THEN nx_e
+      |              WHEN mode='closer1' THEN vts
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_e END,
+      |         CASE WHEN mode='extend' THEN chain_k + 1
+      |              WHEN mode IN ('absorb_spec','newatt') THEN CAST(1 AS BIGINT)
+      |              ELSE chain_k END,
+      |         CASE WHEN mode='absorb_spec' THEN att_mid + 1
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE att_mid END,
+      |         CASE WHEN mode='absorb_spec' THEN att_inner + chain_k
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE att_inner END,
+      |         CASE WHEN mode='absorb_spec' THEN cur_e
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(NULL AS TIMESTAMP)
+      |              ELSE att_gend END,
+      |         CASE WHEN mode IN ('chfail_close','absorb_close','reject_close') THEN n_done + 1 ELSE n_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN mid_done + att_mid
+      |              WHEN mode='absorb_close' THEN mid_done + att_mid + 1
+      |              ELSE mid_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN inner_done + att_inner
+      |              WHEN mode='absorb_close' THEN inner_done + att_inner + chain_k
+      |              ELSE inner_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN wcand
+      |              WHEN mode='absorb_close' THEN w2ts
+      |              ELSE match_end END,
+      |         CASE WHEN mode IN ('chfail_close','absorb_close','reject_close') THEN 'closed'
+      |              WHEN mode='closer1' THEN 'mid' ELSE 'chain' END,
+      |         CASE WHEN mode='extend' THEN r1_bs + nx_bv
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_bv
+      |              ELSE r1_bs END,
+      |         CASE WHEN mode='extend' THEN r1_cs + nx_cv
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_cv
+      |              ELSE r1_cs END,
+      |         CASE WHEN mode='closer1' THEN vnv
+      |              WHEN mode IN ('absorb_spec','newatt') THEN CAST(NULL AS DOUBLE)
+      |              ELSE r1_v END,
+      |         CASE WHEN mode='absorb_spec' THEN att_bs + r1_bs
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS DOUBLE)
+      |              ELSE att_bs END,
+      |         CASE WHEN mode='absorb_spec' THEN att_cs + r1_cs
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS DOUBLE)
+      |              ELSE att_cs END,
+      |         CASE WHEN mode='absorb_spec' THEN greatest(att_vm, r1_v)
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(NULL AS DOUBLE)
+      |              ELSE att_vm END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN dn_bs + att_bs
+      |              WHEN mode='absorb_close' THEN dn_bs + att_bs + r1_bs
+      |              ELSE dn_bs END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN dn_cs + att_cs
+      |              WHEN mode='absorb_close' THEN dn_cs + att_cs + r1_cs
+      |              ELSE dn_cs END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN greatest(dn_vm, att_vm)
+      |              WHEN mode='absorb_close' THEN greatest(dn_vm, att_vm, r1_v)
+      |              ELSE dn_vm END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN wcandv
+      |              WHEN mode='absorb_close' THEN w2v
+      |              ELSE dn_wl END
+      |  FROM (
+      |    SELECT wk.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e,
+      |           nx.bv AS nx_bv, nx.cv AS nx_cv,
+      |           vn.v_ts AS vts, vn.vv AS vnv,
+      |           wc.w_ts AS wcand, wc.wv AS wcandv,
+      |           w2.w_ts AS w2ts, w2.wv AS w2v,
+      |           nr.b_ts AS nr_b, nr.e_ts AS nr_e,
+      |           nr.bv AS nr_bv, nr.cv AS nr_cv,
+      |      CASE WHEN wk.phase = 'chain' AND nx.b_ts IS NOT NULL
+      |                AND nx.e_ts <= wk.w_end
+      |                AND NOT (vn.v_ts IS NOT NULL AND vn.v_ts <= wk.w_end
+      |                         AND nx.e_ts >= vn.v_ts) THEN 'extend'
+      |           WHEN wk.phase = 'chain' AND vn.v_ts IS NOT NULL
+      |                AND vn.v_ts <= wk.w_end THEN 'closer1'
+      |           WHEN wk.phase = 'chain' AND wk.att_mid > 0
+      |                AND wc.w_ts IS NOT NULL AND wc.w_ts <= wk.w_end
+      |                THEN 'chfail_close'
+      |           WHEN wk.phase = 'mid' AND (wk.att_mid = 0
+      |                OR wc.w_ts IS NULL OR wc.w_ts > wk.w_end
+      |                OR wk.cur_e < wc.w_ts) THEN
+      |             CASE WHEN nr.b_ts IS NOT NULL AND nr.e_ts <= wk.w_end
+      |                  THEN 'absorb_spec'
+      |                  WHEN w2.w_ts IS NOT NULL AND w2.w_ts <= wk.w_end
+      |                  THEN 'absorb_close' END
+      |           WHEN wk.phase = 'mid' THEN 'reject_close'
+      |           WHEN wk.phase = 'closed' AND nr.b_ts IS NOT NULL
+      |                AND nr.e_ts <= wk.w_end THEN 'newatt'
+      |      END AS mode
+      |    FROM walk wk
+      |    LEFT JOIN link l  ON wk.phase='chain' AND l.user_id = wk.user_id
+      |                      AND l.b_ts = wk.cur_b
+      |    LEFT JOIN subs nx ON nx.user_id = wk.user_id AND nx.b_ts = l.nb
+      |    LEFT JOIN vnext vn ON wk.phase='chain' AND vn.user_id = wk.user_id
+      |                       AND vn.b_ts = wk.cur_b
+      |    LEFT JOIN wnextv wc ON wc.user_id = wk.user_id
+      |                        AND wc.v_ts = wk.att_gend
+      |    LEFT JOIN wnextv w2 ON wk.phase='mid' AND w2.user_id = wk.user_id
+      |                        AND w2.v_ts = wk.cur_e
+      |    LEFT JOIN nsubv nv ON wk.phase='mid' AND nv.user_id = wk.user_id
+      |                       AND nv.v_ts = wk.cur_e
+      |    LEFT JOIN nsubw nw ON wk.phase='closed' AND nw.user_id = wk.user_id
+      |                       AND nw.w_ts = wk.match_end
+      |    LEFT JOIN subs nr ON nr.user_id = wk.user_id
+      |                      AND nr.b_ts = COALESCE(nv.nb, nw.nb)
+      |  ) WHERE mode IS NOT NULL),
+      |best AS (
+      |  SELECT user_id, sid, s_ts, n_done, inner_done, dn_bs, dn_cs, dn_vm, dn_wl,
+      |         row_number() OVER (PARTITION BY user_id, sid
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, s_ts AS signup_ts, n_done AS n_outer,
+      |       dn_bs AS sum_b, dn_cs / inner_done AS avg_c,
+      |       dn_vm AS max_v, dn_wl AS last_w
+      |FROM best WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w25_cascading_windows" -> w25, "w26_cep_timeout" -> w26,
     "w27_cep_followed_by_any" -> w27, "w28_cep_combinations" -> w28,
@@ -3943,7 +4164,8 @@ object WindowQueries {
     "m35_reluctant_quant" -> m35, "m36_nested_values" -> m36, "m37_nested_inner_star" -> m37, "m38_all_rows_nested_values" -> m38,
     "m39_depth2_nested_group" -> m39, "m40_nested_iter_tail" -> m40,
     "m41_depth2_values" -> m41, "m42_all_rows_depth2" -> m42,
-    "m43_depth2_inner_star" -> m43, "m44_depth2_iter_tail" -> m44, "m45_nested_tiebreak" -> m45)
+    "m43_depth2_inner_star" -> m43, "m44_depth2_iter_tail" -> m44, "m45_nested_tiebreak" -> m45,
+    "m47_depth2_tiebreak" -> m47)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -3978,6 +4200,7 @@ object WindowQueries {
     "m39_depth2_nested_group" -> m39Sql, "m40_nested_iter_tail" -> m40Sql,
     "m41_depth2_values" -> m41Sql, "m42_all_rows_depth2" -> m42Sql,
     "m43_depth2_inner_star" -> m43Sql, "m44_depth2_iter_tail" -> m44Sql, "m45_nested_tiebreak" -> m45Sql,
+    "m47_depth2_tiebreak" -> m47Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

@@ -334,17 +334,16 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(e1c.getMessage.contains("not a member"), e1c.getMessage)
     val e2 = intercept[IllegalArgumentException](p.materializeGroupRows())
     assert(e2.getMessage.contains("followedByNestedGroup"), e2.getMessage)
-    // tieBreak composes with nested groups since r16 (member values are
-    // tie-steered); depth-2 groups keep the named rejection
+    // tieBreak composes with nested groups since r16 and with DEPTH-2
+    // groups since r17 (member value tables tie-steer at every level
+    // through the shared tieMinAgg builder)
     p.tieBreak("value")
-    val e3 = intercept[IllegalArgumentException](
-      Pattern.begin("s", $"event_type" === "signup")
-        .followedByNested2Group("g2",
-          Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
-          Seq("v" -> ($"event_type" === "v")),
-          Seq("w" -> ($"event_type" === "w")))
-        .tieBreak("value"))
-    assert(e3.getMessage.contains("followedByNested2Group"), e3.getMessage)
+    Pattern.begin("s", $"event_type" === "signup")
+      .followedByNested2Group("g2",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")))
+      .tieBreak("value")
     // unquantified nested group: rejected at compile (detect) time
     val evs = Seq((1L, at(0), "signup")).toDF("user_id", "ts", "event_type")
     val e4 = intercept[IllegalArgumentException](

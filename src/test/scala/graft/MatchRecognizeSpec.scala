@@ -1434,6 +1434,41 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(plain == Set((1L, at(0), 4.0, 3.0, 1.0, 1L)), plain.toString)
   }
 
+  test("composite ORDER BY tiebreak steers DEPTH-2 nested-group member " +
+       "values at every level (r17, the former named rejection)") {
+    // equal-ts duplicate candidates on an INNER member (B@10), the MID
+    // tail (V@30) and the OUTER tail (W@40): (tie 2, smaller value) vs
+    // (tie 1, larger value) — the tiebreak binds the larger value at all
+    // three table shapes, the plain (value)-min control the smaller
+    val evs = Seq(
+      (1L, at(0), "s", 0L, 0.0),
+      (1L, at(10), "b", 2L, 4.0), (1L, at(10), "b", 1L, 6.0),
+      (1L, at(20), "c", 0L, 5.0),
+      (1L, at(30), "v", 2L, 3.0), (1L, at(30), "v", 1L, 9.0),
+      (1L, at(40), "w", 2L, 1.0), (1L, at(40), "w", 1L, 8.0)
+    ).toDF("user_id", "ts", "event_type", "tie1", "value")
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, tie1
+        |  MEASURES S.ts AS signup_ts, SUM(B.value) AS sum_b,
+        |           MAX(V.value) AS max_v, LAST(W.value) AS last_w,
+        |           COUNT(W.ts) AS n_outer
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w'
+        |)""".stripMargin
+    val m = MatchRecognize.detect(evs, sql)
+      .as[(Long, Timestamp, Double, Double, Double, Long)].collect().toSet
+    assert(m == Set((1L, at(0), 6.0, 9.0, 8.0, 1L)), m.toString)
+    val plain = MatchRecognize.detect(evs,
+        sql.replace("ORDER BY ts, tie1", "ORDER BY ts"))
+      .as[(Long, Timestamp, Double, Double, Double, Long)].collect().toSet
+    assert(plain == Set((1L, at(0), 4.0, 3.0, 1.0, 1L)), plain.toString)
+  }
+
   test("DEPTH-2 nested group member VALUE measures (two pending levels)") {
     // the m39 corpus with value = minute index. Committed bindings:
     //   user 1: B@{1,3,6,10} C@{2,4,7,11} V@{5,8,12} W@{9,13}
