@@ -814,18 +814,21 @@ object MatchRecognize {
         // timestamps, outer/mid/inner repetition counts and (r16 late
         // adds) bindGroup running value aggregates + materialized ALL
         // ROWS rows, both folded through the two pending levels.
-        (v.inner2Seq ++ v.midSeq).foreach { sv =>
+        v.inner2Seq.foreach { sv =>
           compiled(sv)._2.foreach(_ => sys.error(s"depth-2 nested group " +
-            s"${v.name}: inner/mid member $sv may not use an iterative/" +
-            "PREV condition — iterative conditions compose with OUTER " +
-            "TAIL members only (the shared sub-match and level-1 " +
-            "completion tables would need to be per-anchor)"))
+            s"${v.name}: inner member $sv may not use an iterative/" +
+            "PREV condition — iterative conditions compose with MID and " +
+            "OUTER TAIL members (the shared innermost sub-match table " +
+            "would need to be per-anchor; move the condition to a mid or " +
+            "tail step)"))
         }
         // OUTER TAIL members MAY be iterative (r16 — the m40 recipe at
-        // depth 2): the same single-relative-conjunct contract, lowered
-        // onto Pattern.bindTailResidual against the depth-2 walk
+        // depth 2) and MID members too (r17): the same single-relative-
+        // conjunct contract, lowered onto Pattern.bindTailResidual — the
+        // mid's satisfying scan is shared between its binding and the
+        // inner-chain punctuation, the tail convention one level down
         val tailResiduals2: Seq[(String, (String, String, String))] =
-          v.seq.flatMap { sv =>
+          (v.midSeq ++ v.seq).flatMap { sv =>
             if (compiled(sv)._2.isEmpty) None
             else Some(sv -> parseTailResidual(spec, sv))
           }

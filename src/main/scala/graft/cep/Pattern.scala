@@ -592,24 +592,28 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * (the tail can only punctuate where it can bind). A null threshold
     * (null anchor binding) never binds — SQL three-valued logic.
     *
-    * INNER members stay named rejections: their predicate shapes the
-    * pre-compiled sub-match table, which is shared across anchors — an
-    * anchor-dependent residual there would need one sub-match table per
-    * match (rewrite: move the condition to a tail step, or split the
-    * pattern). One residual per tail member; does not compose with
-    * [[bindGroup]] on the same member (the per-(key, ts) reduction
-    * differs). */
+    * Depth-2 MID members compose too (r17): the mid BINDING and the
+    * inner-chain PUNCTUATION share the satisfying scan — exactly the
+    * tail convention one level down (a failing mid candidate neither
+    * binds nor punctuates the inner chain). INNER members stay named
+    * rejections: their predicate shapes the pre-compiled sub-match
+    * table, which is shared across anchors — an anchor-dependent
+    * residual there would need one sub-match table per match (rewrite:
+    * move the condition to a mid/tail step, or split the pattern). One
+    * residual per member; does not compose with [[bindGroup]] on the
+    * same member (the per-(key, ts) reduction differs). */
   def bindTailResidual(member: String, valueCol: String, op: String,
                        threshold: Column): Pattern = {
     require(steps.nonEmpty && (steps.last.innerGroup.nonEmpty ||
         steps.last.inner2.nonEmpty),
       "bindTailResidual() requires followedByNestedGroup()/" +
         "followedByNested2Group() as the last step")
-    require((steps.last.group ++ steps.last.tail2).exists(_._1 == member),
-      s"bindTailResidual($member): not a TAIL member of nested group " +
-        s"${steps.last.name} (inner and MID members cannot carry iterative " +
-        "conditions — the shared sub-match/level-1 completion tables would " +
-        "need to be per-anchor; move the condition to an outer tail step)")
+    require((steps.last.group ++ steps.last.mid2 ++ steps.last.tail2)
+        .exists(_._1 == member),
+      s"bindTailResidual($member): not a TAIL or MID member of nested " +
+        s"group ${steps.last.name} (INNER members cannot carry iterative " +
+        "conditions — the shared sub-match table would need to be " +
+        "per-anchor; move the condition to a mid or outer tail step)")
     require(Set("<", "<=", ">", ">=")(op),
       s"bindTailResidual($member): op must be one of < <= > >= (got '$op')")
     require(!steps.last.tailRes.exists(_._1 == member),
@@ -1309,12 +1313,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             j -> s.groupKeep.zipWithIndex.filter { case ((m, _), _) => m == tn }
           }.toMap
         // bindTailResidual on an OUTER tail (r16 — the m40 recipe at depth
-        // 2): per (key, ts) the op-appropriate value extreme; the walk
-        // scans to the first satisfying candidate and punctuation shares
-        // the scan. Keyed by the step's position in the mid2++tail2 order.
+        // 2) or a MID member (r17): per (key, ts) the op-appropriate value
+        // extreme; the walk scans to the first satisfying candidate and
+        // punctuation shares the scan at BOTH levels (a failing mid
+        // neither binds nor punctuates the inner chain, a failing outer
+        // tail neither binds nor punctuates the level-1 chain). Keyed by
+        // the step's position in the mid2++tail2 order.
+        def resIdx2(m: String): Int = {
+          val mi = s.mid2.indexWhere(_._1 == m)
+          if (mi >= 0) mi else s.mid2.size + s.tail2.indexWhere(_._1 == m)
+        }
         val resByStep2: Map[Int, (String, String)] = s.tailRes.map {
-          case (m, c, op, _) =>
-            (s.mid2.size + s.tail2.indexWhere(_._1 == m)) -> ((c, op))
+          case (m, c, op, _) => resIdx2(m) -> ((c, op))
         }.toMap
         // ONE aggregate + join per MEMBER (all its kept columns together).
         // Equal-ts candidates: (value) min by default, (ties..., value)
@@ -1385,9 +1395,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         // per-anchor residual thresholds: Columns over EARLIER bound
         // columns, evaluated once on the anchor frame
         val outRes2 = s.tailRes.foldLeft(out) { case (d, (m, _, _, thr)) =>
-          d.withColumn(
-            s"__tres${s.mid2.size + s.tail2.indexWhere(_._1 == m)}",
-            thr.cast("double"))
+          d.withColumn(s"__tres${resIdx2(m)}", thr.cast("double"))
         }
         val anch = outRes2.withColumn("__gprev", prevTs)
           .withColumn("__gwend", col(startTs) + win)
@@ -1522,7 +1530,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               // The binary search runs only under the flag — the inner-'+'
               // probe is the walk's innermost hot path
               val midFirst = innerOptFlag && {
-                val mx0 = candAfter(0, t)
+                val mx0 = candBind(0, t)
                 mx0 < cands(0).length && !cands(0)(mx0)._1.after(wEnd) &&
                   (!subAvail || !subs(i0)._2.before(cands(0)(mx0)._1))
               }
@@ -1569,7 +1577,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 var more = true
                 while (more) {
                   val nx = subAfter(e)
-                  val mx = candAfter(0, e)
+                  // the first-mid punctuation scans to a SATISFYING
+                  // candidate under a mid residual (candBind == candAfter
+                  // without one) — a failing mid cannot punctuate
+                  val mx = candBind(0, e)
                   val mCand = if (mx < cands(0).length &&
                       !cands(0)(mx)._1.after(wEnd)) cands(0)(mx)._1 else null
                   if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
@@ -1579,7 +1590,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               }
               var t2 = e; var mi = 0
               while (mi < nMid) {
-                val x = candAfter(mi, t2)
+                val x = candBind(mi, t2)
                 if (x >= cands(mi).length || cands(mi)(x)._1.after(wEnd)) return null
                 t2 = cands(mi)(x)._1
                 if (repFirst == null) repFirst = t2 // mid-first repetition

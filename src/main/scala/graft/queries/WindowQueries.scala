@@ -3771,6 +3771,169 @@ object WindowQueries {
       |             mid_done AS n_mid, inner_done AS n_inner
       |      FROM best WHERE rn = 1)""".stripMargin
 
+  // --- m46: ITERATIVE condition on a DEPTH-2 MID member (r17, lifting
+  // the r16 named rejection — flink-cep IterativeCondition.java:50
+  // composes with ANY NFA state, including a GroupPattern's mid level):
+  // `V AS V.value > 2 * S.value` inside `S (((B C)+ V)+ W)+` — the MID's
+  // acceptance is relative to the match's own anchor, so the mid BINDING
+  // and the inner-chain PUNCTUATION both consider only satisfying
+  // candidates (Pattern.bindTailResidual on a mid2 member: the walk's
+  // candBind satisfying scan at the level-1 close AND the chain-extend
+  // decision — a failing V neither binds nor punctuates, the m40/m44
+  // convention one level down; INNER members keep the named rejection).
+  // Oracle: the m39 speculation-checkpoint CTE with the V-link table
+  // parametrized BY ANCHOR (per-event sid, v filtered by the threshold);
+  // the W-links stay plain.
+  private val m46: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, LAST(W.ts) AS grp_last_ts,
+        |           COUNT(W.ts) AS n_outer, COUNT(V.ts) AS n_mid,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view',
+        |         V AS event_type = 'error' AND V.value > 2 * S.value,
+        |         W AS event_type = 'purchase'
+        |)""".stripMargin)
+  private val m46Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='signup'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='error'),
+      |w AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |subs AS (
+      |  SELECT b.user_id, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM b JOIN c ON c.user_id = b.user_id AND c.ts > b.ts
+      |              AND c.ts <= b.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2),
+      |entry AS (
+      |  SELECT s.user_id, s.event_id AS sid, s.ts AS s_ts,
+      |         s.ts + INTERVAL 96 HOURS AS w_end, s.value AS s_val,
+      |         min(su.b_ts) AS b1
+      |  FROM s JOIN subs su ON su.user_id = s.user_id AND su.b_ts > s.ts
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |vnext AS (
+      |  SELECT e.user_id, e.sid, su.b_ts, min(v.ts) AS v_ts
+      |  FROM entry e
+      |  JOIN subs su ON su.user_id = e.user_id
+      |  LEFT JOIN v ON v.user_id = e.user_id AND v.ts > su.e_ts
+      |              AND v.value > 2 * e.s_val
+      |  GROUP BY 1, 2, 3),
+      |nsubv AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(su.b_ts) AS nb
+      |  FROM v LEFT JOIN subs su ON su.user_id = v.user_id AND su.b_ts > v.ts
+      |  GROUP BY 1, 2),
+      |wnextv AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(w.ts) AS w_ts
+      |  FROM v LEFT JOIN w ON w.user_id = v.user_id AND w.ts > v.ts
+      |  GROUP BY 1, 2),
+      |nsubw AS (
+      |  SELECT w.user_id, w.ts AS w_ts, min(su.b_ts) AS nb
+      |  FROM w LEFT JOIN subs su ON su.user_id = w.user_id AND su.b_ts > w.ts
+      |  GROUP BY 1, 2),
+      |walk AS (
+      |  SELECT e.user_id, e.sid, e.s_ts, e.w_end,
+      |         su.b_ts AS cur_b, su.e_ts AS cur_e,
+      |         CAST(1 AS BIGINT) AS chain_k,
+      |         CAST(0 AS BIGINT) AS att_mid, CAST(0 AS BIGINT) AS att_inner,
+      |         CAST(NULL AS TIMESTAMP) AS att_gend,
+      |         CAST(0 AS BIGINT) AS n_done, CAST(0 AS BIGINT) AS mid_done,
+      |         CAST(0 AS BIGINT) AS inner_done,
+      |         CAST(NULL AS TIMESTAMP) AS match_end, 'chain' AS phase
+      |  FROM entry e JOIN subs su ON su.user_id = e.user_id AND su.b_ts = e.b1
+      |  WHERE su.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT user_id, sid, s_ts, w_end,
+      |         CASE WHEN mode='extend' THEN nx_b
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_b END,
+      |         CASE WHEN mode='extend' THEN nx_e
+      |              WHEN mode='closer1' THEN vts
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_e END,
+      |         CASE WHEN mode='extend' THEN chain_k + 1
+      |              WHEN mode IN ('absorb_spec','newatt') THEN CAST(1 AS BIGINT)
+      |              ELSE chain_k END,
+      |         CASE WHEN mode='absorb_spec' THEN att_mid + 1
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE att_mid END,
+      |         CASE WHEN mode='absorb_spec' THEN att_inner + chain_k
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE att_inner END,
+      |         CASE WHEN mode='absorb_spec' THEN cur_e
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(NULL AS TIMESTAMP)
+      |              ELSE att_gend END,
+      |         CASE WHEN mode IN ('chfail_close','absorb_close','reject_close') THEN n_done + 1 ELSE n_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN mid_done + att_mid
+      |              WHEN mode='absorb_close' THEN mid_done + att_mid + 1
+      |              ELSE mid_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN inner_done + att_inner
+      |              WHEN mode='absorb_close' THEN inner_done + att_inner + chain_k
+      |              ELSE inner_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN wcand
+      |              WHEN mode='absorb_close' THEN w2ts
+      |              ELSE match_end END,
+      |         CASE WHEN mode IN ('chfail_close','absorb_close','reject_close') THEN 'closed'
+      |              WHEN mode='closer1' THEN 'mid' ELSE 'chain' END
+      |  FROM (
+      |    SELECT wk.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e, vn.v_ts AS vts,
+      |           wc.w_ts AS wcand, w2.w_ts AS w2ts,
+      |           nr.b_ts AS nr_b, nr.e_ts AS nr_e,
+      |      CASE WHEN wk.phase = 'chain' AND nx.b_ts IS NOT NULL
+      |                AND nx.e_ts <= wk.w_end
+      |                AND NOT (vn.v_ts IS NOT NULL AND vn.v_ts <= wk.w_end
+      |                         AND nx.e_ts >= vn.v_ts) THEN 'extend'
+      |           WHEN wk.phase = 'chain' AND vn.v_ts IS NOT NULL
+      |                AND vn.v_ts <= wk.w_end THEN 'closer1'
+      |           WHEN wk.phase = 'chain' AND wk.att_mid > 0
+      |                AND wc.w_ts IS NOT NULL AND wc.w_ts <= wk.w_end
+      |                THEN 'chfail_close'
+      |           WHEN wk.phase = 'mid' AND (wk.att_mid = 0
+      |                OR wc.w_ts IS NULL OR wc.w_ts > wk.w_end
+      |                OR wk.cur_e < wc.w_ts) THEN
+      |             CASE WHEN nr.b_ts IS NOT NULL AND nr.e_ts <= wk.w_end
+      |                  THEN 'absorb_spec'
+      |                  WHEN w2.w_ts IS NOT NULL AND w2.w_ts <= wk.w_end
+      |                  THEN 'absorb_close' END
+      |           WHEN wk.phase = 'mid' THEN 'reject_close'
+      |           WHEN wk.phase = 'closed' AND nr.b_ts IS NOT NULL
+      |                AND nr.e_ts <= wk.w_end THEN 'newatt'
+      |      END AS mode
+      |    FROM walk wk
+      |    LEFT JOIN link l  ON wk.phase='chain' AND l.user_id = wk.user_id
+      |                      AND l.b_ts = wk.cur_b
+      |    LEFT JOIN subs nx ON nx.user_id = wk.user_id AND nx.b_ts = l.nb
+      |    LEFT JOIN vnext vn ON wk.phase='chain' AND vn.user_id = wk.user_id
+      |                       AND vn.sid = wk.sid AND vn.b_ts = wk.cur_b
+      |    LEFT JOIN wnextv wc ON wc.user_id = wk.user_id
+      |                        AND wc.v_ts = wk.att_gend
+      |    LEFT JOIN wnextv w2 ON wk.phase='mid' AND w2.user_id = wk.user_id
+      |                        AND w2.v_ts = wk.cur_e
+      |    LEFT JOIN nsubv nv ON wk.phase='mid' AND nv.user_id = wk.user_id
+      |                       AND nv.v_ts = wk.cur_e
+      |    LEFT JOIN nsubw nw ON wk.phase='closed' AND nw.user_id = wk.user_id
+      |                       AND nw.w_ts = wk.match_end
+      |    LEFT JOIN subs nr ON nr.user_id = wk.user_id
+      |                      AND nr.b_ts = COALESCE(nv.nb, nw.nb)
+      |  ) WHERE mode IS NOT NULL),
+      |best AS (
+      |  SELECT user_id, sid, s_ts, match_end, n_done, mid_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, sid
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, s_ts AS signup_ts, match_end AS grp_last_ts,
+      |       n_outer, n_mid, n_inner
+      |FROM (SELECT user_id, s_ts, match_end, n_done AS n_outer,
+      |             mid_done AS n_mid, inner_done AS n_inner
+      |      FROM best WHERE rn = 1)""".stripMargin
+
   // --- m45: composite ORDER BY tiebreak + NESTED-group member VALUES
   // (r16 late add, lifting the r15 named rejection — stale since m36
   // gave nested chains bound member values): `ORDER BY ts, tie1` over
@@ -4165,7 +4328,7 @@ object WindowQueries {
     "m39_depth2_nested_group" -> m39, "m40_nested_iter_tail" -> m40,
     "m41_depth2_values" -> m41, "m42_all_rows_depth2" -> m42,
     "m43_depth2_inner_star" -> m43, "m44_depth2_iter_tail" -> m44, "m45_nested_tiebreak" -> m45,
-    "m47_depth2_tiebreak" -> m47)
+    "m46_depth2_iter_mid" -> m46, "m47_depth2_tiebreak" -> m47)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -4200,7 +4363,7 @@ object WindowQueries {
     "m39_depth2_nested_group" -> m39Sql, "m40_nested_iter_tail" -> m40Sql,
     "m41_depth2_values" -> m41Sql, "m42_all_rows_depth2" -> m42Sql,
     "m43_depth2_inner_star" -> m43Sql, "m44_depth2_iter_tail" -> m44Sql, "m45_nested_tiebreak" -> m45Sql,
-    "m47_depth2_tiebreak" -> m47Sql,
+    "m46_depth2_iter_mid" -> m46Sql, "m47_depth2_tiebreak" -> m47Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

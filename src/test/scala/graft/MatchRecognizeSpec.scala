@@ -1391,11 +1391,83 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     val m = MatchRecognize.detect(evs, sql)
       .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
     assert(m == Set((1L, at(0), at(9), 2L, 2L, 2L)), m.toString)
-    // inner/mid members with an iterative condition: named error
+    // INNER members with an iterative condition: named error (mids
+    // compose since r17 — see the MID residual test below)
     val e = intercept[Exception](MatchRecognize.detect(evs,
-      sql.replace("V AS event_type = 'v'",
-        "V AS event_type = 'v' AND V.value > S.value")).collect())
-    assert(e.getMessage.contains("OUTER TAIL members only"), e.getMessage)
+      sql.replace("C AS event_type = 'c'",
+        "C AS event_type = 'c' AND C.value > S.value")).collect())
+    assert(e.getMessage.contains("MID and OUTER TAIL members"), e.getMessage)
+  }
+
+  test("ITERATIVE condition on a DEPTH-2 MID member: " +
+       "V.value > 2 * S.value inside S (((B C)+ V)+ W)+ (r17)") {
+    // user 1 (S.value = 10, threshold 20): v@3(15) FAILS the residual —
+    //   it neither binds nor PUNCTUATES the inner chain, so the chain
+    //   absorbs sub (4,5) and the level-1 repetition closes at v@6(25):
+    //   ONE level-1 rep with TWO subs, then W@7 — vs the plain-V control
+    //   where v@3 punctuates after sub (1,2) and the walk commits TWO
+    //   level-1 reps
+    // user 2 (S.value = 50, threshold 100): no v qualifies — NO match
+    //   (the control matches)
+    val evs = Seq(
+      (1L, at(0), "s", 10.0),
+      (1L, at(1), "b", 0.0), (1L, at(2), "c", 0.0),
+      (1L, at(3), "v", 15.0),
+      (1L, at(4), "b", 0.0), (1L, at(5), "c", 0.0),
+      (1L, at(6), "v", 25.0),
+      (1L, at(7), "w", 0.0),
+      (2L, at(0), "s", 50.0),
+      (2L, at(1), "b", 0.0), (2L, at(2), "c", 0.0),
+      (2L, at(3), "v", 25.0), (2L, at(4), "w", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, LAST(W.ts) AS grp_last_ts,
+        |           COUNT(W.ts) AS n_outer, COUNT(V.ts) AS n_mid,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w' AND W.value >= 0
+        |)""".stripMargin
+    val withRes = sql.replace("V AS event_type = 'v'",
+      "V AS event_type = 'v' AND V.value > 2 * S.value")
+    val m = MatchRecognize.detect(evs, withRes)
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
+    assert(m == Set((1L, at(0), at(7), 1L, 1L, 2L)), m.toString)
+    // the plain-V control: v@3 punctuates, two level-1 reps; user 2 matches
+    val plain = MatchRecognize.detect(evs, sql)
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
+    assert(plain == Set(
+      (1L, at(0), at(7), 1L, 2L, 2L),
+      (2L, at(0), at(4), 1L, 1L, 1L)), plain.toString)
+    // combinator parity: bindTailResidual on the MID member
+    import org.apache.spark.sql.functions.expr
+    val viaApi = Pattern.begin("S", $"event_type" === "s").bind("value")
+      .followedByNested2Group("G",
+        Seq("B" -> ($"event_type" === "b"), "C" -> ($"event_type" === "c")),
+        Seq("V" -> ($"event_type" === "v")),
+        Seq("W" -> ($"event_type" === "w")))
+      .bindTailResidual("V", "value", ">", expr("2 * S_value"))
+      .oneOrMore()
+      .within(3600000L)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"S_ts", $"G_last_ts", $"G_n", $"G_mid_n",
+        $"G_inner_n")
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
+    assert(viaApi == m, viaApi.toString)
+    // a mid residual with a NULL threshold (null S.value) never binds
+    val evsNull = Seq(
+      (9L, at(0), "s", null.asInstanceOf[java.lang.Double]),
+      (9L, at(1), "b", java.lang.Double.valueOf(0.0)),
+      (9L, at(2), "c", java.lang.Double.valueOf(0.0)),
+      (9L, at(3), "v", java.lang.Double.valueOf(99.0)),
+      (9L, at(4), "w", java.lang.Double.valueOf(0.0))
+    ).toDF("user_id", "ts", "event_type", "value")
+    assert(MatchRecognize.detect(evsNull, withRes).collect().isEmpty)
   }
 
   test("composite ORDER BY tiebreak steers NESTED-group member values " +
