@@ -864,13 +864,16 @@ object MatchRecognize {
         // GroupPattern-in-GroupPattern; the chain carries boundary
         // timestamps, outer/inner repetition counts, and (r15) bindGroup
         // running value aggregates over inner AND tail members
-        v.innerSeq.foreach { sv =>
-          compiled(sv)._2.foreach(_ => sys.error(s"nested group ${v.name}: " +
-            s"inner member $sv may not use an iterative/PREV condition — " +
-            "iterative conditions compose with TAIL members only (the " +
-            "shared inner sub-match table would need to be per-anchor; " +
-            "move the condition to a tail step or split the pattern)"))
-        }
+        // INNER members MAY be iterative too (r17, lifting the named
+        // rejection): the same single-relative-conjunct contract lowers
+        // onto Pattern.bindInnerResidual — the sub-match compile is
+        // parametrized by the anchor frame's distinct threshold tuples
+        // and the walk selects each anchor's own sub array
+        val innerResiduals: Seq[(String, (String, String, String))] =
+          v.innerSeq.flatMap { sv =>
+            if (compiled(sv)._2.isEmpty) None
+            else Some(sv -> parseTailResidual(spec, sv))
+          }
         // TAIL members MAY be iterative (r16 — flink-cep
         // IterativeCondition.java:65 inside a GroupPattern): ONE relative
         // conjunct of the shape `T.col <op> <arithmetic over earlier
@@ -888,6 +891,9 @@ object MatchRecognize {
           innerOptional = v.innerStar)
         tailResiduals.foreach { case (sv, (c, op, rhs)) =>
           pat = pat.bindTailResidual(sv, c, op, expr(rhs))
+        }
+        innerResiduals.foreach { case (sv, (c, op, rhs)) =>
+          pat = pat.bindInnerResidual(sv, c, op, expr(rhs))
         }
         // SHARED order derivation (nestedKeepOrder) — the engine's
         // groupKeep sequence must equal the ALL ROWS snapshot indexing

@@ -46,7 +46,8 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       inner2: Seq[(String, Column)] = Nil,
                       mid2: Seq[(String, Column)] = Nil,
                       tail2: Seq[(String, Column)] = Nil,
-                      tailRes: Seq[(String, String, String, Column)] = Nil)
+                      tailRes: Seq[(String, String, String, Column)] = Nil,
+                      innerRes: Seq[(String, String, String, Column)] = Nil)
 
 final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                              windowMs: Option[Long], skipPastLast: Boolean = false,
@@ -568,6 +569,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(!steps.last.tailRes.exists(_._1 == member),
       s"bindGroup($member): does not compose with bindTailResidual on " +
         "the same member")
+    require(!steps.last.innerRes.exists(_._1 == member),
+      s"bindGroup($member): does not compose with bindInnerResidual on " +
+        "the same member")
     require(steps.last.inner2.isEmpty || !steps.last.groupRows,
       s"bindGroup($member): per-row running value snapshots are one-level " +
         "only — does not compose with materializeNestedRows on a depth-2 " +
@@ -623,6 +627,45 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         "the same member")
     new Pattern(steps.init :+ steps.last.copy(
       tailRes = steps.last.tailRes :+ ((member, valueCol, op, threshold))),
+      notStep, windowMs, skipPastLast, skipTo)
+  }
+
+  /** ITERATIVE condition on a nested-group INNER member (r17, lifting the
+    * named rejection [[bindTailResidual]] documents — the reference's
+    * IterativeCondition composes with ANY NFA state, including states
+    * inside a GroupPattern's inner sub-pattern): the inner member binds
+    * the earliest candidate whose `valueCol` satisfies `<op> threshold`,
+    * where `threshold` is a Column over the EARLIER plain steps' bound
+    * columns — so the whole inner SUB-MATCH TABLE becomes anchor-
+    * dependent. Lowering: the sub-match compile is parametrized by the
+    * DISTINCT per-key threshold tuples of the anchor frame (one chain of
+    * keyed min-joins per distinct threshold value, not per anchor — the
+    * fan-out is `|first-inner events| x |distinct thresholds per key|`,
+    * bounded by `maxEventsPerKey` in the walk), candidates pre-reduce to
+    * per-(key, ts) op-appropriate value extremes, and the chain walk
+    * selects each anchor's own sub array by its threshold tuple. A null
+    * threshold never binds (SQL 3VL — that anchor has NO completable
+    * subs). One residual per inner member; does not compose with
+    * [[bindGroup]] on the same member. Depth-2 groups keep the inner
+    * rejection ([[bindTailResidual]] covers their mid/tail members). */
+  def bindInnerResidual(member: String, valueCol: String, op: String,
+                        threshold: Column): Pattern = {
+    require(steps.nonEmpty && steps.last.innerGroup.nonEmpty,
+      "bindInnerResidual() requires followedByNestedGroup() as the last " +
+        "step (depth-2 inner members are not supported — move the " +
+        "condition to a mid or outer tail step)")
+    require(steps.last.innerGroup.exists(_._1 == member),
+      s"bindInnerResidual($member): not an INNER member of nested group " +
+        s"${steps.last.name} (tail members take bindTailResidual)")
+    require(Set("<", "<=", ">", ">=")(op),
+      s"bindInnerResidual($member): op must be one of < <= > >= (got '$op')")
+    require(!steps.last.innerRes.exists(_._1 == member),
+      s"bindInnerResidual($member): one residual per inner member")
+    require(!steps.last.groupKeep.exists(_._1 == member),
+      s"bindInnerResidual($member): does not compose with bindGroup on " +
+        "the same member")
+    new Pattern(steps.init :+ steps.last.copy(
+      innerRes = steps.last.innerRes :+ ((member, valueCol, op, threshold))),
       notStep, windowMs, skipPastLast, skipTo)
   }
 
@@ -1739,17 +1782,82 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           s"nested group ${s.name}: quantify with oneOrMore()/zeroOrMore() " +
             "(an unquantified ((I...)+ T...) is expressible as " +
             "followedByGroup(I...).oneOrMore() + plain tail steps)")
+        // bindInnerResidual (r17): an anchor-relative condition on an
+        // INNER member makes the whole sub-match table anchor-dependent.
+        // Parametrize the compile by the DISTINCT per-key threshold
+        // tuples of the anchor frame (one chain per distinct tuple, not
+        // per anchor), pre-reduce each residual member's candidates to
+        // per-(key, ts) op-appropriate extremes ("any candidate at this
+        // ts satisfies" = one comparison), and let the walk select each
+        // anchor's own sub array by its tuple. Threshold equality is
+        // exact: both sides evaluate the SAME Catalyst expression on the
+        // same anchor rows.
+        val iResByMember: Map[String, Int] =
+          s.innerRes.map(_._1).zipWithIndex.toMap
+        val hasIRes = s.innerRes.nonEmpty
+        val thrTable = if (!hasIRes) null else {
+          val d0 = s.innerRes.zipWithIndex.foldLeft(out) {
+            case (d, ((_, _, _, thr), r)) =>
+              d.withColumn(s"__thr$r", thr.cast("double"))
+          }
+          // null thresholds never bind (SQL 3VL): no chain is compiled
+          // for them — the anchor finds no subs under its tuple
+          d0.select(col("__k").as("__tk") +:
+              s.innerRes.indices.map(r => col(s"__thr$r")): _*)
+            .filter(s.innerRes.indices
+              .map(r => col(s"__thr$r").isNotNull).reduce(_ && _))
+            .distinct()
+        }
+        def iResCond(member: String, candValue: Column): Column =
+          iResByMember.get(member) match {
+            case None => lit(true)
+            case Some(r) =>
+              val op = s.innerRes(r)._3
+              val thr = col(s"__thr$r")
+              op match {
+                case "<" => candValue < thr
+                case "<=" => candValue <= thr
+                case ">" => candValue > thr
+                case _ => candValue >= thr
+              }
+          }
+        def iResExtreme(member: String): Option[Column] =
+          iResByMember.get(member).map { r =>
+            val (_, c, op, _) = s.innerRes(r)
+            if (op == ">" || op == ">=") max(col(c).cast("double"))
+            else min(col(c).cast("double"))
+          }
         // inner sub-match table: one row per first-inner-step event with
         // its earliest completion (span-bounded by win: any sub-sequence
-        // usable from any anchor has end - start < win)
-        var isubs = events.filter(s.innerGroup.head._2)
-          .select(key.as("__gk"), ts.as("__gb"))
+        // usable from any anchor has end - start < win); under inner
+        // residuals, one row per (first event, threshold tuple) with the
+        // earliest SATISFYING completion
+        var isubs = {
+          val firstName = s.innerGroup.head._1
+          val base0 = iResExtreme(firstName) match {
+            case None => events.filter(s.innerGroup.head._2)
+              .select(key.as("__gk"), ts.as("__gb"))
+            case Some(ext) => events.filter(s.innerGroup.head._2)
+              .groupBy(key.as("__gk"), ts.as("__gb")).agg(ext.as("__gv0"))
+          }
+          if (!hasIRes) base0
+          else base0.join(thrTable, col("__gk") === col("__tk") &&
+              iResCond(firstName, col("__gv0")))
+            .drop("__tk", "__gv0")
+        }
         var prevSub: Column = col("__gb")
-        s.innerGroup.tail.zipWithIndex.foreach { case ((_, p), j) =>
-          val cand = events.filter(p).select(key.as("__gk2"), ts.as(s"__gc$j"))
+        s.innerGroup.tail.zipWithIndex.foreach { case ((mn, p), j) =>
+          val cand = iResExtreme(mn) match {
+            case None => events.filter(p)
+              .select(key.as("__gk2"), ts.as(s"__gc$j"))
+            case Some(ext) => events.filter(p)
+              .groupBy(key.as("__gk2"), ts.as(s"__gc$j"))
+              .agg(ext.as(s"__gcv$j"))
+          }
           val kept0 = isubs.columns.map(col)
           isubs = isubs.join(cand, col("__gk") === col("__gk2") &&
-              col(s"__gc$j") > prevSub && col(s"__gc$j") <= col("__gb") + win)
+              col(s"__gc$j") > prevSub && col(s"__gc$j") <= col("__gb") + win &&
+              iResCond(mn, col(s"__gcv$j")))
             .groupBy(kept0.toIndexedSeq: _*)
             .agg(min(col(s"__gc$j")).as(s"__ge$j"))
           prevSub = col(s"__ge$j")
@@ -1803,10 +1911,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val resByTail: Map[Int, (String, String)] = s.tailRes.map {
           case (m, c, op, _) => s.group.indexWhere(_._1 == m) -> ((c, op))
         }.toMap
+        // tag-0 rows carry the sub's threshold tuple under inner
+        // residuals (the walk selects each anchor's own subs by it);
+        // tail rows carry null
+        val thrsCol: Column =
+          if (!hasIRes) lit(null).cast("array<double>")
+          else array(s.innerRes.indices.map(r => col(s"__thr$r")): _*)
+        val nullThrs = lit(null).cast("array<double>").as("__thrs")
         val tagged = s.group.zipWithIndex.foldLeft(
           isubs.select(col("__gk"), lit(0).as("__tag"),
             col("__gb").as("__t1"), prevSub.as("__t2"),
-            array(memTs: _*).as("__mems"), innerValsCol.as("__vals"))) {
+            array(memTs: _*).as("__mems"), innerValsCol.as("__vals"),
+            thrsCol.as("__thrs"))) {
           case (acc, ((_, p), j)) =>
             val tks = gkTailsByStep(j)
             val cand = resByTail.get(j) match {
@@ -1818,12 +1934,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),
                     lit(null).cast("timestamp").as("__t2"),
                     lit(null).cast("array<timestamp>").as("__mems"),
-                    array(col("__tvres")).as("__vals"))
+                    array(col("__tvres")).as("__vals"), nullThrs)
               case None if tks.isEmpty => events.filter(p).select(key.as("__gk"),
                 lit(j + 1).as("__tag"), ts.as("__t1"),
                 lit(null).cast("timestamp").as("__t2"),
                 lit(null).cast("array<timestamp>").as("__mems"),
-                lit(null).cast("array<double>").as("__vals"))
+                lit(null).cast("array<double>").as("__vals"), nullThrs)
               case None =>
                 // tail member values tie-steer too (one shared builder —
                 // the r16 review caught this copy still on plain min)
@@ -1834,7 +1950,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),
                     lit(null).cast("timestamp").as("__t2"),
                     lit(null).cast("array<timestamp>").as("__mems"),
-                    array(tks.map { case (_, i) => col(s"__tv$i") }: _*).as("__vals"))
+                    array(tks.map { case (_, i) => col(s"__tv$i") }: _*).as("__vals"),
+                    nullThrs)
             }
             acc.unionByName(cand)
         }
@@ -1844,7 +1961,14 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           d.withColumn(s"__tres${s.group.indexWhere(_._1 == m)}",
             thr.cast("double"))
         }
-        val anch = outRes.withColumn("__gprev", prevTs)
+        // inner-residual thresholds on the anchor frame too — the SAME
+        // expressions the thrTable distinct'd, so the walk's tuple lookup
+        // compares bitwise-identical doubles
+        val outResI = s.innerRes.zipWithIndex.foldLeft(outRes) {
+          case (d, ((_, _, _, thr), r)) =>
+            d.withColumn(s"__ires$r", thr.cast("double"))
+        }
+        val anch = outResI.withColumn("__gprev", prevTs)
           .withColumn("__gwend", col(startTs) + win)
         val aSchema = anch.schema
         val keyIdx = aSchema.fieldIndex("__k")
@@ -1916,6 +2040,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             gkInner.zipWithIndex.collect {
               case (((m, _), gi), vi) if m == innerNames(j) => (vi, gi)
             }.toArray)
+        // bindInnerResidual: the anchor-frame field indexes of the
+        // threshold tuple (closure copies — the walk selects each
+        // anchor's sub array by its tuple)
+        val hasIResW = hasIRes
+        val iResThrIdx: Array[Int] = Array.tabulate(s.innerRes.size)(r =>
+          aSchema.fieldIndex(s"__ires$r"))
         val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
           val all = Pattern.boundedRows(cs, maxPK,
             s"nested group ${sName} two-level chain walk")
@@ -1923,23 +2053,31 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           // materializeNestedRows, + inner bound values for bindGroup);
           // per-tail sorted candidate (time, values) —
           // full-precision Timestamp comparisons throughout
-          val subs = all.filter(_.getInt(1) == 0)
+          val subsAll = all.filter(_.getInt(1) == 0)
             .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3),
               if (matRows) r.getSeq[Any](4).map(Pattern.anyToTs) else null,
-              if (gkInnerPos.length > 0) Pattern.dblsOf(r, 5) else null))
-            .sortWith((p, q) => p._1.before(q._1))
+              if (gkInnerPos.length > 0) Pattern.dblsOf(r, 5) else null,
+              if (hasIResW) Pattern.dblsOf(r, 6).toList else null))
+          // per-threshold-tuple sorted sub arrays (one entry total when
+          // no inner residual is bound)
+          val emptySubs = Array.empty[(java.sql.Timestamp, java.sql.Timestamp,
+            Seq[java.sql.Timestamp], Array[java.lang.Double])]
+          def sorted(xs: Array[(java.sql.Timestamp, java.sql.Timestamp,
+              Seq[java.sql.Timestamp], Array[java.lang.Double],
+              List[java.lang.Double])]) =
+            xs.map(x => (x._1, x._2, x._3, x._4))
+              .sortWith((p, q) => p._1.before(q._1))
+          val subsDefault = if (hasIResW) emptySubs else sorted(subsAll)
+          val subsByThr: Map[List[java.lang.Double], Array[(java.sql.Timestamp,
+              java.sql.Timestamp, Seq[java.sql.Timestamp],
+              Array[java.lang.Double])]] =
+            if (!hasIResW) Map.empty
+            else subsAll.groupBy(_._5).map { case (k, xs) => k -> sorted(xs) }
           val tails = Array.tabulate(nTails) { j =>
             all.filter(_.getInt(1) == j + 1).map(r => (Pattern.tsOf(r, 2),
               if (gkTailPos(j).length > 0 || resOps(j) != 0)
                 Pattern.dblsOf(r, 5) else null))
               .sortWith((p, q) => p._1.before(q._1))
-          }
-          // index of the first element strictly after t (binary search)
-          def subAfter(t: java.sql.Timestamp): Int = {
-            var lo = 0; var hi = subs.length
-            while (lo < hi) { val mid = (lo + hi) >>> 1
-              if (subs(mid)._1.after(t)) hi = mid else lo = mid + 1 }
-            lo
           }
           def tailAfter(j: Int, t: java.sql.Timestamp): Int = {
             val arr = tails(j)
@@ -1951,6 +2089,28 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           as.flatMap { a =>
             val tau = Pattern.tsOf(a, prevIdx)
             val wEnd = Pattern.tsOf(a, wendIdx)
+            // bindInnerResidual: this anchor's sub array is the one
+            // compiled for ITS threshold tuple (exact-double lookup — both
+            // sides evaluated the same expression on the same rows); a
+            // null threshold has no compiled chain (SQL 3VL: never binds)
+            val subs = if (!hasIResW) subsDefault else {
+              var anyNull = false
+              var k: List[java.lang.Double] = Nil
+              var r = iResThrIdx.length - 1
+              while (r >= 0) {
+                if (a.isNullAt(iResThrIdx(r))) { anyNull = true; k = null :: k }
+                else k = java.lang.Double.valueOf(a.getDouble(iResThrIdx(r))) :: k
+                r -= 1
+              }
+              if (anyNull) emptySubs else subsByThr.getOrElse(k, emptySubs)
+            }
+            // index of the first sub strictly after t (binary search)
+            def subAfter(t: java.sql.Timestamp): Int = {
+              var lo = 0; var hi = subs.length
+              while (lo < hi) { val mid = (lo + hi) >>> 1
+                if (subs(mid)._1.after(t)) hi = mid else lo = mid + 1 }
+              lo
+            }
             var lastEnd = tau
             var first: java.sql.Timestamp = null
             var n = 0L; var innerTot = 0L; var done = false
@@ -2141,6 +2301,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         }(org.apache.spark.sql.Encoders.row(outSchema))
         out = chained.toDF().drop("__gprev", "__gwend")
           .drop(resByTail.keys.map(j => s"__tres$j").toSeq: _*)
+          .drop(s.innerRes.indices.map(r => s"__ires$r"): _*)
         prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
                  else col(s"${s.name}_last_ts")
       } else if (s.group.nonEmpty) {

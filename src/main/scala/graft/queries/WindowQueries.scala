@@ -3771,6 +3771,121 @@ object WindowQueries {
       |             mid_done AS n_mid, inner_done AS n_inner
       |      FROM best WHERE rn = 1)""".stripMargin
 
+  // --- m49: ITERATIVE condition on a nested-group INNER member (r17,
+  // lifting the r15/r16 named rejection — the deepest IterativeCondition
+  // composition, What's-missing #1 of VERDICT r16): `C AS C.value >
+  // 2 * S.value` inside `S ((B C)+ V)+` — the condition shapes the inner
+  // SUB-MATCH TABLE itself, so the compile is parametrized by the anchor
+  // frame's DISTINCT threshold tuples (Pattern.bindInnerResidual: one
+  // min-join chain per distinct threshold, per-(key, ts) candidate
+  // extremes, the walk selects each anchor's own sub array by exact-
+  // double tuple lookup). Oracle: the m33 deterministic-successor walk
+  // with the SUBS table (and link/vnext/nsub/entry) parametrized BY
+  // ANCHOR — per-event sid, c filtered by the threshold.
+  private val m49: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(V.ts) AS grp_last_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view' AND C.value > 2 * S.value,
+        |         V AS event_type = 'error'
+        |)""".stripMargin)
+  private val m49Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='signup'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events WHERE event_type='view'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='error'),
+      |anch AS (
+      |  SELECT user_id, event_id AS sid, ts AS s_ts,
+      |         ts + INTERVAL 96 HOURS AS w_end, value AS s_val FROM s),
+      |subs AS (
+      |  SELECT a.user_id, a.sid, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM anch a
+      |  JOIN b ON b.user_id = a.user_id
+      |  JOIN c ON c.user_id = a.user_id AND c.ts > b.ts
+      |        AND c.ts <= b.ts + INTERVAL 96 HOURS
+      |        AND c.value > 2 * a.s_val
+      |  GROUP BY 1, 2, 3),
+      |link AS (
+      |  SELECT s1.user_id, s1.sid, s1.b_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id
+      |                 AND s2.sid = s1.sid AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2, 3),
+      |vnext AS (
+      |  SELECT su.user_id, su.sid, su.b_ts, min(v.ts) AS v_ts
+      |  FROM subs su LEFT JOIN v ON v.user_id = su.user_id AND v.ts > su.e_ts
+      |  GROUP BY 1, 2, 3),
+      |nsub AS (
+      |  SELECT a.user_id, a.sid, v.ts AS v_ts, min(su.b_ts) AS nb
+      |  FROM anch a
+      |  JOIN v ON v.user_id = a.user_id
+      |  LEFT JOIN subs su ON su.user_id = a.user_id AND su.sid = a.sid
+      |                    AND su.b_ts > v.ts
+      |  GROUP BY 1, 2, 3),
+      |entry AS (
+      |  SELECT a.user_id, a.sid, a.s_ts, a.w_end, min(su.b_ts) AS b1
+      |  FROM anch a JOIN subs su ON su.user_id = a.user_id
+      |                           AND su.sid = a.sid AND su.b_ts > a.s_ts
+      |  GROUP BY 1, 2, 3, 4),
+      |walk AS (
+      |  SELECT e.user_id, e.sid, e.s_ts, e.w_end, su.b_ts AS first_b,
+      |         su.b_ts AS cur_b, su.e_ts AS cur_e,
+      |         CAST(1 AS BIGINT) AS chain_k, CAST(0 AS BIGINT) AS n_done,
+      |         CAST(0 AS BIGINT) AS inner_done,
+      |         CAST(NULL AS TIMESTAMP) AS match_end, 'chain' AS phase
+      |  FROM entry e JOIN subs su ON su.user_id = e.user_id
+      |                            AND su.sid = e.sid AND su.b_ts = e.b1
+      |  WHERE su.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT user_id, sid, s_ts, w_end, first_b,
+      |         CASE WHEN mode='extend' THEN nx_b WHEN mode='newrep' THEN nr_b END,
+      |         CASE WHEN mode='extend' THEN nx_e WHEN mode='newrep' THEN nr_e END,
+      |         CASE WHEN mode='extend' THEN chain_k + 1
+      |              WHEN mode='newrep' THEN CAST(1 AS BIGINT) ELSE chain_k END,
+      |         CASE WHEN mode='close' THEN n_done + 1 ELSE n_done END,
+      |         CASE WHEN mode='close' THEN inner_done + chain_k ELSE inner_done END,
+      |         CASE WHEN mode='close' THEN vts ELSE match_end END,
+      |         CASE WHEN mode='close' THEN 'closed' ELSE 'chain' END
+      |  FROM (
+      |    SELECT w.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e, vn.v_ts AS vts,
+      |           nr.b_ts AS nr_b, nr.e_ts AS nr_e,
+      |      CASE WHEN w.phase = 'chain' AND nx.b_ts IS NOT NULL
+      |                AND nx.e_ts <= w.w_end
+      |                AND (vn.v_ts IS NULL OR vn.v_ts > w.w_end
+      |                     OR nx.e_ts < vn.v_ts) THEN 'extend'
+      |           WHEN w.phase = 'chain' AND vn.v_ts IS NOT NULL
+      |                AND vn.v_ts <= w.w_end THEN 'close'
+      |           WHEN w.phase = 'closed' AND nr.b_ts IS NOT NULL
+      |                AND nr.e_ts <= w.w_end THEN 'newrep'
+      |      END AS mode
+      |    FROM walk w
+      |    LEFT JOIN link l  ON w.phase='chain' AND l.user_id = w.user_id
+      |                      AND l.sid = w.sid AND l.b_ts = w.cur_b
+      |    LEFT JOIN subs nx ON nx.user_id = w.user_id AND nx.sid = w.sid
+      |                      AND nx.b_ts = l.nb
+      |    LEFT JOIN vnext vn ON w.phase='chain' AND vn.user_id = w.user_id
+      |                       AND vn.sid = w.sid AND vn.b_ts = w.cur_b
+      |    LEFT JOIN nsub ns ON w.phase='closed' AND ns.user_id = w.user_id
+      |                      AND ns.sid = w.sid AND ns.v_ts = w.match_end
+      |    LEFT JOIN subs nr ON nr.user_id = w.user_id AND nr.sid = w.sid
+      |                      AND nr.b_ts = ns.nb
+      |  ) WHERE mode IS NOT NULL),
+      |best AS (
+      |  SELECT user_id, sid, s_ts, first_b, match_end, n_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, sid
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, s_ts AS signup_ts, first_b AS grp_first_ts,
+      |       match_end AS grp_last_ts, n_done AS n_reps, inner_done AS n_inner
+      |FROM best WHERE rn = 1""".stripMargin
+
   // --- m46: ITERATIVE condition on a DEPTH-2 MID member (r17, lifting
   // the r16 named rejection — flink-cep IterativeCondition.java:50
   // composes with ANY NFA state, including a GroupPattern's mid level):
@@ -4328,7 +4443,8 @@ object WindowQueries {
     "m39_depth2_nested_group" -> m39, "m40_nested_iter_tail" -> m40,
     "m41_depth2_values" -> m41, "m42_all_rows_depth2" -> m42,
     "m43_depth2_inner_star" -> m43, "m44_depth2_iter_tail" -> m44, "m45_nested_tiebreak" -> m45,
-    "m46_depth2_iter_mid" -> m46, "m47_depth2_tiebreak" -> m47)
+    "m46_depth2_iter_mid" -> m46, "m47_depth2_tiebreak" -> m47,
+    "m49_nested_iter_inner" -> m49)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -4364,6 +4480,7 @@ object WindowQueries {
     "m41_depth2_values" -> m41Sql, "m42_all_rows_depth2" -> m42Sql,
     "m43_depth2_inner_star" -> m43Sql, "m44_depth2_iter_tail" -> m44Sql, "m45_nested_tiebreak" -> m45Sql,
     "m46_depth2_iter_mid" -> m46Sql, "m47_depth2_tiebreak" -> m47Sql,
+    "m49_nested_iter_inner" -> m49Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

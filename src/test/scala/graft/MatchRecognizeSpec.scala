@@ -1135,12 +1135,12 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)]
       .collect().toSet
     assert(dec == m, dec.toString)
-    // named rejections: INNER member iterative, non-comparison shape,
-    // candidate-dependent threshold
-    val eInner = intercept[Exception](MatchRecognize.detect(evs,
+    // INNER member iterative conditions compose since r17 (the dedicated
+    // INNER-member test pins their semantics) — here just not-an-error
+    MatchRecognize.detect(evs,
       sql.replace("V AS event_type = 'error' AND V.value > 2 * S.value",
-        "V AS event_type = 'error', C AS C.value > S.value")).collect())
-    assert(eInner.getMessage.contains("TAIL members only"), eInner.getMessage)
+        "V AS event_type = 'error', C AS C.value > S.value")).collect()
+    // named rejections: non-comparison shape, candidate-dependent threshold
     val eShape = intercept[Exception](MatchRecognize.detect(evs,
       sql.replace("V.value > 2 * S.value",
         "V.value = S.value")).collect())
@@ -1157,6 +1157,96 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       sql.replace("2 * S.value", "S.value + S2.value")).collect())
     assert(eTypo.getMessage.contains("not a pattern variable"),
       eTypo.getMessage)
+  }
+
+  test("ITERATIVE condition on a nested-group INNER member: " +
+       "C.value > 2 * S.value inside S ((B C)+ V)+ (r17)") {
+    // user 1 (S.value = 10, threshold 20): c@2(15) FAILS — the sub from
+    //   b@1 completes at the first SATISFYING c@3(25); rep 1 = {(1,3)}+V@4,
+    //   rep 2 = {(5,6)}+V@7. The plain control completes the first sub at
+    //   c@2 instead.
+    // user 2 (S.value = 50, threshold 100): no c qualifies — NO completable
+    //   sub, no match (the control matches)
+    val evs = Seq(
+      (1L, at(0), "s", 10.0),
+      (1L, at(1), "b", 0.0), (1L, at(2), "c", 15.0), (1L, at(3), "c", 25.0),
+      (1L, at(4), "v", 0.0),
+      (1L, at(5), "b", 0.0), (1L, at(6), "c", 30.0),
+      (1L, at(7), "v", 0.0),
+      (2L, at(0), "s", 50.0),
+      (2L, at(1), "b", 0.0), (2L, at(2), "c", 60.0), (2L, at(3), "c", 25.0),
+      (2L, at(4), "v", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(V.ts) AS grp_last_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v'
+        |)""".stripMargin
+    val withRes = sql.replace("C AS event_type = 'c'",
+      "C AS event_type = 'c' AND C.value > 2 * S.value")
+    val m = MatchRecognize.detect(evs, withRes)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(m == Set((1L, at(0), at(1), at(7), 2L, 2L)), m.toString)
+    // plain control: the first sub completes at c@2; user 2 matches
+    val plain = MatchRecognize.detect(evs, sql)
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(plain == Set(
+      (1L, at(0), at(1), at(7), 2L, 2L),
+      (2L, at(0), at(1), at(4), 1L, 1L)), plain.toString)
+    // a higher threshold (28) disqualifies c@3 too: the sub from b@1 now
+    // completes at the first satisfying c@6 — ONE long sub (1,6), closed
+    // by v@7 (v@4 falls mid-sub and cannot punctuate an incomplete sub)
+    val higher = MatchRecognize.detect(evs.where($"user_id" === 1L),
+        withRes.replace("2 * S.value", "2.8 * S.value"))
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(higher == Set((1L, at(0), at(1), at(7), 1L, 1L)), higher.toString)
+    // combinator parity: bindInnerResidual is the lowering target
+    import org.apache.spark.sql.functions.expr
+    val viaApi = Pattern.begin("S", $"event_type" === "s").bind("value")
+      .followedByNestedGroup("G",
+        Seq("B" -> ($"event_type" === "b"), "C" -> ($"event_type" === "c")),
+        Seq("V" -> ($"event_type" === "v")))
+      .bindInnerResidual("C", "value", ">", expr("2 * S_value"))
+      .oneOrMore()
+      .within(3600000L)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"S_ts", $"G_first_ts", $"G_last_ts", $"G_n",
+        $"G_inner_n")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(viaApi == m, viaApi.toString)
+    // null threshold (null S.value): no sub is compiled for that anchor —
+    // never binds, SQL 3VL
+    val evsNull = Seq(
+      (9L, at(0), "s", null.asInstanceOf[java.lang.Double]),
+      (9L, at(1), "b", java.lang.Double.valueOf(0.0)),
+      (9L, at(2), "c", java.lang.Double.valueOf(99.0)),
+      (9L, at(3), "v", java.lang.Double.valueOf(0.0))
+    ).toDF("user_id", "ts", "event_type", "value")
+    assert(MatchRecognize.detect(evsNull, withRes).collect().isEmpty)
+    // composition guards: bindGroup on the same member, depth-2 inner
+    val e1 = intercept[IllegalArgumentException](
+      Pattern.begin("S", $"event_type" === "s").bind("value")
+        .followedByNestedGroup("G",
+          Seq("B" -> ($"event_type" === "b"), "C" -> ($"event_type" === "c")),
+          Seq("V" -> ($"event_type" === "v")))
+        .bindInnerResidual("C", "value", ">", expr("2 * S_value"))
+        .bindGroup("C", "value"))
+    assert(e1.getMessage.contains("bindInnerResidual"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Pattern.begin("S", $"event_type" === "s")
+        .followedByNested2Group("G",
+          Seq("B" -> ($"event_type" === "b"), "C" -> ($"event_type" === "c")),
+          Seq("V" -> ($"event_type" === "v")),
+          Seq("W" -> ($"event_type" === "w")))
+        .bindInnerResidual("C", "value", ">", expr("2 * S_value")))
+    assert(e2.getMessage.contains("followedByNestedGroup"), e2.getMessage)
   }
 
   test("DEPTH-2 nested group S (((B C)+ V)+ W)+ from SQL text") {
