@@ -257,12 +257,30 @@ object Iterate {
     * COMMON NEIGHBOR (Σ deg(w)² wedge volume — Gelly's own
     * generateGroupPairs does the same grouping), one hash count per pair,
     * degrees broadcast back. `minShared` caps the emitted pair set, not
-    * the wedge volume — pick a substrate whose common-neighbor degrees
-    * are bounded (the bipartite incidence usually is; a hub vertex makes
-    * ANY Jaccard pair join quadratic in its degree). */
+    * the wedge volume.
+    *
+    * Hub-neighbor spread: a common neighbor of degree d funnels C(d,2)
+    * pair GENERATION through one join key — the reference pre-spreads
+    * with explicit spans (flink-gelly/.../similarity/JaccardIndex.java:68,
+    * 257 GenerateGroupSpans, GROUP_SIZE 64) rather than trusting runtime
+    * skew handling (AQE's compressed-byte thresholds miss a partition
+    * whose pair OUTPUT explodes 1000× past its input), and so does this:
+    * each neighbor gets nspans = ceil(deg/`groupSpanSize`) spans riding
+    * the degree aggregate's guarded broadcast (row-local tagging, no
+    * window sort), the left side replicates each row into all of its
+    * group's spans, the right side sits in its hash-native span, and the
+    * pair join keys on (neighbor, span) — a degree-10⁶ hub spreads over
+    * ~15.6k join keys with ~d·spanSize pairs each instead of one
+    * 10¹²-pair task. Replication volume is ~pairVolume·2/spanSize
+    * (amortized by the output it feeds); the a<b guard keeps each pair in
+    * exactly one bucket (left i meets native j), and a neighbor at/below
+    * spanSize has nspans = 1 — zero replication, the plain join's
+    * cardinality. */
   def jaccardIndex(edges: DataFrame, srcCol: String, dstCol: String,
                    minShared: Long = 1L,
-                   broadcastDegThreshold: Long = 10000000L): DataFrame = {
+                   broadcastDegThreshold: Long = 10000000L,
+                   groupSpanSize: Int = 64): DataFrame = {
+    require(groupSpanSize >= 1, s"groupSpanSize must be >= 1 (got $groupSpanSize)")
     val n = edges.select(col(srcCol).as("id"), col(dstCol).as("nb")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the count materializes the persisted incidence (which both the degree
@@ -277,9 +295,21 @@ object Iterate {
       val d = deg.select(col("id").as(idAs), col("deg").as(degAs))
       if (nIncidence <= broadcastDegThreshold) broadcast(d) else d
     }
-    val shared = n.select(col("id").as("a"), col("nb"))
-      .join(n.select(col("id").as("b"), col("nb").as("nb2")),
-        col("nb") === col("nb2") && col("a") < col("b"))
+    // span count per common neighbor, guarded-broadcast joined back onto
+    // the incidence (row-local tagging — same convention as degSide)
+    val nbSpans = n.groupBy("nb").agg(
+      ceil(count(lit(1)).cast("double") / groupSpanSize).cast("long")
+        .as("nspans"))
+      .select(col("nb").as("nb_s"), col("nspans"))
+    val nbSpanSide =
+      if (nIncidence <= broadcastDegThreshold) broadcast(nbSpans) else nbSpans
+    val sp = n.join(nbSpanSide, col("nb") === col("nb_s")).drop("nb_s")
+    val (lhs, rhs) = spannedSides(sp, Seq.empty)
+    val shared = lhs.select(col("id").as("a"), col("nb"), col("tspan"))
+      .join(rhs.select(col("id").as("b"), col("nb").as("nb2"),
+          col("span").as("span2")),
+        col("nb") === col("nb2") && col("tspan") === col("span2") &&
+          col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     shared
@@ -289,6 +319,26 @@ object Iterate {
         (col("da") + col("db") - col("shared")).as("dist_union"),
         (col("shared").cast("double") /
           (col("da") + col("db") - col("shared")).cast("double")).as("score"))
+  }
+
+  /** The two sides of a span-spread wedge self-join (see [[jaccardIndex]]'s
+    * hub-neighbor note; reference GenerateGroupSpans/GenerateGroups/
+    * GenerateGroupPairs in flink-gelly's JaccardIndex). `sp` must carry
+    * (id, nb, nspans) plus `carry` extra columns, where nspans =
+    * ceil(deg(nb)/spanSize) rides the neighbor-degree aggregate the
+    * caller already has (guarded-broadcast joined — row-local tagging, no
+    * window sort). Left side: each row replicated into ALL of its group's
+    * spans; right side: each row in its hash-native span. Pair (i, j)
+    * with i < j is generated exactly once — left i meets native j in j's
+    * span, the a<b guard kills the mirror — and a group at/below spanSize
+    * has nspans = 1: no replication, the plain wedge join's cardinality. */
+  private def spannedSides(sp: DataFrame, carry: Seq[String]): (DataFrame, DataFrame) = {
+    val base = Seq("id", "nb") ++ carry
+    val lhs = sp.select(base.map(col) :+
+      explode(sequence(lit(0L), col("nspans") - 1L)).as("tspan"): _*)
+    val rhs = sp.select(base.map(col) :+
+      pmod(xxhash64(col("id")), col("nspans")).as("span"): _*)
+    (lhs, rhs)
   }
 
   /** ADAMIC-ADAR neighborhood similarity — the Gelly AdamicAdar analog
@@ -307,7 +357,9 @@ object Iterate {
     * convention), divided back to DOUBLE once at the end. */
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
                  minShared: Long = 1L,
-                 broadcastDegThreshold: Long = 10000000L): DataFrame = {
+                 broadcastDegThreshold: Long = 10000000L,
+                 groupSpanSize: Int = 64): DataFrame = {
+    require(groupSpanSize >= 1, s"groupSpanSize must be >= 1 (got $groupSpanSize)")
     val n = edges.select(col(srcCol).as("id"), col(dstCol).as("nb")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materializes the persisted incidence + GUARDS the weight broadcast
@@ -320,15 +372,24 @@ object Iterate {
       .filter(col("nbdeg") >= 2)
       .withColumn("w6",
         round(lit(1000000.0) / log(col("nbdeg").cast("double"))).cast("long"))
+      // span count rides the SAME degree aggregate/broadcast — the spread
+      // costs adamicAdar no extra agg or join
+      .withColumn("nspans",
+        ceil(col("nbdeg").cast("double") / groupSpanSize).cast("long"))
     val nbSide = {
-      val d = nbDeg.select(col("nb").as("nb0"), col("w6"))
+      val d = nbDeg.select(col("nb").as("nb0"), col("w6"), col("nspans"))
       if (nIncidence <= broadcastDegThreshold) broadcast(d) else d
     }
     val wn = n.join(nbSide, col("nb") === col("nb0"))
-      .select(col("id"), col("nb"), col("w6"))
-    wn.select(col("id").as("a"), col("nb"), col("w6"))
-      .join(n.select(col("id").as("b"), col("nb").as("nb2")),
-        col("nb") === col("nb2") && col("a") < col("b"))
+      .select(col("id"), col("nb"), col("w6"), col("nspans"))
+    // hub-neighbor span spread, same scheme as jaccardIndex (the per-term
+    // weight is constant within a group, so it rides the left side)
+    val (lhs, rhs) = spannedSides(wn, Seq("w6"))
+    lhs.select(col("id").as("a"), col("nb"), col("tspan"), col("w6"))
+      .join(rhs.select(col("id").as("b"), col("nb").as("nb2"),
+          col("span").as("span2")),
+        col("nb") === col("nb2") && col("tspan") === col("span2") &&
+          col("a") < col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("shared"), sum(col("w6")).as("s6"))
       .filter(col("shared") >= minShared)

@@ -262,6 +262,74 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkTest {
     g.unpersist()
   }
 
+  test("wedge-join hub-neighbor skew smoke: one common neighbor at 100x " +
+       "the median degree, the span spread keys pair generation on " +
+       "(neighbor, span) and results stay exact", SlowTest) {
+    import graft.operators.Iterate
+    import spark.implicits._
+    // The similarity pair generators (jaccardIndex / adamicAdar) group by
+    // the COMMON NEIGHBOR, so a hub neighbor of degree d would funnel
+    // C(d,2) pair GENERATION through one join key. The reference
+    // pre-spreads with explicit spans (flink-gelly/.../similarity/
+    // JaccardIndex.java:68,257 GenerateGroupSpans, GROUP_SIZE 64), and so
+    // does the engine (r17, `Iterate.spannedSides`). Construction: 2,000
+    // vertices ALL incident to one hub neighbor (degree 2,000 = 100x the
+    // block-neighbor median of 20) plus 100 block neighbors of degree 20;
+    // every vertex pair shares the hub -> C(2000,2) = 1,999,000 pairs,
+    // same-block pairs share 2 neighbors -> 100 * C(20,2) = 19,000 rows
+    // with shared = 2. Every count below is closed-form.
+    val hubNb = 999999L
+    val edges = (0L until 2000L).map(v => (v, hubNb)) ++
+      (0L until 2000L).map(v => (v, 100000L + v / 20L))
+    val e = edges.toDF("src", "dst").repartition(32).persist()
+    e.count()
+    try {
+      val t0 = System.nanoTime()
+      val jac = Iterate.jaccardIndex(e, "src", "dst")
+      val agg = jac.groupBy().agg(count(lit(1)).as("pairs"),
+        sum(when(col("shared") === 2, 1L).otherwise(0L)).as("shared2"),
+        sum(when(col("score") === 1.0, 1L).otherwise(0L)).as("full"))
+      val row = agg.head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(row.getAs[Long]("pairs") == 1999000L, row.toString)
+      assert(row.getAs[Long]("shared2") == 19000L, row.toString)
+      // same-block pairs: union = 2 + 2 - 2 = 2, score exactly 1.0
+      assert(row.getAs[Long]("full") == 19000L, row.toString)
+      // the pin: pair generation actually keys on (neighbor, span) — the
+      // hub's 2,000 incidence rows spread over ceil(2000/64) = 32 spans
+      // instead of one join key
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("tspan"),
+        s"span spread missing from the wedge join:\n$plan")
+      info(f"jaccard hub-neighbor 100x smoke: $secs%6.2fs, " +
+        "1,999,000 pairs, span-spread join")
+      // span-size invariance: one giant span (>= hub degree) must produce
+      // the identical pair multiset — the spread is pure plumbing
+      val one = Iterate.jaccardIndex(e, "src", "dst", groupSpanSize = 4096)
+        .groupBy().agg(count(lit(1)).as("pairs"),
+          sum(when(col("score") === 1.0, 1L).otherwise(0L)).as("full")).head()
+      assert(one.getAs[Long]("pairs") == 1999000L &&
+        one.getAs[Long]("full") == 19000L, one.toString)
+      // same cost class, same spread: adamicAdar's weighted wedge join.
+      // Hub term: round(1e6/ln 2000) = 131563; block term:
+      // round(1e6/ln 20) = 333808 — scaled-integer sums are exact.
+      val t1 = System.nanoTime()
+      val aa = Iterate.adamicAdar(e, "src", "dst")
+      val aggA = aa.groupBy().agg(count(lit(1)).as("pairs"),
+        sum(when(col("aa_score") === (131563L + 333808L) / 1e6, 1L)
+          .otherwise(0L)).as("both"))
+      val rowA = aggA.head()
+      val secsA = (System.nanoTime() - t1) / 1e9
+      assert(rowA.getAs[Long]("pairs") == 1999000L, rowA.toString)
+      assert(rowA.getAs[Long]("both") == 19000L, rowA.toString)
+      assert(aggA.queryExecution.executedPlan.toString.contains("tspan"),
+        "adamicAdar wedge join not span-spread")
+      info(f"adamic-adar hub-neighbor 100x smoke: $secsA%6.2fs, span-spread join")
+    } finally {
+      e.unpersist(blocking = true)
+    }
+  }
+
   test("CEP hot-key skew smoke: a key at 10x the median completes the " +
        "sequential chain walk, and the maxEventsPerKey ceiling refuses " +
        "by name", SlowTest) {
