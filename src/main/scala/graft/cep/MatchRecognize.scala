@@ -107,7 +107,8 @@ object MatchRecognize {
                                 innerSeq: Seq[String] = Nil,
                                 innerStar: Boolean = false,
                                 inner2Seq: Seq[String] = Nil,
-                                midSeq: Seq[String] = Nil)
+                                midSeq: Seq[String] = Nil,
+                                mid2Seq: Seq[String] = Nil)
   private case class Measure(fn: Option[String], varName: String,
                              field: String, alias: String)
   private case class Spec(partitionBy: Seq[String], orderBy: String,
@@ -255,25 +256,27 @@ object MatchRecognize {
     // one row per bound event (see allRowsOutput)
     val allRows =
       "(?is)\\bALL\\s+ROWS\\s+PER\\s+MATCH\\b".r.findFirstIn(body).nonEmpty
-    // up to THREE nesting levels inside the PATTERN body: alternation /
-    // sequence groups (A (B|C) D), ONE nested group ((A B)+ C)+, and the
-    // DEPTH-2 nested group (((A B)+ C)+ D)+
+    // up to FOUR nesting levels inside the PATTERN body: alternation /
+    // sequence groups (A (B|C) D), ONE nested group ((A B)+ C)+, the
+    // DEPTH-2 nested group (((A B)+ C)+ D)+ and (r17) the DEPTH-3 nested
+    // group ((((A B)+ C)+ D)+ E)+
     val patternBody =
       ("(?is)\\bPATTERN\\s*\\(((?:[^()]|\\((?:[^()]|\\((?:[^()]|" +
-        "\\([^()]*\\))*\\))*\\))*)\\)").r
+        "\\((?:[^()]|\\([^()]*\\))*\\))*\\))*\\))*)\\)").r
       .findFirstMatchIn(body) match {
         case Some(m) => m.group(1).trim
-        // a depth-4 PATTERN body fails the three-level body regex outright
+        // a depth-5 PATTERN body fails the four-level body regex outright
         // — name the rejection rather than reporting the clause as absent.
         // The reference composes GroupPattern recursively to any depth
         // (flink-cep GroupPattern wraps an arbitrary inner Pattern); here
-        // TWO nested levels ( (((A B)+ C)+ D)+ ) lower declaratively and
-        // deeper nesting has no encoding.
+        // THREE nested levels ( ((((A B)+ C)+ D)+ E)+ ) lower
+        // declaratively and deeper nesting has no encoding.
         case None if "(?is)\\bPATTERN\\s*\\(".r.findFirstIn(body).isDefined =>
-          sys.error("PATTERN bodies nested deeper than two group-in-group " +
-            "levels (e.g. ((((A B)+ C)+ D)+ E)+) are not supported: up to " +
-            "two nested levels ( ((A B)+ C)+ and (((A B)+ C)+ D)+ ) are — " +
-            "flatten deeper groups or run multiple detect passes")
+          sys.error("PATTERN bodies nested deeper than three group-in-group " +
+            "levels (e.g. (((((A B)+ C)+ D)+ E)+ F)+) are not supported: " +
+            "up to three nested levels ( ((A B)+ C)+, (((A B)+ C)+ D)+ " +
+            "and ((((A B)+ C)+ D)+ E)+ ) are — flatten deeper groups or " +
+            "run multiple detect passes")
         case None => sys.error("PATTERN (...) required")
       }
     // elements: a DEPTH-2 nested group (((I...)+ M...)+ T...)+ (flink-cep
@@ -283,7 +286,10 @@ object MatchRecognize {
     // GroupPattern) — groups named by joining their members. Alternatives
     // ordered deepest-first so the depth-2 shape never half-parses as a
     // depth-1 group plus residue.
-    val varRx = ("(?:\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
+    val varRx = ("(?:\\(\\s*\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
+      "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*" +
+      "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
+      "|\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
       "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)" +
       "|\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
       "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
@@ -305,54 +311,75 @@ object MatchRecognize {
           s"unsupported PATTERN syntax near '$gap' in PATTERN ($patternBody)" +
             (if (gap.contains("(")) " — the supported nested shapes are " +
               "((I1 I2 ...)+ T1 ...)+ (inner '+' or '*', at least one " +
-              "tail step, outer '+'/'*') and (((I1 I2 ...)+ M1 ...)+ " +
-              "T1 ...)+ (depth 2: inner and mid '+', outer '+'/'*')"
+              "tail step, outer '+'/'*'), (((I1 I2 ...)+ M1 ...)+ " +
+              "T1 ...)+ (depth 2: inner and mid '+', outer '+'/'*') and " +
+              "((((I1 I2 ...)+ M1 ...)+ N1 ...)+ T1 ...)+ (depth 3)"
              else ""))
         if (m != null) pos = m.end
       }
     }
     val vars = varMatches.map { g =>
-        (Option(g.group(1)), Option(g.group(5)), Option(g.group(8)),
-            Option(g.group(9))) match {
-          case (Some(in2), _, _, _) =>
+        (Option(g.group(1)), Option(g.group(6)), Option(g.group(10)),
+            Option(g.group(13)), Option(g.group(14))) match {
+          case (Some(in3), _, _, _, _) =>
+            // DEPTH-3 nested group ((((I...)+ M...)+ N...)+ T...)+ (r17) —
+            // flink-cep GroupPattern composed three times: innermost
+            // sub-sequence under '+', mid steps closing each level-1
+            // repetition, mid2 steps closing each level-2 repetition,
+            // outer tail steps closing each outer repetition, outer '+'/'*'
+            val innerSubs = in3.trim.split("\\s+").toSeq
+            val mids = g.group(3).trim.split("\\s+").toSeq
+            val mid2s = g.group(4).trim.split("\\s+").toSeq
+            val tails = g.group(5).trim.split("\\s+").toSeq
+            require(g.group(16) == "+" || g.group(16) == "*",
+              s"depth-3 nested group ((((${innerSubs.mkString(" ")})" +
+                s"${g.group(2)} ${mids.mkString(" ")})+ " +
+                s"${mid2s.mkString(" ")})+ ${tails.mkString(" ")}) requires " +
+                s"the outer '+' or '*' quantifier " +
+                s"(got '${Option(g.group(16)).getOrElse("")}')")
+            PatternVar((innerSubs ++ mids ++ mid2s ++ tails).mkString("_"),
+              Option(g.group(16)), Nil, tails, Nil,
+              innerStar = g.group(2) == "*",
+              inner2Seq = innerSubs, midSeq = mids, mid2Seq = mid2s)
+          case (None, Some(in2), _, _, _) =>
             // DEPTH-2 nested group (((I...)+ M...)+ T...)+ — flink-cep
             // GroupPattern composed twice (GroupPattern.java:30 wraps an
             // arbitrary inner Pattern): innermost sub-sequence under '+',
             // mid tail steps closing each level-1 repetition, outer tail
             // steps closing each outer repetition, outer '+'/'*'
             val innerSubs = in2.trim.split("\\s+").toSeq
-            val mids = g.group(3).trim.split("\\s+").toSeq
-            val tails = g.group(4).trim.split("\\s+").toSeq
-            require(g.group(11) == "+" || g.group(11) == "*",
+            val mids = g.group(8).trim.split("\\s+").toSeq
+            val tails = g.group(9).trim.split("\\s+").toSeq
+            require(g.group(16) == "+" || g.group(16) == "*",
               s"depth-2 nested group (((${innerSubs.mkString(" ")})" +
-                s"${g.group(2)} ${mids.mkString(" ")})+ " +
+                s"${g.group(7)} ${mids.mkString(" ")})+ " +
                 s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
-                s"quantifier (got '${Option(g.group(11)).getOrElse("")}')")
+                s"quantifier (got '${Option(g.group(16)).getOrElse("")}')")
             PatternVar((innerSubs ++ mids ++ tails).mkString("_"),
-              Option(g.group(11)), Nil, tails, Nil,
-              innerStar = g.group(2) == "*",
+              Option(g.group(16)), Nil, tails, Nil,
+              innerStar = g.group(7) == "*",
               inner2Seq = innerSubs, midSeq = mids)
-          case (None, Some(inner), _, _) =>
+          case (None, None, Some(inner), _, _) =>
             // nested group ((I...)+ T...)+ / ((I...)* T...)+ — flink-cep
             // GroupPattern composing recursively (one level): inner
             // sub-sequence under '+' (or '*' = zero-or-more sub-chains per
             // repetition, r15), tail steps, outer '+'/'*'
             val innerSubs = inner.trim.split("\\s+").toSeq
-            val tails = g.group(7).trim.split("\\s+").toSeq
-            require(g.group(11) == "+" || g.group(11) == "*",
-              s"nested group ((${innerSubs.mkString(" ")})${g.group(6)} " +
+            val tails = g.group(12).trim.split("\\s+").toSeq
+            require(g.group(16) == "+" || g.group(16) == "*",
+              s"nested group ((${innerSubs.mkString(" ")})${g.group(11)} " +
                 s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
-                s"quantifier (got '${Option(g.group(11)).getOrElse("")}')")
-            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(11)),
-              Nil, tails, innerSubs, innerStar = g.group(6) == "*")
-          case (None, None, Some(alt), _) =>
+                s"quantifier (got '${Option(g.group(16)).getOrElse("")}')")
+            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(16)),
+              Nil, tails, innerSubs, innerStar = g.group(11) == "*")
+          case (None, None, None, Some(alt), _) =>
             val branches = alt.split("\\|").map(_.trim).toSeq
             // (B|C)+ / (B|C)* — flink-cep GroupPattern over oneOf: a run
             // whose members match any branch, with per-branch counts. The
             // reluctant '(B|C)+?' collapses to ONE member of any branch —
             // the bare '(B|C)' one-of (see [[normalizeQuant]]: the minimal
             // binding always wins). '?'/'{n,m}' stay named rejections.
-            val q = Option(g.group(11)) match {
+            val q = Option(g.group(16)) match {
               case Some("+?") => None
               case q0 @ (None | Some("+") | Some("*")) => q0
               case Some(other) => sys.error(s"alternation group ($alt): " +
@@ -360,14 +387,14 @@ object MatchRecognize {
                 s"supported (got '$other')")
             }
             PatternVar(branches.mkString("_"), q, branches)
-          case (None, None, None, Some(seq)) =>
+          case (None, None, None, None, Some(seq)) =>
             val subs = seq.trim.split("\\s+").toSeq
             // (B C)+ / (B C)* — GroupPattern oneOrMore[.optional]. The
             // reluctant '(B C)+?' collapses to exactly ONE repetition
             // (minimal binding always wins), which is also the bare
             // '(B C)' inline-sequence semantics — both lower to the
             // single-repetition declarative sub-match join.
-            val q = Option(g.group(11)) match {
+            val q = Option(g.group(16)) match {
               case Some("+?") => None
               case q0 @ (None | Some("+") | Some("*")) => q0
               case Some(other) => sys.error(s"sequence group " +
@@ -375,8 +402,8 @@ object MatchRecognize {
                 s"or no quantifier is supported (got '$other')")
             }
             PatternVar(subs.mkString("_"), q, Nil, subs)
-          case (None, None, None, None) => PatternVar(g.group(10),
-            Option(g.group(11)).map(normalizeQuant(g.group(10), _)))
+          case (None, None, None, None, None) => PatternVar(g.group(15),
+            Option(g.group(16)).map(normalizeQuant(g.group(15), _)))
         }
       }
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
@@ -738,7 +765,8 @@ object MatchRecognize {
             s"alternation branch $b cannot use relative references")
           b -> c
         }
-        val seqSubs = (v.inner2Seq ++ v.midSeq ++ v.innerSeq ++ v.seq).map { sv =>
+        val seqSubs = (v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.innerSeq ++
+            v.seq).map { sv =>
           val c = compiledPred(spec, sv, i)
           // ONE-LEVEL nested group members pass through: tail members
           // lower onto bindTailResidual (r16), inner members get the
@@ -789,8 +817,8 @@ object MatchRecognize {
     // address a specific MEMBER (the group's own name spans several
     // variables and would be ambiguous)
     val groupOf: Map[String, PatternVar] = spec.vars.filter(_.seq.nonEmpty)
-      .flatMap(g => (g.name +: (g.inner2Seq ++ g.midSeq ++ g.innerSeq ++
-        g.seq)).map(_ -> g)).toMap
+      .flatMap(g => (g.name +: (g.inner2Seq ++ g.midSeq ++ g.mid2Seq ++
+        g.innerSeq ++ g.seq)).map(_ -> g)).toMap
     spec.measures.filter(m => groupOf.contains(m.varName)).foreach { m =>
       require(m.field == "ts" || m.varName != groupOf(m.varName).name,
         s"value measures over a sequence group must address a member " +
@@ -814,41 +842,59 @@ object MatchRecognize {
         // timestamps, outer/mid/inner repetition counts and (r16 late
         // adds) bindGroup running value aggregates + materialized ALL
         // ROWS rows, both folded through the two pending levels.
-        v.inner2Seq.foreach { sv =>
-          compiled(sv)._2.foreach(_ => sys.error(s"depth-2 nested group " +
-            s"${v.name}: inner member $sv may not use an iterative/" +
-            "PREV condition — iterative conditions compose with MID and " +
-            "OUTER TAIL members (the shared innermost sub-match table " +
-            "would need to be per-anchor; move the condition to a mid or " +
-            "tail step)"))
-        }
+        // INNER members MAY be iterative too (r17, lifting the last
+        // residual rejection): the m49 per-distinct-threshold-tuple
+        // sub-match parametrization is depth-agnostic — the innermost
+        // compile is the same at every depth
+        val innerResiduals2: Seq[(String, (String, String, String))] =
+          v.inner2Seq.flatMap { sv =>
+            if (compiled(sv)._2.isEmpty) None
+            else Some(sv -> parseTailResidual(spec, sv))
+          }
         // OUTER TAIL members MAY be iterative (r16 — the m40 recipe at
-        // depth 2) and MID members too (r17): the same single-relative-
-        // conjunct contract, lowered onto Pattern.bindTailResidual — the
-        // mid's satisfying scan is shared between its binding and the
-        // inner-chain punctuation, the tail convention one level down
+        // depth 2) and MID/MID2 members too (r17): the same single-
+        // relative-conjunct contract, lowered onto Pattern.bindTailResidual
+        // — the mid's satisfying scan is shared between its binding and
+        // the inner-chain punctuation, the tail convention one level down
         val tailResiduals2: Seq[(String, (String, String, String))] =
-          (v.midSeq ++ v.seq).flatMap { sv =>
+          (v.midSeq ++ v.mid2Seq ++ v.seq).flatMap { sv =>
             if (compiled(sv)._2.isEmpty) None
             else Some(sv -> parseTailResidual(spec, sv))
           }
         require(!spec.allRows || bindByVar.keySet.intersect(
-            (v.inner2Seq ++ v.midSeq ++ v.seq).toSet).isEmpty,
+            (v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.seq).toSet).isEmpty,
           s"ALL ROWS PER MATCH over a depth-2 nested group (${v.name}) " +
             "does not compose with member VALUE measures — per-row " +
             "running value snapshots are one-level only")
-        pat = pat.followedByNested2Group(v.name,
-          v.inner2Seq.map(sv => sv -> compiled(sv)._1),
-          v.midSeq.map(sv => sv -> compiled(sv)._1),
-          v.seq.map(sv => sv -> compiled(sv)._1),
-          innerOptional = v.innerStar)
+        require(!spec.allRows || v.mid2Seq.isEmpty,
+          s"ALL ROWS PER MATCH over a DEPTH-3 nested group (${v.name}) " +
+            "is not supported (the per-row running-count struct carries " +
+            "no level-2 column) — aggregate measures compose")
+        pat = if (v.mid2Seq.isEmpty)
+          pat.followedByNested2Group(v.name,
+            v.inner2Seq.map(sv => sv -> compiled(sv)._1),
+            v.midSeq.map(sv => sv -> compiled(sv)._1),
+            v.seq.map(sv => sv -> compiled(sv)._1),
+            innerOptional = v.innerStar)
+        else
+          // DEPTH-3 (r17): the depth-2 lowering with one more closing
+          // level — mid2 steps slot between the mids and the outer tails
+          pat.followedByNested3Group(v.name,
+            v.inner2Seq.map(sv => sv -> compiled(sv)._1),
+            v.midSeq.map(sv => sv -> compiled(sv)._1),
+            v.mid2Seq.map(sv => sv -> compiled(sv)._1),
+            v.seq.map(sv => sv -> compiled(sv)._1),
+            innerOptional = v.innerStar)
         tailResiduals2.foreach { case (sv, (c, op, rhs)) =>
           pat = pat.bindTailResidual(sv, c, op, expr(rhs))
+        }
+        innerResiduals2.foreach { case (sv, (c, op, rhs)) =>
+          pat = pat.bindInnerResidual(sv, c, op, expr(rhs))
         }
         // member VALUE measures (r16): the SHARED order derivation — the
         // engine's groupKeep sequence (members in declaration order, each
         // member's columns in bindByVar order)
-        nestedKeepOrder(v.inner2Seq ++ v.midSeq, v.seq, bindByVar)
+        nestedKeepOrder(v.inner2Seq ++ v.midSeq ++ v.mid2Seq, v.seq, bindByVar)
           .foreach { case (sv, c) => pat = pat.bindGroup(sv, c) }
         // composite ORDER BY (r17, the former depth-2 named rejection):
         // equal-ts candidates' values argmin by (ties..., value) at every
@@ -1073,6 +1119,10 @@ object MatchRecognize {
                 col(s"${g.name}_inner_n")
               case Some("COUNT") if g.midSeq.contains(m.varName) =>
                 col(s"${g.name}_mid_n")
+              // depth-3 (r17): mid2 members close each LEVEL-2 repetition
+              // exactly once — COUNT(N.ts) = total level-2 count
+              case Some("COUNT") if g.mid2Seq.contains(m.varName) =>
+                col(s"${g.name}_mid2_n")
               case Some("COUNT") => col(s"${g.name}_n")
               case Some("FIRST") =>
                 require(m.varName == g.name || m.varName == g.inner2Seq.head,

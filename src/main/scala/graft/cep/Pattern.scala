@@ -45,6 +45,7 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       innerOpt: Boolean = false,
                       inner2: Seq[(String, Column)] = Nil,
                       mid2: Seq[(String, Column)] = Nil,
+                      mid2b: Seq[(String, Column)] = Nil,
                       tail2: Seq[(String, Column)] = Nil,
                       tailRes: Seq[(String, String, String, Column)] = Nil,
                       innerRes: Seq[(String, String, String, Column)] = Nil)
@@ -538,6 +539,55 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       notStep, windowMs, skipPastLast, skipTo)
   }
 
+  /** DEPTH-3 nested group — THREE levels of group-in-group composition,
+    * `((((I1 I2 ...)+ M1...)+ N1...)+ T1...)` quantified by
+    * [[oneOrMore]]/[[zeroOrMore]] (reference flink-cep GroupPattern.java:30
+    * composes recursively without limit — this is the r16 depth named
+    * rejection lifted by RECURSING the depth-2 rule once more). Semantics:
+    * a LEVEL-2 repetition is a greedy chain of level-1 repetitions
+    * (each an inner chain punctuated by the earliest first-MID `M...`
+    * candidate, then the mids bound) punctuated by the earliest
+    * first-MID2 `N...` candidate, then the mid2 steps bound; an OUTER
+    * repetition is a greedy chain of level-2 repetitions punctuated by
+    * the earliest first-outer-tail `T...` candidate, then the tails bound
+    * — reluctant close and greedy-no-backtracking at EVERY level, the
+    * next outer repetition anchoring after the previous final tail
+    * binding. Emits `<name>_first_ts`, `<name>_last_ts`, `<name>_n`
+    * (outer), `<name>_mid2_n` (total level-2 repetitions),
+    * `<name>_mid_n` (total level-1) and `<name>_inner_n`.
+    *
+    * Lowering: the SAME inner sub-match table and tagged candidate union
+    * as [[followedByNested2Group]] (mid2 steps slot between the mids and
+    * the outer tails), and the chain walk gains one recursion level —
+    * `rep2After` chains `r1After` exactly as the outer chain chains
+    * `rep2After`. [[bindGroup]] values, [[bindTailResidual]] on mid/mid2/
+    * tail members, [[tieBreak]] and an inner `*` all compose through the
+    * same machinery; [[materializeNestedRows]] stays a named rejection at
+    * depth 3 (the per-row running-count struct carries no level-2
+    * column). Depth ≥ 4 has no encoding (named error at the SQL front
+    * door). */
+  def followedByNested3Group(name: String, inner: Seq[(String, Column)],
+                             mid: Seq[(String, Column)],
+                             mid2: Seq[(String, Column)],
+                             tail: Seq[(String, Column)],
+                             innerOptional: Boolean = false): Pattern = {
+    require(notStep.isEmpty, "notFollowedBy must be the terminal step")
+    require(steps.nonEmpty, "followedByNested3Group() follows a begin step")
+    require(inner.size >= 2,
+      "the innermost sub-group needs at least two steps (a single-variable " +
+        "inner '+' is a plain run — use followedByNested2Group)")
+    require(mid.nonEmpty && mid2.nonEmpty && tail.nonEmpty,
+      "the depth-3 group needs at least one step at EVERY closing level " +
+        "(mid, mid2, outer tail) — a level with no closing step collapses " +
+        "to the depth-2 shape: use followedByNested2Group")
+    new Pattern(steps :+ Step(name,
+      (inner.map(_._2) ++ mid.map(_._2) ++ mid2.map(_._2) ++
+        tail.map(_._2)).reduce(_ || _),
+      inner2 = inner.toVector, mid2 = mid.toVector, mid2b = mid2.toVector,
+      tail2 = tail.toVector, innerOpt = innerOptional),
+      notStep, windowMs, skipPastLast, skipTo)
+  }
+
   /** Bind a value column of a GROUP MEMBER across the group's repetitions —
     * the aggregate-measure surface of [[followedByGroup]] (reference
     * flink-table MatchRecognizeITCase aggregate measures, `SUM(C.price)`
@@ -564,7 +614,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // repetitions into the same running sum/min/max/first/last/cnt state
     // the one-level chain keeps
     require((steps.last.innerGroup ++ steps.last.group ++ steps.last.inner2 ++
-        steps.last.mid2 ++ steps.last.tail2).exists(_._1 == member),
+        steps.last.mid2 ++ steps.last.mid2b ++ steps.last.tail2)
+        .exists(_._1 == member),
       s"bindGroup($member): not a member of group ${steps.last.name}")
     require(!steps.last.tailRes.exists(_._1 == member),
       s"bindGroup($member): does not compose with bindTailResidual on " +
@@ -612,8 +663,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         steps.last.inner2.nonEmpty),
       "bindTailResidual() requires followedByNestedGroup()/" +
         "followedByNested2Group() as the last step")
-    require((steps.last.group ++ steps.last.mid2 ++ steps.last.tail2)
-        .exists(_._1 == member),
+    require((steps.last.group ++ steps.last.mid2 ++ steps.last.mid2b ++
+        steps.last.tail2).exists(_._1 == member),
       s"bindTailResidual($member): not a TAIL or MID member of nested " +
         s"group ${steps.last.name} (INNER members cannot carry iterative " +
         "conditions — the shared sub-match table would need to be " +
@@ -646,17 +697,20 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * selects each anchor's own sub array by its threshold tuple. A null
     * threshold never binds (SQL 3VL — that anchor has NO completable
     * subs). One residual per inner member; does not compose with
-    * [[bindGroup]] on the same member. Depth-2 groups keep the inner
-    * rejection ([[bindTailResidual]] covers their mid/tail members). */
+    * [[bindGroup]] on the same member. Composes with DEPTH-2 and DEPTH-3
+    * groups too (r17 — the innermost sub-match table is the same compile
+    * at every depth, so the per-tuple parametrization carries through
+    * the deeper walks unchanged; mid/mid2/tail members take
+    * [[bindTailResidual]]). */
   def bindInnerResidual(member: String, valueCol: String, op: String,
                         threshold: Column): Pattern = {
-    require(steps.nonEmpty && steps.last.innerGroup.nonEmpty,
-      "bindInnerResidual() requires followedByNestedGroup() as the last " +
-        "step (depth-2 inner members are not supported — move the " +
-        "condition to a mid or outer tail step)")
-    require(steps.last.innerGroup.exists(_._1 == member),
+    require(steps.nonEmpty && (steps.last.innerGroup.nonEmpty ||
+        steps.last.inner2.nonEmpty),
+      "bindInnerResidual() requires followedByNestedGroup()/" +
+        "followedByNested2Group()/followedByNested3Group() as the last step")
+    require((steps.last.innerGroup ++ steps.last.inner2).exists(_._1 == member),
       s"bindInnerResidual($member): not an INNER member of nested group " +
-        s"${steps.last.name} (tail members take bindTailResidual)")
+        s"${steps.last.name} (mid/tail members take bindTailResidual)")
     require(Set("<", "<=", ">", ">=")(op),
       s"bindInnerResidual($member): op must be one of < <= > >= (got '$op')")
     require(!steps.last.innerRes.exists(_._1 == member),
@@ -711,6 +765,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.last.inner2.isEmpty || steps.last.groupKeep.isEmpty,
       "materializeNestedRows() on a depth-2 group does not compose with " +
         "bindGroup (per-row running value snapshots are one-level only)")
+    require(steps.last.mid2b.isEmpty,
+      "materializeNestedRows() on a DEPTH-3 group is not supported (the " +
+        "per-row running-count struct carries no level-2 column) — " +
+        "aggregate measures compose; use them, or flatten one level")
     new Pattern(steps.init :+ steps.last.copy(groupRows = true),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -1330,14 +1388,73 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         require(s.oneOrMore,
           s"depth-2 nested group ${s.name}: quantify with oneOrMore()/" +
             "zeroOrMore()")
-        var isubs = events.filter(s.inner2.head._2)
-          .select(key.as("__gk"), ts.as("__gb"))
+        // bindInnerResidual (r17 — the m49 recipe carried to depth 2/3):
+        // an anchor-relative condition on an INNER member parametrizes the
+        // sub-match compile by the anchor frame's DISTINCT threshold
+        // tuples; candidates pre-reduce to per-(key, ts) op-appropriate
+        // extremes and the walk selects each anchor's own sub array by
+        // exact-double tuple lookup (both sides evaluate the same Catalyst
+        // expression on the same anchor rows)
+        val iResByMember2: Map[String, Int] =
+          s.innerRes.map(_._1).zipWithIndex.toMap
+        val hasIRes2 = s.innerRes.nonEmpty
+        val thrTable2 = if (!hasIRes2) null else {
+          val d0 = s.innerRes.zipWithIndex.foldLeft(out) {
+            case (d, ((_, _, _, thr), r)) =>
+              d.withColumn(s"__thr$r", thr.cast("double"))
+          }
+          // null thresholds never bind (SQL 3VL): no chain is compiled
+          d0.select(col("__k").as("__tk") +:
+              s.innerRes.indices.map(r => col(s"__thr$r")): _*)
+            .filter(s.innerRes.indices
+              .map(r => col(s"__thr$r").isNotNull).reduce(_ && _))
+            .distinct()
+        }
+        def iResCond2(member: String, candValue: Column): Column =
+          iResByMember2.get(member) match {
+            case None => lit(true)
+            case Some(r) =>
+              val op = s.innerRes(r)._3
+              val thr = col(s"__thr$r")
+              op match {
+                case "<" => candValue < thr
+                case "<=" => candValue <= thr
+                case ">" => candValue > thr
+                case _ => candValue >= thr
+              }
+          }
+        def iResExtreme2(member: String): Option[Column] =
+          iResByMember2.get(member).map { r =>
+            val (_, c, op, _) = s.innerRes(r)
+            if (op == ">" || op == ">=") max(col(c).cast("double"))
+            else min(col(c).cast("double"))
+          }
+        var isubs = {
+          val firstName = s.inner2.head._1
+          val base0 = iResExtreme2(firstName) match {
+            case None => events.filter(s.inner2.head._2)
+              .select(key.as("__gk"), ts.as("__gb"))
+            case Some(ext) => events.filter(s.inner2.head._2)
+              .groupBy(key.as("__gk"), ts.as("__gb")).agg(ext.as("__gv0"))
+          }
+          if (!hasIRes2) base0
+          else base0.join(thrTable2, col("__gk") === col("__tk") &&
+              iResCond2(firstName, col("__gv0")))
+            .drop("__tk", "__gv0")
+        }
         var prevSub: Column = col("__gb")
-        s.inner2.tail.zipWithIndex.foreach { case ((_, p), j) =>
-          val cand = events.filter(p).select(key.as("__gk2"), ts.as(s"__gc$j"))
+        s.inner2.tail.zipWithIndex.foreach { case ((mn, p), j) =>
+          val cand = iResExtreme2(mn) match {
+            case None => events.filter(p)
+              .select(key.as("__gk2"), ts.as(s"__gc$j"))
+            case Some(ext) => events.filter(p)
+              .groupBy(key.as("__gk2"), ts.as(s"__gc$j"))
+              .agg(ext.as(s"__gcv$j"))
+          }
           val kept0 = isubs.columns.map(col)
           isubs = isubs.join(cand, col("__gk") === col("__gk2") &&
-              col(s"__gc$j") > prevSub && col(s"__gc$j") <= col("__gb") + win)
+              col(s"__gc$j") > prevSub && col(s"__gc$j") <= col("__gb") + win &&
+              iResCond2(mn, col(s"__gcv$j")))
             .groupBy(kept0.toIndexedSeq: _*)
             .agg(min(col(s"__gc$j")).as(s"__ge$j"))
           prevSub = col(s"__ge$j")
@@ -1351,8 +1468,11 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val inner2Names = s.inner2.map(_._1)
         val gkInner = s.groupKeep.zipWithIndex.filter {
           case ((m, _), _) => inner2Names.contains(m) }
+        // closing steps in level order: mids (close level-1), mid2s
+        // (close level-2 — depth-3 only), outer tails
+        val closing2 = s.mid2 ++ s.mid2b ++ s.tail2
         val gkByStep: Map[Int, Seq[((String, String), Int)]] =
-          (s.mid2 ++ s.tail2).zipWithIndex.map { case ((tn, _), j) =>
+          closing2.zipWithIndex.map { case ((tn, _), j) =>
             j -> s.groupKeep.zipWithIndex.filter { case ((m, _), _) => m == tn }
           }.toMap
         // bindTailResidual on an OUTER tail (r16 — the m40 recipe at depth
@@ -1362,10 +1482,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         // neither binds nor punctuates the inner chain, a failing outer
         // tail neither binds nor punctuates the level-1 chain). Keyed by
         // the step's position in the mid2++tail2 order.
-        def resIdx2(m: String): Int = {
-          val mi = s.mid2.indexWhere(_._1 == m)
-          if (mi >= 0) mi else s.mid2.size + s.tail2.indexWhere(_._1 == m)
-        }
+        def resIdx2(m: String): Int = closing2.indexWhere(_._1 == m)
         val resByStep2: Map[Int, (String, String)] = s.tailRes.map {
           case (m, c, op, _) => resIdx2(m) -> ((c, op))
         }.toMap
@@ -1396,14 +1513,19 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           if (s.groupRows) array(memTs: _*)
           else lit(null).cast("array<timestamp>")
         // tagged candidate union: inner sub-matches (tag 0: start + end +
-        // inner bound values + member times), each mid step's candidates
-        // (tags 1..nMid), each outer tail step's candidates (tags
-        // nMid+1..nMid+nTails) — all pre-reduced, with that step's bound
-        // values when asked
-        val tagged = (s.mid2 ++ s.tail2).zipWithIndex.foldLeft(
+        // inner bound values + member times + threshold tuple under inner
+        // residuals), each mid step's candidates (tags 1..nMid), each
+        // mid2/outer-tail step's candidates — all pre-reduced, with that
+        // step's bound values when asked
+        val thrsCol2: Column =
+          if (!hasIRes2) lit(null).cast("array<double>")
+          else array(s.innerRes.indices.map(r => col(s"__thr$r")): _*)
+        val nullThrs2 = lit(null).cast("array<double>").as("__thrs")
+        val tagged = closing2.zipWithIndex.foldLeft(
           isubs.select(col("__gk"), lit(0).as("__tag"),
             col("__gb").as("__t1"), prevSub.as("__t2"),
-            innerValsCol.as("__vals"), memsCol.as("__mems"))) {
+            innerValsCol.as("__vals"), memsCol.as("__mems"),
+            thrsCol2.as("__thrs"))) {
           case (acc, ((_, p), j)) =>
             val tks = gkByStep(j)
             val cand = resByStep2.get(j) match {
@@ -1415,12 +1537,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),
                     lit(null).cast("timestamp").as("__t2"),
                     array(col("__tvres")).as("__vals"),
-                    lit(null).cast("array<timestamp>").as("__mems"))
+                    lit(null).cast("array<timestamp>").as("__mems"), nullThrs2)
               case None if tks.isEmpty => events.filter(p).select(key.as("__gk"),
                 lit(j + 1).as("__tag"), ts.as("__t1"),
                 lit(null).cast("timestamp").as("__t2"),
                 lit(null).cast("array<double>").as("__vals"),
-                lit(null).cast("array<timestamp>").as("__mems"))
+                lit(null).cast("array<timestamp>").as("__mems"), nullThrs2)
               case None =>
                 // mid/outer-tail member values tie-steer too (the shared
                 // tieMinAgg builder — the r16 one-level convention)
@@ -1431,7 +1553,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   .select(col("__gk"), lit(j + 1).as("__tag"), col("__t1"),
                     lit(null).cast("timestamp").as("__t2"),
                     array(tks.map { case (_, i) => col(s"__tv$i") }: _*).as("__vals"),
-                    lit(null).cast("array<timestamp>").as("__mems"))
+                    lit(null).cast("array<timestamp>").as("__mems"), nullThrs2)
             }
             acc.unionByName(cand)
         }
@@ -1440,7 +1562,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val outRes2 = s.tailRes.foldLeft(out) { case (d, (m, _, _, thr)) =>
           d.withColumn(s"__tres${resIdx2(m)}", thr.cast("double"))
         }
-        val anch = outRes2.withColumn("__gprev", prevTs)
+        // bindInnerResidual: the anchor's own threshold tuple — the walk
+        // selects its sub array by it (exact-double lookup)
+        val outResI2 = s.innerRes.zipWithIndex.foldLeft(outRes2) {
+          case (d, ((_, _, _, thr), r)) =>
+            d.withColumn(s"__ires$r", thr.cast("double"))
+        }
+        val anch = outResI2.withColumn("__gprev", prevTs)
           .withColumn("__gwend", col(startTs) + win)
         val aSchema = anch.schema
         val keyIdx = aSchema.fieldIndex("__k")
@@ -1453,7 +1581,11 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             org.apache.spark.sql.types.StructField(s"${s.name}_last_ts",
               org.apache.spark.sql.types.TimestampType),
             org.apache.spark.sql.types.StructField(s"${s.name}_n",
-              org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.LongType)) ++
+          (if (s.mid2b.isEmpty) Nil else Seq(
+            org.apache.spark.sql.types.StructField(s"${s.name}_mid2_n",
+              org.apache.spark.sql.types.LongType))) ++
+          Seq(
             org.apache.spark.sql.types.StructField(s"${s.name}_mid_n",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField(s"${s.name}_inner_n",
@@ -1478,47 +1610,65 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val candKV = tagged.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
         val optGroup = s.opt
         val nMid = s.mid2.size
+        val nMid2b = s.mid2b.size
         val nTails = s.tail2.size
+        // first outer-tail index in the closing-step order (= nMid for
+        // depth 2; the outer chain punctuates on this step's candidates)
+        val tailIdx0 = nMid + nMid2b
+        val nClosing = closing2.size
         val sName = s.name
         val matRows = s.groupRows
         val innerOptFlag = s.innerOpt
-        // all member names in tag order: inner members, mids, outer tails
-        val clsNames = (s.inner2.map(_._1) ++ s.mid2.map(_._1) ++
-          s.tail2.map(_._1)).toArray
+        // all member names in tag order: inner members, mids, mid2s, tails
+        val clsNames = (s.inner2.map(_._1) ++ closing2.map(_._1)).toArray
         val nInner = s.inner2.size
         // primitive groupKeep positions per source (closure copies)
         val gkN = s.groupKeep.size
         val gkInnerPos = gkInner.map(_._2).toArray
-        val gkStepPos = Array.tabulate(nMid + nTails)(j => gkByStep(j).map(_._2).toArray)
+        val gkStepPos = Array.tabulate(nClosing)(j => gkByStep(j).map(_._2).toArray)
         // bindTailResidual: per step an op code (0 none, 1 <, 2 <=, 3 >,
         // 4 >=) and the anchor-frame field index of its threshold column
-        val resOps2: Array[Int] = Array.tabulate(nMid + nTails)(j =>
+        val resOps2: Array[Int] = Array.tabulate(nClosing)(j =>
           resByStep2.get(j).map(_._2 match {
             case "<" => 1; case "<=" => 2; case ">" => 3; case _ => 4
           }).getOrElse(0))
-        val resThrIdx2: Array[Int] = Array.tabulate(nMid + nTails)(j =>
+        val resThrIdx2: Array[Int] = Array.tabulate(nClosing)(j =>
           if (resOps2(j) != 0) aSchema.fieldIndex(s"__tres$j") else -1)
+        // bindInnerResidual: anchor-frame field indexes of the threshold
+        // tuple (closure copies)
+        val hasIResW2 = hasIRes2
+        val iResThrIdx2: Array[Int] = Array.tabulate(s.innerRes.size)(r =>
+          aSchema.fieldIndex(s"__ires$r"))
         val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
           val all = Pattern.boundedRows(cs, maxPK,
             s"depth-2 nested group ${sName} three-level chain walk")
-          val subs = all.filter(_.getInt(1) == 0)
+          val subsAll = all.filter(_.getInt(1) == 0)
             .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3),
               if (gkInnerPos.length > 0) Pattern.dblsOf(r, 4) else null,
-              if (matRows) r.getSeq[Any](5).map(Pattern.anyToTs) else null))
-            .sortWith((p, q) => p._1.before(q._1))
-          // mids(0..nMid-1), touts(0..nTails-1): sorted candidate (time,
-          // bound values)
-          val cands = Array.tabulate(nMid + nTails) { j =>
+              if (matRows) r.getSeq[Any](5).map(Pattern.anyToTs) else null,
+              if (hasIResW2) Pattern.dblsOf(r, 6).toList else null))
+          // per-threshold-tuple sorted sub arrays (one shared array when
+          // no inner residual is bound — the m49 convention)
+          val emptySubs2 = Array.empty[(java.sql.Timestamp, java.sql.Timestamp,
+            Array[java.lang.Double], Seq[java.sql.Timestamp])]
+          def sorted2(xs: Array[(java.sql.Timestamp, java.sql.Timestamp,
+              Array[java.lang.Double], Seq[java.sql.Timestamp],
+              List[java.lang.Double])]) =
+            xs.map(x => (x._1, x._2, x._3, x._4))
+              .sortWith((p, q) => p._1.before(q._1))
+          val subsDefault = if (hasIResW2) emptySubs2 else sorted2(subsAll)
+          val subsByThr2: Map[List[java.lang.Double], Array[(java.sql.Timestamp,
+              java.sql.Timestamp, Array[java.lang.Double],
+              Seq[java.sql.Timestamp])]] =
+            if (!hasIResW2) Map.empty
+            else subsAll.groupBy(_._5).map { case (k, xs) => k -> sorted2(xs) }
+          // closing-step candidates in level order (mids, mid2s, tails):
+          // sorted (time, bound values)
+          val cands = Array.tabulate(nClosing) { j =>
             all.filter(_.getInt(1) == j + 1).map(r => (Pattern.tsOf(r, 2),
               if (gkStepPos(j).length > 0 || resOps2(j) != 0)
                 Pattern.dblsOf(r, 4) else null))
               .sortWith((p, q) => p._1.before(q._1))
-          }
-          def subAfter(t: java.sql.Timestamp): Int = {
-            var lo = 0; var hi = subs.length
-            while (lo < hi) { val mid = (lo + hi) >>> 1
-              if (subs(mid)._1.after(t)) hi = mid else lo = mid + 1 }
-            lo
           }
           def candAfter(j: Int, t: java.sql.Timestamp): Int = {
             val arr = cands(j)
@@ -1530,12 +1680,32 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           as.flatMap { a =>
             val tau = Pattern.tsOf(a, prevIdx)
             val wEnd = Pattern.tsOf(a, wendIdx)
+            // bindInnerResidual: this anchor's sub array is the one
+            // compiled for ITS threshold tuple; a null threshold has no
+            // compiled chain (SQL 3VL: never binds)
+            val subs = if (!hasIResW2) subsDefault else {
+              var anyNull = false
+              var k: List[java.lang.Double] = Nil
+              var r = iResThrIdx2.length - 1
+              while (r >= 0) {
+                if (a.isNullAt(iResThrIdx2(r))) { anyNull = true; k = null :: k }
+                else k = java.lang.Double.valueOf(a.getDouble(iResThrIdx2(r))) :: k
+                r -= 1
+              }
+              if (anyNull) emptySubs2 else subsByThr2.getOrElse(k, emptySubs2)
+            }
+            def subAfter(t: java.sql.Timestamp): Int = {
+              var lo = 0; var hi = subs.length
+              while (lo < hi) { val mid = (lo + hi) >>> 1
+                if (subs(mid)._1.after(t)) hi = mid else lo = mid + 1 }
+              lo
+            }
             // bindTailResidual: the anchor's thresholds (null never
             // binds, SQL 3VL) and the satisfying-scan binding — first
             // candidate strictly after t whose per-ts extreme satisfies
             // the op; punctuation and binding share it
             val resThr2: Array[java.lang.Double] =
-              Array.tabulate(nMid + nTails)(j =>
+              Array.tabulate(nClosing)(j =>
                 if (resThrIdx2(j) < 0 || a.isNullAt(resThrIdx2(j))) null
                 else java.lang.Double.valueOf(a.getDouble(resThrIdx2(j))))
             def candBind(j: Int, t: java.sql.Timestamp): Int = {
@@ -1651,9 +1821,75 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               }
               (repFirst, t2, k, pend, rows)
             }
+            // one LEVEL-2 repetition (depth-3 only) anchored strictly
+            // after t0: a greedy chain of level-1 repetitions (first one
+            // unconditional, the rest punctuated by the earliest
+            // SATISFYING first-mid2 candidate), then the mid2 steps bound
+            // sequentially — r1After's own rule applied one level up.
+            // Returns (first binding, end = final mid2 binding, level-1
+            // count, inner count, pending values); null when no level-2
+            // repetition completes in-window (completion stays monotone
+            // in start: every stage is an earliest-after over a shrinking
+            // candidate set). materializeNestedRows never reaches depth 3
+            // (named rejection), so no row buffer.
+            def rep2After(t0: java.sql.Timestamp)
+                : (java.sql.Timestamp, java.sql.Timestamp, Long, Long,
+                   scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)]) = {
+              val r0 = r1After(t0)
+              if (r0 == null) return null
+              var e = r0._2; var mm = 1L; var kk = r0._3
+              val rf = r0._1
+              val pend2 = if (gkN > 0) {
+                val b = scala.collection.mutable.ArrayBuffer
+                  .empty[(Int, java.lang.Double)]
+                b ++= r0._4; b
+              } else null
+              var more2 = true
+              while (more2) {
+                val wx = candBind(nMid, e)
+                val wCand = if (wx < cands(nMid).length &&
+                    !cands(nMid)(wx)._1.after(wEnd)) cands(nMid)(wx)._1 else null
+                val nx = r1After(e)
+                if (nx == null ||
+                    (wCand != null && !nx._2.before(wCand))) more2 = false
+                else { e = nx._2; mm += 1; kk += nx._3
+                  if (gkN > 0) pend2 ++= nx._4 }
+              }
+              var t2 = e; var mi = 0
+              while (mi < nMid2b) {
+                val x = candBind(nMid + mi, t2)
+                if (x >= cands(nMid + mi).length ||
+                    cands(nMid + mi)(x)._1.after(wEnd)) return null
+                t2 = cands(nMid + mi)(x)._1
+                if (gkStepPos(nMid + mi).length > 0) {
+                  val vs = cands(nMid + mi)(x)._2
+                  var p = 0
+                  while (p < gkStepPos(nMid + mi).length) {
+                    pend2 += ((gkStepPos(nMid + mi)(p), vs(p))); p += 1
+                  }
+                }
+                mi += 1
+              }
+              (rf, t2, mm, kk, pend2)
+            }
+            // the outer chain's repetition probe — LEVEL-1 repetitions at
+            // depth 2, LEVEL-2 at depth 3 — normalized to (first, end,
+            // level-1 delta, inner delta, pend, rows)
+            def repNext(t0: java.sql.Timestamp)
+                : (java.sql.Timestamp, java.sql.Timestamp, Long, Long,
+                   scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)],
+                   scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Int, Long, Long)]) =
+              if (nMid2b == 0) {
+                val r = r1After(t0)
+                if (r == null) null else (r._1, r._2, 1L, r._3, r._4, r._5)
+              } else {
+                val r = rep2After(t0)
+                if (r == null) null else (r._1, r._2, r._3, r._4, r._5, null)
+              }
             var lastEnd = tau
             var first: java.sql.Timestamp = null
-            var n = 0L; var midTot = 0L; var innerTot = 0L; var done = false
+            var n = 0L; var mid2Tot = 0L; var midTot = 0L; var innerTot = 0L
+            var done = false
             // committed bindGroup running state (the one-level chain's
             // shape) — folded per COMMITTED outer repetition
             val vSum = new Array[java.lang.Double](gkN)
@@ -1670,22 +1906,22 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
             else null
             while (!done) {
-              // one OUTER repetition: a greedy chain of level-1
-              // repetitions (first one unconditional, the rest punctuated
-              // by the earliest first-outer-tail candidate), then the
-              // outer tails bound sequentially
-              val r1 = r1After(lastEnd)
+              // one OUTER repetition: a greedy chain of level-1 (depth-2) /
+              // level-2 (depth-3) repetitions (first one unconditional,
+              // the rest punctuated by the earliest first-outer-tail
+              // candidate), then the outer tails bound sequentially
+              val r1 = repNext(lastEnd)
               if (r1 == null) done = true
               else {
-                var gEnd = r1._2; var m = 1L; var kSum = r1._3
+                var gEnd = r1._2; var m2 = 1L; var m = r1._3; var kSum = r1._4
                 val repFirst = r1._1
-                // the outer attempt's pending values: absorbed level-1
-                // repetitions' values + the outer tails' — committed only
-                // when the outer repetition completes
+                // the outer attempt's pending values: absorbed repetitions'
+                // values + the outer tails' — committed only when the
+                // outer repetition completes
                 val pendAtt = if (gkN > 0)
                   scala.collection.mutable.ArrayBuffer.empty[(Int, java.lang.Double)]
                 else null
-                if (gkN > 0) pendAtt ++= r1._4
+                if (gkN > 0) pendAtt ++= r1._5
                 val attRows = if (matRows)
                   scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
                 else null
@@ -1699,39 +1935,39 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                     attRows += org.apache.spark.sql.Row(ts0, clsNames(ci), n,
                       midTot + attMidsBefore + md, innerTot + attInnerBefore + sl)
                   }
-                absorbRows(if (matRows) r1._5 else null, 0L, 0L)
+                absorbRows(if (matRows) r1._6 else null, 0L, 0L)
                 var more = true
                 while (more) {
-                  val tx = candBind(nMid, gEnd)
-                  val tCand = if (tx < cands(nMid).length &&
-                      !cands(nMid)(tx)._1.after(wEnd)) cands(nMid)(tx)._1 else null
-                  val nx = r1After(gEnd)
+                  val tx = candBind(tailIdx0, gEnd)
+                  val tCand = if (tx < cands(tailIdx0).length &&
+                      !cands(tailIdx0)(tx)._1.after(wEnd)) cands(tailIdx0)(tx)._1 else null
+                  val nx = repNext(gEnd)
                   if (nx == null ||
                       (tCand != null && !nx._2.before(tCand))) more = false
                   else {
-                    absorbRows(if (matRows) nx._5 else null, m, kSum)
-                    gEnd = nx._2; m += 1; kSum += nx._3
-                    if (gkN > 0) pendAtt ++= nx._4
+                    absorbRows(if (matRows) nx._6 else null, m, kSum)
+                    gEnd = nx._2; m2 += 1; m += nx._3; kSum += nx._4
+                    if (gkN > 0) pendAtt ++= nx._5
                   }
                 }
                 var t = gEnd; var ok = true; var ti = 0
                 while (ok && ti < nTails) {
-                  val x = candBind(nMid + ti, t)
-                  if (x >= cands(nMid + ti).length ||
-                      cands(nMid + ti)(x)._1.after(wEnd)) ok = false
+                  val x = candBind(tailIdx0 + ti, t)
+                  if (x >= cands(tailIdx0 + ti).length ||
+                      cands(tailIdx0 + ti)(x)._1.after(wEnd)) ok = false
                   else {
-                    t = cands(nMid + ti)(x)._1
-                    if (gkStepPos(nMid + ti).length > 0) {
-                      val vs = cands(nMid + ti)(x)._2
+                    t = cands(tailIdx0 + ti)(x)._1
+                    if (gkStepPos(tailIdx0 + ti).length > 0) {
+                      val vs = cands(tailIdx0 + ti)(x)._2
                       var p = 0
-                      while (p < gkStepPos(nMid + ti).length) {
-                        pendAtt += ((gkStepPos(nMid + ti)(p), vs(p))); p += 1
+                      while (p < gkStepPos(tailIdx0 + ti).length) {
+                        pendAtt += ((gkStepPos(tailIdx0 + ti)(p), vs(p))); p += 1
                       }
                     }
                     // only the FINAL outer tail completes the outer
                     // repetition (the final-member-counts convention)
                     if (matRows) attRows += org.apache.spark.sql.Row(t,
-                      clsNames(nInner + nMid + ti),
+                      clsNames(nInner + tailIdx0 + ti),
                       n + (if (ti == nTails - 1) 1L else 0L), midTot + m,
                       innerTot + kSum)
                     ti += 1
@@ -1740,7 +1976,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 if (!ok) done = true
                 else {
                   if (n == 0) first = repFirst
-                  lastEnd = t; n += 1; midTot += m; innerTot += kSum
+                  lastEnd = t; n += 1; mid2Tot += m2; midTot += m
+                  innerTot += kSum
                   if (matRows) allRows ++= attRows
                   if (gkN > 0) Pattern.commitPending(pendAtt,
                     vSum, vMin, vMax, vFirst, vLast, vCnt, vSeen)
@@ -1750,19 +1987,23 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             val valCols: Seq[Any] = (0 until gkN).flatMap(j =>
               Seq(vSum(j), vMin(j), vMax(j), vFirst(j), vLast(j), vCnt(j)))
             val rowsCols: Seq[Any] = if (matRows) Seq(allRows.toSeq) else Nil
+            val mid2Cols: Seq[Any] = if (nMid2b > 0) Seq(mid2Tot) else Nil
+            val mid2Zero: Seq[Any] = if (nMid2b > 0) Seq(0L) else Nil
             // ((( ... )+ ...)* (opt): an empty chain keeps the match row
             // with null boundaries and count 0 — the zeroOrMore convention
             if (n == 0 && !optGroup) Iterator.empty
             else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
-              a.toSeq ++ Seq(null, null, 0L, 0L, 0L) ++
+              a.toSeq ++ Seq(null, null, 0L) ++ mid2Zero ++ Seq(0L, 0L) ++
                 (0 until gkN).flatMap(_ => Seq(null, null, null, null, null, 0L)) ++
                 (if (matRows) Seq(Seq.empty) else Nil)))
             else Iterator.single(org.apache.spark.sql.Row.fromSeq(
-              a.toSeq ++ Seq(first, lastEnd, n, midTot, innerTot) ++ valCols ++ rowsCols))
+              a.toSeq ++ Seq(first, lastEnd, n) ++ mid2Cols ++
+                Seq(midTot, innerTot) ++ valCols ++ rowsCols))
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
         out = chained.toDF().drop("__gprev", "__gwend")
           .drop(resByStep2.keys.map(j => s"__tres$j").toSeq: _*)
+          .drop(s.innerRes.indices.map(r => s"__ires$r"): _*)
         prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
                  else col(s"${s.name}_last_ts")
       } else if (s.innerGroup.nonEmpty) {

@@ -2280,4 +2280,147 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
         .within(HOUR).detect(evs, $"user_id", $"ts"))
     assert(e.getMessage.contains("trailing step"), e.getMessage)
   }
+
+  test("followedByNested3Group: hand-walked three-outer-level corpus " +
+       "(((b c)+ v)+ w)+ x)+ with reluctant close at every level") {
+    // Walk (window 1h): L1 reps A1=(b2..v8, 2 subs: (2,4)(5,6) — (10,12)
+    // ends 12 >= v@8 so the inner chain closes reluctantly), A2=(10..v14),
+    // A3=(16..v20), A4=(24..v28). L2 reps: B1 absorbs A1+A2 (A2 end 14 <
+    // w@15, A3 end 20 >= w@15) + w@15; B2 = A3 + w@22 (A4 end 28 >= 22);
+    // B3 = A4 + w@30. Outer: B1+B2+B3 all end before x@40 -> one outer
+    // repetition (2..40) with 3 level-2 reps, 4 level-1 reps, 5 subs.
+    val evs = Seq(
+      (1L, at(0), "s", 0.0),
+      (1L, at(2), "b", 0.0), (1L, at(4), "c", 0.0),
+      (1L, at(5), "b", 0.0), (1L, at(6), "c", 0.0), (1L, at(8), "v", 0.0),
+      (1L, at(10), "b", 0.0), (1L, at(12), "c", 0.0), (1L, at(14), "v", 0.0),
+      (1L, at(15), "w", 5.0),
+      (1L, at(16), "b", 0.0), (1L, at(18), "c", 0.0), (1L, at(20), "v", 0.0),
+      (1L, at(22), "w", 3.0),
+      (1L, at(24), "b", 0.0), (1L, at(26), "c", 0.0), (1L, at(28), "v", 0.0),
+      (1L, at(30), "w", 7.0),
+      (1L, at(40), "x", 9.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    def base = Pattern.begin("s", $"event_type" === "s")
+      .followedByNested3Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")),
+        Seq("x" -> ($"event_type" === "x")))
+    val m = base.oneOrMore().within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"g_mid2_n",
+        $"g_mid_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(m == Set((1L, at(2), at(40), 1L, 3L, 4L, 5L)), m.toString)
+    // bindGroup on the MID2 member w: values fold per committed outer
+    // repetition through all three pending levels
+    val mv = base.bindGroup("w", "value").oneOrMore().within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"g_sum_w_value", $"g_min_w_value", $"g_max_w_value",
+        $"g_first_w_value", $"g_last_w_value", $"g_cnt_w_value")
+      .as[(Double, Double, Double, Double, Double, Long)].collect().toSet
+    assert(mv == Set((15.0, 3.0, 7.0, 5.0, 7.0, 3L)), mv.toString)
+  }
+
+  test("followedByNested3Group: outer REJECTION closes from the checkpoint " +
+       "(a speculated level-2 rep ending at/after the earliest x dies), " +
+       "and the next outer repetition re-binds it") {
+    // B1=(2..w8); x@10 punctuates: the speculated B2=(12..w18) ends 18 >=
+    // x@10 -> rejected, outer rep 1 = B1+x@10. Outer rep 2 re-walks B2
+    // from scratch and binds x@20. n=2, mid2=2, mid=2, inner=2.
+    val evs = Seq(
+      (2L, at(0), "s"), (2L, at(2), "b"), (2L, at(4), "c"), (2L, at(6), "v"),
+      (2L, at(8), "w"), (2L, at(10), "x"),
+      (2L, at(12), "b"), (2L, at(14), "c"), (2L, at(16), "v"),
+      (2L, at(18), "w"), (2L, at(20), "x"),
+      // key 3: a dangling level-2 attempt (no x ever) -> zero matches
+      (3L, at(0), "s"), (3L, at(2), "b"), (3L, at(4), "c"), (3L, at(6), "v"),
+      (3L, at(8), "w")
+    ).toDF("user_id", "ts", "event_type")
+    val m = Pattern.begin("s", $"event_type" === "s")
+      .followedByNested3Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")),
+        Seq("x" -> ($"event_type" === "x")))
+      .oneOrMore().within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"g_mid2_n",
+        $"g_mid_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(m == Set((2L, at(2), at(20), 2L, 2L, 2L, 2L)), m.toString)
+  }
+
+  test("followedByNested3Group: named rejections and depth-2 equivalence " +
+       "controls") {
+    val p3 = Pattern.begin("s", $"event_type" === "s")
+      .followedByNested3Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")),
+        Seq("x" -> ($"event_type" === "x")))
+    // materializeNestedRows at depth 3 is a named rejection
+    val e1 = intercept[IllegalArgumentException](p3.materializeNestedRows())
+    assert(e1.getMessage.contains("DEPTH-3"), e1.getMessage)
+    // a missing closing level is a named rejection pointing at depth-2
+    val e2 = intercept[IllegalArgumentException](
+      Pattern.begin("s", $"event_type" === "s")
+        .followedByNested3Group("g",
+          Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+          Nil, Seq("w" -> ($"event_type" === "w")),
+          Seq("x" -> ($"event_type" === "x"))))
+    assert(e2.getMessage.contains("followedByNested2Group"), e2.getMessage)
+    // CONTROL: on a corpus whose every level-2 repetition holds exactly
+    // one level-1 repetition, depth-3 counts collapse onto the depth-2
+    // walk of ((b c)+ v w)+ x... composed as (((b c)+ v)+ w)+ with w
+    // punctuating trivially — here just pin the zeroOrMore empty chain
+    val evs = Seq((4L, at(0), "s")).toDF("user_id", "ts", "event_type")
+    val z = p3.zeroOrMore().within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_n", $"g_mid2_n", $"g_mid_n", $"g_inner_n")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(z == Set((4L, 0L, 0L, 0L, 0L)), z.toString)
+  }
+
+  test("bindInnerResidual on a DEPTH-2 group: the sub-match table is " +
+       "per-anchor (two keys, same stream, different thresholds complete " +
+       "their subs at different C events), null threshold never binds") {
+    // thr = 2 * s.value. Key 1 (thr 20): c@3 (15) fails, the sub completes
+    // at c@5 (25) -> level-1 rep binds v@6 (200). Key 2 (thr 2): the sub
+    // completes at c@3 -> binds v@4 (100). Key 3: null s.value -> no subs.
+    val evs = Seq(
+      (1L, at(0), "s", 10.0), (2L, at(0), "s", 1.0),
+      (3L, at(0), "s", Double.NaN)
+    ).map { case (k, t, e, v) =>
+      (k, t, e, if (v.isNaN) null else java.lang.Double.valueOf(v))
+    }.flatMap { case (k, _, _, sv) =>
+      Seq((k, at(0), "s", sv),
+        (k, at(2), "b", java.lang.Double.valueOf(0.0)),
+        (k, at(3), "c", java.lang.Double.valueOf(15.0)),
+        (k, at(5), "c", java.lang.Double.valueOf(25.0)),
+        (k, at(4), "v", java.lang.Double.valueOf(100.0)),
+        (k, at(6), "v", java.lang.Double.valueOf(200.0)),
+        (k, at(8), "w", java.lang.Double.valueOf(0.0)))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val m = Pattern.begin("s", $"event_type" === "s")
+      .bind("value")
+      .followedByNested2Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")))
+      .bindInnerResidual("c", "value", ">", col("s_value") * 2)
+      .bindGroup("v", "value")
+      .oneOrMore().within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"g_mid_n",
+        $"g_inner_n", $"g_sum_v_value")
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long, Double)]
+      .collect().toSet
+    assert(m == Set(
+      (1L, at(2), at(8), 1L, 1L, 1L, 200.0),
+      (2L, at(2), at(8), 1L, 1L, 1L, 100.0)), m.toString)
+  }
 }

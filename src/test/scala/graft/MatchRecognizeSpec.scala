@@ -951,7 +951,10 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         C AS event_type = 'view', D AS event_type = 'click',
         |         E AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin).collect()
-    val e3 = intercept[Exception](MatchRecognize.detect(evs,
+    // depth-3 nesting ((((B C)+ D)+ E)+ F)+ is SUPPORTED since r17 — the
+    // former named rejection must no longer fire; behavior is pinned by
+    // the dedicated depth-3 tests. Depth-4 is the new named rejection.
+    MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES S.ts AS s_ts
@@ -961,6 +964,17 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         C AS event_type = 'view', D AS event_type = 'click',
         |         E AS event_type = 'view', F AS event_type = 'error',
         |         P AS event_type = 'purchase'
+        |)""".stripMargin).collect()
+    val e3 = intercept[Exception](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S (((((B C)+ D)+ E)+ F)+ G)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', D AS event_type = 'click',
+        |         E AS event_type = 'view', F AS event_type = 'error',
+        |         G AS event_type = 'error', P AS event_type = 'purchase'
         |)""".stripMargin))
     assert(e3.getMessage.contains("deeper"), e3.getMessage)
     // ALL ROWS with the nested group NOT the final element: named rejection
@@ -1239,14 +1253,22 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         .bindInnerResidual("C", "value", ">", expr("2 * S_value"))
         .bindGroup("C", "value"))
     assert(e1.getMessage.contains("bindInnerResidual"), e1.getMessage)
+    // depth-2 inner residuals are SUPPORTED since r17 (m50) — the former
+    // named rejection must no longer fire; a MID member name stays one
+    Pattern.begin("S", $"event_type" === "s")
+      .followedByNested2Group("G",
+        Seq("B" -> ($"event_type" === "b"), "C" -> ($"event_type" === "c")),
+        Seq("V" -> ($"event_type" === "v")),
+        Seq("W" -> ($"event_type" === "w")))
+      .bindInnerResidual("C", "value", ">", expr("2 * S_value"))
     val e2 = intercept[IllegalArgumentException](
       Pattern.begin("S", $"event_type" === "s")
         .followedByNested2Group("G",
           Seq("B" -> ($"event_type" === "b"), "C" -> ($"event_type" === "c")),
           Seq("V" -> ($"event_type" === "v")),
           Seq("W" -> ($"event_type" === "w")))
-        .bindInnerResidual("C", "value", ">", expr("2 * S_value")))
-    assert(e2.getMessage.contains("followedByNestedGroup"), e2.getMessage)
+        .bindInnerResidual("V", "value", ">", expr("2 * S_value")))
+    assert(e2.getMessage.contains("not an INNER member"), e2.getMessage)
   }
 
   test("DEPTH-2 nested group S (((B C)+ V)+ W)+ from SQL text") {
@@ -1481,12 +1503,16 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     val m = MatchRecognize.detect(evs, sql)
       .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
     assert(m == Set((1L, at(0), at(9), 2L, 2L, 2L)), m.toString)
-    // INNER members with an iterative condition: named error (mids
-    // compose since r17 — see the MID residual test below)
-    val e = intercept[Exception](MatchRecognize.detect(evs,
+    // INNER members with an iterative condition compose since r17 (m50);
+    // an always-satisfied threshold must reproduce the unfiltered result
+    // EXACTLY (the parametrized sub-match table degenerates to the plain
+    // one) — behavior under a binding threshold is pinned by the
+    // dedicated depth-2 inner-residual test in CepPatternSpec
+    val mInv = MatchRecognize.detect(evs,
       sql.replace("C AS event_type = 'c'",
-        "C AS event_type = 'c' AND C.value > S.value")).collect())
-    assert(e.getMessage.contains("MID and OUTER TAIL members"), e.getMessage)
+        "C AS event_type = 'c' AND C.value > S.value - 1000000"))
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
+    assert(mInv == m, mInv.toString)
   }
 
   test("ITERATIVE condition on a DEPTH-2 MID member: " +
@@ -2103,5 +2129,42 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       assert(e.getMessage.contains("reluctant quantifier") &&
         e.getMessage.contains("never bind"), e.getMessage)
     }
+  }
+
+  test("depth-3 nested group SQL front door: ((((B C)+ V)+ W)+ X)+ parity " +
+       "with the Pattern API walk, COUNT at all four levels") {
+    // the CepPatternSpec hand-walked corpus: one outer repetition holding
+    // 3 level-2 reps, 4 level-1 reps, 5 inner subs, closing at x@40
+    val evs = Seq(
+      (1L, at(0), "signup", 0.0),
+      (1L, at(2), "click", 0.0), (1L, at(4), "view", 0.0),
+      (1L, at(5), "click", 0.0), (1L, at(6), "view", 0.0), (1L, at(8), "error", 0.0),
+      (1L, at(10), "click", 0.0), (1L, at(12), "view", 0.0), (1L, at(14), "error", 0.0),
+      (1L, at(15), "purchase", 5.0),
+      (1L, at(16), "click", 0.0), (1L, at(18), "view", 0.0), (1L, at(20), "error", 0.0),
+      (1L, at(22), "purchase", 3.0),
+      (1L, at(24), "click", 0.0), (1L, at(26), "view", 0.0), (1L, at(28), "error", 0.0),
+      (1L, at(30), "purchase", 7.0),
+      (1L, at(40), "refund", 9.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(B.ts) AS first_b, LAST(X.ts) AS last_x,
+        |           COUNT(X.ts) AS n_outer, COUNT(W.ts) AS n_mid2,
+        |           COUNT(V.ts) AS n_mid, COUNT(B.ts) AS n_inner,
+        |           SUM(W.value) AS w_sum
+        |  PATTERN (S ((((B C)+ V)+ W)+ X)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase', X AS event_type = 'refund'
+        |)""".stripMargin)
+      .select($"s_ts", $"first_b", $"last_x", $"n_outer", $"n_mid2",
+        $"n_mid", $"n_inner", $"w_sum")
+      .as[(Timestamp, Timestamp, Timestamp, Long, Long, Long, Long, Double)]
+      .collect().toSet
+    assert(m == Set((at(0), at(2), at(40), 1L, 3L, 4L, 5L, 15.0)), m.toString)
   }
 }
