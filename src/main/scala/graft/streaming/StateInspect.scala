@@ -86,9 +86,24 @@ object StateInspect {
     * The restarted query must use the same operator shape (same state
     * and output encoders) and the same `checkpointLocation`, with NO
     * initialState plumbing — the same contract as restoring any
-    * checkpoint. */
+    * checkpoint.
+    *
+    * `restartSourceOffsetJson` (r17, lifting the LongOffset-only named
+    * rejection — the reference's WritableSavepoint writes state files for
+    * ANY source, flink-state-processing-api/.../WritableSavepoint.java):
+    * when the RESTARTED query reads a source with STRUCTURED json offsets
+    * (Kafka's per-partition map, the file source's `{"logOffset":N}`),
+    * the default `-1` rewrite would fail that source's offset
+    * deserialization. Pass the restart source's own "nothing consumed"
+    * sentinel instead — Kafka: `{"<topic>":{"<part>":-2}}` (the earliest
+    * sentinel), file source: `{"logOffset":-1}` — and batch 0's committed
+    * offset is rewritten to it verbatim, so the restarted source replays
+    * from ITS beginning while the written state restores as usual. The
+    * state files are source-agnostic; ONLY the offset line is
+    * format-bound, which is why the sentinel is caller-supplied. */
   def writeSavepoint(spark: SparkSession, checkpointDir: String,
-                     outputMode: String = "update")(
+                     outputMode: String = "update",
+                     restartSourceOffsetJson: Option[String] = None)(
       build: Dataset[Event] => Dataset[_]): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -121,20 +136,40 @@ object StateInspect {
     require(!new java.io.File(s"$checkpointDir/offsets/1").exists(),
       "writeSavepoint: the bootstrap run committed more than one batch — " +
       "the batch-0 offset rewrite would be ineffective")
-    // the literal '-1' deserializes as a LongOffset — the format of
-    // MemoryStream (this bootstrap's source) and file sources. A source
-    // with STRUCTURED json offsets (e.g. Kafka's per-partition map) would
-    // fail to parse it on restart: enforce the single-LongOffset-source
-    // contract by requiring the committed offset line to itself be a
-    // plain integer before rewriting
-    require(scala.util.Try(lines.last.trim.toLong).isSuccess,
+    // the rewritten sentinel: '-1' deserializes as a LongOffset — the
+    // format of MemoryStream (this bootstrap's source). A restart source
+    // with STRUCTURED json offsets (Kafka's per-partition map, the file
+    // source's {"logOffset":N}) would fail to parse it — the caller
+    // supplies that source's own "nothing consumed" sentinel instead
+    // (r17; validated as json so a typo fails HERE, not as an opaque
+    // deserialization error on restart)
+    val sentinel = restartSourceOffsetJson match {
+      case None => "-1"
+      case Some(json) =>
+        val j = json.trim
+        require(j.startsWith("{") || j.startsWith("["),
+          s"writeSavepoint: restartSourceOffsetJson ('$json') is not a " +
+            "structured json offset — for LongOffset-style restart " +
+            "sources (MemoryStream, a plain integer offset) omit it")
+        require(scala.util.Try(
+            new com.fasterxml.jackson.databind.ObjectMapper().readTree(j))
+          .isSuccess,
+          s"writeSavepoint: restartSourceOffsetJson does not parse as " +
+            s"json: '$json'")
+        // the offset log is line-oriented: one offset per line
+        require(!j.contains("\n") && !j.contains("\r"),
+          "writeSavepoint: restartSourceOffsetJson must be a single line")
+        j
+    }
+    require(restartSourceOffsetJson.nonEmpty ||
+        scala.util.Try(lines.last.trim.toLong).isSuccess,
       "writeSavepoint: the bootstrap source's committed offset " +
         s"('${lines.last}') is not a plain LongOffset integer — only " +
         "LongOffset-style sources (MemoryStream, file sources) can be " +
         "savepoint-bootstrapped (a structured-offset source like Kafka " +
         "would fail to deserialize the '-1' rewrite on restart)")
     java.nio.file.Files.write(off.toPath,
-      (lines.dropRight(1) :+ "-1").mkString("\n")
+      (lines.dropRight(1) :+ sentinel).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 

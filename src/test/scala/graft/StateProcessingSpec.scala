@@ -230,4 +230,101 @@ class StateProcessingSpec extends AnyFunSuite with SparkTest {
       .map(r => (r.getLong(0), r.getSeq[Timestamp](1).toList)).toSet
     assert(out == Set((1L, List(at(10), at(20), at(30)))), out.toString)
   }
+
+  test("savepoint WRITE with a structured restart offset: the kafka-style " +
+       "sentinel lands verbatim in the offset log, and malformed json is " +
+       "a named error") {
+    import graft.streaming.SessionAcc
+    val ckpt = Files.createTempDirectory("graft_sp_kafka").toString
+    val stateFrame = Seq((1L, SessionAcc(at(0).getTime, at(30).getTime, 2L, 3.0))).toDS()
+    // the kafka "earliest" sentinel for a 2-partition topic: the restarted
+    // kafka source deserializes this as "nothing consumed, start earliest"
+    val kafkaSentinel = """{"events":{"0":-2,"1":-2}}"""
+    StateInspect.writeSavepoint(spark, ckpt, outputMode = "append",
+        restartSourceOffsetJson = Some(kafkaSentinel)) { ev =>
+      StreamOps.sessionize(ev, "5 seconds", gapMs = 60000L,
+        initialState = Some(stateFrame))
+    }
+    val lines = scala.io.Source.fromFile(s"$ckpt/offsets/0", "UTF-8")
+      .getLines().toVector
+    assert(lines.length == 3 && lines.last == kafkaSentinel, lines.toString)
+    // the state itself is source-agnostic and reads back as usual
+    val written = StateInspect.operatorState(spark, ckpt)
+      .selectExpr("key.value AS uid").collect().map(_.getLong(0)).toSet
+    assert(written == Set(1L), written.toString)
+    // malformed json / non-structured sentinels are named errors at WRITE
+    // time, not opaque deserialization failures on restart
+    val e1 = intercept[IllegalArgumentException](
+      StateInspect.writeSavepoint(spark,
+          Files.createTempDirectory("graft_sp_bad").toString,
+          outputMode = "append",
+          restartSourceOffsetJson = Some("""{"events":{"0":-2""")) { ev =>
+        StreamOps.sessionize(ev, "5 seconds", gapMs = 60000L,
+          initialState = Some(stateFrame))
+      })
+    assert(e1.getMessage.contains("does not parse as json"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      StateInspect.writeSavepoint(spark,
+          Files.createTempDirectory("graft_sp_bad2").toString,
+          outputMode = "append",
+          restartSourceOffsetJson = Some("-1")) { ev =>
+        StreamOps.sessionize(ev, "5 seconds", gapMs = 60000L,
+          initialState = Some(stateFrame))
+      })
+    assert(e2.getMessage.contains("not a structured json offset"), e2.getMessage)
+  }
+
+  test("savepoint WRITE restarted on a FILE source ({\"logOffset\":-1}): " +
+       "the structured-offset restart replays every file AND restores the " +
+       "written session state") {
+    import graft.streaming.{SessionAcc, SessionOut}
+    val ckpt = Files.createTempDirectory("graft_sp_file").toString
+    val dataDir = Files.createTempDirectory("graft_sp_file_data").toString
+    // the file source's own "nothing consumed" sentinel: logOffset -1 is
+    // before the first file-log entry, so the restart reads from file 0
+    val stateFrame = Seq((1L, SessionAcc(at(0).getTime, at(30).getTime, 2L, 3.0))).toDS()
+    StateInspect.writeSavepoint(spark, ckpt, outputMode = "append",
+        restartSourceOffsetJson = Some("""{"logOffset":-1}""")) { ev =>
+      StreamOps.sessionize(ev, "5 seconds", gapMs = 60000L,
+        initialState = Some(stateFrame))
+    }
+    // the restart's input: event FILES written before the restart — all
+    // must be replayed from the beginning (the sentinel's contract).
+    // One part file per batch with DISTINCT mtimes: the file source
+    // orders discovery by modification time, and the watermark needs the
+    // flush events in LATER batches (the MemoryStream tests' addData
+    // sequencing, expressed as files)
+    def writeOne(name: String, mtime: Long, evs: Seq[Event]): Unit = {
+      val tmp = Files.createTempDirectory("graft_sp_part").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(dataDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeOne("f1.json", now - 30000,
+      Seq(Event(1, at(70), "click", 4.0), Event(2, at(75), "view", 1.0)))
+    writeOne("f2.json", now - 20000, Seq(Event(9, at(500), "flush", 0.0)))
+    writeOne("f3.json", now - 10000, Seq(Event(9, at(900), "flush", 0.0)))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Timestamp, Long, Double)]
+    val src = spark.readStream
+      .schema(Seq.empty[Event].toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(dataDir).as[Event]
+    val q = StreamOps.sessionize(src, "5 seconds", gapMs = 60000L)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
+        got ++= batch.collect().map(s => (s.user_id, s.session_start, s.n, s.sum_value))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = got.filter(t => t._1 == 1L || t._1 == 2L).toSet
+    // 70s extends the WRITTEN session (start 0s, n 2+1, sum 3+4): the
+    // state restored AND the pre-existing files replayed from offset -1
+    assert(out == Set((1L, at(0), 3L, 7.0), (2L, at(75), 1L, 1.0)), out.toString)
+  }
 }
