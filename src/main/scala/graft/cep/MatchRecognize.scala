@@ -601,17 +601,17 @@ object MatchRecognize {
     val rel = splitTopAnd(body).filter(c =>
       RefRx.findAllMatchIn(c).exists(m =>
         m.group(1) != sv && posAll(m.group(1))))
-    require(rel.size == 1, s"nested group tail $sv: exactly one " +
+    require(rel.size == 1, s"nested-group member residual $sv: exactly one " +
       s"relative conjunct is supported (got ${rel.size} in '$body')")
     val m0 = ("(?is)^\\s*(?:" + java.util.regex.Pattern.quote(sv) +
       "\\.)?(\\w+)\\s*(<=|>=|<|>)\\s*(.+)$").r
       .findFirstMatchIn(rel.head.trim).getOrElse(
-        sys.error(s"nested group tail $sv: the relative conjunct " +
+        sys.error(s"nested-group member residual $sv: the relative conjunct " +
           s"must be `$sv.<col> <,<=,>,>= <expr over earlier " +
           s"bindings>` — cannot compile '${rel.head.trim}'"))
     val (lhsCol, op, rhs) = (m0.group(1), m0.group(2), m0.group(3))
     require(!RefRx.findAllMatchIn(rhs).exists(_.group(1) == sv),
-      s"nested group tail $sv: the threshold side may not " +
+      s"nested-group member residual $sv: the threshold side may not " +
         s"reference $sv itself ('$rhs')")
     // the threshold must be anchor-computable: qualified prior refs +
     // numeric arithmetic only (a bare event column there would be
@@ -627,7 +627,7 @@ object MatchRecognize {
     // column AnalysisException instead of this named error
     RefRx.findAllMatchIn(rhs).foreach { m =>
       require(isLiteral(m.group(1)) || posAll(m.group(1)),
-        s"nested group tail $sv: the threshold references " +
+        s"nested-group member residual $sv: the threshold references " +
           s"'${m.group(1)}.${m.group(2)}', but '${m.group(1)}' is not a " +
           "pattern variable — thresholds are arithmetic over qualified " +
           "EARLIER bindings and numeric literals")
@@ -635,7 +635,7 @@ object MatchRecognize {
     val residue = RefRx.replaceAllIn(rhs, m =>
       quoteReplacement(if (isLiteral(m.group(1))) m.matched else "0"))
     require("^[-+*/(). 0-9eE]*$".r.matches(residue),
-      s"nested group tail $sv: the threshold side must be " +
+      s"nested-group member residual $sv: the threshold side must be " +
         "arithmetic over qualified earlier bindings and numeric " +
         s"literals (got '$rhs')")
     val rhsBound = RefRx.replaceAllIn(rhs, m => quoteReplacement {

@@ -1004,6 +1004,110 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     *
     * Both are parallel in the key space and shuffle only on the key —
     * the same scale shape as [[detect]]'s first-match joins. */
+  /** [[bindInnerResidual]] compile-side machinery — ONE implementation
+    * shared by the nested (m49) and depth-2/3 (m50) branches so the
+    * threshold conventions cannot diverge (the tieMinAgg/commitPending
+    * precedent): the distinct-tuple table (null tuples dropped — SQL 3VL),
+    * the candidate-side condition and per-(key, ts) op-appropriate extreme
+    * builders, the tag-0 tuple column, and the anchor-frame column adder.
+    * Every threshold double is normalized by `+ 0.0` on BOTH sides
+    * (-0.0 → 0.0, IEEE) — `distinct()` may canonicalize signed zeros in
+    * its aggregation keys while the anchor frame carries the raw
+    * projection, and the walk's boxed-Double tuple lookup distinguishes
+    * -0.0 from 0.0, so an unnormalized signed zero would silently hand
+    * the anchor an EMPTY sub array. The anchor frame feeding both sides
+    * is persisted by the caller (the compile re-reads it under the
+    * candidate plan). */
+  private final class InnerResCompile(
+      innerRes: Seq[(String, String, String, Column)]) {
+    val has: Boolean = innerRes.nonEmpty
+    private val byMember: Map[String, Int] =
+      innerRes.map(_._1).zipWithIndex.toMap
+    private def norm(c: Column): Column = c.cast("double") + lit(0.0)
+    def thrTable(out: DataFrame): DataFrame = {
+      val d0 = innerRes.zipWithIndex.foldLeft(out) {
+        case (d, ((_, _, _, thr), r)) => d.withColumn(s"__thr$r", norm(thr))
+      }
+      // null thresholds never bind (SQL 3VL): no chain is compiled for
+      // them — the anchor finds no subs under its tuple
+      d0.select(col("__k").as("__tk") +:
+          innerRes.indices.map(r => col(s"__thr$r")): _*)
+        .filter(innerRes.indices
+          .map(r => col(s"__thr$r").isNotNull).reduce(_ && _))
+        .distinct()
+    }
+    def cond(member: String, candValue: Column): Column =
+      byMember.get(member) match {
+        case None => lit(true)
+        case Some(r) =>
+          val op = innerRes(r)._3
+          val thr = col(s"__thr$r")
+          op match {
+            case "<" => candValue < thr
+            case "<=" => candValue <= thr
+            case ">" => candValue > thr
+            case _ => candValue >= thr
+          }
+      }
+    def extreme(member: String): Option[Column] =
+      byMember.get(member).map { r =>
+        val (_, c, op, _) = innerRes(r)
+        if (op == ">" || op == ">=") max(col(c).cast("double"))
+        else min(col(c).cast("double"))
+      }
+    /** tag-0 rows carry the sub's threshold tuple; the walk selects each
+      * anchor's own subs by it */
+    def thrsCol: Column =
+      if (!has) lit(null).cast("array<double>")
+      else array(innerRes.indices.map(r => col(s"__thr$r")): _*)
+    /** the anchor's own tuple, same normalization as the table side */
+    def anchorThrs(d: DataFrame, prefix: String): DataFrame =
+      innerRes.zipWithIndex.foldLeft(d) {
+        case (acc, ((_, _, _, thr), r)) =>
+          acc.withColumn(s"$prefix$r", norm(thr))
+      }
+  }
+
+  /** The innermost sub-match min-join chain, shared by the nested and
+    * depth-2/3 branches: one row per first-inner-step event (× threshold
+    * tuple under inner residuals) with the earliest SATISFYING completion
+    * per chained member. Returns (isubs, final completion column). */
+  private def compileInnerSubs(inner: Seq[(String, Column)],
+      ir: InnerResCompile, thrTable: DataFrame, events: DataFrame,
+      key: Column, ts: Column, win: Column): (DataFrame, Column) = {
+    var isubs = {
+      val firstName = inner.head._1
+      val base0 = ir.extreme(firstName) match {
+        case None => events.filter(inner.head._2)
+          .select(key.as("__gk"), ts.as("__gb"))
+        case Some(ext) => events.filter(inner.head._2)
+          .groupBy(key.as("__gk"), ts.as("__gb")).agg(ext.as("__gv0"))
+      }
+      if (!ir.has) base0
+      else base0.join(thrTable, col("__gk") === col("__tk") &&
+          ir.cond(firstName, col("__gv0")))
+        .drop("__tk", "__gv0")
+    }
+    var prevSub: Column = col("__gb")
+    inner.tail.zipWithIndex.foreach { case ((mn, p), j) =>
+      val cand = ir.extreme(mn) match {
+        case None => events.filter(p)
+          .select(key.as("__gk2"), ts.as(s"__gc$j"))
+        case Some(ext) => events.filter(p)
+          .groupBy(key.as("__gk2"), ts.as(s"__gc$j"))
+          .agg(ext.as(s"__gcv$j"))
+      }
+      val kept0 = isubs.columns.map(col)
+      isubs = isubs.join(cand, col("__gk") === col("__gk2") &&
+          col(s"__gc$j") > prevSub && col(s"__gc$j") <= col("__gb") + win &&
+          ir.cond(mn, col(s"__gcv$j")))
+        .groupBy(kept0.toIndexedSeq: _*)
+        .agg(min(col(s"__gc$j")).as(s"__ge$j"))
+      prevSub = col(s"__ge$j")
+    }
+    (isubs, prevSub)
+  }
+
   private def detectAllMatches(events: DataFrame, key: Column, ts: Column): DataFrame = {
     require(windowMs.nonEmpty, "call within(...) before detect")
     require(notStep.isEmpty && !skipPastLast && skipTo.isEmpty,
@@ -1395,70 +1499,16 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         // extremes and the walk selects each anchor's own sub array by
         // exact-double tuple lookup (both sides evaluate the same Catalyst
         // expression on the same anchor rows)
-        val iResByMember2: Map[String, Int] =
-          s.innerRes.map(_._1).zipWithIndex.toMap
-        val hasIRes2 = s.innerRes.nonEmpty
-        val thrTable2 = if (!hasIRes2) null else {
-          val d0 = s.innerRes.zipWithIndex.foldLeft(out) {
-            case (d, ((_, _, _, thr), r)) =>
-              d.withColumn(s"__thr$r", thr.cast("double"))
-          }
-          // null thresholds never bind (SQL 3VL): no chain is compiled
-          d0.select(col("__k").as("__tk") +:
-              s.innerRes.indices.map(r => col(s"__thr$r")): _*)
-            .filter(s.innerRes.indices
-              .map(r => col(s"__thr$r").isNotNull).reduce(_ && _))
-            .distinct()
+        val iRes2 = new InnerResCompile(s.innerRes)
+        val hasIRes2 = iRes2.has
+        // the anchor frame feeds BOTH sides of the cogroup under an inner
+        // residual — persist it so the upstream pipeline runs once
+        if (hasIRes2) {
+          out = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
-        def iResCond2(member: String, candValue: Column): Column =
-          iResByMember2.get(member) match {
-            case None => lit(true)
-            case Some(r) =>
-              val op = s.innerRes(r)._3
-              val thr = col(s"__thr$r")
-              op match {
-                case "<" => candValue < thr
-                case "<=" => candValue <= thr
-                case ">" => candValue > thr
-                case _ => candValue >= thr
-              }
-          }
-        def iResExtreme2(member: String): Option[Column] =
-          iResByMember2.get(member).map { r =>
-            val (_, c, op, _) = s.innerRes(r)
-            if (op == ">" || op == ">=") max(col(c).cast("double"))
-            else min(col(c).cast("double"))
-          }
-        var isubs = {
-          val firstName = s.inner2.head._1
-          val base0 = iResExtreme2(firstName) match {
-            case None => events.filter(s.inner2.head._2)
-              .select(key.as("__gk"), ts.as("__gb"))
-            case Some(ext) => events.filter(s.inner2.head._2)
-              .groupBy(key.as("__gk"), ts.as("__gb")).agg(ext.as("__gv0"))
-          }
-          if (!hasIRes2) base0
-          else base0.join(thrTable2, col("__gk") === col("__tk") &&
-              iResCond2(firstName, col("__gv0")))
-            .drop("__tk", "__gv0")
-        }
-        var prevSub: Column = col("__gb")
-        s.inner2.tail.zipWithIndex.foreach { case ((mn, p), j) =>
-          val cand = iResExtreme2(mn) match {
-            case None => events.filter(p)
-              .select(key.as("__gk2"), ts.as(s"__gc$j"))
-            case Some(ext) => events.filter(p)
-              .groupBy(key.as("__gk2"), ts.as(s"__gc$j"))
-              .agg(ext.as(s"__gcv$j"))
-          }
-          val kept0 = isubs.columns.map(col)
-          isubs = isubs.join(cand, col("__gk") === col("__gk2") &&
-              col(s"__gc$j") > prevSub && col(s"__gc$j") <= col("__gb") + win &&
-              iResCond2(mn, col(s"__gcv$j")))
-            .groupBy(kept0.toIndexedSeq: _*)
-            .agg(min(col(s"__gc$j")).as(s"__ge$j"))
-          prevSub = col(s"__ge$j")
-        }
+        val thrTable2 = if (!hasIRes2) null else iRes2.thrTable(out)
+        var (isubs, prevSub) = compileInnerSubs(s.inner2, iRes2, thrTable2,
+          events, key, ts, win)
         // bindGroup VALUE measures through the depth-2 chain (r16, the
         // m36 recipe recursed): INNER member values join the sub-match
         // table at the member's bound time; MID and OUTER-TAIL values
@@ -1517,9 +1567,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         // residuals), each mid step's candidates (tags 1..nMid), each
         // mid2/outer-tail step's candidates — all pre-reduced, with that
         // step's bound values when asked
-        val thrsCol2: Column =
-          if (!hasIRes2) lit(null).cast("array<double>")
-          else array(s.innerRes.indices.map(r => col(s"__thr$r")): _*)
+        val thrsCol2: Column = iRes2.thrsCol
         val nullThrs2 = lit(null).cast("array<double>").as("__thrs")
         val tagged = closing2.zipWithIndex.foldLeft(
           isubs.select(col("__gk"), lit(0).as("__tag"),
@@ -1563,11 +1611,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           d.withColumn(s"__tres${resIdx2(m)}", thr.cast("double"))
         }
         // bindInnerResidual: the anchor's own threshold tuple — the walk
-        // selects its sub array by it (exact-double lookup)
-        val outResI2 = s.innerRes.zipWithIndex.foldLeft(outRes2) {
-          case (d, ((_, _, _, thr), r)) =>
-            d.withColumn(s"__ires$r", thr.cast("double"))
-        }
+        // selects its sub array by it (exact-double lookup, normalization
+        // shared with the table side via InnerResCompile)
+        val outResI2 = iRes2.anchorThrs(outRes2, "__ires")
         val anch = outResI2.withColumn("__gprev", prevTs)
           .withColumn("__gwend", col(startTs) + win)
         val aSchema = anch.schema
@@ -2033,76 +2079,23 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         // anchor's own sub array by its tuple. Threshold equality is
         // exact: both sides evaluate the SAME Catalyst expression on the
         // same anchor rows.
-        val iResByMember: Map[String, Int] =
-          s.innerRes.map(_._1).zipWithIndex.toMap
-        val hasIRes = s.innerRes.nonEmpty
-        val thrTable = if (!hasIRes) null else {
-          val d0 = s.innerRes.zipWithIndex.foldLeft(out) {
-            case (d, ((_, _, _, thr), r)) =>
-              d.withColumn(s"__thr$r", thr.cast("double"))
-          }
-          // null thresholds never bind (SQL 3VL): no chain is compiled
-          // for them — the anchor finds no subs under its tuple
-          d0.select(col("__k").as("__tk") +:
-              s.innerRes.indices.map(r => col(s"__thr$r")): _*)
-            .filter(s.innerRes.indices
-              .map(r => col(s"__thr$r").isNotNull).reduce(_ && _))
-            .distinct()
+        val iRes = new InnerResCompile(s.innerRes)
+        val hasIRes = iRes.has
+        // the anchor frame feeds BOTH the anchor side and (via the tuple
+        // table) the candidate side of the cogroup — persist it so the
+        // upstream pipeline is not evaluated twice
+        if (hasIRes) {
+          out = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
-        def iResCond(member: String, candValue: Column): Column =
-          iResByMember.get(member) match {
-            case None => lit(true)
-            case Some(r) =>
-              val op = s.innerRes(r)._3
-              val thr = col(s"__thr$r")
-              op match {
-                case "<" => candValue < thr
-                case "<=" => candValue <= thr
-                case ">" => candValue > thr
-                case _ => candValue >= thr
-              }
-          }
-        def iResExtreme(member: String): Option[Column] =
-          iResByMember.get(member).map { r =>
-            val (_, c, op, _) = s.innerRes(r)
-            if (op == ">" || op == ">=") max(col(c).cast("double"))
-            else min(col(c).cast("double"))
-          }
+        val thrTable = if (!hasIRes) null else iRes.thrTable(out)
         // inner sub-match table: one row per first-inner-step event with
         // its earliest completion (span-bounded by win: any sub-sequence
         // usable from any anchor has end - start < win); under inner
         // residuals, one row per (first event, threshold tuple) with the
-        // earliest SATISFYING completion
-        var isubs = {
-          val firstName = s.innerGroup.head._1
-          val base0 = iResExtreme(firstName) match {
-            case None => events.filter(s.innerGroup.head._2)
-              .select(key.as("__gk"), ts.as("__gb"))
-            case Some(ext) => events.filter(s.innerGroup.head._2)
-              .groupBy(key.as("__gk"), ts.as("__gb")).agg(ext.as("__gv0"))
-          }
-          if (!hasIRes) base0
-          else base0.join(thrTable, col("__gk") === col("__tk") &&
-              iResCond(firstName, col("__gv0")))
-            .drop("__tk", "__gv0")
-        }
-        var prevSub: Column = col("__gb")
-        s.innerGroup.tail.zipWithIndex.foreach { case ((mn, p), j) =>
-          val cand = iResExtreme(mn) match {
-            case None => events.filter(p)
-              .select(key.as("__gk2"), ts.as(s"__gc$j"))
-            case Some(ext) => events.filter(p)
-              .groupBy(key.as("__gk2"), ts.as(s"__gc$j"))
-              .agg(ext.as(s"__gcv$j"))
-          }
-          val kept0 = isubs.columns.map(col)
-          isubs = isubs.join(cand, col("__gk") === col("__gk2") &&
-              col(s"__gc$j") > prevSub && col(s"__gc$j") <= col("__gb") + win &&
-              iResCond(mn, col(s"__gcv$j")))
-            .groupBy(kept0.toIndexedSeq: _*)
-            .agg(min(col(s"__gc$j")).as(s"__ge$j"))
-          prevSub = col(s"__ge$j")
-        }
+        // earliest SATISFYING completion (shared compile — see
+        // compileInnerSubs/InnerResCompile)
+        var (isubs, prevSub) = compileInnerSubs(s.innerGroup, iRes, thrTable,
+          events, key, ts, win)
         // bindGroup VALUE measures through the nested chain (r15, the
         // former named rejection): per bound (member, col) a per-(key, ts)
         // min-value table — the engine's equal-ts (value) min tie-break,
@@ -2155,9 +2148,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         // tag-0 rows carry the sub's threshold tuple under inner
         // residuals (the walk selects each anchor's own subs by it);
         // tail rows carry null
-        val thrsCol: Column =
-          if (!hasIRes) lit(null).cast("array<double>")
-          else array(s.innerRes.indices.map(r => col(s"__thr$r")): _*)
+        val thrsCol: Column = iRes.thrsCol
         val nullThrs = lit(null).cast("array<double>").as("__thrs")
         val tagged = s.group.zipWithIndex.foldLeft(
           isubs.select(col("__gk"), lit(0).as("__tag"),
@@ -2205,10 +2196,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         // inner-residual thresholds on the anchor frame too — the SAME
         // expressions the thrTable distinct'd, so the walk's tuple lookup
         // compares bitwise-identical doubles
-        val outResI = s.innerRes.zipWithIndex.foldLeft(outRes) {
-          case (d, ((_, _, _, thr), r)) =>
-            d.withColumn(s"__ires$r", thr.cast("double"))
-        }
+        val outResI = iRes.anchorThrs(outRes, "__ires")
         val anch = outResI.withColumn("__gprev", prevTs)
           .withColumn("__gwend", col(startTs) + win)
         val aSchema = anch.schema

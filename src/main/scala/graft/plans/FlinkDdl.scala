@@ -320,6 +320,15 @@ object FlinkDdl {
     graft.streaming.StreamOps.broadcastRulesEnrich(
       stream, jdbcLookupLoader(spark, name), key)(sink)
 
+  /** Upper bound on keys per pushed-down IN list — databases cap IN-list
+    * terms (Oracle at 1000) and statement length; misses chunk into
+    * IN reads of at most this many keys, unioned client-side. */
+  private val InChunkKeys = 900
+
+  /** Re-validate the UNCACHED loader's lookup.cache.max-rows bound every
+    * this many triggers (first trigger always validates). */
+  private val UncachedBoundRecheck = 100L
+
   /** Per-KEY lazy lookup cache — the reference's actual JDBCLookupFunction
     * shape (flink-connectors/flink-jdbc/src/main/java/org/apache/flink/api/
     * java/io/jdbc/JDBCLookupFunction.java:55-80: a Guava
@@ -343,15 +352,6 @@ object FlinkDdl {
     * reference builds its Guava cache only when both cacheMaxSize and
     * cacheExpireMs are configured, and either absent means query-through
     * (no unbounded or never-expiring cache here either). */
-  /** Upper bound on keys per pushed-down IN list — databases cap IN-list
-    * terms (Oracle at 1000) and statement length; misses chunk into
-    * IN reads of at most this many keys, unioned client-side. */
-  private val InChunkKeys = 900
-
-  /** Re-validate the UNCACHED loader's lookup.cache.max-rows bound every
-    * this many triggers (first trigger always validates). */
-  private val UncachedBoundRecheck = 100L
-
   final class JdbcPerKeyLookup(spark: SparkSession, name: String, key: String) {
     private val (dimSchema, opts) = {
       val (sch, o, _) = Option(declared.get(declKey(spark, name))).getOrElse(

@@ -68,23 +68,29 @@ object MatchRecognizeSqlParser {
   private val FromSubRx = "(?is)\\bFROM\\s*\\(".r
 
   /** Index of the parenthesis closing the one at `open`, skipping
-    * single-quoted SQL string literals (with '' escapes), double-quoted
-    * and backquoted identifiers, `--` line comments and bracketed
-    * comments — a '(' or ')' inside any of those must not count toward
-    * nesting. */
+    * single- and double-quoted SQL string literals (with both the
+    * doubled-quote AND the backslash escape — Spark's default lexer
+    * accepts `\'`/`\"` inside literals unless escapedStringLiterals is
+    * on), backquoted identifiers, `--` line comments and bracketed
+    * comments including Spark's NESTED `/* /* */ */` form (SPARK-28880)
+    * — a '(' or ')' inside any of those must not count toward nesting. */
   private def closeParen(s: String, open: Int): Int = {
     var depth = 0; var i = open
     var done = false
+    def skipQuoted(q: Char): Unit = {
+      i += 1
+      var closed = false
+      while (i < s.length && !closed) {
+        if (s(i) == '\\' && i + 1 < s.length) i += 2 // backslash escape
+        else if (s(i) == q && i + 1 < s.length && s(i + 1) == q) i += 2 // doubled
+        else if (s(i) == q) closed = true
+        else i += 1
+      }
+    }
     while (i < s.length && !done) {
       s(i) match {
-        case '\'' =>
-          i += 1
-          while (i < s.length && (s(i) != '\'' ||
-              (i + 1 < s.length && s(i + 1) == '\'' && { i += 1; true })))
-            i += 1
-        case '"' =>
-          i += 1
-          while (i < s.length && s(i) != '"') i += 1
+        case '\'' => skipQuoted('\'')
+        case '"' => skipQuoted('"')
         case '`' =>
           i += 1
           while (i < s.length && s(i) != '`') i += 1
@@ -92,9 +98,14 @@ object MatchRecognizeSqlParser {
           while (i < s.length && s(i) != '\n') i += 1
           i -= 1 // the shared increment below steps past the newline
         case '/' if i + 1 < s.length && s(i + 1) == '*' =>
+          var cdepth = 1
           i += 2
-          while (i + 1 < s.length && !(s(i) == '*' && s(i + 1) == '/')) i += 1
-          i += 1 // lands on '/', the shared increment steps past it
+          while (i + 1 < s.length && cdepth > 0) {
+            if (s(i) == '/' && s(i + 1) == '*') { cdepth += 1; i += 2 }
+            else if (s(i) == '*' && s(i + 1) == '/') { cdepth -= 1; i += 2 }
+            else i += 1
+          }
+          i -= 1 // the shared increment steps past the final character
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) done = true
         case _ =>

@@ -151,8 +151,14 @@ object StateInspect {
           s"writeSavepoint: restartSourceOffsetJson ('$json') is not a " +
             "structured json offset — for LongOffset-style restart " +
             "sources (MemoryStream, a plain integer offset) omit it")
+        // FAIL_ON_TRAILING_TOKENS: readTree alone accepts '{...} garbage'
+        // (parses the leading object, ignores the rest) — exactly the
+        // typo this validation exists to catch at write time
         require(scala.util.Try(
-            new com.fasterxml.jackson.databind.ObjectMapper().readTree(j))
+            new com.fasterxml.jackson.databind.ObjectMapper()
+              .enable(com.fasterxml.jackson.databind.DeserializationFeature
+                .FAIL_ON_TRAILING_TOKENS)
+              .readTree(j))
           .isSuccess,
           s"writeSavepoint: restartSourceOffsetJson does not parse as " +
             s"json: '$json'")

@@ -2423,4 +2423,44 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (1L, at(2), at(8), 1L, 1L, 1L, 200.0),
       (2L, at(2), at(8), 1L, 1L, 1L, 100.0)), m.toString)
   }
+
+  test("bindInnerResidual signed-zero threshold: a -0.0-valued threshold " +
+       "tuple still finds its compiled sub array (normalized on both sides)") {
+    // thr = 2 * s.value with s.value = -0.0 -> threshold -0.0. distinct()
+    // may canonicalize signed zeros in its aggregation keys while the
+    // anchor frame carries the raw projection; unnormalized, the walk's
+    // boxed-Double lookup (which distinguishes -0.0 from 0.0) would hand
+    // the anchor an EMPTY sub array -> silent no-match.
+    val evs = Seq(
+      (1L, at(0), "s", java.lang.Double.valueOf(-0.0)),
+      (1L, at(2), "b", java.lang.Double.valueOf(0.0)),
+      (1L, at(3), "c", java.lang.Double.valueOf(5.0)),
+      (1L, at(4), "v", java.lang.Double.valueOf(0.0))
+    ).toDF("user_id", "ts", "event_type", "value")
+    // one-level (m49 path)
+    val m1 = Pattern.begin("s", $"event_type" === "s").bind("value")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")))
+      .bindInnerResidual("c", "value", ">", col("s_value") * 2)
+      .oneOrMore().within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_n", $"g_inner_n")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(m1 == Set((1L, 1L, 1L)), m1.toString)
+    // depth-2 (m50 path) — same corpus with a w close
+    val evs2 = evs.union(Seq((1L, at(6), "w",
+      java.lang.Double.valueOf(0.0))).toDF("user_id", "ts", "event_type", "value"))
+    val m2 = Pattern.begin("s", $"event_type" === "s").bind("value")
+      .followedByNested2Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")))
+      .bindInnerResidual("c", "value", ">", col("s_value") * 2)
+      .oneOrMore().within(HOUR)
+      .detect(evs2, $"user_id", $"ts")
+      .select($"key", $"g_n", $"g_mid_n", $"g_inner_n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(m2 == Set((1L, 1L, 1L, 1L)), m2.toString)
+  }
 }

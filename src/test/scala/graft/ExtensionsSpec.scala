@@ -159,6 +159,19 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
         "  /* also ) here */ event_type AS `weird(col` , event_type " +
         "FROM mr_events2)" + clause).collect()
       assert(cRows.length == 1, cRows.mkString(","))
+      // a BACKSLASH-escaped quote inside a literal (Spark's default lexer
+      // accepts \' and \") must not terminate the literal early — the
+      // paren after it sits INSIDE the string (r17 scanner hardening)
+      val bsRows = s2.sql("SELECT * FROM (SELECT user_id, ts, " +
+        "event_type FROM mr_events2 WHERE event_type != 'a\\'(') " +
+        clause).collect()
+      assert(bsRows.length == 1, bsRows.mkString(","))
+      // Spark supports NESTED bracketed comments (SPARK-28880): a ')'
+      // in the outer comment's tail must not count toward nesting
+      val ncRows = s2.sql("SELECT * FROM (SELECT user_id, ts, " +
+        "/* outer /* inner */ still ) comment */ event_type " +
+        "FROM mr_events2)" + clause).collect()
+      assert(ncRows.length == 1, ncRows.mkString(","))
       // a WITH clause NOT at statement start (textually unevaluable) keeps
       // the named rejection instead of silently binding the catalog object
       Seq((1L, "x")).toDF("user_id", "s").createOrReplaceTempView("mr_sink3")

@@ -272,6 +272,17 @@ class StateProcessingSpec extends AnyFunSuite with SparkTest {
           initialState = Some(stateFrame))
       })
     assert(e2.getMessage.contains("not a structured json offset"), e2.getMessage)
+    // trailing garbage after a valid object must fail too (readTree alone
+    // parses the leading object and ignores the rest)
+    val e3 = intercept[IllegalArgumentException](
+      StateInspect.writeSavepoint(spark,
+          Files.createTempDirectory("graft_sp_bad3").toString,
+          outputMode = "append",
+          restartSourceOffsetJson = Some("""{"logOffset":-1} oops""")) { ev =>
+        StreamOps.sessionize(ev, "5 seconds", gapMs = 60000L,
+          initialState = Some(stateFrame))
+      })
+    assert(e3.getMessage.contains("does not parse as json"), e3.getMessage)
   }
 
   test("savepoint WRITE restarted on a FILE source ({\"logOffset\":-1}): " +
