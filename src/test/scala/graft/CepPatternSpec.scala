@@ -2463,4 +2463,34 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(m2 == Set((1L, 1L, 1L, 1L)), m2.toString)
   }
+
+  test("bindInnerResidual composes at DEPTH-3 too: the parametrized " +
+       "sub-match selection happens before r1After, so the three-level " +
+       "recursion is untouched") {
+    // the m50 per-anchor corpus with a w (mid2) and x (outer tail) close:
+    // key 1 (thr 20) completes its sub at c@5 and binds v@6 (200); key 2
+    // (thr 2) completes at c@3 and binds v@4 (100); both close w@8, x@10
+    val evs = Seq((1L, 10.0), (2L, 1.0)).flatMap { case (k, sv) =>
+      Seq((k, at(0), "s", sv),
+        (k, at(2), "b", 0.0), (k, at(3), "c", 15.0), (k, at(5), "c", 25.0),
+        (k, at(4), "v", 100.0), (k, at(6), "v", 200.0),
+        (k, at(8), "w", 0.0), (k, at(10), "x", 0.0))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val m = Pattern.begin("s", $"event_type" === "s").bind("value")
+      .followedByNested3Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")),
+        Seq("x" -> ($"event_type" === "x")))
+      .bindInnerResidual("c", "value", ">", col("s_value") * 2)
+      .bindGroup("v", "value")
+      .oneOrMore().within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_n", $"g_mid2_n", $"g_mid_n", $"g_inner_n",
+        $"g_sum_v_value")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(m == Set(
+      (1L, 1L, 1L, 1L, 1L, 200.0),
+      (2L, 1L, 1L, 1L, 1L, 100.0)), m.toString)
+  }
 }
