@@ -108,7 +108,8 @@ object MatchRecognize {
                                 innerStar: Boolean = false,
                                 inner2Seq: Seq[String] = Nil,
                                 midSeq: Seq[String] = Nil,
-                                mid2Seq: Seq[String] = Nil)
+                                mid2Seq: Seq[String] = Nil,
+                                mid3Seq: Seq[String] = Nil)
   private case class Measure(fn: Option[String], varName: String,
                              field: String, alias: String)
   private case class Spec(partitionBy: Seq[String], orderBy: String,
@@ -256,29 +257,35 @@ object MatchRecognize {
     // one row per bound event (see allRowsOutput)
     val allRows =
       "(?is)\\bALL\\s+ROWS\\s+PER\\s+MATCH\\b".r.findFirstIn(body).nonEmpty
-    // up to FOUR nesting levels inside the PATTERN body: alternation /
+    // up to FIVE nesting levels inside the PATTERN body: alternation /
     // sequence groups (A (B|C) D), ONE nested group ((A B)+ C)+, the
-    // DEPTH-2 nested group (((A B)+ C)+ D)+ and (r17) the DEPTH-3 nested
-    // group ((((A B)+ C)+ D)+ E)+
-    val patternBody =
-      ("(?is)\\bPATTERN\\s*\\(((?:[^()]|\\((?:[^()]|\\((?:[^()]|" +
-        "\\((?:[^()]|\\([^()]*\\))*\\))*\\))*\\))*)\\)").r
+    // DEPTH-2 nested group (((A B)+ C)+ D)+, (r17) the DEPTH-3 nested
+    // group ((((A B)+ C)+ D)+ E)+ and (r18) the DEPTH-4 nested group
+    // (((((A B)+ C)+ D)+ E)+ F)+ — one balanced-nesting level per
+    // supported depth, built by folding the level template
+    val patternBody = {
+      val nestedBody = (1 to 5).foldLeft("[^()]*")((inner, _) =>
+        s"(?:[^()]|\\($inner\\))*")
+      (s"(?is)\\bPATTERN\\s*\\(($nestedBody)\\)").r
       .findFirstMatchIn(body) match {
         case Some(m) => m.group(1).trim
-        // a depth-5 PATTERN body fails the four-level body regex outright
+        // a depth-6 PATTERN body fails the five-level body regex outright
         // — name the rejection rather than reporting the clause as absent.
         // The reference composes GroupPattern recursively to any depth
         // (flink-cep GroupPattern wraps an arbitrary inner Pattern); here
-        // THREE nested levels ( ((((A B)+ C)+ D)+ E)+ ) lower
-        // declaratively and deeper nesting has no encoding.
+        // FOUR nested levels ( (((((A B)+ C)+ D)+ E)+ F)+ ) lower through
+        // the SQL door, and the engine's depth-parametric
+        // Pattern.followedByNestedNGroup takes ANY depth via the Scala
+        // API — only the SQL text parse stops at four.
         case None if "(?is)\\bPATTERN\\s*\\(".r.findFirstIn(body).isDefined =>
-          sys.error("PATTERN bodies nested deeper than three group-in-group " +
-            "levels (e.g. (((((A B)+ C)+ D)+ E)+ F)+) are not supported: " +
-            "up to three nested levels ( ((A B)+ C)+, (((A B)+ C)+ D)+ " +
-            "and ((((A B)+ C)+ D)+ E)+ ) are — flatten deeper groups or " +
-            "run multiple detect passes")
+          sys.error("PATTERN bodies nested deeper than four group-in-group " +
+            "levels are not supported through the SQL front door (up to " +
+            "((((((A B)+ C)+ D)+ E)+ F)+ is) — use the Scala API's " +
+            "depth-parametric Pattern.followedByNestedNGroup for deeper " +
+            "compositions")
         case None => sys.error("PATTERN (...) required")
       }
+    }
     // elements: a DEPTH-2 nested group (((I...)+ M...)+ T...)+ (flink-cep
     // GroupPattern composed twice), a NESTED group ((I...)+ T...)+ (one
     // level), a bare variable with an optional quantifier, an alternation
@@ -286,7 +293,10 @@ object MatchRecognize {
     // GroupPattern) — groups named by joining their members. Alternatives
     // ordered deepest-first so the depth-2 shape never half-parses as a
     // depth-1 group plus residue.
-    val varRx = ("(?:\\(\\s*\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
+    val varRx = ("(?:\\(\\s*\\(\\s*\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
+      "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*" +
+      "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)" +
+      "|\\(\\s*\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
       "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*" +
       "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
       "|\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
@@ -319,67 +329,90 @@ object MatchRecognize {
       }
     }
     val vars = varMatches.map { g =>
-        (Option(g.group(1)), Option(g.group(6)), Option(g.group(10)),
-            Option(g.group(13)), Option(g.group(14))) match {
-          case (Some(in3), _, _, _, _) =>
+        (Option(g.group(1)), Option(g.group(7)), Option(g.group(12)),
+            Option(g.group(16)), Option(g.group(19)), Option(g.group(20))) match {
+          case (Some(in4), _, _, _, _, _) =>
+            // DEPTH-4 nested group (((((I...)+ M...)+ N...)+ O...)+ T...)+
+            // (r18) — flink-cep GroupPattern composed four times, lowered
+            // onto the depth-parametric followedByNestedNGroup walk:
+            // innermost sub-sequence under '+', then one closing-step
+            // level per nesting level, outer '+'/'*'
+            val innerSubs = in4.trim.split("\\s+").toSeq
+            val mids = g.group(3).trim.split("\\s+").toSeq
+            val mid2s = g.group(4).trim.split("\\s+").toSeq
+            val mid3s = g.group(5).trim.split("\\s+").toSeq
+            val tails = g.group(6).trim.split("\\s+").toSeq
+            require(g.group(22) == "+" || g.group(22) == "*",
+              s"depth-4 nested group (((((${innerSubs.mkString(" ")})" +
+                s"${g.group(2)} ${mids.mkString(" ")})+ " +
+                s"${mid2s.mkString(" ")})+ ${mid3s.mkString(" ")})+ " +
+                s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
+                s"quantifier (got '${Option(g.group(22)).getOrElse("")}')")
+            PatternVar((innerSubs ++ mids ++ mid2s ++ mid3s ++ tails)
+              .mkString("_"),
+              Option(g.group(22)), Nil, tails, Nil,
+              innerStar = g.group(2) == "*",
+              inner2Seq = innerSubs, midSeq = mids, mid2Seq = mid2s,
+              mid3Seq = mid3s)
+          case (None, Some(in3), _, _, _, _) =>
             // DEPTH-3 nested group ((((I...)+ M...)+ N...)+ T...)+ (r17) —
             // flink-cep GroupPattern composed three times: innermost
             // sub-sequence under '+', mid steps closing each level-1
             // repetition, mid2 steps closing each level-2 repetition,
             // outer tail steps closing each outer repetition, outer '+'/'*'
             val innerSubs = in3.trim.split("\\s+").toSeq
-            val mids = g.group(3).trim.split("\\s+").toSeq
-            val mid2s = g.group(4).trim.split("\\s+").toSeq
-            val tails = g.group(5).trim.split("\\s+").toSeq
-            require(g.group(16) == "+" || g.group(16) == "*",
+            val mids = g.group(9).trim.split("\\s+").toSeq
+            val mid2s = g.group(10).trim.split("\\s+").toSeq
+            val tails = g.group(11).trim.split("\\s+").toSeq
+            require(g.group(22) == "+" || g.group(22) == "*",
               s"depth-3 nested group ((((${innerSubs.mkString(" ")})" +
-                s"${g.group(2)} ${mids.mkString(" ")})+ " +
+                s"${g.group(8)} ${mids.mkString(" ")})+ " +
                 s"${mid2s.mkString(" ")})+ ${tails.mkString(" ")}) requires " +
                 s"the outer '+' or '*' quantifier " +
-                s"(got '${Option(g.group(16)).getOrElse("")}')")
+                s"(got '${Option(g.group(22)).getOrElse("")}')")
             PatternVar((innerSubs ++ mids ++ mid2s ++ tails).mkString("_"),
-              Option(g.group(16)), Nil, tails, Nil,
-              innerStar = g.group(2) == "*",
+              Option(g.group(22)), Nil, tails, Nil,
+              innerStar = g.group(8) == "*",
               inner2Seq = innerSubs, midSeq = mids, mid2Seq = mid2s)
-          case (None, Some(in2), _, _, _) =>
+          case (None, None, Some(in2), _, _, _) =>
             // DEPTH-2 nested group (((I...)+ M...)+ T...)+ — flink-cep
             // GroupPattern composed twice (GroupPattern.java:30 wraps an
             // arbitrary inner Pattern): innermost sub-sequence under '+',
             // mid tail steps closing each level-1 repetition, outer tail
             // steps closing each outer repetition, outer '+'/'*'
             val innerSubs = in2.trim.split("\\s+").toSeq
-            val mids = g.group(8).trim.split("\\s+").toSeq
-            val tails = g.group(9).trim.split("\\s+").toSeq
-            require(g.group(16) == "+" || g.group(16) == "*",
+            val mids = g.group(14).trim.split("\\s+").toSeq
+            val tails = g.group(15).trim.split("\\s+").toSeq
+            require(g.group(22) == "+" || g.group(22) == "*",
               s"depth-2 nested group (((${innerSubs.mkString(" ")})" +
-                s"${g.group(7)} ${mids.mkString(" ")})+ " +
+                s"${g.group(13)} ${mids.mkString(" ")})+ " +
                 s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
-                s"quantifier (got '${Option(g.group(16)).getOrElse("")}')")
+                s"quantifier (got '${Option(g.group(22)).getOrElse("")}')")
             PatternVar((innerSubs ++ mids ++ tails).mkString("_"),
-              Option(g.group(16)), Nil, tails, Nil,
-              innerStar = g.group(7) == "*",
+              Option(g.group(22)), Nil, tails, Nil,
+              innerStar = g.group(13) == "*",
               inner2Seq = innerSubs, midSeq = mids)
-          case (None, None, Some(inner), _, _) =>
+          case (None, None, None, Some(inner), _, _) =>
             // nested group ((I...)+ T...)+ / ((I...)* T...)+ — flink-cep
             // GroupPattern composing recursively (one level): inner
             // sub-sequence under '+' (or '*' = zero-or-more sub-chains per
             // repetition, r15), tail steps, outer '+'/'*'
             val innerSubs = inner.trim.split("\\s+").toSeq
-            val tails = g.group(12).trim.split("\\s+").toSeq
-            require(g.group(16) == "+" || g.group(16) == "*",
-              s"nested group ((${innerSubs.mkString(" ")})${g.group(11)} " +
+            val tails = g.group(18).trim.split("\\s+").toSeq
+            require(g.group(22) == "+" || g.group(22) == "*",
+              s"nested group ((${innerSubs.mkString(" ")})${g.group(17)} " +
                 s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
-                s"quantifier (got '${Option(g.group(16)).getOrElse("")}')")
-            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(16)),
-              Nil, tails, innerSubs, innerStar = g.group(11) == "*")
-          case (None, None, None, Some(alt), _) =>
+                s"quantifier (got '${Option(g.group(22)).getOrElse("")}')")
+            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(22)),
+              Nil, tails, innerSubs, innerStar = g.group(17) == "*")
+          case (None, None, None, None, Some(alt), _) =>
             val branches = alt.split("\\|").map(_.trim).toSeq
             // (B|C)+ / (B|C)* — flink-cep GroupPattern over oneOf: a run
             // whose members match any branch, with per-branch counts. The
             // reluctant '(B|C)+?' collapses to ONE member of any branch —
             // the bare '(B|C)' one-of (see [[normalizeQuant]]: the minimal
             // binding always wins). '?'/'{n,m}' stay named rejections.
-            val q = Option(g.group(16)) match {
+            val q = Option(g.group(22)) match {
               case Some("+?") => None
               case q0 @ (None | Some("+") | Some("*")) => q0
               case Some(other) => sys.error(s"alternation group ($alt): " +
@@ -387,14 +420,14 @@ object MatchRecognize {
                 s"supported (got '$other')")
             }
             PatternVar(branches.mkString("_"), q, branches)
-          case (None, None, None, None, Some(seq)) =>
+          case (None, None, None, None, None, Some(seq)) =>
             val subs = seq.trim.split("\\s+").toSeq
             // (B C)+ / (B C)* — GroupPattern oneOrMore[.optional]. The
             // reluctant '(B C)+?' collapses to exactly ONE repetition
             // (minimal binding always wins), which is also the bare
             // '(B C)' inline-sequence semantics — both lower to the
             // single-repetition declarative sub-match join.
-            val q = Option(g.group(16)) match {
+            val q = Option(g.group(22)) match {
               case Some("+?") => None
               case q0 @ (None | Some("+") | Some("*")) => q0
               case Some(other) => sys.error(s"sequence group " +
@@ -402,8 +435,8 @@ object MatchRecognize {
                 s"or no quantifier is supported (got '$other')")
             }
             PatternVar(subs.mkString("_"), q, Nil, subs)
-          case (None, None, None, None, None) => PatternVar(g.group(15),
-            Option(g.group(16)).map(normalizeQuant(g.group(15), _)))
+          case (None, None, None, None, None, None) => PatternVar(g.group(21),
+            Option(g.group(22)).map(normalizeQuant(g.group(21), _)))
         }
       }
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
@@ -765,8 +798,8 @@ object MatchRecognize {
             s"alternation branch $b cannot use relative references")
           b -> c
         }
-        val seqSubs = (v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.innerSeq ++
-            v.seq).map { sv =>
+        val seqSubs = (v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.mid3Seq ++
+            v.innerSeq ++ v.seq).map { sv =>
           val c = compiledPred(spec, sv, i)
           // ONE-LEVEL nested group members pass through: tail members
           // lower onto bindTailResidual (r16), inner members get the
@@ -817,7 +850,7 @@ object MatchRecognize {
     // address a specific MEMBER (the group's own name spans several
     // variables and would be ambiguous)
     val groupOf: Map[String, PatternVar] = spec.vars.filter(_.seq.nonEmpty)
-      .flatMap(g => (g.name +: (g.inner2Seq ++ g.midSeq ++ g.mid2Seq ++
+      .flatMap(g => (g.name +: (g.inner2Seq ++ g.midSeq ++ g.mid2Seq ++ g.mid3Seq ++
         g.innerSeq ++ g.seq)).map(_ -> g)).toMap
     spec.measures.filter(m => groupOf.contains(m.varName)).foreach { m =>
       require(m.field == "ts" || m.varName != groupOf(m.varName).name,
@@ -857,34 +890,25 @@ object MatchRecognize {
         // — the mid's satisfying scan is shared between its binding and
         // the inner-chain punctuation, the tail convention one level down
         val tailResiduals2: Seq[(String, (String, String, String))] =
-          (v.midSeq ++ v.mid2Seq ++ v.seq).flatMap { sv =>
+          (v.midSeq ++ v.mid2Seq ++ v.mid3Seq ++ v.seq).flatMap { sv =>
             if (compiled(sv)._2.isEmpty) None
             else Some(sv -> parseTailResidual(spec, sv))
           }
-        require(!spec.allRows || bindByVar.keySet.intersect(
-            (v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.seq).toSet).isEmpty,
-          s"ALL ROWS PER MATCH over a depth-2 nested group (${v.name}) " +
-            "does not compose with member VALUE measures — per-row " +
-            "running value snapshots are one-level only")
-        require(!spec.allRows || v.mid2Seq.isEmpty,
-          s"ALL ROWS PER MATCH over a DEPTH-3 nested group (${v.name}) " +
-            "is not supported (the per-row running-count struct carries " +
-            "no level-2 column) — aggregate measures compose")
-        pat = if (v.mid2Seq.isEmpty)
-          pat.followedByNested2Group(v.name,
-            v.inner2Seq.map(sv => sv -> compiled(sv)._1),
-            v.midSeq.map(sv => sv -> compiled(sv)._1),
-            v.seq.map(sv => sv -> compiled(sv)._1),
-            innerOptional = v.innerStar)
-        else
-          // DEPTH-3 (r17): the depth-2 lowering with one more closing
-          // level — mid2 steps slot between the mids and the outer tails
-          pat.followedByNested3Group(v.name,
-            v.inner2Seq.map(sv => sv -> compiled(sv)._1),
-            v.midSeq.map(sv => sv -> compiled(sv)._1),
-            v.mid2Seq.map(sv => sv -> compiled(sv)._1),
-            v.seq.map(sv => sv -> compiled(sv)._1),
-            innerOptional = v.innerStar)
+        // ALL ROWS composes with member VALUE measures (r18, lifting the
+        // r16 one-level-only mutual exclusion — per-row vsum/vcnt
+        // snapshots now fold through every pending level) and with
+        // DEPTH-3 groups (r18 — the row struct carries the level-2
+        // `mids2` running count)
+        // DEPTH 2/3/4 all lower onto the ONE depth-parametric walk (r18):
+        // the closing levels are the non-empty mid level lists, innermost
+        // first, with the outer tails last
+        val closingLevels =
+          (Seq(v.midSeq, v.mid2Seq, v.mid3Seq).filter(_.nonEmpty) :+ v.seq)
+            .map(_.map(sv => sv -> compiled(sv)._1))
+        pat = pat.followedByNestedNGroup(v.name,
+          v.inner2Seq.map(sv => sv -> compiled(sv)._1),
+          closingLevels,
+          innerOptional = v.innerStar)
         tailResiduals2.foreach { case (sv, (c, op, rhs)) =>
           pat = pat.bindTailResidual(sv, c, op, expr(rhs))
         }
@@ -894,7 +918,8 @@ object MatchRecognize {
         // member VALUE measures (r16): the SHARED order derivation — the
         // engine's groupKeep sequence (members in declaration order, each
         // member's columns in bindByVar order)
-        nestedKeepOrder(v.inner2Seq ++ v.midSeq ++ v.mid2Seq, v.seq, bindByVar)
+        nestedKeepOrder(v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.mid3Seq,
+            v.seq, bindByVar)
           .foreach { case (sv, c) => pat = pat.bindGroup(sv, c) }
         // composite ORDER BY (r17, the former depth-2 named rejection):
         // equal-ts candidates' values argmin by (ties..., value) at every
@@ -1123,6 +1148,9 @@ object MatchRecognize {
               // exactly once — COUNT(N.ts) = total level-2 count
               case Some("COUNT") if g.mid2Seq.contains(m.varName) =>
                 col(s"${g.name}_mid2_n")
+              // depth-4 (r18): mid3 members close each LEVEL-3 repetition
+              case Some("COUNT") if g.mid3Seq.contains(m.varName) =>
+                col(s"${g.name}_mid3_n")
               case Some("COUNT") => col(s"${g.name}_n")
               case Some("FIRST") =>
                 require(m.varName == g.name || m.varName == g.inner2Seq.head,
@@ -1310,7 +1338,7 @@ object MatchRecognize {
       require(!runVs.exists(v => v.seq.isEmpty),
         "ALL ROWS PER MATCH: a depth-2 nested group does not compose with " +
           "plain '+'/'*' runs in the same pattern")
-      return allRowsNested2(spec, matches0, nested2Vs.head)
+      return allRowsNested2(spec, matches0, nested2Vs.head, bindByVar)
     }
     val nestedVs = spec.vars.filter(_.innerSeq.nonEmpty)
     if (nestedVs.nonEmpty) {
@@ -1523,22 +1551,33 @@ object MatchRecognize {
         rowCols.map(n => col(s"__r.$n").as(n)): _*)
   }
 
-  /** [[allRowsOutput]]'s DEPTH-2 expansion — ALL ROWS over
-    * `(((B C)+ V)+ W)+` (r16; reference StreamExecMatch emits member rows
-    * for ANY pattern shape): the three-level walk materialized every
-    * COMMITTED bound event with its classifier and running counts
-    * (`Pattern.materializeNestedRows` on a depth-2 step: `<g>_rows` =
-    * (ts, cls, reps, mids, subs) — rows of rejected level-1 speculations
-    * and uncommitted outer attempts were discarded in the walk), so the
-    * expansion is one generator over the match row. Supported measures:
-    * plain unquantified PREFIX variables, CLASSIFIER(), MATCH_NUMBER(),
-    * running COUNT over an outer-tail member or the group (outer
-    * repetitions as of the row), over the FINAL mid member (level-1
+  /** [[allRowsOutput]]'s DEPTH-2+ expansion — ALL ROWS over
+    * `(((B C)+ V)+ W)+` and deeper (r16; depth-3+ and member value
+    * snapshots r18; reference StreamExecMatch emits member rows for ANY
+    * pattern shape): the walk materialized every COMMITTED bound event
+    * with its classifier and running counts
+    * (`Pattern.materializeNestedRows`: `<g>_rows` = (ts, cls, reps,
+    * [mids3, mids2,] mids, subs[, vsum, vcnt]) — rows of rejected
+    * speculations at any level and uncommitted outer attempts were
+    * discarded in the walk), so the expansion is one generator over the
+    * match row. Supported measures: plain unquantified PREFIX variables,
+    * CLASSIFIER(), MATCH_NUMBER(), running COUNT over an outer-tail
+    * member or the group (outer repetitions as of the row), over the
+    * FINAL closing member of each intermediate level (that level's
     * repetitions as of the row) and over the FINAL inner member (inner
-    * sub-sequences as of the row); member value measures and everything
-    * else are named errors. The group must be the final pattern element. */
+    * sub-sequences as of the row), and — under bound member values —
+    * running SUM/COUNT/AVG member value measures via the per-row
+    * vsum/vcnt snapshots (the depth-1 recipe; running MIN/MAX/FIRST/LAST
+    * stay named errors). The group must be the final pattern element. */
   private def allRowsNested2(spec: Spec, matches0: DataFrame,
-                             g: PatternVar): DataFrame = {
+                             g: PatternVar,
+                             bindByVar: Map[String, Seq[String]]): DataFrame = {
+    // groupKeep order — the lowering's bindGroup call order — indexes the
+    // per-row vsum/vcnt running-value snapshots (SHARED derivation)
+    val gkIdx: Map[(String, String), Int] =
+      nestedKeepOrder(g.inner2Seq ++ g.midSeq ++ g.mid2Seq ++ g.mid3Seq,
+          g.seq, bindByVar)
+        .zipWithIndex.toMap
     require(spec.vars.last.name == g.name,
       "ALL ROWS over a depth-2 nested group: the group must be the FINAL " +
         "pattern element")
@@ -1559,20 +1598,38 @@ object MatchRecognize {
     val preIdx: Map[String, Int] = pre.map(_.name).zipWithIndex.toMap
     def isMember(v: String): Boolean =
       v == g.name || g.inner2Seq.contains(v) || g.midSeq.contains(v) ||
-        g.seq.contains(v)
+        g.mid2Seq.contains(v) || g.mid3Seq.contains(v) || g.seq.contains(v)
     def measureAt(m: Measure, u: Int, r: Option[Column]): Column =
       if (m.fn.contains("MATCH_NUMBER")) col(s"__mn_${m.alias}")
       else if (m.fn.contains("CLASSIFIER"))
         r.map(_.getField("cls")).getOrElse(lit(pre(u).name))
       else if (isMember(m.varName)) {
-        require(m.field == "ts",
-          s"ALL ROWS over depth-2 nested group ${g.name}: member VALUE " +
-            "measures are not materialized per row (running counts only) " +
-            s"— got ${m.fn.getOrElse("a bare reference")}(${m.varName}." +
-            s"${m.field})")
+        if (m.field != "ts") {
+          // running VALUE measures (r18, the depth-1 recipe at depth 2+):
+          // each materialized row carries per-(member, col) vsum/vcnt
+          // snapshots AS OF the row — running SUM/COUNT/AVG semantics;
+          // running MIN/MAX/FIRST/LAST are not materialized per row
+          val gi = gkIdx.getOrElse((m.varName, m.field), sys.error(
+            s"ALL ROWS nested value measure ${m.varName}.${m.field}: no " +
+              "bound value column materialized for it"))
+          val sumAt = r.map(rr => element_at(rr.getField("vsum"), gi + 1))
+            .getOrElse(lit(null).cast("double"))
+          val cntAt = r.map(rr => element_at(rr.getField("vcnt"), gi + 1))
+            .getOrElse(lit(0L))
+          m.fn match {
+            case Some("SUM") => sumAt
+            case Some("COUNT") => cntAt
+            case Some("AVG") => sumAt / cntAt
+            case other => sys.error(s"ALL ROWS over depth-2 nested group " +
+              s"${g.name}: running SUM/COUNT/AVG are the member VALUE " +
+              "measures (running MIN/MAX/FIRST/LAST are not materialized " +
+              s"per row) — got ${other.getOrElse("a bare reference")}" +
+              s"(${m.varName}.${m.field})")
+          }
+        } else {
         require(m.fn.contains("COUNT"),
           s"ALL ROWS over depth-2 nested group ${g.name}: running COUNT " +
-            s"is the only member measure (got " +
+            s"is the only member TIMESTAMP measure (got " +
             s"${m.fn.getOrElse("a bare reference")}(${m.varName}.ts))")
         if (g.inner2Seq.contains(m.varName)) {
           require(m.varName == finalInner,
@@ -1584,11 +1641,24 @@ object MatchRecognize {
             s"COUNT(${m.varName}.ts): running level-1 counts materialize " +
               s"for the FINAL mid member only ($finalMid)")
           r.map(_.getField("mids")).getOrElse(lit(0L))
+        } else if (g.mid2Seq.contains(m.varName)) {
+          // depth-3 (r18): the level-2 running count rides each row
+          require(m.varName == g.mid2Seq.last,
+            s"COUNT(${m.varName}.ts): running level-2 counts materialize " +
+              s"for the FINAL mid2 member only (${g.mid2Seq.last})")
+          r.map(_.getField("mids2")).getOrElse(lit(0L))
+        } else if (g.mid3Seq.contains(m.varName)) {
+          // depth-4 (r18): the level-3 running count rides each row
+          require(m.varName == g.mid3Seq.last,
+            s"COUNT(${m.varName}.ts): running level-3 counts materialize " +
+              s"for the FINAL mid3 member only (${g.mid3Seq.last})")
+          r.map(_.getField("mids3")).getOrElse(lit(0L))
         } else {
           require(m.varName == g.name || m.varName == g.seq.last,
             s"COUNT(${m.varName}.ts): running outer counts materialize " +
               s"for the FINAL outer-tail member only (${g.seq.last})")
           r.map(_.getField("reps")).getOrElse(lit(0L))
+        }
         }
       } else {
         val i = preIdx.getOrElse(m.varName,

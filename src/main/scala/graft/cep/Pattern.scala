@@ -43,10 +43,18 @@ final case class Step(name: String, pred: Column, reps: Int = 1,
                       combinations: Boolean = false,
                       maxComb: Int = 20,
                       innerOpt: Boolean = false,
+                      // depth-N nested group (followedByNested{2,3,N}Group):
+                      // `inner2` is the INNERMOST quantified sub-sequence and
+                      // `closings` its closing-step levels in level order —
+                      // closings(0) closes each LEVEL-1 repetition (the
+                      // "mids"), closings(1) each level-2 repetition, ...,
+                      // closings.last each OUTER repetition (the tails).
+                      // Depth = closings.size >= 2; depth 1 uses
+                      // innerGroup + group instead. (r18 — one field per
+                      // nesting level replaced the mid2/mid2b/tail2 triple
+                      // whose off-by-one naming invited index bugs.)
                       inner2: Seq[(String, Column)] = Nil,
-                      mid2: Seq[(String, Column)] = Nil,
-                      mid2b: Seq[(String, Column)] = Nil,
-                      tail2: Seq[(String, Column)] = Nil,
+                      closings: Seq[Seq[(String, Column)]] = Nil,
                       tailRes: Seq[(String, String, String, Column)] = Nil,
                       innerRes: Seq[(String, String, String, Column)] = Nil)
 
@@ -518,26 +526,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
   def followedByNested2Group(name: String, inner: Seq[(String, Column)],
                              mid: Seq[(String, Column)],
                              tail: Seq[(String, Column)],
-                             innerOptional: Boolean = false): Pattern = {
-    require(notStep.isEmpty, "notFollowedBy must be the terminal step")
-    require(steps.nonEmpty, "followedByNested2Group() follows a begin step")
-    require(inner.size >= 2,
-      "the innermost sub-group needs at least two steps (a single-variable " +
-        "inner '+' is a plain run — use followedByNestedGroup)")
-    require(mid.nonEmpty,
-      "the depth-2 group needs at least one MID tail step after the inner " +
-        "sub-group (a mid-less (((A B)+)+ C)+ collapses to ((A B)+ C)+ — " +
-        "use followedByNestedGroup)")
-    require(tail.nonEmpty,
-      "the depth-2 group needs at least one OUTER tail step (a tail-less " +
-        "((((A B)+ C)+))+ collapses to ((A B)+ C)+ — use " +
-        "followedByNestedGroup)")
-    new Pattern(steps :+ Step(name,
-      (inner.map(_._2) ++ mid.map(_._2) ++ tail.map(_._2)).reduce(_ || _),
-      inner2 = inner.toVector, mid2 = mid.toVector, tail2 = tail.toVector,
-      innerOpt = innerOptional),
-      notStep, windowMs, skipPastLast, skipTo)
-  }
+                             innerOptional: Boolean = false): Pattern =
+    followedByNestedNGroup(name, inner, Seq(mid, tail), innerOptional)
 
   /** DEPTH-3 nested group — THREE levels of group-in-group composition,
     * `((((I1 I2 ...)+ M1...)+ N1...)+ T1...)` quantified by
@@ -561,30 +551,69 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * the outer tails), and the chain walk gains one recursion level —
     * `rep2After` chains `r1After` exactly as the outer chain chains
     * `rep2After`. [[bindGroup]] values, [[bindTailResidual]] on mid/mid2/
-    * tail members, [[tieBreak]] and an inner `*` all compose through the
-    * same machinery; [[materializeNestedRows]] stays a named rejection at
-    * depth 3 (the per-row running-count struct carries no level-2
-    * column). Depth ≥ 4 has no encoding (named error at the SQL front
-    * door). */
+    * tail members, [[tieBreak]], an inner `*` and (r18)
+    * [[materializeNestedRows]] all compose through the same machinery.
+    * Depth ≥ 4 is [[followedByNestedNGroup]] (r18 — the former named
+    * error, closed by the depth-parametric walk). */
   def followedByNested3Group(name: String, inner: Seq[(String, Column)],
                              mid: Seq[(String, Column)],
                              mid2: Seq[(String, Column)],
                              tail: Seq[(String, Column)],
+                             innerOptional: Boolean = false): Pattern =
+    followedByNestedNGroup(name, inner, Seq(mid, mid2, tail), innerOptional)
+
+  /** DEPTH-N nested group — ARBITRARY group-in-group nesting depth,
+    * `(...((I1 I2 ...)+ L1...)+ L2...)+ ... LD...)+` quantified by
+    * [[oneOrMore]]/[[zeroOrMore]] (reference flink-cep GroupPattern.java:30
+    * composes recursively WITHOUT LIMIT — this closes the depth ≥ 4 named
+    * error for good by making the recursion depth a parameter instead of a
+    * per-depth compile branch; r18, the m48 `repNext` dispatch
+    * generalized). `closingLevels(l)` holds level-(l+1)'s closing steps:
+    * `closingLevels(0)` (the "mids") closes each LEVEL-1 repetition,
+    * `closingLevels.last` (the outer tails) each OUTER repetition; depth =
+    * `closingLevels.size`. Semantics recurse the [[followedByNested2Group]]
+    * rule uniformly: a level-l repetition is a greedy chain of level-(l−1)
+    * repetitions (level-0 = one inner sub-sequence) punctuated by the
+    * earliest first-level-l-closer candidate, then level-l's closing steps
+    * bound sequentially — reluctant close and greedy-no-backtracking at
+    * EVERY level, the next repetition anchoring strictly after the
+    * previous one's final closer binding. Emits `<name>_first_ts`,
+    * `<name>_last_ts`, `<name>_n` (outer repetitions), one
+    * `<name>_mid{l}_n` per intermediate level (level-l repetition totals;
+    * level 1 keeps the historical `<name>_mid_n` spelling) and
+    * `<name>_inner_n`.
+    *
+    * Lowering: the SAME inner sub-match table and tagged candidate union
+    * at every depth; the chain walk is ONE recursive per-level probe
+    * inside one cogroup per key — depth adds probe levels, never shuffle
+    * patterns, and per-key state stays bounded by `maxEventsPerKey`.
+    * [[bindGroup]] values, [[bindTailResidual]] on any closing-level
+    * member, [[bindInnerResidual]], [[tieBreak]], an inner `*`
+    * (`innerOptional`) and [[materializeNestedRows]] (r18 — at every
+    * depth, with per-row running counts for every level and, under
+    * bindGroup, per-row vsum/vcnt value snapshots) all compose through
+    * the same machinery. */
+  def followedByNestedNGroup(name: String, inner: Seq[(String, Column)],
+                             closingLevels: Seq[Seq[(String, Column)]],
                              innerOptional: Boolean = false): Pattern = {
     require(notStep.isEmpty, "notFollowedBy must be the terminal step")
-    require(steps.nonEmpty, "followedByNested3Group() follows a begin step")
+    require(steps.nonEmpty, "followedByNestedNGroup() follows a begin step")
     require(inner.size >= 2,
       "the innermost sub-group needs at least two steps (a single-variable " +
-        "inner '+' is a plain run — use followedByNested2Group)")
-    require(mid.nonEmpty && mid2.nonEmpty && tail.nonEmpty,
-      "the depth-3 group needs at least one step at EVERY closing level " +
-        "(mid, mid2, outer tail) — a level with no closing step collapses " +
-        "to the depth-2 shape: use followedByNested2Group")
+        "inner '+' is a plain run — use followedByNestedGroup)")
+    require(closingLevels.size >= 2,
+      "a depth-N nested group needs at least TWO closing levels (depth 1 " +
+        "is followedByNestedGroup)")
+    require(closingLevels.forall(_.nonEmpty),
+      "every closing level needs at least one step — a level with no " +
+        "closing step collapses to the next-shallower depth: drop the " +
+        "empty level (e.g. use followedByNested2Group instead of " +
+        "followedByNested3Group)")
     new Pattern(steps :+ Step(name,
-      (inner.map(_._2) ++ mid.map(_._2) ++ mid2.map(_._2) ++
-        tail.map(_._2)).reduce(_ || _),
-      inner2 = inner.toVector, mid2 = mid.toVector, mid2b = mid2.toVector,
-      tail2 = tail.toVector, innerOpt = innerOptional),
+      (inner.map(_._2) ++ closingLevels.flatten.map(_._2)).reduce(_ || _),
+      inner2 = inner.toVector,
+      closings = closingLevels.map(_.toVector).toVector,
+      innerOpt = innerOptional),
       notStep, windowMs, skipPastLast, skipTo)
   }
 
@@ -614,7 +643,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     // repetitions into the same running sum/min/max/first/last/cnt state
     // the one-level chain keeps
     require((steps.last.innerGroup ++ steps.last.group ++ steps.last.inner2 ++
-        steps.last.mid2 ++ steps.last.mid2b ++ steps.last.tail2)
+        steps.last.closings.flatten)
         .exists(_._1 == member),
       s"bindGroup($member): not a member of group ${steps.last.name}")
     require(!steps.last.tailRes.exists(_._1 == member),
@@ -623,10 +652,6 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(!steps.last.innerRes.exists(_._1 == member),
       s"bindGroup($member): does not compose with bindInnerResidual on " +
         "the same member")
-    require(steps.last.inner2.isEmpty || !steps.last.groupRows,
-      s"bindGroup($member): per-row running value snapshots are one-level " +
-        "only — does not compose with materializeNestedRows on a depth-2 " +
-        "group")
     new Pattern(steps.init :+ steps.last.copy(
       groupKeep = steps.last.groupKeep ++ cols.map(member -> _)),
       notStep, windowMs, skipPastLast, skipTo)
@@ -662,13 +687,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     require(steps.nonEmpty && (steps.last.innerGroup.nonEmpty ||
         steps.last.inner2.nonEmpty),
       "bindTailResidual() requires followedByNestedGroup()/" +
-        "followedByNested2Group() as the last step")
-    require((steps.last.group ++ steps.last.mid2 ++ steps.last.mid2b ++
-        steps.last.tail2).exists(_._1 == member),
-      s"bindTailResidual($member): not a TAIL or MID member of nested " +
-        s"group ${steps.last.name} (INNER members cannot carry iterative " +
-        "conditions — the shared sub-match table would need to be " +
-        "per-anchor; move the condition to a mid or outer tail step)")
+        "followedByNested2Group()/followedByNested3Group()/" +
+        "followedByNestedNGroup() as the last step")
+    require((steps.last.group ++ steps.last.closings.flatten)
+        .exists(_._1 == member),
+      s"bindTailResidual($member): not a CLOSING-level member of nested " +
+        s"group ${steps.last.name} (INNER members take bindInnerResidual)")
     require(Set("<", "<=", ">", ">=")(op),
       s"bindTailResidual($member): op must be one of < <= > >= (got '$op')")
     require(!steps.last.tailRes.exists(_._1 == member),
@@ -749,26 +773,25 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * the row's own contribution) — the raw material for ALL ROWS running
     * SUM/COUNT/AVG value measures. Running MIN/MAX/FIRST/LAST per row
     * are not materialized (named errors downstream). */
-  /** On a DEPTH-2 group (r16) the materialized structs additionally carry
-    * `mids` — level-1 repetitions completed as of the row (a row that
-    * itself completes one counts it, the same convention as reps/subs);
-    * rows of a level-1 repetition that is never absorbed, or of an outer
-    * repetition that never completes, are never emitted (the two-level
-    * discard the value fold follows). Running value snapshots
-    * (`vsum`/`vcnt`) are one-level only — bindGroup + materializeNestedRows
-    * on a depth-2 step is a named mutual exclusion. */
+  /** On a DEPTH-2+ group (r16; generalized r18) the materialized structs
+    * additionally carry one running level count per intermediate nesting
+    * level — `mids` (level-1 repetitions completed as of the row), `mids2`
+    * (level-2, depth ≥ 3), `mids3` (depth ≥ 4), ... — with the same
+    * a-row-that-completes-one-counts-it convention as reps/subs; rows of a
+    * repetition that is never absorbed at ANY level, or of an outer
+    * repetition that never completes, are never emitted (the per-level
+    * discard the value fold follows). With [[bindGroup]] columns the
+    * structs carry the `vsum`/`vcnt` running value snapshots at every
+    * depth (r18, lifting the former one-level-only mutual exclusion):
+    * a repetition's value contributions resolve into the row snapshots at
+    * ABSORB time and commit with the outer repetition, exactly like the
+    * running counts. */
   def materializeNestedRows(): Pattern = {
     require(steps.nonEmpty && (steps.last.innerGroup.nonEmpty ||
         steps.last.inner2.nonEmpty),
       "materializeNestedRows() requires followedByNestedGroup()/" +
-        "followedByNested2Group() as the last step")
-    require(steps.last.inner2.isEmpty || steps.last.groupKeep.isEmpty,
-      "materializeNestedRows() on a depth-2 group does not compose with " +
-        "bindGroup (per-row running value snapshots are one-level only)")
-    require(steps.last.mid2b.isEmpty,
-      "materializeNestedRows() on a DEPTH-3 group is not supported (the " +
-        "per-row running-count struct carries no level-2 column) — " +
-        "aggregate measures compose; use them, or flatten one level")
+        "followedByNested2Group()/followedByNested3Group()/" +
+        "followedByNestedNGroup() as the last step")
     new Pattern(steps.init :+ steps.last.copy(groupRows = true),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -1478,22 +1501,29 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           .drop("__rseg")
         prevTs = col(s"${s.name}_last_ts")
       } else if (s.inner2.nonEmpty) {
-        // --- DEPTH-2 nested group (((I...)+ M...)+ T...)+
-        // (followedByNested2Group): the one-level walk's recursion — the
-        // innermost sub-group lowers to the same declarative sub-match
-        // table, mid/outer-tail candidates are pre-filtered (key, ts)
-        // tables, and the three-level chain walks per key inside ONE
-        // cogroup. The level-1 repetition probe (inner chain punctuated
-        // by the earliest first-mid candidate + sequential mid bindings)
-        // is a local function the outer chain calls both to PUNCTUATE
-        // (absorb the next level-1 repetition only while it completes
-        // strictly before the earliest first-outer-tail candidate) and
-        // to ABSORB — one computation per decision, never recomputed.
+        // --- DEPTH-N nested group (...((I...)+ L1...)+ L2...)+ ... LD...)+
+        // (followedByNested{2,3,N}Group): the one-level walk's recursion,
+        // made depth-PARAMETRIC in r18 — the former per-depth probe pair
+        // (r1After/rep2After) and its depth-2-vs-3 dispatch collapse into
+        // ONE recursive level probe, which is what closes the old
+        // depth >= 4 named error. The innermost sub-group lowers to the
+        // same declarative sub-match table, every closing level's
+        // candidates are pre-filtered (key, ts) tables, and the
+        // (depth+1)-level chain walks per key inside ONE cogroup: a
+        // level-l repetition is a greedy chain of level-(l-1) repetitions
+        // (level 0 = one inner sub-match) punctuated by the earliest
+        // SATISFYING first-level-l-closer candidate, then the level-l
+        // closing steps bound sequentially — reluctant close and
+        // greedy-no-backtracking at every level. The probe is called once
+        // per decision (punctuate OR absorb), never recomputed, so the
+        // walk stays O(total bindings · log candidates · depth) per key,
+        // bounded by `maxEventsPerKey`.
         require(s.oneOrMore,
-          s"depth-2 nested group ${s.name}: quantify with oneOrMore()/" +
-            "zeroOrMore()")
-        // bindInnerResidual (r17 — the m49 recipe carried to depth 2/3):
-        // an anchor-relative condition on an INNER member parametrizes the
+          s"depth-${s.closings.size} nested group ${s.name}: quantify with " +
+            "oneOrMore()/zeroOrMore()")
+        val depthD = s.closings.size
+        // bindInnerResidual (r17 — the m49 recipe at any depth): an
+        // anchor-relative condition on an INNER member parametrizes the
         // sub-match compile by the anchor frame's DISTINCT threshold
         // tuples; candidates pre-reduce to per-(key, ts) op-appropriate
         // extremes and the walk selects each anchor's own sub array by
@@ -1502,36 +1532,37 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val iRes2 = new InnerResCompile(s.innerRes)
         val hasIRes2 = iRes2.has
         // the anchor frame feeds BOTH sides of the cogroup under an inner
-        // residual — persist it so the upstream pipeline runs once
-        if (hasIRes2) {
+        // residual — persist it so the upstream pipeline runs once;
+        // released after the walk output is checkpointed below (the
+        // Iterate.scala unpersist discipline, r17 advice)
+        val persistedAnchor2 = if (!hasIRes2) null else {
           out = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          out
         }
         val thrTable2 = if (!hasIRes2) null else iRes2.thrTable(out)
         var (isubs, prevSub) = compileInnerSubs(s.inner2, iRes2, thrTable2,
           events, key, ts, win)
-        // bindGroup VALUE measures through the depth-2 chain (r16, the
-        // m36 recipe recursed): INNER member values join the sub-match
-        // table at the member's bound time; MID and OUTER-TAIL values
-        // ride their candidate rows as per-(key, ts) min-value tables —
-        // the engine's equal-ts (value) min tie-break, doubles for O(1)
-        // running state
+        // bindGroup VALUE measures through the chain (r16, the m36 recipe
+        // recursed): INNER member values join the sub-match table at the
+        // member's bound time; closing-level values ride their candidate
+        // rows as per-(key, ts) min-value tables — the engine's equal-ts
+        // (value) min tie-break, doubles for O(1) running state
         val inner2Names = s.inner2.map(_._1)
         val gkInner = s.groupKeep.zipWithIndex.filter {
           case ((m, _), _) => inner2Names.contains(m) }
-        // closing steps in level order: mids (close level-1), mid2s
-        // (close level-2 — depth-3 only), outer tails
-        val closing2 = s.mid2 ++ s.mid2b ++ s.tail2
+        // closing steps flattened in level order: closings(0) = the mids
+        // (close level-1), ..., closings.last = the outer tails
+        val closing2 = s.closings.flatten
         val gkByStep: Map[Int, Seq[((String, String), Int)]] =
           closing2.zipWithIndex.map { case ((tn, _), j) =>
             j -> s.groupKeep.zipWithIndex.filter { case ((m, _), _) => m == tn }
           }.toMap
-        // bindTailResidual on an OUTER tail (r16 — the m40 recipe at depth
-        // 2) or a MID member (r17): per (key, ts) the op-appropriate value
-        // extreme; the walk scans to the first satisfying candidate and
-        // punctuation shares the scan at BOTH levels (a failing mid
-        // neither binds nor punctuates the inner chain, a failing outer
-        // tail neither binds nor punctuates the level-1 chain). Keyed by
-        // the step's position in the mid2++tail2 order.
+        // bindTailResidual on any closing-level member (r16/r17): per
+        // (key, ts) the op-appropriate value extreme; the walk scans to
+        // the first satisfying candidate and punctuation shares the scan
+        // at EVERY level (a failing closer neither binds nor punctuates
+        // its level's chain). Keyed by the step's position in the
+        // flattened closing order.
         def resIdx2(m: String): Int = closing2.indexWhere(_._1 == m)
         val resByStep2: Map[Int, (String, String)] = s.tailRes.map {
           case (m, c, op, _) => resIdx2(m) -> ((c, op))
@@ -1539,7 +1570,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         // ONE aggregate + join per MEMBER (all its kept columns together).
         // Equal-ts candidates: (value) min by default, (ties..., value)
         // argmin under a composite ORDER BY tiebreak (r17 — the shared
-        // tieMinAgg builder, closing the depth-2 tie-steer rejection)
+        // tieMinAgg builder)
         gkInner.groupBy(_._1._1).foreach { case (m, entries) =>
           val im = inner2Names.indexOf(m)
           val boundTs = if (im == 0) col("__gb") else col(s"__ge${im - 1}")
@@ -1564,9 +1595,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
           else lit(null).cast("array<timestamp>")
         // tagged candidate union: inner sub-matches (tag 0: start + end +
         // inner bound values + member times + threshold tuple under inner
-        // residuals), each mid step's candidates (tags 1..nMid), each
-        // mid2/outer-tail step's candidates — all pre-reduced, with that
-        // step's bound values when asked
+        // residuals), then each closing step's candidates in level order
+        // (tags 1..nClosing) — all pre-reduced, with that step's bound
+        // values when asked
         val thrsCol2: Column = iRes2.thrsCol
         val nullThrs2 = lit(null).cast("array<double>").as("__thrs")
         val tagged = closing2.zipWithIndex.foldLeft(
@@ -1592,7 +1623,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 lit(null).cast("array<double>").as("__vals"),
                 lit(null).cast("array<timestamp>").as("__mems"), nullThrs2)
               case None =>
-                // mid/outer-tail member values tie-steer too (the shared
+                // closing-level member values tie-steer too (the shared
                 // tieMinAgg builder — the r16 one-level convention)
                 val aggs = tks.map { case ((_, c), i) =>
                   Pattern.tieMinAgg(c, s.tieCols).as(s"__tv$i") }
@@ -1620,6 +1651,41 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val keyIdx = aSchema.fieldIndex("__k")
         val prevIdx = aSchema.fieldIndex("__gprev")
         val wendIdx = aSchema.fieldIndex("__gwend")
+        // per-level repetition totals, outermost-first in the output: the
+        // historical names — mid_n for level 1, mid{l}_n above it
+        def lvlColName(l: Int): String =
+          if (l == 1) s"${s.name}_mid_n" else s"${s.name}_mid${l}_n"
+        val lvlFields = (depthD - 1 to 1 by -1).map(l =>
+          org.apache.spark.sql.types.StructField(lvlColName(l),
+            org.apache.spark.sql.types.LongType))
+        // ALL ROWS struct: (ts, cls, reps, mids{D-1}, ..., mids2, mids,
+        // subs[, vsum, vcnt]) — one running count per nesting level (r18:
+        // every depth), plus per-row value snapshots under bindGroup
+        val rowsFields = if (!s.groupRows) Nil else {
+          val lvlRow = (depthD - 1 to 1 by -1).map(l =>
+            org.apache.spark.sql.types.StructField(
+              if (l == 1) "mids" else s"mids$l",
+              org.apache.spark.sql.types.LongType))
+          val base = Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("cls",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("reps",
+              org.apache.spark.sql.types.LongType)) ++ lvlRow ++ Seq(
+            org.apache.spark.sql.types.StructField("subs",
+              org.apache.spark.sql.types.LongType))
+          val valRows = if (s.groupKeep.isEmpty) Nil else Seq(
+            org.apache.spark.sql.types.StructField("vsum",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true)),
+            org.apache.spark.sql.types.StructField("vcnt",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType, false)))
+          Seq(org.apache.spark.sql.types.StructField(s"${s.name}_rows",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StructType(base ++ valRows), false)))
+        }
         val outSchema = org.apache.spark.sql.types.StructType(
           aSchema.fields ++ Seq(
             org.apache.spark.sql.types.StructField(s"${s.name}_first_ts",
@@ -1628,50 +1694,39 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               org.apache.spark.sql.types.TimestampType),
             org.apache.spark.sql.types.StructField(s"${s.name}_n",
               org.apache.spark.sql.types.LongType)) ++
-          (if (s.mid2b.isEmpty) Nil else Seq(
-            org.apache.spark.sql.types.StructField(s"${s.name}_mid2_n",
-              org.apache.spark.sql.types.LongType))) ++
-          Seq(
-            org.apache.spark.sql.types.StructField(s"${s.name}_mid_n",
-              org.apache.spark.sql.types.LongType),
+          lvlFields ++ Seq(
             org.apache.spark.sql.types.StructField(s"${s.name}_inner_n",
               org.apache.spark.sql.types.LongType)) ++
-          Pattern.groupValFields(s.name, s.groupKeep) ++
-          (if (!s.groupRows) Nil else Seq(
-            org.apache.spark.sql.types.StructField(s"${s.name}_rows",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("ts",
-                    org.apache.spark.sql.types.TimestampType),
-                  org.apache.spark.sql.types.StructField("cls",
-                    org.apache.spark.sql.types.StringType),
-                  org.apache.spark.sql.types.StructField("reps",
-                    org.apache.spark.sql.types.LongType),
-                  org.apache.spark.sql.types.StructField("mids",
-                    org.apache.spark.sql.types.LongType),
-                  org.apache.spark.sql.types.StructField("subs",
-                    org.apache.spark.sql.types.LongType))), false)))))
+          Pattern.groupValFields(s.name, s.groupKeep) ++ rowsFields)
         val strEnc = org.apache.spark.sql.Encoders.STRING
         val anchKV = anch.groupByKey(r => Pattern.keyString(r.get(keyIdx)))(strEnc)
         val candKV = tagged.groupByKey(r => Pattern.keyString(r.get(0)))(strEnc)
+        // primitive closure copies — the Step itself (whose Columns are
+        // not serializable) must never be captured
         val optGroup = s.opt
-        val nMid = s.mid2.size
-        val nMid2b = s.mid2b.size
-        val nTails = s.tail2.size
-        // first outer-tail index in the closing-step order (= nMid for
-        // depth 2; the outer chain punctuates on this step's candidates)
-        val tailIdx0 = nMid + nMid2b
+        val nD = depthD
+        val lvlSizes: Array[Int] = s.closings.map(_.size).toArray
+        // closing2 offset of level (l+1)'s first closing step
+        val lvlOff: Array[Int] = lvlSizes.scanLeft(0)(_ + _).init
         val nClosing = closing2.size
-        val sName = s.name
         val matRows = s.groupRows
         val innerOptFlag = s.innerOpt
-        // all member names in tag order: inner members, mids, mid2s, tails
+        // all member names in tag order: inner members, then the closing
+        // levels flattened
         val clsNames = (s.inner2.map(_._1) ++ closing2.map(_._1)).toArray
         val nInner = s.inner2.size
-        // primitive groupKeep positions per source (closure copies)
         val gkN = s.groupKeep.size
         val gkInnerPos = gkInner.map(_._2).toArray
         val gkStepPos = Array.tabulate(nClosing)(j => gkByStep(j).map(_._2).toArray)
+        // per-row value snapshots: on whenever BOTH surfaces are on; per
+        // inner member j the (index into the sub's __vals array, gk pos)
+        // contributions
+        val rowVals = matRows && gkN > 0
+        val gkInnerByMember: Array[Array[(Int, Int)]] =
+          Array.tabulate(nInner)(j =>
+            gkInner.zipWithIndex.collect {
+              case (((m, _), gi), vi) if m == inner2Names(j) => (vi, gi)
+            }.toArray)
         // bindTailResidual: per step an op code (0 none, 1 <, 2 <=, 3 >,
         // 4 >=) and the anchor-frame field index of its threshold column
         val resOps2: Array[Int] = Array.tabulate(nClosing)(j =>
@@ -1685,9 +1740,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val hasIResW2 = hasIRes2
         val iResThrIdx2: Array[Int] = Array.tabulate(s.innerRes.size)(r =>
           aSchema.fieldIndex(s"__ires$r"))
+        // diagnostic label parametrized on the ACTUAL depth (r17 advice:
+        // the shared branch used to say "depth-2 ... three-level" even for
+        // depth-3 groups)
+        val walkLabel2 = s"depth-$depthD nested group ${s.name} " +
+          s"${depthD + 1}-level chain walk"
         val chained = anchKV.cogroup(candKV) { (_, as, cs) =>
-          val all = Pattern.boundedRows(cs, maxPK,
-            s"depth-2 nested group ${sName} three-level chain walk")
+          val all = Pattern.boundedRows(cs, maxPK, walkLabel2)
           val subsAll = all.filter(_.getInt(1) == 0)
             .map(r => (Pattern.tsOf(r, 2), Pattern.tsOf(r, 3),
               if (gkInnerPos.length > 0) Pattern.dblsOf(r, 4) else null,
@@ -1708,8 +1767,7 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               Seq[java.sql.Timestamp])]] =
             if (!hasIResW2) Map.empty
             else subsAll.groupBy(_._5).map { case (k, xs) => k -> sorted2(xs) }
-          // closing-step candidates in level order (mids, mid2s, tails):
-          // sorted (time, bound values)
+          // closing-step candidates in level order: sorted (time, values)
           val cands = Array.tabulate(nClosing) { j =>
             all.filter(_.getInt(1) == j + 1).map(r => (Pattern.tsOf(r, 2),
               if (gkStepPos(j).length > 0 || resOps2(j) != 0)
@@ -1768,46 +1826,44 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               }
               x
             }
-            // one LEVEL-1 repetition anchored strictly after t: greedy
-            // inner chain punctuated by the earliest first-mid candidate,
-            // then the mid steps bound sequentially — (first binding,
-            // end = final mid binding, inner sub count), or null if no
-            // repetition completes in-window (completion monotone in
-            // start at every level: each stage is an earliest-after over
-            // a shrinking candidate set, so no later anchor completes
-            // earlier)
-            def r1After(t: java.sql.Timestamp)
-                : (java.sql.Timestamp, java.sql.Timestamp, Long,
-                   scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)],
-                   scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Int, Long, Long)]) = {
-              val i0 = subAfter(t)
-              val subAvail = i0 < subs.length && !subs(i0)._2.after(wEnd)
-              // innerOptional: the level-1 repetition may bind the mids
-              // ALONE — mid-first when the earliest first-mid candidate
-              // does not come strictly after the earliest completable sub
-              // (ties favor the mid, the one-level inner-'*' convention).
-              // The binary search runs only under the flag — the inner-'+'
-              // probe is the walk's innermost hot path
-              val midFirst = innerOptFlag && {
-                val mx0 = candBind(0, t)
-                mx0 < cands(0).length && !cands(0)(mx0)._1.after(wEnd) &&
-                  (!subAvail || !subs(i0)._2.before(cands(0)(mx0)._1))
-              }
-              if (!subAvail && !midFirst) return null
-              // the repetition's bound values (and, under
-              // materializeNestedRows, its rows with LOCAL counts:
-              // (ts, member index, mids delta, subs-as-of-local)) — folded
-              // into the attempt only if the repetition COMPLETES, and
-              // into the committed state only if the OUTER repetition
-              // does (greedy-no-backtracking at both levels)
+            // === the depth-parametric repetition probe ===
+            // One COMPLETED level-l repetition anchored strictly after t0:
+            // a greedy chain of level-(l-1) repetitions (level 0 = one
+            // inner sub-match), first one unconditional, the rest absorbed
+            // only while they complete strictly BEFORE the earliest
+            // satisfying first-level-l-closer candidate after the chain
+            // end, then the level-l closing steps bound sequentially.
+            // Returns null when no repetition completes in-window
+            // (completion is monotone in start at every level: each stage
+            // is an earliest-after over a shrinking candidate set, so no
+            // later anchor completes earlier). The NestRep carries LOCAL
+            // state — per-level unit counts, pending bindGroup values in
+            // binding order, materialized rows with repetition-local
+            // running counts and value snapshots — which the ABSORBING
+            // parent resolves by its own running offsets: commit-at-
+            // absorb, discard-at-speculation-failure, at every level.
+            def repAt(l: Int, t0: java.sql.Timestamp): Pattern.NestRep = {
+              val counts = new Array[Long](nD + 1)
               val pend = if (gkN > 0)
                 scala.collection.mutable.ArrayBuffer.empty[(Int, java.lang.Double)]
               else null
               val rows = if (matRows)
-                scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, Int, Long, Long)]
+                scala.collection.mutable.ArrayBuffer.empty[Pattern.NestRowL]
               else null
-              var k = 0L
-              def subVals(idx: Int): Unit = {
+              val runS = if (rowVals) new Array[java.lang.Double](gkN) else null
+              val runC = if (rowVals) new Array[Long](gkN) else null
+              def applyVal(gi: Int, v: java.lang.Double): Unit =
+                if (rowVals && v != null) {
+                  runC(gi) += 1
+                  runS(gi) = if (runS(gi) == null) v
+                             else java.lang.Double.valueOf(runS(gi) + v)
+                }
+              var first: java.sql.Timestamp = null
+              var e = t0
+              // one inner sub-match absorbed into a level-1 chain: values
+              // into the pending list, member rows with local counts and
+              // own-contribution-inclusive value snapshots
+              def absorbSub(idx: Int): Unit = {
                 if (gkInnerPos.length > 0) {
                   val vs = subs(idx)._3
                   var p = 0
@@ -1819,125 +1875,160 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   val mems = subs(idx)._4
                   var j = 0
                   while (j < mems.length) {
+                    if (rowVals) {
+                      val contrib = gkInnerByMember(j)
+                      var p = 0
+                      while (p < contrib.length) {
+                        applyVal(contrib(p)._2, subs(idx)._3(contrib(p)._1))
+                        p += 1
+                      }
+                    }
+                    val cnt = new Array[Long](nD + 1)
                     // the final member completes the sub and counts it
-                    rows += ((mems(j), j, 0L,
-                      if (j == mems.length - 1) k else k - 1))
+                    cnt(0) = counts(0) + (if (j == mems.length - 1) 1 else 0)
+                    rows += new Pattern.NestRowL(mems(j), j, cnt,
+                      if (rowVals) runS.clone() else null,
+                      if (rowVals) runC.clone() else null)
                     j += 1
                   }
                 }
+                counts(0) += 1
               }
-              var e = t
-              var repFirst: java.sql.Timestamp = null
-              if (!midFirst) {
-                e = subs(i0)._2
-                k = 1L
-                repFirst = subs(i0)._1
-                subVals(i0)
+              // one completed level-(l-1) repetition absorbed into this
+              // chain: its local rows/snapshots resolve by THIS
+              // repetition's running offsets, then its totals fold in
+              def absorbChild(c: Pattern.NestRep): Unit = {
+                if (matRows) {
+                  val cr = c.rows
+                  var i = 0
+                  while (i < cr.length) {
+                    val r = cr(i)
+                    var q = 0
+                    while (q <= nD) { r.cnt(q) += counts(q); q += 1 }
+                    if (rowVals) {
+                      var g = 0
+                      while (g < gkN) {
+                        if (runS(g) != null)
+                          r.vs(g) = if (r.vs(g) == null) runS(g)
+                                    else java.lang.Double.valueOf(r.vs(g) + runS(g))
+                        r.vc(g) += runC(g)
+                        g += 1
+                      }
+                    }
+                    rows += r
+                    i += 1
+                  }
+                }
+                if (rowVals) {
+                  var g = 0
+                  while (g < gkN) {
+                    if (c.vS(g) != null)
+                      runS(g) = if (runS(g) == null) c.vS(g)
+                                else java.lang.Double.valueOf(runS(g) + c.vS(g))
+                    runC(g) += c.vC(g)
+                    g += 1
+                  }
+                }
+                if (gkN > 0) pend ++= c.pend
+                var q = 0
+                while (q <= nD) { counts(q) += c.counts(q); q += 1 }
+              }
+              val closerOff = lvlOff(l - 1)
+              if (l == 1) {
+                val i0 = subAfter(t0)
+                val subAvail = i0 < subs.length && !subs(i0)._2.after(wEnd)
+                // innerOptional: the level-1 repetition may bind the mids
+                // ALONE — mid-first when the earliest first-mid candidate
+                // does not come strictly after the earliest completable
+                // sub (ties favor the mid, the one-level inner-'*'
+                // convention). The binary search runs only under the flag
+                // — the inner-'+' probe is the walk's innermost hot path
+                val midFirst = innerOptFlag && {
+                  val mx0 = candBind(closerOff, t0)
+                  mx0 < cands(closerOff).length &&
+                    !cands(closerOff)(mx0)._1.after(wEnd) &&
+                    (!subAvail || !subs(i0)._2.before(cands(closerOff)(mx0)._1))
+                }
+                if (!subAvail && !midFirst) return null
+                if (!midFirst) {
+                  first = subs(i0)._1
+                  e = subs(i0)._2
+                  absorbSub(i0)
+                  var more = true
+                  while (more) {
+                    val nx = subAfter(e)
+                    // the first-mid punctuation scans to a SATISFYING
+                    // candidate under a mid residual — a failing mid
+                    // cannot punctuate
+                    val mx = candBind(closerOff, e)
+                    val mCand = if (mx < cands(closerOff).length &&
+                        !cands(closerOff)(mx)._1.after(wEnd)) cands(closerOff)(mx)._1
+                      else null
+                    if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
+                        (mCand != null && !subs(nx)._2.before(mCand))) more = false
+                    else { e = subs(nx)._2; absorbSub(nx) }
+                  }
+                }
+              } else {
+                val c0 = repAt(l - 1, t0)
+                if (c0 == null) return null
+                first = c0.first
+                e = c0.end
+                absorbChild(c0)
                 var more = true
                 while (more) {
-                  val nx = subAfter(e)
-                  // the first-mid punctuation scans to a SATISFYING
-                  // candidate under a mid residual (candBind == candAfter
-                  // without one) — a failing mid cannot punctuate
-                  val mx = candBind(0, e)
-                  val mCand = if (mx < cands(0).length &&
-                      !cands(0)(mx)._1.after(wEnd)) cands(0)(mx)._1 else null
-                  if (nx >= subs.length || subs(nx)._2.after(wEnd) ||
-                      (mCand != null && !subs(nx)._2.before(mCand))) more = false
-                  else { e = subs(nx)._2; k += 1; subVals(nx) }
+                  val wx = candBind(closerOff, e)
+                  val wCand = if (wx < cands(closerOff).length &&
+                      !cands(closerOff)(wx)._1.after(wEnd)) cands(closerOff)(wx)._1
+                    else null
+                  val nx = repAt(l - 1, e)
+                  if (nx == null ||
+                      (wCand != null && !nx.end.before(wCand))) more = false
+                  else { e = nx.end; absorbChild(nx) }
                 }
               }
-              var t2 = e; var mi = 0
-              while (mi < nMid) {
-                val x = candBind(mi, t2)
-                if (x >= cands(mi).length || cands(mi)(x)._1.after(wEnd)) return null
-                t2 = cands(mi)(x)._1
-                if (repFirst == null) repFirst = t2 // mid-first repetition
-                if (gkStepPos(mi).length > 0) {
-                  val vs = cands(mi)(x)._2
+              // bind the level-l closing steps sequentially
+              var t2 = e; var ci = 0
+              val nCl = lvlSizes(l - 1)
+              while (ci < nCl) {
+                val j = closerOff + ci
+                val x = candBind(j, t2)
+                if (x >= cands(j).length || cands(j)(x)._1.after(wEnd))
+                  return null
+                t2 = cands(j)(x)._1
+                if (first == null) first = t2 // mid-first repetition
+                if (gkStepPos(j).length > 0) {
+                  val vs = cands(j)(x)._2
                   var p = 0
-                  while (p < gkStepPos(mi).length) {
-                    pend += ((gkStepPos(mi)(p), vs(p))); p += 1
+                  while (p < gkStepPos(j).length) {
+                    val gi = gkStepPos(j)(p)
+                    applyVal(gi, vs(p))
+                    pend += ((gi, vs(p)))
+                    p += 1
                   }
                 }
-                // the LAST mid step completes the level-1 repetition
-                if (matRows) rows += ((t2, nInner + mi,
-                  if (mi == nMid - 1) 1L else 0L, k))
-                mi += 1
-              }
-              (repFirst, t2, k, pend, rows)
-            }
-            // one LEVEL-2 repetition (depth-3 only) anchored strictly
-            // after t0: a greedy chain of level-1 repetitions (first one
-            // unconditional, the rest punctuated by the earliest
-            // SATISFYING first-mid2 candidate), then the mid2 steps bound
-            // sequentially — r1After's own rule applied one level up.
-            // Returns (first binding, end = final mid2 binding, level-1
-            // count, inner count, pending values); null when no level-2
-            // repetition completes in-window (completion stays monotone
-            // in start: every stage is an earliest-after over a shrinking
-            // candidate set). materializeNestedRows never reaches depth 3
-            // (named rejection), so no row buffer.
-            def rep2After(t0: java.sql.Timestamp)
-                : (java.sql.Timestamp, java.sql.Timestamp, Long, Long,
-                   scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)]) = {
-              val r0 = r1After(t0)
-              if (r0 == null) return null
-              var e = r0._2; var mm = 1L; var kk = r0._3
-              val rf = r0._1
-              val pend2 = if (gkN > 0) {
-                val b = scala.collection.mutable.ArrayBuffer
-                  .empty[(Int, java.lang.Double)]
-                b ++= r0._4; b
-              } else null
-              var more2 = true
-              while (more2) {
-                val wx = candBind(nMid, e)
-                val wCand = if (wx < cands(nMid).length &&
-                    !cands(nMid)(wx)._1.after(wEnd)) cands(nMid)(wx)._1 else null
-                val nx = r1After(e)
-                if (nx == null ||
-                    (wCand != null && !nx._2.before(wCand))) more2 = false
-                else { e = nx._2; mm += 1; kk += nx._3
-                  if (gkN > 0) pend2 ++= nx._4 }
-              }
-              var t2 = e; var mi = 0
-              while (mi < nMid2b) {
-                val x = candBind(nMid + mi, t2)
-                if (x >= cands(nMid + mi).length ||
-                    cands(nMid + mi)(x)._1.after(wEnd)) return null
-                t2 = cands(nMid + mi)(x)._1
-                if (gkStepPos(nMid + mi).length > 0) {
-                  val vs = cands(nMid + mi)(x)._2
-                  var p = 0
-                  while (p < gkStepPos(nMid + mi).length) {
-                    pend2 += ((gkStepPos(nMid + mi)(p), vs(p))); p += 1
-                  }
+                if (matRows) {
+                  val cnt = counts.clone()
+                  // only the FINAL closer completes the level-l repetition
+                  // (the final-member-counts convention)
+                  if (ci == nCl - 1) cnt(l) += 1
+                  rows += new Pattern.NestRowL(t2, nInner + j, cnt,
+                    if (rowVals) runS.clone() else null,
+                    if (rowVals) runC.clone() else null)
                 }
-                mi += 1
+                ci += 1
               }
-              (rf, t2, mm, kk, pend2)
+              counts(l) += 1
+              new Pattern.NestRep(first, t2, counts, pend, rows, runS, runC)
             }
-            // the outer chain's repetition probe — LEVEL-1 repetitions at
-            // depth 2, LEVEL-2 at depth 3 — normalized to (first, end,
-            // level-1 delta, inner delta, pend, rows)
-            def repNext(t0: java.sql.Timestamp)
-                : (java.sql.Timestamp, java.sql.Timestamp, Long, Long,
-                   scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)],
-                   scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Int, Long, Long)]) =
-              if (nMid2b == 0) {
-                val r = r1After(t0)
-                if (r == null) null else (r._1, r._2, 1L, r._3, r._4, r._5)
-              } else {
-                val r = rep2After(t0)
-                if (r == null) null else (r._1, r._2, r._3, r._4, r._5, null)
-              }
+            // the match: a greedy chain of level-D (outer) repetitions to
+            // window end — commit per completed repetition, with the
+            // committed bindGroup running state and committed rows in the
+            // one-level chain's shape
             var lastEnd = tau
             var first: java.sql.Timestamp = null
-            var n = 0L; var mid2Tot = 0L; var midTot = 0L; var innerTot = 0L
+            val totals = new Array[Long](nD + 1)
             var done = false
-            // committed bindGroup running state (the one-level chain's
-            // shape) — folded per COMMITTED outer repetition
             val vSum = new Array[java.lang.Double](gkN)
             val vMin = new Array[java.lang.Double](gkN)
             val vMax = new Array[java.lang.Double](gkN)
@@ -1945,111 +2036,75 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
             val vLast = new Array[java.lang.Double](gkN)
             val vCnt = new Array[Long](gkN)
             val vSeen = new Array[Boolean](gkN)
-            // materializeNestedRows: committed rows flush per COMMITTED
-            // outer repetition — a rejected speculation's rows die with
-            // it, a failed attempt's with the attempt
             val allRows = if (matRows)
               scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
             else null
             while (!done) {
-              // one OUTER repetition: a greedy chain of level-1 (depth-2) /
-              // level-2 (depth-3) repetitions (first one unconditional,
-              // the rest punctuated by the earliest first-outer-tail
-              // candidate), then the outer tails bound sequentially
-              val r1 = repNext(lastEnd)
-              if (r1 == null) done = true
+              val r = repAt(nD, lastEnd)
+              if (r == null) done = true
               else {
-                var gEnd = r1._2; var m2 = 1L; var m = r1._3; var kSum = r1._4
-                val repFirst = r1._1
-                // the outer attempt's pending values: absorbed repetitions'
-                // values + the outer tails' — committed only when the
-                // outer repetition completes
-                val pendAtt = if (gkN > 0)
-                  scala.collection.mutable.ArrayBuffer.empty[(Int, java.lang.Double)]
-                else null
-                if (gkN > 0) pendAtt ++= r1._5
-                val attRows = if (matRows)
-                  scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-                else null
-                // local row counts -> global running counts, resolved at
-                // ABSORB time (attempt offsets known then): reps = outer
-                // completed (n), mids/subs = committed + attempt-before +
-                // the row's local delta
-                def absorbRows(rws: scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Int, Long, Long)],
-                               attMidsBefore: Long, attInnerBefore: Long): Unit =
-                  if (matRows) rws.foreach { case (ts0, ci, md, sl) =>
-                    attRows += org.apache.spark.sql.Row(ts0, clsNames(ci), n,
-                      midTot + attMidsBefore + md, innerTot + attInnerBefore + sl)
-                  }
-                absorbRows(if (matRows) r1._6 else null, 0L, 0L)
-                var more = true
-                while (more) {
-                  val tx = candBind(tailIdx0, gEnd)
-                  val tCand = if (tx < cands(tailIdx0).length &&
-                      !cands(tailIdx0)(tx)._1.after(wEnd)) cands(tailIdx0)(tx)._1 else null
-                  val nx = repNext(gEnd)
-                  if (nx == null ||
-                      (tCand != null && !nx._2.before(tCand))) more = false
-                  else {
-                    absorbRows(if (matRows) nx._6 else null, m, kSum)
-                    gEnd = nx._2; m2 += 1; m += nx._3; kSum += nx._4
-                    if (gkN > 0) pendAtt ++= nx._5
-                  }
-                }
-                var t = gEnd; var ok = true; var ti = 0
-                while (ok && ti < nTails) {
-                  val x = candBind(tailIdx0 + ti, t)
-                  if (x >= cands(tailIdx0 + ti).length ||
-                      cands(tailIdx0 + ti)(x)._1.after(wEnd)) ok = false
-                  else {
-                    t = cands(tailIdx0 + ti)(x)._1
-                    if (gkStepPos(tailIdx0 + ti).length > 0) {
-                      val vs = cands(tailIdx0 + ti)(x)._2
-                      var p = 0
-                      while (p < gkStepPos(tailIdx0 + ti).length) {
-                        pendAtt += ((gkStepPos(tailIdx0 + ti)(p), vs(p))); p += 1
+                if (totals(nD) == 0) first = r.first
+                if (matRows) {
+                  // commit this repetition's rows: local counts resolve
+                  // to global running counts, local value snapshots add
+                  // the COMMITTED totals (the rows resolve before
+                  // commitPending folds this repetition's own values)
+                  val n0 = totals(nD)
+                  var i = 0
+                  while (i < r.rows.length) {
+                    val rw = r.rows(i)
+                    val lvlCols: Seq[Any] =
+                      (nD - 1 to 1 by -1).map(l => totals(l) + rw.cnt(l))
+                    val base: Seq[Any] = Seq(rw.ts, clsNames(rw.ci),
+                      n0 + rw.cnt(nD)) ++ lvlCols ++ Seq(totals(0) + rw.cnt(0))
+                    val valPart: Seq[Any] = if (!rowVals) Nil else {
+                      val vsArr = (0 until gkN).map { g =>
+                        if (rw.vs(g) == null) vSum(g)
+                        else if (vSum(g) == null) rw.vs(g)
+                        else java.lang.Double.valueOf(vSum(g) + rw.vs(g))
                       }
+                      val vcArr = (0 until gkN).map(g => vCnt(g) + rw.vc(g))
+                      Seq(vsArr, vcArr)
                     }
-                    // only the FINAL outer tail completes the outer
-                    // repetition (the final-member-counts convention)
-                    if (matRows) attRows += org.apache.spark.sql.Row(t,
-                      clsNames(nInner + tailIdx0 + ti),
-                      n + (if (ti == nTails - 1) 1L else 0L), midTot + m,
-                      innerTot + kSum)
-                    ti += 1
+                    allRows += org.apache.spark.sql.Row.fromSeq(base ++ valPart)
+                    i += 1
                   }
                 }
-                if (!ok) done = true
-                else {
-                  if (n == 0) first = repFirst
-                  lastEnd = t; n += 1; mid2Tot += m2; midTot += m
-                  innerTot += kSum
-                  if (matRows) allRows ++= attRows
-                  if (gkN > 0) Pattern.commitPending(pendAtt,
-                    vSum, vMin, vMax, vFirst, vLast, vCnt, vSeen)
-                }
+                lastEnd = r.end
+                var q = 0
+                while (q <= nD) { totals(q) += r.counts(q); q += 1 }
+                if (gkN > 0) Pattern.commitPending(r.pend,
+                  vSum, vMin, vMax, vFirst, vLast, vCnt, vSeen)
               }
             }
+            val n = totals(nD)
             val valCols: Seq[Any] = (0 until gkN).flatMap(j =>
               Seq(vSum(j), vMin(j), vMax(j), vFirst(j), vLast(j), vCnt(j)))
             val rowsCols: Seq[Any] = if (matRows) Seq(allRows.toSeq) else Nil
-            val mid2Cols: Seq[Any] = if (nMid2b > 0) Seq(mid2Tot) else Nil
-            val mid2Zero: Seq[Any] = if (nMid2b > 0) Seq(0L) else Nil
+            val lvlTotCols: Seq[Any] = (nD - 1 to 1 by -1).map(l => totals(l))
+            val lvlZeroCols: Seq[Any] = (nD - 1 to 1 by -1).map(_ => 0L)
             // ((( ... )+ ...)* (opt): an empty chain keeps the match row
             // with null boundaries and count 0 — the zeroOrMore convention
             if (n == 0 && !optGroup) Iterator.empty
             else if (n == 0) Iterator.single(org.apache.spark.sql.Row.fromSeq(
-              a.toSeq ++ Seq(null, null, 0L) ++ mid2Zero ++ Seq(0L, 0L) ++
+              a.toSeq ++ Seq(null, null, 0L) ++ lvlZeroCols ++ Seq(0L) ++
                 (0 until gkN).flatMap(_ => Seq(null, null, null, null, null, 0L)) ++
                 (if (matRows) Seq(Seq.empty) else Nil)))
             else Iterator.single(org.apache.spark.sql.Row.fromSeq(
-              a.toSeq ++ Seq(first, lastEnd, n) ++ mid2Cols ++
-                Seq(midTot, innerTot) ++ valCols ++ rowsCols))
+              a.toSeq ++ Seq(first, lastEnd, n) ++ lvlTotCols ++
+                Seq(totals(0)) ++ valCols ++ rowsCols))
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
         out = chained.toDF().drop("__gprev", "__gwend")
           .drop(resByStep2.keys.map(j => s"__tres$j").toSeq: _*)
           .drop(s.innerRes.indices.map(r => s"__ires$r"): _*)
+        if (persistedAnchor2 != null) {
+          // one walk-output row per anchor: checkpointing it eagerly is
+          // cheap, and it lets the anchor pin release NOW instead of at
+          // application exit
+          out = out.localCheckpoint(true)
+          persistedAnchor2.unpersist(false)
+        }
         prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
                  else col(s"${s.name}_last_ts")
       } else if (s.innerGroup.nonEmpty) {
@@ -2083,9 +2138,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val hasIRes = iRes.has
         // the anchor frame feeds BOTH the anchor side and (via the tuple
         // table) the candidate side of the cogroup — persist it so the
-        // upstream pipeline is not evaluated twice
-        if (hasIRes) {
+        // upstream pipeline is not evaluated twice; released after the
+        // walk output is checkpointed below (the Iterate.scala unpersist
+        // discipline — r17 advice: a never-unpersisted frame pins memory
+        // for the application lifetime)
+        val persistedAnchor = if (!hasIRes) null else {
           out = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          out
         }
         val thrTable = if (!hasIRes) null else iRes.thrTable(out)
         // inner sub-match table: one row per first-inner-step event with
@@ -2531,6 +2590,13 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         out = chained.toDF().drop("__gprev", "__gwend")
           .drop(resByTail.keys.map(j => s"__tres$j").toSeq: _*)
           .drop(s.innerRes.indices.map(r => s"__ires$r"): _*)
+        if (persistedAnchor != null) {
+          // one walk-output row per anchor: checkpointing it eagerly is
+          // cheap, and it lets the anchor pin release NOW instead of at
+          // application exit
+          out = out.localCheckpoint(true)
+          persistedAnchor.unpersist(false)
+        }
         prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
                  else col(s"${s.name}_last_ts")
       } else if (s.group.nonEmpty) {
@@ -2985,6 +3051,28 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
 object Pattern extends Serializable {
   def begin(name: String, pred: Column): Pattern =
     new Pattern(Vector(Step(name, pred)), None, None)
+
+  /** One COMPLETED level-l repetition of the depth-N nested-group walk
+    * (task-local, never serialized): boundaries, per-level unit counts
+    * LOCAL to the repetition (`counts(0)` inner subs, `counts(i)` level-i
+    * repetitions, `counts(l)` == 1 — itself), pending bindGroup values in
+    * binding order, materialized rows with repetition-local running
+    * counts/snapshots, and the repetition's own value totals (`vS`/`vC`)
+    * for the parent's snapshot resolution. */
+  private[cep] final class NestRep(
+      val first: java.sql.Timestamp, val end: java.sql.Timestamp,
+      val counts: Array[Long],
+      val pend: scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)],
+      val rows: scala.collection.mutable.ArrayBuffer[NestRowL],
+      val vS: Array[java.lang.Double], val vC: Array[Long])
+
+  /** One materialized bound event of the walk, counts/snapshots still
+    * LOCAL to the repetition being built — resolved to enclosing offsets
+    * at ABSORB time and to global totals at COMMIT time (mutated in
+    * place: each row belongs to exactly one repetition). */
+  private[cep] final class NestRowL(
+      val ts: java.sql.Timestamp, val ci: Int, val cnt: Array[Long],
+      val vs: Array[java.lang.Double], val vc: Array[Long])
 
   /** Default per-key candidate ceiling for the sequential per-key walks
     * (group/nested repetition chains, PREV(n>1) segmentation, AFTER MATCH

@@ -188,7 +188,18 @@ object MatchRecognizeSqlParser {
   /** Replace every `FROM <source> MATCH_RECOGNIZE (...)` segment — source a
     * catalog table/temp view, a top-level CTE alias of this statement, or a
     * parenthesized subquery — with a temp view holding the compiled
-    * matches; other statements pass through. */
+    * matches; other statements pass through.
+    *
+    * Lexer assumption: the paren scan honors the DEFAULT Spark lexer, where
+    * backslash escapes (`\'`/`\"`) are live inside string literals. Under
+    * `spark.sql.parser.escapedStringLiterals=true` a literal ENDING in a
+    * backslash (e.g. `'dir\'`) is complete SQL, but the scan would read the
+    * `\'` as an escaped quote and swallow the close — statements combining
+    * that config, a trailing-backslash literal inside MATCH_RECOGNIZE
+    * arguments, and parentheses after it can mis-nest (documented
+    * limitation; the config is off by default and the MATCH_RECOGNIZE
+    * clause grammar itself has no string-literal position where a trailing
+    * backslash is meaningful). */
   def rewrite(session: SparkSession, sqlText: String): String = {
     rewriteSubquery(session, sqlText) match {
       case Some(s) => return rewrite(session, s)

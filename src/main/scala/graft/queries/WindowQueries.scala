@@ -4809,6 +4809,821 @@ object WindowQueries {
       |       inner_done AS n_inner
       |FROM best WHERE rn = 1""".stripMargin
 
+  // --- m51: ALL ROWS PER MATCH over the DEPTH-3 nested group (m48's
+  // per-event twin — r18, lifting the r17 named rejection: reference
+  // flink-table StreamExecMatch emits member rows for ANY pattern shape,
+  // nesting depth included): the depth-parametric walk materializes every
+  // COMMITTED bound event with running (reps, mids2, mids, subs) counts —
+  // one count per nesting level — and rows of rejected level-1/level-2
+  // speculations and uncommitted outer attempts are discarded with them.
+  // Oracle: the m48 two-checkpoint CTE carrying THREE row buffers in state
+  // (DuckDB struct-list accumulation): r1_rows local to the inner chain,
+  // a2_rows local to the level-2 attempt (resolved from r1_rows at ABSORB
+  // time with the attempt offsets), ao_rows local to the outer attempt
+  // (resolved from a2_rows at level-2 absorb), and dn_rows committed
+  // global rows (resolved at the close modes) — exactly the engine's
+  // per-level buffer flush, then the best row's list UNNESTs.
+  private val m51: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(X.ts) AS n_reps,
+        |           COUNT(W.ts) AS n_mids2, COUNT(V.ts) AS n_mids,
+        |           COUNT(C.ts) AS n_subs
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((((B C)+ V)+ W)+ X)+)
+        |  WITHIN INTERVAL '480' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase' AND W.value < 50,
+        |         X AS event_type = 'purchase' AND X.value >= 50
+        |)""".stripMargin)
+      .select("user_id", "cls", "ts", "signup_ts", "n_reps", "n_mids2",
+        "n_mids", "n_subs")
+  private val m51Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='error'),
+      |w AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase' AND value < 50),
+      |x AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase' AND value >= 50),
+      |subs AS (
+      |  SELECT b.user_id, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM b JOIN c ON c.user_id = b.user_id AND c.ts > b.ts
+      |              AND c.ts <= b.ts + INTERVAL 480 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2),
+      |vnext AS (
+      |  SELECT su.user_id, su.b_ts, min(v.ts) AS v_ts
+      |  FROM subs su LEFT JOIN v ON v.user_id = su.user_id AND v.ts > su.e_ts
+      |  GROUP BY 1, 2),
+      |wnextv AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(w.ts) AS w_ts
+      |  FROM v LEFT JOIN w ON w.user_id = v.user_id AND w.ts > v.ts
+      |  GROUP BY 1, 2),
+      |xnextw AS (
+      |  SELECT w.user_id, w.ts AS w_ts, min(x.ts) AS x_ts
+      |  FROM w LEFT JOIN x ON x.user_id = w.user_id AND x.ts > w.ts
+      |  GROUP BY 1, 2),
+      |nsubv AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(su.b_ts) AS nb
+      |  FROM v LEFT JOIN subs su ON su.user_id = v.user_id AND su.b_ts > v.ts
+      |  GROUP BY 1, 2),
+      |nsubw AS (
+      |  SELECT w.user_id, w.ts AS w_ts, min(su.b_ts) AS nb
+      |  FROM w LEFT JOIN subs su ON su.user_id = w.user_id AND su.b_ts > w.ts
+      |  GROUP BY 1, 2),
+      |nsubx AS (
+      |  SELECT x.user_id, x.ts AS x_ts, min(su.b_ts) AS nb
+      |  FROM x LEFT JOIN subs su ON su.user_id = x.user_id AND su.b_ts > x.ts
+      |  GROUP BY 1, 2),
+      |entry AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 480 HOURS AS w_end,
+      |         min(su.b_ts) AS b1
+      |  FROM s JOIN subs su ON su.user_id = s.user_id AND su.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |walk AS (
+      |  SELECT e.user_id, e.s_ts, e.w_end, e.b1 AS first_b,
+      |         su.b_ts AS cur_b, su.e_ts AS cur_e,
+      |         CAST(1 AS BIGINT) AS chain_k,
+      |         CAST(0 AS BIGINT) AS a2_mid, CAST(0 AS BIGINT) AS a2_inner,
+      |         CAST(NULL AS TIMESTAMP) AS a2_gend,
+      |         CAST(0 AS BIGINT) AS ao_m2, CAST(0 AS BIGINT) AS ao_mid,
+      |         CAST(0 AS BIGINT) AS ao_inner,
+      |         CAST(NULL AS TIMESTAMP) AS ao_gend,
+      |         CAST(0 AS BIGINT) AS n_done, CAST(0 AS BIGINT) AS m2_done,
+      |         CAST(0 AS BIGINT) AS mid_done, CAST(0 AS BIGINT) AS inner_done,
+      |         CAST(NULL AS TIMESTAMP) AS match_end, 'chain' AS phase,
+      |         [{'ts': su.b_ts, 'cls': 'B', 'md': CAST(0 AS BIGINT), 'sl': CAST(0 AS BIGINT)},
+      |          {'ts': su.e_ts, 'cls': 'C', 'md': CAST(0 AS BIGINT), 'sl': CAST(1 AS BIGINT)}] AS r1_rows,
+      |         CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, m2d BIGINT, md2 BIGINT, sl2 BIGINT)[]) AS a2_rows,
+      |         CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, m2o BIGINT, mdo BIGINT, slo BIGINT)[]) AS ao_rows,
+      |         CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, reps BIGINT, mids2 BIGINT, mids BIGINT, subs BIGINT)[]) AS dn_rows
+      |  FROM entry e JOIN subs su ON su.user_id = e.user_id AND su.b_ts = e.b1
+      |  WHERE su.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT user_id, s_ts, w_end, first_b,
+      |         CASE WHEN mode='extend' THEN nx_b
+      |              WHEN mode IN ('abs2_spec','absO_spec','newatt') THEN nr_b
+      |              ELSE cur_b END,
+      |         CASE WHEN mode='extend' THEN nx_e
+      |              WHEN mode='close1' THEN vts
+      |              WHEN mode IN ('abs2_spec','absO_spec','newatt') THEN nr_e
+      |              WHEN mode IN ('chfail2','rej2') THEN wgts
+      |              WHEN mode='abs2_close' THEN w2ts
+      |              ELSE cur_e END,
+      |         CASE WHEN mode='extend' THEN chain_k + 1
+      |              WHEN mode IN ('abs2_spec','absO_spec','newatt') THEN CAST(1 AS BIGINT)
+      |              ELSE chain_k END,
+      |         CASE WHEN mode IN ('abs2_spec','abs2_close') THEN a2_mid + 1
+      |              WHEN mode IN ('absO_spec','absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE a2_mid END,
+      |         CASE WHEN mode IN ('abs2_spec','abs2_close') THEN a2_inner + chain_k
+      |              WHEN mode IN ('absO_spec','absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE a2_inner END,
+      |         CASE WHEN mode IN ('abs2_spec','abs2_close') THEN cur_e
+      |              WHEN mode IN ('absO_spec','absO_close','chfailO','rejO','newatt') THEN CAST(NULL AS TIMESTAMP)
+      |              ELSE a2_gend END,
+      |         CASE WHEN mode='absO_spec' THEN ao_m2 + 1
+      |              WHEN mode IN ('absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE ao_m2 END,
+      |         CASE WHEN mode='absO_spec' THEN ao_mid + a2_mid
+      |              WHEN mode IN ('absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE ao_mid END,
+      |         CASE WHEN mode='absO_spec' THEN ao_inner + a2_inner
+      |              WHEN mode IN ('absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE ao_inner END,
+      |         CASE WHEN mode='absO_spec' THEN cur_e
+      |              WHEN mode IN ('absO_close','chfailO','rejO','newatt') THEN CAST(NULL AS TIMESTAMP)
+      |              ELSE ao_gend END,
+      |         CASE WHEN mode IN ('absO_close','chfailO','rejO') THEN n_done + 1 ELSE n_done END,
+      |         CASE WHEN mode='absO_close' THEN m2_done + ao_m2 + 1
+      |              WHEN mode IN ('chfailO','rejO') THEN m2_done + ao_m2
+      |              ELSE m2_done END,
+      |         CASE WHEN mode='absO_close' THEN mid_done + ao_mid + a2_mid
+      |              WHEN mode IN ('chfailO','rejO') THEN mid_done + ao_mid
+      |              ELSE mid_done END,
+      |         CASE WHEN mode='absO_close' THEN inner_done + ao_inner + a2_inner
+      |              WHEN mode IN ('chfailO','rejO') THEN inner_done + ao_inner
+      |              ELSE inner_done END,
+      |         CASE WHEN mode='absO_close' THEN x2ts
+      |              WHEN mode IN ('chfailO','rejO') THEN xgts
+      |              ELSE match_end END,
+      |         CASE WHEN mode IN ('absO_close','chfailO','rejO') THEN 'closed'
+      |              WHEN mode='close1' THEN 'mid1'
+      |              WHEN mode IN ('chfail2','abs2_close','rej2') THEN 'mid2'
+      |              ELSE 'chain' END,
+      |         CASE WHEN mode='extend' THEN r1_rows ||
+      |                [{'ts': nx_b, 'cls': 'B', 'md': CAST(0 AS BIGINT), 'sl': chain_k},
+      |                 {'ts': nx_e, 'cls': 'C', 'md': CAST(0 AS BIGINT), 'sl': chain_k + 1}]
+      |              WHEN mode='close1' THEN r1_rows ||
+      |                [{'ts': vts, 'cls': 'V', 'md': CAST(1 AS BIGINT), 'sl': chain_k}]
+      |              WHEN mode IN ('abs2_spec','absO_spec','newatt') THEN
+      |                [{'ts': nr_b, 'cls': 'B', 'md': CAST(0 AS BIGINT), 'sl': CAST(0 AS BIGINT)},
+      |                 {'ts': nr_e, 'cls': 'C', 'md': CAST(0 AS BIGINT), 'sl': CAST(1 AS BIGINT)}]
+      |              ELSE r1_rows END,
+      |         CASE WHEN mode='abs2_spec' THEN a2_rows ||
+      |                list_transform(r1_rows, r -> {'ts': r.ts, 'cls': r.cls,
+      |                  'm2d': CAST(0 AS BIGINT), 'md2': a2_mid + r.md,
+      |                  'sl2': a2_inner + r.sl})
+      |              WHEN mode='abs2_close' THEN a2_rows ||
+      |                list_transform(r1_rows, r -> {'ts': r.ts, 'cls': r.cls,
+      |                  'm2d': CAST(0 AS BIGINT), 'md2': a2_mid + r.md,
+      |                  'sl2': a2_inner + r.sl}) ||
+      |                [{'ts': w2ts, 'cls': 'W', 'm2d': CAST(1 AS BIGINT),
+      |                  'md2': a2_mid + 1, 'sl2': a2_inner + chain_k}]
+      |              WHEN mode IN ('chfail2','rej2') THEN a2_rows ||
+      |                [{'ts': wgts, 'cls': 'W', 'm2d': CAST(1 AS BIGINT),
+      |                  'md2': a2_mid, 'sl2': a2_inner}]
+      |              WHEN mode IN ('absO_spec','absO_close','chfailO','rejO','newatt')
+      |                THEN CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, m2d BIGINT, md2 BIGINT, sl2 BIGINT)[])
+      |              ELSE a2_rows END,
+      |         CASE WHEN mode='absO_spec' THEN ao_rows ||
+      |                list_transform(a2_rows, r -> {'ts': r.ts, 'cls': r.cls,
+      |                  'm2o': ao_m2 + r.m2d, 'mdo': ao_mid + r.md2,
+      |                  'slo': ao_inner + r.sl2})
+      |              WHEN mode IN ('absO_close','chfailO','rejO','newatt')
+      |                THEN CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, m2o BIGINT, mdo BIGINT, slo BIGINT)[])
+      |              ELSE ao_rows END,
+      |         CASE WHEN mode='absO_close' THEN dn_rows ||
+      |                list_transform(ao_rows, r -> {'ts': r.ts, 'cls': r.cls,
+      |                  'reps': n_done, 'mids2': m2_done + r.m2o,
+      |                  'mids': mid_done + r.mdo, 'subs': inner_done + r.slo}) ||
+      |                list_transform(a2_rows, r -> {'ts': r.ts, 'cls': r.cls,
+      |                  'reps': n_done, 'mids2': m2_done + ao_m2 + r.m2d,
+      |                  'mids': mid_done + ao_mid + r.md2,
+      |                  'subs': inner_done + ao_inner + r.sl2}) ||
+      |                [{'ts': x2ts, 'cls': 'X', 'reps': n_done + 1,
+      |                  'mids2': m2_done + ao_m2 + 1,
+      |                  'mids': mid_done + ao_mid + a2_mid,
+      |                  'subs': inner_done + ao_inner + a2_inner}]
+      |              WHEN mode IN ('chfailO','rejO') THEN dn_rows ||
+      |                list_transform(ao_rows, r -> {'ts': r.ts, 'cls': r.cls,
+      |                  'reps': n_done, 'mids2': m2_done + r.m2o,
+      |                  'mids': mid_done + r.mdo, 'subs': inner_done + r.slo}) ||
+      |                [{'ts': xgts, 'cls': 'X', 'reps': n_done + 1,
+      |                  'mids2': m2_done + ao_m2, 'mids': mid_done + ao_mid,
+      |                  'subs': inner_done + ao_inner}]
+      |              ELSE dn_rows END
+      |  FROM (
+      |    SELECT wk.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e, vn.v_ts AS vts,
+      |           wg.w_ts AS wgts, w2.w_ts AS w2ts,
+      |           xg.x_ts AS xgts, x2.x_ts AS x2ts,
+      |           nr.b_ts AS nr_b, nr.e_ts AS nr_e,
+      |      CASE WHEN wk.phase = 'chain' AND nx.b_ts IS NOT NULL
+      |                AND nx.e_ts <= wk.w_end
+      |                AND NOT (vn.v_ts IS NOT NULL AND vn.v_ts <= wk.w_end
+      |                         AND nx.e_ts >= vn.v_ts) THEN 'extend'
+      |           WHEN wk.phase = 'chain' AND vn.v_ts IS NOT NULL
+      |                AND vn.v_ts <= wk.w_end THEN 'close1'
+      |           WHEN wk.phase = 'chain' AND wk.a2_mid > 0
+      |                AND wg.w_ts IS NOT NULL AND wg.w_ts <= wk.w_end
+      |                THEN 'chfail2'
+      |           WHEN wk.phase = 'chain' AND wk.ao_m2 > 0
+      |                AND xg.x_ts IS NOT NULL AND xg.x_ts <= wk.w_end
+      |                THEN 'chfailO'
+      |           WHEN wk.phase = 'mid1' AND (wk.a2_mid = 0
+      |                OR wg.w_ts IS NULL OR wg.w_ts > wk.w_end
+      |                OR wk.cur_e < wg.w_ts) THEN
+      |             CASE WHEN nr.b_ts IS NOT NULL AND nr.e_ts <= wk.w_end
+      |                  THEN 'abs2_spec'
+      |                  WHEN w2.w_ts IS NOT NULL AND w2.w_ts <= wk.w_end
+      |                  THEN 'abs2_close'
+      |                  -- no next sub AND no W after the absorbed rep: the
+      |                  -- whole level-2 attempt dies, and the OUTER closes
+      |                  -- from ITS checkpoint (the chfailO cascade)
+      |                  WHEN wk.ao_m2 > 0 AND xg.x_ts IS NOT NULL
+      |                       AND xg.x_ts <= wk.w_end THEN 'chfailO' END
+      |           WHEN wk.phase = 'mid1' THEN 'rej2'
+      |           WHEN wk.phase = 'mid2' AND (wk.ao_m2 = 0
+      |                OR xg.x_ts IS NULL OR xg.x_ts > wk.w_end
+      |                OR wk.cur_e < xg.x_ts) THEN
+      |             CASE WHEN nr.b_ts IS NOT NULL AND nr.e_ts <= wk.w_end
+      |                  THEN 'absO_spec'
+      |                  WHEN x2.x_ts IS NOT NULL AND x2.x_ts <= wk.w_end
+      |                  THEN 'absO_close' END
+      |           WHEN wk.phase = 'mid2' THEN 'rejO'
+      |           WHEN wk.phase = 'closed' AND nr.b_ts IS NOT NULL
+      |                AND nr.e_ts <= wk.w_end THEN 'newatt'
+      |      END AS mode
+      |    FROM walk wk
+      |    LEFT JOIN link l  ON wk.phase='chain' AND l.user_id = wk.user_id
+      |                      AND l.b_ts = wk.cur_b
+      |    LEFT JOIN subs nx ON nx.user_id = wk.user_id AND nx.b_ts = l.nb
+      |    LEFT JOIN vnext vn ON wk.phase='chain' AND vn.user_id = wk.user_id
+      |                       AND vn.b_ts = wk.cur_b
+      |    LEFT JOIN wnextv wg ON wg.user_id = wk.user_id
+      |                        AND wg.v_ts = wk.a2_gend
+      |    LEFT JOIN wnextv w2 ON wk.phase='mid1' AND w2.user_id = wk.user_id
+      |                        AND w2.v_ts = wk.cur_e
+      |    LEFT JOIN xnextw xg ON xg.user_id = wk.user_id
+      |                        AND xg.w_ts = wk.ao_gend
+      |    LEFT JOIN xnextw x2 ON wk.phase='mid2' AND x2.user_id = wk.user_id
+      |                        AND x2.w_ts = wk.cur_e
+      |    LEFT JOIN nsubv nv ON wk.phase='mid1' AND nv.user_id = wk.user_id
+      |                       AND nv.v_ts = wk.cur_e
+      |    LEFT JOIN nsubw nw ON wk.phase='mid2' AND nw.user_id = wk.user_id
+      |                       AND nw.w_ts = wk.cur_e
+      |    LEFT JOIN nsubx nr0 ON wk.phase='closed' AND nr0.user_id = wk.user_id
+      |                        AND nr0.x_ts = wk.match_end
+      |    LEFT JOIN subs nr ON nr.user_id = wk.user_id
+      |                      AND nr.b_ts = COALESCE(nv.nb, nw.nb, nr0.nb)
+      |  ) WHERE mode IS NOT NULL),
+      |best AS (
+      |  SELECT user_id, s_ts, n_done, dn_rows,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
+      |       CAST(0 AS BIGINT) AS n_reps, CAST(0 AS BIGINT) AS n_mids2,
+      |       CAST(0 AS BIGINT) AS n_mids, CAST(0 AS BIGINT) AS n_subs
+      |FROM best WHERE rn = 1
+      |UNION ALL
+      |SELECT bb.user_id, u.r.cls, u.r.ts, bb.s_ts, u.r.reps, u.r.mids2,
+      |       u.r.mids, u.r.subs
+      |FROM best bb, UNNEST(bb.dn_rows) AS u(r)
+      |WHERE bb.rn = 1""".stripMargin
+
+  // --- m52: DEPTH-4 nested group `S (((((B C)+ V)+ W)+ X)+ Y)+` (r18,
+  // closing the former depth >= 4 named error — flink-cep
+  // GroupPattern.java:30 composes recursively without limit, and the
+  // depth-parametric followedByNestedNGroup walk now matches it: depth is
+  // a PARAMETER, not a compile branch). The m48 recursion applied once
+  // more: a LEVEL-3 repetition is a greedy chain of level-2 repetitions
+  // punctuated by the earliest X, then X bound; an OUTER repetition a
+  // greedy chain of level-3 repetitions punctuated by the earliest Y,
+  // then Y bound — reluctant close and greedy-no-backtracking at every
+  // level. V/W/X/Y split the error+purchase stream on value thirds (the
+  // corpus has five event types and the pattern needs seven predicates).
+  // Oracle: the m48 speculation-checkpoint CTE with a THIRD checkpoint
+  // level — the walk descends carrying the LEVEL-2 (a2), LEVEL-3 (a3)
+  // and OUTER (ao) attempt checkpoints; completed reps replay the
+  // punctuation rule against the next level up ('mid1'/'mid2'/'mid3'
+  // phases) and failures cascade through every level above. Every row
+  // still has exactly ONE successor.
+  private val m52: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(Y.ts) AS grp_last_ts, COUNT(Y.ts) AS n_outer,
+        |           COUNT(X.ts) AS n_mid3, COUNT(W.ts) AS n_mid2,
+        |           COUNT(V.ts) AS n_mid, COUNT(B.ts) AS n_inner
+        |  PATTERN (S (((((B C)+ V)+ W)+ X)+ Y)+)
+        |  WITHIN INTERVAL '960' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase' AND W.value < 30,
+        |         X AS event_type = 'purchase' AND X.value >= 30 AND X.value < 70,
+        |         Y AS event_type = 'purchase' AND Y.value >= 70
+        |)""".stripMargin)
+  private val m52Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='view'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='error'),
+      |w AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase' AND value < 30),
+      |x AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase' AND value >= 30 AND value < 70),
+      |y AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase' AND value >= 70),
+      |subs AS (
+      |  SELECT b.user_id, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM b JOIN c ON c.user_id = b.user_id AND c.ts > b.ts
+      |              AND c.ts <= b.ts + INTERVAL 960 HOURS
+      |  GROUP BY 1, 2),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2),
+      |vnext AS (
+      |  SELECT su.user_id, su.b_ts, min(v.ts) AS v_ts
+      |  FROM subs su LEFT JOIN v ON v.user_id = su.user_id AND v.ts > su.e_ts
+      |  GROUP BY 1, 2),
+      |wnextv AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(w.ts) AS w_ts
+      |  FROM v LEFT JOIN w ON w.user_id = v.user_id AND w.ts > v.ts
+      |  GROUP BY 1, 2),
+      |xnextw AS (
+      |  SELECT w.user_id, w.ts AS w_ts, min(x.ts) AS x_ts
+      |  FROM w LEFT JOIN x ON x.user_id = w.user_id AND x.ts > w.ts
+      |  GROUP BY 1, 2),
+      |ynextx AS (
+      |  SELECT x.user_id, x.ts AS x_ts, min(y.ts) AS y_ts
+      |  FROM x LEFT JOIN y ON y.user_id = x.user_id AND y.ts > x.ts
+      |  GROUP BY 1, 2),
+      |nsubv AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(su.b_ts) AS nb
+      |  FROM v LEFT JOIN subs su ON su.user_id = v.user_id AND su.b_ts > v.ts
+      |  GROUP BY 1, 2),
+      |nsubw AS (
+      |  SELECT w.user_id, w.ts AS w_ts, min(su.b_ts) AS nb
+      |  FROM w LEFT JOIN subs su ON su.user_id = w.user_id AND su.b_ts > w.ts
+      |  GROUP BY 1, 2),
+      |nsubx AS (
+      |  SELECT x.user_id, x.ts AS x_ts, min(su.b_ts) AS nb
+      |  FROM x LEFT JOIN subs su ON su.user_id = x.user_id AND su.b_ts > x.ts
+      |  GROUP BY 1, 2),
+      |nsuby AS (
+      |  SELECT y.user_id, y.ts AS y_ts, min(su.b_ts) AS nb
+      |  FROM y LEFT JOIN subs su ON su.user_id = y.user_id AND su.b_ts > y.ts
+      |  GROUP BY 1, 2),
+      |entry AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 960 HOURS AS w_end,
+      |         min(su.b_ts) AS b1
+      |  FROM s JOIN subs su ON su.user_id = s.user_id AND su.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |walk AS (
+      |  SELECT e.user_id, e.s_ts, e.w_end, e.b1 AS first_b,
+      |         su.b_ts AS cur_b, su.e_ts AS cur_e,
+      |         CAST(1 AS BIGINT) AS chain_k,
+      |         CAST(0 AS BIGINT) AS a2_mid, CAST(0 AS BIGINT) AS a2_inner,
+      |         CAST(NULL AS TIMESTAMP) AS a2_gend,
+      |         CAST(0 AS BIGINT) AS a3_m2, CAST(0 AS BIGINT) AS a3_mid,
+      |         CAST(0 AS BIGINT) AS a3_inner,
+      |         CAST(NULL AS TIMESTAMP) AS a3_gend,
+      |         CAST(0 AS BIGINT) AS ao_m3, CAST(0 AS BIGINT) AS ao_m2,
+      |         CAST(0 AS BIGINT) AS ao_mid, CAST(0 AS BIGINT) AS ao_inner,
+      |         CAST(NULL AS TIMESTAMP) AS ao_gend,
+      |         CAST(0 AS BIGINT) AS n_done, CAST(0 AS BIGINT) AS m3_done,
+      |         CAST(0 AS BIGINT) AS m2_done, CAST(0 AS BIGINT) AS mid_done,
+      |         CAST(0 AS BIGINT) AS inner_done,
+      |         CAST(NULL AS TIMESTAMP) AS match_end, 'chain' AS phase
+      |  FROM entry e JOIN subs su ON su.user_id = e.user_id AND su.b_ts = e.b1
+      |  WHERE su.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT user_id, s_ts, w_end, first_b,
+      |         CASE WHEN mode='extend' THEN nx_b
+      |              WHEN mode IN ('abs2_spec','abs3_spec','absO_spec','newatt') THEN nr_b
+      |              ELSE cur_b END,
+      |         CASE WHEN mode='extend' THEN nx_e
+      |              WHEN mode='close1' THEN vts
+      |              WHEN mode IN ('abs2_spec','abs3_spec','absO_spec','newatt') THEN nr_e
+      |              WHEN mode IN ('chfail2','rej2') THEN wgts
+      |              WHEN mode='abs2_close' THEN w2ts
+      |              WHEN mode IN ('chfail3','rej3') THEN xgts
+      |              WHEN mode='abs3_close' THEN x2ts
+      |              ELSE cur_e END,
+      |         CASE WHEN mode='extend' THEN chain_k + 1
+      |              WHEN mode IN ('abs2_spec','abs3_spec','absO_spec','newatt') THEN CAST(1 AS BIGINT)
+      |              ELSE chain_k END,
+      |         CASE WHEN mode IN ('abs2_spec','abs2_close') THEN a2_mid + 1
+      |              WHEN mode IN ('abs3_spec','abs3_close','chfail3','rej3','absO_spec','absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE a2_mid END,
+      |         CASE WHEN mode IN ('abs2_spec','abs2_close') THEN a2_inner + chain_k
+      |              WHEN mode IN ('abs3_spec','abs3_close','chfail3','rej3','absO_spec','absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE a2_inner END,
+      |         CASE WHEN mode IN ('abs2_spec','abs2_close') THEN cur_e
+      |              WHEN mode IN ('abs3_spec','abs3_close','chfail3','rej3','absO_spec','absO_close','chfailO','rejO','newatt') THEN CAST(NULL AS TIMESTAMP)
+      |              ELSE a2_gend END,
+      |         CASE WHEN mode IN ('abs3_spec','abs3_close') THEN a3_m2 + 1
+      |              WHEN mode IN ('absO_spec','absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE a3_m2 END,
+      |         CASE WHEN mode IN ('abs3_spec','abs3_close') THEN a3_mid + a2_mid
+      |              WHEN mode IN ('absO_spec','absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE a3_mid END,
+      |         CASE WHEN mode IN ('abs3_spec','abs3_close') THEN a3_inner + a2_inner
+      |              WHEN mode IN ('absO_spec','absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE a3_inner END,
+      |         CASE WHEN mode IN ('abs3_spec','abs3_close') THEN cur_e
+      |              WHEN mode IN ('absO_spec','absO_close','chfailO','rejO','newatt') THEN CAST(NULL AS TIMESTAMP)
+      |              ELSE a3_gend END,
+      |         CASE WHEN mode='absO_spec' THEN ao_m3 + 1
+      |              WHEN mode IN ('absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE ao_m3 END,
+      |         CASE WHEN mode='absO_spec' THEN ao_m2 + a3_m2
+      |              WHEN mode IN ('absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE ao_m2 END,
+      |         CASE WHEN mode='absO_spec' THEN ao_mid + a3_mid
+      |              WHEN mode IN ('absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE ao_mid END,
+      |         CASE WHEN mode='absO_spec' THEN ao_inner + a3_inner
+      |              WHEN mode IN ('absO_close','chfailO','rejO','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE ao_inner END,
+      |         CASE WHEN mode='absO_spec' THEN cur_e
+      |              WHEN mode IN ('absO_close','chfailO','rejO','newatt') THEN CAST(NULL AS TIMESTAMP)
+      |              ELSE ao_gend END,
+      |         CASE WHEN mode IN ('absO_close','chfailO','rejO') THEN n_done + 1 ELSE n_done END,
+      |         CASE WHEN mode='absO_close' THEN m3_done + ao_m3 + 1
+      |              WHEN mode IN ('chfailO','rejO') THEN m3_done + ao_m3
+      |              ELSE m3_done END,
+      |         CASE WHEN mode='absO_close' THEN m2_done + ao_m2 + a3_m2
+      |              WHEN mode IN ('chfailO','rejO') THEN m2_done + ao_m2
+      |              ELSE m2_done END,
+      |         CASE WHEN mode='absO_close' THEN mid_done + ao_mid + a3_mid
+      |              WHEN mode IN ('chfailO','rejO') THEN mid_done + ao_mid
+      |              ELSE mid_done END,
+      |         CASE WHEN mode='absO_close' THEN inner_done + ao_inner + a3_inner
+      |              WHEN mode IN ('chfailO','rejO') THEN inner_done + ao_inner
+      |              ELSE inner_done END,
+      |         CASE WHEN mode='absO_close' THEN y2ts
+      |              WHEN mode IN ('chfailO','rejO') THEN ygts
+      |              ELSE match_end END,
+      |         CASE WHEN mode IN ('absO_close','chfailO','rejO') THEN 'closed'
+      |              WHEN mode='close1' THEN 'mid1'
+      |              WHEN mode IN ('chfail2','abs2_close','rej2') THEN 'mid2'
+      |              WHEN mode IN ('chfail3','abs3_close','rej3') THEN 'mid3'
+      |              ELSE 'chain' END
+      |  FROM (
+      |    SELECT wk.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e, vn.v_ts AS vts,
+      |           wg.w_ts AS wgts, w2.w_ts AS w2ts,
+      |           xg.x_ts AS xgts, x2.x_ts AS x2ts,
+      |           yg.y_ts AS ygts, y2.y_ts AS y2ts,
+      |           nr.b_ts AS nr_b, nr.e_ts AS nr_e,
+      |      CASE WHEN wk.phase = 'chain' AND nx.b_ts IS NOT NULL
+      |                AND nx.e_ts <= wk.w_end
+      |                AND NOT (vn.v_ts IS NOT NULL AND vn.v_ts <= wk.w_end
+      |                         AND nx.e_ts >= vn.v_ts) THEN 'extend'
+      |           WHEN wk.phase = 'chain' AND vn.v_ts IS NOT NULL
+      |                AND vn.v_ts <= wk.w_end THEN 'close1'
+      |           WHEN wk.phase = 'chain' AND wk.a2_mid > 0
+      |                AND wg.w_ts IS NOT NULL AND wg.w_ts <= wk.w_end
+      |                THEN 'chfail2'
+      |           WHEN wk.phase = 'chain' AND wk.a3_m2 > 0
+      |                AND xg.x_ts IS NOT NULL AND xg.x_ts <= wk.w_end
+      |                THEN 'chfail3'
+      |           WHEN wk.phase = 'chain' AND wk.ao_m3 > 0
+      |                AND yg.y_ts IS NOT NULL AND yg.y_ts <= wk.w_end
+      |                THEN 'chfailO'
+      |           WHEN wk.phase = 'mid1' AND (wk.a2_mid = 0
+      |                OR wg.w_ts IS NULL OR wg.w_ts > wk.w_end
+      |                OR wk.cur_e < wg.w_ts) THEN
+      |             CASE WHEN nr.b_ts IS NOT NULL AND nr.e_ts <= wk.w_end
+      |                  THEN 'abs2_spec'
+      |                  WHEN w2.w_ts IS NOT NULL AND w2.w_ts <= wk.w_end
+      |                  THEN 'abs2_close'
+      |                  -- no next sub AND no W after the absorbed rep: the
+      |                  -- level-2 attempt dies and the cascade closes the
+      |                  -- NEXT level up that can close (level 3, else outer)
+      |                  WHEN wk.a3_m2 > 0 AND xg.x_ts IS NOT NULL
+      |                       AND xg.x_ts <= wk.w_end THEN 'chfail3'
+      |                  WHEN wk.ao_m3 > 0 AND yg.y_ts IS NOT NULL
+      |                       AND yg.y_ts <= wk.w_end THEN 'chfailO' END
+      |           WHEN wk.phase = 'mid1' THEN 'rej2'
+      |           WHEN wk.phase = 'mid2' AND (wk.a3_m2 = 0
+      |                OR xg.x_ts IS NULL OR xg.x_ts > wk.w_end
+      |                OR wk.cur_e < xg.x_ts) THEN
+      |             CASE WHEN nr.b_ts IS NOT NULL AND nr.e_ts <= wk.w_end
+      |                  THEN 'abs3_spec'
+      |                  WHEN x2.x_ts IS NOT NULL AND x2.x_ts <= wk.w_end
+      |                  THEN 'abs3_close'
+      |                  WHEN wk.ao_m3 > 0 AND yg.y_ts IS NOT NULL
+      |                       AND yg.y_ts <= wk.w_end THEN 'chfailO' END
+      |           WHEN wk.phase = 'mid2' THEN 'rej3'
+      |           WHEN wk.phase = 'mid3' AND (wk.ao_m3 = 0
+      |                OR yg.y_ts IS NULL OR yg.y_ts > wk.w_end
+      |                OR wk.cur_e < yg.y_ts) THEN
+      |             CASE WHEN nr.b_ts IS NOT NULL AND nr.e_ts <= wk.w_end
+      |                  THEN 'absO_spec'
+      |                  WHEN y2.y_ts IS NOT NULL AND y2.y_ts <= wk.w_end
+      |                  THEN 'absO_close' END
+      |           WHEN wk.phase = 'mid3' THEN 'rejO'
+      |           WHEN wk.phase = 'closed' AND nr.b_ts IS NOT NULL
+      |                AND nr.e_ts <= wk.w_end THEN 'newatt'
+      |      END AS mode
+      |    FROM walk wk
+      |    LEFT JOIN link l  ON wk.phase='chain' AND l.user_id = wk.user_id
+      |                      AND l.b_ts = wk.cur_b
+      |    LEFT JOIN subs nx ON nx.user_id = wk.user_id AND nx.b_ts = l.nb
+      |    LEFT JOIN vnext vn ON wk.phase='chain' AND vn.user_id = wk.user_id
+      |                       AND vn.b_ts = wk.cur_b
+      |    LEFT JOIN wnextv wg ON wg.user_id = wk.user_id
+      |                        AND wg.v_ts = wk.a2_gend
+      |    LEFT JOIN wnextv w2 ON wk.phase='mid1' AND w2.user_id = wk.user_id
+      |                        AND w2.v_ts = wk.cur_e
+      |    LEFT JOIN xnextw xg ON xg.user_id = wk.user_id
+      |                        AND xg.w_ts = wk.a3_gend
+      |    LEFT JOIN xnextw x2 ON wk.phase='mid2' AND x2.user_id = wk.user_id
+      |                        AND x2.w_ts = wk.cur_e
+      |    LEFT JOIN ynextx yg ON yg.user_id = wk.user_id
+      |                        AND yg.x_ts = wk.ao_gend
+      |    LEFT JOIN ynextx y2 ON wk.phase='mid3' AND y2.user_id = wk.user_id
+      |                        AND y2.x_ts = wk.cur_e
+      |    LEFT JOIN nsubv nv ON wk.phase='mid1' AND nv.user_id = wk.user_id
+      |                       AND nv.v_ts = wk.cur_e
+      |    LEFT JOIN nsubw nw ON wk.phase='mid2' AND nw.user_id = wk.user_id
+      |                       AND nw.w_ts = wk.cur_e
+      |    LEFT JOIN nsubx nx3 ON wk.phase='mid3' AND nx3.user_id = wk.user_id
+      |                        AND nx3.x_ts = wk.cur_e
+      |    LEFT JOIN nsuby nr0 ON wk.phase='closed' AND nr0.user_id = wk.user_id
+      |                        AND nr0.y_ts = wk.match_end
+      |    LEFT JOIN subs nr ON nr.user_id = wk.user_id
+      |                      AND nr.b_ts = COALESCE(nv.nb, nw.nb, nx3.nb, nr0.nb)
+      |  ) WHERE mode IS NOT NULL),
+      |best AS (
+      |  SELECT user_id, s_ts, first_b, match_end, n_done, m3_done, m2_done,
+      |         mid_done, inner_done,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, s_ts AS signup_ts, first_b AS grp_first_ts,
+      |       match_end AS grp_last_ts, n_done AS n_outer, m3_done AS n_mid3,
+      |       m2_done AS n_mid2, mid_done AS n_mid, inner_done AS n_inner
+      |FROM best WHERE rn = 1""".stripMargin
+
+  // --- m53: ALL ROWS PER MATCH + member VALUE measures over the DEPTH-2
+  // nested group (r18, lifting the r16 named mutual exclusion "per-row
+  // running value snapshots are one-level only"): each materialized row
+  // carries the RUNNING SUM/COUNT of C's bound value AS OF the row (own
+  // contribution included) — the value contributions resolve through the
+  // same two pending levels as the running counts: a level-1 repetition's
+  // values enter the row snapshots at ABSORB time and commit with the
+  // outer repetition; rejected speculations discard theirs. Oracle: the
+  // m42 committed-row-list CTE with value state at every level — chain
+  // (cvs/cvc), outer attempt (avs/avc), committed (dvs/dvc) — and
+  // null-aware addition (the engine's vsum stays NULL until the first
+  // non-null value; null-valued bindings count 0).
+  private val m53: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, SUM(C.value) AS sum_c,
+        |           COUNT(C.value) AS cnt_c, COUNT(W.ts) AS n_reps
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase'
+        |)""".stripMargin)
+      .select("user_id", "cls", "ts", "signup_ts", "sum_c", "cnt_c", "n_reps")
+  private val m53Sql =
+    """WITH RECURSIVE
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
+      |b AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='click'),
+      |cg AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, min(value) AS val
+      |       FROM events WHERE event_type='view' GROUP BY 1, 2),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='error'),
+      |w AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='purchase'),
+      |subs0 AS (
+      |  SELECT b.user_id, b.ts AS b_ts, min(c.ts) AS e_ts
+      |  FROM b JOIN cg c ON c.user_id = b.user_id AND c.ts > b.ts
+      |              AND c.ts <= b.ts + INTERVAL 96 HOURS
+      |  GROUP BY 1, 2),
+      |subs AS (
+      |  SELECT s0.user_id, s0.b_ts, s0.e_ts, c.val
+      |  FROM subs0 s0 JOIN cg c ON c.user_id = s0.user_id AND c.ts = s0.e_ts),
+      |link AS (
+      |  SELECT s1.user_id, s1.b_ts, min(s2.b_ts) AS nb
+      |  FROM subs s1 LEFT JOIN subs s2 ON s2.user_id = s1.user_id AND s2.b_ts > s1.e_ts
+      |  GROUP BY 1, 2),
+      |vnext AS (
+      |  SELECT su.user_id, su.b_ts, min(v.ts) AS v_ts
+      |  FROM subs su LEFT JOIN v ON v.user_id = su.user_id AND v.ts > su.e_ts
+      |  GROUP BY 1, 2),
+      |nsubv AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(su.b_ts) AS nb
+      |  FROM v LEFT JOIN subs su ON su.user_id = v.user_id AND su.b_ts > v.ts
+      |  GROUP BY 1, 2),
+      |wnextv AS (
+      |  SELECT v.user_id, v.ts AS v_ts, min(w.ts) AS w_ts
+      |  FROM v LEFT JOIN w ON w.user_id = v.user_id AND w.ts > v.ts
+      |  GROUP BY 1, 2),
+      |nsubw AS (
+      |  SELECT w.user_id, w.ts AS w_ts, min(su.b_ts) AS nb
+      |  FROM w LEFT JOIN subs su ON su.user_id = w.user_id AND su.b_ts > w.ts
+      |  GROUP BY 1, 2),
+      |entry AS (
+      |  SELECT s.user_id, s.ts AS s_ts, s.ts + INTERVAL 96 HOURS AS w_end,
+      |         min(su.b_ts) AS b1
+      |  FROM s JOIN subs su ON su.user_id = s.user_id AND su.b_ts > s.ts
+      |  GROUP BY 1, 2, 3),
+      |walk AS (
+      |  SELECT e.user_id, e.s_ts, e.w_end,
+      |         su.b_ts AS cur_b, su.e_ts AS cur_e,
+      |         CAST(1 AS BIGINT) AS chain_k,
+      |         CAST(0 AS BIGINT) AS att_mid, CAST(0 AS BIGINT) AS att_inner,
+      |         CAST(NULL AS TIMESTAMP) AS att_gend,
+      |         CAST(0 AS BIGINT) AS n_done, CAST(0 AS BIGINT) AS mid_done,
+      |         CAST(0 AS BIGINT) AS inner_done,
+      |         CAST(NULL AS TIMESTAMP) AS match_end, 'chain' AS phase,
+      |         su.val AS cvs,
+      |         CASE WHEN su.val IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS cvc,
+      |         CAST(NULL AS DOUBLE) AS avs, CAST(0 AS BIGINT) AS avc,
+      |         CAST(NULL AS DOUBLE) AS dvs, CAST(0 AS BIGINT) AS dvc,
+      |         [{'ts': su.b_ts, 'cls': 'B', 'md': CAST(0 AS BIGINT), 'sl': CAST(0 AS BIGINT),
+      |           'vs': CAST(NULL AS DOUBLE), 'vc': CAST(0 AS BIGINT)},
+      |          {'ts': su.e_ts, 'cls': 'C', 'md': CAST(0 AS BIGINT), 'sl': CAST(1 AS BIGINT),
+      |           'vs': su.val,
+      |           'vc': CASE WHEN su.val IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END}] AS r1_rows,
+      |         CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, reps BIGINT, mids BIGINT, subs BIGINT, vs DOUBLE, vc BIGINT)[]) AS att_rows,
+      |         CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, reps BIGINT, mids BIGINT, subs BIGINT, vs DOUBLE, vc BIGINT)[]) AS dn_rows
+      |  FROM entry e JOIN subs su ON su.user_id = e.user_id AND su.b_ts = e.b1
+      |  WHERE su.e_ts <= e.w_end
+      |  UNION ALL
+      |  SELECT user_id, s_ts, w_end,
+      |         CASE WHEN mode='extend' THEN nx_b
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_b END,
+      |         CASE WHEN mode='extend' THEN nx_e
+      |              WHEN mode='closer1' THEN vts
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_e END,
+      |         CASE WHEN mode='extend' THEN chain_k + 1
+      |              WHEN mode IN ('absorb_spec','newatt') THEN CAST(1 AS BIGINT)
+      |              ELSE chain_k END,
+      |         CASE WHEN mode='absorb_spec' THEN att_mid + 1
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE att_mid END,
+      |         CASE WHEN mode='absorb_spec' THEN att_inner + chain_k
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE att_inner END,
+      |         CASE WHEN mode='absorb_spec' THEN cur_e
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(NULL AS TIMESTAMP)
+      |              ELSE att_gend END,
+      |         CASE WHEN mode IN ('chfail_close','absorb_close','reject_close') THEN n_done + 1 ELSE n_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN mid_done + att_mid
+      |              WHEN mode='absorb_close' THEN mid_done + att_mid + 1
+      |              ELSE mid_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN inner_done + att_inner
+      |              WHEN mode='absorb_close' THEN inner_done + att_inner + chain_k
+      |              ELSE inner_done END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN wcand
+      |              WHEN mode='absorb_close' THEN w2ts
+      |              ELSE match_end END,
+      |         CASE WHEN mode IN ('chfail_close','absorb_close','reject_close') THEN 'closed'
+      |              WHEN mode='closer1' THEN 'mid' ELSE 'chain' END,
+      |         CASE WHEN mode='extend' THEN
+      |                CASE WHEN nx_val IS NULL THEN cvs WHEN cvs IS NULL THEN nx_val ELSE cvs + nx_val END
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_val
+      |              ELSE cvs END,
+      |         CASE WHEN mode='extend' THEN cvc + (CASE WHEN nx_val IS NULL THEN 0 ELSE 1 END)
+      |              WHEN mode IN ('absorb_spec','newatt') THEN
+      |                CASE WHEN nr_val IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+      |              ELSE cvc END,
+      |         CASE WHEN mode='absorb_spec' THEN
+      |                CASE WHEN cvs IS NULL THEN avs WHEN avs IS NULL THEN cvs ELSE avs + cvs END
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(NULL AS DOUBLE)
+      |              ELSE avs END,
+      |         CASE WHEN mode='absorb_spec' THEN avc + cvc
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(0 AS BIGINT)
+      |              ELSE avc END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN
+      |                CASE WHEN avs IS NULL THEN dvs WHEN dvs IS NULL THEN avs ELSE dvs + avs END
+      |              WHEN mode='absorb_close' THEN
+      |                CASE WHEN dvs IS NULL THEN
+      |                       (CASE WHEN avs IS NULL THEN cvs WHEN cvs IS NULL THEN avs ELSE avs + cvs END)
+      |                     WHEN avs IS NULL AND cvs IS NULL THEN dvs
+      |                     ELSE dvs + COALESCE(avs, 0) + COALESCE(cvs, 0) END
+      |              ELSE dvs END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN dvc + avc
+      |              WHEN mode='absorb_close' THEN dvc + avc + cvc
+      |              ELSE dvc END,
+      |         CASE WHEN mode='extend' THEN r1_rows ||
+      |                [{'ts': nx_b, 'cls': 'B', 'md': CAST(0 AS BIGINT), 'sl': chain_k,
+      |                  'vs': cvs, 'vc': cvc},
+      |                 {'ts': nx_e, 'cls': 'C', 'md': CAST(0 AS BIGINT), 'sl': chain_k + 1,
+      |                  'vs': CASE WHEN nx_val IS NULL THEN cvs WHEN cvs IS NULL THEN nx_val ELSE cvs + nx_val END,
+      |                  'vc': cvc + (CASE WHEN nx_val IS NULL THEN 0 ELSE 1 END)}]
+      |              WHEN mode='closer1' THEN r1_rows ||
+      |                [{'ts': vts, 'cls': 'V', 'md': CAST(1 AS BIGINT), 'sl': chain_k,
+      |                  'vs': cvs, 'vc': cvc}]
+      |              WHEN mode IN ('absorb_spec','newatt') THEN
+      |                [{'ts': nr_b, 'cls': 'B', 'md': CAST(0 AS BIGINT), 'sl': CAST(0 AS BIGINT),
+      |                  'vs': CAST(NULL AS DOUBLE), 'vc': CAST(0 AS BIGINT)},
+      |                 {'ts': nr_e, 'cls': 'C', 'md': CAST(0 AS BIGINT), 'sl': CAST(1 AS BIGINT),
+      |                  'vs': nr_val,
+      |                  'vc': CASE WHEN nr_val IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END}]
+      |              ELSE r1_rows END,
+      |         CASE WHEN mode='absorb_spec' THEN att_rows ||
+      |                list_transform(r1_rows, q -> {'ts': q.ts, 'cls': q.cls,
+      |                  'reps': n_done, 'mids': mid_done + att_mid + q.md,
+      |                  'subs': inner_done + att_inner + q.sl,
+      |                  'vs': CASE WHEN q.vs IS NULL THEN avs WHEN avs IS NULL THEN q.vs ELSE avs + q.vs END,
+      |                  'vc': avc + q.vc})
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt')
+      |                THEN CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, reps BIGINT, mids BIGINT, subs BIGINT, vs DOUBLE, vc BIGINT)[])
+      |              ELSE att_rows END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN dn_rows ||
+      |                list_transform(att_rows, q -> {'ts': q.ts, 'cls': q.cls,
+      |                  'reps': q.reps, 'mids': q.mids, 'subs': q.subs,
+      |                  'vs': CASE WHEN q.vs IS NULL THEN dvs WHEN dvs IS NULL THEN q.vs ELSE dvs + q.vs END,
+      |                  'vc': dvc + q.vc}) ||
+      |                [{'ts': wcand, 'cls': 'W', 'reps': n_done + 1,
+      |                  'mids': mid_done + att_mid, 'subs': inner_done + att_inner,
+      |                  'vs': CASE WHEN avs IS NULL THEN dvs WHEN dvs IS NULL THEN avs ELSE dvs + avs END,
+      |                  'vc': dvc + avc}]
+      |              WHEN mode='absorb_close' THEN dn_rows ||
+      |                list_transform(att_rows, q -> {'ts': q.ts, 'cls': q.cls,
+      |                  'reps': q.reps, 'mids': q.mids, 'subs': q.subs,
+      |                  'vs': CASE WHEN q.vs IS NULL THEN dvs WHEN dvs IS NULL THEN q.vs ELSE dvs + q.vs END,
+      |                  'vc': dvc + q.vc}) ||
+      |                list_transform(r1_rows, q -> {'ts': q.ts, 'cls': q.cls,
+      |                  'reps': n_done, 'mids': mid_done + att_mid + q.md,
+      |                  'subs': inner_done + att_inner + q.sl,
+      |                  'vs': CASE WHEN q.vs IS NULL THEN
+      |                               (CASE WHEN avs IS NULL THEN dvs WHEN dvs IS NULL THEN avs ELSE dvs + avs END)
+      |                             WHEN dvs IS NULL AND avs IS NULL THEN q.vs
+      |                             ELSE COALESCE(dvs, 0) + COALESCE(avs, 0) + q.vs END,
+      |                  'vc': dvc + avc + q.vc}) ||
+      |                [{'ts': w2ts, 'cls': 'W', 'reps': n_done + 1,
+      |                  'mids': mid_done + att_mid + 1, 'subs': inner_done + att_inner + chain_k,
+      |                  'vs': CASE WHEN cvs IS NULL THEN
+      |                               (CASE WHEN avs IS NULL THEN dvs WHEN dvs IS NULL THEN avs ELSE dvs + avs END)
+      |                             WHEN dvs IS NULL AND avs IS NULL THEN cvs
+      |                             ELSE COALESCE(dvs, 0) + COALESCE(avs, 0) + cvs END,
+      |                  'vc': dvc + avc + cvc}]
+      |              ELSE dn_rows END
+      |  FROM (
+      |    SELECT wk.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e, nx.val AS nx_val,
+      |           vn.v_ts AS vts,
+      |           wc.w_ts AS wcand, w2.w_ts AS w2ts,
+      |           nr.b_ts AS nr_b, nr.e_ts AS nr_e, nr.val AS nr_val,
+      |      CASE WHEN wk.phase = 'chain' AND nx.b_ts IS NOT NULL
+      |                AND nx.e_ts <= wk.w_end
+      |                AND NOT (vn.v_ts IS NOT NULL AND vn.v_ts <= wk.w_end
+      |                         AND nx.e_ts >= vn.v_ts) THEN 'extend'
+      |           WHEN wk.phase = 'chain' AND vn.v_ts IS NOT NULL
+      |                AND vn.v_ts <= wk.w_end THEN 'closer1'
+      |           WHEN wk.phase = 'chain' AND wk.att_mid > 0
+      |                AND wc.w_ts IS NOT NULL AND wc.w_ts <= wk.w_end
+      |                THEN 'chfail_close'
+      |           WHEN wk.phase = 'mid' AND (wk.att_mid = 0
+      |                OR wc.w_ts IS NULL OR wc.w_ts > wk.w_end
+      |                OR wk.cur_e < wc.w_ts) THEN
+      |             CASE WHEN nr.b_ts IS NOT NULL AND nr.e_ts <= wk.w_end
+      |                  THEN 'absorb_spec'
+      |                  WHEN w2.w_ts IS NOT NULL AND w2.w_ts <= wk.w_end
+      |                  THEN 'absorb_close' END
+      |           WHEN wk.phase = 'mid' THEN 'reject_close'
+      |           WHEN wk.phase = 'closed' AND nr.b_ts IS NOT NULL
+      |                AND nr.e_ts <= wk.w_end THEN 'newatt'
+      |      END AS mode
+      |    FROM walk wk
+      |    LEFT JOIN link l  ON wk.phase='chain' AND l.user_id = wk.user_id
+      |                      AND l.b_ts = wk.cur_b
+      |    LEFT JOIN subs nx ON nx.user_id = wk.user_id AND nx.b_ts = l.nb
+      |    LEFT JOIN vnext vn ON wk.phase='chain' AND vn.user_id = wk.user_id
+      |                       AND vn.b_ts = wk.cur_b
+      |    LEFT JOIN wnextv wc ON wc.user_id = wk.user_id
+      |                        AND wc.v_ts = wk.att_gend
+      |    LEFT JOIN wnextv w2 ON wk.phase='mid' AND w2.user_id = wk.user_id
+      |                        AND w2.v_ts = wk.cur_e
+      |    LEFT JOIN nsubv nv ON wk.phase='mid' AND nv.user_id = wk.user_id
+      |                       AND nv.v_ts = wk.cur_e
+      |    LEFT JOIN nsubw nw ON wk.phase='closed' AND nw.user_id = wk.user_id
+      |                       AND nw.w_ts = wk.match_end
+      |    LEFT JOIN subs nr ON nr.user_id = wk.user_id
+      |                      AND nr.b_ts = COALESCE(nv.nb, nw.nb)
+      |  ) WHERE mode IS NOT NULL),
+      |best AS (
+      |  SELECT user_id, s_ts, n_done, dn_rows,
+      |         row_number() OVER (PARTITION BY user_id, s_ts
+      |                            ORDER BY n_done DESC) AS rn
+      |  FROM walk WHERE phase = 'closed')
+      |SELECT user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
+      |       CAST(NULL AS DOUBLE) AS sum_c, CAST(0 AS BIGINT) AS cnt_c,
+      |       CAST(0 AS BIGINT) AS n_reps
+      |FROM best WHERE rn = 1
+      |UNION ALL
+      |SELECT bb.user_id, u.r.cls, u.r.ts, bb.s_ts, u.r.vs, u.r.vc, u.r.reps
+      |FROM best bb, UNNEST(bb.dn_rows) AS u(r)
+      |WHERE bb.rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w25_cascading_windows" -> w25, "w26_cep_timeout" -> w26,
     "w27_cep_followed_by_any" -> w27, "w28_cep_combinations" -> w28,
@@ -4843,7 +5658,9 @@ object WindowQueries {
     "m41_depth2_values" -> m41, "m42_all_rows_depth2" -> m42,
     "m43_depth2_inner_star" -> m43, "m44_depth2_iter_tail" -> m44, "m45_nested_tiebreak" -> m45,
     "m46_depth2_iter_mid" -> m46, "m47_depth2_tiebreak" -> m47,
-    "m49_nested_iter_inner" -> m49, "m48_depth3_nested_group" -> m48, "m50_depth2_iter_inner" -> m50)
+    "m49_nested_iter_inner" -> m49, "m48_depth3_nested_group" -> m48, "m50_depth2_iter_inner" -> m50,
+    "m51_all_rows_depth3" -> m51, "m52_depth4_nested_group" -> m52,
+    "m53_all_rows_depth2_values" -> m53)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -4880,6 +5697,8 @@ object WindowQueries {
     "m43_depth2_inner_star" -> m43Sql, "m44_depth2_iter_tail" -> m44Sql, "m45_nested_tiebreak" -> m45Sql,
     "m46_depth2_iter_mid" -> m46Sql, "m47_depth2_tiebreak" -> m47Sql,
     "m49_nested_iter_inner" -> m49Sql, "m48_depth3_nested_group" -> m48Sql, "m50_depth2_iter_inner" -> m50Sql,
+    "m51_all_rows_depth3" -> m51Sql, "m52_depth4_nested_group" -> m52Sql,
+    "m53_all_rows_depth2_values" -> m53Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

@@ -1350,6 +1350,128 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streamingStar=$streamingStar batchStar=$batchStar")
   }
 
+  test("batch followedByNested2Group and streaming cepPatternNested2Group " +
+       "agree (micro-batch splits, out-of-order delivery, per-level " +
+       "discards, ALL ROWS twin)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // unit scenarios: two-level punctuated repetitions (user 1), no tail
+    // (2), tail before any mid skipped (3), in-progress sub discarded at a
+    // mid close + completed-but-unabsorbed level-1 rep discarded at a tail
+    // close + mid-less tail skipped (4), dangling level-1 rep at window
+    // end (5)
+    val all = Seq(
+      (1L, at(0), "s"), (1L, at(2), "b"), (1L, at(4), "c"),
+      (1L, at(6), "b"), (1L, at(8), "c"), (1L, at(10), "v"),
+      (1L, at(12), "b"), (1L, at(14), "c"), (1L, at(16), "v"),
+      (1L, at(18), "w"),
+      (1L, at(20), "b"), (1L, at(22), "c"), (1L, at(24), "v"), (1L, at(26), "w"),
+      (2L, at(0), "s"), (2L, at(2), "b"), (2L, at(4), "c"), (2L, at(6), "v"),
+      (3L, at(0), "s"), (3L, at(2), "b"), (3L, at(4), "c"), (3L, at(6), "w"),
+      (4L, at(0), "s"), (4L, at(2), "b"), (4L, at(4), "c"), (4L, at(6), "b"),
+      (4L, at(8), "v"), (4L, at(10), "w"),
+      (4L, at(12), "b"), (4L, at(14), "c"), (4L, at(16), "w"),
+      (4L, at(18), "v"), (4L, at(20), "w"),
+      (5L, at(0), "s"), (5L, at(2), "b"), (5L, at(4), "c"), (5L, at(6), "v"),
+      (5L, at(8), "w"), (5L, at(10), "b"), (5L, at(12), "c"), (5L, at(14), "v"))
+    def batchPat(rows: Boolean, innerOpt: Boolean = false) = {
+      var p = Pattern.begin("s", $"event_type" === "s")
+        .followedByNested2Group("g",
+          Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+          Seq("v" -> ($"event_type" === "v")),
+          Seq("w" -> ($"event_type" === "w")), innerOptional = innerOpt)
+        .oneOrMore()
+      if (rows) p = p.materializeNestedRows()
+      p.within(HOUR)
+        .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+    }
+    val batch = batchPat(rows = false)
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n",
+        $"g_mid_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long, Long)]
+      .collect().toSet
+    val batchRows = batchPat(rows = true)
+      .select($"key", $"s_ts", explode($"g_rows").as("r"))
+      .select($"key", $"s_ts", $"r.ts", $"r.cls", $"r.reps", $"r.mids", $"r.subs")
+      .as[(Long, Timestamp, Timestamp, String, Long, Long, Long)]
+      .collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternNested2Group(in.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        _.event_type == "v", _.event_type == "w", HOUR,
+        materializeRows = true, innerNames = Seq("b", "c"),
+        midName = "v", tailName = "w").toDF()
+      .writeStream.format("memory").queryName("s_nest2_parity")
+      .outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    // split mid-chain AND deliver the second batch out of order: the
+    // watermark buffer re-sorts, so intra-batch arrival order must not
+    // matter
+    in.addData(evs.take(13)); q.processAllAvailable()
+    in.addData(scala.util.Random.shuffle(evs.drop(13))); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val matches = spark.table("s_nest2_parity")
+      .as[graft.streaming.Nest2Match].collect()
+    val streaming = matches
+      .map(m => (m.user_id, m.first_ts, m.grp_first_ts, m.grp_last_ts,
+        m.n_reps, m.n_mids, m.n_inner))
+      .toSet
+    val streamingRows = matches.flatMap(m => m.rows.map(r =>
+      (m.user_id, m.first_ts, r.ts, r.cls, r.reps, r.mids, r.subs))).toSet
+    assert(streamingRows == batchRows,
+      s"rows: streaming=$streamingRows batch=$batchRows")
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), at(2), at(26), 2L, 3L, 4L),
+      (4L, at(0), at(2), at(20), 2L, 2L, 2L),
+      (5L, at(0), at(2), at(8), 1L, 1L, 1L)),
+      s"streaming=$streaming batch=$batch")
+    // hand-pinned per-event rows for the discard user: b@6 (in-progress
+    // sub at the v@8 close) and w@16 (mid-less tail) bind nothing
+    val u4rows = batchRows.filter(_._1 == 4L).map(r => (r._3, r._4, r._5, r._6, r._7))
+    assert(u4rows == Set(
+      (at(2), "b", 0L, 0L, 0L), (at(4), "c", 0L, 0L, 1L),
+      (at(8), "v", 0L, 1L, 1L), (at(10), "w", 1L, 1L, 1L),
+      (at(12), "b", 1L, 1L, 1L), (at(14), "c", 1L, 1L, 2L),
+      (at(18), "v", 1L, 2L, 2L), (at(20), "w", 2L, 2L, 2L)), u4rows.toString)
+
+    // INNER '*' twin parity: zero-sub mid-first repetitions (user 7 shape)
+    val all7 = all ++ Seq((7L, at(0), "s"), (7L, at(2), "v"), (7L, at(4), "v"),
+      (7L, at(6), "w"))
+    val batchStar = Pattern.begin("s", $"event_type" === "s")
+      .followedByNested2Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")), innerOptional = true)
+      .oneOrMore().within(HOUR)
+      .detect(all7.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n",
+        $"g_mid_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long, Long)]
+      .collect().toSet
+    val inS = MemoryStream[graft.streaming.Event]
+    val qS = StreamOps.cepPatternNested2Group(inS.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        _.event_type == "v", _.event_type == "w", HOUR,
+        innerOptional = true).toDF()
+      .writeStream.format("memory").queryName("s_nest2_star_parity")
+      .outputMode("append").start()
+    val evs7 = all7.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    inS.addData(evs7.take(9)); qS.processAllAvailable()
+    inS.addData(evs7.drop(9)); qS.processAllAvailable()
+    inS.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); qS.processAllAvailable()
+    inS.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); qS.processAllAvailable(); qS.stop()
+    val streamingStar = spark.table("s_nest2_star_parity")
+      .as[graft.streaming.Nest2Match].collect()
+      .map(m => (m.user_id, m.first_ts, m.grp_first_ts, m.grp_last_ts,
+        m.n_reps, m.n_mids, m.n_inner))
+      .toSet
+    assert(streamingStar == batchStar &&
+      batchStar.contains((7L, at(0), at(2), at(6), 1L, 2L, 0L)),
+      s"streamingStar=$streamingStar batchStar=$batchStar")
+  }
+
   test("batch bindGroup values and streaming cepPatternGroup(valueSubIdx) agree") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -2362,9 +2484,32 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
         Seq("v" -> ($"event_type" === "v")),
         Seq("w" -> ($"event_type" === "w")),
         Seq("x" -> ($"event_type" === "x")))
-    // materializeNestedRows at depth 3 is a named rejection
-    val e1 = intercept[IllegalArgumentException](p3.materializeNestedRows())
-    assert(e1.getMessage.contains("DEPTH-3"), e1.getMessage)
+    // materializeNestedRows at depth 3 (r18, lifting the r17 named
+    // rejection): the row struct gains the level-2 `mids2` running count —
+    // hand-walked on the two-outer-repetition corpus of the previous test
+    // (every row commits; the completing row counts its own unit at every
+    // level)
+    locally {
+      val evs = Seq(
+        (2L, at(0), "s"), (2L, at(2), "b"), (2L, at(4), "c"), (2L, at(6), "v"),
+        (2L, at(8), "w"), (2L, at(10), "x"),
+        (2L, at(12), "b"), (2L, at(14), "c"), (2L, at(16), "v"),
+        (2L, at(18), "w"), (2L, at(20), "x")
+      ).toDF("user_id", "ts", "event_type")
+      val rows = p3.oneOrMore().materializeNestedRows().within(HOUR)
+        .detect(evs, $"user_id", $"ts")
+        .select(explode($"g_rows").as("r"))
+        .select($"r.ts", $"r.cls", $"r.reps", $"r.mids2", $"r.mids", $"r.subs")
+        .as[(Timestamp, String, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(rows == Set(
+        (at(2), "b", 0L, 0L, 0L, 0L), (at(4), "c", 0L, 0L, 0L, 1L),
+        (at(6), "v", 0L, 0L, 1L, 1L), (at(8), "w", 0L, 1L, 1L, 1L),
+        (at(10), "x", 1L, 1L, 1L, 1L),
+        (at(12), "b", 1L, 1L, 1L, 1L), (at(14), "c", 1L, 1L, 1L, 2L),
+        (at(16), "v", 1L, 1L, 2L, 2L), (at(18), "w", 1L, 2L, 2L, 2L),
+        (at(20), "x", 2L, 2L, 2L, 2L)), rows.toString)
+    }
     // a missing closing level is a named rejection pointing at depth-2
     val e2 = intercept[IllegalArgumentException](
       Pattern.begin("s", $"event_type" === "s")

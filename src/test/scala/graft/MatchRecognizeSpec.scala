@@ -965,7 +965,12 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         E AS event_type = 'view', F AS event_type = 'error',
         |         P AS event_type = 'purchase'
         |)""".stripMargin).collect()
-    val e3 = intercept[Exception](MatchRecognize.detect(evs,
+    // depth-4 nesting (((((B C)+ D)+ E)+ F)+ G)+ is SUPPORTED since r18
+    // (the depth-parametric walk) — the former named rejection must no
+    // longer fire; behavior is pinned by the dedicated depth-4 tests.
+    // Depth-5 through the SQL door is the new named rejection (the Scala
+    // API's followedByNestedNGroup takes any depth).
+    MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES S.ts AS s_ts
@@ -975,6 +980,18 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         C AS event_type = 'view', D AS event_type = 'click',
         |         E AS event_type = 'view', F AS event_type = 'error',
         |         G AS event_type = 'error', P AS event_type = 'purchase'
+        |)""".stripMargin).collect()
+    val e3 = intercept[Exception](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S ((((((B C)+ D)+ E)+ F)+ G)+ H)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', D AS event_type = 'click',
+        |         E AS event_type = 'view', F AS event_type = 'error',
+        |         G AS event_type = 'error', H AS event_type = 'click',
+        |         P AS event_type = 'purchase'
         |)""".stripMargin))
     assert(e3.getMessage.contains("deeper"), e3.getMessage)
     // ALL ROWS with the nested group NOT the final element: named rejection
@@ -1735,9 +1752,12 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     ).map { case (c, t, r, mm, ss) => (2L, c, at(t), r, mm, ss) }
     assert(m == (u1 ++ u2).toSet, m.toSeq.sortBy(r => (r._1, r._3.getTime))
       .mkString("\n"))
-    // value measures under depth-2 ALL ROWS: named rejection
+    // value measures under depth-2 ALL ROWS (r18, lifting the former
+    // named rejection): running SUM rides the per-row vsum snapshots —
+    // with value = 1.0 per event, SUM(B.value) as of a row is the number
+    // of B bindings so far (own contribution included; prefix rows null)
     val ev2 = evs.withColumn("value", org.apache.spark.sql.functions.lit(1.0))
-    val e = intercept[Exception](MatchRecognize.detect(ev2,
+    val mv = MatchRecognize.detect(ev2,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES SUM(B.value) AS sb
@@ -1747,8 +1767,22 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |  DEFINE S AS event_type = 's', B AS event_type = 'b',
         |         C AS event_type = 'c', V AS event_type = 'v',
         |         W AS event_type = 'w'
-        |)""".stripMargin).collect())
-    assert(e.getMessage.contains("value"), e.getMessage)
+        |)""".stripMargin)
+      .select($"user_id", $"cls", $"ts", $"sb")
+      .as[(Long, String, Timestamp, Option[Double])].collect().toSet
+    val v1 = Seq(
+      ("S", 0L, None), ("B", 1L, Some(1.0)), ("C", 2L, Some(1.0)),
+      ("B", 3L, Some(2.0)), ("C", 4L, Some(2.0)), ("V", 5L, Some(2.0)),
+      ("B", 6L, Some(3.0)), ("C", 7L, Some(3.0)), ("V", 8L, Some(3.0)),
+      ("W", 9L, Some(3.0)), ("B", 10L, Some(4.0)), ("C", 11L, Some(4.0)),
+      ("V", 12L, Some(4.0)), ("W", 13L, Some(4.0))
+    ).map { case (c, t, v) => (1L, c, at(t), v) }
+    val v2 = Seq(
+      ("S", 0L, None), ("B", 1L, Some(1.0)), ("C", 2L, Some(1.0)),
+      ("V", 3L, Some(1.0)), ("W", 4L, Some(1.0))
+    ).map { case (c, t, v) => (2L, c, at(t), v) }
+    assert(mv == (v1 ++ v2).toSet, mv.toSeq.sortBy(r => (r._1, r._3.getTime))
+      .mkString("\n"))
   }
 
   test("ALL ROWS nested group with TWO tail steps: only the FINAL tail " +
