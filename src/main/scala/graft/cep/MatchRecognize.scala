@@ -109,7 +109,8 @@ object MatchRecognize {
                                 inner2Seq: Seq[String] = Nil,
                                 midSeq: Seq[String] = Nil,
                                 mid2Seq: Seq[String] = Nil,
-                                mid3Seq: Seq[String] = Nil)
+                                mid3Seq: Seq[String] = Nil,
+                                absent: Boolean = false)
   private case class Measure(fn: Option[String], varName: String,
                              field: String, alias: String)
   private case class Spec(partitionBy: Seq[String], orderBy: String,
@@ -117,7 +118,8 @@ object MatchRecognize {
                           withinMs: Long, defines: Map[String, String],
                           skipPastLast: Boolean, allRows: Boolean,
                           skipTo: Option[(String, Boolean)] = None,
-                          orderTies: Seq[String] = Nil)
+                          orderTies: Seq[String] = Nil,
+                          absentVars: Set[String] = Set.empty)
 
   /** The (member, col) ORDER of a nested group's bound value columns —
     * ONE derivation shared by the lowering (which drives the bindGroup
@@ -172,28 +174,25 @@ object MatchRecognize {
     * exact-count columns: COUNT = n, FIRST/LAST/SUM fold over the n bound
     * members, and a self-PREV lowers to the physical-lag column (the SQL
     * PREV semantics — with no surplus members there is no run to navigate).
-    * `B*?` and `B??` have minimum ZERO: under earliest-match they would
-    * never bind at all (every match carries null/0 for the variable), which
-    * is almost certainly not what the query means — they stay NAMED
-    * rejections carrying the rewrite (omit the variable, or use the greedy
-    * `B*` / `B?` spelling). */
+    * `B*?` and `B??` have minimum ZERO: under earliest-match reluctance
+    * prefers zero occurrences, and zero is always achievable (relaxed
+    * contiguity lets every candidate be ignored rather than consumed), so
+    * the variable NEVER binds — the ELEMENT-ABSENT lowering (r18,
+    * upgrading the former named rejection by the same normalization
+    * argument): the element is dropped from the compiled pattern entirely
+    * and every measure over it reads null (timestamps/values) or 0
+    * (COUNT). Same for the zero-minimum brace forms `{0,m}?`/`{0,}?`
+    * ([[isAbsentQuant]] detects all of them at parse time). */
+  private def isAbsentQuant(q: String): Boolean =
+    q == "*?" || q == "??" ||
+      (q.startsWith("{") && q.endsWith("?") &&
+        q.stripPrefix("{").stripSuffix("?").stripSuffix("}")
+          .split(",")(0).trim == "0")
   private def normalizeQuant(name: String, q: String): String = q match {
     case "+?" => "{1}"
-    case "*?" | "??" => sys.error(s"reluctant quantifier '$q' on $name: its " +
-      "minimum is zero, so under earliest-match semantics the variable " +
-      "would never bind (null timestamps, COUNT 0 on every match) — omit " +
-      s"the variable, or use the greedy '${q.take(1)}' spelling")
     case qq if qq.startsWith("{") && qq.endsWith("?") =>
       val inner = qq.stripPrefix("{").stripSuffix("?").stripSuffix("}")
-      val n = inner.split(",")(0).trim
-      // a zero minimum ({0,m}?/{0,}?) is the *?/?? case in braces — raise
-      // the SAME dedicated never-binds rejection here, not the generic
-      // "{0} must be >= 1" error the collapse would surface later
-      if (n == "0") sys.error(s"reluctant quantifier '$q' on $name: its " +
-        "minimum is zero, so under earliest-match semantics the variable " +
-        "would never bind (null timestamps, COUNT 0 on every match) — omit " +
-        "the variable, or use a greedy quantifier with a positive minimum")
-      s"{$n}" // {n,}? / {n,m}? / {n}? -> {n}
+      s"{${inner.split(",")(0).trim}}" // {n,}? / {n,m}? / {n}? -> {n}
     case qq => qq
   }
 
@@ -435,11 +434,27 @@ object MatchRecognize {
                 s"or no quantifier is supported (got '$other')")
             }
             PatternVar(subs.mkString("_"), q, Nil, subs)
-          case (None, None, None, None, None, None) => PatternVar(g.group(21),
-            Option(g.group(22)).map(normalizeQuant(g.group(21), _)))
+          case (None, None, None, None, None, None) =>
+            val q0 = Option(g.group(22))
+            // reluctant zero-minimum: the ELEMENT-ABSENT lowering (r18) —
+            // the variable never binds; parse keeps it only for measure
+            // resolution (null/0) and drops it from the compiled pattern
+            if (q0.exists(isAbsentQuant))
+              PatternVar(g.group(21), None, absent = true)
+            else PatternVar(g.group(21),
+              q0.map(normalizeQuant(g.group(21), _)))
         }
       }
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
+    // element-absent variables (reluctant zero-minimum) leave the compiled
+    // pattern; the anchor must bind, so an absent FIRST element is a
+    // named error rather than a silently different pattern
+    require(!vars.head.absent,
+      s"the first PATTERN element (${vars.head.name}) carries a reluctant " +
+        "zero-minimum quantifier — it would never bind, and the match " +
+        "anchor must (drop the element or use a greedy quantifier)")
+    val absentVars = vars.filter(_.absent).map(_.name).toSet
+    val keptVars = vars.filterNot(_.absent)
     val within = "(?is)\\bWITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+?)S?\\b".r
       .findFirstMatchIn(body).getOrElse(sys.error("WITHIN INTERVAL '<n>' <unit> required"))
     val withinMs = within.group(1).toLong *
@@ -460,8 +475,8 @@ object MatchRecognize {
         dv -> rewritePrev(dv, m.group(2).trim, runQuant)
       }.toMap
     }.getOrElse(Map.empty)
-    Spec(partitionBy, orderBy, measures, vars, withinMs, defines, skipPastLast,
-      allRows, skipTo, orderTies)
+    Spec(partitionBy, orderBy, measures, keptVars, withinMs, defines,
+      skipPastLast, allRows, skipTo, orderTies, absentVars)
   }
 
   /** `PREV(V.col)` / `PREV(col)` (offset 1) — the SQL-standard spelling of
@@ -813,6 +828,25 @@ object MatchRecognize {
       }.toMap
     val neededBinds: Map[String, Seq[String]] = compiled.values.flatMap(_._3).toSeq
       .distinct.groupBy(_._1).map { case (v, refs) => v -> refs.map(_._2) }
+    // an element-absent variable (reluctant zero-minimum, r18) never
+    // binds, so a relative reference to it could only ever read null —
+    // almost certainly a query bug: reject by name. The textual scan is
+    // needed because compiledPred only extracts references to variables
+    // still IN the pattern; a qualified reference to a dropped one would
+    // otherwise surface as an opaque unresolved-attribute error
+    locally {
+      val absRef = neededBinds.keySet.intersect(spec.absentVars) ++
+        spec.absentVars.filter(av => spec.defines.exists { case (dv, b) =>
+          !spec.absentVars.contains(dv) && dv != av &&
+            ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(av) +
+              "\\s*\\.").r.findFirstIn(b).isDefined
+        })
+      require(absRef.isEmpty,
+        s"DEFINE references ${absRef.mkString(", ")}: the variable " +
+          "carries a reluctant zero-minimum quantifier and never binds " +
+          "(its bindings would be null on every match) — drop the " +
+          "reference or use a greedy quantifier")
+    }
     val bindByVar0: Map[String, Seq[String]] = (keepByVar.keySet ++ neededBinds.keySet)
       .map(v => v -> (keepByVar.getOrElse(v, Nil) ++ neededBinds.getOrElse(v, Nil)).distinct)
       .toMap
@@ -822,22 +856,37 @@ object MatchRecognize {
     // sequence groups aggregate their members instead — there the tiebreak
     // steers which equal-ts candidate's VALUES are read (first/last member
     // values, member value bindings) via Pattern.tieBreak, wired in the
-    // lowering walk below. Alternations (the classifier is part of the
-    // binding refinement) and self-referential runs (segmentation orders by
-    // (ts, run value)) stay named errors, never a silently different match.
+    // lowering walk below. PLAIN alternations compose since r18: the
+    // tiebreak leads the binding payload, so equal-ts candidates bind by
+    // (ts, ties..., cls) — a well-defined composite that steers WHICH
+    // BRANCH CLASSIFIES (Pattern.tieBreak on the alternation step).
+    // QUANTIFIED alternations and self-referential runs stay named errors,
+    // with the impossibility argument: there the classifier does not just
+    // label a binding — it feeds the per-branch member COUNTS / the run
+    // SEGMENTATION itself, so a tie-steered different same-ts member
+    // silently changes the aggregate shape of the match (how many members
+    // each branch counted; where a run restarts), not merely which
+    // payload is read — there is no composite order that preserves both
+    // the documented (ts, branch) membership semantics and the user's
+    // tie preference.
     val bindByVar: Map[String, Seq[String]] =
       if (spec.orderTies.isEmpty) bindByVar0
       else {
         spec.vars.foreach { v =>
-          require(v.alts.isEmpty && !selfRuns.contains(v.name),
+          require((v.alts.isEmpty || v.quant.isEmpty) && !selfRuns.contains(v.name),
             s"ORDER BY ${spec.orderBy}, ${spec.orderTies.mkString(", ")}: " +
               "the tiebreak composes with plain/optional/times variables, " +
-              s"'+'/'*' runs and sequence groups (${v.name} is an " +
-              "alternation/self-referential run)")
+              "'+'/'*' runs, sequence groups and PLAIN alternations " +
+              s"(${v.name} is a quantified alternation / self-referential " +
+              "run, where the classifier feeds branch counts / the run " +
+              "segmentation — a tie-steered member changes those, not " +
+              "just which payload binds)")
         }
-        // runs and groups keep their aggregate bind columns untouched —
-        // prepending the ties would add them to the run aggregates instead
-        bindByVar0 ++ spec.vars.filter(v => v.seq.isEmpty &&
+        // runs, groups and alternations keep their aggregate/classifier
+        // bind columns untouched — prepending the ties would add them to
+        // the run aggregates / re-order them after cls (alternation ties
+        // ride Pattern.tieBreak instead, ahead of the classifier)
+        bindByVar0 ++ spec.vars.filter(v => v.seq.isEmpty && v.alts.isEmpty &&
             !v.quant.exists(isRunQ))
           .map(v => v.name -> (spec.orderTies ++ bindByVar0
             .getOrElse(v.name, Nil).filterNot(spec.orderTies.contains)))
@@ -996,6 +1045,10 @@ object MatchRecognize {
           pat = if (q == "*") pat.zeroOrMore() else pat.oneOrMore())
       } else if (v.alts.nonEmpty) {
         pat = pat.followedByOneOf(v.name, v.alts.map(b => b -> compiled(b)._1): _*)
+        // composite ORDER BY on a plain alternation (r18): the ties lead
+        // the binding payload ahead of the classifier — (ts, ties..., cls)
+        if (spec.orderTies.nonEmpty && v.quant.isEmpty)
+          pat = pat.tieBreak(spec.orderTies: _*)
         // quantified alternation group: the '+'/'*' run over the union of
         // branches, per-branch counts emitted by the run aggregate
         v.quant.foreach {
@@ -1117,6 +1170,15 @@ object MatchRecognize {
           if (last.alts.nonEmpty) col(s"${last.name}_cls")
           else if (last.seq.nonEmpty) lit(last.seq.last)
           else lit(last.name)
+        } else if (spec.absentVars.contains(m.varName)) {
+          // element-absent variable (reluctant zero-minimum, r18): it
+          // never binds — COUNT is 0, every other measure null (the
+          // lowering the former named rejection promised)
+          m.fn match {
+            case Some("COUNT") => lit(0L)
+            case _ if m.field == "ts" => lit(null).cast("timestamp")
+            case _ => lit(null).cast("double")
+          }
         } else if (altRunOf.contains(m.varName)) {
           // branch of a quantified alternation: COUNT only (the run's
           // per-branch member count); branch value aggregates are not
@@ -1396,6 +1458,14 @@ object MatchRecognize {
       if (m.fn.contains("MATCH_NUMBER")) return col(s"__mn_${m.alias}")
       // CLASSIFIER(): this row's own variable (same value as the `cls` column)
       if (m.fn.contains("CLASSIFIER")) return lit(positions(p)._1)
+      // element-absent variable (reluctant zero-minimum, r18): no row ever
+      // binds it — COUNT 0, everything else null, on every row
+      if (spec.absentVars.contains(m.varName))
+        return m.fn match {
+          case Some("COUNT") => lit(0L)
+          case _ if m.field == "ts" => lit(null).cast("timestamp")
+          case _ => lit(null).cast("double")
+        }
       val (mn, mx) = bounds.getOrElse(m.varName, sys.error(s"unknown variable ${m.varName}"))
       val visible = (1 to mx).filter(i => offsets(m.varName) + i - 1 <= p)
       val srcs = visible.map(i => srcCol(m.varName, i, m.field))

@@ -816,12 +816,26 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * time-level — the tiebreak never changes WHICH timestamps match, only
     * which same-timestamp event's values are read. Lowered as min_by/max_by
     * hash aggregates — no sort, no extra shuffle. */
+  /** On a PLAIN alternation step ([[followedByOneOf]], unquantified —
+    * r18, lifting the m20-era named rejection for this one shape): the
+    * tiebreak becomes the LEADING binding payload, so equal-timestamp
+    * candidates bind by lexicographic (ts, ties..., cls, bound columns) —
+    * the tiebreak STEERS WHICH BRANCH CLASSIFIES (the reference's
+    * ComparatorCodeGenerator secondary sort keys order rows before the
+    * NFA sees them, which is exactly this). The tie columns are bound
+    * onto the match as `<step>_<col>`. Quantified alternations and
+    * self-referential runs stay named rejections in the SQL front door:
+    * there the classifier feeds per-branch COUNTS / the run segmentation,
+    * and a tie-steered different member silently changes those counts —
+    * not just which payload is read. */
   def tieBreak(cs: String*): Pattern = {
     require(cs.nonEmpty, "tieBreak() needs at least one column")
     require(steps.nonEmpty &&
       (steps.last.oneOrMore || steps.last.group.nonEmpty ||
-        steps.last.inner2.nonEmpty),
-      "tieBreak() applies to a oneOrMore()/zeroOrMore() run or a group step")
+        steps.last.inner2.nonEmpty ||
+        (steps.last.alts.nonEmpty && !steps.last.oneOrMore)),
+      "tieBreak() applies to a oneOrMore()/zeroOrMore() run, a group step, " +
+        "or a plain alternation step")
     new Pattern(steps.init :+ steps.last.copy(tieCols = cs.toVector),
       notStep, windowMs, skipPastLast, skipTo)
   }
@@ -2820,10 +2834,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
       // binding payload beyond the timestamp: the alternation classifier
       // (if any) then bound columns — also the equal-ts tie-break order
       val payload: Seq[(String, String)] = // (struct field/out suffix, source)
-        (if (s.alts.isEmpty) Nil else Seq("cls" -> "__c___cls")) ++
+        // tieBreak on a plain alternation step (r18): the tie columns lead
+        // the refinement, so equal-ts candidates bind by (ts, ties...,
+        // cls, keeps) — the tiebreak steers which branch classifies
+        (if (s.alts.isEmpty) Nil
+         else s.tieCols.map(c => c -> s"__c_$c") :+ ("cls" -> "__c___cls")) ++
           // bindRun columns on a oneOrMore step route to the run aggregate,
-          // not the first-occurrence binding
-          (if (s.oneOrMore) Nil else s.keep.map(c => c -> s"__c_$c"))
+          // not the first-occurrence binding (a column already refined as a
+          // tie is skipped — re-refining it is idempotent and would
+          // duplicate the output column)
+          (if (s.oneOrMore) Nil else s.keep.filterNot(c =>
+            s.alts.nonEmpty && s.tieCols.contains(c)).map(c => c -> s"__c_$c"))
       out =
         if (payload.isEmpty)
           joined.groupBy(kept.toIndexedSeq: _*).agg(min(col("__cts")).as(s"${s.name}_ts"))

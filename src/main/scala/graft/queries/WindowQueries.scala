@@ -5624,6 +5624,92 @@ object WindowQueries {
       |FROM best bb, UNNEST(bb.dn_rows) AS u(r)
       |WHERE bb.rn = 1""".stripMargin
 
+  // --- m54: reluctant ZERO-MINIMUM quantifier `C*?` — the ELEMENT-ABSENT
+  // lowering (r18, upgrading the r17 named rejection: under the engine's
+  // documented relaxed-contiguity earliest-match semantics, reluctance
+  // prefers zero occurrences and zero is ALWAYS achievable — surplus
+  // candidates are ignored, not consumed — so the variable never binds;
+  // the m35 reluctant-collapse argument extended to minimum zero). The
+  // compiled pattern drops the element; measures over it read null/0.
+  // `S C*? P` is therefore signup -> first purchase with COUNT(C)=0,
+  // SUM(C.value)=null on every match — which the oracle states directly.
+  private val m54: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, P.ts AS purchase_ts,
+        |           COUNT(C.ts) AS n_c, SUM(C.value) AS sum_c
+        |  PATTERN (S C*? P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .select("user_id", "signup_ts", "purchase_ts", "n_c", "sum_c")
+  private val m54Sql =
+    """SELECT s.user_id, CAST(s.ts AS TIMESTAMP) AS signup_ts,
+      |       min(CAST(p.ts AS TIMESTAMP)) AS purchase_ts,
+      |       CAST(0 AS BIGINT) AS n_c, CAST(NULL AS DOUBLE) AS sum_c
+      |FROM events s JOIN events p
+      |  ON p.user_id = s.user_id AND p.event_type = 'purchase'
+      | AND CAST(p.ts AS TIMESTAMP) > CAST(s.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 24 HOURS
+      |WHERE s.event_type = 'signup'
+      |GROUP BY 1, 2""".stripMargin
+
+  // --- m55: composite ORDER BY tiebreak on a PLAIN alternation (r18,
+  // lifting the m20-era named rejection for the unquantified shape —
+  // reference StreamExecMatch sorts rows by time attribute + secondary
+  // keys BEFORE the NFA sees them, so the tiebreak legitimately steers
+  // which same-timestamp event, and hence WHICH BRANCH, binds): the ties
+  // lead the binding payload ahead of the classifier — lexicographic
+  // (ts, tie1, cls). Quantified alternations keep the named rejection
+  // with the impossibility argument (there the classifier feeds
+  // per-branch COUNTS, so a tie-steered member changes the aggregate
+  // shape, not just which payload is read). Ties manufactured the m30
+  // way (hour-truncated ts + event_id div 100). Oracle: anchors per
+  // DISTINCT (user, coarse ts, bound tie) — the engine's anchor frame
+  // carries the tiebreak as an S bind column, so coarse-duplicate
+  // signups stay distinct anchors exactly when their ties differ — the
+  // alternation bound by row_number over (ts, tie1, cls).
+  private val m55: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(
+      ev(s, dir).withColumn("ts", date_trunc("hour", col("ts")))
+        .withColumn("tie1", expr("event_id div 100")),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, tie1
+        |  MEASURES S.ts AS signup_ts, C_V.ts AS x_ts, C_V.tie1 AS x_tie,
+        |           C_V.cls AS x_cls, P.ts AS purchase_ts
+        |  PATTERN (S (C|V) P)
+        |  WITHIN INTERVAL '72' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         V AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .select("user_id", "signup_ts", "x_ts", "x_tie", "x_cls", "purchase_ts")
+  private val m55Sql =
+    """WITH e AS (SELECT user_id, event_id, event_id // 100 AS tie1,
+      |            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+      |            event_type FROM events),
+      |s AS (SELECT DISTINCT user_id, ts, tie1 AS tie0 FROM e
+      |      WHERE event_type='signup'),
+      |x AS (SELECT user_id, ts, tie1,
+      |       CASE WHEN event_type='click' THEN 'C' ELSE 'V' END AS cls
+      |      FROM e WHERE event_type IN ('click','view')),
+      |p AS (SELECT user_id, ts FROM e WHERE event_type='purchase'),
+      |m1 AS (SELECT user_id, tie0, t0, t1, tie1, cls FROM (
+      |   SELECT s.user_id, s.tie0, s.ts AS t0, x.ts AS t1, x.tie1, x.cls,
+      |          row_number() OVER (PARTITION BY s.user_id, s.ts, s.tie0
+      |                             ORDER BY x.ts, x.tie1, x.cls) rn
+      |   FROM s JOIN x ON x.user_id = s.user_id AND x.ts > s.ts
+      |                AND x.ts <= s.ts + INTERVAL 72 HOURS) WHERE rn = 1),
+      |m2 AS (SELECT m1.user_id, tie0, t0, t1, tie1, cls, min(p.ts) AS t2
+      |       FROM m1 JOIN p ON p.user_id = m1.user_id AND p.ts > t1
+      |                     AND p.ts <= t0 + INTERVAL 72 HOURS
+      |       GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT user_id, t0 AS signup_ts, t1 AS x_ts, tie1 AS x_tie,
+      |       cls AS x_cls, t2 AS purchase_ts FROM m2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w25_cascading_windows" -> w25, "w26_cep_timeout" -> w26,
     "w27_cep_followed_by_any" -> w27, "w28_cep_combinations" -> w28,
@@ -5660,7 +5746,8 @@ object WindowQueries {
     "m46_depth2_iter_mid" -> m46, "m47_depth2_tiebreak" -> m47,
     "m49_nested_iter_inner" -> m49, "m48_depth3_nested_group" -> m48, "m50_depth2_iter_inner" -> m50,
     "m51_all_rows_depth3" -> m51, "m52_depth4_nested_group" -> m52,
-    "m53_all_rows_depth2_values" -> m53)
+    "m53_all_rows_depth2_values" -> m53, "m54_reluctant_absent" -> m54,
+    "m55_alternation_tiebreak" -> m55)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -5698,7 +5785,8 @@ object WindowQueries {
     "m46_depth2_iter_mid" -> m46Sql, "m47_depth2_tiebreak" -> m47Sql,
     "m49_nested_iter_inner" -> m49Sql, "m48_depth3_nested_group" -> m48Sql, "m50_depth2_iter_inner" -> m50Sql,
     "m51_all_rows_depth3" -> m51Sql, "m52_depth4_nested_group" -> m52Sql,
-    "m53_all_rows_depth2_values" -> m53Sql,
+    "m53_all_rows_depth2_values" -> m53Sql, "m54_reluctant_absent" -> m54Sql,
+    "m55_alternation_tiebreak" -> m55Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

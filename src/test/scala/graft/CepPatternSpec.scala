@@ -1350,6 +1350,114 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streamingStar=$streamingStar batchStar=$batchStar")
   }
 
+  test("followedByNestedNGroup at DEPTH 5 — nesting depth is a parameter, " +
+       "not a compile branch (r18): counts and ALL ROWS at every level") {
+    val evs = Seq(
+      (1L, at(0), "s"),
+      (1L, at(2), "b"), (1L, at(4), "c"), (1L, at(6), "v"),
+      (1L, at(8), "b"), (1L, at(10), "c"), (1L, at(12), "v"),
+      (1L, at(14), "w"), (1L, at(16), "x"), (1L, at(18), "y"), (1L, at(20), "z")
+    ).toDF("user_id", "ts", "event_type")
+    def pat = Pattern.begin("s", $"event_type" === "s")
+      .followedByNestedNGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq(Seq("v" -> ($"event_type" === "v")),
+            Seq("w" -> ($"event_type" === "w")),
+            Seq("x" -> ($"event_type" === "x")),
+            Seq("y" -> ($"event_type" === "y")),
+            Seq("z" -> ($"event_type" === "z"))))
+      .oneOrMore()
+    val m = pat.within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"g_mid4_n",
+        $"g_mid3_n", $"g_mid2_n", $"g_mid_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(m == Set((1L, at(2), at(20), 1L, 1L, 1L, 1L, 2L, 2L)), m.toString)
+    // ALL ROWS at depth 5: one running count per level on every row; the
+    // final closer of each level counts its own unit
+    val rows = pat.materializeNestedRows().within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+      .select(explode($"g_rows").as("r"))
+      .select($"r.ts", $"r.cls", $"r.reps", $"r.mids4", $"r.mids3",
+        $"r.mids2", $"r.mids", $"r.subs")
+      .as[(Timestamp, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(rows == Set(
+      (at(2), "b", 0L, 0L, 0L, 0L, 0L, 0L),
+      (at(4), "c", 0L, 0L, 0L, 0L, 0L, 1L),
+      (at(6), "v", 0L, 0L, 0L, 0L, 1L, 1L),
+      (at(8), "b", 0L, 0L, 0L, 0L, 1L, 1L),
+      (at(10), "c", 0L, 0L, 0L, 0L, 1L, 2L),
+      (at(12), "v", 0L, 0L, 0L, 0L, 2L, 2L),
+      (at(14), "w", 0L, 0L, 0L, 1L, 2L, 2L),
+      (at(16), "x", 0L, 0L, 1L, 1L, 2L, 2L),
+      (at(18), "y", 0L, 1L, 1L, 1L, 2L, 2L),
+      (at(20), "z", 1L, 1L, 1L, 1L, 2L, 2L)), rows.toString)
+  }
+
+  test("materializeNestedRows + bindGroup at DEPTH 3 (r18): per-row " +
+       "vsum/vcnt snapshots resolve through three pending levels") {
+    val evs = Seq(
+      (2L, at(0), "s", 0.0), (2L, at(2), "b", 0.0), (2L, at(4), "c", 0.0),
+      (2L, at(6), "v", 0.0), (2L, at(8), "w", 5.0), (2L, at(10), "x", 0.0),
+      (2L, at(12), "b", 0.0), (2L, at(14), "c", 0.0), (2L, at(16), "v", 0.0),
+      (2L, at(18), "w", 3.0), (2L, at(20), "x", 0.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val m = Pattern.begin("s", $"event_type" === "s")
+      .followedByNested3Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")),
+        Seq("x" -> ($"event_type" === "x")))
+      .bindGroup("w", "value")
+      .oneOrMore().materializeNestedRows().within(HOUR)
+      .detect(evs, $"user_id", $"ts")
+    val agg = m.select($"g_n", $"g_sum_w_value", $"g_cnt_w_value",
+        $"g_first_w_value", $"g_last_w_value")
+      .as[(Long, Double, Long, Double, Double)].collect().toSet
+    assert(agg == Set((2L, 8.0, 2L, 5.0, 3.0)), agg.toString)
+    val rows = m.select(explode($"g_rows").as("r"))
+      .select($"r.ts", $"r.cls", element_at($"r.vsum", 1),
+        element_at($"r.vcnt", 1))
+      .as[(Timestamp, String, Option[Double], Long)].collect().toSet
+    assert(rows == Set(
+      (at(2), "b", None, 0L), (at(4), "c", None, 0L),
+      (at(6), "v", None, 0L), (at(8), "w", Some(5.0), 1L),
+      (at(10), "x", Some(5.0), 1L),
+      (at(12), "b", Some(5.0), 1L), (at(14), "c", Some(5.0), 1L),
+      (at(16), "v", Some(5.0), 1L), (at(18), "w", Some(8.0), 2L),
+      (at(20), "x", Some(8.0), 2L)), rows.toString)
+  }
+
+  test("tieBreak on a plain alternation step steers WHICH BRANCH " +
+       "CLASSIFIES — lexicographic (ts, ties..., cls) binding (r18, " +
+       "lifting the m20-era named rejection for the unquantified shape)") {
+    // two equal-ts candidates of DIFFERENT branches: without a tiebreak
+    // the binding is (ts, cls)-min — branch B; with tieBreak("value") the
+    // lower-value candidate binds and the classifier follows it — branch C
+    val evs = Seq(
+      (1L, at(0), "s", 9.0), (1L, at(5), "b", 2.0), (1L, at(5), "c", 1.0),
+      (1L, at(9), "p", 0.0)).toDF("user_id", "ts", "event_type", "value")
+    def detectWith(tie: Boolean) = {
+      var p = Pattern.begin("s", $"event_type" === "s")
+        .followedByOneOf("x", "B" -> ($"event_type" === "b"),
+          "C" -> ($"event_type" === "c"))
+      if (tie) p = p.tieBreak("value")
+      p.followedBy("p", $"event_type" === "p").within(HOUR)
+        .detect(evs, $"user_id", $"ts")
+    }
+    val tied = detectWith(tie = true)
+      .select($"x_cls", $"x_value").as[(String, Double)].collect().toSet
+    assert(tied == Set(("C", 1.0)), tied.toString)
+    val plain = detectWith(tie = false)
+      .select($"x_cls").as[String].collect().toSet
+    assert(plain == Set("B"), plain.toString)
+    // quantified alternation + tieBreak stays out of the SQL front door
+    // (per-branch counts), but the Pattern API's run tieBreak is the run
+    // VALUE steering — unchanged, pinned elsewhere (m25)
+  }
+
   test("batch followedByNested2Group and streaming cepPatternNested2Group " +
        "agree (micro-batch splits, out-of-order delivery, per-level " +
        "discards, ALL ROWS twin)") {
@@ -1470,6 +1578,122 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(streamingStar == batchStar &&
       batchStar.contains((7L, at(0), at(2), at(6), 1L, 2L, 0L)),
       s"streamingStar=$streamingStar batchStar=$batchStar")
+  }
+
+  test("batch followedByNested3Group and streaming cepPatternNested3Group " +
+       "agree (three-level chains, rejection-equals-arrival-order, " +
+       "per-level discards)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: one outer rep holding 3 level-2 reps / 4 level-1 reps /
+    // 5 subs (the m48 hand-walk); user 2: the outer-rejection corpus —
+    // in ARRIVAL ORDER the x@10 close needs no rejection machinery at
+    // all, which is the causality argument in one corpus; user 3:
+    // dangling level-2 rep (no x) emits nothing
+    val all = Seq(
+      (1L, at(0), "s"), (1L, at(2), "b"), (1L, at(4), "c"),
+      (1L, at(5), "b"), (1L, at(6), "c"), (1L, at(8), "v"),
+      (1L, at(10), "b"), (1L, at(12), "c"), (1L, at(14), "v"),
+      (1L, at(15), "w"),
+      (1L, at(16), "b"), (1L, at(18), "c"), (1L, at(20), "v"), (1L, at(22), "w"),
+      (1L, at(24), "b"), (1L, at(26), "c"), (1L, at(28), "v"), (1L, at(30), "w"),
+      (1L, at(40), "x"),
+      (2L, at(0), "s"), (2L, at(2), "b"), (2L, at(4), "c"), (2L, at(6), "v"),
+      (2L, at(8), "w"), (2L, at(10), "x"),
+      (2L, at(12), "b"), (2L, at(14), "c"), (2L, at(16), "v"),
+      (2L, at(18), "w"), (2L, at(20), "x"),
+      (3L, at(0), "s"), (3L, at(2), "b"), (3L, at(4), "c"), (3L, at(6), "v"),
+      (3L, at(8), "w"))
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .followedByNested3Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")),
+        Seq("x" -> ($"event_type" === "x")))
+      .oneOrMore().within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n",
+        $"g_mid2_n", $"g_mid_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long, Long, Long)]
+      .collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternNested3Group(in.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        _.event_type == "v", _.event_type == "w", _.event_type == "x",
+        HOUR).toDF()
+      .writeStream.format("memory").queryName("s_nest3_parity")
+      .outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(12)); q.processAllAvailable() // split mid-chain
+    in.addData(scala.util.Random.shuffle(evs.drop(12))); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_nest3_parity")
+      .as[graft.streaming.Nest3Match].collect()
+      .map(m => (m.user_id, m.first_ts, m.grp_first_ts, m.grp_last_ts,
+        m.n_reps, m.n_mids2, m.n_mids, m.n_inner))
+      .toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), at(2), at(40), 1L, 3L, 4L, 5L),
+      (2L, at(0), at(2), at(20), 2L, 2L, 2L, 2L)),
+      s"streaming=$streaming batch=$batch")
+  }
+
+  test("batch bindInnerResidual and streaming cepPatternNestedGroupIter " +
+       "agree (per-partial threshold; NaN threshold never binds)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // thr = 2 * s.value. Key 1 (thr 20): c@3 (15) fails, the b@2 sub
+    // completes at c@6 (25) — v@4 cannot close (no completed sub) and
+    // v@7 closes one long repetition. Key 2 (thr 2): the sub completes
+    // at c@3 -> v@4 closes; the NEXT repetition's sub (b@5, c@6) -> v@7
+    // closes (n=2). Key 3: null threshold -> no subs, no match.
+    val all = Seq(
+      (1L, 10.0), (2L, 1.0), (3L, Double.NaN)
+    ).flatMap { case (k, sv) =>
+      Seq((k, at(0), "s", sv), (k, at(2), "b", 0.0), (k, at(3), "c", 15.0),
+        (k, at(4), "v", 100.0), (k, at(5), "b", 0.0), (k, at(6), "c", 25.0),
+        (k, at(7), "v", 200.0))
+    }
+    val batchDf = all.map { case (k, t, e, v) =>
+      (k, t, e, if (v.isNaN) null else java.lang.Double.valueOf(v))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .bind("value")
+      .followedByNestedGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")))
+      .bindInnerResidual("c", "value", ">", col("s_value") * 2)
+      .oneOrMore().within(HOUR)
+      .detect(batchDf, $"user_id", $"ts")
+      .select($"key", $"s_ts", $"g_first_ts", $"g_last_ts", $"g_n", $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Timestamp, Long, Long)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    // the streaming Event's value rides the residual: C events carry their
+    // own value; the anchor's threshold is read once at partial creation
+    val q = StreamOps.cepPatternNestedGroupIter(in.toDS(), "2 hours",
+        _.event_type == "s", e => 2 * e.value,
+        Seq((e, _) => e.event_type == "b",
+            (e, thr) => e.event_type == "c" && e.value > thr),
+        _.event_type == "v", HOUR).toDF()
+      .writeStream.format("memory").queryName("s_nest_iter_parity")
+      .outputMode("append").start()
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    in.addData(evs.take(8)); q.processAllAvailable()
+    in.addData(evs.drop(8)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_nest_iter_parity")
+      .as[graft.streaming.NestMatch].collect()
+      .map(m => (m.user_id, m.first_ts, m.grp_first_ts, m.grp_last_ts,
+        m.n_reps, m.n_inner))
+      .toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(0), at(2), at(7), 1L, 1L),
+      (2L, at(0), at(2), at(7), 2L, 2L)),
+      s"streaming=$streaming batch=$batch")
   }
 
   test("batch bindGroup values and streaming cepPatternGroup(valueSubIdx) agree") {

@@ -200,13 +200,13 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTest {
     assert(err("MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts, a+b " +
       "PATTERN (A) WITHIN INTERVAL '1' HOUR)")
       .contains("tiebreak columns"))
-    // the tiebreak steers plain bindings and run/group value reads (r10);
-    // alternations classify inside the binding refinement and self-runs
-    // segment by (ts, value) — still named errors, never a silently
-    // different match
+    // the tiebreak steers plain bindings, run/group value reads (r10) and
+    // — since r18 — plain-alternation branch choice; QUANTIFIED
+    // alternations (per-branch counts) and self-runs (segmentation by
+    // (ts, value)) stay named errors, never a silently different match
     assert(err("MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts, event_id " +
-      "MEASURES FIRST(A.ts) AS f PATTERN (B (A|C)) WITHIN INTERVAL '1' HOUR " +
+      "MEASURES FIRST(A.ts) AS f PATTERN (B (A|C)+) WITHIN INTERVAL '1' HOUR " +
       "DEFINE B AS event_type = 'b', A AS event_type = 'a', C AS event_type = 'c')")
-      .contains("alternation"))
+      .contains("quantified alternation"))
   }
 }

@@ -915,7 +915,10 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
   test("named errors: tiebreak on alternations/self-runs, ALL ROWS group combos") {
     val evs = Seq((1L, at(0), 1L, "signup", 0.0))
       .toDF("user_id", "ts", "seq", "event_type", "value")
-    val e1 = intercept[Exception](MatchRecognize.detect(evs,
+    // PLAIN alternation + tiebreak is SUPPORTED since r18 (the ties lead
+    // the binding payload ahead of the classifier) — the former named
+    // rejection must no longer fire; steering is pinned in CepPatternSpec
+    MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts, seq
         |  MEASURES S.ts AS s_ts
@@ -923,8 +926,20 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
         |         C AS event_type = 'view', P AS event_type = 'purchase'
+        |)""".stripMargin).collect()
+    // QUANTIFIED alternations keep the rejection, now carrying the
+    // impossibility argument (the classifier feeds per-branch counts)
+    val e1 = intercept[Exception](MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, seq
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S (B|C)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', P AS event_type = 'purchase'
         |)""".stripMargin))
-    assert(e1.getMessage.contains("alternation"), e1.getMessage)
+    assert(e1.getMessage.contains("quantified alternation") &&
+      e1.getMessage.contains("branch counts"), e1.getMessage)
     // nested group with an inner '*': SUPPORTED since r15 (tail-only
     // repetitions) — the former named rejection must no longer fire;
     // behavior is pinned by the dedicated inner-'*' tests
@@ -2149,20 +2164,59 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
     assert(runAlt("S (B|C)+? P") == Set((1L, at(0), at(5), at(25))))
   }
 
-  test("'*?' and '??' are named rejections (minimum zero never binds)") {
-    for (q <- Seq("C*?", "C??")) {
-      val e = intercept[RuntimeException](MatchRecognize.detect(events,
+  test("'*?' and '??' lower to the ELEMENT-ABSENT compile (r18: reluctant " +
+       "zero-minimum prefers zero occurrences, always achievable — the " +
+       "pattern sans the element, null/0 measures)") {
+    val ctrl = MatchRecognize.detect(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, P.ts AS p_ts
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin)
+      .select($"s_ts", $"p_ts").as[(Timestamp, Timestamp)].collect().toSet
+    assert(ctrl.nonEmpty)
+    for (q <- Seq("C*?", "C??", "C{0,3}?")) {
+      val m = MatchRecognize.detect(events,
         s"""MATCH_RECOGNIZE (
           |  PARTITION BY user_id ORDER BY ts
-          |  MEASURES S.ts AS s_ts, P.ts AS p_ts
+          |  MEASURES S.ts AS s_ts, P.ts AS p_ts, COUNT(C.ts) AS n_c,
+          |           LAST(C.ts) AS c_last, SUM(C.value) AS c_sum
           |  PATTERN (S $q P)
           |  WITHIN INTERVAL '1' HOUR
           |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
           |         P AS event_type = 'purchase'
-          |)""".stripMargin))
-      assert(e.getMessage.contains("reluctant quantifier") &&
-        e.getMessage.contains("never bind"), e.getMessage)
+          |)""".stripMargin)
+        .select($"s_ts", $"p_ts", $"n_c", $"c_last", $"c_sum")
+        .as[(Timestamp, Timestamp, Long, Option[Timestamp], Option[Double])]
+        .collect()
+      assert(m.map(r => (r._1, r._2)).toSet == ctrl, s"$q: ${m.toSeq}")
+      assert(m.forall(r => r._3 == 0L && r._4.isEmpty && r._5.isEmpty),
+        s"$q: ${m.toSeq}")
     }
+    // the anchor must bind: an absent FIRST element is a named error
+    val e1 = intercept[RuntimeException](MatchRecognize.detect(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES P.ts AS p_ts
+        |  PATTERN (S*? P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(e1.getMessage.contains("anchor"), e1.getMessage)
+    // a DEFINE referencing the absent variable could only read null: named
+    // error, not a silently null-poisoned predicate
+    val e2 = intercept[RuntimeException](MatchRecognize.detect(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S C*? P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase' AND P.value > LAST(C.value)
+        |)""".stripMargin))
+    assert(e2.getMessage.contains("never binds"), e2.getMessage)
   }
 
   test("depth-3 nested group SQL front door: ((((B C)+ V)+ W)+ X)+ parity " +
