@@ -237,6 +237,23 @@ case class Nest3Acc(partials: List[Nest3Partial], buf: List[BufEv] = Nil)
 case class Nest3Match(user_id: Long, first_ts: Timestamp,
                       grp_first_ts: Timestamp, grp_last_ts: Timestamp,
                       n_reps: Long, n_mids2: Long, n_mids: Long, n_inner: Long)
+// DEPTH-N nested group partial (the followedByNestedNGroup twin): the
+// per-level bookkeeping held as sequences — accs(l) = counts of units
+// 0..l inside the CURRENT in-progress level-(l+1) repetition (unit-0 =
+// inner subs; accs(l)(l) is the completed-child count the level-(l+1)
+// closer needs), lastClose(l) = the last unit-l close inside it, tot =
+// committed totals per unit (tot.last = outer repetitions). State stays
+// O(depth) per partial.
+case class NestNPartial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
+                        curStartMs: Long = -1L, inSubLastMs: Long = -1L,
+                        accs: List[List[Long]] = Nil,
+                        lastClose: List[Long] = Nil,
+                        tot: List[Long] = Nil,
+                        lastTailMs: Long = -1L)
+case class NestNAcc(partials: List[NestNPartial], buf: List[BufEv] = Nil)
+case class NestNMatch(user_id: Long, first_ts: Timestamp,
+                      grp_first_ts: Timestamp, grp_last_ts: Timestamp,
+                      n_reps: Long, level_counts: Seq[Long], n_inner: Long)
 // iterative-INNER nested group ((I...)+ T)+ partial with a PER-PARTIAL
 // residual threshold (the m49 batch shape on the stream): the anchor's
 // threshold tuple is known the moment its partial opens — ONE double per
@@ -2314,6 +2331,159 @@ object StreamOps {
           if (partials.isEmpty && held.isEmpty) state.remove()
           else {
             state.update(Nest3Acc(partials, held))
+            state.setTimeoutTimestamp(math.max(wm + 1,
+              (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming DEPTH-N nested group — the twin of the depth-parametric
+    * `Pattern.followedByNestedNGroup` (r18: the batch walk takes ANY
+    * nesting depth, so the stream side must too, or the twin convention
+    * re-opens one depth up every round). `closerPreds(l)` closes each
+    * level-(l+1) repetition, outermost last — depth = `closerPreds.size`
+    * (>= 2; depth 1 is [[cepPatternNestedGroup]]). The causality argument
+    * is depth-inductive: every close is inside its repetition, so
+    * absorb-vs-close at EVERY level is immediate in arrival order over
+    * the watermark-finalized prefix — no held closes, O(depth) state per
+    * partial (per-level child counts, per-level accumulated lower-unit
+    * counts, per-level last-close timestamps). A closer with no completed
+    * child in its current repetition is skipped (skip-till-next) —
+    * `innerOptional` lets the level-1 closer bind childless — and a
+    * closer binding discards ALL in-progress state below its level (the
+    * batch chain ends at the last absorbed child, recursively). Emits
+    * first/last boundaries, the outer repetition count, one count per
+    * intermediate level (outermost first — the batch `mid{D-1}_n ..
+    * mid_n` column order) and the total inner count, at window expiry.
+    * Counts-only: the fixed-depth twins keep the materializeRows surface.
+    * Equal-timestamp decisions resolve by the (ms, type, tie, value)
+    * processing order; maxPartials, watermark pruning and event-time
+    * eviction as in the other cep twins. */
+  def cepPatternNestedNGroup(events: Dataset[Event], watermark: String,
+                             firstPred: Event => Boolean,
+                             innerPreds: Seq[Event => Boolean],
+                             closerPreds: Seq[Event => Boolean],
+                             withinMs: Long,
+                             maxPartials: Int = 256,
+                             tieOf: Event => Double = _.value,
+                             innerOptional: Boolean = false): Dataset[NestNMatch] = {
+    require(innerPreds.size >= 2, "the inner sub-group needs at least two steps")
+    require(closerPreds.size >= 2,
+      "a depth-N nested group needs at least TWO closing levels (depth 1 " +
+        "is cepPatternNestedGroup)")
+    val nD = closerPreds.size
+    implicit val outEnc = Encoders.product[NestNMatch]
+    implicit val accEnc = Encoders.product[NestNAcc]
+    implicit val keyEnc = Encoders.scalaLong
+    val zeroAccs: List[List[Long]] =
+      (1 to nD).map(l => List.fill(l)(0L)).toList
+    val zeroClose: List[Long] = List.fill(nD)(-1L)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[NestNAcc, NestNMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[NestNAcc]) =>
+          var partials = state.getOption.map(_.partials).getOrElse(Nil)
+          val out = Seq.newBuilder[NestNMatch]
+          def emit(p: NestNPartial): Unit =
+            out += NestNMatch(userId, new Timestamp(p.firstMs),
+              new Timestamp(p.gFirstMs), new Timestamp(p.lastTailMs),
+              p.tot(nD), (nD - 1 to 1 by -1).map(p.tot(_)), p.tot.head)
+          val wm = state.getCurrentWatermarkMs()
+          val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
+            rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
+          val (readyB, held) = buf0.partition(_.ms < wm)
+          readyB.map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value))
+            .sortBy(e => (e.ts.getTime, e.event_type, tieOf(e), e.value)).foreach { e =>
+            val t = e.ts.getTime
+            partials = partials.flatMap { p =>
+              if (t > p.firstMs + withinMs) {
+                if (p.tot(nD) >= 1) emit(p)
+                None
+              } else {
+                // a fresh unit anchors strictly after the last close at
+                // the deepest level holding one
+                def freshAnchor: Long = {
+                  var l = 0
+                  while (l < nD && p.accs(l)(l) == 0L) l += 1
+                  if (l < nD) p.lastClose(l)
+                  else math.max(p.lastTailMs, p.firstMs)
+                }
+                val subAnchor =
+                  if (p.subIdx > 0) p.inSubLastMs
+                  else if (p.accs.head.head > 0) p.lastClose.head
+                  else freshAnchor
+                // which closer (if any) fires: the SHALLOWEST level whose
+                // predicate matches and whose current repetition has a
+                // completed child (keep closer predicates disjoint for
+                // exact batch parity, the twin convention)
+                def closerAt: Int = {
+                  var l = 1
+                  while (l <= nD) {
+                    val hasChild = p.accs(l - 1)(l - 1) >= 1
+                    if (closerPreds(l - 1)(e) &&
+                        (hasChild || (l == 1 && innerOptional)) &&
+                        t > (if (hasChild) p.lastClose(l - 1) else freshAnchor))
+                      return l
+                    l += 1
+                  }
+                  0
+                }
+                if (p.subIdx < innerPreds.size && innerPreds(p.subIdx)(e) &&
+                    t > subAnchor) {
+                  if (p.subIdx == innerPreds.size - 1) {
+                    val gF = if (p.gFirstMs < 0) p.curStartMs else p.gFirstMs
+                    Some(p.copy(gFirstMs = gF,
+                      accs = p.accs.updated(0, List(p.accs.head.head + 1)),
+                      lastClose = p.lastClose.updated(0, t),
+                      subIdx = 0, curStartMs = -1L, inSubLastMs = -1L))
+                  } else if (p.subIdx == 0)
+                    Some(p.copy(subIdx = 1, curStartMs = t, inSubLastMs = t))
+                  else Some(p.copy(subIdx = p.subIdx + 1, inSubLastMs = t))
+                } else {
+                  val l = closerAt
+                  if (l == 0) Some(p)
+                  else {
+                    // unit-l completes: absorb its counts one level up (or
+                    // commit when it IS the outer repetition), then discard
+                    // every in-progress unit below it
+                    val gF = if (p.gFirstMs < 0) t else p.gFirstMs // childless close
+                    val unit = p.accs(l - 1) // counts of units 0..l-1
+                    if (l == nD) {
+                      val tot2 = p.tot.zipWithIndex.map { case (v, j) =>
+                        if (j < nD) v + unit(j) else v + 1L }
+                      Some(p.copy(gFirstMs = gF, tot = tot2, lastTailMs = t,
+                        accs = zeroAccs, lastClose = zeroClose,
+                        subIdx = 0, curStartMs = -1L, inSubLastMs = -1L))
+                    } else {
+                      val parent = p.accs(l).zipWithIndex.map { case (v, j) =>
+                        if (j < l) v + unit(j) else v + 1L }
+                      val accs2 = p.accs.zipWithIndex.map { case (a, i) =>
+                        if (i == l) parent
+                        else if (i < l) zeroAccs(i)
+                        else a }
+                      val close2 = p.lastClose.zipWithIndex.map { case (v, i) =>
+                        if (i == l) t else if (i < l) -1L else v }
+                      Some(p.copy(gFirstMs = gF, accs = accs2,
+                        lastClose = close2,
+                        subIdx = 0, curStartMs = -1L, inSubLastMs = -1L))
+                    }
+                  }
+                }
+              }
+            }
+            if (firstPred(e))
+              partials = (NestNPartial(t, accs = zeroAccs,
+                lastClose = zeroClose,
+                tot = List.fill(nD + 1)(0L)) :: partials).take(maxPartials)
+          }
+          val (expired, alive) = partials.partition(_.firstMs + withinMs < wm)
+          expired.foreach(p => if (p.tot(nD) >= 1) emit(p))
+          partials = alive
+          if (partials.isEmpty && held.isEmpty) state.remove()
+          else {
+            state.update(NestNAcc(partials, held))
             state.setTimeoutTimestamp(math.max(wm + 1,
               (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }

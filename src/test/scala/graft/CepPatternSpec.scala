@@ -1396,6 +1396,94 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       (at(20), "z", 1L, 1L, 1L, 1L, 2L, 2L)), rows.toString)
   }
 
+  test("batch followedByNestedNGroup and streaming cepPatternNestedNGroup " +
+       "agree at depth 5 AND reproduce the depth-2 twin on its corpus — " +
+       "the twin convention is depth-parametric on both sides") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // depth-5 corpus: the depth-parametric spec's two-L1-rep chain, plus
+    // a second key exercising two OUTER repetitions through five levels
+    val all = Seq(
+      (1L, at(0), "s"),
+      (1L, at(2), "b"), (1L, at(4), "c"), (1L, at(6), "v"),
+      (1L, at(8), "b"), (1L, at(10), "c"), (1L, at(12), "v"),
+      (1L, at(14), "w"), (1L, at(16), "x"), (1L, at(18), "y"), (1L, at(20), "z"),
+      (2L, at(0), "s"), (2L, at(2), "b"), (2L, at(4), "c"), (2L, at(6), "v"),
+      (2L, at(8), "w"), (2L, at(10), "x"), (2L, at(12), "y"), (2L, at(14), "z"),
+      (2L, at(16), "b"), (2L, at(18), "c"), (2L, at(20), "v"),
+      (2L, at(22), "w"), (2L, at(24), "x"), (2L, at(26), "y"), (2L, at(28), "z"))
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .followedByNestedNGroup("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq(Seq("v" -> ($"event_type" === "v")),
+            Seq("w" -> ($"event_type" === "w")),
+            Seq("x" -> ($"event_type" === "x")),
+            Seq("y" -> ($"event_type" === "y")),
+            Seq("z" -> ($"event_type" === "z"))))
+      .oneOrMore().within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n",
+        array($"g_mid4_n", $"g_mid3_n", $"g_mid2_n", $"g_mid_n"), $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Long, Seq[Long], Long)].collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternNestedNGroup(in.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        Seq(_.event_type == "v", _.event_type == "w", _.event_type == "x",
+            _.event_type == "y", _.event_type == "z"), HOUR).toDF()
+      .writeStream.format("memory").queryName("s_nestn_parity")
+      .outputMode("append").start()
+    val evs = all.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) }
+    in.addData(evs.take(14)); q.processAllAvailable()
+    in.addData(scala.util.Random.shuffle(evs.drop(14))); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_nestn_parity")
+      .as[graft.streaming.NestNMatch].collect()
+      .map(m => (m.user_id, m.grp_first_ts, m.grp_last_ts, m.n_reps,
+        m.level_counts, m.n_inner))
+      .toSet
+    assert(streaming == batch && batch == Set(
+      (1L, at(2), at(20), 1L, Seq(1L, 1L, 1L, 2L), 2L),
+      (2L, at(2), at(28), 2L, Seq(2L, 2L, 2L, 2L), 2L)),
+      s"streaming=$streaming batch=$batch")
+    // depth-2 through the N twin reproduces the DEDICATED depth-2 twin's
+    // corpus results (the m39-shape parity corpus, counts columns)
+    val all2 = Seq(
+      (4L, at(0), "s"), (4L, at(2), "b"), (4L, at(4), "c"), (4L, at(6), "b"),
+      (4L, at(8), "v"), (4L, at(10), "w"),
+      (4L, at(12), "b"), (4L, at(14), "c"), (4L, at(16), "w"),
+      (4L, at(18), "v"), (4L, at(20), "w"))
+    val batch2 = Pattern.begin("s", $"event_type" === "s")
+      .followedByNested2Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")))
+      .oneOrMore().within(HOUR)
+      .detect(all2.toDF("user_id", "ts", "event_type"), $"user_id", $"ts")
+      .select($"key", $"g_first_ts", $"g_last_ts", $"g_n", $"g_mid_n",
+        $"g_inner_n")
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long)].collect().toSet
+    val in2 = MemoryStream[graft.streaming.Event]
+    val q2 = StreamOps.cepPatternNestedNGroup(in2.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        Seq(_.event_type == "v", _.event_type == "w"), HOUR).toDF()
+      .writeStream.format("memory").queryName("s_nestn2_parity")
+      .outputMode("append").start()
+    in2.addData(all2.map { case (u, ts, t) => StreamOps.Event(u, ts, t, 0.0) })
+    q2.processAllAvailable()
+    in2.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q2.processAllAvailable()
+    in2.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q2.processAllAvailable(); q2.stop()
+    val streaming2 = spark.table("s_nestn2_parity")
+      .as[graft.streaming.NestNMatch].collect()
+      .map(m => (m.user_id, m.grp_first_ts, m.grp_last_ts, m.n_reps,
+        m.level_counts.head, m.n_inner))
+      .toSet
+    assert(streaming2 == batch2 &&
+      batch2 == Set((4L, at(2), at(20), 2L, 2L, 2L)),
+      s"streaming2=$streaming2 batch2=$batch2")
+  }
+
   test("materializeNestedRows + bindGroup at DEPTH 3 (r18): per-row " +
        "vsum/vcnt snapshots resolve through three pending levels") {
     val evs = Seq(
