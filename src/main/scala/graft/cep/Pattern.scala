@@ -513,8 +513,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
     * outer attempt only when it is absorbed, the attempt's only when the
     * outer repetition completes); [[tieBreak]] steers the value tables
     * at every level (r17 — the shared tieMinAgg builder);
-    * [[materializeNestedRows]] composes except with bindGroup (named
-    * mutual exclusion). */
+    * [[materializeNestedRows]] composes, including with bindGroup (r18 —
+    * per-row vsum/vcnt value snapshots at every depth). */
   /** `innerOptional` (r16, the m37 recipe recursed): the innermost
     * sub-group may repeat ZERO times inside a level-1 repetition —
     * `(((I...)* M...)+ T...)+`. A level-1 repetition then binds EITHER a
@@ -1546,13 +1546,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val iRes2 = new InnerResCompile(s.innerRes)
         val hasIRes2 = iRes2.has
         // the anchor frame feeds BOTH sides of the cogroup under an inner
-        // residual — persist it so the upstream pipeline runs once;
-        // released after the walk output is checkpointed below (the
-        // Iterate.scala unpersist discipline, r17 advice)
-        val persistedAnchor2 = if (!hasIRes2) null else {
-          out = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          out
-        }
+        // residual. Deliberately NOT persisted (r18, superseding the r17
+        // persist after a three-way A/B at sf0.1): re-evaluating the
+        // anchor prefix for the threshold table costs ~0.1 s (m49
+        // 0.98 vs 0.85 s in r17's own numbers), a never-released persist
+        // pins executor memory for the application lifetime (the r17
+        // advice item), and the release-via-eager-localCheckpoint fix
+        // measured 1.4-1.6x on the residual queries (two extra scheduler
+        // round-trips + a store/read of the walk output). At scale the
+        // anchor prefix is an embarrassingly parallel scan; a pinned
+        // cache is cluster memory — double evaluation is the right
+        // trade everywhere.
         val thrTable2 = if (!hasIRes2) null else iRes2.thrTable(out)
         var (isubs, prevSub) = compileInnerSubs(s.inner2, iRes2, thrTable2,
           events, key, ts, win)
@@ -2112,13 +2116,6 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         out = chained.toDF().drop("__gprev", "__gwend")
           .drop(resByStep2.keys.map(j => s"__tres$j").toSeq: _*)
           .drop(s.innerRes.indices.map(r => s"__ires$r"): _*)
-        if (persistedAnchor2 != null) {
-          // one walk-output row per anchor: checkpointing it eagerly is
-          // cheap, and it lets the anchor pin release NOW instead of at
-          // application exit
-          out = out.localCheckpoint(true)
-          persistedAnchor2.unpersist(false)
-        }
         prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
                  else col(s"${s.name}_last_ts")
       } else if (s.innerGroup.nonEmpty) {
@@ -2151,15 +2148,12 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         val iRes = new InnerResCompile(s.innerRes)
         val hasIRes = iRes.has
         // the anchor frame feeds BOTH the anchor side and (via the tuple
-        // table) the candidate side of the cogroup — persist it so the
-        // upstream pipeline is not evaluated twice; released after the
-        // walk output is checkpointed below (the Iterate.scala unpersist
-        // discipline — r17 advice: a never-unpersisted frame pins memory
-        // for the application lifetime)
-        val persistedAnchor = if (!hasIRes) null else {
-          out = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          out
-        }
+        // table) the candidate side of the cogroup. Deliberately NOT
+        // persisted — see the depth-N branch's A/B note: double
+        // evaluation of the anchor prefix is ~0.1 s here, while the
+        // leak-free persist (eager localCheckpoint + unpersist) measured
+        // 1.4x and a never-released persist pins memory for the
+        // application lifetime (the r17 advice item).
         val thrTable = if (!hasIRes) null else iRes.thrTable(out)
         // inner sub-match table: one row per first-inner-step event with
         // its earliest completion (span-bounded by win: any sub-sequence
@@ -2604,13 +2598,6 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         out = chained.toDF().drop("__gprev", "__gwend")
           .drop(resByTail.keys.map(j => s"__tres$j").toSeq: _*)
           .drop(s.innerRes.indices.map(r => s"__ires$r"): _*)
-        if (persistedAnchor != null) {
-          // one walk-output row per anchor: checkpointing it eagerly is
-          // cheap, and it lets the anchor pin release NOW instead of at
-          // application exit
-          out = out.localCheckpoint(true)
-          persistedAnchor.unpersist(false)
-        }
         prevTs = if (s.opt) coalesce(col(s"${s.name}_last_ts"), prevTs)
                  else col(s"${s.name}_last_ts")
       } else if (s.group.nonEmpty) {
