@@ -279,9 +279,9 @@ object MatchRecognize {
         case None if "(?is)\\bPATTERN\\s*\\(".r.findFirstIn(body).isDefined =>
           sys.error("PATTERN bodies nested deeper than four group-in-group " +
             "levels are not supported through the SQL front door (up to " +
-            "((((((A B)+ C)+ D)+ E)+ F)+ is) — use the Scala API's " +
-            "depth-parametric Pattern.followedByNestedNGroup for deeper " +
-            "compositions")
+            "the depth-4 (((((A B)+ C)+ D)+ E)+ F)+ is) — use the Scala " +
+            "API's depth-parametric Pattern.followedByNestedNGroup for " +
+            "deeper compositions")
         case None => sys.error("PATTERN (...) required")
       }
     }
@@ -321,8 +321,10 @@ object MatchRecognize {
             (if (gap.contains("(")) " — the supported nested shapes are " +
               "((I1 I2 ...)+ T1 ...)+ (inner '+' or '*', at least one " +
               "tail step, outer '+'/'*'), (((I1 I2 ...)+ M1 ...)+ " +
-              "T1 ...)+ (depth 2: inner and mid '+', outer '+'/'*') and " +
-              "((((I1 I2 ...)+ M1 ...)+ N1 ...)+ T1 ...)+ (depth 3)"
+              "T1 ...)+ (depth 2: inner and mid '+', outer '+'/'*'), " +
+              "((((I1 I2 ...)+ M1 ...)+ N1 ...)+ T1 ...)+ (depth 3) and " +
+              "(((((I1 I2 ...)+ M1 ...)+ N1 ...)+ O1 ...)+ T1 ...)+ " +
+              "(depth 4)"
              else ""))
         if (m != null) pos = m.end
       }
@@ -446,6 +448,20 @@ object MatchRecognize {
         }
       }
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
+    // duplicate variable names were always broken (colliding bound
+    // columns), but under the element-absent lowering they would be
+    // SILENTLY wrong (PATTERN (S C C*? P) nulls every measure on the
+    // bound C) — reject by name across every bindable identifier
+    locally {
+      val allNames = vars.flatMap(v => v.name +: (v.alts ++ v.seq ++
+        v.innerSeq ++ v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.mid3Seq))
+      val dups = allNames.groupBy(identity).collect {
+        case (n, occ) if occ.size > 1 => n }
+      require(dups.isEmpty,
+        s"PATTERN binds ${dups.mkString(", ")} more than once — every " +
+          "variable, alternation branch and group member needs a distinct " +
+          "name (reusing one would alias their bound columns)")
+    }
     // element-absent variables (reluctant zero-minimum) leave the compiled
     // pattern; the anchor must bind, so an absent FIRST element is a
     // named error rather than a silently different pattern
@@ -837,9 +853,12 @@ object MatchRecognize {
     locally {
       val absRef = neededBinds.keySet.intersect(spec.absentVars) ++
         spec.absentVars.filter(av => spec.defines.exists { case (dv, b) =>
+          // scan with string literals BLANKED — 'c.example.com' inside a
+          // predicate must not read as a reference to variable C
+          val noLits = b.replaceAll("'[^']*'", "''")
           !spec.absentVars.contains(dv) && dv != av &&
             ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(av) +
-              "\\s*\\.").r.findFirstIn(b).isDefined
+              "\\s*\\.").r.findFirstIn(noLits).isDefined
         })
       require(absRef.isEmpty,
         s"DEFINE references ${absRef.mkString(", ")}: the variable " +
@@ -1570,10 +1589,21 @@ object MatchRecognize {
             case Some("SUM") => sumAt
             case Some("COUNT") => cntAt
             case Some("AVG") => sumAt / cntAt
+            // running MIN/MAX snapshots (r18, the last per-row value
+            // rejection lifted); running FIRST/LAST stay named errors —
+            // positional semantics include null bindings, which a per-row
+            // nullable double cannot carry unambiguously (use ONE ROW)
+            case Some("MIN") =>
+              r.map(rr => element_at(rr.getField("vmin"), gi + 1))
+                .getOrElse(lit(null).cast("double"))
+            case Some("MAX") =>
+              r.map(rr => element_at(rr.getField("vmax"), gi + 1))
+                .getOrElse(lit(null).cast("double"))
             case other => sys.error(s"ALL ROWS over nested group " +
-              s"${g.name}: running SUM/COUNT/AVG are the member VALUE " +
-              "measures (running MIN/MAX/FIRST/LAST are not materialized " +
-              s"per row) — got ${other.getOrElse("a bare reference")}" +
+              s"${g.name}: running SUM/COUNT/AVG/MIN/MAX are the member " +
+              "VALUE measures (running FIRST/LAST are not materialized " +
+              s"per row: positional semantics include null bindings) — " +
+              s"got ${other.getOrElse("a bare reference")}" +
               s"(${m.varName}.${m.field})")
           }
         } else {
@@ -1690,10 +1720,17 @@ object MatchRecognize {
             case Some("SUM") => sumAt
             case Some("COUNT") => cntAt
             case Some("AVG") => sumAt / cntAt
+            case Some("MIN") =>
+              r.map(rr => element_at(rr.getField("vmin"), gi + 1))
+                .getOrElse(lit(null).cast("double"))
+            case Some("MAX") =>
+              r.map(rr => element_at(rr.getField("vmax"), gi + 1))
+                .getOrElse(lit(null).cast("double"))
             case other => sys.error(s"ALL ROWS over depth-2 nested group " +
-              s"${g.name}: running SUM/COUNT/AVG are the member VALUE " +
-              "measures (running MIN/MAX/FIRST/LAST are not materialized " +
-              s"per row) — got ${other.getOrElse("a bare reference")}" +
+              s"${g.name}: running SUM/COUNT/AVG/MIN/MAX are the member " +
+              "VALUE measures (running FIRST/LAST are not materialized " +
+              s"per row: positional semantics include null bindings) — " +
+              s"got ${other.getOrElse("a bare reference")}" +
               s"(${m.varName}.${m.field})")
           }
         } else {

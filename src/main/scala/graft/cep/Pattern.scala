@@ -1699,7 +1699,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 org.apache.spark.sql.types.DoubleType, true)),
             org.apache.spark.sql.types.StructField("vcnt",
               org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.LongType, false)))
+                org.apache.spark.sql.types.LongType, false)),
+            // running MIN/MAX snapshots (r18, lifting the last per-row
+            // value named rejection): null-ignoring, like the aggregates
+            org.apache.spark.sql.types.StructField("vmin",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true)),
+            org.apache.spark.sql.types.StructField("vmax",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true)))
           Seq(org.apache.spark.sql.types.StructField(s"${s.name}_rows",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.StructType(base ++ valRows), false)))
@@ -1870,11 +1878,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               else null
               val runS = if (rowVals) new Array[java.lang.Double](gkN) else null
               val runC = if (rowVals) new Array[Long](gkN) else null
+              val runMn = if (rowVals) new Array[java.lang.Double](gkN) else null
+              val runMx = if (rowVals) new Array[java.lang.Double](gkN) else null
               def applyVal(gi: Int, v: java.lang.Double): Unit =
                 if (rowVals && v != null) {
                   runC(gi) += 1
                   runS(gi) = if (runS(gi) == null) v
                              else java.lang.Double.valueOf(runS(gi) + v)
+                  runMn(gi) = Pattern.nmin(runMn(gi), v)
+                  runMx(gi) = Pattern.nmax(runMx(gi), v)
                 }
               var first: java.sql.Timestamp = null
               var e = t0
@@ -1906,7 +1918,9 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                     cnt(0) = counts(0) + (if (j == mems.length - 1) 1 else 0)
                     rows += new Pattern.NestRowL(mems(j), j, cnt,
                       if (rowVals) runS.clone() else null,
-                      if (rowVals) runC.clone() else null)
+                      if (rowVals) runC.clone() else null,
+                      if (rowVals) runMn.clone() else null,
+                      if (rowVals) runMx.clone() else null)
                     j += 1
                   }
                 }
@@ -1930,6 +1944,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                           r.vs(g) = if (r.vs(g) == null) runS(g)
                                     else java.lang.Double.valueOf(r.vs(g) + runS(g))
                         r.vc(g) += runC(g)
+                        r.vmn(g) = Pattern.nmin(r.vmn(g), runMn(g))
+                        r.vmx(g) = Pattern.nmax(r.vmx(g), runMx(g))
                         g += 1
                       }
                     }
@@ -1944,6 +1960,8 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                       runS(g) = if (runS(g) == null) c.vS(g)
                                 else java.lang.Double.valueOf(runS(g) + c.vS(g))
                     runC(g) += c.vC(g)
+                    runMn(g) = Pattern.nmin(runMn(g), c.vMn(g))
+                    runMx(g) = Pattern.nmax(runMx(g), c.vMx(g))
                     g += 1
                   }
                 }
@@ -2032,12 +2050,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                   if (ci == nCl - 1) cnt(l) += 1
                   rows += new Pattern.NestRowL(t2, nInner + j, cnt,
                     if (rowVals) runS.clone() else null,
-                    if (rowVals) runC.clone() else null)
+                    if (rowVals) runC.clone() else null,
+                    if (rowVals) runMn.clone() else null,
+                    if (rowVals) runMx.clone() else null)
                 }
                 ci += 1
               }
               counts(l) += 1
-              new Pattern.NestRep(first, t2, counts, pend, rows, runS, runC)
+              new Pattern.NestRep(first, t2, counts, pend, rows, runS, runC,
+                runMn, runMx)
             }
             // the match: a greedy chain of level-D (outer) repetitions to
             // window end — commit per completed repetition, with the
@@ -2082,7 +2103,11 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                         else java.lang.Double.valueOf(vSum(g) + rw.vs(g))
                       }
                       val vcArr = (0 until gkN).map(g => vCnt(g) + rw.vc(g))
-                      Seq(vsArr, vcArr)
+                      val vmnArr = (0 until gkN).map(g =>
+                        Pattern.nmin(vMin(g), rw.vmn(g)))
+                      val vmxArr = (0 until gkN).map(g =>
+                        Pattern.nmax(vMax(g), rw.vmx(g)))
+                      Seq(vsArr, vcArr, vmnArr, vmxArr)
                     }
                     allRows += org.apache.spark.sql.Row.fromSeq(base ++ valPart)
                     i += 1
@@ -2288,7 +2313,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 org.apache.spark.sql.types.DoubleType, true)),
             org.apache.spark.sql.types.StructField("vcnt",
               org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.LongType, false)))
+                org.apache.spark.sql.types.LongType, false)),
+            // running MIN/MAX snapshots (r18, lifting the last per-row
+            // value named rejection): null-ignoring, like the aggregates
+            org.apache.spark.sql.types.StructField("vmin",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true)),
+            org.apache.spark.sql.types.StructField("vmax",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true)))
           Seq(org.apache.spark.sql.types.StructField(s"${s.name}_rows",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.StructType(base ++ valRows), false)))
@@ -2481,16 +2514,21 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 // failed repetition's snapshots die with its rows
                 val repSum = if (rowVals) vSum.clone() else null
                 val repCnt = if (rowVals) vCnt.clone() else null
+                val repMin = if (rowVals) vMin.clone() else null
+                val repMax = if (rowVals) vMax.clone() else null
                 def applyVal(gi: Int, v: java.lang.Double): Unit = if (v != null) {
                   repCnt(gi) += 1
                   repSum(gi) = if (repSum(gi) == null) v
                                else java.lang.Double.valueOf(repSum(gi) + v)
+                  repMin(gi) = Pattern.nmin(repMin(gi), v)
+                  repMax(gi) = Pattern.nmax(repMax(gi), v)
                 }
                 def rowOf(ts0: java.sql.Timestamp, cls: String, reps0: Long,
                           subs0: Long): org.apache.spark.sql.Row =
                   if (!rowVals) org.apache.spark.sql.Row(ts0, cls, reps0, subs0)
                   else org.apache.spark.sql.Row(ts0, cls, reps0, subs0,
-                    repSum.toVector, repCnt.toVector)
+                    repSum.toVector, repCnt.toVector,
+                    repMin.toVector, repMax.toVector)
                 // a sub's member rows: running counts AS OF each row (the
                 // final member completes the sub, so it counts it); value
                 // snapshots include the row's OWN contribution
@@ -3072,7 +3110,15 @@ object Pattern extends Serializable {
       val counts: Array[Long],
       val pend: scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)],
       val rows: scala.collection.mutable.ArrayBuffer[NestRowL],
-      val vS: Array[java.lang.Double], val vC: Array[Long])
+      val vS: Array[java.lang.Double], val vC: Array[Long],
+      val vMn: Array[java.lang.Double], val vMx: Array[java.lang.Double])
+
+  /** null-ignoring running extremes (the commitPending convention): null
+    * means "no non-null value yet", so merging is null-aware min/max. */
+  private[cep] def nmin(a: java.lang.Double, b: java.lang.Double): java.lang.Double =
+    if (a == null) b else if (b == null) a else if (a <= b) a else b
+  private[cep] def nmax(a: java.lang.Double, b: java.lang.Double): java.lang.Double =
+    if (a == null) b else if (b == null) a else if (a >= b) a else b
 
   /** One materialized bound event of the walk, counts/snapshots still
     * LOCAL to the repetition being built — resolved to enclosing offsets
@@ -3080,7 +3126,8 @@ object Pattern extends Serializable {
     * place: each row belongs to exactly one repetition). */
   private[cep] final class NestRowL(
       val ts: java.sql.Timestamp, val ci: Int, val cnt: Array[Long],
-      val vs: Array[java.lang.Double], val vc: Array[Long])
+      val vs: Array[java.lang.Double], val vc: Array[Long],
+      val vmn: Array[java.lang.Double], val vmx: Array[java.lang.Double])
 
   /** Default per-key candidate ceiling for the sequential per-key walks
     * (group/nested repetition chains, PREV(n>1) segmentation, AFTER MATCH

@@ -5384,7 +5384,8 @@ object WindowQueries {
         |  PARTITION BY user_id
         |  ORDER BY ts
         |  MEASURES S.ts AS signup_ts, SUM(C.value) AS sum_c,
-        |           COUNT(C.value) AS cnt_c, COUNT(W.ts) AS n_reps
+        |           COUNT(C.value) AS cnt_c, MIN(C.value) AS min_c,
+        |           MAX(C.value) AS max_c, COUNT(W.ts) AS n_reps
         |  ALL ROWS PER MATCH
         |  PATTERN (S (((B C)+ V)+ W)+)
         |  WITHIN INTERVAL '96' HOUR
@@ -5392,7 +5393,8 @@ object WindowQueries {
         |         C AS event_type = 'view', V AS event_type = 'error',
         |         W AS event_type = 'purchase'
         |)""".stripMargin)
-      .select("user_id", "cls", "ts", "signup_ts", "sum_c", "cnt_c", "n_reps")
+      .select("user_id", "cls", "ts", "signup_ts", "sum_c", "cnt_c",
+        "min_c", "max_c", "n_reps")
   private val m53Sql =
     """WITH RECURSIVE
       |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type='signup'),
@@ -5447,13 +5449,18 @@ object WindowQueries {
       |         CASE WHEN su.val IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS cvc,
       |         CAST(NULL AS DOUBLE) AS avs, CAST(0 AS BIGINT) AS avc,
       |         CAST(NULL AS DOUBLE) AS dvs, CAST(0 AS BIGINT) AS dvc,
+      |         su.val AS cmn, su.val AS cmx,
+      |         CAST(NULL AS DOUBLE) AS amn, CAST(NULL AS DOUBLE) AS amx,
+      |         CAST(NULL AS DOUBLE) AS dmn, CAST(NULL AS DOUBLE) AS dmx,
       |         [{'ts': su.b_ts, 'cls': 'B', 'md': CAST(0 AS BIGINT), 'sl': CAST(0 AS BIGINT),
-      |           'vs': CAST(NULL AS DOUBLE), 'vc': CAST(0 AS BIGINT)},
+      |           'vs': CAST(NULL AS DOUBLE), 'vc': CAST(0 AS BIGINT),
+      |           'mn': CAST(NULL AS DOUBLE), 'mx': CAST(NULL AS DOUBLE)},
       |          {'ts': su.e_ts, 'cls': 'C', 'md': CAST(0 AS BIGINT), 'sl': CAST(1 AS BIGINT),
       |           'vs': su.val,
-      |           'vc': CASE WHEN su.val IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END}] AS r1_rows,
-      |         CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, reps BIGINT, mids BIGINT, subs BIGINT, vs DOUBLE, vc BIGINT)[]) AS att_rows,
-      |         CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, reps BIGINT, mids BIGINT, subs BIGINT, vs DOUBLE, vc BIGINT)[]) AS dn_rows
+      |           'vc': CASE WHEN su.val IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+      |           'mn': su.val, 'mx': su.val}] AS r1_rows,
+      |         CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, reps BIGINT, mids BIGINT, subs BIGINT, vs DOUBLE, vc BIGINT, mn DOUBLE, mx DOUBLE)[]) AS att_rows,
+      |         CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, reps BIGINT, mids BIGINT, subs BIGINT, vs DOUBLE, vc BIGINT, mn DOUBLE, mx DOUBLE)[]) AS dn_rows
       |  FROM entry e JOIN subs su ON su.user_id = e.user_id AND su.b_ts = e.b1
       |  WHERE su.e_ts <= e.w_end
       |  UNION ALL
@@ -5513,45 +5520,70 @@ object WindowQueries {
       |         CASE WHEN mode IN ('chfail_close','reject_close') THEN dvc + avc
       |              WHEN mode='absorb_close' THEN dvc + avc + cvc
       |              ELSE dvc END,
+      |         CASE WHEN mode='extend' THEN CASE WHEN cmn IS NULL THEN nx_val WHEN nx_val IS NULL THEN cmn WHEN cmn <= nx_val THEN cmn ELSE nx_val END
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_val
+      |              ELSE cmn END,
+      |         CASE WHEN mode='extend' THEN CASE WHEN cmx IS NULL THEN nx_val WHEN nx_val IS NULL THEN cmx WHEN cmx >= nx_val THEN cmx ELSE nx_val END
+      |              WHEN mode IN ('absorb_spec','newatt') THEN nr_val
+      |              ELSE cmx END,
+      |         CASE WHEN mode='absorb_spec' THEN CASE WHEN amn IS NULL THEN cmn WHEN cmn IS NULL THEN amn WHEN amn <= cmn THEN amn ELSE cmn END
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(NULL AS DOUBLE)
+      |              ELSE amn END,
+      |         CASE WHEN mode='absorb_spec' THEN CASE WHEN amx IS NULL THEN cmx WHEN cmx IS NULL THEN amx WHEN amx >= cmx THEN amx ELSE cmx END
+      |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt') THEN CAST(NULL AS DOUBLE)
+      |              ELSE amx END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN CASE WHEN dmn IS NULL THEN amn WHEN amn IS NULL THEN dmn WHEN dmn <= amn THEN dmn ELSE amn END
+      |              WHEN mode='absorb_close' THEN CASE WHEN dmn IS NULL THEN (CASE WHEN amn IS NULL THEN cmn WHEN cmn IS NULL THEN amn WHEN amn <= cmn THEN amn ELSE cmn END) WHEN (CASE WHEN amn IS NULL THEN cmn WHEN cmn IS NULL THEN amn WHEN amn <= cmn THEN amn ELSE cmn END) IS NULL THEN dmn WHEN dmn <= (CASE WHEN amn IS NULL THEN cmn WHEN cmn IS NULL THEN amn WHEN amn <= cmn THEN amn ELSE cmn END) THEN dmn ELSE (CASE WHEN amn IS NULL THEN cmn WHEN cmn IS NULL THEN amn WHEN amn <= cmn THEN amn ELSE cmn END) END
+      |              ELSE dmn END,
+      |         CASE WHEN mode IN ('chfail_close','reject_close') THEN CASE WHEN dmx IS NULL THEN amx WHEN amx IS NULL THEN dmx WHEN dmx >= amx THEN dmx ELSE amx END
+      |              WHEN mode='absorb_close' THEN CASE WHEN dmx IS NULL THEN (CASE WHEN amx IS NULL THEN cmx WHEN cmx IS NULL THEN amx WHEN amx >= cmx THEN amx ELSE cmx END) WHEN (CASE WHEN amx IS NULL THEN cmx WHEN cmx IS NULL THEN amx WHEN amx >= cmx THEN amx ELSE cmx END) IS NULL THEN dmx WHEN dmx >= (CASE WHEN amx IS NULL THEN cmx WHEN cmx IS NULL THEN amx WHEN amx >= cmx THEN amx ELSE cmx END) THEN dmx ELSE (CASE WHEN amx IS NULL THEN cmx WHEN cmx IS NULL THEN amx WHEN amx >= cmx THEN amx ELSE cmx END) END
+      |              ELSE dmx END,
       |         CASE WHEN mode='extend' THEN r1_rows ||
       |                [{'ts': nx_b, 'cls': 'B', 'md': CAST(0 AS BIGINT), 'sl': chain_k,
-      |                  'vs': cvs, 'vc': cvc},
+      |                  'vs': cvs, 'vc': cvc, 'mn': cmn, 'mx': cmx},
       |                 {'ts': nx_e, 'cls': 'C', 'md': CAST(0 AS BIGINT), 'sl': chain_k + 1,
       |                  'vs': CASE WHEN nx_val IS NULL THEN cvs WHEN cvs IS NULL THEN nx_val ELSE cvs + nx_val END,
-      |                  'vc': cvc + (CASE WHEN nx_val IS NULL THEN 0 ELSE 1 END)}]
+      |                  'vc': cvc + (CASE WHEN nx_val IS NULL THEN 0 ELSE 1 END),
+      |                  'mn': CASE WHEN cmn IS NULL THEN nx_val WHEN nx_val IS NULL THEN cmn WHEN cmn <= nx_val THEN cmn ELSE nx_val END, 'mx': CASE WHEN cmx IS NULL THEN nx_val WHEN nx_val IS NULL THEN cmx WHEN cmx >= nx_val THEN cmx ELSE nx_val END}]
       |              WHEN mode='closer1' THEN r1_rows ||
       |                [{'ts': vts, 'cls': 'V', 'md': CAST(1 AS BIGINT), 'sl': chain_k,
-      |                  'vs': cvs, 'vc': cvc}]
+      |                  'vs': cvs, 'vc': cvc, 'mn': cmn, 'mx': cmx}]
       |              WHEN mode IN ('absorb_spec','newatt') THEN
       |                [{'ts': nr_b, 'cls': 'B', 'md': CAST(0 AS BIGINT), 'sl': CAST(0 AS BIGINT),
-      |                  'vs': CAST(NULL AS DOUBLE), 'vc': CAST(0 AS BIGINT)},
+      |                  'vs': CAST(NULL AS DOUBLE), 'vc': CAST(0 AS BIGINT),
+      |                  'mn': CAST(NULL AS DOUBLE), 'mx': CAST(NULL AS DOUBLE)},
       |                 {'ts': nr_e, 'cls': 'C', 'md': CAST(0 AS BIGINT), 'sl': CAST(1 AS BIGINT),
       |                  'vs': nr_val,
-      |                  'vc': CASE WHEN nr_val IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END}]
+      |                  'vc': CASE WHEN nr_val IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+      |                  'mn': nr_val, 'mx': nr_val}]
       |              ELSE r1_rows END,
       |         CASE WHEN mode='absorb_spec' THEN att_rows ||
       |                list_transform(r1_rows, q -> {'ts': q.ts, 'cls': q.cls,
       |                  'reps': n_done, 'mids': mid_done + att_mid + q.md,
       |                  'subs': inner_done + att_inner + q.sl,
       |                  'vs': CASE WHEN q.vs IS NULL THEN avs WHEN avs IS NULL THEN q.vs ELSE avs + q.vs END,
-      |                  'vc': avc + q.vc})
+      |                  'vc': avc + q.vc,
+      |                  'mn': CASE WHEN amn IS NULL THEN q.mn WHEN q.mn IS NULL THEN amn WHEN amn <= q.mn THEN amn ELSE q.mn END, 'mx': CASE WHEN amx IS NULL THEN q.mx WHEN q.mx IS NULL THEN amx WHEN amx >= q.mx THEN amx ELSE q.mx END})
       |              WHEN mode IN ('chfail_close','absorb_close','reject_close','newatt')
-      |                THEN CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, reps BIGINT, mids BIGINT, subs BIGINT, vs DOUBLE, vc BIGINT)[])
+      |                THEN CAST([] AS STRUCT(ts TIMESTAMP, cls VARCHAR, reps BIGINT, mids BIGINT, subs BIGINT, vs DOUBLE, vc BIGINT, mn DOUBLE, mx DOUBLE)[])
       |              ELSE att_rows END,
       |         CASE WHEN mode IN ('chfail_close','reject_close') THEN dn_rows ||
       |                list_transform(att_rows, q -> {'ts': q.ts, 'cls': q.cls,
       |                  'reps': q.reps, 'mids': q.mids, 'subs': q.subs,
       |                  'vs': CASE WHEN q.vs IS NULL THEN dvs WHEN dvs IS NULL THEN q.vs ELSE dvs + q.vs END,
-      |                  'vc': dvc + q.vc}) ||
+      |                  'vc': dvc + q.vc,
+      |                  'mn': CASE WHEN dmn IS NULL THEN q.mn WHEN q.mn IS NULL THEN dmn WHEN dmn <= q.mn THEN dmn ELSE q.mn END, 'mx': CASE WHEN dmx IS NULL THEN q.mx WHEN q.mx IS NULL THEN dmx WHEN dmx >= q.mx THEN dmx ELSE q.mx END}) ||
       |                [{'ts': wcand, 'cls': 'W', 'reps': n_done + 1,
       |                  'mids': mid_done + att_mid, 'subs': inner_done + att_inner,
       |                  'vs': CASE WHEN avs IS NULL THEN dvs WHEN dvs IS NULL THEN avs ELSE dvs + avs END,
-      |                  'vc': dvc + avc}]
+      |                  'vc': dvc + avc,
+      |                  'mn': CASE WHEN dmn IS NULL THEN amn WHEN amn IS NULL THEN dmn WHEN dmn <= amn THEN dmn ELSE amn END, 'mx': CASE WHEN dmx IS NULL THEN amx WHEN amx IS NULL THEN dmx WHEN dmx >= amx THEN dmx ELSE amx END}]
       |              WHEN mode='absorb_close' THEN dn_rows ||
       |                list_transform(att_rows, q -> {'ts': q.ts, 'cls': q.cls,
       |                  'reps': q.reps, 'mids': q.mids, 'subs': q.subs,
       |                  'vs': CASE WHEN q.vs IS NULL THEN dvs WHEN dvs IS NULL THEN q.vs ELSE dvs + q.vs END,
-      |                  'vc': dvc + q.vc}) ||
+      |                  'vc': dvc + q.vc,
+      |                  'mn': CASE WHEN dmn IS NULL THEN q.mn WHEN q.mn IS NULL THEN dmn WHEN dmn <= q.mn THEN dmn ELSE q.mn END, 'mx': CASE WHEN dmx IS NULL THEN q.mx WHEN q.mx IS NULL THEN dmx WHEN dmx >= q.mx THEN dmx ELSE q.mx END}) ||
       |                list_transform(r1_rows, q -> {'ts': q.ts, 'cls': q.cls,
       |                  'reps': n_done, 'mids': mid_done + att_mid + q.md,
       |                  'subs': inner_done + att_inner + q.sl,
@@ -5559,14 +5591,18 @@ object WindowQueries {
       |                               (CASE WHEN avs IS NULL THEN dvs WHEN dvs IS NULL THEN avs ELSE dvs + avs END)
       |                             WHEN dvs IS NULL AND avs IS NULL THEN q.vs
       |                             ELSE COALESCE(dvs, 0) + COALESCE(avs, 0) + q.vs END,
-      |                  'vc': dvc + avc + q.vc}) ||
+      |                  'vc': dvc + avc + q.vc,
+      |                  'mn': CASE WHEN (CASE WHEN dmn IS NULL THEN amn WHEN amn IS NULL THEN dmn WHEN dmn <= amn THEN dmn ELSE amn END) IS NULL THEN q.mn WHEN q.mn IS NULL THEN (CASE WHEN dmn IS NULL THEN amn WHEN amn IS NULL THEN dmn WHEN dmn <= amn THEN dmn ELSE amn END) WHEN (CASE WHEN dmn IS NULL THEN amn WHEN amn IS NULL THEN dmn WHEN dmn <= amn THEN dmn ELSE amn END) <= q.mn THEN (CASE WHEN dmn IS NULL THEN amn WHEN amn IS NULL THEN dmn WHEN dmn <= amn THEN dmn ELSE amn END) ELSE q.mn END,
+      |                  'mx': CASE WHEN (CASE WHEN dmx IS NULL THEN amx WHEN amx IS NULL THEN dmx WHEN dmx >= amx THEN dmx ELSE amx END) IS NULL THEN q.mx WHEN q.mx IS NULL THEN (CASE WHEN dmx IS NULL THEN amx WHEN amx IS NULL THEN dmx WHEN dmx >= amx THEN dmx ELSE amx END) WHEN (CASE WHEN dmx IS NULL THEN amx WHEN amx IS NULL THEN dmx WHEN dmx >= amx THEN dmx ELSE amx END) >= q.mx THEN (CASE WHEN dmx IS NULL THEN amx WHEN amx IS NULL THEN dmx WHEN dmx >= amx THEN dmx ELSE amx END) ELSE q.mx END}) ||
       |                [{'ts': w2ts, 'cls': 'W', 'reps': n_done + 1,
       |                  'mids': mid_done + att_mid + 1, 'subs': inner_done + att_inner + chain_k,
       |                  'vs': CASE WHEN cvs IS NULL THEN
       |                               (CASE WHEN avs IS NULL THEN dvs WHEN dvs IS NULL THEN avs ELSE dvs + avs END)
       |                             WHEN dvs IS NULL AND avs IS NULL THEN cvs
       |                             ELSE COALESCE(dvs, 0) + COALESCE(avs, 0) + cvs END,
-      |                  'vc': dvc + avc + cvc}]
+      |                  'vc': dvc + avc + cvc,
+      |                  'mn': CASE WHEN (CASE WHEN dmn IS NULL THEN amn WHEN amn IS NULL THEN dmn WHEN dmn <= amn THEN dmn ELSE amn END) IS NULL THEN cmn WHEN cmn IS NULL THEN (CASE WHEN dmn IS NULL THEN amn WHEN amn IS NULL THEN dmn WHEN dmn <= amn THEN dmn ELSE amn END) WHEN (CASE WHEN dmn IS NULL THEN amn WHEN amn IS NULL THEN dmn WHEN dmn <= amn THEN dmn ELSE amn END) <= cmn THEN (CASE WHEN dmn IS NULL THEN amn WHEN amn IS NULL THEN dmn WHEN dmn <= amn THEN dmn ELSE amn END) ELSE cmn END,
+      |                  'mx': CASE WHEN (CASE WHEN dmx IS NULL THEN amx WHEN amx IS NULL THEN dmx WHEN dmx >= amx THEN dmx ELSE amx END) IS NULL THEN cmx WHEN cmx IS NULL THEN (CASE WHEN dmx IS NULL THEN amx WHEN amx IS NULL THEN dmx WHEN dmx >= amx THEN dmx ELSE amx END) WHEN (CASE WHEN dmx IS NULL THEN amx WHEN amx IS NULL THEN dmx WHEN dmx >= amx THEN dmx ELSE amx END) >= cmx THEN (CASE WHEN dmx IS NULL THEN amx WHEN amx IS NULL THEN dmx WHEN dmx >= amx THEN dmx ELSE amx END) ELSE cmx END}]
       |              ELSE dn_rows END
       |  FROM (
       |    SELECT wk.*, nx.b_ts AS nx_b, nx.e_ts AS nx_e, nx.val AS nx_val,
@@ -5617,10 +5653,12 @@ object WindowQueries {
       |  FROM walk WHERE phase = 'closed')
       |SELECT user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
       |       CAST(NULL AS DOUBLE) AS sum_c, CAST(0 AS BIGINT) AS cnt_c,
+      |       CAST(NULL AS DOUBLE) AS min_c, CAST(NULL AS DOUBLE) AS max_c,
       |       CAST(0 AS BIGINT) AS n_reps
       |FROM best WHERE rn = 1
       |UNION ALL
-      |SELECT bb.user_id, u.r.cls, u.r.ts, bb.s_ts, u.r.vs, u.r.vc, u.r.reps
+      |SELECT bb.user_id, u.r.cls, u.r.ts, bb.s_ts, u.r.vs, u.r.vc,
+      |       u.r.mn, u.r.mx, u.r.reps
       |FROM best bb, UNNEST(bb.dn_rows) AS u(r)
       |WHERE bb.rn = 1""".stripMargin
 

@@ -220,20 +220,9 @@ case class Nest2Match(user_id: Long, first_ts: Timestamp,
                       grp_first_ts: Timestamp, grp_last_ts: Timestamp,
                       n_reps: Long, n_mids: Long, n_inner: Long,
                       rows: Seq[Nest2OutRow] = Nil)
-// DEPTH-3 nested group ((((I...)+ M)+ N)+ T)+ partial: the depth-2 state
-// plus one more level — completed level-2 repetitions in the current outer
-// repetition (curMids2 / lastMid2Ms) and the current outer repetition's
-// accumulated level-1/sub counts — still O(1) per partial
-case class Nest3Partial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
-                        curStartMs: Long = -1L, inSubLastMs: Long = -1L,
-                        lastCompMs: Long = -1L, curSubs: Long = 0L,
-                        lastMidMs: Long = -1L, curMids: Long = 0L,
-                        l2Inner: Long = 0L,
-                        lastMid2Ms: Long = -1L, curMids2: Long = 0L,
-                        oMids: Long = 0L, oInner: Long = 0L,
-                        reps: Long = 0L, mid2Tot: Long = 0L, midTot: Long = 0L,
-                        innerTot: Long = 0L, lastTailMs: Long = -1L)
-case class Nest3Acc(partials: List[Nest3Partial], buf: List[BufEv] = Nil)
+// DEPTH-3 nested group match — emitted by cepPatternNested3Group, which
+// delegates to the depth-parametric cepPatternNestedNGroup (one state
+// machine; this is just the named-columns output shape)
 case class Nest3Match(user_id: Long, first_ts: Timestamp,
                       grp_first_ts: Timestamp, grp_last_ts: Timestamp,
                       n_reps: Long, n_mids2: Long, n_mids: Long, n_inner: Long)
@@ -2221,22 +2210,12 @@ object StreamOps {
   }
 
   /** Streaming DEPTH-3 nested group `S ((((I...)+ M)+ N)+ T)+` — the twin
-    * of `Pattern.followedByNested3Group` (the m48 batch shape; r18 stretch
-    * — the [[cepPatternNested2Group]] causality argument applied one more
-    * level): every close is inside its repetition, so the walk stays
-    * causal with NO held closes at any of the three levels and O(1) state
-    * per partial. A closer with no completed child unit in its current
-    * repetition is skipped (skip-till-next) at every level — `innerOptional`
-    * lets the level-1 closer bind childless (the inner-'*' twin); a closer
-    * binding DISCARDS the in-progress child state below it (in-progress
-    * sub at a level-1 close; in-progress level-1 repetition, completed
-    * subs included, at a level-2 close; in-progress level-2 repetition at
-    * an outer close) — the batch chain ends at the last ABSORBED child at
-    * every level. Emits the batch `<g>_first_ts/_last_ts/_n/_mid2_n/
-    * _mid_n/_inner_n` columns at window expiry; equal-timestamp decisions
-    * resolve by the (ms, type, tie, value) processing order (the twin
-    * convention). maxPartials, watermark pruning and event-time eviction
-    * as in the other cep twins. */
+    * of `Pattern.followedByNested3Group` (r18). Delegates to the
+    * depth-parametric [[cepPatternNestedNGroup]] — ONE absorb-vs-close
+    * state machine for every depth (a hand-rolled depth-3 copy existed
+    * for one commit and was deleted by review: two parallel walks would
+    * silently diverge on the next semantics fix) — and names the output
+    * columns the batch way (`n_mids2`/`n_mids`). */
   def cepPatternNested3Group(events: Dataset[Event], watermark: String,
                              firstPred: Event => Boolean,
                              innerPreds: Seq[Event => Boolean],
@@ -2246,96 +2225,13 @@ object StreamOps {
                              maxPartials: Int = 256,
                              tieOf: Event => Double = _.value,
                              innerOptional: Boolean = false): Dataset[Nest3Match] = {
-    require(innerPreds.size >= 2, "the inner sub-group needs at least two steps")
     implicit val outEnc = Encoders.product[Nest3Match]
-    implicit val accEnc = Encoders.product[Nest3Acc]
-    implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Nest3Acc, Nest3Match](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[Nest3Acc]) =>
-          var partials = state.getOption.map(_.partials).getOrElse(Nil)
-          val out = Seq.newBuilder[Nest3Match]
-          def emit(p: Nest3Partial): Unit =
-            out += Nest3Match(userId, new Timestamp(p.firstMs),
-              new Timestamp(p.gFirstMs), new Timestamp(p.lastTailMs),
-              p.reps, p.mid2Tot, p.midTot, p.innerTot)
-          val wm = state.getCurrentWatermarkMs()
-          val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
-            rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
-          val (readyB, held) = buf0.partition(_.ms < wm)
-          readyB.map(b => Event(userId, new Timestamp(b.ms), b.tpe, b.value))
-            .sortBy(e => (e.ts.getTime, e.event_type, tieOf(e), e.value)).foreach { e =>
-            val t = e.ts.getTime
-            partials = partials.flatMap { p =>
-              if (t > p.firstMs + withinMs) {
-                if (p.reps >= 1) emit(p)
-                None
-              } else {
-                // a fresh unit at any level anchors strictly after the
-                // last close at the deepest level that has one
-                def freshAnchor: Long =
-                  if (p.curSubs > 0) p.lastCompMs
-                  else if (p.curMids > 0) p.lastMidMs
-                  else if (p.curMids2 > 0) p.lastMid2Ms
-                  else math.max(p.lastTailMs, p.firstMs)
-                val subAnchor =
-                  if (p.subIdx > 0) p.inSubLastMs else freshAnchor
-                if (p.subIdx < innerPreds.size && innerPreds(p.subIdx)(e) &&
-                    t > subAnchor) {
-                  if (p.subIdx == innerPreds.size - 1) {
-                    val gF = if (p.gFirstMs < 0) p.curStartMs else p.gFirstMs
-                    Some(p.copy(gFirstMs = gF, lastCompMs = t,
-                      curSubs = p.curSubs + 1,
-                      subIdx = 0, curStartMs = -1L, inSubLastMs = -1L))
-                  } else if (p.subIdx == 0)
-                    Some(p.copy(subIdx = 1, curStartMs = t, inSubLastMs = t))
-                  else Some(p.copy(subIdx = p.subIdx + 1, inSubLastMs = t))
-                } else if (midPred(e) && (p.curSubs >= 1 || innerOptional) &&
-                    t > (if (p.curSubs >= 1) p.lastCompMs else freshAnchor)) {
-                  // level-1 close; in-progress sub discarded
-                  val gF = if (p.gFirstMs < 0) t else p.gFirstMs
-                  Some(p.copy(gFirstMs = gF, curMids = p.curMids + 1,
-                    l2Inner = p.l2Inner + p.curSubs, lastMidMs = t,
-                    curSubs = 0L, subIdx = 0, curStartMs = -1L,
-                    inSubLastMs = -1L, lastCompMs = -1L))
-                } else if (mid2Pred(e) && p.curMids >= 1 && t > p.lastMidMs) {
-                  // level-2 close; in-progress level-1 repetition
-                  // (completed subs included) discarded
-                  Some(p.copy(curMids2 = p.curMids2 + 1,
-                    oMids = p.oMids + p.curMids,
-                    oInner = p.oInner + p.l2Inner, lastMid2Ms = t,
-                    curMids = 0L, l2Inner = 0L, lastMidMs = -1L,
-                    curSubs = 0L, subIdx = 0, curStartMs = -1L,
-                    inSubLastMs = -1L, lastCompMs = -1L))
-                } else if (tailPred(e) && p.curMids2 >= 1 && t > p.lastMid2Ms) {
-                  // outer close; in-progress level-2 repetition discarded
-                  Some(p.copy(reps = p.reps + 1,
-                    mid2Tot = p.mid2Tot + p.curMids2,
-                    midTot = p.midTot + p.oMids,
-                    innerTot = p.innerTot + p.oInner, lastTailMs = t,
-                    curMids2 = 0L, oMids = 0L, oInner = 0L, lastMid2Ms = -1L,
-                    curMids = 0L, l2Inner = 0L, lastMidMs = -1L,
-                    curSubs = 0L, subIdx = 0, curStartMs = -1L,
-                    inSubLastMs = -1L, lastCompMs = -1L))
-                } else Some(p)
-              }
-            }
-            if (firstPred(e))
-              partials = (Nest3Partial(t) :: partials).take(maxPartials)
-          }
-          val (expired, alive) = partials.partition(_.firstMs + withinMs < wm)
-          expired.foreach(p => if (p.reps >= 1) emit(p))
-          partials = alive
-          if (partials.isEmpty && held.isEmpty) state.remove()
-          else {
-            state.update(Nest3Acc(partials, held))
-            state.setTimeoutTimestamp(math.max(wm + 1,
-              (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
-          }
-          out.result().iterator
-      }
+    cepPatternNestedNGroup(events, watermark, firstPred, innerPreds,
+      Seq(midPred, mid2Pred, tailPred), withinMs, maxPartials, tieOf,
+      innerOptional)
+      .map(m => Nest3Match(m.user_id, m.first_ts, m.grp_first_ts,
+        m.grp_last_ts, m.n_reps, m.level_counts.head, m.level_counts(1),
+        m.n_inner))
   }
 
   /** Streaming DEPTH-N nested group — the twin of the depth-parametric

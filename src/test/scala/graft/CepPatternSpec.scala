@@ -1507,15 +1507,22 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(agg == Set((2L, 8.0, 2L, 5.0, 3.0)), agg.toString)
     val rows = m.select(explode($"g_rows").as("r"))
       .select($"r.ts", $"r.cls", element_at($"r.vsum", 1),
-        element_at($"r.vcnt", 1))
-      .as[(Timestamp, String, Option[Double], Long)].collect().toSet
+        element_at($"r.vcnt", 1), element_at($"r.vmin", 1),
+        element_at($"r.vmax", 1))
+      .as[(Timestamp, String, Option[Double], Long, Option[Double], Option[Double])]
+      .collect().toSet
+    // running MIN/MAX snapshots (r18): w@8 binds 5.0, w@18 binds 3.0 —
+    // min drops to 3.0 only AT w@18, max stays 5.0
     assert(rows == Set(
-      (at(2), "b", None, 0L), (at(4), "c", None, 0L),
-      (at(6), "v", None, 0L), (at(8), "w", Some(5.0), 1L),
-      (at(10), "x", Some(5.0), 1L),
-      (at(12), "b", Some(5.0), 1L), (at(14), "c", Some(5.0), 1L),
-      (at(16), "v", Some(5.0), 1L), (at(18), "w", Some(8.0), 2L),
-      (at(20), "x", Some(8.0), 2L)), rows.toString)
+      (at(2), "b", None, 0L, None, None), (at(4), "c", None, 0L, None, None),
+      (at(6), "v", None, 0L, None, None),
+      (at(8), "w", Some(5.0), 1L, Some(5.0), Some(5.0)),
+      (at(10), "x", Some(5.0), 1L, Some(5.0), Some(5.0)),
+      (at(12), "b", Some(5.0), 1L, Some(5.0), Some(5.0)),
+      (at(14), "c", Some(5.0), 1L, Some(5.0), Some(5.0)),
+      (at(16), "v", Some(5.0), 1L, Some(5.0), Some(5.0)),
+      (at(18), "w", Some(8.0), 2L, Some(3.0), Some(5.0)),
+      (at(20), "x", Some(8.0), 2L, Some(3.0), Some(5.0))), rows.toString)
   }
 
   test("tieBreak on a plain alternation step steers WHICH BRANCH " +

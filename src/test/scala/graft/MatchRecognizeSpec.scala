@@ -2022,12 +2022,34 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       ("V", at(25), Some(6.0), 2L),
       ("B", at(30), Some(7.0), 2L), ("C", at(35), Some(7.0), 3L),
       ("V", at(40), Some(7.0), 3L)).sortBy(_._2.getTime), rows.toSeq.toString)
-    // running MIN/MAX stay named rejections under ALL ROWS (not
-    // materialized per row)
+    // running MIN/MAX compose since r18 (per-row vmin/vmax snapshots,
+    // null-ignoring like the aggregates); running FIRST/LAST stay named
+    // rejections (positional semantics include null bindings)
+    val mn = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES MIN(B.value) AS min_b, MAX(B.value) AS max_b
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin)
+      .selectExpr("ts", "min_b", "max_b")
+      .collect().map(r => (r.getTimestamp(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(mn.sortBy(_._1.getTime).toSeq == Seq(
+      (at(0), None, None),
+      (at(5), Some(2.0), Some(2.0)), (at(10), Some(2.0), Some(2.0)),
+      (at(15), Some(2.0), Some(4.0)), (at(20), Some(2.0), Some(4.0)),
+      (at(25), Some(2.0), Some(4.0)),
+      (at(30), Some(1.0), Some(4.0)), (at(35), Some(1.0), Some(4.0)),
+      (at(40), Some(1.0), Some(4.0))), mn.toSeq.toString)
     val e = intercept[RuntimeException](MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
-        |  MEASURES MIN(B.value) AS min_b
+        |  MEASURES LAST(B.value) AS last_b
         |  ALL ROWS PER MATCH
         |  PATTERN (S ((B C)+ V)+)
         |  WITHIN INTERVAL '1' HOUR
@@ -2217,6 +2239,30 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         P AS event_type = 'purchase' AND P.value > LAST(C.value)
         |)""".stripMargin))
     assert(e2.getMessage.contains("never binds"), e2.getMessage)
+    // ...but the reference scan is string-literal-blind: 'c.example.com'
+    // inside a predicate is NOT a reference to variable C (review find)
+    MatchRecognize.detect(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts
+        |  PATTERN (S C*? P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase' AND 'c.example.com' = 'c.example.com'
+        |)""".stripMargin).collect()
+    // duplicate variable names: always broken (aliased bound columns), and
+    // SILENTLY wrong under the absent lowering (the bound C's measures
+    // would null) — named error (review find)
+    val e3 = intercept[RuntimeException](MatchRecognize.detect(events,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(C.ts) AS n_c
+        |  PATTERN (S C C*? P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin))
+    assert(e3.getMessage.contains("more than once"), e3.getMessage)
   }
 
   test("depth-3 nested group SQL front door: ((((B C)+ V)+ W)+ X)+ parity " +
