@@ -202,6 +202,23 @@ case class NestMatch(user_id: Long, first_ts: Timestamp, grp_first_ts: Timestamp
 // the discard hierarchy: in-progress sub < current level-1 repetition <
 // current outer repetition < committed.
 case class Nest2Row(ms: Long, cls: String, reps: Long, mids: Long, subs: Long)
+// running value aggregates of ONE designated inner member (the batch
+// bindGroup twin at depth 2): (sum, min, max, first, last, cnt) — merged
+// through the same two pending levels as the counts (sub -> level-1
+// pending at completion, level-1 -> outer pending at the mid close,
+// outer -> committed at the tail close; discards mirror the row buffers)
+case class Nest2Vals(sum: Option[Double] = None, mn: Option[Double] = None,
+                     mx: Option[Double] = None, first: Option[Double] = None,
+                     last: Option[Double] = None, cnt: Long = 0L) {
+  def add(v: Double): Nest2Vals = Nest2Vals(
+    Some(sum.getOrElse(0.0) + v), Some(mn.fold(v)(math.min(_, v))),
+    Some(mx.fold(v)(math.max(_, v))), first.orElse(Some(v)), Some(v), cnt + 1)
+  def merge(later: Nest2Vals): Nest2Vals =
+    if (later.cnt == 0) this else if (cnt == 0) later
+    else Nest2Vals(Some(sum.get + later.sum.get),
+      Some(math.min(mn.get, later.mn.get)), Some(math.max(mx.get, later.mx.get)),
+      first, later.last, cnt + later.cnt)
+}
 case class Nest2Partial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
                         curStartMs: Long = -1L, inSubLastMs: Long = -1L,
                         lastCompMs: Long = -1L, curSubs: Long = 0L,
@@ -212,14 +229,21 @@ case class Nest2Partial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
                         curSubRows: List[Nest2Row] = Nil,
                         curRepRows: List[Nest2Row] = Nil,
                         curORows: List[Nest2Row] = Nil,
-                        doneRows: List[Nest2Row] = Nil)
+                        doneRows: List[Nest2Row] = Nil,
+                        curSubVal: Option[Double] = None,
+                        p1Vals: Nest2Vals = Nest2Vals(),
+                        oVals: Nest2Vals = Nest2Vals(),
+                        cVals: Nest2Vals = Nest2Vals())
 case class Nest2Acc(partials: List[Nest2Partial], buf: List[BufEv] = Nil)
 case class Nest2OutRow(ts: Timestamp, cls: String, reps: Long, mids: Long,
                        subs: Long)
 case class Nest2Match(user_id: Long, first_ts: Timestamp,
                       grp_first_ts: Timestamp, grp_last_ts: Timestamp,
                       n_reps: Long, n_mids: Long, n_inner: Long,
-                      rows: Seq[Nest2OutRow] = Nil)
+                      rows: Seq[Nest2OutRow] = Nil,
+                      v_sum: Option[Double] = None, v_min: Option[Double] = None,
+                      v_max: Option[Double] = None, v_first: Option[Double] = None,
+                      v_last: Option[Double] = None, v_cnt: Long = 0L)
 // DEPTH-3 nested group match — emitted by cepPatternNested3Group, which
 // delegates to the depth-parametric cepPatternNestedNGroup (one state
 // machine; this is just the named-columns output shape)
@@ -2073,10 +2097,19 @@ object StreamOps {
                              midName: String = "M",
                              tailName: String = "T",
                              tieOf: Event => Double = _.value,
-                             innerOptional: Boolean = false): Dataset[Nest2Match] = {
+                             innerOptional: Boolean = false,
+                             valueInnerIdx: Int = -1): Dataset[Nest2Match] = {
     require(innerPreds.size >= 2, "the inner sub-group needs at least two steps")
     require(!materializeRows || innerNames.size == innerPreds.size,
       "materializeRows needs one classifier name per inner step")
+    // valueInnerIdx >= 0: the batch bindGroup twin at depth 2 — running
+    // value aggregates of THAT inner step's bound value across COMMITTED
+    // structure: a sub's value enters the level-1 pending state at the
+    // sub's completion, a level-1 repetition's at its mid close, and the
+    // outer attempt's only at the tail close — discards mirror the count
+    // discards at every level
+    require(valueInnerIdx < innerPreds.size,
+      s"valueInnerIdx $valueInnerIdx out of range")
     implicit val outEnc = Encoders.product[Nest2Match]
     implicit val accEnc = Encoders.product[Nest2Acc]
     implicit val keyEnc = Encoders.scalaLong
@@ -2093,7 +2126,9 @@ object StreamOps {
               p.reps, p.midTot, p.innerTot,
               if (!materializeRows) Nil
               else p.doneRows.reverse.map(r =>
-                Nest2OutRow(new Timestamp(r.ms), r.cls, r.reps, r.mids, r.subs)))
+                Nest2OutRow(new Timestamp(r.ms), r.cls, r.reps, r.mids, r.subs)),
+              p.cVals.sum, p.cVals.mn, p.cVals.mx, p.cVals.first,
+              p.cVals.last, p.cVals.cnt)
           val wm = state.getCurrentWatermarkMs()
           val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
             rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
@@ -2121,10 +2156,14 @@ object StreamOps {
                   else math.max(p.lastTailMs, p.firstMs)
                 if (p.subIdx < innerPreds.size && innerPreds(p.subIdx)(e) &&
                     t > subAnchor) {
+                  // the designated value member binds at its own step
+                  val sv = if (p.subIdx == valueInnerIdx) Some(e.value)
+                           else p.curSubVal
                   if (p.subIdx == innerPreds.size - 1) {
                     // inner sub-sequence completes: absorb into the
                     // current level-1 repetition's chain (row buffers are
-                    // newest-first; emit reverses)
+                    // newest-first; emit reverses); the sub's designated
+                    // value folds into the level-1 pending state NOW
                     val gF = if (p.gFirstMs < 0) p.curStartMs else p.gFirstMs
                     val subRows =
                       if (!materializeRows) Nil
@@ -2136,14 +2175,18 @@ object StreamOps {
                       curSubs = p.curSubs + 1,
                       subIdx = 0, curStartMs = -1L, inSubLastMs = -1L,
                       curSubRows = Nil,
-                      curRepRows = subRows ::: p.curRepRows))
+                      curRepRows = subRows ::: p.curRepRows,
+                      curSubVal = None,
+                      p1Vals = sv.fold(p.p1Vals)(p.p1Vals.add)))
                   } else if (p.subIdx == 0)
                     Some(p.copy(subIdx = 1, curStartMs = t, inSubLastMs = t,
+                      curSubVal = sv,
                       curSubRows = if (!materializeRows) Nil
                         else List(Nest2Row(t, innerNames.head, p.reps,
                           p.midTot + p.curMids,
                           p.innerTot + p.curRepInner + p.curSubs))))
                   else Some(p.copy(subIdx = p.subIdx + 1, inSubLastMs = t,
+                    curSubVal = sv,
                     curSubRows = if (!materializeRows) Nil
                       else Nest2Row(t, innerNames(p.subIdx), p.reps,
                         p.midTot + p.curMids,
@@ -2169,7 +2212,10 @@ object StreamOps {
                     inSubLastMs = -1L, lastCompMs = -1L,
                     curSubRows = Nil, curRepRows = Nil,
                     curORows = if (!materializeRows) Nil
-                      else (midRow ::: p.curRepRows) ::: p.curORows))
+                      else (midRow ::: p.curRepRows) ::: p.curORows,
+                    curSubVal = None,
+                    p1Vals = Nest2Vals(),
+                    oVals = p.oVals.merge(p.p1Vals)))
                 } else if (tailPred(e) && p.curMids >= 1 && t > p.lastMidMs) {
                   // the tail closes the outer repetition; the in-progress
                   // level-1 repetition (completed subs included) is
@@ -2187,7 +2233,10 @@ object StreamOps {
                       else (Nest2Row(t, tailName, p.reps + 1,
                         p.midTot + p.curMids,
                         p.innerTot + p.curRepInner) :: p.curORows) :::
-                        p.doneRows))
+                        p.doneRows,
+                    curSubVal = None, p1Vals = Nest2Vals(),
+                    oVals = Nest2Vals(),
+                    cVals = p.cVals.merge(p.oVals)))
                 } else Some(p)
               }
             }

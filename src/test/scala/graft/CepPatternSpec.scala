@@ -1675,6 +1675,58 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streamingStar=$streamingStar batchStar=$batchStar")
   }
 
+  test("batch depth-2 bindGroup values and streaming " +
+       "cepPatternNested2Group(valueInnerIdx) agree — two-level value " +
+       "pending with discards at both levels") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // outer rep 1: two level-1 reps with C values 10, 20; a mid-less
+    // tail @20 is skipped; outer rep 2 absorbs the value-5 rep; the
+    // value-99 sub's level-1 rep never closes — its value must be absent
+    val all = Seq(
+      (9L, at(0), "s", 0.0), (9L, at(2), "b", 0.0), (9L, at(4), "c", 10.0),
+      (9L, at(6), "v", 0.0), (9L, at(8), "b", 0.0), (9L, at(10), "c", 20.0),
+      (9L, at(12), "v", 0.0), (9L, at(14), "w", 0.0),
+      (9L, at(16), "b", 0.0), (9L, at(18), "c", 5.0), (9L, at(20), "w", 0.0),
+      (9L, at(22), "v", 0.0), (9L, at(24), "w", 0.0),
+      (9L, at(26), "b", 0.0), (9L, at(28), "c", 99.0), (9L, at(30), "v", 0.0))
+    val batch = Pattern.begin("s", $"event_type" === "s")
+      .followedByNested2Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")))
+      .bindGroup("c", "value")
+      .oneOrMore().within(HOUR)
+      .detect(all.toDF("user_id", "ts", "event_type", "value"),
+        $"user_id", $"ts")
+      .select($"key", $"g_n", $"g_mid_n", $"g_inner_n", $"g_sum_c_value",
+        $"g_min_c_value", $"g_max_c_value", $"g_first_c_value",
+        $"g_last_c_value", $"g_cnt_c_value")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternNested2Group(in.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        _.event_type == "v", _.event_type == "w", HOUR,
+        valueInnerIdx = 1).toDF()
+      .writeStream.format("memory").queryName("s_nest2_vals_parity")
+      .outputMode("append").start()
+    val evs = all.map { case (u, ts, t, v) => StreamOps.Event(u, ts, t, v) }
+    in.addData(evs.take(9)); q.processAllAvailable()
+    in.addData(evs.drop(9)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val streaming = spark.table("s_nest2_vals_parity")
+      .as[graft.streaming.Nest2Match].collect()
+      .map(m => (m.user_id, m.n_reps, m.n_mids, m.n_inner, m.v_sum.get,
+        m.v_min.get, m.v_max.get, m.v_first.get, m.v_last.get, m.v_cnt))
+      .toSet
+    assert(streaming == batch && batch == Set(
+      (9L, 2L, 3L, 3L, 35.0, 5.0, 20.0, 10.0, 5.0, 3L)),
+      s"streaming=$streaming batch=$batch")
+  }
+
   test("batch followedByNested3Group and streaming cepPatternNested3Group " +
        "agree (three-level chains, rejection-equals-arrival-order, " +
        "per-level discards)") {
