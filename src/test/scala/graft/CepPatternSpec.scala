@@ -1675,6 +1675,32 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
       s"streamingStar=$streamingStar batchStar=$batchStar")
   }
 
+  test("depth-N nested-group walk refuses past maxEventsPerKey with the " +
+       "depth-parametrized label (r17 advice: the shared branch used to " +
+       "say depth-2 even for deeper groups)") {
+    val evs = Seq(
+      (2L, at(0), "s"), (2L, at(2), "b"), (2L, at(4), "c"), (2L, at(6), "v"),
+      (2L, at(8), "w"), (2L, at(10), "x"),
+      (2L, at(12), "b"), (2L, at(14), "c"), (2L, at(16), "v"),
+      (2L, at(18), "w"), (2L, at(20), "x")
+    ).toDF("user_id", "ts", "event_type")
+    val p3 = Pattern.begin("s", $"event_type" === "s")
+      .followedByNested3Group("g",
+        Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+        Seq("v" -> ($"event_type" === "v")),
+        Seq("w" -> ($"event_type" === "w")),
+        Seq("x" -> ($"event_type" === "x")))
+      .oneOrMore().within(HOUR)
+    val e = intercept[Exception] {
+      p3.detect(evs, $"user_id", $"ts", maxEventsPerKey = 2).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("maxEventsPerKey") &&
+      msgs.contains("depth-3 nested group") &&
+      msgs.contains("4-level chain walk"), msgs)
+  }
+
   test("batch depth-2 bindGroup values and streaming " +
        "cepPatternNested2Group(valueInnerIdx) agree — two-level value " +
        "pending with discards at both levels") {
