@@ -42,6 +42,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"LSH join must stay an equi-join on (band,bkey):\n$p")
   }
 
+  test("r18 CEP additions stay cartesian-free (m51-m55)") {
+    // m51 depth-3 ALL ROWS, m52 depth-4 walk (the depth-parametric
+    // repAt's tagged candidate union spans SIX pre-filtered scans here),
+    // m53 value-snapshot rows, m54 element-absent compile, m55
+    // alternation-tiebreak refinement — every join must remain keyed; a
+    // regression to a cross product would explode at corpus scale
+    Seq("m51_all_rows_depth3", "m52_depth4_nested_group",
+        "m53_all_rows_depth2_values", "m54_reluctant_absent",
+        "m55_alternation_tiebreak").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: unkeyed join appeared:\n${p.take(4000)}")
+    }
+  }
+
   test("r9 CEP additions stay cartesian-free (m19-m23)") {
     // m19 group-value chain, m20 tiebreak refinement, m21 alternation-run
     // aggregate, m22 offset-run scan+segments, m23 ALL-ROWS member
