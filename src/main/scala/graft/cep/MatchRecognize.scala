@@ -773,6 +773,13 @@ object MatchRecognize {
     * an executor. */
   def detect(events0: DataFrame, sql: String,
              maxEventsPerKey: Int = Pattern.DefaultMaxEventsPerKey): DataFrame = {
+    // STREAMING route (r19): in the reference MATCH_RECOGNIZE *is* a
+    // streaming operator (flink-table-planner-blink StreamExecMatch.scala —
+    // there is no batch Match exec in 1.10); an unbounded frame therefore
+    // lowers the SAME SQL text onto the StreamOps.cepPattern* twins, with
+    // the watermark read from the frame's own EventTimeWatermark node (the
+    // FlinkDdl `WATERMARK FOR ts AS ts - INTERVAL ...` declaration)
+    if (events0.isStreaming) return detectStream(events0, sql)
     val spec = parse(sql)
     // PREV physical navigation (rewritePrev's `__plag<n>_<col>` tokens):
     // precompute each needed lag ONCE over (PARTITION BY key ORDER BY
@@ -1574,10 +1581,11 @@ object MatchRecognize {
         r.map(_.getField("cls")).getOrElse(lit(pre(u).name))
       else if (isMember(m.varName)) {
         if (m.field != "ts") {
-          // running VALUE measures (r15): each materialized row carries
-          // per-(member, col) vsum/vcnt snapshots AS OF the row — the
-          // RUNNING SUM/COUNT/AVG semantics; running MIN/MAX/FIRST/LAST
-          // are not materialized per row (named error)
+          // running VALUE measures (r15; MIN/MAX r18; FIRST/LAST r19):
+          // each materialized row carries per-(member, col) running
+          // snapshots AS OF the row — SUM/COUNT/AVG via vsum/vcnt,
+          // extremes via vmin/vmax, positional FIRST/LAST via the
+          // (value, bound)-pair-resolved vfst/vlst
           val gi = gkIdx.getOrElse((m.varName, m.field), sys.error(
             s"ALL ROWS nested value measure ${m.varName}.${m.field}: no " +
               "bound value column materialized for it"))
@@ -1589,21 +1597,31 @@ object MatchRecognize {
             case Some("SUM") => sumAt
             case Some("COUNT") => cntAt
             case Some("AVG") => sumAt / cntAt
-            // running MIN/MAX snapshots (r18, the last per-row value
-            // rejection lifted); running FIRST/LAST stay named errors —
-            // positional semantics include null bindings, which a per-row
-            // nullable double cannot carry unambiguously (use ONE ROW)
+            // running MIN/MAX snapshots (r18, per-row value rejection
+            // lifted); running FIRST/LAST (r19, the LAST one lifted): the
+            // walk carries a (value, positional bind count) pair per
+            // member, so a null first binding freezes FIRST correctly —
+            // the former impossibility objection ("positional semantics
+            // include null bindings, which a nullable double cannot carry
+            // unambiguously") was answered by carrying nullability
+            // SEPARATELY in the walk state; the emitted column is the
+            // resolved value
             case Some("MIN") =>
               r.map(rr => element_at(rr.getField("vmin"), gi + 1))
                 .getOrElse(lit(null).cast("double"))
             case Some("MAX") =>
               r.map(rr => element_at(rr.getField("vmax"), gi + 1))
                 .getOrElse(lit(null).cast("double"))
+            case Some("FIRST") =>
+              r.map(rr => element_at(rr.getField("vfst"), gi + 1))
+                .getOrElse(lit(null).cast("double"))
+            case Some("LAST") =>
+              r.map(rr => element_at(rr.getField("vlst"), gi + 1))
+                .getOrElse(lit(null).cast("double"))
             case other => sys.error(s"ALL ROWS over nested group " +
-              s"${g.name}: running SUM/COUNT/AVG/MIN/MAX are the member " +
-              "VALUE measures (running FIRST/LAST are not materialized " +
-              s"per row: positional semantics include null bindings) — " +
-              s"got ${other.getOrElse("a bare reference")}" +
+              s"${g.name}: running SUM/COUNT/AVG/MIN/MAX/FIRST/LAST are " +
+              "the member VALUE measures — got " +
+              s"${other.getOrElse("a bare reference")}" +
               s"(${m.varName}.${m.field})")
           }
         } else {
@@ -1666,9 +1684,10 @@ object MatchRecognize {
     * FINAL closing member of each intermediate level (that level's
     * repetitions as of the row) and over the FINAL inner member (inner
     * sub-sequences as of the row), and — under bound member values —
-    * running SUM/COUNT/AVG member value measures via the per-row
-    * vsum/vcnt snapshots (the depth-1 recipe; running MIN/MAX/FIRST/LAST
-    * stay named errors). The group must be the final pattern element. */
+    * running SUM/COUNT/AVG/MIN/MAX/FIRST/LAST member value measures via
+    * the per-row snapshots (the depth-1 recipe; FIRST/LAST r19 — the
+    * (value, bound)-pair resolution freezes a null first binding
+    * correctly). The group must be the final pattern element. */
   private def allRowsNested2(spec: Spec, matches0: DataFrame,
                              g: PatternVar,
                              bindByVar: Map[String, Seq[String]]): DataFrame = {
@@ -1726,11 +1745,19 @@ object MatchRecognize {
             case Some("MAX") =>
               r.map(rr => element_at(rr.getField("vmax"), gi + 1))
                 .getOrElse(lit(null).cast("double"))
+            // running FIRST/LAST (r19, the final per-row value rejection
+            // lifted at every depth): the walk's (value, positional bind
+            // count) pairs freeze a null first binding correctly
+            case Some("FIRST") =>
+              r.map(rr => element_at(rr.getField("vfst"), gi + 1))
+                .getOrElse(lit(null).cast("double"))
+            case Some("LAST") =>
+              r.map(rr => element_at(rr.getField("vlst"), gi + 1))
+                .getOrElse(lit(null).cast("double"))
             case other => sys.error(s"ALL ROWS over depth-2 nested group " +
-              s"${g.name}: running SUM/COUNT/AVG/MIN/MAX are the member " +
-              "VALUE measures (running FIRST/LAST are not materialized " +
-              s"per row: positional semantics include null bindings) — " +
-              s"got ${other.getOrElse("a bare reference")}" +
+              s"${g.name}: running SUM/COUNT/AVG/MIN/MAX/FIRST/LAST are " +
+              "the member VALUE measures — got " +
+              s"${other.getOrElse("a bare reference")}" +
               s"(${m.varName}.${m.field})")
           }
         } else {
@@ -2512,4 +2539,603 @@ object MatchRecognize {
   private def keyOut(spec: Spec): Seq[Column] =
     if (spec.partitionBy.size == 1) Seq(col("key").as(spec.partitionBy.head))
     else spec.partitionBy.map(c => col(s"key.$c").as(c))
+
+  // =========================================================================
+  // STREAMING MATCH_RECOGNIZE (r19). In the reference the clause IS a
+  // streaming operator (flink-table-planner-blink/.../physical/stream/
+  // StreamExecMatch.scala plans it onto the flink-cep NFA over a DataStream;
+  // 1.10 has no batch Match exec) — so the same SQL text must run over an
+  // unbounded frame. The lowering routes the parsed Spec onto the
+  // StreamOps.cepPattern* twins by PATTERN shape:
+  //
+  //   linear (plain / '?' / '{n}' / '{n,m}' / unquantified alternation)
+  //     → cepPatternSteps (ExMatch step_ts/step_cls indexing)
+  //   linear, all plain + AFTER MATCH SKIP PAST LAST ROW
+  //     → cepPattern(skipPastLast = true)
+  //   linear, all plain + value measures → cepPatternIter (step_value)
+  //   S R+ U / S R* U / S R{n,} U (plain or alternation run)
+  //     → cepPatternOneOrMore (run boundaries, count, value aggregates,
+  //       per-branch counts)
+  //   S D+ U with DEFINE D AS D.c <op> PREV(D.c[, n]) (the V-shape)
+  //     → cepPatternRun
+  //   S (B C ...)+ U / (B C ...)* → cepPatternGroup (valueSubIdx for ONE
+  //       member's value aggregates)
+  //   S ((I ...)+ T)+ → cepPatternNestedGroup
+  //   S (((I ...)+ M)+ T)+ → cepPatternNested2Group (valueInnerIdx)
+  //   depth 3 / 4 → cepPatternNested3Group / cepPatternNestedNGroup
+  //
+  // PREDICATE PACKING: the twins take Event => Boolean closures, but the
+  // DEFINE bodies are arbitrary Spark SQL boolean expressions — so they are
+  // evaluated DECLARATIVELY, as columns on the unbounded frame itself
+  // (Catalyst-planned, codegen'd, any event column addressable), and packed
+  // into the Event's `event_type` slot as a '0'/'1' bitmask string, one bit
+  // per atomic predicate. Each twin closure is then a single charAt test.
+  // This keeps the whole predicate surface of the batch front door (minus
+  // the named boundaries below) without interpreting SQL in the state
+  // machine.
+  //
+  // Named boundaries (errors, not silent degradation): ALL ROWS PER MATCH,
+  // MATCH_NUMBER(), AFTER MATCH SKIP TO FIRST/LAST, composite ORDER BY
+  // tiebreaks, iterative (relative) DEFINEs, physical PREV over another
+  // variable, composite partition keys, more than ONE distinct value column
+  // across the measures (the twins bind one), and quantifier/run shapes
+  // outside the twin inventory above.
+  // =========================================================================
+
+  /** Streaming MATCH_RECOGNIZE — parse `sql` and run the compiled pattern
+    * over the unbounded `events0` (see the shape table above). The
+    * watermark delay is read from the frame's own `EventTimeWatermark`
+    * node (the FlinkDdl `WATERMARK FOR ts AS ts - INTERVAL ...`
+    * declaration or a prior `withWatermark`) unless passed explicitly.
+    * Output: the partition column + one column per MEASURES item, exactly
+    * the batch [[detect]] surface; rows emit when the twins' watermark
+    * finality rules allow (immediately for linear completions, at window
+    * expiry for held/nested shapes). */
+  def detectStream(events0: DataFrame, sql: String, watermark: String = null,
+                   maxPartials: Int = 256): DataFrame = {
+    import graft.streaming.{StreamOps, Event => SEvent}
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    require(events0.isStreaming,
+      "detectStream needs a streaming frame — detect() compiles batch frames")
+    val spec = parse(sql)
+    val wmDelay = Option(watermark).getOrElse {
+      import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+      val wms = events0.queryExecution.analyzed.collect {
+        case e: EventTimeWatermark =>
+          (e.eventTime.name, EventTimeWatermark.getDelayMs(e.delay))
+      }
+      wms.find(_._1 == spec.orderBy).orElse(wms.headOption)
+        .map(w => s"${w._2} milliseconds")
+        .getOrElse(sys.error("streaming MATCH_RECOGNIZE needs an event-time " +
+          s"watermark on ${spec.orderBy} — declare one on the source table " +
+          "(WATERMARK FOR ... in the DDL, or df.withWatermark) or pass " +
+          "detectStream's watermark argument"))
+    }
+    // ---- named boundaries -------------------------------------------------
+    require(!spec.allRows, "ALL ROWS PER MATCH on a streaming frame is not " +
+      "supported — the streaming twins emit ONE ROW per match at watermark " +
+      "finality (per-event materialization rides the combinator API's " +
+      "materializeRows)")
+    require(spec.skipTo.isEmpty, "AFTER MATCH SKIP TO FIRST/LAST is " +
+      "batch-only — the streaming twins emit per-start matches " +
+      "(SKIP TO NEXT ROW) or SKIP PAST LAST ROW on the plain linear shape")
+    require(spec.orderTies.isEmpty, "composite ORDER BY tiebreaks are " +
+      "batch-only through the SQL front door — equal-timestamp streaming " +
+      "decisions follow the twins' documented (ts, type, value) order")
+    spec.measures.foreach(m => require(!m.fn.contains("MATCH_NUMBER"),
+      "MATCH_NUMBER() is batch-only — a per-partition match ordinal over an " +
+        "unbounded stream would never finalize"))
+    spec.defines.foreach { case (v, b) =>
+      require(!b.contains("__plag"), s"DEFINE $v: physical PREV navigation " +
+        "is batch-only through the SQL front door (streaming: enrich with " +
+        "StreamOps.streamingLag and use the combinator API)")
+    }
+    require(spec.partitionBy.size == 1,
+      s"streaming MATCH_RECOGNIZE partitions on ONE integral column — got " +
+        s"(${spec.partitionBy.mkString(", ")}); pack composite keys into " +
+        "one column upstream")
+    val keyName = spec.partitionBy.head
+    val keyType = events0.schema(keyName).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"streaming MATCH_RECOGNIZE partition column $keyName must be an " +
+        s"integral type (the cepPattern twins key a long) — got $keyType")
+    val selfRuns = selfRunDefs(spec)
+    val altVars = spec.vars.filter(_.alts.nonEmpty).map(_.name).toSet
+    // compile every DEFINE; relative (iterative) residuals are batch-only
+    val compiled: Map[String, Column] =
+      spec.vars.zipWithIndex.flatMap { case (v, i) =>
+        val names = if (selfRuns.contains(v.name)) Nil
+          else (if (v.alts.isEmpty && v.seq.isEmpty) Seq(v.name) else Nil) ++
+            v.alts ++ v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.mid3Seq ++
+            v.innerSeq ++ v.seq
+        names.map { n =>
+          val (pre, residual, _) = compiledPred(spec, n, i)
+          require(residual.isEmpty, s"DEFINE $n references earlier pattern " +
+            "variables — iterative (relative) conditions are batch-only " +
+            "through the SQL front door (streaming: cepPatternIter / " +
+            "cepPatternNestedGroupIter via the combinator API)")
+          n -> pre
+        }
+      }.toMap
+    // ---- the ONE value column the twins bind ------------------------------
+    val valueFields = (spec.measures.collect {
+      case m if !m.fn.contains("MATCH_NUMBER") && !m.fn.contains("CLASSIFIER") &&
+        m.field != "ts" && !(altVars(m.varName) && m.field == "cls") &&
+        !spec.absentVars.contains(m.varName) => m.field
+    } ++ selfRuns.values.map(_.colName)).distinct
+    require(valueFields.size <= 1,
+      s"streaming MATCH_RECOGNIZE binds ONE value column through the twins " +
+        s"— the measures reference ${valueFields.mkString(", ")}")
+    val valueCol = valueFields.headOption
+      .map(f => coalesce(col(f).cast("double"), lit(0.0)))
+      .getOrElse(lit(0.0))
+    // ---- predicate packing -------------------------------------------------
+    val predSlots = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def slotOf(name: String): Int =
+      predSlots.getOrElseUpdate(name, predSlots.size)
+    def predOfSlot(i: Int): SEvent => Boolean = e => e.event_type.charAt(i) == '1'
+    def slotPred(name: String): SEvent => Boolean = predOfSlot(slotOf(name))
+    // predicates added by a lowering that are not DEFINE-compiled (the
+    // self-run pre-filter) — merged into the bitmask build
+    var extraPreds: Map[String, Column] = Map.empty
+    implicit val evEnc = org.apache.spark.sql.Encoders.product[SEvent]
+    // NOTE: every lowering allocates ALL its slots (slotPred calls) BEFORE
+    // invoking tagged() — the bitmask is built from the slots registered at
+    // call time
+    def tagged(): org.apache.spark.sql.Dataset[SEvent] = {
+      val all = compiled ++ extraPreds
+      val bits = predSlots.keys.toSeq.map(n =>
+        when(coalesce(all(n), lit(false)), lit("1")).otherwise(lit("0")))
+      events0.select(
+        col(keyName).cast("long").as("user_id"),
+        col(spec.orderBy).as("ts"),
+        concat(bits: _*).as("event_type"),
+        valueCol.as("value")).as[SEvent]
+    }
+    val keyBack = col("user_id").cast(keyType).as(keyName)
+    val withinMs = spec.withinMs
+    // measures over an element-absent variable (reluctant zero-minimum):
+    // never binds — COUNT 0, everything else null (the batch convention)
+    def absentMeasure(m: Measure): Column = m.fn match {
+      case Some("COUNT") => lit(0L)
+      case _ if m.field == "ts" => lit(null).cast("timestamp")
+      case _ => lit(null).cast("double")
+    }
+    def measureOut(df: DataFrame, classifierCol: => Column)
+                  (f: Measure => Column): DataFrame =
+      if (spec.measures.isEmpty) df.select(keyBack +: df.columns.filter(_ != "user_id").map(col).toSeq: _*)
+      else df.select(keyBack +: spec.measures.map(m =>
+        (if (m.fn.contains("CLASSIFIER")) classifierCol
+         else if (spec.absentVars.contains(m.varName)) absentMeasure(m)
+         else f(m)).as(m.alias)): _*)
+    def fnName(m: Measure): String = m.fn.getOrElse("a bare reference")
+    val vars = spec.vars
+    val first = vars.head
+    def isPlainVar(v: PatternVar): Boolean =
+      v.alts.isEmpty && v.seq.isEmpty && v.innerSeq.isEmpty &&
+        v.inner2Seq.isEmpty && !selfRuns.contains(v.name)
+    def linearQuant(v: PatternVar): Boolean = v.quant match {
+      case None | Some("?") => true
+      case Some(q) => q.startsWith("{") && !q.endsWith(",}")
+    }
+    // bare (reluctant-collapsed) sequence groups are inline sub-sequences:
+    // expand the members into plain linear steps before classification
+    val expanded: Seq[PatternVar] = vars.flatMap {
+      case v if v.seq.nonEmpty && v.innerSeq.isEmpty && v.inner2Seq.isEmpty &&
+        v.quant.isEmpty => v.seq.map(PatternVar(_, None))
+      case v => Seq(v)
+    }
+    val nestedVar = expanded.find(v => v.innerSeq.nonEmpty || v.inner2Seq.nonEmpty)
+
+    // ======================= LINEAR =======================
+    if (expanded.forall(v => (isPlainVar(v) && linearQuant(v)) ||
+        (v.alts.nonEmpty && v.quant.isEmpty))) {
+      // expansion slots: one step_ts entry per expanded occurrence
+      case class VarSlots(v: PatternVar, idxs: Seq[Int])
+      var next = 0
+      val varSlots: Seq[VarSlots] = expanded.map { v =>
+        val n = v.quant match {
+          case Some(q) if q.startsWith("{") =>
+            val b = q.stripPrefix("{").stripSuffix("}").split(",")
+            if (b.length == 2) b(1).toInt else b(0).toInt
+          case _ => 1
+        }
+        val s = VarSlots(v, next until (next + n)); next += n; s
+      }
+      val byName = varSlots.map(s => s.v.name -> s).toMap
+      val nSlots = next
+      val valueMeasures = spec.measures.exists(m =>
+        !m.fn.contains("CLASSIFIER") && m.field != "ts" &&
+          !(altVars(m.varName) && m.field == "cls") &&
+          !spec.absentVars.contains(m.varName))
+      val allPlainUnquant = expanded.forall(v => isPlainVar(v) && v.quant.isEmpty)
+      if (spec.skipPastLast) {
+        // SKIP PAST LAST ROW rides cepPattern's greedy start-order
+        // finalization — plain unquantified steps, timestamp measures
+        require(allPlainUnquant && !valueMeasures,
+          "AFTER MATCH SKIP PAST LAST ROW on a streaming frame composes " +
+            "with plain unquantified variables and timestamp measures only")
+        val steps = expanded.map(v => slotPred(v.name))
+        val m = StreamOps.cepPattern(tagged(), wmDelay, steps, withinMs,
+          maxPartials, skipPastLast = true)
+        measureOut(m.toDF(), lit(expanded.last.name)) { mm =>
+          require(mm.field == "ts" && (mm.fn.isEmpty ||
+            mm.fn.exists(f => f == "FIRST" || f == "LAST")),
+            s"${mm.varName}.${mm.field}: plain timestamp measures only " +
+              "under streaming SKIP PAST LAST ROW")
+          element_at(col("step_ts"), byName(mm.varName).idxs.head + 1)
+        }
+      } else if (valueMeasures) {
+        // value measures over plain unquantified steps → the iterative twin
+        // carries each bound event's value
+        require(allPlainUnquant,
+          "streaming value measures compose with plain unquantified " +
+            "variables (cepPatternIter), '+'/'*' runs, sequence groups and " +
+            "depth-2 nested groups — not with '?'/'{n}' quantifiers or " +
+            "alternations")
+        val steps = expanded.map { v =>
+          val p = slotPred(v.name)
+          (e: SEvent, prior: List[SEvent]) => p(e)
+        }
+        val m = StreamOps.cepPatternIter(tagged(), wmDelay, steps, withinMs,
+          maxPartials)
+        measureOut(m.toDF(), lit(expanded.last.name)) { mm =>
+          val idx = byName(mm.varName).idxs.head + 1
+          require(mm.fn.isEmpty || mm.fn.exists(f => f == "FIRST" || f == "LAST"),
+            s"${fnName(mm)}(${mm.varName}.${mm.field}): a plain variable " +
+              "binds one event — aggregates need a quantified run")
+          if (mm.field == "ts") element_at(col("step_ts"), idx)
+          else element_at(col("step_value"), idx)
+        }
+      } else {
+        val steps: Seq[StreamOps.CepStep] = expanded.map { v =>
+          if (v.alts.nonEmpty)
+            StreamOps.CepStep(_ => false,
+              branches = v.alts.map(b => b -> slotPred(b)))
+          else {
+            val p = slotPred(v.name)
+            v.quant match {
+              case None => StreamOps.CepStep(p)
+              case Some("?") => StreamOps.CepStep(p, optional = true)
+              case Some(q) =>
+                val b = q.stripPrefix("{").stripSuffix("}").split(",")
+                if (b.length == 2)
+                  StreamOps.CepStep(p, times = b(0).toInt, timesTo = b(1).toInt)
+                else StreamOps.CepStep(p, times = b(0).toInt)
+            }
+          }
+        }
+        val m = StreamOps.cepPatternSteps(tagged(), wmDelay, steps, withinMs,
+          maxPartials)
+        def classifierCol: Column = {
+          val last = expanded.last
+          require(!last.quant.contains("?"),
+            "CLASSIFIER(): the final PATTERN element is optional — " +
+              "data-dependent last-row variable (batch ALL ROWS only)")
+          if (last.alts.nonEmpty)
+            element_at(col("step_cls"), byName(last.name).idxs.head + 1)
+          else lit(last.name)
+        }
+        measureOut(m.toDF(), classifierCol) { mm =>
+          if (altVars(mm.varName) && mm.field == "cls") {
+            element_at(col("step_cls"), byName(mm.varName).idxs.head + 1)
+          } else {
+            require(mm.field == "ts",
+              s"${mm.varName}.${mm.field}: timestamp measures only on this " +
+                "shape (value measures ride plain steps, runs or groups)")
+            val idxs = byName(mm.varName).idxs
+            mm.fn match {
+              case None =>
+                require(idxs.size == 1, s"${mm.varName}.ts: a quantified " +
+                  "variable needs FIRST/LAST/COUNT")
+                element_at(col("step_ts"), idxs.head + 1)
+              case Some("FIRST") => element_at(col("step_ts"), idxs.head + 1)
+              case Some("LAST") =>
+                // '{n,m}': the optional tail is a nullable SUFFIX — the
+                // last bound expansion is the first non-null from the right
+                coalesce(idxs.reverse.map(i =>
+                  element_at(col("step_ts"), i + 1)): _*)
+              case Some("COUNT") =>
+                idxs.map(i => when(element_at(col("step_ts"), i + 1).isNotNull,
+                  lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+              case other => sys.error(s"${fnName(mm)}(${mm.varName}.ts): " +
+                "FIRST/LAST/COUNT only over quantified timestamps")
+            }
+          }
+        }
+      }
+    }
+    // ======================= RUN (S R+ U) =======================
+    else if (expanded.size == 3 && isPlainVar(expanded.head) &&
+        expanded.head.quant.isEmpty && isPlainVar(expanded(2)) &&
+        expanded(2).quant.isEmpty &&
+        (selfRuns.contains(expanded(1).name) ||
+          ((expanded(1).alts.nonEmpty || isPlainVar(expanded(1))) &&
+            expanded(1).quant.exists(isRunQ)))) {
+      val Seq(s0, r, u) = expanded
+      require(!spec.skipPastLast, "AFTER MATCH SKIP PAST LAST ROW on a " +
+        "streaming frame composes with the plain linear shape only")
+      def tsOnly(mm: Measure, c: Column): Column = {
+        require(mm.field == "ts" && (mm.fn.isEmpty ||
+          mm.fn.exists(f => f == "FIRST" || f == "LAST")),
+          s"${fnName(mm)}(${mm.varName}.${mm.field}): a plain variable " +
+            "binds one event (timestamp)")
+        c
+      }
+      if (selfRuns.contains(r.name)) {
+        // the V-shape: DEFINE R AS R.c <op> PREV(R.c[, n])
+        val rd = selfRuns(r.name)
+        val acceptD: (Double, Double) => Boolean = rd.op match {
+          case "<" => _ < _
+          case ">" => _ > _
+          case "<=" => _ <= _
+          case ">=" => _ >= _
+        }
+        require(r.quant.contains("+"), s"self-referential run ${r.name} " +
+          "requires '+'")
+        // the run pre-filter is the compiled plain conjuncts (the
+        // self-LAST comparison itself runs in acceptD against Event.value)
+        val preName = s"__selfpre_${r.name}"
+        extraPreds = Map(preName -> rd.pre)
+        val firstP = slotPred(s0.name); val runP = slotPred(preName)
+        val lastP = slotPred(u.name)
+        val m = StreamOps.cepPatternRun(tagged(), wmDelay, firstP, runP,
+          acceptD, lastP, withinMs, maxPartials, rd.offset)
+        measureOut(m.toDF(), lit(u.name)) { mm =>
+          mm.varName match {
+            case n if n == s0.name => tsOnly(mm, col("first_ts"))
+            case n if n == u.name => tsOnly(mm, col("last_ts"))
+            case n if n == r.name => (mm.fn, mm.field) match {
+              case (Some("FIRST"), "ts") => col("run_first_ts")
+              case (Some("LAST"), "ts") => col("run_last_ts")
+              case (Some("COUNT"), _) => col("run_n")
+              case (Some("FIRST"), f) if f == rd.colName => col("run_first_value")
+              case (Some("LAST"), f) if f == rd.colName => col("run_last_value")
+              case _ => sys.error(s"${fnName(mm)}(${r.name}.${mm.field}): " +
+                "the streaming V-shape run materializes FIRST/LAST " +
+                "timestamps and values plus COUNT")
+            }
+            case n => sys.error(s"measure over unknown variable $n")
+          }
+        }
+      } else {
+        val (runP, branchPs): (SEvent => Boolean, Seq[SEvent => Boolean]) =
+          if (r.alts.isEmpty) (slotPred(r.name), Nil)
+          else {
+            val bs = r.alts.map(slotPred)
+            ((e: SEvent) => bs.exists(_(e)), bs)
+          }
+        val firstP = slotPred(s0.name); val lastP = slotPred(u.name)
+        val minRun = r.quant match {
+          case Some(q) if q.endsWith(",}") =>
+            q.stripPrefix("{").stripSuffix(",}").toInt
+          case _ => 1
+        }
+        val m = StreamOps.cepPatternOneOrMore(tagged(), wmDelay, firstP, runP,
+          lastP, withinMs, maxPartials,
+          allowEmpty = r.quant.contains("*"),
+          branchPreds = branchPs, minRun = minRun)
+        val branchIdx = r.alts.zipWithIndex.toMap
+        measureOut(m.toDF(), lit(u.name)) { mm =>
+          mm.varName match {
+            case n if n == s0.name => tsOnly(mm, col("first_ts"))
+            case n if n == u.name => tsOnly(mm, col("last_ts"))
+            case n if branchIdx.contains(n) =>
+              require(mm.fn.contains("COUNT") && mm.field == "ts",
+                s"branch $n of alternation run ${r.name}: COUNT($n.ts) is " +
+                  "the only branch measure")
+              element_at(col("branch_counts"), branchIdx(n) + 1)
+            case n if n == r.name => (mm.fn, mm.field) match {
+              case (Some("FIRST"), "ts") => col("run_first_ts")
+              case (Some("LAST"), "ts") => col("run_last_ts")
+              case (Some("COUNT"), _) => col("run_n")
+              case (Some("SUM"), _) => col("run_sum_value")
+              case (Some("MIN"), _) => col("run_min_value")
+              case (Some("MAX"), _) => col("run_max_value")
+              case (Some("AVG"), _) => col("run_sum_value") / col("run_n")
+              case (Some("FIRST"), _) => col("run_first_value")
+              case (Some("LAST"), _) => col("run_last_value")
+              case _ => sys.error(s"${fnName(mm)}(${r.name}.${mm.field}): " +
+                "use FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over the run")
+            }
+            case n => sys.error(s"measure over unknown variable $n")
+          }
+        }
+      }
+    }
+    // ======================= GROUP (S (B C..)+ U) =======================
+    else if (expanded.size == 3 && isPlainVar(expanded.head) &&
+        expanded.head.quant.isEmpty && isPlainVar(expanded(2)) &&
+        expanded(2).quant.isEmpty && expanded(1).seq.nonEmpty &&
+        expanded(1).innerSeq.isEmpty && expanded(1).inner2Seq.isEmpty &&
+        expanded(1).quant.exists(q => q == "+" || q == "*")) {
+      val Seq(s0, g, u) = expanded
+      require(!spec.skipPastLast, "AFTER MATCH SKIP PAST LAST ROW on a " +
+        "streaming frame composes with the plain linear shape only")
+      val memberIdx = g.seq.zipWithIndex.toMap
+      // ONE member may carry value measures (the twin's valueSubIdx)
+      val valMembers = spec.measures.collect {
+        case m if memberIdx.contains(m.varName) && m.field != "ts" => m.varName
+      }.distinct
+      require(valMembers.size <= 1, s"sequence group ${g.name}: the " +
+        s"streaming twin binds ONE member's values (got " +
+        s"${valMembers.mkString(", ")})")
+      val vIdx = valMembers.headOption.map(memberIdx).getOrElse(-1)
+      val firstP = slotPred(s0.name)
+      val subPs = g.seq.map(slotPred)
+      val lastP = slotPred(u.name)
+      val m = StreamOps.cepPatternGroup(tagged(), wmDelay,
+        firstP, subPs, lastP, withinMs,
+        maxPartials, allowEmpty = g.quant.contains("*"), valueSubIdx = vIdx)
+      measureOut(m.toDF(), lit(u.name)) { mm =>
+        mm.varName match {
+          case n if n == s0.name =>
+            require(mm.field == "ts", s"$n.${mm.field}: timestamp only")
+            col("first_ts")
+          case n if n == u.name =>
+            require(mm.field == "ts", s"$n.${mm.field}: timestamp only")
+            col("last_ts")
+          case n if memberIdx.contains(n) || n == g.name =>
+            if (mm.field != "ts") {
+              require(memberIdx.get(n).contains(vIdx), s"value measure over " +
+                s"$n: not the designated value member")
+              mm.fn match {
+                case Some("SUM") => col("rep_sum_value")
+                case Some("MIN") => col("rep_min_value")
+                case Some("MAX") => col("rep_max_value")
+                case Some("AVG") => col("rep_sum_value") / col("rep_n")
+                case Some("FIRST") => col("rep_first_value")
+                case Some("LAST") => col("rep_last_value")
+                case Some("COUNT") => col("rep_n")
+                case _ => sys.error(s"${fnName(mm)}($n.${mm.field}): use " +
+                  "SUM/AVG/MIN/MAX/FIRST/LAST/COUNT")
+              }
+            } else mm.fn match {
+              case Some("COUNT") => col("rep_n")
+              case Some("FIRST") =>
+                require(n == g.name || n == g.seq.head,
+                  s"FIRST($n.ts): the chain materializes the first " +
+                    s"repetition's FIRST member binding (${g.seq.head})")
+                col("rep_first_ts")
+              case Some("LAST") =>
+                require(n == g.name || n == g.seq.last,
+                  s"LAST($n.ts): the chain materializes the last " +
+                    s"repetition's FINAL member binding (${g.seq.last})")
+                col("rep_last_ts")
+              case other => sys.error(s"${fnName(mm)}($n.ts): " +
+                "FIRST/LAST/COUNT only over group timestamps")
+            }
+          case n => sys.error(s"measure over unknown variable $n")
+        }
+      }
+    }
+    // ============== NESTED GROUPS (final element, depth 1-4) ==============
+    else if (expanded.size == 2 && isPlainVar(expanded.head) &&
+        expanded.head.quant.isEmpty && nestedVar.contains(expanded(1))) {
+      val s0 = expanded.head; val g = expanded(1)
+      require(!spec.skipPastLast, "AFTER MATCH SKIP PAST LAST ROW on a " +
+        "streaming frame composes with the plain linear shape only")
+      require(g.quant.contains("+"), s"streaming nested group ${g.name}: " +
+        "outer '+' only (a '*' outer group is batch-only)")
+      val levelLists: Seq[Seq[String]] =
+        Seq(g.midSeq, g.mid2Seq, g.mid3Seq).filter(_.nonEmpty) :+ g.seq
+      levelLists.foreach(l => require(l.size == 1,
+        s"streaming nested group ${g.name}: one closing step per level " +
+          s"(got ${l.mkString(" ")})"))
+      val innerMembers = if (g.inner2Seq.nonEmpty) g.inner2Seq else g.innerSeq
+      val innerIdx = innerMembers.zipWithIndex.toMap
+      val depth = levelLists.size // 1 = ((I..)+ T)+, 2 = (((I..)+ M)+ T)+, ...
+      val closers = levelLists.map(_.head)
+      val closerOfVar: Map[String, Int] = closers.zipWithIndex.toMap
+      // value measures (r19): ANY member — inner or closer — at depth >= 2
+      // rides the depth-N twin's bindValues (the batch bindGroup surface);
+      // depth 1 keeps the named rejection (the N twin starts at two
+      // closing levels)
+      val valMembers = spec.measures.collect {
+        case m if m.field != "ts" && !m.fn.contains("CLASSIFIER") &&
+          !spec.absentVars.contains(m.varName) &&
+          (innerIdx.contains(m.varName) || closerOfVar.contains(m.varName) ||
+            m.varName == g.name || m.varName == s0.name) => m.varName
+      }.distinct
+      valMembers.foreach(n => require(
+        innerIdx.contains(n) || closerOfVar.contains(n),
+        s"value measure over $n: streaming nested-group values bind GROUP " +
+          "members (inner members and closers), not the anchor or the " +
+          "group name"))
+      require(depth >= 2 || valMembers.isEmpty,
+        s"streaming nested group ${g.name}: value measures need depth >= 2 " +
+          "(the depth-N twin's bindValues surface; counts and boundaries " +
+          "only at depth 1)")
+      val useNVals = valMembers.nonEmpty
+      // member index in the N twin's member_vals: inner members first,
+      // then the closers in level order
+      def memberVIdx(n: String): Int =
+        innerIdx.getOrElse(n, innerMembers.size + closerOfVar(n))
+      def tsBoundary(mm: Measure): Column = mm.fn match {
+        case Some("FIRST") =>
+          require(mm.varName == g.name || mm.varName == innerMembers.head,
+            s"FIRST(${mm.varName}.ts): the chain materializes the first " +
+              s"repetition's FIRST inner binding (${innerMembers.head})")
+          require(!g.innerStar || mm.varName == g.name,
+            s"FIRST(${mm.varName}.ts): with an inner '*' use " +
+              s"FIRST(${g.name}.ts) for the group boundary")
+          col("grp_first_ts")
+        case Some("LAST") =>
+          require(mm.varName == g.name || mm.varName == closers.last,
+            s"LAST(${mm.varName}.ts): the chain materializes the last " +
+              s"repetition's FINAL tail binding (${closers.last})")
+          col("grp_last_ts")
+        case other => sys.error(s"${fnName(mm)}(${mm.varName}.ts): " +
+          "FIRST/LAST/COUNT only over nested-group timestamps")
+      }
+      // COUNT columns: tail closes outer reps; intermediate closers one
+      // level each; any inner member counts sub-sequences. The N-twin
+      // route (depth 4, or any bindValues depth) reads level_counts
+      // (intermediate levels OUTERMOST FIRST: closer level l sits at
+      // 1-based position depth-1-l); the fixed-depth twins name them.
+      val onNTwin = useNVals || depth == 4
+      def countCol(n: String): Column =
+        if (n == closers.last) col("n_reps")
+        else if (onNTwin) closerOfVar.get(n) match {
+          case Some(l) => element_at(col("level_counts"), depth - 1 - l)
+          case None => col("n_inner")
+        }
+        else closerOfVar.get(n) match {
+          case Some(1) => col("n_mids2")
+          case Some(0) if depth >= 2 => col("n_mids")
+          case _ => col("n_inner")
+        }
+      val innerPreds = innerMembers.map(slotPred)
+      val firstP = slotPred(s0.name)
+      val closerPreds = closers.map(slotPred)
+      val mdf: DataFrame =
+        if (onNTwin && depth >= 2)
+          StreamOps.cepPatternNestedNGroup(tagged(), wmDelay, firstP,
+            innerPreds, closerPreds, withinMs, maxPartials,
+            innerOptional = g.innerStar, bindValues = useNVals).toDF()
+        else depth match {
+          case 1 => StreamOps.cepPatternNestedGroup(tagged(), wmDelay, firstP,
+            innerPreds, closerPreds.head, withinMs, maxPartials,
+            innerOptional = g.innerStar).toDF()
+          case 2 => StreamOps.cepPatternNested2Group(tagged(), wmDelay, firstP,
+            innerPreds, closerPreds.head, closerPreds(1), withinMs, maxPartials,
+            innerOptional = g.innerStar).toDF()
+          case _ => StreamOps.cepPatternNested3Group(tagged(), wmDelay, firstP,
+            innerPreds, closerPreds.head, closerPreds(1), closerPreds(2),
+            withinMs, maxPartials, innerOptional = g.innerStar).toDF()
+        }
+      measureOut(mdf, lit(closers.last)) { mm =>
+        mm.varName match {
+          case n if n == s0.name =>
+            require(mm.field == "ts", s"$n.${mm.field}: timestamp only")
+            col("first_ts")
+          case n if mm.field != "ts" && valMembers.contains(n) =>
+            val mv = element_at(col("member_vals"), memberVIdx(n) + 1)
+            mm.fn match {
+              case Some("SUM") => mv.getField("sum")
+              case Some("MIN") => mv.getField("mn")
+              case Some("MAX") => mv.getField("mx")
+              case Some("AVG") => mv.getField("sum") / mv.getField("cnt")
+              case Some("FIRST") => mv.getField("first")
+              case Some("LAST") => mv.getField("last")
+              case Some("COUNT") => mv.getField("cnt")
+              case _ => sys.error(s"${fnName(mm)}($n.${mm.field}): use " +
+                "SUM/AVG/MIN/MAX/FIRST/LAST/COUNT")
+            }
+          case n if n == g.name || innerIdx.contains(n) ||
+              closerOfVar.contains(n) =>
+            mm.fn match {
+              case Some("COUNT") => countCol(n)
+              case _ => tsBoundary(mm)
+            }
+          case n => sys.error(s"measure over unknown variable $n")
+        }
+      }
+    } else sys.error("streaming MATCH_RECOGNIZE supports these PATTERN " +
+      "shapes: linear (plain / '?' / '{n}' / '{n,m}' / alternations), " +
+      "S R+ U runs ('+', '*', '{n,}', alternation runs, PREV-self runs), " +
+      "S (B C ...)+ U sequence groups, and final nested groups to depth 4 " +
+      s"— PATTERN (${vars.map(_.name).mkString(" ")}) fits none of them; " +
+      "use the StreamOps combinator API for other compositions")
+  }
 }

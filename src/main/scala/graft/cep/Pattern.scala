@@ -1289,7 +1289,18 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
         s.until.isEmpty && s.optTail == 0),
         "followedByAny chains compose only with plain followedByAny steps " +
           "(quantifiers/alternation/groups/iterative conditions are " +
-          "first-match machinery)")
+          "first-match machinery). Rewrites: an all-matches BARE sequence " +
+          "group (B C) is exactly followedByAny(B).followedByAny(C) — " +
+          "under all-branches forking a group's members are just " +
+          "consecutive steps, so flatten it; an all-matches RUN is " +
+          "oneOrMore().allowCombinations() (every ordered member subset). " +
+          "A QUANTIFIED or NESTED group under all-matches has no bounded " +
+          "lowering: each repetition level multiplies the branch count by " +
+          "its own subset lattice (the allowCombinations object per " +
+          "level), so the output is doubly exponential in the window — " +
+          "the reference NFA forks the same branches and detonates on " +
+          "exactly this shape; compose allowCombinations runs per level " +
+          "explicitly if that is really the intent")
       var out = anchors
       var prevTs: Column = col(startTs)
       steps.tail.foreach { s =>
@@ -1707,6 +1718,17 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 org.apache.spark.sql.types.DoubleType, true)),
             org.apache.spark.sql.types.StructField("vmax",
               org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true)),
+            // running positional FIRST/LAST snapshots (r19, lifting the
+            // final per-row value named rejection): the walk carries a
+            // (value, positional bind count) pair per member, so a NULL
+            // first binding freezes FIRST correctly — the output arrays
+            // are the resolved values
+            org.apache.spark.sql.types.StructField("vfst",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true)),
+            org.apache.spark.sql.types.StructField("vlst",
+              org.apache.spark.sql.types.ArrayType(
                 org.apache.spark.sql.types.DoubleType, true)))
           Seq(org.apache.spark.sql.types.StructField(s"${s.name}_rows",
             org.apache.spark.sql.types.ArrayType(
@@ -1880,13 +1902,24 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
               val runC = if (rowVals) new Array[Long](gkN) else null
               val runMn = if (rowVals) new Array[java.lang.Double](gkN) else null
               val runMx = if (rowVals) new Array[java.lang.Double](gkN) else null
+              // positional FIRST/LAST (r19): value + bind count, LOCAL to
+              // this repetition — resolved against the enclosing state at
+              // absorb/commit time like the other snapshots
+              val runFs = if (rowVals) new Array[java.lang.Double](gkN) else null
+              val runLs = if (rowVals) new Array[java.lang.Double](gkN) else null
+              val runBn = if (rowVals) new Array[Long](gkN) else null
               def applyVal(gi: Int, v: java.lang.Double): Unit =
-                if (rowVals && v != null) {
-                  runC(gi) += 1
-                  runS(gi) = if (runS(gi) == null) v
-                             else java.lang.Double.valueOf(runS(gi) + v)
-                  runMn(gi) = Pattern.nmin(runMn(gi), v)
-                  runMx(gi) = Pattern.nmax(runMx(gi), v)
+                if (rowVals) {
+                  if (runBn(gi) == 0) runFs(gi) = v
+                  runLs(gi) = v
+                  runBn(gi) += 1
+                  if (v != null) {
+                    runC(gi) += 1
+                    runS(gi) = if (runS(gi) == null) v
+                               else java.lang.Double.valueOf(runS(gi) + v)
+                    runMn(gi) = Pattern.nmin(runMn(gi), v)
+                    runMx(gi) = Pattern.nmax(runMx(gi), v)
+                  }
                 }
               var first: java.sql.Timestamp = null
               var e = t0
@@ -1920,7 +1953,10 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                       if (rowVals) runS.clone() else null,
                       if (rowVals) runC.clone() else null,
                       if (rowVals) runMn.clone() else null,
-                      if (rowVals) runMx.clone() else null)
+                      if (rowVals) runMx.clone() else null,
+                      if (rowVals) runFs.clone() else null,
+                      if (rowVals) runLs.clone() else null,
+                      if (rowVals) runBn.clone() else null)
                     j += 1
                   }
                 }
@@ -1946,6 +1982,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                         r.vc(g) += runC(g)
                         r.vmn(g) = Pattern.nmin(r.vmn(g), runMn(g))
                         r.vmx(g) = Pattern.nmax(r.vmx(g), runMx(g))
+                        // positional resolution: this repetition's bindings
+                        // all PRECEDE the child's — its FIRST wins when it
+                        // bound anything, its LAST only when the child row
+                        // had no binding yet
+                        if (runBn(g) > 0) {
+                          r.vfs(g) = runFs(g)
+                          if (r.vbn(g) == 0) r.vls(g) = runLs(g)
+                        }
+                        r.vbn(g) += runBn(g)
                         g += 1
                       }
                     }
@@ -1962,6 +2007,11 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                     runC(g) += c.vC(g)
                     runMn(g) = Pattern.nmin(runMn(g), c.vMn(g))
                     runMx(g) = Pattern.nmax(runMx(g), c.vMx(g))
+                    if (c.vBn(g) > 0) {
+                      if (runBn(g) == 0) runFs(g) = c.vFs(g)
+                      runLs(g) = c.vLs(g)
+                      runBn(g) += c.vBn(g)
+                    }
                     g += 1
                   }
                 }
@@ -2052,13 +2102,16 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                     if (rowVals) runS.clone() else null,
                     if (rowVals) runC.clone() else null,
                     if (rowVals) runMn.clone() else null,
-                    if (rowVals) runMx.clone() else null)
+                    if (rowVals) runMx.clone() else null,
+                    if (rowVals) runFs.clone() else null,
+                    if (rowVals) runLs.clone() else null,
+                    if (rowVals) runBn.clone() else null)
                 }
                 ci += 1
               }
               counts(l) += 1
               new Pattern.NestRep(first, t2, counts, pend, rows, runS, runC,
-                runMn, runMx)
+                runMn, runMx, runFs, runLs, runBn)
             }
             // the match: a greedy chain of level-D (outer) repetitions to
             // window end — commit per completed repetition, with the
@@ -2107,7 +2160,15 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                         Pattern.nmin(vMin(g), rw.vmn(g)))
                       val vmxArr = (0 until gkN).map(g =>
                         Pattern.nmax(vMax(g), rw.vmx(g)))
-                      Seq(vsArr, vcArr, vmnArr, vmxArr)
+                      // positional FIRST/LAST resolve against the COMMITTED
+                      // state (vSeen carries nullability separately): a
+                      // committed binding wins FIRST; the row's local LAST
+                      // wins when the row has bound anything
+                      val vfsArr = (0 until gkN).map(g =>
+                        if (vSeen(g)) vFirst(g) else rw.vfs(g))
+                      val vlsArr = (0 until gkN).map(g =>
+                        if (rw.vbn(g) > 0) rw.vls(g) else vLast(g))
+                      Seq(vsArr, vcArr, vmnArr, vmxArr, vfsArr, vlsArr)
                     }
                     allRows += org.apache.spark.sql.Row.fromSeq(base ++ valPart)
                     i += 1
@@ -2321,6 +2382,16 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 org.apache.spark.sql.types.DoubleType, true)),
             org.apache.spark.sql.types.StructField("vmax",
               org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true)),
+            // running positional FIRST/LAST snapshots (r19, lifting the
+            // final per-row value named rejection): the walk tracks a
+            // (value, bound) pair per member — a NULL first binding
+            // freezes FIRST correctly
+            org.apache.spark.sql.types.StructField("vfst",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, true)),
+            org.apache.spark.sql.types.StructField("vlst",
+              org.apache.spark.sql.types.ArrayType(
                 org.apache.spark.sql.types.DoubleType, true)))
           Seq(org.apache.spark.sql.types.StructField(s"${s.name}_rows",
             org.apache.spark.sql.types.ArrayType(
@@ -2516,19 +2587,30 @@ final class Pattern private (steps: Vector[Step], notStep: Option[Step],
                 val repCnt = if (rowVals) vCnt.clone() else null
                 val repMin = if (rowVals) vMin.clone() else null
                 val repMax = if (rowVals) vMax.clone() else null
-                def applyVal(gi: Int, v: java.lang.Double): Unit = if (v != null) {
-                  repCnt(gi) += 1
-                  repSum(gi) = if (repSum(gi) == null) v
-                               else java.lang.Double.valueOf(repSum(gi) + v)
-                  repMin(gi) = Pattern.nmin(repMin(gi), v)
-                  repMax(gi) = Pattern.nmax(repMax(gi), v)
+                // positional FIRST/LAST (r19): (value, bound) pairs seeded
+                // from the committed state — nullability rides repSeen, so
+                // a null first binding stays frozen
+                val repFst = if (rowVals) vFirst.clone() else null
+                val repLst = if (rowVals) vLast.clone() else null
+                val repSeen = if (rowVals) vSeen.clone() else null
+                def applyVal(gi: Int, v: java.lang.Double): Unit = {
+                  if (!repSeen(gi)) { repFst(gi) = v; repSeen(gi) = true }
+                  repLst(gi) = v
+                  if (v != null) {
+                    repCnt(gi) += 1
+                    repSum(gi) = if (repSum(gi) == null) v
+                                 else java.lang.Double.valueOf(repSum(gi) + v)
+                    repMin(gi) = Pattern.nmin(repMin(gi), v)
+                    repMax(gi) = Pattern.nmax(repMax(gi), v)
+                  }
                 }
                 def rowOf(ts0: java.sql.Timestamp, cls: String, reps0: Long,
                           subs0: Long): org.apache.spark.sql.Row =
                   if (!rowVals) org.apache.spark.sql.Row(ts0, cls, reps0, subs0)
                   else org.apache.spark.sql.Row(ts0, cls, reps0, subs0,
                     repSum.toVector, repCnt.toVector,
-                    repMin.toVector, repMax.toVector)
+                    repMin.toVector, repMax.toVector,
+                    repFst.toVector, repLst.toVector)
                 // a sub's member rows: running counts AS OF each row (the
                 // final member completes the sub, so it counts it); value
                 // snapshots include the row's OWN contribution
@@ -3111,7 +3193,9 @@ object Pattern extends Serializable {
       val pend: scala.collection.mutable.ArrayBuffer[(Int, java.lang.Double)],
       val rows: scala.collection.mutable.ArrayBuffer[NestRowL],
       val vS: Array[java.lang.Double], val vC: Array[Long],
-      val vMn: Array[java.lang.Double], val vMx: Array[java.lang.Double])
+      val vMn: Array[java.lang.Double], val vMx: Array[java.lang.Double],
+      val vFs: Array[java.lang.Double], val vLs: Array[java.lang.Double],
+      val vBn: Array[Long])
 
   /** null-ignoring running extremes (the commitPending convention): null
     * means "no non-null value yet", so merging is null-aware min/max. */
@@ -3127,7 +3211,13 @@ object Pattern extends Serializable {
   private[cep] final class NestRowL(
       val ts: java.sql.Timestamp, val ci: Int, val cnt: Array[Long],
       val vs: Array[java.lang.Double], val vc: Array[Long],
-      val vmn: Array[java.lang.Double], val vmx: Array[java.lang.Double])
+      val vmn: Array[java.lang.Double], val vmx: Array[java.lang.Double],
+      // running positional FIRST/LAST snapshots (r19): value + positional
+      // bind count carried SEPARATELY, so a null first binding stays
+      // frozen (the (value, bound) slot-pair convention — nullability is
+      // not inferred from the value)
+      val vfs: Array[java.lang.Double], val vls: Array[java.lang.Double],
+      val vbn: Array[Long])
 
   /** Default per-key candidate ceiling for the sequential per-key walks
     * (group/nested repetition chains, PREV(n>1) segmentation, AFTER MATCH

@@ -5748,6 +5748,66 @@ object WindowQueries {
       |SELECT user_id, t0 AS signup_ts, t1 AS x_ts, tie1 AS x_tie,
       |       cls AS x_cls, t2 AS purchase_ts FROM m2""".stripMargin
 
+  // --- m56: running FIRST/LAST per-row value snapshots under ALL ROWS
+  // (r19, lifting the LAST per-row value named rejection — reference
+  // StreamExecMatch emits running measures per row for every aggregate
+  // kind): the walk carries a (value, positional bind count) pair per
+  // bound member, so a NULL first binding freezes FIRST correctly — the
+  // rejection's objection ("positional semantics include null bindings,
+  // which a per-row nullable double cannot carry unambiguously") is
+  // answered by carrying nullability SEPARATELY in the walk state; the
+  // emitted column is the resolved value. Oracle: m42's committed-row
+  // walk BYTE-IDENTICAL (reused programmatically below), then running
+  // FIRST/LAST/MAX as window functions over the committed row list —
+  // valid because the engine's commit-at-absorb discipline makes the
+  // snapshot at row r exactly the aggregate over the value-carrying
+  // committed rows at-or-before r (discarded speculations never enter
+  // the committed list).
+  private val m56: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.value) AS first_c,
+        |           LAST(C.value) AS last_c, MAX(C.value) AS max_c,
+        |           COUNT(W.ts) AS n_reps
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '96' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase'
+        |)""".stripMargin)
+      .select("user_id", "cls", "ts", "signup_ts", "first_c", "last_c",
+        "max_c", "n_reps")
+  private val m56Sql: String = {
+    // reuse m42's walk verbatim: cut at its final SELECT, wrap the two
+    // ALL-ROWS selects into a CTE, then window over the committed rows
+    val cut = m42Sql.indexOf("SELECT user_id, 'S' AS cls")
+    require(cut > 0, "m56Sql: m42Sql anchor not found")
+    m42Sql.substring(0, cut).trim + ",\n" +
+      """allr AS (
+        |SELECT user_id, 'S' AS cls, s_ts AS ts, s_ts AS signup_ts,
+        |       CAST(0 AS BIGINT) AS n_reps
+        |FROM best WHERE rn = 1
+        |UNION ALL
+        |SELECT b.user_id, u.r.cls, u.r.ts, b.s_ts, u.r.reps
+        |FROM best b, UNNEST(b.dn_rows) AS u(r)
+        |WHERE b.rn = 1),
+        |cg AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, min(value) AS val
+        |       FROM events WHERE event_type='view' GROUP BY 1, 2)
+        |SELECT a.user_id, a.cls, a.ts, a.signup_ts,
+        |       first_value(CASE WHEN a.cls='C' THEN cg.val END IGNORE NULLS)
+        |         OVER w AS first_c,
+        |       last_value(CASE WHEN a.cls='C' THEN cg.val END IGNORE NULLS)
+        |         OVER w AS last_c,
+        |       max(CASE WHEN a.cls='C' THEN cg.val END) OVER w AS max_c,
+        |       a.n_reps
+        |FROM allr a LEFT JOIN cg ON cg.user_id = a.user_id AND cg.ts = a.ts
+        |WINDOW w AS (PARTITION BY a.user_id, a.signup_ts ORDER BY a.ts
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "w25_cascading_windows" -> w25, "w26_cep_timeout" -> w26,
     "w27_cep_followed_by_any" -> w27, "w28_cep_combinations" -> w28,
@@ -5785,7 +5845,8 @@ object WindowQueries {
     "m49_nested_iter_inner" -> m49, "m48_depth3_nested_group" -> m48, "m50_depth2_iter_inner" -> m50,
     "m51_all_rows_depth3" -> m51, "m52_depth4_nested_group" -> m52,
     "m53_all_rows_depth2_values" -> m53, "m54_reluctant_absent" -> m54,
-    "m55_alternation_tiebreak" -> m55)
+    "m55_alternation_tiebreak" -> m55,
+    "m56_all_rows_first_last" -> m56)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -5825,6 +5886,7 @@ object WindowQueries {
     "m51_all_rows_depth3" -> m51Sql, "m52_depth4_nested_group" -> m52Sql,
     "m53_all_rows_depth2_values" -> m53Sql, "m54_reluctant_absent" -> m54Sql,
     "m55_alternation_tiebreak" -> m55Sql,
+    "m56_all_rows_first_last" -> m56Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)

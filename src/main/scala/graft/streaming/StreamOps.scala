@@ -257,16 +257,36 @@ case class Nest3Match(user_id: Long, first_ts: Timestamp,
 // closer needs), lastClose(l) = the last unit-l close inside it, tot =
 // committed totals per unit (tot.last = outer repetitions). State stays
 // O(depth) per partial.
+// one materialized bound event of the depth-N chain: classifier + running
+// counts as of the row, INNERMOST FIRST internally (counts(j) = unit-j
+// total; the output row reverses to the batch outermost-first order)
+case class NestNRow(ms: Long, cls: String, counts: List[Long])
+case class NestNOutRow(ts: Timestamp, cls: String, reps: Long,
+                       level_counts: Seq[Long], subs: Long)
 case class NestNPartial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
                         curStartMs: Long = -1L, inSubLastMs: Long = -1L,
                         accs: List[List[Long]] = Nil,
                         lastClose: List[Long] = Nil,
                         tot: List[Long] = Nil,
-                        lastTailMs: Long = -1L)
+                        lastTailMs: Long = -1L,
+                        // materializeRows (r19): rowBufs(0) = the
+                        // in-progress sub's rows, rowBufs(l) = the current
+                        // level-l repetition's rows — the depth-2 twin's
+                        // discard hierarchy, depth-parametric; newest-first
+                        rowBufs: List[List[NestNRow]] = Nil,
+                        doneRows: List[NestNRow] = Nil,
+                        // bindValues (r19): per pending level, one running
+                        // aggregate PER TRACKED MEMBER (inner members then
+                        // closers) — the batch bindGroup surface; merged /
+                        // discarded exactly like the counts
+                        vals: List[List[Nest2Vals]] = Nil,
+                        cVals: List[Nest2Vals] = Nil)
 case class NestNAcc(partials: List[NestNPartial], buf: List[BufEv] = Nil)
 case class NestNMatch(user_id: Long, first_ts: Timestamp,
                       grp_first_ts: Timestamp, grp_last_ts: Timestamp,
-                      n_reps: Long, level_counts: Seq[Long], n_inner: Long)
+                      n_reps: Long, level_counts: Seq[Long], n_inner: Long,
+                      rows: Seq[NestNOutRow] = Nil,
+                      member_vals: Seq[Nest2Vals] = Nil)
 // iterative-INNER nested group ((I...)+ T)+ partial with a PER-PARTIAL
 // residual threshold (the m49 batch shape on the stream): the anchor's
 // threshold tuple is known the moment its partial opens — ONE double per
@@ -305,23 +325,35 @@ object StreamOps {
   type Event = graft.streaming.Event
   val Event = graft.streaming.Event
 
+  /** Apply the op's watermark unless `ts` already carries one from the
+    * source (a FlinkDdl `WATERMARK FOR ...` table or an upstream
+    * `withWatermark` — the delay metadata survives projections): Spark
+    * disallows REDEFINING a watermark mid-plan, and the source's
+    * declaration is authoritative (the streaming MATCH_RECOGNIZE route
+    * reads its delay from exactly that node). */
+  private def tsWatermarked[T](ds: Dataset[T], watermark: String): Dataset[T] =
+    if (ds.schema("ts").metadata.contains(
+        org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark.delayKey))
+      ds
+    else ds.withWatermark("ts", watermark)
+
   /** TUMBLE with watermark-bounded state. */
   def tumblingAgg(events: DataFrame, watermark: String, size: String): DataFrame =
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupBy(window(col("ts"), size).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** HOP (sliding) with watermark-bounded state. */
   def slidingAgg(events: DataFrame, watermark: String, size: String, slide: String): DataFrame =
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** SESSION windows (gap-merged, native session_window). */
   def sessionAgg(events: DataFrame, watermark: String, gap: String): DataFrame =
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
@@ -334,7 +366,7 @@ object StreamOps {
     * the same watermark state eviction as the static [[sessionAgg]]. */
   def sessionAggDynamic(events: DataFrame, watermark: String,
                         gap: org.apache.spark.sql.Column): DataFrame =
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
@@ -404,7 +436,7 @@ object StreamOps {
 
   /** Keyed dedup under a watermark (Blink deduplicate-keep-first). */
   def dedupWithinWatermark(events: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    tsWatermarked(events, watermark).dropDuplicatesWithinWatermark(keys)
 
   /** Blink deduplicate-keep-LAST (reference StreamExecDeduplicate with
     * keepLastRow=true): update-mode stream where each key re-emits its
@@ -420,7 +452,7 @@ object StreamOps {
                     idleTtlMs: Long = 86400000L): Dataset[Event] = {
     implicit val evEnc = Encoders.product[Event]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Event, Event](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
@@ -452,7 +484,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val accEnc = Encoders.product[SessionAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -527,7 +559,7 @@ object StreamOps {
             state.setTimeoutTimestamp(acc.lastMs + gapMs)
             out.result().iterator
           }
-    val grouped = events.withWatermark("ts", watermark).groupByKey(_.user_id)
+    val grouped = tsWatermarked(events, watermark).groupByKey(_.user_id)
     initialState match {
       case Some(init) =>
         grouped.flatMapGroupsWithState[SessionAcc, SessionOut](
@@ -566,7 +598,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[PairOut]
     implicit val accEnc = Encoders.product[CepAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[CepAcc, PairOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -639,7 +671,7 @@ object StreamOps {
                             steps: Seq[(String, String)],
                             windowMs: Long): DataFrame = {
     require(steps.size >= 2, "a chain needs at least two steps (name -> event_type)")
-    val wmed = events.toDF().withWatermark("ts", watermark)
+    val wmed = tsWatermarked(events.toDF(), watermark)
     val win = expr(s"INTERVAL $windowMs MILLISECONDS")
     val (n0, t0) = steps.head
     val start = s"${n0}_ts"
@@ -701,7 +733,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[TopNOut]
     implicit val accEnc = Encoders.product[TopNAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TopNAcc, TopNOut](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
@@ -892,7 +924,7 @@ object StreamOps {
           }
           out.result().iterator
     }
-    val grouped = events.withWatermark("ts", watermark).groupByKey(_.user_id)
+    val grouped = tsWatermarked(events, watermark).groupByKey(_.user_id)
     initialState match {
       case Some(init) =>
         grouped.flatMapGroupsWithState[CepPatternAcc, PatternMatch](
@@ -1032,7 +1064,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[ExMatch]
     implicit val accEnc = Encoders.product[CepExAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[CepExAcc, ExMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -1170,7 +1202,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[IterMatch]
     implicit val accEnc = Encoders.product[CepIterAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[CepIterAcc, IterMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -1426,7 +1458,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[RunMatch]
     implicit val accEnc = Encoders.product[RunAcc]
     implicit val keyEnc = Encoders.scalaLong
-    val matches = events.withWatermark("ts", watermark)
+    val matches = tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RunAcc, RunMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -1585,7 +1617,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[VRunMatch]
     implicit val accEnc = Encoders.product[VRunAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[VRunAcc, VRunMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -1714,7 +1746,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[GrpMatch]
     implicit val accEnc = Encoders.product[GrpAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[GrpAcc, GrpMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -1846,7 +1878,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[CepTimeoutMatch]
     implicit val accEnc = Encoders.product[TimeoutAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TimeoutAcc, CepTimeoutMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -1947,7 +1979,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[NestMatch]
     implicit val accEnc = Encoders.product[NestAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[NestAcc, NestMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -2113,7 +2145,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[Nest2Match]
     implicit val accEnc = Encoders.product[Nest2Acc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Nest2Acc, Nest2Match](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -2312,19 +2344,40 @@ object StreamOps {
                              withinMs: Long,
                              maxPartials: Int = 256,
                              tieOf: Event => Double = _.value,
-                             innerOptional: Boolean = false): Dataset[NestNMatch] = {
+                             innerOptional: Boolean = false,
+                             materializeRows: Boolean = false,
+                             innerNames: Seq[String] = Nil,
+                             closerNames: Seq[String] = Nil,
+                             bindValues: Boolean = false): Dataset[NestNMatch] = {
     require(innerPreds.size >= 2, "the inner sub-group needs at least two steps")
     require(closerPreds.size >= 2,
       "a depth-N nested group needs at least TWO closing levels (depth 1 " +
         "is cepPatternNestedGroup)")
+    require(!materializeRows || (innerNames.size == innerPreds.size &&
+      closerNames.size == closerPreds.size),
+      "materializeRows needs one classifier name per inner step and per closer")
     val nD = closerPreds.size
+    val nInner = innerPreds.size
+    // tracked value members (bindValues): inner members 0..nInner-1 then
+    // closers nInner..nInner+nD-1 — the batch bindGroup member universe
+    val nMembers = nInner + nD
     implicit val outEnc = Encoders.product[NestNMatch]
     implicit val accEnc = Encoders.product[NestNAcc]
     implicit val keyEnc = Encoders.scalaLong
     val zeroAccs: List[List[Long]] =
       (1 to nD).map(l => List.fill(l)(0L)).toList
     val zeroClose: List[Long] = List.fill(nD)(-1L)
-    events.withWatermark("ts", watermark)
+    val zeroBufs: List[List[NestNRow]] =
+      if (materializeRows) List.fill(nD + 1)(Nil) else Nil
+    val zeroMemberVals: List[Nest2Vals] =
+      if (bindValues) List.fill(nMembers)(Nest2Vals()) else Nil
+    val zeroVals: List[List[Nest2Vals]] =
+      if (bindValues) List.fill(nD + 1)(zeroMemberVals) else Nil
+    def mergeVals(into: List[Nest2Vals], unit: List[Nest2Vals]): List[Nest2Vals] =
+      into.lazyZip(unit).map(_ merge _)
+    def addVal(vs: List[Nest2Vals], member: Int, v: Double): List[Nest2Vals] =
+      vs.updated(member, vs(member).add(v))
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[NestNAcc, NestNMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -2334,7 +2387,12 @@ object StreamOps {
           def emit(p: NestNPartial): Unit =
             out += NestNMatch(userId, new Timestamp(p.firstMs),
               new Timestamp(p.gFirstMs), new Timestamp(p.lastTailMs),
-              p.tot(nD), (nD - 1 to 1 by -1).map(p.tot(_)), p.tot.head)
+              p.tot(nD), (nD - 1 to 1 by -1).map(p.tot(_)), p.tot.head,
+              if (!materializeRows) Nil
+              else p.doneRows.reverse.map(r => NestNOutRow(new Timestamp(r.ms),
+                r.cls, r.counts(nD), (nD - 1 to 1 by -1).map(r.counts(_)),
+                r.counts.head)),
+              if (!bindValues) Nil else p.cVals)
           val wm = state.getCurrentWatermarkMs()
           val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
             rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
@@ -2375,17 +2433,61 @@ object StreamOps {
                   }
                   0
                 }
+                // running count of unit j as of a row at closing level
+                // `closeLvl` (0 = an inner-member row): committed totals
+                // plus the in-progress accumulations from the CLOSED unit
+                // up (accs(closeLvl-1) is the unit this close absorbs;
+                // units inside deeper in-progress repetitions are
+                // discarded by it) — the depth-2 twin's per-row counts,
+                // depth-parametric
+                def rowCounts(closeLvl: Int, inc: Boolean): List[Long] =
+                  (0 to nD).toList.map { j =>
+                    val acc = (math.max(closeLvl - 1, j) until nD)
+                      .map(lp => p.accs(lp)(j)).sum
+                    p.tot(j) + acc + (if (inc && j == closeLvl) 1L else 0L)
+                  }
                 if (p.subIdx < innerPreds.size && innerPreds(p.subIdx)(e) &&
                     t > subAnchor) {
+                  val vals1 =
+                    if (!bindValues) Nil
+                    else {
+                      val base = if (p.subIdx == 0)
+                        p.vals.updated(0, zeroMemberVals) else p.vals
+                      base.updated(0, addVal(base(0), p.subIdx, e.value))
+                    }
                   if (p.subIdx == innerPreds.size - 1) {
+                    // sub completes: its rows and values move up to level 1
                     val gF = if (p.gFirstMs < 0) p.curStartMs else p.gFirstMs
+                    val bufs1 =
+                      if (!materializeRows) Nil
+                      else {
+                        val subRows = NestNRow(t, innerNames.last,
+                          rowCounts(0, inc = true)) ::
+                          (if (p.subIdx == 0) Nil else p.rowBufs.head)
+                        p.rowBufs.updated(0, Nil)
+                          .updated(1, subRows ::: p.rowBufs(1))
+                      }
+                    val vals2 =
+                      if (!bindValues) Nil
+                      else vals1.updated(0, zeroMemberVals)
+                        .updated(1, mergeVals(vals1(1), vals1(0)))
                     Some(p.copy(gFirstMs = gF,
                       accs = p.accs.updated(0, List(p.accs.head.head + 1)),
                       lastClose = p.lastClose.updated(0, t),
-                      subIdx = 0, curStartMs = -1L, inSubLastMs = -1L))
-                  } else if (p.subIdx == 0)
-                    Some(p.copy(subIdx = 1, curStartMs = t, inSubLastMs = t))
-                  else Some(p.copy(subIdx = p.subIdx + 1, inSubLastMs = t))
+                      subIdx = 0, curStartMs = -1L, inSubLastMs = -1L,
+                      rowBufs = bufs1, vals = vals2))
+                  } else {
+                    val bufs1 =
+                      if (!materializeRows) Nil
+                      else p.rowBufs.updated(0,
+                        NestNRow(t, innerNames(p.subIdx), rowCounts(0, inc = false)) ::
+                          (if (p.subIdx == 0) Nil else p.rowBufs.head))
+                    if (p.subIdx == 0)
+                      Some(p.copy(subIdx = 1, curStartMs = t, inSubLastMs = t,
+                        rowBufs = bufs1, vals = vals1))
+                    else Some(p.copy(subIdx = p.subIdx + 1, inSubLastMs = t,
+                      rowBufs = bufs1, vals = vals1))
+                  }
                 } else {
                   val l = closerAt
                   if (l == 0) Some(p)
@@ -2395,12 +2497,28 @@ object StreamOps {
                     // every in-progress unit below it
                     val gF = if (p.gFirstMs < 0) t else p.gFirstMs // childless close
                     val unit = p.accs(l - 1) // counts of units 0..l-1
+                    // the closer's row joins the unit it closes; the row
+                    // buffers below level l are discarded with their units
+                    val closedRows =
+                      if (!materializeRows) Nil
+                      else NestNRow(t, closerNames(l - 1),
+                        rowCounts(l, inc = true)) :: p.rowBufs(l)
+                    // the closer is itself a tracked member of the unit
+                    val unitVals =
+                      if (!bindValues) Nil
+                      else addVal(p.vals(l), nInner + (l - 1), e.value)
                     if (l == nD) {
                       val tot2 = p.tot.zipWithIndex.map { case (v, j) =>
                         if (j < nD) v + unit(j) else v + 1L }
                       Some(p.copy(gFirstMs = gF, tot = tot2, lastTailMs = t,
                         accs = zeroAccs, lastClose = zeroClose,
-                        subIdx = 0, curStartMs = -1L, inSubLastMs = -1L))
+                        subIdx = 0, curStartMs = -1L, inSubLastMs = -1L,
+                        rowBufs = zeroBufs,
+                        doneRows = if (!materializeRows) Nil
+                          else closedRows ::: p.doneRows,
+                        vals = zeroVals,
+                        cVals = if (!bindValues) Nil
+                          else mergeVals(p.cVals, unitVals)))
                     } else {
                       val parent = p.accs(l).zipWithIndex.map { case (v, j) =>
                         if (j < l) v + unit(j) else v + 1L }
@@ -2410,9 +2528,22 @@ object StreamOps {
                         else a }
                       val close2 = p.lastClose.zipWithIndex.map { case (v, i) =>
                         if (i == l) t else if (i < l) -1L else v }
+                      val bufs2 =
+                        if (!materializeRows) Nil
+                        else p.rowBufs.zipWithIndex.map { case (b, i) =>
+                          if (i == l + 1) closedRows ::: b
+                          else if (i <= l) Nil
+                          else b }
+                      val vals2 =
+                        if (!bindValues) Nil
+                        else p.vals.zipWithIndex.map { case (v, i) =>
+                          if (i == l + 1) mergeVals(v, unitVals)
+                          else if (i <= l) zeroMemberVals
+                          else v }
                       Some(p.copy(gFirstMs = gF, accs = accs2,
                         lastClose = close2,
-                        subIdx = 0, curStartMs = -1L, inSubLastMs = -1L))
+                        subIdx = 0, curStartMs = -1L, inSubLastMs = -1L,
+                        rowBufs = bufs2, vals = vals2))
                     }
                   }
                 }
@@ -2421,7 +2552,9 @@ object StreamOps {
             if (firstPred(e))
               partials = (NestNPartial(t, accs = zeroAccs,
                 lastClose = zeroClose,
-                tot = List.fill(nD + 1)(0L)) :: partials).take(maxPartials)
+                tot = List.fill(nD + 1)(0L),
+                rowBufs = zeroBufs, vals = zeroVals,
+                cVals = zeroMemberVals) :: partials).take(maxPartials)
           }
           val (expired, alive) = partials.partition(_.firstMs + withinMs < wm)
           expired.foreach(p => if (p.tot(nD) >= 1) emit(p))
@@ -2461,7 +2594,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[NestMatch]
     implicit val accEnc = Encoders.product[NestIterAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[NestIterAcc, NestMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -2543,7 +2676,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[LagEv]
     implicit val accEnc = Encoders.product[LagAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LagAcc, LagEv](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -2603,7 +2736,7 @@ object StreamOps {
     implicit val outEnc = Encoders.product[TwoRunMatch]
     implicit val accEnc = Encoders.product[TwoRunAcc]
     implicit val keyEnc = Encoders.scalaLong
-    events.withWatermark("ts", watermark)
+    tsWatermarked(events, watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TwoRunAcc, TwoRunMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -2679,6 +2679,56 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(e2.getMessage.contains("all-matches"), e2.getMessage)
   }
 
+  test("ALL-MATCHES x groups: the named rejection carries the rewrite, and " +
+       "the advertised flattening IS the bare-group all-matches object " +
+       "(r19, VERDICT r18 stretch item 7)") {
+    val evs = Seq(
+      (1L, at(0), "a"), (1L, at(5), "x"), (1L, at(8), "x"), (1L, at(12), "y"),
+      (1L, at(20), "y"),
+      (2L, at(0), "a"), (2L, at(4), "x"), (2L, at(6), "y")
+    ).toDF("user_id", "ts", "event_type")
+    // a sequence group inside a followedByAny chain refuses by name WITH
+    // the rewrite (flatten a bare group; allowCombinations per level for
+    // quantified/nested shapes — each level multiplies branches by its
+    // own subset lattice)
+    val eG = intercept[IllegalArgumentException](
+      Pattern.begin("a", $"event_type" === "a")
+        .followedByAny("b", $"event_type" === "x")
+        .followedByGroup("g", "p" -> ($"event_type" === "x"),
+          "q" -> ($"event_type" === "y")).oneOrMore()
+        .within(HOUR).detect(evs, $"user_id", $"ts"))
+    assert(eG.getMessage.contains("flatten") &&
+      eG.getMessage.contains("doubly exponential"), eG.getMessage)
+    val eN = intercept[IllegalArgumentException](
+      Pattern.begin("a", $"event_type" === "a")
+        .followedByAny("b", $"event_type" === "x")
+        .followedByNestedGroup("g",
+          Seq("p" -> ($"event_type" === "x"), "q" -> ($"event_type" === "y")),
+          Seq("t" -> ($"event_type" === "y"))).oneOrMore()
+        .within(HOUR).detect(evs, $"user_id", $"ts"))
+    assert(eN.getMessage.contains("allowCombinations"), eN.getMessage)
+    // the rewrite is real: the flattened chain emits EVERY strictly
+    // increasing (a, x, y) assignment — exactly what an all-branches bare
+    // group (X Y) would fork (flink-cep GroupPattern members become
+    // consecutive NFA states; under followedByAny each forks per
+    // candidate)
+    val got = Pattern.begin("a", $"event_type" === "a")
+      .followedByAny("x", $"event_type" === "x")
+      .followedByAny("y", $"event_type" === "y")
+      .within(HOUR).detect(evs, $"user_id", $"ts")
+      .select("key", "a_ts", "x_ts", "y_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getTimestamp(3))).toSet
+    val raw = Seq((1L, 0L, "a"), (1L, 5L, "x"), (1L, 8L, "x"), (1L, 12L, "y"),
+      (1L, 20L, "y"), (2L, 0L, "a"), (2L, 4L, "x"), (2L, 6L, "y"))
+    val want = (for {
+      (k1, t1, "a") <- raw
+      (k2, t2, "x") <- raw if k2 == k1 && t2 > t1 && t2 <= t1 + 60
+      (k3, t3, "y") <- raw if k3 == k1 && t3 > t2 && t3 <= t1 + 60
+    } yield (k1, at(t1), at(t2), at(t3))).toSet
+    assert(got == want && want.size == 5, s"got $got\nwant $want")
+  }
+
   test("oneOrMore().allowCombinations() emits every ordered member subset " +
        "(flink-cep Pattern.java:441) — brute-force property reference") {
     val evs = Seq(
@@ -3034,5 +3084,110 @@ class CepPatternSpec extends AnyFunSuite with SparkTest {
     assert(m == Set(
       (1L, 1L, 1L, 1L, 1L, 200.0),
       (2L, 1L, 1L, 1L, 1L, 100.0)), m.toString)
+  }
+
+  test("depth-3 streaming twin materializes rows and binds multi-member " +
+       "values — batch walk parity across shuffled micro-batch splits " +
+       "(r19, VERDICT r18 items 3+4)") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // shape S ((((B C)+ V)+ W)+ X)+ — user 1: two outer repetitions with a
+    // multi-sub multi-mid first rep and a dangling sub at window end; user
+    // 2: in-progress sub (b@7) discarded at the v close; user 3: dangling
+    // level-2 repetition (v@15-closed, never w-closed) discarded at the x
+    // close. Values are distinct per event so every aggregate is
+    // discriminative.
+    def v(u: Long, min: Long) = u * 100.0 + min
+    val all = Seq(
+      (1L, at(0), "s"), (1L, at(2), "b"), (1L, at(4), "c"),
+      (1L, at(6), "b"), (1L, at(8), "c"), (1L, at(10), "v"),
+      (1L, at(12), "b"), (1L, at(14), "c"), (1L, at(16), "v"),
+      (1L, at(18), "w"),
+      (1L, at(20), "b"), (1L, at(22), "c"), (1L, at(24), "v"), (1L, at(26), "w"),
+      (1L, at(28), "x"),
+      (1L, at(30), "b"), (1L, at(32), "c"), (1L, at(34), "v"), (1L, at(36), "w"),
+      (1L, at(38), "x"),
+      (1L, at(40), "b"), (1L, at(42), "c"),
+      (2L, at(1), "s"), (2L, at(3), "b"), (2L, at(5), "c"), (2L, at(7), "b"),
+      (2L, at(9), "v"), (2L, at(11), "w"), (2L, at(13), "x"),
+      (3L, at(1), "s"), (3L, at(3), "b"), (3L, at(5), "c"), (3L, at(7), "v"),
+      (3L, at(9), "w"), (3L, at(11), "b"), (3L, at(13), "c"), (3L, at(15), "v"),
+      (3L, at(17), "x")
+    ).map { case (u, ts, t) => (u, ts, t, v(u, (ts.getTime - T0.getTime) / 60000)) }
+    val df = all.toDF("user_id", "ts", "event_type", "value")
+    def batchPat(rows: Boolean) = {
+      var p = Pattern.begin("s", $"event_type" === "s")
+        .followedByNested3Group("g",
+          Seq("b" -> ($"event_type" === "b"), "c" -> ($"event_type" === "c")),
+          Seq("v" -> ($"event_type" === "v")),
+          Seq("w" -> ($"event_type" === "w")),
+          Seq("x" -> ($"event_type" === "x")))
+        .oneOrMore()
+      if (rows) p = p.materializeNestedRows()
+      else p = p.bindGroup("b", "value").bindGroup("c", "value")
+        .bindGroup("v", "value")
+      p.within(HOUR).detect(df, $"user_id", $"ts")
+    }
+    val batchRows = batchPat(rows = true)
+      .select($"key", $"s_ts", explode($"g_rows").as("r"))
+      .select($"key", $"s_ts", $"r.ts", $"r.cls", $"r.reps", $"r.mids2",
+        $"r.mids", $"r.subs")
+      .as[(Long, Timestamp, Timestamp, String, Long, Long, Long, Long)]
+      .collect().toSet
+    val batchVals = batchPat(rows = false)
+      .select($"key", $"s_ts", $"g_n", $"g_mid2_n", $"g_mid_n", $"g_inner_n",
+        $"g_sum_b_value", $"g_first_b_value", $"g_last_b_value",
+        $"g_cnt_b_value",
+        $"g_sum_c_value", $"g_min_c_value", $"g_max_c_value",
+        $"g_sum_v_value", $"g_cnt_v_value")
+      .collect().map(_.toString).toSet
+    val in = MemoryStream[graft.streaming.Event]
+    val q = StreamOps.cepPatternNestedNGroup(in.toDS(), "2 hours",
+        _.event_type == "s", Seq(_.event_type == "b", _.event_type == "c"),
+        Seq(_.event_type == "v", _.event_type == "w", _.event_type == "x"),
+        HOUR,
+        materializeRows = true, innerNames = Seq("b", "c"),
+        closerNames = Seq("v", "w", "x"), bindValues = true).toDF()
+      .writeStream.format("memory").queryName("s_nestN_rows_vals")
+      .outputMode("append").start()
+    val evs = all.map { case (u, ts, t, vl) => StreamOps.Event(u, ts, t, vl) }
+      .sortBy(_.ts.getTime)
+    // mid-chain split, second half delivered shuffled: the watermark
+    // buffer re-sorts, so intra-batch arrival order must not matter
+    in.addData(evs.take(17)); q.processAllAvailable()
+    in.addData(new scala.util.Random(7L).shuffle(evs.drop(17)): _*)
+    q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(600), "zzz", 0.0)); q.processAllAvailable()
+    in.addData(StreamOps.Event(99L, at(610), "zzz", 0.0)); q.processAllAvailable(); q.stop()
+    val matches = spark.table("s_nestN_rows_vals")
+      .as[graft.streaming.NestNMatch].collect()
+    // rows parity: (reps, mids2, mids, subs) running counts per bound event
+    val streamingRows = matches.flatMap(m => m.rows.map(r =>
+      (m.user_id, m.first_ts, r.ts, r.cls, r.reps, r.level_counts.head,
+        r.level_counts(1), r.subs))).toSet
+    assert(streamingRows == batchRows,
+      s"rows: streaming=$streamingRows\nbatch=$batchRows")
+    // multi-member value parity: member_vals = [b, c, v, w, x]
+    val streamingVals = matches.map { m =>
+      val Seq(b, c, vv, _, _) = m.member_vals.toSeq
+      org.apache.spark.sql.Row(m.user_id, m.first_ts, m.n_reps,
+        m.level_counts.head, m.level_counts(1), m.n_inner,
+        b.sum.orNull, b.first.orNull, b.last.orNull, b.cnt,
+        c.sum.orNull, c.mn.orNull, c.mx.orNull,
+        vv.sum.orNull, vv.cnt).toString
+    }.toSet
+    assert(streamingVals == batchVals,
+      s"vals: streaming=$streamingVals\nbatch=$batchVals")
+    // hand-pinned discards: user 2's in-progress b@7 binds nothing — the
+    // committed b aggregates carry ONLY b@3 (value 203)
+    val u2 = matches.find(_.user_id == 2L).get
+    assert(u2.member_vals.head.sum.contains(203.0) &&
+      u2.member_vals.head.cnt == 1L, u2.toString)
+    // user 3's dangling level-2 repetition (sub b@11/c@13, v@15) is
+    // discarded at the x close: one committed sub, b sum = b@3 only
+    val u3 = matches.find(_.user_id == 3L).get
+    assert(u3.member_vals.head.sum.contains(303.0) &&
+      u3.n_inner == 1L && u3.level_counts == Seq(1L, 1L), u3.toString)
   }
 }

@@ -2301,4 +2301,88 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       .collect().toSet
     assert(m == Set((at(0), at(2), at(40), 1L, 3L, 4L, 5L, 15.0)), m.toString)
   }
+
+  test("running FIRST/LAST per-row snapshots freeze a NULL first binding " +
+       "(r19, the last per-row value rejection lifted): positional " +
+       "nullability rides the (value, bound) pair, not the value") {
+    // first C binds NULL, second binds 5.0, third binds NULL again:
+    // running FIRST must STAY null after c@8 (frozen at the null first
+    // binding — a null-ignoring impl would report 5.0), and running LAST
+    // at c@14 must be null (the latest positional binding — a
+    // null-ignoring impl would keep 5.0)
+    val evs = Seq(
+      (1L, at(0), "s", Option.empty[Double]),
+      (1L, at(2), "b", None), (1L, at(4), "c", None),
+      (1L, at(6), "b", None), (1L, at(8), "c", Some(5.0)),
+      (1L, at(10), "v", None),
+      (1L, at(12), "b", None), (1L, at(14), "c", None),
+      (1L, at(16), "v", None)
+    ).toDF("user_id", "ts", "event_type", "value")
+    // depth-1 nested walk
+    val d1 = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(C.value) AS first_c,
+        |           LAST(C.value) AS last_c
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v'
+        |)""".stripMargin)
+      .select($"cls", $"ts", $"first_c", $"last_c")
+      .as[(String, Timestamp, Option[Double], Option[Double])]
+      .collect().toSet
+    val want = Set[(String, Timestamp, Option[Double], Option[Double])](
+      ("S", at(0), None, None),
+      ("B", at(2), None, None),
+      ("C", at(4), None, None), // first binding IS null: both frozen null
+      ("B", at(6), None, None),
+      ("C", at(8), None, Some(5.0)), // FIRST stays frozen at null
+      ("V", at(10), None, Some(5.0)),
+      ("B", at(12), None, Some(5.0)),
+      ("C", at(14), None, None), // positional LAST: the null binding
+      ("V", at(16), None, None))
+    assert(d1 == want, d1.toString)
+    // depth-2 walk (the depth-parametric repAt path): same corpus with a
+    // tail W closing the outer repetition
+    val evs2 = evs.union(Seq((1L, at(18), "w", Option.empty[Double]))
+      .toDF("user_id", "ts", "event_type", "value"))
+    val d2 = MatchRecognize.detect(evs2,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(C.value) AS first_c,
+        |           LAST(C.value) AS last_c
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v',
+        |         W AS event_type = 'w'
+        |)""".stripMargin)
+      .select($"cls", $"ts", $"first_c", $"last_c")
+      .as[(String, Timestamp, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(d2 == want + (("W", at(18), None, None)), d2.toString)
+    // ONE ROW committed FIRST/LAST were always positional (commitPending):
+    // both null on this corpus — pinned so the row snapshots and the
+    // committed aggregates cannot diverge
+    val one = MatchRecognize.detect(evs,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, FIRST(C.value) AS first_c,
+        |           LAST(C.value) AS last_c, MAX(C.value) AS max_c
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 's', B AS event_type = 'b',
+        |         C AS event_type = 'c', V AS event_type = 'v'
+        |)""".stripMargin)
+      .select($"first_c", $"last_c", $"max_c")
+      .as[(Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    assert(one == Set((None, None, Some(5.0))), one.toString)
+  }
 }

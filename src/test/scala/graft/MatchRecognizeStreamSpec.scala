@@ -1,0 +1,407 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cep.MatchRecognize
+import graft.streaming.Event
+
+/** Streaming MATCH_RECOGNIZE (r19) — the SAME SQL text over an unbounded
+  * frame must produce the batch compile's matches. In the reference the
+  * clause IS a streaming operator (flink-table-planner-blink
+  * StreamExecMatch.scala; flink-cep NFA over a DataStream) — these specs
+  * drive `MatchRecognize.detect`'s streaming route (watermark read from the
+  * frame's EventTimeWatermark node, lowering onto the StreamOps.cepPattern*
+  * twins) through a MemoryStream split across micro-batches with shuffled
+  * intra-batch delivery, and compare row-for-row against the batch compile
+  * of the identical SQL over the identical events. */
+class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  private implicit def sqlCtx = spark.sqlContext
+
+  private val T0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private def at(min: Long) = new Timestamp(T0.getTime + min * 60000)
+  private def ev(u: Long, min: Long, t: String, v: Double = 0.0) =
+    Event(u, at(min), t, v)
+  // advances the watermark far past every window; matches no predicate
+  private val FLUSH = Event(999L, at(100000), "zz_flush", 0.0)
+
+  /** Batch-vs-stream parity on the same SQL text: the stream delivers
+    * `batches` in order (intra-batch order shuffled deterministically by
+    * the given seed), flushes, and the collected rows must equal the batch
+    * compile's rows over the same events. */
+  private def parity(name: String, sql: String, batches: Seq[Seq[Event]],
+                     seed: Long = 42L): Unit = {
+    val all = batches.flatten :+ FLUSH
+    val batch = MatchRecognize.detect(all.toDF(), sql)
+    val in = MemoryStream[Event]
+    val stream = MatchRecognize.detect(
+      in.toDF().withWatermark("ts", "10 minutes"), sql)
+    assert(stream.isStreaming)
+    assert(stream.columns.toSeq == batch.columns.toSeq,
+      s"$name: column mismatch ${stream.columns.toSeq} vs ${batch.columns.toSeq}")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val rnd = new scala.util.Random(seed)
+    try {
+      batches.foreach { b =>
+        in.addData(rnd.shuffle(b): _*)
+        q.processAllAvailable()
+      }
+      in.addData(FLUSH)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect().map(_.toString).sorted.toSeq
+    val want = batch.collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"$name:\n  stream=$got\n  batch =$want")
+    assert(want.nonEmpty, s"$name: the parity corpus produced no matches")
+  }
+
+  // --- m01-class: linear with times(n) ---
+  test("stream parity: PATTERN (A B{2} C) across micro-batch splits") {
+    parity("mrs_times",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.ts AS view_ts, FIRST(B.ts) AS first_click_ts,
+        |           LAST(B.ts) AS last_click_ts, C.ts AS purchase_ts
+        |  PATTERN (A B{2} C)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        // global event time is non-decreasing across the splits: a row
+        // behind the advancing watermark would be dropped as late data
+        // (the correct streaming semantics, not the parity under test)
+        Seq(ev(1, 0, "view"), ev(1, 10, "click"), ev(2, 12, "view")),
+        Seq(ev(1, 20, "click"), ev(2, 22, "click"), ev(3, 25, "view")),
+        Seq(ev(1, 30, "purchase"), ev(3, 31, "click"), ev(3, 33, "click"),
+          ev(3, 35, "click"), ev(3, 37, "purchase"))))
+  }
+
+  // --- linear with '?' and a {1,2} range (nullable tails emit at expiry) ---
+  test("stream parity: optional and range quantifiers") {
+    parity("mrs_opt",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.ts AS a_ts, B.ts AS b_ts, C.ts AS c_ts
+        |  PATTERN (A B? C)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase")),
+        Seq(ev(2, 25, "view"), ev(2, 40, "purchase"))))
+    parity("mrs_range",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.ts AS a_ts, FIRST(B.ts) AS b1_ts, LAST(B.ts) AS bl_ts,
+        |           COUNT(B.ts) AS n_b, C.ts AS c_ts
+        |  PATTERN (A B{1,2} C)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "view"), ev(1, 5, "click"), ev(1, 10, "click"),
+          ev(1, 20, "purchase")),
+        Seq(ev(2, 25, "view"), ev(2, 35, "click"), ev(2, 45, "purchase"))))
+  }
+
+  // --- unquantified alternation + CLASSIFIER ---
+  test("stream parity: alternation classifier and CLASSIFIER()") {
+    parity("mrs_alt",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.ts AS a_ts, B_C.cls AS which, D.ts AS d_ts,
+        |           CLASSIFIER() AS last_var
+        |  PATTERN (A (B|C) D)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'error', D AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase")),
+        Seq(ev(2, 25, "view"), ev(2, 30, "error"), ev(2, 40, "purchase"))))
+  }
+
+  // --- m07/m09-class: '+' run with value aggregates ---
+  test("stream parity: S C+ P run with value aggregates") {
+    parity("mrs_run",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.ts) AS first_click_ts,
+        |           LAST(C.ts) AS last_click_ts, COUNT(C.ts) AS n_clicks,
+        |           SUM(C.value) AS sum_v, MIN(C.value) AS min_v,
+        |           MAX(C.value) AS max_v, AVG(C.value) AS avg_v,
+        |           FIRST(C.value) AS first_v, LAST(C.value) AS last_v,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S C+ P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 10, "click", 2.0)),
+        Seq(ev(1, 20, "click", 5.0), ev(2, 22, "signup")),
+        Seq(ev(1, 30, "purchase"), ev(1, 40, "click", 9.0),
+          ev(2, 32, "click", 1.0), ev(2, 38, "purchase"))))
+  }
+
+  // --- '*' run: the empty run emits nulls and count 0 ---
+  test("stream parity: S C* P zero-or-more run") {
+    parity("mrs_star",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.ts) AS first_click_ts,
+        |           COUNT(C.ts) AS n_clicks, SUM(C.value) AS sum_v,
+        |           P.ts AS purchase_ts
+        |  PATTERN (S C* P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', C AS event_type = 'click',
+        |         P AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 10, "click", 2.0), ev(1, 20, "purchase")),
+        Seq(ev(2, 25, "signup"), ev(2, 40, "purchase"))))
+  }
+
+  // --- quantified alternation run with per-branch counts ---
+  test("stream parity: (B|C)+ alternation run branch counts") {
+    parity("mrs_altrun",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(B.ts) AS n_clicks,
+        |           COUNT(C.ts) AS n_errors, P.ts AS purchase_ts
+        |  PATTERN (S (B|C)+ P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'error', P AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 5, "click"), ev(1, 10, "error")),
+        Seq(ev(1, 15, "click"), ev(1, 20, "purchase"),
+          ev(2, 22, "signup"), ev(2, 27, "error"), ev(2, 32, "purchase"))))
+  }
+
+  // --- the V-shape: self-referential PREV run ---
+  test("stream parity: S D+ U with DEFINE D AS value < PREV(value)") {
+    parity("mrs_vshape",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS start_ts, FIRST(D.ts) AS drop_first_ts,
+        |           LAST(D.ts) AS drop_last_ts, COUNT(D.ts) AS n_drops,
+        |           FIRST(D.value) AS first_v, LAST(D.value) AS last_v,
+        |           U.ts AS up_ts
+        |  PATTERN (S D+ U)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'start',
+        |         D AS event_type = 'drop' AND D.value < PREV(D.value),
+        |         U AS event_type = 'up'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "start"), ev(1, 5, "drop", 10.0), ev(1, 10, "drop", 8.0)),
+        Seq(ev(1, 15, "drop", 6.0), ev(1, 20, "up", 0.0),
+          ev(2, 22, "start"), ev(2, 27, "drop", 10.0)),
+        Seq(ev(2, 32, "drop", 12.0), ev(2, 37, "up", 0.0))))
+  }
+
+  // --- sequence group with one member's value aggregates ---
+  test("stream parity: S (B C)+ U group with member values") {
+    parity("mrs_grp",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(C.ts) AS grp_last_ts, COUNT(C.ts) AS n_reps,
+        |           SUM(C.value) AS sum_c, MIN(C.value) AS min_c,
+        |           MAX(C.value) AS max_c, FIRST(C.value) AS first_c,
+        |           LAST(C.value) AS last_c, U.ts AS end_ts
+        |  PATTERN (S (B C)+ U)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', U AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 5, "click"), ev(1, 10, "view", 3.0)),
+        Seq(ev(1, 15, "click"), ev(1, 20, "view", 7.0), ev(1, 25, "purchase")),
+        Seq(ev(2, 27, "signup"), ev(2, 32, "click"), ev(2, 37, "view", 4.0),
+          ev(2, 47, "purchase"))))
+  }
+
+  // --- m33-class nested group ---
+  test("stream parity: S ((B C)+ V)+ nested group") {
+    parity("mrs_nest",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(V.ts) AS grp_last_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '4' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 5, "click"), ev(1, 10, "view"),
+          ev(1, 15, "click"), ev(1, 20, "view")),
+        Seq(ev(1, 25, "error"), ev(1, 30, "click"), ev(1, 35, "view"),
+          ev(1, 40, "error")),
+        Seq(ev(2, 42, "signup"), ev(2, 47, "click"), ev(2, 52, "view"),
+          ev(2, 57, "error"))))
+  }
+
+  // --- depth-2 nested group with designated-member value aggregates ---
+  test("stream parity: S (((B C)+ M)+ T)+ depth-2 nested group with values") {
+    parity("mrs_nest2",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(T.ts) AS grp_last_ts, COUNT(T.ts) AS n_reps,
+        |           COUNT(M.ts) AS n_mids, COUNT(B.ts) AS n_inner,
+        |           SUM(B.value) AS sum_b, MIN(B.value) AS min_b,
+        |           MAX(B.value) AS max_b, FIRST(B.value) AS first_b,
+        |           LAST(B.value) AS last_b
+        |  PATTERN (S (((B C)+ M)+ T)+)
+        |  WITHIN INTERVAL '4' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', M AS event_type = 'cart',
+        |         T AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 2, "click", 1.0), ev(1, 4, "view"),
+          ev(1, 6, "click", 2.0), ev(1, 8, "view"), ev(1, 10, "cart")),
+        Seq(ev(1, 12, "click", 3.0), ev(1, 14, "view"), ev(1, 16, "cart"),
+          ev(1, 18, "purchase"))))
+  }
+
+  // --- m53-class: multi-member values (inner + closer) via the N twin ---
+  test("stream parity: depth-2 nested group with multi-member values " +
+       "(inner and closer members)") {
+    parity("mrs_nest2_mv",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(T.ts) AS n_reps,
+        |           COUNT(M.ts) AS n_mids, COUNT(B.ts) AS n_inner,
+        |           SUM(B.value) AS sum_b, AVG(B.value) AS avg_b,
+        |           SUM(C.value) AS sum_c, MIN(C.value) AS min_c,
+        |           SUM(M.value) AS sum_m, LAST(M.value) AS last_m
+        |  PATTERN (S (((B C)+ M)+ T)+)
+        |  WITHIN INTERVAL '4' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', M AS event_type = 'cart',
+        |         T AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 2, "click", 1.0), ev(1, 4, "view", 10.0),
+          ev(1, 6, "click", 2.0), ev(1, 8, "view", 20.0), ev(1, 10, "cart", 5.0)),
+        Seq(ev(1, 12, "click", 3.0), ev(1, 14, "view", 30.0),
+          ev(1, 16, "cart", 7.0), ev(1, 18, "purchase")),
+        Seq(ev(2, 20, "signup"), ev(2, 22, "click", 4.0), ev(2, 24, "view", 40.0),
+          ev(2, 26, "cart", 9.0), ev(2, 30, "purchase"))))
+  }
+
+  // --- SKIP PAST LAST ROW on the plain linear shape ---
+  test("stream parity: AFTER MATCH SKIP PAST LAST ROW") {
+    parity("mrs_skip",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.ts AS a_ts, B.ts AS b_ts
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "view"), ev(1, 5, "view"), ev(1, 10, "purchase")),
+        Seq(ev(1, 15, "view"), ev(1, 20, "purchase"))))
+  }
+
+  // --- FlinkDdl WATERMARK view → MATCH_RECOGNIZE, the full SQL-script shape ---
+  test("FlinkDdl WATERMARK table feeds streaming MATCH_RECOGNIZE end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("mrs_ddl").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "events.json"))
+    w.println("""{"user_id":1,"event_type":"view","value":1.0,"ts":"2024-01-01T00:00:00.000Z"}""")
+    w.println("""{"user_id":1,"event_type":"click","value":2.0,"ts":"2024-01-01T00:10:00.000Z"}""")
+    w.println("""{"user_id":1,"event_type":"click","value":3.0,"ts":"2024-01-01T00:20:00.000Z"}""")
+    w.println("""{"user_id":1,"event_type":"purchase","value":4.0,"ts":"2024-01-01T00:30:00.000Z"}""")
+    w.println("""{"user_id":9,"event_type":"zz","value":0.0,"ts":"2024-01-02T00:00:00.000Z"}""")
+    w.close()
+    graft.plans.FlinkDdl.execute(spark,
+      s"""CREATE TABLE mrs_ddl_events (
+         |  user_id BIGINT,
+         |  event_type STRING,
+         |  value DOUBLE,
+         |  ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${dir.getAbsolutePath}',
+         |  'format' = 'json'
+         |)""".stripMargin)
+    val src = spark.table("mrs_ddl_events")
+    assert(src.isStreaming)
+    // detect() routes streaming frames and reads the DDL watermark itself
+    val out = MatchRecognize.detect(src,
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.ts AS view_ts, FIRST(B.ts) AS first_click_ts,
+        |           LAST(B.ts) AS last_click_ts, C.ts AS purchase_ts
+        |  PATTERN (A B{2} C)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("mrs_ddl")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("mrs_ddl").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("user_id") == 1L)
+    assert(rows(0).getAs[Timestamp]("purchase_ts") == at(30))
+  }
+
+  // --- named boundaries ---
+  test("streaming named rejections: ALL ROWS, MATCH_NUMBER, iterative, keys") {
+    val in = MemoryStream[Event]
+    val src = in.toDF().withWatermark("ts", "1 second")
+    def sqlFor(extra: String, pattern: String = "(A B)",
+               measures: String = "A.ts AS a_ts, B.ts AS b_ts",
+               define: String =
+                 "A AS event_type = 'view', B AS event_type = 'click'") =
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES $measures
+         |  $extra
+         |  PATTERN $pattern
+         |  WITHIN INTERVAL '1' HOUR
+         |  DEFINE $define
+         |)""".stripMargin
+    val allRows = intercept[Exception](
+      MatchRecognize.detect(src, sqlFor("ALL ROWS PER MATCH")))
+    assert(allRows.getMessage.contains("ALL ROWS PER MATCH on a streaming"))
+    val mn = intercept[Exception](MatchRecognize.detect(src,
+      sqlFor("", measures = "MATCH_NUMBER() AS mn, A.ts AS a_ts, B.ts AS b_ts")))
+    assert(mn.getMessage.contains("MATCH_NUMBER() is batch-only"))
+    val iter = intercept[Exception](MatchRecognize.detect(src, sqlFor("",
+      define = "A AS event_type = 'view', " +
+        "B AS event_type = 'click' AND B.value > 2 * A.value")))
+    assert(iter.getMessage.contains("iterative (relative) conditions are batch-only"))
+    val noWm = intercept[Exception](
+      MatchRecognize.detect(in.toDF(), sqlFor("")))
+    assert(noWm.getMessage.contains("needs an event-time watermark"))
+    val twoVals = intercept[Exception](MatchRecognize.detect(src, sqlFor("",
+      pattern = "(A C+ B)",
+      measures = "SUM(C.value) AS sv, FIRST(C.user_id) AS fu",
+      define = "A AS event_type = 'view', C AS event_type = 'click', " +
+        "B AS event_type = 'purchase'")))
+    assert(twoVals.getMessage.contains("ONE value column"))
+    val shape = intercept[Exception](MatchRecognize.detect(src, sqlFor("",
+      pattern = "(A B+ C+ D)",
+      measures = "COUNT(B.ts) AS nb, COUNT(C.ts) AS nc",
+      define = "A AS event_type = 'view', B AS event_type = 'click', " +
+        "C AS event_type = 'cart', D AS event_type = 'purchase'")))
+    assert(shape.getMessage.contains("fits none of them"))
+  }
+}
