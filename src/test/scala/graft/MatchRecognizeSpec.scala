@@ -2023,8 +2023,7 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       ("B", at(30), Some(7.0), 2L), ("C", at(35), Some(7.0), 3L),
       ("V", at(40), Some(7.0), 3L)).sortBy(_._2.getTime), rows.toSeq.toString)
     // running MIN/MAX compose since r18 (per-row vmin/vmax snapshots,
-    // null-ignoring like the aggregates); running FIRST/LAST stay named
-    // rejections (positional semantics include null bindings)
+    // null-ignoring like the aggregates)
     val mn = MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
@@ -2046,17 +2045,31 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
       (at(25), Some(2.0), Some(4.0)),
       (at(30), Some(1.0), Some(4.0)), (at(35), Some(1.0), Some(4.0)),
       (at(40), Some(1.0), Some(4.0))), mn.toSeq.toString)
-    val e = intercept[RuntimeException](MatchRecognize.detect(evs,
+    // running FIRST/LAST compose since r19 ((value, bound) slot pairs —
+    // the former named rejection; the null-freeze corner is pinned in the
+    // dedicated r19 spec below): B binds 2, 4, 1 across the committed
+    // repetitions — FIRST freezes at 2, LAST tracks the latest binding
+    val fl = MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
-        |  MEASURES LAST(B.value) AS last_b
+        |  MEASURES FIRST(B.value) AS first_b, LAST(B.value) AS last_b
         |  ALL ROWS PER MATCH
         |  PATTERN (S ((B C)+ V)+)
         |  WITHIN INTERVAL '1' HOUR
         |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
         |         C AS event_type = 'view', V AS event_type = 'error'
-        |)""".stripMargin))
-    assert(e.getMessage.contains("not materialized per row"), e.getMessage)
+        |)""".stripMargin)
+      .selectExpr("ts", "first_b", "last_b")
+      .collect().map(r => (r.getTimestamp(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(fl.sortBy(_._1.getTime).toSeq == Seq(
+      (at(0), None, None),
+      (at(5), Some(2.0), Some(2.0)), (at(10), Some(2.0), Some(2.0)),
+      (at(15), Some(2.0), Some(4.0)), (at(20), Some(2.0), Some(4.0)),
+      (at(25), Some(2.0), Some(4.0)),
+      (at(30), Some(2.0), Some(1.0)), (at(35), Some(2.0), Some(1.0)),
+      (at(40), Some(2.0), Some(1.0))), fl.toSeq.toString)
   }
 
   test("reluctant '+?' mid-pattern binds the minimal single member") {
