@@ -2612,10 +2612,9 @@ object MatchRecognize {
           "detectStream's watermark argument"))
     }
     // ---- named boundaries -------------------------------------------------
-    require(!spec.allRows, "ALL ROWS PER MATCH on a streaming frame is not " +
-      "supported — the streaming twins emit ONE ROW per match at watermark " +
-      "finality (per-event materialization rides the combinator API's " +
-      "materializeRows)")
+    // ALL ROWS PER MATCH composes with the plain linear and final-nested
+    // shapes (r19 — the twins materialize rows at every depth); other
+    // shapes reject inside their branches
     require(spec.skipTo.isEmpty, "AFTER MATCH SKIP TO FIRST/LAST is " +
       "batch-only — the streaming twins emit per-start matches " +
       "(SKIP TO NEXT ROW) or SKIP PAST LAST ROW on the plain linear shape")
@@ -2749,6 +2748,65 @@ object MatchRecognize {
           !(altVars(m.varName) && m.field == "cls") &&
           !spec.absentVars.contains(m.varName))
       val allPlainUnquant = expanded.forall(v => isPlainVar(v) && v.quant.isEmpty)
+      if (spec.allRows) {
+        // ALL ROWS over a plain linear match: one output row per bound
+        // step with RUNNING measures (null before the referenced variable
+        // binds — the batch static-explode semantics). Value measures ride
+        // the iterative twin's step_value array.
+        require(allPlainUnquant && !spec.skipPastLast,
+          "streaming ALL ROWS PER MATCH composes with plain unquantified " +
+            "variables (and final nested groups) — quantifiers, " +
+            "alternations and SKIP PAST LAST ROW are batch-only under " +
+            "ALL ROWS on a stream")
+        val varIdx = expanded.map(_.name).zipWithIndex.toMap
+        val mdf =
+          if (valueMeasures) {
+            val steps = expanded.map { v =>
+              val p = slotPred(v.name)
+              (e: SEvent, prior: List[SEvent]) => p(e)
+            }
+            StreamOps.cepPatternIter(tagged(), wmDelay, steps, withinMs,
+              maxPartials).toDF()
+          } else {
+            val steps = expanded.map(v => StreamOps.CepStep(slotPred(v.name)))
+            StreamOps.cepPatternSteps(tagged(), wmDelay, steps, withinMs,
+              maxPartials).toDF()
+          }
+        def runningAt(mm: Measure, p: Int): Column = {
+          if (mm.fn.contains("CLASSIFIER")) return lit(expanded(p).name)
+          if (spec.absentVars.contains(mm.varName)) return absentMeasure(mm)
+          val q = varIdx.getOrElse(mm.varName,
+            sys.error(s"measure over unknown variable ${mm.varName}"))
+          val visible = q <= p
+          if (mm.field == "ts") mm.fn match {
+            case None | Some("FIRST") | Some("LAST") =>
+              if (visible) element_at(col("step_ts"), q + 1)
+              else lit(null).cast("timestamp")
+            case Some("COUNT") => lit(if (visible) 1L else 0L)
+            case other => sys.error(s"${fnName(mm)}(${mm.varName}.ts): a " +
+              "plain variable's running timestamp measures are " +
+              "bare/FIRST/LAST/COUNT")
+          } else mm.fn match {
+            // a plain variable binds ONE value: every running aggregate of
+            // it is the value itself once visible (COUNT is 0/1)
+            case None | Some("FIRST") | Some("LAST") | Some("SUM") |
+                 Some("MIN") | Some("MAX") | Some("AVG") =>
+              if (visible) element_at(col("step_value"), q + 1)
+              else lit(null).cast("double")
+            case Some("COUNT") => lit(if (visible) 1L else 0L)
+            case other => sys.error(s"${fnName(mm)}(${mm.varName}." +
+              s"${mm.field}): unsupported measure function")
+          }
+        }
+        val structs = expanded.zipWithIndex.map { case (v, p) =>
+          struct(lit(v.name).as("cls") +:
+            element_at(col("step_ts"), p + 1).as("ts") +:
+            spec.measures.map(m => runningAt(m, p).as(m.alias)): _*)
+        }
+        val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
+        return mdf.select(keyBack, explode(array(structs: _*)).as("__r"))
+          .select(col(keyName) +: rowCols.map(n => col(s"__r.$n").as(n)): _*)
+      }
       if (spec.skipPastLast) {
         // SKIP PAST LAST ROW rides cepPattern's greedy start-order
         // finalization — plain unquantified steps, timestamp measures
@@ -2855,6 +2913,9 @@ object MatchRecognize {
       val Seq(s0, r, u) = expanded
       require(!spec.skipPastLast, "AFTER MATCH SKIP PAST LAST ROW on a " +
         "streaming frame composes with the plain linear shape only")
+      require(!spec.allRows, "streaming ALL ROWS PER MATCH composes with " +
+        "plain linear patterns and final nested groups — not with " +
+        "'+'/'*' runs (the run twins keep ONE ROW per match)")
       def tsOnly(mm: Measure, c: Column): Column = {
         require(mm.field == "ts" && (mm.fn.isEmpty ||
           mm.fn.exists(f => f == "FIRST" || f == "LAST")),
@@ -2952,6 +3013,9 @@ object MatchRecognize {
       val Seq(s0, g, u) = expanded
       require(!spec.skipPastLast, "AFTER MATCH SKIP PAST LAST ROW on a " +
         "streaming frame composes with the plain linear shape only")
+      require(!spec.allRows, "streaming ALL ROWS PER MATCH composes with " +
+        "plain linear patterns and final nested groups — not with " +
+        "sequence groups (the group twin keeps ONE ROW per match)")
       val memberIdx = g.seq.zipWithIndex.toMap
       // ONE member may carry value measures (the twin's valueSubIdx)
       val valMembers = spec.measures.collect {
@@ -3046,6 +3110,77 @@ object MatchRecognize {
         s"streaming nested group ${g.name}: value measures need depth >= 2 " +
           "(the depth-N twin's bindValues surface; counts and boundaries " +
           "only at depth 1)")
+      if (spec.allRows) {
+        // ALL ROWS over a final nested group: the twins materialize every
+        // committed bound event with its classifier and running per-level
+        // counts (the batch <g>_rows payload) — the expansion is one
+        // generator over the match row, plus the synthesized prefix row
+        require(valMembers.isEmpty, "streaming ALL ROWS over a nested " +
+          "group: per-row value snapshots are batch-only (the twins' rows " +
+          "carry classifiers and running counts)")
+        val innerPreds = innerMembers.map(slotPred)
+        val firstP = slotPred(s0.name)
+        val closerPreds = closers.map(slotPred)
+        val mdf: DataFrame = depth match {
+          case 1 => StreamOps.cepPatternNestedGroup(tagged(), wmDelay, firstP,
+            innerPreds, closerPreds.head, withinMs, maxPartials,
+            materializeRows = true, innerNames = innerMembers,
+            tailName = closers.head, innerOptional = g.innerStar).toDF()
+          case 2 => StreamOps.cepPatternNested2Group(tagged(), wmDelay, firstP,
+            innerPreds, closerPreds.head, closerPreds(1), withinMs,
+            maxPartials, materializeRows = true, innerNames = innerMembers,
+            midName = closers.head, tailName = closers(1),
+            innerOptional = g.innerStar).toDF()
+          case _ => StreamOps.cepPatternNestedNGroup(tagged(), wmDelay, firstP,
+            innerPreds, closerPreds, withinMs, maxPartials,
+            innerOptional = g.innerStar, materializeRows = true,
+            innerNames = innerMembers, closerNames = closers).toDF()
+        }
+        val finalInner = innerMembers.last
+        // running count of the member's own unit as of the row — the
+        // batch final-member conventions (only the FINAL member of a unit
+        // carries that unit's count on every row)
+        def rowCount(n: String, r: Option[Column]): Column =
+          if (n == g.name || n == closers.last)
+            r.map(_.getField("reps")).getOrElse(lit(0L))
+          else closerOfVar.get(n) match {
+            case Some(l) =>
+              if (depth <= 2) r.map(_.getField("mids")).getOrElse(lit(0L))
+              else r.map(rr => element_at(rr.getField("level_counts"),
+                depth - 1 - l)).getOrElse(lit(0L))
+            case None =>
+              require(n == finalInner,
+                s"COUNT($n.ts): running inner counts materialize for the " +
+                  s"FINAL inner member only ($finalInner)")
+              r.map(_.getField("subs")).getOrElse(lit(0L))
+          }
+        def rowMeasure(mm: Measure, r: Option[Column]): Column =
+          if (mm.fn.contains("CLASSIFIER"))
+            r.map(_.getField("cls")).getOrElse(lit(s0.name))
+          else if (spec.absentVars.contains(mm.varName)) absentMeasure(mm)
+          else if (mm.varName == s0.name) {
+            require(mm.field == "ts" && (mm.fn.isEmpty ||
+              mm.fn.exists(f => f == "FIRST" || f == "LAST")),
+              s"prefix variable ${s0.name}: bare/FIRST/LAST timestamps only")
+            col("first_ts")
+          } else {
+            require(mm.fn.contains("COUNT") && mm.field == "ts",
+              s"streaming ALL ROWS over nested group ${g.name}: running " +
+                s"COUNT is the only member measure (got " +
+                s"${fnName(mm)}(${mm.varName}.${mm.field}))")
+            rowCount(mm.varName, r)
+          }
+        val prefixStruct = struct(lit(s0.name).as("cls") +:
+          col("first_ts").as("ts") +:
+          spec.measures.map(m => rowMeasure(m, None).as(m.alias)): _*)
+        val memberRows = transform(col("rows"), r =>
+          struct(r.getField("cls").as("cls") +: r.getField("ts").as("ts") +:
+            spec.measures.map(m => rowMeasure(m, Some(r)).as(m.alias)): _*))
+        val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
+        return mdf.select(keyBack,
+            explode(concat(array(prefixStruct), memberRows)).as("__r"))
+          .select(col(keyName) +: rowCols.map(n => col(s"__r.$n").as(n)): _*)
+      }
       val useNVals = valMembers.nonEmpty
       // member index in the N twin's member_vals: inner members first,
       // then the closers in level order

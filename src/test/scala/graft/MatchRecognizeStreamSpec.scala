@@ -301,6 +301,64 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
           ev(2, 26, "cart", 9.0), ev(2, 30, "purchase"))))
   }
 
+  // --- ALL ROWS PER MATCH: linear static explode with running measures ---
+  test("stream parity: ALL ROWS over a plain linear pattern with running " +
+       "value measures and CLASSIFIER()") {
+    parity("mrs_allrows_lin",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.ts AS a_ts, B.value AS b_v, CLASSIFIER() AS who,
+        |           COUNT(C.ts) AS has_c
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B C)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "view"), ev(1, 10, "click", 2.0), ev(1, 20, "purchase")),
+        Seq(ev(2, 25, "view"), ev(2, 35, "click", 4.0), ev(2, 45, "purchase"))))
+  }
+
+  // --- ALL ROWS over nested groups: the twins' materialized rows ---
+  test("stream parity: ALL ROWS over nested groups (depth 1 and depth 2)") {
+    parity("mrs_allrows_nest",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(C.ts) AS n_subs, CLASSIFIER() AS who
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '4' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 5, "click"), ev(1, 10, "view"),
+          ev(1, 15, "click"), ev(1, 20, "view")),
+        Seq(ev(1, 25, "error"), ev(1, 30, "click"), ev(1, 35, "view"),
+          ev(1, 40, "error")),
+        Seq(ev(2, 42, "signup"), ev(2, 47, "click"), ev(2, 52, "view"),
+          ev(2, 57, "error"))))
+    parity("mrs_allrows_nest2",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(T.ts) AS n_reps,
+        |           COUNT(M.ts) AS n_mids, COUNT(C.ts) AS n_subs
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (((B C)+ M)+ T)+)
+        |  WITHIN INTERVAL '4' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', M AS event_type = 'cart',
+        |         T AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 2, "click"), ev(1, 4, "view"),
+          ev(1, 6, "click"), ev(1, 8, "view"), ev(1, 10, "cart")),
+        Seq(ev(1, 12, "click"), ev(1, 14, "view"), ev(1, 16, "cart"),
+          ev(1, 18, "purchase"), ev(1, 20, "click"), ev(1, 22, "view"))))
+  }
+
   // --- SKIP PAST LAST ROW on the plain linear shape ---
   test("stream parity: AFTER MATCH SKIP PAST LAST ROW") {
     parity("mrs_skip",
@@ -378,9 +436,15 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
          |  WITHIN INTERVAL '1' HOUR
          |  DEFINE $define
          |)""".stripMargin
-    val allRows = intercept[Exception](
-      MatchRecognize.detect(src, sqlFor("ALL ROWS PER MATCH")))
-    assert(allRows.getMessage.contains("ALL ROWS PER MATCH on a streaming"))
+    // ALL ROWS composes with linear + nested shapes since r19; runs keep
+    // the named rejection
+    val allRows = intercept[Exception](MatchRecognize.detect(src, sqlFor(
+      "ALL ROWS PER MATCH", pattern = "(A C+ B)",
+      measures = "A.ts AS a_ts, COUNT(C.ts) AS n_c",
+      define = "A AS event_type = 'view', C AS event_type = 'click', " +
+        "B AS event_type = 'purchase'")))
+    assert(allRows.getMessage.contains("not with '+'/'*' runs"),
+      allRows.getMessage)
     val mn = intercept[Exception](MatchRecognize.detect(src,
       sqlFor("", measures = "MATCH_NUMBER() AS mn, A.ts AS a_ts, B.ts AS b_ts")))
     assert(mn.getMessage.contains("MATCH_NUMBER() is batch-only"))
