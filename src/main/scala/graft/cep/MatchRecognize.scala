@@ -2582,6 +2582,86 @@ object MatchRecognize {
   // outside the twin inventory above.
   // =========================================================================
 
+  /** Compile a tail-residual threshold (`parseTailResidual`'s rhs —
+    * qualified earlier-binding references already rewritten to
+    * `<var>_<col>` tokens, numeric literals, `+ - * /` and parens; the
+    * same restricted grammar the batch side validated) into a closure
+    * over the PRIOR BOUND VALUES, for the streaming iterative twin:
+    * `resolve` maps each reference token to its prior-list index, and the
+    * returned program evaluates the arithmetic against those values
+    * (shunting-yard to RPN once at compile time; a flat stack walk per
+    * candidate). IEEE double semantics match the batch Catalyst
+    * evaluation on the same expression. */
+  private def compileResidualArith(rhs: String,
+      resolve: String => Int): IndexedSeq[Double] => Double = {
+    sealed trait Tok
+    final case class Num(v: Double) extends Tok
+    final case class Ref(i: Int) extends Tok
+    final case class Op(c: Char) extends Tok
+    final case class Par(open: Boolean) extends Tok
+    val tokRx =
+      "([A-Za-z_]\\w*)|((?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][-+]?\\d+)?)|([-+*/()])".r
+    val raw: List[Tok] = tokRx.findAllMatchIn(rhs).map { m =>
+      if (m.group(1) != null) Ref(resolve(m.group(1)))
+      else if (m.group(2) != null) Num(m.group(2).toDouble)
+      else m.group(3) match {
+        case "(" => Par(true)
+        case ")" => Par(false)
+        case o => Op(o.head)
+      }
+    }.toList
+    // unary minus/plus (leading, or after '(' or an operator) reads as
+    // 0 <op> x — the binary rewrite keeps the RPN walk operator-only
+    val toks: List[Tok] = raw.zipWithIndex.flatMap { case (t, i) =>
+      t match {
+        case Op(c) if (c == '-' || c == '+') &&
+            (i == 0 || (raw(i - 1) match {
+              case Op(_) | Par(true) => true; case _ => false })) =>
+          List(Num(0.0), Op(c))
+        case other => List(other)
+      }
+    }
+    def prec(c: Char): Int = if (c == '+' || c == '-') 1 else 2
+    val out = List.newBuilder[Tok]
+    var ops = List.empty[Tok]
+    toks.foreach {
+      case t @ (Num(_) | Ref(_)) => out += t
+      case Par(true) => ops = Par(true) :: ops
+      case Par(false) =>
+        while (ops.nonEmpty && ops.head != Par(true)) {
+          out += ops.head; ops = ops.tail
+        }
+        require(ops.nonEmpty, s"residual threshold '$rhs': unbalanced parens")
+        ops = ops.tail
+      case o @ Op(c) =>
+        while (ops.nonEmpty && (ops.head match {
+          case Op(c2) => prec(c2) >= prec(c); case _ => false })) {
+          out += ops.head; ops = ops.tail
+        }
+        ops = o :: ops
+    }
+    ops.foreach { o => require(o != Par(true),
+      s"residual threshold '$rhs': unbalanced parens"); out += o }
+    val rpn = out.result().toArray
+    require(rpn.nonEmpty, s"residual threshold '$rhs': empty expression")
+    (prior: IndexedSeq[Double]) => {
+      var stack = List.empty[Double]
+      rpn.foreach {
+        case Num(v) => stack = v :: stack
+        case Ref(i) => stack = prior(i) :: stack
+        case Op(c) =>
+          val b :: a :: rest = stack: @unchecked
+          val r = c match {
+            case '+' => a + b; case '-' => a - b
+            case '*' => a * b; case _ => a / b
+          }
+          stack = r :: rest
+        case Par(_) => ()
+      }
+      stack.head
+    }
+  }
+
   /** Streaming MATCH_RECOGNIZE — parse `sql` and run the compiled pattern
     * over the unbounded `events0` (see the shape table above). The
     * watermark delay is read from the frame's own `EventTimeWatermark`
@@ -2640,7 +2720,11 @@ object MatchRecognize {
         s"integral type (the cepPattern twins key a long) — got $keyType")
     val selfRuns = selfRunDefs(spec)
     val altVars = spec.vars.filter(_.alts.nonEmpty).map(_.name).toSet
-    // compile every DEFINE; relative (iterative) residuals are batch-only
+    // compile every DEFINE; iterative (relative) residuals compose with
+    // the plain linear shape (lowered onto cepPatternIter below) and
+    // refuse by name elsewhere
+    val residVars = scala.collection.mutable.LinkedHashSet.empty[String]
+    val residRefs = scala.collection.mutable.LinkedHashSet.empty[String]
     val compiled: Map[String, Column] =
       spec.vars.zipWithIndex.flatMap { case (v, i) =>
         val names = if (selfRuns.contains(v.name)) Nil
@@ -2648,23 +2732,32 @@ object MatchRecognize {
             v.alts ++ v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.mid3Seq ++
             v.innerSeq ++ v.seq
         names.map { n =>
-          val (pre, residual, _) = compiledPred(spec, n, i)
-          require(residual.isEmpty, s"DEFINE $n references earlier pattern " +
-            "variables — iterative (relative) conditions are batch-only " +
-            "through the SQL front door (streaming: cepPatternIter / " +
-            "cepPatternNestedGroupIter via the combinator API)")
+          val (pre, residual, refs) = compiledPred(spec, n, i)
+          if (residual.nonEmpty) { residVars += n; residRefs ++= refs.map(_._2) }
           n -> pre
         }
       }.toMap
+    def requireNoResiduals(): Unit = require(residVars.isEmpty,
+      s"DEFINE ${residVars.mkString(", ")}: iterative (relative) " +
+        "conditions compose with the plain linear shape on a streaming " +
+        "frame (cepPatternIter) — other shapes are batch-only through " +
+        "the SQL front door (streaming: cepPatternNestedGroupIter via " +
+        "the combinator API)")
+    // the parsed residual thresholds (same restricted grammar as the
+    // batch tail-residual lowering: `V.col <op> <arith over earlier
+    // plain bindings + literals>`)
+    val residuals: Map[String, (String, String, String)] =
+      residVars.map(v => v -> parseTailResidual(spec, v)).toMap
     // ---- the ONE value column the twins bind ------------------------------
     val valueFields = (spec.measures.collect {
       case m if !m.fn.contains("MATCH_NUMBER") && !m.fn.contains("CLASSIFIER") &&
         m.field != "ts" && !(altVars(m.varName) && m.field == "cls") &&
         !spec.absentVars.contains(m.varName) => m.field
-    } ++ selfRuns.values.map(_.colName)).distinct
+    } ++ selfRuns.values.map(_.colName) ++
+      residuals.values.map(_._1) ++ residRefs).distinct
     require(valueFields.size <= 1,
       s"streaming MATCH_RECOGNIZE binds ONE value column through the twins " +
-        s"— the measures reference ${valueFields.mkString(", ")}")
+        s"— the measures/residuals reference ${valueFields.mkString(", ")}")
     val valueCol = valueFields.headOption
       .map(f => coalesce(col(f).cast("double"), lit(0.0)))
       .getOrElse(lit(0.0))
@@ -2725,6 +2818,35 @@ object MatchRecognize {
       case v => Seq(v)
     }
     val nestedVar = expanded.find(v => v.innerSeq.nonEmpty || v.inner2Seq.nonEmpty)
+    // iterative-step closures for the linear twin: each step's bitmask
+    // pre-filter AND (when the var carries a relative DEFINE) its residual
+    // threshold evaluated over the PRIOR bound values — the m06-class
+    // `P.value > 2 * S.value` shape, compiled once to an RPN program
+    def iterSteps(): Seq[(SEvent, List[SEvent]) => Boolean] = {
+      val expIdx = expanded.map(_.name).zipWithIndex.toMap
+      val vc = valueFields.headOption.getOrElse("value")
+      expanded.map { v =>
+        val p = slotPred(v.name)
+        residuals.get(v.name) match {
+          case None => (e: SEvent, prior: List[SEvent]) => p(e)
+          case Some((_, op, rhs)) =>
+            val prog = compileResidualArith(rhs, tok =>
+              expIdx.collectFirst { case (n, i) if tok == s"${n}_$vc" => i }
+                .getOrElse(sys.error(s"streaming residual for ${v.name}: " +
+                  s"reference '$tok' — thresholds on a streaming frame may " +
+                  s"only use earlier variables' '$vc' bindings and numeric " +
+                  "literals (timestamp thresholds are batch-only)")))
+            val cmp: (Double, Double) => Boolean = op match {
+              case "<" => _ < _
+              case "<=" => _ <= _
+              case ">" => _ > _
+              case _ => _ >= _
+            }
+            (e: SEvent, prior: List[SEvent]) =>
+              p(e) && cmp(e.value, prog(prior.map(_.value).toIndexedSeq))
+        }
+      }
+    }
 
     // ======================= LINEAR =======================
     if (expanded.forall(v => (isPlainVar(v) && linearQuant(v)) ||
@@ -2760,11 +2882,8 @@ object MatchRecognize {
             "ALL ROWS on a stream")
         val varIdx = expanded.map(_.name).zipWithIndex.toMap
         val mdf =
-          if (valueMeasures) {
-            val steps = expanded.map { v =>
-              val p = slotPred(v.name)
-              (e: SEvent, prior: List[SEvent]) => p(e)
-            }
+          if (valueMeasures || residVars.nonEmpty) {
+            val steps = iterSteps() // allocates slots BEFORE tagged()
             StreamOps.cepPatternIter(tagged(), wmDelay, steps, withinMs,
               maxPartials).toDF()
           } else {
@@ -2810,6 +2929,7 @@ object MatchRecognize {
       if (spec.skipPastLast) {
         // SKIP PAST LAST ROW rides cepPattern's greedy start-order
         // finalization — plain unquantified steps, timestamp measures
+        requireNoResiduals()
         require(allPlainUnquant && !valueMeasures,
           "AFTER MATCH SKIP PAST LAST ROW on a streaming frame composes " +
             "with plain unquantified variables and timestamp measures only")
@@ -2823,20 +2943,17 @@ object MatchRecognize {
               "under streaming SKIP PAST LAST ROW")
           element_at(col("step_ts"), byName(mm.varName).idxs.head + 1)
         }
-      } else if (valueMeasures) {
-        // value measures over plain unquantified steps → the iterative twin
-        // carries each bound event's value
+      } else if (valueMeasures || residVars.nonEmpty) {
+        // value measures and relative DEFINEs over plain unquantified
+        // steps → the iterative twin carries each bound event's value and
+        // sees the prior bindings
         require(allPlainUnquant,
-          "streaming value measures compose with plain unquantified " +
-            "variables (cepPatternIter), '+'/'*' runs, sequence groups and " +
-            "depth-2 nested groups — not with '?'/'{n}' quantifiers or " +
-            "alternations")
-        val steps = expanded.map { v =>
-          val p = slotPred(v.name)
-          (e: SEvent, prior: List[SEvent]) => p(e)
-        }
-        val m = StreamOps.cepPatternIter(tagged(), wmDelay, steps, withinMs,
-          maxPartials)
+          "streaming value measures and iterative (relative) DEFINEs " +
+            "compose with plain unquantified variables (cepPatternIter) " +
+            "— not with '?'/'{n}' quantifiers or alternations")
+        val steps = iterSteps() // allocates slots BEFORE tagged()
+        val m = StreamOps.cepPatternIter(tagged(), wmDelay, steps,
+          withinMs, maxPartials)
         measureOut(m.toDF(), lit(expanded.last.name)) { mm =>
           val idx = byName(mm.varName).idxs.head + 1
           require(mm.fn.isEmpty || mm.fn.exists(f => f == "FIRST" || f == "LAST"),
@@ -2916,6 +3033,7 @@ object MatchRecognize {
       require(!spec.allRows, "streaming ALL ROWS PER MATCH composes with " +
         "plain linear patterns and final nested groups — not with " +
         "'+'/'*' runs (the run twins keep ONE ROW per match)")
+      requireNoResiduals()
       def tsOnly(mm: Measure, c: Column): Column = {
         require(mm.field == "ts" && (mm.fn.isEmpty ||
           mm.fn.exists(f => f == "FIRST" || f == "LAST")),
@@ -3016,6 +3134,7 @@ object MatchRecognize {
       require(!spec.allRows, "streaming ALL ROWS PER MATCH composes with " +
         "plain linear patterns and final nested groups — not with " +
         "sequence groups (the group twin keeps ONE ROW per match)")
+      requireNoResiduals()
       val memberIdx = g.seq.zipWithIndex.toMap
       // ONE member may carry value measures (the twin's valueSubIdx)
       val valMembers = spec.measures.collect {
@@ -3077,6 +3196,7 @@ object MatchRecognize {
     else if (expanded.size == 2 && isPlainVar(expanded.head) &&
         expanded.head.quant.isEmpty && nestedVar.contains(expanded(1))) {
       val s0 = expanded.head; val g = expanded(1)
+      requireNoResiduals()
       require(!spec.skipPastLast, "AFTER MATCH SKIP PAST LAST ROW on a " +
         "streaming frame composes with the plain linear shape only")
       require(g.quant.contains("+"), s"streaming nested group ${g.name}: " +

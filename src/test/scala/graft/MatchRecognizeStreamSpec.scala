@@ -359,6 +359,42 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
           ev(1, 18, "purchase"), ev(1, 20, "click"), ev(1, 22, "view"))))
   }
 
+  // --- m06-class: iterative (relative) DEFINEs on the linear shape ---
+  test("stream parity: relative DEFINE thresholds over earlier bindings " +
+       "(the m06 shape: P.value > 2 * S.value)") {
+    parity("mrs_iter",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, S.value AS signup_value,
+        |           P.ts AS purchase_ts, P.value AS purchase_value
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS S.event_type = 'signup',
+        |         P AS P.event_type = 'purchase' AND P.value > 2 * S.value
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup", 5.0), ev(1, 10, "purchase", 11.0)),
+        Seq(ev(2, 15, "signup", 5.0), ev(2, 25, "purchase", 9.0)),
+        Seq(ev(2, 35, "purchase", 12.0), ev(3, 40, "signup", 50.0),
+          ev(3, 50, "purchase", 60.0))))
+    // multi-reference arithmetic with parens across THREE bindings
+    parity("mrs_iter3",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, M.value AS m_v, P.value AS p_v
+        |  PATTERN (S M P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         M AS event_type = 'click' AND M.value > S.value + 1,
+        |         P AS event_type = 'purchase'
+        |              AND P.value >= 2 * (S.value + M.value) - 1
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup", 3.0), ev(1, 5, "click", 3.5),
+          ev(1, 10, "click", 5.0)),
+        Seq(ev(1, 20, "purchase", 14.0), ev(1, 30, "purchase", 15.0))))
+  }
+
   // --- SKIP PAST LAST ROW on the plain linear shape ---
   test("stream parity: AFTER MATCH SKIP PAST LAST ROW") {
     parity("mrs_skip",
@@ -448,10 +484,15 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
     val mn = intercept[Exception](MatchRecognize.detect(src,
       sqlFor("", measures = "MATCH_NUMBER() AS mn, A.ts AS a_ts, B.ts AS b_ts")))
     assert(mn.getMessage.contains("MATCH_NUMBER() is batch-only"))
+    // iterative DEFINEs compose with the plain linear shape since r19
+    // (cepPatternIter); on runs/groups/nested shapes they refuse by name
     val iter = intercept[Exception](MatchRecognize.detect(src, sqlFor("",
-      define = "A AS event_type = 'view', " +
-        "B AS event_type = 'click' AND B.value > 2 * A.value")))
-    assert(iter.getMessage.contains("iterative (relative) conditions are batch-only"))
+      pattern = "(A C+ B)",
+      measures = "A.ts AS a_ts, COUNT(C.ts) AS n_c",
+      define = "A AS event_type = 'view', C AS event_type = 'click', " +
+        "B AS event_type = 'purchase' AND B.value > 2 * A.value")))
+    assert(iter.getMessage.contains("compose with the plain linear shape"),
+      iter.getMessage)
     val noWm = intercept[Exception](
       MatchRecognize.detect(in.toDF(), sqlFor("")))
     assert(noWm.getMessage.contains("needs an event-time watermark"))
