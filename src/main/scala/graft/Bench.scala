@@ -220,12 +220,15 @@ object Bench {
         Thread.sleep(15000); quiesceSec += 15
       }
       results = results.map {
-        case r @ (name, ct, all, _, _) if offenders.contains(name) =>
+        case (name, ct, all, ctx, loadClean) if offenders.contains(name) =>
           val (rClean, rAll, rCtx, rLoadClean) = measure(name, qByName(name), warm = true)
           sealRetries(name) = rAll
+          // rep_times and the per-rep context arrays must stay index-
+          // aligned in the artifact: original reps first, retry reps
+          // appended — whichever min gets published
           if (rClean.nonEmpty && (ct.isEmpty || rClean.min < ct.min))
-            (name, rClean, all ++ rAll, rCtx, rLoadClean)
-          else r
+            (name, rClean, all ++ rAll, ctx ++ rCtx, rLoadClean)
+          else (name, ct, all ++ rAll, ctx ++ rCtx, loadClean)
         case r => r
       }
     }

@@ -778,7 +778,11 @@ object MatchRecognize {
     // there is no batch Match exec in 1.10); an unbounded frame therefore
     // lowers the SAME SQL text onto the StreamOps.cepPattern* twins, with
     // the watermark read from the frame's own EventTimeWatermark node (the
-    // FlinkDdl `WATERMARK FOR ts AS ts - INTERVAL ...` declaration)
+    // FlinkDdl `WATERMARK FOR ts AS ts - INTERVAL ...` declaration).
+    // `maxEventsPerKey` does not apply there: it bounds the BATCH walks'
+    // per-key row materialization, which the incremental twins never do —
+    // their state bound is detectStream's `maxPartials` (open partial
+    // matches per key)
     if (events0.isStreaming) return detectStream(events0, sql)
     val spec = parse(sql)
     // PREV physical navigation (rewritePrev's `__plag<n>_<col>` tokens):
@@ -2610,18 +2614,32 @@ object MatchRecognize {
         case o => Op(o.head)
       }
     }.toList
-    // unary minus/plus (leading, or after '(' or an operator) reads as
-    // 0 <op> x — the binary rewrite keeps the RPN walk operator-only
-    val toks: List[Tok] = raw.zipWithIndex.flatMap { case (t, i) =>
-      t match {
-        case Op(c) if (c == '-' || c == '+') &&
-            (i == 0 || (raw(i - 1) match {
-              case Op(_) | Par(true) => true; case _ => false })) =>
-          List(Num(0.0), Op(c))
-        case other => List(other)
+    // unary minus/plus (leading, or after '(' or an operator): a unary '+'
+    // drops; a unary '-' before a literal folds into it, and before a
+    // reference or '(' becomes the dedicated NEGATE operator '~' (highest
+    // precedence, right-associative) — a 0-minus rewrite at ADDITIVE
+    // precedence would mis-evaluate `S.value * -2` as (S.value*0)-2
+    val toks: List[Tok] = {
+      val b = scala.collection.mutable.ListBuffer.empty[Tok]
+      var i = 0
+      while (i < raw.length) {
+        raw(i) match {
+          case Op(c) if (c == '-' || c == '+') &&
+              (b.lastOption match {
+                case None | Some(Op(_)) | Some(Par(true)) => true
+                case _ => false }) =>
+            if (c == '-') raw.lift(i + 1) match {
+              case Some(Num(v)) => b += Num(-v); i += 1 // fold into literal
+              case _ => b += Op('~')
+            }
+          case t => b += t
+        }
+        i += 1
       }
+      b.toList
     }
-    def prec(c: Char): Int = if (c == '+' || c == '-') 1 else 2
+    def prec(c: Char): Int =
+      if (c == '~') 3 else if (c == '+' || c == '-') 1 else 2
     val out = List.newBuilder[Tok]
     var ops = List.empty[Tok]
     toks.foreach {
@@ -2634,8 +2652,11 @@ object MatchRecognize {
         require(ops.nonEmpty, s"residual threshold '$rhs': unbalanced parens")
         ops = ops.tail
       case o @ Op(c) =>
+        // '~' is right-associative: pop only STRICTLY higher precedence
         while (ops.nonEmpty && (ops.head match {
-          case Op(c2) => prec(c2) >= prec(c); case _ => false })) {
+          case Op(c2) =>
+            if (c == '~') prec(c2) > prec(c) else prec(c2) >= prec(c)
+          case _ => false })) {
           out += ops.head; ops = ops.tail
         }
         ops = o :: ops
@@ -2649,6 +2670,9 @@ object MatchRecognize {
       rpn.foreach {
         case Num(v) => stack = v :: stack
         case Ref(i) => stack = prior(i) :: stack
+        case Op('~') =>
+          val x :: rest = stack: @unchecked
+          stack = -x :: rest
         case Op(c) =>
           val b :: a :: rest = stack: @unchecked
           val r = c match {
@@ -2678,18 +2702,36 @@ object MatchRecognize {
     require(events0.isStreaming,
       "detectStream needs a streaming frame — detect() compiles batch frames")
     val spec = parse(sql)
-    val wmDelay = Option(watermark).getOrElse {
+    val wmDelay = {
       import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
       val wms = events0.queryExecution.analyzed.collect {
         case e: EventTimeWatermark =>
           (e.eventTime.name, EventTimeWatermark.getDelayMs(e.delay))
       }
-      wms.find(_._1 == spec.orderBy).orElse(wms.headOption)
-        .map(w => s"${w._2} milliseconds")
-        .getOrElse(sys.error("streaming MATCH_RECOGNIZE needs an event-time " +
-          s"watermark on ${spec.orderBy} — declare one on the source table " +
-          "(WATERMARK FOR ... in the DDL, or df.withWatermark) or pass " +
-          "detectStream's watermark argument"))
+      val onOrderBy = wms.find(_._1 == spec.orderBy)
+      // a watermark on a DIFFERENT column is not a delay for this query —
+      // adopting it silently would run the pattern under an arbitrary
+      // unrelated lateness bound
+      (Option(watermark), onOrderBy) match {
+        case (Some(_), Some((_, ms))) =>
+          // the source's declaration survives the projection and the twins
+          // inherit it (Spark disallows redefining a watermark mid-plan) —
+          // an explicit conflicting argument would be silently inert, so
+          // refuse it by name
+          sys.error("the source already declares a watermark on " +
+            s"${spec.orderBy} ($ms ms) and the twins inherit it — drop " +
+            "detectStream's watermark argument or declare the desired " +
+            "delay on the source itself")
+        case (Some(w), None) => w
+        case (None, Some((_, ms))) => s"$ms milliseconds"
+        case (None, None) =>
+          sys.error("streaming MATCH_RECOGNIZE needs an event-time " +
+            s"watermark on ${spec.orderBy} — declare one on the source " +
+            "table (WATERMARK FOR ... in the DDL, or df.withWatermark" +
+            (if (wms.nonEmpty) s"; the frame's watermark on " +
+              s"'${wms.head._1}' is a different column" else "") +
+            ") or pass detectStream's watermark argument")
+      }
     }
     // ---- named boundaries -------------------------------------------------
     // ALL ROWS PER MATCH composes with the plain linear and final-nested
@@ -2758,6 +2800,11 @@ object MatchRecognize {
     require(valueFields.size <= 1,
       s"streaming MATCH_RECOGNIZE binds ONE value column through the twins " +
         s"— the measures/residuals reference ${valueFields.mkString(", ")}")
+    // NAMED BOUNDARY: the twins carry the value as a primitive double
+    // (Event.value), so a NULL member value reads as 0.0 on the stream —
+    // batch null semantics (null FIRST/LAST, null-ignoring SUM/MIN/MAX,
+    // 3VL residuals) need the batch frame. Non-null value columns (the
+    // common case, and all of the driver corpus) are exact.
     val valueCol = valueFields.headOption
       .map(f => coalesce(col(f).cast("double"), lit(0.0)))
       .getOrElse(lit(0.0))

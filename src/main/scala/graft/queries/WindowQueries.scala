@@ -5762,7 +5762,11 @@ object WindowQueries {
   // valid because the engine's commit-at-absorb discipline makes the
   // snapshot at row r exactly the aggregate over the value-carrying
   // committed rows at-or-before r (discarded speculations never enter
-  // the committed list).
+  // the committed list). The oracle's IGNORE-NULLS windows cover the
+  // NON-NULL corpus (the testdata value column is non-null); the
+  // positional null-freeze semantics the columns carry are pinned by the
+  // dedicated hand-corpus spec (MatchRecognizeSpec), which an
+  // IGNORE-NULLS replay could not express.
   private val m56: Q = (s, dir) =>
     graft.cep.MatchRecognize.detect(ev(s, dir),
       """MATCH_RECOGNIZE (

@@ -2333,7 +2333,13 @@ object StreamOps {
     * first/last boundaries, the outer repetition count, one count per
     * intermediate level (outermost first — the batch `mid{D-1}_n ..
     * mid_n` column order) and the total inner count, at window expiry.
-    * Counts-only: the fixed-depth twins keep the materializeRows surface.
+    * `materializeRows` (r19) emits every committed bound event with its
+    * classifier and running per-level counts via the per-level row-buffer
+    * discard hierarchy (the depth-2 twin's convention, depth-parametric);
+    * `bindValues` (r19) carries one running (sum/min/max/first/last/cnt)
+    * aggregate per member — inner members then closers — per pending
+    * level, merged and discarded exactly like the counts (the batch
+    * bindGroup surface; `member_vals` on the output).
     * Equal-timestamp decisions resolve by the (ms, type, tie, value)
     * processing order; maxPartials, watermark pruning and event-time
     * eviction as in the other cep twins. */

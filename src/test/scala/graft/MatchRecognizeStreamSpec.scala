@@ -377,6 +377,34 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
         Seq(ev(2, 15, "signup", 5.0), ev(2, 25, "purchase", 9.0)),
         Seq(ev(2, 35, "purchase", 12.0), ev(3, 40, "signup", 50.0),
           ev(3, 50, "purchase", 60.0))))
+    // unary minus INSIDE a product (the review-batch finding: a 0-minus
+    // rewrite at additive precedence would evaluate S.value * -2 as
+    // (S.value*0)-2) — and a negated reference
+    parity("mrs_iter_neg",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.value AS s_v, P.value AS p_v
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         P AS event_type = 'purchase' AND P.value > S.value * -2
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup", -3.0), ev(1, 10, "purchase", 5.0)),
+        Seq(ev(1, 20, "purchase", 7.0), ev(2, 25, "signup", 4.0),
+          ev(2, 35, "purchase", -7.0))))
+    parity("mrs_iter_negref",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.value AS s_v, P.value AS p_v
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '24' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         P AS event_type = 'purchase' AND P.value < -S.value - 1
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup", 4.0), ev(1, 10, "purchase", -6.0)),
+        Seq(ev(2, 15, "signup", -4.0), ev(2, 25, "purchase", 2.5))))
     // multi-reference arithmetic with parens across THREE bindings
     parity("mrs_iter3",
       """MATCH_RECOGNIZE (
@@ -496,6 +524,20 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
     val noWm = intercept[Exception](
       MatchRecognize.detect(in.toDF(), sqlFor("")))
     assert(noWm.getMessage.contains("needs an event-time watermark"))
+    // a watermark on a DIFFERENT column is not a delay for this query
+    // (review batch: headOption used to adopt it silently)
+    val wrongCol = intercept[Exception](MatchRecognize.detect(
+      in.toDF().withColumn("ts2", org.apache.spark.sql.functions.col("ts")).withWatermark("ts2", "1 second"),
+      sqlFor("")))
+    assert(wrongCol.getMessage.contains("different column"),
+      wrongCol.getMessage)
+    // an explicit watermark argument conflicting with the source's own
+    // declaration would be silently inert (the twins inherit the source's)
+    // — refused by name
+    val conflict = intercept[Exception](MatchRecognize.detectStream(
+      src, sqlFor(""), watermark = "10 seconds"))
+    assert(conflict.getMessage.contains("already declares a watermark"),
+      conflict.getMessage)
     val twoVals = intercept[Exception](MatchRecognize.detect(src, sqlFor("",
       pattern = "(A C+ B)",
       measures = "SUM(C.value) AS sv, FIRST(C.user_id) AS fu",
