@@ -2990,14 +2990,15 @@ object MatchRecognize {
               "under streaming SKIP PAST LAST ROW")
           element_at(col("step_ts"), byName(mm.varName).idxs.head + 1)
         }
-      } else if (valueMeasures || residVars.nonEmpty) {
-        // value measures and relative DEFINEs over plain unquantified
-        // steps → the iterative twin carries each bound event's value and
-        // sees the prior bindings
+      } else if (residVars.nonEmpty || (valueMeasures && allPlainUnquant)) {
+        // relative DEFINEs (and all-plain value measures) ride the
+        // iterative twin, which carries each bound event's value and sees
+        // the prior bindings; quantified-shape value measures take the
+        // cepPatternSteps path below (per-slot step_value)
         require(allPlainUnquant,
-          "streaming value measures and iterative (relative) DEFINEs " +
-            "compose with plain unquantified variables (cepPatternIter) " +
-            "— not with '?'/'{n}' quantifiers or alternations")
+          "streaming iterative (relative) DEFINEs compose with plain " +
+            "unquantified variables (cepPatternIter) — not with " +
+            "'?'/'{n}' quantifiers or alternations")
         val steps = iterSteps() // allocates slots BEFORE tagged()
         val m = StreamOps.cepPatternIter(tagged(), wmDelay, steps,
           withinMs, maxPartials)
@@ -3041,10 +3042,38 @@ object MatchRecognize {
         measureOut(m.toDF(), classifierCol) { mm =>
           if (altVars(mm.varName) && mm.field == "cls") {
             element_at(col("step_cls"), byName(mm.varName).idxs.head + 1)
+          } else if (mm.field != "ts") {
+            // value measures over the expansion slots (the m11-class
+            // `SUM(B.value)` on `B{n,m}` — the twin carries per-slot
+            // bound values; skipped optional slots read null)
+            require(!altVars(mm.varName),
+              s"${mm.varName}.${mm.field}: alternation-group value " +
+                "measures are not materialized on a stream (use the " +
+                "branch classifiers / counts)")
+            val idxs = byName(mm.varName).idxs
+            def v(i: Int) = element_at(col("step_value"), i + 1)
+            def cnt = idxs.map(i => when(v(i).isNotNull, lit(1L))
+              .otherwise(lit(0L))).reduce(_ + _)
+            mm.fn match {
+              case None =>
+                require(idxs.size == 1, s"${mm.varName}.${mm.field}: a " +
+                  "quantified variable needs FIRST/LAST/SUM/MIN/MAX/AVG/COUNT")
+                v(idxs.head)
+              case Some("FIRST") => v(idxs.head)
+              case Some("LAST") => coalesce(idxs.reverse.map(v): _*)
+              case Some("SUM") =>
+                idxs.map(v).reduce((a, b) => a + coalesce(b, lit(0.0)))
+              case Some("MIN") =>
+                if (idxs.size == 1) v(idxs.head) else least(idxs.map(v): _*)
+              case Some("MAX") =>
+                if (idxs.size == 1) v(idxs.head) else greatest(idxs.map(v): _*)
+              case Some("AVG") =>
+                idxs.map(v).reduce((a, b) => a + coalesce(b, lit(0.0))) / cnt
+              case Some("COUNT") => cnt
+              case other => sys.error(s"${fnName(mm)}(${mm.varName}." +
+                s"${mm.field}): unsupported measure function")
+            }
           } else {
-            require(mm.field == "ts",
-              s"${mm.varName}.${mm.field}: timestamp measures only on this " +
-                "shape (value measures ride plain steps, runs or groups)")
             val idxs = byName(mm.varName).idxs
             mm.fn match {
               case None =>

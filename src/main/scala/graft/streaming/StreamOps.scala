@@ -51,12 +51,17 @@ case class Guard(step: Int, fromMs: Long)
 // currently-known first successor time satisfied the negative predicate —
 // the decision is only FINAL once the watermark passes succMs (an
 // out-of-order event at or before it can still arrive and change both)
+// vals: the bound events' values, parallel to boundMs (newest-first; a
+// skipped optional's slot holds a placeholder — the Skip timestamp decides
+// nullability on output)
 case class ExPartial(boundMs: List[Long], cls: List[String], succMs: Long,
-                     guards: List[Guard] = Nil, succKilled: Boolean = false)
+                     guards: List[Guard] = Nil, succKilled: Boolean = false,
+                     vals: List[Double] = Nil)
 // pending = completed matches containing a skipped optional: they emit only
 // once the watermark passes the window end (no guard event can then arrive)
 case class CepExAcc(partials: List[ExPartial], pending: List[ExPartial] = Nil)
-case class ExMatch(user_id: Long, step_ts: Seq[Timestamp], step_cls: Seq[String])
+case class ExMatch(user_id: Long, step_ts: Seq[Timestamp], step_cls: Seq[String],
+                   step_value: Seq[Option[Double]] = Nil)
 // iterative-condition partials carry the full bound events (newest first) so
 // later step predicates can reference them — O(steps) state per partial
 case class IterPartial(bound: List[Event])
@@ -1047,7 +1052,7 @@ object StreamOps {
         val i = cur.boundMs.length
         val from = cur.boundMs.find(_ != Skip).get
         cur = ExPartial(Skip :: cur.boundMs, "" :: cur.cls, -1L,
-          Guard(i, from) :: cur.guards)
+          Guard(i, from) :: cur.guards, vals = 0.0 :: cur.vals)
         if (cur.boundMs.length == nPos) {
           // completed through skips: a negative terminal adds its own guard
           // (no matching event from the last REAL binding to window end)
@@ -1060,7 +1065,9 @@ object StreamOps {
     }
     def toMatch(userId: Long, p: ExPartial): ExMatch =
       ExMatch(userId, p.boundMs.reverse.map(ms =>
-        if (ms == Skip) null else new Timestamp(ms)), p.cls.reverse)
+        if (ms == Skip) null else new Timestamp(ms)), p.cls.reverse,
+        p.boundMs.reverse.lazyZip(p.vals.reverse).map((ms, v) =>
+          if (ms == Skip) None else Some(v)))
     implicit val outEnc = Encoders.product[ExMatch]
     implicit val accEnc = Encoders.product[CepExAcc]
     implicit val keyEnc = Encoders.scalaLong
@@ -1117,17 +1124,19 @@ object StreamOps {
                 else if ((!step.strict || t == succ) && predOf(step)(e)) {
                   val bound = t :: p.boundMs
                   val cls = clsOf(step, e) :: p.cls
+                  val vals2 = e.value :: p.vals
                   if (bound.length == nPos) {
                     // a negative terminal guards (lastBinding, window end]
                     val guards = negStep.map(_ => Guard(nPos, t)).toList ++ p.guards
-                    val done = ExPartial(bound, cls, -1L, guards)
+                    val done = ExPartial(bound, cls, -1L, guards, vals = vals2)
                     // a match with skips or a negative terminal emits only
                     // at window expiry
                     if (guards.isEmpty) out += toMatch(userId, done)
                     else pending = done :: pending
                     Nil
                   } else {
-                    val (open, pend) = forkFrom(ExPartial(bound, cls, -1L, p.guards))
+                    val (open, pend) = forkFrom(
+                      ExPartial(bound, cls, -1L, p.guards, vals = vals2))
                     pending = pend ++ pending
                     open
                   }
@@ -1136,7 +1145,8 @@ object StreamOps {
               }
             }
             if (predOf(expanded.head)(e)) {
-              val sp = ExPartial(List(t), List(clsOf(expanded.head, e)), -1L, Nil)
+              val sp = ExPartial(List(t), List(clsOf(expanded.head, e)), -1L,
+                Nil, vals = List(e.value))
               if (nPos == 1) {
                 // single positive step + negative terminal: the start IS the
                 // completed prefix — straight to pending with its guard

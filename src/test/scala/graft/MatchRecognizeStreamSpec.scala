@@ -109,6 +109,41 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
         Seq(ev(2, 25, "view"), ev(2, 35, "click"), ev(2, 45, "purchase"))))
   }
 
+  // --- m11-class: value measures over quantified expansion slots ---
+  test("stream parity: value aggregates over '{n,m}' and '?' slots") {
+    parity("mrs_range_vals",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.ts AS a_ts, SUM(B.value) AS sum_b,
+        |           FIRST(B.value) AS first_b, LAST(B.value) AS last_b,
+        |           MIN(B.value) AS min_b, MAX(B.value) AS max_b,
+        |           AVG(B.value) AS avg_b, COUNT(B.value) AS n_b,
+        |           C.value AS c_v
+        |  PATTERN (A B{2,3} C)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "view"), ev(1, 5, "click", 4.0), ev(1, 10, "click", 1.0),
+          ev(1, 15, "click", 7.0), ev(1, 20, "purchase", 9.0)),
+        Seq(ev(2, 25, "view"), ev(2, 30, "click", 2.0),
+          ev(2, 35, "click", 6.0), ev(2, 45, "purchase", 3.0))))
+    parity("mrs_opt_vals",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.ts AS a_ts, B.value AS b_v, SUM(B.value) AS sum_b,
+        |           C.ts AS c_ts
+        |  PATTERN (A B? C)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "view"), ev(1, 10, "click", 5.0), ev(1, 20, "purchase")),
+        Seq(ev(2, 25, "view"), ev(2, 40, "purchase"))))
+  }
+
   // --- unquantified alternation + CLASSIFIER ---
   test("stream parity: alternation classifier and CLASSIFIER()") {
     parity("mrs_alt",
