@@ -276,11 +276,23 @@ object Bench {
         "\"" + k + "\":" + clean
       }.mkString("{", ",", "}")
       // published-min / committed-seal ratio per query (1.0 = at seal);
-      // the auditable form of the cross-check that drove any retries
+      // the auditable form of the cross-check that drove any retries.
+      // A query still ELEVATED past the cross-check threshold with no
+      // clean rep to publish is SELF-FLAGGED per row — the quiesce gate
+      // never opened (or the retry reps were themselves contaminated),
+      // so the number is better-but-still-dirty, distinguishable from a
+      // self-healed row without diffing against the seal (r19 verdict
+      // item 6: the driver refresh published 13 such rows tagged only by
+      // the run-level load_dirty count)
       val sealBand = results.collect {
-        case (k, ct, _, _, _) if ct.nonEmpty && sealTimes.contains(k) &&
+        case (k, ct, _, _, clean) if ct.nonEmpty && sealTimes.contains(k) &&
             sealTimes(k) > 0 =>
-          "\"" + k + "\":" + r3(ct.min / sealTimes(k))
+          val ratio = ct.min / sealTimes(k)
+          val v =
+            if (!clean && ct.min > sealAbsSec && ratio > sealMult)
+              "\"unresolved(" + r3(ratio) + ")\""
+            else r3(ratio)
+          "\"" + k + "\":" + v
       }.mkString("{", ",", "}")
       val retryDetail = sealRetries.map { case (k, ts) =>
         "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")

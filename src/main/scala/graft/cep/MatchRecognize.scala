@@ -102,14 +102,17 @@ object MatchRecognize {
   private val UnitMs = Map("SECOND" -> 1000L, "MINUTE" -> 60000L,
     "HOUR" -> 3600000L, "DAY" -> 86400000L)
 
+  /** One parsed PATTERN element. Nested groups carry their intermediate
+    * closing levels as `midSeqs` — innermost level first, ANY depth (r20,
+    * replacing the fixed midSeq/mid2Seq/mid3Seq trio: the walk has been
+    * depth-parametric since r18, only the parse representation capped at
+    * four) — with the outer tail steps in `seq`. */
   private case class PatternVar(name: String, quant: Option[String],
                                 alts: Seq[String] = Nil, seq: Seq[String] = Nil,
                                 innerSeq: Seq[String] = Nil,
                                 innerStar: Boolean = false,
                                 inner2Seq: Seq[String] = Nil,
-                                midSeq: Seq[String] = Nil,
-                                mid2Seq: Seq[String] = Nil,
-                                mid3Seq: Seq[String] = Nil,
+                                midSeqs: Seq[Seq[String]] = Nil,
                                 absent: Boolean = false)
   private case class Measure(fn: Option[String], varName: String,
                              field: String, alias: String)
@@ -199,6 +202,173 @@ object MatchRecognize {
   private def sectionRx(name: String, stopAt: String) =
     (s"(?is)\\b$name\\b\\s+(.*?)\\s*(?=\\b(?:$stopAt)\\b)").r
 
+  /** PATTERN-body element scanner (r20). Nested groups parse
+    * RECURSIVELY to any depth — the grammar the old depth-1..4 regexes
+    * spelled out case by case, generalized (reference flink-cep
+    * GroupPattern.java:30 wraps an ARBITRARY inner Pattern — recursion,
+    * not an enumeration of depths):
+    * {{{
+    *   nested := '(' (nested | inner) closingSteps ')' quant
+    *   inner  := '(' word word+ ')' ('+'|'*')
+    * }}}
+    * Every INTERMEDIATE level takes '+' only; the innermost may be '+'
+    * or '*' (zero-or-more sub-chains per repetition); the OUTERMOST
+    * takes '+' or '*'. Flat elements (alternations, sequence groups,
+    * bare variables with quantifiers) keep their historical grammar. */
+  private def parsePatternElements(s: String): Seq[PatternVar] = {
+    val simpleRx = ("(?:\\(\\s*(\\w+(?:\\s*\\|\\s*\\w+)+)\\s*\\)" +
+      "|\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)|(\\w+))" +
+      "(\\?\\??|\\+\\??|\\*\\??|\\{(\\d+)(?:,(\\d+)?)?\\}\\??)?").r
+    def ws(p0: Int): Int = {
+      var p = p0
+      while (p < s.length && s.charAt(p).isWhitespace) p += 1
+      p
+    }
+    def word(p0: Int): Option[(String, Int)] = {
+      var p = p0
+      while (p < s.length &&
+        (s.charAt(p).isLetterOrDigit || s.charAt(p) == '_')) p += 1
+      if (p > p0) Some((s.substring(p0, p), p)) else None
+    }
+    def wordList(p0: Int): (Seq[String], Int) = {
+      val buf = Seq.newBuilder[String]
+      var p = ws(p0)
+      var go = true
+      while (go) word(p) match {
+        case Some((w, p1)) => buf += w; p = ws(p1)
+        case None => go = false
+      }
+      (buf.result(), p)
+    }
+    // a parenthesized group whose body holds another '(' — the nested
+    // group-in-group shape (a flat '(...)' never contains one)
+    def isNestedAt(p0: Int): Boolean = {
+      var p = p0 + 1; var depth = 1
+      while (p < s.length && depth > 0) {
+        val c = s.charAt(p)
+        if (c == '(') return true
+        if (c == ')') depth -= 1
+        p += 1
+      }
+      false
+    }
+    def near(p0: Int): String = s.substring(p0).trim
+    // returns (inner members, innerStar, closing levels innermost-first
+    // — EMPTY when the group at pos0 is itself the innermost — this
+    // group's quantifier char, position after the quantifier)
+    def parseNested(pos0: Int): (Seq[String], Boolean, List[Seq[String]], Char, Int) = {
+      var p = ws(pos0)
+      require(p < s.length && s.charAt(p) == '(',
+        s"unsupported PATTERN syntax near '${near(p)}' in PATTERN ($s)")
+      p = ws(p + 1)
+      val (inner, istar0, levels, p2) =
+        if (p < s.length && s.charAt(p) == '(') {
+          val (in, ist, lv, subQ, p1) = parseNested(p)
+          require(lv.isEmpty || subQ == '+',
+            "nested group: intermediate nesting levels take the '+' " +
+              s"quantifier only (got '$subQ' inside PATTERN ($s))")
+          val (steps, p2a) = wordList(p1)
+          require(steps.nonEmpty, "nested group: each nesting level " +
+            s"needs at least one closing step (PATTERN ($s))")
+          (in, ist, lv :+ steps, p2a)
+        } else {
+          val (ws0, p1) = wordList(p)
+          require(ws0.size >= 2, "nested group: the inner sub-group " +
+            s"needs at least two steps (got '${ws0.mkString(" ")}' in " +
+            s"PATTERN ($s))")
+          (ws0, false, List.empty[Seq[String]], p1)
+        }
+      require(p2 < s.length && s.charAt(p2) == ')',
+        s"unsupported PATTERN syntax near " +
+          s"'${near(math.min(p2, s.length - 1))}' — unbalanced nested " +
+          s"group in PATTERN ($s)")
+      val p3 = ws(p2 + 1)
+      require(p3 < s.length && (s.charAt(p3) == '+' || s.charAt(p3) == '*'),
+        s"nested group in PATTERN ($s) requires the '+' or '*' " +
+          "quantifier on every level (got " +
+          (if (p3 < s.length) s"'${s.charAt(p3)}'" else "nothing") + ")")
+      val q = s.charAt(p3)
+      require(p3 + 1 >= s.length || s.charAt(p3 + 1) != '?',
+        s"reluctant quantifiers are not supported on nested group levels " +
+          s"(PATTERN ($s))")
+      (inner, if (levels.isEmpty) q == '*' else istar0, levels, q, p3 + 1)
+    }
+    val out = Seq.newBuilder[PatternVar]
+    var p = ws(0)
+    while (p < s.length) {
+      if (s.charAt(p) == '(' && isNestedAt(p)) {
+        val (inner, istar, levels, q, p1) = parseNested(p)
+        require(q == '+' || q == '*',
+          s"nested group requires the outer '+' or '*' quantifier " +
+            s"(got '$q' in PATTERN ($s))")
+        val name = (inner ++ levels.flatten).mkString("_")
+        out += (if (levels.size == 1)
+          // depth 1 ((I...)+ T...)+ keeps the historical innerSeq slot
+          PatternVar(name, Some(q.toString), Nil, levels.head, inner,
+            innerStar = istar)
+        else
+          PatternVar(name, Some(q.toString), Nil, levels.last, Nil,
+            innerStar = istar, inner2Seq = inner, midSeqs = levels.init))
+        p = ws(p1)
+      } else simpleRx.findPrefixMatchOf(s.subSequence(p, s.length)) match {
+        case Some(g) =>
+          val q0 = Option(g.group(4))
+          if (g.group(1) != null) {
+            val branches = g.group(1).split("\\|").map(_.trim).toSeq
+            // (B|C)+ / (B|C)* — flink-cep GroupPattern over oneOf: a run
+            // whose members match any branch, with per-branch counts. The
+            // reluctant '(B|C)+?' collapses to ONE member of any branch —
+            // the bare '(B|C)' one-of (see [[normalizeQuant]]: the
+            // minimal binding always wins). '?'/'{n,m}' stay named
+            // rejections.
+            val q = q0 match {
+              case Some("+?") => None
+              case q1 @ (None | Some("+") | Some("*")) => q1
+              case Some(other) => sys.error("alternation group " +
+                s"(${branches.mkString("|")}): only the '+', '*' or " +
+                s"reluctant '+?' quantifier is supported (got '$other')")
+            }
+            out += PatternVar(branches.mkString("_"), q, branches)
+          } else if (g.group(2) != null) {
+            val subs = g.group(2).trim.split("\\s+").toSeq
+            // (B C)+ / (B C)* — GroupPattern oneOrMore[.optional]. The
+            // reluctant '(B C)+?' collapses to exactly ONE repetition
+            // (minimal binding always wins), which is also the bare
+            // '(B C)' inline-sequence semantics — both lower to the
+            // single-repetition declarative sub-match join.
+            val q = q0 match {
+              case Some("+?") => None
+              case q1 @ (None | Some("+") | Some("*")) => q1
+              case Some(other) => sys.error("sequence group " +
+                s"(${subs.mkString(" ")}): only '+', '*', reluctant " +
+                s"'+?' or no quantifier is supported (got '$other')")
+            }
+            out += PatternVar(subs.mkString("_"), q, Nil, subs)
+          } else {
+            val nm = g.group(3)
+            // reluctant zero-minimum: the ELEMENT-ABSENT lowering (r18)
+            // — the variable never binds; parse keeps it only for
+            // measure resolution (null/0) and drops it from the
+            // compiled pattern
+            if (q0.exists(isAbsentQuant))
+              out += PatternVar(nm, None, absent = true)
+            else out += PatternVar(nm, q0.map(normalizeQuant(nm, _)))
+          }
+          p = ws(p + g.end)
+        case None =>
+          throw new IllegalArgumentException(
+            s"unsupported PATTERN syntax near '${near(p)}' in " +
+            s"PATTERN ($s)" +
+            (if (s.substring(p).contains("(")) " — nested group levels " +
+              "follow ((I1 I2 ...)q T1 ...)+ with inner q in '+'/'*', " +
+              "'+' on every intermediate level and '+'/'*' outermost, " +
+              "to any depth"
+             else ""))
+      }
+    }
+    out.result()
+  }
+
   private def parse(sql: String): Spec = {
     val body = "(?is)\\s*MATCH_RECOGNIZE\\s*\\((.*)\\)\\s*".r
       .findFirstMatchIn(sql)
@@ -256,197 +426,38 @@ object MatchRecognize {
     // one row per bound event (see allRowsOutput)
     val allRows =
       "(?is)\\bALL\\s+ROWS\\s+PER\\s+MATCH\\b".r.findFirstIn(body).nonEmpty
-    // up to FIVE nesting levels inside the PATTERN body: alternation /
-    // sequence groups (A (B|C) D), ONE nested group ((A B)+ C)+, the
-    // DEPTH-2 nested group (((A B)+ C)+ D)+, (r17) the DEPTH-3 nested
-    // group ((((A B)+ C)+ D)+ E)+ and (r18) the DEPTH-4 nested group
-    // (((((A B)+ C)+ D)+ E)+ F)+ — one balanced-nesting level per
-    // supported depth, built by folding the level template
+    // the PATTERN body: balanced parentheses to ANY supported nesting
+    // depth (r20 — the body regex is a balanced-nesting template folded
+    // deep enough for every depth the recursive element parser below
+    // takes; twelve paren levels = nested groups eleven deep, far past
+    // any real query)
     val patternBody = {
-      val nestedBody = (1 to 5).foldLeft("[^()]*")((inner, _) =>
+      val nestedBody = (1 to 12).foldLeft("[^()]*")((inner, _) =>
         s"(?:[^()]|\\($inner\\))*")
       (s"(?is)\\bPATTERN\\s*\\(($nestedBody)\\)").r
       .findFirstMatchIn(body) match {
         case Some(m) => m.group(1).trim
-        // a depth-6 PATTERN body fails the five-level body regex outright
-        // — name the rejection rather than reporting the clause as absent.
-        // The reference composes GroupPattern recursively to any depth
-        // (flink-cep GroupPattern wraps an arbitrary inner Pattern); here
-        // FOUR nested levels ( (((((A B)+ C)+ D)+ E)+ F)+ ) lower through
-        // the SQL door, and the engine's depth-parametric
-        // Pattern.followedByNestedNGroup takes ANY depth via the Scala
-        // API — only the SQL text parse stops at four.
         case None if "(?is)\\bPATTERN\\s*\\(".r.findFirstIn(body).isDefined =>
-          sys.error("PATTERN bodies nested deeper than four group-in-group " +
-            "levels are not supported through the SQL front door (up to " +
-            "the depth-4 (((((A B)+ C)+ D)+ E)+ F)+ is) — use the Scala " +
-            "API's depth-parametric Pattern.followedByNestedNGroup for " +
-            "deeper compositions")
+          sys.error("PATTERN bodies nested deeper than eleven " +
+            "group-in-group levels are not supported through the SQL " +
+            "front door — use the Scala API's depth-parametric " +
+            "Pattern.followedByNestedNGroup for deeper compositions")
         case None => sys.error("PATTERN (...) required")
       }
     }
-    // elements: a DEPTH-2 nested group (((I...)+ M...)+ T...)+ (flink-cep
-    // GroupPattern composed twice), a NESTED group ((I...)+ T...)+ (one
-    // level), a bare variable with an optional quantifier, an alternation
-    // group (B|C), or a quantified SEQUENCE group (B C)+ (flink-cep
-    // GroupPattern) — groups named by joining their members. Alternatives
-    // ordered deepest-first so the depth-2 shape never half-parses as a
-    // depth-1 group plus residue.
-    val varRx = ("(?:\\(\\s*\\(\\s*\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
-      "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*" +
-      "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)" +
-      "|\\(\\s*\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
-      "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*" +
-      "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
-      "|\\(\\s*\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
-      "(\\w+(?:\\s+\\w+)*)\\s*\\)\\s*\\+\\s*(\\w+(?:\\s+\\w+)*)\\s*\\)" +
-      "|\\(\\s*\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)\\s*([+*])\\s*" +
-      "(\\w+(?:\\s+\\w+)*)\\s*\\)" +
-      "|\\(\\s*(\\w+(?:\\s*\\|\\s*\\w+)+)\\s*\\)" +
-      "|\\(\\s*(\\w+(?:\\s+\\w+)+)\\s*\\)|(\\w+))" +
-      "(\\?\\??|\\+\\??|\\*\\??|\\{(\\d+)(?:,(\\d+)?)?\\}\\??)?").r
-    val varMatches = varRx.findAllMatchIn(patternBody).toSeq
-    // every character of the PATTERN body must belong to a parsed element:
-    // findAllMatchIn skips what it can't parse, and a silently-dropped
-    // group/quantifier would compile a DIFFERENT pattern (e.g. `( B C )+`
-    // degrading to `B C`). Reject residue by name instead — a parenthesized
-    // residue names the one supported nested shape.
-    locally {
-      var pos = 0
-      for (m <- varMatches :+ null) {
-        val end = if (m == null) patternBody.length else m.start
-        val gap = patternBody.substring(pos, end).trim
-        require(gap.isEmpty,
-          s"unsupported PATTERN syntax near '$gap' in PATTERN ($patternBody)" +
-            (if (gap.contains("(")) " — the supported nested shapes are " +
-              "((I1 I2 ...)+ T1 ...)+ (inner '+' or '*', at least one " +
-              "tail step, outer '+'/'*'), (((I1 I2 ...)+ M1 ...)+ " +
-              "T1 ...)+ (depth 2: inner and mid '+', outer '+'/'*'), " +
-              "((((I1 I2 ...)+ M1 ...)+ N1 ...)+ T1 ...)+ (depth 3) and " +
-              "(((((I1 I2 ...)+ M1 ...)+ N1 ...)+ O1 ...)+ T1 ...)+ " +
-              "(depth 4)"
-             else ""))
-        if (m != null) pos = m.end
-      }
-    }
-    val vars = varMatches.map { g =>
-        (Option(g.group(1)), Option(g.group(7)), Option(g.group(12)),
-            Option(g.group(16)), Option(g.group(19)), Option(g.group(20))) match {
-          case (Some(in4), _, _, _, _, _) =>
-            // DEPTH-4 nested group (((((I...)+ M...)+ N...)+ O...)+ T...)+
-            // (r18) — flink-cep GroupPattern composed four times, lowered
-            // onto the depth-parametric followedByNestedNGroup walk:
-            // innermost sub-sequence under '+', then one closing-step
-            // level per nesting level, outer '+'/'*'
-            val innerSubs = in4.trim.split("\\s+").toSeq
-            val mids = g.group(3).trim.split("\\s+").toSeq
-            val mid2s = g.group(4).trim.split("\\s+").toSeq
-            val mid3s = g.group(5).trim.split("\\s+").toSeq
-            val tails = g.group(6).trim.split("\\s+").toSeq
-            require(g.group(22) == "+" || g.group(22) == "*",
-              s"depth-4 nested group (((((${innerSubs.mkString(" ")})" +
-                s"${g.group(2)} ${mids.mkString(" ")})+ " +
-                s"${mid2s.mkString(" ")})+ ${mid3s.mkString(" ")})+ " +
-                s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
-                s"quantifier (got '${Option(g.group(22)).getOrElse("")}')")
-            PatternVar((innerSubs ++ mids ++ mid2s ++ mid3s ++ tails)
-              .mkString("_"),
-              Option(g.group(22)), Nil, tails, Nil,
-              innerStar = g.group(2) == "*",
-              inner2Seq = innerSubs, midSeq = mids, mid2Seq = mid2s,
-              mid3Seq = mid3s)
-          case (None, Some(in3), _, _, _, _) =>
-            // DEPTH-3 nested group ((((I...)+ M...)+ N...)+ T...)+ (r17) —
-            // flink-cep GroupPattern composed three times: innermost
-            // sub-sequence under '+', mid steps closing each level-1
-            // repetition, mid2 steps closing each level-2 repetition,
-            // outer tail steps closing each outer repetition, outer '+'/'*'
-            val innerSubs = in3.trim.split("\\s+").toSeq
-            val mids = g.group(9).trim.split("\\s+").toSeq
-            val mid2s = g.group(10).trim.split("\\s+").toSeq
-            val tails = g.group(11).trim.split("\\s+").toSeq
-            require(g.group(22) == "+" || g.group(22) == "*",
-              s"depth-3 nested group ((((${innerSubs.mkString(" ")})" +
-                s"${g.group(8)} ${mids.mkString(" ")})+ " +
-                s"${mid2s.mkString(" ")})+ ${tails.mkString(" ")}) requires " +
-                s"the outer '+' or '*' quantifier " +
-                s"(got '${Option(g.group(22)).getOrElse("")}')")
-            PatternVar((innerSubs ++ mids ++ mid2s ++ tails).mkString("_"),
-              Option(g.group(22)), Nil, tails, Nil,
-              innerStar = g.group(8) == "*",
-              inner2Seq = innerSubs, midSeq = mids, mid2Seq = mid2s)
-          case (None, None, Some(in2), _, _, _) =>
-            // DEPTH-2 nested group (((I...)+ M...)+ T...)+ — flink-cep
-            // GroupPattern composed twice (GroupPattern.java:30 wraps an
-            // arbitrary inner Pattern): innermost sub-sequence under '+',
-            // mid tail steps closing each level-1 repetition, outer tail
-            // steps closing each outer repetition, outer '+'/'*'
-            val innerSubs = in2.trim.split("\\s+").toSeq
-            val mids = g.group(14).trim.split("\\s+").toSeq
-            val tails = g.group(15).trim.split("\\s+").toSeq
-            require(g.group(22) == "+" || g.group(22) == "*",
-              s"depth-2 nested group (((${innerSubs.mkString(" ")})" +
-                s"${g.group(13)} ${mids.mkString(" ")})+ " +
-                s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
-                s"quantifier (got '${Option(g.group(22)).getOrElse("")}')")
-            PatternVar((innerSubs ++ mids ++ tails).mkString("_"),
-              Option(g.group(22)), Nil, tails, Nil,
-              innerStar = g.group(13) == "*",
-              inner2Seq = innerSubs, midSeq = mids)
-          case (None, None, None, Some(inner), _, _) =>
-            // nested group ((I...)+ T...)+ / ((I...)* T...)+ — flink-cep
-            // GroupPattern composing recursively (one level): inner
-            // sub-sequence under '+' (or '*' = zero-or-more sub-chains per
-            // repetition, r15), tail steps, outer '+'/'*'
-            val innerSubs = inner.trim.split("\\s+").toSeq
-            val tails = g.group(18).trim.split("\\s+").toSeq
-            require(g.group(22) == "+" || g.group(22) == "*",
-              s"nested group ((${innerSubs.mkString(" ")})${g.group(17)} " +
-                s"${tails.mkString(" ")}) requires the outer '+' or '*' " +
-                s"quantifier (got '${Option(g.group(22)).getOrElse("")}')")
-            PatternVar((innerSubs ++ tails).mkString("_"), Option(g.group(22)),
-              Nil, tails, innerSubs, innerStar = g.group(17) == "*")
-          case (None, None, None, None, Some(alt), _) =>
-            val branches = alt.split("\\|").map(_.trim).toSeq
-            // (B|C)+ / (B|C)* — flink-cep GroupPattern over oneOf: a run
-            // whose members match any branch, with per-branch counts. The
-            // reluctant '(B|C)+?' collapses to ONE member of any branch —
-            // the bare '(B|C)' one-of (see [[normalizeQuant]]: the minimal
-            // binding always wins). '?'/'{n,m}' stay named rejections.
-            val q = Option(g.group(22)) match {
-              case Some("+?") => None
-              case q0 @ (None | Some("+") | Some("*")) => q0
-              case Some(other) => sys.error(s"alternation group ($alt): " +
-                "only the '+', '*' or reluctant '+?' quantifier is " +
-                s"supported (got '$other')")
-            }
-            PatternVar(branches.mkString("_"), q, branches)
-          case (None, None, None, None, None, Some(seq)) =>
-            val subs = seq.trim.split("\\s+").toSeq
-            // (B C)+ / (B C)* — GroupPattern oneOrMore[.optional]. The
-            // reluctant '(B C)+?' collapses to exactly ONE repetition
-            // (minimal binding always wins), which is also the bare
-            // '(B C)' inline-sequence semantics — both lower to the
-            // single-repetition declarative sub-match join.
-            val q = Option(g.group(22)) match {
-              case Some("+?") => None
-              case q0 @ (None | Some("+") | Some("*")) => q0
-              case Some(other) => sys.error(s"sequence group " +
-                s"(${subs.mkString(" ")}): only '+', '*', reluctant '+?' " +
-                s"or no quantifier is supported (got '$other')")
-            }
-            PatternVar(subs.mkString("_"), q, Nil, subs)
-          case (None, None, None, None, None, None) =>
-            val q0 = Option(g.group(22))
-            // reluctant zero-minimum: the ELEMENT-ABSENT lowering (r18) —
-            // the variable never binds; parse keeps it only for measure
-            // resolution (null/0) and drops it from the compiled pattern
-            if (q0.exists(isAbsentQuant))
-              PatternVar(g.group(21), None, absent = true)
-            else PatternVar(g.group(21),
-              q0.map(normalizeQuant(g.group(21), _)))
-        }
-      }
+    // elements scanned left to right by the RECURSIVE element parser
+    // (r20, replacing the fixed depth-1..4 regex alternatives — the
+    // reference composes GroupPattern recursively to any depth,
+    // flink-cep/.../pattern/GroupPattern.java wraps an arbitrary inner
+    // Pattern): a parenthesized element containing another '(' is a
+    // nested group-in-group and parses recursively to ANY depth;
+    // otherwise it is an alternation group (B|C), a sequence group
+    // (B C), or a bare variable, each with an optional quantifier.
+    // Every character of the body must belong to a parsed element — a
+    // silently-dropped group/quantifier would compile a DIFFERENT
+    // pattern (e.g. `( B C )+` degrading to `B C`); residue is a named
+    // error at the first unparseable position.
+    val vars: Seq[PatternVar] = parsePatternElements(patternBody)
     require(vars.nonEmpty, "PATTERN must bind at least one variable")
     // duplicate variable names were always broken (colliding bound
     // columns), but under the element-absent lowering they would be
@@ -454,7 +465,7 @@ object MatchRecognize {
     // bound C) — reject by name across every bindable identifier
     locally {
       val allNames = vars.flatMap(v => v.name +: (v.alts ++ v.seq ++
-        v.innerSeq ++ v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.mid3Seq))
+        v.innerSeq ++ v.inner2Seq ++ v.midSeqs.flatten))
       val dups = allNames.groupBy(identity).collect {
         case (n, occ) if occ.size > 1 => n }
       require(dups.isEmpty,
@@ -740,7 +751,7 @@ object MatchRecognize {
       // seq/innerSeq excluded explicitly: a BARE group (quant None since
       // r15) would otherwise pass and die later as an unresolved column
       require(pv.alts.isEmpty && pv.quant.isEmpty && pv.seq.isEmpty &&
-          pv.innerSeq.isEmpty && pv.inner2Seq.isEmpty && pv.midSeq.isEmpty,
+          pv.innerSeq.isEmpty && pv.inner2Seq.isEmpty && pv.midSeqs.isEmpty,
         s"DEFINE $v references $a: relative references need a plain, unquantified variable")
     }
     def rewritePlain(s: String): String = RefRx.replaceAllIn(s, m =>
@@ -840,7 +851,7 @@ object MatchRecognize {
             s"alternation branch $b cannot use relative references")
           b -> c
         }
-        val seqSubs = (v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.mid3Seq ++
+        val seqSubs = (v.inner2Seq ++ v.midSeqs.flatten ++
             v.innerSeq ++ v.seq).map { sv =>
           val c = compiledPred(spec, sv, i)
           // ONE-LEVEL nested group members pass through: tail members
@@ -929,7 +940,7 @@ object MatchRecognize {
     // address a specific MEMBER (the group's own name spans several
     // variables and would be ambiguous)
     val groupOf: Map[String, PatternVar] = spec.vars.filter(_.seq.nonEmpty)
-      .flatMap(g => (g.name +: (g.inner2Seq ++ g.midSeq ++ g.mid2Seq ++ g.mid3Seq ++
+      .flatMap(g => (g.name +: (g.inner2Seq ++ g.midSeqs.flatten ++
         g.innerSeq ++ g.seq)).map(_ -> g)).toMap
     spec.measures.filter(m => groupOf.contains(m.varName)).foreach { m =>
       require(m.field == "ts" || m.varName != groupOf(m.varName).name,
@@ -969,7 +980,7 @@ object MatchRecognize {
         // — the mid's satisfying scan is shared between its binding and
         // the inner-chain punctuation, the tail convention one level down
         val tailResiduals2: Seq[(String, (String, String, String))] =
-          (v.midSeq ++ v.mid2Seq ++ v.mid3Seq ++ v.seq).flatMap { sv =>
+          (v.midSeqs.flatten ++ v.seq).flatMap { sv =>
             if (compiled(sv)._2.isEmpty) None
             else Some(sv -> parseTailResidual(spec, sv))
           }
@@ -982,7 +993,7 @@ object MatchRecognize {
         // the closing levels are the non-empty mid level lists, innermost
         // first, with the outer tails last
         val closingLevels =
-          (Seq(v.midSeq, v.mid2Seq, v.mid3Seq).filter(_.nonEmpty) :+ v.seq)
+          (v.midSeqs :+ v.seq)
             .map(_.map(sv => sv -> compiled(sv)._1))
         pat = pat.followedByNestedNGroup(v.name,
           v.inner2Seq.map(sv => sv -> compiled(sv)._1),
@@ -997,7 +1008,7 @@ object MatchRecognize {
         // member VALUE measures (r16): the SHARED order derivation — the
         // engine's groupKeep sequence (members in declaration order, each
         // member's columns in bindByVar order)
-        nestedKeepOrder(v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.mid3Seq,
+        nestedKeepOrder(v.inner2Seq ++ v.midSeqs.flatten,
             v.seq, bindByVar)
           .foreach { case (sv, c) => pat = pat.bindGroup(sv, c) }
         // composite ORDER BY (r17, the former depth-2 named rejection):
@@ -1234,15 +1245,13 @@ object MatchRecognize {
             else m.fn match {
               case Some("COUNT") if g.inner2Seq.contains(m.varName) =>
                 col(s"${g.name}_inner_n")
-              case Some("COUNT") if g.midSeq.contains(m.varName) =>
-                col(s"${g.name}_mid_n")
-              // depth-3 (r17): mid2 members close each LEVEL-2 repetition
-              // exactly once — COUNT(N.ts) = total level-2 count
-              case Some("COUNT") if g.mid2Seq.contains(m.varName) =>
-                col(s"${g.name}_mid2_n")
-              // depth-4 (r18): mid3 members close each LEVEL-3 repetition
-              case Some("COUNT") if g.mid3Seq.contains(m.varName) =>
-                col(s"${g.name}_mid3_n")
+              // each intermediate-level member closes its level's
+              // repetition exactly once: COUNT = the walk's per-level
+              // total (level 1 keeps the historical `mid_n` spelling,
+              // deeper levels `mid{l}_n` — ANY depth since r20)
+              case Some("COUNT") if g.midSeqs.exists(_.contains(m.varName)) =>
+                val l = g.midSeqs.indexWhere(_.contains(m.varName)) + 1
+                col(if (l == 1) s"${g.name}_mid_n" else s"${g.name}_mid${l}_n")
               case Some("COUNT") => col(s"${g.name}_n")
               case Some("FIRST") =>
                 require(m.varName == g.name || m.varName == g.inner2Seq.head,
@@ -1698,7 +1707,7 @@ object MatchRecognize {
     // groupKeep order — the lowering's bindGroup call order — indexes the
     // per-row vsum/vcnt running-value snapshots (SHARED derivation)
     val gkIdx: Map[(String, String), Int] =
-      nestedKeepOrder(g.inner2Seq ++ g.midSeq ++ g.mid2Seq ++ g.mid3Seq,
+      nestedKeepOrder(g.inner2Seq ++ g.midSeqs.flatten,
           g.seq, bindByVar)
         .zipWithIndex.toMap
     require(spec.vars.last.name == g.name,
@@ -1717,11 +1726,10 @@ object MatchRecognize {
         df.withColumn(s"__mn_$a", row_number().over(mnWindow).cast("long")))
     }
     val finalInner = g.inner2Seq.last
-    val finalMid = g.midSeq.last
     val preIdx: Map[String, Int] = pre.map(_.name).zipWithIndex.toMap
     def isMember(v: String): Boolean =
-      v == g.name || g.inner2Seq.contains(v) || g.midSeq.contains(v) ||
-        g.mid2Seq.contains(v) || g.mid3Seq.contains(v) || g.seq.contains(v)
+      v == g.name || g.inner2Seq.contains(v) ||
+        g.midSeqs.exists(_.contains(v)) || g.seq.contains(v)
     def measureAt(m: Measure, u: Int, r: Option[Column]): Column =
       if (m.fn.contains("MATCH_NUMBER")) col(s"__mn_${m.alias}")
       else if (m.fn.contains("CLASSIFIER"))
@@ -1774,23 +1782,17 @@ object MatchRecognize {
             s"COUNT(${m.varName}.ts): running inner counts materialize " +
               s"for the FINAL inner member only ($finalInner)")
           r.map(_.getField("subs")).getOrElse(lit(0L))
-        } else if (g.midSeq.contains(m.varName)) {
-          require(m.varName == finalMid,
-            s"COUNT(${m.varName}.ts): running level-1 counts materialize " +
-              s"for the FINAL mid member only ($finalMid)")
-          r.map(_.getField("mids")).getOrElse(lit(0L))
-        } else if (g.mid2Seq.contains(m.varName)) {
-          // depth-3 (r18): the level-2 running count rides each row
-          require(m.varName == g.mid2Seq.last,
-            s"COUNT(${m.varName}.ts): running level-2 counts materialize " +
-              s"for the FINAL mid2 member only (${g.mid2Seq.last})")
-          r.map(_.getField("mids2")).getOrElse(lit(0L))
-        } else if (g.mid3Seq.contains(m.varName)) {
-          // depth-4 (r18): the level-3 running count rides each row
-          require(m.varName == g.mid3Seq.last,
-            s"COUNT(${m.varName}.ts): running level-3 counts materialize " +
-              s"for the FINAL mid3 member only (${g.mid3Seq.last})")
-          r.map(_.getField("mids3")).getOrElse(lit(0L))
+        } else if (g.midSeqs.exists(_.contains(m.varName))) {
+          // each intermediate level's running count rides each row
+          // (level 1 keeps the historical `mids` field spelling, deeper
+          // levels `mids{l}` — ANY depth since r20)
+          val l = g.midSeqs.indexWhere(_.contains(m.varName)) + 1
+          require(m.varName == g.midSeqs(l - 1).last,
+            s"COUNT(${m.varName}.ts): running level-$l counts " +
+              s"materialize for the FINAL member of the level only " +
+              s"(${g.midSeqs(l - 1).last})")
+          r.map(_.getField(if (l == 1) "mids" else s"mids$l"))
+            .getOrElse(lit(0L))
         } else {
           require(m.varName == g.name || m.varName == g.seq.last,
             s"COUNT(${m.varName}.ts): running outer counts materialize " +
@@ -2771,7 +2773,7 @@ object MatchRecognize {
       spec.vars.zipWithIndex.flatMap { case (v, i) =>
         val names = if (selfRuns.contains(v.name)) Nil
           else (if (v.alts.isEmpty && v.seq.isEmpty) Seq(v.name) else Nil) ++
-            v.alts ++ v.inner2Seq ++ v.midSeq ++ v.mid2Seq ++ v.mid3Seq ++
+            v.alts ++ v.inner2Seq ++ v.midSeqs.flatten ++
             v.innerSeq ++ v.seq
         names.map { n =>
           val (pre, residual, refs) = compiledPred(spec, n, i)
@@ -3278,7 +3280,7 @@ object MatchRecognize {
       require(g.quant.contains("+"), s"streaming nested group ${g.name}: " +
         "outer '+' only (a '*' outer group is batch-only)")
       val levelLists: Seq[Seq[String]] =
-        Seq(g.midSeq, g.mid2Seq, g.mid3Seq).filter(_.nonEmpty) :+ g.seq
+        g.midSeqs :+ g.seq
       levelLists.foreach(l => require(l.size == 1,
         s"streaming nested group ${g.name}: one closing step per level " +
           s"(got ${l.mkString(" ")})"))

@@ -981,10 +981,10 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         P AS event_type = 'purchase'
         |)""".stripMargin).collect()
     // depth-4 nesting (((((B C)+ D)+ E)+ F)+ G)+ is SUPPORTED since r18
-    // (the depth-parametric walk) — the former named rejection must no
-    // longer fire; behavior is pinned by the dedicated depth-4 tests.
-    // Depth-5 through the SQL door is the new named rejection (the Scala
-    // API's followedByNestedNGroup takes any depth).
+    // (the depth-parametric walk); depth 5 and 6 through the SQL door
+    // are SUPPORTED since r20 (the recursive group parse) — the former
+    // named rejections must no longer fire; deep behavior is pinned by
+    // the dedicated depth-4/5 tests.
     MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
@@ -996,7 +996,7 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         E AS event_type = 'view', F AS event_type = 'error',
         |         G AS event_type = 'error', P AS event_type = 'purchase'
         |)""".stripMargin).collect()
-    val e3 = intercept[Exception](MatchRecognize.detect(evs,
+    MatchRecognize.detect(evs,
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts
         |  MEASURES S.ts AS s_ts
@@ -1007,7 +1007,18 @@ class MatchRecognizeSpec extends AnyFunSuite with SparkTest {
         |         E AS event_type = 'view', F AS event_type = 'error',
         |         G AS event_type = 'error', H AS event_type = 'click',
         |         P AS event_type = 'purchase'
-        |)""".stripMargin))
+        |)""".stripMargin).collect()
+    // past the body regex's twelve balanced paren levels (nested depth
+    // 12+) the rejection names the depth-parametric Scala API
+    val deepBody = (1 to 12).foldLeft("(B C)")((acc, i) => s"($acc+ V$i)") + "+"
+    val e3 = intercept[Exception](MatchRecognize.detect(evs,
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts
+         |  MEASURES S.ts AS s_ts
+         |  PATTERN (S $deepBody P)
+         |  WITHIN INTERVAL '1' HOUR
+         |  DEFINE S AS event_type = 'signup'
+         |)""".stripMargin))
     assert(e3.getMessage.contains("deeper"), e3.getMessage)
     // ALL ROWS with the nested group NOT the final element: named rejection
     val e4 = intercept[Exception](MatchRecognize.detect(evs,
