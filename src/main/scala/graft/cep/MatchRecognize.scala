@@ -3270,7 +3270,7 @@ object MatchRecognize {
         }
       }
     }
-    // ============== NESTED GROUPS (final element, depth 1-4) ==============
+    // ========== NESTED GROUPS (final element, depth-parametric) ==========
     else if (expanded.size == 2 && isPlainVar(expanded.head) &&
         expanded.head.quant.isEmpty && nestedVar.contains(expanded(1))) {
       val s0 = expanded.head; val g = expanded(1)
@@ -3406,7 +3406,7 @@ object MatchRecognize {
       // route (depth 4, or any bindValues depth) reads level_counts
       // (intermediate levels OUTERMOST FIRST: closer level l sits at
       // 1-based position depth-1-l); the fixed-depth twins name them.
-      val onNTwin = useNVals || depth == 4
+      val onNTwin = useNVals || depth >= 4
       def countCol(n: String): Column =
         if (n == closers.last) col("n_reps")
         else if (onNTwin) closerOfVar.get(n) match {
@@ -3467,7 +3467,7 @@ object MatchRecognize {
     } else sys.error("streaming MATCH_RECOGNIZE supports these PATTERN " +
       "shapes: linear (plain / '?' / '{n}' / '{n,m}' / alternations), " +
       "S R+ U runs ('+', '*', '{n,}', alternation runs, PREV-self runs), " +
-      "S (B C ...)+ U sequence groups, and final nested groups to depth 4 " +
+      "S (B C ...)+ U sequence groups, and final nested groups at any depth " +
       s"— PATTERN (${vars.map(_.name).mkString(" ")}) fits none of them; " +
       "use the StreamOps combinator API for other compositions")
   }

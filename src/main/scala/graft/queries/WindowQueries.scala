@@ -5366,6 +5366,45 @@ object WindowQueries {
       |       m2_done AS n_mid2, mid_done AS n_mid, inner_done AS n_inner
       |FROM best WHERE rn = 1""".stripMargin
 
+  // --- m57: DEPTH-5 nested group `S ((((((B C)+ V)+ W)+ X)+ Y)+ Z)+`
+  // (r20 — the recursive PATTERN parse lifted the SQL front door's former
+  // depth-4 cap; the followedByNestedNGroup walk has been depth-parametric
+  // since r18, matching reference flink-cep GroupPattern.java:30 which
+  // composes recursively without limit). Predicates: the five-way split of
+  // the error+purchase stream — V errors, W/X/Y/Z the purchase value
+  // QUARTILES (the corpus has five event types and the pattern needs
+  // eight predicates). Oracle: GENERATED by [[NestedOracle.countWalk]] —
+  // the m48/m52 speculation-checkpoint recursive CTE with the checkpoint
+  // levels emitted by a loop instead of spelled case-by-case;
+  // `NestedOracleParitySpec` pins the generator at depth 4 against the
+  // committed hand-written m52 oracle on the same corpus.
+  private val m57: Q = (s, dir) =>
+    graft.cep.MatchRecognize.detect(ev(s, dir),
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(Z.ts) AS grp_last_ts, COUNT(Z.ts) AS n_outer,
+        |           COUNT(Y.ts) AS n_mid4, COUNT(X.ts) AS n_mid3,
+        |           COUNT(W.ts) AS n_mid2, COUNT(V.ts) AS n_mid,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S ((((((B C)+ V)+ W)+ X)+ Y)+ Z)+)
+        |  WITHIN INTERVAL '960' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase' AND W.value < 25,
+        |         X AS event_type = 'purchase' AND X.value >= 25 AND X.value < 50,
+        |         Y AS event_type = 'purchase' AND Y.value >= 50 AND Y.value < 75,
+        |         Z AS event_type = 'purchase' AND Z.value >= 75
+        |)""".stripMargin)
+  private[graft] val m57Sql = NestedOracle.countWalk(5, 960,
+    "event_type='signup'", "event_type='click'", "event_type='view'",
+    Seq("event_type='error'",
+      "event_type='purchase' AND value < 25",
+      "event_type='purchase' AND value >= 25 AND value < 50",
+      "event_type='purchase' AND value >= 50 AND value < 75",
+      "event_type='purchase' AND value >= 75"))
+
   // --- m53: ALL ROWS PER MATCH + member VALUE measures over the DEPTH-2
   // nested group (r18, lifting the r16 named mutual exclusion "per-row
   // running value snapshots are one-level only"): each materialized row
@@ -5850,7 +5889,8 @@ object WindowQueries {
     "m51_all_rows_depth3" -> m51, "m52_depth4_nested_group" -> m52,
     "m53_all_rows_depth2_values" -> m53, "m54_reluctant_absent" -> m54,
     "m55_alternation_tiebreak" -> m55,
-    "m56_all_rows_first_last" -> m56)
+    "m56_all_rows_first_last" -> m56,
+    "m57_depth5_nested_group" -> m57)
 
   val oracles: Map[String, String] = Map(
     "w17_time_evictor" -> w17Sql, "w18_count_evictor" -> w18Sql,
@@ -5891,6 +5931,7 @@ object WindowQueries {
     "m53_all_rows_depth2_values" -> m53Sql, "m54_reluctant_absent" -> m54Sql,
     "m55_alternation_tiebreak" -> m55Sql,
     "m56_all_rows_first_last" -> m56Sql,
+    "m57_depth5_nested_group" -> m57Sql,
     "w25_cascading_windows" -> w25Sql, "w26_cep_timeout" -> w26Sql,
     "w27_cep_followed_by_any" -> w27Sql,
     "w28_cep_combinations" -> w28Sql)
