@@ -2688,6 +2688,37 @@ object MatchRecognize {
     }
   }
 
+  /** Collision-free composite-key rendering for the streaming twins — the
+    * batch [[Pattern.keyString]] length-prefix format over the key parts'
+    * STRING casts ('N' for a null part, `V<len>:<chars>` otherwise; the
+    * cast-to-string and cast-back round-trip is identity for the atomic
+    * part types the front door admits). Encode runs per input event (one
+    * row-local projection feeding the keyed shuffle); decode runs on the
+    * tiny match table only. */
+  private val encodeKeyUdf =
+    org.apache.spark.sql.functions.udf((r: org.apache.spark.sql.Row) =>
+      (0 until r.length).map { i =>
+        r.get(i) match {
+          case null => "N"
+          case s => val t = s.toString; s"V${t.length}:$t"
+        }
+      }.mkString)
+  private val decodeKeyUdf =
+    org.apache.spark.sql.functions.udf((s: String) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == 'N') { out += null; i += 1 }
+        else {
+          val c = s.indexOf(':', i)
+          val n = s.substring(i + 1, c).toInt
+          out += s.substring(c + 1, c + 1 + n)
+          i = c + 1 + n
+        }
+      }
+      out.toSeq
+    })
+
   /** Streaming MATCH_RECOGNIZE — parse `sql` and run the compiled pattern
     * over the unbounded `events0` (see the shape table above). The
     * watermark delay is read from the frame's own `EventTimeWatermark`
@@ -2746,22 +2777,46 @@ object MatchRecognize {
       "batch-only through the SQL front door — equal-timestamp streaming " +
       "decisions follow the twins' documented (ts, type, value) order")
     spec.measures.foreach(m => require(!m.fn.contains("MATCH_NUMBER"),
-      "MATCH_NUMBER() is batch-only — a per-partition match ordinal over an " +
-        "unbounded stream would never finalize"))
+      "MATCH_NUMBER() is batch-only. The impossibility is semantic, not an " +
+        "implementation gap: the ordinal numbers a partition's matches by " +
+        "their BINDING timestamps in pattern order, and on an unbounded " +
+        "stream a new match can always begin before an already-emitted " +
+        "one's bindings (twins emit on watermark finality per match, not " +
+        "per partition) — any ordinal assigned at emission could be " +
+        "invalidated by a later-arriving earlier match, and append-mode " +
+        "emission cannot retract it. No watermark bounds the whole " +
+        "partition, so the numbering never finalizes. Bounded rewrite: " +
+        "window the stream first (GROUP BY window(...) or a batch " +
+        "detect() over each watermark-finalized window) and number " +
+        "matches WITHIN the window, or number downstream over the emitted " +
+        "match table once the partition's source is exhausted"))
     spec.defines.foreach { case (v, b) =>
       require(!b.contains("__plag"), s"DEFINE $v: physical PREV navigation " +
         "is batch-only through the SQL front door (streaming: enrich with " +
         "StreamOps.streamingLag and use the combinator API)")
     }
-    require(spec.partitionBy.size == 1,
-      s"streaming MATCH_RECOGNIZE partitions on ONE integral column — got " +
-        s"(${spec.partitionBy.mkString(", ")}); pack composite keys into " +
-        "one column upstream")
+    // ---- partition keys ---------------------------------------------------
+    // ONE integral column rides the twins' long key directly; COMPOSITE and
+    // non-integral keys (r20, lifting the one-long-column boundary) ride
+    // Event.skey — the collision-free length-prefixed rendering the batch
+    // compile uses (Pattern.keyString) — grouped as (user_id, skey) and
+    // re-expanded under the user's names and types on the match output
     val keyName = spec.partitionBy.head
     val keyType = events0.schema(keyName).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
-      s"streaming MATCH_RECOGNIZE partition column $keyName must be an " +
-        s"integral type (the cepPattern twins key a long) — got $keyType")
+    val singleIntegral = spec.partitionBy.size == 1 &&
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType)
+    if (!singleIntegral) spec.partitionBy.foreach { n =>
+      import org.apache.spark.sql.types._
+      val dt = events0.schema(n).dataType
+      val atomic = dt match {
+        case _: StringType | _: NumericType | BooleanType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      require(atomic, s"streaming MATCH_RECOGNIZE partition column $n: " +
+        s"composite keys take atomic string/numeric/boolean/date/timestamp " +
+        s"parts (got $dt) — cast or render the column upstream")
+    }
     val selfRuns = selfRunDefs(spec)
     val altVars = spec.vars.filter(_.alts.nonEmpty).map(_.name).toSet
     // compile every DEFINE; iterative (relative) residuals compose with
@@ -2783,10 +2838,10 @@ object MatchRecognize {
       }.toMap
     def requireNoResiduals(): Unit = require(residVars.isEmpty,
       s"DEFINE ${residVars.mkString(", ")}: iterative (relative) " +
-        "conditions compose with the plain linear shape on a streaming " +
-        "frame (cepPatternIter) — other shapes are batch-only through " +
-        "the SQL front door (streaming: cepPatternNestedGroupIter via " +
-        "the combinator API)")
+        "conditions compose with the plain linear shape (cepPatternIter), " +
+        "with S R+ U runs and with final nested groups (anchor-relative " +
+        "thresholds) on a streaming frame — this shape is batch-only " +
+        "through the SQL front door")
     // the parsed residual thresholds (same restricted grammar as the
     // batch tail-residual lowering: `V.col <op> <arith over earlier
     // plain bindings + literals>`)
@@ -2827,13 +2882,29 @@ object MatchRecognize {
       val all = compiled ++ extraPreds
       val bits = predSlots.keys.toSeq.map(n =>
         when(coalesce(all(n), lit(false)), lit("1")).otherwise(lit("0")))
+      val keyCols: Seq[Column] =
+        if (singleIntegral) Seq(col(keyName).cast("long").as("user_id"),
+          lit("").as("skey"))
+        else Seq(lit(0L).as("user_id"),
+          encodeKeyUdf(struct(spec.partitionBy.map(n =>
+            col(n).cast("string")): _*)).as("skey"))
       events0.select(
-        col(keyName).cast("long").as("user_id"),
+        keyCols.head,
         col(spec.orderBy).as("ts"),
         concat(bits: _*).as("event_type"),
-        valueCol.as("value")).as[SEvent]
+        valueCol.as("value"),
+        keyCols(1)).as[SEvent]
     }
-    val keyBack = col("user_id").cast(keyType).as(keyName)
+    // re-expand the key on the (tiny) match output: the long column back
+    // under its name, or the skey rendering decoded part-by-part and cast
+    // back to each column's original type
+    val keyBack: Seq[Column] =
+      if (singleIntegral) Seq(col("user_id").cast(keyType).as(keyName))
+      else {
+        val parts = decodeKeyUdf(col("skey"))
+        spec.partitionBy.zipWithIndex.map { case (n, i) =>
+          element_at(parts, i + 1).cast(events0.schema(n).dataType).as(n) }
+      }
     val withinMs = spec.withinMs
     // measures over an element-absent variable (reluctant zero-minimum):
     // never binds — COUNT 0, everything else null (the batch convention)
@@ -2844,8 +2915,10 @@ object MatchRecognize {
     }
     def measureOut(df: DataFrame, classifierCol: => Column)
                   (f: Measure => Column): DataFrame =
-      if (spec.measures.isEmpty) df.select(keyBack +: df.columns.filter(_ != "user_id").map(col).toSeq: _*)
-      else df.select(keyBack +: spec.measures.map(m =>
+      if (spec.measures.isEmpty)
+        df.select(keyBack ++ df.columns
+          .filter(c => c != "user_id" && c != "skey").map(col).toSeq: _*)
+      else df.select(keyBack ++ spec.measures.map(m =>
         (if (m.fn.contains("CLASSIFIER")) classifierCol
          else if (spec.absentVars.contains(m.varName)) absentMeasure(m)
          else f(m)).as(m.alias)): _*)
@@ -2895,6 +2968,28 @@ object MatchRecognize {
               p(e) && cmp(e.value, prog(prior.map(_.value).toIndexedSeq))
         }
       }
+    }
+    // anchor-relative residual closure for the run/nested twins (r20 —
+    // reference flink-cep IterativeCondition.java composes with every
+    // quantifier): the threshold tuple is the ANCHOR's value binding,
+    // read once when the twin's partial opens, so the residual may
+    // reference only the anchor (repeating members' own bindings are the
+    // genuinely unbounded case and stay named rejections)
+    def anchorRes(vname: String, anchor: String): (SEvent, Double) => Boolean = {
+      val (_, op, rhs) = residuals(vname)
+      val vc = valueFields.headOption.getOrElse("value")
+      val prog = compileResidualArith(rhs, tok =>
+        if (tok == s"${anchor}_$vc") 0
+        else sys.error(s"streaming residual for $vname: reference '$tok' — " +
+          s"run/nested residual thresholds on a streaming frame may only " +
+          s"use the anchor $anchor's '$vc' binding and numeric literals"))
+      val cmp: (Double, Double) => Boolean = op match {
+        case "<" => _ < _
+        case "<=" => _ <= _
+        case ">" => _ > _
+        case _ => _ >= _
+      }
+      (e: SEvent, av: Double) => cmp(e.value, prog(IndexedSeq(av)))
     }
 
     // ======================= LINEAR =======================
@@ -2972,8 +3067,9 @@ object MatchRecognize {
             spec.measures.map(m => runningAt(m, p).as(m.alias)): _*)
         }
         val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
-        return mdf.select(keyBack, explode(array(structs: _*)).as("__r"))
-          .select(col(keyName) +: rowCols.map(n => col(s"__r.$n").as(n)): _*)
+        return mdf.select(keyBack :+ explode(array(structs: _*)).as("__r"): _*)
+          .select(spec.partitionBy.map(col) ++
+            rowCols.map(n => col(s"__r.$n").as(n)): _*)
       }
       if (spec.skipPastLast) {
         // SKIP PAST LAST ROW rides cepPattern's greedy start-order
@@ -3111,7 +3207,20 @@ object MatchRecognize {
       require(!spec.allRows, "streaming ALL ROWS PER MATCH composes with " +
         "plain linear patterns and final nested groups — not with " +
         "'+'/'*' runs (the run twins keep ONE ROW per match)")
-      requireNoResiduals()
+      // iterative (relative) DEFINEs on the run member / the close (r20):
+      // anchor-relative thresholds ride the run twin's per-partial
+      // threshold; anything else (self-runs, alternation branches,
+      // references past the anchor) stays a named rejection
+      val runResid = residVars.toSet
+      require(runResid.subsetOf(Set(r.name, u.name)) ||
+          selfRuns.contains(r.name) && runResid.isEmpty,
+        s"DEFINE ${residVars.mkString(", ")}: streaming run residuals " +
+          s"compose with the run member (${r.name}) and the close " +
+          s"(${u.name}) only")
+      require(runResid.isEmpty || !selfRuns.contains(r.name),
+        "a self-referential (PREV) run composes with plain DEFINEs only")
+      require(runResid.isEmpty || r.alts.isEmpty,
+        "alternation-run branches cannot carry relative residuals")
       def tsOnly(mm: Measure, c: Column): Column = {
         require(mm.field == "ts" && (mm.fn.isEmpty ||
           mm.fn.exists(f => f == "FIRST" || f == "LAST")),
@@ -3171,7 +3280,12 @@ object MatchRecognize {
         val m = StreamOps.cepPatternOneOrMore(tagged(), wmDelay, firstP, runP,
           lastP, withinMs, maxPartials,
           allowEmpty = r.quant.contains("*"),
-          branchPreds = branchPs, minRun = minRun)
+          branchPreds = branchPs, minRun = minRun,
+          thresholdOf = if (runResid.isEmpty) null else (e: SEvent) => e.value,
+          runRes = if (runResid.contains(r.name)) anchorRes(r.name, s0.name)
+                   else null,
+          lastRes = if (runResid.contains(u.name)) anchorRes(u.name, s0.name)
+                    else null)
         val branchIdx = r.alts.zipWithIndex.toMap
         measureOut(m.toDF(), lit(u.name)) { mm =>
           mm.varName match {
@@ -3274,7 +3388,6 @@ object MatchRecognize {
     else if (expanded.size == 2 && isPlainVar(expanded.head) &&
         expanded.head.quant.isEmpty && nestedVar.contains(expanded(1))) {
       val s0 = expanded.head; val g = expanded(1)
-      requireNoResiduals()
       require(!spec.skipPastLast, "AFTER MATCH SKIP PAST LAST ROW on a " +
         "streaming frame composes with the plain linear shape only")
       require(g.quant.contains("+"), s"streaming nested group ${g.name}: " +
@@ -3304,35 +3417,67 @@ object MatchRecognize {
         s"value measure over $n: streaming nested-group values bind GROUP " +
           "members (inner members and closers), not the anchor or the " +
           "group name"))
-      require(depth >= 2 || valMembers.isEmpty,
-        s"streaming nested group ${g.name}: value measures need depth >= 2 " +
-          "(the depth-N twin's bindValues surface; counts and boundaries " +
-          "only at depth 1)")
+      require(spec.allRows || depth >= 2 || valMembers.isEmpty,
+        s"streaming nested group ${g.name}: final value measures need " +
+          "depth >= 2 (the depth-N twin's bindValues surface; counts and " +
+          "boundaries only at depth 1 — per-row snapshots under ALL ROWS " +
+          "work at every depth)")
+      // iterative (relative) DEFINEs on group members (r20): anchor-relative
+      // thresholds ride the nested twins' per-partial threshold — inner
+      // members and closers at any depth; references past the anchor stay
+      // named rejections inside anchorRes
+      val nResid = residVars.toSet
+      require(nResid.subsetOf((innerMembers ++ closers).toSet),
+        s"DEFINE ${residVars.mkString(", ")}: streaming nested-group " +
+          "residuals compose with the group's inner members and closers only")
+      val thrOf: SEvent => Double =
+        if (nResid.isEmpty) null else (e: SEvent) => e.value
+      val passRes: (SEvent, Double) => Boolean = (_, _) => true
+      val innerResCl: Seq[(SEvent, Double) => Boolean] =
+        if (nResid.intersect(innerMembers.toSet).isEmpty) Nil
+        else innerMembers.map(n =>
+          if (nResid.contains(n)) anchorRes(n, s0.name) else passRes)
+      val closerResCl: Seq[(SEvent, Double) => Boolean] =
+        if (nResid.intersect(closers.toSet).isEmpty) Nil
+        else closers.map(n =>
+          if (nResid.contains(n)) anchorRes(n, s0.name) else passRes)
+      // member index in the twins' vsnap / member_vals arrays: inner
+      // members first, then the closers in level order
+      def memberVIdx(n: String): Int =
+        innerIdx.getOrElse(n, innerMembers.size + closerOfVar(n))
       if (spec.allRows) {
         // ALL ROWS over a final nested group: the twins materialize every
         // committed bound event with its classifier and running per-level
         // counts (the batch <g>_rows payload) — the expansion is one
         // generator over the match row, plus the synthesized prefix row
-        require(valMembers.isEmpty, "streaming ALL ROWS over a nested " +
-          "group: per-row value snapshots are batch-only (the twins' rows " +
-          "carry classifiers and running counts)")
+        // per-row VALUE snapshots (r20, the m56 batch surface on the
+        // stream): the twins' materialized rows carry running per-member
+        // (sum/min/max/first/last/cnt) snapshots AS OF the row
+        val useVals = valMembers.nonEmpty
+        val onN = depth >= 3 || (depth == 2 && (useVals || nResid.nonEmpty))
         val innerPreds = innerMembers.map(slotPred)
         val firstP = slotPred(s0.name)
         val closerPreds = closers.map(slotPred)
-        val mdf: DataFrame = depth match {
+        val mdf: DataFrame =
+          if (onN) StreamOps.cepPatternNestedNGroup(tagged(), wmDelay, firstP,
+            innerPreds, closerPreds, withinMs, maxPartials,
+            innerOptional = g.innerStar, materializeRows = true,
+            innerNames = innerMembers, closerNames = closers,
+            rowValues = useVals, thresholdOf = thrOf,
+            innerRes = innerResCl, closerRes = closerResCl).toDF()
+          else depth match {
           case 1 => StreamOps.cepPatternNestedGroup(tagged(), wmDelay, firstP,
             innerPreds, closerPreds.head, withinMs, maxPartials,
             materializeRows = true, innerNames = innerMembers,
-            tailName = closers.head, innerOptional = g.innerStar).toDF()
-          case 2 => StreamOps.cepPatternNested2Group(tagged(), wmDelay, firstP,
+            tailName = closers.head, innerOptional = g.innerStar,
+            rowValues = useVals, thresholdOf = thrOf, innerRes = innerResCl,
+            tailRes = if (nResid.contains(closers.head))
+              anchorRes(closers.head, s0.name) else null).toDF()
+          case _ => StreamOps.cepPatternNested2Group(tagged(), wmDelay, firstP,
             innerPreds, closerPreds.head, closerPreds(1), withinMs,
             maxPartials, materializeRows = true, innerNames = innerMembers,
             midName = closers.head, tailName = closers(1),
             innerOptional = g.innerStar).toDF()
-          case _ => StreamOps.cepPatternNestedNGroup(tagged(), wmDelay, firstP,
-            innerPreds, closerPreds, withinMs, maxPartials,
-            innerOptional = g.innerStar, materializeRows = true,
-            innerNames = innerMembers, closerNames = closers).toDF()
         }
         val finalInner = innerMembers.last
         // running count of the member's own unit as of the row — the
@@ -3343,7 +3488,7 @@ object MatchRecognize {
             r.map(_.getField("reps")).getOrElse(lit(0L))
           else closerOfVar.get(n) match {
             case Some(l) =>
-              if (depth <= 2) r.map(_.getField("mids")).getOrElse(lit(0L))
+              if (!onN) r.map(_.getField("mids")).getOrElse(lit(0L))
               else r.map(rr => element_at(rr.getField("level_counts"),
                 depth - 1 - l)).getOrElse(lit(0L))
             case None =>
@@ -3361,6 +3506,28 @@ object MatchRecognize {
               mm.fn.exists(f => f == "FIRST" || f == "LAST")),
               s"prefix variable ${s0.name}: bare/FIRST/LAST timestamps only")
             col("first_ts")
+          } else if (mm.field != "ts" && valMembers.contains(mm.varName)) {
+            // running VALUE snapshots per row (r20, the batch m56 recipe):
+            // resolved from the twins' per-row vsnap member aggregates;
+            // null / 0 on the synthesized prefix row (the batch convention)
+            val mv = r.map(rr => element_at(rr.getField("vsnap"),
+              memberVIdx(mm.varName) + 1))
+            def fld(f: String): Column =
+              mv.map(_.getField(f)).getOrElse(lit(null).cast("double"))
+            def cntF: Column = mv.map(_.getField("cnt")).getOrElse(lit(0L))
+            mm.fn match {
+              case Some("SUM") => fld("sum")
+              case Some("MIN") => fld("mn")
+              case Some("MAX") => fld("mx")
+              case Some("FIRST") => fld("first")
+              case Some("LAST") => fld("last")
+              case Some("AVG") => fld("sum") / cntF
+              case Some("COUNT") => cntF
+              case other => sys.error(s"ALL ROWS over nested group " +
+                s"${g.name}: running SUM/COUNT/AVG/MIN/MAX/FIRST/LAST are " +
+                s"the member VALUE measures — got ${fnName(mm)}" +
+                s"(${mm.varName}.${mm.field})")
+            }
           } else {
             require(mm.fn.contains("COUNT") && mm.field == "ts",
               s"streaming ALL ROWS over nested group ${g.name}: running " +
@@ -3375,15 +3542,12 @@ object MatchRecognize {
           struct(r.getField("cls").as("cls") +: r.getField("ts").as("ts") +:
             spec.measures.map(m => rowMeasure(m, Some(r)).as(m.alias)): _*))
         val rowCols = Seq("cls", "ts") ++ spec.measures.map(_.alias)
-        return mdf.select(keyBack,
-            explode(concat(array(prefixStruct), memberRows)).as("__r"))
-          .select(col(keyName) +: rowCols.map(n => col(s"__r.$n").as(n)): _*)
+        return mdf.select(keyBack :+
+            explode(concat(array(prefixStruct), memberRows)).as("__r"): _*)
+          .select(spec.partitionBy.map(col) ++
+            rowCols.map(n => col(s"__r.$n").as(n)): _*)
       }
       val useNVals = valMembers.nonEmpty
-      // member index in the N twin's member_vals: inner members first,
-      // then the closers in level order
-      def memberVIdx(n: String): Int =
-        innerIdx.getOrElse(n, innerMembers.size + closerOfVar(n))
       def tsBoundary(mm: Measure): Column = mm.fn match {
         case Some("FIRST") =>
           require(mm.varName == g.name || mm.varName == innerMembers.head,
@@ -3406,7 +3570,9 @@ object MatchRecognize {
       // route (depth 4, or any bindValues depth) reads level_counts
       // (intermediate levels OUTERMOST FIRST: closer level l sits at
       // 1-based position depth-1-l); the fixed-depth twins name them.
-      val onNTwin = useNVals || depth >= 4
+      // residuals at depth >= 2 also need the N twin (the fixed depth-2/3
+      // twins carry no per-partial threshold)
+      val onNTwin = useNVals || depth >= 4 || (nResid.nonEmpty && depth >= 2)
       def countCol(n: String): Column =
         if (n == closers.last) col("n_reps")
         else if (onNTwin) closerOfVar.get(n) match {
@@ -3425,11 +3591,16 @@ object MatchRecognize {
         if (onNTwin && depth >= 2)
           StreamOps.cepPatternNestedNGroup(tagged(), wmDelay, firstP,
             innerPreds, closerPreds, withinMs, maxPartials,
-            innerOptional = g.innerStar, bindValues = useNVals).toDF()
+            innerOptional = g.innerStar, bindValues = useNVals,
+            thresholdOf = thrOf, innerRes = innerResCl,
+            closerRes = closerResCl).toDF()
         else depth match {
           case 1 => StreamOps.cepPatternNestedGroup(tagged(), wmDelay, firstP,
             innerPreds, closerPreds.head, withinMs, maxPartials,
-            innerOptional = g.innerStar).toDF()
+            innerOptional = g.innerStar,
+            thresholdOf = thrOf, innerRes = innerResCl,
+            tailRes = if (nResid.contains(closers.head))
+              anchorRes(closers.head, s0.name) else null).toDF()
           case 2 => StreamOps.cepPatternNested2Group(tagged(), wmDelay, firstP,
             innerPreds, closerPreds.head, closerPreds(1), withinMs, maxPartials,
             innerOptional = g.innerStar).toDF()

@@ -27,7 +27,7 @@ package graft.queries
   * closer (level 1 innermost punctuation, level `depth` the outer tail).
   * Output columns: user_id, signup_ts, grp_first_ts, grp_last_ts,
   * n_outer, n_mid{depth-1} .. n_mid2, n_mid, n_inner. */
-private[queries] object NestedOracle {
+private[graft] object NestedOracle {
   def countWalk(depth: Int, withinHours: Int,
                 anchorPred: String, bPred: String, cPred: String,
                 closerPreds: Seq[String]): String = {

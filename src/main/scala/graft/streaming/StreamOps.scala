@@ -21,7 +21,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 // State/row types live at package level: Janino-generated encoder code cannot
 // construct nested-in-object (outer-pointer) case classes.
-case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+/** The cep twins' event. `skey` (r20) carries the collision-free rendering
+  * of a COMPOSITE / non-integral partition key (the batch
+  * `Pattern.keyString` length-prefix format); the twins group on
+  * `(user_id, skey)` and surface it back on their match rows, so the
+  * default "" keeps every long-keyed call site byte-identical. */
+case class Event(user_id: Long, ts: Timestamp, event_type: String,
+                 value: Double, skey: String = "")
 case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp,
                       n: Long, sum_value: Double)
 case class PairOut(user_id: Long, first_ts: Timestamp, second_ts: Timestamp)
@@ -39,7 +45,8 @@ case class Partial(boundMs: List[Long]) // bound step times, newest first
 case class CepPatternAcc(partials: List[Partial],
                          pending: List[Partial] = Nil,
                          lastEndMs: Long = Long.MinValue)
-case class PatternMatch(user_id: Long, step_ts: Seq[Timestamp])
+case class PatternMatch(user_id: Long, step_ts: Seq[Timestamp],
+                        skey: String = "")
 // general-step partials: bound times + branch classifiers (newest first;
 // Long.MinValue marks a SKIPPED optional step) and, for a pending STRICT
 // step, the successor event time observed so far (-1 = none yet). `guards`
@@ -61,12 +68,14 @@ case class ExPartial(boundMs: List[Long], cls: List[String], succMs: Long,
 // once the watermark passes the window end (no guard event can then arrive)
 case class CepExAcc(partials: List[ExPartial], pending: List[ExPartial] = Nil)
 case class ExMatch(user_id: Long, step_ts: Seq[Timestamp], step_cls: Seq[String],
-                   step_value: Seq[Option[Double]] = Nil)
+                   step_value: Seq[Option[Double]] = Nil,
+                   skey: String = "")
 // iterative-condition partials carry the full bound events (newest first) so
 // later step predicates can reference them — O(steps) state per partial
 case class IterPartial(bound: List[Event])
 case class CepIterAcc(partials: List[IterPartial])
-case class IterMatch(user_id: Long, step_ts: Seq[Timestamp], step_value: Seq[Double])
+case class IterMatch(user_id: Long, step_ts: Seq[Timestamp], step_value: Seq[Double],
+                     skey: String = "")
 // oneOrMore runs carry only first/last/count plus running value aggregates
 // (sum/min/max and the first/last member's value — the batch bindRun
 // columns) — O(1) state per partial
@@ -79,7 +88,10 @@ case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
                       maxVal: Double = 0.0, firstVal: Double = 0.0,
                       lastVal: Double = 0.0, stopped: Boolean = false,
                       bCounts: List[Long] = Nil,
-                      mems: List[Long] = Nil)
+                      mems: List[Long] = Nil,
+                      // iterative (relative) residual threshold — the
+                      // anchor's value, read once when the partial opens
+                      thr: Double = 0.0)
 // a held EMPTY-run candidate (zeroOrMore): the earliest close-event seen
 // while no run member existed — valid only if no member EVER arrives in the
 // window, so it emits at window expiry and is invalidated by a run start
@@ -112,7 +124,8 @@ case class VRunAcc(partials: List[VRunPartial], buf: List[BufEv] = Nil,
                    recent: List[Double] = Nil)
 case class VRunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                      run_last_ts: Timestamp, run_n: Long, run_first_value: Double,
-                     run_last_value: Double, last_ts: Timestamp)
+                     run_last_value: Double, last_ts: Timestamp,
+                     skey: String = "")
 // value aggregates are Option so an EMPTY run (zeroOrMore) emits nulls —
 // matching the batch compile's left-join nulls, not a fake 0.0
 case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
@@ -123,7 +136,8 @@ case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                     run_first_value: Option[Double] = None,
                     run_last_value: Option[Double] = None,
                     branch_counts: Seq[Long] = Nil,
-                    run_members: Seq[Timestamp] = Nil)
+                    run_members: Seq[Timestamp] = Nil,
+                    skey: String = "")
 // group-pattern (sub)+ partials: the greedy repetition chain is causal in
 // event-time order (events are watermark-finalized before processing, see
 // BufEv), so state is O(1) per partial — current sub-step index + the
@@ -178,7 +192,8 @@ case class TwoRunMatch(user_id: Long, first_ts: Timestamp,
 // one materialized bound event of the nested chain (ts in epoch ms inside
 // state, Timestamp on the output row): classifier + running counts as of
 // the row — the batch `<g>_rows` struct
-case class NestRow(ms: Long, cls: String, reps: Long, subs: Long)
+case class NestRow(ms: Long, cls: String, reps: Long, subs: Long,
+                   v: Double = 0.0)
 case class NestPartial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
                        curStartMs: Long = -1L, inSubLastMs: Long = -1L,
                        lastCompMs: Long = -1L, curSubs: Long = 0L,
@@ -191,12 +206,23 @@ case class NestPartial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
                        // and the match's committed rows — window-bounded
                        curSubRows: List[NestRow] = Nil,
                        curRepRows: List[NestRow] = Nil,
-                       doneRows: List[NestRow] = Nil)
+                       doneRows: List[NestRow] = Nil,
+                       // iterative (relative) residual threshold — the
+                       // anchor's value, read once when the partial opens
+                       // (the NestIterPartial design, generalized r20)
+                       thr: Double = 0.0)
 case class NestAcc(partials: List[NestPartial], buf: List[BufEv] = Nil)
-case class NestOutRow(ts: Timestamp, cls: String, reps: Long, subs: Long)
+// vsnap (r20, per-row value snapshots under ALL ROWS): one running
+// (sum/min/max/first/last/cnt) aggregate per tracked member AS OF the row —
+// computed at emit over the committed row list (the batch commit-at-absorb
+// discipline makes that exactly the walk's snapshot: discarded speculations
+// never enter the committed list)
+case class NestOutRow(ts: Timestamp, cls: String, reps: Long, subs: Long,
+                      vsnap: Seq[Nest2Vals] = Nil)
 case class NestMatch(user_id: Long, first_ts: Timestamp, grp_first_ts: Timestamp,
                      grp_last_ts: Timestamp, n_reps: Long, n_inner: Long,
-                     rows: Seq[NestOutRow] = Nil)
+                     rows: Seq[NestOutRow] = Nil,
+                     skey: String = "")
 // DEPTH-2 nested group (((I...)+ M)+ T)+ partial (the m39 batch shape):
 // the depth-1 NestPartial plus ONE more level of bookkeeping — completed
 // level-1 repetitions in the current outer repetition (curMids /
@@ -248,13 +274,15 @@ case class Nest2Match(user_id: Long, first_ts: Timestamp,
                       rows: Seq[Nest2OutRow] = Nil,
                       v_sum: Option[Double] = None, v_min: Option[Double] = None,
                       v_max: Option[Double] = None, v_first: Option[Double] = None,
-                      v_last: Option[Double] = None, v_cnt: Long = 0L)
+                      v_last: Option[Double] = None, v_cnt: Long = 0L,
+                      skey: String = "")
 // DEPTH-3 nested group match — emitted by cepPatternNested3Group, which
 // delegates to the depth-parametric cepPatternNestedNGroup (one state
 // machine; this is just the named-columns output shape)
 case class Nest3Match(user_id: Long, first_ts: Timestamp,
                       grp_first_ts: Timestamp, grp_last_ts: Timestamp,
-                      n_reps: Long, n_mids2: Long, n_mids: Long, n_inner: Long)
+                      n_reps: Long, n_mids2: Long, n_mids: Long, n_inner: Long,
+                      skey: String = "")
 // DEPTH-N nested group partial (the followedByNestedNGroup twin): the
 // per-level bookkeeping held as sequences — accs(l) = counts of units
 // 0..l inside the CURRENT in-progress level-(l+1) repetition (unit-0 =
@@ -265,9 +293,11 @@ case class Nest3Match(user_id: Long, first_ts: Timestamp,
 // one materialized bound event of the depth-N chain: classifier + running
 // counts as of the row, INNERMOST FIRST internally (counts(j) = unit-j
 // total; the output row reverses to the batch outermost-first order)
-case class NestNRow(ms: Long, cls: String, counts: List[Long])
+case class NestNRow(ms: Long, cls: String, counts: List[Long],
+                    v: Double = 0.0)
 case class NestNOutRow(ts: Timestamp, cls: String, reps: Long,
-                       level_counts: Seq[Long], subs: Long)
+                       level_counts: Seq[Long], subs: Long,
+                       vsnap: Seq[Nest2Vals] = Nil)
 case class NestNPartial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
                         curStartMs: Long = -1L, inSubLastMs: Long = -1L,
                         accs: List[List[Long]] = Nil,
@@ -285,13 +315,17 @@ case class NestNPartial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
                         // closers) — the batch bindGroup surface; merged /
                         // discarded exactly like the counts
                         vals: List[List[Nest2Vals]] = Nil,
-                        cVals: List[Nest2Vals] = Nil)
+                        cVals: List[Nest2Vals] = Nil,
+                        // iterative (relative) residual threshold — the
+                        // anchor's value, read once when the partial opens
+                        thr: Double = 0.0)
 case class NestNAcc(partials: List[NestNPartial], buf: List[BufEv] = Nil)
 case class NestNMatch(user_id: Long, first_ts: Timestamp,
                       grp_first_ts: Timestamp, grp_last_ts: Timestamp,
                       n_reps: Long, level_counts: Seq[Long], n_inner: Long,
                       rows: Seq[NestNOutRow] = Nil,
-                      member_vals: Seq[Nest2Vals] = Nil)
+                      member_vals: Seq[Nest2Vals] = Nil,
+                      skey: String = "")
 // iterative-INNER nested group ((I...)+ T)+ partial with a PER-PARTIAL
 // residual threshold (the m49 batch shape on the stream): the anchor's
 // threshold tuple is known the moment its partial opens — ONE double per
@@ -316,7 +350,8 @@ case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
                     rep_max_value: Option[Double] = None,
                     rep_first_value: Option[Double] = None,
                     rep_last_value: Option[Double] = None,
-                    rep_members: Seq[Seq[Timestamp]] = Nil)
+                    rep_members: Seq[Seq[Timestamp]] = Nil,
+                    skey: String = "")
 case class TjTagged(user_id: Long, ts: Timestamp, side: String,
                     event_type: String, value: Double)
 case class TjFact(tsMs: Long, event_type: String, value: Double)
@@ -860,14 +895,15 @@ object StreamOps {
     require(steps.size >= 2, "a pattern needs at least two steps")
     implicit val outEnc = Encoders.product[PatternMatch]
     implicit val accEnc = Encoders.product[CepPatternAcc]
-    implicit val keyEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     // `initialState`: BootstrapTransformation analog for the CEP shape —
     // each (key, CepPatternAcc) seeds that key's OPEN PARTIAL MATCHES (and
     // skip-past-last frontier) before the first batch, as if restored from
     // a prior run's checkpoint: a seeded partial completes from live events
     // exactly where the prior run left off. Seeded keys emit on their next
     // event; seeding alone schedules no timer (checkpoint-restore parity).
-    val fn = (userId: Long, rows: Iterator[Event], state: GroupState[CepPatternAcc]) => {
+    val fn = (gkey: (Long, String), rows: Iterator[Event], state: GroupState[CepPatternAcc]) => {
+          val userId = gkey._1
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           var pending = state.getOption.map(_.pending).getOrElse(Nil)
           var lastEnd = state.getOption.map(_.lastEndMs).getOrElse(Long.MinValue)
@@ -927,14 +963,18 @@ object StreamOps {
               (partials.map(_.boundMs.last + withinMs) ++
                 pending.map(_.boundMs.last + withinMs)).min)
           }
-          out.result().iterator
+          if (gkey._2.isEmpty) out.result().iterator
+          else out.result().map(_.copy(skey = gkey._2)).iterator
     }
-    val grouped = tsWatermarked(events, watermark).groupByKey(_.user_id)
+    val grouped = tsWatermarked(events, watermark)
+      .groupByKey(e => (e.user_id, e.skey))
     initialState match {
       case Some(init) =>
+        // savepoint-seeded state is long-keyed (composite keys have no
+        // savepoint surface)
         grouped.flatMapGroupsWithState[CepPatternAcc, PatternMatch](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout,
-          init.groupByKey(_._1).mapValues(_._2))(fn)
+          init.groupByKey(r => (r._1, "")).mapValues(_._2))(fn)
       case None =>
         grouped.flatMapGroupsWithState[CepPatternAcc, PatternMatch](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
@@ -1070,12 +1110,13 @@ object StreamOps {
           if (ms == Skip) None else Some(v)))
     implicit val outEnc = Encoders.product[ExMatch]
     implicit val accEnc = Encoders.product[CepExAcc]
-    implicit val keyEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     tsWatermarked(events, watermark)
-      .groupByKey(_.user_id)
+      .groupByKey(e => (e.user_id, e.skey))
       .flatMapGroupsWithState[CepExAcc, ExMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[CepExAcc]) =>
+        (gkey: (Long, String), rows: Iterator[Event], state: GroupState[CepExAcc]) =>
+          val userId = gkey._1
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           var pending = state.getOption.map(_.pending).getOrElse(Nil)
           val out = Seq.newBuilder[ExMatch]
@@ -1191,7 +1232,8 @@ object StreamOps {
                   else end
                 }).min)
           }
-          out.result().iterator
+          if (gkey._2.isEmpty) out.result().iterator
+          else out.result().map(_.copy(skey = gkey._2)).iterator
       }
   }
 
@@ -1211,12 +1253,13 @@ object StreamOps {
     require(steps.size >= 2, "a pattern needs at least two steps")
     implicit val outEnc = Encoders.product[IterMatch]
     implicit val accEnc = Encoders.product[CepIterAcc]
-    implicit val keyEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     tsWatermarked(events, watermark)
-      .groupByKey(_.user_id)
+      .groupByKey(e => (e.user_id, e.skey))
       .flatMapGroupsWithState[CepIterAcc, IterMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[CepIterAcc]) =>
+        (gkey: (Long, String), rows: Iterator[Event], state: GroupState[CepIterAcc]) =>
+          val userId = gkey._1
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           val out = Seq.newBuilder[IterMatch]
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
@@ -1246,7 +1289,8 @@ object StreamOps {
             state.setTimeoutTimestamp(
               partials.map(_.bound.last.ts.getTime + withinMs).min)
           }
-          out.result().iterator
+          if (gkey._2.isEmpty) out.result().iterator
+          else out.result().map(_.copy(skey = gkey._2)).iterator
       }
   }
 
@@ -1450,9 +1494,21 @@ object StreamOps {
                           branchPreds: Seq[Event => Boolean] = Nil,
                           tieOf: Event => Double = _.value,
                           materializeRows: Boolean = false,
-                          minRun: Int = 1): Dataset[RunMatch] = {
+                          minRun: Int = 1,
+                          thresholdOf: Event => Double = null,
+                          runRes: (Event, Double) => Boolean = null,
+                          lastRes: (Event, Double) => Boolean = null): Dataset[RunMatch] = {
     require(!(consecutive && (untilPred.nonEmpty || allowEmpty)),
       "consecutive excludes until/allowEmpty (the batch consecutive() surface)")
+    // iterative (relative) residuals against the match's own anchor (r20,
+    // the cepPatternNestedGroupIter design on the run twin — reference
+    // flink-cep IterativeCondition.java composes with every quantifier):
+    // the threshold is read once when the partial opens; a run member /
+    // close candidate must additionally satisfy its residual against it
+    require((runRes == null && lastRes == null) || thresholdOf != null,
+      "residual conditions need thresholdOf")
+    require(runRes == null || !consecutive,
+      "run residuals compose with the plain (non-consecutive) run path")
     // minRun > 1 is Pattern.timesOrMore's streaming twin: a start whose
     // maximal run holds fewer than minRun members never matches. The engine
     // emits one match per start with no skip-strategy interplay, so the
@@ -1467,12 +1523,13 @@ object StreamOps {
       "branch counts compose with the plain run path only")
     implicit val outEnc = Encoders.product[RunMatch]
     implicit val accEnc = Encoders.product[RunAcc]
-    implicit val keyEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val matches = tsWatermarked(events, watermark)
-      .groupByKey(_.user_id)
+      .groupByKey(e => (e.user_id, e.skey))
       .flatMapGroupsWithState[RunAcc, RunMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[RunAcc]) =>
+        (gkey: (Long, String), rows: Iterator[Event], state: GroupState[RunAcc]) =>
+          val userId = gkey._1
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           var emptyPending = state.getOption.map(_.emptyPending).getOrElse(Nil)
           val out = Seq.newBuilder[RunMatch]
@@ -1528,9 +1585,13 @@ object StreamOps {
               val hit = branchPreds.indexWhere(_(e))
               if (hit < 0) base else base.updated(hit, base(hit) + 1L)
             }
+            def lastOk(p: RunPartial): Boolean =
+              lastPred(e) && (lastRes == null || lastRes(e, p.thr))
+            def runOk(p: RunPartial): Boolean =
+              runPred(e) && (runRes == null || runRes(e, p.thr))
             partials = partials.flatMap { p =>
               if (t > p.firstMs + withinMs) None // window expired
-              else if (lastPred(e) && p.runFirstMs >= 0 && t > p.runFirstMs) {
+              else if (lastOk(p) && p.runFirstMs >= 0 && t > p.runFirstMs) {
                 out += RunMatch(userId, new Timestamp(p.firstMs),
                   new Timestamp(p.runFirstMs), new Timestamp(p.runLastMs),
                   p.runN, new Timestamp(t), Some(p.sumVal), Some(p.minVal),
@@ -1538,7 +1599,7 @@ object StreamOps {
                   if (branchPreds.isEmpty) Nil else p.bCounts,
                   if (!materializeRows) Nil else p.mems.map(new Timestamp(_)))
                 None // completed
-              } else if (lastPred(e) && p.runFirstMs < 0 && allowEmpty && t > p.firstMs) {
+              } else if (lastOk(p) && p.runFirstMs < 0 && allowEmpty && t > p.firstMs) {
                 // hold the EARLIEST empty-run close; a run start invalidates
                 // it, window expiry emits it
                 if (!emptyPending.exists(_.firstMs == p.firstMs))
@@ -1546,7 +1607,7 @@ object StreamOps {
                 Some(p) // the run may still start
               } else if (untilPred.exists(_(e)) && p.runFirstMs >= 0 && t > p.runFirstMs) {
                 Some(p.copy(stopped = true)) // run stops accepting members
-              } else if (runPred(e) && t > p.firstMs && !p.stopped) {
+              } else if (runOk(p) && t > p.firstMs && !p.stopped) {
                 if (p.runFirstMs < 0) {
                   // a member exists: the batch compile binds the run, so the
                   // empty-run candidate for this start is invalid
@@ -1571,7 +1632,9 @@ object StreamOps {
               } else Some(p)
             }
             if (firstPred(e))
-              partials = (RunPartial(t, -1L, -1L, 0L) :: partials).take(maxPartials)
+              partials = (RunPartial(t, -1L, -1L, 0L,
+                thr = if (thresholdOf == null) 0.0 else thresholdOf(e))
+                :: partials).take(maxPartials)
           }
           // STRICT comparisons: an event AT the window-end time may still be
           // buffered (finalization is ms < wm), and it could start/extend a
@@ -1593,7 +1656,8 @@ object StreamOps {
                 emptyPending.map(_.firstMs + withinMs) ++
                 held.map(_.ms)).min))
           }
-          out.result().iterator
+          if (gkey._2.isEmpty) out.result().iterator
+          else out.result().map(_.copy(skey = gkey._2)).iterator
       }
     if (minRun == 1) matches else matches.filter(_.run_n >= minRun)
   }
@@ -1626,12 +1690,13 @@ object StreamOps {
     require(offset >= 1, s"offset must be >= 1 (got $offset)")
     implicit val outEnc = Encoders.product[VRunMatch]
     implicit val accEnc = Encoders.product[VRunAcc]
-    implicit val keyEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     tsWatermarked(events, watermark)
-      .groupByKey(_.user_id)
+      .groupByKey(e => (e.user_id, e.skey))
       .flatMapGroupsWithState[VRunAcc, VRunMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[VRunAcc]) =>
+        (gkey: (Long, String), rows: Iterator[Event], state: GroupState[VRunAcc]) =>
+          val userId = gkey._1
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           // offset > 1 (PREV(col, n)): the n-back window spans the whole
           // key-global SEGMENT (batch parity — the segment can begin before
@@ -1711,7 +1776,8 @@ object StreamOps {
             state.setTimeoutTimestamp(math.max(wm + 1,
               (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }
-          out.result().iterator
+          if (gkey._2.isEmpty) out.result().iterator
+          else out.result().map(_.copy(skey = gkey._2)).iterator
       }
   }
 
@@ -1755,12 +1821,13 @@ object StreamOps {
     require(valueSubIdx < subPreds.size, s"valueSubIdx $valueSubIdx out of range")
     implicit val outEnc = Encoders.product[GrpMatch]
     implicit val accEnc = Encoders.product[GrpAcc]
-    implicit val keyEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     tsWatermarked(events, watermark)
-      .groupByKey(_.user_id)
+      .groupByKey(e => (e.user_id, e.skey))
       .flatMapGroupsWithState[GrpAcc, GrpMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[GrpAcc]) =>
+        (gkey: (Long, String), rows: Iterator[Event], state: GroupState[GrpAcc]) =>
+          val userId = gkey._1
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           val out = Seq.newBuilder[GrpMatch]
           def emit(p: GrpPartial): Unit =
@@ -1864,7 +1931,8 @@ object StreamOps {
             state.setTimeoutTimestamp(math.max(wm + 1,
               (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }
-          out.result().iterator
+          if (gkey._2.isEmpty) out.result().iterator
+          else out.result().map(_.copy(skey = gkey._2)).iterator
       }
   }
 
@@ -1973,6 +2041,17 @@ object StreamOps {
     * processing order — the established twin convention (batch ties
     * favor the tail via its strict inequalities); same-ms corpora can
     * diverge there, as with every other cep twin. */
+  /** `rowValues` (r20): each materialized row additionally carries the
+    * running per-member value snapshots AS OF the row (`vsnap`, indexed
+    * inner members then the tail) — computed at emit over the committed
+    * row list, which the batch commit-at-absorb discipline makes exactly
+    * the walk's snapshot. `thresholdOf`/`innerRes`/`tailRes` (r20, the
+    * [[cepPatternNestedGroupIter]] design generalized): iterative
+    * (relative) residual conditions against the match's OWN anchor — the
+    * threshold is read once when the partial opens, and a member/tail
+    * candidate must additionally satisfy its residual against it
+    * (reference flink-cep IterativeCondition.java composes with every
+    * quantifier). */
   def cepPatternNestedGroup(events: Dataset[Event], watermark: String,
                             firstPred: Event => Boolean,
                             innerPreds: Seq[Event => Boolean],
@@ -1982,18 +2061,31 @@ object StreamOps {
                             innerNames: Seq[String] = Nil,
                             tailName: String = "T",
                             tieOf: Event => Double = _.value,
-                            innerOptional: Boolean = false): Dataset[NestMatch] = {
+                            innerOptional: Boolean = false,
+                            rowValues: Boolean = false,
+                            thresholdOf: Event => Double = null,
+                            innerRes: Seq[(Event, Double) => Boolean] = Nil,
+                            tailRes: (Event, Double) => Boolean = null): Dataset[NestMatch] = {
     require(innerPreds.size >= 2, "the inner sub-group needs at least two steps")
     require(!materializeRows || innerNames.size == innerPreds.size,
       "materializeRows needs one classifier name per inner step")
+    require(!rowValues || materializeRows,
+      "rowValues rides the materialized rows")
+    require(innerRes.isEmpty || innerRes.size == innerPreds.size,
+      "innerRes needs one residual (or pass-through) per inner step")
+    require((innerRes.isEmpty && tailRes == null) || thresholdOf != null,
+      "residual conditions need thresholdOf")
     implicit val outEnc = Encoders.product[NestMatch]
     implicit val accEnc = Encoders.product[NestAcc]
-    implicit val keyEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val memberIdx: Map[String, Int] =
+      if (!rowValues) Map.empty else (innerNames :+ tailName).zipWithIndex.toMap
     tsWatermarked(events, watermark)
-      .groupByKey(_.user_id)
+      .groupByKey(e => (e.user_id, e.skey))
       .flatMapGroupsWithState[NestAcc, NestMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[NestAcc]) =>
+        (gkey: (Long, String), rows: Iterator[Event], state: GroupState[NestAcc]) =>
+          val userId = gkey._1
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           val out = Seq.newBuilder[NestMatch]
           def emit(p: NestPartial): Unit =
@@ -2001,8 +2093,16 @@ object StreamOps {
               new Timestamp(p.gFirstMs), new Timestamp(p.lastTailMs),
               p.reps, p.innerTot,
               if (!materializeRows) Nil
-              else p.doneRows.reverse.map(r =>
-                NestOutRow(new Timestamp(r.ms), r.cls, r.reps, r.subs)))
+              else if (!rowValues) p.doneRows.reverse.map(r =>
+                NestOutRow(new Timestamp(r.ms), r.cls, r.reps, r.subs))
+              else {
+                var cur = Vector.fill(memberIdx.size)(Nest2Vals())
+                p.doneRows.reverse.map { r =>
+                  val i = memberIdx(r.cls)
+                  cur = cur.updated(i, cur(i).add(r.v))
+                  NestOutRow(new Timestamp(r.ms), r.cls, r.reps, r.subs, cur)
+                }
+              })
           val wm = state.getCurrentWatermarkMs()
           val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
             rows.map(e => BufEv(e.ts.getTime, e.event_type, e.value))
@@ -2025,6 +2125,7 @@ object StreamOps {
                   else if (p.curSubs > 0) p.lastCompMs
                   else math.max(p.lastTailMs, p.firstMs)
                 if (p.subIdx < innerPreds.size && innerPreds(p.subIdx)(e) &&
+                    (innerRes.isEmpty || innerRes(p.subIdx)(e, p.thr)) &&
                     t > anchor) {
                   if (p.subIdx == innerPreds.size - 1) {
                     // inner sub-sequence completes: absorb into the chain;
@@ -2034,7 +2135,7 @@ object StreamOps {
                     val repRows =
                       if (!materializeRows) Nil
                       else NestRow(t, innerNames.last, p.reps,
-                        p.innerTot + p.curSubs + 1) ::
+                        p.innerTot + p.curSubs + 1, e.value) ::
                         (p.curSubRows ::: p.curRepRows)
                     Some(p.copy(
                       gFirstMs = if (firstOfMatch) p.curStartMs else p.gFirstMs,
@@ -2045,12 +2146,14 @@ object StreamOps {
                     Some(p.copy(subIdx = 1, curStartMs = t, inSubLastMs = t,
                       curSubRows = if (!materializeRows) Nil
                         else List(NestRow(t, innerNames.head, p.reps,
-                          p.innerTot + p.curSubs))))
+                          p.innerTot + p.curSubs, e.value))))
                   else Some(p.copy(subIdx = p.subIdx + 1, inSubLastMs = t,
                     curSubRows = if (!materializeRows) Nil
                       else NestRow(t, innerNames(p.subIdx), p.reps,
-                        p.innerTot + p.curSubs) :: p.curSubRows))
-                } else if (tailPred(e) && (p.curSubs >= 1 || innerOptional) &&
+                        p.innerTot + p.curSubs, e.value) :: p.curSubRows))
+                } else if (tailPred(e) &&
+                    (tailRes == null || tailRes(e, p.thr)) &&
+                    (p.curSubs >= 1 || innerOptional) &&
                     t > (if (p.curSubs >= 1) p.lastCompMs
                          else math.max(p.lastTailMs, p.firstMs))) {
                   // the tail closes the repetition; an in-progress sub is
@@ -2068,13 +2171,15 @@ object StreamOps {
                     curSubRows = Nil, curRepRows = Nil,
                     doneRows = if (!materializeRows) Nil
                       else NestRow(t, tailName, p.reps + 1,
-                        p.innerTot + p.curSubs) ::
+                        p.innerTot + p.curSubs, e.value) ::
                         (p.curRepRows ::: p.doneRows)))
                 } else Some(p)
               }
             }
             if (firstPred(e))
-              partials = (NestPartial(t) :: partials).take(maxPartials)
+              partials = (NestPartial(t,
+                thr = if (thresholdOf == null) 0.0 else thresholdOf(e))
+                :: partials).take(maxPartials)
           }
           // strict: expiry is final only once the watermark strictly
           // passes the window end (an event AT the end may be buffered)
@@ -2087,7 +2192,8 @@ object StreamOps {
             state.setTimeoutTimestamp(math.max(wm + 1,
               (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }
-          out.result().iterator
+          if (gkey._2.isEmpty) out.result().iterator
+          else out.result().map(_.copy(skey = gkey._2)).iterator
       }
   }
 
@@ -2154,12 +2260,13 @@ object StreamOps {
       s"valueInnerIdx $valueInnerIdx out of range")
     implicit val outEnc = Encoders.product[Nest2Match]
     implicit val accEnc = Encoders.product[Nest2Acc]
-    implicit val keyEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     tsWatermarked(events, watermark)
-      .groupByKey(_.user_id)
+      .groupByKey(e => (e.user_id, e.skey))
       .flatMapGroupsWithState[Nest2Acc, Nest2Match](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[Nest2Acc]) =>
+        (gkey: (Long, String), rows: Iterator[Event], state: GroupState[Nest2Acc]) =>
+          val userId = gkey._1
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           val out = Seq.newBuilder[Nest2Match]
           def emit(p: Nest2Partial): Unit =
@@ -2296,7 +2403,8 @@ object StreamOps {
             state.setTimeoutTimestamp(math.max(wm + 1,
               (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }
-          out.result().iterator
+          if (gkey._2.isEmpty) out.result().iterator
+          else out.result().map(_.copy(skey = gkey._2)).iterator
       }
   }
 
@@ -2322,7 +2430,7 @@ object StreamOps {
       innerOptional)
       .map(m => Nest3Match(m.user_id, m.first_ts, m.grp_first_ts,
         m.grp_last_ts, m.n_reps, m.level_counts.head, m.level_counts(1),
-        m.n_inner))
+        m.n_inner, skey = m.skey))
   }
 
   /** Streaming DEPTH-N nested group — the twin of the depth-parametric
@@ -2364,7 +2472,11 @@ object StreamOps {
                              materializeRows: Boolean = false,
                              innerNames: Seq[String] = Nil,
                              closerNames: Seq[String] = Nil,
-                             bindValues: Boolean = false): Dataset[NestNMatch] = {
+                             bindValues: Boolean = false,
+                             rowValues: Boolean = false,
+                             thresholdOf: Event => Double = null,
+                             innerRes: Seq[(Event, Double) => Boolean] = Nil,
+                             closerRes: Seq[(Event, Double) => Boolean] = Nil): Dataset[NestNMatch] = {
     require(innerPreds.size >= 2, "the inner sub-group needs at least two steps")
     require(closerPreds.size >= 2,
       "a depth-N nested group needs at least TWO closing levels (depth 1 " +
@@ -2372,6 +2484,14 @@ object StreamOps {
     require(!materializeRows || (innerNames.size == innerPreds.size &&
       closerNames.size == closerPreds.size),
       "materializeRows needs one classifier name per inner step and per closer")
+    require(!rowValues || materializeRows,
+      "rowValues rides the materialized rows")
+    require(innerRes.isEmpty || innerRes.size == innerPreds.size,
+      "innerRes needs one residual (or pass-through) per inner step")
+    require(closerRes.isEmpty || closerRes.size == closerPreds.size,
+      "closerRes needs one residual (or pass-through) per closing level")
+    require((innerRes.isEmpty && closerRes.isEmpty) || thresholdOf != null,
+      "residual conditions need thresholdOf")
     val nD = closerPreds.size
     val nInner = innerPreds.size
     // tracked value members (bindValues): inner members 0..nInner-1 then
@@ -2379,7 +2499,7 @@ object StreamOps {
     val nMembers = nInner + nD
     implicit val outEnc = Encoders.product[NestNMatch]
     implicit val accEnc = Encoders.product[NestNAcc]
-    implicit val keyEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val zeroAccs: List[List[Long]] =
       (1 to nD).map(l => List.fill(l)(0L)).toList
     val zeroClose: List[Long] = List.fill(nD)(-1L)
@@ -2394,20 +2514,39 @@ object StreamOps {
     def addVal(vs: List[Nest2Vals], member: Int, v: Double): List[Nest2Vals] =
       vs.updated(member, vs(member).add(v))
     tsWatermarked(events, watermark)
-      .groupByKey(_.user_id)
+      .groupByKey(e => (e.user_id, e.skey))
       .flatMapGroupsWithState[NestNAcc, NestNMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[NestNAcc]) =>
+        (gkey: (Long, String), rows: Iterator[Event], state: GroupState[NestNAcc]) =>
+          val userId = gkey._1
           var partials = state.getOption.map(_.partials).getOrElse(Nil)
           val out = Seq.newBuilder[NestNMatch]
+          val rowMemberIdx: Map[String, Int] =
+            if (!rowValues) Map.empty
+            else (innerNames ++ closerNames).zipWithIndex.toMap
           def emit(p: NestNPartial): Unit =
             out += NestNMatch(userId, new Timestamp(p.firstMs),
               new Timestamp(p.gFirstMs), new Timestamp(p.lastTailMs),
               p.tot(nD), (nD - 1 to 1 by -1).map(p.tot(_)), p.tot.head,
               if (!materializeRows) Nil
-              else p.doneRows.reverse.map(r => NestNOutRow(new Timestamp(r.ms),
-                r.cls, r.counts(nD), (nD - 1 to 1 by -1).map(r.counts(_)),
-                r.counts.head)),
+              else if (!rowValues)
+                p.doneRows.reverse.map(r => NestNOutRow(new Timestamp(r.ms),
+                  r.cls, r.counts(nD), (nD - 1 to 1 by -1).map(r.counts(_)),
+                  r.counts.head))
+              else {
+                // per-row running member snapshots over the COMMITTED row
+                // list (exact: the commit-at-absorb discipline means a
+                // committed row's snapshot is the aggregate over committed
+                // rows at-or-before it; discarded speculations vanished
+                // with their rows)
+                var cur = Vector.fill(rowMemberIdx.size)(Nest2Vals())
+                p.doneRows.reverse.map { r =>
+                  val i = rowMemberIdx(r.cls)
+                  cur = cur.updated(i, cur(i).add(r.v))
+                  NestNOutRow(new Timestamp(r.ms), r.cls, r.counts(nD),
+                    (nD - 1 to 1 by -1).map(r.counts(_)), r.counts.head, cur)
+                }
+              },
               if (!bindValues) Nil else p.cVals)
           val wm = state.getCurrentWatermarkMs()
           val buf0 = state.getOption.map(_.buf).getOrElse(Nil) ++
@@ -2442,6 +2581,7 @@ object StreamOps {
                   while (l <= nD) {
                     val hasChild = p.accs(l - 1)(l - 1) >= 1
                     if (closerPreds(l - 1)(e) &&
+                        (closerRes.isEmpty || closerRes(l - 1)(e, p.thr)) &&
                         (hasChild || (l == 1 && innerOptional)) &&
                         t > (if (hasChild) p.lastClose(l - 1) else freshAnchor))
                       return l
@@ -2463,6 +2603,7 @@ object StreamOps {
                     p.tot(j) + acc + (if (inc && j == closeLvl) 1L else 0L)
                   }
                 if (p.subIdx < innerPreds.size && innerPreds(p.subIdx)(e) &&
+                    (innerRes.isEmpty || innerRes(p.subIdx)(e, p.thr)) &&
                     t > subAnchor) {
                   val vals1 =
                     if (!bindValues) Nil
@@ -2478,7 +2619,7 @@ object StreamOps {
                       if (!materializeRows) Nil
                       else {
                         val subRows = NestNRow(t, innerNames.last,
-                          rowCounts(0, inc = true)) ::
+                          rowCounts(0, inc = true), e.value) ::
                           (if (p.subIdx == 0) Nil else p.rowBufs.head)
                         p.rowBufs.updated(0, Nil)
                           .updated(1, subRows ::: p.rowBufs(1))
@@ -2496,7 +2637,8 @@ object StreamOps {
                     val bufs1 =
                       if (!materializeRows) Nil
                       else p.rowBufs.updated(0,
-                        NestNRow(t, innerNames(p.subIdx), rowCounts(0, inc = false)) ::
+                        NestNRow(t, innerNames(p.subIdx),
+                          rowCounts(0, inc = false), e.value) ::
                           (if (p.subIdx == 0) Nil else p.rowBufs.head))
                     if (p.subIdx == 0)
                       Some(p.copy(subIdx = 1, curStartMs = t, inSubLastMs = t,
@@ -2518,7 +2660,7 @@ object StreamOps {
                     val closedRows =
                       if (!materializeRows) Nil
                       else NestNRow(t, closerNames(l - 1),
-                        rowCounts(l, inc = true)) :: p.rowBufs(l)
+                        rowCounts(l, inc = true), e.value) :: p.rowBufs(l)
                     // the closer is itself a tracked member of the unit
                     val unitVals =
                       if (!bindValues) Nil
@@ -2570,7 +2712,9 @@ object StreamOps {
                 lastClose = zeroClose,
                 tot = List.fill(nD + 1)(0L),
                 rowBufs = zeroBufs, vals = zeroVals,
-                cVals = zeroMemberVals) :: partials).take(maxPartials)
+                cVals = zeroMemberVals,
+                thr = if (thresholdOf == null) 0.0 else thresholdOf(e))
+                :: partials).take(maxPartials)
           }
           val (expired, alive) = partials.partition(_.firstMs + withinMs < wm)
           expired.foreach(p => if (p.tot(nD) >= 1) emit(p))
@@ -2581,7 +2725,8 @@ object StreamOps {
             state.setTimeoutTimestamp(math.max(wm + 1,
               (partials.map(_.firstMs + withinMs) ++ held.map(_.ms)).min))
           }
-          out.result().iterator
+          if (gkey._2.isEmpty) out.result().iterator
+          else out.result().map(_.copy(skey = gkey._2)).iterator
       }
   }
 

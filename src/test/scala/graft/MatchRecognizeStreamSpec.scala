@@ -394,6 +394,116 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
           ev(1, 18, "purchase"), ev(1, 20, "click"), ev(1, 22, "view"))))
   }
 
+  // --- m57-class: depth-5 nested group through the SQL door (r20 — the
+  // recursive PATTERN parse; the streaming depth-N twin takes any depth) ---
+  test("stream parity: depth-5 nested group S ((((((B C)+ V)+ W)+ X)+ Y)+ Z)+") {
+    parity("mrs_depth5",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(Z.ts) AS grp_last_ts, COUNT(Z.ts) AS n_outer,
+        |           COUNT(Y.ts) AS n_mid4, COUNT(X.ts) AS n_mid3,
+        |           COUNT(W.ts) AS n_mid2, COUNT(V.ts) AS n_mid,
+        |           COUNT(B.ts) AS n_inner
+        |  PATTERN (S ((((((B C)+ V)+ W)+ X)+ Y)+ Z)+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'w', X AS event_type = 'x',
+        |         Y AS event_type = 'y', Z AS event_type = 'z'
+        |)""".stripMargin,
+      Seq(
+        // user 1: multiplicity at levels 1 (three V-reps) and 2 (two
+        // W-reps) — n_outer=1 n_mid4=1 n_mid3=1 n_mid2=2 n_mid=3 n_inner=4
+        Seq(ev(1, 0, "signup"), ev(1, 2, "click"), ev(1, 4, "view"),
+          ev(1, 6, "click"), ev(1, 8, "view"), ev(1, 10, "error")),
+        Seq(ev(1, 12, "click"), ev(1, 14, "view"), ev(1, 16, "error"),
+          ev(1, 18, "w"), ev(1, 20, "click"), ev(1, 22, "view"),
+          ev(1, 24, "error"), ev(1, 26, "w"), ev(1, 28, "x"),
+          ev(1, 30, "y"), ev(1, 32, "z")),
+        // user 2: the minimal one-of-each walk
+        Seq(ev(2, 40, "signup"), ev(2, 42, "click"), ev(2, 44, "view"),
+          ev(2, 46, "error"), ev(2, 48, "w"), ev(2, 50, "x"),
+          ev(2, 52, "y"), ev(2, 54, "z"))))
+  }
+
+  // --- m56-class: per-row VALUE snapshots under ALL ROWS over nested
+  // groups (r20, the last twin-convention gap — reference StreamExecMatch
+  // emits running aggregates per row for every measure kind). The batch
+  // commit-at-absorb discipline makes the snapshot at row r exactly the
+  // aggregate over committed value-carrying rows at-or-before r, so the
+  // stream computes it from the twin's committed row list at emit. ---
+  test("stream parity: ALL ROWS value snapshots at depth 2 (the m56 text)") {
+    parity("mrs_m56",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.value) AS first_c,
+        |           LAST(C.value) AS last_c, MAX(C.value) AS max_c,
+        |           COUNT(W.ts) AS n_reps
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        // user 1: two inner subs then V, a second level-1 rep, W; a second
+        // outer rep — running FIRST freezes at 5.0, LAST/MAX advance
+        Seq(ev(1, 0, "signup", 1.0), ev(1, 2, "click"), ev(1, 4, "view", 5.0),
+          ev(1, 6, "click"), ev(1, 8, "view", 3.0), ev(1, 10, "error")),
+        Seq(ev(1, 12, "click"), ev(1, 14, "view", 9.0), ev(1, 16, "error"),
+          ev(1, 18, "purchase"), ev(1, 20, "click"), ev(1, 22, "view", 2.0),
+          ev(1, 24, "error"), ev(1, 26, "purchase")),
+        Seq(ev(2, 30, "signup"), ev(2, 32, "click"), ev(2, 34, "view", 7.0),
+          ev(2, 36, "error"), ev(2, 38, "purchase"))))
+  }
+
+  test("stream parity: ALL ROWS value snapshots at depth 1 (SUM/AVG/MIN)") {
+    parity("mrs_allrows_vals1",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, SUM(C.value) AS sum_c,
+        |           AVG(C.value) AS avg_c, MIN(C.value) AS min_c,
+        |           COUNT(C.value) AS cnt_c, COUNT(V.ts) AS n_reps
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 2, "click"), ev(1, 4, "view", 4.0),
+          ev(1, 6, "click"), ev(1, 8, "view", -2.0)),
+        Seq(ev(1, 10, "error"), ev(1, 12, "click"), ev(1, 14, "view", 6.0),
+          ev(1, 16, "error")),
+        Seq(ev(2, 20, "signup"), ev(2, 22, "click"), ev(2, 24, "view", 1.5),
+          ev(2, 26, "error"))))
+  }
+
+  test("stream parity: ALL ROWS value snapshots at depth 5 (the N twin)") {
+    parity("mrs_allrows_vals5",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, SUM(C.value) AS sum_c,
+        |           LAST(C.value) AS last_c, COUNT(Z.ts) AS n_outer
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S ((((((B C)+ V)+ W)+ X)+ Y)+ Z)+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'w', X AS event_type = 'x',
+        |         Y AS event_type = 'y', Z AS event_type = 'z'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup"), ev(1, 2, "click"), ev(1, 4, "view", 3.0),
+          ev(1, 6, "click"), ev(1, 8, "view", 8.0), ev(1, 10, "error")),
+        Seq(ev(1, 12, "click"), ev(1, 14, "view", 1.0), ev(1, 16, "error"),
+          ev(1, 18, "w"), ev(1, 20, "click"), ev(1, 22, "view", 5.0),
+          ev(1, 24, "error"), ev(1, 26, "w"), ev(1, 28, "x"),
+          ev(1, 30, "y"), ev(1, 32, "z"))))
+  }
+
   // --- m06-class: iterative (relative) DEFINEs on the linear shape ---
   test("stream parity: relative DEFINE thresholds over earlier bindings " +
        "(the m06 shape: P.value > 2 * S.value)") {
@@ -458,6 +568,120 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
         Seq(ev(1, 20, "purchase", 14.0), ev(1, 30, "purchase", 15.0))))
   }
 
+  // --- m40/m49-class: iterative (relative) DEFINEs on nested groups and
+  // runs (r20 — anchor-relative thresholds ride the twins' per-partial
+  // threshold; reference flink-cep IterativeCondition.java composes with
+  // every quantifier) ---
+  test("stream parity: relative DEFINE on a nested group's INNER member " +
+       "(the m49 shape)") {
+    parity("mrs_nest_iter_inner",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(B.ts) AS grp_first_ts,
+        |           LAST(V.ts) AS grp_last_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(B.ts) AS n_subs
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view' AND C.value > S.value,
+        |         V AS event_type = 'error'
+        |)""".stripMargin,
+      Seq(
+        // user 1 (S.value 5): the view@4 (value 3) FAILS the residual —
+        // the sub completes at view@8 (value 9); user 2 (S.value 1):
+        // every view passes
+        Seq(ev(1, 0, "signup", 5.0), ev(1, 2, "click"), ev(1, 4, "view", 3.0),
+          ev(1, 8, "view", 9.0), ev(1, 10, "error")),
+        Seq(ev(2, 20, "signup", 1.0), ev(2, 22, "click"), ev(2, 24, "view", 2.0),
+          ev(2, 26, "error"), ev(2, 28, "click"), ev(2, 30, "view", 8.0),
+          ev(2, 32, "error"))))
+  }
+
+  test("stream parity: relative DEFINE on a nested group's TAIL " +
+       "(the m40 shape)") {
+    parity("mrs_nest_iter_tail",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(V.ts) AS n_reps,
+        |           COUNT(B.ts) AS n_subs, LAST(V.ts) AS grp_last_ts
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view',
+        |         V AS event_type = 'error' AND V.value > 2 * S.value
+        |)""".stripMargin,
+      Seq(
+        // user 1 (S.value 3, threshold 6): error@10 (value 5) fails — the
+        // repetition closes at error@16 (value 8) after absorbing BOTH subs
+        Seq(ev(1, 0, "signup", 3.0), ev(1, 2, "click"), ev(1, 4, "view"),
+          ev(1, 6, "click"), ev(1, 8, "view"), ev(1, 10, "error", 5.0)),
+        Seq(ev(1, 12, "click"), ev(1, 14, "view"), ev(1, 16, "error", 8.0),
+          ev(2, 20, "signup", 1.0), ev(2, 22, "click"), ev(2, 24, "view"),
+          ev(2, 26, "error", 4.0))))
+  }
+
+  test("stream parity: relative DEFINE at depth 2 (the m44 shape, " +
+       "the N twin's per-partial threshold)") {
+    parity("mrs_nest_iter_d2",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(W.ts) AS n_reps,
+        |           COUNT(V.ts) AS n_mids, COUNT(B.ts) AS n_subs
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase' AND W.value >= S.value + 1
+        |)""".stripMargin,
+      Seq(
+        // user 1 (S.value 4, threshold 5): purchase@12 (value 3) fails the
+        // residual — the outer repetition closes at purchase@20 (value 7)
+        // after absorbing a SECOND level-1 repetition
+        Seq(ev(1, 0, "signup", 4.0), ev(1, 2, "click"), ev(1, 4, "view"),
+          ev(1, 6, "error"), ev(1, 12, "purchase", 3.0)),
+        Seq(ev(1, 14, "click"), ev(1, 16, "view"), ev(1, 18, "error"),
+          ev(1, 20, "purchase", 7.0),
+          ev(2, 30, "signup", 0.0), ev(2, 32, "click"), ev(2, 34, "view"),
+          ev(2, 36, "error"), ev(2, 38, "purchase", 2.0))))
+  }
+
+  test("stream parity: relative DEFINEs on the S R+ U run shape") {
+    // residual on the RUN member: only clicks above the anchor's value join
+    parity("mrs_run_iter",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(R.ts) AS n_r, SUM(R.value) AS sum_r,
+        |           U.ts AS u_ts
+        |  PATTERN (S R+ U)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         R AS event_type = 'click' AND R.value > S.value,
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(ev(1, 0, "signup", 5.0), ev(1, 2, "click", 3.0),
+          ev(1, 4, "click", 8.0), ev(1, 6, "click", 6.0)),
+        Seq(ev(1, 10, "purchase"), ev(2, 20, "signup", 0.0),
+          ev(2, 22, "click", 1.0), ev(2, 24, "purchase"))))
+    // residual on the CLOSE: the purchase must beat twice the anchor
+    parity("mrs_run_iter_close",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, COUNT(R.ts) AS n_r, U.ts AS u_ts
+        |  PATTERN (S R+ U)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', R AS event_type = 'click',
+        |         U AS event_type = 'purchase' AND U.value > 2 * S.value
+        |)""".stripMargin,
+      Seq(
+        // user 1 (S.value 3, threshold 6): purchase@6 (value 5) fails —
+        // the run keeps extending and closes at purchase@12 (value 9)
+        Seq(ev(1, 0, "signup", 3.0), ev(1, 2, "click"), ev(1, 6, "purchase", 5.0)),
+        Seq(ev(1, 8, "click"), ev(1, 12, "purchase", 9.0),
+          ev(2, 20, "signup", 1.0), ev(2, 22, "click"),
+          ev(2, 24, "purchase", 4.0))))
+  }
+
   // --- SKIP PAST LAST ROW on the plain linear shape ---
   test("stream parity: AFTER MATCH SKIP PAST LAST ROW") {
     parity("mrs_skip",
@@ -472,6 +696,87 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
       Seq(
         Seq(ev(1, 0, "view"), ev(1, 5, "view"), ev(1, 10, "purchase")),
         Seq(ev(1, 15, "view"), ev(1, 20, "purchase"))))
+  }
+
+  // --- composite / non-integral PARTITION BY (r20, lifting the one-long-
+  // key boundary): the twins group on (user_id, skey) where skey is the
+  // length-prefixed collision-free rendering of the key parts (the batch
+  // Pattern.keyString format), re-expanded under the user's names and
+  // types on output ---
+  private def compositeParity(name: String, sql: String,
+                              batches: Seq[Seq[(String, Long, Timestamp, String)]]): Unit = {
+    val flush = ("zz", 999L, at(100000), "zz_flush")
+    val all = batches.flatten :+ flush
+    val batch = MatchRecognize.detect(
+      all.toDF("region", "user_id", "ts", "event_type"), sql)
+    val in = MemoryStream[(String, Long, Timestamp, String)]
+    val stream = MatchRecognize.detect(
+      in.toDF().toDF("region", "user_id", "ts", "event_type")
+        .withWatermark("ts", "10 minutes"), sql)
+    assert(stream.isStreaming)
+    assert(stream.columns.toSeq == batch.columns.toSeq,
+      s"$name: column mismatch ${stream.columns.toSeq} vs ${batch.columns.toSeq}")
+    assert(stream.schema.map(_.dataType) == batch.schema.map(_.dataType),
+      s"$name: type mismatch ${stream.schema} vs ${batch.schema}")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      in.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect().map(_.toString).sorted.toSeq
+    val want = batch.collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"$name:\n  stream=$got\n  batch =$want")
+    assert(want.nonEmpty, s"$name: the parity corpus produced no matches")
+  }
+
+  test("stream parity: composite PARTITION BY (region, user_id)") {
+    compositeParity("mrs_composite_key",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY region, user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, P.ts AS p_ts
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        // same user_id in two regions: the cross-region pair must NOT match
+        Seq(("eu", 1L, at(0), "signup"), ("us", 2L, at(0), "signup"),
+          ("us", 1L, at(5), "signup")),
+        Seq(("us", 2L, at(8), "purchase"), ("eu", 1L, at(10), "purchase"))))
+  }
+
+  test("stream parity: colliding composite-key renderings stay distinct") {
+    // ("a,b", 1) and ("a", 1) with delimiter-bearing strings: the
+    // length-prefixed skey keeps them distinct partitions
+    compositeParity("mrs_composite_collide",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY region, user_id
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, P.ts AS p_ts
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(("V1:a", 1L, at(0), "signup"), ("a", 1L, at(5), "signup")),
+        Seq(("V1:a", 1L, at(10), "purchase"), ("a", 1L, at(12), "purchase"))))
+  }
+
+  test("stream parity: single NON-integral PARTITION BY column") {
+    compositeParity("mrs_string_key",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY region
+        |  ORDER BY ts
+        |  MEASURES S.ts AS s_ts, P.ts AS p_ts
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE S AS event_type = 'signup', P AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq(("eu", 1L, at(0), "signup"), ("us", 1L, at(2), "signup")),
+        Seq(("eu", 1L, at(10), "purchase"))))
   }
 
   // --- FlinkDdl WATERMARK view → MATCH_RECOGNIZE, the full SQL-script shape ---
@@ -547,14 +852,16 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
     val mn = intercept[Exception](MatchRecognize.detect(src,
       sqlFor("", measures = "MATCH_NUMBER() AS mn, A.ts AS a_ts, B.ts AS b_ts")))
     assert(mn.getMessage.contains("MATCH_NUMBER() is batch-only"))
-    // iterative DEFINEs compose with the plain linear shape since r19
-    // (cepPatternIter); on runs/groups/nested shapes they refuse by name
+    // iterative DEFINEs compose with the plain linear shape (r19), with
+    // runs and with final nested groups (r20, anchor-relative); SEQUENCE
+    // groups still refuse by name
     val iter = intercept[Exception](MatchRecognize.detect(src, sqlFor("",
-      pattern = "(A C+ B)",
+      pattern = "(A (C D)+ B)",
       measures = "A.ts AS a_ts, COUNT(C.ts) AS n_c",
       define = "A AS event_type = 'view', C AS event_type = 'click', " +
-        "B AS event_type = 'purchase' AND B.value > 2 * A.value")))
-    assert(iter.getMessage.contains("compose with the plain linear shape"),
+        "D AS event_type = 'cart' AND D.value > 2 * A.value, " +
+        "B AS event_type = 'purchase'")))
+    assert(iter.getMessage.contains("batch-only through the SQL front door"),
       iter.getMessage)
     val noWm = intercept[Exception](
       MatchRecognize.detect(in.toDF(), sqlFor("")))

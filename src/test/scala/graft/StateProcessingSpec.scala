@@ -109,7 +109,8 @@ class StateProcessingSpec extends AnyFunSuite with SparkTest {
     // savepoint read: per-key latest rows, reshaped to the operator's state type
     val migrated = StateInspect.operatorState(spark, ckpt)
       .selectExpr("value.groupState.user_id", "value.groupState.ts",
-        "value.groupState.event_type", "value.groupState.value")
+        "value.groupState.event_type", "value.groupState.value",
+        "value.groupState.skey")
       .as[Event]
     // job B: NEW query, NO checkpoint lineage — only the migrated state.
     // Key 1's in-stream event is OLDER than its migrated row (must lose);
