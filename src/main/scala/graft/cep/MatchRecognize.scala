@@ -2580,12 +2580,16 @@ object MatchRecognize {
   // the named boundaries below) without interpreting SQL in the state
   // machine.
   //
-  // Named boundaries (errors, not silent degradation): ALL ROWS PER MATCH,
-  // MATCH_NUMBER(), AFTER MATCH SKIP TO FIRST/LAST, composite ORDER BY
-  // tiebreaks, iterative (relative) DEFINEs, physical PREV over another
-  // variable, composite partition keys, more than ONE distinct value column
-  // across the measures (the twins bind one), and quantifier/run shapes
-  // outside the twin inventory above.
+  // Named boundaries (errors, not silent degradation): MATCH_NUMBER(),
+  // AFTER MATCH SKIP TO FIRST/LAST, composite ORDER BY tiebreaks, physical
+  // PREV over another variable, sequence-group residuals and residual
+  // references past the anchor, more than ONE distinct value column across
+  // the measures (the twins bind one), ALL ROWS over runs/groups, and
+  // quantifier/run shapes outside the twin inventory above. Composite /
+  // non-integral partition keys ride Event.skey (r20); NULL values in the
+  // one bound column ride the NaN channel with the batch null conventions
+  // (r20) — a genuine NaN data value is indistinguishable from NULL on the
+  // stream, the one residual value boundary.
   // =========================================================================
 
   /** Compile a tail-residual threshold (`parseTailResidual`'s rhs —
@@ -2857,14 +2861,21 @@ object MatchRecognize {
     require(valueFields.size <= 1,
       s"streaming MATCH_RECOGNIZE binds ONE value column through the twins " +
         s"— the measures/residuals reference ${valueFields.mkString(", ")}")
-    // NAMED BOUNDARY: the twins carry the value as a primitive double
-    // (Event.value), so a NULL member value reads as 0.0 on the stream —
-    // batch null semantics (null FIRST/LAST, null-ignoring SUM/MIN/MAX,
-    // 3VL residuals) need the batch frame. Non-null value columns (the
-    // common case, and all of the driver corpus) are exact.
+    // NULL member values ride the NaN CHANNEL through the twins (r20,
+    // lifting the former null-reads-as-0.0 boundary — VERDICT r19 item 3):
+    // Event.value is a primitive double, so SQL NULL maps to NaN on entry;
+    // inside the twins a NaN binding is positional-only (binds, freezes
+    // FIRST/LAST, counts toward bind counts) and is ignored by the
+    // null-ignoring SUM/MIN/MAX and the non-null COUNT — the batch null
+    // conventions — and residual comparisons against NaN are false (3VL);
+    // on output every value read below goes through unNaN, turning an
+    // emitted NaN back into SQL NULL. A genuine NaN DATA value is
+    // indistinguishable from NULL on the stream (document-level boundary;
+    // batch keeps them distinct).
     val valueCol = valueFields.headOption
-      .map(f => coalesce(col(f).cast("double"), lit(0.0)))
+      .map(f => coalesce(col(f).cast("double"), lit(Double.NaN)))
       .getOrElse(lit(0.0))
+    def unNaN(c: Column): Column = nanvl(c, lit(null).cast("double"))
     // ---- predicate packing -------------------------------------------------
     val predSlots = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def slotOf(name: String): Int =
@@ -3054,7 +3065,7 @@ object MatchRecognize {
             // it is the value itself once visible (COUNT is 0/1)
             case None | Some("FIRST") | Some("LAST") | Some("SUM") |
                  Some("MIN") | Some("MAX") | Some("AVG") =>
-              if (visible) element_at(col("step_value"), q + 1)
+              if (visible) unNaN(element_at(col("step_value"), q + 1))
               else lit(null).cast("double")
             case Some("COUNT") => lit(if (visible) 1L else 0L)
             case other => sys.error(s"${fnName(mm)}(${mm.varName}." +
@@ -3106,7 +3117,7 @@ object MatchRecognize {
             s"${fnName(mm)}(${mm.varName}.${mm.field}): a plain variable " +
               "binds one event — aggregates need a quantified run")
           if (mm.field == "ts") element_at(col("step_ts"), idx)
-          else element_at(col("step_value"), idx)
+          else unNaN(element_at(col("step_value"), idx))
         }
       } else {
         val steps: Seq[StreamOps.CepStep] = expanded.map { v =>
@@ -3149,7 +3160,7 @@ object MatchRecognize {
                 "measures are not materialized on a stream (use the " +
                 "branch classifiers / counts)")
             val idxs = byName(mm.varName).idxs
-            def v(i: Int) = element_at(col("step_value"), i + 1)
+            def v(i: Int) = unNaN(element_at(col("step_value"), i + 1))
             def cnt = idxs.map(i => when(v(i).isNotNull, lit(1L))
               .otherwise(lit(0L))).reduce(_ + _)
             mm.fn match {
@@ -3255,8 +3266,10 @@ object MatchRecognize {
               case (Some("FIRST"), "ts") => col("run_first_ts")
               case (Some("LAST"), "ts") => col("run_last_ts")
               case (Some("COUNT"), _) => col("run_n")
-              case (Some("FIRST"), f) if f == rd.colName => col("run_first_value")
-              case (Some("LAST"), f) if f == rd.colName => col("run_last_value")
+              case (Some("FIRST"), f) if f == rd.colName =>
+                unNaN(col("run_first_value"))
+              case (Some("LAST"), f) if f == rd.colName =>
+                unNaN(col("run_last_value"))
               case _ => sys.error(s"${fnName(mm)}(${r.name}.${mm.field}): " +
                 "the streaming V-shape run materializes FIRST/LAST " +
                 "timestamps and values plus COUNT")
@@ -3299,13 +3312,17 @@ object MatchRecognize {
             case n if n == r.name => (mm.fn, mm.field) match {
               case (Some("FIRST"), "ts") => col("run_first_ts")
               case (Some("LAST"), "ts") => col("run_last_ts")
+              // the batch engine counts BINDINGS for COUNT(R.value) and
+              // divides AVG by the member count (its documented positional
+              // convention — null-valued members bind); the twins mirror it
               case (Some("COUNT"), _) => col("run_n")
-              case (Some("SUM"), _) => col("run_sum_value")
-              case (Some("MIN"), _) => col("run_min_value")
-              case (Some("MAX"), _) => col("run_max_value")
-              case (Some("AVG"), _) => col("run_sum_value") / col("run_n")
-              case (Some("FIRST"), _) => col("run_first_value")
-              case (Some("LAST"), _) => col("run_last_value")
+              case (Some("SUM"), _) => unNaN(col("run_sum_value"))
+              case (Some("MIN"), _) => unNaN(col("run_min_value"))
+              case (Some("MAX"), _) => unNaN(col("run_max_value"))
+              case (Some("AVG"), _) =>
+                unNaN(col("run_sum_value")) / col("run_n")
+              case (Some("FIRST"), _) => unNaN(col("run_first_value"))
+              case (Some("LAST"), _) => unNaN(col("run_last_value"))
               case _ => sys.error(s"${fnName(mm)}(${r.name}.${mm.field}): " +
                 "use FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over the run")
             }
@@ -3355,12 +3372,14 @@ object MatchRecognize {
               require(memberIdx.get(n).contains(vIdx), s"value measure over " +
                 s"$n: not the designated value member")
               mm.fn match {
-                case Some("SUM") => col("rep_sum_value")
-                case Some("MIN") => col("rep_min_value")
-                case Some("MAX") => col("rep_max_value")
-                case Some("AVG") => col("rep_sum_value") / col("rep_n")
-                case Some("FIRST") => col("rep_first_value")
-                case Some("LAST") => col("rep_last_value")
+                case Some("SUM") => unNaN(col("rep_sum_value"))
+                case Some("MIN") => unNaN(col("rep_min_value"))
+                case Some("MAX") => unNaN(col("rep_max_value"))
+                case Some("AVG") =>
+                  unNaN(col("rep_sum_value")) / col("rep_n")
+                case Some("FIRST") => unNaN(col("rep_first_value"))
+                case Some("LAST") => unNaN(col("rep_last_value"))
+                // bindings count — the batch positional convention
                 case Some("COUNT") => col("rep_n")
                 case _ => sys.error(s"${fnName(mm)}($n.${mm.field}): use " +
                   "SUM/AVG/MIN/MAX/FIRST/LAST/COUNT")
@@ -3519,8 +3538,8 @@ object MatchRecognize {
               case Some("SUM") => fld("sum")
               case Some("MIN") => fld("mn")
               case Some("MAX") => fld("mx")
-              case Some("FIRST") => fld("first")
-              case Some("LAST") => fld("last")
+              case Some("FIRST") => unNaN(fld("first"))
+              case Some("LAST") => unNaN(fld("last"))
               case Some("AVG") => fld("sum") / cntF
               case Some("COUNT") => cntF
               case other => sys.error(s"ALL ROWS over nested group " +
@@ -3620,8 +3639,8 @@ object MatchRecognize {
               case Some("MIN") => mv.getField("mn")
               case Some("MAX") => mv.getField("mx")
               case Some("AVG") => mv.getField("sum") / mv.getField("cnt")
-              case Some("FIRST") => mv.getField("first")
-              case Some("LAST") => mv.getField("last")
+              case Some("FIRST") => unNaN(mv.getField("first"))
+              case Some("LAST") => unNaN(mv.getField("last"))
               case Some("COUNT") => mv.getField("cnt")
               case _ => sys.error(s"${fnName(mm)}($n.${mm.field}): use " +
                 "SUM/AVG/MIN/MAX/FIRST/LAST/COUNT")

@@ -91,7 +91,10 @@ case class RunPartial(firstMs: Long, runFirstMs: Long, runLastMs: Long,
                       mems: List[Long] = Nil,
                       // iterative (relative) residual threshold — the
                       // anchor's value, read once when the partial opens
-                      thr: Double = 0.0)
+                      thr: Double = 0.0,
+                      // non-null member value count (NaN-channel nulls
+                      // bind positionally but do not count)
+                      vCnt: Long = 0L)
 // a held EMPTY-run candidate (zeroOrMore): the earliest close-event seen
 // while no run member existed — valid only if no member EVER arrives in the
 // window, so it emits at window expiry and is invalidated by a run start
@@ -137,7 +140,10 @@ case class RunMatch(user_id: Long, first_ts: Timestamp, run_first_ts: Timestamp,
                     run_last_value: Option[Double] = None,
                     branch_counts: Seq[Long] = Nil,
                     run_members: Seq[Timestamp] = Nil,
-                    skey: String = "")
+                    skey: String = "",
+                    // non-null member value count (== run_n when the value
+                    // column is non-null; COUNT(R.value)'s divisor)
+                    run_value_cnt: Long = 0L)
 // group-pattern (sub)+ partials: the greedy repetition chain is causal in
 // event-time order (events are watermark-finalized before processing, see
 // BufEv), so state is O(1) per partial — current sub-step index + the
@@ -163,7 +169,10 @@ case class GrpPartial(firstMs: Long, gFirstMs: Long, lastRepEndMs: Long,
                       maxVal: Double = 0.0, firstVal: Double = 0.0,
                       lastVal: Double = 0.0,
                       curMems: List[Long] = Nil,
-                      repMems: List[List[Long]] = Nil)
+                      repMems: List[List[Long]] = Nil,
+                      // non-null designated-member value count (NaN-channel
+                      // nulls bind positionally but do not count)
+                      vCnt: Long = 0L)
 case class GrpAcc(partials: List[GrpPartial], buf: List[BufEv] = Nil)
 // streamingLag: each event enriched with the value n rows back in its
 // key's event-time order (the PREV physical-navigation twin)
@@ -238,17 +247,33 @@ case class Nest2Row(ms: Long, cls: String, reps: Long, mids: Long, subs: Long)
 // through the same two pending levels as the counts (sub -> level-1
 // pending at completion, level-1 -> outer pending at the mid close,
 // outer -> committed at the tail close; discards mirror the row buffers)
+// NULL member values ride the NaN channel (r20, the batch null
+// conventions on the stream): a NaN binding contributes to the POSITIONAL
+// first/last and the bind count `bnd`, but not to sum/min/max/cnt —
+// SUM/MIN/MAX ignore nulls, COUNT counts non-null, FIRST/LAST freeze on a
+// null binding (the m56 batch (value, bind-count) pair design); the
+// DataFrame lowering turns emitted NaN back into SQL NULL via nanvl
 case class Nest2Vals(sum: Option[Double] = None, mn: Option[Double] = None,
                      mx: Option[Double] = None, first: Option[Double] = None,
-                     last: Option[Double] = None, cnt: Long = 0L) {
-  def add(v: Double): Nest2Vals = Nest2Vals(
-    Some(sum.getOrElse(0.0) + v), Some(mn.fold(v)(math.min(_, v))),
-    Some(mx.fold(v)(math.max(_, v))), first.orElse(Some(v)), Some(v), cnt + 1)
+                     last: Option[Double] = None, cnt: Long = 0L,
+                     bnd: Long = 0L) {
+  def add(v: Double): Nest2Vals =
+    if (v.isNaN)
+      Nest2Vals(sum, mn, mx, first.orElse(Some(v)), Some(v), cnt, bnd + 1)
+    else Nest2Vals(
+      Some(sum.getOrElse(0.0) + v), Some(mn.fold(v)(math.min(_, v))),
+      Some(mx.fold(v)(math.max(_, v))), first.orElse(Some(v)), Some(v),
+      cnt + 1, bnd + 1)
   def merge(later: Nest2Vals): Nest2Vals =
-    if (later.cnt == 0) this else if (cnt == 0) later
-    else Nest2Vals(Some(sum.get + later.sum.get),
-      Some(math.min(mn.get, later.mn.get)), Some(math.max(mx.get, later.mx.get)),
-      first, later.last, cnt + later.cnt)
+    if (later.bnd == 0) this else if (bnd == 0) later
+    else Nest2Vals(
+      (sum, later.sum) match { case (Some(a), Some(b)) => Some(a + b)
+                               case (a, b) => a.orElse(b) },
+      (mn, later.mn) match { case (Some(a), Some(b)) => Some(math.min(a, b))
+                             case (a, b) => a.orElse(b) },
+      (mx, later.mx) match { case (Some(a), Some(b)) => Some(math.max(a, b))
+                             case (a, b) => a.orElse(b) },
+      first, later.last, cnt + later.cnt, bnd + later.bnd)
 }
 case class Nest2Partial(firstMs: Long, gFirstMs: Long = -1L, subIdx: Int = 0,
                         curStartMs: Long = -1L, inSubLastMs: Long = -1L,
@@ -351,7 +376,10 @@ case class GrpMatch(user_id: Long, first_ts: Timestamp, rep_first_ts: Timestamp,
                     rep_first_value: Option[Double] = None,
                     rep_last_value: Option[Double] = None,
                     rep_members: Seq[Seq[Timestamp]] = Nil,
-                    skey: String = "")
+                    skey: String = "",
+                    // non-null designated-member value count (== rep_n when
+                    // the value column is non-null; COUNT(value)'s divisor)
+                    rep_value_cnt: Long = 0L)
 case class TjTagged(user_id: Long, ts: Timestamp, side: String,
                     event_type: String, value: Double)
 case class TjFact(tsMs: Long, event_type: String, value: Double)
@@ -1597,7 +1625,8 @@ object StreamOps {
                   p.runN, new Timestamp(t), Some(p.sumVal), Some(p.minVal),
                   Some(p.maxVal), Some(p.firstVal), Some(p.lastVal),
                   if (branchPreds.isEmpty) Nil else p.bCounts,
-                  if (!materializeRows) Nil else p.mems.map(new Timestamp(_)))
+                  if (!materializeRows) Nil else p.mems.map(new Timestamp(_)),
+                  run_value_cnt = p.vCnt)
                 None // completed
               } else if (lastOk(p) && p.runFirstMs < 0 && allowEmpty && t > p.firstMs) {
                 // hold the EARLIEST empty-run close; a run start invalidates
@@ -1615,18 +1644,27 @@ object StreamOps {
                   Some(p.copy(runFirstMs = t, runLastMs = t, runN = 1,
                     sumVal = e.value, minVal = e.value, maxVal = e.value,
                     firstVal = e.value, lastVal = e.value,
+                    vCnt = if (e.value.isNaN) 0L else 1L,
                     bCounts = bInc(Nil),
                     mems = if (materializeRows) List(t) else Nil))
                 } else
                   // equal-ts members arrive value-ascending (the sort order),
                   // so overwriting lastVal on t >= runLast reproduces the
                   // batch (ts, value) max tie-break; firstVal set once is
-                  // the (ts, value) min
+                  // the (ts, value) min. NULL (NaN-channel) member values
+                  // contribute positionally to first/last but not to
+                  // sum/min/max/vCnt — the batch null-ignoring aggregates
                   Some(p.copy(runLastMs = math.max(p.runLastMs, t), runN = p.runN + 1,
-                    sumVal = p.sumVal + e.value,
-                    minVal = math.min(p.minVal, e.value),
-                    maxVal = math.max(p.maxVal, e.value),
+                    sumVal = if (e.value.isNaN) p.sumVal
+                      else if (p.sumVal.isNaN) e.value else p.sumVal + e.value,
+                    minVal = if (e.value.isNaN) p.minVal
+                      else if (p.minVal.isNaN) e.value
+                      else math.min(p.minVal, e.value),
+                    maxVal = if (e.value.isNaN) p.maxVal
+                      else if (p.maxVal.isNaN) e.value
+                      else math.max(p.maxVal, e.value),
                     lastVal = if (t >= p.runLastMs) e.value else p.lastVal,
+                    vCnt = p.vCnt + (if (e.value.isNaN) 0L else 1L),
                     bCounts = bInc(p.bCounts),
                     mems = if (materializeRows) p.mems :+ t else Nil))
               } else Some(p)
@@ -1840,7 +1878,8 @@ object StreamOps {
               if (valueSubIdx < 0) None else Some(p.firstVal),
               if (valueSubIdx < 0) None else Some(p.lastVal),
               if (!materializeRows) Nil
-              else p.repMems.map(_.map(new Timestamp(_))))
+              else p.repMems.map(_.map(new Timestamp(_))),
+              rep_value_cnt = if (valueSubIdx < 0) 0L else p.vCnt)
           // (sub)*: an empty-chain match — null boundaries, count 0, the
           // close that was held while no repetition had completed
           def emitEmpty(p: GrpPartial): Unit =
@@ -1888,11 +1927,22 @@ object StreamOps {
                       reps = p.reps + 1, subIdx = 0, curRepStartMs = -1L,
                       curRepLastMs = -1L, pendingUMs = -1L, emptyUMs = -1L,
                       curRepVal = 0.0,
-                      sumVal = if (firstRep) cur else p.sumVal + cur,
-                      minVal = if (firstRep) cur else math.min(p.minVal, cur),
-                      maxVal = if (firstRep) cur else math.max(p.maxVal, cur),
+                      // NULL (NaN-channel) designated values bind
+                      // positionally (first/last) but are ignored by the
+                      // null-ignoring sum/min/max and the non-null count
+                      sumVal = if (cur.isNaN) { if (firstRep) Double.NaN else p.sumVal }
+                        else if (firstRep || p.sumVal.isNaN) cur
+                        else p.sumVal + cur,
+                      minVal = if (cur.isNaN) { if (firstRep) Double.NaN else p.minVal }
+                        else if (firstRep || p.minVal.isNaN) cur
+                        else math.min(p.minVal, cur),
+                      maxVal = if (cur.isNaN) { if (firstRep) Double.NaN else p.maxVal }
+                        else if (firstRep || p.maxVal.isNaN) cur
+                        else math.max(p.maxVal, cur),
                       firstVal = if (firstRep) cur else p.firstVal,
                       lastVal = cur,
+                      vCnt = (if (firstRep) 0L else p.vCnt) +
+                        (if (cur.isNaN) 0L else 1L),
                       curMems = Nil,
                       repMems = if (materializeRows) p.repMems :+ (p.curMems :+ t)
                                 else Nil))

@@ -698,6 +698,156 @@ class MatchRecognizeStreamSpec extends AnyFunSuite with SparkTest {
         Seq(ev(1, 15, "view"), ev(1, 20, "purchase"))))
   }
 
+  // --- NULL member values through the twins (r20, lifting the former
+  // null-reads-as-0.0 boundary): SQL NULL rides the NaN channel inside
+  // the state machines — positional FIRST/LAST freeze on null bindings,
+  // null-ignoring SUM/MIN/MAX, non-null COUNT, 3VL residuals ---
+  private def parityN(name: String, sql: String,
+                      batches: Seq[Seq[(Long, Timestamp, String, Option[Double])]]): Unit = {
+    val flush = (999L, at(100000), "zz_flush", Option(0.0))
+    val all = batches.flatten :+ flush
+    val batch = MatchRecognize.detect(
+      all.toDF("user_id", "ts", "event_type", "value"), sql)
+    val in = MemoryStream[(Long, Timestamp, String, Option[Double])]
+    val stream = MatchRecognize.detect(
+      in.toDF().toDF("user_id", "ts", "event_type", "value")
+        .withWatermark("ts", "10 minutes"), sql)
+    assert(stream.isStreaming)
+    assert(stream.columns.toSeq == batch.columns.toSeq,
+      s"$name: column mismatch ${stream.columns.toSeq} vs ${batch.columns.toSeq}")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      in.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect().map(_.toString).sorted.toSeq
+    val want = batch.collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"$name:\n  stream=$got\n  batch =$want")
+    assert(want.nonEmpty, s"$name: the parity corpus produced no matches")
+  }
+
+  test("stream parity: NULL values freeze FIRST/LAST in ALL-ROWS snapshots " +
+       "(the m56 null-freeze corpus)") {
+    parityN("mrs_null_freeze",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, FIRST(C.value) AS first_c,
+        |           LAST(C.value) AS last_c, MAX(C.value) AS max_c,
+        |           COUNT(C.value) AS cnt_c, COUNT(W.ts) AS n_reps
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        // C binds NULL first (FIRST freezes null), then 7.0, then NULL
+        // again (LAST goes back to null); MAX ignores nulls, COUNT counts
+        // the one non-null binding... then 2 after the second sub
+        Seq((1L, at(0), "signup", Some(1.0)), (1L, at(2), "click", Some(0.0)),
+          (1L, at(4), "view", None), (1L, at(6), "click", Some(0.0)),
+          (1L, at(8), "view", Some(7.0)), (1L, at(10), "error", Some(0.0))),
+        Seq((1L, at(12), "click", Some(0.0)), (1L, at(14), "view", None),
+          (1L, at(16), "error", Some(0.0)), (1L, at(18), "purchase", Some(0.0)))))
+  }
+
+  test("stream parity: NULL values in nested final member aggregates " +
+       "(depth 2, the N twin's bindValues)") {
+    parityN("mrs_null_nested",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, SUM(C.value) AS sum_c,
+        |           MIN(C.value) AS min_c, COUNT(C.value) AS cnt_c,
+        |           FIRST(C.value) AS first_c, LAST(C.value) AS last_c,
+        |           COUNT(W.ts) AS n_reps
+        |  PATTERN (S (((B C)+ V)+ W)+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view', V AS event_type = 'error',
+        |         W AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq((1L, at(0), "signup", Some(0.0)), (1L, at(2), "click", Some(0.0)),
+          (1L, at(4), "view", None), (1L, at(6), "click", Some(0.0)),
+          (1L, at(8), "view", Some(3.0)), (1L, at(10), "error", Some(0.0)),
+          (1L, at(12), "purchase", Some(0.0))),
+        Seq((2L, at(20), "signup", Some(0.0)), (2L, at(22), "click", Some(0.0)),
+          (2L, at(24), "view", None), (2L, at(26), "error", Some(0.0)),
+          (2L, at(28), "purchase", Some(0.0)))))
+  }
+
+  test("stream parity: NULL values on the linear and run shapes") {
+    parityN("mrs_null_linear",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES A.value AS a_v, B.value AS b_v, C.value AS c_v
+        |  PATTERN (A B C)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE A AS event_type = 'view', B AS event_type = 'click',
+        |         C AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        Seq((1L, at(0), "view", Some(2.0)), (1L, at(5), "click", None)),
+        Seq((1L, at(10), "purchase", Some(4.0)))))
+    parityN("mrs_null_run",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, SUM(R.value) AS sum_r, MIN(R.value) AS min_r,
+        |           AVG(R.value) AS avg_r, COUNT(R.value) AS cnt_r,
+        |           FIRST(R.value) AS first_r, LAST(R.value) AS last_r,
+        |           COUNT(R.ts) AS n_r
+        |  PATTERN (S R+ U)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', R AS event_type = 'click',
+        |         U AS event_type = 'purchase'
+        |)""".stripMargin,
+      Seq(
+        // first and last run members bind NULL — FIRST/LAST null, the
+        // aggregates see only the middle 6.0/2.0
+        Seq((1L, at(0), "signup", Some(0.0)), (1L, at(2), "click", None),
+          (1L, at(4), "click", Some(6.0)), (1L, at(6), "click", Some(2.0)),
+          (1L, at(8), "click", None)),
+        Seq((1L, at(12), "purchase", Some(0.0)),
+          (2L, at(20), "signup", Some(0.0)), (2L, at(22), "click", Some(5.0)),
+          (2L, at(24), "purchase", Some(0.0)))))
+  }
+
+  test("stream parity: NULL anchor value gives 3VL-false residuals " +
+       "(linear and nested)") {
+    parityN("mrs_null_resid",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS s_ts, P.value AS p_v
+        |  PATTERN (S P)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup',
+        |         P AS event_type = 'purchase' AND P.value > 2 * S.value
+        |)""".stripMargin,
+      Seq(
+        // user 1's anchor value is NULL: the threshold never passes (3VL)
+        // — only user 2 matches
+        Seq((1L, at(0), "signup", None), (1L, at(5), "purchase", Some(9.0)),
+          (2L, at(10), "signup", Some(1.0))),
+        Seq((2L, at(15), "purchase", Some(9.0)))))
+    parityN("mrs_null_resid_nested",
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts
+        |  MEASURES S.ts AS signup_ts, COUNT(V.ts) AS n_reps
+        |  PATTERN (S ((B C)+ V)+)
+        |  WITHIN INTERVAL '2' HOUR
+        |  DEFINE S AS event_type = 'signup', B AS event_type = 'click',
+        |         C AS event_type = 'view' AND C.value > S.value,
+        |         V AS event_type = 'error'
+        |)""".stripMargin,
+      Seq(
+        Seq((1L, at(0), "signup", None), (1L, at(2), "click", Some(0.0)),
+          (1L, at(4), "view", Some(9.0)), (1L, at(6), "error", Some(0.0)),
+          (2L, at(10), "signup", Some(1.0)), (2L, at(12), "click", Some(0.0))),
+        Seq((2L, at(14), "view", Some(9.0)), (2L, at(16), "error", Some(0.0)))))
+  }
+
   // --- composite / non-integral PARTITION BY (r20, lifting the one-long-
   // key boundary): the twins group on (user_id, skey) where skey is the
   // length-prefixed collision-free rendering of the key parts (the batch
