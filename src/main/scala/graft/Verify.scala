@@ -5,11 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: substring filter over query names — local
-    // single-query iteration (the driver always passes exactly two args)
+    // optional 3rd arg: comma-separated substring filter over query names —
+    // local iteration (the driver always passes exactly two args)
     val (sfDir, outDir, only) = args match {
-      case Array(a, b)    => (a, b, None)
-      case Array(a, b, f) => (a, b, Some(f))
+      case Array(a, b)    => (a, b, Seq.empty[String])
+      case Array(a, b, f) => (a, b, f.split(",").toSeq)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -21,7 +21,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(e => only.forall(e._1.contains)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(e => only.isEmpty || only.exists(e._1.contains)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -41,7 +41,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(e => only.forall(e._1.contains))
+    val json = SparkEntry.oracleSql.filter(e => only.isEmpty || only.exists(e._1.contains))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -175,15 +175,19 @@ object Iterate {
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
-    // reuses e's src partitioning: no extra exchange
-    val outd = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    // out-degree is joined onto the edges ONCE, before the loop (r20,
+    // guide §2.4): the former per-superstep `.join(outd, "src")` paid a
+    // co-partitioned-but-real hash join plus the outd re-aggregation every
+    // iteration; the odeg column rides the persisted edge frame instead
+    // (the i23/vertexCentric convention), so each superstep is exactly one
+    // keyed join + one aggregate. Same src partitioning — no new exchange.
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = verts.select(col("id"),
       round(lit(1.0) / lit(n), interRoundDp).as("rank")).localCheckpoint(true)
     (0 until iters).foreach { _ =>
       val prev = ranks
-      val contrib = e.join(ranks.withColumnRenamed("id", "rid"), col("src") === col("rid"))
-        .join(outd, "src")
+      val contrib = ew.join(ranks.withColumnRenamed("id", "rid"), col("src") === col("rid"))
         .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
       ranks = verts.join(contrib.groupBy("id").agg(sum(col("c")).as("s")), Seq("id"), "left")
         .select(col("id"),
@@ -192,7 +196,7 @@ object Iterate {
         .localCheckpoint(true)
       freeFrame(prev) // superseded frame: the new ranks are materialized
     }
-    e.unpersist(); verts.unpersist(); outd.unpersist()
+    ew.unpersist(); e.unpersist(); verts.unpersist()
     ranks
   }
 
@@ -425,22 +429,26 @@ object Iterate {
       val araw = e.join(scores.select(col("id").as("sid"), col("hub")),
           col("src") === col("sid"))
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("raw"))
-      // raw/normalized frames each feed TWO consumers (the norm scalar and
-      // the next stage) — persist within the superstep or every consumer
-      // re-runs the upstream joins
+      // raw frames feed TWO consumers (the norm scalar and the next stage)
+      // — persist within the superstep or every consumer re-runs the
+      // upstream joins. The L2 norm is ONE double: the head() below rides
+      // the same action that materializes the persist, and the scalar is
+      // inlined as a literal (r20) — the former crossJoin(broadcast(agg))
+      // added a broadcast-build job and a join node per superstep for the
+      // same arithmetic (round(raw / nrm, 9) over the identical IEEE
+      // doubles, so results are bit-identical).
       val a1 = verts.join(araw, Seq("id"), "left")
         .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw")).persist(lvl)
-      val anorm = a1.agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
-      val auth = a1.crossJoin(broadcast(anorm))
-        .select(col("id"), round(col("raw") / col("nrm"), 9).as("auth")).persist(lvl)
+      val anorm = a1.agg(sqrt(sum(col("raw") * col("raw")))).head().getDouble(0)
+      val auth = a1.select(col("id"), round(col("raw") / lit(anorm), 9).as("auth"))
+        .persist(lvl)
       val hraw = e.join(auth.select(col("id").as("aid"), col("auth").as("av")),
           col("dst") === col("aid"))
         .groupBy(col("src").as("id")).agg(sum(col("av")).as("raw"))
       val h1 = verts.join(hraw, Seq("id"), "left")
         .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw")).persist(lvl)
-      val hnorm = h1.agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
-      val hub = h1.crossJoin(broadcast(hnorm))
-        .select(col("id"), round(col("raw") / col("nrm"), 9).as("hub"))
+      val hnorm = h1.agg(sqrt(sum(col("raw") * col("raw")))).head().getDouble(0)
+      val hub = h1.select(col("id"), round(col("raw") / lit(hnorm), 9).as("hub"))
       scores = hub.join(auth, "id").select(col("id"), col("hub"), col("auth"))
         .localCheckpoint(true)
       a1.unpersist(); auth.unpersist(); h1.unpersist()
@@ -699,8 +707,16 @@ object Iterate {
     // the count materializes the persisted canonical set (which every
     // downstream consumer needs anyway) and gates the closure broadcast
     val nEdges = e.count()
+    // deg feeds the two orientation joins AND the per-vertex tail — four
+    // differently-keyed/broadcast consumers whose exchanges cannot share, so
+    // un-persisted it was re-aggregated per consumer (profiled as 2-4
+    // identical 64-task agg stages per query at sf0.1). Vertex-sized longs:
+    // persisting it is cheap where persisting the array-valued adjacency was
+    // measured slower (r14 note below). Same session-lifetime convention as
+    // `e` above.
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tris = wedgeTriangles(e, deg, nEdges, broadcastClosureThreshold)
     perVertexTriangles(tris, "x", "y", "z", deg)
   }
@@ -752,13 +768,47 @@ object Iterate {
     * [[flaggedTriangles]].) */
   private def wedgeTriangles(e: DataFrame, deg: DataFrame, nEdges: Long,
                              broadcastClosureThreshold: Long): DataFrame = {
-    val (oriented, adj) =
+    val (oriented, adj, adjBc) =
       orientedAdjacency(e, deg, nEdges, broadcastClosureThreshold, flagged = false)
-    oriented
-      .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")), Seq("dst"))
-      .select(col("src").as("x"), col("dst").as("y"),
+    wedgeJoin(oriented, adj, adjBc)
+      .select(col("x"), col("y"),
         explode(array_intersect(col("__nu"), col("__nv"))).as("z"))
+  }
+
+  /** The two adjacency attachments of the wedge core, in the shape the
+    * broadcast gate decides (r20, guide §2.3/§3.1 — measured on the i05/i17
+    * profiles at sf0.1): the former keyed double join re-exchanged the
+    * src-adjacency ARRAY with every oriented edge row through the dst
+    * shuffle — Σ outdeg(src)·|adj(src)| = the WEDGE VOLUME as shuffle bytes
+    * (158 MB at sf0.1 for i05 vs 12 MB of actual adjacency data), and the
+    * un-persisted adjacency aggregate's exchange was NOT deduped across the
+    * two differently-renamed sides (two 13 MB builds). Under the same
+    * guarded edge-count threshold the closure broadcast already uses
+    * (adjacency payload is |E| elements — ~80 MB packed longs at the 10 M
+    * default, inside the "few hundred MB is fine" broadcast band), both
+    * sides now join against ONE broadcast of the SAME adjacency plan
+    * (SubqueryAlias-only wrappers, so the two BroadcastExchanges
+    * canonicalize identically and the second is a ReusedExchange): the
+    * aggregate runs once, nothing fat is ever re-exchanged. Above the
+    * threshold the former keyed joins run UNCHANGED — the 100 TB path is
+    * identical, this is strictly the broadcast-the-side-that-fits rule. */
+  private def wedgeJoin(oriented: DataFrame, adj: DataFrame,
+                        adjBroadcastable: Boolean): DataFrame = {
+    if (adjBroadcastable) {
+      val o = oriented.as("o")
+      val aU = broadcast(adj.as("aU"))
+      val aV = broadcast(adj.as("aV"))
+      o.join(aU, col("o.src") === col("aU.src"))
+        .join(aV, col("o.dst") === col("aV.src"))
+        .select((col("o.src").as("x") +: col("o.dst").as("y") +:
+          col("aU.nbrs").as("__nu") +: col("aV.nbrs").as("__nv") +:
+          (if (oriented.columns.contains("fl")) Seq(col("o.fl")) else Nil)): _*)
+    } else {
+      oriented
+        .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")), Seq("dst"))
+        .withColumnRenamed("src", "x").withColumnRenamed("dst", "y")
+    }
   }
 
   /** The orientation prelude shared by [[wedgeTriangles]] and
@@ -778,7 +828,7 @@ object Iterate {
     * orientation at sf0.1: the edge set stops shuffling twice). */
   private def orientedAdjacency(e: DataFrame, deg: DataFrame, nEdges: Long,
                                 broadcastClosureThreshold: Long,
-                                flagged: Boolean): (DataFrame, DataFrame) = {
+                                flagged: Boolean): (DataFrame, DataFrame, Boolean) = {
     // The broadcast side is the VERTEX-sized degree table, not the edge
     // set — and vertices can be orders of magnitude fewer (the i05 part
     // graph: 12 M edges over 200 K vertices / ~3 MB at 10× sf0.1, where
@@ -798,13 +848,22 @@ object Iterate {
           e.select(explode(array(col("u"), col("v"))).as("id"))
             .agg(approx_count_distinct(col("id"), 0.05)).head().getLong(0)
             <= 2L * broadcastClosureThreshold)
-    def degSide(idAs: String, degAs: String) = {
-      val d = deg.select(col("id").as(idAs), col("deg").as(degAs))
+    // Both sides join the SAME deg plan under SubqueryAlias-only wrappers
+    // (r20): the former per-side select-rename sat BELOW the broadcast
+    // hint, so the two BroadcastExchange children canonicalized differently
+    // and the vertex-degree aggregate was BUILT TWICE (profiled as two
+    // full-agg stages per wedge pass at sf0.1). Aliases are erased before
+    // physical planning, so the second exchange is now a ReusedExchange —
+    // one build; the keyed over-threshold path is unchanged (different
+    // join keys never shared an exchange).
+    def degSide(alias: String) = {
+      val d = deg.as(alias)
       if (degBroadcastable) broadcast(d) else d
     }
     val ed = e
-      .join(degSide("u2", "du"), col("u") === col("u2"))
-      .join(degSide("v2", "dv"), col("v") === col("v2"))
+      .join(degSide("dU"), col("u") === col("dU.id"))
+      .join(degSide("dV"), col("v") === col("dV.id"))
+      .withColumn("du", col("dU.deg")).withColumn("dv", col("dV.deg"))
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val src = when(uFirst, col("u")).otherwise(col("v"))
@@ -819,7 +878,11 @@ object Iterate {
     val adjElem = if (flagged) col("dst") * 4 + col("fl") else col("dst")
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(adjElem)).as("nbrs"))
-    (oriented, adj)
+    // adjacency broadcast gate (consumed by [[wedgeJoin]]): the adjacency
+    // payload is |E| packed longs, so the EDGE-count threshold is the right
+    // guard for it (10 M default ⇒ ~80 MB) — reuse the caller's closure
+    // threshold; threshold ≤ 0 still means no hint anywhere
+    (oriented, adj, nEdges <= broadcastClosureThreshold)
   }
 
   /** [[wedgeTriangles]] over a DIRECTION-FLAGGED pair table — the directed
@@ -842,12 +905,10 @@ object Iterate {
     * disappear entirely, with no auxiliary lookup structure at all. */
   private def flaggedTriangles(pairs: DataFrame, deg: DataFrame, nEdges: Long,
                                broadcastClosureThreshold: Long): DataFrame = {
-    val (oriented, adj) =
+    val (oriented, adj, adjBc) =
       orientedAdjacency(pairs, deg, nEdges, broadcastClosureThreshold, flagged = true)
-    oriented
-      .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")), Seq("dst"))
-      .select(col("src").as("x"), col("dst").as("y"), col("fl").as("flxy"),
+    wedgeJoin(oriented, adj, adjBc)
+      .select(col("x"), col("y"), col("fl").as("flxy"),
         // packed match: (z << 4) | (flags of {x,z} << 2) | flags of {y,z}
         explode(graft.functions.SortedIntersectPacked(
           col("__nu"), col("__nv"), 2)).as("e"))
@@ -1257,8 +1318,12 @@ object Iterate {
       .agg(max(col("isFw")).as("fw"), max(lit(1) - col("isFw")).as("bw"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count() // materialize; gates the closure broadcast
+    // persisted for the same multi-consumer reason as triangleCounts' deg
+    // (orientation broadcasts + vstats + the per-vertex tail); freed with
+    // the bundle's interim frames
     val deg = pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outd = de.groupBy(col("src").as("id")).agg(count(lit(1)).as("od"))
     val ind = de.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
     val vstats = deg.join(outd, Seq("id"), "left_outer")
@@ -1394,7 +1459,7 @@ object Iterate {
     val perVertex = perVertexFromCounts(corner.select(col("id"), col("tri")), deg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ClusteringBundle(perVertex, clusteringStatsOf(perVertex), Some(census),
-      interim = Seq(corner, trip, vstats, pairs, de))
+      interim = Seq(corner, trip, vstats, pairs, de, deg))
   }
 
   /** DIRECTED whole-graph VERTEX METRICS — the Gelly analytic (reference

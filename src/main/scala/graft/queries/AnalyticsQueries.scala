@@ -96,12 +96,19 @@ object AnalyticsQueries {
     import graft.operators.Relational.globalNtile
     val rfm = rfmBase(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val scored = globalNtile(
-      globalNtile(
-        globalNtile(rfm, 5, col("recency_days"), valueDesc = false,
-          col("o_custkey"), "r_score"),
-        5, col("frequency"), valueDesc = true, col("o_custkey"), "f_score"),
-      5, col("monetary"), valueDesc = true, col("o_custkey"), "m_score")
+    // each stacked globalNtile runs TWO driver actions (quantile + counts)
+    // over its input; un-materialized, call k's actions re-ran calls
+    // 1..k-1's bucket windows every time (the r_score window was evaluated
+    // 5× end-to-end — profiled r20). The eager localCheckpoint after each
+    // call truncates and materializes, so every window runs exactly once
+    // (guide §5: cut lineage of reused intermediates).
+    val s1 = globalNtile(rfm, 5, col("recency_days"), valueDesc = false,
+      col("o_custkey"), "r_score").localCheckpoint(true)
+    val s2 = globalNtile(s1, 5, col("frequency"), valueDesc = true,
+      col("o_custkey"), "f_score").localCheckpoint(true)
+    val scored = globalNtile(s2, 5, col("monetary"), valueDesc = true,
+      col("o_custkey"), "m_score")
+    rfm.unpersist()
     scored.select("o_custkey", "recency_days", "frequency", "monetary",
       "r_score", "f_score", "m_score")
   }

@@ -77,7 +77,7 @@ object LlmQueries3 {
   // docs, so the exploded path is the default.)
   private val t07: Q = (s, dir) => {
     val d = docs(s, dir)
-    def gramFreqs(n: Int) = {
+    def grams(n: Int) = {
       val toks = split(col("text"), " ")
       // Guard: Spark's sequence(1, stop) with stop < 1 yields a DESCENDING
       // [1, 0] (step defaults to -1), not an empty array — a doc with fewer
@@ -86,17 +86,28 @@ object LlmQueries3 {
       val nPos = size(toks) - (n - 1)
       val positions = when(nPos >= 1, sequence(lit(1), nPos))
         .otherwise(array().cast("array<int>"))
-      val grams = transform(positions,
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-      d.select(col("doc_id"), explode(grams).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      transform(positions,
+        i => struct(lit(n).as("n"),
+          concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*).as("g")))
     }
-    val a2 = gramFreqs(2).groupBy("doc_id")
-      .agg((max(col("c")) / sum(col("c"))).as("top2"))
-    val a3 = gramFreqs(3).groupBy("doc_id")
-      .agg((sum(when(col("c") >= 2, col("c")).otherwise(lit(0))) / sum(col("c")))
-        .as("dup3"))
-    a2.join(a3, "doc_id")
+    // ONE tagged explode + ONE (doc, n, gram) count + ONE per-doc aggregate
+    // (r20, guide §2.3/§2.4): the former per-n chains scanned/exploded the
+    // corpus twice, shuffled gram tokens twice, and paid a doc-keyed join to
+    // combine — same gram multiset, half the passes, no join. The fractions
+    // are the identical integer ratios (max/Σ over n=2 counts, conditional
+    // Σ/Σ over n=3 counts), so values are bit-identical.
+    d.select(col("doc_id"), explode(concat(grams(2), grams(3))).as("t"))
+      .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        (max(when(col("n") === 2, col("c"))) /
+          sum(when(col("n") === 2, col("c")))).as("top2"),
+        (sum(when(col("n") === 3 && col("c") >= 2, col("c")).otherwise(lit(0))) /
+          sum(when(col("n") === 3, col("c")))).as("dup3"))
+      // a 2-word doc has 2-grams but no 3-grams: the former inner join
+      // dropped it — keep that contract (dup3 is null exactly then)
+      .filter(col("dup3").isNotNull)
       .select(col("doc_id"), round(col("top2"), 6).as("top2_frac"),
         round(col("dup3"), 6).as("dup3_frac"),
         (round(col("top2"), 6) < 0.1 && round(col("dup3"), 6) < 0.05).as("keep"))
