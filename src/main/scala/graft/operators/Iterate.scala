@@ -172,7 +172,7 @@ object Iterate {
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     // out-degree is joined onto the edges ONCE, before the loop (r20,
@@ -221,7 +221,7 @@ object Iterate {
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = verts.select(col("id"), col("id").as("lab")).localCheckpoint(true)
     (0 until iters).foreach { _ =>
@@ -419,7 +419,7 @@ object Iterate {
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var scores = verts.select(col("id"), lit(1.0).as("hub"), lit(0.0).as("auth"))
       .localCheckpoint(true)
@@ -476,7 +476,7 @@ object Iterate {
         col(dstCol).cast("long").as("dst"), col(wCol).cast("double").as("w"))
       .distinct().repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
     var dist = verts.select(col("id"),
       when(col("id") === sourceId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"))
@@ -511,7 +511,7 @@ object Iterate {
         col(dstCol).cast("long").as("dst"), col(wCol).cast("double").as("w"))
       .distinct().repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
     var dist = verts.select(col("id"),
       when(col("id") === sourceId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"))
@@ -714,7 +714,7 @@ object Iterate {
     // persisting it is cheap where persisting the array-valued adjacency was
     // measured slower (r14 note below). Same session-lifetime convention as
     // `e` above.
-    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tris = wedgeTriangles(e, deg, nEdges, broadcastClosureThreshold)
@@ -1028,7 +1028,7 @@ object Iterate {
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct().repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
     var state = verts.select(col("id"), col("id").as("lab"), lit(1000000L).as("sc6"))
       .localCheckpoint(true)
@@ -1078,7 +1078,8 @@ object Iterate {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+    // one cached pass (tagged explode) instead of a two-select union
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val em = e.agg(count(lit(1)).as("n_edges"))
     val vm = deg.agg(
@@ -1121,7 +1122,7 @@ object Iterate {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // every incident edge from each endpoint's perspective
     val both = e.select(col("u").as("a"), col("v").as("b"))
@@ -1321,13 +1322,20 @@ object Iterate {
     // persisted for the same multi-consumer reason as triangleCounts' deg
     // (orientation broadcasts + vstats + the per-vertex tail); freed with
     // the bundle's interim frames
-    val deg = pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
+    val deg = pairs.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outd = de.groupBy(col("src").as("id")).agg(count(lit(1)).as("od"))
-    val ind = de.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
-    val vstats = deg.join(outd, Seq("id"), "left_outer")
-      .join(ind, Seq("id"), "left_outer")
+    // out- and in-degree in ONE pass over the cached simple digraph (r20,
+    // guide §2.4): the former separate outd/ind aggregates scanned `de`
+    // twice and cost vstats two keyed left joins; the tagged explode is one
+    // aggregate and one join, same counts (a vertex of the pair table
+    // always appears in `de`, so the left join semantics are unchanged)
+    val dstats = de.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("od"), lit(0L).as("ind")),
+        struct(col("dst").as("id"), lit(0L).as("od"), lit(1L).as("ind")))).as("x"))
+      .groupBy(col("x.id").as("id"))
+      .agg(sum(col("x.od")).as("od"), sum(col("x.ind")).as("indeg"))
+    val vstats = deg.join(dstats, Seq("id"), "left_outer")
       .select(col("id"), col("deg"),
         (col("deg") - coalesce(col("indeg"), lit(0L))).as("us"),
         (col("deg") - coalesce(col("od"), lit(0L))).as("ut"),
@@ -1483,11 +1491,16 @@ object Iterate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = de.select(least(col("src"), col("dst")).as("u"),
       greatest(col("src"), col("dst")).as("v")).distinct()
-    val deg = pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
+    val deg = pairs.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val outd = de.groupBy(col("src").as("id")).agg(count(lit(1)).as("od"))
-    val ind = de.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
-    deg.join(outd, Seq("id"), "left_outer").join(ind, Seq("id"), "left_outer")
+    // out/in-degree in ONE cached pass + ONE join (the
+    // directedClusteringBundle shape — see its comment)
+    val dstats = de.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("od"), lit(0L).as("ind")),
+        struct(col("dst").as("id"), lit(0L).as("od"), lit(1L).as("ind")))).as("x"))
+      .groupBy(col("x.id").as("id"))
+      .agg(sum(col("x.od")).as("od"), sum(col("x.ind")).as("indeg"))
+    deg.join(dstats, Seq("id"), "left_outer")
       .select(col("deg"),
         coalesce(col("od"), lit(0L)).as("od"),
         coalesce(col("indeg"), lit(0L)).as("indeg"),
@@ -1537,7 +1550,7 @@ object Iterate {
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("u").as("id")).union(e.select(col("v").as("id"))).distinct()
+    val verts = e.select(explode(array(col("u"), col("v"))).as("id")).distinct()
     val vc = verts.agg(count(lit(1)).as("n_vertices"),
       fold(sum(h(col("id")).cast("decimal(38,0)"))).as("vertex_checksum"))
     val ec = e.agg(count(lit(1)).as("n_edges"),
