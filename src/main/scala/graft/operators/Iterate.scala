@@ -526,16 +526,21 @@ object Iterate {
           col("src") === col("rid"))
         .select(col("dst").as("id"), (col("d0") + col("w")).as("nd"))
         .groupBy("id").agg(min(col("nd")).as("nd"))
-      val joined = dist.join(relaxed, Seq("id"), "left")
+      // the joined frame feeds BOTH next and frontier — checkpointed ONCE
+      // (r20): two separate localCheckpoints on its projections evaluated
+      // the relaxation join + aggregate TWICE per round (profiled). next/
+      // frontier stay lazy one-deep projections of the checkpointed frame,
+      // so lineage depth is still O(1) per round.
+      val joined = dist.join(relaxed, Seq("id"), "left").localCheckpoint(true)
       val next = joined.select(col("id"),
           least(col("dist"), col("nd")).as("dist")) // least() ignores nulls
-        .localCheckpoint(true)
       frontier = joined.filter(col("nd").isNotNull &&
           (col("dist").isNull || col("nd") < col("dist")))
         .select(col("id"), col("nd").as("dist"))
-        .localCheckpoint(true)
       dist = next
-      // both new frames are materialized; the old dist/frontier are dead
+      // the new joined frame is materialized; the old round's is dead
+      // (prevDist/prevFrontier both wrap the SAME checkpointed RDD — the
+      // second free is a no-op)
       freeFrame(prevDist); freeFrame(prevFrontier)
       i += 1
     }
