@@ -32,6 +32,29 @@ object Iterate {
       case _ => ()
     }
 
+  /** The iteration loops' lineage cut: `localCheckpoint` by default — the
+    * committed convention, right for the bench and for clusters that accept
+    * a job restart on executor loss — or a RELIABLE `checkpoint` when the
+    * session opts in, because local-checkpoint blocks live only in executor
+    * storage and a lost executor mid-loop fails the job (truncated lineage
+    * cannot be recomputed). Opt-in = BOTH a SparkContext checkpoint dir
+    * (`sc.setCheckpointDir(hdfs://...)`) and
+    * `spark.conf.set("graft.iterate.reliableCheckpoint", "true")` — the
+    * explicit flag keeps sessions that set a checkpoint dir for other
+    * reasons on the default path, so bench numbers stay comparable. Notes
+    * for the reliable path: a lazy cut is computed once by the action that
+    * first consumes it and once more by the checkpoint file write (Spark's
+    * documented reliable-checkpoint shape); checkpoint FILES are reclaimed
+    * only with `spark.cleaner.referenceTracking.cleanCheckpoints=true` or
+    * at application end. */
+  private def cut(df: DataFrame, eager: Boolean): DataFrame = {
+    val ss = df.sparkSession
+    if (ss.conf.get("graft.iterate.reliableCheckpoint", "false").toBoolean &&
+        ss.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+  }
+
   /** Centroids after `iters` Lloyd mean-updates over an (id, vec) DataFrame:
     * (cid, cv) with cid 0..k-1. Deterministic: centroids initialize from the
     * K lowest ids; assignment ties break on cid; centroid means rounded at
@@ -61,7 +84,7 @@ object Iterate {
         .groupBy("cid").agg(array_sort(collect_list(struct(col("dim"), col("mx")))).as("pairs"))
         .select(col("cid"), expr("transform(pairs, p -> p.mx)").as("cv"))
     }
-    if (prevBest != null) { centroids = centroids.localCheckpoint(true); prevBest.unpersist() }
+    if (prevBest != null) { centroids = cut(centroids, eager = true); prevBest.unpersist() }
     pts.unpersist()
     centroids
   }
@@ -104,7 +127,7 @@ object Iterate {
     // materialize the caller's edge pipeline ONCE — it appears in both union
     // branches, and an un-materialized (possibly expensive) plan would be
     // evaluated twice when sym is first computed
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint(true)
+    val e0 = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), eager = true)
     // Small-graph fast path, same contract as autoBroadcastJoinThreshold:
     // below the threshold the edge list fits comfortably on the driver, and
     // one union-find pass beats 2·log(diameter) shuffle rounds of the
@@ -119,9 +142,8 @@ object Iterate {
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")), eager = true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -131,14 +153,21 @@ object Iterate {
         .union(labels)
         .groupBy("id").agg(min(col("comp")).as("comp"))
       // path halving: follow the label pointer one hop (comp := comp's comp)
-      val next = prop.join(
+      val halved = prop.join(
           prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") < col("old")).count()
-      freeFrame(labels) // superseded frame: next is materialized, count done
-      labels = next
+      // the convergence probe RIDES the round's own materialization (r21,
+      // guide §1.2/§5): the old label is joined INTO the checkpointed frame
+      // and the changed-count action is what materializes the LAZY cut —
+      // one action per round where an eager checkpoint plus a separate
+      // probe join+count job used to be two (the probe join ran anyway;
+      // it is now inside the same frame). `labels` stays a one-deep
+      // projection of the checkpointed RDD, so lineage depth is unchanged.
+      val wide = cut(halved.join(labels.withColumnRenamed("comp", "old"), "id"),
+        eager = false)
+      val changed = wide.filter(col("comp") < col("old")).count()
+      freeFrame(labels) // superseded frame: wide is materialized, count done
+      labels = wide.select(col("id"), col("comp"))
       converged = changed == 0
       iter += 1
     }
@@ -183,20 +212,23 @@ object Iterate {
     // keyed join + one aggregate. Same src partitioning — no new exchange.
     val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = verts.select(col("id"),
-      round(lit(1.0) / lit(n), interRoundDp).as("rank")).localCheckpoint(true)
-    (0 until iters).foreach { _ =>
+    var ranks = cut(verts.select(col("id"),
+      round(lit(1.0) / lit(n), interRoundDp).as("rank")), eager = true)
+    (0 until iters).foreach { i =>
       val prev = ranks
       val contrib = ew.join(ranks.withColumnRenamed("id", "rid"), col("src") === col("rid"))
         .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
-      ranks = verts.join(contrib.groupBy("id").agg(sum(col("c")).as("s")), Seq("id"), "left")
+      ranks = cut(verts.join(contrib.groupBy("id").agg(sum(col("c")).as("s")), Seq("id"), "left")
         .select(col("id"),
           round(lit(1.0 - damping) / lit(n) + lit(damping) * coalesce(col("s"), lit(0.0)),
-            interRoundDp).as("rank"))
-        .localCheckpoint(true)
+            interRoundDp).as("rank")), eager = true)
+      // the first superstep's checkpoint materialized ew (edges + odeg) —
+      // from here on `e` is dead weight at 2× edge-set memory (r21, guide
+      // §5: unpersist when done, not at loop end)
+      if (i == 0) e.unpersist()
       freeFrame(prev) // superseded frame: the new ranks are materialized
     }
-    ew.unpersist(); e.unpersist(); verts.unpersist()
+    ew.unpersist(); verts.unpersist()
     ranks
   }
 
@@ -223,7 +255,7 @@ object Iterate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = verts.select(col("id"), col("id").as("lab")).localCheckpoint(true)
+    var labels = cut(verts.select(col("id"), col("id").as("lab")), eager = true)
     (0 until iters).foreach { _ =>
       val prev = labels
       val freq = e.join(labels.select(col("id").as("lid"), col("lab")),
@@ -237,7 +269,7 @@ object Iterate {
           when(col("toplab").isNull, col("lab"))
             .when(col("fstar") === 1, greatest(col("lab"), col("toplab")))
             .otherwise(col("toplab")).as("lab"))
-        .localCheckpoint(true)
+      labels = cut(labels, eager = true)
       freeFrame(prev)
     }
     e.unpersist(); verts.unpersist()
@@ -294,35 +326,57 @@ object Iterate {
     // AQE still broadcasts at runtime when the side actually fits (the
     // triangleCounts broadcastClosureThreshold convention)
     val nIncidence = n.count()
-    val deg = n.groupBy("id").agg(count(lit(1)).as("deg"))
-    def degSide(idAs: String, degAs: String) = {
-      val d = deg.select(col("id").as(idAs), col("deg").as(degAs))
-      if (nIncidence <= broadcastDegThreshold) broadcast(d) else d
+    val fits = nIncidence <= broadcastDegThreshold
+    // BOTH degree tables — per-id (the u/v degrees of the output) and
+    // per-neighbor (the span spread) — out of ONE tagged-explode pass over
+    // the persisted incidence (r21, guide §2.4: the former three aggregate
+    // evaluations — deg built once per differently-renamed broadcast side
+    // plus the separate nbSpans agg — collapse into one cached table).
+    // Keyed by the UNION of the two id spaces; the per-position counts
+    // stay separate columns, so overlapping id spaces cannot mix.
+    val dstats = n.select(explode(array(
+        struct(col("id").as("k"), lit(1L).as("dc"), lit(0L).as("nc")),
+        struct(col("nb").as("k"), lit(0L).as("dc"), lit(1L).as("nc")))).as("x"))
+      .groupBy(col("x.k").as("k"))
+      .agg(sum(col("x.dc")).as("deg"), sum(col("x.nc")).as("nbdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // alias-only wrappers (the r20 orientedAdjacency convention): every
+    // broadcast below canonicalizes to the SAME dstats plan, so the
+    // degree build is shared instead of one build per renamed side
+    def dside(alias: String) = {
+      val d = dstats.as(alias)
+      if (fits) broadcast(d) else d
     }
-    // span count per common neighbor, guarded-broadcast joined back onto
-    // the incidence (row-local tagging — same convention as degSide)
-    val nbSpans = n.groupBy("nb").agg(
-      ceil(count(lit(1)).cast("double") / groupSpanSize).cast("long")
-        .as("nspans"))
-      .select(col("nb").as("nb_s"), col("nspans"))
-    val nbSpanSide =
-      if (nIncidence <= broadcastDegThreshold) broadcast(nbSpans) else nbSpans
-    val sp = n.join(nbSpanSide, col("nb") === col("nb_s")).drop("nb_s")
+    val sp = n.join(dside("ns"), col("nb") === col("ns.k"))
+      .select(col("id"), col("nb"),
+        ceil(col("ns.nbdeg").cast("double") / groupSpanSize).cast("long")
+          .as("nspans"))
     val (lhs, rhs) = spannedSides(sp, Seq.empty)
+    // the pair join BROADCASTS the hash-native side under the same guard
+    // (r21, guide §3.1/§2.3): the replicated left side — the FAT side, up
+    // to spanCount× the incidence — then never shuffles or sorts at all;
+    // the broadcast payload is one (id, nb, span) row per incidence entry
+    // (~24 B/row ⇒ ~240 MB at the 10 M default, inside the guide's
+    // few-hundred-MB broadcast band). Above the threshold the former
+    // keyed join runs unchanged — the 100 TB path is identical.
+    val rhsSide = {
+      val r = rhs.select(col("id").as("b"), col("nb").as("nb2"),
+        col("span").as("span2"))
+      if (fits) broadcast(r) else r
+    }
     val shared = lhs.select(col("id").as("a"), col("nb"), col("tspan"))
-      .join(rhs.select(col("id").as("b"), col("nb").as("nb2"),
-          col("span").as("span2")),
+      .join(rhsSide,
         col("nb") === col("nb2") && col("tspan") === col("span2") &&
           col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     shared
-      .join(degSide("da_id", "da"), col("a") === col("da_id"))
-      .join(degSide("db_id", "db"), col("b") === col("db_id"))
+      .join(dside("da"), col("a") === col("da.k"))
+      .join(dside("db"), col("b") === col("db.k"))
       .select(col("a").as("u"), col("b").as("v"), col("shared"),
-        (col("da") + col("db") - col("shared")).as("dist_union"),
+        (col("da.deg") + col("db.deg") - col("shared")).as("dist_union"),
         (col("shared").cast("double") /
-          (col("da") + col("db") - col("shared")).cast("double")).as("score"))
+          (col("da.deg") + col("db.deg") - col("shared")).cast("double")).as("score"))
   }
 
   /** The two sides of a span-spread wedge self-join (see [[jaccardIndex]]'s
@@ -387,11 +441,18 @@ object Iterate {
     val wn = n.join(nbSide, col("nb") === col("nb0"))
       .select(col("id"), col("nb"), col("w6"), col("nspans"))
     // hub-neighbor span spread, same scheme as jaccardIndex (the per-term
-    // weight is constant within a group, so it rides the left side)
+    // weight is constant within a group, so it rides the left side); the
+    // pair join broadcasts the hash-native side under the same guard
+    // (r21, guide §3.1 — see jaccardIndex: the replicated fat side then
+    // never shuffles; above the threshold the keyed join is unchanged)
     val (lhs, rhs) = spannedSides(wn, Seq("w6"))
+    val rhsSide = {
+      val r = rhs.select(col("id").as("b"), col("nb").as("nb2"),
+        col("span").as("span2"))
+      if (nIncidence <= broadcastDegThreshold) broadcast(r) else r
+    }
     lhs.select(col("id").as("a"), col("nb"), col("tspan"), col("w6"))
-      .join(rhs.select(col("id").as("b"), col("nb").as("nb2"),
-          col("span").as("span2")),
+      .join(rhsSide,
         col("nb") === col("nb2") && col("tspan") === col("span2") &&
           col("a") < col("b"))
       .groupBy("a", "b")
@@ -421,37 +482,39 @@ object Iterate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var scores = verts.select(col("id"), lit(1.0).as("hub"), lit(0.0).as("auth"))
-      .localCheckpoint(true)
+    var scores = cut(verts.select(col("id"), lit(1.0).as("hub"), lit(0.0).as("auth")),
+      eager = true)
     (0 until iters).foreach { _ =>
       val prev = scores
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val araw = e.join(scores.select(col("id").as("sid"), col("hub")),
           col("src") === col("sid"))
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("raw"))
       // raw frames feed TWO consumers (the norm scalar and the next stage)
       // — persist within the superstep or every consumer re-runs the
-      // upstream joins. The L2 norm is ONE double: the head() below rides
-      // the same action that materializes the persist, and the scalar is
-      // inlined as a literal (r20) — the former crossJoin(broadcast(agg))
-      // added a broadcast-build job and a join node per superstep for the
-      // same arithmetic (round(raw / nrm, 9) over the identical IEEE
-      // doubles, so results are bit-identical).
+      // upstream joins (persist, not a lineage cut: the cache keeps plan
+      // STATISTICS, so the e-side join can still broadcast the score side;
+      // a checkpoint's LogicalRDD has none — measured ~8% slower here).
+      // The L2 norm is ONE double: the head() rides the same action that
+      // materializes the persist, and the scalar is inlined as a literal
+      // (r20). The auth column rides the h-side frame (r21, guide §2.4):
+      // the former separate auth persist and the superstep-final hub⋈auth
+      // join are gone — round(raw / lit(nrm), 9) over the identical IEEE
+      // doubles, so results are bit-identical.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val a1 = verts.join(araw, Seq("id"), "left")
-        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw")).persist(lvl)
-      val anorm = a1.agg(sqrt(sum(col("raw") * col("raw")))).head().getDouble(0)
-      val auth = a1.select(col("id"), round(col("raw") / lit(anorm), 9).as("auth"))
-        .persist(lvl)
-      val hraw = e.join(auth.select(col("id").as("aid"), col("auth").as("av")),
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("araw")).persist(lvl)
+      val anorm = a1.agg(sqrt(sum(col("araw") * col("araw")))).head().getDouble(0)
+      val hraw = e.join(a1.select(col("id").as("aid"),
+            round(col("araw") / lit(anorm), 9).as("av")),
           col("dst") === col("aid"))
         .groupBy(col("src").as("id")).agg(sum(col("av")).as("raw"))
-      val h1 = verts.join(hraw, Seq("id"), "left")
-        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw")).persist(lvl)
-      val hnorm = h1.agg(sqrt(sum(col("raw") * col("raw")))).head().getDouble(0)
-      val hub = h1.select(col("id"), round(col("raw") / lit(hnorm), 9).as("hub"))
-      scores = hub.join(auth, "id").select(col("id"), col("hub"), col("auth"))
-        .localCheckpoint(true)
-      a1.unpersist(); auth.unpersist(); h1.unpersist()
+      val h1 = a1.join(hraw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("hraw"),
+          round(col("araw") / lit(anorm), 9).as("auth")).persist(lvl)
+      val hnorm = h1.agg(sqrt(sum(col("hraw") * col("hraw")))).head().getDouble(0)
+      scores = cut(h1.select(col("id"),
+        round(col("hraw") / lit(hnorm), 9).as("hub"), col("auth")), eager = true)
+      a1.unpersist(); h1.unpersist()
       freeFrame(prev)
     }
     e.unpersist(); verts.unpersist()
@@ -478,16 +541,16 @@ object Iterate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
-    var dist = verts.select(col("id"),
-      when(col("id") === sourceId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"))
-      .localCheckpoint(true)
+    var dist = cut(verts.select(col("id"),
+      when(col("id") === sourceId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")),
+      eager = true)
     (0 until iters).foreach { _ =>
       val prev = dist
       val relaxed = e.join(dist.filter(col("dist").isNotNull)
           .select(col("id").as("rid"), col("dist").as("d0")), col("src") === col("rid"))
         .select(col("dst").as("id"), (col("d0") + col("w")).as("dist"))
-      dist = dist.union(relaxed).groupBy("id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+      dist = cut(dist.union(relaxed).groupBy("id").agg(min(col("dist")).as("dist")),
+        eager = true)
       freeFrame(prev)
     }
     e.unpersist()
@@ -513,31 +576,36 @@ object Iterate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
-    var dist = verts.select(col("id"),
-      when(col("id") === sourceId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"))
-      .localCheckpoint(true)
-    // workset: (id, dist) rows improved last round — initially the source
-    var frontier = dist.filter(col("dist").isNotNull).localCheckpoint(true)
+    var dist = cut(verts.select(col("id"),
+      when(col("id") === sourceId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")),
+      eager = true)
+    // workset: (id, dist) rows improved last round — initially the source,
+    // a lazy one-deep filter of the checkpointed dist (r21: the former
+    // eager localCheckpoint of the same rows was a whole extra job)
+    var frontier = dist.filter(col("dist").isNotNull)
+    var frontierNonEmpty = !frontier.isEmpty
     var i = 0
-    while (i < iters && !frontier.isEmpty) {
+    while (i < iters && frontierNonEmpty) {
       val prevDist = dist
       val prevFrontier = frontier
       val relaxed = e.join(frontier.select(col("id").as("rid"), col("dist").as("d0")),
           col("src") === col("rid"))
         .select(col("dst").as("id"), (col("d0") + col("w")).as("nd"))
         .groupBy("id").agg(min(col("nd")).as("nd"))
-      // the joined frame feeds BOTH next and frontier — checkpointed ONCE
-      // (r20): two separate localCheckpoints on its projections evaluated
-      // the relaxation join + aggregate TWICE per round (profiled). next/
+      // the joined frame feeds BOTH next and frontier — cut ONCE (r20),
+      // and the cut is LAZY (r21, guide §1.2/§5): the next round's
+      // emptiness probe is the count() below, which is also the action
+      // that materializes the checkpoint — the eager checkpoint plus a
+      // separate isEmpty probe per round were two jobs for one. next/
       // frontier stay lazy one-deep projections of the checkpointed frame,
       // so lineage depth is still O(1) per round.
-      val joined = dist.join(relaxed, Seq("id"), "left").localCheckpoint(true)
-      val next = joined.select(col("id"),
-          least(col("dist"), col("nd")).as("dist")) // least() ignores nulls
+      val joined = cut(dist.join(relaxed, Seq("id"), "left"), eager = false)
       frontier = joined.filter(col("nd").isNotNull &&
           (col("dist").isNull || col("nd") < col("dist")))
         .select(col("id"), col("nd").as("dist"))
-      dist = next
+      frontierNonEmpty = frontier.count() > 0
+      dist = joined.select(col("id"),
+        least(col("dist"), col("nd")).as("dist")) // least() ignores nulls
       // the new joined frame is materialized; the old round's is dead
       // (prevDist/prevFrontier both wrap the SAME checkpointed RDD — the
       // second free is a no-op)
@@ -614,10 +682,8 @@ object Iterate {
         s"name (${reserved.mkString(", ")}) — rename it before iterating"))
     val e = edges.repartition(col(srcCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var wide = vertices
-      .select(col(idCol).as("id"), col(stateCol).as("state"),
-        col(stateCol).as("__prev"))
-      .localCheckpoint(true)
+    var wide = cut(vertices
+      .select(col(idCol).as("id"), col(stateCol).as("state")), eager = true)
     var k = 0
     var fixed = false
     while (k < maxSupersteps && !fixed) {
@@ -635,13 +701,23 @@ object Iterate {
         .agg(merge.as("msg"), count(lit(1)).as("__n"))
       val newState = if (updateAlways) update(k)
         else when(col("__n").isNull, col("state")).otherwise(update(k))
-      wide = wide.select(col("id"), col("state"))
+      // On probing supersteps the cut is LAZY and the fixpoint probe is
+      // the action that materializes it (r21, guide §1.2/§5 — eager
+      // checkpoint + separate isEmpty probe were two jobs for one); the
+      // count must touch every partition anyway, which is exactly what
+      // the materialization needs. The final superstep's verdict would
+      // go unread — no probe, so the cut is eager — and a non-halting
+      // schedule never carries the __prev column at all.
+      val probe = haltOnFixpoint && k < maxSupersteps - 1
+      val updated = wide.select(col("id"), col("state"))
         .join(inbox, Seq("id"), "left_outer")
-        .select(col("id"), newState.as("state"), col("state").as("__prev"))
-        .localCheckpoint(true)
-      // the final superstep's verdict would go unread — skip the probe
-      if (haltOnFixpoint && k < maxSupersteps - 1)
-        fixed = wide.filter(!(col("state") <=> col("__prev"))).isEmpty
+      wide = cut(
+        if (probe) updated.select(col("id"), newState.as("state"),
+          col("state").as("__prev"))
+        else updated.select(col("id"), newState.as("state")),
+        eager = !probe)
+      if (probe)
+        fixed = wide.filter(!(col("state") <=> col("__prev"))).count() == 0L
       freeFrame(prev)
       k += 1
     }
@@ -1035,8 +1111,8 @@ object Iterate {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
-    var state = verts.select(col("id"), col("id").as("lab"), lit(1000000L).as("sc6"))
-      .localCheckpoint(true)
+    var state = cut(verts.select(col("id"), col("id").as("lab"), lit(1000000L).as("sc6")),
+      eager = true)
     (1 to iters).foreach { k =>
       val dec = Math.round(delta * 1e6 / k) // driver-side literal, both engines
       val prev = state
@@ -1057,7 +1133,7 @@ object Iterate {
             .when(col("wlab") === col("lab"), col("wbest"))
             .otherwise(col("wbest") - lit(dec)).as("sc62"))
         .select(col("id"), col("lab2").as("lab"), col("sc62").as("sc6"))
-        .localCheckpoint(true)
+      state = cut(state, eager = true)
       freeFrame(prev)
     }
     e.unpersist()
@@ -1086,13 +1162,17 @@ object Iterate {
     // one cached pass (tagged explode) instead of a two-select union
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val em = e.agg(count(lit(1)).as("n_edges"))
+    // n_edges = Σdeg/2 off the SAME degree table (r21, guide §2.4): every
+    // canonical edge contributes exactly 2 to Σdeg, so the former separate
+    // count pass over `e` and the crossJoin stitching it back are gone —
+    // one aggregate tree total. Σdeg is even, the division exact.
     val vm = deg.agg(
       count(lit(1)).as("n_vertices"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
       sum(col("deg") * (col("deg") - 1) / 2).as("n_triplets"),
       max(col("deg")).as("max_degree"),
       max(col("deg") * (col("deg") - 1) / 2).as("max_triplets"))
-    vm.crossJoin(em).select(
+    vm.select(
       col("n_vertices"),
       col("n_edges"),
       (col("n_edges").cast("double") * 2.0 / col("n_vertices").cast("double"))
@@ -1127,18 +1207,24 @@ object Iterate {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg feeds BOTH endpoint joins, whose broadcast builds do not share an
+    // exchange — un-persisted, the explode+agg ran twice (r21, profiled as
+    // two identical-size exchange writes per query; the triangleCounts deg
+    // convention: vertex-sized longs, cheap to cache)
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every incident edge from each endpoint's perspective
     val both = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
     val stats = both
-      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+      .join(deg.as("dA"), col("a") === col("dA.id"))
+      .join(deg.as("dB"), col("b") === col("dB.id"))
       .groupBy(col("a").as("id"))
-      .agg(max(col("da")).as("d"),
-        sum(when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")), 1L).otherwise(0L)).as("low"))
+      .agg(max(col("dA.deg")).as("d"),
+        sum(when(col("dA.deg") < col("dB.deg") ||
+          (col("dA.deg") === col("dB.deg") && col("a") < col("b")), 1L)
+          .otherwise(0L)).as("low"))
       .select(col("id"),
         (col("low") * (col("low") - 1) / 2).cast("long").as("tri"),
         (col("low") * (col("low") - 1) / 2 + col("low") * (col("d") - col("low")))

@@ -401,11 +401,15 @@ object LlmQueries {
     val scored = e.crossJoin(broadcast(cent))
       .select(col("id"), col("cid"),
         round(Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("ccos"))
-    val cells = Relational.topNPerGroup(scored, Seq(col("id")),
-      Seq(col("ccos").desc, col("cid")), 1).select(col("id").as("nid"), col("cid").as("cell"))
-    val probes = Relational.topNPerGroup(scored, Seq(col("id")),
+    // cells = rank 1 of the SAME window probes ranks with — one ranked pass
+    // whose exchange both consumers REUSE (r21, guide §2.4): the former two
+    // topNPerGroup calls each re-evaluated `scored`, i.e. the embedding
+    // scan, the centroid crossJoin and every centroid dot product ran twice
+    val ranked = Relational.topNPerGroup(scored, Seq(col("id")),
       Seq(col("ccos").desc, col("cid")), nProbes)
-      .select(col("id").as("query_id"), col("cid").as("pcell"))
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("id").as("nid"), col("cid").as("cell"))
+    val probes = ranked.select(col("id").as("query_id"), col("cid").as("pcell"))
     val cand = probes.join(cells, col("cell") === col("pcell") && col("nid") =!= col("query_id"))
       .select("query_id", "nid")
     val eq = e.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))

@@ -259,8 +259,10 @@ object LlmQueries2 {
       .distinct()
       .withColumn("w", lit(1.0) + (col("dst") % 8).cast("double") * lit(0.125))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verts = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
+    // one cached pass (tagged explode) instead of a two-select union —
+    // identical distinct id set (the r20 Iterate-internal verts convention)
+    val verts = edges.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
       .select(col("id"), when(col("id") === 1L, lit(0.0))
         .otherwise(lit(null).cast("double")).as("dist"))
     val out = Iterate.vertexCentric(edges, "src", "dst", verts, "id", "dist",
@@ -302,8 +304,10 @@ object LlmQueries2 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outd = edges0.groupBy("src").agg(count(lit(1)).as("odeg"))
     val edges = edges0.join(outd, "src")
-    val verts = edges0.select(col("src").as("id"))
-      .union(edges0.select(col("dst").as("id"))).distinct()
+    // one cached pass (tagged explode) instead of a two-select union —
+    // identical distinct id set (the r20 Iterate-internal verts convention)
+    val verts = edges0.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
     val n = verts.count()
     val init = verts.select(col("id"),
       round(lit(1.0) / lit(n), 9).as("rank"))
