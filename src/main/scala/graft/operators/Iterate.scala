@@ -957,13 +957,26 @@ object Iterate {
       else ed.select(src.as("src"), dst.as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adjElem = if (flagged) col("dst") * 4 + col("fl") else col("dst")
-    val adj = oriented.groupBy(col("src"))
+    val adjBc = nEdges <= broadcastClosureThreshold
+    val adj0 = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(adjElem)).as("nbrs"))
+    // Under the broadcast gate the aggregate feeds TWO BroadcastExchange
+    // builds that do NOT share a runtime stage (verified on the executed
+    // census plan: two full shuffle+merge+sort builds per wedge pass), so
+    // the vertex-sized adjacency is persisted and each build scans the
+    // cache (r21, guide §5). Above the gate the keyed joins DO share the
+    // aggregate's exchange via reuse — there the persist was measured
+    // SLOWER (r20: i17 9.0 → 10.7 s; block-store writes of |V| array rows
+    // cost more than the duplicated merge agg they save), so it stays
+    // un-persisted on that path.
+    val adj = if (adjBc)
+      adj0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else adj0
     // adjacency broadcast gate (consumed by [[wedgeJoin]]): the adjacency
     // payload is |E| packed longs, so the EDGE-count threshold is the right
     // guard for it (10 M default ⇒ ~80 MB) — reuse the caller's closure
     // threshold; threshold ≤ 0 still means no hint anywhere
-    (oriented, adj, nEdges <= broadcastClosureThreshold)
+    (oriented, adj, adjBc)
   }
 
   /** [[wedgeTriangles]] over a DIRECTION-FLAGGED pair table — the directed
@@ -1053,8 +1066,13 @@ object Iterate {
     val est = groups.queryExecution.optimizedPlan.stats.sizeInBytes
     val groupsSide =
       if (est <= broadcastGroupBytesThreshold) broadcast(groups) else groups
+    // the id→representative mapping feeds BOTH endpoint joins, whose build
+    // sides do not share a runtime stage — un-persisted, the vertex distinct
+    // + group attach ran once per endpoint (r21, the edgeMetrics/deg
+    // convention: vertex-sized rows, cheap to cache)
     val mapping = v.join(groupsSide, Seq("vv"))
       .select(col("id"), col("rep"), col("vv"), col("gsize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col(srcCol).cast("long").as("es"),
       col(dstCol).cast("long").as("ed"), col(evCol).as("ev"))
     e.join(mapping.select(col("id").as("es"), col("rep").as("src"),

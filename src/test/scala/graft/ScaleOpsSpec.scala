@@ -362,4 +362,39 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTest {
       r1.mkString(","))
     assert(r1.toSeq == r2.toSeq, "checksum must be order/duplicate invariant")
   }
+
+  test("iteration lineage cuts switch to RELIABLE checkpoints on opt-in " +
+       "(checkpoint dir + flag) with identical results") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (4L, 1L))
+      .toDF("src", "dst").withColumn("w", lit(1.0))
+    def ssspMap() = Iterate.sssp(edges, "src", "dst", "w", 1L, 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    def vcMap() = Iterate.vertexCentric(edges, "src", "dst",
+        edges.select(explode(array($"src", $"dst")).as("id")).distinct()
+          .select($"id", when($"id" === 1L, 0.0).otherwise(lit(null)
+            .cast("double")).as("d")),
+        "id", "d",
+        message = _ => col("state") + col("w"), merge = min(col("msg")),
+        update = _ => least(col("state"), col("msg")), maxSupersteps = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    def ccMap() = Iterate.connectedComponents(edges, "src", "dst",
+        localThreshold = 0L) // force the distributed fixpoint loop
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (s0, v0, c0) = (ssspMap(), vcMap(), ccMap())
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("graft.iterate.reliableCheckpoint", "true")
+    try {
+      assert(ssspMap() == s0, "reliable-checkpoint sssp must match")
+      assert(vcMap() == v0, "reliable-checkpoint vertexCentric must match")
+      assert(ccMap() == c0, "reliable-checkpoint connectedComponents must match")
+      // prove the reliable path actually engaged: checkpoint files exist
+      assert(new java.io.File(dir).listFiles != null &&
+        new java.io.File(dir).listFiles.nonEmpty,
+        "no checkpoint files written — reliable path did not engage")
+    } finally spark.conf.set("graft.iterate.reliableCheckpoint", "false")
+  }
 }
