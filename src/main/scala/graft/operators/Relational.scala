@@ -132,35 +132,65 @@ object Relational {
     * `value`/`tie` must be non-null. Two driver actions per call (quantile
     * + counts), both over aggregates — persist `df` when stacking calls. */
   def globalNtile(df: DataFrame, n: Int, value: Column, valueDesc: Boolean,
-                  tie: Column, asCol: String, buckets: Int = 512): DataFrame = {
-    val keyD = if (valueDesc) lit(0.0) - value.cast("double") else value.cast("double")
+                  tie: Column, asCol: String, buckets: Int = 512): DataFrame =
+    globalNtiles(df, n, Seq((value, valueDesc, asCol)), tie, buckets)
+
+  /** Stacked [[globalNtile]]s over MUTUALLY INDEPENDENT value columns in one
+    * pass (r21, guide §1.2/§5): each score reads only its own value column,
+    * so the boundary probes fuse into ONE aggregate action, the per-bucket
+    * counts into ONE tagged-explode collect, and the per-metric score
+    * windows stack in a single plan — no intermediate materialization at
+    * all, where k stacked single-metric calls cost 2k driver actions plus
+    * k−1 eager lineage cuts. Exactness is unchanged: the approximate
+    * boundaries only decide a MONOTONE bucketing, and the exact global rank
+    * is reconstructed from real bucket counts + the in-bucket row_number,
+    * so any boundary set yields the identical NTILE. */
+  def globalNtiles(df: DataFrame, n: Int,
+                   specs: Seq[(Column, Boolean, String)], tie: Column,
+                   buckets: Int = 512): DataFrame = {
+    val keyDs = specs.map { case (value, valueDesc, _) =>
+      if (valueDesc) lit(0.0) - value.cast("double") else value.cast("double") }
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val bndRow = df.agg(
-      percentile_approx(keyD, typedLit(probs), lit(10000)).as("b")).head()
-    val bnds: Seq[Double] =
-      if (bndRow.isNullAt(0)) Nil else bndRow.getSeq[Double](0)
-    val bkt = size(filter(typedLit(bnds), b => b < keyD))
-    val df2 = df.withColumn("__bkt", bkt)
-    val counts = df2.groupBy("__bkt").agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val total = counts.map(_._2).sum
-    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
-    val offMap = map_from_arrays(
-      typedLit(counts.map(_._1).toSeq), typedLit(offsets.toSeq))
-    val ord = (if (valueDesc) value.desc else value.asc) +: Seq(tie)
-    val rn = element_at(offMap, col("__bkt")) +
-      row_number().over(Window.partitionBy(col("__bkt")).orderBy(ord: _*))
-    val base = total / n
-    val rem = total % n
-    // NTILE remainder rule; counts are < 2^53 so the double floors are exact
-    val score =
-      if (total == 0L) lit(null).cast("int")
-      else when(lit(rem) > 0 && rn <= lit(rem * (base + 1)),
-          (floor((rn - 1).cast("double") / lit((base + 1).toDouble)) + 1).cast("int"))
-        .otherwise(
-          (lit(rem) + floor((rn - 1 - rem * (base + 1)).cast("double") /
-            lit(math.max(base, 1L).toDouble)) + 1).cast("int"))
-    df2.withColumn(asCol, score).drop("__bkt")
+    val bndAggs = keyDs.zipWithIndex.map { case (k, i) =>
+      percentile_approx(k, typedLit(probs), lit(10000)).as(s"__b$i") }
+    val bndRow = df.agg(bndAggs.head, bndAggs.tail: _*).head()
+    val bkts = keyDs.zipWithIndex.map { case (keyD, i) =>
+      val bnds: Seq[Double] =
+        if (bndRow.isNullAt(i)) Nil else bndRow.getSeq[Double](i)
+      size(filter(typedLit(bnds), b => b < keyD))
+    }
+    val df2 = specs.indices.foldLeft(df) { (d, i) =>
+      d.withColumn(s"__bkt$i", bkts(i)) }
+    // one tagged pass yields every metric's per-bucket histogram
+    val countRows = df2.select(explode(array(specs.indices.map(i =>
+        struct(lit(i).as("m"), col(s"__bkt$i").as("b"))): _*)).as("x"))
+      .groupBy(col("x.m").as("m"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val scored = specs.indices.foldLeft(df2) { (d, i) =>
+      val (value, valueDesc, asCol) = specs(i)
+      val counts = countRows.collect { case (m, b, c) if m == i => b -> c }
+        .sortBy(_._1).toSeq
+      val total = counts.map(_._2).sum
+      val offsets = counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+      val offMap = map_from_arrays(
+        typedLit(counts.map(_._1)), typedLit(offsets))
+      val ord = (if (valueDesc) value.desc else value.asc) +: Seq(tie)
+      val rn = element_at(offMap, col(s"__bkt$i")) +
+        row_number().over(Window.partitionBy(col(s"__bkt$i")).orderBy(ord: _*))
+      val base = total / n
+      val rem = total % n
+      // NTILE remainder rule; counts are < 2^53 so the double floors are exact
+      val score =
+        if (total == 0L) lit(null).cast("int")
+        else when(lit(rem) > 0 && rn <= lit(rem * (base + 1)),
+            (floor((rn - 1).cast("double") / lit((base + 1).toDouble)) + 1).cast("int"))
+          .otherwise(
+            (lit(rem) + floor((rn - 1 - rem * (base + 1)).cast("double") /
+              lit(math.max(base, 1L).toDouble)) + 1).cast("int"))
+      d.withColumn(asCol, score)
+    }
+    specs.indices.foldLeft(scored) { (d, i) => d.drop(s"__bkt$i") }
   }
 
   /** Temporal (versioned) table join — the Table API's

@@ -93,22 +93,24 @@ object AnalyticsQueries {
   // ever sits in one partition; the only driver-side state is the bucket
   // boundary/offset metadata (bounded by the bucket parameter).
   private val a04: Q = (s, dir) => {
-    import graft.operators.Relational.globalNtile
+    import graft.operators.Relational.globalNtiles
     val rfm = rfmBase(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each stacked globalNtile runs TWO driver actions (quantile + counts)
-    // over its input; un-materialized, call k's actions re-ran calls
-    // 1..k-1's bucket windows every time (the r_score window was evaluated
-    // 5× end-to-end — profiled r20). The eager localCheckpoint after each
-    // call truncates and materializes, so every window runs exactly once
-    // (guide §5: cut lineage of reused intermediates).
-    val s1 = globalNtile(rfm, 5, col("recency_days"), valueDesc = false,
-      col("o_custkey"), "r_score").localCheckpoint(true)
-    val s2 = globalNtile(s1, 5, col("frequency"), valueDesc = true,
-      col("o_custkey"), "f_score").localCheckpoint(true)
-    val scored = globalNtile(s2, 5, col("monetary"), valueDesc = true,
-      col("o_custkey"), "m_score")
-    rfm.unpersist()
+    // the three scores are mutually independent (each reads only its own
+    // rfm column), so ONE fused globalNtiles call runs one boundary action,
+    // one counts action and a single three-window plan — the r20 shape
+    // (three stacked calls with eager localCheckpoints between) cost six
+    // driver actions plus two checkpoint materializations (23 Spark jobs,
+    // profiled this round; guide §1.2/§5). Exact same rows: the operator
+    // reconstructs the exact global rank from real counts regardless of
+    // where the approximate boundaries fall.
+    val scored = globalNtiles(rfm, 5, Seq(
+      (col("recency_days"), false, "r_score"),
+      (col("frequency"), true, "f_score"),
+      (col("monetary"), true, "m_score")), col("o_custkey"))
+    // rfm stays cached for the returned (lazy) window plan — its third and
+    // final read happens at the consumer's sink; customer-sized rows, the
+    // session-lifetime persist convention (jaccardIndex's `n`)
     scored.select("o_custkey", "recency_days", "frequency", "monetary",
       "r_score", "f_score", "m_score")
   }
